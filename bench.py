@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is timed end-to-end (plan + execute + materialize counts);
+a warmup pass on sf's lineitem primes the JVM/Arrow paths so the
+numbers measure the operators, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from hdfe_spark.session import get_spark
+    from hdfe_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="hdfe_spark_bench")
+
+    # Warmup: touch the parquet + a tiny agg to JIT the scan paths.
+    load_table(spark, "lineitem", SF_DIR).agg(F.count(F.lit(1))).collect()
+
+    headline = [
+        "grouped_agg",
+        "grouped_transform",
+        "grouped_apply",
+        "demean",
+        "lags",
+        "factorize",
+        "dummies",
+        "gram",
+        "ols_pooled",
+        "ols_within_fe",
+        "fe_effects",
+        "exact_dedup",
+        "token_stats",
+        "quality",
+        "lang_id",
+        "minhash_dedup",
+        "simhash_dedup",
+        "cosine_topk",
+        "ngram_jaccard",
+    ]
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # noop sink: computes every column of every row, writes nothing
+        # (a bare .count() would let Catalyst prune the projections away)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""hdfe_spark — a PySpark-native panel-analytics / training-data engine.
+
+Re-expresses the capability surface of the reference library
+``esantorella/hdfe`` (grouped aggregate/transform kernels, panel lag
+expansion, sparse categorical encoding, high-dimensional fixed-effects
+least squares, rank repair, robust variance) as idiomatic Spark
+DataFrame transformations, and extends it with the large-scale
+training-data operators a 100 TB pipeline needs (dedup, similarity
+search, text analysis, multimodal column plumbing).
+
+Design stance (see SURVEY.md §7):
+
+- Every operator takes and returns ``pyspark.sql.DataFrame`` and
+  composes into a single lazy Catalyst plan where possible.
+- Grouping/windowing/shuffle/pruning are left to Catalyst; no custom
+  planner rules.
+- Python only touches k×k / (n_groups×k) driver-side matrices; all
+  data-sized work is distributed (one Gram aggregation, one Window
+  pass, ...).
+- Arbitrary user functions go through Arrow-batched
+  ``applyInPandas`` — never row-at-a-time Python UDFs.
+"""
+
+from hdfe_spark.operators.groupby import Groupby, grouped_agg, grouped_transform
+from hdfe_spark.operators.lags import make_lags, make_one_lag
+from hdfe_spark.operators.encoding import make_dummies, get_all_dummies
+from hdfe_spark.operators.collinearity import (
+    find_collinear_cols,
+    remove_collinear_cols,
+    gram_matrix,
+)
+from hdfe_spark.operators.estimate import estimate, EstimateResult
+
+__all__ = [
+    "Groupby",
+    "grouped_agg",
+    "grouped_transform",
+    "make_lags",
+    "make_one_lag",
+    "make_dummies",
+    "get_all_dummies",
+    "find_collinear_cols",
+    "remove_collinear_cols",
+    "gram_matrix",
+    "estimate",
+    "EstimateResult",
+]
+
+__version__ = "0.1.0"

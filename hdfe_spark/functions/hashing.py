@@ -1,0 +1,165 @@
+"""Vectorized deterministic hashing kernels for sketch operators.
+
+Why Pandas UDFs here and not JVM expressions: a MinHash signature
+needs ``num_hashes × n_shingles`` hash evaluations per document.
+Expressed as nested higher-order SQL functions
+(``transform(seq, i -> array_min(transform(shingles, ...)))``) the
+inner shingle array is re-evaluated per outer lambda — the expression
+tree is quadratic and falls out of whole-stage codegen, which measured
+minutes for 500 docs. Here the per-document work is one numpy
+rolling-hash pass (O(len)) plus an affine fan-out to ``num_hashes``
+functions (uint64 wraparound arithmetic = mod 2^64), Arrow-batched.
+Deterministic across workers (no Python ``hash()``).
+
+Hash family: polynomial rolling hash over UTF-8 bytes,
+``h(g) = Σ b_j·B^(k-1-j) (mod 2^64)``; MinHash fns are the standard
+affine family ``h_i = a_i·h + c_i (mod 2^64)`` with seeded odd
+multipliers (2-universal enough for sketching).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def kgram_hashes_np(text: str, k: int) -> np.ndarray:
+    """uint64 hashes of every char k-gram (UTF-8 bytes), vectorized:
+    one cumulative polynomial pass + window recombination."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        d = data.astype(np.uint64)
+        # windows[i] = sum_{j<k} d[i+j] * B^(k-1-j)  via sliding dot
+        powers = np.empty(k, dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _BASE
+        win = np.lib.stride_tricks.sliding_window_view(d, k)
+        out = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # xorshift finalize to decorrelate adjacent grams
+    out = out ^ (out >> np.uint64(33))
+    with np.errstate(over="ignore"):
+        out = out * np.uint64(0xFF51AFD7ED558CCD)
+    out = out ^ (out >> np.uint64(33))
+    return out
+
+
+def token_hashes_np(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token (full-token polynomial hash)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(tokens):
+            h = np.uint64(14695981039346656037)  # FNV offset
+            for b in t.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _BASE
+            out[i] = h
+    return out
+
+
+def _affine_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    c = rng.randint(0, 2**62, size=num_hashes).astype(np.uint64)
+    return a, c
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """Returns a pandas UDF: text → array<bigint> MinHash signature.
+
+    Empty/short texts get the all-zeros signature (parity with the
+    JVM fallback in dedup.minhash_signature's coalesce-to-0)."""
+    a, c = _affine_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([0] * num_hashes)
+                continue
+            h = np.unique(kgram_hashes_np(t.lower(), shingle_k))
+            if h.size == 0:
+                out.append([0] * num_hashes)
+                continue
+            with np.errstate(over="ignore"):
+                m = (a[:, None] * h[None, :] + c[:, None]).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def make_minhash_bands_udf(
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 42
+):
+    """Returns a pandas UDF: text → array<bigint> of ``bands`` band
+    digests (the LSH bucketing keys). Band digest = polynomial hash of
+    the band's slice of the MinHash signature, so two docs share a
+    band digest iff they agree on every min-hash in that band.
+    Computed inside one UDF because Python UDF columns cannot feed
+    higher-order JVM lambdas (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_
+    WITH_PYTHON_UDF)."""
+    a, c = _affine_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    band_pows = np.empty(rows_per_band, dtype=np.uint64)
+    band_pows[-1] = np.uint64(1)
+    for j in range(rows_per_band - 2, -1, -1):
+        band_pows[j] = band_pows[j + 1] * _BASE
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                h = np.empty(0, dtype=np.uint64)
+            else:
+                h = np.unique(kgram_hashes_np(t.lower(), shingle_k))
+            if h.size == 0:
+                m = np.zeros(num_hashes, dtype=np.uint64)
+            else:
+                with np.errstate(over="ignore"):
+                    m = (a[:, None] * h[None, :] + c[:, None]).min(axis=1)
+            with np.errstate(over="ignore"):
+                sl = m.reshape(bands, rows_per_band)
+                digs = (sl * band_pows[None, :]).sum(axis=1, dtype=np.uint64)
+                digs = digs ^ (digs >> np.uint64(33))
+                digs = digs * np.uint64(0xC4CEB9FE1A85EC53)
+                # salt with band index so identical slices in different
+                # bands never collide across bands
+                digs = digs + np.arange(bands, dtype=np.uint64)
+            out.append(digs.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return band_sig
+
+
+def make_simhash_udf(seed: int = 42):
+    """Returns a pandas UDF: text → bigint 64-bit SimHash
+    (Charikar 2002): bit b of the signature = majority of bit b over
+    the token hash multiset."""
+
+    @F.pandas_udf(T.LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        bits = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = [w for w in (t or "").lower().split() if w]
+            if not toks:
+                out[i] = 0
+                continue
+            h = token_hashes_np(toks)
+            # (n_tokens, 64) bit matrix → column votes
+            mat = (h[:, None] >> bits[None, :]) & np.uint64(1)
+            votes = mat.sum(axis=0)
+            sig_bits = (votes * 2 > len(toks)).astype(np.uint64)
+            out[i] = (sig_bits << bits).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return sig

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup — over the ``documents`` / ``embeddings``
+fixture tables.
+
+Scale design:
+
+- **Exact dedup** is a hash-groupBy on a 64/256-bit digest of the
+  text, never on the text itself — the shuffle moves 8-32 bytes per
+  row, not documents.
+- **MinHash LSH** follows the standard banding construction
+  (Broder 1997; Leskovec et al., "Mining of Massive Datasets" ch.3):
+  char-shingles → per-row signature of ``num_hashes`` min-hashes →
+  split into ``bands`` band digests (one vectorized Arrow pass — see
+  functions/hashing.py for why this beats nested higher-order JVM
+  expressions) → explode one row per band → shuffle on (band,
+  band-digest) → candidate pairs only within buckets. The only
+  all-to-all step keys on the band digest, so cost scales with
+  collision count, not n².
+- **SimHash** (Charikar 2002): 64-bit signature via bit-vote over
+  token hashes; near-dup = identical signature, or banded 16-bit
+  chunks for Hamming ≤ 3-style candidates.
+- **n-gram Jaccard** is the exact verifier applied to candidate pairs
+  (array_intersect/array_union on shingle sets).
+- **Embedding near-dup**: normalized vectors, random-hyperplane LSH
+  buckets, exact cosine verify within bucket (see similarity.py for
+  the shared vector helpers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.text import shingles
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Sequence[str] | str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup on ``cols``. With ``id_col``, keeps the row with
+    the smallest id per duplicate group (deterministic, unlike
+    ``dropDuplicates``); otherwise an arbitrary representative.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if id_col is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_by_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact content dedup via content digest: group on
+    ``sha2(text)`` so the shuffle carries 32-byte keys instead of
+    documents; keep the min-id representative per digest."""
+    hashed = df.withColumn("__h", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+
+# ----------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_k: int = 5
+) -> Column:
+    """MinHash signature as ``array<bigint>`` of length ``num_hashes``
+    via the vectorized Arrow kernel (see functions/hashing.py for why
+    this is a Pandas UDF and not nested higher-order JVM expressions:
+    the nested form re-evaluates the shingle array per hash fn —
+    quadratic expression blowup)."""
+    from hdfe_spark.functions.hashing import make_minhash_udf
+
+    return make_minhash_udf(num_hashes=num_hashes, shingle_k=shingle_k)(text)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a < id_b, band_matches)``.
+
+    One Arrow pass computes all band digests per doc; one shuffle on
+    (band index, band hash); a self-join *within buckets only*.
+    Oversized buckets (pathological collisions) are handled by AQE
+    skew-join splitting.
+    """
+    from hdfe_spark.functions.hashing import make_minhash_bands_udf
+
+    band_udf = make_minhash_bands_udf(num_hashes, bands, shingle_k)
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(band_udf(F.col(text_col))).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("band_matches"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins each side's distinct shingle set onto the (small) candidate
+    pair list — documents are only materialized for candidates, never
+    all-pairs.
+    """
+    # Shingles hashed to int64 before set ops: array_intersect on
+    # bigints beats string compares ~5×; the Jaccard value is
+    # identical up to 2^-64 collision probability.
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                shingles(F.lower(F.col(text_col)), k=shingle_k),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__sh"),
+    )
+    out = (
+        pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")), on="id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.greatest(F.size(F.array_union("__sh_a", "__sh_b")), F.lit(1)),
+        )
+        .drop("__sh_a", "__sh_b")
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dedup: drop every doc that has a verified near-duplicate
+    with a smaller id. (Single-link clustering approximated by the
+    min-id rule — one pass, no iterative connected components; good
+    enough for dedup where any representative may survive.)"""
+    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ----------------------------------------------------------- simhash
+
+
+def simhash(text: Column) -> Column:
+    """Charikar SimHash (64-bit) over whitespace tokens via the
+    vectorized Arrow kernel (functions/hashing.py). Returns bigint."""
+    from hdfe_spark.functions.hashing import make_simhash_udf
+
+    return make_simhash_udf()(text)
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-SimHash dedup: identical 64-bit signatures collapse to
+    the min-id representative. (Near-Hamming variants: band the
+    signature into 16-bit chunks and use chunk-equality buckets.)"""
+    sig = df.withColumn("__sim", simhash(F.col(text_col)))
+    w = Window.partitionBy("__sim").orderBy(F.col(id_col))
+    return (
+        sig.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Random-hyperplane LSH (one sign-bucket per vector) prunes the
+    self-join to same-bucket pairs; exact cosine verifies. With
+    ``n_planes`` buckets ≈ 2^n_planes, bucket sizes shrink
+    geometrically — the crossJoin never materializes globally.
+    Recall is per-bucket (vectors near a hyperplane may split); raise
+    recall by repeating with multiple tables and unioning, as in
+    standard multi-table LSH.
+    """
+    from hdfe_spark.operators.similarity import lsh_bucket, make_pair_cosine_udf
+
+    v = lsh_bucket(df.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed)
+    a, b = v.alias("a"), v.alias("b")
+    pcos = make_pair_cosine_udf()
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            pcos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Categorical encoding: factorization + one-hot (sparse) dummies.
+
+Reference parity: ``make_dummies`` (``hdfe/hdfe.py:14-32``) and
+``get_all_dummies`` (``hdfe/hdfe.py:35-43``).
+
+Reference semantics preserved:
+
+- levels are factorized to dense codes ``0..k-1`` in **sorted value
+  order** (``np.unique``; already-contiguous non-negative int codes
+  pass through unchanged);
+- ``drop_col=True`` drops the **last** level (``hdfe/hdfe.py:29-30``)
+  — the same convention as MLlib ``OneHotEncoder(dropLast=True)``;
+- multi-column blocks keep all levels of the FIRST column and drop the
+  last level of each subsequent column (dummy-variable trap;
+  ``hdfe/hdfe.py:35-43``).
+
+Spark-first design: the reference materializes a global scipy CSC
+matrix — a single-node object. Distributed, the idiom is **one sparse
+vector per row** (MLlib ``SparseVector``), or plain indicator columns
+when the level count is small and SQL-expressibility matters. Both are
+provided:
+
+- ``output="vector"`` → ``StructField(name, VectorUDT)`` via
+  ``OneHotEncoder`` — the scale path (a 1M-level FE is one
+  ``SparseVector(1e6, [code], [1.0])`` per row, not 1e6 columns);
+- ``output="columns"`` → explicit ``{col}_is_{level}`` double columns
+  (Catalyst-pruned, whole-stage-codegen'd) — the oracle-checkable path
+  for small cardinality.
+
+Factorization is a broadcast join against the (tiny) sorted distinct
+level table — no global sort of the fact table, no shuffle of the big
+side (broadcast hash join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def levels_of(df: DataFrame, col: str) -> list:
+    """Distinct levels of ``col`` in sorted order (the reference's
+    ``np.unique`` ordering, ``hdfe/hdfe.py:26``). Driver-side list —
+    intended for dimension-sized cardinalities."""
+    return [r[0] for r in df.select(col).distinct().orderBy(col).collect()]
+
+
+def factorize(df: DataFrame, col: str, code_col: str | None = None) -> DataFrame:
+    """Add a dense integer code column ``0..k-1`` for ``col``.
+
+    Codes follow sorted level order (``np.unique`` parity). The code
+    table is built by ranking the distinct values (k rows — tiny) and
+    broadcast-joined back, so the fact table never shuffles.
+    """
+    code_col = code_col or f"{col}_code"
+    codes = (
+        df.select(col)
+        .distinct()
+        .select(
+            col,
+            (F.dense_rank().over(Window.orderBy(col)) - 1).alias(code_col),
+        )
+    )
+    return df.join(F.broadcast(codes), on=col, how="left")
+
+
+def make_dummies(
+    df: DataFrame,
+    col: str,
+    drop_col: bool = False,
+    output: str = "columns",
+    levels: Sequence | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """One-hot encode ``col`` (reference ``make_dummies``,
+    ``hdfe/hdfe.py:14-32``). Returns ``(df_with_dummies, dummy_names)``.
+
+    ``drop_col=True`` drops the LAST level, matching the reference and
+    MLlib's ``dropLast`` convention.
+    """
+    if output == "vector":
+        from pyspark.ml.feature import OneHotEncoder
+
+        coded = factorize(df, col)
+        enc = OneHotEncoder(
+            inputCols=[f"{col}_code"],
+            outputCols=[f"{col}_onehot"],
+            dropLast=drop_col,
+        )
+        return enc.fit(coded).transform(coded), [f"{col}_onehot"]
+
+    if output != "columns":
+        raise ValueError("output must be 'vector' or 'columns'")
+    lv = list(levels) if levels is not None else levels_of(df, col)
+    if drop_col:
+        lv = lv[:-1]
+    names = [f"{col}_is_{v}" for v in lv]
+    out = df.select(
+        "*",
+        *[
+            F.when(F.col(col) == F.lit(v), 1.0).otherwise(0.0).alias(n)
+            for v, n in zip(lv, names)
+        ],
+    )
+    return out, names
+
+
+def get_all_dummies(
+    df: DataFrame,
+    cols: Sequence[str],
+    output: str = "columns",
+) -> tuple[DataFrame, list[str]]:
+    """Multi-FE dummy block (reference ``get_all_dummies``,
+    ``hdfe/hdfe.py:35-43``): all levels of the first column, drop-last
+    for each subsequent column (the first block absorbs the intercept).
+    """
+    cols = list(cols)
+    if len(cols) == 1:
+        return make_dummies(df, cols[0], drop_col=False, output=output)
+
+    if output == "vector":
+        from pyspark.ml.feature import OneHotEncoder, VectorAssembler
+
+        out = df
+        onehot_cols = []
+        for i, c in enumerate(cols):
+            out = factorize(out, c)
+            enc = OneHotEncoder(
+                inputCols=[f"{c}_code"],
+                outputCols=[f"{c}_onehot"],
+                dropLast=(i > 0),
+            )
+            out = enc.fit(out).transform(out)
+            onehot_cols.append(f"{c}_onehot")
+        asm = VectorAssembler(inputCols=onehot_cols, outputCol="dummies")
+        return asm.transform(out), ["dummies"]
+
+    out = df
+    names: list[str] = []
+    for i, c in enumerate(cols):
+        out, n = make_dummies(out, c, drop_col=(i > 0), output="columns")
+        names += n
+    return out, names

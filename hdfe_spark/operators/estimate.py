@@ -1,0 +1,485 @@
+"""Distributed least squares with high-dimensional fixed effects.
+
+Reference parity: ``estimate`` (``hdfe/hdfe.py:49-181``) — strategy
+dispatch, three physical plans, optional rank repair, residuals,
+homoskedastic and cluster-robust variance.
+
+Plans (picked exactly like the reference's dispatch,
+``hdfe/hdfe.py:66,73,121``):
+
+- **Plan A ("pooled")** — no fixed effects: solve the normal equations
+  from a one-pass distributed Gram ``(X'X, X'y)``; k×k solve on the
+  driver. Replaces the reference's driver-sized ``np.linalg.lstsq``
+  (``hdfe/hdfe.py:66-71``) with a single aggregation over any data
+  size. Multi-outcome y handled in the same pass.
+- **Plan B ("within")** — 1 FE (or ``within_if_fe=True``): the
+  Frisch–Waugh–Lovell rewrite (``hdfe/hdfe.py:73-120``). FEs #2+
+  become drop-last dummy columns appended to x; x is demeaned within
+  FE#1 by a window aggregate; slopes solve from the demeaned Gram
+  (``X̃'y = X̃'ỹ`` since ``X̃ ⊥`` the group-mean projection — the
+  reference exploits the same identity by regressing raw y on
+  demeaned x); FE#1 effects recovered as group means of residuals
+  (``hdfe/hdfe.py:107-116``), then netted out of the residual.
+- **Plan C ("alternating")** — ≥2 FEs with ``within_if_fe=False``:
+  where the reference materializes ALL dummy blocks and runs
+  single-node LSQR (``hdfe/hdfe.py:121-144``), the scale path is
+  **alternating-projection demeaning** (Guimarães & Portugal 2010 /
+  the reghdfe algorithm): iteratively sweep window-demeaning over
+  each FE until group means vanish, then solve the k×k demeaned Gram.
+  Slope coefficients equal the reference's (they are uniquely
+  identified); FE effects are recovered per-FE and are identified
+  only up to additive constants (the reference's LSQR min-norm
+  normalization differs — documented deviation).
+
+Every data-sized computation is one of: a window aggregate (shuffle on
+the FE key), a grouped aggregate (shuffle on FE/cluster key with
+map-side partials), or the Gram aggregation (map-side partial k×k
+fan-in). Only k×k / (levels×k) matrices reach the driver.
+
+Variance (``hdfe/hdfe.py:147-181``):
+
+- homoskedastic ``V = σ̂²(X'X)⁻¹``, dof ``n - k_total``
+  (``hdfe/hdfe.py:176-179``); for the within plan, ``(X'X)⁻¹`` of the
+  full design ``[D₁|x]`` is computed blockwise via the Schur
+  complement (the Schur complement of the dummy block is exactly the
+  demeaned Gram), so no ``levels×levels`` dense inverse is formed
+  unless FE-coefficient covariances are explicitly requested with a
+  small level count.
+- cluster-robust (Liang–Zeger sandwich, ``hdfe/hdfe.py:159-175``):
+  per-cluster scores ``u_g = X_g'e_g`` via one grouped aggregation →
+  (n_clusters×k) driver matrix → ``(X'X)⁻¹ (Σ u_g u_g') (X'X)⁻¹``.
+
+Note: the reference's Plan-A ``estimate_variance=True`` path is broken
+(``x.A`` on ndarray, ``hdfe/hdfe.py:155`` — SURVEY.md §4); this engine
+supports it properly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.collinearity import (
+    find_collinear_cols_gram,
+    gram_matrix,
+)
+from hdfe_spark.operators.encoding import make_dummies
+
+
+def _as_list(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _solve(G: np.ndarray, Xty: np.ndarray) -> np.ndarray:
+    """Min-norm solve of ``G b = X'y`` (rank-deficient safe)."""
+    b, *_ = np.linalg.lstsq(G, Xty, rcond=None)
+    return b
+
+
+@dataclass
+class EstimateResult:
+    """Everything ``estimate`` can return.
+
+    ``b`` rows align with ``coef_names``: for the within plan the FE#1
+    effects come first (levels in sorted order, matching the
+    reference's factorized-code ordering, ``hdfe/hdfe.py:114-116``),
+    then slope coefficients.
+    """
+
+    b: np.ndarray  # (k_coefs, n_outcomes)
+    coef_names: list[str]
+    x_cols: list[str]  # slope columns actually used (post rank-repair)
+    plan: str  # "pooled" | "within" | "alternating"
+    n: int
+    fixed_effects: dict[str, DataFrame] = field(default_factory=dict)
+    residuals: DataFrame | None = None  # input + resid_{y} columns
+    V: list[np.ndarray] | None = None  # per-outcome covariance (slope block last)
+    v_coef_names: list[str] | None = None
+
+    @property
+    def slopes(self) -> np.ndarray:
+        """Slope-coefficient block of ``b`` (drops FE effects)."""
+        return self.b[-len(self.x_cols):, :] if self.x_cols else self.b[:0, :]
+
+
+def _append_residuals(
+    df: DataFrame, y_cols: list[str], x_cols: list[str], b: np.ndarray
+) -> DataFrame:
+    """``resid_y = y - Σ b_i x_i`` as one narrow projection (b is a
+    driver-side k×m literal folded into the plan — no join)."""
+    exprs = []
+    for j, yc in enumerate(y_cols):
+        pred = None
+        for i, xc in enumerate(x_cols):
+            term = F.col(xc) * F.lit(float(b[i, j]))
+            pred = term if pred is None else pred + term
+        resid = F.col(yc) - pred if pred is not None else F.col(yc)
+        exprs.append(resid.alias(f"resid_{yc}"))
+    return df.select("*", *exprs)
+
+
+def _sum_sq(df: DataFrame, cols: list[str]) -> np.ndarray:
+    row = df.agg(
+        *[F.sum(F.col(c) * F.col(c)).alias(c) for c in cols]
+    ).collect()[0]
+    return np.array([float(row[c]) if row[c] is not None else 0.0 for c in cols])
+
+
+def _cluster_scores(
+    df: DataFrame, cluster: str, resid_cols: list[str], x_cols: list[str]
+) -> dict[str, np.ndarray]:
+    """Per-cluster scores ``u_g = Σ_{i∈g} e_i·x_i`` for every outcome
+    in ONE grouped aggregation (``hdfe/hdfe.py:159-173`` runs a Python
+    loop per outcome; here all outcomes × regressors fuse into one
+    hash aggregate). Returns {outcome: (n_clusters × k) ndarray}."""
+    exprs = []
+    for rc in resid_cols:
+        for xc in x_cols:
+            exprs.append(F.sum(F.col(rc) * F.col(xc)).alias(f"__u_{rc}__{xc}"))
+    rows = df.groupBy(cluster).agg(*exprs).collect()
+    out = {}
+    for rc in resid_cols:
+        out[rc] = np.array(
+            [[float(r[f"__u_{rc}__{xc}"] or 0.0) for xc in x_cols] for r in rows]
+        )
+    return out
+
+
+def _homoskedastic_V(
+    G_inv: np.ndarray, rss: np.ndarray, n: int, k_total: int
+) -> list[np.ndarray]:
+    dof = max(n - k_total, 1)
+    return [G_inv * (float(es) / dof) for es in rss]
+
+
+def estimate(
+    df: DataFrame,
+    y: str | Sequence[str],
+    x: str | Sequence[str],
+    categorical_controls: Sequence[str] | None = None,
+    check_rank: bool = False,
+    estimate_variance: bool = False,
+    get_residual: bool = False,
+    cluster: str | None = None,
+    tol: float = 1e-9,
+    within_if_fe: bool = True,
+    ap_tol: float = 1e-10,
+    ap_max_iter: int = 100,
+) -> EstimateResult:
+    """Distributed analogue of reference ``estimate``
+    (``hdfe/hdfe.py:49-181``). ``y``/``x`` are column names in ``df``.
+    """
+    y_cols = _as_list(y)
+    x_cols = list(_as_list(x))
+    cc = list(categorical_controls or [])
+    want_resid = get_residual or estimate_variance or cluster is not None
+
+    if not cc:
+        return _plan_pooled(
+            df, y_cols, x_cols, check_rank, estimate_variance,
+            want_resid, get_residual, cluster, tol,
+        )
+    if len(cc) == 1 or within_if_fe:
+        return _plan_within(
+            df, y_cols, x_cols, cc, check_rank, estimate_variance,
+            want_resid, get_residual, cluster, tol,
+        )
+    return _plan_alternating(
+        df, y_cols, x_cols, cc, check_rank, estimate_variance,
+        want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
+    )
+
+
+# ---------------------------------------------------------------- Plan A
+
+def _plan_pooled(
+    df, y_cols, x_cols, check_rank, estimate_variance,
+    want_resid, get_residual, cluster, tol,
+) -> EstimateResult:
+    """No FEs → normal equations from one distributed Gram pass
+    (reference ``hdfe/hdfe.py:66-71``)."""
+    if check_rank:
+        G, Xty, n = gram_matrix(df, x_cols, y_cols)
+        ci, ki = find_collinear_cols_gram(G, tol=tol)
+        if ci:
+            x_cols = [x_cols[i] for i in ki]
+            G = G[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+    else:
+        G, Xty, n = gram_matrix(df, x_cols, y_cols)
+
+    b = _solve(G, Xty)
+    res = EstimateResult(
+        b=b, coef_names=list(x_cols), x_cols=list(x_cols),
+        plan="pooled", n=n,
+    )
+    if not want_resid:
+        return res
+
+    with_resid = _append_residuals(df, y_cols, x_cols, b)
+    resid_cols = [f"resid_{yc}" for yc in y_cols]
+    if get_residual:
+        res.residuals = with_resid
+
+    if estimate_variance:
+        G_inv = np.linalg.pinv(G)
+        if cluster is None:
+            rss = _sum_sq(with_resid, resid_cols)
+            res.V = _homoskedastic_V(G_inv, rss, n, len(x_cols))
+        else:
+            scores = _cluster_scores(with_resid, cluster, resid_cols, x_cols)
+            res.V = [
+                G_inv @ (scores[rc].T @ scores[rc]) @ G_inv for rc in resid_cols
+            ]
+        res.v_coef_names = list(x_cols)
+    return res
+
+
+# ---------------------------------------------------------------- Plan B
+
+def _plan_within(
+    df, y_cols, x_cols, cc, check_rank, estimate_variance,
+    want_resid, get_residual, cluster, tol,
+) -> EstimateResult:
+    """Within estimator / FWL demeaning (reference
+    ``hdfe/hdfe.py:73-120``). FE#1 absorbed; FEs #2+ as drop-last
+    dummy columns appended to x (``hdfe/hdfe.py:74-78``)."""
+    fe1 = cc[0]
+    work = df
+    x_all = list(x_cols)
+    for other_fe in cc[1:]:
+        work, dummy_names = make_dummies(work, other_fe, drop_col=True)
+        x_all += dummy_names
+
+    # Demean x within fe1 — one window pass for all columns.
+    w = Window.partitionBy(fe1)
+    dm_cols = [f"__dm_{c}" for c in x_all]
+    work = work.select(
+        "*", *[(F.col(c) - F.avg(c).over(w)).alias(d) for c, d in zip(x_all, dm_cols)]
+    )
+
+    # Demeaned Gram + X̃'y in one pass (X̃'y == X̃'ỹ by orthogonality).
+    G_dm, Xty, n = gram_matrix(work, dm_cols, y_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
+        if ci:
+            x_all = [x_all[i] for i in ki]
+            dm_cols = [dm_cols[i] for i in ki]
+            G_dm = G_dm[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+
+    b_x = _solve(G_dm, Xty)
+
+    # Residual against RAW x (reference: error = y - x·b,
+    # hdfe/hdfe.py:105), then FE effects = group means of that error.
+    with_resid = _append_residuals(work, y_cols, x_all, b_x)
+    resid_cols = [f"resid_{yc}" for yc in y_cols]
+    fe_agg = with_resid.groupBy(fe1).agg(
+        *[F.avg(rc).alias(f"fe_{yc}") for rc, yc in zip(resid_cols, y_cols)],
+        F.count(F.lit(1)).alias("__fe_count"),
+    )
+    fe_effect_cols = [f"fe_{yc}" for yc in y_cols]
+
+    # Driver-side FE block for the coefficient vector, sorted by level
+    # (reference factorized-code order, hdfe/hdfe.py:114-116).
+    fe_rows = fe_agg.orderBy(fe1).collect()
+    fe_levels = [r[fe1] for r in fe_rows]
+    fe_counts = np.array([int(r["__fe_count"]) for r in fe_rows])
+    fe_block = np.array(
+        [[float(r[c]) for c in fe_effect_cols] for r in fe_rows]
+    )
+    b_full = np.vstack([fe_block, b_x])
+    coef_names = [f"{fe1}={lv}" for lv in fe_levels] + x_all
+
+    res = EstimateResult(
+        b=b_full, coef_names=coef_names, x_cols=x_all,
+        plan="within", n=n,
+        fixed_effects={fe1: fe_agg.select(fe1, *fe_effect_cols)},
+    )
+
+    if not want_resid:
+        return res
+
+    # Net the FE out of the residual (broadcast join on fe1 —
+    # reference hdfe/hdfe.py:119-120, but keyed by value, not position).
+    netted = with_resid.join(F.broadcast(fe_agg.drop("__fe_count")), on=fe1, how="left")
+    netted = netted.select(
+        *[c for c in with_resid.columns if c not in resid_cols],
+        *[
+            (F.col(rc) - F.coalesce(F.col(fc), F.lit(0.0))).alias(rc)
+            for rc, fc in zip(resid_cols, fe_effect_cols)
+        ],
+    )
+    if get_residual:
+        res.residuals = netted
+
+    if estimate_variance:
+        n_levels = len(fe_levels)
+        k_x = len(x_all)
+        k_total = n_levels + k_x
+        # Blockwise (X'X)⁻¹ for X = [D₁ | x]: A = diag(counts),
+        # B = per-level x sums, Schur complement S = x'x − B'A⁻¹B =
+        # demeaned Gram G_dm. No levels×levels dense matrix needed for
+        # the slope block; FE blocks are formed only when small.
+        S_inv = np.linalg.pinv(G_dm)
+        if cluster is None:
+            rss = _sum_sq(netted, resid_cols)
+            dof = max(n - k_total, 1)
+            if n_levels <= 2000:
+                sums = work.groupBy(fe1).agg(
+                    *[F.sum(c).alias(c) for c in x_all]
+                ).orderBy(fe1).collect()
+                B = np.array([[float(r[c] or 0.0) for c in x_all] for r in sums])
+                A_inv = np.diag(1.0 / fe_counts)
+                AinvB = A_inv @ B
+                V_dd = A_inv + AinvB @ S_inv @ AinvB.T
+                V_dx = -AinvB @ S_inv
+                G_inv_full = np.block([[V_dd, V_dx], [V_dx.T, S_inv]])
+                res.V = [G_inv_full * (float(es) / dof) for es in rss]
+                res.v_coef_names = coef_names
+            else:
+                res.V = [S_inv * (float(es) / dof) for es in rss]
+                res.v_coef_names = list(x_all)
+        else:
+            # Cluster-robust on the within-transformed model (slopes):
+            # scores from demeaned x against FE-netted residuals.
+            scores = _cluster_scores(netted, cluster, resid_cols, dm_cols)
+            res.V = [
+                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in resid_cols
+            ]
+            res.v_coef_names = list(x_all)
+    return res
+
+
+# ---------------------------------------------------------------- Plan C
+
+def _plan_alternating(
+    df, y_cols, x_cols, cc, check_rank, estimate_variance,
+    want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
+) -> EstimateResult:
+    """≥2 FEs at scale: alternating-projection demeaning
+    (Guimarães & Portugal 2010 / reghdfe) replacing the reference's
+    materialize-all-dummies + LSQR (``hdfe/hdfe.py:121-144``).
+
+    Slopes match the reference exactly (uniquely identified); FE
+    effects are identified up to constants and recovered per-FE by
+    iterated back-fitting.
+    """
+    work = df
+    all_cols = list(x_cols) + list(y_cols)
+    dm = {c: f"__dm_{c}" for c in all_cols}
+    work = work.select("*", *[F.col(c).alias(d) for c, d in dm.items()])
+
+    windows = [Window.partitionBy(fe) for fe in cc]
+    for sweep in range(ap_max_iter):
+        for w in windows:
+            work = work.select(
+                *[c for c in work.columns if c not in dm.values()],
+                *[
+                    (F.col(d) - F.avg(d).over(w)).alias(d)
+                    for d in dm.values()
+                ],
+            )
+        # Cut lineage each sweep — iterative plans grow without this.
+        work = work.localCheckpoint(eager=True)
+        # Convergence: largest |group mean| of any demeaned col under
+        # any FE. Window exprs first (one select), then a global max.
+        check_cols = []
+        check_exprs = []
+        for fi, w in enumerate(windows):
+            for d in dm.values():
+                name = f"__chk_{fi}_{d}"
+                check_cols.append(name)
+                check_exprs.append(F.abs(F.avg(d).over(w)).alias(name))
+        worst = (
+            work.select(*check_exprs)
+            .agg(F.max(F.greatest(*[F.col(c) for c in check_cols])).alias("m"))
+            .collect()[0]["m"]
+        )
+        if worst is not None and float(worst) < ap_tol:
+            break
+
+    dm_x = [dm[c] for c in x_cols]
+    dm_y = [dm[c] for c in y_cols]
+    G_dm, Xty, n = gram_matrix(work, dm_x, dm_y)
+    x_used = list(x_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
+        if ci:
+            x_used = [x_cols[i] for i in ki]
+            dm_x = [dm_x[i] for i in ki]
+            G_dm = G_dm[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+    b_x = _solve(G_dm, Xty)
+
+    res = EstimateResult(
+        b=b_x, coef_names=list(x_used), x_cols=list(x_used),
+        plan="alternating", n=n,
+    )
+
+    # FE recovery by back-fitting on r = y − x·b (few sweeps).
+    with_resid = _append_residuals(work, y_cols, x_used, b_x)
+    resid_cols = [f"resid_{yc}" for yc in y_cols]
+    eff_cols = [f"fe_{yc}" for yc in y_cols]
+    fe_tables: dict[str, DataFrame] = {}
+    cur = with_resid
+    for _ in range(3):
+        for fe in cc:
+            inc = cur.groupBy(fe).agg(
+                *[F.avg(rc).alias(ec) for rc, ec in zip(resid_cols, eff_cols)]
+            )
+            cur = cur.join(F.broadcast(inc), on=fe, how="left").select(
+                *[c for c in cur.columns if c not in resid_cols],
+                *[
+                    (F.col(rc) - F.coalesce(F.col(ec), F.lit(0.0))).alias(rc)
+                    for rc, ec in zip(resid_cols, eff_cols)
+                ],
+            ).drop(*eff_cols)
+            # Accumulate this round's increment into the FE's table.
+            if fe in fe_tables:
+                prev = fe_tables[fe]
+                joined = prev.join(
+                    inc.select(fe, *[F.col(ec).alias(f"__i_{ec}") for ec in eff_cols]),
+                    on=fe,
+                    how="outer",
+                )
+                fe_tables[fe] = joined.select(
+                    fe,
+                    *[
+                        (
+                            F.coalesce(F.col(ec), F.lit(0.0))
+                            + F.coalesce(F.col(f"__i_{ec}"), F.lit(0.0))
+                        ).alias(ec)
+                        for ec in eff_cols
+                    ],
+                )
+            else:
+                fe_tables[fe] = inc
+        cur = cur.localCheckpoint(eager=True)
+    residual_full = cur
+    res.fixed_effects = {fe: t.localCheckpoint(eager=True) for fe, t in fe_tables.items()}
+    if get_residual:
+        res.residuals = residual_full
+
+    if estimate_variance:
+        # Slopes-only variance on the fully-demeaned model with
+        # absorbed-dof correction (reghdfe convention).
+        levels = [df.select(fe).distinct().count() for fe in cc]
+        k_absorbed = levels[0] + sum(l - 1 for l in levels[1:])
+        k_total = len(x_used) + k_absorbed
+        S_inv = np.linalg.pinv(G_dm)
+        if cluster is None:
+            rss = _sum_sq(residual_full, resid_cols)
+            dof = max(n - k_total, 1)
+            res.V = [S_inv * (float(es) / dof) for es in rss]
+        else:
+            scores = _cluster_scores(residual_full, cluster, resid_cols, dm_x)
+            res.V = [
+                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in resid_cols
+            ]
+        res.v_coef_names = list(x_used)
+    return res

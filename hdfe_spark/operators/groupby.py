@@ -1,0 +1,270 @@
+"""Grouped aggregate / transform kernel — the engine's workhorse.
+
+Reference parity: ``hdfe/groupby.py:8-148`` (class ``Groupby``). The
+reference pre-factorizes keys to dense ints and loops over per-group
+ndarray views in Python, with two output modes:
+
+- ``apply(f, x, broadcast=False)`` → one row per group (pandas
+  ``groupby().agg()`` semantics), ``hdfe/groupby.py:123-148``;
+- ``apply(f, x, broadcast=True)`` → one row per input row (pandas
+  ``groupby().transform()`` semantics), ``hdfe/groupby.py:98-121``.
+
+Spark-first re-expression (SURVEY.md §2.1):
+
+- **Named/built-in functions stay JVM-side**: ``grouped_agg`` compiles
+  to ``groupBy().agg(...)`` (hash aggregate with map-side partial
+  aggregation — one shuffle of *partial* states, not rows);
+  ``grouped_transform`` compiles to window functions over
+  ``Window.partitionBy(keys)`` with an unbounded frame (one shuffle,
+  no join back).
+- **Arbitrary Python functions** go through Arrow-batched
+  ``applyInPandas`` (GROUPED_MAP) — the direct analogue of the
+  reference's "any callable over the group's ndarray" surface, but
+  distributed: each group is shipped as an Arrow batch to a Python
+  worker. This is the slow path by design; the named-function path
+  should be preferred exactly like the reference's README steers users
+  to cython-backed fns.
+
+The reference's sorted-keys / contiguous-codes fast paths
+(``hdfe/groupby.py:15-31``) need no analogue: Catalyst already skips
+re-shuffles when child partitioning satisfies the requirement, and the
+reusable pre-built group index (``Groupby`` instance reuse) maps to
+``repartition(keys).persist()`` — exposed here as ``Groupby.persist()``.
+
+Scale notes (100 TB): both paths are single-shuffle on the group keys.
+Skewed keys are handled by AQE skew handling for joins and, for
+pathological agg skew, by two-phase salted aggregation via
+``grouped_agg(..., salt=N)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Named aggregate functions compiled to JVM-side expressions.
+# Values are fns: Column -> Column.
+_NAMED_FNS: dict[str, Callable[[Column], Column]] = {
+    "mean": F.avg,
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "stddev": F.stddev_samp,
+    "var": F.var_samp,
+    "first": F.first,
+    "last": F.last,
+    "median": F.median,
+}
+
+
+def _as_list(x) -> list[str]:
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+def _agg_cols(
+    values: Sequence[str] | dict[str, str | Sequence[str]],
+    default_fn: str = "mean",
+) -> list[Column]:
+    """Build aliased aggregate Columns from a values spec.
+
+    ``values`` is either a list of column names (all aggregated with
+    ``default_fn``) or a dict ``{col: fn}`` / ``{col: [fn, ...]}``.
+    Output alias contract: ``{fn}_{col}`` — matching names must be used
+    in oracle SQL.
+    """
+    out: list[Column] = []
+    if isinstance(values, dict):
+        items = [(c, _as_list(fns)) for c, fns in values.items()]
+    else:
+        items = [(c, [default_fn]) for c in _as_list(values)]
+    for col, fns in items:
+        for fn in fns:
+            if fn not in _NAMED_FNS:
+                raise KeyError(f"unknown aggregate fn {fn!r}; have {sorted(_NAMED_FNS)}")
+            out.append(_NAMED_FNS[fn](F.col(col)).alias(f"{fn}_{col}"))
+    return out
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    values: Sequence[str] | dict[str, str | Sequence[str]],
+    default_fn: str = "mean",
+    salt: int = 0,
+) -> DataFrame:
+    """One row per group (reference ``Groupby.apply(broadcast=False)``
+    with a named fn — ``hdfe/groupby.py:123-148``).
+
+    ``salt > 0`` enables two-phase aggregation for skewed keys: rows
+    are first aggregated on ``(keys, salt_bucket)`` then re-aggregated
+    on ``keys``. Only algebraic fns (sum/count/min/max/mean) are
+    salt-safe; mean is rewritten through sum/count.
+    """
+    keys = _as_list(keys)
+    if salt <= 0:
+        return df.groupBy(*keys).agg(*_agg_cols(values, default_fn))
+
+    # Two-phase salted aggregation: mean/std/median are not directly
+    # mergeable, so restrict to algebraic fns and rewrite mean.
+    if isinstance(values, dict):
+        items = [(c, _as_list(fns)) for c, fns in values.items()]
+    else:
+        items = [(c, [default_fn]) for c in _as_list(values)]
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    phase1: list[Column] = []
+    phase2: list[Column] = []
+    for col, fns in items:
+        for fn in fns:
+            if fn in ("sum", "min", "max"):
+                phase1.append(_NAMED_FNS[fn](F.col(col)).alias(f"{fn}_{col}"))
+                phase2.append(_NAMED_FNS[fn](F.col(f"{fn}_{col}")).alias(f"{fn}_{col}"))
+            elif fn == "count":
+                phase1.append(F.count(F.col(col)).alias(f"count_{col}"))
+                phase2.append(F.sum(F.col(f"count_{col}")).alias(f"count_{col}"))
+            elif fn in ("mean", "avg"):
+                phase1.append(F.sum(F.col(col)).alias(f"__s_{col}"))
+                phase1.append(F.count(F.col(col)).alias(f"__c_{col}"))
+                phase2.append(
+                    (F.sum(f"__s_{col}") / F.sum(f"__c_{col}")).alias(f"{fn}_{col}")
+                )
+            else:
+                raise ValueError(f"fn {fn!r} is not salt-mergeable")
+    part = salted.groupBy(*keys, "__salt").agg(*phase1)
+    return part.groupBy(*keys).agg(*phase2)
+
+
+def grouped_transform(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    values: Sequence[str] | dict[str, str | Sequence[str]],
+    default_fn: str = "mean",
+) -> DataFrame:
+    """One row per input row, with per-group statistics appended
+    (reference ``Groupby.apply(broadcast=True)`` —
+    ``hdfe/groupby.py:98-121``; also the inline pandas
+    ``groupby().transform(np.mean)`` at ``hdfe/hdfe.py:84-87``).
+
+    Compiles to window aggregates over an unbounded frame: a single
+    shuffle on ``keys``, no self-join. Appended column names follow the
+    same ``{fn}_{col}`` contract as :func:`grouped_agg`.
+    """
+    keys = _as_list(keys)
+    w = Window.partitionBy(*keys)
+    out = df
+    if isinstance(values, dict):
+        items = [(c, _as_list(fns)) for c, fns in values.items()]
+    else:
+        items = [(c, [default_fn]) for c in _as_list(values)]
+    for col, fns in items:
+        for fn in fns:
+            if fn not in _NAMED_FNS:
+                raise KeyError(f"unknown aggregate fn {fn!r}")
+            out = out.withColumn(f"{fn}_{col}", _NAMED_FNS[fn](F.col(col)).over(w))
+    return out
+
+
+def demean(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    cols: str | Sequence[str],
+    suffix: str = "_dm",
+) -> DataFrame:
+    """Within-group demeaning: ``x - avg(x) over (partition by keys)``.
+
+    This is the Frisch–Waugh–Lovell building block used by the within
+    estimator (``hdfe/hdfe.py:84-87``) and by the alternating-projection
+    absorption of multiple fixed effects (SURVEY.md §7.2 step 7).
+    One shuffle on ``keys`` for all columns at once.
+    """
+    keys = _as_list(keys)
+    cols = _as_list(cols)
+    w = Window.partitionBy(*keys)
+    return df.select(
+        "*",
+        *[(F.col(c) - F.avg(F.col(c)).over(w)).alias(f"{c}{suffix}") for c in cols],
+    )
+
+
+class Groupby:
+    """Reusable grouped-execution handle (reference ``Groupby`` class,
+    ``hdfe/groupby.py:8-148``).
+
+    The reference factorizes keys once and reuses the group index
+    across many ``apply`` calls (``hdfe/hdfe.py:262-272``). The Spark
+    analogue of that amortization is a one-time hash repartition on the
+    keys, persisted, so subsequent grouped ops (agg, transform,
+    applyInPandas) reuse the co-location without re-shuffling.
+    """
+
+    def __init__(self, df: DataFrame, keys: str | Sequence[str]):
+        self.keys = _as_list(keys)
+        self.df = df
+        self._persisted = False
+
+    def persist(self) -> "Groupby":
+        """Pre-shuffle on the keys and cache — amortizes the shuffle
+        across repeated applies, like the reference's prebuilt index."""
+        self.df = self.df.repartition(*self.keys).persist()
+        self._persisted = True
+        return self
+
+    def unpersist(self) -> "Groupby":
+        if self._persisted:
+            self.df.unpersist()
+            self._persisted = False
+        return self
+
+    # -- named-function paths (JVM-side, preferred) ------------------
+
+    def agg(self, values, default_fn: str = "mean") -> DataFrame:
+        return grouped_agg(self.df, self.keys, values, default_fn)
+
+    def transform(self, values, default_fn: str = "mean") -> DataFrame:
+        return grouped_transform(self.df, self.keys, values, default_fn)
+
+    # -- arbitrary-function path (Arrow / pandas, the UDF surface) ---
+
+    def apply(
+        self,
+        f: Callable,
+        schema,
+        broadcast: bool = False,
+        order_by: str | Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Arbitrary per-group pandas function (reference
+        ``Groupby.apply`` with a user callable, ``hdfe/groupby.py:56-148``).
+
+        ``f`` takes a ``pandas.DataFrame`` (one group) and returns a
+        ``pandas.DataFrame``. ``broadcast=False`` → agg semantics (f
+        should return few rows, typically 1); ``broadcast=True`` → f's
+        output must have one row per input row (transform semantics).
+        The shape contract is enforced inside the worker for
+        ``broadcast=True``, mirroring the reference's assertion at
+        ``hdfe/groupby.py:104-118``.
+
+        ``order_by``: optional explicit within-group ordering applied
+        to each pandas group before calling ``f``. The reference relies
+        on physical row order (SURVEY.md §7.4); Spark groups arrive
+        unordered, so panel-style callables must pass an order column.
+        """
+        order_cols = _as_list(order_by) if order_by else None
+        want_broadcast = broadcast
+
+        def run(pdf):
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="stable")
+            out = f(pdf)
+            if want_broadcast and len(out) != len(pdf):
+                raise ValueError(
+                    f"broadcast=True requires len(out)=={len(pdf)}, got {len(out)}"
+                )
+            return out
+
+        return self.df.groupBy(*self.keys).applyInPandas(run, schema=schema)

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (BASELINE.json north star). Three tiers:
+
+- ``cosine_topk`` — brute-force exact top-k for one query vector,
+  followed by a global top-k (``orderBy().limit(k)`` compiles to
+  ``TakeOrderedAndProject`` — per-partition heaps then a k-row driver
+  merge, NOT a full sort).
+- ``lsh_bucket`` / ``ann_topk_lsh`` — random-hyperplane LSH
+  (Charikar 2002): sign-pattern bucket per vector; queries probe only
+  their bucket.
+- ``ivf_topk`` — IVF-style coarse quantizer: MLlib KMeans centroids,
+  vectors assigned to nearest centroid, queries probe the ``n_probe``
+  nearest lists — the classic FAISS-IVF layout as a bucketed scan.
+
+Implementation note: the per-row vector math (dot products, norms,
+sign signatures) is vectorized Arrow pandas UDFs — each batch is one
+``numpy`` matrix multiply. The JVM higher-order-function alternative
+(``aggregate(zip_with(...))``) is interpreted (not codegen'd) and its
+expression tree grows with dim × n_planes; measured ~6× slower at
+dim=64 and worse as either grows. All math casts FLOAT→DOUBLE
+(FIXTURES.md F6 caveat) and L2-normalizes batch-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    """Arrow array column → (batch, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+
+def make_cosine_udf(query: np.ndarray):
+    """pandas UDF: vec → cosine(vec, query); one GEMV per Arrow batch."""
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-30)
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        M = _normalize_rows(_stack(vecs))
+        return pd.Series(M @ qn)
+
+    return cos
+
+
+def make_bucket_udf(planes: np.ndarray):
+    """pandas UDF: vec → int64 sign-pattern bucket over hyperplanes."""
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = _stack(vecs)
+        bits = (M @ P.T > 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def make_pair_cosine_udf():
+    """pandas UDF: (vec_a, vec_b) → cosine, vectorized per batch."""
+
+    @F.pandas_udf(T.DoubleType())
+    def pcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = _normalize_rows(_stack(a))
+        B = _normalize_rows(_stack(b))
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pcos
+
+
+def _planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    return int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Brute force — the
+    correctness baseline and the right plan below ~10⁸ vectors: one
+    scan, one Arrow pass, per-partition top-k heaps, k-row merge."""
+    cos = make_cosine_udf(np.asarray(query, dtype=np.float64))
+    return (
+        df.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    bucket_col: str = "__bucket",
+) -> DataFrame:
+    """Random-hyperplane signature bucket: bit i = sign(v·rᵢ). The
+    plane matrix is seeded driver-side and closed over by the UDF
+    (small: n_planes × dim doubles)."""
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    bucket = make_bucket_udf(_planes(n_planes, dim, seed))
+    return df.withColumn(bucket_col, bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH
+    bucket (~n/2^n_planes rows pass the bucket filter before any
+    sort). Recall rises with multi-probe/multi-table variants; exact
+    scores for whatever is scored."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    planes = _planes(n_planes, len(qn), seed)
+    q_bucket = int(((planes @ qn > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
+
+    v = lsh_bucket(df, vec_col, n_planes=n_planes, seed=seed, dim=len(qn))
+    cos = make_cosine_udf(qn)
+    return (
+        v.filter(F.col("__bucket") == q_bucket)
+        .select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF coarse-quantized ANN: KMeans centroids (MLlib), assignment
+    by nearest centroid, probe the ``n_probe`` centroids nearest the
+    query. At scale, assignment is computed once and the table written
+    partitioned by ``__centroid`` so probing becomes partition
+    pruning on the scan."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+
+    v = df.withColumn(
+        "__mlvec",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).persist()
+    km = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__mlvec", predictionCol="__centroid"
+    )
+    model = km.fit(v)
+    centers = np.array(model.clusterCenters())
+    sims = centers @ qn / np.maximum(np.linalg.norm(centers, axis=1), 1e-30)
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+
+    assigned = model.transform(v)
+    cos = make_cosine_udf(qn)
+    return (
+        assigned.filter(F.col("__centroid").isin(probe))
+        .select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all over
+the ``documents`` fixture table.
+
+Everything here is JVM-side built-in expressions (split / regexp /
+array functions) inside whole-stage codegen — no Python in the hot
+path. Each operator is a narrow projection: no shuffle at all, so the
+plans scale linearly with input and parallelize per file split at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small + deterministic; a production system
+# would swap in fastText — this mirrors common public heuristics
+# (cld-style stopword voting).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "una", "es"],
+}
+
+# A BPE-ish token regex: word pieces, numbers, or single non-space
+# punctuation — close to common public BPE pre-tokenizers.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (lowercased), empty strings filtered."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts, chars per token."""
+    t = tokens(F.col(text_col))
+    ws = F.size(t)
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    return df.select(
+        "*",
+        ws.alias("n_tokens_ws"),
+        bpe.cast("bigint").alias("n_tokens_bpe"),
+        (F.length(F.col(text_col)) / F.greatest(ws, F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length, punctuation ratio, stopword ratio, mean word length,
+    uppercase ratio — the standard public quality-filter signals
+    (Gopher/C4-style rules)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    t = tokens(text)
+    n_tok = F.size(t)
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in stop_all])))
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    upper = F.regexp_count(text, F.lit(r"[A-Z]"))
+
+    out = df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("q_punct_ratio"),
+        (n_stop / F.greatest(n_tok, F.lit(1))).alias("q_stopword_ratio"),
+        (upper / F.greatest(n_chars, F.lit(1))).alias("q_upper_ratio"),
+        (n_chars / F.greatest(n_tok, F.lit(1))).alias("q_mean_word_len"),
+    )
+    score = (
+        F.when(F.col("q_n_tokens") < 5, 0.0).otherwise(1.0)
+        * (1.0 - F.least(F.col("q_punct_ratio") * 4.0, F.lit(1.0)))
+        * (1.0 - F.least(F.col("q_upper_ratio") * 4.0, F.lit(1.0)))
+    )
+    return out.withColumn("q_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: the language whose stopword list
+    overlaps the document's tokens most (ties → lexicographically
+    first). ``lang_pred`` = 'und' when nothing matches."""
+    t = tokens(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in ws]))).alias(
+            f"__s_{lang}"
+        )
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    out = df.select("*", *scores)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"__s_{l}") for l in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for l in langs:  # first max wins (deterministic)
+        pred = pred.when(F.col(f"__s_{l}") == best, F.lit(l))
+    return out.withColumn("lang_pred", pred).drop(*[f"__s_{l}" for l in langs])
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles as an array (JVM-side: sequence + substr;
+    no UDF). Empty array for texts shorter than ``k``."""
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+    return F.when(F.length(text) >= k, arr).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al. 2003): hash every
+    char k-gram, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-gram hashes; the distinct minima are the
+    document's fingerprint set.
+
+    Pure JVM expressions: sequence → substring → xxhash64 → windowed
+    array_min → array_distinct. One narrow projection, no shuffle.
+    """
+    text = F.lower(F.col(text_col))
+    n_sh = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+    )
+    n_win = F.greatest(n_sh - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_min(F.slice(gram_hashes, i + 1, window)),
+    )
+    fp = F.when(n_sh <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_sort(F.array_distinct(mins))
+    )
+    return df.select("*", fp.alias("fingerprint"), F.size(fp).alias("n_fingerprints"))

@@ -1,0 +1,53 @@
+"""Fixture-table catalog + scan helpers.
+
+The reference library does no I/O at all (callers hand it numpy/pandas
+objects — SURVEY.md §2.5); in the Spark engine scans come from
+``spark.read`` with Catalyst predicate pushdown / column pruning.
+
+The driver's tables (TESTDATA.md) are one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes: a parquet scan here is splittable and prunable; at 100 TB
+the same call reads a partitioned directory tree, and everything
+downstream (filters, projections) is pushed into the scan by Catalyst
+as long as we keep expressions declarative. ``load_table`` therefore
+never caches or collects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one fixture table. Accepts both ``dir`` and ``dir/``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries work."""
+    for t in TABLES:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)

@@ -1,0 +1,163 @@
+"""Structured Streaming forms of the engine's grouped operators.
+
+The reference is batch-only (SURVEY.md §2.5: nothing streaming), so
+these are beyond-reference capabilities expressed the idiomatic Spark
+way: ``readStream`` → declarative transforms → ``writeStream`` with
+watermarks for late data, plus an ``applyInPandasWithState`` stateful
+operator that reproduces the panel-lag semantics incrementally.
+
+Design notes for scale: streaming grouped aggregation keeps one state
+row per (group, window); the watermark bounds state size by evicting
+closed windows. The stateful lag keeps the last ``max_lag`` values per
+entity — O(entities × max_lag) state, partitioned by entity across
+executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """File-source stream over the events fixture (one-file directory;
+    ``maxFilesPerTrigger`` makes it incremental in tests)."""
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    # Under spark.sql.legacy.parquet.nanosAsLong the fixture's ns
+    # timestamps arrive as long; event-time operators need a real
+    # timestamp (µs precision is ample for watermarks).
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def streaming_grouped_agg(
+    stream: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str = "value",
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming analogue of ``grouped_agg``: incremental partial
+    aggregates per key; the watermark bounds late-data state."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        stream.withWatermark(watermark_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.avg(value_col).alias(f"mean_{value_col}"),
+            F.sum(value_col).alias(f"sum_{value_col}"),
+            F.count(value_col).alias(f"count_{value_col}"),
+        )
+    )
+
+
+def streaming_windowed_agg(
+    stream: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with watermarked
+    late-data handling — state per (key, window), evicted when the
+    watermark passes the window end."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), *keys)
+        .agg(
+            F.avg(value_col).alias(f"mean_{value_col}"),
+            F.count(value_col).alias(f"count_{value_col}"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            f"mean_{value_col}",
+            f"count_{value_col}",
+        )
+    )
+
+
+def streaming_lag_transform(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 2,
+) -> DataFrame:
+    """Stateful panel lag over a stream: for each entity, emit each
+    event with ``{value}_lag_1..max_lag`` computed from the last
+    ``max_lag`` values seen — the incremental form of ``make_lags``
+    (reference ``hdfe/hdfe.py:253-302``), via
+    ``applyInPandasWithState``. State = deque of ``max_lag`` floats
+    per entity.
+
+    Caveat (documented): state updates assume per-entity event-time
+    order within a micro-batch; rows are sorted by ``ts`` inside each
+    batch, and cross-batch disorder is subject to the source's
+    delivery order, as with any stateful stream without
+    reordering buffers.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+        ]
+        + [
+            T.StructField(f"{value_col}_lag_{i}", T.DoubleType())
+            for i in range(1, max_lag + 1)
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("recent", T.ArrayType(T.DoubleType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        recent = list(state.get[0]) if state.exists else []
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            lags = {i: [] for i in range(1, max_lag + 1)}
+            for v in pdf[value_col]:
+                for i in range(1, max_lag + 1):
+                    lags[i].append(recent[-i] if len(recent) >= i else None)
+                recent.append(float(v) if v is not None else None)
+                if len(recent) > max_lag:
+                    recent.pop(0)
+            out = pdf[[entity_col, ts_col, value_col]].copy()
+            for i in range(1, max_lag + 1):
+                out[f"{value_col}_lag_{i}"] = pd.array(lags[i], dtype="float64")
+            frames.append(out)
+        state.update((recent,))
+        yield from frames
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,102 @@
+"""Dedup operator tests: planted exact and near duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_by_hash,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light of september"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("september", "october")),  # near dup of 0
+        (3, "completely unrelated text about database query optimization and join ordering strategies in distributed systems"),
+        (4, "another unrelated document mentioning streaming watermarks state stores and checkpoint recovery semantics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(planted_docs):
+    out = exact_dedup(planted_docs, "text", id_col="doc_id").toPandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]  # min-id survivor
+
+
+def test_exact_dedup_by_hash(planted_docs):
+    out = exact_dedup_by_hash(planted_docs).toPandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_candidates_find_near_dup(planted_docs):
+    pairs = minhash_candidate_pairs(
+        planted_docs, num_hashes=64, bands=32, shingle_k=5
+    ).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup collides in some band
+
+
+def test_ngram_jaccard(planted_docs, spark):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = (
+        ngram_jaccard_pairs(planted_docs, pairs)
+        .toPandas()
+        .set_index(["id_a", "id_b"])["jaccard"]
+    )
+    assert got[(0, 1)] == 1.0
+    assert 0.7 < got[(0, 2)] < 1.0
+    assert got[(0, 3)] < 0.2
+
+
+def test_minhash_dedup(planted_docs):
+    out = minhash_dedup(
+        planted_docs, num_hashes=64, bands=32, jaccard_threshold=0.7
+    ).toPandas()
+    ids = sorted(out["doc_id"])
+    assert 0 in ids and 3 in ids and 4 in ids
+    assert 1 not in ids  # exact dup dropped
+    assert 2 not in ids  # near dup dropped at 0.7
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, "totally different words entirely")],
+        "doc_id long, text string",
+    )
+    got = df.select("doc_id", simhash(F.col("text")).alias("s")).toPandas()
+    s = got.set_index("doc_id")["s"]
+    assert s[0] == s[1]
+    assert s[0] != s[2]
+
+
+def test_simhash_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, "totally different words entirely")],
+        "doc_id long, text string",
+    )
+    out = simhash_dedup(df).toPandas()
+    assert sorted(out["doc_id"]) == [0, 2]
+
+
+def test_real_documents_no_exact_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert exact_dedup_by_hash(docs).count() == n  # fixture has no dups

@@ -1,0 +1,60 @@
+"""Similarity-search tests: brute-force oracle vs numpy, ANN recall."""
+
+import numpy as np
+import pytest
+
+from hdfe_spark.operators.similarity import ann_topk_lsh, cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.toPandas().sort_values("vec_id")
+    return pdf["vec_id"].values, np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+
+
+def _numpy_topk(ids, M, q, k=10, exclude=None):
+    qn = q / np.linalg.norm(q)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    cos = Mn @ qn
+    order = np.lexsort((ids, -cos))
+    out = [(ids[i], cos[i]) for i in order if exclude is None or ids[i] != exclude]
+    return out[:k]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, M = emb_np
+    q = M[0]
+    got = cosine_topk(emb.filter("vec_id != 0"), q, k=10).toPandas()
+    want = _numpy_topk(ids, M, q, k=10, exclude=0)
+    assert list(got["vec_id"]) == [w[0] for w in want]
+    np.testing.assert_allclose(got["cosine"].values, [w[1] for w in want], rtol=1e-9)
+
+
+def test_ann_lsh_subset_of_bucket(emb, emb_np):
+    ids, M = emb_np
+    q = M[0]
+    got = ann_topk_lsh(emb, q, k=10, n_planes=4).toPandas()
+    # ANN results are real vectors with correct cosines (approximate
+    # recall, exact scores)
+    lookup = {i: v for i, v in zip(ids, M)}
+    qn = q / np.linalg.norm(q)
+    for vid, cos in zip(got["vec_id"], got["cosine"]):
+        v = lookup[vid]
+        want = (v / np.linalg.norm(v)) @ qn
+        np.testing.assert_allclose(cos, want, rtol=1e-9)
+    # query's own bucket contains the query vector itself → recall ≥ 1
+    assert 0 in set(got["vec_id"])
+
+
+def test_ivf_topk_recall(emb, emb_np):
+    ids, M = emb_np
+    q = M[7]
+    got = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).toPandas()
+    want_ids = [w[0] for w in _numpy_topk(ids, M, q, k=10)]
+    recall = len(set(got["vec_id"]) & set(want_ids)) / 10
+    assert recall >= 0.5  # coarse quantizer with half the lists probed

@@ -1,0 +1,112 @@
+"""Structured Streaming tests: file-source stream over the events
+fixture, drained with processingTime=0 triggers into memory sinks, and
+checked against the batch operators on the same data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hdfe_spark.streaming.ops import (
+    read_events_stream,
+    streaming_grouped_agg,
+    streaming_lag_transform,
+    streaming_windowed_agg,
+)
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_streaming_grouped_agg_matches_batch(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_grouped_agg(stream, "user_id")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sgagg")
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    got = (
+        spark.sql("select * from t_sgagg")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        events_batch.toPandas()
+        .groupby("user_id")["value"]
+        .agg(["mean", "sum", "count"])
+        .sort_index()
+    )
+    np.testing.assert_allclose(got["mean_value"].values, want["mean"].values, rtol=1e-9)
+    np.testing.assert_allclose(got["count_value"].values, want["count"].values)
+
+
+def test_streaming_windowed_agg(spark, sf_dir, events_batch):
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_windowed_agg(stream, "event_type", window="6 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_swin")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("select * from t_swin").toPandas()
+    # Append mode only emits windows the watermark has closed; total
+    # rows covered by emitted windows must not exceed the batch count
+    # and window bounds must align to 6h.
+    if len(got):
+        spans = (got["window_end"] - got["window_start"]).unique()
+        assert all(pd.Timedelta(s) == pd.Timedelta("6 hours") for s in spans)
+
+
+def test_streaming_lag_matches_batch_lag(spark, sf_dir, events_batch):
+    from hdfe_spark.operators.lags import make_lags
+
+    stream = read_events_stream(spark, sf_dir)
+    lagged = streaming_lag_transform(stream, max_lag=2)
+    q = (
+        lagged.writeStream.format("memory")
+        .queryName("t_slag")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = (
+        spark.sql("select * from t_slag")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    want_df, _ = make_lags(
+        events_batch, n_lags_back=2, n_lags_forward=0,
+        outcomes="value", groupby="user_id", order_by="ts",
+    )
+    want = (
+        want_df.select("user_id", "ts", "value", "value_lag_1", "value_lag_2")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["value_lag_1"].values.astype(float),
+        want["value_lag_1"].values.astype(float),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["value_lag_2"].values.astype(float),
+        want["value_lag_2"].values.astype(float),
+        rtol=1e-12,
+        equal_nan=True,
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operator tests on the documents fixture."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    shingles,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, 42 times!"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    got = token_stats(df).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens_ws"] == 4
+    # BPE-ish: Hello, world, ',', 42, times, '!' → 6
+    assert got.loc[1, "n_tokens_bpe"] == 6
+    assert got.loc[2, "n_tokens_ws"] == 0
+    assert got.loc[3, "n_tokens_ws"] == 1
+
+
+def test_quality_score_bounds(docs):
+    got = quality_score(docs).select("q_score", "q_punct_ratio", "q_stopword_ratio").toPandas()
+    assert (got["q_score"] >= 0).all() and (got["q_score"] <= 1).all()
+    assert (got["q_punct_ratio"] >= 0).all() and (got["q_punct_ratio"] <= 1).all()
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog ran to the house in the garden"),
+            (2, "der Hund und die Katze ist nicht mit dem Mann"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdef"), (2, "ab")], "id long, text string")
+    got = (
+        df.select("id", shingles(F.col("text"), 3).alias("sh"))
+        .toPandas()
+        .set_index("id")["sh"]
+    )
+    assert list(got[1]) == ["abc", "bcd", "cde", "def"]
+    assert list(got[2]) == []
+
+
+def test_fingerprint_deterministic_and_shared(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = doc_fingerprint(df).toPandas().set_index("doc_id")
+    fp1, fp2, fp3 = got.loc[1, "fingerprint"], got.loc[2, "fingerprint"], got.loc[3, "fingerprint"]
+    assert list(fp1) == list(fp2)  # identical docs → identical fingerprint
+    # different docs share few fingerprints
+    overlap = len(set(fp1) & set(fp3)) / max(len(set(fp1)), 1)
+    assert overlap < 0.2
+    assert got.loc[1, "n_fingerprints"] == len(fp1)
+
+
+def test_fingerprint_no_shuffle(docs):
+    """Fingerprint must be a pure projection — no Exchange in plan."""
+    plan = doc_fingerprint(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
