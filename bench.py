@@ -29,8 +29,23 @@ def main():
 
     spark = get_spark(app_name="hdfe_spark_bench")
 
-    # Warmup: touch the parquet + a tiny agg to JIT the scan paths.
+    # Warmup: touch the parquet + a tiny agg to JIT the scan paths,
+    # and pre-fork the Python/Arrow worker pool so the first
+    # pandas-UDF stage doesn't pay the spawn cost.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from hdfe_spark.session import py_stage_partitions
+
     load_table(spark, "lineitem", SF_DIR).agg(F.count(F.lit(1))).collect()
+
+    @F.pandas_udf(T.LongType())
+    def _noop(s: "pd.Series") -> "pd.Series":
+        return s
+
+    spark.range(0, 1000, 1, py_stage_partitions()).select(
+        _noop(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     headline = [
         "grouped_agg",
@@ -63,6 +78,7 @@ def main():
         # (a bare .count() would let Catalyst prune the projections away)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

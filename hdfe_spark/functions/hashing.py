@@ -140,6 +140,44 @@ def make_minhash_bands_udf(
     return band_sig
 
 
+def make_kgram_set_udf(shingle_k: int = 5):
+    """Returns a pandas UDF: text → sorted distinct array<bigint> of
+    char k-gram hashes — the set representation used for exact
+    Jaccard. Same Jaccard value as string-shingle sets up to 2^-64
+    collisions."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def kset(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = np.unique(kgram_hashes_np((t or "").lower(), shingle_k))
+            out.append(h.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return kset
+
+
+def make_jaccard_udf():
+    """Returns a pandas UDF: (set_a, set_b) → exact Jaccard, where
+    both inputs are SORTED distinct int64 arrays (make_kgram_set_udf
+    output). ``np.intersect1d(assume_unique=True)`` on sorted arrays —
+    ~20µs/pair vs ~3.5ms/pair measured for JVM
+    ``array_intersect``+``array_union`` on 300-element arrays."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            xa = np.asarray(x, dtype=np.int64)
+            ya = np.asarray(y, dtype=np.int64)
+            inter = np.intersect1d(xa, ya, assume_unique=True).size
+            union = xa.size + ya.size - inter
+            out[i] = inter / union if union else 0.0
+        return pd.Series(out)
+
+    return jac
+
+
 def make_simhash_udf(seed: int = 42):
     """Returns a pandas UDF: text → bigint 64-bit SimHash
     (Charikar 2002): bit b of the signature = majority of bit b over

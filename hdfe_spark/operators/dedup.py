@@ -36,7 +36,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hdfe_spark.operators.text import shingles
 
 # ------------------------------------------------------------- exact
 
@@ -111,10 +110,17 @@ def minhash_candidate_pairs(
     """
     from hdfe_spark.functions.hashing import make_minhash_bands_udf
 
+    from hdfe_spark.session import py_stage_partitions
+
+    par = py_stage_partitions()
     band_udf = make_minhash_bands_udf(num_hashes, bands, shingle_k)
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(band_udf(F.col(text_col))).alias("band", "band_hash"),
+    banded = (
+        df.select(id_col, text_col)
+        .repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.posexplode(band_udf(F.col(text_col))).alias("band", "band_hash"),
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -150,26 +156,27 @@ def ngram_jaccard_pairs(
     pair list — documents are only materialized for candidates, never
     all-pairs.
     """
-    # Shingles hashed to int64 before set ops: array_intersect on
-    # bigints beats string compares ~5×; the Jaccard value is
-    # identical up to 2^-64 collision probability.
-    sets = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                shingles(F.lower(F.col(text_col)), k=shingle_k),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("__sh"),
+    # Shingle sets as int64 hash arrays via the vectorized Arrow
+    # kernel (one rolling-hash pass per doc; Jaccard value identical
+    # to string sets up to 2^-64 collisions). Repartition first: the
+    # fixture tables are single parquet files → a single task would
+    # otherwise serialize all per-doc hashing on one core.
+    from hdfe_spark.functions.hashing import make_jaccard_udf, make_kgram_set_udf
+
+    from hdfe_spark.session import py_stage_partitions
+
+    par = py_stage_partitions()
+    kset = make_kgram_set_udf(shingle_k)
+    sets = (
+        df.select(id_col, text_col)
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col), kset(F.col(text_col)).alias("__sh"))
     )
+    jac = make_jaccard_udf()
     out = (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")), on="id_a")
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")), on="id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sh_a", "__sh_b"))
-            / F.greatest(F.size(F.array_union("__sh_a", "__sh_b")), F.lit(1)),
-        )
+        .withColumn("jaccard", jac(F.col("__sh_a"), F.col("__sh_b")))
         .drop("__sh_a", "__sh_b")
     )
     return out
@@ -215,7 +222,12 @@ def simhash_dedup(
     """Exact-SimHash dedup: identical 64-bit signatures collapse to
     the min-id representative. (Near-Hamming variants: band the
     signature into 16-bit chunks and use chunk-equality buckets.)"""
-    sig = df.withColumn("__sim", simhash(F.col(text_col)))
+    from hdfe_spark.session import py_stage_partitions
+
+    par = py_stage_partitions()
+    sig = df.repartition(par, F.col(id_col)).withColumn(
+        "__sim", simhash(F.col(text_col))
+    )
     w = Window.partitionBy("__sim").orderBy(F.col(id_col))
     return (
         sig.withColumn("__rn", F.row_number().over(w))

@@ -18,6 +18,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def py_stage_partitions() -> int:
+    """Partition width for Arrow/pandas-UDF stages over small-to-mid
+    tables. Measured on local[32]: >8 simultaneous Python workers per
+    stage cost 3-10× in worker spawn/attach overhead (thundering
+    herd), while 8 keeps the kernels saturated. On a real cluster,
+    raise via HDFE_PY_STAGE_PARTITIONS or leave the data's own file
+    splits to set the width."""
+    return int(os.environ.get("HDFE_PY_STAGE_PARTITIONS", "8"))
+
+
 def get_spark(
     app_name: str = "hdfe_spark",
     master: str | None = None,

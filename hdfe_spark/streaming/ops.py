@@ -33,10 +33,20 @@ def read_events_stream(
     ``maxFilesPerTrigger`` makes it incremental in tests)."""
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file-stream source requires a *directory*; the fixture is a
+    # single file. Expose it through a temp dir of symlinks (cheap,
+    # read-only-safe).
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hdfe_events_stream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(d, "events.parquet")
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(d)
     )
     # Under spark.sql.legacy.parquet.nanosAsLong the fixture's ns
     # timestamps arrive as long; event-time operators need a real
