@@ -303,12 +303,20 @@ def _q_lang_id(spark, sf_dir):
 
 def _q_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (xxhash64-based — not reproducible in
-    DuckDB → rows-only)."""
+    DuckDB → rows-only). The fingerprint set is emitted as ONE scalar
+    digest per doc (the driver's canonicalizer can't sort array
+    columns), which still pins the full set's value."""
     from hdfe_spark.operators.text import doc_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     out = doc_fingerprint(docs)
-    return out.select("doc_id", "n_fingerprints", "fingerprint")
+    return out.select(
+        "doc_id",
+        F.col("n_fingerprints").cast("bigint").alias("n_fingerprints"),
+        F.xxhash64(F.concat_ws(",", F.col("fingerprint").cast("array<string>"))).alias(
+            "fp_digest"
+        ),
+    )
 
 
 def _q_ngram_jaccard(spark, sf_dir):

@@ -32,16 +32,13 @@ def main():
     # Warmup: touch the parquet + a tiny agg to JIT the scan paths,
     # and pre-fork the Python/Arrow worker pool so the first
     # pandas-UDF stage doesn't pay the spawn cost.
-    import pandas as pd
     from pyspark.sql import types as T
 
     from hdfe_spark.session import py_stage_partitions
 
     load_table(spark, "lineitem", SF_DIR).agg(F.count(F.lit(1))).collect()
 
-    @F.pandas_udf(T.LongType())
-    def _noop(s: "pd.Series") -> "pd.Series":
-        return s
+    _noop = F.pandas_udf(lambda s: s, T.LongType())
 
     spark.range(0, 1000, 1, py_stage_partitions()).select(
         _noop(F.col("id"))

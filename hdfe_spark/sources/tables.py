@@ -37,9 +37,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Scan one fixture table. Accepts both ``dir`` and ``dir/``."""
+    """Scan one fixture table. Accepts both ``dir`` and ``dir/``.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong`` on the *caller's*
+    session (runtime-settable) so ``events.parquet``'s
+    INT64 TIMESTAMP(NANOS) column reads as bigint nanoseconds on any
+    SparkSession, not just ones built via ``get_spark``. Nanosecond
+    longs sort identically to the timestamps they encode, which is all
+    the lag/order-by operators need.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
