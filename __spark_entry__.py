@@ -242,6 +242,127 @@ def _q_ols_within_fe(spark, sf_dir):
     )
 
 
+def _q_ols_2fe(spark, sf_dir):
+    """Plan C: alternating-projection demeaning with TWO
+    high-dimensional FEs (l_suppkey × l_partkey) — the reference's
+    headline capability (``hdfe/hdfe.py:121-144``) on its scale path
+    (Guimarães & Portugal 2010 / reghdfe)."""
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey", "l_partkey"],
+        within_if_fe=False,
+    )
+    b = res.slopes
+    return spark.createDataFrame(
+        [{"b_quantity": round(float(b[0, 0]), 4), "b_discount": round(float(b[1, 0]), 4)}],
+        schema="b_quantity double, b_discount double",
+    )
+
+
+def _q_se_pooled(spark, sf_dir):
+    """Homoskedastic standard errors for the pooled plan
+    (``V = σ̂²(X'X)⁻¹``, reference ``hdfe/hdfe.py:153-158,176-179`` —
+    which is broken there for dense X; supported here)."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        estimate_variance=True,
+    )
+    se = np.sqrt(np.diag(res.V[0]))
+    return spark.createDataFrame(
+        [{"se_quantity": round(float(se[0]), 4), "se_discount": round(float(se[1]), 4)}],
+        schema="se_quantity double, se_discount double",
+    )
+
+
+def _q_se_cluster(spark, sf_dir):
+    """Cluster-robust (Liang–Zeger sandwich) standard errors,
+    clustered on l_suppkey (reference ``hdfe/hdfe.py:159-175``)."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        estimate_variance=True, cluster="l_suppkey",
+    )
+    se = np.sqrt(np.diag(res.V[0]))
+    return spark.createDataFrame(
+        [{"se_quantity": round(float(se[0]), 4), "se_discount": round(float(se[1]), 4)}],
+        schema="se_quantity double, se_discount double",
+    )
+
+
+def _q_residuals(spark, sf_dir):
+    """Per-row residuals from the within plan (FE netted out —
+    reference ``hdfe/hdfe.py:105-120``)."""
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey"], get_residual=True,
+    )
+    return res.residuals.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("resid_l_extendedprice", 1).alias("resid"),
+    )
+
+
+def _q_all_dummies(spark, sf_dir):
+    """Multi-FE dummy block (reference ``get_all_dummies``,
+    ``hdfe/hdfe.py:35-43``): all levels of the first column, drop-last
+    for each subsequent one."""
+    from hdfe_spark.operators.encoding import get_all_dummies
+
+    od = _t(spark, sf_dir, "orders")
+    out, names = get_all_dummies(od, ["o_orderstatus", "o_orderpriority"])
+    return out.select("o_orderkey", *names)
+
+
+def _q_rank_repair(spark, sf_dir):
+    """Rank repair (reference ``remove_collinear_cols``,
+    ``hdfe/multicollinearity.py:111-138``) with a verifiable
+    *certificate*: for each dropped column, the R² of regressing it on
+    the kept columns (≈1 ⟺ genuinely collinear), computed from one
+    extra Gram pass."""
+    import numpy as np
+
+    from hdfe_spark.operators.collinearity import gram_matrix, remove_collinear_cols
+
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_size").cast("double").alias("x1"),
+        F.col("p_retailprice").alias("x2"),
+        (2.0 * F.col("p_size") + 3.0 * F.col("p_retailprice")).alias("x3"),
+    )
+    x_cols = ["x1", "x2", "x3"]
+    _, kept = remove_collinear_cols(pt, x_cols)
+    dropped = [c for c in x_cols if c not in kept]
+    rows = []
+    for c in x_cols:
+        if c in kept:
+            rows.append({"col": c, "is_kept": True, "r2_on_kept": None})
+            continue
+        G, Xty, _ = gram_matrix(pt, kept, [c])
+        beta = np.linalg.lstsq(G, Xty, rcond=None)[0]
+        # Uncentered R² = (b'X'y) / (y'y) — 1.0 for exact dependence.
+        yty = float(pt.agg(F.sum(F.col(c) * F.col(c))).collect()[0][0])
+        r2 = float(beta[:, 0] @ Xty[:, 0]) / yty
+        rows.append({"col": c, "is_kept": False, "r2_on_kept": round(r2, 6)})
+    return spark.createDataFrame(
+        rows, schema="col string, is_kept boolean, r2_on_kept double"
+    )
+
+
 def _q_fe_effects(spark, sf_dir):
     """Plan B FE recovery: group means of residuals per FE level
     (``hdfe/hdfe.py:107-116``)."""
@@ -378,12 +499,75 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs, EXACT blocked self-join — the
+    brute-force baseline (hash-matched against DuckDB's
+    list_cosine_similarity). Threshold 0.4 so the fixture (max
+    pairwise cosine ≈ 0.51) yields a nonzero, non-vacuous pair set."""
+    from hdfe_spark.operators.dedup import embedding_neardup_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_neardup_exact(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup (the 100 TB scale path;
+    approximate → rows-only). Auto-parameterized for ≥95% recall at
+    the threshold."""
     from hdfe_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.9, n_planes=8)
+    out = embedding_neardup_pairs(emb, threshold=0.4, n_tables=12)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_streaming_agg(spark, sf_dir):
+    """Structured-Streaming grouped aggregation over the events fixture
+    (file source, availableNow trigger, memory sink) — must equal the
+    batch ``grouped_agg`` answer, so the BATCH SQL is its oracle."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_grouped_agg
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_grouped_agg(stream, "user_id")
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.round("mean_value", 5).alias("mean_value"),
+        F.round("sum_value", 3).alias("sum_value"),
+        F.col("count_value").cast("bigint").alias("count_value"),
+    )
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic fake asset table →
+    mapInPandas decode stage (payload dropped in-stage) → per-asset
+    feature summary. Codec is the documented stub (fake=True), but the
+    schema/batch/partition path is the real one; numpy-seeded features
+    aren't SQL-reproducible → rows-only."""
+    from hdfe_spark.operators.multimodal import decode_image, make_fake_assets
+
+    assets = make_fake_assets(spark, n=256)
+    feats = decode_image(assets, fake=True)
+    return feats.select(
+        "asset_id",
+        "mime",
+        "decode_ok",
+        F.size("features").alias("feature_dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -402,6 +586,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collinear_cols": _q_collinear_cols,
         "ols_pooled": _q_ols_pooled,
         "ols_within_fe": _q_ols_within_fe,
+        "ols_2fe": _q_ols_2fe,
+        "se_pooled": _q_se_pooled,
+        "se_cluster": _q_se_cluster,
+        "residuals": _q_residuals,
+        "all_dummies": _q_all_dummies,
+        "rank_repair": _q_rank_repair,
         "fe_effects": _q_fe_effects,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
@@ -415,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "streaming_agg": _q_streaming_agg,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -439,6 +632,60 @@ WITH d AS (
   FROM s
 )
 """
+
+_POOLED_SB_CTE = """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(l_quantity*l_quantity) AS s11,
+         sum(l_quantity*l_discount) AS s12,
+         sum(l_discount*l_discount) AS s22,
+         sum(l_quantity*l_extendedprice) AS r1,
+         sum(l_discount*l_extendedprice) AS r2
+  FROM lineitem
+), b AS (
+  SELECT n, s11, s12, s22,
+         (s22*r1 - s12*r2)/(s11*s22 - s12*s12) AS b1,
+         (s11*r2 - s12*r1)/(s11*s22 - s12*s12) AS b2
+  FROM s
+)
+"""
+
+
+def _alternating_sql(n_sweeps: int = 10) -> str:
+    """Iterated-demeaning oracle for the 2-FE alternating estimator:
+    ``n_sweeps`` alternations of (demean by f1, demean by f2) as CTE
+    layers, then the 2×2 demeaned normal equations. Converges to
+    ~1e-13 relative by sweep 5 on the fixture; 10 sweeps is margin."""
+    parts = [
+        "WITH d0 AS (SELECT l_suppkey AS f1, l_partkey AS f2,"
+        " l_extendedprice AS y, l_quantity AS x1, l_discount AS x2 FROM lineitem)"
+    ]
+    prev = "d0"
+    for s in range(n_sweeps):
+        parts.append(
+            f", a{s} AS (SELECT f1, f2,"
+            f" y - avg(y) OVER (PARTITION BY f1) AS y,"
+            f" x1 - avg(x1) OVER (PARTITION BY f1) AS x1,"
+            f" x2 - avg(x2) OVER (PARTITION BY f1) AS x2 FROM {prev})"
+        )
+        parts.append(
+            f", b{s} AS (SELECT f1, f2,"
+            f" y - avg(y) OVER (PARTITION BY f2) AS y,"
+            f" x1 - avg(x1) OVER (PARTITION BY f2) AS x1,"
+            f" x2 - avg(x2) OVER (PARTITION BY f2) AS x2 FROM a{s})"
+        )
+        prev = f"b{s}"
+    parts.append(
+        f""", s AS (
+  SELECT sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(x1*y) AS r1, sum(x2*y) AS r2
+  FROM {prev})
+SELECT round((s22*r1 - s12*r2)/(s11*s22 - s12*s12), 4) AS b_quantity,
+       round((s11*r2 - s12*r1)/(s11*s22 - s12*s12), 4) AS b_discount
+FROM s"""
+    )
+    return "".join(parts)
+
 
 def _sql_list(words) -> str:
     return "[" + ",".join(f"'{w}'" for w in words) + "]"
@@ -536,6 +783,53 @@ def oracle_sql() -> dict[str, str]:
                    cast(o_orderstatus = 'O' AS double) AS o_orderstatus_is_O
             FROM orders
         """,
+        "all_dummies": """
+            SELECT o_orderkey,
+                   cast(o_orderstatus = 'F' AS double) AS o_orderstatus_is_F,
+                   cast(o_orderstatus = 'O' AS double) AS o_orderstatus_is_O,
+                   cast(o_orderstatus = 'P' AS double) AS o_orderstatus_is_P,
+                   cast(o_orderpriority = '1-URGENT' AS double)
+                     AS "o_orderpriority_is_1-URGENT",
+                   cast(o_orderpriority = '2-HIGH' AS double)
+                     AS "o_orderpriority_is_2-HIGH",
+                   cast(o_orderpriority = '3-MEDIUM' AS double)
+                     AS "o_orderpriority_is_3-MEDIUM",
+                   cast(o_orderpriority = '4-NOT SPECIFIED' AS double)
+                     AS "o_orderpriority_is_4-NOT SPECIFIED"
+            FROM orders
+        """,
+        "rank_repair": """
+            WITH g AS (
+              SELECT sum(x1*x1) AS a11, sum(x1*x2) AS a12, sum(x2*x2) AS a22,
+                     sum(x1*x3) AS c1, sum(x2*x3) AS c2, sum(x3*x3) AS yy
+              FROM (SELECT cast(p_size AS double) AS x1, p_retailprice AS x2,
+                           2*cast(p_size AS double) + 3*p_retailprice AS x3
+                    FROM part)
+            )
+            SELECT 'x1' AS col, true AS is_kept, CAST(NULL AS double) AS r2_on_kept
+            UNION ALL
+            SELECT 'x2', true, NULL
+            UNION ALL
+            SELECT 'x3', false,
+                   (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
+                                 / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(cast(a.embedding AS double[]),
+                                                cast(b.embedding AS double[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(cast(a.embedding AS double[]),
+                                         cast(b.embedding AS double[])) >= 0.4
+        """,
+        "streaming_agg": """
+            SELECT user_id,
+                   round(avg(value), 5) AS mean_value,
+                   round(sum(value), 3) AS sum_value,
+                   count(value) AS count_value
+            FROM events GROUP BY user_id
+        """,
         "gram": """
             SELECT count(*) AS n,
                    round(sum(l_quantity*l_quantity), 2) AS g_qq,
@@ -560,6 +854,54 @@ def oracle_sql() -> dict[str, str]:
         "ols_within_fe": _WITHIN_CTE
         + """
             SELECT round(b1, 4) AS b_quantity, round(b2, 4) AS b_discount FROM b
+        """,
+        "ols_2fe": _alternating_sql(10),
+        "se_pooled": _POOLED_SB_CTE
+        + """
+            , r AS (
+              SELECT sum((l_extendedprice - b.b1*l_quantity - b.b2*l_discount)
+                         * (l_extendedprice - b.b1*l_quantity - b.b2*l_discount)) AS rss
+              FROM lineitem CROSS JOIN b
+            )
+            SELECT round(sqrt(r.rss/(b.n - 2) * b.s22/(b.s11*b.s22 - b.s12*b.s12)), 4)
+                     AS se_quantity,
+                   round(sqrt(r.rss/(b.n - 2) * b.s11/(b.s11*b.s22 - b.s12*b.s12)), 4)
+                     AS se_discount
+            FROM r CROSS JOIN b
+        """,
+        "se_cluster": _POOLED_SB_CTE
+        + """
+            , u AS (
+              SELECT l_suppkey,
+                     sum((l_extendedprice - b.b1*l_quantity - b.b2*l_discount)
+                         * l_quantity) AS u1,
+                     sum((l_extendedprice - b.b1*l_quantity - b.b2*l_discount)
+                         * l_discount) AS u2
+              FROM lineitem CROSS JOIN b GROUP BY l_suppkey
+            ), m AS (
+              SELECT sum(u1*u1) AS m11, sum(u1*u2) AS m12, sum(u2*u2) AS m22 FROM u
+            )
+            SELECT round(sqrt((b.s22*b.s22*m.m11 - 2*b.s22*b.s12*m.m12
+                               + b.s12*b.s12*m.m22)
+                              / ((b.s11*b.s22 - b.s12*b.s12)
+                                 * (b.s11*b.s22 - b.s12*b.s12))), 4) AS se_quantity,
+                   round(sqrt((b.s12*b.s12*m.m11 - 2*b.s11*b.s12*m.m12
+                               + b.s11*b.s11*m.m22)
+                              / ((b.s11*b.s22 - b.s12*b.s12)
+                                 * (b.s11*b.s22 - b.s12*b.s12))), 4) AS se_discount
+            FROM m CROSS JOIN b
+        """,
+        "residuals": _WITHIN_CTE
+        + """
+            , fe AS (
+              SELECT d.l_suppkey,
+                     avg(d.y - b.b1*d.l_quantity - b.b2*d.l_discount) AS fe_eff
+              FROM d CROSS JOIN b GROUP BY d.l_suppkey
+            )
+            SELECT l.l_orderkey, l.l_linenumber,
+                   round(l.l_extendedprice - b.b1*l.l_quantity
+                         - b.b2*l.l_discount - fe.fe_eff, 1) AS resid
+            FROM lineitem l CROSS JOIN b JOIN fe ON l.l_suppkey = fe.l_suppkey
         """,
         "fe_effects": _WITHIN_CTE
         + """
@@ -635,8 +977,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
         """,
-        # rows-only (hash functions / LSH / driver-side QR not
+        # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): collinear_cols, fingerprint,
         # minhash_pairs, minhash_dedup, simhash_dedup, ann_lsh_topk,
-        # embedding_neardup
+        # embedding_neardup_lsh, multimodal_decode
     }

@@ -40,7 +40,7 @@ def main():
 
     _noop = F.pandas_udf(lambda s: s, T.LongType())
 
-    spark.range(0, 1000, 1, py_stage_partitions()).select(
+    spark.range(0, 1000, 1, py_stage_partitions(spark)).select(
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 

@@ -112,7 +112,7 @@ def minhash_candidate_pairs(
 
     from hdfe_spark.session import py_stage_partitions
 
-    par = py_stage_partitions()
+    par = py_stage_partitions(df.sparkSession)
     band_udf = make_minhash_bands_udf(num_hashes, bands, shingle_k)
     banded = (
         df.select(id_col, text_col)
@@ -165,7 +165,7 @@ def ngram_jaccard_pairs(
 
     from hdfe_spark.session import py_stage_partitions
 
-    par = py_stage_partitions()
+    par = py_stage_partitions(df.sparkSession)
     kset = make_kgram_set_udf(shingle_k)
     sets = (
         df.select(id_col, text_col)
@@ -224,7 +224,7 @@ def simhash_dedup(
     signature into 16-bit chunks and use chunk-equality buckets.)"""
     from hdfe_spark.session import py_stage_partitions
 
-    par = py_stage_partitions()
+    par = py_stage_partitions(df.sparkSession)
     sig = df.repartition(par, F.col(id_col)).withColumn(
         "__sim", simhash(F.col(text_col))
     )
@@ -239,41 +239,104 @@ def simhash_dedup(
 # ------------------------------------------------- embedding near-dup
 
 
+def _auto_planes(threshold: float, n_tables: int, target_recall: float) -> int:
+    """Hyperplane count per LSH table so that multi-table recall at
+    cosine == ``threshold`` reaches ``target_recall``.
+
+    Hyperplane LSH collision probability per plane is
+    ``p = 1 − θ/π`` (Charikar 2002) with ``θ = arccos(threshold)``;
+    a table of ``b`` planes collides with prob ``p^b`` and ``T``
+    independent tables recall ``1 − (1 − p^b)^T``. We take the largest
+    ``b`` (most selective buckets) that still meets the target.
+    """
+    import math
+
+    theta = math.acos(max(min(threshold, 1.0), -1.0))
+    p_plane = 1.0 - theta / math.pi
+    if p_plane <= 0.0:
+        return 1
+    need = 1.0 - (1.0 - target_recall) ** (1.0 / n_tables)
+    b = int(math.log(need) / math.log(p_plane))
+    return max(b, 1)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     seed: int = 42,
+    n_tables: int = 8,
+    target_recall: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    """Embedding-cosine near-duplicate pairs above ``threshold`` via
+    **multi-table** random-hyperplane LSH (banded, like the MinHash
+    path above): ``n_tables`` independent sign-bucket tables, the
+    same-bucket self-join of each unioned and distinct'd into one
+    candidate set, then one exact-cosine verification pass over
+    candidates only.
 
-    Random-hyperplane LSH (one sign-bucket per vector) prunes the
-    self-join to same-bucket pairs; exact cosine verifies. With
-    ``n_planes`` buckets ≈ 2^n_planes, bucket sizes shrink
-    geometrically — the crossJoin never materializes globally.
-    Recall is per-bucket (vectors near a hyperplane may split); raise
-    recall by repeating with multiple tables and unioning, as in
-    standard multi-table LSH.
+    ``n_planes`` defaults to the largest per-table width that still
+    gives ``target_recall`` at the threshold (see ``_auto_planes``) —
+    more planes ⇒ 2^planes smaller buckets ⇒ quadratically fewer
+    candidate pairs, so the self-join cost is bounded per table and
+    never O(n²) globally. High thresholds get deep tables (e.g. 0.9 →
+    7 planes); low thresholds degenerate toward brute force — inherent
+    to hyperplane LSH, use ``embedding_neardup_exact`` below ~0.5.
     """
     from hdfe_spark.operators.similarity import lsh_bucket, make_pair_cosine_udf
 
-    v = lsh_bucket(df.select(id_col, vec_col), vec_col, n_planes=n_planes, seed=seed)
-    a, b = v.alias("a"), v.alias("b")
-    pcos = make_pair_cosine_udf()
-    return (
-        a.join(
+    if n_planes is None:
+        n_planes = _auto_planes(threshold, n_tables, target_recall)
+    v = df.select(id_col, vec_col)
+    cand = None
+    for t in range(n_tables):
+        bt = lsh_bucket(v, vec_col, n_planes=n_planes, seed=seed + 7919 * t)
+        a, b = bt.alias("a"), bt.alias("b")
+        p = a.join(
             b,
             on=[
                 F.col("a.__bucket") == F.col("b.__bucket"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            pcos(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
         )
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()
+
+    pcos = make_pair_cosine_udf()
+    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select("id_a", "id_b", pcos(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: full id<id self-join +
+    one vectorized cosine pass. O(n²) pairs — the correctness baseline
+    LSH recall is measured against, and the right plan when the
+    threshold is too low for hyperplane LSH to prune (see
+    ``embedding_neardup_pairs``). At 100 TB use the LSH variant."""
+    from hdfe_spark.operators.similarity import make_pair_cosine_udf
+
+    v = df.select(id_col, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pcos = make_pair_cosine_udf()
+    return (
+        a.join(b, on=[F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b", pcos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

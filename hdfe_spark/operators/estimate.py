@@ -57,7 +57,6 @@ supports it properly.
 from __future__ import annotations
 
 from collections.abc import Sequence
-from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -80,7 +79,6 @@ def _solve(G: np.ndarray, Xty: np.ndarray) -> np.ndarray:
     return b
 
 
-@dataclass
 class EstimateResult:
     """Everything ``estimate`` can return.
 
@@ -88,22 +86,63 @@ class EstimateResult:
     effects come first (levels in sorted order, matching the
     reference's factorized-code ordering, ``hdfe/hdfe.py:114-116``),
     then slope coefficients.
+
+    The FE block of ``b`` is **lazy**: for the within plan, accessing
+    ``b`` / ``coef_names`` triggers one levels-sized driver collect of
+    the (already computed) per-level FE table. ``slopes`` and
+    ``fixed_effects`` (a DataFrame per FE) never collect levels to the
+    driver, so slopes-only callers stay OOM-safe with 10⁸-level FEs.
     """
 
-    b: np.ndarray  # (k_coefs, n_outcomes)
-    coef_names: list[str]
-    x_cols: list[str]  # slope columns actually used (post rank-repair)
-    plan: str  # "pooled" | "within" | "alternating"
-    n: int
-    fixed_effects: dict[str, DataFrame] = field(default_factory=dict)
-    residuals: DataFrame | None = None  # input + resid_{y} columns
-    V: list[np.ndarray] | None = None  # per-outcome covariance (slope block last)
-    v_coef_names: list[str] | None = None
+    def __init__(
+        self,
+        *,
+        x_cols: list[str],
+        plan: str,
+        n: int,
+        b: np.ndarray | None = None,
+        coef_names: list[str] | None = None,
+        slopes: np.ndarray | None = None,
+        lazy_fe=None,  # () -> (b_full, coef_names)
+        fixed_effects: dict[str, DataFrame] | None = None,
+        residuals: DataFrame | None = None,
+        V: list[np.ndarray] | None = None,
+        v_coef_names: list[str] | None = None,
+    ):
+        self.x_cols = x_cols
+        self.plan = plan
+        self.n = n
+        self._b = b
+        self._coef_names = coef_names
+        self._slopes = slopes
+        self._lazy_fe = lazy_fe
+        self.fixed_effects = fixed_effects or {}
+        self.residuals = residuals
+        self.V = V
+        self.v_coef_names = v_coef_names
+
+    def _materialize(self) -> None:
+        if self._b is None and self._lazy_fe is not None:
+            self._b, self._coef_names = self._lazy_fe()
+
+    @property
+    def b(self) -> np.ndarray:  # (k_coefs, n_outcomes)
+        self._materialize()
+        return self._b
+
+    @property
+    def coef_names(self) -> list[str]:
+        self._materialize()
+        return self._coef_names
 
     @property
     def slopes(self) -> np.ndarray:
-        """Slope-coefficient block of ``b`` (drops FE effects)."""
-        return self.b[-len(self.x_cols):, :] if self.x_cols else self.b[:0, :]
+        """Slope-coefficient block of ``b`` (drops FE effects).
+        Never triggers the FE collect."""
+        if self._slopes is not None:
+            return self._slopes
+        b = self.b
+        return b[-len(self.x_cols):, :] if self.x_cols else b[:0, :]
 
 
 def _append_residuals(
@@ -283,20 +322,27 @@ def _plan_within(
         F.count(F.lit(1)).alias("__fe_count"),
     )
     fe_effect_cols = [f"fe_{yc}" for yc in y_cols]
+    if want_resid:
+        # fe_agg feeds ≥2 downstream actions (netting join + variance)
+        # — checkpoint lazily so the demean+residual pipeline upstream
+        # of it runs once, not per action.
+        fe_agg = fe_agg.localCheckpoint(eager=False)
 
-    # Driver-side FE block for the coefficient vector, sorted by level
-    # (reference factorized-code order, hdfe/hdfe.py:114-116).
-    fe_rows = fe_agg.orderBy(fe1).collect()
-    fe_levels = [r[fe1] for r in fe_rows]
-    fe_counts = np.array([int(r["__fe_count"]) for r in fe_rows])
-    fe_block = np.array(
-        [[float(r[c]) for c in fe_effect_cols] for r in fe_rows]
-    )
-    b_full = np.vstack([fe_block, b_x])
-    coef_names = [f"{fe1}={lv}" for lv in fe_levels] + x_all
+    # FE block of the coefficient vector is LAZY: collected (sorted by
+    # level — reference factorized-code order, hdfe/hdfe.py:114-116)
+    # only if the caller reads .b/.coef_names. Slopes-only callers
+    # never pull a levels-sized block onto the driver.
+    def _collect_fe_block():
+        fe_rows = fe_agg.orderBy(fe1).collect()
+        fe_block = np.array(
+            [[float(r[c]) for c in fe_effect_cols] for r in fe_rows]
+        )
+        b_full = np.vstack([fe_block.reshape(len(fe_rows), len(y_cols)), b_x])
+        names = [f"{fe1}={r[fe1]}" for r in fe_rows] + x_all
+        return b_full, names
 
     res = EstimateResult(
-        b=b_full, coef_names=coef_names, x_cols=x_all,
+        slopes=b_x, lazy_fe=_collect_fe_block, x_cols=x_all,
         plan="within", n=n,
         fixed_effects={fe1: fe_agg.select(fe1, *fe_effect_cols)},
     )
@@ -318,7 +364,9 @@ def _plan_within(
         res.residuals = netted
 
     if estimate_variance:
-        n_levels = len(fe_levels)
+        # Level count from one count-aggregate — never a levels-sized
+        # collect unless the small-FE covariance block is requested.
+        n_levels = fe_agg.count()
         k_x = len(x_all)
         k_total = n_levels + k_x
         # Blockwise (X'X)⁻¹ for X = [D₁ | x]: A = diag(counts),
@@ -331,16 +379,18 @@ def _plan_within(
             dof = max(n - k_total, 1)
             if n_levels <= 2000:
                 sums = work.groupBy(fe1).agg(
-                    *[F.sum(c).alias(c) for c in x_all]
+                    F.count(F.lit(1)).alias("__fe_count"),
+                    *[F.sum(c).alias(c) for c in x_all],
                 ).orderBy(fe1).collect()
                 B = np.array([[float(r[c] or 0.0) for c in x_all] for r in sums])
+                fe_counts = np.array([int(r["__fe_count"]) for r in sums])
                 A_inv = np.diag(1.0 / fe_counts)
                 AinvB = A_inv @ B
                 V_dd = A_inv + AinvB @ S_inv @ AinvB.T
                 V_dx = -AinvB @ S_inv
                 G_inv_full = np.block([[V_dd, V_dx], [V_dx.T, S_inv]])
                 res.V = [G_inv_full * (float(es) / dof) for es in rss]
-                res.v_coef_names = coef_names
+                res.v_coef_names = res.coef_names
             else:
                 res.V = [S_inv * (float(es) / dof) for es in rss]
                 res.v_coef_names = list(x_all)
@@ -387,20 +437,26 @@ def _plan_alternating(
         # Cut lineage each sweep — iterative plans grow without this.
         work = work.localCheckpoint(eager=True)
         # Convergence: largest |group mean| of any demeaned col under
-        # any FE. Window exprs first (one select), then a global max.
-        check_cols = []
-        check_exprs = []
-        for fi, w in enumerate(windows):
-            for d in dm.values():
-                name = f"__chk_{fi}_{d}"
-                check_cols.append(name)
-                check_exprs.append(F.abs(F.avg(d).over(w)).alias(name))
-        worst = (
-            work.select(*check_exprs)
-            .agg(F.max(F.greatest(*[F.col(c) for c in check_cols])).alias("m"))
-            .collect()[0]["m"]
-        )
-        if worst is not None and float(worst) < ap_tol:
+        # any FE. Grouped aggregates (NOT window functions): partial
+        # aggregation shuffles one k-wide row per (group, partition)
+        # instead of every data row, then the per-FE maxima union into
+        # one tiny collect. Halves shuffled bytes per sweep vs the
+        # window form.
+        per_fe = [
+            work.groupBy(fe)
+            .agg(
+                F.greatest(
+                    *[F.abs(F.avg(d)) for d in dm.values()]
+                ).alias("m")
+            )
+            .agg(F.max("m").alias("m"))
+            for fe in cc
+        ]
+        checks = per_fe[0]
+        for other in per_fe[1:]:
+            checks = checks.unionAll(other)
+        worsts = [r["m"] for r in checks.collect() if r["m"] is not None]
+        if worsts and max(map(float, worsts)) < ap_tol:
             break
 
     dm_x = [dm[c] for c in x_cols]

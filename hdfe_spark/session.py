@@ -18,14 +18,23 @@ import os
 from pyspark.sql import SparkSession
 
 
-def py_stage_partitions() -> int:
+def py_stage_partitions(spark: "SparkSession | None" = None) -> int:
     """Partition width for Arrow/pandas-UDF stages over small-to-mid
-    tables. Measured on local[32]: >8 simultaneous Python workers per
-    stage cost 3-10× in worker spawn/attach overhead (thundering
-    herd), while 8 keeps the kernels saturated. On a real cluster,
-    raise via HDFE_PY_STAGE_PARTITIONS or leave the data's own file
-    splits to set the width."""
-    return int(os.environ.get("HDFE_PY_STAGE_PARTITIONS", "8"))
+    tables.
+
+    Resolution order: explicit ``HDFE_PY_STAGE_PARTITIONS`` env →
+    scale with the session's ``defaultParallelism`` (one Python-stage
+    task per ~4 cores: measured on local[32], >8 simultaneous Python
+    workers per stage cost 3-10× in worker spawn/attach overhead, so
+    32 cores → 8 tasks; a 1000-executor × 4-core cluster → 1000
+    tasks) → conservative 8. Never a fixed width independent of the
+    cluster."""
+    env = os.environ.get("HDFE_PY_STAGE_PARTITIONS")
+    if env:
+        return int(env)
+    if spark is not None:
+        return max(8, spark.sparkContext.defaultParallelism // 4)
+    return 8
 
 
 def get_spark(

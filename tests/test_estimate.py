@@ -169,6 +169,20 @@ def test_within_full_design_variance(reg_df, reg_pdf):
     np.testing.assert_allclose(res.V[0], V_want, rtol=1e-5, atol=1e-10)
 
 
+def test_slopes_only_never_collects_fe_block(reg_df):
+    """Slopes-only use must not pull a levels-sized FE block onto the
+    driver (a 10⁸-level FE would OOM it). ``.slopes`` and
+    ``.fixed_effects`` stay lazy; only ``.b``/``.coef_names``
+    materialize the block."""
+    res = estimate(reg_df, "y", ["x1", "x2"], categorical_controls=["fe1"])
+    _ = res.slopes
+    _ = res.fixed_effects["fe1"]  # still a DataFrame, not collected
+    assert res._b is None  # FE block untouched
+    # Accessing .b materializes it exactly once, FE rows first.
+    assert res.b.shape[0] == 50 + 2
+    assert res.coef_names[0].startswith("fe1=")
+
+
 def test_multi_outcome(reg_df, reg_pdf):
     """Multi-outcome y solved in one pass (reference supports n×m y)."""
     res = estimate(reg_df, ["y", "x1"], ["x2"], categorical_controls=["fe1"])
