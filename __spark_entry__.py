@@ -119,6 +119,30 @@ def _q_grouped_apply(spark, sf_dir):
     )
 
 
+def _q_groupby_reuse(spark, sf_dir):
+    """Prebuilt reusable group index (reference ``Groupby`` reuse,
+    ``hdfe/groupby.py:8-54``, ``hdfe/hdfe.py:262-272``): one
+    repartition+persist on the key amortized across two separate
+    grouped aggregations, joined back — the Spark analogue of
+    factorize-once/apply-many."""
+    from hdfe_spark.operators.groupby import Groupby
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = Groupby(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"), "l_returnflag"
+    ).persist()
+    m1 = g.agg({"l_quantity": ["mean"]})
+    m2 = g.agg({"l_extendedprice": ["max"]})
+    return (
+        m1.join(m2, on="l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("mean_l_quantity", 6).alias("mean_qty"),
+            F.round("max_l_extendedprice", 2).alias("max_price"),
+        )
+    )
+
+
 def _q_demean(spark, sf_dir):
     from hdfe_spark.operators.groupby import demean
 
@@ -517,8 +541,49 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     from hdfe_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_neardup_pairs(emb, threshold=0.4, n_tables=12)
+    out = embedding_neardup_pairs(emb, threshold=0.4, n_tables=16)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN top-k (MLlib KMeans quantizer →
+    probe-nearest-lists). KMeans isn't SQL-reproducible → rows-only."""
+    from hdfe_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_centroids=16, n_probe=4
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_streaming_window(spark, sf_dir):
+    """Event-time tumbling-window aggregation (watermarked) over the
+    events stream — epoch-aligned 1-hour windows equal DuckDB
+    ``time_bucket``, so the batch SQL is its oracle."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_windowed_agg
+
+    _t(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    agg = streaming_windowed_agg(stream, "event_type", window="1 hour")
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("win_start_s"),
+        "event_type",
+        F.round("mean_value", 5).alias("mean_value"),
+        F.col("count_value").cast("bigint").alias("count_value"),
+    )
 
 
 def _q_streaming_agg(spark, sf_dir):
@@ -576,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_agg_salted": _q_grouped_agg_salted,
         "grouped_transform": _q_grouped_transform,
         "grouped_apply": _q_grouped_apply,
+        "groupby_reuse": _q_groupby_reuse,
         "demean": _q_demean,
         "lags": _q_lags,
         "lags_zero_fill": _q_lags_zero_fill,
@@ -606,7 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ivf_topk": _q_ivf_topk,
         "streaming_agg": _q_streaming_agg,
+        "streaming_window": _q_streaming_window,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -829,6 +897,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 3) AS sum_value,
                    count(value) AS count_value
             FROM events GROUP BY user_id
+        """,
+        "streaming_window": """
+            SELECT cast(epoch(time_bucket(INTERVAL '1 hour', ts)) AS bigint)
+                     AS win_start_s,
+                   event_type,
+                   round(avg(value), 5) AS mean_value,
+                   count(value) AS count_value
+            FROM events
+            GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        """,
+        "groupby_reuse": """
+            SELECT l_returnflag,
+                   round(avg(l_quantity), 6) AS mean_qty,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "gram": """
             SELECT count(*) AS n,

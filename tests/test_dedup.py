@@ -100,3 +100,25 @@ def test_real_documents_no_exact_dups(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     assert exact_dedup_by_hash(docs).count() == n  # fixture has no dups
+
+
+def test_embedding_neardup_lsh_recall(spark, sf_dir):
+    """Multi-table LSH recall vs the exact baseline at threshold 0.4
+    must meet the auto-parameterization's target (95%)."""
+    from hdfe_spark.operators.dedup import (
+        embedding_neardup_exact,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.4, n_tables=16).collect()
+    }
+    assert exact, "fixture must produce a nonzero exact pair set"
+    assert lsh <= exact  # cosine-verified: no false positives
+    assert len(lsh & exact) / len(exact) >= 0.95

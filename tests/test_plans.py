@@ -1,0 +1,122 @@
+"""Plan-shape regression tests: the 100 TB checklist asserted on the
+physical plans of every core operator. A change that adds a shuffle,
+degrades a broadcast join to sort-merge, or un-prunes a parquet scan
+fails here — not on the cluster.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hdfe_spark.plans import assert_plan, plan_report
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_scan_prunes_columns(li):
+    """2-column projection must reach the parquet scan as a 2-column
+    ReadSchema (Catalyst column pruning)."""
+    rep = plan_report(li.select("l_quantity", "l_discount"))
+    assert len(rep["scan_schemas"]) == 1
+    schema = rep["scan_schemas"][0]
+    assert "l_quantity" in schema and "l_discount" in schema
+    assert "l_comment" not in schema  # the wide column stays unread
+
+
+def test_filter_pushdown_reaches_scan(li):
+    rep = plan_report(li.filter(F.col("l_quantity") > 30).select("l_orderkey"))
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+
+
+def test_grouped_agg_single_shuffle(li):
+    from hdfe_spark.operators.groupby import grouped_agg
+
+    out = grouped_agg(li, ["l_returnflag"], {"l_quantity": ["mean", "sum"]})
+    # one hash-partition exchange; partial (map-side) agg before it
+    assert_plan(out, n_exchanges=1, n_python_stages=0)
+
+
+def test_demean_single_shuffle(li):
+    from hdfe_spark.operators.groupby import demean
+
+    out = demean(li, "l_suppkey", "l_quantity")
+    assert_plan(out, n_exchanges=1, n_python_stages=0)
+
+
+def test_lags_single_window_pass(spark, sf_dir):
+    from hdfe_spark.operators.lags import make_lags
+    from hdfe_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    out, _ = make_lags(
+        ev, n_lags_back=3, n_lags_forward=2,
+        outcomes="value", groupby="user_id", order_by="ts",
+    )
+    # all 5 lag/lead columns from ONE shuffle+sort (one Window spec)
+    assert_plan(out, n_exchanges=1, n_python_stages=0)
+
+
+def test_factorize_broadcasts_code_table(li):
+    from hdfe_spark.operators.encoding import factorize
+
+    out = factorize(li, "l_returnflag")
+    rep = assert_plan(out, n_sortmerge_joins=0)
+    assert rep["n_broadcast_joins"] >= 1
+
+
+def test_dummies_pure_projection(spark, sf_dir):
+    from hdfe_spark.operators.encoding import make_dummies
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out, _ = make_dummies(od, "o_orderstatus", levels=["F", "O", "P"])
+    # with levels supplied there is no distinct/no join: zero shuffles
+    assert_plan(out, n_exchanges=0, n_python_stages=0)
+
+
+def test_exact_dedup_single_shuffle(docs):
+    from hdfe_spark.operators.dedup import exact_dedup_by_hash
+
+    assert_plan(exact_dedup_by_hash(docs), n_exchanges=1)
+
+
+def test_text_ops_no_shuffle(docs):
+    from hdfe_spark.operators.text import lang_id, quality_score, token_stats
+
+    for op in (token_stats, quality_score, lang_id):
+        assert_plan(op(docs), n_exchanges=0, n_python_stages=0)
+
+
+def test_cosine_topk_uses_heap_not_sort(spark, sf_dir):
+    import numpy as np
+
+    from hdfe_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, np.ones(64), k=10)
+    rep = plan_report(out)
+    assert rep["has_take_ordered"]  # per-partition heaps + k-row merge
+    assert rep["n_python_stages"] == 1  # exactly one Arrow batch stage
+
+
+def test_within_estimator_residual_plan(spark, sf_dir):
+    """Plan B residual pipeline: one window shuffle (demean) + one agg
+    shuffle (FE means) + a broadcast join to net FEs — no sort-merge
+    join, no extra exchanges."""
+    from hdfe_spark.operators.estimate import estimate
+    from hdfe_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity"],
+        categorical_controls=["l_suppkey"], get_residual=True,
+    )
+    rep = plan_report(res.residuals)
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_broadcast_joins"] >= 1
