@@ -55,6 +55,10 @@ def main():
         "gram",
         "ols_pooled",
         "ols_within_fe",
+        "ols_2fe",
+        "se_cluster",
+        "residuals",
+        "all_dummies",
         "fe_effects",
         "exact_dedup",
         "token_stats",
@@ -64,6 +68,7 @@ def main():
         "simhash_dedup",
         "cosine_topk",
         "ngram_jaccard",
+        "embedding_neardup_lsh",
     ]
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -76,6 +81,13 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # Queries are independent jobs: drop whatever blocks the query
+        # left persisted (iterative solvers localCheckpoint per sweep)
+        # so one query's leftovers can't evict the next one's memory.
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

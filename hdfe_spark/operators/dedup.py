@@ -287,35 +287,62 @@ def embedding_neardup_pairs(
     """
     from hdfe_spark.operators.similarity import lsh_bucket, make_pair_cosine_udf
 
+    import numpy as np
+
+    from hdfe_spark.operators.similarity import (
+        _planes,
+        _vec_dim,
+        make_multi_bucket_udf,
+    )
+    from hdfe_spark.session import py_stage_partitions
+
     if n_planes is None:
         n_planes = _auto_planes(threshold, n_tables, target_recall)
-    v = df.select(id_col, vec_col)
-    cand = None
-    for t in range(n_tables):
-        bt = lsh_bucket(v, vec_col, n_planes=n_planes, seed=seed + 7919 * t)
-        a, b = bt.alias("a"), bt.alias("b")
-        p = a.join(
-            b,
-            on=[
-                F.col("a.__bucket") == F.col("b.__bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        cand = p if cand is None else cand.unionAll(p)
-    cand = cand.distinct()
-
-    pcos = make_pair_cosine_udf()
-    va = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select("id_a", "id_b", pcos(F.col("__va"), F.col("__vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    dim = _vec_dim(df, vec_col)
+    planes = np.stack(
+        [_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)]
     )
+    buckets = make_multi_bucket_udf(planes)
+
+    # ONE Arrow pass computes every table's bucket; posexplode to
+    # (table, bucket) rows carrying the vector; then FAISS-style
+    # within-bucket verification: ``applyInPandas`` over (tbl, bucket)
+    # groups computes ALL pairwise cosines of a bucket in one GEMM and
+    # emits only pairs ≥ threshold — no per-pair join, no per-pair
+    # Arrow transfer (bytes through Python are linear in n·n_tables,
+    # never quadratic). The same pair surviving in several tables is
+    # collapsed by a final level-sized groupBy. Skew note: one
+    # pathological bucket = one big GEMM task; bound it by raising
+    # ``n_planes`` (bucket sizes shrink 2× per plane).
+    import pandas as pd
+
+    par = py_stage_partitions(df.sparkSession)
+    banded = df.select(F.col(id_col), F.col(vec_col)).repartition(
+        par, F.col(id_col)
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+
+    thr = float(threshold)
+
+    def emit_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        ids = pdf[id_col].to_numpy()
+        C = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = C[iu, ju] >= thr
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        cos = C[iu, ju][keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    pairs = banded.groupBy("tbl", "bucket").applyInPandas(
+        emit_pairs, schema="id_a long, id_b long, cosine double"
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def embedding_neardup_exact(

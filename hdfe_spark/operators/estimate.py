@@ -407,6 +407,24 @@ def _plan_within(
 
 # ---------------------------------------------------------------- Plan C
 
+# FE level tables up to this many rows are broadcast for join-based
+# demeaning; above it, fall back to a window pass (same shuffle cost
+# as any grouped op at that cardinality, no driver/broadcast blowup).
+_BROADCAST_DEMEAN_MAX_LEVELS = 1_000_000
+
+
+def _unpersist_checkpoint(ckpt_df) -> None:
+    """Release the persisted RDD behind a ``localCheckpoint``'d
+    DataFrame. Only call once nothing un-materialized depends on it
+    (a later checkpoint with truncated lineage, or results already on
+    the driver). Reaches through the LogicalRDD node; if the internal
+    surface ever shifts, leaking the blocks beats failing the job."""
+    try:
+        ckpt_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _plan_alternating(
     df, y_cols, x_cols, cc, check_rank, estimate_variance,
     want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
@@ -417,38 +435,70 @@ def _plan_alternating(
 
     Slopes match the reference exactly (uniquely identified); FE
     effects are identified up to constants and recovered per-FE by
-    iterated back-fitting.
+    iterated back-fitting — **lazily**: the back-fit DataFrames are
+    only executed if the caller reads ``fixed_effects``/``residuals``.
+
+    Scale design of the sweep loop:
+
+    - operates on a **narrow projection** (FE keys + demeaned cols),
+      never the full input row — at TPC-H widths this cuts per-sweep
+      bytes ~5-10×;
+    - each per-FE demean is ``groupBy(fe).agg(avg)`` (map-side partial
+      aggregation, level-sized shuffle) + a **broadcast join**
+      subtract — the fact table itself is never shuffled, vs a window
+      pass which shuffles+sorts every row per FE per sweep; FEs with
+      more than ``_BROADCAST_DEMEAN_MAX_LEVELS`` levels fall back to
+      the window form;
+    - convergence is ``max |group mean| < ap_tol × column RMS``
+      (relative — an absolute test on e.g. price-scaled data forces
+      dozens of extra sweeps), checked from level-sized aggregates;
+    - ``localCheckpoint(eager=False)`` per sweep bounds the plan, and
+      materializes together with the convergence check's action.
     """
-    work = df
     all_cols = list(x_cols) + list(y_cols)
     dm = {c: f"__dm_{c}" for c in all_cols}
-    work = work.select("*", *[F.col(c).alias(d) for c, d in dm.items()])
+    dmv = list(dm.values())
+    keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
+    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
 
-    windows = [Window.partitionBy(fe) for fe in cc]
-    for sweep in range(ap_max_iter):
-        for w in windows:
-            work = work.select(
-                *[c for c in work.columns if c not in dm.values()],
-                *[
-                    (F.col(d) - F.avg(d).over(w)).alias(d)
-                    for d in dm.values()
-                ],
-            )
-        # Cut lineage each sweep — iterative plans grow without this.
-        work = work.localCheckpoint(eager=True)
+    # One-time per-FE level counts: pick demean strategy, reused for
+    # the absorbed-dof correction in the variance path.
+    levels = {fe: df.select(fe).distinct().count() for fe in cc}
+
+    # Relative convergence scale: largest column RMS (one pass).
+    rms_row = sw.agg(
+        *[F.sqrt(F.avg(F.col(d) * F.col(d))).alias(d) for d in dmv]
+    ).collect()[0]
+    scale = max(
+        [float(rms_row[d]) for d in dmv if rms_row[d] is not None] or [1.0]
+    ) or 1.0
+
+    for _sweep in range(ap_max_iter):
+        for fe in cc:
+            if levels[fe] <= _BROADCAST_DEMEAN_MAX_LEVELS:
+                means = sw.groupBy(fe).agg(
+                    *[F.avg(d).alias(f"__m_{d}") for d in dmv]
+                )
+                sw = sw.join(F.broadcast(means), on=fe, how="left").select(
+                    *keep,
+                    *[
+                        (F.col(d) - F.coalesce(F.col(f"__m_{d}"), F.lit(0.0))).alias(d)
+                        for d in dmv
+                    ],
+                )
+            else:
+                w = Window.partitionBy(fe)
+                sw = sw.select(
+                    *keep,
+                    *[(F.col(d) - F.avg(d).over(w)).alias(d) for d in dmv],
+                )
+        prev_ckpt, sw = sw, sw.localCheckpoint(eager=False)
         # Convergence: largest |group mean| of any demeaned col under
-        # any FE. Grouped aggregates (NOT window functions): partial
-        # aggregation shuffles one k-wide row per (group, partition)
-        # instead of every data row, then the per-FE maxima union into
-        # one tiny collect. Halves shuffled bytes per sweep vs the
-        # window form.
+        # any FE, from level-sized grouped aggregates unioned into one
+        # tiny collect (this action also materializes the checkpoint).
         per_fe = [
-            work.groupBy(fe)
-            .agg(
-                F.greatest(
-                    *[F.abs(F.avg(d)) for d in dm.values()]
-                ).alias("m")
-            )
+            sw.groupBy(fe)
+            .agg(F.greatest(*[F.abs(F.avg(d)) for d in dmv]).alias("m"))
             .agg(F.max("m").alias("m"))
             for fe in cc
         ]
@@ -456,12 +506,19 @@ def _plan_alternating(
         for other in per_fe[1:]:
             checks = checks.unionAll(other)
         worsts = [r["m"] for r in checks.collect() if r["m"] is not None]
-        if worsts and max(map(float, worsts)) < ap_tol:
+        # The collect above materialized THIS sweep's checkpoint (its
+        # lineage is now truncated), so the previous sweep's persisted
+        # blocks are dead — release them. Without this, ``ap_max_iter``
+        # copies of the working set pin executor storage memory and
+        # evict/poison every later job in the session.
+        if _sweep > 0:
+            _unpersist_checkpoint(prev_ckpt)
+        if worsts and max(map(float, worsts)) < ap_tol * scale:
             break
 
     dm_x = [dm[c] for c in x_cols]
     dm_y = [dm[c] for c in y_cols]
-    G_dm, Xty, n = gram_matrix(work, dm_x, dm_y)
+    G_dm, Xty, n = gram_matrix(sw, dm_x, dm_y)
     x_used = list(x_cols)
     if check_rank:
         ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
@@ -477,8 +534,11 @@ def _plan_alternating(
         plan="alternating", n=n,
     )
 
-    # FE recovery by back-fitting on r = y − x·b (few sweeps).
-    with_resid = _append_residuals(work, y_cols, x_used, b_x)
+    # FE recovery by back-fitting on r = y − x·b (few sweeps) over the
+    # ORIGINAL df. Entirely lazy (non-eager checkpoints): slopes-only
+    # callers never pay for it; it executes on first access to
+    # fixed_effects / residuals.
+    with_resid = _append_residuals(df, y_cols, x_used, b_x)
     resid_cols = [f"resid_{yc}" for yc in y_cols]
     eff_cols = [f"fe_{yc}" for yc in y_cols]
     fe_tables: dict[str, DataFrame] = {}
@@ -515,27 +575,37 @@ def _plan_alternating(
                 )
             else:
                 fe_tables[fe] = inc
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.localCheckpoint(eager=False)
     residual_full = cur
-    res.fixed_effects = {fe: t.localCheckpoint(eager=True) for fe, t in fe_tables.items()}
+    res.fixed_effects = {
+        fe: t.localCheckpoint(eager=False) for fe, t in fe_tables.items()
+    }
     if get_residual:
         res.residuals = residual_full
 
     if estimate_variance:
         # Slopes-only variance on the fully-demeaned model with
-        # absorbed-dof correction (reghdfe convention).
-        levels = [df.select(fe).distinct().count() for fe in cc]
-        k_absorbed = levels[0] + sum(l - 1 for l in levels[1:])
+        # absorbed-dof correction (reghdfe convention). Residuals come
+        # from the already-converged narrow sweep table (r = ỹ − X̃b —
+        # identical to the FE-netted residual at convergence), so the
+        # back-fit pipeline is not executed for variance.
+        k_absorbed = levels[cc[0]] + sum(levels[fe] - 1 for fe in cc[1:])
         k_total = len(x_used) + k_absorbed
         S_inv = np.linalg.pinv(G_dm)
+        swr = _append_residuals(sw, dm_y, dm_x, b_x)
+        rdm_cols = [f"resid_{d}" for d in dm_y]
         if cluster is None:
-            rss = _sum_sq(residual_full, resid_cols)
+            rss = _sum_sq(swr, rdm_cols)
             dof = max(n - k_total, 1)
             res.V = [S_inv * (float(es) / dof) for es in rss]
         else:
-            scores = _cluster_scores(residual_full, cluster, resid_cols, dm_x)
+            scores = _cluster_scores(swr, cluster, rdm_cols, dm_x)
             res.V = [
-                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in resid_cols
+                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in rdm_cols
             ]
         res.v_coef_names = list(x_used)
+    # Gram + variance are done with the sweep table; nothing returned
+    # references it (back-fit reads the original df), so release the
+    # final checkpoint's blocks before handing back.
+    _unpersist_checkpoint(sw)
     return res

@@ -67,6 +67,28 @@ def make_bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def make_multi_bucket_udf(planes_tables: np.ndarray):
+    """pandas UDF: vec → array<long> of one sign-pattern bucket per
+    LSH table. ``planes_tables`` is (n_tables, n_planes, dim); all
+    tables' signatures come from ONE (batch × dim) @ (dim × T·b)
+    matrix multiply per Arrow batch — the multi-table analogue of
+    ``make_bucket_udf``, so banded LSH costs one Python stage, not
+    one per table."""
+    P = np.asarray(planes_tables, dtype=np.float64)
+    n_tables, n_planes, dim = P.shape
+    flat = P.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = _stack(vecs)
+        bits = (M @ flat.T > 0).astype(np.int64)  # (batch, T*b)
+        codes = bits.reshape(len(M), n_tables, n_planes) @ weights
+        return pd.Series(codes.tolist())
+
+    return buckets
+
+
 def make_pair_cosine_udf():
     """pandas UDF: (vec_a, vec_b) → cosine, vectorized per batch."""
 
