@@ -221,8 +221,9 @@ def _q_gram(spark, sf_dir):
 
 def _q_collinear_cols(spark, sf_dir):
     """Rank detection on an exactly-collinear derived column
-    (FIXTURES.md F3). QR scan itself is driver-side — rows-only check
-    (the Gram feeding it is covered by q_gram)."""
+    (FIXTURES.md F3). Oracle is a certificate check: x3's R² on the
+    kept columns (closed-form 2×2 normal equations in SQL) exceeds
+    1−1e-6 iff the QR scan must flag it."""
     from hdfe_spark.operators.collinearity import find_collinear_cols
 
     pt = _t(spark, sf_dir, "part").select(
@@ -480,11 +481,24 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash LSH candidate pairs (xxhash64 banding → rows-only)."""
-    from hdfe_spark.operators.dedup import minhash_candidate_pairs
+    """MinHash-LSH candidates verified by exact shingle Jaccard.
+
+    At the fixture's duplicate profile (minimum true Jaccard ≈ 0.93;
+    16 bands × 8 rows ⇒ per-pair miss probability (1−J⁸)¹⁶ ≈ 2e-6)
+    the verified set equals the brute-force all-pairs ground truth,
+    so the all-pairs DuckDB Jaccard SQL is a genuine oracle for the
+    whole LSH→verify pipeline."""
+    from hdfe_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, num_hashes=128, bands=16, shingle_k=5)
+    cand = minhash_candidate_pairs(docs, num_hashes=128, bands=16, shingle_k=5)
+    ver = ngram_jaccard_pairs(docs, cand, "text", "doc_id", shingle_k=5).filter(
+        F.col("jaccard") >= 0.8
+    )
+    return ver.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_minhash_dedup(spark, sf_dir):
@@ -1033,6 +1047,60 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "lang_id": _lang_id_sql(),
+        "collinear_cols": """
+            WITH g AS (
+              SELECT sum(x1*x1) AS a11, sum(x1*x2) AS a12, sum(x2*x2) AS a22,
+                     sum(x1*x3) AS c1, sum(x2*x3) AS c2, sum(x3*x3) AS yy
+              FROM (SELECT cast(p_size AS double) AS x1, p_retailprice AS x2,
+                           2*cast(p_size AS double) + 3*p_retailprice AS x3
+                    FROM part)
+            )
+            SELECT 'x1' AS col, false AS is_collinear
+            UNION ALL
+            SELECT 'x2', false
+            UNION ALL
+            SELECT 'x3',
+                   (SELECT ((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
+                           / ((a11*a22 - a12*a12)*yy) > 0.999999 FROM g)
+        """,
+        "minhash_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) >= 5
+                       THEN list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(lower(text), i, 5))
+                       ELSE [] END) AS s
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / greatest(len(a.s) + len(b.s)
+                                    - len(list_intersect(a.s, b.s)), 1),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))
+                  / greatest(len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)), 1) >= 0.8
+        """,
+        "minhash_dedup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) >= 5
+                       THEN list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(lower(text), i, 5))
+                       ELSE [] END) AS s
+              FROM documents),
+            losers AS (
+              SELECT DISTINCT b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))
+                    / greatest(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)), 1) >= 0.8
+            )
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+        """,
         "ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
@@ -1061,7 +1129,6 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
-        # reproducible in DuckDB): collinear_cols, fingerprint,
-        # minhash_pairs, minhash_dedup, simhash_dedup, ann_lsh_topk,
-        # embedding_neardup_lsh, multimodal_decode
+        # reproducible in DuckDB): fingerprint, simhash_dedup,
+        # ann_lsh_topk, ivf_topk, multimodal_decode
     }

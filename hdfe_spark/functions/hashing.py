@@ -178,6 +178,39 @@ def make_jaccard_udf():
     return jac
 
 
+def make_winnow_udf(k: int = 7, window: int = 4):
+    """Returns a pandas UDF: text → sorted distinct array<bigint>
+    winnowing fingerprint (Schleimer et al. 2003): hash every char
+    k-gram, keep the min hash of each sliding ``window`` of k-gram
+    hashes, dedupe.
+
+    A JVM expression of the same thing
+    (``transform(seq, i -> array_min(slice(gram_hashes, ...)))``)
+    re-inlines the un-named ``gram_hashes`` subtree into the outer
+    lambda — O(len²) per document (measured 200+ s for 5k docs).
+    Here: one O(len) rolling-hash pass + a vectorized
+    sliding-window min."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            h = kgram_hashes_np((t or "").lower(), k)
+            if h.size == 0:
+                out.append([])
+                continue
+            if h.size <= window:
+                mins = np.array([h.min()], dtype=np.uint64)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    h, window
+                ).min(axis=1)
+            out.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return winnow
+
+
 def make_simhash_udf(seed: int = 42):
     """Returns a pandas UDF: text → bigint 64-bit SimHash
     (Charikar 2002): bit b of the signature = majority of bit b over

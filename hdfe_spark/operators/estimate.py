@@ -104,6 +104,7 @@ class EstimateResult:
         coef_names: list[str] | None = None,
         slopes: np.ndarray | None = None,
         lazy_fe=None,  # () -> (b_full, coef_names)
+        lazy_tables=None,  # () -> (fixed_effects dict, residuals DF)
         fixed_effects: dict[str, DataFrame] | None = None,
         residuals: DataFrame | None = None,
         V: list[np.ndarray] | None = None,
@@ -116,14 +117,46 @@ class EstimateResult:
         self._coef_names = coef_names
         self._slopes = slopes
         self._lazy_fe = lazy_fe
-        self.fixed_effects = fixed_effects or {}
-        self.residuals = residuals
+        self._lazy_tables = lazy_tables
+        self._fixed_effects = fixed_effects
+        self._residuals = residuals
         self.V = V
         self.v_coef_names = v_coef_names
 
     def _materialize(self) -> None:
         if self._b is None and self._lazy_fe is not None:
             self._b, self._coef_names = self._lazy_fe()
+
+    def _build_tables(self) -> None:
+        # Deferred construction, not just deferred execution: even an
+        # eager=False localCheckpoint runs its plan's query stages at
+        # CREATION under AQE, so the recovery pipeline's DataFrames
+        # must not exist until someone asks for them.
+        if self._lazy_tables is not None:
+            fe, resid = self._lazy_tables()
+            self._lazy_tables = None
+            if self._fixed_effects is None:
+                self._fixed_effects = fe
+            if self._residuals is None:
+                self._residuals = resid
+
+    @property
+    def fixed_effects(self) -> dict[str, DataFrame]:
+        self._build_tables()
+        return self._fixed_effects or {}
+
+    @fixed_effects.setter
+    def fixed_effects(self, v) -> None:
+        self._fixed_effects = v
+
+    @property
+    def residuals(self) -> DataFrame | None:
+        self._build_tables()
+        return self._residuals
+
+    @residuals.setter
+    def residuals(self, v) -> None:
+        self._residuals = v
 
     @property
     def b(self) -> np.ndarray:  # (k_coefs, n_outcomes)
@@ -206,7 +239,7 @@ def estimate(
     cluster: str | None = None,
     tol: float = 1e-9,
     within_if_fe: bool = True,
-    ap_tol: float = 1e-10,
+    ap_tol: float = 1e-8,
     ap_max_iter: int = 100,
 ) -> EstimateResult:
     """Distributed analogue of reference ``estimate``
@@ -473,11 +506,40 @@ def _plan_alternating(
         [float(rms_row[d]) for d in dmv if rms_row[d] is not None] or [1.0]
     ) or 1.0
 
+    # Lifetimes: checkpoint s materializes lazily inside sweep s+1's
+    # first means scan, so at any moment at most TWO checkpoints (and
+    # one sweep's level-sized means tables) are live — everything
+    # older is unpersisted as the loop advances. Without this,
+    # ``ap_max_iter`` copies of the working set pin executor storage
+    # and evict/poison every later job in the session.
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("HDFE_DEBUG_AP"))
+    live_ckpts: list = []
+    prev_means: list = []
     for _sweep in range(ap_max_iter):
+        _t_sweep = _time.perf_counter()
+        stats = []
+        cur_means = []
         for fe in cc:
             if levels[fe] <= _BROADCAST_DEMEAN_MAX_LEVELS:
                 means = sw.groupBy(fe).agg(
                     *[F.avg(d).alias(f"__m_{d}") for d in dmv]
+                ).persist()
+                cur_means.append(means)
+                # Convergence piggybacks on the means ALREADY computed
+                # for demeaning (reghdfe-style increment test): the
+                # level-sized max-|mean| agg is free, vs a dedicated
+                # full-table groupBy pass per FE per sweep.
+                stats.append(
+                    means.agg(
+                        F.max(
+                            F.greatest(
+                                *[F.abs(F.col(f"__m_{d}")) for d in dmv]
+                            )
+                        ).alias("m")
+                    )
                 )
                 sw = sw.join(F.broadcast(means), on=fe, how="left").select(
                     *keep,
@@ -487,38 +549,51 @@ def _plan_alternating(
                     ],
                 )
             else:
+                # >1M-level FE: window demean; pay one grouped agg for
+                # the increment stat (still cheaper than sorting).
+                stats.append(
+                    sw.groupBy(fe)
+                    .agg(F.greatest(*[F.abs(F.avg(d)) for d in dmv]).alias("m"))
+                    .agg(F.max("m").alias("m"))
+                )
                 w = Window.partitionBy(fe)
                 sw = sw.select(
                     *keep,
                     *[(F.col(d) - F.avg(d).over(w)).alias(d) for d in dmv],
                 )
-        prev_ckpt, sw = sw, sw.localCheckpoint(eager=False)
-        # Convergence: largest |group mean| of any demeaned col under
-        # any FE, from level-sized grouped aggregates unioned into one
-        # tiny collect (this action also materializes the checkpoint).
-        per_fe = [
-            sw.groupBy(fe)
-            .agg(F.greatest(*[F.abs(F.avg(d)) for d in dmv]).alias("m"))
-            .agg(F.max("m").alias("m"))
-            for fe in cc
-        ]
-        checks = per_fe[0]
-        for other in per_fe[1:]:
+        sw = sw.localCheckpoint(eager=False)
+        checks = stats[0]
+        for other in stats[1:]:
             checks = checks.unionAll(other)
         worsts = [r["m"] for r in checks.collect() if r["m"] is not None]
-        # The collect above materialized THIS sweep's checkpoint (its
-        # lineage is now truncated), so the previous sweep's persisted
-        # blocks are dead — release them. Without this, ``ap_max_iter``
-        # copies of the working set pin executor storage memory and
-        # evict/poison every later job in the session.
-        if _sweep > 0:
-            _unpersist_checkpoint(prev_ckpt)
+        # That collect scanned (and so materialized) the PREVIOUS
+        # checkpoint; this sweep's is still pending. Release sweep
+        # s-2's blocks and sweep s-1's means tables — nothing
+        # un-materialized references them any more.
+        live_ckpts.append(sw)
+        while len(live_ckpts) > 2:
+            _unpersist_checkpoint(live_ckpts.pop(0))
+        for m in prev_means:
+            m.unpersist(False)
+        prev_means = cur_means
+        if _dbg:
+            print(
+                f"[ap] sweep {_sweep}: {_time.perf_counter() - _t_sweep:.2f}s "
+                f"worst={max(map(float, worsts)) if worsts else None:.3g}",
+                flush=True,
+            )
         if worsts and max(map(float, worsts)) < ap_tol * scale:
             break
 
     dm_x = [dm[c] for c in x_cols]
     dm_y = [dm[c] for c in y_cols]
     G_dm, Xty, n = gram_matrix(sw, dm_x, dm_y)
+    # gram materialized the final checkpoint; its predecessors and the
+    # last sweep's means are now dead.
+    for c in live_ckpts[:-1]:
+        _unpersist_checkpoint(c)
+    for m in prev_means:
+        m.unpersist(False)
     x_used = list(x_cols)
     if check_rank:
         ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
@@ -535,53 +610,55 @@ def _plan_alternating(
     )
 
     # FE recovery by back-fitting on r = y − x·b (few sweeps) over the
-    # ORIGINAL df. Entirely lazy (non-eager checkpoints): slopes-only
-    # callers never pay for it; it executes on first access to
-    # fixed_effects / residuals.
-    with_resid = _append_residuals(df, y_cols, x_used, b_x)
-    resid_cols = [f"resid_{yc}" for yc in y_cols]
-    eff_cols = [f"fe_{yc}" for yc in y_cols]
-    fe_tables: dict[str, DataFrame] = {}
-    cur = with_resid
-    for _ in range(3):
-        for fe in cc:
-            inc = cur.groupBy(fe).agg(
-                *[F.avg(rc).alias(ec) for rc, ec in zip(resid_cols, eff_cols)]
-            )
-            cur = cur.join(F.broadcast(inc), on=fe, how="left").select(
-                *[c for c in cur.columns if c not in resid_cols],
-                *[
-                    (F.col(rc) - F.coalesce(F.col(ec), F.lit(0.0))).alias(rc)
-                    for rc, ec in zip(resid_cols, eff_cols)
-                ],
-            ).drop(*eff_cols)
-            # Accumulate this round's increment into the FE's table.
-            if fe in fe_tables:
-                prev = fe_tables[fe]
-                joined = prev.join(
-                    inc.select(fe, *[F.col(ec).alias(f"__i_{ec}") for ec in eff_cols]),
-                    on=fe,
-                    how="outer",
+    # ORIGINAL df — behind a builder closure so NOTHING (not even plan
+    # construction — AQE runs checkpoint stages at creation) happens
+    # unless the caller reads ``fixed_effects`` / ``residuals``.
+    def _build_backfit():
+        resid_cols = [f"resid_{yc}" for yc in y_cols]
+        eff_cols = [f"fe_{yc}" for yc in y_cols]
+        fe_tables: dict[str, DataFrame] = {}
+        cur = _append_residuals(df, y_cols, x_used, b_x)
+        for _ in range(3):
+            for fe in cc:
+                inc = cur.groupBy(fe).agg(
+                    *[F.avg(rc).alias(ec) for rc, ec in zip(resid_cols, eff_cols)]
                 )
-                fe_tables[fe] = joined.select(
-                    fe,
+                cur = cur.join(F.broadcast(inc), on=fe, how="left").select(
+                    *[c for c in cur.columns if c not in resid_cols],
                     *[
-                        (
-                            F.coalesce(F.col(ec), F.lit(0.0))
-                            + F.coalesce(F.col(f"__i_{ec}"), F.lit(0.0))
-                        ).alias(ec)
-                        for ec in eff_cols
+                        (F.col(rc) - F.coalesce(F.col(ec), F.lit(0.0))).alias(rc)
+                        for rc, ec in zip(resid_cols, eff_cols)
                     ],
-                )
-            else:
-                fe_tables[fe] = inc
-        cur = cur.localCheckpoint(eager=False)
-    residual_full = cur
-    res.fixed_effects = {
-        fe: t.localCheckpoint(eager=False) for fe, t in fe_tables.items()
-    }
-    if get_residual:
-        res.residuals = residual_full
+                ).drop(*eff_cols)
+                # Accumulate this round's increment into the FE's table.
+                if fe in fe_tables:
+                    prev = fe_tables[fe]
+                    joined = prev.join(
+                        inc.select(
+                            fe, *[F.col(ec).alias(f"__i_{ec}") for ec in eff_cols]
+                        ),
+                        on=fe,
+                        how="outer",
+                    )
+                    fe_tables[fe] = joined.select(
+                        fe,
+                        *[
+                            (
+                                F.coalesce(F.col(ec), F.lit(0.0))
+                                + F.coalesce(F.col(f"__i_{ec}"), F.lit(0.0))
+                            ).alias(ec)
+                            for ec in eff_cols
+                        ],
+                    )
+                else:
+                    fe_tables[fe] = inc
+            cur = cur.localCheckpoint(eager=False)
+        fe_out = {
+            fe: t.localCheckpoint(eager=False) for fe, t in fe_tables.items()
+        }
+        return fe_out, cur
+
+    res._lazy_tables = _build_backfit
 
     if estimate_variance:
         # Slopes-only variance on the fully-demeaned model with

@@ -6,9 +6,10 @@ the ``documents`` fixture table.
 
 Everything here is JVM-side built-in expressions (split / regexp /
 array functions) inside whole-stage codegen — no Python in the hot
-path. Each operator is a narrow projection: no shuffle at all, so the
-plans scale linearly with input and parallelize per file split at
-100 TB.
+path. Each operator is a narrow projection — no shuffle at scale
+(the CPU-heavy ones round-robin a too-narrow scan first, see
+``_spread``) — so the plans scale linearly with input and
+parallelize per file split at 100 TB.
 """
 
 from __future__ import annotations
@@ -37,11 +38,26 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan has fewer splits than the
+    cluster has cores. CPU-heavy per-row expressions (regex counting,
+    per-char hashing) otherwise serialize on one task when the input
+    is a single parquet row-group — the local-fixture case. At real
+    scale the input is already ≥cores splits and this is a no-op, so
+    the shuffle only ever pays for itself."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts, chars per token."""
     t = tokens(F.col(text_col))
     ws = F.size(t)
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    df = _spread(df)
     return df.select(
         "*",
         ws.alias("n_tokens_ws"),
@@ -124,21 +140,18 @@ def doc_fingerprint(
     ``window`` consecutive k-gram hashes; the distinct minima are the
     document's fingerprint set.
 
-    Pure JVM expressions: sequence → substring → xxhash64 → windowed
-    array_min → array_distinct. One narrow projection, no shuffle.
+    Arrow-vectorized kernel (functions/hashing.py): one O(len)
+    rolling-hash pass + sliding-window min per doc. The equivalent
+    JVM higher-order expression re-inlines the k-gram array into the
+    window lambda (O(len²) interpreted re-eval — measured 200+ s at
+    sf0.1), so this is deliberately NOT a built-in-expression plan.
+    One narrow projection, no shuffle at scale.
     """
-    text = F.lower(F.col(text_col))
-    n_sh = F.greatest(F.length(text) - (k - 1), F.lit(0))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+    from hdfe_spark.functions.hashing import make_winnow_udf
+
+    fp = make_winnow_udf(k, window)(F.col(text_col))
+    return (
+        _spread(df)
+        .withColumn("fingerprint", fp)
+        .withColumn("n_fingerprints", F.size("fingerprint"))
     )
-    n_win = F.greatest(n_sh - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.array_min(F.slice(gram_hashes, i + 1, window)),
-    )
-    fp = F.when(n_sh <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_sort(F.array_distinct(mins))
-    )
-    return df.select("*", fp.alias("fingerprint"), F.size(fp).alias("n_fingerprints"))

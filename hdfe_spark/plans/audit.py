@@ -78,6 +78,11 @@ def plan_report(df: DataFrame) -> dict:
         "BroadcastExchange"
     )
     report["n_broadcast_exchanges"] = simple.count("BroadcastExchange")
+    # Key-hash repartitions specifically (round-robin spreads of a
+    # too-narrow scan are benign; a surprise hashpartitioning is not).
+    report["n_hash_exchanges"] = len(
+        re.findall(r"Exchange hashpartitioning", simple)
+    )
     return report
 
 

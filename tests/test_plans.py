@@ -89,8 +89,12 @@ def test_exact_dedup_single_shuffle(docs):
 def test_text_ops_no_shuffle(docs):
     from hdfe_spark.operators.text import lang_id, quality_score, token_stats
 
-    for op in (token_stats, quality_score, lang_id):
+    for op in (quality_score, lang_id):
         assert_plan(op(docs), n_exchanges=0, n_python_stages=0)
+    # token_stats may round-robin a too-narrow scan (_spread) but must
+    # never key-shuffle or leave the JVM.
+    rep = assert_plan(token_stats(docs), n_exchanges_max=1, n_python_stages=0)
+    assert rep.get("n_hash_exchanges", 0) == 0
 
 
 def test_cosine_topk_uses_heap_not_sort(spark, sf_dir):

@@ -81,7 +81,10 @@ def test_fingerprint_deterministic_and_shared(spark):
     assert got.loc[1, "n_fingerprints"] == len(fp1)
 
 
-def test_fingerprint_no_shuffle(docs):
-    """Fingerprint must be a pure projection — no Exchange in plan."""
+def test_fingerprint_no_key_shuffle(docs):
+    """Fingerprint is a projection: the only Exchange allowed is the
+    deliberate round-robin _spread (no-op at real scale where the scan
+    already has >= cores splits) — never a key-hash shuffle."""
     plan = doc_fingerprint(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert plan.count("Exchange") <= 1
