@@ -516,6 +516,17 @@ def _q_simhash_dedup(spark, sf_dir):
     return simhash_dedup(docs).select("doc_id", "lang", "source")
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    """Hamming-banded SimHash near-dup pairs (pigeonhole banding is
+    exact, but the 64-bit signature itself is a seeded Python kernel —
+    not DuckDB-reproducible, so rows-only; pytest brute-force-verifies
+    the full pair set (tests/test_dedup.py)."""
+    from hdfe_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
 def _q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 against the vec_id=0 vector."""
     from hdfe_spark.operators.similarity import cosine_topk
@@ -682,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
+        "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1130,5 +1142,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, simhash_dedup,
-        # ann_lsh_topk, ivf_topk, multimodal_decode
+        # simhash_neardup, ann_lsh_topk, ivf_topk, multimodal_decode
     }

@@ -44,6 +44,16 @@ def main():
         _noop(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # JIT-warm the Arrow driver-collect path (ArrowConverters): the
+    # first couple of large toPandas() calls run interpreted and cost
+    # 5-10 s regardless of query; three medium collects compile it.
+    for _ in range(3):
+        spark.range(0, 500_000, 1, 32).select(
+            F.col("id"),
+            (F.col("id") % 997).alias("k"),
+            F.rand(7).alias("v"),
+        ).toPandas()
+
     headline = [
         "grouped_agg",
         "grouped_transform",

@@ -236,6 +236,65 @@ def simhash_dedup(
     )
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs at SimHash Hamming distance ≤
+    ``max_hamming`` via pigeonhole banding (Manku et al., WWW'07):
+    split the 64-bit signature into ``max_hamming + 1`` chunks — any
+    pair within the distance budget must agree exactly on at least one
+    chunk — bucket-join on (chunk_idx, chunk_value) equality only,
+    then verify candidates with an exact JVM ``bit_count(a XOR b)``.
+
+    This is EXACT (pigeonhole, not probabilistic): recall is 100% by
+    construction, unlike hyperplane/MinHash LSH. Cost scales with
+    chunk-bucket collisions, never O(n²); chunks are 64/(d+1) bits so
+    buckets stay tiny unless the corpus is pathologically self-similar
+    (then: raise chunk count via a larger ``max_hamming`` budget and
+    filter after, or salt the join — same toolbox as the MinHash path).
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim"))
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("__sim"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("__sim"),
+        F.posexplode(chunks).alias("__chunk_idx", "__chunk_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__chunk_idx") == F.col("b.__chunk_idx"),
+                F.col("a.__chunk_val") == F.col("b.__chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
 # ------------------------------------------------- embedding near-dup
 
 

@@ -458,64 +458,150 @@ def _unpersist_checkpoint(ckpt_df) -> None:
         pass
 
 
-def _plan_alternating(
-    df, y_cols, x_cols, cc, check_rank, estimate_variance,
-    want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
-) -> EstimateResult:
-    """≥2 FEs at scale: alternating-projection demeaning
-    (Guimarães & Portugal 2010 / reghdfe) replacing the reference's
-    materialize-all-dummies + LSQR (``hdfe/hdfe.py:121-144``).
+# The AP fixed point lives in LEVEL space: the demeaned value of any
+# row is x − Σ_f a_f(level_f(row)) for per-FE adjustment vectors a_f,
+# and the a_f satisfy the dummy-design normal equations whose blocks
+# are the per-level weights (diagonal) and pairwise FE cross-counts
+# (off-diagonal). Those sufficient statistics are LEVEL-sized, so when
+# they fit on the driver the whole iteration runs in numpy — zero
+# full-data sweeps. Gates (env-overridable):
+_AP_DRIVER_LEVELS_MAX = 20_000_000  # Σ levels across FEs
+_AP_DRIVER_NNZ_MAX = 5_000_000  # Σ distinct pairs across FE pairs
 
-    Slopes match the reference exactly (uniquely identified); FE
-    effects are identified up to constants and recovered per-FE by
-    iterated back-fitting — **lazily**: the back-fit DataFrames are
-    only executed if the caller reads ``fixed_effects``/``residuals``.
 
-    Scale design of the sweep loop:
+def _fe_adjust_driver(cells, cc, dmv, ap_tol, scale, max_iter):
+    """Solve for the per-FE adjustment vectors by Irons–Tuck-
+    accelerated block Gauss–Seidel on the normal equations built from
+    the cell table — mathematically the SAME iteration as distributed
+    AP (each block update is 'subtract current group means of FE f'),
+    but each sweep is a few ``np.bincount`` matvecs over the cell
+    arrays instead of a full-data pass, so sweeps cost milliseconds.
 
-    - operates on a **narrow projection** (FE keys + demeaned cols),
-      never the full input row — at TPC-H widths this cuts per-sweep
-      bytes ~5-10×;
-    - each per-FE demean is ``groupBy(fe).agg(avg)`` (map-side partial
-      aggregation, level-sized shuffle) + a **broadcast join**
-      subtract — the fact table itself is never shuffled, vs a window
-      pass which shuffles+sorts every row per FE per sweep; FEs with
-      more than ``_BROADCAST_DEMEAN_MAX_LEVELS`` levels fall back to
-      the window form;
-    - convergence is ``max |group mean| < ap_tol × column RMS``
-      (relative — an absolute test on e.g. price-scaled data forces
-      dozens of extra sweeps), checked from level-sized aggregates;
-    - ``localCheckpoint(eager=False)`` per sweep bounds the plan, and
-      materializes together with the convergence check's action.
+    ``cells``: pandas (cc..., __w, __s_<d>...) — one row per distinct
+    FE combination. Everything is factorized to integer codes once;
+    per-FE weights/sums and every cross-FE coupling are bincounts over
+    the cell arrays (works for ANY number of FEs — the cell row IS the
+    joint key). Returns ``{fe: pandas(level, __adj_<d>...)}`` —
+    broadcast-join these and subtract.
     """
-    all_cols = list(x_cols) + list(y_cols)
-    dm = {c: f"__dm_{c}" for c in all_cols}
-    dmv = list(dm.values())
-    keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
-    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
+    import os as _os
 
-    # One-time per-FE level counts: pick demean strategy, reused for
-    # the absorbed-dof correction in the variance path.
-    levels = {fe: df.select(fe).distinct().count() for fe in cc}
+    import pandas as pd
 
-    # Relative convergence scale: largest column RMS (one pass).
-    rms_row = sw.agg(
-        *[F.sqrt(F.avg(F.col(d) * F.col(d))).alias(d) for d in dmv]
-    ).collect()[0]
-    scale = max(
-        [float(rms_row[d]) for d in dmv if rms_row[d] is not None] or [1.0]
-    ) or 1.0
+    _dbg = bool(_os.environ.get("HDFE_DEBUG_AP"))
 
-    # Lifetimes: checkpoint s materializes lazily inside sweep s+1's
-    # first means scan, so at any moment at most TWO checkpoints (and
-    # one sweep's level-sized means tables) are live — everything
-    # older is unpersisted as the loop advances. Without this,
-    # ``ap_max_iter`` copies of the working set pin executor storage
-    # and evict/poison every later job in the session.
+    w_cell = cells["__w"].to_numpy(np.float64)
+    codes: dict = {}
+    uniq: dict = {}
+    for fe in cc:
+        codes[fe], uniq[fe] = pd.factorize(cells[fe].to_numpy())
+    L = {fe: len(uniq[fe]) for fe in cc}
+    w = {
+        fe: np.maximum(
+            np.bincount(codes[fe], weights=w_cell, minlength=L[fe]), 1e-300
+        )
+        for fe in cc
+    }
+    sx_all = {
+        fe: {
+            d: np.bincount(
+                codes[fe],
+                weights=cells[f"__s_{d}"].to_numpy(np.float64),
+                minlength=L[fe],
+            )
+            for d in dmv
+        }
+        for fe in cc
+    }
+
+    def cross_others(f, a):
+        """Σ_{rows at each level of f} Σ_{g≠f} a_g(level_g(row)):
+        one fused bincount over the cells."""
+        other = np.zeros(len(w_cell))
+        for g in cc:
+            if g != f:
+                other += a[g][codes[g]]
+        return np.bincount(
+            codes[f], weights=w_cell * other, minlength=L[f]
+        )
+
+    sizes = [L[fe] for fe in cc]
+    splits = np.cumsum(sizes)[:-1]
+
+    # Driver sweeps cost milliseconds, so converge far past the
+    # distributed path's tolerance (the caller's ap_tol is sized for
+    # expensive full-data sweeps): run to ~machine precision, with a
+    # stagnation guard for configurations that bottom out earlier.
+    tol = max(ap_tol * 1e-4, 1e-13) * scale
+    out = {fe: pd.DataFrame({fe: uniq[fe]}) for fe in cc}
+    for d in dmv:
+        a = {fe: np.zeros(L[fe]) for fe in cc}
+        prev1 = prev2 = None
+        best = np.inf
+        stale = 0
+        for it in range(max_iter):
+            worst = 0.0
+            for f in cc:
+                m = (sx_all[f][d] - cross_others(f, a)) / w[f] - a[f]
+                a[f] += m
+                if m.size:
+                    worst = max(worst, float(np.abs(m).max()))
+            if worst < tol:
+                break
+            if worst < best * 0.5:
+                best = worst
+                stale = 0
+            else:
+                stale += 1
+                if stale > 20:
+                    break
+            # Irons–Tuck extrapolation every 3rd sweep (reghdfe's
+            # acceleration): for a linear fixed-point iteration the
+            # secant step along Δ²x jumps near the limit, typically
+            # cutting sweeps ~5-10×.
+            cur = np.concatenate([a[fe] for fe in cc])
+            if it % 3 == 2 and prev2 is not None:
+                d1 = cur - prev1
+                d2 = d1 - (prev1 - prev2)
+                denom = float(d2 @ d2)
+                if denom > 0.0:
+                    cur = cur - (float(d1 @ d2) / denom) * d1
+                    for fe, seg in zip(cc, np.split(cur, splits)):
+                        a[fe] = seg
+                prev1 = prev2 = None
+            else:
+                prev2, prev1 = prev1, cur
+        if _dbg:
+            print(f"[ap] driver GS {d}: {it + 1} sweeps", flush=True)
+        for fe in cc:
+            out[fe][f"__adj_{d}"] = a[fe]
+    return out
+
+
+def _ap_sweeps_distributed(
+    sw, cc, dmv, keep, levels, weight, scale, ap_tol, ap_max_iter
+):
+    """The distributed alternating-projection sweep loop over ``sw``
+    (optionally ``weight``-ed when ``sw`` is a compressed cell table).
+    Returns the converged DataFrame (a live localCheckpoint — caller
+    releases it via ``_unpersist_checkpoint`` when done).
+
+    Checkpoint/means lifetimes: checkpoint s materializes lazily
+    inside sweep s+1's first means scan, so at most TWO checkpoints
+    (and one sweep's level-sized means tables) are live; everything
+    older is unpersisted as the loop advances. Without this,
+    ``ap_max_iter`` copies of the working set pin executor storage and
+    evict/poison every later job in the session."""
     import os as _os
     import time as _time
 
     _dbg = bool(_os.environ.get("HDFE_DEBUG_AP"))
+
+    def wavg(d):
+        if weight is None:
+            return F.avg(d)
+        return F.sum(F.col(weight) * F.col(d)) / F.sum(weight)
+
     live_ckpts: list = []
     prev_means: list = []
     for _sweep in range(ap_max_iter):
@@ -525,7 +611,7 @@ def _plan_alternating(
         for fe in cc:
             if levels[fe] <= _BROADCAST_DEMEAN_MAX_LEVELS:
                 means = sw.groupBy(fe).agg(
-                    *[F.avg(d).alias(f"__m_{d}") for d in dmv]
+                    *[wavg(d).alias(f"__m_{d}") for d in dmv]
                 ).persist()
                 cur_means.append(means)
                 # Convergence piggybacks on the means ALREADY computed
@@ -553,14 +639,27 @@ def _plan_alternating(
                 # the increment stat (still cheaper than sorting).
                 stats.append(
                     sw.groupBy(fe)
-                    .agg(F.greatest(*[F.abs(F.avg(d)) for d in dmv]).alias("m"))
+                    .agg(F.greatest(*[F.abs(wavg(d)) for d in dmv]).alias("m"))
                     .agg(F.max("m").alias("m"))
                 )
                 w = Window.partitionBy(fe)
-                sw = sw.select(
-                    *keep,
-                    *[(F.col(d) - F.avg(d).over(w)).alias(d) for d in dmv],
-                )
+                if weight is None:
+                    sw = sw.select(
+                        *keep,
+                        *[(F.col(d) - F.avg(d).over(w)).alias(d) for d in dmv],
+                    )
+                else:
+                    wm = F.sum(weight).over(w)
+                    sw = sw.select(
+                        *keep,
+                        *[
+                            (
+                                F.col(d)
+                                - F.sum(F.col(weight) * F.col(d)).over(w) / wm
+                            ).alias(d)
+                            for d in dmv
+                        ],
+                    )
         sw = sw.localCheckpoint(eager=False)
         checks = stats[0]
         for other in stats[1:]:
@@ -585,15 +684,220 @@ def _plan_alternating(
         if worsts and max(map(float, worsts)) < ap_tol * scale:
             break
 
+    # The final checkpoint is still UNmaterialized (the convergence
+    # collect only read the means tables) and its plan references the
+    # previous checkpoint + last sweep's means — they must stay alive
+    # until the caller's first action over `sw`. Hand back a cleanup
+    # to call after that action.
+    def _finish():
+        for c in live_ckpts[:-1]:
+            _unpersist_checkpoint(c)
+        for m in prev_means:
+            m.unpersist(False)
+
+    return sw, _finish
+
+
+def _plan_alternating(
+    df, y_cols, x_cols, cc, check_rank, estimate_variance,
+    want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
+) -> EstimateResult:
+    """≥2 FEs at scale: alternating-projection demeaning
+    (Guimarães & Portugal 2010 / reghdfe) replacing the reference's
+    materialize-all-dummies + LSQR (``hdfe/hdfe.py:121-144``).
+
+    Slopes match the reference exactly (uniquely identified); FE
+    effects are identified up to constants and recovered per-FE by
+    iterated back-fitting — **lazily**: the back-fit DataFrames are
+    only executed if the caller reads ``fixed_effects``/``residuals``.
+
+    Scale design — three tiers, chosen by the size of the distinct
+    FE-combination CELL table (AP's subtracted group means are
+    constant within a cell, so sweeps on the ``__w``-weighted cell
+    table are mathematically identical to full-data sweeps):
+
+    1. **cells ≤ ~1M** (the common econometrics shape — e.g. firm ×
+       year): ONE full-data groupBy builds the cells, the AP sweeps
+       run in numpy on the driver (microseconds, zero cluster jobs),
+       and one broadcast join of the converged per-cell adjustment
+       demeans every row. Total full-data passes: 2 + Gram,
+       independent of sweep count.
+    2. **cells > 1M but < rows/2**: the same sweep loop, distributed
+       and weighted, over the cell table — per-sweep cost scales with
+       |cells|, not n.
+    3. **cells ≈ rows** (an FE combination near row-identity): classic
+       full-data sweeps.
+
+    Sweep-loop mechanics (tiers 2-3): narrow projection only; per-FE
+    demean is ``groupBy(fe).agg(avg)`` (map-side partials) + a
+    **broadcast join** subtract — the fact table itself is never
+    shuffled — with a window-pass fallback above
+    ``_BROADCAST_DEMEAN_MAX_LEVELS``; convergence is ``max |group
+    mean| < ap_tol × column RMS`` read from the means already computed
+    for demeaning; ``localCheckpoint(eager=False)`` per sweep bounds
+    the plan.
+    """
+    all_cols = list(x_cols) + list(y_cols)
+    dm = {c: f"__dm_{c}" for c in all_cols}
+    dmv = list(dm.values())
+    keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
+    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
+
+    # --- One gate pass: row count, approximate per-FE level counts,
+    # approximate pairwise-combination counts (the nnz of the
+    # level-space normal equations), and the column RMS used as the
+    # relative convergence scale.
+    from itertools import combinations
+
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("HDFE_DEBUG_AP"))
+    _t0 = _time.perf_counter()
+
+    fe_pairs = list(combinations(cc, 2))
+    gate = sw.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.approx_count_distinct(fe).alias(f"__l_{fe}") for fe in cc],
+        *[
+            F.approx_count_distinct(F.xxhash64(a, b)).alias(f"__p_{i}")
+            for i, (a, b) in enumerate(fe_pairs)
+        ],
+        F.approx_count_distinct(F.xxhash64(*cc)).alias("__cells"),
+        *[F.avg(F.col(d) * F.col(d)).alias(f"__ms_{d}") for d in dmv],
+    ).collect()[0]
+    n_rows = int(gate["__n"])
+    approx_levels = sum(int(gate[f"__l_{fe}"]) for fe in cc)
+    # The driver path collects the full-combination cell table, so the
+    # gate bounds BOTH the pairwise nnz and the cell count (for C=2
+    # they coincide; for C>2 cells can be much larger).
+    approx_nnz = max(
+        sum(int(gate[f"__p_{i}"]) for i in range(len(fe_pairs))),
+        int(gate["__cells"]),
+    )
+    # Relative convergence scale: largest column RMS (an absolute test
+    # on e.g. price-scaled data forces dozens of extra sweeps).
+    scale = max(
+        [
+            float(gate[f"__ms_{d}"]) ** 0.5
+            for d in dmv
+            if gate[f"__ms_{d}"] is not None
+        ]
+        or [1.0]
+    ) or 1.0
+
+    if _dbg:
+        print(f"[ap] gate: {_time.perf_counter() - _t0:.2f}s "
+              f"nnz~{approx_nnz} levels~{approx_levels}", flush=True)
+        _t0 = _time.perf_counter()
+    adj_cols = {d: f"__adj_{d}" for d in dmv}
+    finish = None
+    cw = None
+    cells = None
+    if approx_levels <= _AP_DRIVER_LEVELS_MAX and approx_nnz <= _AP_DRIVER_NNZ_MAX:
+        # Level-space path: ONE groupBy over all FE keys collects the
+        # distinct-combination cell table (weights + per-column sums —
+        # the gate bounded its size); per-FE sums and pairwise
+        # cross-counts fall out of it with driver pandas groupbys;
+        # the iteration runs in numpy; then ONE pass with C tiny
+        # broadcast joins demeans every row. Total full-data scans:
+        # gate + cells + Gram — independent of sweep count.
+        cells_pdf = (
+            sw.groupBy(*cc)
+            .agg(
+                F.count(F.lit(1)).alias("__w"),
+                *[F.sum(d).alias(f"__s_{d}") for d in dmv],
+            )
+            .toPandas()
+        )
+        if _dbg:
+            print(f"[ap] cells collect: {_time.perf_counter() - _t0:.2f}s "
+                  f"({len(cells_pdf)} cells)", flush=True)
+            _t0 = _time.perf_counter()
+        adjs = _fe_adjust_driver(
+            cells_pdf, cc, dmv, ap_tol, scale, max(1000, ap_max_iter)
+        )
+        levels = {fe: len(adjs[fe]) for fe in cc}
+        if _dbg:
+            print(f"[ap] driver solve: {_time.perf_counter() - _t0:.2f}s", flush=True)
+            _t0 = _time.perf_counter()
+        for i, fe in enumerate(cc):
+            adf = adjs[fe].rename(
+                columns={f"__adj_{d}": f"__adj{i}_{d}" for d in dmv}
+            )
+            sw = sw.join(
+                F.broadcast(df.sparkSession.createDataFrame(adf)),
+                on=fe,
+                how="left",
+            )
+        zero = F.lit(0.0)
+        sw = sw.select(
+            *keep,
+            *[
+                (
+                    F.col(d)
+                    - sum(
+                        (
+                            F.coalesce(F.col(f"__adj{i}_{d}"), F.lit(0.0))
+                            for i in range(len(cc))
+                        ),
+                        zero,
+                    )
+                ).alias(d)
+                for d in dmv
+            ],
+        )
+    else:
+        # Distributed sweeps — on the compressed weighted CELL table
+        # when the distinct FE-combination count is well under the row
+        # count (AP's subtracted means are cell-constant, so weighted
+        # cell sweeps are identical math at |cells| rows per sweep),
+        # else on the full data.
+        cells = sw.groupBy(*cc).agg(
+            F.count(F.lit(1)).alias("__w"),
+            *[F.avg(d).alias(d) for d in dmv],
+        ).persist()
+        n_cells = cells.count()
+        levels = {fe: cells.select(fe).distinct().count() for fe in cc}
+        if n_cells <= n_rows // 2:
+            cw, finish = _ap_sweeps_distributed(
+                cells, cc, dmv, list(cc) + ["__w"], levels, "__w",
+                scale, ap_tol, ap_max_iter,
+            )
+            adj = cells.select(
+                *cc, *[F.col(d).alias(f"__m0_{d}") for d in dmv]
+            ).join(cw.select(*cc, *dmv), on=list(cc)).select(
+                *cc,
+                *[
+                    (F.col(f"__m0_{d}") - F.col(d)).alias(a)
+                    for d, a in adj_cols.items()
+                ],
+            )
+            sw = sw.join(adj, on=list(cc), how="left").select(
+                *keep,
+                *[
+                    (F.col(d) - F.coalesce(F.col(a), F.lit(0.0))).alias(d)
+                    for d, a in adj_cols.items()
+                ],
+            )
+        else:
+            cells.unpersist(False)
+            cells = None
+            sw, finish = _ap_sweeps_distributed(
+                sw, cc, dmv, keep, levels, None, scale, ap_tol, ap_max_iter
+            )
+
     dm_x = [dm[c] for c in x_cols]
     dm_y = [dm[c] for c in y_cols]
     G_dm, Xty, n = gram_matrix(sw, dm_x, dm_y)
-    # gram materialized the final checkpoint; its predecessors and the
-    # last sweep's means are now dead.
-    for c in live_ckpts[:-1]:
-        _unpersist_checkpoint(c)
-    for m in prev_means:
-        m.unpersist(False)
+    if _dbg:
+        print(f"[ap] demean+gram: {_time.perf_counter() - _t0:.2f}s", flush=True)
+    # gram materialized everything upstream; intermediate sweep
+    # checkpoints/means are dead. (`cw`/`cells` stay alive — the
+    # variance path below re-scans `sw`, whose plan references them —
+    # and are released with the sweep table at function exit.)
+    if finish is not None:
+        finish()
     x_used = list(x_cols)
     if check_rank:
         ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
@@ -683,6 +987,10 @@ def _plan_alternating(
         res.v_coef_names = list(x_used)
     # Gram + variance are done with the sweep table; nothing returned
     # references it (back-fit reads the original df), so release the
-    # final checkpoint's blocks before handing back.
+    # final checkpoint's / cell-table blocks before handing back.
     _unpersist_checkpoint(sw)
+    if cw is not None:
+        _unpersist_checkpoint(cw)
+    if cells is not None:
+        cells.unpersist(False)
     return res

@@ -96,6 +96,43 @@ def test_simhash_dedup(spark):
     assert sorted(out["doc_id"]) == [0, 2]
 
 
+def test_simhash_neardup_pairs_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole banding is EXACT for Hamming ≤ max_hamming: the
+    candidate-bucket join + popcount verify must return precisely the
+    brute-force all-pairs ground truth over the fixture signatures."""
+    import numpy as np
+
+    from hdfe_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        simhash_neardup_pairs(docs, max_hamming=3)
+        .select("id_a", "id_b", "hamming")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    sig = docs.select(
+        "doc_id", simhash(F.col("text")).alias("s")
+    ).toPandas()
+    ids = sig["doc_id"].to_numpy()
+    s = sig["s"].to_numpy(np.uint64)
+    x = s[:, None] ^ s[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = ham[iu, ju] <= 3
+    want = sorted(
+        (min(a, b), max(a, b), int(h))
+        for a, b, h in zip(ids[iu[keep]], ids[ju[keep]], ham[iu, ju][keep])
+    )
+    assert [tuple(r) for r in got.to_numpy()] == want
+    assert len(want) > 0  # fixture near-dups make the check non-vacuous
+
+
 def test_real_documents_no_exact_dups(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
