@@ -96,6 +96,48 @@ def test_plan_alternating_matches_within(reg_df):
     )
 
 
+def test_plan_alternating_distributed_tiers_match_driver(reg_df, monkeypatch):
+    """The three Plan C tiers (driver level-space solve, distributed
+    weighted cell sweeps, full-data sweeps) are alternative physical
+    strategies for the same projection — force each via the gates and
+    check identical slopes."""
+    import hdfe_spark.operators.estimate as est_mod
+
+    kw = dict(
+        categorical_controls=["fe1", "fe2"], within_if_fe=False,
+        check_rank=False, estimate_variance=False,
+    )
+    b_driver = estimate(reg_df, "y", ["x1", "x2"], **kw).b[:, 0]
+
+    # Gate to 0 → distributed branch; reg_df has repeated (fe1, fe2)
+    # cells (50×5 combos over 2000 rows) → weighted cell sweeps.
+    monkeypatch.setattr(est_mod, "_AP_DRIVER_LEVELS_MAX", 0)
+    b_cells = estimate(reg_df, "y", ["x1", "x2"], **kw).b[:, 0]
+    np.testing.assert_allclose(b_cells, b_driver, rtol=1e-6)
+
+    # A near-row-unique FE combination defeats cell compression
+    # (n_cells > n_rows/2) → full-data sweeps.
+    import pyspark.sql.functions as SF
+
+    wide = reg_df.withColumn("row_fe", SF.monotonically_increasing_id() % 900)
+    b_full_driver = None
+    monkeypatch.setattr(est_mod, "_AP_DRIVER_LEVELS_MAX", 20_000_000)
+    b_full_driver = estimate(
+        wide, "y", ["x1", "x2"],
+        categorical_controls=["fe1", "row_fe"], within_if_fe=False,
+        check_rank=False, estimate_variance=False,
+    ).b[:, 0]
+    monkeypatch.setattr(est_mod, "_AP_DRIVER_LEVELS_MAX", 0)
+    b_full = estimate(
+        wide, "y", ["x1", "x2"],
+        categorical_controls=["fe1", "row_fe"], within_if_fe=False,
+        check_rank=False, estimate_variance=False,
+    ).b[:, 0]
+    # Iterative sweeps (ap_tol-bounded) vs the exact driver solve on
+    # a 900-level FE: agreement is tolerance-limited, not exact.
+    np.testing.assert_allclose(b_full, b_full_driver, rtol=2e-3)
+
+
 def test_residuals(reg_df, reg_pdf):
     res = estimate(
         reg_df, "y", ["x1", "x2"], categorical_controls=["fe1"],
