@@ -172,8 +172,48 @@ def ann_topk_lsh(
     )
 
 
-def ivf_topk(
+def ivf_index(
     df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    path: str | None = None,
+) -> "tuple[DataFrame, np.ndarray]":
+    """Build the IVF coarse quantizer ONCE (the FAISS train+add
+    phases): fit MLlib KMeans, assign every vector to its nearest
+    centroid, and return ``(assigned, centers)``.
+
+    With ``path``, the assignment is written **partitioned by**
+    ``__centroid`` and read back — every subsequent probe filters on
+    the partition column, so the scan prunes to ``n_probe``
+    directories (`PartitionFilters` in the plan) and never touches
+    the other ``n_centroids − n_probe`` fractions of the corpus. This
+    is the 100 TB layout; without ``path`` the assignment is kept as
+    an in-session DataFrame (still filter-pruned, not scan-pruned).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = df.withColumn(
+        "__mlvec",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    ).persist()  # KMeans iterates; released below when materialized
+    km = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__mlvec", predictionCol="__centroid"
+    )
+    model = km.fit(v)
+    centers = np.array(model.clusterCenters())
+    assigned = model.transform(v).drop("__mlvec")
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("__centroid").parquet(path)
+        v.unpersist(False)
+        assigned = df.sparkSession.read.parquet(path)
+    return assigned, centers
+
+
+def ivf_topk(
+    df: DataFrame | None,
     query: "np.ndarray | list[float]",
     k: int = 10,
     vec_col: str = "embedding",
@@ -181,31 +221,28 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
 ) -> DataFrame:
-    """IVF coarse-quantized ANN: KMeans centroids (MLlib), assignment
-    by nearest centroid, probe the ``n_probe`` centroids nearest the
-    query. At scale, assignment is computed once and the table written
-    partitioned by ``__centroid`` so probing becomes partition
-    pruning on the scan."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """IVF coarse-quantized ANN: probe the ``n_probe`` centroids
+    nearest the query, exact cosine within the probed lists, global
+    top-k via per-partition heaps (``TakeOrderedAndProject``).
+
+    Pass ``index=ivf_index(...)`` to amortize quantizer training and
+    assignment across queries (and to get partition-pruned scans when
+    the index was materialized with ``path=``); without it, the index
+    is built from ``df`` for this one call — convenience only."""
+    if index is None:
+        index = ivf_index(
+            df, vec_col=vec_col, id_col=id_col,
+            n_centroids=n_centroids, seed=seed,
+        )
+    assigned, centers = index
 
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
-
-    v = df.withColumn(
-        "__mlvec",
-        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
-    ).persist()
-    km = KMeans(
-        k=n_centroids, seed=seed, featuresCol="__mlvec", predictionCol="__centroid"
-    )
-    model = km.fit(v)
-    centers = np.array(model.clusterCenters())
     sims = centers @ qn / np.maximum(np.linalg.norm(centers, axis=1), 1e-30)
     probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
 
-    assigned = model.transform(v)
     cos = make_cosine_udf(qn)
     return (
         assigned.filter(F.col("__centroid").isin(probe))

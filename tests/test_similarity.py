@@ -58,3 +58,30 @@ def test_ivf_topk_recall(emb, emb_np):
     want_ids = [w[0] for w in _numpy_topk(ids, M, q, k=10)]
     recall = len(set(got["vec_id"]) & set(want_ids)) / 10
     assert recall >= 0.5  # coarse quantizer with half the lists probed
+
+
+def test_ivf_index_reuse_and_partition_pruning(emb, emb_np, tmp_path):
+    """ivf_index amortizes train+assign across queries; a
+    path-materialized index turns the probe filter into PARTITION
+    pruning on the scan (the 100 TB layout)."""
+    from hdfe_spark.operators.similarity import ivf_index
+
+    ids, M = emb_np
+    q = M[7]
+    one_shot = ivf_topk(emb, q, k=10, n_centroids=8, n_probe=4).toPandas()
+
+    idx = ivf_index(
+        emb, n_centroids=8, path=str(tmp_path / "ivf_index")
+    )
+    reused = ivf_topk(None, q, k=10, n_probe=4, index=idx)
+    assert list(reused.toPandas()["vec_id"]) == list(one_shot["vec_id"])
+
+    plan = reused._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__centroid" in m.group(1)  # pruned scan, not filter
+    # second query against the same index: no refit, same pruning
+    q2 = M[3]
+    again = ivf_topk(None, q2, k=5, n_probe=2, index=idx).toPandas()
+    assert len(again) == 5
