@@ -639,6 +639,31 @@ def _q_streaming_agg(spark, sf_dir):
     )
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates, availableNow, memory
+    sink) over events keyed by (user_id, event_type): the all-time
+    variant equals batch DISTINCT, so batch SQL is its oracle."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_dedup
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    ded = streaming_dedup(
+        stream, ["user_id", "event_type"], within_watermark=False
+    )
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("user_id", "event_type")
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic fake asset table →
     mapInPandas decode stage (payload dropped in-stage) → per-asset
@@ -701,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "streaming_agg": _q_streaming_agg,
         "streaming_window": _q_streaming_window,
+        "streaming_dedup": _q_streaming_dedup,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -1059,6 +1085,9 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "lang_id": _lang_id_sql(),
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
         "collinear_cols": """
             WITH g AS (
               SELECT sum(x1*x1) AS a11, sum(x1*x2) AS a12, sum(x2*x2) AS a22,

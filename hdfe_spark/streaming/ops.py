@@ -110,6 +110,32 @@ def streaming_windowed_agg(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str] | str,
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    key combination.
+
+    ``within_watermark=True`` (the 100 TB default) uses
+    ``dropDuplicatesWithinWatermark``: state for a key is evicted once
+    the watermark passes its event time, so state stays bounded on an
+    infinite stream — at the cost that a key recurring later than the
+    watermark delay is emitted again (the standard streaming-dedup
+    contract). ``False`` uses plain ``dropDuplicates``: exact all-time
+    dedup (matches batch ``DISTINCT``), state grows with distinct
+    keys — only for bounded replays.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    s = stream.withWatermark(watermark_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
+
+
 def streaming_lag_transform(
     stream: DataFrame,
     entity_col: str = "user_id",

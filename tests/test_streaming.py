@@ -110,3 +110,60 @@ def test_streaming_lag_matches_batch_lag(spark, sf_dir, events_batch):
         rtol=1e-12,
         equal_nan=True,
     )
+
+
+def test_streaming_dedup_alltime_matches_distinct(spark, sf_dir, events_batch):
+    """All-time streaming dedup (within_watermark=False) over a bounded
+    replay equals batch DISTINCT on the keys."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import streaming_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    ded = streaming_dedup(
+        stream, ["user_id", "event_type"], within_watermark=False
+    )
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.table(sink).select("user_id", "event_type").toPandas()
+    want = events_batch.select("user_id", "event_type").distinct().toPandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert key(got) == key(want)
+
+
+def test_streaming_dedup_within_watermark_bounds_state(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps ONE row per key within the
+    watermark horizon (emits each key at least once, never a key that
+    does not exist; exact all-time uniqueness is not its contract)."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import streaming_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    ded = streaming_dedup(
+        stream, ["user_id", "event_type"],
+        watermark="1 hour", within_watermark=True,
+    )
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.table(sink).select("user_id", "event_type").toPandas()
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type").distinct().toPandas()
+    )
+    got_keys = set(map(tuple, got.to_numpy()))
+    want_keys = set(map(tuple, want.to_numpy()))
+    assert got_keys == want_keys  # every real key appears, no phantoms
+    assert len(got) >= len(want)  # re-emission beyond horizon allowed
