@@ -537,6 +537,22 @@ def _q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batched exact kNN: top-5 neighbors for the first 5 vectors in
+    one corpus scan (local per-batch top-k, then a candidate-only
+    global window)."""
+    from hdfe_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb.filter(F.col("vec_id") >= 5), queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH ANN (approximate → rows-only)."""
     from hdfe_spark.operators.similarity import ann_topk_lsh
@@ -720,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
+        "knn_join": _q_knn_join,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1157,6 +1174,20 @@ def oracle_sql() -> dict[str, str]:
                                     - len(list_distinct(list_intersect(a.s, b.s))), 1),
                          6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "knn_join": """
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   round(list_cosine_similarity(
+                       cast(e.embedding AS double[]),
+                       cast(q.embedding AS double[])), 6) AS cosine
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id < 5 AND e.vec_id >= 5
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(
+                    cast(e.embedding AS double[]),
+                    cast(q.embedding AS double[])) DESC, e.vec_id
+            ) <= 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

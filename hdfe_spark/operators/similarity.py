@@ -127,6 +127,77 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    queries: "np.ndarray | list[tuple[int, list[float]]] | DataFrame",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in one corpus scan (the
+    kNN-graph builder). Returns (query_id, vec_id, cosine) — k rows
+    per query, ties broken by ascending id.
+
+    The query set is dimension-sized (a kNN graph over the corpus
+    itself is built in id-range chunks of queries): it is closed over
+    by an Arrow kernel as a (q × d) matrix, each corpus batch scores
+    against ALL queries in one GEMM, and — the scale lever — each
+    batch emits only its LOCAL top-k per query, so the global
+    (window) top-k shuffles at most ``partitions × q × k`` candidate
+    rows, never ``n × q`` scores.
+    """
+    from pyspark.sql import Window as W
+
+    if isinstance(queries, DataFrame):
+        rows = queries.select(query_id_col, vec_col).collect()
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    else:
+        qids = np.arange(len(queries), dtype=np.int64)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in queries])
+    Qn = _normalize_rows(Q)
+    kk = int(k)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            M = _normalize_rows(_stack(pdf[vec_col]))
+            ids = pdf[id_col].to_numpy(np.int64)
+            S = M @ Qn.T  # (batch, q)
+            take = min(kk, S.shape[0])
+            # argpartition per query column: local candidates only
+            part = np.argpartition(-S, take - 1, axis=0)[:take, :]
+            qcol = np.repeat(qids, take)
+            rcol = part.T.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    query_id_col: qcol,
+                    id_col: ids[rcol],
+                    "cosine": S[rcol, np.repeat(np.arange(len(qids)), take)],
+                }
+            )
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, schema=out_schema
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .drop("__rn")
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     vec_col: str,

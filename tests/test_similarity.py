@@ -85,3 +85,28 @@ def test_ivf_index_reuse_and_partition_pruning(emb, emb_np, tmp_path):
     q2 = M[3]
     again = ivf_topk(None, q2, k=5, n_probe=2, index=idx).toPandas()
     assert len(again) == 5
+
+
+def test_knn_join_matches_numpy(emb, emb_np):
+    """Batched kNN equals per-query numpy brute force (exact op)."""
+    from hdfe_spark.operators.similarity import knn_join
+
+    ids, M = emb_np
+    queries = [(int(ids[i]), M[i].tolist()) for i in range(3)]
+    qdf = emb.sparkSession.createDataFrame(
+        [(q, v) for q, v in queries], "query_id long, embedding array<double>"
+    )
+    got = (
+        knn_join(emb, qdf, k=7)
+        .toPandas()
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    for qid, qv in queries:
+        sub = got[got["query_id"] == qid]
+        want = _numpy_topk(ids, M, np.asarray(qv), k=7)
+        assert list(sub["vec_id"]) == [w[0] for w in want]
+        np.testing.assert_allclose(
+            sub["cosine"].values, [w[1] for w in want], rtol=1e-9
+        )
