@@ -77,6 +77,7 @@ def main():
         "minhash_dedup",
         "simhash_dedup",
         "cosine_topk",
+        "knn_join",
         "ngram_jaccard",
         "embedding_neardup_lsh",
     ]

@@ -30,6 +30,27 @@ from hdfe_spark.operators.collinearity import (
     gram_matrix,
 )
 from hdfe_spark.operators.estimate import estimate, EstimateResult
+from hdfe_spark.operators.dedup import (
+    exact_dedup_by_hash,
+    minhash_dedup,
+    minhash_candidate_pairs,
+    simhash_dedup,
+    simhash_neardup_pairs,
+    embedding_neardup_pairs,
+)
+from hdfe_spark.operators.similarity import (
+    cosine_topk,
+    knn_join,
+    ann_topk_lsh,
+    ivf_index,
+    ivf_topk,
+)
+from hdfe_spark.operators.text import (
+    token_stats,
+    quality_score,
+    lang_id,
+    doc_fingerprint,
+)
 
 __all__ = [
     "Groupby",
@@ -44,6 +65,22 @@ __all__ = [
     "gram_matrix",
     "estimate",
     "EstimateResult",
+    # training-data pipeline layer
+    "exact_dedup_by_hash",
+    "minhash_dedup",
+    "minhash_candidate_pairs",
+    "simhash_dedup",
+    "simhash_neardup_pairs",
+    "embedding_neardup_pairs",
+    "cosine_topk",
+    "knn_join",
+    "ann_topk_lsh",
+    "ivf_index",
+    "ivf_topk",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
 ]
 
 __version__ = "0.1.0"
