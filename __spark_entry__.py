@@ -627,6 +627,26 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_pipeline_curate(spark, sf_dir):
+    """A composed curation pipeline — exact dedup → quality filter →
+    language filter → per-source token accounting — chained as ONE
+    lazy Catalyst plan (no materialization barriers between
+    operators), the way a real corpus-curation job runs."""
+    from hdfe_spark.operators.dedup import exact_dedup_by_hash
+    from hdfe_spark.operators.text import lang_id, quality_score, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = exact_dedup_by_hash(docs)
+    cur = quality_score(cur).filter(F.col("q_score") >= 0.5)
+    cur = lang_id(cur).filter(F.col("lang_pred") == "en")
+    cur = token_stats(cur)
+    return cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_ws").alias("total_tokens"),
+        F.round(F.avg("q_score"), 6).alias("avg_quality"),
+    )
+
+
 def _q_streaming_agg(spark, sf_dir):
     """Structured-Streaming grouped aggregation over the events fixture
     (file source, availableNow trigger, memory sink) — must equal the
@@ -741,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
+        "pipeline_curate": _q_pipeline_curate,
         "streaming_agg": _q_streaming_agg,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
@@ -851,6 +872,51 @@ def _lang_id_sql() -> str:
     return f"""
     WITH scored AS (SELECT doc_id, {scores} FROM documents)
     SELECT doc_id, {case} AS lang_pred FROM scored
+    """
+
+
+def _pipeline_curate_sql() -> str:
+    """DuckDB mirror of the curation pipeline: same dedup rule
+    (min-id per distinct text), same quality formula as the `quality`
+    oracle, same first-max-wins language vote as `lang_id`."""
+    from hdfe_spark.operators.text import LANG_STOPWORDS
+
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    langs = sorted(LANG_STOPWORDS)
+    scores = ", ".join(
+        f"len(list_distinct(list_intersect(toks, {_sql_list(ws)}))) AS s_{lang}"
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN s_{l} = {best} THEN '{l}' "
+    case += "END"
+    return f"""
+    WITH deduped AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ),
+    feat AS (
+      SELECT doc_id, source, {toks} AS toks,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM deduped),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             (CASE WHEN len(toks) < 5 THEN 0.0 ELSE 1.0 END)
+               * (1.0 - least(n_punct / greatest(n_chars, 1) * 4.0, 1.0))
+               * (1.0 - least(n_upper / greatest(n_chars, 1) * 4.0, 1.0))
+               AS q_score,
+             {scores}
+      FROM feat),
+    lang AS (SELECT *, {case} AS lang_pred FROM scored)
+    SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+           round(avg(q_score), 6) AS avg_quality
+    FROM lang
+    WHERE q_score >= 0.5 AND lang_pred = 'en'
+    GROUP BY source
     """
 
 
@@ -1102,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "lang_id": _lang_id_sql(),
+        "pipeline_curate": _pipeline_curate_sql(),
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
         """,

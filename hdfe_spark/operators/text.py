@@ -39,12 +39,23 @@ def tokens(text: Column) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan has fewer splits than the
-    cluster has cores. CPU-heavy per-row expressions (regex counting,
-    per-char hashing) otherwise serialize on one task when the input
-    is a single parquet row-group — the local-fixture case. At real
-    scale the input is already ≥cores splits and this is a no-op, so
-    the shuffle only ever pays for itself."""
+    """Round-robin repartition when a bare scan has fewer splits than
+    the cluster has cores. CPU-heavy per-row expressions (regex
+    counting, per-char hashing) otherwise serialize on one task when
+    the input is a single parquet row-group — the local-fixture case.
+    At real scale the input is already ≥cores splits and this is a
+    no-op, so the shuffle only ever pays for itself.
+
+    Applied ONLY to shuffle-free plans: if anything upstream already
+    exchanged (window/agg/join/repartition), the data is already
+    ``shuffle.partitions`` wide — and probing ``df.rdd`` there would
+    eagerly execute the upstream stages under AQE."""
+    lp = df._jdf.queryExecution().logical().toString()
+    if any(
+        k in lp
+        for k in ("Window", "Aggregate", "Join", "Repartition", "Sort")
+    ):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
