@@ -627,6 +627,20 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_fingerprint_neardup(spark, sf_dir):
+    """MOSS-style shared-winnowing-fingerprint near-dup pairs
+    (custom 64-bit rolling hash → not DuckDB-reproducible → rows-only;
+    the pair logic is brute-force-verified in tests/test_text.py)."""
+    from hdfe_spark.operators.text import fingerprint_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_shared=50: the fixture's template-generated docs share heavy
+    # boilerplate (5 shared mins ~= all-pairs); 50 isolates the true
+    # near-dup pairs (25 at sf0.01, matching the MinHash ground truth
+    # scale).
+    return fingerprint_neardup_pairs(docs, min_shared=50)
+
+
 def _q_pipeline_curate(spark, sf_dir):
     """A composed curation pipeline — exact dedup → quality filter →
     language filter → per-source token accounting — chained as ONE
@@ -761,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
+        "fingerprint_neardup": _q_fingerprint_neardup,
         "pipeline_curate": _q_pipeline_curate,
         "streaming_agg": _q_streaming_agg,
         "streaming_window": _q_streaming_window,
@@ -1268,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
-        # reproducible in DuckDB): fingerprint, simhash_dedup,
-        # simhash_neardup, ann_lsh_topk, ivf_topk, multimodal_decode
+        # reproducible in DuckDB): fingerprint, fingerprint_neardup,
+        # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
+        # multimodal_decode
     }

@@ -46,6 +46,7 @@ from hdfe_spark.operators.similarity import (
     ivf_topk,
 )
 from hdfe_spark.operators.text import (
+    fingerprint_neardup_pairs,
     token_stats,
     quality_score,
     lang_id,
@@ -81,6 +82,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "fingerprint_neardup_pairs",
 ]
 
 __version__ = "0.1.0"

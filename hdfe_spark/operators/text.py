@@ -130,6 +130,57 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred).drop(*[f"__s_{l}" for l in langs])
 
 
+def fingerprint_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 5,
+) -> DataFrame:
+    """MOSS-style near-duplicate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints (Schleimer et al. 2003 §4 —
+    matching selected min-hashes localizes shared substrings of
+    length ≥ k, unlike bag-of-shingles Jaccard).
+
+    Plan shape: fingerprint (Arrow kernel, no shuffle) → explode to
+    (fingerprint, id) postings → self-join within equal-fingerprint
+    postings only → per-pair count. Cost scales with posting-list
+    collisions, never O(n²); a pathologically common fingerprint (a
+    boilerplate phrase) is the skew knob — drop postings whose list
+    exceeds ``HDFE_MAX_POSTING`` df-frequency (stop-fingerprint
+    removal, the standard fix).
+    """
+    import os
+
+    max_posting = int(os.environ.get("HDFE_MAX_POSTING", 1000))
+    fp = doc_fingerprint(df, text_col, k=k, window=window).select(
+        F.col(id_col), F.explode("fingerprint").alias("__fp")
+    )
+    # stop-fingerprint removal: bound every posting list
+    counts = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+    fp = fp.join(
+        counts.filter(F.col("__df") <= max_posting).select("__fp"),
+        on="__fp",
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__fp") == F.col("b.__fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles as an array (JVM-side: sequence + substr;
     no UDF). Empty array for texts shorter than ``k``."""

@@ -88,3 +88,44 @@ def test_fingerprint_no_key_shuffle(docs):
     plan = doc_fingerprint(docs)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan.lower()
     assert plan.count("Exchange") <= 1
+
+
+def test_fingerprint_neardup_pairs_matches_bruteforce(spark):
+    """Pair set equals brute-force intersection counting of the same
+    per-doc fingerprint sets (the join is exact, not probabilistic)."""
+    from hdfe_spark.operators.text import (
+        doc_fingerprint,
+        fingerprint_neardup_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly for more music tonight"
+    )
+    rows = [
+        (0, base),
+        (1, base + " encore"),                       # near-dup of 0
+        (2, "completely different text about spark catalyst plans "
+            "optimizing distributed joins with broadcast hints"),
+        (3, base.replace("quick", "slow")),          # near-dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        fingerprint_neardup_pairs(df, min_shared=5)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    fps = doc_fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    want = []
+    ids = sorted(fps.index)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                shared = len(set(fps[i]) & set(fps[j]))
+                if shared >= 5:
+                    want.append((i, j, shared))
+    assert [tuple(r) for r in got.to_numpy()] == sorted(want)
+    assert (0, 1) in {(a, b) for a, b, _ in want}  # planted pair found
+    assert not any({a, b} == {0, 2} for a, b, _ in want)
