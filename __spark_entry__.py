@@ -627,6 +627,39 @@ def _q_streaming_window(spark, sf_dir):
     )
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed sklearn convention),
+    fully SQL-expressible → DuckDB oracle."""
+    from hdfe_spark.operators.text import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf(docs, top_k=3)
+    return out.select(
+        "doc_id", "term", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-and-islands sessionization of the events fixture
+    (30-minute gap in nanoseconds; ts is bigint ns)."""
+    from hdfe_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    # DuckDB reads the parquet TIMESTAMP(NANOS) at microsecond
+    # precision, so sessionize on floor(ns/1000) microseconds to make
+    # both engines' gap decisions and outputs bit-identical.
+    ev = ev.withColumn("ts", F.expr("ts div 1000"))
+    gap_us = 30 * 60 * 1_000_000
+    return session_stats(ev, "user_id", "ts", gap=gap_us).select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration",
+    )
+
+
 def _q_fingerprint_neardup(spark, sf_dir):
     """MOSS-style shared-winnowing-fingerprint near-dup pairs
     (custom 64-bit rolling hash → not DuckDB-reproducible → rows-only;
@@ -775,6 +808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "sessionize": _q_sessionize,
         "fingerprint_neardup": _q_fingerprint_neardup,
         "pipeline_curate": _q_pipeline_curate,
         "streaming_agg": _q_streaming_agg,
@@ -1184,6 +1219,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "pipeline_curate": _pipeline_curate_sql(),
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS term
+              FROM documents),
+            tc AS (
+              SELECT doc_id, term, count(*) AS n_td,
+                     sum(count(*)) OVER (PARTITION BY doc_id) AS n_d
+              FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df_t FROM tc GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tc.doc_id, tc.term,
+                     (tc.n_td / tc.n_d)
+                       * (ln((n.n_docs + 1.0) / (dfq.df_t + 1.0)) + 1.0)
+                       AS tfidf
+              FROM tc, dfq, n WHERE tc.term = dfq.term)
+            SELECT doc_id, term, round(tfidf, 6) AS tfidf FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+        """,
+        "sessionize": """
+            WITH base AS (
+              SELECT user_id, epoch_us(ts) AS ts FROM events),
+            flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   max(ts) - min(ts) AS duration
+            FROM sessions GROUP BY user_id, session_idx
+        """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
         """,

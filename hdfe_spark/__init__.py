@@ -45,8 +45,10 @@ from hdfe_spark.operators.similarity import (
     ivf_index,
     ivf_topk,
 )
+from hdfe_spark.operators.sessions import session_stats, sessionize
 from hdfe_spark.operators.text import (
     fingerprint_neardup_pairs,
+    tf_idf,
     token_stats,
     quality_score,
     lang_id,
@@ -83,6 +85,9 @@ __all__ = [
     "lang_id",
     "doc_fingerprint",
     "fingerprint_neardup_pairs",
+    "tf_idf",
+    "sessionize",
+    "session_stats",
 ]
 
 __version__ = "0.1.0"

@@ -14,7 +14,7 @@ parallelize per file split at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -128,6 +128,58 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for l in langs:  # first max wins (deterministic)
         pred = pred.when(F.col(f"__s_{l}") == best, F.lit(l))
     return out.withColumn("lang_pred", pred).drop(*[f"__s_{l}" for l in langs])
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF (SURVEY.md §7.2 step 9): smoothed
+    sklearn convention ``tf · (ln((N+1)/(df+1)) + 1)`` with
+    ``tf = n_td / n_d``.
+
+    Plan: explode tokens → one grouped count per (doc, term) → doc
+    length and corpus document-frequency as two level-sized aggs — the
+    term table is dimension-sized (vocabulary) and broadcast back; no
+    data-sized driver state (N is one scalar action). With ``top_k``,
+    a per-doc window keeps the k highest-scoring terms (ties → term
+    asc), shuffling only the already-aggregated (doc, term) rows.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_td"))
+    wdoc = Window.partitionBy(id_col)
+    tc = tc.withColumn("n_d", F.sum("n_td").over(wdoc))
+    docfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    out = (
+        tc.join(F.broadcast(docfreq), on="term")
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                (F.col("n_td") / F.col("n_d"))
+                * (
+                    F.log(
+                        (F.lit(float(n_docs + 1)))
+                        / (F.col("df_t") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term")
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .drop("__rn")
+        )
+    return out
 
 
 def fingerprint_neardup_pairs(

@@ -1,0 +1,90 @@
+"""Sessionization tests: hand-computed gap-and-islands ground truth."""
+
+import numpy as np
+
+from hdfe_spark.operators.sessions import session_stats, sessionize
+
+
+def _fixture(spark):
+    # user 1: events at t=0,10,20 | gap | 1000,1005 | gap | 5000
+    # user 2: single event
+    rows = [
+        (1, 0), (1, 10), (1, 20), (1, 1000), (1, 1005), (1, 5000),
+        (2, 7),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts long")
+
+
+def test_sessionize_gap_islands(spark):
+    df = _fixture(spark)
+    out = (
+        sessionize(df, "user_id", "ts", gap=100)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert list(out[out.user_id == 1]["session_idx"]) == [0, 0, 0, 1, 1, 2]
+    assert list(out[out.user_id == 2]["session_idx"]) == [0]
+
+
+def test_session_stats(spark):
+    df = _fixture(spark)
+    out = (
+        session_stats(df, "user_id", "ts", gap=100)
+        .toPandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out.user_id == 1]
+    assert list(u1["n_events"]) == [3, 2, 1]
+    assert list(u1["duration"]) == [20, 5, 0]
+    assert list(u1["session_start"]) == [0, 1000, 5000]
+
+
+def test_sessionize_boundary_exact_gap(spark):
+    """An inter-event gap EXACTLY equal to `gap` does NOT split (the
+    contract is strictly-greater)."""
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 201)], "user_id long, ts long"
+    )
+    out = (
+        sessionize(df, "user_id", "ts", gap=100)
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert list(out["session_idx"]) == [0, 0, 1]
+
+
+def test_tfidf_matches_numpy(spark):
+    from hdfe_spark.operators.text import tf_idf
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry date"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tf_idf(df).toPandas().set_index(["doc_id", "term"])["tfidf"]
+
+    docs = {0: ["apple", "banana", "apple"],
+            1: ["banana", "cherry"],
+            2: ["cherry", "cherry", "cherry", "date"]}
+    n_docs = 3
+    dfreq = {"apple": 1, "banana": 2, "cherry": 2, "date": 1}
+    for d, toks in docs.items():
+        for t in set(toks):
+            tf = toks.count(t) / len(toks)
+            idf = np.log((n_docs + 1) / (dfreq[t] + 1)) + 1
+            np.testing.assert_allclose(got[(d, t)], tf * idf, rtol=1e-12)
+
+
+def test_tfidf_topk_orders_and_limits(spark):
+    from hdfe_spark.operators.text import tf_idf
+
+    rows = [(0, "a a a b c"), (1, "b c d d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tf_idf(df, top_k=2).toPandas()
+    assert (out.groupby("doc_id").size() == 2).all()
+    # doc 0's top term is its thrice-repeated unique term 'a'
+    top0 = out[out.doc_id == 0].sort_values("tfidf", ascending=False)
+    assert top0.iloc[0]["term"] == "a"
