@@ -747,6 +747,33 @@ def _q_streaming_dedup(spark, sf_dir):
     return spark.table(sink).select("user_id", "event_type")
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Native streaming session windows (availableNow, memory sink):
+    equals batch gap-and-islands sessionization, so the batch SQL is
+    its oracle."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_session_agg
+
+    _t(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)  # ts already a timestamp
+    agg = streaming_session_agg(stream, "user_id", "ts", gap="30 minutes")
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic fake asset table →
     mapInPandas decode stage (payload dropped in-stage) → per-asset
@@ -815,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_agg": _q_streaming_agg,
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_sessions": _q_streaming_sessions,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -1263,6 +1291,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_sessions": """
+            WITH base AS (
+              SELECT user_id, epoch_us(ts) AS ts FROM events),
+            flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts) AS start_us, count(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
         """,
         "collinear_cols": """
             WITH g AS (

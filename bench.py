@@ -74,6 +74,9 @@ def main():
         "token_stats",
         "quality",
         "lang_id",
+        "tfidf_topk",
+        "sessionize",
+        "pipeline_curate",
         "minhash_dedup",
         "simhash_dedup",
         "cosine_topk",

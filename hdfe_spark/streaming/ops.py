@@ -52,8 +52,10 @@ def read_events_stream(
     # timestamps arrive as long; event-time operators need a real
     # timestamp (µs precision is ample for watermarks).
     if isinstance(stream.schema["ts"].dataType, T.LongType):
+        # integer division: float division of ~1.7e18 ns loses
+        # sub-microsecond bits to the double mantissa and ROUNDS
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
@@ -106,6 +108,36 @@ def streaming_windowed_agg(
             *keys,
             f"mean_{value_col}",
             f"count_{value_col}",
+        )
+    )
+
+
+def streaming_session_agg(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native Spark session windows (the streaming form of
+    ``operators.sessions.sessionize``): per-entity windows closer than
+    ``gap`` are merged by the state store; the watermark closes
+    sessions and evicts their state, so state is bounded by open
+    sessions only. ``ts_col`` must be a true timestamp column (the
+    events fixture's bigint-ns ``ts`` converts via
+    ``timestamp_micros(ts div 1000)``)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(entity_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(entity_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
         )
     )
 

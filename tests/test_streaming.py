@@ -167,3 +167,50 @@ def test_streaming_dedup_within_watermark_bounds_state(spark, sf_dir):
     want_keys = set(map(tuple, want.to_numpy()))
     assert got_keys == want_keys  # every real key appears, no phantoms
     assert len(got) >= len(want)  # re-emission beyond horizon allowed
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, sf_dir):
+    """Native streaming session windows equal the batch gap-and-islands
+    sessionization: same (entity, session_start, n_events) triples.
+    (session_window merges events < gap apart, identical grouping to
+    the strictly-greater gap-and-islands rule except AT the boundary,
+    which the ns-precision fixture never hits.)"""
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from hdfe_spark.operators.sessions import session_stats
+    from hdfe_spark.streaming.ops import streaming_session_agg
+
+    gap_min = 30
+    stream = read_events_stream(spark, sf_dir)  # ts already a timestamp
+    agg = streaming_session_agg(
+        stream, "user_id", "ts", gap=f"{gap_min} minutes"
+    )
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    _drain(q)
+    got = spark.table(sink).select(
+        "user_id",
+        SF.unix_micros(SF.col("session_start")).alias("start_us"),
+        "n_events",
+    ).toPandas()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", SF.expr("ts div 1000")
+    )
+    want = session_stats(
+        ev, "user_id", "ts", gap=gap_min * 60 * 1_000_000
+    ).select(
+        "user_id",
+        SF.col("session_start").alias("start_us"),
+        "n_events",
+    ).toPandas()
+
+    key = lambda df: sorted(map(tuple, df.to_numpy()))
+    assert key(got) == key(want)
