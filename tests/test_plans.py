@@ -124,3 +124,22 @@ def test_within_estimator_residual_plan(spark, sf_dir):
     rep = plan_report(res.residuals)
     assert rep["n_sortmerge_joins"] == 0
     assert rep["n_broadcast_joins"] >= 1
+
+
+def test_knn_join_no_full_sort(spark, sf_dir):
+    """knn_join's global stage must window over pre-reduced local
+    top-k candidates — one Python stage, no corpus-wide sort of raw
+    scores beyond the candidate window."""
+    import numpy as np
+
+    from hdfe_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = spark.createDataFrame(
+        [(0, np.ones(64).tolist())], "query_id long, embedding array<double>"
+    )
+    out = knn_join(emb, qdf, k=5)
+    rep = plan_report(out)
+    assert rep["n_python_stages"] == 1  # one mapInPandas scoring pass
+    # the only exchange is the candidate window's hash partitioning
+    assert rep["n_exchanges"] <= 1
