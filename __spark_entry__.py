@@ -509,6 +509,27 @@ def _q_minhash_dedup(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+def _q_minhash_dedup_cc(spark, sf_dir):
+    """Exact single-link MinHash dedup: LSH candidates → exact-Jaccard
+    verify → connected components (min-label propagation) → one
+    representative per component. Oracle: brute-force pair SQL + a
+    recursive-CTE transitive closure."""
+    from hdfe_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from hdfe_spark.operators.graph import dedup_by_components
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs, num_hashes=128, bands=16, shingle_k=5)
+    ver = (
+        ngram_jaccard_pairs(docs, cand, "text", "doc_id", shingle_k=5)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    return dedup_by_components(docs, ver).select("doc_id", "lang", "source")
+
+
 def _q_simhash_dedup(spark, sf_dir):
     from hdfe_spark.operators.dedup import simhash_dedup
 
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_dedup_cc": _q_minhash_dedup_cc,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
@@ -1344,6 +1366,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s))
                   / greatest(len(a.s) + len(b.s)
                              - len(list_intersect(a.s, b.s)), 1) >= 0.8
+        """,
+        "minhash_dedup_cc": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) >= 5
+                       THEN list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(lower(text), i, 5))
+                       ELSE [] END) AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))
+                    / greatest(len(a.s) + len(b.s)
+                               - len(list_intersect(a.s, b.s)), 1) >= 0.8),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+                WHERE n.v <> r.u),
+            comp AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            LEFT JOIN comp ON d.doc_id = comp.node
+            WHERE comp.node IS NULL OR comp.node = comp.component
         """,
         "minhash_dedup": """
             WITH sh AS (

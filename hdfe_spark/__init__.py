@@ -45,6 +45,7 @@ from hdfe_spark.operators.similarity import (
     ivf_index,
     ivf_topk,
 )
+from hdfe_spark.operators.graph import connected_components, dedup_by_components
 from hdfe_spark.operators.sessions import session_stats, sessionize
 from hdfe_spark.operators.text import (
     fingerprint_neardup_pairs,
@@ -88,6 +89,8 @@ __all__ = [
     "tf_idf",
     "sessionize",
     "session_stats",
+    "connected_components",
+    "dedup_by_components",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,76 @@
+"""Connected-components tests: random graphs against a local
+union-find ground truth, and the exact-dedup contract."""
+
+import numpy as np
+import pytest
+
+from hdfe_spark.operators.graph import connected_components, dedup_by_components
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graphs(spark, seed):
+    rng = np.random.RandomState(seed)
+    n, m = 60, 45
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(m, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    uf = _union_find(n, edges)
+    in_graph = {a for e in edges for a in e}
+    for v in in_graph:
+        assert got[v] == uf[v], f"node {v}"
+    assert set(got) == in_graph
+
+
+def test_dedup_by_components_star_vs_minid(spark):
+    """The case the one-pass min-id rule gets wrong: a star with a
+    high-id center (5-1, 5-2). Exact single-link keeps ONE doc."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 5, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 5), (2, 5)], "id_a long, id_b long"
+    )
+    out = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, pairs).collect()
+    )
+    # component {1,2,5} -> keep 1; isolated 9 survives
+    assert out == [1, 9]
+
+
+def test_chain_converges_past_direct_neighbors(spark):
+    """A long path needs label propagation past direct neighbors —
+    exercises the iteration, not just the init."""
+    n = 20
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs).collect()
+    assert all(r["component"] == 0 for r in comp)
+    out = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
+    assert out == [0]
