@@ -681,6 +681,28 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join: every event aligned with the same user's
+    most recent prior purchase value (union + one window pass — no
+    range join). Oracle: DuckDB's native ASOF LEFT JOIN. Timestamps
+    truncated to integer microseconds on the Spark side so both
+    engines compare identical values."""
+    from hdfe_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    left = ev.select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(left, right, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value_asof", 6).alias("purchase_value_asof"),
+    )
+
+
 def _q_fingerprint_neardup(spark, sf_dir):
     """MOSS-style shared-winnowing-fingerprint near-dup pairs
     (custom 64-bit rolling hash → not DuckDB-reproducible → rows-only;
@@ -859,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "tfidf_topk": _q_tfidf_topk,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "fingerprint_neardup": _q_fingerprint_neardup,
         "pipeline_curate": _q_pipeline_curate,
         "streaming_agg": _q_streaming_agg,
@@ -1269,6 +1292,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "pipeline_curate": _pipeline_curate_sql(),
+        "asof_join": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts, value,
+                     event_type
+              FROM events),
+            l AS (SELECT event_id, user_id, ts, value FROM base),
+            r AS (SELECT user_id, ts, value AS purchase_value
+                  FROM base WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts,
+                   round(r.purchase_value, 6) AS purchase_value_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "tfidf_topk": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(

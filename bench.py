@@ -76,6 +76,7 @@ def main():
         "lang_id",
         "tfidf_topk",
         "sessionize",
+        "asof_join",
         "pipeline_curate",
         "minhash_dedup",
         "simhash_dedup",

@@ -45,6 +45,7 @@ from hdfe_spark.operators.similarity import (
     ivf_index,
     ivf_topk,
 )
+from hdfe_spark.operators.asof import asof_join
 from hdfe_spark.operators.graph import connected_components, dedup_by_components
 from hdfe_spark.operators.sessions import session_stats, sessionize
 from hdfe_spark.operators.text import (
@@ -91,6 +92,7 @@ __all__ = [
     "session_stats",
     "connected_components",
     "dedup_by_components",
+    "asof_join",
 ]
 
 __version__ = "0.1.0"
