@@ -1035,7 +1035,8 @@ def _pipeline_curate_sql() -> str:
              {scores}
       FROM feat),
     lang AS (SELECT *, {case} AS lang_pred FROM scored)
-    SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            round(avg(q_score), 6) AS avg_quality
     FROM lang
     WHERE q_score >= 0.5 AND lang_pred = 'en'
@@ -1339,8 +1340,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             sessions AS (
               SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
               FROM flagged)
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end,

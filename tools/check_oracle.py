@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -29,12 +30,35 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(drop=True)
 
 
+def _num_kind(v) -> str | None:
+    """Classify a scalar the way the driver's canonical hash sees it.
+
+    The driver hashes the *repr* of canonicalized values, so ``5`` (Spark
+    bigint) and ``5.0`` (DuckDB DECIMAL(38,0) -> pandas float64) hash
+    differently even though Python ``==`` says they're equal.  Treat
+    int-vs-float as a mismatch here so the local gate predicts the driver.
+    """
+    if isinstance(v, (bool, np.bool_)):
+        return "b"
+    if isinstance(v, (int, np.integer)):
+        return "i"
+    if isinstance(v, (float, np.floating, decimal.Decimal)):
+        return "f"
+    return None
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
+    ka, kb = _num_kind(a), _num_kind(b)
+    if ka is not None or kb is not None:
+        if ka != kb:
+            return False  # dtype-strict: 5 != 5.0 for hashing purposes
+        if ka == "f":
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return fa == fb
         return a == b
     return a == b
 
