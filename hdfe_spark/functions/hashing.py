@@ -110,8 +110,9 @@ def make_minhash_bands_udf(
     rows_per_band = num_hashes // bands
     band_pows = np.empty(rows_per_band, dtype=np.uint64)
     band_pows[-1] = np.uint64(1)
-    for j in range(rows_per_band - 2, -1, -1):
-        band_pows[j] = band_pows[j + 1] * _BASE
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is intended
+        for j in range(rows_per_band - 2, -1, -1):
+            band_pows[j] = band_pows[j + 1] * _BASE
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_sig(texts: pd.Series) -> pd.Series:

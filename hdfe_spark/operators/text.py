@@ -142,12 +142,14 @@ def tf_idf(
 
     Plan: explode tokens → one grouped count per (doc, term) → doc
     length and corpus document-frequency as two level-sized aggs — the
-    term table is dimension-sized (vocabulary) and broadcast back; no
-    data-sized driver state (N is one scalar action). With ``top_k``,
-    a per-doc window keeps the k highest-scoring terms (ties → term
-    asc), shuffling only the already-aggregated (doc, term) rows.
+    term table is dimension-sized (vocabulary) and broadcast back. The
+    corpus size N is a broadcast 1-row aggregate inside the same lazy
+    plan (a pruned scan of the id column), not a separate blocking
+    driver action. With ``top_k``, a per-doc window keeps the k
+    highest-scoring terms (ties → term asc), shuffling only the
+    already-aggregated (doc, term) rows.
     """
-    n_docs = df.select(id_col).distinct().count()
+    n_docs_df = df.select(F.countDistinct(id_col).alias("__n_docs"))
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_td"))
     wdoc = Window.partitionBy(id_col)
@@ -155,6 +157,7 @@ def tf_idf(
     docfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     out = (
         tc.join(F.broadcast(docfreq), on="term")
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             F.col(id_col),
             "term",
@@ -162,7 +165,7 @@ def tf_idf(
                 (F.col("n_td") / F.col("n_d"))
                 * (
                     F.log(
-                        (F.lit(float(n_docs + 1)))
+                        (F.col("__n_docs") + F.lit(1.0))
                         / (F.col("df_t") + F.lit(1.0))
                     )
                     + F.lit(1.0)

@@ -52,8 +52,8 @@ def plan_report(df: DataFrame) -> dict:
     s = explain_string(df, "formatted")
     simple = explain_string(df, "simple")
     report = {
-        "n_exchanges": len(re.findall(r"\bExchange\b|\n\s*\(?\d*\)?\s*Exchange", simple))
-        or simple.count("Exchange"),
+        # Shuffle exchanges only: total Exchange nodes minus broadcast ones.
+        "n_exchanges": simple.count("Exchange") - simple.count("BroadcastExchange"),
         "n_broadcast_joins": simple.count("BroadcastHashJoin")
         + simple.count("BroadcastNestedLoopJoin"),
         "n_sortmerge_joins": simple.count("SortMergeJoin"),
@@ -72,11 +72,6 @@ def plan_report(df: DataFrame) -> dict:
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", s),
         "scan_schemas": re.findall(r"ReadSchema: (struct<[^\n]*)", s),
     }
-    # `simple.count("Exchange")` above counts both shuffle and
-    # broadcast exchanges; separate them.
-    report["n_exchanges"] = simple.count("Exchange") - simple.count(
-        "BroadcastExchange"
-    )
     report["n_broadcast_exchanges"] = simple.count("BroadcastExchange")
     # Key-hash repartitions specifically (round-robin spreads of a
     # too-narrow scan are benign; a surprise hashpartitioning is not).
