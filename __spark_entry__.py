@@ -817,6 +817,40 @@ def _q_streaming_sessions(spark, sf_dir):
     )
 
 
+def _q_streaming_lags(spark, sf_dir):
+    """Stateful streaming panel lag (``applyInPandasWithState``,
+    availableNow replay, memory sink): the incremental form of the
+    reference's flagship panel op (``hdfe/hdfe.py:253-302``). The
+    replay covers every event, so the batch ``lag() OVER`` window SQL
+    is its oracle — (user_id, ts) is unique in the fixture, making the
+    order (and therefore the lags) deterministic."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_lag_transform
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    lagged = streaming_lag_transform(
+        stream, entity_col="user_id", ts_col="ts", value_col="value", max_lag=2
+    )
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        lagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 5).alias("value"),
+        F.round("value_lag_1", 5).alias("value_lag_1"),
+        F.round("value_lag_2", 5).alias("value_lag_2"),
+    )
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: deterministic fake asset table →
     mapInPandas decode stage (payload dropped in-stage) → per-asset
@@ -888,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": _q_streaming_window,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_lags": _q_streaming_lags,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -1350,6 +1385,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_lags": """
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   round(value, 5) AS value,
+                   round(lag(value, 1) OVER w, 5) AS value_lag_1,
+                   round(lag(value, 2) OVER w, 5) AS value_lag_2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
         """,
         "streaming_sessions": """
             WITH base AS (
