@@ -222,21 +222,33 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH
-    bucket (~n/2^n_planes rows pass the bucket filter before any
-    sort). Recall rises with multi-probe/multi-table variants; exact
-    scores for whatever is scored."""
+    """Approximate top-k: score only vectors that share an LSH bucket
+    with the query in at least one of ``n_tables`` independent
+    hyperplane tables (each table keeps ~n/2^n_planes candidates;
+    recall rises with tables, candidate count ≤ tables × bucket size).
+    All tables' signatures come from ONE Arrow kernel
+    (``make_multi_bucket_udf``); the per-table bucket match is a
+    codegen'd OR of ``n_tables`` equality filters — no shuffle before
+    the final k-row ``TakeOrderedAndProject`` merge. Exact cosines for
+    whatever is scored."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
-    planes = _planes(n_planes, len(qn), seed)
-    q_bucket = int(((planes @ qn > 0).astype(np.int64) * (1 << np.arange(n_planes))).sum())
+    P = np.stack([_planes(n_planes, len(qn), seed + t) for t in range(n_tables)])
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    q_codes = ((P @ qn > 0).astype(np.int64) @ pows)  # (n_tables,)
 
-    v = lsh_bucket(df, vec_col, n_planes=n_planes, seed=seed, dim=len(qn))
+    buckets = make_multi_bucket_udf(P)
+    v = df.withColumn("__bkts", buckets(F.col(vec_col)))
+    # element_at is 1-based and needs an INT index (not BIGINT)
+    match = F.element_at(F.col("__bkts"), 1) == int(q_codes[0])
+    for t in range(1, n_tables):
+        match = match | (F.element_at(F.col("__bkts"), t + 1) == int(q_codes[t]))
     cos = make_cosine_udf(qn)
     return (
-        v.filter(F.col("__bucket") == q_bucket)
+        v.filter(match)
         .select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -269,7 +281,7 @@ def ivf_index(
     v = df.withColumn(
         "__mlvec",
         array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
-    ).persist()  # KMeans iterates; released below when materialized
+    ).persist()  # KMeans iterates; released once the assignment is materialized
     km = KMeans(
         k=n_centroids, seed=seed, featuresCol="__mlvec", predictionCol="__centroid"
     )
@@ -278,8 +290,13 @@ def ivf_index(
     assigned = model.transform(v).drop("__mlvec")
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("__centroid").parquet(path)
-        v.unpersist(False)
         assigned = df.sparkSession.read.parquet(path)
+    else:
+        # Materialize the assignment (truncated lineage) so the
+        # persisted __mlvec blocks can be released now instead of
+        # pinning executor storage for the life of the session.
+        assigned = assigned.localCheckpoint()
+    v.unpersist(False)
     return assigned, centers
 
 

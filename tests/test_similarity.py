@@ -51,6 +51,25 @@ def test_ann_lsh_subset_of_bucket(emb, emb_np):
     assert 0 in set(got["vec_id"])
 
 
+def test_ann_lsh_multi_table_recall(emb, emb_np):
+    """More LSH tables → recall monotonically improves toward exact
+    (each table is an independent chance to catch a true neighbor)."""
+    ids, M = emb_np
+    q = M[0]
+    want = set(w[0] for w in _numpy_topk(ids, M, q, k=10, exclude=0))
+    corpus = emb.filter("vec_id != 0")
+    r1 = len(
+        set(ann_topk_lsh(corpus, q, k=10, n_planes=4, n_tables=1).toPandas()["vec_id"])
+        & want
+    )
+    r16 = len(
+        set(ann_topk_lsh(corpus, q, k=10, n_planes=4, n_tables=16).toPandas()["vec_id"])
+        & want
+    )
+    assert r16 >= r1
+    assert r16 >= 6  # 16 tables × 4 planes covers most of the fixture
+
+
 def test_ivf_topk_recall(emb, emb_np):
     ids, M = emb_np
     q = M[7]
