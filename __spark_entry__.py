@@ -962,23 +962,27 @@ def _q_streaming_lags(spark, sf_dir):
 
 
 def _q_multimodal_decode(spark, sf_dir):
-    """Multimodal plumbing end-to-end: deterministic fake asset table →
-    mapInPandas decode stage (payload dropped in-stage) → per-asset
-    feature summary. Codec is the documented stub (fake=True), but the
-    schema/batch/partition path is the real one; numpy-seeded features
-    aren't SQL-reproducible → rows-only."""
-    from hdfe_spark.operators.multimodal import decode_image, make_fake_assets
+    """REAL multimodal decode end-to-end: asset table of genuine PPM
+    image and RIFF/WAVE audio payloads → one mixed-modality
+    ``mapInPandas`` stage that byte-parses each payload (pure-numpy
+    codecs, payload dropped in-stage) → typed header fields + int64
+    content checksum. The fixture's bytes follow closed-form functions
+    of asset_id (``multimodal._img_dims`` / ``_wav_params``), so the
+    DuckDB oracle recomputes the expected headers and pixel/sample
+    sums from ``range(256)`` alone — a wrong parser (or encoder)
+    hash-mismatches."""
+    from hdfe_spark.operators.multimodal import decode_media, make_codec_assets
 
-    assets = make_fake_assets(spark, n=256)
-    feats = decode_image(assets, fake=True)
-    return feats.select(
+    assets = make_codec_assets(spark, n=256)
+    return decode_media(assets).select(
         "asset_id",
         "mime",
+        "width",
+        "height",
+        "sample_rate",
+        "n_samples",
+        "checksum",
         "decode_ok",
-        F.size("features").alias("feature_dim"),
-        F.round(
-            F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
-        ).alias("feat_sum"),
     )
 
 
@@ -1288,6 +1292,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "multimodal_decode": """
+            WITH ids AS (SELECT i AS asset_id FROM range(256) t(i)),
+            img AS (
+              SELECT asset_id, 4 + (asset_id % 29) AS w,
+                     4 + ((asset_id * 3) % 23) AS h
+              FROM ids WHERE asset_id % 3 <> 0),
+            px AS (
+              SELECT i.asset_id, i.w, i.h,
+                     CAST(sum((x.x*31 + y.y*17 + i.asset_id + c.c*7) % 256)
+                          AS BIGINT) AS checksum
+              FROM img i, range(0, 32) x(x), range(0, 27) y(y), range(0, 3) c(c)
+              WHERE x.x < i.w AND y.y < i.h
+              GROUP BY i.asset_id, i.w, i.h),
+            aud AS (
+              SELECT asset_id,
+                     8000 + ((asset_id // 3) % 3) * 4000 AS sample_rate,
+                     64 + (asset_id * 5) % 200 AS n_samples
+              FROM ids WHERE asset_id % 3 = 0),
+            smp AS (
+              SELECT a.asset_id, a.sample_rate, a.n_samples,
+                     CAST(sum(((j.j*7 + a.asset_id*13) % 4096) - 2048)
+                          AS BIGINT) AS checksum
+              FROM aud a, range(0, 263) j(j)
+              WHERE j.j < a.n_samples
+              GROUP BY a.asset_id, a.sample_rate, a.n_samples)
+            SELECT p.asset_id, 'image/ppm' AS mime,
+                   CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+                   CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_samples,
+                   p.checksum, true AS decode_ok
+            FROM px p
+            UNION ALL
+            SELECT s.asset_id, 'audio/wav',
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(s.sample_rate AS BIGINT), CAST(s.n_samples AS BIGINT),
+                   s.checksum, true
+            FROM smp s
         """,
         "ann_lsh_recall": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -4,12 +4,26 @@ Beyond-reference surface (BASELINE.json north star). Images / audio /
 video ride in DataFrames as ``binary`` columns next to typed metadata
 (mime, width/height, sample rate, ...). The Spark-side plumbing —
 schema contract, Arrow batch shape, ``mapInPandas`` decode stage,
-partition sizing — is real and tested; the actual codec calls are
-STUBBED (the image/audio libraries are not in this container):
-``decode_image(..., fake=False)`` raises ``NotImplementedError``
-where PIL/libvips would be called, and ``fake=True`` substitutes a
-deterministic content-hash-seeded feature vector so downstream
-operators (dedup, ANN) can be exercised end-to-end.
+partition sizing — is real and tested.
+
+Codecs: the container has no PIL/libvips/ffmpeg, so compressed
+formats (JPEG/MP3/H.264) stay stubbed — but the UNCOMPRESSED formats
+are decoded for real, in pure numpy:
+
+- ``decode_ppm`` / ``encode_ppm`` — binary PPM (P6) images: ASCII
+  header (magic, width, height, maxval, ``#`` comments) + interleaved
+  RGB bytes.
+- ``decode_wav`` / ``encode_wav`` — RIFF/WAVE PCM16: chunk walk to
+  ``fmt `` and ``data``, little-endian int16 samples.
+- ``decode_media`` — the mixed-modality ``mapInPandas`` stage: routes
+  each row by mime to the right parser and emits typed header fields
+  plus an int64 content checksum (pixel sum / sample sum), payload
+  dropped in-stage.
+
+``decode_image(..., fake=True)`` still substitutes a deterministic
+content-hash-seeded feature vector (for exercising dedup/ANN on
+opaque payloads); ``fake=False`` now really decodes PPM payloads and
+emits a 64-bin luminance histogram as the feature vector.
 
 Scale notes: binary payloads dominate row size, so the decode stage
 uses ``mapInPandas`` (per-partition Arrow batches, streaming iterator
@@ -23,6 +37,7 @@ any shuffle.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -61,6 +76,179 @@ def make_fake_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
 
 
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ``P6\\n{w} {h}\\n255\\n`` + row-major
+    interleaved RGB uint8. ``pixels`` is (height, width, 3) uint8."""
+    assert pixels.shape == (height, width, 3) and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Pure-numpy P6 parser → (width, height, (h, w, 3) uint8 pixels).
+
+    Handles the PPM grammar for real: ``#`` comments and arbitrary
+    whitespace between the four header tokens, single whitespace byte
+    after maxval, then exactly w·h·3 binary bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    need = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return w, h, raster.reshape(h, w, 3)
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """RIFF/WAVE PCM16 mono: canonical 44-byte header + LE int16."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> "tuple[int, int, int, np.ndarray]":
+    """Pure-numpy RIFF/WAVE parser → (sample_rate, channels, bits,
+    int16 samples). Walks the chunk list (not a fixed 44-byte offset),
+    so files with LIST/INFO chunks before ``data`` parse too."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    return sample_rate, channels, bits, np.frombuffer(data, dtype="<i2")
+
+
+# Deterministic closed-form fixture: every header field and pixel /
+# sample value is a pure function of asset_id, so a SQL oracle can
+# recompute the expected decode output from ``range(n)`` alone while
+# the Spark side must actually parse the bytes. (Mirrored in the
+# ``multimodal_decode`` oracle in ``__spark_entry__.py`` — keep in
+# sync.)
+def _img_dims(i: int) -> "tuple[int, int]":
+    return 4 + (i % 29), 4 + ((i * 3) % 23)
+
+
+def _wav_params(i: int) -> "tuple[int, int]":
+    return 8000 + ((i // 3) % 3) * 4000, 64 + (i * 5) % 200
+
+
+def make_codec_assets(spark, n: int = 256) -> DataFrame:
+    """Asset table of REAL media payloads (PPM images, WAV audio)
+    whose contents follow the closed-form functions above — the
+    oracle-checkable fixture for the pure-numpy codecs."""
+    rows = []
+    for i in range(n):
+        if i % 3:
+            w, h = _img_dims(i)
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            px = ((x * 31 + y * 17 + i + c * 7) % 256).astype(np.uint8)
+            rows.append(
+                (i, "image/ppm", bytearray(encode_ppm(w, h, px)), {"w": str(w), "h": str(h)})
+            )
+        else:
+            rate, ns = _wav_params(i)
+            j = np.arange(ns, dtype=np.int64)
+            s = (((j * 7 + i * 13) % 4096) - 2048).astype(np.int16)
+            rows.append(
+                (i, "audio/wav", bytearray(encode_wav(rate, s)), {"rate": str(rate)})
+            )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """Mixed-modality decode stage: one ``mapInPandas`` pass routes
+    each row by mime to the PPM or WAV parser and emits typed header
+    fields + an int64 content checksum (pixel sum / sample sum),
+    payload dropped in-stage. Unknown mimes / parse failures emit
+    ``decode_ok=false`` with zeroed fields (never raise — one corrupt
+    asset must not kill a 100 TB scan). Inapplicable fields are 0,
+    not NULL, so every output column stays a non-nullable-shaped
+    int64 for byte-stable comparison."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, m, p in zip(pdf[id_col], pdf[mime_col], pdf[payload_col]):
+                w = h = rate = ns = chk = 0
+                ok = False
+                try:
+                    if m == "image/ppm" and p is not None:
+                        w, h, px = decode_ppm(bytes(p))
+                        chk = int(px.astype(np.int64).sum())
+                        ok = True
+                    elif m == "audio/wav" and p is not None:
+                        rate, _ch, _bits, s = decode_wav(bytes(p))
+                        ns = len(s)
+                        chk = int(s.astype(np.int64).sum())
+                        ok = True
+                except (ValueError, IndexError, struct_error):
+                    ok = False
+                out.append((int(i), m, w, h, rate, ns, chk, ok))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic content-hash-seeded feature vector — the stub for
     a real encoder. Same payload ⇒ same vector (so dedup semantics
@@ -81,9 +269,13 @@ def decode_image(
     """Decode + feature-extract stage over ``mapInPandas``.
 
     Output schema: input columns (minus payload) + ``features
-    array<double>`` + ``decode_ok boolean``. With ``fake=False`` this
-    is where PIL/torchvision would run — stubbed with
-    ``NotImplementedError`` in this container.
+    array<double>`` + ``decode_ok boolean``. ``fake=True`` emits the
+    content-hash-seeded stub vector (any payload). ``fake=False``
+    really decodes PPM payloads (pure numpy) and emits a normalized
+    ``feature_dim``-bin luminance histogram — rows that fail to parse
+    get ``features=NULL, decode_ok=false``. Compressed formats
+    (JPEG/...) would slot in here but need PIL, absent from this
+    container.
     """
     out_fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
@@ -95,16 +287,27 @@ def decode_image(
     )
     keep_cols = [f.name for f in out_fields]
 
+    def real_features(p) -> "np.ndarray | None":
+        if p is None:
+            return None
+        try:
+            _w, _h, px = decode_ppm(bytes(p))
+        except (ValueError, IndexError):
+            return None
+        # ITU-R 601 luma, then a fixed-width histogram → unit L1 norm
+        luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        hist, _ = np.histogram(luma, bins=feature_dim, range=(0.0, 256.0))
+        return hist / max(hist.sum(), 1)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips — not in this container"
-                )
-            feats = [
-                _fake_features(p, feature_dim) if p is not None else None
-                for p in pdf[payload_col]
-            ]
+            if fake:
+                feats = [
+                    _fake_features(p, feature_dim) if p is not None else None
+                    for p in pdf[payload_col]
+                ]
+            else:
+                feats = [real_features(p) for p in pdf[payload_col]]
             out = pdf[keep_cols].copy()
             out["features"] = [f.tolist() if f is not None else None for f in feats]
             out["decode_ok"] = [f is not None for f in feats]

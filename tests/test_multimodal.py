@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests — schema contract, mapInPandas decode
-stage (deterministic fake), 1→N frame sampling."""
+"""Multimodal tests — schema contract, mapInPandas decode stage,
+pure-numpy PPM/WAV codecs (roundtrip + end-to-end), 1→N frame
+sampling."""
 
 import numpy as np
 import pytest
@@ -7,8 +8,16 @@ import pytest
 from hdfe_spark.operators.multimodal import (
     ASSET_SCHEMA,
     IMAGE_FEATURE_DIM,
+    _img_dims,
+    _wav_params,
     decode_image,
+    decode_media,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     frame_sample_stub,
+    make_codec_assets,
     make_fake_assets,
     resize_stub,
 )
@@ -17,6 +26,11 @@ from hdfe_spark.operators.multimodal import (
 @pytest.fixture(scope="module")
 def assets(spark):
     return make_fake_assets(spark, n=64).persist()
+
+
+@pytest.fixture(scope="module")
+def codec_assets(spark):
+    return make_codec_assets(spark, n=48).persist()
 
 
 def test_schema_contract(assets):
@@ -37,9 +51,105 @@ def test_decode_fake_features(assets):
     np.testing.assert_array_equal(np.array(f1), np.array(f2))
 
 
-def test_decode_real_raises(assets):
-    with pytest.raises(Exception):
-        decode_image(assets, fake=False).count()
+# ------------------------------------------------------ codec roundtrips
+
+
+def test_ppm_roundtrip():
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 9, 3)).astype(np.uint8)
+    w, h, got = decode_ppm(encode_ppm(9, 13, px))
+    assert (w, h) == (9, 13)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_ppm_comments_and_whitespace():
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    raw = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + px.tobytes()
+    w, h, got = decode_ppm(raw)
+    assert (w, h) == (3, 2)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_ppm_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_wav_roundtrip():
+    s = (np.arange(-100, 100) * 11).astype(np.int16)
+    rate, ch, bits, got = decode_wav(encode_wav(16000, s))
+    assert (rate, ch, bits) == (16000, 1, 16)
+    np.testing.assert_array_equal(got, s)
+
+
+def test_wav_chunk_walk():
+    """Parser walks chunks, not fixed offsets: LIST before data."""
+    import struct
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    base = encode_wav(8000, s)
+    # splice a LIST chunk between fmt and data
+    head, data_chunk = base[:36], base[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    rate, _, _, got = decode_wav(head + extra + data_chunk)
+    assert rate == 8000
+    np.testing.assert_array_equal(got, s)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+
+
+# -------------------------------------------------- end-to-end decode
+
+
+def test_decode_media_matches_formulas(codec_assets):
+    out = decode_media(codec_assets).toPandas().sort_values("asset_id")
+    assert len(out) == 48
+    assert out["decode_ok"].all()
+    assert "payload" not in out.columns
+    for _, r in out.iterrows():
+        i = int(r["asset_id"])
+        if i % 3:
+            w, h = _img_dims(i)
+            assert (r["mime"], r["width"], r["height"]) == ("image/ppm", w, h)
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            assert r["checksum"] == int(((x * 31 + y * 17 + i + c * 7) % 256).sum())
+        else:
+            rate, ns = _wav_params(i)
+            assert (r["mime"], r["sample_rate"], r["n_samples"]) == (
+                "audio/wav", rate, ns,
+            )
+            j = np.arange(ns, dtype=np.int64)
+            assert r["checksum"] == int((((j * 7 + i * 13) % 4096) - 2048).sum())
+
+
+def test_decode_media_corrupt_payload_is_flagged_not_fatal(spark):
+    rows = [
+        (0, "image/ppm", bytearray(b"not a ppm at all"), {}),
+        (1, "video/mp4", bytearray(b"\x00\x00"), {}),  # unknown mime
+        (2, "image/ppm", None, {}),
+    ]
+    df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    out = decode_media(df).toPandas().sort_values("asset_id")
+    assert not out["decode_ok"].any()
+    assert (out["checksum"] == 0).all()
+
+
+def test_decode_image_real_histogram(codec_assets):
+    """fake=False really decodes PPM payloads: unit-L1 histograms for
+    image rows, decode_ok=false for the (non-PPM) audio rows."""
+    out = decode_image(codec_assets, fake=False).toPandas()
+    img = out[out["mime"] == "image/ppm"]
+    aud = out[out["mime"] == "audio/wav"]
+    assert img["decode_ok"].all() and not aud["decode_ok"].any()
+    for f in img["features"]:
+        arr = np.array(f)
+        assert arr.shape == (IMAGE_FEATURE_DIM,)
+        np.testing.assert_allclose(arr.sum(), 1.0, rtol=1e-9)
 
 
 def test_resize_stub_metadata(assets):
