@@ -752,7 +752,25 @@ def _plan_alternating(
     dm = {c: f"__dm_{c}" for c in all_cols}
     dmv = list(dm.values())
     keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
-    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
+    # Null FE levels are REAL levels (same semantics as groupBy /
+    # window demeaning, which keep a null group) — but equi-joins
+    # never match null keys and pd.factorize codes nulls as -1
+    # (breaking the driver tier's bincounts), so encode each FE key
+    # once, here: null → "\x00", value v → "v" + str(v). Equality —
+    # all Plan C ever needs from these columns — is preserved, and the
+    # encoded keys never leave this function (FE recovery reads the
+    # ORIGINAL df). If ``cluster`` IS one of the FEs, the encoding is
+    # injective, so the cluster partition of rows is unchanged.
+    fe_key = {
+        fe: F.when(F.col(fe).isNull(), F.lit("\x00"))
+        .otherwise(F.concat(F.lit("v"), F.col(fe).cast("string")))
+        .alias(fe)
+        for fe in cc
+    }
+    sw = df.select(
+        *[fe_key.get(c, F.col(c)) for c in keep],
+        *[F.col(c).alias(d) for c, d in dm.items()],
+    )
 
     # --- One gate pass: row count, approximate per-FE level counts,
     # approximate pairwise-combination counts (the nnz of the
@@ -935,28 +953,41 @@ def _plan_alternating(
         cur = _append_residuals(df, y_cols, x_used, b_x)
         for _ in range(3):
             for fe in cc:
+                # The back-fit runs over the ORIGINAL df, so a null FE
+                # level can reach these joins — use null-safe equality
+                # (groupBy keeps the null group; a plain equi-join
+                # would silently never subtract its effect).
                 inc = cur.groupBy(fe).agg(
                     *[F.avg(rc).alias(ec) for rc, ec in zip(resid_cols, eff_cols)]
                 )
-                cur = cur.join(F.broadcast(inc), on=fe, how="left").select(
+                inc_j = inc.select(F.col(fe).alias("__bfk"), *eff_cols)
+                cur = cur.join(
+                    F.broadcast(inc_j),
+                    on=F.col(fe).eqNullSafe(F.col("__bfk")),
+                    how="left",
+                ).select(
                     *[c for c in cur.columns if c not in resid_cols],
                     *[
                         (F.col(rc) - F.coalesce(F.col(ec), F.lit(0.0))).alias(rc)
                         for rc, ec in zip(resid_cols, eff_cols)
                     ],
-                ).drop(*eff_cols)
+                ).drop("__bfk", *eff_cols)
                 # Accumulate this round's increment into the FE's table.
                 if fe in fe_tables:
                     prev = fe_tables[fe]
                     joined = prev.join(
                         inc.select(
-                            fe, *[F.col(ec).alias(f"__i_{ec}") for ec in eff_cols]
+                            F.col(fe).alias("__ik"),
+                            *[F.col(ec).alias(f"__i_{ec}") for ec in eff_cols],
                         ),
-                        on=fe,
+                        on=F.col(fe).eqNullSafe(F.col("__ik")),
                         how="outer",
                     )
                     fe_tables[fe] = joined.select(
-                        fe,
+                        # A null-level row matches null-safely, so
+                        # coalescing the two keys is exact: null+null →
+                        # null (the real level), one-sided → that side.
+                        F.coalesce(F.col(fe), F.col("__ik")).alias(fe),
                         *[
                             (
                                 F.coalesce(F.col(ec), F.lit(0.0))

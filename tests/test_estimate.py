@@ -96,6 +96,48 @@ def test_plan_alternating_matches_within(reg_df):
     )
 
 
+def test_plan_alternating_null_fe_levels(spark, reg_pdf, monkeypatch):
+    """Null FE levels are real levels (the groupBy/window semantic):
+    slopes with nulls in an FE column must equal slopes with the nulls
+    recoded as an explicit sentinel level — on the driver tier AND the
+    distributed tiers (nulls previously broke pd.factorize's bincounts
+    / silently skipped the broadcast-demean join). Fixed effects of
+    the null level must also be recovered."""
+    import hdfe_spark.operators.estimate as est_mod
+
+    pdf = reg_pdf.copy()
+    pdf["fe2"] = pdf["fe2"].astype(object)
+    null_mask = pdf.index % 7 == 0
+    pdf.loc[null_mask, "fe2"] = None
+    with_null = spark.createDataFrame(pdf)
+    sentinel = spark.createDataFrame(pdf.assign(fe2=pdf["fe2"].fillna(99)))
+
+    kw = dict(
+        categorical_controls=["fe1", "fe2"], within_if_fe=False,
+        check_rank=False, estimate_variance=False,
+    )
+    b_sentinel = estimate(sentinel, "y", ["x1", "x2"], **kw).b[:, 0]
+
+    b_null = estimate(with_null, "y", ["x1", "x2"], **kw).b[:, 0]
+    np.testing.assert_allclose(b_null, b_sentinel, rtol=1e-6)
+
+    monkeypatch.setattr(est_mod, "_AP_DRIVER_LEVELS_MAX", 0)
+    b_null_dist = estimate(with_null, "y", ["x1", "x2"], **kw).b[:, 0]
+    np.testing.assert_allclose(b_null_dist, b_sentinel, rtol=1e-6)
+    monkeypatch.setattr(est_mod, "_AP_DRIVER_LEVELS_MAX", 20_000_000)
+
+    # FE recovery: the null level appears in the fe2 table with the
+    # same effect the sentinel run assigns level 99.
+    res_n = estimate(with_null, "y", ["x1", "x2"], **kw)
+    res_s = estimate(sentinel, "y", ["x1", "x2"], **kw)
+    fe2_n = res_n.fixed_effects["fe2"].toPandas()
+    fe2_s = res_s.fixed_effects["fe2"].toPandas()
+    null_rows = fe2_n[fe2_n["fe2"].isna()]
+    assert len(null_rows) == 1
+    want = fe2_s[fe2_s["fe2"] == 99]["fe_y"].iloc[0]
+    np.testing.assert_allclose(null_rows["fe_y"].iloc[0], want, rtol=1e-6)
+
+
 def test_plan_alternating_distributed_tiers_match_driver(reg_df, monkeypatch):
     """The three Plan C tiers (driver level-space solve, distributed
     weighted cell sweeps, full-data sweeps) are alternative physical
