@@ -69,10 +69,15 @@ def asof_join(
 
     merged = lhs.unionByName(rhs)
     # right (side 0) sorts before left (side 1) at equal timestamps,
-    # so `last ignoring nulls` includes ties — the >= contract.
+    # so `last ignoring nulls` includes ties — the >= contract. The
+    # struct itself is the final sort key so DUPLICATE right rows at
+    # one (key, ts) resolve deterministically (greatest struct value
+    # wins, every run) instead of whichever the shuffle delivered
+    # last. (Caveat: map-typed right columns aren't orderable — pick
+    # them off with ``right_cols`` if present.)
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(

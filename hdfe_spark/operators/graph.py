@@ -82,6 +82,16 @@ def connected_components(
         labels = new_labels.drop("__changed")
         if not changed:
             break
+    else:
+        # Exhausted max_iter with labels still moving: the returned
+        # labels would silently split components (a path graph of
+        # diameter > max_iter). Surface it — callers doing dedup would
+        # otherwise keep extra representatives with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the candidate-pair graph "
+            "has a longer diameter than expected — raise max_iter"
+        )
     out = labels
     # keep the final checkpoint alive for the caller; drop the rest
     for ck in live[:-1]:

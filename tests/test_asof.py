@@ -89,3 +89,20 @@ def test_asof_struct_carry_is_row_atomic(spark):
     row = asof_join(left, right, on="user_id").collect()[0]
     assert row["tag_asof"] == "b"
     assert row["price_asof"] is None  # NOT 5.0 leaked from the older row
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Duplicate right rows at one (key, ts): the greatest struct
+    value wins, identically on every run/partitioning."""
+    left = spark.createDataFrame(
+        [(1, 100, 0.0)], "user_id long, ts long, v double"
+    )
+    rows = [(1, 50, float(p), t) for p, t in [(3, "x"), (9, "z"), (5, "y")]]
+    right = spark.createDataFrame(
+        rows, "user_id long, ts long, price double, tag string"
+    )
+    picks = set()
+    for _ in range(3):
+        r = asof_join(left, right.repartition(8), on="user_id").collect()[0]
+        picks.add((r["price_asof"], r["tag_asof"]))
+    assert picks == {(9.0, "z")}  # max struct, stable across runs

@@ -74,3 +74,15 @@ def test_chain_converges_past_direct_neighbors(spark):
     assert all(r["component"] == 0 for r in comp)
     out = sorted(r["doc_id"] for r in dedup_by_components(docs, pairs).collect())
     assert out == [0]
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """Exhausting max_iter with labels still moving must raise — a
+    silently split component would dedup wrongly."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
