@@ -752,25 +752,7 @@ def _plan_alternating(
     dm = {c: f"__dm_{c}" for c in all_cols}
     dmv = list(dm.values())
     keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
-    # Null FE levels are REAL levels (same semantics as groupBy /
-    # window demeaning, which keep a null group) — but equi-joins
-    # never match null keys and pd.factorize codes nulls as -1
-    # (breaking the driver tier's bincounts), so encode each FE key
-    # once, here: null → "\x00", value v → "v" + str(v). Equality —
-    # all Plan C ever needs from these columns — is preserved, and the
-    # encoded keys never leave this function (FE recovery reads the
-    # ORIGINAL df). If ``cluster`` IS one of the FEs, the encoding is
-    # injective, so the cluster partition of rows is unchanged.
-    fe_key = {
-        fe: F.when(F.col(fe).isNull(), F.lit("\x00"))
-        .otherwise(F.concat(F.lit("v"), F.col(fe).cast("string")))
-        .alias(fe)
-        for fe in cc
-    }
-    sw = df.select(
-        *[fe_key.get(c, F.col(c)) for c in keep],
-        *[F.col(c).alias(d) for c, d in dm.items()],
-    )
+    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
 
     # --- One gate pass: row count, approximate per-FE level counts,
     # approximate pairwise-combination counts (the nnz of the
@@ -794,8 +776,35 @@ def _plan_alternating(
         ],
         F.approx_count_distinct(F.xxhash64(*cc)).alias("__cells"),
         *[F.avg(F.col(d) * F.col(d)).alias(f"__ms_{d}") for d in dmv],
+        # Null detection rides the gate scan for free (see below).
+        *[
+            F.max(F.col(fe).isNull().cast("int")).alias(f"__null_{fe}")
+            for fe in cc
+        ],
     ).collect()[0]
     n_rows = int(gate["__n"])
+    # Null FE levels are REAL levels (same semantics as groupBy /
+    # window demeaning, which keep a null group) — but equi-joins
+    # never match null keys and pd.factorize codes nulls as -1
+    # (breaking the driver tier's bincounts). When the gate saw nulls
+    # in an FE column, re-encode that key injectively on top of the
+    # lazy sw projection: null → "\x00", value v → "v" + str(v) —
+    # equality (all Plan C ever needs from these columns) is
+    # preserved, and the encoded keys never leave this function (FE
+    # recovery reads the ORIGINAL df). Null-free inputs — the common
+    # case — keep their native key types and pay nothing.
+    null_fes = [fe for fe in cc if int(gate[f"__null_{fe}"] or 0)]
+    if null_fes:
+        fe_key = {
+            fe: F.when(F.col(fe).isNull(), F.lit("\x00"))
+            .otherwise(F.concat(F.lit("v"), F.col(fe).cast("string")))
+            .alias(fe)
+            for fe in null_fes
+        }
+        sw = sw.select(
+            *[fe_key.get(c, F.col(c)) for c in keep],
+            *dmv,
+        )
     approx_levels = sum(int(gate[f"__l_{fe}"]) for fe in cc)
     # The driver path collects the full-combination cell table, so the
     # gate bounds BOTH the pairwise nnz and the cell count (for C=2
