@@ -287,6 +287,49 @@ def _q_ols_2fe(spark, sf_dir):
     )
 
 
+def _q_ols_3fe(spark, sf_dir):
+    """Plan C with THREE fixed effects (l_suppkey × l_partkey ×
+    l_returnflag) — the cell table is the full joint-key combination,
+    so this exercises the C>2 generality of the level-space solver
+    (every pairwise coupling, one joint groupBy). Oracle: the same
+    iterated-demeaning SQL as ols_2fe, cycling three FEs."""
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey", "l_partkey", "l_returnflag"],
+        within_if_fe=False,
+    )
+    b = res.slopes
+    return spark.createDataFrame(
+        [{"b_quantity": round(float(b[0, 0]), 4), "b_discount": round(float(b[1, 0]), 4)}],
+        schema="b_quantity double, b_discount double",
+    )
+
+
+def _q_se_robust(spark, sf_dir):
+    """White/HC1 heteroskedasticity-robust standard errors on the
+    pooled plan (``V = n/(n−k) · (X'X)⁻¹ Σeᵢ²xᵢxᵢ' (X'X)⁻¹``) —
+    beyond-reference, completing the sandwich family next to
+    ``se_pooled``/``se_cluster``. One fused k²-sized aggregation, no
+    per-row or per-cluster collect."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        estimate_variance=True, robust=True,
+    )
+    se = np.sqrt(np.diag(res.V[0]))
+    return spark.createDataFrame(
+        [{"se_quantity": round(float(se[0]), 4), "se_discount": round(float(se[1]), 4)}],
+        schema="se_quantity double, se_discount double",
+    )
+
+
 def _q_se_pooled(spark, sf_dir):
     """Homoskedastic standard errors for the pooled plan
     (``V = σ̂²(X'X)⁻¹``, reference ``hdfe/hdfe.py:153-158,176-179`` —
@@ -1004,7 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_pooled": _q_ols_pooled,
         "ols_within_fe": _q_ols_within_fe,
         "ols_2fe": _q_ols_2fe,
+        "ols_3fe": _q_ols_3fe,
         "se_pooled": _q_se_pooled,
+        "se_robust": _q_se_robust,
         "se_cluster": _q_se_cluster,
         "residuals": _q_residuals,
         "all_dummies": _q_all_dummies,
@@ -1084,30 +1129,31 @@ WITH s AS (
 """
 
 
-def _alternating_sql(n_sweeps: int = 10) -> str:
-    """Iterated-demeaning oracle for the 2-FE alternating estimator:
-    ``n_sweeps`` alternations of (demean by f1, demean by f2) as CTE
+def _alternating_sql(
+    n_sweeps: int = 10, fes: "tuple[str, ...]" = ("l_suppkey", "l_partkey")
+) -> str:
+    """Iterated-demeaning oracle for the alternating estimator:
+    ``n_sweeps`` cycles of (demean by f1, …, demean by fC) as CTE
     layers, then the 2×2 demeaned normal equations. Converges to
     ~1e-13 relative by sweep 5 on the fixture; 10 sweeps is margin."""
+    fkeys = [f"f{i + 1}" for i in range(len(fes))]
+    sel = ", ".join(f"{c} AS {k}" for c, k in zip(fes, fkeys))
     parts = [
-        "WITH d0 AS (SELECT l_suppkey AS f1, l_partkey AS f2,"
+        f"WITH d0 AS (SELECT {sel},"
         " l_extendedprice AS y, l_quantity AS x1, l_discount AS x2 FROM lineitem)"
     ]
     prev = "d0"
-    for s in range(n_sweeps):
-        parts.append(
-            f", a{s} AS (SELECT f1, f2,"
-            f" y - avg(y) OVER (PARTITION BY f1) AS y,"
-            f" x1 - avg(x1) OVER (PARTITION BY f1) AS x1,"
-            f" x2 - avg(x2) OVER (PARTITION BY f1) AS x2 FROM {prev})"
-        )
-        parts.append(
-            f", b{s} AS (SELECT f1, f2,"
-            f" y - avg(y) OVER (PARTITION BY f2) AS y,"
-            f" x1 - avg(x1) OVER (PARTITION BY f2) AS x1,"
-            f" x2 - avg(x2) OVER (PARTITION BY f2) AS x2 FROM a{s})"
-        )
-        prev = f"b{s}"
+    step = 0
+    for _s in range(n_sweeps):
+        for fk in fkeys:
+            parts.append(
+                f", t{step} AS (SELECT {', '.join(fkeys)},"
+                f" y - avg(y) OVER (PARTITION BY {fk}) AS y,"
+                f" x1 - avg(x1) OVER (PARTITION BY {fk}) AS x1,"
+                f" x2 - avg(x2) OVER (PARTITION BY {fk}) AS x2 FROM {prev})"
+            )
+            prev = f"t{step}"
+            step += 1
     parts.append(
         f""", s AS (
   SELECT sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
@@ -1426,6 +1472,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(b1, 4) AS b_quantity, round(b2, 4) AS b_discount FROM b
         """,
         "ols_2fe": _alternating_sql(10),
+        "ols_3fe": _alternating_sql(12, ("l_suppkey", "l_partkey", "l_returnflag")),
+        "se_robust": _POOLED_SB_CTE
+        + """
+            , m AS (
+              SELECT sum(e*e*l_quantity*l_quantity) AS m11,
+                     sum(e*e*l_quantity*l_discount) AS m12,
+                     sum(e*e*l_discount*l_discount) AS m22
+              FROM (SELECT l_quantity, l_discount,
+                           l_extendedprice - b.b1*l_quantity - b.b2*l_discount AS e
+                    FROM lineitem CROSS JOIN b)
+            )
+            SELECT round(sqrt((b.n/(b.n - 2.0))
+                              * (b.s22*b.s22*m.m11 - 2*b.s22*b.s12*m.m12
+                                 + b.s12*b.s12*m.m22)
+                              / ((b.s11*b.s22 - b.s12*b.s12)
+                                 * (b.s11*b.s22 - b.s12*b.s12))), 4) AS se_quantity,
+                   round(sqrt((b.n/(b.n - 2.0))
+                              * (b.s12*b.s12*m.m11 - 2*b.s11*b.s12*m.m12
+                                 + b.s11*b.s11*m.m22)
+                              / ((b.s11*b.s22 - b.s12*b.s12)
+                                 * (b.s11*b.s22 - b.s12*b.s12))), 4) AS se_discount
+            FROM m CROSS JOIN b
+        """,
         "se_pooled": _POOLED_SB_CTE
         + """
             , r AS (

@@ -228,6 +228,37 @@ def _homoskedastic_V(
     return [G_inv * (float(es) / dof) for es in rss]
 
 
+def _hc1_meat(
+    df: DataFrame, resid_cols: list[str], x_cols: list[str]
+) -> dict[str, np.ndarray]:
+    """White/HC1 sandwich 'meat' ``Σᵢ eᵢ² xᵢxᵢ'`` for every outcome in
+    ONE fused aggregation — k(k+1)/2 upper-triangle sums per outcome,
+    map-side partials, a k²-sized driver result. The per-row version
+    of ``_cluster_scores`` (each row its own cluster) WITHOUT the
+    n-sized collect that grouping by a row id would imply. Returns
+    {outcome: (k × k) ndarray}."""
+    k = len(x_cols)
+    exprs = []
+    for rc in resid_cols:
+        e2 = F.col(rc) * F.col(rc)
+        for i in range(k):
+            for j in range(i, k):
+                exprs.append(
+                    F.sum(e2 * F.col(x_cols[i]) * F.col(x_cols[j])).alias(
+                        f"__m_{rc}_{i}_{j}"
+                    )
+                )
+    row = df.agg(*exprs).collect()[0]
+    out = {}
+    for rc in resid_cols:
+        M = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                M[i, j] = M[j, i] = float(row[f"__m_{rc}_{i}_{j}"] or 0.0)
+        out[rc] = M
+    return out
+
+
 def estimate(
     df: DataFrame,
     y: str | Sequence[str],
@@ -237,6 +268,7 @@ def estimate(
     estimate_variance: bool = False,
     get_residual: bool = False,
     cluster: str | None = None,
+    robust: bool = False,
     tol: float = 1e-9,
     within_if_fe: bool = True,
     ap_tol: float = 1e-8,
@@ -244,25 +276,34 @@ def estimate(
 ) -> EstimateResult:
     """Distributed analogue of reference ``estimate``
     (``hdfe/hdfe.py:49-181``). ``y``/``x`` are column names in ``df``.
+
+    Variance menu (``estimate_variance=True``): homoskedastic
+    (default, reference parity), ``cluster=<col>`` Liang–Zeger
+    cluster-robust (reference parity), or ``robust=True`` White/HC1
+    heteroskedasticity-robust — beyond-reference, completing the
+    standard sandwich family. ``robust`` and ``cluster`` are mutually
+    exclusive (cluster-robust already nests HC within clusters).
     """
     y_cols = _as_list(y)
     x_cols = list(_as_list(x))
     cc = list(categorical_controls or [])
+    if robust and cluster is not None:
+        raise ValueError("robust=True and cluster are mutually exclusive")
     want_resid = get_residual or estimate_variance or cluster is not None
 
     if not cc:
         return _plan_pooled(
             df, y_cols, x_cols, check_rank, estimate_variance,
-            want_resid, get_residual, cluster, tol,
+            want_resid, get_residual, cluster, robust, tol,
         )
     if len(cc) == 1 or within_if_fe:
         return _plan_within(
             df, y_cols, x_cols, cc, check_rank, estimate_variance,
-            want_resid, get_residual, cluster, tol,
+            want_resid, get_residual, cluster, robust, tol,
         )
     return _plan_alternating(
         df, y_cols, x_cols, cc, check_rank, estimate_variance,
-        want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
+        want_resid, get_residual, cluster, robust, tol, ap_tol, ap_max_iter,
     )
 
 
@@ -270,7 +311,7 @@ def estimate(
 
 def _plan_pooled(
     df, y_cols, x_cols, check_rank, estimate_variance,
-    want_resid, get_residual, cluster, tol,
+    want_resid, get_residual, cluster, robust, tol,
 ) -> EstimateResult:
     """No FEs → normal equations from one distributed Gram pass
     (reference ``hdfe/hdfe.py:66-71``)."""
@@ -299,14 +340,18 @@ def _plan_pooled(
 
     if estimate_variance:
         G_inv = np.linalg.pinv(G)
-        if cluster is None:
-            rss = _sum_sq(with_resid, resid_cols)
-            res.V = _homoskedastic_V(G_inv, rss, n, len(x_cols))
-        else:
+        if cluster is not None:
             scores = _cluster_scores(with_resid, cluster, resid_cols, x_cols)
             res.V = [
                 G_inv @ (scores[rc].T @ scores[rc]) @ G_inv for rc in resid_cols
             ]
+        elif robust:
+            meat = _hc1_meat(with_resid, resid_cols, x_cols)
+            hc1 = n / max(n - len(x_cols), 1)
+            res.V = [G_inv @ meat[rc] @ G_inv * hc1 for rc in resid_cols]
+        else:
+            rss = _sum_sq(with_resid, resid_cols)
+            res.V = _homoskedastic_V(G_inv, rss, n, len(x_cols))
         res.v_coef_names = list(x_cols)
     return res
 
@@ -315,7 +360,7 @@ def _plan_pooled(
 
 def _plan_within(
     df, y_cols, x_cols, cc, check_rank, estimate_variance,
-    want_resid, get_residual, cluster, tol,
+    want_resid, get_residual, cluster, robust, tol,
 ) -> EstimateResult:
     """Within estimator / FWL demeaning (reference
     ``hdfe/hdfe.py:73-120``). FE#1 absorbed; FEs #2+ as drop-last
@@ -407,7 +452,14 @@ def _plan_within(
         # demeaned Gram G_dm. No levels×levels dense matrix needed for
         # the slope block; FE blocks are formed only when small.
         S_inv = np.linalg.pinv(G_dm)
-        if cluster is None:
+        if robust:
+            # HC1 on the within-transformed model (slopes): demeaned x
+            # against FE-netted residuals, absorbed-dof correction.
+            meat = _hc1_meat(netted, resid_cols, dm_cols)
+            hc1 = n / max(n - k_total, 1)
+            res.V = [S_inv @ meat[rc] @ S_inv * hc1 for rc in resid_cols]
+            res.v_coef_names = list(x_all)
+        elif cluster is None:
             rss = _sum_sq(netted, resid_cols)
             dof = max(n - k_total, 1)
             if n_levels <= 2000:
@@ -711,7 +763,7 @@ def _ap_sweeps_distributed(
 
 def _plan_alternating(
     df, y_cols, x_cols, cc, check_rank, estimate_variance,
-    want_resid, get_residual, cluster, tol, ap_tol, ap_max_iter,
+    want_resid, get_residual, cluster, robust, tol, ap_tol, ap_max_iter,
 ) -> EstimateResult:
     """≥2 FEs at scale: alternating-projection demeaning
     (Guimarães & Portugal 2010 / reghdfe) replacing the reference's
@@ -1026,15 +1078,19 @@ def _plan_alternating(
         S_inv = np.linalg.pinv(G_dm)
         swr = _append_residuals(sw, dm_y, dm_x, b_x)
         rdm_cols = [f"resid_{d}" for d in dm_y]
-        if cluster is None:
-            rss = _sum_sq(swr, rdm_cols)
-            dof = max(n - k_total, 1)
-            res.V = [S_inv * (float(es) / dof) for es in rss]
-        else:
+        if cluster is not None:
             scores = _cluster_scores(swr, cluster, rdm_cols, dm_x)
             res.V = [
                 S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in rdm_cols
             ]
+        elif robust:
+            meat = _hc1_meat(swr, rdm_cols, dm_x)
+            hc1 = n / max(n - k_total, 1)
+            res.V = [S_inv @ meat[rc] @ S_inv * hc1 for rc in rdm_cols]
+        else:
+            rss = _sum_sq(swr, rdm_cols)
+            dof = max(n - k_total, 1)
+            res.V = [S_inv * (float(es) / dof) for es in rss]
         res.v_coef_names = list(x_used)
     # Gram + variance are done with the sweep table; nothing returned
     # references it (back-fit reads the original df), so release the

@@ -96,6 +96,47 @@ def test_plan_alternating_matches_within(reg_df):
     )
 
 
+def test_hc1_robust_se_matches_numpy(spark):
+    """White/HC1 sandwich on the pooled plan equals the textbook numpy
+    computation; and the within/alternating forms agree with each
+    other on the demeaned model."""
+    rng = np.random.RandomState(23)
+    X = rng.randn(800, 2)
+    # heteroskedastic noise so HC1 ≠ homoskedastic
+    y = X @ np.array([1.5, -0.5]) + rng.randn(800) * (0.1 + np.abs(X[:, 0]))
+    pdf = pd.DataFrame({"x1": X[:, 0], "x2": X[:, 1], "y": y})
+    df = spark.createDataFrame(pdf)
+
+    res = estimate(df, "y", ["x1", "x2"], estimate_variance=True, robust=True)
+    b = np.linalg.lstsq(X, y[:, None], rcond=None)[0]
+    e = y[:, None] - X @ b
+    G_inv = np.linalg.inv(X.T @ X)
+    meat = X.T @ (X * (e**2))
+    V_want = G_inv @ meat @ G_inv * (800 / (800 - 2))
+    np.testing.assert_allclose(res.V[0], V_want, rtol=1e-8)
+    # differs from homoskedastic under heteroskedasticity
+    res_h = estimate(df, "y", ["x1", "x2"], estimate_variance=True)
+    assert not np.allclose(np.diag(res.V[0]), np.diag(res_h.V[0]), rtol=0.05)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        estimate(df, "y", ["x1"], estimate_variance=True, robust=True, cluster="x2")
+
+
+def test_hc1_robust_se_fe_plans_agree(reg_df):
+    """HC1 slope variances from Plan B (within + dummies) and Plan C
+    (alternating) describe the same model → near-identical SEs."""
+    kw = dict(
+        categorical_controls=["fe1", "fe2"], estimate_variance=True, robust=True,
+    )
+    res_b = estimate(reg_df, "y", ["x1", "x2"], **kw)
+    res_c = estimate(reg_df, "y", ["x1", "x2"], within_if_fe=False, **kw)
+    np.testing.assert_allclose(
+        np.sqrt(np.diag(res_c.V[0])),
+        np.sqrt(np.diag(res_b.V[0]))[:2],
+        rtol=1e-4,
+    )
+
+
 def test_plan_alternating_null_fe_levels(spark, reg_pdf, monkeypatch):
     """Null FE levels are real levels (the groupBy/window semantic):
     slopes with nulls in an FE column must equal slopes with the nulls
