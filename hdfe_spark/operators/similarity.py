@@ -215,8 +215,35 @@ def lsh_bucket(
     return df.withColumn(bucket_col, bucket(F.col(vec_col)))
 
 
-def ann_topk_lsh(
+def lsh_index(
     df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 42,
+    dim: int | None = None,
+    materialize: bool = True,
+) -> "tuple[DataFrame, np.ndarray]":
+    """Compute the multi-table LSH signatures ONCE (the add-phase of a
+    FAISS-style index): returns ``(df + __bkts array<long>, planes)``.
+    Signature computation is the expensive part of a probe (one
+    (n × dim) @ (dim × tables·planes) GEMM over the whole corpus), so
+    amortizing it across queries is the scale lever — pass the result
+    to ``ann_topk_lsh(index=...)`` and each probe is a codegen'd
+    bucket filter + candidate-only scoring. ``materialize=True``
+    truncates lineage (``localCheckpoint``) so probes re-scan the
+    signed corpus, not the signature kernel."""
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    P = np.stack([_planes(n_planes, dim, seed + t) for t in range(n_tables)])
+    v = df.withColumn("__bkts", make_multi_bucket_udf(P)(F.col(vec_col)))
+    if materialize:
+        v = v.localCheckpoint()
+    return v, P
+
+
+def ann_topk_lsh(
+    df: DataFrame | None,
     query: "np.ndarray | list[float]",
     k: int = 10,
     vec_col: str = "embedding",
@@ -224,6 +251,7 @@ def ann_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 1,
     seed: int = 42,
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors that share an LSH bucket
     with the query in at least one of ``n_tables`` independent
@@ -233,18 +261,27 @@ def ann_topk_lsh(
     (``make_multi_bucket_udf``); the per-table bucket match is a
     codegen'd OR of ``n_tables`` equality filters — no shuffle before
     the final k-row ``TakeOrderedAndProject`` merge. Exact cosines for
-    whatever is scored."""
+    whatever is scored.
+
+    Pass ``index=lsh_index(...)`` to amortize the corpus signature
+    GEMM across queries; without it, signatures are computed inline
+    for this one call (convenience only — at 1M+ vectors the
+    signature pass costs more than brute-force scoring would)."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
-    P = np.stack([_planes(n_planes, len(qn), seed + t) for t in range(n_tables)])
-    pows = (1 << np.arange(n_planes)).astype(np.int64)
+    if index is None:
+        v, P = lsh_index(
+            df, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables,
+            seed=seed, dim=len(qn), materialize=False,
+        )
+    else:
+        v, P = index
+    pows = (1 << np.arange(P.shape[1])).astype(np.int64)
     q_codes = ((P @ qn > 0).astype(np.int64) @ pows)  # (n_tables,)
 
-    buckets = make_multi_bucket_udf(P)
-    v = df.withColumn("__bkts", buckets(F.col(vec_col)))
     # element_at is 1-based and needs an INT index (not BIGINT)
     match = F.element_at(F.col("__bkts"), 1) == int(q_codes[0])
-    for t in range(1, n_tables):
+    for t in range(1, len(q_codes)):
         match = match | (F.element_at(F.col("__bkts"), t + 1) == int(q_codes[t]))
     cos = make_cosine_udf(qn)
     return (

@@ -70,6 +70,24 @@ def test_ann_lsh_multi_table_recall(emb, emb_np):
     assert r16 >= 6  # 16 tables × 4 planes covers most of the fixture
 
 
+def test_lsh_index_reuse_matches_inline(emb, emb_np):
+    """A prebuilt lsh_index probe returns exactly what the inline
+    (convenience) path returns; a second query reuses the signatures."""
+    from hdfe_spark.operators.similarity import lsh_index
+
+    ids, M = emb_np
+    corpus = emb.filter("vec_id != 0")
+    q = M[0]
+    inline = ann_topk_lsh(
+        corpus, q, k=10, n_planes=4, n_tables=8
+    ).toPandas()
+    idx = lsh_index(corpus, n_planes=4, n_tables=8)
+    reused = ann_topk_lsh(None, q, k=10, index=idx).toPandas()
+    assert list(reused["vec_id"]) == list(inline["vec_id"])
+    again = ann_topk_lsh(None, M[3], k=5, index=idx).toPandas()
+    assert len(again) == 5
+
+
 def test_ivf_topk_recall(emb, emb_np):
     ids, M = emb_np
     q = M[7]
