@@ -143,3 +143,42 @@ def test_knn_join_no_full_sort(spark, sf_dir):
     assert rep["n_python_stages"] == 1  # one mapInPandas scoring pass
     # the only exchange is the candidate window's hash partitioning
     assert rep["n_exchanges"] <= 1
+
+
+def test_decode_media_single_python_stage(spark):
+    """Mixed-modality decode: one mapInPandas pass, payload dropped
+    in-stage, zero shuffles."""
+    from hdfe_spark.operators.multimodal import decode_media, make_codec_assets
+
+    out = decode_media(make_codec_assets(spark, n=32))
+    assert_plan(out, n_exchanges=0, n_python_stages=1)
+
+
+def test_tfidf_n_count_rides_the_plan(docs):
+    """tf_idf's corpus-size N is a broadcast 1-row aggregate INSIDE the
+    lazy plan — no eager driver count job, and the only joins are
+    broadcasts (docfreq + N)."""
+    from hdfe_spark.operators.text import tf_idf
+
+    out = tf_idf(docs, top_k=3)
+    rep = plan_report(out)
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_broadcast_exchanges"] >= 2  # docfreq + N
+    assert rep["n_python_stages"] == 0  # tokenization stays JVM-side
+
+
+def test_ann_lsh_probe_reuses_index(spark, sf_dir):
+    """A probe against a prebuilt lsh_index must NOT recompute corpus
+    signatures: the plan scans the checkpointed signed corpus (no
+    Arrow signature stage) and keeps the heap-based top-k."""
+    import numpy as np
+
+    from hdfe_spark.operators.similarity import ann_topk_lsh, lsh_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = lsh_index(emb, n_planes=4, n_tables=4)
+    out = ann_topk_lsh(None, np.ones(64), k=5, index=idx)
+    rep = plan_report(out)
+    assert rep["has_take_ordered"]
+    assert rep["n_python_stages"] == 1  # cosine scoring only, not signatures
+    assert rep["n_exchanges"] == 0
