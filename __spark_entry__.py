@@ -591,6 +591,79 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _pair_certificate(docs, op_pairs, brute_pairs):
+    """One-row exactness certificate: |brute|, |op|, and the two
+    anti-join counts. All five inputs are 1-row aggregates
+    cross-joined lazily — one Catalyst plan, k-row driver result."""
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    nb = brute_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_brute"))
+    no = op_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_op"))
+    keys = ["id_a", "id_b"]
+    miss = brute_pairs.join(op_pairs, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_missed")
+    )
+    extra = op_pairs.join(brute_pairs, keys, "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_extra")
+    )
+    return nd.crossJoin(nb).crossJoin(no).crossJoin(miss).crossJoin(extra)
+
+
+def _q_simhash_neardup_exactness(spark, sf_dir):
+    """Exactness certificate for ``simhash_neardup_pairs``: pigeonhole
+    banding is EXACT by construction (Manku WWW'07), so the banded
+    pair set must equal a brute-force all-pairs Hamming scan computed
+    in Spark over the same signatures. The two sides share only the
+    signature kernel — the bucket-join logic is what's certified
+    (n_missed > 0 = lost recall, n_extra > 0 = broken verify filter).
+    The oracle recomputes n_docs in DuckDB and pins the deterministic
+    seeded-signature pair count."""
+    from hdfe_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    banded = simhash_neardup_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    sig = docs.select(F.col("doc_id"), simhash(F.col("text")).alias("__sim"))
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))) <= 3
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return _pair_certificate(docs, banded, brute)
+
+
+def _q_fingerprint_neardup_exactness(spark, sf_dir):
+    """Exactness certificate for ``fingerprint_neardup_pairs``: the
+    posting-list join must reproduce the brute-force per-pair
+    ``array_intersect`` count over the same winnowing fingerprints
+    (no posting list exceeds the stop-fingerprint cap at this sf, so
+    the two formulations are exactly equivalent). Oracle: DuckDB
+    n_docs + pinned deterministic pair count."""
+    from hdfe_spark.operators.text import doc_fingerprint, fingerprint_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_shared=50 matches the fingerprint_neardup driver query (the
+    # template-generated fixture shares heavy boilerplate; 5 shared
+    # mins ≈ all pairs).
+    posting = fingerprint_neardup_pairs(docs, min_shared=50).select("id_a", "id_b")
+    fps = doc_fingerprint(docs).select("doc_id", "fingerprint")
+    a, b = fps.alias("a"), fps.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(
+                F.array_intersect(F.col("a.fingerprint"), F.col("b.fingerprint"))
+            ).alias("__shared"),
+        )
+        .filter(F.col("__shared") >= 50)
+        .select("id_a", "id_b")
+    )
+    return _pair_certificate(docs, posting, brute)
+
+
 def _q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 against the vec_id=0 vector."""
     from hdfe_spark.operators.similarity import cosine_topk
@@ -1066,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_cc": _q_minhash_dedup_cc,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_neardup": _q_simhash_neardup,
+        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
+        "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
         "cosine_topk": _q_cosine_topk,
         "knn_join": _q_knn_join,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1338,6 +1413,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "simhash_neardup_exactness": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(17 AS BIGINT) AS n_brute,
+                   CAST(17 AS BIGINT) AS n_op,
+                   CAST(0 AS BIGINT) AS n_missed,
+                   CAST(0 AS BIGINT) AS n_extra
+            FROM documents
+        """,
+        "fingerprint_neardup_exactness": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(25 AS BIGINT) AS n_brute,
+                   CAST(25 AS BIGINT) AS n_op,
+                   CAST(0 AS BIGINT) AS n_missed,
+                   CAST(0 AS BIGINT) AS n_extra
+            FROM documents
         """,
         "multimodal_decode": """
             WITH ids AS (SELECT i AS asset_id FROM range(256) t(i)),
