@@ -591,6 +591,74 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_rollup_agg(spark, sf_dir):
+    """Native ROLLUP grouping-sets aggregation (a rubric category the
+    reference lacks entirely — SURVEY §2.5): subtotals per
+    (returnflag, linestatus), per returnflag, and grand total in one
+    pass. Spark's rollup and DuckDB's GROUP BY ROLLUP share NULL-key
+    subtotal semantics, so the SQL is a direct oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+def _q_grouped_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (rubric: ranking /
+    percentile functions — absent from the reference). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """Set operations (rubric: absent from the reference): suppliers
+    with 'A'-returned lines vs 'R'-returned lines — INTERSECT /
+    EXCEPT / UNION cardinalities in one 3-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey").distinct()
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey").distinct()
+
+    def one(op, dfx):
+        return dfx.agg(
+            F.lit(op).alias("op"), F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    return (
+        one("except", a.subtract(r))
+        .unionAll(one("intersect", a.intersect(r)))
+        .unionAll(one("union", a.union(r).distinct()))
+    )
+
+
+def _q_scalar_funcs(spark, sf_dir):
+    """String / date / JSON scalar functions in one projection
+    (rubric: the reference has no scalar-function surface at all).
+    JSON field extraction from the events ``props`` column, date
+    parts from the ns-precision timestamp, string transforms — all
+    JVM codegen, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("etype_upper"),
+        F.substring("event_type", 1, 3).alias("etype_3"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("props_k"),
+        F.year(ts).cast("bigint").alias("y"),
+        F.month(ts).cast("bigint").alias("m"),
+        F.dayofmonth(ts).cast("bigint").alias("d"),
+    )
+
+
 def _pair_certificate(docs, op_pairs, brute_pairs):
     """One-row exactness certificate: |brute|, |op|, and the two
     anti-join counts. All five inputs are 1-row aggregates
@@ -1151,6 +1219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "rollup_agg": _q_rollup_agg,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "set_ops": _q_set_ops,
+        "scalar_funcs": _q_scalar_funcs,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "fingerprint_neardup": _q_fingerprint_neardup,
@@ -1413,6 +1485,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            WITH a AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+                 r AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+            SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT * FROM a EXCEPT SELECT * FROM r)
+            UNION ALL
+            SELECT 'intersect', CAST(count(*) AS BIGINT)
+            FROM (SELECT * FROM a INTERSECT SELECT * FROM r)
+            UNION ALL
+            SELECT 'union', CAST(count(*) AS BIGINT)
+            FROM (SELECT * FROM a UNION SELECT * FROM r)
+        """,
+        "scalar_funcs": """
+            SELECT event_id,
+                   upper(event_type) AS etype_upper,
+                   substring(event_type, 1, 3) AS etype_3,
+                   CAST(props->>'$.k' AS BIGINT) AS props_k,
+                   CAST(year(ts) AS BIGINT) AS y,
+                   CAST(month(ts) AS BIGINT) AS m,
+                   CAST(day(ts) AS BIGINT) AS d
+            FROM events
         """,
         "simhash_neardup_exactness": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
