@@ -19,7 +19,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -589,6 +589,29 @@ def _q_simhash_neardup(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def _q_window_funcs(spark, sf_dir):
+    """Ranking + frame-spec window functions in one pass (rubric:
+    beyond the reference's lag/lead-only window surface): rank,
+    dense_rank, cume_dist, and a RANGE-framed (peers-inclusive)
+    running sum, all over ONE window partition spec — a single
+    shuffle+sort. Every function is TIE-SAFE (the fixture has
+    duplicate (orderkey, linenumber) keys, so row-position forms like
+    ntile / ROWS frames would be engine-nondeterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    # no explicit frame → default RANGE UNBOUNDED PRECEDING..CURRENT
+    # ROW: peers share the cumulative value (deterministic under ties)
+    return li.filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.sum("l_quantity").over(w), 4).alias("running_qty"),
+    )
 
 
 def _q_rollup_agg(spark, sf_dir):
@@ -1219,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
         "grouped_quantiles": _q_grouped_quantiles,
         "set_ops": _q_set_ops,
@@ -1485,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "window_funcs": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                   round(cume_dist() OVER w, 6) AS cdist,
+                   round(sum(l_quantity) OVER w, 4) AS running_qty
+            FROM lineitem WHERE l_orderkey < 1000
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_orderkey, l_linenumber)
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,
