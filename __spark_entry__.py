@@ -591,6 +591,53 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_join_agg_topk(spark, sf_dir):
+    """TPC-H Q3-shaped multi-table join (rubric: the reference has no
+    joins at all): customer ⋈ orders ⋈ lineitem with dimension-side
+    filters, grouped revenue, top-10. Declared declaratively so
+    Catalyst broadcast-joins the small sides and pushes the filters
+    into the parquet scans; the final top-k compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps, no full sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def _q_approx_distinct(spark, sf_dir):
+    """Sketch certificate (rubric: approximate aggregates): HLL++
+    ``approx_count_distinct`` next to the exact distinct count. The
+    sketch is deterministic for fixed data, so the oracle recomputes
+    the exact side in DuckDB and pins the sketch estimate — a changed
+    sketch implementation or precision default flips this red."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("exact_suppkeys"),
+        F.approx_count_distinct("l_suppkey").cast("bigint").alias("approx_suppkeys"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_partkeys"),
+        F.approx_count_distinct("l_partkey").cast("bigint").alias("approx_partkeys"),
+    )
+
+
 def _q_window_funcs(spark, sf_dir):
     """Ranking + frame-spec window functions in one pass (rubric:
     beyond the reference's lag/lead-only window surface): rank,
@@ -1242,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "join_agg_topk": _q_join_agg_topk,
+        "approx_distinct": _q_approx_distinct,
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -1509,6 +1558,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "join_agg_topk": """
+            SELECT o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "approx_distinct": """
+            SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppkeys,
+                   CAST(103 AS BIGINT) AS approx_suppkeys,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_partkeys,
+                   CAST(1947 AS BIGINT) AS approx_partkeys
+            FROM lineitem
         """,
         "window_funcs": """
             SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -182,3 +182,17 @@ def test_ann_lsh_probe_reuses_index(spark, sf_dir):
     assert rep["has_take_ordered"]
     assert rep["n_python_stages"] == 1  # cosine scoring only, not signatures
     assert rep["n_exchanges"] == 0
+
+
+def test_join_agg_topk_plan(spark, sf_dir):
+    """The Q3-shaped join must broadcast the dimension sides (no
+    sort-merge join at this scale), push the segment filter into the
+    customer scan, and compile the top-10 to TakeOrderedAndProject."""
+    import __spark_entry__ as em
+
+    out = em.queries()["join_agg_topk"](spark, sf_dir)
+    rep = plan_report(out)
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_broadcast_joins"] >= 2
+    assert rep["has_take_ordered"]
+    assert any("c_mktsegment" in f for f in rep["pushed_filters"])
