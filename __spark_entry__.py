@@ -1215,6 +1215,41 @@ def _q_streaming_lags(spark, sf_dir):
     )
 
 
+def _q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (availableNow replay,
+    memory sink): every click paired with the same user's purchases
+    within the following 30 minutes. The replay covers all data in one
+    micro-batch, so the batch interval-join SQL is its oracle."""
+    import uuid
+
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_interval_join
+
+    _t(spark, sf_dir, "events")
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = streaming_interval_join(clicks, purchases, upper="30 minutes")
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.unix_micros(F.col("l.ts")).alias("click_us"),
+        F.unix_micros(F.col("r.ts")).alias("purchase_us"),
+        F.round(F.col("r.value"), 5).alias("purchase_value"),
+    )
+    sink = "snk_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end: asset table of genuine PPM
     image and RIFF/WAVE audio payloads → one mixed-modality
@@ -1305,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_lags": _q_streaming_lags,
+        "streaming_interval_join": _q_streaming_interval_join,
         "multimodal_decode": _q_multimodal_decode,
     }
 
@@ -1949,6 +1985,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "streaming_interval_join": """
+            SELECT c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   epoch_us(p.ts) AS purchase_us,
+                   round(p.value, 5) AS purchase_value
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "streaming_lags": """
             SELECT user_id, epoch_us(ts) AS ts_us,

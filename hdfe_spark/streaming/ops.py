@@ -168,6 +168,33 @@ def streaming_dedup(
     return s.dropDuplicates(keys)
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs
+    with right events of the same key whose timestamp falls in
+    ``[left_ts, left_ts + upper]``. The two-sided time bound plus the
+    watermarks is exactly what lets Spark evict join state (left rows
+    older than watermark+upper, right rows older than watermark can
+    never match again), so state stays bounded on infinite streams —
+    the canonical bounded stream-stream join shape. Returns the raw
+    joined frame with both sides aliased ``l``/``r``; callers select
+    qualified columns."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_lag_transform(
     stream: DataFrame,
     entity_col: str = "user_id",
