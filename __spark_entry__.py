@@ -933,7 +933,14 @@ def _ivf_fixture_index(spark, sf_dir):
 
     cache = getattr(spark, "_hdfe_ivf_cache", None)
     if cache is not None and cache[0] == sf_dir:
-        return cache[1]
+        try:
+            # The assignment is a localCheckpoint: if the harness
+            # dropped executor blocks between queries, its data is
+            # gone irrecoverably — probe one row and rebuild on loss.
+            cache[1][0].take(1)
+            return cache[1]
+        except Exception:
+            pass
     emb = _t(spark, sf_dir, "embeddings")
     idx = ivf_index(emb.filter(F.col("vec_id") != 0), n_centroids=16)
     spark._hdfe_ivf_cache = (sf_dir, idx)
