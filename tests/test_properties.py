@@ -126,3 +126,74 @@ def test_factorize_is_dense_rank(spark, keys):
     assert list(codes) == list(range(len(codes)))
     # same key always maps to the same code
     assert out.groupby("k")["k_code"].nunique().max() == 1
+
+
+# ------------------------------------------------------ codec roundtrips
+# Pure-numpy, no Spark session → cheap enough for many examples.
+
+FAST = settings(max_examples=50, deadline=None)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@FAST
+def test_ppm_roundtrip_any_dims(w, h, seed):
+    from hdfe_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    got_w, got_h, got = decode_ppm(encode_ppm(w, h, px))
+    assert (got_w, got_h) == (w, h)
+    np.testing.assert_array_equal(got, px)
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+    n=st.integers(min_value=0, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@FAST
+def test_wav_roundtrip_any_samples(rate, n, seed):
+    from hdfe_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = (
+        np.random.RandomState(seed)
+        .randint(-32768, 32768, size=n)
+        .astype(np.int16)
+    )
+    got_rate, ch, bits, got = decode_wav(encode_wav(rate, s))
+    assert (got_rate, ch, bits) == (rate, 1, 16)
+    np.testing.assert_array_equal(got, s)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@FAST
+def test_codec_parsers_reject_or_raise_never_crash(data):
+    """Arbitrary bytes must raise ValueError (or parse legitimately) —
+    never segfault, hang, or raise an unexpected type. This is the
+    decode_media 'corrupt asset must not kill the scan' contract."""
+    from struct import error as struct_error
+
+    from hdfe_spark.operators.multimodal import decode_ppm, decode_wav
+
+    for parser in (decode_ppm, decode_wav):
+        try:
+            parser(data)
+        except (ValueError, IndexError, struct_error):
+            # exactly the set decode_media catches per-row
+            pass
+
+
+def test_truncated_fmt_chunk_is_flagged_not_fatal(spark):
+    """A RIFF header whose fmt chunk is shorter than 16 bytes raises
+    struct.error in the parser; decode_media must absorb it."""
+    from hdfe_spark.operators.multimodal import ASSET_SCHEMA, decode_media
+
+    bad = b"RIFF\x24\x00\x00\x00WAVEfmt \x02\x00\x00\x00XX"
+    df = spark.createDataFrame(
+        [(0, "audio/wav", bytearray(bad), {})], schema=ASSET_SCHEMA
+    )
+    out = decode_media(df).toPandas()
+    assert not out["decode_ok"].iloc[0]
