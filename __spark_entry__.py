@@ -856,12 +856,18 @@ def _q_ann_lsh_recall(spark, sf_dir):
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     corpus = emb.filter(F.col("vec_id") != 0)
     exact = cosine_topk(corpus, q, k=10)
-    approx = ann_topk_lsh(corpus, q, k=10, n_planes=4, n_tables=16).select(
-        "vec_id", F.lit(1).alias("__hit")
-    )
+    approx = ann_topk_lsh(corpus, q, k=10, n_planes=4, n_tables=16)
+    return _topk_recall_certificate(exact, approx)
+
+
+def _topk_recall_certificate(exact, approx):
+    """One row (k, n_hit, recall, exact_min_cosine) comparing an exact
+    top-k (vec_id, cosine) against an approximate one — shared by the
+    LSH and IVF recall certificates."""
+    hits = approx.select("vec_id", F.lit(1).alias("__hit"))
     hit = F.coalesce(F.sum("__hit"), F.lit(0))
     return (
-        exact.join(F.broadcast(approx), "vec_id", "left")
+        exact.join(F.broadcast(hits), "vec_id", "left")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("k"),
             hit.cast("bigint").alias("n_hit"),
@@ -976,19 +982,8 @@ def _q_ivf_recall(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") != 0)
     exact = cosine_topk(corpus, q, k=10)
     idx = _ivf_fixture_index(spark, sf_dir)
-    approx = ivf_topk(None, q, k=10, n_probe=4, index=idx).select(
-        "vec_id", F.lit(1).alias("__hit")
-    )
-    hit = F.coalesce(F.sum("__hit"), F.lit(0))
-    return (
-        exact.join(F.broadcast(approx), "vec_id", "left")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("k"),
-            hit.cast("bigint").alias("n_hit"),
-            F.round(hit / F.count(F.lit(1)), 6).alias("recall"),
-            F.round(F.min("cosine"), 6).alias("exact_min_cosine"),
-        )
-    )
+    approx = ivf_topk(None, q, k=10, n_probe=4, index=idx)
+    return _topk_recall_certificate(exact, approx)
 
 
 def _q_streaming_window(spark, sf_dir):
@@ -1275,6 +1270,7 @@ def _q_multimodal_decode(spark, sf_dir):
         "mime",
         "width",
         "height",
+        "channels",
         "sample_rate",
         "n_samples",
         "checksum",
@@ -1711,12 +1707,14 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.asset_id, a.sample_rate, a.n_samples)
             SELECT p.asset_id, 'image/ppm' AS mime,
                    CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+                   CAST(3 AS BIGINT) AS channels,
                    CAST(0 AS BIGINT) AS sample_rate, CAST(0 AS BIGINT) AS n_samples,
                    p.checksum, true AS decode_ok
             FROM px p
             UNION ALL
             SELECT s.asset_id, 'audio/wav',
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(1 AS BIGINT),
                    CAST(s.sample_rate AS BIGINT), CAST(s.n_samples AS BIGINT),
                    s.checksum, true
             FROM smp s

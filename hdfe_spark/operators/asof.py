@@ -22,6 +22,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt) -> bool:
+    """Whether Spark can sort on this type (maps cannot be orderBy
+    keys; arrays/structs are orderable iff their element types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -70,14 +83,24 @@ def asof_join(
     merged = lhs.unionByName(rhs)
     # right (side 0) sorts before left (side 1) at equal timestamps,
     # so `last ignoring nulls` includes ties — the >= contract. The
-    # struct itself is the final sort key so DUPLICATE right rows at
-    # one (key, ts) resolve deterministically (greatest struct value
-    # wins, every run) instead of whichever the shuffle delivered
-    # last. (Caveat: map-typed right columns aren't orderable — pick
-    # them off with ``right_cols`` if present.)
+    # orderable subset of the carried struct is the final sort key so
+    # DUPLICATE right rows at one (key, ts) resolve deterministically
+    # (greatest value wins, every run) instead of whichever the
+    # shuffle delivered last. Map-typed right columns can't be sort
+    # keys (Spark rejects them at analysis) — they're carried but
+    # excluded from the tiebreak; if EVERY right column is unorderable
+    # the pick among exact duplicates falls back to arrival order.
+    tiebreak = [
+        F.col("__r").getField(f.name)
+        for f in r_type.fields
+        if _orderable(f.dataType)
+    ]
+    order_keys = [F.col("__t"), F.col("__side")]
+    if tiebreak:
+        order_keys.append(F.struct(*tiebreak))
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(

@@ -83,15 +83,30 @@ def connected_components(
         if not changed:
             break
     else:
-        # Exhausted max_iter with labels still moving: the returned
-        # labels would silently split components (a path graph of
-        # diameter > max_iter). Surface it — callers doing dedup would
-        # otherwise keep extra representatives with no signal.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the candidate-pair graph "
-            "has a longer diameter than expected — raise max_iter"
+        # Exhausted max_iter with the final round still applying
+        # changes. Those changes DID land, so the labels may already
+        # be the fixed point — run one read-only confirmation pass
+        # before deciding (a graph converging in exactly max_iter
+        # rounds must not raise). Only a genuine non-fixed-point is an
+        # error: returning it would silently split components and a
+        # dedup caller would keep extra representatives.
+        still = (
+            und.join(labels, und["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("component").alias("cand"))
+            .join(labels, on="node")
+            .filter(F.col("cand") < F.col("component"))
+            .limit(1)
+            .count()
         )
+        if still:
+            for ck in live:  # release before raising — callers may retry
+                _unpersist_checkpoint(ck)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the candidate-pair graph has a longer diameter "
+                "than expected — raise max_iter"
+            )
     out = labels
     # keep the final checkpoint alive for the caller; drop the rest
     for ck in live[:-1]:

@@ -200,6 +200,7 @@ MEDIA_SCHEMA = T.StructType(
         T.StructField("mime", T.StringType(), True),
         T.StructField("width", T.LongType(), True),
         T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
         T.StructField("sample_rate", T.LongType(), True),
         T.StructField("n_samples", T.LongType(), True),
         T.StructField("checksum", T.LongType(), True),
@@ -227,21 +228,24 @@ def decode_media(
         for pdf in batches:
             out = []
             for i, m, p in zip(pdf[id_col], pdf[mime_col], pdf[payload_col]):
-                w = h = rate = ns = chk = 0
+                w = h = ch = rate = ns = chk = 0
                 ok = False
                 try:
                     if m == "image/ppm" and p is not None:
                         w, h, px = decode_ppm(bytes(p))
+                        ch = 3
                         chk = int(px.astype(np.int64).sum())
                         ok = True
                     elif m == "audio/wav" and p is not None:
-                        rate, _ch, _bits, s = decode_wav(bytes(p))
-                        ns = len(s)
+                        rate, ch, _bits, s = decode_wav(bytes(p))
+                        # frames, not interleaved samples: a stereo
+                        # 100-frame file is ns=100 ch=2, never ns=200
+                        ns = len(s) // ch if ch else 0
                         chk = int(s.astype(np.int64).sum())
                         ok = True
                 except (ValueError, IndexError, struct_error):
                     ok = False
-                out.append((int(i), m, w, h, rate, ns, chk, ok))
+                out.append((int(i), m, w, h, ch, rate, ns, chk, ok))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MEDIA_SCHEMA.fields]
             )

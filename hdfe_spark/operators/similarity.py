@@ -270,6 +270,8 @@ def ann_topk_lsh(
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-30)
     if index is None:
+        if df is None:
+            raise ValueError("ann_topk_lsh needs df or index=lsh_index(...)")
         v, P = lsh_index(
             df, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables,
             seed=seed, dim=len(qn), materialize=False,
@@ -357,6 +359,8 @@ def ivf_topk(
     the index was materialized with ``path=``); without it, the index
     is built from ``df`` for this one call — convenience only."""
     if index is None:
+        if df is None:
+            raise ValueError("ivf_topk needs df or index=ivf_index(...)")
         index = ivf_index(
             df, vec_col=vec_col, id_col=id_col,
             n_centroids=n_centroids, seed=seed,

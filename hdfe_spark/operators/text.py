@@ -149,7 +149,15 @@ def tf_idf(
     highest-scoring terms (ties → term asc), shuffling only the
     already-aggregated (doc, term) rows.
     """
-    n_docs_df = df.select(F.countDistinct(id_col).alias("__n_docs"))
+    # countDistinct skips NULLs but a null-id group is still one doc
+    # (matching the previous .distinct().count() semantics) — add the
+    # null group back via a max(isnull) rider in the same aggregate.
+    n_docs_df = df.select(
+        (
+            F.countDistinct(id_col)
+            + F.max(F.col(id_col).isNull().cast("long"))
+        ).alias("__n_docs")
+    )
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_td"))
     wdoc = Window.partitionBy(id_col)

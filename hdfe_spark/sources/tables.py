@@ -45,10 +45,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     SparkSession, not just ones built via ``get_spark``. Nanosecond
     longs sort identically to the timestamps they encode, which is all
     the lag/order-by operators need.
+
+    Also pins ``spark.sql.session.timeZone`` to UTC (runtime-settable,
+    same rationale): calendar renderings — ``year``/``date_format``/
+    window starts — otherwise depend on the host JVM's default zone,
+    and the fixture's timestamps are UTC instants. A vanilla
+    SparkSession on a non-UTC box would silently shift date parts.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -114,6 +114,7 @@ def test_decode_media_matches_formulas(codec_assets):
         if i % 3:
             w, h = _img_dims(i)
             assert (r["mime"], r["width"], r["height"]) == ("image/ppm", w, h)
+            assert r["channels"] == 3
             x = np.arange(w, dtype=np.int64)[None, :, None]
             y = np.arange(h, dtype=np.int64)[:, None, None]
             c = np.arange(3, dtype=np.int64)[None, None, :]
@@ -123,6 +124,7 @@ def test_decode_media_matches_formulas(codec_assets):
             assert (r["mime"], r["sample_rate"], r["n_samples"]) == (
                 "audio/wav", rate, ns,
             )
+            assert r["channels"] == 1
             j = np.arange(ns, dtype=np.int64)
             assert r["checksum"] == int((((j * 7 + i * 13) % 4096) - 2048).sum())
 
@@ -164,3 +166,29 @@ def test_frame_sample_explodes(assets):
     assert len(out) > 64  # 1→N rows
     assert "payload" not in out.columns
     assert out["frame_hash"].str.len().eq(64).all()
+
+
+def test_decode_media_stereo_frames_not_samples(spark):
+    """A 2-channel WAV reports frames and channels, never the
+    interleaved sample count masquerading as mono."""
+    import struct
+
+    import numpy as np
+
+    from hdfe_spark.operators.multimodal import decode_media
+
+    frames = 100
+    s = np.arange(frames * 2, dtype=np.int16)  # interleaved stereo
+    data = s.tobytes()
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame(
+        [(0, "audio/wav", bytearray(payload), {})], schema=ASSET_SCHEMA
+    )
+    r = decode_media(df).toPandas().iloc[0]
+    assert bool(r["decode_ok"])
+    assert r["channels"] == 2
+    assert r["n_samples"] == frames
