@@ -591,6 +591,30 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source document quota (curation op): 20 docs
+    per source ranked by md5(doc_id) — engine-portable hash order, so
+    the DuckDB oracle reproduces the exact selection."""
+    from hdfe_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 20).select("doc_id", "source")
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5(doc_id) prefix bucket
+    (curation op): a doc's split never moves as the corpus grows —
+    reproduced exactly by the DuckDB oracle's identical expression."""
+    from hdfe_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_by_hash(docs, train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def _q_join_agg_topk(spark, sf_dir):
     """TPC-H Q3-shaped multi-table join (rubric: the reference has no
     joins at all): customer ⋈ orders ⋈ lineitem with dimension-side
@@ -1327,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "stratified_sample": _q_stratified_sample,
+        "hash_split": _q_hash_split,
         "join_agg_topk": _q_join_agg_topk,
         "approx_distinct": _q_approx_distinct,
         "window_funcs": _q_window_funcs,
@@ -1597,6 +1623,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20
+        """,
+        "hash_split": """
+            SELECT CASE
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                       THEN 'train'
+                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "join_agg_topk": """
             SELECT o.o_orderkey,

@@ -1,0 +1,81 @@
+"""Deterministic sampling / splitting for training-data curation.
+
+Beyond-reference surface: a 100 TB corpus pipeline needs per-source
+quotas ("keep 10k docs per domain") and stable train/val/test splits
+that never move a document between splits across runs, machines, or
+engines. Random `sample()` gives neither: it is seed- and
+partitioning-dependent. Both operators here key on a CONTENT hash
+(md5 of the id rendered as text) — the same function exists in every
+engine, so the selection is reproducible anywhere, including the
+DuckDB oracles.
+
+Scale notes: `stratified_sample` is one window shuffle keyed by the
+stratum (the same cost class as any grouped op); rank is computed by
+per-partition heaps only when a `limit` compiles that way — here
+every stratum keeps n rows, so the window is the right plan.
+`split_by_hash` is a pure projection + filter: no shuffle at all,
+runs inside the scan's codegen stage, and pushes down to parquet
+when the hash column is pre-materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(col: Column) -> Column:
+    """Engine-portable deterministic pseudo-random order key: the md5
+    hex digest of the value rendered as a string. (xxhash64 would be
+    cheaper but exists only in Spark — md5 keeps the selection
+    reproducible in any SQL engine, which is what makes the split
+    auditable.)"""
+    return F.md5(col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic ``n_per_stratum``-row sample per stratum:
+    rows ranked by md5(id) within each stratum, the n smallest win.
+    Same input ⇒ same sample, on any engine, any partitioning."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_key(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+# 4-hex-digit thresholds: 0x10000 buckets over the md5 prefix.
+def _threshold_hex(fraction: float) -> str:
+    return format(min(int(fraction * 0x10000), 0xFFFF), "04x")
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test by its md5(id) prefix bucket
+    (65536 buckets): ``[0, train)`` → train, ``[train, train+val)`` →
+    val, rest → test. A document's split NEVER changes when the corpus
+    grows or repartitions — the property random splits lack — and the
+    same expression reproduces the assignment in any engine. Pure
+    narrow projection: no shuffle, stays in whole-stage codegen."""
+    prefix = F.substring(_hash_key(F.col(id_col)), 1, 4)
+    t_train = _threshold_hex(train)
+    t_val = _threshold_hex(train + val)
+    return df.withColumn(
+        split_col,
+        F.when(prefix < F.lit(t_train), F.lit("train"))
+        .when(prefix < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

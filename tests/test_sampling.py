@@ -1,0 +1,45 @@
+"""Deterministic sampling/splitting: stability under repartitioning
+and growth — the properties random sampling lacks."""
+
+import pyspark.sql.functions as F
+
+from hdfe_spark.operators.sampling import split_by_hash, stratified_sample
+
+
+def test_stratified_sample_quota_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = stratified_sample(docs, "source", 5).select("doc_id").toPandas()
+    b = (
+        stratified_sample(docs.repartition(16), "source", 5)
+        .select("doc_id")
+        .toPandas()
+    )
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partitioning-proof
+    counts = (
+        stratified_sample(docs, "source", 5).groupBy("source").count().toPandas()
+    )
+    assert (counts["count"] <= 5).all()
+
+
+def test_split_by_hash_stable_under_growth(spark, sf_dir):
+    """A doc's split assignment must not change when the corpus
+    grows — check the half corpus agrees with the full corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = split_by_hash(docs).select("doc_id", "split").toPandas()
+    half = (
+        split_by_hash(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    merged = half.merge(full, on="doc_id", suffixes=("_half", "_full"))
+    assert (merged["split_half"] == merged["split_full"]).all()
+    # fractions roughly honored
+    frac = full["split"].value_counts(normalize=True)
+    assert 0.7 < frac.get("train", 0) < 0.9
+
+
+def test_split_by_hash_no_shuffle(spark, sf_dir):
+    from hdfe_spark.plans import assert_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_plan(split_by_hash(docs), n_exchanges=0, n_python_stages=0)
