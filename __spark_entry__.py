@@ -591,6 +591,35 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (duplicate
+    -line fraction, top-bigram fraction) — fully SQL-expressible via
+    DuckDB list comprehensions, so hash-matched."""
+    from hdfe_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "dup_line_frac",
+        "top_bigram_frac",
+    )
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Canonical pre-hash normalization (lowercase, trim, collapse
+    whitespace) with the digest of the normalized form — the exact
+    string both engines must agree on byte-for-byte."""
+    from hdfe_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs).select(
+        "doc_id",
+        F.length("norm_text").alias("norm_len"),
+        F.sha2(F.col("norm_text"), 256).alias("norm_sha"),
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic per-source document quota (curation op): 20 docs
     per source ranked by md5(doc_id) — engine-portable hash order, so
@@ -1351,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "repetition_stats": _q_repetition_stats,
+        "normalize_text": _q_normalize_text,
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         "join_agg_topk": _q_join_agg_topk,
@@ -1623,6 +1654,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+                       AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(words) AS BIGINT) AS n_words,
+                     round(1.0 - len(list_distinct(lines))
+                           / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+                     CASE WHEN len(words) >= 2
+                          THEN [words[i] || ' ' || words[i+1]
+                                for i in range(1, len(words))]
+                          ELSE [] END AS bigrams
+              FROM w),
+            bg AS (
+              SELECT b.doc_id, u.bigram, count(*) AS c
+              FROM base b, unnest(b.bigrams) AS u(bigram)
+              GROUP BY b.doc_id, u.bigram),
+            agg AS (
+              SELECT doc_id,
+                     round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+              FROM bg GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words, b.dup_line_frac,
+                   coalesce(a.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                        AS BIGINT) AS norm_len,
+                   sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS norm_sha
+            FROM documents
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM (

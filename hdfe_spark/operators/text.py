@@ -130,6 +130,73 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred).drop(*[f"__s_{l}" for l in langs])
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization (the pre-hash step of every dedup
+    pipeline): lowercase, trim, collapse runs of whitespace to one
+    space. Pure codegen projection, no shuffle; the normalized form is
+    what exact/MinHash dedup should hash so cosmetic whitespace or
+    case differences don't defeat duplicate detection."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, norm)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    heuristics, public): per document,
+
+    - ``n_words`` — whitespace word count;
+    - ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line (boilerplate/spam signal); JVM array expression,
+      no shuffle;
+    - ``top_bigram_frac`` — fraction of all word bigrams occupied by
+      the single most frequent bigram (looping-text signal); computed
+      the scalable way: explode bigrams → one grouped count → per-doc
+      max via window over already-aggregated rows (the tf_idf plan
+      shape), never a per-doc quadratic higher-order expression.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)) / F.size(lines),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    # sequence(0, size-2) is DESCENDING when size < 2 — guard to empty
+    bigrams = F.when(
+        F.size(F.col("__w")) >= 2,
+        F.expr(
+            "transform(sequence(0, size(__w) - 2),"
+            " i -> concat(__w[i], ' ', __w[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(id_col, F.explode(bigrams).alias("__bg"))
+    counts = bg.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy(id_col).agg(
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_bigram_frac")
+    )
+    # left join keeps docs with < 2 words (no bigrams → fraction 0)
+    return (
+        base.drop("__w")
+        .join(agg, on=id_col, how="left")
+        .withColumn(
+            "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+        )
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",

@@ -129,3 +129,33 @@ def test_fingerprint_neardup_pairs_matches_bruteforce(spark):
     assert [tuple(r) for r in got.to_numpy()] == sorted(want)
     assert (0, 1) in {(a, b) for a, b, _ in want}  # planted pair found
     assert not any({a, b} == {0, 2} for a, b, _ in want)
+
+
+def test_repetition_stats_signals(spark):
+    from hdfe_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),      # one bigram dominates
+        (1, "a\nb\na\nb\nc"),                      # 2 of 5 lines are dups
+        (2, "unique words only here today"),
+        (3, "solo"),                               # < 2 words → no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in repetition_stats(df).collect()
+    }
+    assert out[0]["top_bigram_frac"] == 1.0       # "spam spam" is every bigram
+    assert abs(out[1]["dup_line_frac"] - 0.4) < 1e-9
+    assert out[2]["top_bigram_frac"] < 0.5
+    assert out[3]["top_bigram_frac"] == 0.0       # kept, zeroed
+    assert out[3]["n_words"] == 1
+
+
+def test_normalize_text_collapses(spark):
+    from hdfe_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "  Hello   WORLD\n\n  x ")], "doc_id long, text string"
+    )
+    got = normalize_text(df).collect()[0]["norm_text"]
+    assert got == "hello world x"
