@@ -591,6 +591,32 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Cross-document line-level boilerplate removal. The fixture's
+    docs are single-line and fully distinct, so the query synthesizes
+    the boilerplate deterministically (the codec-fixture pattern):
+    append a per-source footer line shared by ~100 docs each; with
+    ``max_docs=25`` the footers are removed and every original line
+    survives — the oracle rebuilds the same corpus and the same
+    cleanup in SQL, so any reassembly/ordering/threshold bug
+    hash-mismatches."""
+    from hdfe_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("\n"), F.lit("footer "), F.col("source")
+        ),
+    )
+    out = remove_boilerplate_lines(aug, max_docs=25)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals per document (duplicate
     -line fraction, top-bigram fraction) — fully SQL-expressible via
@@ -1380,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "line_dedup": _q_line_dedup,
         "repetition_stats": _q_repetition_stats,
         "normalize_text": _q_normalize_text,
         "stratified_sample": _q_stratified_sample,
@@ -1654,6 +1681,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "line_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'footer ' || source AS t
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1) AS pos
+              FROM aug),
+            f AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+            keep AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM l JOIN f USING (line) WHERE f.df <= 25),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM keep GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(length(coalesce(r.clean_text, '')) AS BIGINT)
+                     AS clean_len,
+                   sha256(coalesce(r.clean_text, '')) AS clean_sha
+            FROM aug a LEFT JOIN rebuilt r USING (doc_id)
         """,
         "repetition_stats": """
             WITH w AS (

@@ -206,6 +206,55 @@ def minhash_dedup(
 # ----------------------------------------------------------- simhash
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 10,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document LINE-level dedup (the Dolma/CCNet boilerplate
+    pass): drop every line that appears in more than ``max_docs``
+    distinct documents (headers, footers, nav text, license blobs),
+    keep each document's remaining lines in order.
+
+    Plan: posexplode lines → one corpus-wide grouped line-frequency →
+    shuffle join back on the line (both sides corpus-sized — never a
+    broadcast) → per-doc ordered reassembly via
+    ``array_sort(collect_list(struct(pos, line)))``. Cost class: two
+    shuffles over the LINE table, linear in corpus size; the frequency
+    table is the classic skew point (empty/boilerplate lines have huge
+    groups) but it only carries (line, count) rows, and the join
+    output is bounded by the input line count.
+
+    Documents whose every line is boilerplate come back with
+    ``out_col = ''`` (kept, emptied — the caller decides whether to
+    drop them; silently losing rows would corrupt panel joins).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    freq = lines.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = (
+        lines.join(freq, on="__line")
+        .filter(F.col("__df") <= max_docs)
+        .select(id_col, "__pos", "__line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(__pos, __line))), s -> s.__line), '\n')"
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, on=id_col, how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
 def simhash(text: Column) -> Column:
     """Charikar SimHash (64-bit) over whitespace tokens via the
     vectorized Arrow kernel (functions/hashing.py). Returns bigint."""

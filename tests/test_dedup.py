@@ -159,3 +159,27 @@ def test_embedding_neardup_lsh_recall(spark, sf_dir):
     assert exact, "fixture must produce a nonzero exact pair set"
     assert lsh <= exact  # cosine-verified: no false positives
     assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_remove_boilerplate_lines(spark):
+    """Shared lines above the doc-frequency cap are removed; unique
+    lines survive in order; fully-boilerplate docs come back empty,
+    never dropped."""
+    from hdfe_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "(c) corp"
+    rows = [
+        (0, f"alpha\n{footer}\nbeta"),
+        (1, f"{footer}\ngamma"),
+        (2, f"delta\n{footer}"),
+        (3, footer),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, max_docs=2).collect()
+    }
+    assert out[0] == "alpha\nbeta"  # order preserved across the gap
+    assert out[1] == "gamma"
+    assert out[2] == "delta"
+    assert out[3] == ""  # kept, emptied
