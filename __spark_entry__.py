@@ -591,6 +591,45 @@ def _q_simhash_neardup(spark, sf_dir):
     return simhash_neardup_pairs(docs, max_hamming=3)
 
 
+def _q_scrub_pii(spark, sf_dir):
+    """PII/URL redaction. The fixture text contains neither, so the
+    query injects them deterministically (codec-fixture pattern):
+    every 3rd doc gains an email, every 5th a URL, both derived from
+    doc_id — the oracle injects and scrubs identically in SQL, so a
+    regex or ordering bug hash-mismatches."""
+    from hdfe_spark.operators.text import scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://example.org/doc/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = scrub_text(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        F.sha2(F.col("scrubbed"), 256).alias("scrub_sha"),
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     """Cross-document line-level boilerplate removal. The fixture's
     docs are single-line and fully distinct, so the query synthesizes
@@ -1406,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "tfidf_topk": _q_tfidf_topk,
+        "scrub_pii": _q_scrub_pii,
         "line_dedup": _q_line_dedup,
         "repetition_stats": _q_repetition_stats,
         "normalize_text": _q_normalize_text,
@@ -1681,6 +1721,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'x3', false,
                    (SELECT round(((a22*c1 - a12*c2)*c1 + (a11*c2 - a12*c1)*c2)
                                  / ((a11*a22 - a12*a12)*yy), 6) FROM g)
+        """,
+        "scrub_pii": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' see https://example.org/doc/'
+                             || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, 'https?://[^\\s]+')) AS n_urls,
+                     regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+              FROM aug)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t1,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   sha256(regexp_replace(t1,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g')) AS scrub_sha
+            FROM s
         """,
         "line_dedup": """
             WITH aug AS (

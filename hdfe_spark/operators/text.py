@@ -197,6 +197,37 @@ def repetition_stats(
     )
 
 
+# Deliberately conservative, RE2-compatible patterns (no lookaround)
+# so the same regex runs in Spark (Java), DuckDB (RE2), and most other
+# engines — scrubbing must be reproducible wherever the corpus goes.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    email_token: str = "<EMAIL>",
+    url_token: str = "<URL>",
+) -> DataFrame:
+    """PII/URL redaction (the pre-release scrub of every public-corpus
+    pipeline): replace emails and URLs with placeholder tokens and
+    count the replacements per document. Pure codegen projection —
+    two regexp passes, no shuffle, no Python. URLs are scrubbed FIRST
+    so an email inside a URL query string counts once, as a URL."""
+    t = F.col(text_col)
+    n_urls = F.regexp_count(t, F.lit(URL_RE))
+    after_url = F.regexp_replace(t, URL_RE, url_token)
+    n_emails = F.regexp_count(after_url, F.lit(EMAIL_RE))
+    return df.select(
+        "*",
+        n_urls.cast("bigint").alias("n_urls"),
+        n_emails.cast("bigint").alias("n_emails"),
+        F.regexp_replace(after_url, EMAIL_RE, email_token).alias(out_col),
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",

@@ -159,3 +159,20 @@ def test_normalize_text_collapses(spark):
     )
     got = normalize_text(df).collect()[0]["norm_text"]
     assert got == "hello world x"
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from hdfe_spark.operators.text import scrub_text
+
+    rows = [
+        (0, "mail a@b.co and c.d+e@f.org now"),
+        (1, "see https://x.y/z?u=a@b.co end"),  # email inside URL → one URL
+        (2, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_urls"] == 0
+    assert out[0]["scrubbed"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[1]["n_urls"] == 1 and out[1]["n_emails"] == 0
+    assert out[1]["scrubbed"] == "see <URL> end"
+    assert out[2]["scrubbed"] == "clean text"
