@@ -37,6 +37,26 @@ def _orderable(dt) -> bool:
     return True
 
 
+def _order_proxy(col, dt):
+    """An orderable, content-derived sort proxy for ``col``, or None.
+    Orderable types sort as themselves; a map with orderable keys and
+    values sorts as its key-sorted entry list (``array_sort ∘
+    map_entries`` — arrays of structs ARE orderable), so even all-map
+    right rows tiebreak deterministically by CONTENT, not arrival
+    order. Only a map nested inside another map's values stays
+    proxy-less (no deterministic rendering without recursion Spark's
+    type system can't express in one expression)."""
+    if _orderable(dt):
+        return col
+    if (
+        isinstance(dt, T.MapType)
+        and _orderable(dt.keyType)
+        and _orderable(dt.valueType)
+    ):
+        return F.array_sort(F.map_entries(col))
+    return None
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -83,18 +103,19 @@ def asof_join(
     merged = lhs.unionByName(rhs)
     # right (side 0) sorts before left (side 1) at equal timestamps,
     # so `last ignoring nulls` includes ties — the >= contract. The
-    # orderable subset of the carried struct is the final sort key so
+    # carried struct's orderable content is the final sort key so
     # DUPLICATE right rows at one (key, ts) resolve deterministically
     # (greatest value wins, every run) instead of whichever the
     # shuffle delivered last. Map-typed right columns can't be sort
-    # keys (Spark rejects them at analysis) — they're carried but
-    # excluded from the tiebreak; if EVERY right column is unorderable
-    # the pick among exact duplicates falls back to arrival order.
-    tiebreak = [
-        F.col("__r").getField(f.name)
-        for f in r_type.fields
-        if _orderable(f.dataType)
-    ]
+    # keys directly (Spark rejects them at analysis) — they tiebreak
+    # via their key-sorted entry lists (`_order_proxy`), so even an
+    # all-map right side picks by content; only a map nested inside a
+    # map's values stays outside the tiebreak.
+    tiebreak = []
+    for f in r_type.fields:
+        proxy = _order_proxy(F.col("__r").getField(f.name), f.dataType)
+        if proxy is not None:
+            tiebreak.append(proxy)
     order_keys = [F.col("__t"), F.col("__side")]
     if tiebreak:
         order_keys.append(F.struct(*tiebreak))

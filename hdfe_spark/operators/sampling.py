@@ -53,8 +53,15 @@ def stratified_sample(
 
 
 # 4-hex-digit thresholds: 0x10000 buckets over the md5 prefix.
-def _threshold_hex(fraction: float) -> str:
-    return format(min(int(fraction * 0x10000), 0xFFFF), "04x")
+def _below_threshold(prefix: Column, fraction: float) -> Column:
+    """``bucket(prefix) < fraction·0x10000`` as a portable hex-string
+    compare. fraction ≥ 1.0 is always-true — a clamped 'ffff'
+    threshold would strand the ~1/65536 of ids whose prefix IS 'ffff'
+    outside a split whose upper bound is 1.0."""
+    bucket = int(fraction * 0x10000)
+    if bucket >= 0x10000:
+        return F.lit(True)
+    return prefix < F.lit(format(bucket, "04x"))
 
 
 def split_by_hash(
@@ -71,11 +78,9 @@ def split_by_hash(
     same expression reproduces the assignment in any engine. Pure
     narrow projection: no shuffle, stays in whole-stage codegen."""
     prefix = F.substring(_hash_key(F.col(id_col)), 1, 4)
-    t_train = _threshold_hex(train)
-    t_val = _threshold_hex(train + val)
     return df.withColumn(
         split_col,
-        F.when(prefix < F.lit(t_train), F.lit("train"))
-        .when(prefix < F.lit(t_val), F.lit("val"))
+        F.when(_below_threshold(prefix, train), F.lit("train"))
+        .when(_below_threshold(prefix, train + val), F.lit("val"))
         .otherwise(F.lit("test")),
     )

@@ -162,7 +162,14 @@ def repetition_stats(
       max via window over already-aggregated rows (the tf_idf plan
       shape), never a per-doc quadratic higher-order expression.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split('', ...) yields [''] → size 1, and trim() strips SPACES
+    # only — an empty or whitespace-only doc must have ZERO words
+    # (Gopher word-count filters key on this), so blank docs get an
+    # empty word array outright.
+    blank = F.regexp_replace(F.col(text_col), r"\s+", "") == ""
+    words = F.when(blank, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     lines = F.split(F.col(text_col), "\n")
     base = df.select(
         F.col(id_col),

@@ -38,6 +38,7 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: Sequence[str] | str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
 
@@ -45,6 +46,13 @@ def write_bucketed(
     co-located operation — pick it like ``spark.sql.shuffle.partitions``
     for the table's steady-state size, NOT its current size (buckets
     are forever; re-bucketing is a full rewrite).
+
+    ``path`` pins the files as an EXTERNAL table at that location
+    (bucketing metadata still catalog-tracked). Without it the table
+    is managed and lands under ``spark.sql.warehouse.dir`` — a STATIC
+    conf resolved from the process CWD at first catalog use, so
+    callers that must not scatter files (the driver's vanilla session
+    runs from an unknown CWD) should always pass ``path``.
     """
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     sort_cols = (
@@ -52,13 +60,15 @@ def write_bucketed(
         if sort_cols is None
         else ([sort_cols] if isinstance(sort_cols, str) else list(sort_cols))
     )
-    (
+    writer = (
         df.write.mode(mode)
         .bucketBy(n_buckets, bucket_cols[0], *bucket_cols[1:])
         .sortBy(sort_cols[0], *sort_cols[1:])
         .format("parquet")
-        .saveAsTable(table)
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -106,3 +106,25 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         r = asof_join(left, right.repartition(8), on="user_id").collect()[0]
         picks.add((r["price_asof"], r["tag_asof"]))
     assert picks == {(9.0, "z")}  # max struct, stable across runs
+
+
+def test_asof_all_map_right_side_deterministic(spark):
+    """Right side whose only payload column is a MAP (unorderable as a
+    sort key): duplicate rows at one (key, ts) must still resolve by
+    CONTENT — the key-sorted entry-list proxy — not arrival order."""
+    left = spark.createDataFrame(
+        [(1, 100, 0.0)], "user_id long, ts long, v double"
+    )
+    rows = [
+        (1, 50, {"k": 1}),
+        (1, 50, {"k": 9}),
+        (1, 50, {"k": 5}),
+    ]
+    right = spark.createDataFrame(
+        rows, "user_id long, ts long, attrs map<string,int>"
+    )
+    picks = set()
+    for _ in range(3):
+        r = asof_join(left, right.repartition(8), on="user_id").collect()[0]
+        picks.add(tuple(sorted(r["attrs_asof"].items())))
+    assert picks == {(("k", 9),)}  # greatest sorted-entries map, every run

@@ -84,3 +84,43 @@ def test_bucketed_groupby_skips_shuffle(spark, bucketed):
         F.count(F.lit(1)).alias("n")
     )
     assert plan_report(out)["n_exchanges"] == 0
+
+
+def test_external_path_bucketed_join_shuffle_free(spark, sf_dir, tmp_path):
+    """The driver-query variant: EXTERNAL bucketed tables (explicit
+    path, CWD-independent) keep their bucketing metadata — the join
+    still plans with zero shuffle Exchanges, and re-writing the same
+    table is idempotent across overwrites."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    try:
+        for _ in range(2):  # overwrite must be idempotent
+            write_bucketed(
+                orders, "ext_orders_b", "o_orderkey", n_buckets=8,
+                path=str(tmp_path / "ext_orders_b"),
+            )
+        write_bucketed(
+            li, "ext_liagg_b", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "ext_liagg_b"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = bucketed_join(spark, "ext_orders_b", "ext_liagg_b", on="o_orderkey")
+            rep = plan_report(out)
+            assert rep["n_exchanges"] == 0
+            assert rep["n_sortmerge_joins"] == 1
+            # inner join: only orders with ≥1 lineitem survive
+            want = orders.join(li, "o_orderkey").count()
+            assert out.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ext_orders_b")
+        spark.sql("DROP TABLE IF EXISTS ext_liagg_b")

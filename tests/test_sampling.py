@@ -43,3 +43,17 @@ def test_split_by_hash_no_shuffle(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert_plan(split_by_hash(docs), n_exchanges=0, n_python_stages=0)
+
+
+def test_split_by_hash_full_coverage_at_boundary(spark):
+    """train+val = 1.0 must label EVERY row, including ids whose md5
+    prefix is 'ffff' (a clamped threshold used to strand ~1/65536 of
+    ids in 'test')."""
+    # md5('40691') = 'ffff...' — the adversarial bucket.
+    df = spark.createDataFrame([(40691,), (1,), (2,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(df, train=0.9, val=0.1).collect()
+    }
+    assert got[40691] in ("train", "val")  # not stranded in test
+    assert all(v in ("train", "val") for v in got.values())

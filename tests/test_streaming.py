@@ -214,3 +214,18 @@ def test_streaming_session_window_matches_batch_sessionize(spark, sf_dir):
 
     key = lambda df: sorted(map(tuple, df.to_numpy()))
     assert key(got) == key(want)
+
+
+def test_driver_queries_bound_sink_leak(spark, sf_dir):
+    """The driver-query memory sinks clean up their predecessors: after
+    N streaming queries, at most ONE snk_* temp view survives (round-3
+    ADVICE — uuid sinks used to accumulate across the 72-query run)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in ("streaming_agg", "streaming_dedup"):
+        qs[name](spark, sf_dir).count()
+    leaked = [
+        t.name for t in spark.catalog.listTables() if t.name.startswith("snk_")
+    ]
+    assert len(leaked) <= 1

@@ -139,6 +139,8 @@ def test_repetition_stats_signals(spark):
         (1, "a\nb\na\nb\nc"),                      # 2 of 5 lines are dups
         (2, "unique words only here today"),
         (3, "solo"),                               # < 2 words → no bigrams
+        (4, ""),                                   # degenerate: no words
+        (5, "   \n  "),                            # whitespace-only
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -149,6 +151,9 @@ def test_repetition_stats_signals(spark):
     assert out[2]["top_bigram_frac"] < 0.5
     assert out[3]["top_bigram_frac"] == 0.0       # kept, zeroed
     assert out[3]["n_words"] == 1
+    # split('') yields [''] — a word-count filter must see 0, not 1
+    assert out[4]["n_words"] == 0
+    assert out[5]["n_words"] == 0
 
 
 def test_normalize_text_collapses(spark):
