@@ -400,10 +400,13 @@ def _plan_within(
         F.count(F.lit(1)).alias("__fe_count"),
     )
     fe_effect_cols = [f"fe_{yc}" for yc in y_cols]
-    if want_resid:
+    if want_resid and (estimate_variance or cluster is not None):
         # fe_agg feeds ≥2 downstream actions (netting join + variance)
         # — checkpoint lazily so the demean+residual pipeline upstream
-        # of it runs once, not per action.
+        # of it runs once, not per action. With residuals ONLY, the
+        # single downstream action shares the fe1 window shuffle via
+        # ReusedExchange, so a checkpoint would just add a
+        # materialization job (profiled at sf0.1, round 4).
         fe_agg = fe_agg.localCheckpoint(eager=False)
 
     # FE block of the coefficient vector is LAZY: collected (sorted by
