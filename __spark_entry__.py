@@ -1445,6 +1445,43 @@ def _bucketed_fixture_tables(spark, sf_dir):
     return lt, rt
 
 
+def _q_lm_logprob(spark, sf_dir):
+    """Corpus-trained unigram-LM quality score (bits/token) per
+    document — the cheap end of the CCNet perplexity filter. The model
+    is the corpus's own term counts, so the whole thing is
+    SQL-expressible → hash-matched DuckDB oracle."""
+    from hdfe_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+    )
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination by 8-gram overlap. The 'benchmark' is
+    synthesized deterministically from the corpus itself (a 12-word
+    excerpt of every 17th document — the injected-fixture pattern the
+    scrub_pii oracle uses), so contamination is GUARANTEED for the
+    source docs and any near-duplicates, and the DuckDB oracle can
+    rebuild the identical benchmark."""
+    from hdfe_spark.operators.text import contamination, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(tokens(F.col("text")), 3, 12), " ").alias("text")
+    )
+    out = contamination(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        "contaminated",
+    )
+
+
 def _q_bucketed_join(spark, sf_dir):
     """Bucketed-layout co-located join (``sources/bucketing.py`` — the
     100 TB fact⋈fact answer): both sides written ``bucketBy(8,
@@ -1477,8 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 1-50: every query whose DuckDB oracle can hash-match
       and that most needs a driver-recorded verdict — the round-3
       never-windowed set (sessionize…multimodal_decode), the new
-      bucketed_join, all six recall/exactness certificates, the 20
-      SURVEY §2 operator queries, and the flagship curation ops;
+      bucketed_join / lm_logprob / contamination, the five
+      recall/exactness certificates, the 19 SURVEY §2 operator
+      queries, and the flagship curation ops;
     - positions 51+: (a) the 7 rows-only-by-design demos whose
       correctness is carried by an in-window certificate (`fingerprint`,
       `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
@@ -1540,10 +1578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "token_stats": _q_token_stats,
-        "tfidf_topk": _q_tfidf_topk,
-        "cosine_topk": _q_cosine_topk,
+        "lm_logprob": _q_lm_logprob,
+        "contamination": _q_contamination,
         # ---------------- end of the driver's 50-query window --------
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
+        "tfidf_topk": _q_tfidf_topk,
+        "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
         "dummies_drop_last": _q_dummies_drop_last,
         "lags_zero_fill": _q_lags_zero_fill,
@@ -1944,6 +1984,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue DESC, o.o_orderkey
             LIMIT 10
+        """,
+        "lm_logprob": """
+            WITH toks AS (
+              SELECT doc_id, u.t
+              FROM documents,
+                   unnest(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')) AS u(t)
+            ), model AS (
+              SELECT t, count(*) AS c_t FROM toks GROUP BY t
+            ), tot AS (
+              SELECT sum(c_t) AS c_all, count(*) AS v FROM model
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-sum(log2((c_t + 0.5) / (c_all + 0.5 * v)))
+                         / count(*), 6) AS bits_per_token
+            FROM toks JOIN model USING (t) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "contamination": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), bwords AS (
+              SELECT w[3:14] AS w FROM words WHERE doc_id % 17 = 0
+            ), bgrams AS (
+              SELECT DISTINCT g FROM bwords,
+                unnest(CASE WHEN len(w) >= 8
+                            THEN [array_to_string(w[i:i+7], ' ')
+                                  for i in range(1, len(w) - 6)]
+                            ELSE [] END) AS u(g)
+            ), dgrams AS (
+              SELECT DISTINCT doc_id, g FROM words,
+                unnest(CASE WHEN len(w) >= 8
+                            THEN [array_to_string(w[i:i+7], ' ')
+                                  for i in range(1, len(w) - 6)]
+                            ELSE [] END) AS u(g)
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM dgrams JOIN bgrams USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "bucketed_join": """
             WITH liagg AS (

@@ -235,6 +235,102 @@ def scrub_text(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score per
+    document: mean negative log₂-probability of its tokens
+    (bits/token) under an add-α-smoothed unigram model fit on the
+    WHOLE corpus — the cheap end of the CCNet/Wikipedia-LM perplexity
+    filter (Wenzek et al. 2020, public): low = fluent/common text,
+    high = rare-token junk. The reference has nothing like it; a
+    curation pipeline sorts or thresholds on this column.
+
+    Plan (100 TB shape): explode tokens → one grouped term count (the
+    MODEL — vocabulary-sized, broadcast back) → per-doc aggregate.
+    Two key-partitioned shuffles, map-side partials on both; the
+    corpus totals ride a broadcast 1-row aggregate inside the same
+    lazy plan. Documents with zero tokens carry no probability mass
+    and drop out (mirrored by the oracle).
+
+    p(t) = (c_t + α) / (C + α·V);  score_d = −Σ_{t∈d} log₂ p(t) / n_d
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    model = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c_t"))
+    totals = model.agg(
+        F.sum("c_t").alias("__C"), F.count(F.lit(1)).alias("__V")
+    )
+    logp = F.log2(
+        (F.col("c_t") + F.lit(alpha))
+        / (F.col("__C") + F.lit(alpha) * F.col("__V"))
+    )
+    return (
+        toks.join(F.broadcast(model), on="t")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(logp) / F.count(F.lit(1))).alias("bits_per_token"),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap (the
+    GPT-3/PaLM-style 'dirty if it shares an n-gram with an eval set'
+    rule — Brown et al. 2020 appx C, public): every corpus document
+    gets the count of DISTINCT benchmark n-grams it contains and a
+    ``contaminated`` flag. ``bench`` is the eval-set text table.
+
+    Plan (100 TB shape): benchmark n-grams are eval-set-sized —
+    distinct-ed and BROADCAST; corpus documents explode to distinct
+    per-doc n-grams (the only data-sized shuffle is the per-doc
+    distinct + final count, both key-partitioned on ``id_col``); a
+    left anti/semi-style aggregation keeps zero-hit docs via a final
+    broadcast join back onto the corpus ids. Never an all-pairs
+    compare.
+    """
+    def grams(words: Column) -> Column:
+        return F.when(
+            F.size(words) >= n,
+            F.expr(
+                f"transform(sequence(0, size(__w) - {n}),"
+                f" i -> array_join(slice(__w, i + 1, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_grams = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+        .select(F.col(id_col), F.explode(grams(F.col("__w"))).alias("g"))
+        .distinct()
+    )
+    bench_grams = (
+        bench.select(tokens(F.col(bench_text_col)).alias("__w"))
+        .select(F.explode(grams(F.col("__w"))).alias("g"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return df.select(id_col).join(F.broadcast(hits), on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",

@@ -181,3 +181,43 @@ def test_scrub_text_redacts_and_counts(spark):
     assert out[1]["n_urls"] == 1 and out[1]["n_emails"] == 0
     assert out[1]["scrubbed"] == "see <URL> end"
     assert out[2]["scrubbed"] == "clean text"
+
+
+def test_unigram_logprob_matches_counter_model(spark):
+    from collections import Counter
+    import math
+
+    from hdfe_spark.operators.text import unigram_logprob
+
+    rows = [(0, "the cat sat"), (1, "the the dog"), (2, "  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df, alpha=0.5).collect()}
+
+    toks = {0: ["the", "cat", "sat"], 1: ["the", "the", "dog"]}
+    model = Counter(t for ts in toks.values() for t in ts)
+    C, V = sum(model.values()), len(model)
+    for d, ts in toks.items():
+        want = -sum(
+            math.log2((model[t] + 0.5) / (C + 0.5 * V)) for t in ts
+        ) / len(ts)
+        assert abs(got[d]["bits_per_token"] - want) < 1e-9
+        assert got[d]["n_tokens"] == len(ts)
+    assert 2 not in got  # zero-token doc carries no mass → dropped
+
+
+def test_contamination_flags_benchmark_overlap(spark):
+    from hdfe_spark.operators.text import contamination
+
+    eight = "a b c d e f g h"
+    rows = [
+        (0, f"prefix {eight} suffix words here"),   # contains the gram
+        (1, "totally different words with no overlap at all ok"),
+        (2, f"{eight}"),                            # exactly the gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(f"xx {eight} yy",)], "text string")
+    got = {r["doc_id"]: r for r in contamination(docs, bench, n=8).collect()}
+    assert got[0]["contaminated"] and got[0]["n_hits"] == 1
+    assert not got[1]["contaminated"] and got[1]["n_hits"] == 0
+    assert got[2]["contaminated"]
+    assert len(got) == 3  # zero-hit docs kept

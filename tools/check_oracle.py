@@ -91,7 +91,15 @@ def main():
     from hdfe_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="oracle_check")
+    if os.environ.get("ORACLE_VANILLA"):
+        # Replicate the driver exactly: a bare builder session — no
+        # engine confs (load_table must set everything it needs at
+        # runtime), default 200 shuffle partitions.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
