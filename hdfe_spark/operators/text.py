@@ -293,12 +293,12 @@ def contamination(
     ``contaminated`` flag. ``bench`` is the eval-set text table.
 
     Plan (100 TB shape): benchmark n-grams are eval-set-sized —
-    distinct-ed and BROADCAST; corpus documents explode to distinct
-    per-doc n-grams (the only data-sized shuffle is the per-doc
-    distinct + final count, both key-partitioned on ``id_col``); a
-    left anti/semi-style aggregation keeps zero-hit docs via a final
-    broadcast join back onto the corpus ids. Never an all-pairs
-    compare.
+    distinct-ed and BROADCAST; corpus n-grams stream through that
+    broadcast hash join as a NARROW filter (no shuffle of the
+    corpus-sized gram stream), so only the surviving hits — eval-set
+    bounded — pay the distinct + per-doc count shuffles. Zero-hit
+    docs come back via a broadcast join onto the corpus ids. Never an
+    all-pairs compare, never a corpus-sized shuffle.
     """
     def grams(words: Column) -> Column:
         return F.when(
@@ -309,18 +309,19 @@ def contamination(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    doc_grams = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
-        .select(F.col(id_col), F.explode(grams(F.col("__w"))).alias("g"))
-        .distinct()
-    )
+    doc_grams = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), F.explode(grams(F.col("__w"))).alias("g"))
     bench_grams = (
         bench.select(tokens(F.col(bench_text_col)).alias("__w"))
         .select(F.explode(grams(F.col("__w"))).alias("g"))
         .distinct()
     )
     hits = (
+        # broadcast join FIRST (narrow filter), distinct only the hits
         doc_grams.join(F.broadcast(bench_grams), on="g")
+        .select(id_col, "g")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
