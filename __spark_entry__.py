@@ -1506,6 +1506,34 @@ def _q_bucketed_join(spark, sf_dir):
     )
 
 
+def _q_zorder_layout(spark, sf_dir):
+    """Morton-key certificate for the Z-order data-skipping layout
+    (``sources/zorder.py``): per-row 8-bit interleave of
+    (o_orderkey & 255, o_custkey & 255) — pure JVM bit arithmetic,
+    hash-matched against the identical expression in DuckDB. The
+    file-level min/max-tightness property the key buys is asserted in
+    ``tests/test_zorder.py``."""
+    from hdfe_spark.sources.zorder import zvalue
+
+    od = _t(spark, sf_dir, "orders")
+    x = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    y = F.col("o_custkey").bitwiseAND(F.lit(255))
+    return od.select("o_orderkey", zvalue([x, y], bits=8).alias("zval"))
+
+
+def _zorder_oracle_sql() -> str:
+    """The same 8-bit 2-D Morton interleave as DuckDB bit arithmetic
+    (generated, not hand-unrolled: 16 disjoint-bit terms OR'd)."""
+    terms = []
+    for j in range(8):
+        terms.append(f"((((o_orderkey & 255) >> {j}) & 1) << {2 * j})")
+        terms.append(f"((((o_custkey & 255) >> {j}) & 1) << {2 * j + 1})")
+    return (
+        "SELECT o_orderkey, CAST(" + " | ".join(terms) + " AS BIGINT) AS zval "
+        "FROM orders"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (the round-3 run recorded exactly the first 50
@@ -1581,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_logprob": _q_lm_logprob,
         "contamination": _q_contamination,
         # ---------------- end of the driver's 50-query window --------
+        # round-4 layout certificate (local-green + layout-asserted):
+        "zorder_layout": _q_zorder_layout,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -1985,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o.o_orderkey
             LIMIT 10
         """,
+        "zorder_layout": _zorder_oracle_sql(),
         "lm_logprob": """
             WITH toks AS (
               SELECT doc_id, u.t
