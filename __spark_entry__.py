@@ -834,8 +834,10 @@ def _q_scalar_funcs(spark, sf_dir):
     JSON field extraction from the events ``props`` column, date
     parts from the ns-precision timestamp, string transforms — all
     JVM codegen, no shuffle."""
+    from hdfe_spark.sources.tables import ts_micros
+
     ev = _t(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.timestamp_micros(ts_micros(ev, "ts"))
     return ev.select(
         "event_id",
         F.upper("event_type").alias("etype_upper"),
@@ -1148,11 +1150,14 @@ def _q_sessionize(spark, sf_dir):
     (30-minute gap in nanoseconds; ts is bigint ns)."""
     from hdfe_spark.operators.sessions import session_stats
 
+    from hdfe_spark.sources.tables import ts_micros
+
     ev = _t(spark, sf_dir, "events")
-    # DuckDB reads the parquet TIMESTAMP(NANOS) at microsecond
-    # precision, so sessionize on floor(ns/1000) microseconds to make
-    # both engines' gap decisions and outputs bit-identical.
-    ev = ev.withColumn("ts", F.expr("ts div 1000"))
+    # DuckDB reads the parquet timestamp at microsecond precision, so
+    # sessionize on integer microseconds to make both engines' gap
+    # decisions and outputs bit-identical (ts_micros adapts to the
+    # fixture's physical type — ns-as-long or µs NTZ).
+    ev = ev.withColumn("ts", ts_micros(ev, "ts"))
     gap_us = 30 * 60 * 1_000_000
     return session_stats(ev, "user_id", "ts", gap=gap_us).select(
         "user_id",
@@ -1172,7 +1177,10 @@ def _q_asof_join(spark, sf_dir):
     engines compare identical values."""
     from hdfe_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events").withColumn("ts", F.expr("ts div 1000"))
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", ts_micros(ev, "ts"))
     left = ev.select("event_id", "user_id", "ts", "value")
     right = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("purchase_value")

@@ -59,6 +59,33 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def ts_micros(df: DataFrame, col: str = "ts"):
+    """Event-time column as **bigint microseconds since epoch**,
+    whatever physical type the fixture generation wrote:
+
+    - INT64 TIMESTAMP(NANOS) → LongType ns under ``nanosAsLong`` →
+      integer ``div 1000`` (float division would round in the double
+      mantissa at ~1.7e18);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ under
+      Spark 4's default NTZ inference → cast to TIMESTAMP under the
+      UTC session zone ``load_table`` pins (wall-clock preserving),
+      then ``unix_micros`` — bit-identical to DuckDB ``epoch_us(ts)``
+      on the same naive value;
+    - plain TIMESTAMP → ``unix_micros`` directly.
+
+    Integer µs is the engine's canonical event-time unit: it sorts
+    identically to the source timestamps and both engines agree on it
+    exactly (no calendar rendering in the compare path).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 

@@ -48,15 +48,24 @@ def read_events_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
-    # Under spark.sql.legacy.parquet.nanosAsLong the fixture's ns
-    # timestamps arrive as long; event-time operators need a real
-    # timestamp (µs precision is ample for watermarks).
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        # integer division: float division of ~1.7e18 ns loses
-        # sub-microsecond bits to the double mantissa and ROUNDS
+    # Normalize event time to a real TIMESTAMP whatever physical type
+    # the fixture generation wrote (event-time operators reject NTZ,
+    # and ns arrives as long under nanosAsLong):
+    #  - LongType ns → timestamp_micros(ts div 1000). Integer
+    #    division: float division of ~1.7e18 ns loses sub-microsecond
+    #    bits to the double mantissa and ROUNDS.
+    #  - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false under Spark 4's NTZ
+    #    inference) → cast to TIMESTAMP. The cast interprets the wall
+    #    clock in the session zone, so pin UTC first (matches
+    #    load_table and the DuckDB oracle's naive-as-UTC epoch_us).
+    dt = stream.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(dt, T.TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -201,9 +201,10 @@ def test_streaming_session_window_matches_batch_sessionize(spark, sf_dir):
         "n_events",
     ).toPandas()
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", SF.expr("ts div 1000")
-    )
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", ts_micros(ev, "ts"))
     want = session_stats(
         ev, "user_id", "ts", gap=gap_min * 60 * 1_000_000
     ).select(
