@@ -1514,6 +1514,19 @@ def _q_bucketed_join(spark, sf_dir):
     )
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Overlapping fixed-width document chunking (RAG/embedding unit
+    of work): stable (doc_id, chunk_idx) identity, integer-exact chunk
+    count, final chunk short. Narrow projection + explode — zero
+    shuffle. Oracle: the identical integer arithmetic in DuckDB via a
+    bounded range cross join (max doc 577 chars → ≤ 4 chunks at
+    W=200/S=150; bound 64 is ample and engine-portable)."""
+    from hdfe_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Morton-key certificate for the Z-order data-skipping layout
     (``sources/zorder.py``): per-row 8-bit interleave of
@@ -1619,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- end of the driver's 50-query window --------
         # round-4 layout certificate (local-green + layout-asserted):
         "zorder_layout": _q_zorder_layout,
+        "chunk_docs": _q_chunk_docs,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -2024,6 +2038,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "zorder_layout": _zorder_oracle_sql(),
+        "chunk_docs": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS L,
+                     CASE WHEN length(text) = 0 THEN 0
+                          WHEN length(text) <= 200 THEN 1
+                          ELSE (length(text) - 200 + 149) // 150 + 1
+                     END AS nc
+              FROM documents)
+            SELECT d.doc_id,
+                   CAST(i.i AS BIGINT) AS chunk_idx,
+                   CAST(i.i * 150 AS BIGINT) AS chunk_start,
+                   substr(d.text, i.i * 150 + 1, 200) AS chunk_text,
+                   CAST(length(substr(d.text, i.i * 150 + 1, 200)) AS BIGINT)
+                     AS n_chunk_chars
+            FROM d, range(0, 64) i(i)
+            WHERE i.i < d.nc
+        """,
         "lm_logprob": """
             WITH toks AS (
               SELECT doc_id, u.t

@@ -144,6 +144,63 @@ def normalize_text(
     return df.withColumn(out_col, norm)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character
+    chunks with stable ``(id, chunk_idx)`` identity — the unit-of-work
+    transform every RAG / embedding / context-window pipeline runs
+    before featurization. (Beyond-reference: the reference has no text
+    surface at all.)
+
+    Chunk ``i`` covers characters ``[i*step, i*step + chunk_chars)``
+    with ``step = chunk_chars - overlap``; the final chunk is short.
+    Chunk-count arithmetic is pure integer (``div``), so any engine
+    reproduces the exact same chunk set — no float ceil at the
+    boundary. Empty documents yield zero chunks (``sequence`` would
+    otherwise count DOWN from 0 to -1 — guarded).
+
+    Scale: narrow projection + explode, zero shuffle; output rows ≈
+    input chars / step, each chunk carries only its own slice, so the
+    stage streams at scan speed and splits per parquet row-group at
+    100 TB.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    step = chunk_chars - overlap
+    L = F.length(F.col(text_col))
+    n_chunks = (
+        F.when(L <= 0, F.lit(0))
+        .when(L <= chunk_chars, F.lit(1))
+        .otherwise(F.expr(
+            f"((length({text_col}) - {chunk_chars} + {step - 1}) div {step}) + 1"
+        ))
+    ).cast("int")
+    idx = F.explode(
+        F.when(
+            n_chunks > 0, F.sequence(F.lit(0), n_chunks - F.lit(1))
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    start = (F.col("chunk_idx").cast("bigint") * step).alias("chunk_start")
+    chunk = F.col(text_col).substr(
+        (F.col("chunk_idx") * step + 1).cast("int"), F.lit(chunk_chars)
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), idx.alias("chunk_idx"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start,
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("bigint").alias("n_chunk_chars"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -221,3 +221,44 @@ def test_contamination_flags_benchmark_overlap(spark):
     assert not got[1]["contaminated"] and got[1]["n_hits"] == 0
     assert got[2]["contaminated"]
     assert len(got) == 3  # zero-hit docs kept
+
+
+def test_chunk_documents_edges(spark):
+    from hdfe_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                 # empty -> 0 chunks
+            (2, "x" * 10),           # <= chunk -> 1 chunk
+            (3, "y" * 20),           # == chunk -> 1 chunk
+            (4, "z" * 21),           # chunk+1 -> 2 chunks
+            (5, "abcdefghij" * 5),   # 50 chars, W=20 S=15 -> 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_chars=20, overlap=5).toPandas()
+    counts = out.groupby("doc_id")["chunk_idx"].count().to_dict()
+    assert counts == {2: 1, 3: 1, 4: 2, 5: 3}
+    # boundary doc: second chunk starts at step=15, covers to char 21
+    d4 = out[out.doc_id == 4].sort_values("chunk_idx")
+    assert list(d4["chunk_start"]) == [0, 15]
+    assert list(d4["n_chunk_chars"]) == [20, 6]
+
+
+def test_chunk_documents_reconstruct(docs):
+    """Dropping each chunk's leading `overlap` chars (after chunk 0)
+    and concatenating in chunk_idx order reproduces the document."""
+    from hdfe_spark.operators.text import chunk_documents
+
+    W, O = 120, 30
+    out = chunk_documents(docs, chunk_chars=W, overlap=O).toPandas()
+    orig = docs.select("doc_id", "text").toPandas().set_index("doc_id")["text"]
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        parts = [
+            t if i == 0 else t[O:]
+            for i, t in enumerate(grp["chunk_text"])
+        ]
+        assert "".join(parts) == orig.loc[doc_id]
+    # every non-empty doc is covered
+    assert set(out["doc_id"]) == set(orig[orig.str.len() > 0].index)
