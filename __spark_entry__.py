@@ -1527,6 +1527,18 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_key_skew(spark, sf_dir):
+    """Shuffle-key skew profile of events.user_id: top-10 heavy
+    hitters with share-of-total and count-over-mean skew ratio — the
+    diagnostic that drives salting/AQE-threshold choices. One partial
+    agg + distributed heap top-k (plan-asserted in
+    ``tests/test_profile.py``)."""
+    from hdfe_spark.operators.profile import key_skew_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_stats(ev, "user_id", top_k=10)
+
+
 def _q_zorder_layout(spark, sf_dir):
     """Morton-key certificate for the Z-order data-skipping layout
     (``sources/zorder.py``): per-row 8-bit interleave of
@@ -1633,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 layout certificate (local-green + layout-asserted):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,
+        "key_skew": _q_key_skew,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -2038,6 +2051,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "zorder_layout": _zorder_oracle_sql(),
+        "key_skew": """
+            WITH c AS (
+              SELECT user_id, count(*) AS n_rows
+              FROM events GROUP BY user_id),
+            t AS (
+              SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+            r AS (
+              SELECT user_id, n_rows,
+                     row_number() OVER (ORDER BY n_rows DESC, user_id)
+                       AS rank
+              FROM c)
+            SELECT CAST(r.rank AS BIGINT) AS rank,
+                   r.user_id,
+                   CAST(r.n_rows AS BIGINT) AS n_rows,
+                   round(r.n_rows / CAST(t.total AS DOUBLE), 6) AS share,
+                   round(r.n_rows * t.n_keys / CAST(t.total AS DOUBLE), 6)
+                     AS skew_ratio
+            FROM r, t WHERE r.rank <= 10
+        """,
         "chunk_docs": """
             WITH d AS (
               SELECT doc_id, text, length(text) AS L,
