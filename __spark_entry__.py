@@ -1527,6 +1527,77 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction roundtrip certificate
+    (``sources/compaction.py``): splatter documents into 16 small
+    files in a temp dir, bin-pack them back into one via the
+    shuffle-free coalesce write, re-read, and return (doc_id,
+    n_chars) — hash-matching the original table proves the sink
+    preserves content exactly. File-count planning and the
+    coalesce-vs-repartition choice are pinned in
+    ``tests/test_compaction.py``."""
+    import tempfile
+
+    from hdfe_spark.sources.compaction import compact_files
+
+    d = tempfile.mkdtemp(prefix="hdfe_compact_")
+    frag, comp = f"{d}/frag", f"{d}/comp"
+    docs = _t(spark, sf_dir, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+    compact_files(spark, frag, comp, target_bytes=1 << 30)
+    return spark.read.parquet(comp).select("doc_id", "n_chars")
+
+
+def _q_approx_quantiles(spark, sf_dir):
+    """Quantile-sketch accuracy certificate (rubric: approximate
+    aggregates): ``percentile_approx`` (Greenwald–Khanna style, rank
+    error ≤ 1/accuracy) at five probabilities over
+    ``l_extendedprice``, then the exact rank of each returned value
+    is recomputed in a second scan and checked against the bound.
+    Emits only scale-stable facts (n, probe count, bound-holds flag)
+    — never the sketch values, whose exact output could legally vary
+    with partition merge order. Two scans total, both fully
+    aggregated JVM-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    acc = 10_000
+    approx = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", probs, F.lit(acc)
+        ).alias("qv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    probe = li.crossJoin(F.broadcast(approx))
+    counts = []
+    for i in range(len(probs)):
+        counts.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("qv")[i], 1).otherwise(0)
+            ).alias(f"__lt{i}")
+        )
+        counts.append(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("qv")[i], 1).otherwise(0)
+            ).alias(f"__le{i}")
+        )
+    checked = probe.agg(*counts, F.first("n").alias("__n"))
+    # GK guarantee, tie-robust form: the reported value's rank
+    # INTERVAL [#{x < v}, #{x <= v}] must intersect [p-eps, p+eps]
+    # with eps = 1/accuracy (+1/n discreteness +fp slack).
+    eps = F.lit(1.0 / acc + 1e-9) + 1.0 / F.col("__n")
+    within = None
+    for i, p in enumerate(probs):
+        lo_ok = F.col(f"__lt{i}") / F.col("__n") - F.lit(p) <= eps
+        hi_ok = F.lit(p) - F.col(f"__le{i}") / F.col("__n") <= eps
+        c = lo_ok & hi_ok
+        within = c if within is None else (within & c)
+    return checked.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(len(probs)).cast("bigint").alias("n_probs"),
+        within.alias("within_bound"),
+    )
+
+
 def _q_key_skew(spark, sf_dir):
     """Shuffle-key skew profile of events.user_id: top-10 heavy
     hitters with share-of-total and count-over-mean skew ratio — the
@@ -1646,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,
         "key_skew": _q_key_skew,
+        "approx_quantiles": _q_approx_quantiles,
+        "compact_roundtrip": _q_compact_roundtrip,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -2051,6 +2124,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "zorder_layout": _zorder_oracle_sql(),
+        "compact_roundtrip": """
+            SELECT doc_id, n_chars FROM documents
+        """,
+        "approx_quantiles": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(5 AS BIGINT) AS n_probs,
+                   true AS within_bound
+            FROM lineitem
+        """,
         "key_skew": """
             WITH c AS (
               SELECT user_id, count(*) AS n_rows
