@@ -1527,6 +1527,35 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered fact-dimension join (``operators/bloom.py``):
+    lineitem rows are pre-filtered against the Bloom bit-set of the
+    urgent orders' keys (n_hashes broadcast joins, zero probe-side
+    shuffle) before the real join — the runtime-filter pattern for
+    dimension sides too big to broadcast exactly. Bloom has no false
+    negatives and the real join removes false positives, so the
+    result EQUALS the plain join: the oracle is the plain SQL join,
+    making this a driver-hash-checked equivalence certificate.
+    Plan shape (broadcast-only probe path) is pinned in
+    ``tests/test_bloom.py``."""
+    from hdfe_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pre = bloom_semi_join(
+        li, od, key="l_orderkey", build_key="o_orderkey", n_bits=1 << 16
+    )
+    joined = pre.join(od, pre["l_orderkey"] == od["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """Small-file compaction roundtrip certificate
     (``sources/compaction.py``): splatter documents into 16 small
@@ -1719,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _q_key_skew,
         "approx_quantiles": _q_approx_quantiles,
         "compact_roundtrip": _q_compact_roundtrip,
+        "bloom_join": _q_bloom_join,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -2126,6 +2156,15 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "bloom_join": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o.o_orderpriority
         """,
         "approx_quantiles": """
             SELECT CAST(count(*) AS BIGINT) AS n,
