@@ -1527,6 +1527,44 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_pivot_wide(spark, sf_dir):
+    """Pivot (rubric: reshaping — reference has none): documents
+    source × lang count matrix. The pivot value list is EXPLICIT, so
+    Catalyst plans a single-pass pivot aggregation (no extra
+    distinct-values job) with a fixed output schema — the only form
+    that's sane at scale. Missing combinations coalesce to 0 to match
+    the conditional-aggregation SQL exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in _PIVOT_LANGS
+        ],
+    )
+
+
+def _q_unpivot_long(spark, sf_dir):
+    """Unpivot/melt roundtrip: the pivoted wide matrix melted back to
+    (source, lang, n_docs) long form via ``DataFrame.unpivot`` —
+    dropping the zero-fill rows recovers exactly the plain GROUP BY,
+    which is the oracle. Narrow metadata-only transform on top of the
+    pivot aggregation."""
+    wide = _q_pivot_wide(spark, sf_dir)
+    long = wide.unpivot(["source"], _PIVOT_LANGS, "lang", "n_docs")
+    return long.filter(F.col("n_docs") > 0).select(
+        "source", "lang", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
 def _q_bloom_join(spark, sf_dir):
     """Bloom-prefiltered fact-dimension join (``operators/bloom.py``):
     lineitem rows are pre-filtered against the Bloom bit-set of the
@@ -1749,6 +1787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": _q_approx_quantiles,
         "compact_roundtrip": _q_compact_roundtrip,
         "bloom_join": _q_bloom_join,
+        "pivot_wide": _q_pivot_wide,
+        "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
@@ -2156,6 +2196,21 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "pivot_wide": """
+            SELECT source,
+                   CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+                   CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+                   CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+                   CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+                   CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+            FROM documents GROUP BY source
+        """,
+        "unpivot_long": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            WHERE lang IN ('de','en','es','fr','zh')
+            GROUP BY source, lang
         """,
         "bloom_join": """
             SELECT o.o_orderpriority,
