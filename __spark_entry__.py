@@ -1527,6 +1527,35 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_range_join(spark, sf_dir):
+    """Batch point-in-interval join via bucket binning
+    (``operators/rangejoin.py``): every click matched to same-user
+    purchases whose 30-minute window contains it. Spark would plan the
+    naive inequality join as BroadcastNestedLoopJoin; the binned
+    rewrite is a plain co-partitioned equi-join on (user_id, bucket)
+    + exact filter — no-nested-loop plan pinned in
+    ``tests/test_rangejoin.py``. Oracle: the naive inequality join in
+    DuckDB, all arithmetic in integer epoch-µs."""
+    from hdfe_spark.operators.rangejoin import range_join
+    from hdfe_spark.sources.tables import ts_micros
+
+    w_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", ts_micros(ev, "ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_us")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_us"),
+        (F.col("ts") + w_us).alias("__end"),
+    )
+    out = range_join(
+        clicks, pur, "user_id", "click_us", "purchase_us", "__end", w_us
+    )
+    return out.select("user_id", "click_us", "purchase_us")
+
+
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 
@@ -1787,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles": _q_approx_quantiles,
         "compact_roundtrip": _q_compact_roundtrip,
         "bloom_join": _q_bloom_join,
+        "range_join": _q_range_join,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2196,6 +2226,15 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "range_join": """
+            SELECT c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   epoch_us(p.ts) AS purchase_us
+            FROM events c JOIN events p ON c.user_id = p.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND epoch_us(c.ts) >= epoch_us(p.ts)
+              AND epoch_us(c.ts) < epoch_us(p.ts) + 1800000000
         """,
         "pivot_wide": """
             SELECT source,

@@ -1,0 +1,73 @@
+"""Binned range join: point-in-interval joins as co-partitioned
+equi-joins.
+
+Spark plans a join whose condition is an inequality
+(``l.ts BETWEEN r.start AND r.end``) as a BroadcastNestedLoopJoin (or
+a cartesian product when neither side broadcasts) — O(n·m) compares
+and a single-task disaster at scale. The standard fix (the same
+binning strategy behind commercial "range join optimization" hints)
+rewrites it as an equi-join on a time bucket:
+
+- each RIGHT interval explodes to the buckets it overlaps
+  (``floor(start/w) .. floor(end/w)`` — bounded fan-out when interval
+  length is bounded by ~w);
+- each LEFT point maps to exactly ONE bucket (``floor(ts/w)``), so
+  the rewrite cannot duplicate a match;
+- the join runs on ``(keys…, bucket)`` — a plain hash shuffle join
+  Catalyst/AQE can plan, size, and skew-split — and the exact
+  interval predicate filters the bucket-collision candidates.
+
+Pick ``bucket_width`` ≈ the typical interval length: fan-out stays
+≤ 2-3 and each bucket's candidate set is small. All arithmetic is
+integer (µs) — no float boundary wobble.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``left`` rows to ``right`` rows sharing ``on`` with
+    ``right_start <= left_point < right_end`` (all three integer
+    columns in the same unit, e.g. epoch-µs from
+    ``sources.tables.ts_micros``).
+
+    ``how='inner'`` only: outer forms of a binned join need
+    dedup-after-union semantics that belong to the caller.
+    """
+    if how != "inner":
+        raise ValueError("range_join supports how='inner' only")
+    on = [on] if isinstance(on, str) else list(on)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
+
+    # integer div, not float division + cast: the values are epoch-µs
+    # longs near 2^60 where double division loses low bits
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{right_start} div {w}"),
+                F.expr(f"{right_end} div {w}"),
+            )
+        ),
+    )
+    l = left.withColumn("__bucket", F.expr(f"{left_point} div {w}"))
+    cond = (F.col(left_point) >= F.col(right_start)) & (
+        F.col(left_point) < F.col(right_end)
+    )
+    return l.join(r, [*on, "__bucket"], "inner").filter(cond).drop("__bucket")

@@ -1,0 +1,72 @@
+"""Binned range join: equivalence to the naive inequality join on the
+events fixture, boundary semantics, and the no-nested-loop plan."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hdfe_spark.operators.rangejoin import range_join
+from hdfe_spark.plans import plan_report
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """Clicks joined to each same-user purchase's 30-minute lookback
+    window must equal the naive inequality join, for a bucket width
+    equal to, smaller than, and larger than the window."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", ts_micros(ev, "ts")).limit(4000)
+    w_us = 30 * 60 * 1_000_000
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + w_us).alias("p_end"),
+    )
+    want = sorted(
+        (r.user_id, r.c_ts, r.p_start)
+        for r in clicks.join(pur, "user_id")
+        .filter((F.col("c_ts") >= F.col("p_start")) & (F.col("c_ts") < F.col("p_end")))
+        .collect()
+    )
+    for bw in (w_us, w_us // 3, 4 * w_us):
+        got = sorted(
+            (r.user_id, r.c_ts, r.p_start)
+            for r in range_join(
+                clicks, pur, "user_id", "c_ts", "p_start", "p_end", bw
+            ).collect()
+        )
+        assert got == want, f"bucket_width={bw}"
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 19), (1, 20), (1, 9)], "k long, t long"
+    )
+    right = spark.createDataFrame([(1, 10, 20)], "k long, s long, e long")
+    got = sorted(
+        r.t for r in range_join(left, right, "k", "t", "s", "e", 7).collect()
+    )
+    assert got == [10, 19]  # start inclusive, end exclusive
+
+
+def test_range_join_plan_no_nested_loop(spark):
+    left = spark.range(1000).selectExpr("id % 7 AS k", "id * 100 AS t")
+    right = spark.range(100).selectExpr(
+        "id % 7 AS k", "id * 1000 AS s", "id * 1000 + 500 AS e"
+    )
+    plan = (
+        range_join(left, right, "k", "t", "s", "e", 500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_rejects_outer(spark):
+    df = spark.range(1).selectExpr("id AS k", "id AS t", "id AS s", "id AS e")
+    with pytest.raises(ValueError):
+        range_join(df, df, "k", "t", "s", "e", 10, how="left")
