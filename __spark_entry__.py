@@ -1527,6 +1527,33 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_upsert_roundtrip(spark, sf_dir):
+    """Partition-aware COW MERGE certificate (``sources/upsert.py``):
+    documents written partitioned by lang, every doc_id%10==0 row
+    updated (source→'updated') through the dynamic-partition-overwrite
+    merge, table read back. Hash-matching the CASE-expression oracle
+    proves replace+append semantics and that untouched rows survive
+    the partial rewrite. Partition pruning and untouched-file
+    preservation are pinned in ``tests/test_upsert.py``."""
+    import tempfile
+
+    from hdfe_spark.sources.upsert import merge_upsert_partitioned
+
+    d = tempfile.mkdtemp(prefix="hdfe_upsert_")
+    base = f"{d}/docs"
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(base)
+    updates = (
+        spark.read.parquet(base)
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("source", F.lit("updated"))
+    )
+    merge_upsert_partitioned(
+        spark, base, updates, "doc_id", "lang", f"{d}/stage"
+    )
+    return spark.read.parquet(base).select("doc_id", "lang", "source")
+
+
 def _q_range_join(spark, sf_dir):
     """Batch point-in-interval join via bucket binning
     (``operators/rangejoin.py``): every click matched to same-user
@@ -1817,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": _q_compact_roundtrip,
         "bloom_join": _q_bloom_join,
         "range_join": _q_range_join,
+        "upsert_roundtrip": _q_upsert_roundtrip,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2226,6 +2254,12 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "upsert_roundtrip": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 10 = 0 THEN 'updated' ELSE source END
+                     AS source
+            FROM documents
         """,
         "range_join": """
             SELECT c.user_id,
