@@ -379,3 +379,139 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------------- product quant
+
+def _kmeans_np(X: np.ndarray, k: int, seed: int, n_iter: int = 25) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample (codebook
+    training only — FAISS-style: sublinear in corpus size). Empty
+    clusters keep their previous center, so the result is
+    deterministic for a fixed (sample, seed)."""
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    if len(centers) < k:  # degenerate tiny sample: pad by repetition
+        centers = np.concatenate([centers] * (k // len(centers) + 1))[:k]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    return centers
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """Arrow kernel: L2-normalize each vector, then per subspace emit
+    the index of the nearest codeword. codebooks: (M, K, dsub)."""
+    M, K, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = _normalize_rows(_stack(vecs))
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for m in range(M):
+            sub = X[:, m * dsub : (m + 1) * dsub]
+            d = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(-1)
+            codes[:, m] = d.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def make_adc_udf(lut: np.ndarray):
+    """Arrow kernel: asymmetric-distance score of a code row against
+    the query's per-subspace inner-product lookup table (M, K) —
+    O(M) adds per vector instead of O(dim) multiplies."""
+    M = lut.shape[0]
+    rows = np.arange(M)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.values).astype(np.int64)  # (b, M)
+        return pd.Series(lut[rows[None, :], C].sum(axis=1))
+
+    return adc
+
+
+def pq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 16384,
+) -> "tuple[DataFrame, np.ndarray]":
+    """Product-quantization index (Jégou et al. TPAMI'11, the FAISS
+    ``IndexPQ`` layout): train one k-means codebook per subspace on a
+    bounded driver-side sample (≤ ``max_train`` vectors — training is
+    sublinear in corpus size by design), then encode EVERY vector to
+    ``n_subspaces`` small codes in one Arrow pass.
+
+    The encoded table carries only (id, codes): n_subspaces ints per
+    vector instead of dim floats — the memory compression that lets a
+    100 TB corpus's index fit a fraction of the cluster. Returns
+    ``(encoded, codebooks)``; reuse across probes (index-once /
+    probe-many, same contract as ``ivf_index``/``lsh_index``)."""
+    dim = _vec_dim(df, vec_col)
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    sample = df.select(vec_col).limit(max_train).toPandas()
+    X = _normalize_rows(_stack(sample[vec_col]))
+    codebooks = np.stack(
+        [
+            _kmeans_np(X[:, m * dsub : (m + 1) * dsub], n_codes, seed + m)
+            for m in range(n_subspaces)
+        ]
+    )
+    enc = make_pq_encode_udf(codebooks)
+    encoded = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__codes", enc(F.col(vec_col)))
+        .select(id_col, "__codes")
+        .localCheckpoint()  # truncate lineage; codes are tiny
+    )
+    return encoded, codebooks
+
+
+def pq_topk(
+    df: DataFrame | None,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    index: "tuple[DataFrame, np.ndarray] | None" = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by cosine: the query builds its (M, K)
+    inner-product lookup table driver-side (KBs), every encoded vector
+    is scored with M table adds (asymmetric distance computation), and
+    the global top-k merges through per-partition heaps
+    (``TakeOrderedAndProject``). Scores approximate the cosine of the
+    *reconstructed* vector — quality is pinned by the ``pq_recall``
+    driver certificate."""
+    if index is None:
+        if df is None:
+            raise ValueError("pq_topk needs df or index=pq_index(...)")
+        index = pq_index(
+            df, vec_col=vec_col, id_col=id_col,
+            n_subspaces=n_subspaces, n_codes=n_codes, seed=seed,
+        )
+    encoded, codebooks = index
+    M, K, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    lut = np.stack(
+        [codebooks[m] @ qn[m * dsub : (m + 1) * dsub] for m in range(M)]
+    )  # (M, K)
+    adc = make_adc_udf(lut)
+    return (
+        encoded.select(F.col(id_col), adc(F.col("__codes")).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
