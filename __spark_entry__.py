@@ -1527,6 +1527,30 @@ def _q_chunk_docs(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def _q_salted_join(spark, sf_dir):
+    """Explicit skew-salted fact-dimension join
+    (``operators/skewjoin.py``): lineitem rows salted across 4
+    sub-keys, orders replicated ×4, join on (orderkey, salt) — the
+    declarative skew mitigation the ``key_skew`` profiler feeds.
+    Salting never changes the matched multiset, so the aggregated
+    result EQUALS the plain join: the oracle is the plain SQL join,
+    making this a driver-hash-checked equivalence certificate
+    (equivalence + spreading also pinned in
+    ``tests/test_skewjoin.py``)."""
+    from hdfe_spark.operators.skewjoin import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), od,
+        "o_orderkey", n_salts=4,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice")), 2).alias("total_price"),
+    )
+
+
 def _pq_fixture_index(spark, sf_dir):
     """Build the PQ codebooks + encoded table ONCE per session (the
     FAISS train/add split); probe queries reuse it. Same
@@ -1901,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "pq_recall": _q_pq_recall,
+        "salted_join": _q_salted_join,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2311,6 +2336,13 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "salted_join": """
+            SELECT o.o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l.l_extendedprice), 2) AS total_price
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
         """,
         "pq_recall": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
