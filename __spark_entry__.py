@@ -1391,6 +1391,23 @@ def _q_streaming_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """REAL nearest-neighbor image resize end-to-end: genuine PPM
+    payloads decoded, integer-map resampled to 8×6, re-encoded —
+    the Spark side parses and resamples actual bytes while the DuckDB
+    oracle recomputes each resized raster's checksum from the
+    fixture's closed-form pixel function and the same
+    ``src = (dst*src_dim) // dst_dim`` map. A wrong parser, resampler,
+    or index map hash-mismatches."""
+    from hdfe_spark.operators.multimodal import make_codec_assets, resize_images
+
+    assets = make_codec_assets(spark, n=256)
+    out = resize_images(assets, 8, 6)
+    return out.filter(F.col("resize_ok")).select(
+        "asset_id", "width", "height", "checksum"
+    )
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """REAL multimodal decode end-to-end: asset table of genuine PPM
     image and RIFF/WAVE audio payloads → one mixed-modality
@@ -1926,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_roundtrip": _q_upsert_roundtrip,
         "pq_recall": _q_pq_recall,
         "salted_join": _q_salted_join,
+        "multimodal_resize": _q_multimodal_resize,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2336,6 +2354,26 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "multimodal_resize": """
+            WITH ids AS (SELECT i AS asset_id FROM range(256) t(i)),
+            img AS (
+              SELECT asset_id, 4 + (asset_id % 29) AS w,
+                     4 + ((asset_id * 3) % 23) AS h
+              FROM ids WHERE asset_id % 3 <> 0),
+            px AS (
+              SELECT i.asset_id,
+                     CAST(sum((((X.x * i.w) // 8) * 31
+                               + ((Y.y * i.h) // 6) * 17
+                               + i.asset_id + c.c * 7) % 256)
+                          AS BIGINT) AS checksum
+              FROM img i, range(0, 8) X(x), range(0, 6) Y(y), range(0, 3) c(c)
+              GROUP BY i.asset_id)
+            SELECT asset_id,
+                   CAST(8 AS BIGINT) AS width,
+                   CAST(6 AS BIGINT) AS height,
+                   checksum
+            FROM px
         """,
         "salted_join": """
             SELECT o.o_orderstatus,

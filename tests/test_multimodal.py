@@ -192,3 +192,33 @@ def test_decode_media_stereo_frames_not_samples(spark):
     assert bool(r["decode_ok"])
     assert r["channels"] == 2
     assert r["n_samples"] == frames
+
+
+def test_resize_images_real(spark, codec_assets):
+    """Real NN resize: resampled raster equals the numpy reference on
+    a known formula image; payload re-encodes as a valid PPM."""
+    import numpy as np
+
+    from hdfe_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+    )
+
+    out = resize_images(codec_assets, 8, 6).toPandas().set_index("asset_id")
+    # asset 1 is an image: w=4+(1%29)=5, h=4+(3%23)=7
+    row = out.loc[1]
+    assert row["resize_ok"] and (row["width"], row["height"]) == (8, 6)
+    w2, h2, px2 = decode_ppm(bytes(row["payload"]))
+    assert (w2, h2) == (8, 6)
+    w, h = 5, 7
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    src = ((x * 31 + y * 17 + 1 + c * 7) % 256).astype(np.uint8)
+    ix = (np.arange(8, dtype=np.int64) * w) // 8
+    iy = (np.arange(6, dtype=np.int64) * h) // 6
+    want = src[iy[:, None], ix[None, :], :]
+    assert (px2 == want).all()
+    assert row["checksum"] == int(want.astype(np.int64).sum())
+    # audio rows pass through with resize_ok=false
+    assert not out.loc[0, "resize_ok"] and out.loc[0, "payload"] is None
