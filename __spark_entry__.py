@@ -1391,6 +1391,37 @@ def _q_streaming_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
+def _q_streaming_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment join (availableNow replay,
+    memory sink): each micro-batch of the events stream equi-joins a
+    5-row static category dimension, explicitly broadcast — stateless,
+    no watermark, stream side stays shuffle-free. The replay covers
+    every event, so the batch CASE-mapping SQL is its oracle."""
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_static_enrich,
+    )
+
+    _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enr = streaming_static_enrich(stream, dim, "event_type")
+    sink = _fresh_sink(spark)
+    q = (
+        enr.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("event_id", "event_type", "category")
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """REAL nearest-neighbor image resize end-to-end: genuine PPM
     payloads decoded, integer-map resampled to 8×6, re-encoded —
@@ -1944,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": _q_pq_recall,
         "salted_join": _q_salted_join,
         "multimodal_resize": _q_multimodal_resize,
+        "streaming_enrich": _q_streaming_enrich,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2354,6 +2386,13 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "streaming_enrich": """
+            SELECT event_id, event_type,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'engage'
+                        WHEN event_type IN ('purchase', 'signup') THEN 'convert'
+                        ELSE 'ops' END AS category
+            FROM events
         """,
         "multimodal_resize": """
             WITH ids AS (SELECT i AS asset_id FROM range(256) t(i)),

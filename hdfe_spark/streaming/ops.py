@@ -265,3 +265,23 @@ def streaming_lag_transform(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: "Sequence[str] | str",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch equi-joins the
+    static dimension, explicitly broadcast — the canonical "attach
+    metadata to an event stream" stage.
+
+    Stateless (no watermark, no join state): Spark re-evaluates the
+    static side per micro-batch, so a file-backed dimension picks up
+    slowly-changing updates between batches. At scale the broadcast
+    keeps the stream side shuffle-free; a dimension too big to
+    broadcast belongs in a stream-stream join with watermarks instead
+    (``streaming_interval_join``)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), on, how)

@@ -230,3 +230,45 @@ def test_driver_queries_bound_sink_leak(spark, sf_dir):
         t.name for t in spark.catalog.listTables() if t.name.startswith("snk_")
     ]
     assert len(leaked) <= 1
+
+
+def test_streaming_static_enrich_matches_batch(spark, sf_dir, events_batch):
+    """Stream-static broadcast enrichment equals the batch join."""
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from hdfe_spark.streaming.ops import streaming_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enr = streaming_static_enrich(stream, dim, "event_type")
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        enr.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = (
+        spark.table(sink)
+        .groupBy("category")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("category")["n"]
+        .to_dict()
+    )
+    want = (
+        events_batch.join(dim, "event_type")
+        .groupBy("category")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("category")["n"]
+        .to_dict()
+    )
+    assert got == want
