@@ -1391,6 +1391,20 @@ def _q_streaming_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
+def _q_fuzzy_pairs(spark, sf_dir):
+    """Blocked Levenshtein near-dup pairs (``operators/fuzzy.py``):
+    distance-1 pairs on 16-char normalized prefixes via pigeonhole
+    first/last-char blocking — never all-pairs. The DuckDB oracle IS
+    the brute-force O(n²) inequality join, so the hash match is
+    simultaneously a correctness check of the edit-distance kernel
+    AND an exactness certificate for the blocking (a lost pair
+    hash-mismatches)."""
+    from hdfe_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_pairs(docs, max_distance=1, prefix_len=16)
+
+
 def _q_streaming_enrich(spark, sf_dir):
     """Stream-static broadcast enrichment join (availableNow replay,
     memory sink): each micro-batch of the events stream equi-joins a
@@ -1976,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "multimodal_resize": _q_multimodal_resize,
         "streaming_enrich": _q_streaming_enrich,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2386,6 +2401,18 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "fuzzy_pairs": """
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            1, 16) AS s
+              FROM documents),
+            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 2)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 1
         """,
         "streaming_enrich": """
             SELECT event_id, event_type,

@@ -1,0 +1,51 @@
+"""Blocked fuzzy matching: pigeonhole exactness for distance 1 on
+synthetic edits and on the documents fixture vs brute force."""
+
+import pyspark.sql.functions as F
+
+from hdfe_spark.operators.fuzzy import fuzzy_pairs
+
+
+def test_fuzzy_pairs_catches_every_edit_position(spark):
+    rows = [
+        (1, "martin"),
+        (2, "artin"),     # first-char deletion  -> d=1
+        (3, "martln"),    # middle substitution  -> d=1
+        (4, "martix"),    # last-char subst      -> d=1
+        (5, "xartin"),    # first-char subst     -> d=1
+        (6, "zzzzzz"),    # unrelated
+        (7, "mrtln"),     # d=2 from martin, but d=1 from martln (3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, max_distance=1, prefix_len=16).collect()
+    }
+    assert {(1, 2), (1, 3), (1, 4), (1, 5), (3, 7)} <= got
+    assert (1, 7) not in got  # d=2 excluded
+    assert all(6 not in p for p in got)
+
+
+def test_fuzzy_pairs_equals_brute_force_on_fixture(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(docs, prefix_len=16).collect()
+    }
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 16
+    )
+    k = docs.select(F.col("doc_id").alias("id"), norm.alias("s")).filter(
+        F.length("s") >= 2
+    )
+    a, b = k.alias("a"), k.alias("b")
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 1)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
