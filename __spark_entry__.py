@@ -1391,6 +1391,79 @@ def _q_streaming_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
+_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_sql_q1(spark, sf_dir):
+    """The SQL entry point end-to-end (rubric: SQL lifecycle): TPC-H
+    Q1 submitted as a SQL STRING over the registered fixture views —
+    parse → analyze → optimize → execute entirely inside Spark SQL,
+    no DataFrame API. The oracle is the same statement in DuckDB
+    (dialect-shared subset), so the hash match certifies the whole
+    text-to-result path including the pushed shipdate filter."""
+    from hdfe_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q1)
+
+
+def _q_cube_agg(spark, sf_dir):
+    """Native CUBE grouping sets (all 4 combinations of (lang,
+    source) subtotals in one pass) with ``grouping_id`` exposing
+    which columns each row aggregates — Spark and DuckDB share the
+    bitmask convention, so the SQL is a direct oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _q_json_roundtrip(spark, sf_dir):
+    """JSON source/sink roundtrip: documents written as JSON lines to
+    a temp dir, read back with an EXPLICIT schema (inference order is
+    not part of the contract), hash-matched against the parquet
+    original — certifies the engine's second source format end-to-end
+    including string escaping."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hdfe_json_")
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(d)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(d)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink roundtrip (scalar-safe columns; free-text stays
+    in quoted JSON/parquet land): header + explicit read schema,
+    hash-matched against the original — the third source format."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hdfe_csv_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.option("header", True).schema(
+        "doc_id long, lang string, source string, n_chars long"
+    ).csv(d)
+    return back
+
+
 def _q_fuzzy_pairs(spark, sf_dir):
     """Blocked Levenshtein near-dup pairs (``operators/fuzzy.py``):
     distance-1 pairs on 16-char normalized prefixes via pigeonhole
@@ -1991,6 +2064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "streaming_enrich": _q_streaming_enrich,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "sql_q1": _q_sql_q1,
+        "cube_agg": _q_cube_agg,
+        "json_roundtrip": _q_json_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2401,6 +2478,21 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _zorder_oracle_sql(),
         "compact_roundtrip": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "sql_q1": _TPCH_Q1,
+        "cube_agg": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "json_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
         """,
         "fuzzy_pairs": """
             WITH k AS (

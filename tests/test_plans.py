@@ -196,3 +196,16 @@ def test_join_agg_topk_plan(spark, sf_dir):
     assert rep["n_broadcast_joins"] >= 2
     assert rep["has_take_ordered"]
     assert any("c_mktsegment" in f for f in rep["pushed_filters"])
+
+
+def test_sql_entrypoint_pushes_filter(spark, sf_dir):
+    """The SQL-string entry point compiles to the same pushed-down
+    scan as the DataFrame API: the shipdate predicate must reach the
+    parquet scan, and the plan must contain a partial (map-side)
+    aggregation before the exchange."""
+    import __spark_entry__ as em
+
+    out = em.queries()["sql_q1"](spark, sf_dir)
+    rep = plan_report(out)
+    assert any("l_shipdate" in f for f in rep["pushed_filters"])
+    assert rep["n_exchanges"] <= 1  # one shuffle for the final agg
