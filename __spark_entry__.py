@@ -1404,6 +1404,33 @@ _TPCH_Q1 = """
 """
 
 
+def _q_rolling_window(spark, sf_dir):
+    """Event-time RANGE-frame rolling aggregate (rubric: frame-spec
+    window functions): per user, the count and mean of events in the
+    trailing 1 hour — ``RANGE BETWEEN 3600000000 PRECEDING AND
+    CURRENT ROW`` over integer epoch-µs, the frame shape that powers
+    rate limiting / rolling features at scale (one shuffle+sort per
+    partition key, state bounded by the frame). Integer event time
+    makes the frame arithmetic engine-exact; DuckDB shares the RANGE
+    frame semantics."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.avg("value").over(w), 5).alias("mean_1h"),
+    )
+
+
 def _q_sql_q1(spark, sf_dir):
     """The SQL entry point end-to-end (rubric: SQL lifecycle): TPC-H
     Q1 submitted as a SQL STRING over the registered fixture views —
@@ -2065,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": _q_streaming_enrich,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "sql_q1": _q_sql_q1,
+        "rolling_window": _q_rolling_window,
         "cube_agg": _q_cube_agg,
         "json_roundtrip": _q_json_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -2480,6 +2508,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
         """,
         "sql_q1": _TPCH_Q1,
+        "rolling_window": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                   round(avg(value) OVER w, 5) AS mean_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
+        """,
         "cube_agg": """
             SELECT lang, source,
                    CAST(GROUPING(lang, source) AS BIGINT) AS gid,
