@@ -2013,13 +2013,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       bucketed_join / lm_logprob / contamination, the five
       recall/exactness certificates, the 19 SURVEY §2 operator
       queries, and the flagship curation ops;
-    - positions 51+: (a) the 7 rows-only-by-design demos whose
+    - positions 51+: (a) the rows-only-by-design demos whose
       correctness is carried by an in-window certificate (`fingerprint`,
       `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
-      `embedding_neardup_lsh`, `ivf_topk`, `fingerprint_neardup`) —
-      they lose nothing by being unwindowed — and (b) hash-matchable
-      siblings already driver-green in CORRECTNESS_r03.json whose
-      operator stays covered by an in-window sibling + pytest
+      `embedding_neardup_lsh`, `ivf_topk`, `pq_topk`,
+      `fingerprint_neardup`) — they lose nothing by being unwindowed;
+      (b) hash-matchable siblings already driver-green in
+      CORRECTNESS_r03.json whose operator stays covered by an
+      in-window sibling + pytest; and (c) the queries built later in
+      round 4 (zorder_layout, chunk_docs, key_skew, approx_quantiles,
+      compact_roundtrip, bloom_join, pivot_wide, unpivot_long,
+      range_join, upsert_roundtrip, pq_recall, salted_join,
+      multimodal_resize, streaming_enrich, fuzzy_pairs, sql_q1,
+      rolling_window, cube_agg, json_roundtrip, csv_roundtrip) — all
+      hash-green under the local gate, queued for the round-5 window
+      rotation once the round-4 backlog has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
     """
     return {
