@@ -1391,6 +1391,55 @@ def _q_streaming_interval_join(spark, sf_dir):
     return spark.table(sink)
 
 
+def _q_fuzzy_dedup(spark, sf_dir):
+    """Fuzzy-pair connected-components dedup: distance-1 Levenshtein
+    pairs (blocked, exact) feed the same exact single-link min-label
+    dedup as the MinHash path — one representative per edit-distance
+    cluster. Oracle: brute-force pairs + recursive-CTE components in
+    DuckDB."""
+    from hdfe_spark.operators.fuzzy import fuzzy_pairs
+    from hdfe_spark.operators.graph import dedup_by_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = fuzzy_pairs(docs, max_distance=1, prefix_len=16).select(
+        "id_a", "id_b"
+    )
+    return dedup_by_components(docs, pairs, id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_histogram(spark, sf_dir):
+    """Equi-width histogram profile of l_extendedprice (fixed 5000-
+    wide buckets, integer floor arithmetic so any engine reproduces
+    the bucketing exactly): one map-side-combined aggregation, the
+    column-profiling companion to ``key_skew``."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
+
+
+def _q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the four lineitem measures in
+    ONE aggregation pass (six co-moment aggregates, map-side partials
+    — a single scan however many pairs). DuckDB ``corr`` shares the
+    definition; round 6 absorbs summation-order ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            aggs.append(
+                F.round(F.corr(a, b), 6).alias(f"corr_{a[2:]}_{b[2:]}")
+            )
+    return li.agg(*aggs)
+
+
 _TPCH_Q1 = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
@@ -2024,10 +2073,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       round 4 (zorder_layout, chunk_docs, key_skew, approx_quantiles,
       compact_roundtrip, bloom_join, pivot_wide, unpivot_long,
       range_join, upsert_roundtrip, pq_recall, salted_join,
-      multimodal_resize, streaming_enrich, fuzzy_pairs, sql_q1,
-      rolling_window, cube_agg, json_roundtrip, csv_roundtrip) — all
-      hash-green under the local gate, queued for the round-5 window
-      rotation once the round-4 backlog has driver rows
+      multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
+      sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
+      histogram, corr_matrix) — all hash-green under the local gate,
+      queued for the round-5 window rotation once the round-4 backlog
+      has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
     """
     return {
@@ -2104,6 +2154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _q_cube_agg,
         "json_roundtrip": _q_json_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "histogram": _q_histogram,
+        "corr_matrix": _q_corr_matrix,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
         # hash-matchable siblings, driver-green in CORRECTNESS_r03:
@@ -2538,6 +2591,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "fuzzy_dedup": """
+            WITH RECURSIVE k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            1, 16) AS s
+              FROM documents),
+            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 2),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM f a JOIN f b ON a.doc_id < b.doc_id
+              WHERE levenshtein(a.s, b.s) <= 1),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+                WHERE n.v <> r.u),
+            comp AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            LEFT JOIN comp ON d.doc_id = comp.node
+            WHERE comp.node IS NULL OR comp.node = comp.component
+        """,
+        "histogram": """
+            SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(l_extendedprice), 2) AS lo,
+                   round(max(l_extendedprice), 2) AS hi
+            FROM lineitem
+            GROUP BY bucket
+        """,
+        "corr_matrix": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6)
+                     AS corr_quantity_extendedprice,
+                   round(corr(l_quantity, l_discount), 6)
+                     AS corr_quantity_discount,
+                   round(corr(l_quantity, l_tax), 6) AS corr_quantity_tax,
+                   round(corr(l_extendedprice, l_discount), 6)
+                     AS corr_extendedprice_discount,
+                   round(corr(l_extendedprice, l_tax), 6)
+                     AS corr_extendedprice_tax,
+                   round(corr(l_discount, l_tax), 6) AS corr_discount_tax
+            FROM lineitem
         """,
         "fuzzy_pairs": """
             WITH k AS (
