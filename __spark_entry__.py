@@ -1540,6 +1540,33 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurizer (no-vocabulary bag-of-words): token →
+    md5-prefix bucket (256 buckets), per-doc counts in long form.
+    Engine-portable bucketing, one explode + one grouped count."""
+    from hdfe_spark.operators.text import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, n_hex=2)
+
+
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source roundtrip — the engine's fourth storage format
+    (columnar like parquet, with its own stripe/index layout). Written
+    and read back with an explicit schema; the oracle reads the
+    parquet original, so the hash match certifies the ORC writer and
+    reader agree with the source of truth."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hdfe_orc_")
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(d)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(d)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_fuzzy_pairs(spark, sf_dir):
     """Blocked Levenshtein near-dup pairs (``operators/fuzzy.py``):
     distance-1 pairs on 16-char normalized prefixes via pigeonhole
@@ -2075,7 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       range_join, upsert_roundtrip, pq_recall, salted_join,
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
-      histogram, corr_matrix) — all hash-green under the local gate,
+      histogram, corr_matrix, orc_roundtrip, feature_hash) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2154,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _q_cube_agg,
         "json_roundtrip": _q_json_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "feature_hash": _q_feature_hash,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2591,6 +2620,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "orc_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "feature_hash": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents)
+            SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY doc_id, bucket
         """,
         "fuzzy_dedup": """
             WITH RECURSIVE k AS (

@@ -144,6 +144,35 @@ def normalize_text(
     return df.withColumn(out_col, norm)
 
 
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hex: int = 2,
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. ICML'09) in LONG
+    form: each token maps to one of ``16**n_hex`` buckets by md5
+    prefix, and the output is per-document bucket counts — the sparse
+    bag-of-words representation classifiers train on, without a
+    vocabulary pass.
+
+    md5 keeps the bucket function engine-portable (same trick as
+    ``operators/sampling.py``), and the long (id, bucket, cnt) form
+    keeps every driver-compared value scalar. Plan: one explode + one
+    map-side-combined grouped count — shuffle carries only
+    (doc, bucket) partial counts, bounded by docs × buckets."""
+    toks = F.explode(tokens(F.col(text_col))).alias("__tok")
+    return (
+        df.select(F.col(id_col), toks)
+        .select(
+            F.col(id_col),
+            F.substring(F.md5(F.col("__tok")), 1, n_hex).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -262,3 +262,23 @@ def test_chunk_documents_reconstruct(docs):
         assert "".join(parts) == orig.loc[doc_id]
     # every non-empty doc is covered
     assert set(out["doc_id"]) == set(orig[orig.str.len() > 0].index)
+
+
+def test_feature_hash_counts(spark):
+    from hdfe_spark.operators.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, ""), (3, "cat")],
+        "doc_id long, text string",
+    )
+    got = feature_hash(df).toPandas()
+    # doc 1: cat bucket has cnt 2, dog bucket cnt 1; doc 2 vanishes
+    d1 = got[got.doc_id == 1].set_index("bucket")["cnt"].to_dict()
+    assert sorted(d1.values()) == [1, 2]
+    assert 2 not in set(got["doc_id"])
+    # same token -> same bucket across docs
+    import hashlib
+    cat_bucket = hashlib.md5(b"cat").hexdigest()[:2]
+    assert d1[cat_bucket] == 2
+    d3 = got[got.doc_id == 3].set_index("bucket")["cnt"].to_dict()
+    assert d3 == {cat_bucket: 1}
