@@ -1844,6 +1844,55 @@ def _q_pq_recall(spark, sf_dir):
     return _topk_recall_certificate(exact, approx)
 
 
+def _ivfpq_fixture_index(spark, sf_dir):
+    """Session-cached IVFPQ index (same loss-detection contract as
+    the IVF/PQ caches)."""
+    from hdfe_spark.operators.similarity import ivfpq_index
+
+    cache = getattr(spark, "_hdfe_ivfpq_cache", None)
+    if cache is not None and cache[0] == sf_dir:
+        try:
+            cache[1][0].take(1)
+            return cache[1]
+        except Exception:
+            pass
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = ivfpq_index(emb.filter(F.col("vec_id") != 0))
+    spark._hdfe_ivfpq_cache = (sf_dir, idx)
+    return idx
+
+
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVFPQ ANN top-k (FAISS IndexIVFPQ layout): coarse-quantizer
+    list pruning composed with PQ/ADC code scoring — the
+    full-compression ANN path. KMeans isn't SQL-reproducible →
+    rows-only; quality is driver-visible via ``ivfpq_recall``."""
+    from hdfe_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    idx = _ivfpq_fixture_index(spark, sf_dir)
+    out = ivfpq_topk(q, k=10, n_probe=4, index=idx)
+    return out.select("vec_id", F.round("adc_score", 6).alias("adc_score"))
+
+
+def _q_ivfpq_recall(spark, sf_dir):
+    """Recall certificate for ``ivfpq_topk``: the compounded
+    approximation (4/16 lists probed × 8-byte PQ codes) measures 3/10
+    on the clusterless gaussian fixture — deterministic (seeded
+    KMeans + seeded sample codebooks), pinned by the oracle. Probing
+    all lists or scoring exact vectors moves the count → red."""
+    from hdfe_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, q, k=10)
+    idx = _ivfpq_fixture_index(spark, sf_dir)
+    approx = ivfpq_topk(q, k=10, n_probe=4, index=idx)
+    return _topk_recall_certificate(exact, approx)
+
+
 def _q_upsert_roundtrip(spark, sf_dir):
     """Partition-aware COW MERGE certificate (``sources/upsert.py``):
     documents written partitioned by lang, every doc_id%10==0 row
@@ -2092,7 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 51+: (a) the rows-only-by-design demos whose
       correctness is carried by an in-window certificate (`fingerprint`,
       `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
-      `embedding_neardup_lsh`, `ivf_topk`, `pq_topk`,
+      `embedding_neardup_lsh`, `ivf_topk`, `pq_topk`, `ivfpq_topk`,
       `fingerprint_neardup`) — they lose nothing by being unwindowed;
       (b) hash-matchable siblings already driver-green in
       CORRECTNESS_r03.json whose operator stays covered by an
@@ -2102,7 +2151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       range_join, upsert_roundtrip, pq_recall, salted_join,
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
-      histogram, corr_matrix, orc_roundtrip, feature_hash) — all hash-green under the local gate,
+      histogram, corr_matrix, orc_roundtrip, feature_hash,
+      ivfpq_recall + the ivfpq_topk demo) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2183,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
         "feature_hash": _q_feature_hash,
+        "ivfpq_recall": _q_ivfpq_recall,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2214,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "fingerprint_neardup": _q_fingerprint_neardup,
     }
 
@@ -2728,6 +2780,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice), 2) AS total_price
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderstatus
+        """,
+        "ivfpq_recall": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            exact AS (
+              SELECT e.vec_id,
+                     list_cosine_similarity(cast(e.embedding AS double[]),
+                                            cast(q.qv AS double[])) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> 0
+              ORDER BY cos DESC, e.vec_id LIMIT 10)
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(3 AS BIGINT) AS n_hit,
+                   round(3 / 10.0, 6) AS recall,
+                   round(min(cos), 6) AS exact_min_cosine
+            FROM exact
         """,
         "pq_recall": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -515,3 +515,71 @@ def pq_topk(
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> "tuple[DataFrame, np.ndarray, np.ndarray]":
+    """Combined IVF+PQ index (the FAISS ``IndexIVFPQ`` layout): the
+    coarse quantizer routes each vector to a centroid list (probe-time
+    partition pruning), and within every list the vector is stored as
+    ``n_subspaces`` PQ codes (memory compression). The two index
+    families compose: at 100 TB the IVF side prunes the scan to
+    ``n_probe/n_centroids`` of the corpus and the PQ side shrinks what
+    remains by ~dim·4/n_subspaces ×.
+
+    Returns ``(encoded, centers, codebooks)`` where ``encoded`` holds
+    (id, __centroid, __codes)."""
+    assigned, centers = ivf_index(
+        df, vec_col=vec_col, id_col=id_col,
+        n_centroids=n_centroids, seed=seed,
+    )
+    _, codebooks = pq_index(
+        df, vec_col=vec_col, id_col=id_col,
+        n_subspaces=n_subspaces, n_codes=n_codes, seed=seed,
+    )
+    enc = make_pq_encode_udf(codebooks)
+    encoded = (
+        assigned.withColumn("__codes", enc(F.col(vec_col)))
+        .select(id_col, "__centroid", "__codes")
+        .localCheckpoint()
+    )
+    return encoded, centers, codebooks
+
+
+def ivfpq_topk(
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    n_probe: int = 4,
+    index: "tuple[DataFrame, np.ndarray, np.ndarray] | None" = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ ANN: probe the ``n_probe`` nearest centroid lists, score
+    survivors by PQ/ADC lookup-table adds, merge top-k through
+    per-partition heaps. The compounded approximation (list pruning ×
+    code quantization) is what the ``ivfpq_recall`` certificate
+    pins."""
+    if index is None:
+        raise ValueError("ivfpq_topk needs index=ivfpq_index(...)")
+    encoded, centers, codebooks = index
+    M, K, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    sims = centers @ qn / np.maximum(np.linalg.norm(centers, axis=1), 1e-30)
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    lut = np.stack(
+        [codebooks[m] @ qn[m * dsub : (m + 1) * dsub] for m in range(M)]
+    )
+    adc = make_adc_udf(lut)
+    return (
+        encoded.filter(F.col("__centroid").isin(probe))
+        .select(F.col(id_col), adc(F.col("__codes")).alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )

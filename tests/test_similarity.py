@@ -188,3 +188,19 @@ def test_pq_codes_shape_and_adc_math(emb):
     # quantized reconstruction stays close in angle to the original
     cos = recon @ v / (np.linalg.norm(recon) * np.linalg.norm(v))
     assert cos > 0.5
+
+
+def test_ivfpq_topk_recall_and_determinism(emb, emb_np):
+    """IVFPQ (list pruning x code quantization) still finds a useful
+    fraction of the exact top-10 and is run-to-run deterministic."""
+    from hdfe_spark.operators.similarity import ivfpq_index, ivfpq_topk
+
+    ids, M = emb_np
+    q = M[7]
+    idx = ivfpq_index(emb)
+    got = ivfpq_topk(q, k=10, n_probe=8, index=idx).toPandas()
+    want_ids = [w[0] for w in _numpy_topk(ids, M, q, k=10)]
+    recall = len(set(got["vec_id"]) & set(want_ids)) / 10
+    assert recall >= 0.2  # compounded approximation, half the lists
+    again = ivfpq_topk(q, k=10, n_probe=8, index=ivfpq_index(emb)).toPandas()
+    assert list(again["vec_id"]) == list(got["vec_id"])
