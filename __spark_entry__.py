@@ -1540,6 +1540,23 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (bits/token of
+    conditional probability) — one rung up the CCNet perplexity
+    ladder from ``lm_logprob``. Fully SQL-expressible → hash-matched
+    DuckDB oracle (same token/bigram definitions, integer-exact
+    counts, round-6 on the float)."""
+    from hdfe_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("bits_per_token", 6).alias("bits_per_token"),
+    )
+
+
 def _q_feature_hash(spark, sf_dir):
     """Hashing-trick featurizer (no-vocabulary bag-of-words): token →
     md5-prefix bucket (256 buckets), per-doc counts in long form.
@@ -2152,7 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
       histogram, corr_matrix, orc_roundtrip, feature_hash,
-      ivfpq_recall + the ivfpq_topk demo) — all hash-green under the local gate,
+      ivfpq_recall + the ivfpq_topk demo, bigram_logprob) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2234,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "feature_hash": _q_feature_hash,
         "ivfpq_recall": _q_ivfpq_recall,
+        "bigram_logprob": _q_bigram_logprob,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2675,6 +2693,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "bigram_logprob": """
+            WITH a AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS arr
+              FROM documents),
+            g AS (SELECT doc_id, arr FROM a WHERE len(arr) >= 2),
+            bg AS (
+              SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+              FROM g, range(1, 400) t(i)
+              WHERE i <= len(arr) - 1),
+            m AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            c AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            v AS (
+              SELECT count(DISTINCT u.t) AS V
+              FROM a, unnest(a.arr) AS u(t))
+            SELECT bg.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-sum(log2((m.c12 + 0.5) / (c.c1 + 0.5 * v.V)))
+                         / count(*), 6) AS bits_per_token
+            FROM bg
+            JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+            JOIN c ON bg.w1 = c.w1, v
+            GROUP BY bg.doc_id
         """,
         "feature_hash": """
             WITH t AS (

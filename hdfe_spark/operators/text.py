@@ -364,6 +364,65 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model quality score: mean
+    −log₂ p(wᵢ | wᵢ₋₁) in bits/token under add-α smoothing — one rung
+    up from ``unigram_logprob`` on the CCNet-style perplexity ladder
+    (conditional probabilities punish improbable token ORDER, not just
+    rare tokens).
+
+    p(w₂|w₁) = (c(w₁,w₂) + α) / (c₁(w₁) + α·V), with c₁ the count of
+    w₁ as a context (= Σ_w c(w₁,w)) and V the full unigram vocabulary.
+    Documents with < 2 tokens carry no bigrams and drop out (mirrored
+    by the oracle).
+
+    Plan: bigrams form JVM-side (zip_with of two slices — no Python),
+    then one (w₁,w₂) grouped count (the model) and one w₁ count, both
+    broadcast back onto the bigram stream; per-doc aggregate closes
+    the plan. At 100 TB the bigram model may exceed broadcast size —
+    prune rare bigrams (HAVING c12 ≥ k) or let the join shuffle; the
+    per-doc math is unchanged.
+    """
+    arr = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), arr.alias("__a")).filter(
+        F.size("__a") >= 2
+    )
+    bg = base.select(
+        F.col(id_col),
+        F.expr(
+            "explode(zip_with(slice(__a, 1, size(__a) - 1),"
+            " slice(__a, 2, size(__a) - 1),"
+            " (x, y) -> struct(x AS w1, y AS w2)))"
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("t")
+    ).agg(F.countDistinct("t").alias("__V"))
+
+    logp = F.log2(
+        (F.col("c12") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.col("__V"))
+    )
+    return (
+        bg.join(F.broadcast(model), on=["w1", "w2"])
+        .join(F.broadcast(ctx), on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum(logp) / F.count(F.lit(1))).alias("bits_per_token"),
+        )
+    )
+
+
 def contamination(
     df: DataFrame,
     bench: DataFrame,

@@ -282,3 +282,26 @@ def test_feature_hash_counts(spark):
     assert d1[cat_bucket] == 2
     d3 = got[got.doc_id == 3].set_index("bucket")["cnt"].to_dict()
     assert d3 == {cat_bucket: 1}
+
+
+def test_bigram_logprob_math(spark):
+    """Hand-computed add-alpha bigram probabilities on a 3-doc corpus."""
+    import math
+
+    from hdfe_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = bigram_logprob(df, alpha=0.5).toPandas().set_index("doc_id")
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b)
+    # c12: (a,b)=3, (b,a)=1 ; c1: a=3, b=1 ; V = 3 (a, b, x)
+    V = 3.0
+    p_ab = (3 + 0.5) / (3 + 0.5 * V)
+    p_ba = (1 + 0.5) / (1 + 0.5 * V)
+    d1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert abs(got.loc[1, "bits_per_token"] - d1) < 1e-9
+    assert got.loc[1, "n_bigrams"] == 3
+    assert got.loc[2, "n_bigrams"] == 1
+    assert 3 not in got.index  # single-token doc has no bigrams
