@@ -1540,6 +1540,24 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_resample(spark, sf_dir):
+    """Per-user 1-hour resample of the events stream WITH gap filling
+    (``operators/resample.py``): a dense zero-filled bin grid per
+    user's active span — the fixed-interval transform time-series
+    models need, which Spark lacks as a primitive. Integer-µs bin
+    arithmetic; oracle generates the same spine via
+    ``generate_series``."""
+    from hdfe_spark.operators.resample import resample_events
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    out = resample_events(ev, "user_id", "ts_us", "value")
+    return out.select(
+        "user_id", "bin", "n", F.round("sum_value", 5).alias("sum_value")
+    )
+
+
 def _q_bigram_logprob(spark, sf_dir):
     """Corpus-trained bigram-LM quality score (bits/token of
     conditional probability) — one rung up the CCNet perplexity
@@ -2169,7 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
       histogram, corr_matrix, orc_roundtrip, feature_hash,
-      ivfpq_recall + the ivfpq_topk demo, bigram_logprob) — all hash-green under the local gate,
+      ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2252,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": _q_feature_hash,
         "ivfpq_recall": _q_ivfpq_recall,
         "bigram_logprob": _q_bigram_logprob,
+        "resample": _q_resample,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2693,6 +2712,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "resample": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS bin, value
+              FROM events),
+            b AS (
+              SELECT user_id, bin, count(*) AS n, sum(value) AS sv
+              FROM e GROUP BY user_id, bin),
+            s AS (
+              SELECT user_id, min(bin) AS lo, max(bin) AS hi
+              FROM b GROUP BY user_id),
+            spine AS (
+              -- bounded cross join + filter: DuckDB's generate_series
+              -- cannot take lateral column bounds (span <= 719 bins
+              -- at sf0.01; 4096 is ample and engine-portable)
+              SELECT s.user_id, s.lo + g.g AS bin
+              FROM s, range(0, 4096) g(g)
+              WHERE s.lo + g.g <= s.hi)
+            SELECT spine.user_id,
+                   CAST(spine.bin AS BIGINT) AS bin,
+                   CAST(coalesce(b.n, 0) AS BIGINT) AS n,
+                   round(coalesce(b.sv, 0), 5) AS sum_value
+            FROM spine
+            LEFT JOIN b ON spine.user_id = b.user_id AND spine.bin = b.bin
         """,
         "bigram_logprob": """
             WITH a AS (
