@@ -1540,6 +1540,54 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_group_ols(spark, sf_dir):
+    """Per-group simple OLS in closed form (the reference's
+    ``Groupby.apply(np.polyfit)`` pattern — ``hdfe/groupby.py:56-64``
+    — as pure aggregates): slope = covar_pop/var_pop and intercept
+    per supplier for extendedprice ~ quantity. One map-side-combined
+    aggregation, no per-group Python; the k-group output is the whole
+    result. Degenerate groups (zero variance) drop out on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_suppkey").agg(
+        F.covar_pop("l_quantity", "l_extendedprice").alias("__cxy"),
+        F.var_pop("l_quantity").alias("__vx"),
+        F.avg("l_quantity").alias("__mx"),
+        F.avg("l_extendedprice").alias("__my"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    slope = F.col("__cxy") / F.col("__vx")
+    return g.filter(F.col("__vx") > 0).select(
+        "l_suppkey",
+        "n",
+        F.round(slope, 5).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 4).alias("intercept"),
+    )
+
+
+def _q_equidepth_hist(spark, sf_dir):
+    """Equi-DEPTH histogram (deciles by population) of
+    l_extendedprice: ntile(10) over a total order with the unique
+    (orderkey, linenumber) tiebreak so both engines assign identical
+    tiles, then per-tile count/min/max. Complements the equi-width
+    `histogram` profile; this is the quantile-bucket layout a
+    range-partitioner would use. (Global ntile is a single-task sort
+    by construction — the exact-assignment form demanded by a
+    hash-matched oracle; at corpus scale you'd cut on
+    ``approx_percentile`` boundaries instead, which the
+    ``approx_quantiles`` certificate covers.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    tiled = li.select(
+        "l_extendedprice", F.ntile(10).over(w).alias("tile")
+    )
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    ).select(F.col("tile").cast("bigint").alias("tile"), "n", "lo", "hi")
+
+
 def _q_resample(spark, sf_dir):
     """Per-user 1-hour resample of the events stream WITH gap filling
     (``operators/resample.py``): a dense zero-filled bin grid per
@@ -2187,7 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
       histogram, corr_matrix, orc_roundtrip, feature_hash,
-      ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample) — all hash-green under the local gate,
+      ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample, group_ols, equidepth_hist) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2271,6 +2319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": _q_ivfpq_recall,
         "bigram_logprob": _q_bigram_logprob,
         "resample": _q_resample,
+        "group_ols": _q_group_ols,
+        "equidepth_hist": _q_equidepth_hist,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2712,6 +2762,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "group_ols": """
+            WITH g AS (
+              SELECT l_suppkey,
+                     covar_pop(l_quantity, l_extendedprice) AS cxy,
+                     var_pop(l_quantity) AS vx,
+                     avg(l_quantity) AS mx,
+                     avg(l_extendedprice) AS my,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY l_suppkey)
+            SELECT l_suppkey, n,
+                   round(cxy / vx, 5) AS slope,
+                   round(my - (cxy / vx) * mx, 4) AS intercept
+            FROM g WHERE vx > 0
+        """,
+        "equidepth_hist": """
+            WITH t AS (
+              SELECT l_extendedprice,
+                     ntile(10) OVER (ORDER BY l_extendedprice,
+                                     l_orderkey, l_linenumber) AS tile
+              FROM lineitem)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(l_extendedprice), 2) AS lo,
+                   round(max(l_extendedprice), 2) AS hi
+            FROM t GROUP BY tile
         """,
         "resample": """
             WITH e AS (
