@@ -1540,6 +1540,43 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_null_semantics(spark, sf_dir):
+    """SQL NULL semantics in one aggregate row (rubric: type/null
+    handling): NULLIF-manufactured nulls, COALESCE recovery, null-safe
+    equality (Spark ``<=>`` ≡ DuckDB ``IS NOT DISTINCT FROM``),
+    count(col) vs count(*) null skipping, and null-propagating
+    arithmetic — the cross-engine contract a query planner must honor
+    bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    d0 = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(d0).cast("bigint").alias("n_nonzero_disc"),
+        F.sum(F.when(d0.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_disc"),
+        F.round(F.sum(F.coalesce(d0, F.lit(0.0))), 4).alias("sum_disc"),
+        F.sum(
+            F.when(F.col("l_discount").eqNullSafe(d0), 1).otherwise(0)
+        ).cast("bigint").alias("n_nullsafe_eq"),
+        F.round(F.avg(d0), 6).alias("avg_nonzero_disc"),
+    )
+
+
+def _q_decimal_agg(spark, sf_dir):
+    """Exact DECIMAL arithmetic (rubric: numeric types beyond double):
+    prices cast to DECIMAL(18,4), summed exactly — no float rounding —
+    with both engines' differing intermediate precisions pinned to a
+    common DECIMAL(38,4) result type (the round-2 lesson: the
+    correctness gate is dtype-strict)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("decimal(38,4)").alias("sum_price_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
 def _q_group_ols(spark, sf_dir):
     """Per-group simple OLS in closed form (the reference's
     ``Groupby.apply(np.polyfit)`` pattern — ``hdfe/groupby.py:56-64``
@@ -2235,7 +2272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       multimodal_resize, streaming_enrich, fuzzy_pairs, fuzzy_dedup,
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
       histogram, corr_matrix, orc_roundtrip, feature_hash,
-      ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample, group_ols, equidepth_hist) — all hash-green under the local gate,
+      ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample, group_ols, equidepth_hist,
+      null_semantics, decimal_agg) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2321,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "group_ols": _q_group_ols,
         "equidepth_hist": _q_equidepth_hist,
+        "null_semantics": _q_null_semantics,
+        "decimal_agg": _q_decimal_agg,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2762,6 +2802,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "null_semantics": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(NULLIF(l_discount, 0.0)) AS BIGINT)
+                     AS n_nonzero_disc,
+                   CAST(sum(CASE WHEN NULLIF(l_discount, 0.0) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero_disc,
+                   round(sum(coalesce(NULLIF(l_discount, 0.0), 0.0)), 4)
+                     AS sum_disc,
+                   CAST(sum(CASE WHEN l_discount IS NOT DISTINCT FROM
+                                      NULLIF(l_discount, 0.0)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nullsafe_eq,
+                   round(avg(NULLIF(l_discount, 0.0)), 6)
+                     AS avg_nonzero_disc
+            FROM lineitem
+        """,
+        "decimal_agg": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DECIMAL(38,4)) AS sum_price_exact,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "group_ols": """
             WITH g AS (
