@@ -1540,6 +1540,23 @@ def _q_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def _q_interval_arith(spark, sf_dir):
+    """Interval/date arithmetic contract (rubric: temporal types):
+    orders shifted by +90 days, truncated to month, bucketed — both
+    engines agree on calendar arithmetic when the session zone is
+    pinned UTC. Output keys are date-formatted STRINGS (the canonical
+    cross-engine rendering; raw timestamp columns stay out of the
+    compare path)."""
+    od = _t(spark, sf_dir, "orders")
+    due = F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return od.groupBy(
+        F.date_format(F.date_trunc("month", due), "yyyy-MM").alias("due_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def _q_null_semantics(spark, sf_dir):
     """SQL NULL semantics in one aggregate row (rubric: type/null
     handling): NULLIF-manufactured nulls, COALESCE recovery, null-safe
@@ -2273,7 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       sql_q1, rolling_window, cube_agg, json_roundtrip, csv_roundtrip,
       histogram, corr_matrix, orc_roundtrip, feature_hash,
       ivfpq_recall + the ivfpq_topk demo, bigram_logprob, resample, group_ols, equidepth_hist,
-      null_semantics, decimal_agg) — all hash-green under the local gate,
+      null_semantics, decimal_agg, interval_arith) — all hash-green under the local gate,
       queued for the round-5 window rotation once the round-4 backlog
       has driver rows
       (`tools/check_oracle.py` still gates ALL of them locally).
@@ -2361,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist": _q_equidepth_hist,
         "null_semantics": _q_null_semantics,
         "decimal_agg": _q_decimal_agg,
+        "interval_arith": _q_interval_arith,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "histogram": _q_histogram,
         "corr_matrix": _q_corr_matrix,
@@ -2802,6 +2820,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orc_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "interval_arith": """
+            SELECT strftime(date_trunc('month',
+                                       o_orderdate + INTERVAL 90 DAY),
+                            '%Y-%m') AS due_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY due_month
         """,
         "null_semantics": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
