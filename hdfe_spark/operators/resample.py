@@ -30,11 +30,19 @@ def resample_events(
     ts_us_col: str = "ts",
     value_col: str = "value",
     bin_us: int = 3_600_000_000,
+    max_bins_per_entity: int = 10_000_000,
 ) -> DataFrame:
     """Per-entity dense resample: (entity, bin, n, sum_value) for every
     ``bin_us``-wide bin in the entity's active span, zero-filled where
     no events fall. ``ts_us_col`` is bigint epoch-µs
-    (``sources.tables.ts_micros``)."""
+    (``sources.tables.ts_micros``).
+
+    ``sequence`` materializes each entity's spine as ONE in-memory
+    array before explode, so an entity whose span/bin ratio is huge
+    (second-wide bins over years) would allocate a giant row; the
+    ``max_bins_per_entity`` guard fails fast with the offending span
+    instead of OOMing an executor — pick a coarser ``bin_us`` or split
+    the time range."""
     w = int(bin_us)
     binned = (
         df.withColumn("__bin", F.expr(f"{ts_us_col} div {w}"))
@@ -47,7 +55,23 @@ def resample_events(
     spans = binned.groupBy(entity_col).agg(
         F.min("__bin").alias("__lo"), F.max("__bin").alias("__hi")
     )
-    spine = spans.select(
+    guarded = spans.withColumn(
+        "__lo",
+        F.when(
+            F.col("__hi") - F.col("__lo") < F.lit(int(max_bins_per_entity)),
+            F.col("__lo"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("resample_events: entity span exceeds "
+                          f"max_bins_per_entity={max_bins_per_entity} bins ("),
+                    (F.col("__hi") - F.col("__lo")).cast("string"),
+                    F.lit(") — use a coarser bin_us"),
+                )
+            ).cast("long")
+        ),
+    )
+    spine = guarded.select(
         entity_col,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__bin"),
     )

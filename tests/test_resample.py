@@ -20,3 +20,21 @@ def test_resample_fills_gaps(spark):
     assert got.loc[(1, 3), "n"] == 1
     # entity 2 spans a single bin
     assert list(got.loc[2].index) == [10]
+
+
+def test_resample_guards_giant_span(spark):
+    import pytest
+
+    rows = [(1, 0, 1.0), (1, 10_000_000, 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    with pytest.raises(Exception, match="max_bins_per_entity"):
+        resample_events(
+            df, ts_us_col="ts", bin_us=1, max_bins_per_entity=1000
+        ).collect()
+    # under the cap the same data resamples fine
+    assert (
+        resample_events(
+            df, ts_us_col="ts", bin_us=1_000_000, max_bins_per_entity=1000
+        ).count()
+        == 11
+    )
