@@ -74,8 +74,23 @@ def bloom_semi_join(
     """Rows of ``probe`` whose ``key`` *might* be in
     ``build[build_key or key]`` (never drops a true match). Plan:
     ``n_hashes`` broadcast joins against the KB-sized bit-set table —
-    zero shuffles on the probe side, whole-stage-codegen bit tests."""
-    bits = bloom_bits(build, build_key or key, n_bits, n_hashes)
+    zero shuffles on the probe side, whole-stage-codegen bit tests.
+
+    The no-false-negative guarantee holds only if both sides hash the
+    SAME bytes: ``xxhash64`` hashes an int 5 and a string '5'
+    differently, while the equi-join that follows would cast them
+    equal — a silent row-loss trap. Mismatched key dtypes therefore
+    raise here instead of dropping rows."""
+    bk = build_key or key
+    pt, bt_ = probe.schema[key].dataType, build.schema[bk].dataType
+    if pt != bt_:
+        raise TypeError(
+            f"bloom_semi_join key dtype mismatch: probe[{key}]={pt} vs "
+            f"build[{bk}]={bt_}; xxhash64 hashes equal-but-differently-"
+            "typed values to different bits, so the pre-filter could "
+            "drop rows the equi-join would match. Cast one side first."
+        )
+    bits = bloom_bits(build, bk, n_bits, n_hashes)
     cur = probe
     conds = []
     for s in range(n_hashes):

@@ -435,6 +435,41 @@ def make_adc_udf(lut: np.ndarray):
     return adc
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 16384,
+) -> np.ndarray:
+    """Train the (M, K, dsub) per-subspace PQ codebooks on a bounded,
+    DETERMINISTIC driver-side sample: the ``max_train`` smallest ids
+    (``orderBy(id).limit`` → one TakeOrderedAndProject, no full sort).
+    Plain ``limit()`` would depend on Spark's incidental scan order,
+    so the pinned recall certificates could flip on a Spark upgrade or
+    a repartitioned fixture; id-ordered sampling makes (sample, seed)
+    — and therefore the codebooks — a pure function of the data.
+
+    Shared by ``pq_index`` and ``ivfpq_index`` so the IVFPQ build
+    trains once and never encodes a corpus it will throw away."""
+    dim = _vec_dim(df, vec_col)
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
+    )
+    X = _normalize_rows(_stack(sample[vec_col]))
+    return np.stack(
+        [
+            _kmeans_np(X[:, m * dsub : (m + 1) * dsub], n_codes, seed + m)
+            for m in range(n_subspaces)
+        ]
+    )
+
+
 def pq_index(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -455,17 +490,9 @@ def pq_index(
     100 TB corpus's index fit a fraction of the cluster. Returns
     ``(encoded, codebooks)``; reuse across probes (index-once /
     probe-many, same contract as ``ivf_index``/``lsh_index``)."""
-    dim = _vec_dim(df, vec_col)
-    if dim % n_subspaces:
-        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
-    dsub = dim // n_subspaces
-    sample = df.select(vec_col).limit(max_train).toPandas()
-    X = _normalize_rows(_stack(sample[vec_col]))
-    codebooks = np.stack(
-        [
-            _kmeans_np(X[:, m * dsub : (m + 1) * dsub], n_codes, seed + m)
-            for m in range(n_subspaces)
-        ]
+    codebooks = train_pq_codebooks(
+        df, vec_col=vec_col, id_col=id_col, n_subspaces=n_subspaces,
+        n_codes=n_codes, seed=seed, max_train=max_train,
     )
     enc = make_pq_encode_udf(codebooks)
     encoded = (
@@ -540,7 +567,7 @@ def ivfpq_index(
         df, vec_col=vec_col, id_col=id_col,
         n_centroids=n_centroids, seed=seed,
     )
-    _, codebooks = pq_index(
+    codebooks = train_pq_codebooks(
         df, vec_col=vec_col, id_col=id_col,
         n_subspaces=n_subspaces, n_codes=n_codes, seed=seed,
     )

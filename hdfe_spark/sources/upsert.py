@@ -54,6 +54,15 @@ def merge_upsert_partitioned(
     """Partition-pruned COW merge, in place via dynamic partition
     overwrite. Returns the list of partition values rewritten.
 
+    PRECONDITION (same contract as Hudi's partitioned upsert without
+    a global index): a key's partition value never changes. The
+    anti-join only scans partitions the update batch touches, so an
+    update that MOVES a key to a new partition value would leave the
+    stale row alive in its old, unscanned partition — duplicate keys
+    after the merge. Callers whose keys can migrate must delete from
+    the old partition first (or use the unpartitioned
+    ``merge_upsert``, which scans everything).
+
     The merged affected-partition data is staged to ``staging_path``
     first (Spark cannot overwrite a path that feeds the running plan),
     then dynamically overwrites ONLY the touched partitions of

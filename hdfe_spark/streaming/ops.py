@@ -35,14 +35,28 @@ def read_events_stream(
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file-stream source requires a *directory*; the fixture is a
     # single file. Expose it through a temp dir of symlinks (cheap,
-    # read-only-safe).
+    # read-only-safe) — cached per fixture path so a 100-query driver
+    # session makes ONE dir, not one per streaming query, and swept
+    # at interpreter exit.
+    import atexit
     import os
+    import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="hdfe_events_stream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(d, "events.parquet")
-    )
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    cache = read_events_stream.__dict__.setdefault("_dirs", {})
+    d = cache.get(src)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="hdfe_events_stream_")
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        if not cache:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(p, ignore_errors=True)
+                    for p in cache.values()
+                ]
+            )
+        cache[src] = d
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -54,3 +54,14 @@ def test_bloom_bits_table_is_small(spark):
     build = spark.range(0, 1000).selectExpr("id AS k")
     n = bloom_bits(build, "k", n_bits=1 << 16).count()
     assert n <= (1 << 16) // 64  # at most n_bits/64 words
+
+
+def test_bloom_key_dtype_mismatch_raises(spark):
+    """xxhash64(int 5) != xxhash64('5') while the follow-up equi-join
+    would cast them equal — silent row loss. The guard must refuse."""
+    import pytest
+
+    build = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k")
+    probe = spark.range(0, 100).selectExpr("id AS k")
+    with pytest.raises(TypeError, match="dtype mismatch"):
+        bloom_semi_join(probe, build, "k")
