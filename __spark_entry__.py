@@ -1648,19 +1648,25 @@ def _q_group_ols(spark, sf_dir):
 
 def _q_equidepth_hist(spark, sf_dir):
     """Equi-DEPTH histogram (deciles by population) of
-    l_extendedprice: ntile(10) over a total order with the unique
-    (orderkey, linenumber) tiebreak so both engines assign identical
-    tiles, then per-tile count/min/max. Complements the equi-width
-    `histogram` profile; this is the quantile-bucket layout a
-    range-partitioner would use. (Global ntile is a single-task sort
-    by construction — the exact-assignment form demanded by a
-    hash-matched oracle; at corpus scale you'd cut on
-    ``approx_percentile`` boundaries instead, which the
-    ``approx_quantiles`` certificate covers.)"""
+    l_extendedprice: EXACT ntile(10) over a total order with the
+    unique (orderkey, linenumber) tiebreak so both engines assign
+    identical tiles, then per-tile count/min/max. Complements the
+    equi-width `histogram` profile; this is the quantile-bucket
+    layout a range-partitioner would use.
+
+    Computed by ``operators/rank.py::exact_ntile`` — the distributed
+    range-partition + offset-reconstruction plan, NOT a global window
+    (whose single-partition WindowExec funnels every row through one
+    task; plan-asserted Window-free in ``tests/test_rank.py``). The
+    DuckDB oracle still says plain ``ntile(10) OVER``: the hash match
+    certifies the distributed form equals the textbook one."""
+    from hdfe_spark.operators.rank import exact_ntile
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    tiled = li.select(
-        "l_extendedprice", F.ntile(10).over(w).alias("tile")
+    tiled = exact_ntile(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        10,
     )
     return tiled.groupBy("tile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -6,28 +6,64 @@ normalized prefixes): find pairs within Levenshtein distance
 ``max_distance``. The naive form is an O(n²) cross join; the standard
 fix is *blocking* — only pairs sharing a cheap block key are compared.
 
-For ``max_distance=1`` the blocking here is EXACT by pigeonhole: one
-edit touches either the first character or not. If not, the two
-strings share their first character (same F-block); if it does, the
-remainder — in particular the LAST character — is unchanged (same
-L-block, for strings of length ≥ 2). So the union of first-char and
-last-char blocks contains every distance-1 pair; the Levenshtein
-verify then removes block collisions. (Same proof shape as the
-Manku'07 pigeonhole banding used by ``simhash_neardup_pairs``; the
-``fuzzy_exactness`` driver certificate checks it against brute force.)
+Block key = (gram, length) — first/last **bigram** plus a length
+band, not the round-4 single first/last character (whose ~26-70
+blocks meant hot-block skew on a real corpus; widening was that
+round's watch item). For ``max_distance=1`` the scheme stays EXACT by
+pigeonhole, by cases on the shorter string's length m:
 
-Scale: two block-keyed self-joins (shuffle by single-char key — for
-real corpora widen the key, e.g. first/last bigrams + length band,
-trading recall proof for smaller blocks), codegen ``levenshtein``
-verify, distinct on (id_a, id_b). A length pre-filter
-(``|len(a)-len(b)| ≤ d``) prunes inside the block before the edit
-distance evaluates.
+- **m ≥ 4** (gram regions disjoint): one edit either misses the first
+  two characters — same first-bigram block — or hits them, leaving
+  the suffix, in particular the last two characters, unchanged as a
+  *substring value* (an insertion/deletion before them only shifts
+  their position): same last-bigram block.
+- **m < 4** (regions overlap, bigram proof fails — e.g. a middle-char
+  edit in a 3-char string changes both bigrams): both strings are
+  then ≤ 4 chars long (|len difference| ≤ 1) and BOTH also emit
+  single first/last-char blocks, for which the original pigeonhole
+  proof holds. Strings longer than 4 never emit char blocks, so the
+  fallback population stays tiny.
+
+The length band rides inside the key: a string of length L emits each
+gram under lengths ``L .. L+max_distance``, so two strings within
+``max_distance`` in length always collide on the longer one's key
+while strings of distant lengths never share a block. Result: block
+population ≈ (same bigram) ∧ (length within 1) — hundreds of small
+blocks instead of tens of hot ones; the brute-force-oracle driver
+certificate (``fuzzy_pairs``) still proves exactness, and
+``tests/test_fuzzy.py`` pins both recall and the skew drop.
+
+Scale: block-keyed self-join (shuffle by (gram, len) key), codegen
+``levenshtein`` verify, distinct on (id_a, id_b). For
+``max_distance > 1`` the gram blocking is a recall heuristic (the
+pigeonhole covers one edit); the length band remains exact.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _block_keys(max_distance: int):
+    """Column: array of block keys for the normalized string ``__s``
+    of length ``__len`` (see module docstring for the exactness
+    argument). Exposed for the skew test."""
+    first2 = F.substring("__s", 1, 2)
+    last2 = F.col("__s").substr(F.col("__len") - 1, F.lit(2))
+    first1 = F.substring("__s", 1, 1)
+    last1 = F.col("__s").substr(F.col("__len"), F.lit(1))
+    short = F.col("__len") <= 4
+    keys = []
+    for dl in range(max_distance + 1):
+        lenk = (F.col("__len") + dl).cast("string")
+        keys += [
+            F.concat(F.lit("FB"), lenk, F.lit(":"), first2),
+            F.concat(F.lit("LB"), lenk, F.lit(":"), last2),
+            F.when(short, F.concat(F.lit("FC"), lenk, F.lit(":"), first1)),
+            F.when(short, F.concat(F.lit("LC"), lenk, F.lit(":"), last1)),
+        ]
+    return F.array_compact(F.array(*keys))
 
 
 def fuzzy_pairs(
@@ -40,7 +76,7 @@ def fuzzy_pairs(
     """Distinct id pairs (id_a < id_b) whose normalized ``prefix_len``
     character prefixes are within ``max_distance`` Levenshtein edits.
     Exact for ``max_distance=1`` (see module docstring); for larger
-    distances the first/last blocking is a recall heuristic."""
+    distances the gram blocking is a recall heuristic."""
     norm = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
         1,
@@ -56,12 +92,7 @@ def fuzzy_pairs(
         "__id",
         "__s",
         "__len",
-        F.explode(
-            F.array(
-                F.concat(F.lit("F"), F.substring("__s", 1, 1)),
-                F.concat(F.lit("L"), F.col("__s").substr(F.col("__len"), F.lit(1))),
-            )
-        ).alias("__blk"),
+        F.explode(_block_keys(max_distance)).alias("__blk"),
     )
     a = blocked.alias("a")
     b = blocked.alias("b")

@@ -1,0 +1,117 @@
+"""Exact global rank and exact NTILE, distributed.
+
+Spark's own ``row_number()``/``ntile()`` over a global ``ORDER BY``
+(an empty window PARTITION BY) plan a **single-partition WindowExec**:
+every row of a 100 TB table funnels through one task. This module
+computes the identical exact answer with the classic two-phase
+sort-then-offset layout (what ``RDD.sortByKey`` + ``zipWithIndex``
+do, re-expressed on DataFrames):
+
+1. **Range-partition + local sort** on the total order
+   (``repartitionByRange`` → ``sortWithinPartitions``) — one shuffle,
+   all partitions sorted and mutually ordered. The result is pinned
+   with ``localCheckpoint`` so phases 2-3 see the SAME partitioning
+   (range boundaries come from a nondeterministic sample job; an
+   unpinned plan could re-sample between jobs).
+2. **Per-partition counts → driver** — ``n_partitions`` longs, never
+   data — cumulated into start offsets.
+3. **Narrow rank reconstruction**: within a pinned sorted partition,
+   ``monotonically_increasing_id()`` is ``pid << 33 | local_row`` in
+   scan order, so ``rank = offset[pid] + local_row + 1`` is a pure
+   projection plus one broadcast join of the tiny offset table. No
+   second shuffle, no Window operator anywhere in the plan.
+
+``exact_ntile`` then maps ranks to SQL NTILE semantics in closed form
+— the first ``N % k`` tiles hold ``N div k + 1`` rows, the rest
+``N div k`` — identical to the single-task
+``ntile(k) OVER (ORDER BY ...)`` answer, which is what the driver's
+DuckDB oracle hash-checks.
+
+The order columns must form a TOTAL order (include a unique tiebreak,
+e.g. a key column) — ties across a range-partition boundary would
+otherwise make ranks depend on partition placement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PID_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | row
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based dense global ``rank_col`` under the total
+    order ``order_by`` without a single-partition sort. See module
+    docstring for the three-phase plan; cost is one range shuffle +
+    one pinned materialization, vs. WindowExec's one-task funnel."""
+    spark = df.sparkSession
+    cols = [F.col(c) for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    pinned = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftright(F.col("__mid"), _PID_SHIFT).alias("__pid")
+    local = F.col("__mid").bitwiseAND(F.lit((1 << _PID_SHIFT) - 1))
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in pinned.select(pid).groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    offsets, acc = [], 0
+    for p, n in counts:
+        offsets.append((p, acc))
+        acc += n
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid long, __off long")
+    )
+    return (
+        pinned.withColumn("__pid", pid)
+        .join(off, "__pid")
+        .withColumn(rank_col, F.col("__off") + local + 1)
+        .drop("__pid", "__off", "__mid")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_by: Sequence[str],
+    n_tiles: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL-NTILE tile assignment under a total order, with no
+    Window operator in the plan. Hash-matches
+    ``ntile(n) OVER (ORDER BY ...)`` on any engine."""
+    ranked = global_rank(
+        df, order_by, rank_col="__rank", num_partitions=num_partitions
+    )
+    total = ranked.count()  # cheap: counts the pinned blocks
+    # SQL NTILE semantics: the first N % k tiles hold one row MORE
+    # (all big tiles first — not the Bresenham even spread). Integer
+    # `div`, not float `/`+cast: exact at any rank magnitude.
+    base, rem = total // n_tiles, total % n_tiles
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = (
+        F.when(
+            F.col("__rank") <= big,
+            F.expr(f"(__rank - 1) div {base + 1} + 1"),
+        ).otherwise(F.expr(f"(__rank - 1 - {big}) div {base} + {rem} + 1"))
+        if base
+        else F.col("__rank")  # N < k: one row per tile, rank IS the tile
+    )
+    return ranked.withColumn(tile_col, tile.cast("long")).drop("__rank")

@@ -49,3 +49,29 @@ def test_fuzzy_pairs_equals_brute_force_on_fixture(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_fuzzy_blocking_skew_drops_vs_single_char(spark, sf_dir):
+    """The round-4 watch item: single first/last-char blocks meant
+    ~26-70 blocks with hot-block skew. The (gram, length) keys must
+    cut the largest block's population share."""
+    from hdfe_spark.operators.fuzzy import _block_keys
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 16
+    )
+    keyed = docs.select(norm.alias("__s"), F.length(norm).alias("__len")).filter(
+        F.col("__len") >= 2
+    )
+    n = keyed.count()
+    new_max = (
+        keyed.select(F.explode(_block_keys(1)).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    old_max = (
+        keyed.select(F.substring("__s", 1, 1).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert new_max < old_max  # strictly smaller hottest block
+    assert new_max <= max(0.2 * n, 50)  # no block holds a fifth of the corpus

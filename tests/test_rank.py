@@ -1,0 +1,64 @@
+"""Exact distributed rank/ntile (``operators/rank.py``): must equal
+the single-partition window answer bit-for-bit, with no Window
+operator (and hence no one-task global sort) in the plan."""
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from hdfe_spark.plans import explain_string
+from hdfe_spark.operators.rank import exact_ntile, global_rank
+
+
+def test_global_rank_matches_window_row_number(spark):
+    df = (
+        spark.range(0, 5000)
+        .withColumn("v", (F.col("id") * 2654435761) % 1000)  # many ties
+    )
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        (r["id"], r["rank"])
+        for r in global_rank(df, ["v", "id"], num_partitions=7).collect()
+    }
+    assert got == want
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    # 5003 rows, 10 tiles: N % k != 0 exercises the uneven-first-tiles
+    # branch of NTILE semantics.
+    df = spark.range(0, 5003).withColumn("v", (F.col("id") * 48271) % 500)
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["t"])
+        for r in df.select("id", F.ntile(10).over(w).alias("t")).collect()
+    }
+    got = {
+        (r["id"], r["tile"])
+        for r in exact_ntile(df, ["v", "id"], 10, num_partitions=5).collect()
+    }
+    assert got == want
+
+
+def test_rank_plan_has_no_window_operator(spark):
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 97)
+    ranked = global_rank(df, ["v", "id"], num_partitions=4)
+    plan = explain_string(ranked, "simple")
+    assert "Window" not in plan  # the single-task funnel never appears
+    tiled = exact_ntile(df, ["v", "id"], 10, num_partitions=4)
+    assert "Window" not in explain_string(tiled, "simple")
+
+
+def test_rank_partition_count_independent(spark):
+    """Ranks are a pure function of the data — partitioning must not
+    leak into the answer."""
+    df = spark.range(0, 2000).withColumn("v", F.col("id") % 3)  # huge ties
+    a = sorted(
+        r["rank"] for r in global_rank(df, ["v", "id"], num_partitions=2).collect()
+    )
+    b = sorted(
+        r["rank"] for r in global_rank(df, ["v", "id"], num_partitions=13).collect()
+    )
+    assert a == b == list(range(1, 2001))
