@@ -2292,6 +2292,43 @@ def _zorder_oracle_sql() -> str:
     )
 
 
+
+def _q_running_total(spark, sf_dir):
+    """Exact distributed running total (``operators/rank.py::
+    prefix_sum``): cumulative order revenue in integer cents over the
+    (o_orderdate, o_orderkey) total order. The DuckDB oracle computes
+    the textbook single-frame ``SUM() OVER (ORDER BY ...)`` — the
+    hash match certifies the range-partition + offset plan equals it,
+    with no single-partition WindowExec (plan-asserted in
+    ``tests/test_rank.py``). Integer cents, not float dollars: float
+    addition is non-associative, so a blocked distributed sum could
+    differ from the oracle's sequential one in the last bit."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    od = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    out = prefix_sum(
+        od, ["o_orderdate", "o_orderkey"], "cents", out_col="cum_cents"
+    )
+    return out.select("o_orderkey", "cum_cents")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """LLM context-window packing (``operators/packing.py``): every
+    document's (bin, offset) in the concatenate-then-cut layout that
+    turns a curated corpus into fixed-capacity training sequences —
+    bin = exclusive-prefix DIV capacity over the doc_id order, via the
+    distributed exact prefix sum (no single-task window). Weighted by
+    the integer ``n_chars`` column (a tokenizer's counts plug in the
+    same way); capacity 8192."""
+    from hdfe_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "n_chars", ["doc_id"], 8192)
+    return out.select("doc_id", "bin", "offset")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2353,8 +2390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": _q_corr_matrix,
         "pivot_wide": _q_pivot_wide,
         "unpivot_long": _q_unpivot_long,
-        # -- window 34-50: round-5 insertions go HERE, above the ------
-        # -- r03-green backstop fillers below ------------------------
+        # -- window 34-50: round-5 insertions first, then r03-green ---
+        # -- backstop fillers --------------------------------------
+        "running_total": _q_running_total,
+        "pack_sequences": _q_pack_sequences,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3508,6 +3547,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(d.y - b.b1*d.l_quantity - b.b2*d.l_discount), 2)
                      AS fe_l_extendedprice
             FROM d CROSS JOIN b GROUP BY d.l_suppkey
+        """,
+        "running_total": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_cents
+            FROM orders
+        """,
+        "pack_sequences": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     SUM(n_chars) OVER (ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((cum - n_chars) // 8192 AS BIGINT) AS bin,
+                   CAST((cum - n_chars) % 8192 AS BIGINT) AS offset
+            FROM c
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source

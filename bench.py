@@ -86,25 +86,53 @@ def main():
         "embedding_neardup_lsh",
     ]
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = qs[name]
+
+    def run_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in headline:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # noop sink: computes every column of every row, writes
+            # nothing (a bare .count() would let Catalyst prune the
+            # projections away)
+            df.write.format("noop").mode("overwrite").save()
+            t[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {t[name]}s", file=sys.stderr, flush=True)
+            # Queries are independent jobs: drop whatever blocks the
+            # query left persisted (iterative solvers localCheckpoint
+            # per sweep) so one query's leftovers can't evict the next
+            # one's memory.
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                jmap.get(rid).unpersist(False)
+        return t
+
+    def single_core_probe() -> float:
+        """Fixed pure-numpy workload, one core: separates host-speed
+        drift from code/plan drift (the round-4 lesson: identical code
+        spanned 28.7-39.1 s on this multi-tenant host while this probe
+        held stable)."""
+        import numpy as np
+
+        a = np.random.default_rng(7).standard_normal((700, 700))
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink: computes every column of every row, writes nothing
-        # (a bare .count() would let Catalyst prune the projections away)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        # Queries are independent jobs: drop whatever blocks the query
-        # left persisted (iterative solvers localCheckpoint per sweep)
-        # so one query's leftovers can't evict the next one's memory.
-        spark.catalog.clearCache()
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in list(jmap.keySet().toArray()):
-            jmap.get(rid).unpersist(False)
+        for _ in range(12):
+            a = np.tanh(a @ a.T / 700.0)
+        return round(time.perf_counter() - t0, 4)
+
+    probe_before = single_core_probe()
+    timings = run_pass()
+    # A/A evidence IN the artifact: an immediate same-session second
+    # pass over the identical frozen list. aa_ratio far from 1.0 (or a
+    # moved probe) says host noise; both ≈ stable says any cross-round
+    # delta is real code/plan drift.
+    rerun = run_pass()
+    probe_after = single_core_probe()
 
     total = round(sum(timings.values()), 4)
+    total2 = round(sum(rerun.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -114,6 +142,10 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "aa_rerun_total": total2,
+                "aa_ratio": round(total2 / total, 4) if total else None,
+                "queries_rerun": rerun,
+                "single_core_probe_sec": [probe_before, probe_after],
             }
         )
     )

@@ -1,4 +1,5 @@
-"""Exact global rank and exact NTILE, distributed.
+"""Exact global rank, exact NTILE, and exact running totals —
+distributed.
 
 Spark's own ``row_number()``/``ntile()`` over a global ``ORDER BY``
 (an empty window PARTITION BY) plan a **single-partition WindowExec**:
@@ -27,6 +28,11 @@ do, re-expressed on DataFrames):
 ``ntile(k) OVER (ORDER BY ...)`` answer, which is what the driver's
 DuckDB oracle hash-checks.
 
+``prefix_sum`` is the same layout with per-partition SUMS shipped to
+the driver instead of counts, plus a partition-LOCAL window cumsum
+(PARTITION BY the range-partition id — parallel across partitions,
+never the one-task global frame ``SUM() OVER (ORDER BY ...)`` plans).
+
 The order columns must form a TOTAL order (include a unique tiebreak,
 e.g. a key column) — ties across a range-partition boundary would
 otherwise make ranks depend on partition placement.
@@ -36,10 +42,33 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | row
+
+
+def _pinned_sorted(
+    df: DataFrame, order_by: Sequence[str], num_partitions: int | None
+) -> DataFrame:
+    """Phase 1: range-partition + local sort + scan-order ``__mid``,
+    pinned so later jobs see one consistent partitioning (range
+    boundaries come from a nondeterministic sample job)."""
+    cols = [F.col(c) for c in order_by]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    return (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+
+
+def _pid() -> Column:
+    return F.shiftright(F.col("__mid"), _PID_SHIFT)
 
 
 def global_rank(
@@ -53,18 +82,8 @@ def global_rank(
     docstring for the three-phase plan; cost is one range shuffle +
     one pinned materialization, vs. WindowExec's one-task funnel."""
     spark = df.sparkSession
-    cols = [F.col(c) for c in order_by]
-    if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-    pinned = (
-        df.repartitionByRange(num_partitions, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint()
-    )
-    pid = F.shiftright(F.col("__mid"), _PID_SHIFT).alias("__pid")
+    pinned = _pinned_sorted(df, order_by, num_partitions)
+    pid = _pid().alias("__pid")
     local = F.col("__mid").bitwiseAND(F.lit((1 << _PID_SHIFT) - 1))
     counts = sorted(
         (r["__pid"], r["n"])
@@ -115,3 +134,55 @@ def exact_ntile(
         else F.col("__rank")  # N < k: one row per tile, rank IS the tile
     )
     return ranked.withColumn(tile_col, tile.cast("long")).drop("__rank")
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total of ``value_col`` over the total order
+    ``order_by``, distributed — the answer of
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without
+    its single-partition WindowExec.
+
+    Phase 2 ships per-partition sums (``n_partitions`` scalars) to
+    the driver; phase 3 adds the broadcast per-partition start offset
+    to a partition-LOCAL cumulative sum (window PARTITION BY the
+    range-partition id, ORDER BY the scan-order ``__mid`` — parallel,
+    each task bounded by one range partition).
+
+    Use an integer (or DECIMAL) ``value_col`` when cross-engine
+    hash-exactness matters: float addition is non-associative, so the
+    blocked driver-side offset accumulation can differ from a
+    sequential engine's last-bit rounding."""
+    pinned = _pinned_sorted(df, order_by, num_partitions)
+    spark = df.sparkSession
+    sums = sorted(
+        (r["__pid"], r["s"])
+        for r in pinned.select(_pid().alias("__pid"), F.col(value_col))
+        .groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for p, s in sums:
+        offsets.append((p, acc))
+        acc += s
+    first_type = pinned.schema[value_col].dataType.simpleString()
+    off = F.broadcast(
+        spark.createDataFrame(offsets, f"__pid long, __off {first_type}")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pinned.withColumn("__pid", _pid())
+        .join(off, "__pid")
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w))
+        .drop("__pid", "__off", "__mid")
+    )

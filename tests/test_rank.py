@@ -62,3 +62,51 @@ def test_rank_partition_count_independent(spark):
         r["rank"] for r in global_rank(df, ["v", "id"], num_partitions=13).collect()
     )
     assert a == b == list(range(1, 2001))
+
+
+def test_prefix_sum_matches_window_cumsum(spark):
+    from hdfe_spark.operators.rank import prefix_sum
+
+    df = spark.range(0, 5000).withColumn("v", (F.col("id") * 37) % 101)
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["id"], r["c"])
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    got = {
+        (r["id"], r["cumsum"])
+        for r in prefix_sum(df, ["id"], "v", num_partitions=7).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_plan_has_no_global_window(spark):
+    """The per-partition window is fine (parallel); what must never
+    appear is a single-partition sort feeding it."""
+    from hdfe_spark.operators.rank import prefix_sum
+    from hdfe_spark.plans import explain_string
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    plan = explain_string(prefix_sum(df, ["id"], "v", num_partitions=4), "simple")
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    from hdfe_spark.operators.packing import pack_sequences
+
+    rows = [(1, 3000), (2, 3000), (3, 3000), (4, 100), (5, 9000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        (r.doc_id, r.bin, r.offset)
+        for r in pack_sequences(df, "n", ["doc_id"], 8192).collect()
+    }
+    # prefixes: 0, 3000, 6000, 9000, 9100
+    assert got == {
+        (1, 0, 0),
+        (2, 0, 3000),
+        (3, 0, 6000),
+        (4, 1, 808),
+        (5, 1, 908),
+    }
