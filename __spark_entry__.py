@@ -2329,6 +2329,130 @@ def _q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "bin", "offset")
 
 
+
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (``operators/sampling.py::weighted_sample``, Efraimidis-Spirakis
+    A-ES): 50 documents drawn with inclusion probability ∝ n_chars.
+    The Knuth-hash uniform makes the draw a pure function of the data,
+    so the DuckDB oracle reproduces the exact same sample — the
+    property that keeps training-set draws replayable across engines
+    and task retries."""
+    from hdfe_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", 50)
+    return out.select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+
+
+def _q_latest_per_key(spark, sf_dir):
+    """Version-resolution dedup (``operators/dedup.py::
+    latest_per_key``): each (user_id, event_type)'s newest event by
+    (ts, event_id) — the "keep the latest crawl of this URL" operator.
+    One hash-partitioned window, parallel across keys."""
+    from hdfe_spark.operators.dedup import latest_per_key
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts")).select(
+        "user_id", "event_type", "event_id", "value", "ts_us"
+    )
+    out = latest_per_key(ev, ["user_id", "event_type"], ["ts_us", "event_id"])
+    return out.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 6).alias("value"), "ts_us",
+    )
+
+
+def _q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy quality signal
+    (``operators/text.py::char_entropy``) — the gibberish/boilerplate
+    detector: whitespace stripped, per-doc char histogram, -Σ p·ln p.
+    Fully SQL-expressible → hash-matched."""
+    from hdfe_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).select("doc_id", "n_nonspace", "entropy")
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority flagship, adapted to the fixture's
+    columns: o_orderpriority stands in for o_shippriority): 3-table
+    join with selective dimension filters, grouped revenue, top-10.
+    Plan: customer filter broadcast into orders, the surviving
+    orderkeys join lineitem, one partial-aggregated groupBy, top-k via
+    TakeOrderedAndProject — the canonical OLAP shape at scale."""
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = _t(spark, sf_dir, "orders")
+    od = od.filter(
+        F.col("o_orderdate")
+        < F.lit("1998-06-01").cast(dict(od.dtypes)["o_orderdate"])
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast(
+            dict(li.dtypes)["l_shipdate"]
+        )
+    )
+    from hdfe_spark.sources.tables import ts_micros
+
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    )
+    out = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    out = out.withColumn("o_orderdate_us", ts_micros(out, "o_orderdate")).drop(
+        "o_orderdate"
+    )
+    return out.select(
+        "l_orderkey", "o_orderdate_us", "o_orderpriority", "revenue"
+    )
+
+
+def _q_streaming_upsert(spark, sf_dir):
+    """Streaming keyed MERGE (``streaming/ops.py::
+    streaming_upsert_sink``): the events stream foreachBatch-merges
+    into a partitioned parquet table — per batch, latest row per
+    (event_type, user_id) wins, partitions untouched by the batch are
+    never rewritten. Final table state is deterministic (last writer
+    by (ts, event_id)), so the batch arg-max SQL is its oracle — a
+    stream-to-table MERGE proven equal to the batch answer."""
+    from hdfe_spark.sources.tables import ts_micros
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_upsert_sink
+
+    d = _fresh_tmpdir("hdfe_supsert_")
+    base = f"{d}/table"
+    ev = _t(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "event_id", "value", "ts_us"]
+    ev.withColumn("ts_us", ts_micros(ev, "ts")).select(*cols).filter(
+        F.lit(False)
+    ).write.partitionBy("event_type").parquet(base)
+
+    stream = read_events_stream(spark, sf_dir)
+    s = stream.withColumn("ts_us", F.unix_micros("ts")).select(*cols)
+    q = streaming_upsert_sink(
+        s, spark, base, "user_id", "event_type",
+        ["ts_us", "event_id"], f"{d}/stage", f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(base)
+    return back.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 6).alias("value"), "ts_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2394,6 +2518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- backstop fillers --------------------------------------
         "running_total": _q_running_total,
         "pack_sequences": _q_pack_sequences,
+        "weighted_sample": _q_weighted_sample,
+        "latest_per_key": _q_latest_per_key,
+        "char_entropy": _q_char_entropy,
+        "tpch_q3": _q_tpch_q3,
+        "streaming_upsert": _q_streaming_upsert,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3568,6 +3697,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cum - n_chars) // 8192 AS BIGINT) AS bin,
                    CAST((cum - n_chars) % 8192 AS BIGINT) AS offset
             FROM c
+        """,
+        "weighted_sample": """
+            WITH k AS (
+              SELECT doc_id, n_chars,
+                     ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                        / 4294967296.0) / n_chars AS raw
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, n_chars, round(round(raw, 10), 6) AS es_key
+            FROM k
+            ORDER BY round(raw, 10) DESC, doc_id
+            LIMIT 50
+        """,
+        "latest_per_key": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, value,
+                     epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, event_id,
+                   round(value, 6) AS value, ts_us
+            FROM r WHERE rn = 1
+        """,
+        "streaming_upsert": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, value,
+                     epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, event_id,
+                   round(value, 6) AS value, ts_us
+            FROM r WHERE rn = 1
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       regexp_replace(text, '\\s', '', 'g'), '.')) AS c
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+              FROM ch GROUP BY doc_id, c
+            ), tot AS (
+              SELECT doc_id, CAST(sum(n) AS BIGINT) AS total
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT cnt.doc_id, tot.total AS n_nonspace,
+                   round(-sum((n / CAST(total AS DOUBLE))
+                              * ln(n / CAST(total AS DOUBLE))), 6)
+                     AS entropy
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY cnt.doc_id, tot.total
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source

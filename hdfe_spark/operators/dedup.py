@@ -475,3 +475,24 @@ def embedding_neardup_exact(
         .select("id_a", "id_b", pcos(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep each key's LATEST row under ``order_cols`` (descending,
+    with the caller giving a unique tiebreak) — the version-resolution
+    dedup every mutable-source ingest runs ("newest crawl of this
+    URL", "last event per user"). One hash-partitioned window keyed
+    by ``key_cols`` — parallel across keys, no global sort; skewed
+    hot keys are bounded by per-key cardinality, not corpus size."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -84,3 +84,38 @@ def split_by_hash(
         .when(_below_threshold(prefix, train + val), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows
+    — inclusion probability proportional to ``weight_col`` — via the
+    Efraimidis-Spirakis A-ES keys (IPL 2006, public): each row gets
+    ``key = ln(u) / w`` for a uniform ``u``, the k LARGEST keys win
+    (equivalent to the textbook ``u^(1/w)`` top-k, one monotone map
+    away, minus the pow).
+
+    ``u`` comes from a Knuth multiplicative hash of the id — integer
+    arithmetic any engine reproduces bit-for-bit (same portability
+    trick as ``_hash_key``; a real RNG would make the sample
+    irreproducible across engines AND across retried Spark tasks,
+    which is how silently-divergent training sets happen). Rows with
+    non-positive weight are excluded (their key is undefined).
+
+    Plan: narrow projection + ``TakeOrderedAndProject`` (per-partition
+    top-k heaps, k-row driver merge) — no global sort, no shuffle of
+    the corpus. At 100 TB this is the sampling primitive for
+    quality-weighted corpus mixing."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 32))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.ln(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(key, 10))
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -627,3 +627,42 @@ def doc_fingerprint(
         .withColumn("fingerprint", fp)
         .withColumn("n_fingerprints", F.size("fingerprint"))
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon entropy (nats) of each document's non-whitespace
+    character distribution — the classic gibberish/boilerplate signal
+    (near-0 = one repeated char, ~3+ = natural language; binary blobs
+    and base64 spam sit distinctly high). Complements the word-level
+    Gopher signals in ``repetition_stats``.
+
+    Plan: explode characters → one (doc, char) grouped count (shuffle
+    bounded by docs × alphabet after map-side combine) → per-doc
+    aggregation of ``-Σ p·ln p``. Pure JVM expressions; whitespace is
+    stripped FIRST in a codegen projection so both engines see the
+    same character set (regex '.'-extraction vs split() disagree on
+    newlines otherwise)."""
+    cleaned = F.regexp_replace(F.col(text_col), r"\s", "")
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(cleaned, "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # Per-doc totals ride a window over the ALREADY-aggregated counts
+    # (alphabet-sized per doc), not the raw characters.
+    n = F.sum("__c").over(Window.partitionBy(id_col))
+    p = F.col("__c") / n
+    return (
+        counts.withColumn("__p", p)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_nonspace"),
+            F.round(-F.sum(F.col("__p") * F.ln("__p")), 6).alias("entropy"),
+        )
+    )

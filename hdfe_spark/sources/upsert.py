@@ -71,7 +71,11 @@ def merge_upsert_partitioned(
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
-    base = spark.read.parquet(base_path).filter(
+    # Explicit schema (the update batch's) instead of inference: a
+    # freshly-bootstrapped base may hold zero data files (e.g. the
+    # first micro-batch of a streaming MERGE sink), where inference
+    # fails; with a declared schema the empty read is just 0 rows.
+    base = spark.read.schema(updates.schema).parquet(base_path).filter(
         F.col(partition_col).isin(parts)
     )
     merged = base.join(

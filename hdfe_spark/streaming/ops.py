@@ -299,3 +299,47 @@ def streaming_static_enrich(
     (``streaming_interval_join``)."""
     on = [on] if isinstance(on, str) else list(on)
     return stream.join(F.broadcast(dim), on, how)
+
+
+def streaming_upsert_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    base_path: str,
+    key: str,
+    partition_col: str,
+    order_cols: "list[str]",
+    staging_root: str,
+    checkpoint: str,
+):
+    """``foreachBatch`` keyed-MERGE sink: each micro-batch is reduced
+    to its latest row per (partition_col, key) — intra-batch
+    version resolution — then COW-merged into the partitioned parquet
+    table via ``sources/upsert.py`` (same keys-never-migrate contract;
+    here ``partition_col`` is part of the logical key, so it holds by
+    construction).
+
+    This is the streaming half of the MERGE story: the batch operator
+    gets exactly-once *table state* per micro-batch while only
+    rewriting partitions the batch touched. Restart safety comes from
+    the checkpoint: a replayed batch re-merges the same keys —
+    idempotent because merge is last-writer-wins by key."""
+    from hdfe_spark.operators.dedup import latest_per_key
+    from hdfe_spark.sources.upsert import merge_upsert_partitioned
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = latest_per_key(batch, [partition_col, key], order_cols)
+        merge_upsert_partitioned(
+            spark,
+            base_path,
+            latest,
+            key,
+            partition_col,
+            f"{staging_root}/b{batch_id}",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
