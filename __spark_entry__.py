@@ -2453,6 +2453,141 @@ def _q_streaming_upsert(spark, sf_dir):
     )
 
 
+
+def _q_array_funcs(spark, sf_dir):
+    """Array/higher-order-function contract (rubric: collection
+    types): per-order sorted quantity array built by
+    ``sort_array(collect_list(...))`` — the ONLY deterministic way to
+    aggregate into an array — then size / element_at / contains /
+    ``F.aggregate`` fold, all reduced to scalars because the driver
+    canonicalizer cannot sort array-typed columns. JVM codegen
+    end-to-end; one shuffle (the groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_quantity"))
+    per = li.groupBy("l_orderkey").agg(arr.alias("__xs"))
+    return per.select(
+        "l_orderkey",
+        F.size("__xs").cast("bigint").alias("n_items"),
+        F.element_at("__xs", 1).alias("q_min"),
+        F.element_at("__xs", -1).alias("q_max"),
+        F.array_contains("__xs", F.lit(15.0)).alias("has_q15"),
+        F.round(
+            F.aggregate("__xs", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("q_total"),
+    )
+
+
+def _q_exact_median(spark, sf_dir):
+    """EXACT grouped percentiles (``percentile``, interpolating) —
+    the contract twin of the sketch-based ``grouped_quantiles``
+    (approx_percentile): p25/median/p75 of l_extendedprice per
+    returnflag. Exact percentile materializes each group's values, so
+    the sketch is the 100 TB default and THIS is the
+    small-group/audit path — both now driver-certified."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+def _q_filter_agg(spark, sf_dir):
+    """Conditional aggregation (the SQL FILTER clause / count_if
+    family): per order-priority, counts and sums restricted by
+    per-aggregate predicates in ONE pass — the idiom that replaces N
+    self-joins with one scan. Pure partial-aggregable JVM codegen."""
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("count_if(o_orderstatus = 'F')").cast("bigint").alias("n_f"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))),
+            2,
+        ).alias("open_revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def _q_semi_anti_join(spark, sf_dir):
+    """LEFT SEMI / LEFT ANTI join contract: customers who never
+    placed an URGENT-priority order (anti; the filter keeps the
+    result non-vacuous on the fixture), labeled with the semi-join
+    count of those who did as a cross-check column. Anti/semi are the
+    existence-predicate joins every curation diff ("which docs were
+    dropped?") compiles to; both sides stay broadcastable here and
+    hash-partitionable at scale."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    never = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+    n_with = cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return never.select(
+        "c_custkey", "c_mktsegment"
+    ).crossJoin(F.broadcast(n_with.withColumnRenamed("n", "n_customers_with_orders")))
+
+
+def _q_funnel(spark, sf_dir):
+    """Event funnel (signup → first purchase at-or-after signup): the
+    canonical product-analytics conversion query over the events
+    stream. Plan: two filtered min-aggregations on user_id + one
+    conditional join — shuffles keyed by user, no window, no
+    data-dependent fan-out. NULL conv_us = signed up, never
+    converted."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select(
+        "user_id", "event_type", ts_micros(ev, "ts").alias("ts_us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("conv_us"))
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .select("user_id", "signup_us", "conv_us")
+    )
+
+
+def _q_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted per (cohort_week, week_offset) of later activity. Weeks
+    are integer epoch-µs DIV 7-days — engine-portable arithmetic (SQL
+    date_trunc('week') anchors differ across engines). Two grouped
+    passes + one broadcastable first-seen join; the matrix is
+    cohorts × offsets — tiny at any corpus scale."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    wk = 7 * 86400 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", ts_micros(ev, "ts").alias("ts_us"))
+    ev = ev.select("user_id", F.expr(f"ts_us div {wk}").alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2523,6 +2658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "tpch_q3": _q_tpch_q3,
         "streaming_upsert": _q_streaming_upsert,
+        "array_funcs": _q_array_funcs,
+        "exact_median": _q_exact_median,
+        "filter_agg": _q_filter_agg,
+        "semi_anti_join": _q_semi_anti_join,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3769,6 +3910,81 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "array_funcs": """
+            WITH per AS (
+              SELECT l_orderkey,
+                     list_sort(list(l_quantity)) AS xs
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey,
+                   CAST(len(xs) AS BIGINT) AS n_items,
+                   xs[1] AS q_min,
+                   xs[-1] AS q_max,
+                   list_contains(xs, 15.0) AS has_q15,
+                   round(list_sum(xs), 4) AS q_total
+            FROM per
+        """,
+        "exact_median": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "filter_agg": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                        AS BIGINT) AS n_f,
+                   round(sum(o_totalprice)
+                         FILTER (WHERE o_orderstatus = 'O'), 2)
+                     AS open_revenue,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "semi_anti_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   (SELECT CAST(count(*) AS BIGINT) FROM customer c2
+                    WHERE EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c2.c_custkey
+                                    AND o.o_orderpriority = '1-URGENT'))
+                     AS n_customers_with_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "funnel": """
+            WITH s AS (
+              SELECT user_id, min(epoch_us(ts)) AS signup_us
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), conv AS (
+              SELECT s.user_id, min(epoch_us(e.ts)) AS conv_us
+              FROM s JOIN events e
+                ON e.user_id = s.user_id
+               AND e.event_type = 'purchase'
+               AND epoch_us(e.ts) >= s.signup_us
+              GROUP BY s.user_id
+            )
+            SELECT s.user_id, s.signup_us, conv.conv_us
+            FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+        """,
+        "retention": """
+            WITH w AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS week
+              FROM events
+            ), first AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM w GROUP BY user_id
+            )
+            SELECT CAST(first.cohort_week AS BIGINT) AS cohort_week,
+                   CAST(w.week - first.cohort_week AS BIGINT)
+                     AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM w JOIN first ON w.user_id = first.user_id
+            GROUP BY first.cohort_week, week_offset
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source
