@@ -116,9 +116,16 @@ def asof_join(
         proxy = _order_proxy(F.col("__r").getField(f.name), f.dataType)
         if proxy is not None:
             tiebreak.append(proxy)
+    if not tiebreak:
+        # Last resort for a right side whose EVERY column is
+        # unorderable even via proxy (map nested in map values):
+        # to_json of the carried struct. Deterministic for a given
+        # stored row; two semantically-equal maps serialized with
+        # different entry order could still rank apart — documented
+        # residual, strictly better than shuffle-order nondeterminism.
+        tiebreak.append(F.to_json(F.col("__r")))
     order_keys = [F.col("__t"), F.col("__side")]
-    if tiebreak:
-        order_keys.append(F.struct(*tiebreak))
+    order_keys.append(F.struct(*tiebreak))
     w = (
         Window.partitionBy(on)
         .orderBy(*order_keys)

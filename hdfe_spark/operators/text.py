@@ -369,6 +369,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
+    min_count: int = 1,
 ) -> DataFrame:
     """Corpus-trained BIGRAM language-model quality score: mean
     −log₂ p(wᵢ | wᵢ₋₁) in bits/token under add-α smoothing — one rung
@@ -385,8 +386,12 @@ def bigram_logprob(
     then one (w₁,w₂) grouped count (the model) and one w₁ count, both
     broadcast back onto the bigram stream; per-doc aggregate closes
     the plan. At 100 TB the bigram model may exceed broadcast size —
-    prune rare bigrams (HAVING c12 ≥ k) or let the join shuffle; the
-    per-doc math is unchanged.
+    set ``min_count`` > 1 to prune rare bigrams from the model (the
+    HAVING-clause knob): pruned bigrams score as unseen, i.e. with
+    just the α mass, which only LOWERS rare-sequence scores (the
+    conservative direction for a quality filter); ``min_count=1`` is
+    the exact model the driver oracle hash-checks. Or keep the full
+    model and let the join shuffle; the per-doc math is unchanged.
     """
     arr = tokens(F.col(text_col))
     base = df.select(F.col(id_col), arr.alias("__a")).filter(
@@ -402,17 +407,23 @@ def bigram_logprob(
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
 
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    if min_count > 1:
+        model = model.filter(F.col("c12") >= min_count)
     ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = df.select(
         F.explode(tokens(F.col(text_col))).alias("t")
     ).agg(F.countDistinct("t").alias("__V"))
 
+    # LEFT join + coalesce: with min_count pruning a bigram can be
+    # absent from the model — it must score as unseen (c12 = 0), not
+    # vanish from the doc's token count. min_count=1 ⇒ every corpus
+    # bigram is present and the left join degenerates to the inner.
     logp = F.log2(
-        (F.col("c12") + F.lit(alpha))
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
         / (F.col("c1") + F.lit(alpha) * F.col("__V"))
     )
     return (
-        bg.join(F.broadcast(model), on=["w1", "w2"])
+        bg.join(F.broadcast(model), on=["w1", "w2"], how="left")
         .join(F.broadcast(ctx), on="w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
