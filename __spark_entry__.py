@@ -2588,6 +2588,91 @@ def _q_retention(spark, sf_dir):
     )
 
 
+
+def _q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the third grouping-set form beside the
+    ROLLUP and CUBE queries): per-(status,priority), per-status, and
+    grand-total rows in ONE pass with grouping_id disambiguation —
+    what a dashboard materializes instead of three scans. SQL-string
+    path, exercising the parser like ``sql_q1``."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+def _q_subqueries(spark, sf_dir):
+    """Subquery decorrelation contract: a scalar subquery (global avg
+    price), an IN subquery (urgent-order customers), and a correlated
+    EXISTS (same-nation supplier exists) in one statement — Catalyst
+    rewrites all three into joins; the hash match proves the
+    decorrelated plans keep SQL semantics. (The join-operator forms
+    are covered by ``semi_anti_join``; this is the SQL-surface path.)"""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_sq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_sq")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_sq")
+    return spark.sql("""
+        SELECT c.c_custkey,
+               round(c.c_acctbal - (SELECT avg(c_acctbal) FROM v_cust_sq), 4)
+                 AS bal_vs_avg,
+               c.c_custkey IN (SELECT o_custkey FROM v_ord_sq
+                               WHERE o_orderpriority = '1-URGENT')
+                 AS has_urgent,
+               EXISTS (SELECT 1 FROM v_supp_sq s
+                       WHERE s.s_nationkey = c.c_nationkey)
+                 AS nation_has_supplier
+        FROM v_cust_sq c
+    """)
+
+
+def _q_posexplode_lateral(spark, sf_dir):
+    """LATERAL VIEW / posexplode contract: each document's text split
+    into words WITH positions — the order-preserving flatten that
+    n-gram windows and span labeling build on. One narrow generator
+    stage, no shuffle; (doc_id, pos) is the stable row identity."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(words).alias("pos", "word"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.lower("word").alias("word"),
+        )
+    )
+
+
+def _q_window_ranks(spark, sf_dir):
+    """Rank-family window functions with tie semantics in one pass —
+    rank (gaps), dense_rank (no gaps), percent_rank and cume_dist
+    (both tie-sensitive) — per returnflag over the quantity ties of
+    lineitem. PARTITIONED windows: parallel across groups, never the
+    single-task global frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2664,6 +2749,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_anti_join,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "grouping_sets": _q_grouping_sets,
+        "subqueries": _q_subqueries,
+        "posexplode_lateral": _q_posexplode_lateral,
+        "window_ranks": _q_window_ranks,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3985,6 +4074,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM w JOIN first ON w.user_id = first.user_id
             GROUP BY first.cohort_week, week_offset
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) * 2
+                        + grouping(o_orderpriority) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+        """,
+        "subqueries": """
+            SELECT c.c_custkey,
+                   round(c.c_acctbal
+                         - (SELECT avg(c_acctbal) FROM customer), 4)
+                     AS bal_vs_avg,
+                   c.c_custkey IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderpriority = '1-URGENT')
+                     AS has_urgent,
+                   EXISTS (SELECT 1 FROM supplier s
+                           WHERE s.s_nationkey = c.c_nationkey)
+                     AS nation_has_supplier
+            FROM customer c
+        """,
+        "posexplode_lateral": """
+            SELECT doc_id,
+                   CAST(generate_subscripts(words, 1) - 1 AS BIGINT) AS pos,
+                   lower(unnest(words)) AS word
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS words
+                  FROM documents
+                  WHERE length(trim(text)) > 0)
+        """,
+        "window_ranks": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   round(percent_rank() OVER w, 6) AS prnk,
+                   round(cume_dist() OVER w, 6) AS cdist
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source
