@@ -2673,6 +2673,105 @@ def _q_window_ranks(spark, sf_dir):
     return out
 
 
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup demo (``operators/dedup.py::semdedup``): embedding
+    near-dups that share a KMeans cluster collapse to one
+    representative. KMeans isn't SQL-reproducible → rows-only; quality
+    is driver-visible via the ``semdedup_recall`` certificate."""
+    from hdfe_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb).select("vec_id", "label")
+
+
+def _q_semdedup_recall(spark, sf_dir):
+    """Recall certificate for SemDeDup: of the EXACT cosine-≥0.4 pair
+    set (the oracle recomputes it brute-force — 59 pairs at sf0.01),
+    the within-cluster candidate pass finds 29 (16 clusters on the
+    clusterless gaussian fixture), and single-link dedup keeps 472 of
+    500 vectors — all three pinned. A broken clustering, GEMM, or CC
+    step moves a count → red. The exact side reuses the O(n²) JVM
+    zip_with cosine join (fixture-sized; the certificate's whole point
+    is comparing against it)."""
+    from hdfe_spark.operators.dedup import semdedup, semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_found = semdedup_pairs(emb).count()
+    n_kept = semdedup(emb).count()
+    dot = F.aggregate(
+        F.zip_with("embedding", "eb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with("eb", "eb", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.crossJoin(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+                )
+            )
+        )
+        .filter(F.col("vec_id") < F.col("vb"))
+        .select((dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.lit(n_found).cast("bigint").alias("n_found"),
+            F.round(F.lit(n_found) / F.count(F.lit(1)), 6).alias("recall"),
+            F.lit(n_kept).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+
+def _q_snapshot_roundtrip(spark, sf_dir):
+    """Atomic-snapshot table certificate (``sources/snapshots.py``):
+    documents published as v0, an updated copy (doc_id%10==0 →
+    source='updated') published as v1, then BOTH versions read back —
+    v0 via time travel AFTER v1 landed. Hash-matching the
+    original+CASE oracle proves versions are immutable, the pointer
+    flip publishes the new state, and history stays readable — the
+    commit-protocol core of a Delta/Iceberg-style table, minus the
+    metadata engine."""
+    from hdfe_spark.sources.snapshots import publish_snapshot, read_snapshot
+
+    d = _fresh_tmpdir("hdfe_snap_")
+    root = f"{d}/docs"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    publish_snapshot(docs, root)
+    updated = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("updated")).otherwise(
+            F.col("source")
+        ),
+    )
+    publish_snapshot(updated, root)
+    v0 = read_snapshot(spark, root, version=0).withColumn(
+        "version", F.lit(0).cast("bigint")
+    )
+    v1 = read_snapshot(spark, root).withColumn(
+        "version", F.lit(1).cast("bigint")
+    )
+    return v0.unionByName(v1).select(
+        "version", "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2753,6 +2852,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subqueries": _q_subqueries,
         "posexplode_lateral": _q_posexplode_lateral,
         "window_ranks": _q_window_ranks,
+        # ------ end of the driver's 50-query window (positions 1-50 =
+        # 33 round-4 + 17 round-5 queries, all never driver-recorded).
+        # Round-5 additions past the window (rotate in round 6):
+        "semdedup_recall": _q_semdedup_recall,
+        "semdedup": _q_semdedup,
+        "snapshot_roundtrip": _q_snapshot_roundtrip,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -4115,6 +4220,31 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 6) AS cdist
             FROM lineitem
             WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+        """,
+        "semdedup_recall": """
+            WITH p AS (
+              SELECT a.vec_id
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    >= 0.4
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(29 AS BIGINT) AS n_found,
+                   round(29 / CAST(count(*) AS DOUBLE), 6) AS recall,
+                   CAST(472 AS BIGINT) AS n_kept
+            FROM p
+        """,
+        "snapshot_roundtrip": """
+            SELECT CAST(0 AS BIGINT) AS version, doc_id, lang, source,
+                   n_chars
+            FROM documents
+            UNION ALL
+            SELECT CAST(1 AS BIGINT) AS version, doc_id, lang,
+                   CASE WHEN doc_id % 10 = 0 THEN 'updated'
+                        ELSE source END AS source,
+                   n_chars
+            FROM documents
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source

@@ -368,6 +368,31 @@ def _auto_planes(threshold: float, n_tables: int, target_recall: float) -> int:
     return max(b, 1)
 
 
+def _pair_emitter(vec_col: str, id_col: str, threshold: float):
+    """Per-group GEMM pair emitter shared by the LSH-bucket and
+    SemDeDup-cluster verifiers: all pairwise cosines of one group in
+    one matrix product, only pairs ≥ threshold leave Python — bytes
+    through Arrow stay linear in group size, never quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def emit_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        ids = pdf[id_col].to_numpy()
+        C = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = C[iu, ju] >= thr
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        cos = C[iu, ju][keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    return emit_pairs
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -433,22 +458,9 @@ def embedding_neardup_pairs(
         F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
     )
 
-    thr = float(threshold)
-
-    def emit_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        ids = pdf[id_col].to_numpy()
-        C = M @ M.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = C[iu, ju] >= thr
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        cos = C[iu, ju][keep]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
-
     pairs = banded.groupBy("tbl", "bucket").applyInPandas(
-        emit_pairs, schema="id_a long, id_b long, cosine double"
+        _pair_emitter(vec_col, id_col, threshold),
+        schema="id_a long, id_b long, cosine double",
     )
     return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
@@ -496,3 +508,63 @@ def latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540,
+    public): semantic near-duplicates = pairs of embeddings above
+    ``threshold`` cosine that share a KMeans cluster. The cluster
+    assignment reuses ``similarity.ivf_index`` (the IVF coarse
+    quantizer IS SemDeDup's clustering step); within each cluster one
+    GEMM computes every pairwise cosine and only survivors leave
+    Python (same ``_pair_emitter`` as the LSH verifier).
+
+    Approximate by design: a pair split across clusters is missed —
+    that is the trade that makes it O(Σ cluster²) instead of O(n²),
+    and the ``semdedup_recall`` driver certificate pins the measured
+    recall against the exact pair set. Scale: candidate work is
+    bounded by the largest cluster; raise ``n_centroids`` to shrink
+    clusters (SemDeDup used 110k clusters for LAION)."""
+    from hdfe_spark.operators.similarity import ivf_index
+
+    assigned, _ = ivf_index(
+        df.select(id_col, vec_col), vec_col=vec_col, id_col=id_col,
+        n_centroids=n_centroids, seed=seed,
+    )
+    return (
+        assigned.groupBy("__centroid")
+        .applyInPandas(
+            _pair_emitter(vec_col, id_col, threshold),
+            schema="id_a long, id_b long, cosine double",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: drop all but one representative (min id) of every
+    within-cluster semantic-duplicate component. Composition of
+    ``semdedup_pairs`` + the exact single-link ``dedup_by_components``
+    — the embedding-space sibling of ``minhash_dedup``."""
+    from hdfe_spark.operators.graph import dedup_by_components
+
+    pairs = semdedup_pairs(
+        df, vec_col=vec_col, id_col=id_col,
+        n_centroids=n_centroids, threshold=threshold, seed=seed,
+    )
+    return dedup_by_components(df, pairs, id_col=id_col)

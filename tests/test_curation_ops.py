@@ -59,3 +59,31 @@ def test_char_entropy_known_values(spark):
     assert got[2] == (4, round(math.log(2), 6))  # two equiprobable symbols
     assert 3 not in got  # whitespace-only doc has no distribution
     assert got[4] == (4, round(math.log(4), 6))  # four equiprobable
+
+
+def test_semdedup_collapses_planted_duplicates(spark):
+    """Planted exact-duplicate vectors must collapse to min-id reps;
+    distant vectors must all survive."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(20)]
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # ids 100..104 duplicate base[0..4] exactly -> 5 pairs to collapse
+    for j in range(5):
+        rows.append((100 + j, list(base[j])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from hdfe_spark.operators.dedup import semdedup, semdedup_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semdedup_pairs(
+            df, n_centroids=4, threshold=0.999999
+        ).collect()
+    }
+    assert {(j, 100 + j) for j in range(5)} <= pairs
+    kept = {r.vec_id for r in semdedup(df, n_centroids=4, threshold=0.999999).collect()}
+    assert kept == set(range(20))  # min-id reps survive, clones drop
