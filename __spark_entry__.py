@@ -2772,6 +2772,99 @@ def _q_snapshot_roundtrip(spark, sf_dir):
     )
 
 
+
+def _q_winsorize(spark, sf_dir):
+    """Grouped winsorization (outlier clipping to the in-group
+    [p05, p95] band): EXACT percentiles per returnflag broadcast back
+    onto the stream, values clamped in a codegen projection — the
+    robust-scaling step feature pipelines run before training. The
+    sketch-based scale path is ``grouped_quantiles``; this exact form
+    is its audit twin (same trade as ``exact_median``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("__lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("__hi"),
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                F.least(F.greatest(F.col("l_extendedprice"), F.col("__lo")),
+                        F.col("__hi")),
+                2,
+            ).alias("price_w"),
+        )
+    )
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top-25 word bigrams by pointwise mutual
+    information (PMI = log2 N·c12 / (c1·c2), Church & Hanks 1990,
+    public) with a min-count support filter — the phrase-extraction
+    pass tokenizer and vocabulary builders run over a corpus. All
+    counts are integers from two grouped aggregations over the SAME
+    JVM zip_with bigram stream as ``bigram_logprob``; ordering ties
+    break on the words, so the top-k is deterministic."""
+    from hdfe_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    arr = tokens(F.col("text"))
+    base = docs.select(arr.alias("__a")).filter(F.size("__a") >= 2)
+    bg = base.select(
+        F.expr(
+            "explode(zip_with(slice(__a, 1, size(__a) - 1),"
+            " slice(__a, 2, size(__a) - 1),"
+            " (x, y) -> struct(x AS w1, y AS w2)))"
+        ).alias("__bg")
+    ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    n_total = bg.count()
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    pmi = F.log2(
+        F.lit(n_total) * F.col("c12") / (F.col("c1") * F.col("c2"))
+    )
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+def _q_rebalance_sources(spark, sf_dir):
+    """Corpus mixture rebalancing: downsample every source toward a
+    uniform mixture at HALF the smallest source's size (the halving
+    keeps the demo non-vacuous on the uniform fixture) with a
+    deterministic per-document keep decision — Knuth-hash bucket <
+    per-source quota fraction. The keep set is a pure function of the data (same
+    engine-portability contract as ``split_by_hash``), so a training
+    mixture is replayable anywhere; fractions ride a broadcast join,
+    the decision is a codegen filter."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    m = counts.agg(F.min("__n").alias("__m"))
+    frac = counts.crossJoin(F.broadcast(m)).select(
+        "source",
+        (F.floor(F.lit(32768) * F.col("__m") / F.col("__n"))).alias("__q"),
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(65536))
+    return (
+        docs.join(F.broadcast(frac), "source")
+        .filter(bucket < F.col("__q"))
+        .select("doc_id", "source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2858,6 +2951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_recall": _q_semdedup_recall,
         "semdedup": _q_semdedup,
         "snapshot_roundtrip": _q_snapshot_roundtrip,
+        "winsorize": _q_winsorize,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "rebalance_sources": _q_rebalance_sources,
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -4245,6 +4341,52 @@ def oracle_sql() -> dict[str, str]:
                         ELSE source END AS source,
                    n_chars
             FROM documents
+        """,
+        "winsorize": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   round(least(greatest(l.l_extendedprice, b.lo), b.hi), 2)
+                     AS price_w
+            FROM lineitem l JOIN b USING (l_returnflag)
+        """,
+        "pmi_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents
+            ), bg AS (
+              SELECT a[i] AS w1, a[i + 1] AS w2
+              FROM toks, unnest(range(1, len(a))) AS t(i)
+              WHERE len(a) >= 2
+            ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+            p12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+            p1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            p2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2)
+            SELECT p12.w1, p12.w2, CAST(p12.c12 AS BIGINT) AS c12,
+                   round(log2(tot.n * p12.c12
+                              / (CAST(p1.c1 AS DOUBLE) * p2.c2)), 6) AS pmi
+            FROM p12
+            JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN tot
+            WHERE p12.c12 >= 5
+            ORDER BY pmi DESC, p12.w1, p12.w2
+            LIMIT 25
+        """,
+        "rebalance_sources": """
+            WITH c AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), m AS (SELECT min(n) AS m FROM c),
+            f AS (
+              SELECT source, CAST(floor(32768.0 * m.m / c.n) AS BIGINT) AS q
+              FROM c CROSS JOIN m
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN f USING (source)
+            WHERE (d.doc_id * 2654435761) % 65536 < f.q
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source
