@@ -209,3 +209,47 @@ def test_sql_entrypoint_pushes_filter(spark, sf_dir):
     rep = plan_report(out)
     assert any("l_shipdate" in f for f in rep["pushed_filters"])
     assert rep["n_exchanges"] <= 1  # one shuffle for the final agg
+
+
+def test_tpch_q3_plan(spark, sf_dir):
+    """The OLAP flagship shape: dimension filters broadcast, no
+    sort-merge join, global top-k as per-partition heaps, filters
+    pushed to the scans."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q3"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 1
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["has_take_ordered"]
+    assert rep["n_python_stages"] == 0
+
+
+def test_weighted_sample_plan(spark, sf_dir):
+    """Weighted top-k must be a narrow projection + heap top-k: zero
+    shuffles, zero Python."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["weighted_sample"](spark, sf_dir))
+    assert rep["n_exchanges"] == 0
+    assert rep["has_take_ordered"]
+    assert rep["n_python_stages"] == 0
+
+
+def test_semi_anti_join_plan(spark, sf_dir):
+    """Existence joins against the filtered orders side must
+    broadcast, never sort-merge."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["semi_anti_join"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 2
+    assert rep["n_sortmerge_joins"] == 0
+
+
+def test_rebalance_plan_is_broadcast_filter(spark, sf_dir):
+    """The keep decision must be a broadcast-joined codegen filter on
+    the corpus scan — no corpus-sized shuffle."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["rebalance_sources"](spark, sf_dir))
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_python_stages"] == 0
