@@ -2865,6 +2865,73 @@ def _q_rebalance_sources(spark, sf_dir):
     )
 
 
+
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the six-table star join —
+    region → nation → customer/supplier → orders → lineitem with the
+    c_nationkey = s_nationkey "local" constraint — revenue per nation.
+    The canonical join-ORDERING stress: every dimension chain
+    broadcasts, the two fact tables meet in one shuffle join keyed on
+    orderkey; Catalyst + AQE pick the order. Adapted to the fixture's
+    columns (no o_shippriority etc.); one year of orders."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    od = od.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(
+            dict(od.dtypes)["o_orderdate"]))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(
+            dict(od.dtypes)["o_orderdate"]))
+    )
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def _q_join_nulls(spark, sf_dir):
+    """Outer-join NULL-key semantics contract in one row: SQL equality
+    never matches NULL keys (inner drops them, full outer keeps them
+    UNMATCHED on both sides), while the null-safe operator (<=> /
+    IS NOT DISTINCT FROM) matches NULL to NULL. Key = NULLIF(doc_id %
+    7, 0) over documents self-joined — ~1/7 of keys go NULL."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("NULLIF(doc_id % 7, 0)").alias("k")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    n_inner = a.join(b, F.col("a.k") == F.col("b.k")).count()
+    n_nullsafe = a.join(b, F.col("a.k").eqNullSafe(F.col("b.k"))).count()
+    n_full = (
+        a.join(b.withColumnRenamed("doc_id", "doc_b"),
+               F.col("a.k") == F.col("b.k"), "full_outer").count()
+    )
+    return spark.createDataFrame(
+        [(n_inner, n_nullsafe, n_full)],
+        "n_inner long, n_nullsafe long, n_full_outer long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -2952,6 +3019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "snapshot_roundtrip": _q_snapshot_roundtrip,
         "winsorize": _q_winsorize,
+        "tpch_q5": _q_tpch_q5,
+        "join_nulls": _q_join_nulls,
         "pmi_bigrams": _q_pmi_bigrams,
         "rebalance_sources": _q_rebalance_sources,
         "tfidf_topk": _q_tfidf_topk,
@@ -4387,6 +4456,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE (d.doc_id * 2654435761) % 65536 < f.q
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "join_nulls": """
+            WITH d AS (
+              SELECT doc_id, NULLIF(doc_id % 7, 0) AS k FROM documents
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM d a JOIN d b
+                 ON a.k = b.k) AS n_inner,
+              (SELECT CAST(count(*) AS BIGINT) FROM d a JOIN d b
+                 ON a.k IS NOT DISTINCT FROM b.k) AS n_nullsafe,
+              (SELECT CAST(count(*) AS BIGINT) FROM d a
+                 FULL OUTER JOIN d b ON a.k = b.k) AS n_full_outer
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source
