@@ -253,3 +253,13 @@ def test_rebalance_plan_is_broadcast_filter(spark, sf_dir):
     rep = plan_report(em.queries()["rebalance_sources"](spark, sf_dir))
     assert rep["n_sortmerge_joins"] == 0
     assert rep["n_python_stages"] == 0
+
+
+def test_tpch_q5_plan(spark, sf_dir):
+    """Six-table star: all four dimension chains broadcast; the only
+    shuffle join is fact-fact; no Python."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q5"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 4
+    assert rep["n_python_stages"] == 0
