@@ -2932,6 +2932,47 @@ def _q_join_nulls(spark, sf_dir):
     )
 
 
+
+def _q_string_funcs(spark, sf_dir):
+    """String-function contract breadth beyond ``scalar_funcs``:
+    pad/translate/reverse/repeat/position/split_part in one codegen
+    projection over customer names — every one with a DuckDB twin, so
+    the hash match certifies cross-engine string semantics (1-based
+    positions, empty-pattern edges)."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.lpad("c_name", 25, ".").alias("s_lpad"),
+        F.rpad("c_name", 25, "-").alias("s_rpad"),
+        F.translate("c_name", "aeiou", "AEIOU").alias("s_trans"),
+        F.reverse(F.col("c_name")).alias("s_rev"),
+        F.repeat(F.substring("c_name", 1, 2), 3).alias("s_rep"),
+        F.instr(F.col("c_name"), "0").cast("bigint").alias("s_pos"),
+        F.expr("split_part(c_name, '#', 2)").alias("s_part"),
+    )
+
+
+def _q_date_parts(spark, sf_dir):
+    """Date-part extraction contract: year/quarter/month/day/hour plus
+    the day-of-week and day-of-year alignments that differ across
+    engines (Spark ``dayofweek`` is 1=Sunday..7; DuckDB ``dow`` is
+    0=Sunday..6 — the oracle aligns with +1). Pure codegen
+    projection."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    od = _t(spark, sf_dir, "orders")
+    ts = F.timestamp_micros(ts_micros(od, "o_orderdate"))
+    return od.select(
+        "o_orderkey",
+        F.year(ts).cast("bigint").alias("y"),
+        F.quarter(ts).cast("bigint").alias("q"),
+        F.month(ts).cast("bigint").alias("m"),
+        F.dayofmonth(ts).cast("bigint").alias("d"),
+        F.dayofweek(ts).cast("bigint").alias("dow1"),
+        F.dayofyear(ts).cast("bigint").alias("doy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
@@ -3021,6 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         "tpch_q5": _q_tpch_q5,
         "join_nulls": _q_join_nulls,
+        "string_funcs": _q_string_funcs,
+        "date_parts": _q_date_parts,
         "pmi_bigrams": _q_pmi_bigrams,
         "rebalance_sources": _q_rebalance_sources,
         "tfidf_topk": _q_tfidf_topk,
@@ -4485,6 +4528,27 @@ def oracle_sql() -> dict[str, str]:
                  ON a.k IS NOT DISTINCT FROM b.k) AS n_nullsafe,
               (SELECT CAST(count(*) AS BIGINT) FROM d a
                  FULL OUTER JOIN d b ON a.k = b.k) AS n_full_outer
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   lpad(c_name, 25, '.') AS s_lpad,
+                   rpad(c_name, 25, '-') AS s_rpad,
+                   translate(c_name, 'aeiou', 'AEIOU') AS s_trans,
+                   reverse(c_name) AS s_rev,
+                   repeat(substring(c_name, 1, 2), 3) AS s_rep,
+                   CAST(strpos(c_name, '0') AS BIGINT) AS s_pos,
+                   split_part(c_name, '#', 2) AS s_part
+            FROM customer
+        """,
+        "date_parts": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(day(o_orderdate) AS BIGINT) AS d,
+                   CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+                   CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+            FROM orders
         """,
         "exact_dedup": """
             SELECT d.doc_id, d.lang, d.source
