@@ -1612,11 +1612,22 @@ def _q_decimal_agg(spark, sf_dir):
     prices cast to DECIMAL(18,4), summed exactly — no float rounding —
     with both engines' differing intermediate precisions pinned to a
     common DECIMAL(38,4) result type (the round-2 lesson: the
-    correctness gate is dtype-strict)."""
+    correctness gate is dtype-strict).
+
+    The exact sum is rendered as its canonical DECIMAL(38,4) STRING
+    ('1061400897.6700'): Spark collects DECIMAL columns as
+    ``decimal.Decimal`` while DuckDB's pandas bridge degrades
+    DECIMAL(38,4) to float64, so equal values repr-hash differently
+    on the wire (the round-5 red). Both engines render the identical
+    string; the integer-cent exactness property is untouched — only
+    the wire type changes."""
     li = _t(spark, sf_dir, "lineitem")
     dec = F.col("l_extendedprice").cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(dec).cast("decimal(38,4)").alias("sum_price_exact"),
+        F.sum(dec)
+        .cast("decimal(38,4)")
+        .cast("string")
+        .alias("sum_price_exact"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
 
@@ -3582,8 +3593,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decimal_agg": """
             SELECT l_returnflag,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
-                        AS DECIMAL(38,4)) AS sum_price_exact,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                             AS DECIMAL(38,4)) AS VARCHAR)
+                     AS sum_price_exact,
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY l_returnflag

@@ -37,12 +37,20 @@ def _num_kind(v) -> str | None:
     bigint) and ``5.0`` (DuckDB DECIMAL(38,0) -> pandas float64) hash
     differently even though Python ``==`` says they're equal.  Treat
     int-vs-float as a mismatch here so the local gate predicts the driver.
+
+    ``decimal.Decimal`` is its own kind: Spark collects DECIMAL columns
+    as ``Decimal('1061400897.6700')`` while DuckDB's pandas bridge
+    degrades DECIMAL(38,4) to float64 ``1061400897.67`` — numerically
+    equal, repr-hash different (the round-5 ``decimal_agg`` red, which
+    the old float-classing masked). Decimal-vs-float must FAIL here.
     """
     if isinstance(v, (bool, np.bool_)):
         return "b"
     if isinstance(v, (int, np.integer)):
         return "i"
-    if isinstance(v, (float, np.floating, decimal.Decimal)):
+    if isinstance(v, decimal.Decimal):
+        return "d"
+    if isinstance(v, (float, np.floating)):
         return "f"
     return None
 
@@ -54,6 +62,10 @@ def values_equal(a, b) -> bool:
     if ka is not None or kb is not None:
         if ka != kb:
             return False  # dtype-strict: 5 != 5.0 for hashing purposes
+        if ka == "d":
+            # Decimals hash by repr: same value at a different scale
+            # (Decimal('1.5') vs Decimal('1.50')) is a driver mismatch.
+            return str(a) == str(b)
         if ka == "f":
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
