@@ -2868,7 +2868,13 @@ def _q_rebalance_sources(spark, sf_dir):
         "source",
         (F.floor(F.lit(32768) * F.col("__m") / F.col("__n"))).alias("__q"),
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(65536))
+    # id reduced mod 2^31 before the multiply: keeps the Knuth-hash
+    # product inside int64 on every engine (Spark wraps silently,
+    # DuckDB raises) — the portability contract for large ids.
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(65536),
+    )
     return (
         docs.join(F.broadcast(frac), "source")
         .filter(bucket < F.col("__q"))
@@ -3692,7 +3698,7 @@ def oracle_sql() -> dict[str, str]:
                      substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                             1, 16) AS s
               FROM documents),
-            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 2),
+            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 1),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
               FROM f a JOIN f b ON a.doc_id < b.doc_id
@@ -3740,7 +3746,7 @@ def oracle_sql() -> dict[str, str]:
                      substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                             1, 16) AS s
               FROM documents),
-            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 2)
+            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 1)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.s, b.s) AS BIGINT) AS distance
             FROM f a JOIN f b ON a.doc_id < b.doc_id
@@ -4256,7 +4262,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": """
             WITH k AS (
               SELECT doc_id, n_chars,
-                     ln(((doc_id * 2654435761) % 4294967296 + 0.5)
+                     ln((((doc_id % 2147483648) * 2654435761)
+                         % 4294967296 + 0.5)
                         / 4294967296.0) / n_chars AS raw
               FROM documents WHERE n_chars > 0
             )
@@ -4510,7 +4517,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
-            WHERE (d.doc_id * 2654435761) % 65536 < f.q
+            WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
         """,
         "tpch_q5": """
             SELECT n_name,

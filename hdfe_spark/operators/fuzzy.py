@@ -17,12 +17,23 @@ pigeonhole, by cases on the shorter string's length m:
   the suffix, in particular the last two characters, unchanged as a
   *substring value* (an insertion/deletion before them only shifts
   their position): same last-bigram block.
-- **m < 4** (regions overlap, bigram proof fails — e.g. a middle-char
-  edit in a 3-char string changes both bigrams): both strings are
-  then ≤ 4 chars long (|len difference| ≤ 1) and BOTH also emit
-  single first/last-char blocks, for which the original pigeonhole
-  proof holds. Strings longer than 4 never emit char blocks, so the
-  fallback population stays tiny.
+- **2 ≤ m < 4** (regions overlap, bigram proof fails — e.g. a
+  middle-char edit in a 3-char string changes both bigrams): both
+  strings are then ≤ 4 chars long (|len difference| ≤ 1) and BOTH
+  also emit single first/last-char blocks, for which the original
+  pigeonhole proof holds (it needs m ≥ 2: one edit misses the first
+  char or the last char). Strings longer than 4 never emit char
+  blocks, so the fallback population stays tiny.
+- **m = 1** (no char-pigeonhole either: 'a' vs 'b' differ in every
+  gram): the partner's length is ≤ 2, and every string of length
+  ≤ ``max_distance``+1 additionally emits a gram-less length-band
+  block ``GL{L+dl}``, so the pair collides on ``GL{longer_len}``.
+  Only near-empty strings pay this (the GL block holds all length
+  ≤ 2 strings — a constant-sized population for document prefixes).
+
+Empty normalized prefixes (length 0) are excluded by contract — an
+empty string is within distance 1 of EVERY single character, which is
+noise, not a near-duplicate signal.
 
 The length band rides inside the key: a string of length L emits each
 gram under lengths ``L .. L+max_distance``, so two strings within
@@ -54,6 +65,7 @@ def _block_keys(max_distance: int):
     first1 = F.substring("__s", 1, 1)
     last1 = F.col("__s").substr(F.col("__len"), F.lit(1))
     short = F.col("__len") <= 4
+    tiny = F.col("__len") <= max_distance + 1
     keys = []
     for dl in range(max_distance + 1):
         lenk = (F.col("__len") + dl).cast("string")
@@ -62,6 +74,10 @@ def _block_keys(max_distance: int):
             F.concat(F.lit("LB"), lenk, F.lit(":"), last2),
             F.when(short, F.concat(F.lit("FC"), lenk, F.lit(":"), first1)),
             F.when(short, F.concat(F.lit("LC"), lenk, F.lit(":"), last1)),
+            # gram-less length-band block: closes the m=1 pigeonhole
+            # hole (module docstring) at the cost of one tiny block
+            # per length <= max_distance+1.
+            F.when(tiny, F.concat(F.lit("GL"), lenk)),
         ]
     return F.array_compact(F.array(*keys))
 
@@ -86,7 +102,7 @@ def fuzzy_pairs(
         F.col(id_col).alias("__id"),
         norm.alias("__s"),
         F.length(norm).alias("__len"),
-    ).filter(F.col("__len") >= 2)
+    ).filter(F.col("__len") >= 1)
 
     blocked = keyed.select(
         "__id",

@@ -44,6 +44,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _PID_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | row
 
@@ -77,10 +78,15 @@ def global_rank(
     rank_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add an exact 1-based dense global ``rank_col`` under the total
-    order ``order_by`` without a single-partition sort. See module
-    docstring for the three-phase plan; cost is one range shuffle +
-    one pinned materialization, vs. WindowExec's one-task funnel."""
+    """Add an exact 1-based global ``rank_col`` with ``row_number``
+    semantics (offset + local position) under the REQUIRED total
+    order ``order_by`` — it equals ``rank``/``dense_rank`` only
+    because the order is total (no ties); with a tied ordering the
+    result is neither dense_rank nor deterministic, which is why the
+    module contract demands a unique tiebreak column. Computed
+    without a single-partition sort: see module docstring for the
+    three-phase plan; cost is one range shuffle + one pinned
+    materialization, vs. WindowExec's one-task funnel."""
     spark = df.sparkSession
     pinned = _pinned_sorted(df, order_by, num_partitions)
     pid = _pid().alias("__pid")
@@ -142,6 +148,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cumsum",
     num_partitions: int | None = None,
+    allow_float: bool = False,
 ) -> DataFrame:
     """Exact running total of ``value_col`` over the total order
     ``order_by``, distributed — the answer of
@@ -157,9 +164,42 @@ def prefix_sum(
     Use an integer (or DECIMAL) ``value_col`` when cross-engine
     hash-exactness matters: float addition is non-associative, so the
     blocked driver-side offset accumulation can differ from a
-    sequential engine's last-bit rounding."""
+    sequential engine's last-bit rounding. Float/double value columns
+    therefore RAISE unless ``allow_float=True`` (mirroring the bloom
+    key-dtype guard): a silently-inexact running total is how
+    hash-verified pipelines drift.
+
+    The broadcast offset table is typed as Spark's OWN sum result
+    type (long for any integral input, scale-preserving widened
+    decimal for DecimalType), NOT ``value_col``'s type: cumulative
+    offsets of an int32 column exceed int32 range once the corpus
+    total passes 2^31 — exactly the overflow `pack_sequences` would
+    inherit at 100 TB token counts."""
     pinned = _pinned_sorted(df, order_by, num_partitions)
     spark = df.sparkSession
+    vtype = pinned.schema[value_col].dataType
+    if isinstance(vtype, (T.FloatType, T.DoubleType)):
+        if not allow_float:
+            raise ValueError(
+                f"prefix_sum: value_col {value_col!r} is "
+                f"{vtype.simpleString()}; float addition is "
+                "non-associative so the distributed running total is "
+                "not bit-exact. Use an integer/decimal column (cents, "
+                "micros) or pass allow_float=True to accept last-bit "
+                "drift."
+            )
+        off_type = "double"
+    elif isinstance(vtype, T.DecimalType):
+        # Spark's sum() widens DECIMAL(p,s) -> DECIMAL(min(38,p+10),s).
+        off_type = f"decimal({min(38, vtype.precision + 10)},{vtype.scale})"
+    elif isinstance(
+        vtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        off_type = "long"
+    else:
+        raise ValueError(
+            f"prefix_sum: unsupported value_col type {vtype.simpleString()}"
+        )
     sums = sorted(
         (r["__pid"], r["s"])
         for r in pinned.select(_pid().alias("__pid"), F.col(value_col))
@@ -167,13 +207,20 @@ def prefix_sum(
         .agg(F.sum(value_col).alias("s"))
         .collect()
     )
-    offsets, acc = [], 0
+    if isinstance(vtype, T.DecimalType):
+        import decimal
+
+        acc = decimal.Decimal(0)
+    elif off_type == "double":
+        acc = 0.0
+    else:
+        acc = 0
+    offsets = []
     for p, s in sums:
         offsets.append((p, acc))
-        acc += s
-    first_type = pinned.schema[value_col].dataType.simpleString()
+        acc += s if s is not None else 0
     off = F.broadcast(
-        spark.createDataFrame(offsets, f"__pid long, __off {first_type}")
+        spark.createDataFrame(offsets, f"__pid long, __off {off_type}")
     )
     w = (
         Window.partitionBy("__pid")

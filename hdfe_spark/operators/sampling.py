@@ -103,14 +103,22 @@ def weighted_sample(
     arithmetic any engine reproduces bit-for-bit (same portability
     trick as ``_hash_key``; a real RNG would make the sample
     irreproducible across engines AND across retried Spark tasks,
-    which is how silently-divergent training sets happen). Rows with
+    which is how silently-divergent training sets happen). The id is
+    reduced mod 2^31 BEFORE the multiply so the product stays inside
+    int64 on every engine (a raw ``id * 2654435761`` wraps silently
+    in Spark's non-ANSI mode for ids above ~3.5e9 while DuckDB raises
+    on the overflow — the bit-for-bit claim would be false exactly
+    where it matters). Requires a numeric id column. Rows with
     non-positive weight are excluded (their key is undefined).
 
     Plan: narrow projection + ``TakeOrderedAndProject`` (per-partition
     top-k heaps, k-row driver merge) — no global sort, no shuffle of
     the corpus. At 100 TB this is the sampling primitive for
     quality-weighted corpus mixing."""
-    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(1 << 32))
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
     key = F.ln(u) / F.col(weight_col)
     return (

@@ -71,10 +71,43 @@ def merge_upsert_partitioned(
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
-    # Explicit schema (the update batch's) instead of inference: a
-    # freshly-bootstrapped base may hold zero data files (e.g. the
-    # first micro-batch of a streaming MERGE sink), where inference
-    # fails; with a declared schema the empty read is just 0 rows.
+    # The declared-schema read (updates.schema) exists ONLY for the
+    # zero-file bootstrap (e.g. the first micro-batch of a streaming
+    # MERGE sink), where inference fails and the empty read is just
+    # 0 rows. For a NON-empty base, reading with updates.schema would
+    # silently reshape drifted data — base-only columns dropped,
+    # updates-only columns read as NULL — and then REWRITE the touched
+    # partitions in that projected shape: silent data loss where the
+    # old inference path failed loudly. So when the base has data
+    # files, compare the inferred schema against the batch's and
+    # refuse on drift.
+    try:
+        inferred = spark.read.parquet(base_path).schema
+    except Exception:
+        inferred = None  # zero-file bootstrap: nothing to drift from
+    if inferred is not None:
+        # The partition column's inferred type comes from parsing
+        # directory names (p=10 -> int even when written from a long
+        # column), so it is compared by NAME only; data columns are
+        # dtype-strict.
+        base_fields = sorted(
+            (f.name, None if f.name == partition_col else f.dataType)
+            for f in inferred.fields
+        )
+        upd_fields = sorted(
+            (f.name, None if f.name == partition_col else f.dataType)
+            for f in updates.schema.fields
+        )
+        if base_fields != upd_fields:
+            raise ValueError(
+                "merge_upsert_partitioned: update batch schema does not "
+                f"match the existing base at {base_path!r}.\n"
+                f"  base:    {base_fields}\n  updates: {upd_fields}\n"
+                "A COW merge would rewrite touched partitions in the "
+                "batch's shape (dropping base-only columns, nulling "
+                "updates-only columns). Migrate the base explicitly "
+                "first."
+            )
     base = spark.read.schema(updates.schema).parquet(base_path).filter(
         F.col(partition_col).isin(parts)
     )

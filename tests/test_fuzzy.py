@@ -36,7 +36,7 @@ def test_fuzzy_pairs_equals_brute_force_on_fixture(spark, sf_dir):
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 16
     )
     k = docs.select(F.col("doc_id").alias("id"), norm.alias("s")).filter(
-        F.length("s") >= 2
+        F.length("s") >= 1
     )
     a, b = k.alias("a"), k.alias("b")
     want = {
@@ -75,3 +75,29 @@ def test_fuzzy_blocking_skew_drops_vs_single_char(spark, sf_dir):
     )
     assert new_max < old_max  # strictly smaller hottest block
     assert new_max <= max(0.2 * n, 50)  # no block holds a fifth of the corpus
+
+
+def test_fuzzy_pairs_length_one_strings(spark):
+    """The m=1 pigeonhole hole (round-5 ADVICE): two length-1 strings
+    at distance 1 differ in EVERY gram block, and a (1,2)-length pair
+    can too. The gram-less GL length-band block must catch both."""
+    rows = [
+        (1, "a"),
+        (2, "b"),      # d('a','b') = 1: every gram differs
+        (3, "ab"),     # d('a','ab') = 1
+        (4, "xb"),     # d('b','xb') = 1 (prepend)
+        (5, "zzzz"),   # unrelated, longer
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, max_distance=1, prefix_len=16).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 4), (3, 4)} <= got
+    assert all(5 not in p for p in got)
+    # empty strings stay excluded by contract
+    df2 = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, " ")], "doc_id long, text string"
+    )
+    got2 = fuzzy_pairs(df2, max_distance=1, prefix_len=16).collect()
+    assert got2 == []

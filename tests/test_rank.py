@@ -110,3 +110,69 @@ def test_pack_sequences_bins_and_offsets(spark):
         (4, 1, 808),
         (5, 1, 908),
     }
+
+
+def test_prefix_sum_raises_on_float_value_col(spark):
+    """Float addition is non-associative: the distributed blocked sum
+    is not bit-exact, so hash-verified pipelines must not use it
+    silently (same guard pattern as bloom's key-dtype raise)."""
+    import pytest
+
+    from hdfe_spark.operators.rank import prefix_sum
+
+    df = spark.range(0, 100).withColumn(
+        "v", (F.col("id") % 7).cast("double")
+    )
+    with pytest.raises(ValueError, match="non-associative"):
+        prefix_sum(df, ["id"], "v", num_partitions=4)
+    # Opt-in still works and matches the window answer on this
+    # exactly-representable fixture.
+    got = {
+        (r["id"], r["cumsum"])
+        for r in prefix_sum(
+            df, ["id"], "v", num_partitions=4, allow_float=True
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        (r["id"], r["c"])
+        for r in df.select("id", F.sum("v").over(w).alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_int32_offsets_are_long(spark):
+    """The broadcast offset table must carry Spark's sum result type
+    (long), not value_col's own int32 — cumulative offsets of an int
+    column overflow int32 once the corpus total passes 2^31. Values
+    near int32-max make any narrow-typed offset path blow up."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    big = 2_000_000_000  # 3 rows -> offsets up to 4e9 > int32 max
+    df = spark.range(0, 3).withColumn("v", F.lit(big).cast("int"))
+    out = prefix_sum(df, ["id"], "v", num_partitions=3)
+    assert dict(out.dtypes)["cumsum"] == "bigint"
+    got = sorted(r["cumsum"] for r in out.collect())
+    assert got == [big, 2 * big, 3 * big]
+
+
+def test_prefix_sum_decimal_value_col_exact(spark):
+    """DecimalType path: offsets widen to Spark's sum result type
+    decimal(p+10, s); the running total stays exact."""
+    import decimal
+
+    from hdfe_spark.operators.rank import prefix_sum
+
+    df = spark.range(0, 50).withColumn(
+        "v", (F.col("id") % 9).cast("decimal(10,2)")
+    )
+    out = prefix_sum(df, ["id"], "v", num_partitions=5)
+    rows = sorted(
+        ((r["id"], r["cumsum"]) for r in out.collect())
+    )
+    acc = decimal.Decimal(0)
+    for i, (rid, c) in enumerate(rows):
+        acc += i % 9
+        assert rid == i and c == acc

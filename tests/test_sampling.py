@@ -57,3 +57,27 @@ def test_split_by_hash_full_coverage_at_boundary(spark):
     }
     assert got[40691] in ("train", "val")  # not stranded in test
     assert all(v in ("train", "val") for v in got.values())
+
+
+def test_knuth_hash_portable_for_large_ids(spark):
+    """Round-5 ADVICE: raw id*2654435761 wraps int64 silently in
+    Spark (non-ANSI) above ~3.5e9 while DuckDB raises — the
+    'any engine reproduces bit-for-bit' claim must hold for REAL
+    corpus ids (snowflake ids are ~1e18). The mod-2^31 pre-reduction
+    keeps the product in int64 on both engines."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    ids = [0, 1, 7, 2**31 - 1, 2**31, 5_000_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    h = F.pmod(
+        F.pmod(F.col("id"), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
+    got = {r["id"]: r["h"] for r in df.select("id", h.alias("h")).collect()}
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(
+            f"SELECT (({i} % 2147483648) * 2654435761) % 4294967296"
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)

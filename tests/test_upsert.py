@@ -51,3 +51,37 @@ def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
     }
     # p3 was never rewritten: same physical files
     assert sorted(glob.glob(f"{base_p}/part=p3/*.parquet")) == before_p3
+
+
+def test_partitioned_merge_raises_on_schema_drift(spark, tmp_path):
+    """Round-5 ADVICE: the declared-schema read must not silently
+    reshape a drifted non-empty base (base-only columns dropped,
+    updates-only columns nulled, then rewritten). Drift -> raise."""
+    import pytest
+
+    from hdfe_spark.sources.upsert import merge_upsert_partitioned
+
+    base_path = str(tmp_path / "base")
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(
+        [(1, 10, "x", 1.0)], "id long, p long, extra string, v double"
+    ).write.partitionBy("p").parquet(base_path)
+
+    drifted = spark.createDataFrame(
+        [(1, 10, 2.0)], "id long, p long, v double"  # 'extra' missing
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        merge_upsert_partitioned(
+            spark, base_path, drifted, key="id",
+            partition_col="p", staging_path=staging,
+        )
+    # matching schema still works
+    ok = spark.createDataFrame(
+        [(1, 10, "y", 2.0)], "id long, p long, extra string, v double"
+    )
+    merge_upsert_partitioned(
+        spark, base_path, ok, key="id", partition_col="p",
+        staging_path=staging,
+    )
+    rows = spark.read.parquet(base_path).collect()
+    assert len(rows) == 1 and rows[0]["extra"] == "y"
