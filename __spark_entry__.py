@@ -2927,6 +2927,60 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): the HAVING-subquery
+    semi-join topology — a grouped aggregate over the fact table
+    (sum(l_quantity) per orderkey, HAVING > 300) feeds an IN filter
+    back onto the same fact's orders. The one join shape the registry
+    didn't exercise before round 6: group-agg → LEFT SEMI, with the
+    aggregated inner BROADCAST (it is count(distinct qualifying
+    orderkeys) rows — tiny at any scale because the HAVING is
+    selective by construction), so the big fact-fact join never
+    shuffles on the subquery side. Plan-asserted broadcast in
+    ``tests/test_plans.py``. Deterministic top-100 via the
+    (totalprice desc, orderdate, orderkey) total order;
+    TakeOrderedAndProject, no global sort."""
+    from hdfe_spark.sources.tables import ts_micros
+
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    j = (
+        od.join(
+            F.broadcast(big), od.o_orderkey == F.col("__bigkey"), "left_semi"
+        )
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    )
+    out = (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), "o_orderkey"
+        )
+        .limit(100)
+    )
+    out = out.withColumn("o_orderdate_us", ts_micros(out, "o_orderdate")).drop(
+        "o_orderdate"
+    )
+    return out.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate_us",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "sum_qty",
+    )
+
+
 def _q_join_nulls(spark, sf_dir):
     """Outer-join NULL-key semantics contract in one row: SQL equality
     never matches NULL keys (inner drops them, full outer keeps them
@@ -3078,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_roundtrip": _q_snapshot_roundtrip,
         "winsorize": _q_winsorize,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q18": _q_tpch_q18,
         "join_nulls": _q_join_nulls,
         "string_funcs": _q_string_funcs,
         "date_parts": _q_date_parts,
@@ -4535,6 +4590,22 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
         """,
         "join_nulls": """
             WITH d AS (

@@ -263,3 +263,18 @@ def test_tpch_q5_plan(spark, sf_dir):
     rep = plan_report(em.queries()["tpch_q5"](spark, sf_dir))
     assert rep["n_broadcast_joins"] >= 4
     assert rep["n_python_stages"] == 0
+
+
+def test_tpch_q18_plan(spark, sf_dir):
+    """The HAVING-subquery semi-join (group-agg feeding an IN
+    filter): the aggregated inner must BROADCAST into a left-semi
+    join — never a shuffled join on the subquery side — and the
+    deterministic top-100 must be per-partition heaps, not a global
+    sort. Customer dimension also broadcasts; no Python anywhere."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q18"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 2  # semi-join inner + customer
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["has_take_ordered"]
+    assert rep["n_python_stages"] == 0
