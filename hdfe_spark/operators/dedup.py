@@ -370,9 +370,18 @@ def _auto_planes(threshold: float, n_tables: int, target_recall: float) -> int:
 
 def _pair_emitter(vec_col: str, id_col: str, threshold: float):
     """Per-group GEMM pair emitter shared by the LSH-bucket and
-    SemDeDup-cluster verifiers: all pairwise cosines of one group in
-    one matrix product, only pairs ≥ threshold leave Python — bytes
-    through Arrow stay linear in group size, never quadratic."""
+    SemDeDup-cluster verifiers: pairwise cosines of one group via
+    row-BLOCKED matrix products, only pairs ≥ threshold leave Python
+    — bytes through Arrow stay linear in group size, never quadratic.
+
+    Blocked, not one ``M @ M.T``: a skewed clustering can hand this
+    one 50k-vector group, where the full cosine matrix is 50k² × 8 B
+    = 20 GB (plus 10 GB of triu index arrays) in a single Python
+    worker — the round-6 stress reproduced exactly that blow-up.
+    Each block computes ``(B, n)`` cosines (B sized to ~160 MB),
+    masks the upper triangle arithmetically, and appends survivors;
+    peak memory is O(B·n) while the emitted pairs are bit-identical
+    to the unblocked form (same float64 dot products)."""
     import numpy as np
     import pandas as pd
 
@@ -382,11 +391,28 @@ def _pair_emitter(vec_col: str, id_col: str, threshold: float):
         M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         ids = pdf[id_col].to_numpy()
-        C = M @ M.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = C[iu, ju] >= thr
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        cos = C[iu, ju][keep]
+        n = len(ids)
+        block = max(1, 20_000_000 // max(n, 1))  # ~160 MB of float64
+        cols = np.arange(n)[None, :]
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            C = M[s:e] @ M.T  # (e-s, n)
+            keep = (C >= thr) & (cols > np.arange(s, e)[:, None])
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj])
+                out_c.append(C[ii, jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64),
+                 "cosine": np.array([], dtype=np.float64)}
+            )
+        ia = np.concatenate(out_a)
+        ib = np.concatenate(out_b)
+        cos = np.concatenate(out_c)
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 

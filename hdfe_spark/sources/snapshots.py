@@ -30,6 +30,7 @@ module deliberately omits.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,25 +48,78 @@ def current_version(table_root: str) -> int | None:
         return None
 
 
+def _flip_pointer(table_root: str, version: int) -> bool:
+    """Monotonic pointer flip: publish ``version`` only if it is
+    newer than the current pointer; returns whether the pointer
+    moved. The read-compare-rename is serialized by a short-lived
+    ``O_EXCL`` lockfile — the local-filesystem stand-in for an object
+    store's conditional put (S3 If-Match / GCS generation precondition,
+    which is how Delta serializes ``_delta_log`` commits). Without the
+    compare, a SLOW writer that claimed version N before a fast writer
+    claimed N+1 could land its rename LAST and regress the pointer to
+    N — both versions complete, but "latest" going backwards breaks
+    every incremental consumer. A holder that crashes mid-flip leaves
+    a lockfile that is reclaimed after a 10 s staleness window."""
+    lock = _latest_path(table_root) + ".lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > 10:
+                    os.unlink(lock)
+            except FileNotFoundError:
+                pass
+            time.sleep(0.005)
+    try:
+        prev = current_version(table_root)
+        if prev is not None and prev >= version:
+            return False
+        tmp = _latest_path(table_root) + f".tmp.{version}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.rename(tmp, _latest_path(table_root))  # the atomic commit
+        return True
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
 def publish_snapshot(df: DataFrame, table_root: str) -> int:
     """Write ``df`` as the next full snapshot and atomically publish
     it. Returns the new version number. The data write happens
     entirely BEFORE the pointer flip; concurrent readers keep seeing
-    the previous version until the rename lands."""
-    # Next version = one past anything on disk, published or orphaned
-    # (a crashed writer's dir is skipped, never reused — data dirs are
-    # immutable), and never behind the published pointer.
-    prev = current_version(table_root)
-    on_disk = snapshot_versions(table_root)
-    version = max(
-        [-1 if prev is None else prev] + on_disk
-    ) + 1
-    data_dir = os.path.join(table_root, f"v{version}")
-    df.write.mode("error").parquet(data_dir)  # immutable: never overwrite
-    tmp = _latest_path(table_root) + f".tmp.{version}"
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.rename(tmp, _latest_path(table_root))  # the atomic commit
+    the previous version until the rename lands.
+
+    Safe under CONCURRENT publishers (round-6 stress): the version
+    number is CLAIMED with an atomic ``os.mkdir`` before any data is
+    written — two racing writers that compute the same next version
+    cannot both own the directory (Spark's own ``mode('error')``
+    existence check is check-then-write and DID race in the stress:
+    both writers passed the check and interleaved their files in one
+    ``v0/``). The loser recomputes against the now-visible claim and
+    takes the next number; the pointer flip is monotonic
+    (``_flip_pointer``), so a slow earlier-claimed version can never
+    regress "latest" after a newer version has published."""
+    os.makedirs(table_root, exist_ok=True)
+    while True:
+        # Next version = one past anything on disk, published or
+        # orphaned (a crashed writer's dir is skipped, never reused —
+        # data dirs are immutable), and never behind the pointer.
+        prev = current_version(table_root)
+        on_disk = snapshot_versions(table_root)
+        version = max([-1 if prev is None else prev] + on_disk) + 1
+        data_dir = os.path.join(table_root, f"v{version}")
+        try:
+            os.mkdir(data_dir)  # atomic claim: one winner per version
+            break
+        except FileExistsError:
+            continue  # lost the race; recompute against the new claim
+    # The dir is OURS (just created empty): overwrite mode only
+    # replaces our own empty claim, never a published version.
+    df.write.mode("overwrite").parquet(data_dir)
+    _flip_pointer(table_root, version)
     return version
 
 

@@ -46,3 +46,49 @@ def test_unpublished_write_is_invisible(spark, tmp_path):
 def test_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "none"))
+
+
+def test_concurrent_publishers_never_share_a_version(spark, tmp_path):
+    """Round-6 stress finding, pinned: Spark's mode('error') existence
+    check is check-then-write and races — two writers computing the
+    same next version both passed it and interleaved their files in
+    one v0/. The mkdir claim makes version ownership atomic: every
+    committed version holds exactly one writer's complete data."""
+    import threading
+
+    root = str(tmp_path / "t")
+    published = {}
+    lock = threading.Lock()
+
+    def writer(marker):
+        for _ in range(4):
+            df = spark.range(0, 200).selectExpr("id", f"{marker} AS w")
+            v = publish_snapshot(df, root)
+            with lock:
+                assert v not in published, f"version {v} claimed twice"
+                published[v] = marker
+
+    ts = [threading.Thread(target=writer, args=(m,)) for m in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(published) == 8
+    assert sorted(published) == list(range(8))  # dense chain, no gaps
+    for v, marker in published.items():
+        got = read_snapshot(spark, root, v)
+        assert got.count() == 200
+        assert [r[0] for r in got.select("w").distinct().collect()] == [marker]
+
+
+def test_pointer_flip_is_monotonic(spark, tmp_path):
+    """A slow writer whose version was claimed earlier must not
+    regress _LATEST after a newer version published."""
+    from hdfe_spark.sources.snapshots import _flip_pointer
+
+    root = str(tmp_path / "t")
+    publish_snapshot(spark.range(0, 10), root)   # v0
+    publish_snapshot(spark.range(0, 20), root)   # v1 -> latest
+    assert current_version(root) == 1
+    assert _flip_pointer(root, 0) is False       # stale flip refused
+    assert current_version(root) == 1
