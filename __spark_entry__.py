@@ -3046,98 +3046,63 @@ def _q_date_parts(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
-    CORRECTNESS window (rounds 3 and 4 each recorded exactly the first
+    CORRECTNESS window (rounds 3-5 each recorded exactly the first
     50 dict entries — SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-5 ROTATION (this file's third curation pass):
+    ROUND-6 ROTATION (this file's fourth curation pass):
 
-    - positions 1-33: the 33 round-4-built queries that have never had
-      a driver row (zorder_layout ... unpivot_long) — all hash-green
-      under the dtype-strict local gate (`tools/check_oracle.py`) and
-      25/33 independently re-verified by the round-4 judge; this
-      window slot converts them to driver-recorded.
-    - positions 34-50: round-5-new queries first (inserted here as
-      they are built), then r03-driver-green siblings as backstop
-      filler (tfidf_topk ... repetition_stats) — each already has a
-      green CORRECTNESS_r03.json row, so re-recording them wastes
-      nothing if fewer than 17 new queries land.
-    - positions 51+: (a) the full round-3/round-4 driver-green backlog
-      (CORRECTNESS_r03.json + CORRECTNESS_r04.json have their rows) —
-      every one still gated locally each session; (b) the
-      rows-only-by-design demos whose correctness is carried by an
-      in-window-or-recorded certificate (`fingerprint`,
-      `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
-      `embedding_neardup_lsh`, `ivf_topk`, `pq_topk`, `ivfpq_topk`,
-      `fingerprint_neardup`).
+    - position 1: `decimal_agg` — round 5's only red, fixed this
+      round (string-rendered DECIMAL sums on both engines); stays in
+      the window so round 6 records the green row.
+    - positions 2-13: the 12 round-5-built queries that have never
+      had a driver row — `semdedup_recall` … `rebalance_sources`
+      plus the `semdedup`/`pq_topk`/`ivfpq_topk` rows-only demos
+      (their exactness certificates `semdedup_recall`/`pq_recall`/
+      `ivfpq_recall` are hash-matched; the demos themselves get the
+      weaker rows-only driver check BY DESIGN).
+    - position 14: `tpch_q18`, new this round (HAVING-subquery
+      semi-join flagship).
+    - positions 15-22: queries whose CODE PATHS changed this round
+      and therefore need re-certification even though their round-4/5
+      rows were green: fuzzy blocking (len-1 exactness), the upsert
+      drift guard, the blocked pair emitter is not among them (its
+      certificates sit in 2-13), the Knuth-hash overflow fix, and the
+      prefix_sum offset typing.
+    - positions 23-50: r03-driver-green backstop rows (oldest
+      evidence first) — re-recording them costs nothing and refreshes
+      certificates that predate two rotations.
+    - positions 51+: the round-4/round-5 driver-green backlog and the
+      remaining rows-only-by-design demos, all still gated locally
+      every round (`tools/check_oracle.py`).
     """
     return {
-        # -- window 1-33: round-4-built, first driver check this round --
-        "zorder_layout": _q_zorder_layout,
-        "chunk_docs": _q_chunk_docs,
-        "key_skew": _q_key_skew,
-        "approx_quantiles": _q_approx_quantiles,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "bloom_join": _q_bloom_join,
-        "range_join": _q_range_join,
-        "upsert_roundtrip": _q_upsert_roundtrip,
-        "pq_recall": _q_pq_recall,
-        "salted_join": _q_salted_join,
-        "multimodal_resize": _q_multimodal_resize,
-        "streaming_enrich": _q_streaming_enrich,
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "sql_q1": _q_sql_q1,
-        "rolling_window": _q_rolling_window,
-        "cube_agg": _q_cube_agg,
-        "json_roundtrip": _q_json_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "feature_hash": _q_feature_hash,
-        "ivfpq_recall": _q_ivfpq_recall,
-        "bigram_logprob": _q_bigram_logprob,
-        "resample": _q_resample,
-        "group_ols": _q_group_ols,
-        "equidepth_hist": _q_equidepth_hist,
-        "null_semantics": _q_null_semantics,
+        # -- position 1: the round-5 red, fixed --
         "decimal_agg": _q_decimal_agg,
-        "interval_arith": _q_interval_arith,
-        "histogram": _q_histogram,
-        "corr_matrix": _q_corr_matrix,
-        "pivot_wide": _q_pivot_wide,
-        "unpivot_long": _q_unpivot_long,
-        # -- window 34-50: round-5 insertions first, then r03-green ---
-        # -- backstop fillers --------------------------------------
-        "running_total": _q_running_total,
-        "pack_sequences": _q_pack_sequences,
-        "weighted_sample": _q_weighted_sample,
-        "latest_per_key": _q_latest_per_key,
-        "char_entropy": _q_char_entropy,
-        "tpch_q3": _q_tpch_q3,
-        "streaming_upsert": _q_streaming_upsert,
-        "array_funcs": _q_array_funcs,
-        "exact_median": _q_exact_median,
-        "filter_agg": _q_filter_agg,
-        "semi_anti_join": _q_semi_anti_join,
-        "funnel": _q_funnel,
-        "retention": _q_retention,
-        "grouping_sets": _q_grouping_sets,
-        "subqueries": _q_subqueries,
-        "posexplode_lateral": _q_posexplode_lateral,
-        "window_ranks": _q_window_ranks,
-        # ------ end of the driver's 50-query window (positions 1-50 =
-        # 33 round-4 + 17 round-5 queries, all never driver-recorded).
-        # Round-5 additions past the window (rotate in round 6):
+        # -- 2-13: round-5-built, first driver record this round --
         "semdedup_recall": _q_semdedup_recall,
         "semdedup": _q_semdedup,
         "snapshot_roundtrip": _q_snapshot_roundtrip,
         "winsorize": _q_winsorize,
         "tpch_q5": _q_tpch_q5,
-        "tpch_q18": _q_tpch_q18,
         "join_nulls": _q_join_nulls,
         "string_funcs": _q_string_funcs,
         "date_parts": _q_date_parts,
         "pmi_bigrams": _q_pmi_bigrams,
         "rebalance_sources": _q_rebalance_sources,
+        "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
+        # -- 14: new this round --
+        "tpch_q18": _q_tpch_q18,
+        # -- 15-22: code paths changed in round 6; re-certify --
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "upsert_roundtrip": _q_upsert_roundtrip,
+        "streaming_upsert": _q_streaming_upsert,
+        "weighted_sample": _q_weighted_sample,
+        "running_total": _q_running_total,
+        "pack_sequences": _q_pack_sequences,
+        "compact_roundtrip": _q_compact_roundtrip,
+        # -- 23-50: r03-green backstop (oldest driver evidence) --
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3155,8 +3120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "line_dedup": _q_line_dedup,
         "repetition_stats": _q_repetition_stats,
-        # ---------------- end of the driver's 50-query window --------
-        # driver-green backlog (rows in CORRECTNESS_r03/r04.json):
         "sessionize": _q_sessionize,
         "pipeline_curate": _q_pipeline_curate,
         "asof_join": _q_asof_join,
@@ -3168,6 +3131,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
+        # ------ end of the driver's 50-query window ------------------
+        # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
+        "zorder_layout": _q_zorder_layout,
+        "chunk_docs": _q_chunk_docs,
+        "key_skew": _q_key_skew,
+        "approx_quantiles": _q_approx_quantiles,
+        "bloom_join": _q_bloom_join,
+        "range_join": _q_range_join,
+        "pq_recall": _q_pq_recall,
+        "salted_join": _q_salted_join,
+        "multimodal_resize": _q_multimodal_resize,
+        "streaming_enrich": _q_streaming_enrich,
+        "sql_q1": _q_sql_q1,
+        "rolling_window": _q_rolling_window,
+        "cube_agg": _q_cube_agg,
+        "json_roundtrip": _q_json_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "feature_hash": _q_feature_hash,
+        "ivfpq_recall": _q_ivfpq_recall,
+        "bigram_logprob": _q_bigram_logprob,
+        "resample": _q_resample,
+        "group_ols": _q_group_ols,
+        "equidepth_hist": _q_equidepth_hist,
+        "null_semantics": _q_null_semantics,
+        "interval_arith": _q_interval_arith,
+        "histogram": _q_histogram,
+        "corr_matrix": _q_corr_matrix,
+        "pivot_wide": _q_pivot_wide,
+        "unpivot_long": _q_unpivot_long,
+        "latest_per_key": _q_latest_per_key,
+        "char_entropy": _q_char_entropy,
+        "tpch_q3": _q_tpch_q3,
+        "array_funcs": _q_array_funcs,
+        "exact_median": _q_exact_median,
+        "filter_agg": _q_filter_agg,
+        "semi_anti_join": _q_semi_anti_join,
+        "funnel": _q_funnel,
+        "retention": _q_retention,
+        "grouping_sets": _q_grouping_sets,
+        "subqueries": _q_subqueries,
+        "posexplode_lateral": _q_posexplode_lateral,
+        "window_ranks": _q_window_ranks,
         "grouped_quantiles": _q_grouped_quantiles,
         "set_ops": _q_set_ops,
         "scalar_funcs": _q_scalar_funcs,
@@ -3214,8 +3220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
-        "pq_topk": _q_pq_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
         "fingerprint_neardup": _q_fingerprint_neardup,
     }
 

@@ -1,27 +1,48 @@
 """Driver-contract registry invariants: the correctness window (first
 ~50 dict entries — the only ones the driver records) must stay
-hash-matchable and deliberately composed. Guards against an accidental
-reorder or a rows-only query drifting into a recorded slot."""
+deliberately composed. Guards against an accidental reorder or a
+rows-only query drifting unannounced into a recorded slot."""
 
 import __spark_entry__ as em
 
+# The only window entries WITHOUT an oracle, each by design and each
+# carried by an in-window hash-matched certificate: `semdedup` by
+# `semdedup_recall`, `pq_topk` by `pq_recall` (driver-green r5),
+# `ivfpq_topk` by `ivfpq_recall` (driver-green r5). The round-6
+# window records their rows-only driver rows on purpose (VERDICT r5
+# missing-item 1).
+ROWS_ONLY_BY_DESIGN = {"semdedup", "pq_topk", "ivfpq_topk"}
 
-def test_window_all_have_oracles():
+
+def test_window_all_have_oracles_or_are_declared():
     q = list(em.queries())
     oracles = em.oracle_sql()
-    missing = [k for k in q[:50] if k not in oracles]
+    missing = [
+        k for k in q[:50] if k not in oracles and k not in ROWS_ONLY_BY_DESIGN
+    ]
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round5_window_composition():
-    """Positions 1-50 are exactly the round-4 + round-5 never-recorded
-    sets (SURVEY 2.5). If this fails after an intentional round-6
-    rotation, update the expectation alongside the docstring."""
+def test_round6_window_composition():
+    """Positions 1-50: the fixed decimal_agg first, then the 12
+    round-5-built never-driver-recorded queries, tpch_q18, the 8
+    queries whose code paths changed in round 6, and r03-green
+    backstop. If this fails after an intentional round-7 rotation,
+    update the expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    r4 = q[:33]
-    r5 = q[33:50]
-    assert r4[0] == "zorder_layout" and r4[-1] == "unpivot_long"
-    assert r5[0] == "running_total" and r5[-1] == "window_ranks"
+    assert q[0] == "decimal_agg"
+    assert set(q[1:13]) == {
+        "semdedup_recall", "semdedup", "snapshot_roundtrip", "winsorize",
+        "tpch_q5", "join_nulls", "string_funcs", "date_parts",
+        "pmi_bigrams", "rebalance_sources", "pq_topk", "ivfpq_topk",
+    }
+    assert q[13] == "tpch_q18"
+    assert set(q[14:22]) == {
+        "fuzzy_pairs", "fuzzy_dedup", "upsert_roundtrip",
+        "streaming_upsert", "weighted_sample", "running_total",
+        "pack_sequences", "compact_roundtrip",
+    }
+    assert q[22] == "tfidf_topk" and q[49] == "rollup_agg"
     assert len(set(q)) == len(q)
 
 
@@ -33,3 +54,9 @@ def test_every_query_has_callable():
 def test_oracles_are_nonempty_sql():
     for name, sql in em.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_oracle_keys_are_registry_queries():
+    q = set(em.queries())
+    extra = [k for k in em.oracle_sql() if k not in q]
+    assert extra == [], f"oracles without a query: {extra}"
