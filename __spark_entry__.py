@@ -2811,6 +2811,67 @@ def _q_winsorize(spark, sf_dir):
     )
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Inverted-index build (the search-side counterpart of the
+    text-analysis family): token → sorted posting list of the docs
+    containing it. Phase 1 computes document frequency per token
+    (explode → distinct → agg, all map-side-combinable JVM); phase 2
+    picks the 5 RAREST tokens under a total order (df asc, token asc
+    — deterministic on any engine) and broadcast-semi-joins them back
+    to fetch postings, so the corpus-sized posting shuffle happens
+    only for the selected vocabulary slice. ``sort_array`` pins the
+    posting order for the cross-engine hash. At 100 TB the same plan
+    builds the full index by writing phase 2 partitioned by token
+    bucket instead of limiting to 5."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.split(F.lower(F.col("text")), r"\s+"), "")
+        ).alias("token"),
+    ).distinct()
+    df_counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    rare = df_counts.orderBy(F.col("df").asc(), F.col("token").asc()).limit(5)
+    return (
+        tok.join(F.broadcast(rare), "token")
+        .groupBy("token", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+
+
+def _q_label_centroids(spark, sf_dir):
+    """Distributed vector mean-pooling (the centroid/embedding-agg
+    primitive under IVF training, SemDeDup clustering, and class
+    prototypes): mean embedding per label, computed as posexplode →
+    groupBy(label, dim) → avg. The row inflation (n×64) looks
+    expensive but the aggregation keys collapse to
+    |labels|×dim = 640 groups, so map-side partial aggregation
+    reduces each task's output to 640 rows before the shuffle — the
+    shape that scales to 100 TB of embeddings, with zero Python.
+    Output long form (label, dim, value): array columns with float
+    averages would hash-diverge on element order, long form rounds
+    per scalar."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("bigint").alias("dim"),
+            "centroid_v",
+            "n_vecs",
+        )
+    )
+
+
 def _q_pmi_bigrams(spark, sf_dir):
     """Collocation mining: top-25 word bigrams by pointwise mutual
     information (PMI = log2 N·c12 / (c1·c2), Church & Hanks 1990,
@@ -3132,6 +3193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
         # ------ end of the driver's 50-query window ------------------
+        # Late round-6 additions (first in line for the round-7
+        # rotation; locally hash-gated):
+        "inverted_index": _q_inverted_index,
+        "label_centroids": _q_label_centroids,
         # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,
@@ -4594,6 +4659,30 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS token
+              FROM documents),
+            d AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tok GROUP BY token),
+            rare AS (SELECT token, df FROM d
+                     ORDER BY df ASC, token ASC LIMIT 5)
+            SELECT r.token, r.df,
+                   list_sort(list(t.doc_id)) AS postings
+            FROM rare r JOIN tok t USING (token)
+            GROUP BY r.token, r.df
+        """,
+        "label_centroids": """
+            SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6)
+                     AS centroid_v,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY label, i
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey,

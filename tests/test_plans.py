@@ -278,3 +278,26 @@ def test_tpch_q18_plan(spark, sf_dir):
     assert rep["n_sortmerge_joins"] == 0
     assert rep["has_take_ordered"]
     assert rep["n_python_stages"] == 0
+
+
+def test_inverted_index_plan(spark, sf_dir):
+    """Posting fetch must broadcast the 5-token vocabulary slice back
+    onto the exploded corpus — no sort-merge join, no Python; the
+    rare-token selection is a heap top-k."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["inverted_index"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 1
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_python_stages"] == 0
+
+
+def test_label_centroids_plan(spark, sf_dir):
+    """Vector mean-pooling: the n x 64 posexplode inflation must
+    collapse via map-side partial aggregation to 640 groups before
+    the single shuffle; pure JVM end to end."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["label_centroids"](spark, sf_dir))
+    assert rep["n_exchanges"] <= 1
+    assert rep["n_python_stages"] == 0
