@@ -2784,6 +2784,68 @@ def _q_snapshot_roundtrip(spark, sf_dir):
 
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Incremental CDC read between two published snapshot versions
+    (``sources/snapshots.py::snapshot_diff``): v0 = documents with
+    doc_id < 400, v1 = documents with doc_id >= 50 and source
+    rewritten for doc_id % 7 == 0 — so the keyed full-outer diff must
+    classify exactly three populations: deletes (doc_id < 50),
+    inserts (doc_id >= 400), and updates (the % 7 rewrites in the
+    overlap). The oracle reconstructs both versions logically and
+    takes the same three-way set difference, so a hash match proves
+    the change classification, not just row counts."""
+    from hdfe_spark.sources.snapshots import publish_snapshot, snapshot_diff
+
+    d = _fresh_tmpdir("hdfe_snapdiff_")
+    root = f"{d}/docs"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    publish_snapshot(docs.filter(F.col("doc_id") < 400), root)
+    publish_snapshot(
+        docs.filter(F.col("doc_id") >= 50).withColumn(
+            "source",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("updated")).otherwise(
+                F.col("source")
+            ),
+        ),
+        root,
+    )
+    return snapshot_diff(spark, root, 0, 1, key_cols=["doc_id"])
+
+
+def _q_scd2_intervals(spark, sf_dir):
+    """SCD Type 2 validity intervals from the event stream
+    (``operators/scd.py``): per user, each observed event_type is
+    valid from its timestamp until the user's next DIFFERENT
+    event_type (consecutive duplicates collapsed — the canonical SCD2
+    compaction), the last state left open (valid_to NULL). The
+    point-in-time-correct dimension build behind leak-free feature
+    joins. One partitioned window shuffle; timestamps ride as bigint
+    epoch-µs on both engines (the fixture-proof event-time contract,
+    ``sources/tables.ts_micros``)."""
+    from hdfe_spark.operators.scd import scd2_intervals
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_micros(ev, "ts")).select(
+        "user_id", "event_type", "t_us", "event_id"
+    )
+    return scd2_intervals(
+        ev,
+        key_cols=["user_id"],
+        order_col="t_us",
+        state_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+        collapse_unchanged=True,
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+    )
+
+
 def _q_winsorize(spark, sf_dir):
     """Grouped winsorization (outlier clipping to the in-group
     [p05, p95] band): EXACT percentiles per returnflag broadcast back
@@ -3197,6 +3259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation; locally hash-gated):
         "inverted_index": _q_inverted_index,
         "label_centroids": _q_label_centroids,
+        "snapshot_diff": _q_snapshot_diff,
+        "scd2_intervals": _q_scd2_intervals,
         # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,
@@ -4659,6 +4723,46 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "snapshot_diff": """
+            WITH v0 AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE doc_id < 400),
+            v1 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 7 = 0 THEN 'updated'
+                          ELSE source END AS source,
+                     n_chars
+              FROM documents WHERE doc_id >= 50)
+            SELECT 'delete' AS change, doc_id, lang, source, n_chars
+            FROM v0 WHERE doc_id NOT IN (SELECT doc_id FROM v1)
+            UNION ALL
+            SELECT 'insert', doc_id, lang, source, n_chars
+            FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM v0)
+            UNION ALL
+            SELECT 'update', v1.doc_id, v1.lang, v1.source, v1.n_chars
+            FROM v1 JOIN v0 USING (doc_id)
+            WHERE v1.lang IS DISTINCT FROM v0.lang
+               OR v1.source IS DISTINCT FROM v0.source
+               OR v1.n_chars IS DISTINCT FROM v0.n_chars
+        """,
+        "scd2_intervals": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+              FROM events),
+            c AS (
+              SELECT *,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY t, event_id) AS prev
+              FROM e),
+            k AS (
+              SELECT user_id, event_type, t, event_id FROM c
+              WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type,
+                   t AS valid_from_us,
+                   lead(t) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS valid_to_us
+            FROM k
         """,
         "inverted_index": """
             WITH tok AS (

@@ -92,3 +92,53 @@ def test_pointer_flip_is_monotonic(spark, tmp_path):
     assert current_version(root) == 1
     assert _flip_pointer(root, 0) is False       # stale flip refused
     assert current_version(root) == 1
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from hdfe_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, s string, v long",
+    )
+    publish_snapshot(v0, root)
+    v1 = spark.createDataFrame(
+        [(2, "b", 20), (3, "C", 30), (4, "d", 40)],  # 1 gone, 3 changed, 4 new
+        "id long, s string, v long",
+    )
+    publish_snapshot(v1, root)
+    got = {
+        (r["change"], r["id"], r["s"], r["v"])
+        for r in snapshot_diff(spark, root, 0, 1, ["id"]).collect()
+    }
+    assert got == {
+        ("delete", 1, "a", 10),   # old values for deletes
+        ("update", 3, "C", 30),   # new values for updates
+        ("insert", 4, "d", 40),
+    }
+
+
+def test_snapshot_diff_null_safe_and_schema_guard(spark, tmp_path):
+    import pytest
+
+    from hdfe_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "t")
+    publish_snapshot(
+        spark.createDataFrame([(1, None), (2, "x")], "id long, s string"), root
+    )
+    publish_snapshot(
+        spark.createDataFrame([(1, None), (2, None)], "id long, s string"), root
+    )
+    got = {
+        (r["change"], r["id"])
+        for r in snapshot_diff(spark, root, 0, 1, ["id"]).collect()
+    }
+    # NULL == NULL for change detection (null-safe): id 1 unchanged.
+    assert got == {("update", 2)}
+    publish_snapshot(
+        spark.createDataFrame([(1, 5)], "id long, other long"), root
+    )
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(spark, root, 1, 2, ["id"])
