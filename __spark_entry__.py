@@ -2465,6 +2465,44 @@ def _q_streaming_upsert(spark, sf_dir):
 
 
 
+def _q_streaming_snapshot(spark, sf_dir):
+    """Streaming snapshot publisher (``streaming/ops.py::
+    streaming_snapshot_sink``): the events stream foreachBatch-folds
+    into running latest-per-(user, event_type) state and publishes
+    each batch's full state as a new immutable snapshot version —
+    the streaming capstone of the commit protocol (readers always see
+    a complete version; time travel = state as of batch N). The
+    FINAL published version must equal the batch arg-max answer, so
+    the `streaming_upsert` oracle shape proves the whole
+    stream→fold→publish chain; version count ≥ 1 is additionally
+    asserted by reading through the pointer, not a dir listing."""
+    from hdfe_spark.sources.snapshots import read_snapshot
+    from hdfe_spark.sources.tables import ts_micros
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_snapshot_sink,
+    )
+
+    d = _fresh_tmpdir("hdfe_ssnap_")
+    root = f"{d}/table"
+    stream = read_events_stream(spark, sf_dir)
+    s = stream.withColumn("ts_us", F.unix_micros("ts")).select(
+        "user_id", "event_type", "event_id", "value", "ts_us"
+    )
+    q = streaming_snapshot_sink(
+        s, spark, root,
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts_us", "event_id"],
+        checkpoint=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    final = read_snapshot(spark, root)  # resolves via the _LATEST pointer
+    return final.select(
+        "user_id", "event_type", "event_id",
+        F.round("value", 6).alias("value"), "ts_us",
+    )
+
+
 def _q_array_funcs(spark, sf_dir):
     """Array/higher-order-function contract (rubric: collection
     types): per-order sorted quantity array built by
@@ -3261,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _q_label_centroids,
         "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2_intervals,
+        "streaming_snapshot": _q_streaming_snapshot,
         # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,
@@ -4723,6 +4762,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "streaming_snapshot": """
+            WITH r AS (
+              SELECT user_id, event_type, event_id, value,
+                     epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_type, event_id,
+                   round(value, 6) AS value, ts_us
+            FROM r WHERE rn = 1
         """,
         "snapshot_diff": """
             WITH v0 AS (

@@ -343,3 +343,57 @@ def streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_snapshot_sink(
+    stream: DataFrame,
+    spark: SparkSession,
+    table_root: str,
+    key_cols: "list[str]",
+    order_cols: "list[str]",
+    checkpoint: str,
+):
+    """``foreachBatch`` snapshot publisher: each micro-batch folds
+    into the running keyed state (latest row per ``key_cols`` across
+    everything seen so far) and publishes the WHOLE state as a new
+    immutable snapshot version (``sources/snapshots.py``). The
+    streaming capstone of the commit protocol: readers always see a
+    complete consistent corpus version (never a half-applied batch),
+    and time travel gives "the state as of micro-batch N" — the
+    reproducible-training-corpus story with a stream feeding it.
+
+    State carry is PREVIOUS-VERSION + batch → latest-per-key →
+    publish: the previous snapshot is itself the checkpointed state,
+    so the sink needs no Spark state store, and a REPLAYED batch
+    (restart between publish and checkpoint commit) republished onto
+    a state that already contains it is idempotent in content —
+    last-writer-wins by ``order_cols`` reduces to the same rows; only
+    the version number advances (orphan-equivalent, still correct).
+
+    Scale: each publish rewrites the full state (full-snapshot
+    layout); for 100 TB state the same sink shape swaps
+    ``publish_snapshot`` for the partitioned MERGE
+    (``streaming_upsert_sink``) plus a manifest commit — content
+    protocol identical, bytes proportional to the delta."""
+    from hdfe_spark.operators.dedup import latest_per_key
+    from hdfe_spark.sources.snapshots import (
+        current_version,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    def publish_batch(batch: DataFrame, batch_id: int) -> None:
+        cur = current_version(table_root)
+        merged = batch
+        if cur is not None:
+            prev = read_snapshot(spark, table_root, cur)
+            merged = prev.unionByName(batch.select(*prev.columns))
+        state = latest_per_key(merged, key_cols, order_cols)
+        publish_snapshot(state, table_root)
+
+    return (
+        stream.writeStream.foreachBatch(publish_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
