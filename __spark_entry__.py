@@ -3229,12 +3229,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       drift guard, the blocked pair emitter is not among them (its
       certificates sit in 2-13), the Knuth-hash overflow fix, and the
       prefix_sum offset typing.
-    - positions 23-50: r03-driver-green backstop rows (oldest
+    - positions 23-27: the five operators BUILT in round 6
+      (`inverted_index`, `label_centroids`, `snapshot_diff`,
+      `scd2_intervals`, `streaming_snapshot`) — recorded in their
+      build round instead of queueing a round like the round-5 batch
+      had to.
+    - positions 28-50: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 51+: the round-4/round-5 driver-green backlog and the
-      remaining rows-only-by-design demos, all still gated locally
-      every round (`tools/check_oracle.py`).
+    - positions 51+: the rest of the r03 backstop, the round-4/5
+      driver-green backlog, and the remaining rows-only-by-design
+      demos, all still gated locally every round
+      (`tools/check_oracle.py`).
     """
     return {
         # -- position 1: the round-5 red, fixed --
@@ -3263,7 +3269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": _q_running_total,
         "pack_sequences": _q_pack_sequences,
         "compact_roundtrip": _q_compact_roundtrip,
-        # -- 23-50: r03-green backstop (oldest driver evidence) --
+        # -- 23-27: round-6 new operators (never driver-recorded) --
+        "inverted_index": _q_inverted_index,
+        "label_centroids": _q_label_centroids,
+        "snapshot_diff": _q_snapshot_diff,
+        "scd2_intervals": _q_scd2_intervals,
+        "streaming_snapshot": _q_streaming_snapshot,
+        # -- 28-50: r03-green backstop (oldest driver evidence) --
         "tfidf_topk": _q_tfidf_topk,
         "cosine_topk": _q_cosine_topk,
         "grouped_agg_salted": _q_grouped_agg_salted,
@@ -3293,13 +3305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
         # ------ end of the driver's 50-query window ------------------
-        # Late round-6 additions (first in line for the round-7
-        # rotation; locally hash-gated):
-        "inverted_index": _q_inverted_index,
-        "label_centroids": _q_label_centroids,
-        "snapshot_diff": _q_snapshot_diff,
-        "scd2_intervals": _q_scd2_intervals,
-        "streaming_snapshot": _q_streaming_snapshot,
+        # (join_agg_topk .. rollup_agg directly above spilled past 50
+        # when the round-6 operators went in-window; all five hold
+        # green CORRECTNESS_r03 rows, so nothing is lost.)
         # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,

@@ -26,9 +26,10 @@ def test_window_all_have_oracles_or_are_declared():
 def test_round6_window_composition():
     """Positions 1-50: the fixed decimal_agg first, then the 12
     round-5-built never-driver-recorded queries, tpch_q18, the 8
-    queries whose code paths changed in round 6, and r03-green
-    backstop. If this fails after an intentional round-7 rotation,
-    update the expectation alongside the `queries()` docstring."""
+    queries whose code paths changed in round 6, the 5 round-6-new
+    operators, and r03-green backstop. If this fails after an
+    intentional round-7 rotation, update the expectation alongside
+    the `queries()` docstring."""
     q = list(em.queries())
     assert q[0] == "decimal_agg"
     assert set(q[1:13]) == {
@@ -42,7 +43,11 @@ def test_round6_window_composition():
         "streaming_upsert", "weighted_sample", "running_total",
         "pack_sequences", "compact_roundtrip",
     }
-    assert q[22] == "tfidf_topk" and q[49] == "rollup_agg"
+    assert set(q[22:27]) == {
+        "inverted_index", "label_centroids", "snapshot_diff",
+        "scd2_intervals", "streaming_snapshot",
+    }
+    assert q[27] == "tfidf_topk" and q[49] == "hash_split"
     assert len(set(q)) == len(q)
 
 
