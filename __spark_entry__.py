@@ -2884,6 +2884,40 @@ def _q_scd2_intervals(spark, sf_dir):
     )
 
 
+def _q_snapshot_diff_apply(spark, sf_dir):
+    """CDC roundtrip certificate: the same two versions as
+    ``snapshot_diff``, but the query returns
+    ``apply_diff(v0, snapshot_diff(v0, v1))`` and the ORACLE is v1's
+    logical definition — a hash match proves diff∘apply reconstructs
+    the target version bit-for-bit, i.e. the diff is a faithful
+    incremental transport (what a downstream consumer needs before
+    trusting incremental reads over full refreshes)."""
+    from hdfe_spark.sources.snapshots import (
+        apply_diff,
+        publish_snapshot,
+        read_snapshot,
+        snapshot_diff,
+    )
+
+    d = _fresh_tmpdir("hdfe_snapapply_")
+    root = f"{d}/docs"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    publish_snapshot(docs.filter(F.col("doc_id") < 400), root)
+    publish_snapshot(
+        docs.filter(F.col("doc_id") >= 50).withColumn(
+            "source",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("updated")).otherwise(
+                F.col("source")
+            ),
+        ),
+        root,
+    )
+    diff = snapshot_diff(spark, root, 0, 1, key_cols=["doc_id"])
+    return apply_diff(read_snapshot(spark, root, 0), diff, ["doc_id"])
+
+
 def _q_winsorize(spark, sf_dir):
     """Grouped winsorization (outlier clipping to the in-group
     [p05, p95] band): EXACT percentiles per returnflag broadcast back
@@ -3142,6 +3176,60 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    fixture's columns (no receipt/commit dates: "late" =
+    l_shipdate > 1998-09-01): the CORRELATED-EXISTS topology — for
+    each late line item of a finished order, EXISTS another supplier
+    in the same order AND NOT EXISTS another LATE supplier in the
+    same order. Decorrelated the way Catalyst wants it: the two
+    subqueries become a LEFT SEMI and a LEFT ANTI self-join of
+    lineitem on orderkey (hash-join on the equi key, the suppkey
+    inequality riding as a join residual), the order-status check a
+    third semi-join, dimensions broadcast. The one topology Q18's
+    broadcast-agg semi didn't cover: fact-to-ITSELF existence with a
+    non-equi residual. Deterministic top-100 by (numwait desc,
+    s_name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    cutoff = F.lit("1998-09-01").cast(dict(li.dtypes)["l_shipdate"])
+    late = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    late_others = li.filter(F.col("l_shipdate") > cutoff).select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    fin = od.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        late.join(
+            others,
+            (F.col("__ok2") == F.col("l_orderkey"))
+            & (F.col("__sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("__ok3") == F.col("l_orderkey"))
+            & (F.col("__sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(fin, late.l_orderkey == fin.o_orderkey, "left_semi")
+    )
+    return (
+        l1.join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def _q_join_nulls(spark, sf_dir):
     """Outer-join NULL-key semantics contract in one row: SQL equality
     never matches NULL keys (inner drops them, full outer keeps them
@@ -3305,6 +3393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
         # ------ end of the driver's 50-query window ------------------
+        # Late round-6 additions (first in line for the round-7
+        # rotation; locally hash-gated):
+        "snapshot_diff_apply": _q_snapshot_diff_apply,
+        "tpch_q21": _q_tpch_q21,
         # (join_agg_topk .. rollup_agg directly above spilled past 50
         # when the round-6 operators went in-window; all five hold
         # green CORRECTNESS_r03 rows, so nothing is lost.)
@@ -4783,6 +4875,13 @@ def oracle_sql() -> dict[str, str]:
                    round(value, 6) AS value, ts_us
             FROM r WHERE rn = 1
         """,
+        "snapshot_diff_apply": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 0 THEN 'updated'
+                        ELSE source END AS source,
+                   n_chars
+            FROM documents WHERE doc_id >= 50
+        """,
         "snapshot_diff": """
             WITH v0 AS (
               SELECT doc_id, lang, source, n_chars FROM documents
@@ -4846,6 +4945,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
             GROUP BY label, i
+        """,
+        "tpch_q21": """
+            SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE l1.l_shipdate > TIMESTAMP '1998-09-01'
+              AND l1.l_orderkey IN
+                    (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'F')
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    TIMESTAMP '1998-09-01')
+            GROUP BY n_name, s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "tpch_q18": """
             SELECT c_name, c_custkey, o_orderkey,

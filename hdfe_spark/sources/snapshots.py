@@ -213,3 +213,30 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select("change", *key_cols, *out_vals)
     )
+
+
+def apply_diff(
+    base: DataFrame, diff: DataFrame, key_cols: "list[str]"
+) -> DataFrame:
+    """Apply a ``snapshot_diff`` change set to ``base``: delete/update
+    keys are anti-joined out, then insert/update rows (which carry
+    the new values) are unioned in. By construction
+    ``apply_diff(v_i, snapshot_diff(v_i, v_j)) == v_j`` row-for-row —
+    the roundtrip property that makes the diff a faithful incremental
+    transport (pinned in ``tests/test_snapshots.py`` and by the
+    ``snapshot_diff_apply`` driver query, whose oracle is v1 itself).
+
+    Scale: one anti-join shuffle on ``key_cols`` + a union — the
+    standard incremental-consumer apply; the change set is usually a
+    tiny fraction of the base, so the join broadcasts when it fits.
+    """
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in base.columns if c not in key_cols]
+    touched = diff.filter(
+        F.col("change").isin("delete", "update")
+    ).select(*key_cols)
+    upserts = diff.filter(
+        F.col("change").isin("insert", "update")
+    ).select(*key_cols, *val_cols)
+    return base.join(touched, key_cols, "left_anti").unionByName(upserts)

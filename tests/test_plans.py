@@ -301,3 +301,22 @@ def test_label_centroids_plan(spark, sf_dir):
     rep = plan_report(em.queries()["label_centroids"](spark, sf_dir))
     assert rep["n_exchanges"] <= 1
     assert rep["n_python_stages"] == 0
+
+
+def test_tpch_q21_plan(spark, sf_dir):
+    """The correlated-EXISTS decorrelation: both existence subqueries
+    must compile to HASH semi/anti joins on the orderkey equi-key
+    with the suppkey inequality as a join residual — NEVER a
+    BroadcastNestedLoopJoin (which would be the all-pairs disaster at
+    scale); dimensions broadcast; top-100 via heaps."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["tpch_q21"](spark, sf_dir)
+    rep = plan_report(out)
+    simple = explain_string(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert rep["n_broadcast_joins"] >= 2  # supplier + nation (+ semis)
+    assert rep["has_take_ordered"]
+    assert rep["n_python_stages"] == 0

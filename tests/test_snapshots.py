@@ -142,3 +142,31 @@ def test_snapshot_diff_null_safe_and_schema_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schemas differ"):
         snapshot_diff(spark, root, 1, 2, ["id"])
+
+
+def test_apply_diff_roundtrip(spark, tmp_path):
+    """diff then apply must reconstruct the target version exactly —
+    the property that makes snapshot_diff a faithful incremental
+    transport."""
+    from hdfe_spark.sources.snapshots import apply_diff, snapshot_diff
+
+    root = str(tmp_path / "t")
+    v0 = spark.range(0, 500).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS s", "id * 3 AS v"
+    )
+    publish_snapshot(v0, root)
+    v1 = (
+        spark.range(100, 650)
+        .selectExpr(
+            "id",
+            "CASE WHEN id % 11 = 0 THEN 'mut' ELSE CAST(id % 7 AS STRING) END AS s",
+            "id * 3 AS v",
+        )
+    )
+    publish_snapshot(v1, root)
+    d = snapshot_diff(spark, root, 0, 1, ["id"])
+    rebuilt = apply_diff(read_snapshot(spark, root, 0), d, ["id"])
+    want = read_snapshot(spark, root, 1)
+    assert rebuilt.exceptAll(want).count() == 0
+    assert want.exceptAll(rebuilt).count() == 0
+    assert rebuilt.count() == want.count()
