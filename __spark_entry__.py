@@ -3176,6 +3176,40 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_interval_join(spark, sf_dir):
+    """Interval × interval overlap join
+    (``operators/rangejoin.py::interval_overlap_join``): 6-hour
+    activity windows around each user's views vs clicks, overlapping
+    pairs emitted EXACTLY once via the representative-bucket rewrite
+    (both sides exploded to covered buckets, a pair emitted only from
+    the bucket holding greatest(starts) — no distinct() pass). The
+    oracle is the brute-force inequality join, so the hash match is
+    an exactness certificate for the rewrite, sibling to
+    ``range_join``'s point-in-interval form. Plan-asserted free of
+    nested-loop joins."""
+    from hdfe_spark.operators.rangejoin import interval_overlap_join
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("t_us", ts_micros(ev, "ts"))
+    width = 21_600_000_000  # 6 h in µs
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("t_us").alias("s_a"),
+        (F.col("t_us") + width).alias("e_a"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("t_us").alias("s_b"),
+        (F.col("t_us") + width).alias("e_b"),
+    )
+    return interval_overlap_join(
+        a, b, "user_id", "s_a", "e_a", "s_b", "e_b", bucket_width=width
+    ).select("user_id", "id_a", "id_b", "s_a", "s_b")
+
+
 def _q_tpch_q21(spark, sf_dir):
     """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
     fixture's columns (no receipt/commit dates: "late" =
@@ -3397,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation; locally hash-gated):
         "snapshot_diff_apply": _q_snapshot_diff_apply,
         "tpch_q21": _q_tpch_q21,
+        "interval_join": _q_interval_join,
         # (join_agg_topk .. rollup_agg directly above spilled past 50
         # when the round-6 operators went in-window; all five hold
         # green CORRECTNESS_r03 rows, so nothing is lost.)
@@ -4945,6 +4980,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
             GROUP BY label, i
+        """,
+        "interval_join": """
+            WITH a AS (
+              SELECT user_id, event_id AS id_a, epoch_us(ts) AS s_a,
+                     epoch_us(ts) + 21600000000 AS e_a
+              FROM events WHERE event_type = 'view'),
+            b AS (
+              SELECT user_id, event_id AS id_b, epoch_us(ts) AS s_b,
+                     epoch_us(ts) + 21600000000 AS e_b
+              FROM events WHERE event_type = 'click')
+            SELECT user_id, id_a, id_b, s_a, s_b
+            FROM a JOIN b USING (user_id)
+            WHERE s_a < e_b AND s_b < e_a
         """,
         "tpch_q21": """
             SELECT n_name, s_name, CAST(count(*) AS BIGINT) AS numwait

@@ -71,3 +71,64 @@ def range_join(
         F.col(left_point) < F.col(right_end)
     )
     return l.join(r, [*on, "__bucket"], "inner").filter(cond).drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (half-open:
+    ``l_start < r_end AND r_start < l_end``) sharing ``on`` — the
+    second nested-loop shape Spark plans badly, rewritten like
+    ``range_join`` but with BOTH sides exploded to their covered
+    buckets.
+
+    Exploding both sides makes an overlapping pair collide in EVERY
+    shared bucket, so the naive rewrite needs a distinct() pass over
+    the join output — a second full shuffle. Avoided with the
+    representative-bucket trick: a pair is emitted only from the
+    bucket containing ``greatest(l_start, r_start)`` (the first
+    instant of the overlap region). That instant lies in exactly one
+    bucket, and both intervals cover it whenever they overlap (it is
+    ≥ each start by construction and < each end by the overlap
+    predicate), so every overlapping pair is emitted exactly once —
+    no dedup, one shuffle join, AQE-plannable.
+
+    Empty intervals (``end <= start``) match nothing. All integer
+    arithmetic (epoch-µs), same contract as ``range_join``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {w}")
+
+    def buckets(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.filter(F.col(end) > F.col(start)).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} div {w}"),
+                    F.expr(f"({end} - 1) div {w}"),
+                )
+            ),
+        )
+
+    l = buckets(left, left_start, left_end)
+    r = buckets(right, right_start, right_end)
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    representative = F.col("__bucket") == F.expr(
+        f"greatest({left_start}, {right_start}) div {w}"
+    )
+    return (
+        l.join(r, [*on, "__bucket"], "inner")
+        .filter(overlap & representative)
+        .drop("__bucket")
+    )

@@ -320,3 +320,17 @@ def test_tpch_q21_plan(spark, sf_dir):
     assert rep["n_broadcast_joins"] >= 2  # supplier + nation (+ semis)
     assert rep["has_take_ordered"]
     assert rep["n_python_stages"] == 0
+
+
+def test_interval_join_plan_no_nested_loop(spark, sf_dir):
+    """The overlap rewrite must be a hash equi-join on
+    (key, bucket) — the inequality predicate rides as a filter, never
+    a BroadcastNestedLoopJoin/CartesianProduct."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["interval_join"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0

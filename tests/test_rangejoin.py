@@ -70,3 +70,73 @@ def test_range_join_rejects_outer(spark):
     df = spark.range(1).selectExpr("id AS k", "id AS t", "id AS s", "id AS e")
     with pytest.raises(ValueError):
         range_join(df, df, "k", "t", "s", "e", 10, how="left")
+
+
+def test_interval_overlap_join_exact_no_duplicates(spark):
+    """Every overlapping pair exactly once — including pairs spanning
+    many shared buckets (the case the representative-bucket trick
+    exists for) — and empty/touching intervals match nothing."""
+    from hdfe_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, 0, 100),     # long: covers many buckets
+            (1, 11, 50, 60),
+            (1, 12, 200, 210),
+            (1, 13, 300, 300),   # empty interval
+            (2, 20, 0, 50),
+        ],
+        "k long, id_a long, s_a long, e_a long",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 90, 5, 95),      # overlaps 10 (many shared buckets), 11
+            (1, 91, 99, 205),    # overlaps 10 (by 1), 12
+            (1, 92, 100, 101),   # touches 10 at 100: half-open, NO match
+            (2, 93, 50, 60),     # touches 20 at 50: NO match
+        ],
+        "k long, id_b long, s_b long, e_b long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            a, b, "k", "s_a", "e_a", "s_b", "e_b", bucket_width=10
+        ).collect()
+    )
+    assert got == [(10, 90), (10, 91), (11, 90), (12, 91)]
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.operators.rangejoin import interval_overlap_join
+
+    a = (
+        spark.range(0, 300)
+        .selectExpr(
+            "id % 7 AS k", "id AS id_a",
+            "(id * 37) % 1000 AS s_a",
+            "(id * 37) % 1000 + 1 + (id % 90) AS e_a",
+        )
+    )
+    b = (
+        spark.range(0, 300)
+        .selectExpr(
+            "id % 7 AS k", "id + 1000 AS id_b",
+            "(id * 53) % 1000 AS s_b",
+            "(id * 53) % 1000 + 1 + (id % 70) AS e_b",
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            a, b, "k", "s_a", "e_a", "s_b", "e_b", bucket_width=64
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, "k")
+        .filter((F.col("s_a") < F.col("e_b")) & (F.col("s_b") < F.col("e_a")))
+        .collect()
+    }
+    assert got == want and len(got) > 100
