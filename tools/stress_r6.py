@@ -200,9 +200,47 @@ def stress_snapshots(n_per_writer: int = 12):
     assert len(published) == 2 * n_per_writer
 
 
+
+
+def stress_interval_join(n_left: int = 20_000_000, n_right: int = 200_000):
+    """Interval-overlap join at the round-4 join-family scale: 20M
+    bounded intervals x 200k bounded intervals over 10k keys,
+    bucket = max interval length. The naive plan is a
+    BroadcastNestedLoopJoin over 4e12 comparisons."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.rangejoin import interval_overlap_join
+
+    spark = _spark()
+    w = 1000
+    left = spark.range(0, n_left).selectExpr(
+        "id % 10000 AS k",
+        "id AS id_a",
+        "(id * 2654435761) % 100000000 AS s_a",
+        f"(id * 2654435761) % 100000000 + 1 + (id % {w}) AS e_a",
+    )
+    right = spark.range(0, n_right).selectExpr(
+        "id % 10000 AS k",
+        "id AS id_b",
+        "(id * 40503) % 100000000 AS s_b",
+        f"(id * 40503) % 100000000 + 1 + (id % {w}) AS e_b",
+    )
+    t0 = time.time()
+    n = interval_overlap_join(
+        left, right, "k", "s_a", "e_a", "s_b", "e_b", bucket_width=w
+    ).count()
+    wall = time.time() - t0
+    print(
+        f"INTERVAL_JOIN {n_left} x {n_right} intervals, 10k keys, "
+        f"len<={w}, bucket={w}: {n} pairs in {wall:.1f} s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("semdedup", "all"):
         stress_semdedup()
     if which in ("snapshots", "all"):
         stress_snapshots()
+    if which in ("interval", "all"):
+        stress_interval_join()
