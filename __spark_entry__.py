@@ -3176,6 +3176,37 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (``operators/graph.py::pagerank``)
+    on the buyer→supplier graph (distinct (custkey, suppkey) pairs
+    through orders∘lineitem; supplier node ids offset by 1e6 so the
+    two key spaces can't collide). 6 iterations, damping 0.85,
+    dangling mass redistributed. The iterative-algorithm certificate
+    beyond connected components: the oracle unrolls the SAME
+    recurrence as 6 CTE layers (the alternating-projections oracle
+    trick), so the hash match pins every iteration's arithmetic, not
+    just a converged fixpoint. Top-25 by rounded rank with node
+    tiebreak."""
+    from hdfe_spark.operators.graph import pagerank
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, "src", "dst", n_iter=6, damping=0.85)
+    return (
+        pr.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
 def _q_interval_join(spark, sf_dir):
     """Interval × interval overlap join
     (``operators/rangejoin.py::interval_overlap_join``): 6-hour
@@ -3432,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_apply": _q_snapshot_diff_apply,
         "tpch_q21": _q_tpch_q21,
         "interval_join": _q_interval_join,
+        "pagerank": _q_pagerank,
         # (join_agg_topk .. rollup_agg directly above spilled past 50
         # when the round-6 operators went in-window; all five hold
         # green CORRECTNESS_r03 rows, so nothing is lost.)
@@ -3600,6 +3632,43 @@ def _alternating_sql(
 SELECT round((s22*r1 - s12*r2)/(s11*s22 - s12*s12), 4) AS b_quantity,
        round((s11*r2 - s12*r1)/(s11*s22 - s12*s12), 4) AS b_discount
 FROM s"""
+    )
+    return "".join(parts)
+
+
+def _pagerank_sql(n_iter: int = 6, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle: ``n_iter`` CTE layers of the exact
+    recurrence in ``operators/graph.py::pagerank`` (same trick as
+    ``_alternating_sql``). Fixed iterations make the recurrence — not
+    a fixpoint tolerance — the cross-engine contract."""
+    parts = [
+        """WITH e AS (
+      SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS t
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+    outdeg AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    d{k} AS (SELECT coalesce(sum(pr), 0) AS dang FROM r{k - 1}
+             WHERE node NOT IN (SELECT s FROM outdeg)),
+    c{k} AS (SELECT e.t AS node, sum(r.pr / o.deg) AS contrib
+             FROM e JOIN r{k - 1} r ON e.s = r.node
+             JOIN outdeg o ON e.s = o.s GROUP BY e.t),
+    r{k} AS (SELECT nodes.node,
+                    (1 - {damping}) / nn.n
+                    + {damping} * (coalesce(c.contrib, 0)
+                                   + d.dang / nn.n) AS pr
+             FROM nodes LEFT JOIN c{k} c ON nodes.node = c.node
+             CROSS JOIN nn CROSS JOIN d{k} d)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(pr, 6) AS pr FROM r{n_iter}
+    ORDER BY round(pr, 6) DESC, node LIMIT 25"""
     )
     return "".join(parts)
 
@@ -4981,6 +5050,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
             GROUP BY label, i
         """,
+        "pagerank": _pagerank_sql(),
         "interval_join": """
             WITH a AS (
               SELECT user_id, event_id AS id_a, epoch_us(ts) AS s_a,

@@ -133,3 +133,79 @@ def dedup_by_components(
     not_in_graph = df.select(id_col).join(in_graph, on=id_col, how="left_anti")
     keep = keep_in_graph.union(not_in_graph)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: returns
+    (node, pr) for every node appearing as source or target.
+
+    FIXED iterations, not run-to-convergence: the iteration count is
+    part of the contract so any engine unrolling the same recurrence
+    reproduces the result (the ``pagerank`` driver query's DuckDB
+    oracle is exactly that — ``n_iter`` unrolled CTE layers, same
+    trick as the alternating-projections oracle). Per iteration:
+
+        PR'(v) = (1-d)/N + d * (Σ_{u→v} PR(u)/outdeg(u) + dangling/N)
+
+    with dangling = Σ PR over zero-outdegree nodes (their mass is
+    redistributed uniformly — without this the ranks of a bipartite
+    buyer→supplier graph leak to zero).
+
+    Scale shape: each iteration is one join of the edge list against
+    the rank vector + one groupBy(dst) — two shuffles over EDGES, the
+    same per-round cost as ``connected_components``; the dangling
+    mass is a one-row driver aggregate per iteration (a scalar, never
+    data), and ``localCheckpoint`` bounds lineage exactly like the
+    Plan-C sweep loop. GraphX/Pregel does the same dataflow with
+    message-passing syntax.
+    """
+    from hdfe_spark.operators.estimate import _unpersist_checkpoint
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    ew = e.join(outdeg, "s").localCheckpoint(eager=False)  # (s, t, __deg)
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    live = []
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["s"], "left_anti")
+            .agg(F.sum("pr"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0))
+                       + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        live.append(ranks)
+        while len(live) > 2:
+            _unpersist_checkpoint(live.pop(0))
+    return ranks

@@ -86,3 +86,33 @@ def test_nonconvergence_raises_not_silent(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_pagerank_mass_conserved_and_dangling(spark):
+    """Sum of ranks must stay 1 every iteration (dangling mass is
+    redistributed, not lost) — a bipartite buyer->supplier graph is
+    ALL dangling on the supplier side, the case that leaks to zero
+    without redistribution."""
+    from hdfe_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (1, 11)], "src long, dst long"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=8).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    # 10 has two in-edges from out-degree-2 and out-degree-1 sources;
+    # 11 likewise -- both sinks must outrank every source.
+    assert min(pr[10], pr[11]) > max(pr[1], pr[2], pr[3])
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node must get
+    exactly 1/N at every iteration."""
+    from hdfe_spark.operators.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    pr = [r["pr"] for r in pagerank(edges, n_iter=5).collect()]
+    assert all(abs(p - 1.0 / n) < 1e-12 for p in pr)
