@@ -236,6 +236,32 @@ def stress_interval_join(n_left: int = 20_000_000, n_right: int = 200_000):
     )
 
 
+def stress_pagerank(n_edges: int = 10_000_000, n_nodes: int = 1_000_000):
+    """PageRank at graph-family scale: 10M directed edges over 1M
+    nodes, 6 fixed iterations. Per-iteration cost is two shuffles
+    over edges + a one-row dangling aggregate — the same round shape
+    as connected_components, so this pins the iterative family's
+    scaling alongside the CC stress."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.graph import pagerank
+
+    spark = _spark()
+    edges = spark.range(0, n_edges).selectExpr(
+        f"id % {n_nodes} AS src",
+        f"(id * 2654435761) % {n_nodes} AS dst",
+    )
+    t0 = time.time()
+    pr = pagerank(edges, "src", "dst", n_iter=6)
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    n = pr.count()
+    wall = time.time() - t0
+    print(
+        f"PAGERANK {n_edges} edges, {n} nodes, 6 iters: {wall:.1f} s, "
+        f"rank mass {total:.9f}"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("semdedup", "all"):
@@ -244,3 +270,5 @@ if __name__ == "__main__":
         stress_snapshots()
     if which in ("interval", "all"):
         stress_interval_join()
+    if which in ("pagerank", "all"):
+        stress_pagerank()
