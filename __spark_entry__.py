@@ -1835,6 +1835,32 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    """Audio FEATURE EXTRACTION end-to-end
+    (``operators/multimodal.py::audio_features``): WAV payloads →
+    one mapInPandas pass → exact int64 time-domain energy + FFT
+    spectral features. Two-sided certificate: ``time_energy`` is
+    integer arithmetic the DuckDB oracle regenerates bit-for-bit from
+    the fixture's closed-form samples (lateral ``generate_series``),
+    and ``parseval_ratio`` (Σ|FFT|² / (N·Σx²)) is pinned by
+    Parseval's theorem to exactly 1.0 after 6-dp rounding — so the
+    hash match proves the decode AND the spectral path, even though
+    SQL cannot run an FFT. The band-share descriptor itself is
+    covered by `tests/test_multimodal.py`."""
+    from hdfe_spark.operators.multimodal import audio_features, make_codec_assets
+
+    assets = make_codec_assets(spark, n=256).filter(
+        F.col("mime") == "audio/wav"
+    )
+    return audio_features(assets).select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        "time_energy",
+        F.round("parseval_ratio", 6).alias("parseval_ratio"),
+    )
+
+
 def _bucketed_fixture_tables(spark, sf_dir):
     """Write the two bucketed fixture projections ONCE per session
     (the bucketing analogue of the IVF index cache): orders and a
@@ -3464,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": _q_tpch_q21,
         "interval_join": _q_interval_join,
         "pagerank": _q_pagerank,
+        "multimodal_audio": _q_multimodal_audio,
         # (join_agg_topk .. rollup_agg directly above spilled past 50
         # when the round-6 operators went in-window; all five hold
         # green CORRECTNESS_r03 rows, so nothing is lost.)
@@ -5051,6 +5078,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, i
         """,
         "pagerank": _pagerank_sql(),
+        "multimodal_audio": """
+            WITH ids AS (
+              SELECT i FROM generate_series(0, 255) t(i) WHERE i % 3 = 0),
+            p AS (
+              SELECT i, 8000 + ((i // 3) % 3) * 4000 AS rate,
+                     64 + (i * 5) % 200 AS ns
+              FROM ids),
+            s AS (
+              SELECT p.i, p.rate, p.ns,
+                     CAST(sum(((j * 7 + p.i * 13) % 4096 - 2048)
+                              * ((j * 7 + p.i * 13) % 4096 - 2048))
+                          AS BIGINT) AS te
+              FROM p CROSS JOIN generate_series(0, 262) AS g(j)
+              WHERE g.j < p.ns
+              GROUP BY p.i, p.rate, p.ns)
+            SELECT i AS asset_id,
+                   CAST(rate AS BIGINT) AS sample_rate,
+                   CAST(ns AS BIGINT) AS n_samples,
+                   te AS time_energy,
+                   CAST(1.0 AS DOUBLE) AS parseval_ratio
+            FROM s
+        """,
         "interval_join": """
             WITH a AS (
               SELECT user_id, event_id AS id_a, epoch_us(ts) AS s_a,

@@ -423,3 +423,77 @@ def frame_sample_stub(
         .withColumn("frame_hash", F.sha2(F.concat(F.col(payload_col), F.col("frame_idx").cast("string").cast("binary")), 256))
         .drop(payload_col)
     )
+
+
+AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("time_energy", T.LongType(), True),
+        T.StructField("parseval_ratio", T.DoubleType(), True),
+        T.StructField("band_share", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads — the
+    feature-extract stage of the multimodal pipeline, pure numpy in
+    one ``mapInPandas`` pass (payload dropped in-stage, Arrow-batched,
+    same plumbing contract as ``decode_media``):
+
+    - ``time_energy`` — Σ sample² as EXACT int64 (int16 samples make
+      this integer arithmetic, so any engine that can regenerate the
+      samples reproduces it bit-for-bit — the cross-engine handle the
+      ``multimodal_audio`` driver certificate hashes on);
+    - ``parseval_ratio`` — Σ|FFT|² / (N · Σ sample²), which Parseval's
+      theorem fixes at EXACTLY 1.0 up to float rounding: the
+      self-certifying invariant that the spectral path agrees with
+      the time-domain path on every asset;
+    - ``band_share`` — energy fraction per ``n_bands`` equal slices
+      of the rfft spectrum (the cheap spectral-shape descriptor a
+      quality filter or language/music classifier consumes).
+
+    Failures emit ``decode_ok=false`` with zeroed fields — one
+    corrupt asset must not kill a 100 TB scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, m, p in zip(pdf[id_col], pdf[mime_col], pdf[payload_col]):
+                rate = ns = te = 0
+                ratio = 0.0
+                bands = None
+                ok = False
+                try:
+                    if m == "audio/wav" and p is not None:
+                        rate, ch, _bits, s = decode_wav(bytes(p))
+                        x = s.astype(np.float64)
+                        te = int((s.astype(np.int64) ** 2).sum())
+                        ns = len(s) // ch if ch else 0
+                        spec = np.abs(np.fft.fft(x)) ** 2
+                        ratio = float(spec.sum() / (len(x) * te)) if te else 0.0
+                        mag = np.abs(np.fft.rfft(x)) ** 2
+                        total = mag.sum()
+                        splits = np.array_split(mag, n_bands)
+                        bands = [
+                            float(b.sum() / total) if total else 0.0
+                            for b in splits
+                        ]
+                        ok = True
+                except (ValueError, IndexError, struct_error):
+                    ok = False
+                out.append((int(i), rate, ns, te, ratio, bands, ok))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEAT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEAT_SCHEMA)

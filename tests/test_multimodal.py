@@ -222,3 +222,35 @@ def test_resize_images_real(spark, codec_assets):
     assert row["checksum"] == int(want.astype(np.int64).sum())
     # audio rows pass through with resize_ok=false
     assert not out.loc[0, "resize_ok"] and out.loc[0, "payload"] is None
+
+
+def test_audio_features_bands_and_parseval(spark):
+    """band_share must partition the spectral energy (sums to 1),
+    parseval_ratio must be 1 to float precision on every asset, and
+    a corrupt payload must degrade to decode_ok=false, not raise."""
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.operators.multimodal import (
+        audio_features,
+        make_codec_assets,
+    )
+
+    assets = make_codec_assets(spark, n=48).filter(
+        F.col("mime") == "audio/wav"
+    )
+    rows = audio_features(assets, n_bands=4).collect()
+    assert len(rows) == 16  # every third asset is audio
+    for r in rows:
+        assert r["decode_ok"]
+        assert r["time_energy"] > 0
+        assert abs(r["parseval_ratio"] - 1.0) < 1e-9
+        assert len(r["band_share"]) == 4
+        assert abs(sum(r["band_share"]) - 1.0) < 1e-9
+        assert all(b >= 0 for b in r["band_share"])
+
+    corrupt = spark.createDataFrame(
+        [(999, "audio/wav", bytearray(b"not a wav"), {})],
+        assets.schema,
+    )
+    bad = audio_features(corrupt).collect()
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
