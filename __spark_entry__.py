@@ -3413,9 +3413,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-50: r03-driver-green backstop rows (oldest
+    - positions 28-45: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
+    - positions 46-50: the five LATE round-6 builds
+      (`snapshot_diff_apply`, `tpch_q21`, `interval_join`,
+      `pagerank`, `multimodal_audio`) — never driver-recorded,
+      promoted in-window in the same round they were built (fifth
+      curation pass; displaced five r03-green backstops to 51+).
     - positions 51+: the rest of the r03 backstop, the round-4/5
       driver-green backlog, and the remaining rows-only-by-design
       demos, all still gated locally every round
@@ -3473,6 +3478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "repetition_stats": _q_repetition_stats,
         "sessionize": _q_sessionize,
+        # -- 46-50: LATE round-6 builds, promoted in their build round --
+        "snapshot_diff_apply": _q_snapshot_diff_apply,
+        "tpch_q21": _q_tpch_q21,
+        "interval_join": _q_interval_join,
+        "pagerank": _q_pagerank,
+        "multimodal_audio": _q_multimodal_audio,
+        # ------ end of the driver's 50-query window ------------------
+        # r03-green backstop displaced by the fifth curation pass
+        # (all hold green CORRECTNESS_r03 rows, so nothing is lost):
         "pipeline_curate": _q_pipeline_curate,
         "asof_join": _q_asof_join,
         "normalize_text": _q_normalize_text,
@@ -3483,17 +3497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "window_funcs": _q_window_funcs,
         "rollup_agg": _q_rollup_agg,
-        # ------ end of the driver's 50-query window ------------------
-        # Late round-6 additions (first in line for the round-7
-        # rotation; locally hash-gated):
-        "snapshot_diff_apply": _q_snapshot_diff_apply,
-        "tpch_q21": _q_tpch_q21,
-        "interval_join": _q_interval_join,
-        "pagerank": _q_pagerank,
-        "multimodal_audio": _q_multimodal_audio,
-        # (join_agg_topk .. rollup_agg directly above spilled past 50
-        # when the round-6 operators went in-window; all five hold
-        # green CORRECTNESS_r03 rows, so nothing is lost.)
         # round-4/5 driver-green backlog (rows in CORRECTNESS_r04/r05):
         "zorder_layout": _q_zorder_layout,
         "chunk_docs": _q_chunk_docs,

@@ -47,7 +47,11 @@ def test_round6_window_composition():
         "inverted_index", "label_centroids", "snapshot_diff",
         "scd2_intervals", "streaming_snapshot",
     }
-    assert q[27] == "tfidf_topk" and q[49] == "hash_split"
+    assert q[27] == "tfidf_topk"
+    assert set(q[45:50]) == {
+        "snapshot_diff_apply", "tpch_q21", "interval_join",
+        "pagerank", "multimodal_audio",
+    }
     assert len(set(q)) == len(q)
 
 
