@@ -3384,6 +3384,30 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_setsim_join(spark, sf_dir):
+    """Exact prefix-filter set-similarity self-join (AllPairs/PPJoin,
+    `operators/setjoin.py`): every document pair with 5-shingle
+    Jaccard >= 0.8, found WITHOUT an all-pairs stage and with zero
+    probabilistic misses — the loss-free complement of minhash_dedup.
+    The oracle IS the brute-force all-pairs Jaccard join, so a hash
+    match is an exactness certificate for the prefix-filter pruning."""
+    from hdfe_spark.operators.setjoin import setsim_join
+
+    docs = _t(spark, sf_dir, "documents")
+    out = setsim_join(docs, "doc_id", "text", tau=0.8, shingle_k=5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dup_ngram_spans(spark, sf_dir):
+    """Cross-document duplicated-span stats (`text.py::dup_ngram_spans`,
+    ExactSubstr-style 8-gram marking): per document, how many of its
+    consecutive token 8-grams also occur in another document."""
+    from hdfe_spark.operators.text import dup_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_spans(docs, "doc_id", "text", k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -3413,9 +3437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-45: r03-driver-green backstop rows (oldest
+    - positions 28-43: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
+    - positions 44-45: `setsim_join` (exact prefix-filter similarity
+      join) and `dup_ngram_spans` (ExactSubstr-style span stats) —
+      built late in round 6, recorded in their build round (sixth
+      curation pass).
     - positions 46-50: the five LATE round-6 builds
       (`snapshot_diff_apply`, `tpch_q21`, `interval_join`,
       `pagerank`, `multimodal_audio`) — never driver-recorded,
@@ -3476,8 +3504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "scrub_pii": _q_scrub_pii,
         "line_dedup": _q_line_dedup,
-        "repetition_stats": _q_repetition_stats,
-        "sessionize": _q_sessionize,
+        # -- 44-45: built THIS session (sixth curation pass) --
+        "setsim_join": _q_setsim_join,
+        "dup_ngram_spans": _q_dup_ngram_spans,
         # -- 46-50: LATE round-6 builds, promoted in their build round --
         "snapshot_diff_apply": _q_snapshot_diff_apply,
         "tpch_q21": _q_tpch_q21,
@@ -3485,8 +3514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "multimodal_audio": _q_multimodal_audio,
         # ------ end of the driver's 50-query window ------------------
-        # r03-green backstop displaced by the fifth curation pass
-        # (all hold green CORRECTNESS_r03 rows, so nothing is lost):
+        # r03-green backstop displaced by the fifth/sixth curation
+        # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "repetition_stats": _q_repetition_stats,
+        "sessionize": _q_sessionize,
         "pipeline_curate": _q_pipeline_curate,
         "asof_join": _q_asof_join,
         "normalize_text": _q_normalize_text,
@@ -3781,6 +3812,52 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "setsim_join": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS tok
+              FROM t, unnest(CASE WHEN len(toks) >= 5
+                                  THEN range(1, len(toks)-5+2) ELSE [] END) AS u(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+        """,
+        "dup_ngram_spans": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(CASE WHEN len(toks) >= 8
+                                  THEN range(1, len(toks)-8+2) ELSE [] END) AS u(i)),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) > 1),
+            per AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            dupc AS (SELECT g.doc_id, count(*) AS n_dup
+                     FROM g JOIN dup USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   coalesce(dupc.n_dup, 0) AS n_dup,
+                   round(coalesce(dupc.n_dup, 0) * 1.0
+                         / greatest(coalesce(per.n_grams, 0), 1), 6) AS dup_frac
+            FROM documents d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            LEFT JOIN dupc ON d.doc_id = dupc.doc_id
+        """,
         "grouped_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(avg(l_quantity), 6) AS mean_l_quantity,

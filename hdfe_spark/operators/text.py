@@ -677,3 +677,73 @@ def char_entropy(
             F.round(-F.sum(F.col("__p") * F.ln("__p")), 6).alias("entropy"),
         )
     )
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the n-gram variant
+    of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a token ``k``-gram that
+    occurs in more than one document marks a memorizable duplicated
+    span on every document that carries it.
+
+    Returns one row per input document: ``n_grams`` (number of
+    consecutive k-grams), ``n_dup`` (how many of them also appear in
+    at least one OTHER document), and ``dup_frac`` — the span-level
+    duplication fraction a curation pipeline thresholds on.
+
+    Beyond-reference surface; reuses the engine-wide tokenizer
+    contract (`tokens`, lowercased whitespace split).
+
+    100 TB plan: one codegen shingling projection (no Python), one
+    hash aggregation keyed by the gram to find cross-document grams
+    (map-side combine collapses each document's repeats first), one
+    equi-join of the per-position gram stream against that duplicate
+    set, and per-document count aggregations. Every stage is linear
+    in total token count. The gram TEXT is the key here for
+    hash-collision-free exactness (this is the oracle-checked form);
+    at petabyte scale key the shuffle on ``xxhash64(gram)`` instead —
+    64-bit collisions are ~n²/2⁶⁵ and each costs one false dup mark,
+    a curation-acceptable error the docstring contract makes explicit.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    grams_expr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), grams_expr.alias("__grams"))
+    ex = g.select(id_col, F.explode("__grams").alias("__gram"))
+
+    dup = (
+        ex.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("__gram")
+    )
+    dupc = (
+        ex.join(dup, "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__ndup"))
+    )
+    per = g.select(F.col(id_col), F.size("__grams").alias("n_grams"))
+    return (
+        per.join(dupc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("__ndup"), F.lit(0)).cast("bigint").alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("__ndup"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -334,3 +334,31 @@ def test_interval_join_plan_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
     assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_setsim_join_plan_no_nested_loop(spark, sf_dir):
+    """Prefix-filter similarity join: candidate generation and both
+    verify joins must be hash equi-joins (the a.id < b.id predicate
+    rides as a residual), never BroadcastNestedLoopJoin/Cartesian —
+    and the whole pipeline is Python-free (JVM codegen shingling)."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["setsim_join"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_dup_ngram_spans_plan_python_free(spark, sf_dir):
+    """ExactSubstr-style span stats: shingling is a codegen
+    projection, the dup-gram set is a hash aggregation, and no stage
+    drops to Python."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["dup_ngram_spans"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
