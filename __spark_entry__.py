@@ -3384,6 +3384,92 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over the document token stream
+    (`operators/sketch.py`): distributed Misra-Gries candidate
+    pruning (Arrow mapInPandas, 500 counters/partition) + an exact
+    broadcast-semi-join verify pass. Output = precisely the tokens
+    with cnt*500 >= n (integer threshold, no float). The oracle is
+    the full exact aggregation, so a hash match certifies the
+    no-false-negative property of the sketch stage."""
+    from hdfe_spark.operators.sketch import heavy_hitters
+    from hdfe_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", s=500)
+
+
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shaped order-priority checking: orders in one
+    half-year window having at least one line item shipped more than
+    60 days after the order date (the fixture has no
+    commit/receipt dates, so late-shipping stands in for the
+    late-commit predicate). The canonical EXISTS → hash left-semi
+    decorrelation with an inequality residual on the equi-key."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dt = dict(od.dtypes)["o_orderdate"]
+    od = od.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast(dt))
+    )
+    cond = (li["l_orderkey"] == od["o_orderkey"]) & (
+        li["l_shipdate"] > od["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        od.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    preserving order-less customers, then a double aggregation —
+    count per customer, then the histogram of those counts. The one
+    TPC-H shape where the outer join's null-preservation IS the
+    answer (c_count=0 bucket)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    per = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Exact triangle count (`operators/graph.py::triangle_count`,
+    degree-ordered orientation) on the supplier co-supply graph:
+    suppliers are adjacent when they supply >= 145 common parts.
+    Graph build is a self-join + count aggregation; the count uses
+    the O(|E|^1.5) oriented wedge join, never the raw wedge
+    enumeration a hub-degree vertex would blow up."""
+    from hdfe_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 145)
+        .select("u", "v")
+    )
+    return triangle_count(edges)
+
+
 def _q_setsim_join(spark, sf_dir):
     """Exact prefix-filter set-similarity self-join (AllPairs/PPJoin,
     `operators/setjoin.py`): every document pair with 5-shingle
@@ -3437,13 +3523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-43: r03-driver-green backstop rows (oldest
+    - positions 28-39: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 44-45: `setsim_join` (exact prefix-filter similarity
-      join) and `dup_ngram_spans` (ExactSubstr-style span stats) —
-      built late in round 6, recorded in their build round (sixth
-      curation pass).
+    - positions 40-45: the six operators built late in round 6,
+      recorded in their build round (sixth curation pass):
+      `heavy_hitters` (exact Misra-Gries), `tpch_q4`/`tpch_q13`,
+      `triangle_count` (oriented wedge join), `setsim_join` (exact
+      prefix-filter similarity join), `dup_ngram_spans`
+      (ExactSubstr-style span stats).
     - positions 46-50: the five LATE round-6 builds
       (`snapshot_diff_apply`, `tpch_q21`, `interval_join`,
       `pagerank`, `multimodal_audio`) — never driver-recorded,
@@ -3500,11 +3588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_cc": _q_minhash_dedup_cc,
-        "knn_join": _q_knn_join,
-        "embedding_neardup": _q_embedding_neardup,
-        "scrub_pii": _q_scrub_pii,
-        "line_dedup": _q_line_dedup,
-        # -- 44-45: built THIS session (sixth curation pass) --
+        # -- 40-45: built THIS session (sixth curation pass) --
+        "heavy_hitters": _q_heavy_hitters,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q13": _q_tpch_q13,
+        "triangle_count": _q_triangle_count,
         "setsim_join": _q_setsim_join,
         "dup_ngram_spans": _q_dup_ngram_spans,
         # -- 46-50: LATE round-6 builds, promoted in their build round --
@@ -3516,6 +3604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------ end of the driver's 50-query window ------------------
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "knn_join": _q_knn_join,
+        "embedding_neardup": _q_embedding_neardup,
+        "scrub_pii": _q_scrub_pii,
+        "line_dedup": _q_line_dedup,
         "repetition_stats": _q_repetition_stats,
         "sessionize": _q_sessionize,
         "pipeline_curate": _q_pipeline_curate,
@@ -3812,6 +3904,43 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+            n AS (SELECT count(*) AS n FROM toks)
+            SELECT token, cnt FROM c, n WHERE cnt * 500 >= n
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "triangle_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                        FROM lineitem),
+            e AS (SELECT a.s AS u, b.s AS v
+                  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+                  GROUP BY 1, 2 HAVING count(*) >= 145)
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
         "setsim_join": r"""
             WITH t AS (
               SELECT doc_id,

@@ -209,3 +209,70 @@ def pagerank(
         while len(live) > 2:
             _unpersist_checkpoint(live.pop(0))
     return ranks
+
+
+def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Exact global triangle count via degree-ordered orientation
+    (the node-iterator++ / "forward" algorithm: Schank & Wagner 2005,
+    the same orientation trick behind GraphX's TriangleCount).
+
+    ``edges`` is an undirected simple graph: one row per unordered
+    pair, no self-loops (u < v canonical form recommended; any
+    orientation is accepted and canonicalized here).
+
+    Why orientation matters at 100 TB: joining the raw edge list with
+    itself on shared endpoints enumerates every WEDGE — for a skewed
+    degree distribution (the norm: social graphs, co-occurrence
+    graphs) that is Σ d(v)² with the hub dominating. Re-orienting
+    every edge from the (degree, id)-smaller endpoint to the larger
+    caps every vertex's out-degree at O(sqrt(|E|)), so the wedge join
+    is Σ d_out(v)² = O(|E|^1.5) regardless of hubs — the classical
+    arboricity bound. Both joins are hash equi-joins Catalyst/AQE can
+    skew-split further.
+
+    Returns a 1-row DataFrame: ``n_triangles`` (bigint).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("a"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from the (degree, id)-smaller endpoint to the
+    # larger; broadcast the degree table when it's dimension-sized,
+    # else it's a pair of hash joins on the node key.
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        e.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            F.when(
+                (F.col("da.d") < F.col("db.d"))
+                | ((F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(w2, F.col("w1.src") == F.col("w2.src")).filter(
+        F.col("w1.dst") < F.col("w2.dst")
+    )
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("w1.dst", "w2.dst") == F.col("x"))
+        & (F.greatest("w1.dst", "w2.dst") == F.col("y")),
+    )
+    return tri.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -1,0 +1,80 @@
+"""Heavy-hitter detection: distributed Misra-Gries candidate pruning
+with an exact verification pass.
+
+Beyond-reference surface (the reference engine has no sketch/streaming
+summary operators); sibling of the engine's other sketches
+(`approx_count_distinct` / `approx_percentile` in the registry), but
+with EXACT output: returns precisely the keys whose global frequency
+satisfies ``cnt * s >= n``, with exact counts.
+
+Why not just ``groupBy(key).count()``? At 100 TB with a heavy-tailed
+key universe (tokens, URLs, user ids) the full aggregation shuffles
+every distinct key. Misra-Gries (1982) per partition keeps only ``k``
+counters; the merged-summary form (Agarwal et al., "Mergeable
+Summaries", PODS'12) has undercount error <= n_i/(k+1), so a key
+ABSENT from partition i's summary has true local count <= n_i/(k+1),
+and a key absent from every summary has global count
+<= n/(k+1) < n/s for k = s. The candidate union therefore contains
+every qualifying key (no false negatives); the exact pass then counts
+ONLY candidates via a broadcast semi-join, bounding the wide shuffle
+by ``n_partitions * k`` keys instead of the key universe.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition merged Misra-Gries summaries, unioned (NOT
+    merged across partitions — the union keeps the no-false-negative
+    guarantee and stays distributed). Returns distinct candidate
+    keys, at most ``k`` per partition.
+
+    Vectorized: each Arrow batch contributes a ``value_counts`` (C
+    speed), merged into the running summary with the mergeable-
+    summaries rule — add counts, then subtract the (k+1)-th largest
+    and clip at zero whenever more than k counters survive. No
+    per-row Python."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            bc = pdf[key_col].value_counts()
+            counters = counters.add(bc, fill_value=0) if len(counters) else bc
+            if len(counters) > k:
+                thresh = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > thresh] - thresh
+        yield pd.DataFrame({key_col: counters.index})
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} {df.schema[key_col].dataType.simpleString()}"
+    ).distinct()
+
+
+def heavy_hitters(df: DataFrame, key_col: str, s: int) -> DataFrame:
+    """Exactly the keys with ``cnt * s >= n`` (overflow-safe integer
+    threshold — no float), with exact counts.
+
+    Plan: one narrow Misra-Gries scan (Arrow ``mapInPandas``, k = s
+    counters per partition), a broadcast semi-join of the input
+    against the candidate set, an exact count of candidates only, and
+    a broadcast 1-row total for the threshold filter. Any key meeting
+    the threshold has cnt >= n/s > n/(s+1), so it survives the
+    candidate stage (docstring above) and the output is exact."""
+    cand = misra_gries_candidates(df, key_col, k=s)
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(s) >= F.col("__n"))
+        .select(key_col, "cnt")
+    )

@@ -362,3 +362,30 @@ def test_dup_ngram_spans_plan_python_free(spark, sf_dir):
     simple = explain_string(out, "simple")
     assert "CartesianProduct" not in simple
     assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_tpch_q4_plan_hash_semi_join(spark, sf_dir):
+    """The EXISTS must decorrelate to a hash LEFT SEMI join on the
+    orderkey equi-key with the shipdate inequality as residual —
+    never a nested-loop."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["tpch_q4"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert "LeftSemi" in simple
+
+
+def test_triangle_count_plan_no_nested_loop(spark, sf_dir):
+    """Graph build + oriented wedge join: all hash equi-joins; the
+    only allowed broadcast-nested-loop is the final 1-row total (none
+    here — count is an aggregation)."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["triangle_count"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "CartesianProduct" not in simple
+    assert "BroadcastNestedLoopJoin" not in simple
