@@ -3384,6 +3384,66 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_agg_refresh(spark, sf_dir):
+    """Incremental aggregate-view maintenance certificate
+    (`sources/aggview.py`): build a per-supplier agg table from 90%
+    of lineitem, fold the remaining 10% in via `refresh_agg` (delta
+    aggregation + one agg-table-sized outer join — NO base-fact
+    rescan), and the oracle recomputes the aggregate over ALL of
+    lineitem from scratch. The hash match proves
+    refresh(base_agg, delta) == aggregate(base ∪ delta) exactly
+    (sums in integer cents so associativity is exact)."""
+    from hdfe_spark.sources.aggview import aggregate_view, refresh_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    measures = [
+        ("cnt", "count", None),
+        ("sum_cents", "sum", cents),
+        ("min_qty", "min", F.col("l_quantity")),
+        ("max_qty", "max", F.col("l_quantity")),
+    ]
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    base_agg = aggregate_view(base, ["l_suppkey"], measures)
+    out = refresh_agg(base_agg, delta, ["l_suppkey"], measures)
+    return out.select(
+        "l_suppkey",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        "min_qty",
+        "max_qty",
+    )
+
+
+def _q_cms_certificate(spark, sf_dir):
+    """Count-Min sketch accuracy certificate
+    (`operators/sketch.py::cms_build/cms_estimate`): a 4×256 md5-
+    hashed CMS over the document token stream, probed for every exact
+    heavy hitter (cnt*500 >= n). Output (token, exact, est) — the
+    sketch is deterministic md5 arithmetic, so DuckDB rebuilds it
+    bit-for-bit and the hash match certifies the whole
+    build→merge→probe pipeline; est >= exact (the CMS one-sided
+    error) is additionally pinned in tests."""
+    from hdfe_spark.operators.sketch import cms_build, cms_estimate
+    from hdfe_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    toks = toks.persist()
+    cms = cms_build(toks, "token", d=4, n_hex=2)
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact") * 500 >= F.col("__n"))
+        .select("token", "exact")
+    )
+    est = cms_estimate(cms, exact.select("token"), "token", d=4, n_hex=2)
+    return exact.join(est, "token").select("token", "exact", "est")
+
+
 def _q_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters over the document token stream
     (`operators/sketch.py`): distributed Misra-Gries candidate
@@ -3523,15 +3583,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-39: r03-driver-green backstop rows (oldest
+    - positions 28-37: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 40-45: the six operators built late in round 6,
+    - positions 38-45: the eight operators built late in round 6,
       recorded in their build round (sixth curation pass):
-      `heavy_hitters` (exact Misra-Gries), `tpch_q4`/`tpch_q13`,
-      `triangle_count` (oriented wedge join), `setsim_join` (exact
-      prefix-filter similarity join), `dup_ngram_spans`
-      (ExactSubstr-style span stats).
+      `agg_refresh` (incremental view maintenance certificate),
+      `cms_certificate` (Count-Min sketch, bit-reproducible md5
+      hashing), `heavy_hitters` (exact Misra-Gries),
+      `tpch_q4`/`tpch_q13`, `triangle_count` (oriented wedge join),
+      `setsim_join` (exact prefix-filter similarity join),
+      `dup_ngram_spans` (ExactSubstr-style span stats).
     - positions 46-50: the five LATE round-6 builds
       (`snapshot_diff_apply`, `tpch_q21`, `interval_join`,
       `pagerank`, `multimodal_audio`) — never driver-recorded,
@@ -3586,9 +3648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_dedup_cc": _q_minhash_dedup_cc,
-        # -- 40-45: built THIS session (sixth curation pass) --
+        # -- 38-45: built THIS session (sixth curation pass) --
+        "agg_refresh": _q_agg_refresh,
+        "cms_certificate": _q_cms_certificate,
         "heavy_hitters": _q_heavy_hitters,
         "tpch_q4": _q_tpch_q4,
         "tpch_q13": _q_tpch_q13,
@@ -3604,6 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------ end of the driver's 50-query window ------------------
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "minhash_pairs": _q_minhash_pairs,
+        "minhash_dedup_cc": _q_minhash_dedup_cc,
         "knn_join": _q_knn_join,
         "embedding_neardup": _q_embedding_neardup,
         "scrub_pii": _q_scrub_pii,
@@ -3904,6 +3968,37 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "agg_refresh": """
+            SELECT l_suppkey,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "cms_certificate": r"""
+            WITH toks AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            n AS (SELECT count(*) AS n FROM toks),
+            exact AS (
+              SELECT token, count(*) AS exact FROM toks, n
+              GROUP BY token, n.n HAVING count(*) * 500 >= n.n),
+            cms AS (
+              SELECT j, substr(md5(token || '#' || j), 1, 2) AS bucket,
+                     count(*) AS cnt
+              FROM toks, unnest([0, 1, 2, 3]) AS u(j)
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT e.token, e.exact, j,
+                     substr(md5(e.token || '#' || j), 1, 2) AS bucket
+              FROM exact e, unnest([0, 1, 2, 3]) AS u(j))
+            SELECT p.token, p.exact, min(coalesce(c.cnt, 0)) AS est
+            FROM probes p LEFT JOIN cms c USING (j, bucket)
+            GROUP BY p.token, p.exact
+        """,
         "heavy_hitters": r"""
             WITH toks AS (
               SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -78,3 +78,45 @@ def heavy_hitters(df: DataFrame, key_col: str, s: int) -> DataFrame:
         .filter(F.col("cnt") * F.lit(s) >= F.col("__n"))
         .select(key_col, "cnt")
     )
+
+
+def cms_build(df: DataFrame, key_col: str, d: int = 4, n_hex: int = 2) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a key
+    stream: ``d`` rows of ``16**n_hex`` counters. Hash j of a key is
+    the first ``n_hex`` hex chars of ``md5(key || '#' || j)`` — the
+    engine-portable md5 trick the feature hasher uses, so any SQL
+    engine reproduces the sketch bit-for-bit (the driver oracle
+    does). Returns (j, bucket, cnt): d × 16^n_hex rows, built by one
+    explode + one hash aggregation with map-side combine — the
+    sketch is mergeable across partitions/streams by bucket-wise add.
+    """
+    js = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    rows = df.select(F.col(key_col).alias("__k"), js)
+    bucket = F.substring(
+        F.md5(F.concat_ws("#", F.col("__k"), F.col("j"))), 1, n_hex
+    )
+    return (
+        rows.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, key_col: str, d: int = 4, n_hex: int = 2
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a ``cms_build``
+    sketch: min over the d hashed counters. Never underestimates
+    (each counter >= the key's true count); overestimate is bounded
+    by colliding mass, E[err] <= n/16^n_hex per row. Broadcast-sized
+    joins: the sketch is d × 16^n_hex rows."""
+    js = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    probes = keys.select(F.col(key_col), js).withColumn(
+        "bucket",
+        F.substring(F.md5(F.concat_ws("#", F.col(key_col), F.col("j"))), 1, n_hex),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
