@@ -3384,6 +3384,32 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_streaming_cms(spark, sf_dir):
+    """Tenth streaming form (`streaming/ops.py::streaming_cms`): a
+    Count-Min sketch folded over the events stream in complete mode.
+    The sketch is additive, so the stream fold must equal the batch
+    sketch over the same rows whatever the micro-batch boundaries —
+    the DuckDB oracle rebuilds that batch sketch from the events
+    table with the same md5 bucket hashing."""
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_cms
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    cms = streaming_cms(stream, "event_type", d=4, n_hex=2)
+    sink = _fresh_sink(spark)
+    q = (
+        cms.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "j", "bucket", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
 def _q_agg_refresh(spark, sf_dir):
     """Incremental aggregate-view maintenance certificate
     (`sources/aggview.py`): build a per-supplier agg table from 90%
@@ -3583,12 +3609,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-37: r03-driver-green backstop rows (oldest
+    - positions 28-36: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 38-45: the eight operators built late in round 6,
+    - positions 37-45: the nine operators built late in round 6,
       recorded in their build round (sixth curation pass):
-      `agg_refresh` (incremental view maintenance certificate),
+      `streaming_cms` (tenth streaming form: sketch fold ≡ batch
+      sketch), `agg_refresh` (incremental view maintenance
+      certificate),
       `cms_certificate` (Count-Min sketch, bit-reproducible md5
       hashing), `heavy_hitters` (exact Misra-Gries),
       `tpch_q4`/`tpch_q13`, `triangle_count` (oriented wedge join),
@@ -3647,8 +3675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se_robust": _q_se_robust,
         "quality": _q_quality,
         "lang_id": _q_lang_id,
-        "ngram_jaccard": _q_ngram_jaccard,
-        # -- 38-45: built THIS session (sixth curation pass) --
+        # -- 37-45: built THIS session (sixth curation pass) --
+        "streaming_cms": _q_streaming_cms,
         "agg_refresh": _q_agg_refresh,
         "cms_certificate": _q_cms_certificate,
         "heavy_hitters": _q_heavy_hitters,
@@ -3666,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------ end of the driver's 50-query window ------------------
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_cc": _q_minhash_dedup_cc,
         "knn_join": _q_knn_join,
@@ -3968,6 +3997,12 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "streaming_cms": """
+            SELECT j, substr(md5(event_type || '#' || j), 1, 2) AS bucket,
+                   count(*) AS cnt
+            FROM events, unnest([0, 1, 2, 3]) AS u(j)
+            GROUP BY 1, 2
+        """,
         "agg_refresh": """
             SELECT l_suppkey,
                    count(*) AS cnt,

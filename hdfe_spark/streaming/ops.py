@@ -397,3 +397,28 @@ def streaming_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cms(stream: DataFrame, key_col: str, d: int = 4, n_hex: int = 2) -> DataFrame:
+    """Count-Min sketch folded over a stream (the tenth streaming
+    form): the sketch is a purely additive aggregate, so the
+    micro-batch fold IS the sketch merge — complete-mode
+    ``groupBy(j, bucket).count()`` over the hashed key stream yields
+    exactly the batch `operators/sketch.py::cms_build` table,
+    whatever the micro-batch boundaries were. Same portable
+    md5-prefix hashing, so a SQL engine reproduces the folded sketch
+    bit-for-bit. State is bounded by d × 16**n_hex counters
+    regardless of stream length — the reason sketches are THE
+    streaming summary structure."""
+    from pyspark.sql import functions as F
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j")
+    rows = stream.select(F.col(key_col).alias("__k"), js)
+    bucket = F.substring(
+        F.md5(F.concat_ws("#", F.col("__k"), F.col("j"))), 1, n_hex
+    )
+    return (
+        rows.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

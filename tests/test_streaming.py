@@ -272,3 +272,33 @@ def test_streaming_static_enrich_matches_batch(spark, sf_dir, events_batch):
         .to_dict()
     )
     assert got == want
+
+
+def test_streaming_cms_matches_batch_sketch(spark, sf_dir, events_batch):
+    """The stream-folded CMS must equal the batch cms_build table on
+    the same rows — the sketch is additive, so micro-batch boundaries
+    cannot matter."""
+    import uuid
+
+    from hdfe_spark.operators.sketch import cms_build
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_cms
+
+    stream = read_events_stream(spark, sf_dir)
+    cms = streaming_cms(stream, "event_type", d=4, n_hex=2)
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        cms.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.j, r.bucket): r.cnt for r in spark.table(sink).collect()
+    }
+    want = {
+        (r.j, r.bucket): r.cnt
+        for r in cms_build(events_batch, "event_type", d=4, n_hex=2).collect()
+    }
+    assert got == want
