@@ -389,3 +389,28 @@ def test_triangle_count_plan_no_nested_loop(spark, sf_dir):
     simple = explain_string(out, "simple")
     assert "CartesianProduct" not in simple
     assert "BroadcastNestedLoopJoin" not in simple
+
+
+def test_cms_certificate_plan_python_free(spark, sf_dir):
+    """CMS build + probe: md5 bucketing is codegen, the sketch join
+    is broadcast, nothing drops to Python."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["cms_certificate"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_agg_refresh_plan_outer_join_no_nested_loop(spark, sf_dir):
+    """Incremental view refresh: the merge is a keyed full-outer
+    hash join of two aggregates — no nested loop, no Python."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string
+
+    out = em.queries()["agg_refresh"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
