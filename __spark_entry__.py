@@ -3384,6 +3384,34 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_schema_evolution(spark, sf_dir):
+    """Schema-on-read evolution (`mergeSchema`): two parquet writes
+    into one table directory with DIFFERENT projections — an old
+    layout (l_orderkey, l_quantity) and a new layout adding
+    l_extendedprice — read back as one unified schema with NULL fill
+    for the column each file lacks. The data-lake contract that lets
+    a 100 TB table evolve without rewriting history; per-file
+    footers keep scans pruned to the columns each file actually has.
+    Oracle: the equivalent NULL-padded UNION over the base table."""
+    d = _fresh_tmpdir("hdfe_evo_")
+    li = _t(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    new = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    old.write.mode("append").parquet(d)
+    new.write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", True).parquet(d)
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("l_extendedprice"),
+    )
+
+
 def _q_streaming_cms(spark, sf_dir):
     """Tenth streaming form (`streaming/ops.py::streaming_cms`): a
     Count-Min sketch folded over the events stream in complete mode.
@@ -3609,11 +3637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-36: r03-driver-green backstop rows (oldest
+    - positions 28-35: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 37-45: the nine operators built late in round 6,
+    - positions 36-45: the ten operators built late in round 6,
       recorded in their build round (sixth curation pass):
+      `schema_evolution` (mergeSchema NULL-fill contract),
       `streaming_cms` (tenth streaming form: sketch fold ≡ batch
       sketch), `agg_refresh` (incremental view maintenance
       certificate),
@@ -3674,8 +3703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_3fe": _q_ols_3fe,
         "se_robust": _q_se_robust,
         "quality": _q_quality,
-        "lang_id": _q_lang_id,
-        # -- 37-45: built THIS session (sixth curation pass) --
+        # -- 36-45: built THIS session (sixth curation pass) --
+        "schema_evolution": _q_schema_evolution,
         "streaming_cms": _q_streaming_cms,
         "agg_refresh": _q_agg_refresh,
         "cms_certificate": _q_cms_certificate,
@@ -3694,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------ end of the driver's 50-query window ------------------
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_dedup_cc": _q_minhash_dedup_cc,
@@ -3997,6 +4027,12 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "schema_evolution": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   CASE WHEN l_orderkey % 2 = 1
+                        THEN round(l_extendedprice, 2) END AS l_extendedprice
+            FROM lineitem
+        """,
         "streaming_cms": """
             SELECT j, substr(md5(event_type || '#' || j), 1, 2) AS bucket,
                    count(*) AS cnt
