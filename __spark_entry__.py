@@ -3384,6 +3384,21 @@ def _q_date_parts(spark, sf_dir):
     )
 
 
+def _q_video_frames(spark, sf_dir):
+    """Video frame sampling end-to-end
+    (`operators/multimodal.py::sample_frames`): real toy-container
+    decode (PVID header parse + frame slicing) in one mapInPandas
+    pass, every 2nd frame, exact int64 per-frame pixel sums; payload
+    dropped in-stage. The fixture pixels are a closed form of
+    (asset, frame, y, x, channel), so the DuckDB oracle re-sums every
+    sampled frame from `range()` alone — the Spark side must actually
+    parse the bytes to agree."""
+    from hdfe_spark.operators.multimodal import make_video_assets, sample_frames
+
+    assets = make_video_assets(spark, n=128)
+    return sample_frames(assets, every_n=2)
+
+
 def _q_schema_evolution(spark, sf_dir):
     """Schema-on-read evolution (`mergeSchema`): two parquet writes
     into one table directory with DIFFERENT projections — an old
@@ -3637,11 +3652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-35: r03-driver-green backstop rows (oldest
+    - positions 28-34: r03-driver-green backstop rows (oldest
       evidence first) — re-recording them costs nothing and refreshes
       certificates that predate two rotations.
-    - positions 36-45: the ten operators built late in round 6,
+    - positions 35-45: the eleven operators built late in round 6,
       recorded in their build round (sixth curation pass):
+      `video_frames` (real PVID decode + frame sampling),
       `schema_evolution` (mergeSchema NULL-fill contract),
       `streaming_cms` (tenth streaming form: sketch fold ≡ batch
       sketch), `agg_refresh` (incremental view maintenance
@@ -3702,8 +3718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lags_zero_fill": _q_lags_zero_fill,
         "ols_3fe": _q_ols_3fe,
         "se_robust": _q_se_robust,
-        "quality": _q_quality,
-        # -- 36-45: built THIS session (sixth curation pass) --
+        # -- 35-45: built THIS session (sixth curation pass) --
+        "video_frames": _q_video_frames,
         "schema_evolution": _q_schema_evolution,
         "streaming_cms": _q_streaming_cms,
         "agg_refresh": _q_agg_refresh,
@@ -3723,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------ end of the driver's 50-query window ------------------
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
+        "quality": _q_quality,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
@@ -4027,6 +4044,24 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "video_frames": """
+            WITH a AS (SELECT i FROM range(128) t(i)),
+            p AS (SELECT i, 6 + (i % 7) AS w, 5 + ((i*2) % 5) AS h,
+                         4 + (i % 6) AS nf FROM a),
+            fr AS (SELECT i, w, h, u.f AS f
+                   FROM p, unnest(range(0, nf, 2)) AS u(f)),
+            px AS (
+              SELECT i, f, w, h,
+                     sum((x.x*31 + y.y*17 + f*11 + i + c.c*7) % 256) AS ps
+              FROM fr,
+                   unnest(range(w)) AS x(x),
+                   unnest(range(h)) AS y(y),
+                   unnest(range(3)) AS c(c)
+              GROUP BY i, f, w, h)
+            SELECT i AS asset_id, f AS frame_idx, w AS width, h AS height,
+                   CAST(ps AS BIGINT) AS pix_sum
+            FROM px
+        """,
         "schema_evolution": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    CASE WHEN l_orderkey % 2 = 1

@@ -254,3 +254,49 @@ def test_audio_features_bands_and_parseval(spark):
     )
     bad = audio_features(corrupt).collect()
     assert len(bad) == 1 and not bad[0]["decode_ok"]
+
+
+def test_pvid_roundtrip_exact():
+    import numpy as np
+
+    from hdfe_spark.operators.multimodal import decode_pvid, encode_pvid
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(5, 7, 6, 3)).astype("uint8")
+    n, w, h, back = decode_pvid(encode_pvid(6, 7, frames))
+    assert (n, w, h) == (5, 6, 7)
+    assert (back == frames).all()
+
+
+def test_pvid_rejects_garbage():
+    import pytest
+
+    from hdfe_spark.operators.multimodal import decode_pvid, encode_pvid
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        decode_pvid(b"nope" + b"\0" * 32)
+    good = encode_pvid(2, 2, np.zeros((1, 2, 2, 3), dtype="uint8"))
+    with pytest.raises(ValueError):
+        decode_pvid(good[:-1])  # truncated raster
+
+
+def test_sample_frames_every_n_and_sums(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_pvid,
+        sample_frames,
+    )
+
+    frames = np.arange(4 * 2 * 3 * 3, dtype=np.uint8).reshape(4, 2, 3, 3)
+    df = spark.createDataFrame(
+        [(7, "video/pvid", bytearray(encode_pvid(3, 2, frames)), {})],
+        schema=ASSET_SCHEMA,
+    )
+    rows = {r.frame_idx: r for r in sample_frames(df, every_n=3).collect()}
+    assert set(rows) == {0, 3}
+    for fi, r in rows.items():
+        assert (r.width, r.height) == (3, 2)
+        assert r.pix_sum == int(frames[fi].astype("int64").sum())
