@@ -3652,9 +3652,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-34: r03-driver-green backstop rows (oldest
-      evidence first) — re-recording them costs nothing and refreshes
-      certificates that predate two rotations.
+    - positions 28-34 (seventh curation pass): the seven remaining
+      never-driver-recorded rows-only demos (`fingerprint`,
+      `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
+      `embedding_neardup_lsh`, `ivf_topk`, `fingerprint_neardup`) —
+      each carried by a hash-green in-window or r4 certificate; with
+      these recorded, every one of the registry's queries has at
+      least one driver row in the cross-round union. They displaced
+      seven r03-green backstops to the tail.
     - positions 35-45: the eleven operators built late in round 6,
       recorded in their build round (sixth curation pass):
       `video_frames` (real PVID decode + frame sampling),
@@ -3710,14 +3715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2_intervals,
         "streaming_snapshot": _q_streaming_snapshot,
-        # -- 28-50: r03-green backstop (oldest driver evidence) --
-        "tfidf_topk": _q_tfidf_topk,
-        "cosine_topk": _q_cosine_topk,
-        "grouped_agg_salted": _q_grouped_agg_salted,
-        "dummies_drop_last": _q_dummies_drop_last,
-        "lags_zero_fill": _q_lags_zero_fill,
-        "ols_3fe": _q_ols_3fe,
-        "se_robust": _q_se_robust,
+        # -- 28-34: the last never-driver-recorded entries — the seven
+        # rows-only-by-design demos whose exactness certificates are all
+        # hash-green (ann_lsh_recall/ivf_recall r4, simhash/fingerprint
+        # exactness rows r4). Recording their rows-only rows closes the
+        # cross-round union at 158/158 queries with >=1 driver row.
+        "fingerprint": _q_fingerprint,
+        "simhash_dedup": _q_simhash_dedup,
+        "simhash_neardup": _q_simhash_neardup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ivf_topk": _q_ivf_topk,
+        "fingerprint_neardup": _q_fingerprint_neardup,
         # -- 35-45: built THIS session (sixth curation pass) --
         "video_frames": _q_video_frames,
         "schema_evolution": _q_schema_evolution,
@@ -3841,14 +3850,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lm_logprob": _q_lm_logprob,
         "contamination": _q_contamination,
-        # rows-only-by-design demos (certificate-covered):
-        "fingerprint": _q_fingerprint,
-        "simhash_dedup": _q_simhash_dedup,
-        "simhash_neardup": _q_simhash_neardup,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "ivf_topk": _q_ivf_topk,
-        "fingerprint_neardup": _q_fingerprint_neardup,
+        # r03-green backstops displaced by the seventh curation pass
+        # (window slots 28-34 now record the last never-driver-recorded
+        # rows-only demos; these seven keep their green r03 rows):
+        "tfidf_topk": _q_tfidf_topk,
+        "cosine_topk": _q_cosine_topk,
+        "grouped_agg_salted": _q_grouped_agg_salted,
+        "dummies_drop_last": _q_dummies_drop_last,
+        "lags_zero_fill": _q_lags_zero_fill,
+        "ols_3fe": _q_ols_3fe,
+        "se_robust": _q_se_robust,
     }
 
 

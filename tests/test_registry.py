@@ -6,12 +6,20 @@ rows-only query drifting unannounced into a recorded slot."""
 import __spark_entry__ as em
 
 # The only window entries WITHOUT an oracle, each by design and each
-# carried by an in-window hash-matched certificate: `semdedup` by
+# carried by a hash-matched certificate: `semdedup` by
 # `semdedup_recall`, `pq_topk` by `pq_recall` (driver-green r5),
-# `ivfpq_topk` by `ivfpq_recall` (driver-green r5). The round-6
-# window records their rows-only driver rows on purpose (VERDICT r5
-# missing-item 1).
-ROWS_ONLY_BY_DESIGN = {"semdedup", "pq_topk", "ivfpq_topk"}
+# `ivfpq_topk` by `ivfpq_recall` (driver-green r5), and — seventh
+# curation pass — the last seven never-driver-recorded demos
+# (`fingerprint*`/`simhash*` by the r4 exactness rows,
+# `ann_lsh_topk`/`embedding_neardup_lsh` by `ann_lsh_recall` r4,
+# `ivf_topk` by `ivf_recall` r4). The round-6 window records their
+# rows-only driver rows on purpose (VERDICT r5 missing-item 1).
+ROWS_ONLY_BY_DESIGN = {
+    "semdedup", "pq_topk", "ivfpq_topk",
+    "fingerprint", "simhash_dedup", "simhash_neardup",
+    "ann_lsh_topk", "embedding_neardup_lsh", "ivf_topk",
+    "fingerprint_neardup",
+}
 
 
 def test_window_all_have_oracles_or_are_declared():
@@ -47,7 +55,11 @@ def test_round6_window_composition():
         "inverted_index", "label_centroids", "snapshot_diff",
         "scd2_intervals", "streaming_snapshot",
     }
-    assert q[27] == "tfidf_topk"
+    assert set(q[27:34]) == {
+        "fingerprint", "simhash_dedup", "simhash_neardup",
+        "ann_lsh_topk", "embedding_neardup_lsh", "ivf_topk",
+        "fingerprint_neardup",
+    }
     assert set(q[45:50]) == {
         "snapshot_diff_apply", "tpch_q21", "interval_join",
         "pagerank", "multimodal_audio",
