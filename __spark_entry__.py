@@ -3599,6 +3599,199 @@ def _q_triangle_count(spark, sf_dir):
     return triangle_count(edges)
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure-scan query —
+    one pass over lineitem, every predicate (shipdate year, discount
+    band, quantity cap) pushed to the parquet reader, no join, no
+    shuffle beyond the final 1-row combine. The benchmark's floor on
+    scan throughput; at 100 TB this is I/O-bound and partition-pruned
+    if lineitem is date-partitioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    dt = dict(li.dtypes)["l_shipdate"]
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast(dt))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+    return out
+
+
+def _q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue shipped between two named
+    nations in either direction, by (supp_nation, cust_nation, year).
+    Two independent broadcast dimension chains (supplier→nation,
+    customer→nation via orders) meet the lineitem fact in one
+    orderkey shuffle; the OR'd nation-pair predicate lands post-join
+    on broadcast columns so it never blocks pushdown of the shipdate
+    range."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    dt = dict(li.dtypes)["l_shipdate"]
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast(dt))
+        )
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Fact join on orderkey,
+    broadcast customer/nation; the top-20 is an orderBy+limit that
+    Catalyst plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort). Ordered on the ROUNDED revenue with a custkey
+    tie-break so the ranking is engine-portable (adapted: fixture has
+    no c_phone/address/comment)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    na = _t(spark, sf_dir, "nation")
+    dt = dict(od.dtypes)["o_orderdate"]
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast(dt))
+            ),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+    # Sum in integer micros so the revenue is exact under ANY
+    # summation order (a plain double sum differs in the last ulp
+    # between engines and flips round(.,2) on a .xx5 boundary —
+    # observed at sf0.01; the final round itself also disagrees on
+    # the boundary: Spark rounds the shortest decimal repr, DuckDB
+    # the binary value). So the output is the UNrounded exact
+    # micros-derived double: identical bigint / 1e6 is bit-identical
+    # IEEE division on both engines. Same trick as `decimal_agg`.
+    rev_u = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+    ).cast("bigint")
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        (F.sum(rev_u).cast("double") / 1e6).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): percent of one month's revenue
+    from PROMO-type parts — conditional aggregation over a broadcast
+    part join; the fixture's `p_type` domain includes 'PROMO'
+    natively so no adaptation is needed. Single row; the ratio is
+    rounded on both engines so double-sum association noise cannot
+    flip the hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    dt = dict(li.dtypes)["l_shipdate"]
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast(dt))
+        )
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the view-plus-scalar-subquery shape —
+    per-supplier revenue over one quarter, then the supplier(s)
+    achieving the maximum. The max is a 1-row broadcast crossJoin
+    (never a sort); equality is tested on the ROUNDED revenue so the
+    winner set is identical on any summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    dt = dict(li.dtypes)["l_shipdate"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast(dt))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
 def _q_setsim_join(spark, sf_dir):
     """Exact prefix-filter set-similarity self-join (AllPairs/PPJoin,
     `operators/setjoin.py`): every document pair with 5-shingle
@@ -3860,6 +4053,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lags_zero_fill": _q_lags_zero_fill,
         "ols_3fe": _q_ols_3fe,
         "se_robust": _q_se_robust,
+        # TPC-H completion, built this session (eighth curation pass
+        # pending: these are never-driver-recorded and will be
+        # promoted into the window once the batch is gated):
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
     }
 
 
@@ -5397,6 +5598,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                     AS revenue,
+                   round(c_acctbal, 2) AS acctbal,
+                   n_name
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                 THEN l_extendedprice * (1 - l_discount)
+                                 ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS promo_revenue_pct,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         """,
         "tpch_q5": """
             SELECT n_name,
