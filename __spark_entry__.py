@@ -3792,6 +3792,208 @@ def _q_tpch_q15(spark, sf_dir):
     )
 
 
+def _q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_1's share of ASIA's
+    STANDARD-part market by order year. The deepest join tree in the
+    suite — lineitem at the center, part/supplier/orders/customer/
+    nation×2/region all broadcast around it — followed by a
+    conditional-ratio aggregation. Both sums ride as exact integer
+    micros so the share is bit-identical under any partial-agg
+    order; the ratio of two exact bigints is one deterministic IEEE
+    division (no round needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    pa = _t(spark, sf_dir, "part")
+    dt = dict(od.dtypes)["o_orderdate"]
+    n1 = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol_u = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+    ).cast("bigint")
+    j = (
+        li.join(F.broadcast(pa.filter(F.col("p_type") == "STANDARD")),
+                F.col("l_partkey") == pa.p_partkey)
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast(dt))
+            ),
+            F.col("l_orderkey") == od.o_orderkey,
+        )
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), cu.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(re_), F.col("c_rk") == re_.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(n2), su.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol_u)
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(vol_u).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) adapted to the fixture: the
+    reference schema prices cost from partsupp.ps_supplycost, which
+    the fixture lacks, so cost is proxied as p_retailprice *
+    l_quantity (same join topology, same LIKE-filtered part scan).
+    Profit per (supplier nation, order year), everything in exact
+    integer micros; gear-named parts only (`p_name LIKE '%gear%'`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    amount_u = (
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+        ).cast("bigint")
+        - F.round(
+            (F.col("p_retailprice") * F.col("l_quantity")) * 1e6
+        ).cast("bigint")
+    )
+    j = (
+        li.join(
+            F.broadcast(pa.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == pa.p_partkey,
+        )
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum(amount_u).cast("double") / 1e6).alias("sum_profit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode service level) adapted: the fixture
+    has no l_shipmode/commitdate/receiptdate, so the grouping
+    dimension is the ship-delay bucket (days between order and ship
+    date: <=30 / <=90 / late) and the measure is the urgent-vs-other
+    priority split per bucket — the same orders⋈lineitem one-shuffle
+    CASE-count shape. Pure integer counts, no float hazard."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    dt = dict(od.dtypes)["o_orderdate"]
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    j = li.join(
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast(dt))
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(
+            F.when(delay <= 30, "0-30")
+            .when(delay <= 90, "31-90")
+            .otherwise("late")
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): Brand#1 lineitems
+    whose quantity is below 20% of that part's average quantity —
+    the canonical correlated-scalar-subquery decorrelation: the
+    per-part average becomes a broadcast groupBy join, never a
+    re-scan per row. The avg threshold is deterministic cross-engine
+    because quantities are integral doubles (exact sum / exact
+    count); revenue rides as exact micros."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    branded = li.join(
+        F.broadcast(pa.filter(F.col("p_brand") == "Brand#1")),
+        F.col("l_partkey") == pa.p_partkey,
+    )
+    avg_q = (
+        branded.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    small = branded.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_partkey")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 1e6).cast("bigint"))
+            .cast("double")
+            / 7e6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): three OR'd predicate blocks
+    over brand × size-band × quantity-range (container stands in as
+    p_size bands — the fixture has no p_container). One broadcast
+    part join; the disjunction sits in ONE filter so Catalyst can
+    extract the common l_partkey=p_partkey conjunct as the join key
+    instead of planning a nested-loop over the OR. Exact-micros
+    revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+    block1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+    )
+    block2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+    )
+    block3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+    )
+    rev_u = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1e6
+    ).cast("bigint")
+    return j.filter(block1 | block2 | block3).agg(
+        (F.sum(rev_u).cast("double") / 1e6).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
 def _q_setsim_join(spark, sf_dir):
     """Exact prefix-filter set-similarity self-join (AllPairs/PPJoin,
     `operators/setjoin.py`): every document pair with 5-shingle
@@ -4061,6 +4263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
     }
 
 
@@ -5598,6 +5805,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "tpch_q8": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                            * 1e6) AS BIGINT)
+                            ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 1e6) AS BIGINT)) AS DOUBLE)
+                     AS mkt_share,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD'
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * (1 - l_discount) * 1e6)
+                          AS BIGINT)
+                     - CAST(round(p_retailprice * l_quantity * 1e6)
+                            AS BIGINT)) AS DOUBLE) / 1e6 AS sum_profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q12": """
+            SELECT CASE
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) <= 30
+                       THEN '0-30'
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE)) <= 90
+                       THEN '31-90'
+                     ELSE 'late' END AS delay_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                   ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q17": """
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'),
+            avg_q AS (
+              SELECT l_partkey AS ap_partkey,
+                     avg(l_quantity) AS avg_qty
+              FROM branded GROUP BY 1)
+            SELECT CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT))
+                        AS DOUBLE) / 7e6 AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM branded
+            JOIN avg_q ON l_partkey = ap_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q19": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 1 AND l_quantity <= 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity >= 10 AND l_quantity <= 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity >= 20 AND l_quantity <= 30)
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
