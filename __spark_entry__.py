@@ -3994,6 +3994,216 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) adapted: the fixture has no
+    partsupp, so the supply relation is derived from lineitem and
+    the per-(part,supplier) unit cost is min(l_extendedprice /
+    l_quantity). For every size-15 STANDARD part, the EUROPE
+    supplier(s) with the minimum unit cost — the correlated-min
+    subquery decorrelated into a groupBy + broadcast join, exactly
+    Q2's shape. Min over per-row IEEE divisions is order-free, so no
+    rounding games are needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    pa = _t(spark, sf_dir, "part")
+    eur_supp = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    target = pa.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    ).select("p_partkey", "p_name")
+    supply = (
+        li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+                 "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+            .alias("unit_cost")
+        )
+    )
+    min_cost = supply.groupBy(F.col("p_partkey").alias("mp_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock) adapted: inventory value per part
+    from NATION_1 suppliers' shipped volume (fixture has no
+    partsupp.availqty), keeping parts whose value exceeds 0.05% of
+    the nation's total — the group-vs-global-scalar-subquery shape:
+    one grouped aggregation, one 1-row broadcast total, one filter.
+    Values ride as exact micros; the threshold compare is bigint ×
+    one deterministic double product."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    val_u = F.round(F.col("l_extendedprice") * 1e6).cast("bigint")
+    n1 = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .filter(F.col("n_name") == "NATION_1")
+        .select("s_suppkey")
+    )
+    sup_li = li.join(
+        F.broadcast(n1), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = sup_li.groupBy("l_partkey").agg(
+        F.sum(val_u).alias("value_u")
+    )
+    total = per_part.agg(F.sum("value_u").alias("total_u"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("value_u").cast("double")
+            > F.col("total_u").cast("double") * 0.0005
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_u").cast("double") / 1e6).alias("value"),
+        )
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) adapted: how many
+    distinct suppliers ship each (brand, type, size) combo, with the
+    NOT-IN supplier exclusion (negative account balance standing in
+    for the reference's complaint-comment scan — the fixture has no
+    comments). Exclusion is a broadcast left-anti join; the distinct
+    count is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    pa = _t(spark, sf_dir, "part")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = pa.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("l_partkey") == pa.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion) adapted: NATION_3
+    suppliers whose all-time shipped quantity of some red part
+    exceeds 60% of that part's total 1996 sales (shipped-quantity
+    totals stand in for partsupp.availqty). The nested
+    semi-join chain: red parts → per-(part,supplier) totals →
+    per-part 1996 totals → threshold semi-join → supplier names.
+    Quantities are integral doubles, so every total is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part")
+    dt = dict(li.dtypes)["l_shipdate"]
+    red = pa.filter(F.col("p_name").like("red %")).select("p_partkey")
+    red_li = li.join(
+        F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avail = red_li.groupBy(
+        F.col("l_partkey").alias("a_partkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    ).agg(F.sum("l_quantity").alias("avail_qty"))
+    sold96 = (
+        red_li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast(dt))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast(dt))
+        )
+        .groupBy(F.col("l_partkey").alias("s_partkey"))
+        .agg(F.sum("l_quantity").alias("qty96"))
+    )
+    qualifying = (
+        avail.join(
+            F.broadcast(sold96), F.col("a_partkey") == F.col("s_partkey")
+        )
+        .filter(F.col("avail_qty") > 0.6 * F.col("qty96"))
+        .select(F.col("a_suppkey"))
+        .distinct()
+    )
+    n3 = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+    )
+    return (
+        n3.join(
+            qualifying, F.col("s_suppkey") == F.col("a_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) adapted: per nation (the
+    fixture has no c_phone, so n_nationkey 1-7 stands in for the
+    country-code substring), the count and total balance of
+    customers whose balance beats the average positive balance AND
+    who have placed no order since 2000 (every fixture customer has
+    SOME order, so the reference's never-ordered predicate would be
+    vacuously empty; dormancy keeps the anti-join meaningful) —
+    scalar subquery + anti-join in one query. Balances ride as exact
+    micros; the average threshold is one deterministic bigint/bigint
+    division so no customer flips sides between engines."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    odt = dict(od.dtypes)["o_orderdate"]
+    recent = od.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast(odt)
+    )
+    bal_u = F.round(F.col("c_acctbal") * 1e6).cast("bigint")
+    pool = cu.filter(F.col("c_nationkey").between(1, 7)).withColumn(
+        "bal_u", bal_u
+    )
+    avg_pos = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum("bal_u").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_u")
+    )
+    rich = pool.join(F.broadcast(avg_pos)).filter(
+        F.col("bal_u").cast("double") > F.col("avg_u")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            (F.sum("bal_u").cast("double") / 1e6).alias("totacctbal"),
+        )
+    )
+
+
 def _q_setsim_join(spark, sf_dir):
     """Exact prefix-filter set-similarity self-join (AllPairs/PPJoin,
     `operators/setjoin.py`): every document pair with 5-shingle
@@ -4268,6 +4478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q17": _q_tpch_q17,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q22": _q_tpch_q22,
     }
 
 
@@ -5805,6 +6020,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "tpch_q2": """
+            WITH eur_supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            supply AS (
+              SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+                     n_name,
+                     min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN eur_supp ON l_suppkey = s_suppkey
+              WHERE p_type = 'STANDARD' AND p_size = 15
+              GROUP BY 1, 2, 3, 4, 5, 6),
+            min_cost AS (
+              SELECT p_partkey AS mp_partkey, min(unit_cost) AS mc
+              FROM supply GROUP BY 1)
+            SELECT p_partkey, p_name, s_name,
+                   round(s_acctbal, 2) AS acctbal,
+                   n_name AS nation,
+                   round(unit_cost, 6) AS unit_cost
+            FROM supply
+            JOIN min_cost ON p_partkey = mp_partkey AND unit_cost = mc
+        """,
+        "tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 1e6) AS BIGINT))
+                       AS value_u
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_1'
+              GROUP BY 1)
+            SELECT l_partkey AS partkey,
+                   CAST(value_u AS DOUBLE) / 1e6 AS value
+            FROM per_part
+            WHERE CAST(value_u AS DOUBLE) >
+                  (SELECT CAST(sum(value_u) AS DOUBLE) FROM per_part)
+                  * 0.0005
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20": """
+            WITH red_li AS (
+              SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red %'),
+            avail AS (
+              SELECT l_partkey AS a_partkey, l_suppkey AS a_suppkey,
+                     sum(l_quantity) AS avail_qty
+              FROM red_li GROUP BY 1, 2),
+            sold96 AS (
+              SELECT l_partkey AS s_partkey, sum(l_quantity) AS qty96
+              FROM red_li
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (
+                SELECT a_suppkey FROM avail
+                JOIN sold96 ON a_partkey = s_partkey
+                WHERE avail_qty > 0.6 * qty96)
+        """,
+        "tpch_q22": """
+            WITH pool AS (
+              SELECT c_custkey, c_nationkey, c_acctbal,
+                     CAST(round(c_acctbal * 1e6) AS BIGINT) AS bal_u
+              FROM customer
+              WHERE c_nationkey BETWEEN 1 AND 7),
+            avg_pos AS (
+              SELECT CAST(sum(bal_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS avg_u
+              FROM pool WHERE c_acctbal > 0.0)
+            SELECT c_nationkey AS cntry,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_u) AS DOUBLE) / 1e6 AS totacctbal
+            FROM pool, avg_pos
+            WHERE CAST(bal_u AS DOUBLE) > avg_u
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "tpch_q8": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
