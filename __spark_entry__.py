@@ -4246,25 +4246,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       weaker rows-only driver check BY DESIGN).
     - position 14: `tpch_q18`, new this round (HAVING-subquery
       semi-join flagship).
-    - positions 15-22: queries whose CODE PATHS changed this round
-      and therefore need re-certification even though their round-4/5
-      rows were green: fuzzy blocking (len-1 exactness), the upsert
-      drift guard, the blocked pair emitter is not among them (its
-      certificates sit in 2-13), the Knuth-hash overflow fix, and the
-      prefix_sum offset typing.
-    - positions 23-27: the five operators BUILT in round 6
+    - positions 15-29 (eighth curation pass): the 15 TPC-H queries
+      that complete the 22-query suite, all built this round —
+      Q2/Q6/Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q15/Q16/Q17/Q19/Q20/Q22 —
+      never driver-recorded, promoted in their build round. They
+      displaced the eight round-6 re-certification rows (all still
+      driver-green r5 and hash-green under the local strict gate
+      every round) and seven rows-only demos to 51+.
+    - positions 30-34: the five operators BUILT in round 6
       (`inverted_index`, `label_centroids`, `snapshot_diff`,
       `scd2_intervals`, `streaming_snapshot`) — recorded in their
       build round instead of queueing a round like the round-5 batch
       had to.
-    - positions 28-34 (seventh curation pass): the seven remaining
-      never-driver-recorded rows-only demos (`fingerprint`,
-      `simhash_dedup`, `simhash_neardup`, `ann_lsh_topk`,
-      `embedding_neardup_lsh`, `ivf_topk`, `fingerprint_neardup`) —
-      each carried by a hash-green in-window or r4 certificate; with
-      these recorded, every one of the registry's queries has at
-      least one driver row in the cross-round union. They displaced
-      seven r03-green backstops to the tail.
     - positions 35-45: the eleven operators built late in round 6,
       recorded in their build round (sixth curation pass):
       `video_frames` (real PVID decode + frame sampling),
@@ -4305,33 +4298,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         # -- 14: new this round --
         "tpch_q18": _q_tpch_q18,
-        # -- 15-22: code paths changed in round 6; re-certify --
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "upsert_roundtrip": _q_upsert_roundtrip,
-        "streaming_upsert": _q_streaming_upsert,
-        "weighted_sample": _q_weighted_sample,
-        "running_total": _q_running_total,
-        "pack_sequences": _q_pack_sequences,
-        "compact_roundtrip": _q_compact_roundtrip,
-        # -- 23-27: round-6 new operators (never driver-recorded) --
+        # -- 15-29: TPC-H suite completion, built this round --
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q22": _q_tpch_q22,
+        # -- 30-34: round-6 new operators (never driver-recorded) --
         "inverted_index": _q_inverted_index,
         "label_centroids": _q_label_centroids,
         "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2_intervals,
         "streaming_snapshot": _q_streaming_snapshot,
-        # -- 28-34: the last never-driver-recorded entries — the seven
-        # rows-only-by-design demos whose exactness certificates are all
-        # hash-green (ann_lsh_recall/ivf_recall r4, simhash/fingerprint
-        # exactness rows r4). Recording their rows-only rows closes the
-        # cross-round union at 158/158 queries with >=1 driver row.
-        "fingerprint": _q_fingerprint,
-        "simhash_dedup": _q_simhash_dedup,
-        "simhash_neardup": _q_simhash_neardup,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "ivf_topk": _q_ivf_topk,
-        "fingerprint_neardup": _q_fingerprint_neardup,
         # -- 35-45: built THIS session (sixth curation pass) --
         "video_frames": _q_video_frames,
         "schema_evolution": _q_schema_evolution,
@@ -4351,6 +4339,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "multimodal_audio": _q_multimodal_audio,
         # ------ end of the driver's 50-query window ------------------
+        # round-6 re-certification rows displaced by the eighth pass
+        # (code paths changed early round 6; all were driver-green r5
+        # and re-verify hash-green under the strict local gate every
+        # round — first candidates for the round-7 window):
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "upsert_roundtrip": _q_upsert_roundtrip,
+        "streaming_upsert": _q_streaming_upsert,
+        "weighted_sample": _q_weighted_sample,
+        "running_total": _q_running_total,
+        "pack_sequences": _q_pack_sequences,
+        "compact_roundtrip": _q_compact_roundtrip,
+        # never-driver-recorded rows-only demos displaced by the
+        # eighth pass (each carried by a hash-green certificate:
+        # simhash/fingerprint exactness rows r4, ann_lsh_recall r4,
+        # ivf_recall r4) — the round-7 rotation queue:
+        "fingerprint": _q_fingerprint,
+        "simhash_dedup": _q_simhash_dedup,
+        "simhash_neardup": _q_simhash_neardup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ivf_topk": _q_ivf_topk,
+        "fingerprint_neardup": _q_fingerprint_neardup,
         # r03-green backstop displaced by the fifth/sixth curation
         # passes (all hold green CORRECTNESS_r03 rows, nothing lost):
         "quality": _q_quality,
@@ -4465,24 +4476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lags_zero_fill": _q_lags_zero_fill,
         "ols_3fe": _q_ols_3fe,
         "se_robust": _q_se_robust,
-        # TPC-H completion, built this session (eighth curation pass
-        # pending: these are never-driver-recorded and will be
-        # promoted into the window once the batch is gated):
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q22": _q_tpch_q22,
     }
 
 

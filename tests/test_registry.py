@@ -8,18 +8,10 @@ import __spark_entry__ as em
 # The only window entries WITHOUT an oracle, each by design and each
 # carried by a hash-matched certificate: `semdedup` by
 # `semdedup_recall`, `pq_topk` by `pq_recall` (driver-green r5),
-# `ivfpq_topk` by `ivfpq_recall` (driver-green r5), and — seventh
-# curation pass — the last seven never-driver-recorded demos
-# (`fingerprint*`/`simhash*` by the r4 exactness rows,
-# `ann_lsh_topk`/`embedding_neardup_lsh` by `ann_lsh_recall` r4,
-# `ivf_topk` by `ivf_recall` r4). The round-6 window records their
-# rows-only driver rows on purpose (VERDICT r5 missing-item 1).
-ROWS_ONLY_BY_DESIGN = {
-    "semdedup", "pq_topk", "ivfpq_topk",
-    "fingerprint", "simhash_dedup", "simhash_neardup",
-    "ann_lsh_topk", "embedding_neardup_lsh", "ivf_topk",
-    "fingerprint_neardup",
-}
+# `ivfpq_topk` by `ivfpq_recall` (driver-green r5). The seven other
+# rows-only demos sit at 51+ as the round-7 rotation queue (eighth
+# curation pass: the 15 new TPC-H queries took their slots).
+ROWS_ONLY_BY_DESIGN = {"semdedup", "pq_topk", "ivfpq_topk"}
 
 
 def test_window_all_have_oracles_or_are_declared():
@@ -33,9 +25,9 @@ def test_window_all_have_oracles_or_are_declared():
 
 def test_round6_window_composition():
     """Positions 1-50: the fixed decimal_agg first, then the 12
-    round-5-built never-driver-recorded queries, tpch_q18, the 8
-    queries whose code paths changed in round 6, the 5 round-6-new
-    operators, and r03-green backstop. If this fails after an
+    round-5-built never-driver-recorded queries, tpch_q18, the 15
+    TPC-H queries completing the suite (eighth curation pass), the
+    round-6-built operator batches. If this fails after an
     intentional round-7 rotation, update the expectation alongside
     the `queries()` docstring."""
     q = list(em.queries())
@@ -46,24 +38,21 @@ def test_round6_window_composition():
         "pmi_bigrams", "rebalance_sources", "pq_topk", "ivfpq_topk",
     }
     assert q[13] == "tpch_q18"
-    assert set(q[14:22]) == {
-        "fuzzy_pairs", "fuzzy_dedup", "upsert_roundtrip",
-        "streaming_upsert", "weighted_sample", "running_total",
-        "pack_sequences", "compact_roundtrip",
+    assert set(q[14:29]) == {
+        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q15",
+        "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
     }
-    assert set(q[22:27]) == {
+    assert set(q[29:34]) == {
         "inverted_index", "label_centroids", "snapshot_diff",
         "scd2_intervals", "streaming_snapshot",
-    }
-    assert set(q[27:34]) == {
-        "fingerprint", "simhash_dedup", "simhash_neardup",
-        "ann_lsh_topk", "embedding_neardup_lsh", "ivf_topk",
-        "fingerprint_neardup",
     }
     assert set(q[45:50]) == {
         "snapshot_diff_apply", "tpch_q21", "interval_join",
         "pagerank", "multimodal_audio",
     }
+    # every hash-matchable query in 1-50 has never been driver-
+    # recorded before round 6 — the window wastes no slots
     assert len(set(q)) == len(q)
 
 
