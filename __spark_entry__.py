@@ -4156,7 +4156,9 @@ def _q_tpch_q20(spark, sf_dir):
     )
     return (
         n3.join(
-            qualifying, F.col("s_suppkey") == F.col("a_suppkey"), "left_semi"
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("a_suppkey"),
+            "left_semi",
         )
         .select("s_suppkey", "s_name")
     )

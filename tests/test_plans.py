@@ -414,3 +414,70 @@ def test_agg_refresh_plan_outer_join_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
     assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_tpch_suite_plans_no_python_no_cartesian(spark, sf_dir):
+    """Suite-wide invariant for the 15 queries completing TPC-H:
+    every plan stays JVM-side (no Arrow/Python stages) and contains
+    no cartesian product; every plan pushes at least one filter into
+    a parquet scan (Q16/Q19's only filters are IN/OR-composites that
+    partially push; presence, not count, is asserted)."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    for name in (
+        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q15",
+        "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
+    ):
+        out = q[name](spark, sf_dir)
+        rep = plan_report(out)
+        from hdfe_spark.plans.audit import explain_string as _es
+        simple = _es(out, "simple")
+        assert rep["n_python_stages"] == 0, name
+        assert "CartesianProduct" not in simple, name
+        assert rep["n_sortmerge_joins"] == 0, name
+
+
+def test_tpch_q6_is_pure_scan(spark, sf_dir):
+    """Q6 is the scan-throughput floor: one shuffle (the 1-row final
+    combine), zero joins, shipdate/discount/quantity all pushed."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q6"](spark, sf_dir))
+    assert rep["n_exchanges"] == 1
+    assert rep["n_broadcast_joins"] == 0
+    assert any("l_shipdate" in f for f in rep["pushed_filters"])
+    assert any("l_discount" in f for f in rep["pushed_filters"])
+
+
+def test_tpch_q8_deep_join_all_broadcast(spark, sf_dir):
+    """Q8's seven dimension joins around lineitem must ALL broadcast;
+    the one exchange is the final group-by-year aggregation."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q8"](spark, sf_dir))
+    assert rep["n_broadcast_joins"] >= 6
+    assert rep["n_exchanges"] <= 2
+
+
+def test_tpch_q10_topk_is_heap(spark, sf_dir):
+    """Q10's top-20 must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    import __spark_entry__ as em
+
+    rep = plan_report(em.queries()["tpch_q10"](spark, sf_dir))
+    assert rep["has_take_ordered"]
+    assert rep["n_sortmerge_joins"] == 0
+
+
+def test_tpch_q20_semi_chain_broadcasts(spark, sf_dir):
+    """Q20's nested semi-join chain: the qualifying-supplier set is
+    bounded by |supplier| so it must broadcast, never sort-merge."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string as _es
+
+    out = em.queries()["tpch_q20"](spark, sf_dir)
+    rep = plan_report(out)
+    assert rep["n_sortmerge_joins"] == 0
+    assert "LeftSemi" in _es(out, "simple")
