@@ -3994,6 +3994,86 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_dq_report(spark, sf_dir):
+    """Declarative data-quality contract over orders
+    (`operators/validate.py::check_constraints`, Deequ-style): six
+    rules — completeness, uniqueness, bounds, set membership, regex
+    conformance, minimum volume — ALL evaluated in one scan / one
+    aggregation. The report is the long-format (constraint, metric,
+    threshold, passed) table."""
+    from hdfe_spark.operators.validate import check_constraints
+
+    od = _t(spark, sf_dir, "orders")
+    rules = [
+        {"kind": "completeness", "column": "o_custkey"},
+        {"kind": "uniqueness", "column": "o_orderkey"},
+        {"kind": "bounds", "column": "o_totalprice", "lo": 0.0,
+         "hi": 1e6, "min_fraction": 0.99},
+        {"kind": "in_set", "column": "o_orderstatus",
+         "values": ["F", "O", "P"], "min_fraction": 1.0},
+        {"kind": "matches", "column": "o_orderpriority",
+         "pattern": "^[1-5]-", "min_fraction": 1.0},
+        {"kind": "min_rows", "n": 1000},
+    ]
+    return check_constraints(od, rules)
+
+
+def _q_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit
+    (`operators/validate.py::referential_integrity`): both fact→dim
+    key containments of the star schema (lineitem→orders,
+    orders→customer), each distinct-compressed before its broadcast
+    anti-join, union'd with a relation label."""
+    from hdfe_spark.operators.validate import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    a = referential_integrity(li, od, "l_orderkey", "o_orderkey").select(
+        F.lit("lineitem->orders").alias("relation"), "*"
+    )
+    b = referential_integrity(od, cu, "o_custkey", "c_custkey").select(
+        F.lit("orders->customer").alias("relation"), "*"
+    )
+    return a.unionByName(b)
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier flags
+    (`operators/validate.py::mad_outliers`): events whose value
+    deviates from their event_type's median by > 6x the median
+    absolute deviation. Medians are exact order statistics (never
+    float sums), so the flagged row set is engine-portable
+    bit-for-bit."""
+    from hdfe_spark.operators.validate import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(
+        ev.select("event_id", "event_type", "value"),
+        "event_type",
+        "value",
+        k=6.0,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "group_median", "group_mad"
+    )
+
+
+def _q_col_profile(spark, sf_dir):
+    """One-pass column profiling
+    (`operators/validate.py::column_profile`): null/distinct/min/max
+    for five lineitem columns from a single aggregation — the scan
+    cost of profiling does not grow with the column count."""
+    from hdfe_spark.operators.validate import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+         "l_shipdate"],
+    )
+
+
 def _q_tpch_q2(spark, sf_dir):
     """TPC-H Q2 (minimum-cost supplier) adapted: the fixture has no
     partsupp, so the supply relation is derived from lineitem and
@@ -4240,12 +4320,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - position 1: `decimal_agg` — round 5's only red, fixed this
       round (string-rendered DECIMAL sums on both engines); stays in
       the window so round 6 records the green row.
-    - positions 2-13: the 12 round-5-built queries that have never
-      had a driver row — `semdedup_recall` … `rebalance_sources`
-      plus the `semdedup`/`pq_topk`/`ivfpq_topk` rows-only demos
-      (their exactness certificates `semdedup_recall`/`pq_recall`/
-      `ivfpq_recall` are hash-matched; the demos themselves get the
-      weaker rows-only driver check BY DESIGN).
+    - positions 2-13: the nine round-5-built queries that have never
+      had a driver row (`semdedup_recall` … `rebalance_sources`)
+      plus — ninth curation pass — three of the four data-quality
+      operators built this round (`dq_report`, `ref_integrity`,
+      `mad_outliers`), which took the slots of the
+      `semdedup`/`pq_topk`/`ivfpq_topk` rows-only demos: a
+      hash-matchable first recording beats a rows-only one, and the
+      demos' exactness certificates are hash-green already.
     - position 14: `tpch_q18`, new this round (HAVING-subquery
       semi-join flagship).
     - positions 15-29 (eighth curation pass): the 15 TPC-H queries
@@ -4285,9 +4367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- position 1: the round-5 red, fixed --
         "decimal_agg": _q_decimal_agg,
-        # -- 2-13: round-5-built, first driver record this round --
+        # -- 2-13: round-5-built never-recorded + the data-quality
+        # family built this round (ninth pass: `dq_report`,
+        # `ref_integrity`, `mad_outliers` took the slots of the three
+        # rows-only demos, whose certificates are already hash-green) --
         "semdedup_recall": _q_semdedup_recall,
-        "semdedup": _q_semdedup,
+        "dq_report": _q_dq_report,
         "snapshot_roundtrip": _q_snapshot_roundtrip,
         "winsorize": _q_winsorize,
         "tpch_q5": _q_tpch_q5,
@@ -4296,8 +4381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": _q_date_parts,
         "pmi_bigrams": _q_pmi_bigrams,
         "rebalance_sources": _q_rebalance_sources,
-        "pq_topk": _q_pq_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
+        "ref_integrity": _q_ref_integrity,
+        "mad_outliers": _q_mad_outliers,
         # -- 14: new this round --
         "tpch_q18": _q_tpch_q18,
         # -- 15-29: TPC-H suite completion, built this round --
@@ -4354,9 +4439,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "compact_roundtrip": _q_compact_roundtrip,
         # never-driver-recorded rows-only demos displaced by the
-        # eighth pass (each carried by a hash-green certificate:
-        # simhash/fingerprint exactness rows r4, ann_lsh_recall r4,
-        # ivf_recall r4) — the round-7 rotation queue:
+        # eighth/ninth passes (each carried by a hash-green
+        # certificate: simhash/fingerprint exactness rows r4,
+        # ann_lsh_recall r4, ivf_recall r4, semdedup_recall and
+        # pq/ivfpq_recall in-window) plus `col_profile` (built this
+        # round, one slot short) — the round-7 rotation queue:
+        "col_profile": _q_col_profile,
+        "semdedup": _q_semdedup,
+        "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "fingerprint": _q_fingerprint,
         "simhash_dedup": _q_simhash_dedup,
         "simhash_neardup": _q_simhash_neardup,
@@ -6015,6 +6106,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "dq_report": """
+            WITH m AS (
+              SELECT
+                CAST(count(o_custkey) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m0,
+                CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                  / CAST(count(o_orderkey) AS DOUBLE) AS m1,
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND o_totalprice >= 0.0
+                              AND o_totalprice <= 1e6
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m2,
+                CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m3,
+                CAST(sum(CASE WHEN regexp_matches(o_orderpriority,
+                                                  '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m4,
+                CAST(count(*) AS DOUBLE) AS m5
+              FROM orders)
+            SELECT 'completeness(o_custkey)' AS constraint,
+                   m0 AS metric, 1.0 AS threshold, m0 >= 1.0 AS passed
+            FROM m
+            UNION ALL SELECT 'uniqueness(o_orderkey)', m1, 1.0,
+                             m1 >= 1.0 FROM m
+            UNION ALL SELECT 'bounds(o_totalprice)', m2, 0.99,
+                             m2 >= 0.99 FROM m
+            UNION ALL SELECT 'in_set(o_orderstatus)', m3, 1.0,
+                             m3 >= 1.0 FROM m
+            UNION ALL SELECT 'matches(o_orderpriority)', m4, 1.0,
+                             m4 >= 1.0 FROM m
+            UNION ALL SELECT 'min_rows(>=1000)', m5, 1000.0,
+                             m5 >= 1000.0 FROM m
+        """,
+        "ref_integrity": """
+            WITH lo AS (
+              SELECT l_orderkey AS fk, count(*) AS n
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+            lo_orph AS (
+              SELECT * FROM lo WHERE fk NOT IN
+                (SELECT DISTINCT o_orderkey FROM orders)),
+            oc AS (
+              SELECT o_custkey AS fk, count(*) AS n
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+            oc_orph AS (
+              SELECT * FROM oc WHERE fk NOT IN
+                (SELECT DISTINCT c_custkey FROM customer))
+            SELECT 'lineitem->orders' AS relation,
+                   (SELECT count(*) FROM lo) AS n_child_keys,
+                   (SELECT count(*) FROM lo_orph) AS n_orphan_keys,
+                   CAST((SELECT coalesce(sum(n), 0) FROM lo_orph)
+                        AS BIGINT) AS n_orphan_rows,
+                   (SELECT count(*) FROM lo_orph) = 0 AS ok
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM oc),
+                   (SELECT count(*) FROM oc_orph),
+                   CAST((SELECT coalesce(sum(n), 0) FROM oc_orph)
+                        AS BIGINT),
+                   (SELECT count(*) FROM oc_orph) = 0
+        """,
+        "mad_outliers": """
+            WITH med AS (
+              SELECT event_type AS k, median(value) AS group_median
+              FROM events GROUP BY 1),
+            dev AS (
+              SELECT event_id, event_type, value, group_median,
+                     abs(value - group_median) AS adev
+              FROM events JOIN med ON event_type = k),
+            mad AS (
+              SELECT event_type AS k2, median(adev) AS group_mad
+              FROM dev GROUP BY 1)
+            SELECT event_id, event_type, value, group_median, group_mad
+            FROM dev JOIN mad ON event_type = k2
+            WHERE adev > 6.0 * group_mad
+        """,
+        "col_profile": """
+            SELECT 'l_orderkey' AS column, count(*) AS n_rows,
+                   count(*) - count(l_orderkey) AS n_nulls,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                     AS n_distinct,
+                   CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+                   CAST(max(l_orderkey) AS DOUBLE) AS max_num
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*),
+                   count(*) - count(l_quantity),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT),
+                   CAST(min(l_quantity) AS DOUBLE),
+                   CAST(max(l_quantity) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   count(*) - count(l_extendedprice),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   CAST(min(l_extendedprice) AS DOUBLE),
+                   CAST(max(l_extendedprice) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', count(*),
+                   count(*) - count(l_returnflag),
+                   CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', count(*),
+                   count(*) - count(l_shipdate),
+                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                   NULL, NULL
+            FROM lineitem
         """,
         "tpch_q2": """
             WITH eur_supp AS (

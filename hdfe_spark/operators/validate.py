@@ -1,0 +1,273 @@
+"""Data-quality validation: declarative constraint checks, referential
+integrity, one-pass column profiling, and robust (MAD) outlier
+flagging.
+
+Beyond-reference surface (the reference trusts its numpy inputs;
+``hdfe/groupby.py:8-40`` just asserts shapes): a 100 TB ingest needs
+the Deequ-style contract layer — "is this partition of the corpus
+fit to train on?" — answered by ONE scan, not one scan per rule.
+
+Scale design:
+
+- ``check_constraints`` compiles every rule into a column expression
+  inside a SINGLE ``df.agg(...)`` — one scan, map-side partials, a
+  1-row result exploded driver-side into the long-format report.
+  Adding a rule adds an expression, never a pass.
+- ``referential_integrity`` distinct-compresses the child's foreign
+  keys BEFORE the parent anti-join, so the join moves |distinct fk|
+  rows, not |child| rows; the parent key set broadcasts when small.
+- ``column_profile`` is likewise one aggregation over all profiled
+  columns (count/null/distinct/min/max per column), unpivoted to a
+  row per column.
+- ``mad_outliers`` computes per-group exact medians with Spark's
+  ``percentile`` (one shuffle keyed on the group, per-group sort —
+  exact, for certificates and bounded-group data). For unbounded
+  100 TB groups pass ``accuracy`` to switch to
+  ``percentile_approx`` (t-digest-style sketch, no per-group sort).
+
+All metrics are engine-portable by construction: fractions are exact
+bigint/bigint IEEE divisions, min/max are selections, and the median
+is an order statistic (one interpolation of two doubles) — never an
+order-dependent float sum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_exprs(rule: dict):
+    """Compile one rule into (metric expression, threshold, label).
+
+    Metric semantics: a fraction in [0, 1]; the rule passes when
+    metric >= threshold.
+    """
+    kind = rule["kind"]
+    col = rule.get("column")
+    if kind == "completeness":
+        metric = (
+            F.count(F.col(col)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        thr = float(rule.get("min_fraction", 1.0))
+    elif kind == "uniqueness":
+        metric = (
+            F.countDistinct(F.col(col)).cast("double")
+            / F.count(F.col(col)).cast("double")
+        )
+        thr = float(rule.get("min_fraction", 1.0))
+    elif kind == "bounds":
+        lo, hi = rule["lo"], rule["hi"]
+        inside = F.when(
+            F.col(col).isNotNull()
+            & (F.col(col) >= lo) & (F.col(col) <= hi),
+            1,
+        ).otherwise(0)
+        metric = (
+            F.sum(inside).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        thr = float(rule.get("min_fraction", 1.0))
+    elif kind == "in_set":
+        vals = list(rule["values"])
+        hit = F.when(F.col(col).isin(vals), 1).otherwise(0)
+        metric = (
+            F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        thr = float(rule.get("min_fraction", 1.0))
+    elif kind == "matches":
+        hit = F.when(F.col(col).rlike(rule["pattern"]), 1).otherwise(0)
+        metric = (
+            F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+        )
+        thr = float(rule.get("min_fraction", 1.0))
+    elif kind == "min_rows":
+        metric = F.count(F.lit(1)).cast("double")
+        thr = float(rule["n"])
+        return metric, thr, f"min_rows(>={int(thr)})"
+    else:
+        raise ValueError(f"unknown constraint kind: {kind}")
+    return metric, thr, f"{kind}({col})"
+
+
+def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Evaluate declarative quality rules in ONE aggregation pass.
+
+    Each rule is a dict: ``{"kind": "completeness"|"uniqueness"|
+    "bounds"|"in_set"|"matches"|"min_rows", "column": ..., ...}``.
+    Returns a report with one row per rule: ``(constraint, metric,
+    threshold, passed)``, in rule order.
+
+    The whole rule set costs one scan: every metric is an expression
+    in a single ``agg`` (partial-aggregated map-side), and the 1-row
+    result is reshaped to long format with an ``inline`` of a
+    literal-structured array — no second job, no Python.
+    """
+    metrics, labels, thrs = [], [], []
+    for i, rule in enumerate(rules):
+        m, t, lab = _rule_exprs(rule)
+        metrics.append(m.alias(f"__m{i}"))
+        labels.append(lab)
+        thrs.append(t)
+    one = df.agg(*metrics)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(labels[i]).alias("constraint"),
+                F.col(f"__m{i}").alias("metric"),
+                F.lit(thrs[i]).alias("threshold"),
+                (F.col(f"__m{i}") >= F.lit(thrs[i])).alias("passed"),
+            )
+            for i in range(len(rules))
+        ]
+    )
+    return one.select(F.inline(structs))
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Foreign-key containment check: every non-null ``child.fk``
+    must exist in ``parent.pk``.
+
+    Returns one row: ``(n_child_keys, n_orphan_keys, n_orphan_rows,
+    ok)``. Distinct-compresses the child side first so the anti-join
+    is keyed on |distinct fk| (bounded by the dimension's domain),
+    and carries the per-key row count so orphan ROWS are still exact.
+    The parent key set is a key-only projection — broadcastable
+    whenever the dimension fits, pushed column-pruned to its scan.
+    """
+    fkeys = (
+        child.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("__fk"))
+        .agg(F.count(F.lit(1)).alias("__rows"))
+    )
+    pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+    orphans = fkeys.join(
+        F.broadcast(pkeys), F.col("__fk") == F.col("__pk"), "left_anti"
+    )
+    return (
+        fkeys.agg(
+            F.count(F.lit(1)).alias("n_child_keys"),
+        )
+        .crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("n_orphan_keys"),
+                    F.coalesce(F.sum("__rows"), F.lit(0))
+                    .cast("bigint")
+                    .alias("n_orphan_rows"),
+                )
+            )
+        )
+        .withColumn("ok", F.col("n_orphan_keys") == 0)
+    )
+
+
+def column_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-column profile — null count, distinct count, numeric
+    min/max — for all ``columns`` in ONE aggregation pass.
+
+    Output: one row per column, ``(column, n_rows, n_nulls,
+    n_distinct, min_num, max_num)``; ``min_num``/``max_num`` are NULL
+    for non-numeric columns (lexicographic string extremes are
+    locale-traps, so they are deliberately not emitted). min/max are
+    selections and counts are exact integers — every cell is
+    engine-portable.
+    """
+    numeric = {
+        name
+        for name, dtype in df.dtypes
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double") or dtype.startswith("decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"__null{i}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist{i}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min{i}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max{i}"))
+    one = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__null{i}").cast("bigint").alias("n_nulls"),
+                F.col(f"__dist{i}").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"__min{i}")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max{i}")
+                    if c in numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return one.select(F.inline(structs))
+
+
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    k: float = 3.0,
+    accuracy: int | None = None,
+) -> DataFrame:
+    """Flag rows whose value deviates from the per-group median by
+    more than ``k`` times the group's median absolute deviation —
+    the robust outlier rule (unlike z-scores, one huge outlier
+    cannot mask others by inflating the sd).
+
+    Two shuffles keyed on ``key`` (medians need two order-statistic
+    rounds: med(x), then med(|x - med|)), then the flag rides back
+    via a broadcast join of the per-group statistics table (bounded
+    by the number of groups). Exact ``percentile`` sorts within each
+    group; for unbounded groups at 100 TB pass ``accuracy`` to use
+    ``percentile_approx`` (bounded-memory sketch) instead.
+
+    Returns the flagged rows with ``(group median, mad, deviation)``
+    attached. Deterministic cross-engine: medians are order
+    statistics (selection + one interpolation), never float sums.
+    """
+    if accuracy is None:
+        med_fn = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
+    else:
+        med_fn = lambda c: F.percentile_approx(  # noqa: E731
+            c, 0.5, accuracy
+        )
+    med = df.groupBy(F.col(key).alias("__k")).agg(
+        med_fn(value_col).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), F.col(key) == F.col("__k")).drop(
+        "__k"
+    )
+    dev = with_med.withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(F.col(key).alias("__k2")).agg(
+        med_fn("__adev").alias("__mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), F.col(key) == F.col("__k2"))
+        .drop("__k2")
+        .filter(F.col("__adev") > F.lit(k) * F.col("__mad"))
+    )
+    return (
+        flagged.withColumnRenamed("__med", "group_median")
+        .withColumnRenamed("__mad", "group_mad")
+        .withColumnRenamed("__adev", "deviation")
+    )

@@ -5,13 +5,11 @@ rows-only query drifting unannounced into a recorded slot."""
 
 import __spark_entry__ as em
 
-# The only window entries WITHOUT an oracle, each by design and each
-# carried by a hash-matched certificate: `semdedup` by
-# `semdedup_recall`, `pq_topk` by `pq_recall` (driver-green r5),
-# `ivfpq_topk` by `ivfpq_recall` (driver-green r5). The seven other
-# rows-only demos sit at 51+ as the round-7 rotation queue (eighth
-# curation pass: the 15 new TPC-H queries took their slots).
-ROWS_ONLY_BY_DESIGN = {"semdedup", "pq_topk", "ivfpq_topk"}
+# After the eighth/ninth curation passes every window entry has an
+# oracle: all ten rows-only demos sit at 51+ as the round-7 rotation
+# queue (the 15 TPC-H queries and the data-quality family took their
+# slots — a hash-matchable first recording beats a rows-only one).
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_window_all_have_oracles_or_are_declared():
@@ -33,9 +31,10 @@ def test_round6_window_composition():
     q = list(em.queries())
     assert q[0] == "decimal_agg"
     assert set(q[1:13]) == {
-        "semdedup_recall", "semdedup", "snapshot_roundtrip", "winsorize",
+        "semdedup_recall", "dq_report", "snapshot_roundtrip", "winsorize",
         "tpch_q5", "join_nulls", "string_funcs", "date_parts",
-        "pmi_bigrams", "rebalance_sources", "pq_topk", "ivfpq_topk",
+        "pmi_bigrams", "rebalance_sources", "ref_integrity",
+        "mad_outliers",
     }
     assert q[13] == "tpch_q18"
     assert set(q[14:29]) == {

@@ -1,0 +1,134 @@
+"""Data-quality validation operators (`operators/validate.py`):
+constraint checks, referential integrity, column profiling, MAD
+outliers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hdfe_spark.operators.validate import (
+    check_constraints,
+    column_profile,
+    mad_outliers,
+    referential_integrity,
+)
+from hdfe_spark.plans.audit import plan_report
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 12.0),
+        (3, None, 11.0),
+        (4, "b", -5.0),
+        (5, "b", 200.0),
+        (5, "c", 13.0),  # duplicate id
+    ]
+    return spark.createDataFrame(rows, "id bigint, cat string, v double")
+
+
+def test_check_constraints_report(messy):
+    rules = [
+        {"kind": "completeness", "column": "cat", "min_fraction": 1.0},
+        {"kind": "completeness", "column": "id"},
+        {"kind": "uniqueness", "column": "id"},
+        {"kind": "bounds", "column": "v", "lo": 0, "hi": 100,
+         "min_fraction": 0.9},
+        {"kind": "in_set", "column": "cat", "values": ["a", "b"],
+         "min_fraction": 0.8},
+        {"kind": "min_rows", "n": 3},
+    ]
+    rep = {r["constraint"]: r for r in
+           (x.asDict() for x in check_constraints(messy, rules).collect())}
+    assert not rep["completeness(cat)"]["passed"]  # 5/6
+    assert rep["completeness(cat)"]["metric"] == pytest.approx(5 / 6)
+    assert rep["completeness(id)"]["passed"]
+    assert not rep["uniqueness(id)"]["passed"]  # 5 distinct / 6
+    assert not rep["bounds(v)"]["passed"]  # 4/6 inside
+    assert not rep["in_set(cat)"]["passed"]  # 4/6 in {a,b}
+    assert rep["min_rows(>=3)"]["passed"]
+
+
+def test_check_constraints_is_single_pass(messy):
+    rules = [
+        {"kind": "completeness", "column": "cat"},
+        {"kind": "bounds", "column": "v", "lo": 0, "hi": 100},
+        {"kind": "min_rows", "n": 1},
+    ]
+    rep = plan_report(check_constraints(messy, rules))
+    # one 1-row final aggregation; no joins, no Python
+    assert rep["n_python_stages"] == 0
+    assert rep["n_broadcast_joins"] == 0
+    assert rep["n_exchanges"] <= 1
+
+
+def test_check_constraints_unknown_kind_raises(messy):
+    with pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(messy, [{"kind": "nope", "column": "id"}])
+
+
+def test_referential_integrity_detects_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "row_id int, fk int",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    out = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert out["n_child_keys"] == 3  # 10, 20, 99 (null excluded)
+    assert out["n_orphan_keys"] == 1  # 99
+    assert out["n_orphan_rows"] == 2  # rows 4 and 5
+    assert not out["ok"]
+
+
+def test_referential_integrity_clean(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20)], "row_id int, fk int")
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    out = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert out["ok"] and out["n_orphan_rows"] == 0
+
+
+def test_column_profile_values(messy):
+    prof = {r["column"]: r.asDict()
+            for r in column_profile(messy, ["id", "cat", "v"]).collect()}
+    assert prof["id"]["n_rows"] == 6
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 5
+    assert prof["cat"]["n_nulls"] == 1
+    assert prof["cat"]["n_distinct"] == 3
+    assert prof["cat"]["min_num"] is None  # string column
+    assert prof["v"]["min_num"] == -5.0
+    assert prof["v"]["max_num"] == 200.0
+
+
+def test_column_profile_single_pass(messy):
+    rep = plan_report(column_profile(messy, ["id", "cat", "v"]))
+    assert rep["n_python_stages"] == 0
+    assert rep["n_broadcast_joins"] == 0
+
+
+def test_mad_outliers_flags_the_obvious(spark):
+    # group g: tight cluster around 10 plus one wild value
+    rows = [("g", float(v)) for v in [9, 10, 10, 10, 11, 500]]
+    rows += [("h", float(v)) for v in [1, 2, 3, 4, 5]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = mad_outliers(df, "k", "v", k=5.0).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("g", 500.0)]
+    r = out[0]
+    assert r["group_median"] == 10.0
+    assert r["group_mad"] == 0.5
+    assert r["deviation"] == 490.0
+
+
+def test_mad_outliers_approx_path(spark):
+    rows = [("g", float(v)) for v in range(100)] + [("g", 1e6)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = mad_outliers(df, "k", "v", k=10.0, accuracy=1000).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("g", 1e6)]
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    # constant group: mad 0, every deviating row is an outlier
+    rows = [("c", 5.0)] * 4 + [("c", 6.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = mad_outliers(df, "k", "v", k=3.0).collect()
+    assert [(r["v"]) for r in out] == [6.0]
