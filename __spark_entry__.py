@@ -4128,11 +4128,15 @@ def _q_tpch_q2(spark, sf_dir):
 def _q_tpch_q11(spark, sf_dir):
     """TPC-H Q11 (important stock) adapted: inventory value per part
     from NATION_1 suppliers' shipped volume (fixture has no
-    partsupp.availqty), keeping parts whose value exceeds 0.05% of
-    the nation's total — the group-vs-global-scalar-subquery shape:
+    partsupp.availqty), keeping parts whose value exceeds 1.5x the
+    MEAN part value — the group-vs-global-scalar-subquery shape:
     one grouped aggregation, one 1-row broadcast total, one filter.
+    The reference query's fixed fraction is divided by SF to stay
+    meaningful across scales; a mean-relative threshold is the
+    scale-free equivalent (a fixed 0.05% returned 0 rows at sf0.1;
+    1.5x mean keeps ~17% of parts at either scale).
     Values ride as exact micros; the threshold compare is bigint ×
-    one deterministic double product."""
+    one deterministic double ratio."""
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
     na = _t(spark, sf_dir, "nation")
@@ -4148,12 +4152,17 @@ def _q_tpch_q11(spark, sf_dir):
     per_part = sup_li.groupBy("l_partkey").agg(
         F.sum(val_u).alias("value_u")
     )
-    total = per_part.agg(F.sum("value_u").alias("total_u"))
+    total = per_part.agg(
+        F.sum("value_u").alias("total_u"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(
             F.col("value_u").cast("double")
-            > F.col("total_u").cast("double") * 0.0005
+            > F.col("total_u").cast("double")
+            / F.col("n_parts").cast("double")
+            * 1.5
         )
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -6259,8 +6268,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(value_u AS DOUBLE) / 1e6 AS value
             FROM per_part
             WHERE CAST(value_u AS DOUBLE) >
-                  (SELECT CAST(sum(value_u) AS DOUBLE) FROM per_part)
-                  * 0.0005
+                  (SELECT CAST(sum(value_u) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) FROM per_part)
+                  * 1.5
         """,
         "tpch_q16": """
             SELECT p_brand, p_type, p_size,

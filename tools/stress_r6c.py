@@ -1,0 +1,149 @@
+"""Round-6 stress, third batch: the TPC-H suite completion and the
+data-quality validation family.
+
+1. `tpch`: run all 22 TPC-H queries back-to-back at sf0.1 and record
+   per-query wall time plus the two plan facts that matter at scale
+   (sort-merge-join count must be 0 everywhere except the deliberate
+   fact-fact shuffles; Python stage count must be 0 everywhere).
+
+2. `validate`: 20M-row synthetic stress of the validation family —
+   - check_constraints: 6 rules over 20M rows must stay ONE scan
+     (wall time ~ the scan time, not 6x it);
+   - referential_integrity: 20M child rows against a 100k parent,
+     with planted orphans — exact orphan-row count recovered;
+   - mad_outliers: 20M rows over 5 groups, exact-percentile path vs
+     percentile_approx path — identical flag sets on planted
+     outliers, with the approx path's bounded memory.
+
+Usage: python tools/stress_r6c.py [tpch|validate]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r6c")
+
+
+def stress_tpch():
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import plan_report
+
+    spark = _spark()
+    q = em.queries()
+    # Q1 is registered as `sql_q1` (the SQL-string entry point)
+    names = ["sql_q1"] + [f"tpch_q{i}" for i in range(2, 23)]
+    total = 0.0
+    print(f"TPC-H suite at {SF_DIR}")
+    for name in names:
+        df = q[name](spark, SF_DIR)
+        rep = plan_report(df)
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        total += dt
+        print(
+            f"  {name:10s} {dt:7.2f}s  rows={n:<8d} "
+            f"smj={rep['n_sortmerge_joins']} py={rep['n_python_stages']} "
+            f"ex={rep['n_exchanges']}"
+        )
+        assert rep["n_python_stages"] == 0, name
+    print(f"  total      {total:7.2f}s")
+
+
+def stress_validate(n: int = 20_000_000):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.validate import (
+        check_constraints,
+        mad_outliers,
+        referential_integrity,
+    )
+
+    spark = _spark()
+
+    # ---- synthetic 20M-row fact with known dirt --------------------
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 100_000).alias("fk"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("v"),
+    )
+    # dirt: nulls in fk for id%1000==0; orphan fk 999_999 for
+    # id%500==0 (40k rows, 1 orphan key); planted outliers v=1e6 for
+    # id%1_000_000==0 (20 rows)
+    fact = base.select(
+        "id",
+        F.when(F.col("id") % 1000 == 0, None)
+        .when(F.col("id") % 500 == 0, F.lit(999_999))
+        .otherwise(F.col("fk"))
+        .alias("fk"),
+        "grp",
+        F.when(F.col("id") % 1_000_000 == 0, 1e6).otherwise(F.col("v"))
+        .alias("v"),
+    )
+    fact.cache().count()
+
+    t0 = time.perf_counter()
+    rules = [
+        {"kind": "completeness", "column": "fk", "min_fraction": 1.0},
+        {"kind": "uniqueness", "column": "id"},
+        {"kind": "bounds", "column": "v", "lo": 0.0, "hi": 100.0,
+         "min_fraction": 0.999},
+        {"kind": "matches", "column": "grp", "pattern": "^[0-4]$"},
+        {"kind": "in_set", "column": "grp",
+         "values": ["0", "1", "2", "3", "4"]},
+        {"kind": "min_rows", "n": n},
+    ]
+    rep = {r["constraint"]: r.asDict()
+           for r in check_constraints(fact, rules).collect()}
+    t_rules = time.perf_counter() - t0
+    assert not rep["completeness(fk)"]["passed"]
+    assert rep["uniqueness(id)"]["passed"]
+    assert rep["matches(grp)"]["passed"]
+    print(f"check_constraints: 6 rules over {n} rows in {t_rules:.2f}s "
+          f"(one scan)")
+
+    t0 = time.perf_counter()
+    parent = spark.range(100_000).select(F.col("id").alias("pk"))
+    ri = referential_integrity(fact, parent, "fk", "pk").collect()[0]
+    t_ri = time.perf_counter() - t0
+    # orphan rows: id%500==0 and id%1000!=0 -> every odd multiple of 500
+    expect_orphans = n // 1000
+    assert ri["n_orphan_keys"] == 1, ri
+    assert ri["n_orphan_rows"] == expect_orphans, ri
+    print(f"referential_integrity: {n} rows vs 100k parent in {t_ri:.2f}s "
+          f"(orphan rows exact: {ri['n_orphan_rows']})")
+
+    t0 = time.perf_counter()
+    exact = mad_outliers(fact, "grp", "v", k=50.0)
+    n_exact = exact.count()
+    t_exact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    approx = mad_outliers(fact, "grp", "v", k=50.0, accuracy=10_000)
+    n_approx = approx.count()
+    t_approx = time.perf_counter() - t0
+    assert n_exact == n // 1_000_000, n_exact  # the planted spikes
+    assert n_approx == n_exact
+    print(f"mad_outliers: exact {t_exact:.2f}s vs approx {t_approx:.2f}s "
+          f"({n_exact} planted outliers recovered by both)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("tpch", "all"):
+        stress_tpch()
+    if which in ("validate", "all"):
+        stress_validate()
