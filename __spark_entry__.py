@@ -3994,6 +3994,62 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): a month spine
+    generated by recursion over the orders date range, left-joined to
+    per-month order counts so gap months survive as zero rows — the
+    classic zero-filled time series that plain GROUP BY cannot
+    produce. Both engines run the SAME recursion; the spine is 80
+    rows (driver-bounded), the aggregation is the only shuffle."""
+    od = _t(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("__orders_rc")
+    return spark.sql("""
+      WITH RECURSIVE spine(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT add_months(m, 1) FROM spine
+        WHERE m < DATE '2001-08-01')
+      SELECT CAST(spine.m AS STRING) AS month_start,
+             CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+      FROM spine
+      LEFT JOIN (
+        SELECT date_trunc('month', o_orderdate) AS om,
+               count(*) AS cnt
+        FROM __orders_rc GROUP BY 1
+      ) ON CAST(om AS DATE) = spine.m
+    """)
+
+
+def _q_set_ops(spark, sf_dir):
+    """SQL set operators (INTERSECT / EXCEPT distinct semantics) as
+    year-over-year cohort analysis: customers retained from 1996 to
+    1997 (INTERSECT), churned (EXCEPT), and newly acquired (reverse
+    EXCEPT), union'd with a cohort label. DataFrame ``intersect`` /
+    ``subtract`` compile to hash semi/anti joins over the deduped key
+    sets — never row-level comparisons."""
+    od = _t(spark, sf_dir, "orders")
+    dt = dict(od.dtypes)["o_orderdate"]
+
+    def buyers(y):
+        return (
+            od.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast(dt))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast(dt))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+    b96, b97 = buyers(1996), buyers(1997)
+    retained = b96.intersect(b97).withColumn("cohort", F.lit("retained"))
+    churned = b96.subtract(b97).withColumn("cohort", F.lit("churned"))
+    new = b97.subtract(b96).withColumn("cohort", F.lit("new"))
+    return (
+        retained.unionByName(churned).unionByName(new)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+
+
 def _q_dq_report(spark, sf_dir):
     """Declarative data-quality contract over orders
     (`operators/validate.py::check_constraints`, Deequ-style): six
@@ -4454,6 +4510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pq/ivfpq_recall in-window) plus `col_profile` (built this
         # round, one slot short) — the round-7 rotation queue:
         "col_profile": _q_col_profile,
+        "recursive_cte": _q_recursive_cte,
+        "set_ops": _q_set_ops,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -6115,6 +6173,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "recursive_cte": """
+            WITH RECURSIVE spine(m) AS (
+              SELECT DATE '1995-01-01'
+              UNION ALL
+              SELECT m + INTERVAL 1 MONTH FROM spine
+              WHERE m < DATE '2001-08-01')
+            SELECT CAST(spine.m AS VARCHAR) AS month_start,
+                   CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+            FROM spine
+            LEFT JOIN (
+              SELECT date_trunc('month', o_orderdate) AS om,
+                     count(*) AS cnt
+              FROM orders GROUP BY 1
+            ) ON CAST(om AS DATE) = spine.m
+        """,
+        "set_ops": """
+            WITH b96 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'),
+            b97 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'),
+            labeled AS (
+              SELECT o_custkey, 'retained' AS cohort FROM
+                (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+              UNION ALL
+              SELECT o_custkey, 'churned' FROM
+                (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+              UNION ALL
+              SELECT o_custkey, 'new' FROM
+                (SELECT * FROM b97 EXCEPT SELECT * FROM b96))
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+            FROM labeled GROUP BY 1
         """,
         "dq_report": """
             WITH m AS (
