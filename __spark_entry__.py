@@ -3994,6 +3994,48 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_dpp_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning certificate: the events fact is
+    written partitioned by event_type (the 100 TB layout), then
+    joined to a FILTERED category dim on the partition column.
+    Catalyst turns the broadcast dim into a runtime partition filter
+    (`PartitionFilters: [dynamicpruning#...]`), so the fact scan
+    reads ONLY the 2 of 5 matching directories — the single biggest
+    scan lever at scale, here made a hash-checked roundtrip
+    (value sums ride as exact micros). Plan-asserted in
+    `tests/test_plans.py::test_dpp_plan_has_runtime_partition_filter`."""
+    ev = _t(spark, sf_dir, "events")
+    d = _fresh_tmpdir("hdfe_dpp_")
+    (
+        ev.select(
+            "event_id", "user_id", "value", "event_type",
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d)
+    )
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("view", "engagement"),
+            ("click", "engagement"),
+            ("error", "ops"),
+        ],
+        "etype string, category string",
+    ).filter(F.col("category") == "conversion")
+    val_u = F.round(F.col("value") * 1e6).cast("bigint")
+    return (
+        fact.join(F.broadcast(dim), fact.event_type == dim.etype)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum(val_u).cast("double") / 1e6).alias("total_value"),
+        )
+    )
+
+
 def _q_recursive_cte(spark, sf_dir):
     """Recursive CTE (Spark 4's WITH RECURSIVE): a month spine
     generated by recursion over the orders date range, left-joined to
@@ -4512,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "col_profile": _q_col_profile,
         "recursive_cte": _q_recursive_cte,
         "set_ops": _q_set_ops,
+        "dpp_pruned_join": _q_dpp_pruned_join,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -6173,6 +6216,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "dpp_pruned_join": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT))
+                        AS DOUBLE) / 1e6 AS total_value
+            FROM events
+            WHERE event_type IN ('purchase', 'signup')
+            GROUP BY 1
         """,
         "recursive_cte": """
             WITH RECURSIVE spine(m) AS (

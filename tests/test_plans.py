@@ -481,3 +481,18 @@ def test_tpch_q20_semi_chain_broadcasts(spark, sf_dir):
     rep = plan_report(out)
     assert rep["n_sortmerge_joins"] == 0
     assert "LeftSemi" in _es(out, "simple")
+
+
+def test_dpp_plan_has_runtime_partition_filter(spark, sf_dir):
+    """The partitioned-fact join must carry a dynamic-partition-
+    pruning subquery in its PartitionFilters — the fact scan reads
+    only the dim-selected directories at runtime."""
+    import __spark_entry__ as em
+    from hdfe_spark.plans.audit import explain_string as _es
+
+    out = em.queries()["dpp_pruned_join"](spark, sf_dir)
+    formatted = _es(out, "formatted")
+    assert "dynamicpruning" in formatted, formatted[:2000]
+    rep = plan_report(out)
+    assert rep["n_broadcast_joins"] >= 1
+    assert rep["n_sortmerge_joins"] == 0
