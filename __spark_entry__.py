@@ -3994,6 +3994,42 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_streaming_dq(spark, sf_dir):
+    """Streaming data-quality monitor (twelfth streaming form,
+    `streaming/ops.py::streaming_constraint_metrics`): five
+    decomposable constraint rules aggregated incrementally over the
+    events stream; the availableNow replay covers every event, so
+    the final complete-mode snapshot equals the batch report — the
+    DuckDB oracle computes the same metrics over the whole table."""
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_constraint_metrics,
+    )
+
+    _t(spark, sf_dir, "events")
+    stream = read_events_stream(spark, sf_dir)
+    rules = [
+        {"kind": "completeness", "column": "user_id"},
+        {"kind": "completeness", "column": "value"},
+        {"kind": "in_set", "column": "event_type",
+         "values": ["view", "click", "purchase", "signup", "error"]},
+        {"kind": "matches", "column": "event_type",
+         "pattern": "^[a-z]+$"},
+        {"kind": "min_rows", "n": 100},
+    ]
+    rep = streaming_constraint_metrics(stream, rules)
+    sink = _fresh_sink(spark)
+    q = (
+        rep.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def _q_dpp_pruned_join(spark, sf_dir):
     """Dynamic partition pruning certificate: the events fact is
     written partitioned by event_type (the 100 TB layout), then
@@ -4555,6 +4591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte": _q_recursive_cte,
         "set_ops": _q_set_ops,
         "dpp_pruned_join": _q_dpp_pruned_join,
+        "streaming_dq": _q_streaming_dq,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -6216,6 +6253,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "streaming_dq": """
+            WITH m AS (
+              SELECT
+                CAST(count(user_id) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m0,
+                CAST(count(value) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m1,
+                CAST(sum(CASE WHEN event_type IN
+                         ('view','click','purchase','signup','error')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m2,
+                CAST(sum(CASE WHEN regexp_matches(event_type,
+                                                  '^[a-z]+$')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS m3,
+                CAST(count(*) AS DOUBLE) AS m4
+              FROM events)
+            SELECT 'completeness(user_id)' AS constraint,
+                   m0 AS metric, 1.0 AS threshold, m0 >= 1.0 AS passed
+            FROM m
+            UNION ALL SELECT 'completeness(value)', m1, 1.0,
+                             m1 >= 1.0 FROM m
+            UNION ALL SELECT 'in_set(event_type)', m2, 1.0,
+                             m2 >= 1.0 FROM m
+            UNION ALL SELECT 'matches(event_type)', m3, 1.0,
+                             m3 >= 1.0 FROM m
+            UNION ALL SELECT 'min_rows(>=100)', m4, 100.0,
+                             m4 >= 100.0 FROM m
         """,
         "dpp_pruned_join": """
             SELECT event_type,

@@ -39,11 +39,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _rule_exprs(rule: dict):
+def _rule_exprs(rule: dict, streaming: bool = False):
     """Compile one rule into (metric expression, threshold, label).
 
     Metric semantics: a fraction in [0, 1]; the rule passes when
-    metric >= threshold.
+    metric >= threshold. With ``streaming=True`` every expression
+    must be decomposable (mergeable across micro-batches):
+    ``uniqueness`` swaps its exact countDistinct — which Spark
+    rejects in streaming aggregations — for the mergeable HLL
+    ``approx_count_distinct`` (an estimate, flagged in the label).
     """
     kind = rule["kind"]
     col = rule.get("column")
@@ -54,11 +58,17 @@ def _rule_exprs(rule: dict):
         )
         thr = float(rule.get("min_fraction", 1.0))
     elif kind == "uniqueness":
+        distinct = (
+            F.approx_count_distinct(F.col(col))
+            if streaming
+            else F.countDistinct(F.col(col))
+        )
         metric = (
-            F.countDistinct(F.col(col)).cast("double")
-            / F.count(F.col(col)).cast("double")
+            distinct.cast("double") / F.count(F.col(col)).cast("double")
         )
         thr = float(rule.get("min_fraction", 1.0))
+        if streaming:
+            return metric, thr, f"uniqueness~approx({col})"
     elif kind == "bounds":
         lo, hi = rule["lo"], rule["hi"]
         inside = F.when(
@@ -92,7 +102,9 @@ def _rule_exprs(rule: dict):
     return metric, thr, f"{kind}({col})"
 
 
-def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+def check_constraints(
+    df: DataFrame, rules: Sequence[dict], streaming: bool = False
+) -> DataFrame:
     """Evaluate declarative quality rules in ONE aggregation pass.
 
     Each rule is a dict: ``{"kind": "completeness"|"uniqueness"|
@@ -107,7 +119,7 @@ def check_constraints(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     """
     metrics, labels, thrs = [], [], []
     for i, rule in enumerate(rules):
-        m, t, lab = _rule_exprs(rule)
+        m, t, lab = _rule_exprs(rule, streaming=streaming)
         metrics.append(m.alias(f"__m{i}"))
         labels.append(lab)
         thrs.append(t)

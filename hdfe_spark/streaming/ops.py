@@ -422,3 +422,21 @@ def streaming_cms(stream: DataFrame, key_col: str, d: int = 4, n_hex: int = 2) -
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_constraint_metrics(stream: DataFrame, rules) -> DataFrame:
+    """Twelfth streaming form: continuous data-quality monitoring —
+    the `operators/validate.py::check_constraints` rule compiler
+    applied to a stream. Every rule rides the same single
+    complete-mode aggregation (counts and conditional counts are
+    mergeable across micro-batches, so the final snapshot equals the
+    batch report bit-for-bit); ``uniqueness`` swaps its exact
+    countDistinct — which streaming aggregation rejects — for the
+    mergeable HLL ``approx_count_distinct``, labeled
+    ``uniqueness~approx(col)`` so a dashboard cannot mistake the
+    estimate for the exact batch metric. At scale this is the
+    ingest-gate pattern: one stateful aggregation whose state is a
+    handful of counters per rule, regardless of stream volume."""
+    from hdfe_spark.operators.validate import check_constraints
+
+    return check_constraints(stream, rules, streaming=True)

@@ -132,3 +132,51 @@ def test_mad_outliers_zero_mad_group(spark):
     df = spark.createDataFrame(rows, "k string, v double")
     out = mad_outliers(df, "k", "v", k=3.0).collect()
     assert [(r["v"]) for r in out] == [6.0]
+
+
+def test_streaming_constraints_equal_batch(spark, sf_dir):
+    """The availableNow streaming replay of the rule set must produce
+    exactly the batch report (counts are mergeable), and streaming
+    uniqueness must degrade to the labeled HLL estimate instead of
+    erroring."""
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_constraint_metrics,
+    )
+
+    rules = [
+        {"kind": "completeness", "column": "user_id"},
+        {"kind": "bounds", "column": "value", "lo": 0.0, "hi": 1e9,
+         "min_fraction": 0.5},
+        {"kind": "min_rows", "n": 10},
+    ]
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        streaming_constraint_metrics(stream, rules)
+        .writeStream.format("memory")
+        .queryName("dq_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["constraint"]: r.asDict()
+           for r in spark.table("dq_stream_test").collect()}
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {r["constraint"]: r.asDict()
+            for r in check_constraints(batch, rules).collect()}
+    assert got == want
+
+    # uniqueness on a stream: no error, approx label
+    u = streaming_constraint_metrics(
+        stream, [{"kind": "uniqueness", "column": "event_id",
+                  "min_fraction": 0.5}]
+    )
+    q2 = (
+        u.writeStream.format("memory").queryName("dq_stream_uniq")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    rows = spark.table("dq_stream_uniq").collect()
+    assert rows[0]["constraint"] == "uniqueness~approx(event_id)"
+    assert rows[0]["metric"] > 0.9
