@@ -3994,6 +3994,34 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_psi_drift(spark, sf_dir):
+    """Population-stability drift (`operators/validate.py::psi_drift`):
+    1996 order totals as the baseline decile bins, 1999 as the
+    comparison — per-bin shares and PSI terms (sum > 0.2 flags
+    drift). Breakpoints are exact order statistics (bins-1 scalars
+    collected, rank.py-style), binning is a codegen indicator sum,
+    and the output exposes per-bin terms only, so no cell depends on
+    a float summation order."""
+    from hdfe_spark.operators.validate import psi_drift
+
+    od = _t(spark, sf_dir, "orders")
+    dt = dict(od.dtypes)["o_orderdate"]
+
+    def year(y):
+        return od.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast(dt))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast(dt))
+        ).select("o_totalprice")
+
+    out = psi_drift(year(1996), year(1999), "o_totalprice", bins=10)
+    return out.select(
+        "bin", "n_a", "n_b",
+        F.round("p_a", 9).alias("p_a"),
+        F.round("p_b", 9).alias("p_b"),
+        F.round("psi_term", 9).alias("psi_term"),
+    )
+
+
 def _q_streaming_dq(spark, sf_dir):
     """Streaming data-quality monitor (twelfth streaming form,
     `streaming/ops.py::streaming_constraint_metrics`): five
@@ -4502,10 +4530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `pagerank`, `multimodal_audio`) — never driver-recorded,
       promoted in-window in the same round they were built (fifth
       curation pass; displaced five r03-green backstops to 51+).
-    - positions 51+: the rest of the r03 backstop, the round-4/5
-      driver-green backlog, and the remaining rows-only-by-design
-      demos, all still gated locally every round
-      (`tools/check_oracle.py`).
+    - positions 51+: the ROUND-7 ROTATION QUEUE first — the five
+      hash-matchable queries built after the window filled
+      (`col_profile`, `recursive_cte`, `set_ops`, `dpp_pruned_join`,
+      `streaming_dq`), then the ten certificate-covered rows-only
+      demos, the eight round-6 re-certification rows (driver-green
+      r5), and the r03/r04/r05 driver-green backlog — ALL still
+      gated locally every round (`tools/check_oracle.py`).
     """
     return {
         # -- position 1: the round-5 red, fixed --
@@ -4592,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "dpp_pruned_join": _q_dpp_pruned_join,
         "streaming_dq": _q_streaming_dq,
+        "psi_drift": _q_psi_drift,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -6253,6 +6285,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "psi_drift": """
+            WITH a AS (
+              SELECT o_totalprice AS v FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND o_totalprice IS NOT NULL),
+            b AS (
+              SELECT o_totalprice AS v FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+                AND o_orderdate < TIMESTAMP '2000-01-01'
+                AND o_totalprice IS NOT NULL),
+            bp AS (
+              SELECT unnest(quantile_cont(v,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS q
+              FROM a),
+            ca AS (
+              SELECT (SELECT count(*) FROM bp WHERE bp.q <= a.v)
+                       AS bin, count(*) AS n_a
+              FROM a GROUP BY 1),
+            cb AS (
+              SELECT (SELECT count(*) FROM bp WHERE bp.q <= b.v)
+                       AS bin, count(*) AS n_b
+              FROM b GROUP BY 1),
+            spine AS (
+              SELECT CAST(coalesce(ca.bin, cb.bin) AS INTEGER) AS bin,
+                     CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+              FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+            tot AS (
+              SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+                     CAST(sum(n_b) AS DOUBLE) AS tb
+              FROM spine)
+            SELECT bin, n_a, n_b,
+                   round(CASE WHEN n_a > 0 THEN CAST(n_a AS DOUBLE)
+                              ELSE 0.5 END / ta, 9) AS p_a,
+                   round(CASE WHEN n_b > 0 THEN CAST(n_b AS DOUBLE)
+                              ELSE 0.5 END / tb, 9) AS p_b,
+                   round((CASE WHEN n_a > 0 THEN CAST(n_a AS DOUBLE)
+                               ELSE 0.5 END / ta
+                          - CASE WHEN n_b > 0 THEN CAST(n_b AS DOUBLE)
+                                 ELSE 0.5 END / tb)
+                         * ln((CASE WHEN n_a > 0
+                                    THEN CAST(n_a AS DOUBLE)
+                                    ELSE 0.5 END / ta)
+                              / (CASE WHEN n_b > 0
+                                      THEN CAST(n_b AS DOUBLE)
+                                      ELSE 0.5 END / tb)), 9)
+                     AS psi_term
+            FROM spine, tot
         """,
         "streaming_dq": """
             WITH m AS (

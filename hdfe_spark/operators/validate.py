@@ -283,3 +283,94 @@ def mad_outliers(
         .withColumnRenamed("__mad", "group_mad")
         .withColumnRenamed("__adev", "deviation")
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Population-stability drift between a baseline and a comparison
+    population: bin by the BASELINE's exact quantile breakpoints,
+    then report, per bin, both populations' shares and the PSI term
+    ``(p_a - p_b) * ln(p_a / p_b)`` (sum the column for the headline
+    PSI; > 0.2 conventionally flags drift).
+
+    Scale/portability design:
+
+    - breakpoints are ONE exact-percentile aggregation of the
+      baseline (order statistics — engine-portable), collected as
+      bins-1 SCALARS to the driver — the same bounded-scalar
+      collect the rank/prefix-sum family uses — and compiled into a
+      codegen indicator sum (`bin = Σ 1[bp <= value]`), so each
+      population is binned in a single narrow scan + 10-group
+      aggregation (a broadcast inequality join would multiply every
+      row by ~bins before aggregating);
+    - per-bin shares are exact bigint/bigint divisions and each PSI
+      term is one deterministic double expression per row — the
+      cross-bin SUM is deliberately left to the caller, so nothing
+      in the OUTPUT depends on a float summation order.
+
+    Empty bins get a 0.5-count Laplace floor on both sides (the
+    standard guard: ln(p/0) is infinite; the floor keeps the term
+    finite and still large). Duplicate breakpoints (heavily tied
+    baselines) merge their bins identically on every engine.
+    """
+    qs = [i / bins for i in range(1, bins)]
+    breaks = [
+        float(b)
+        for b in df_a.agg(
+            F.expr(
+                f"percentile({value_col}, array({','.join(map(str, qs))}))"
+            ).alias("__bps")
+        ).collect()[0]["__bps"]
+    ]
+
+    def binned_rows(df, name):
+        # bin id = number of breakpoints <= value (0..bins-1) as a
+        # codegen indicator sum over the bins-1 collected scalars —
+        # one narrow scan, one 10-group aggregation.
+        bin_expr = sum(
+            (
+                F.when(F.lit(b) <= F.col(value_col), 1).otherwise(0)
+                for b in breaks
+            ),
+            F.lit(0),
+        )
+        return (
+            df.groupBy(bin_expr.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = binned_rows(df_a.filter(F.col(value_col).isNotNull()), "n_a")
+    cb = binned_rows(df_b.filter(F.col(value_col).isNotNull()), "n_b")
+    spine = ca.join(cb, "__bin", "full_outer").select(
+        F.col("__bin").cast("int").alias("bin"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    )
+    tot = spine.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb")
+    )
+    fa = (
+        F.when(F.col("n_a") > 0, F.col("n_a").cast("double"))
+        .otherwise(F.lit(0.5))
+        / F.col("__ta").cast("double")
+    )
+    fb = (
+        F.when(F.col("n_b") > 0, F.col("n_b").cast("double"))
+        .otherwise(F.lit(0.5))
+        / F.col("__tb").cast("double")
+    )
+    return (
+        spine.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            fa.alias("p_a"),
+            fb.alias("p_b"),
+            ((fa - fb) * F.log(fa / fb)).alias("psi_term"),
+        )
+    )

@@ -180,3 +180,44 @@ def test_streaming_constraints_equal_batch(spark, sf_dir):
     rows = spark.table("dq_stream_uniq").collect()
     assert rows[0]["constraint"] == "uniqueness~approx(event_id)"
     assert rows[0]["metric"] > 0.9
+
+
+def test_psi_no_drift_is_near_zero(spark):
+    from hdfe_spark.operators.validate import psi_drift
+
+    a = spark.range(10_000).select(
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("v")
+    )
+    out = psi_drift(a, a, "v", bins=10).collect()
+    assert len(out) == 10
+    total = sum(r["psi_term"] for r in out)
+    assert abs(total) < 1e-12  # identical populations: PSI == 0
+    assert all(r["n_a"] == r["n_b"] for r in out)
+
+
+def test_psi_detects_shift(spark):
+    from hdfe_spark.operators.validate import psi_drift
+
+    a = spark.range(10_000).select(
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("v")
+    )
+    b = a.select((F.col("v") + 60.0).alias("v"))  # shift by ~60%
+    out = psi_drift(a, b, "v", bins=10).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.2  # conventional drift threshold
+    # shares are exact fractions summing to 1 on each side
+    assert abs(sum(r["p_a"] for r in out) - 1.0) < 1e-12
+
+
+def test_psi_empty_bin_laplace_floor(spark):
+    from hdfe_spark.operators.validate import psi_drift
+
+    a = spark.createDataFrame(
+        [(float(v),) for v in range(100)], "v double"
+    )
+    b = spark.createDataFrame([(0.5,)] * 50, "v double")  # one bin only
+    out = psi_drift(a, b, "v", bins=5).collect()
+    import math
+
+    assert all(math.isfinite(r["psi_term"]) for r in out)
+    assert sum(r["n_b"] for r in out) == 50
