@@ -3994,6 +3994,33 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_mahalanobis(spark, sf_dir):
+    """Multivariate outliers
+    (`operators/validate.py::mahalanobis_outliers`): lineitems whose
+    (quantity, extendedprice) pair is jointly extreme (threshold 5.5
+    = the pair's empirical ~99.9th percentile: the synthetic fixture
+    is near-uniform, so the operator's chi2(2, 0.999) default of
+    13.82 can never fire here). Moments are exact fixed-point decimal sums
+    (the Gram pattern), the 2x2 inverse is the closed adjugate form,
+    and the oracle mirrors the identical expression tree on DuckDB
+    HUGEINT sums — every double on both engines is the same IEEE
+    value, so the flagged set hash-matches without rounding."""
+    from hdfe_spark.operators.validate import mahalanobis_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mahalanobis_outliers(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        ),
+        ["l_quantity", "l_extendedprice"],
+        threshold=5.5,
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.round("mahalanobis_sq", 6).alias("m2"),
+    )
+
+
 def _q_psi_drift(spark, sf_dir):
     """Population-stability drift (`operators/validate.py::psi_drift`):
     1996 order totals as the baseline decile bins, 1999 as the
@@ -4624,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_pruned_join": _q_dpp_pruned_join,
         "streaming_dq": _q_streaming_dq,
         "psi_drift": _q_psi_drift,
+        "mahalanobis": _q_mahalanobis,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -6285,6 +6313,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "mahalanobis": """
+            WITH m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT))
+                          AS DOUBLE) AS sx,
+                     CAST(sum(CAST(round(l_extendedprice * 1e6)
+                                   AS HUGEINT)) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                              * CAST(round(l_quantity * 1e6) AS HUGEINT))
+                          AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                              * CAST(round(l_extendedprice * 1e6)
+                                     AS HUGEINT)) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(round(l_extendedprice * 1e6)
+                                   AS HUGEINT)
+                              * CAST(round(l_extendedprice * 1e6)
+                                     AS HUGEINT)) AS DOUBLE) AS syy
+              FROM lineitem),
+            c AS (
+              SELECT n, sx / n AS mx, sy / n AS my,
+                     sxx / n - (sx / n) * (sx / n) AS cxx,
+                     sxy / n - (sx / n) * (sy / n) AS cxy,
+                     syy / n - (sy / n) * (sy / n) AS cyy
+              FROM m),
+            i AS (
+              SELECT mx, my,
+                     cyy / (cxx * cyy - cxy * cxy) AS ixx,
+                     -cxy / (cxx * cyy - cxy * cxy) AS ixy,
+                     cxx / (cxx * cyy - cxy * cxy) AS iyy
+              FROM c),
+            d AS (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     l_extendedprice,
+                     (CAST(round(l_quantity * 1e6) AS DOUBLE) - mx)
+                       AS dx,
+                     (CAST(round(l_extendedprice * 1e6) AS DOUBLE) - my)
+                       AS dy,
+                     ixx, ixy, iyy
+              FROM lineitem, i)
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice,
+                   round(dx * (dx * ixx + dy * ixy)
+                         + dy * (dx * ixy + dy * iyy), 6) AS m2
+            FROM d
+            WHERE dx * (dx * ixx + dy * ixy)
+                  + dy * (dx * ixy + dy * iyy)
+                  > 5.5
         """,
         "psi_drift": """
             WITH a AS (

@@ -374,3 +374,66 @@ def psi_drift(
             ((fa - fb) * F.log(fa / fb)).alias("psi_term"),
         )
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: Sequence[str],
+    threshold: float = 13.815510557964274,  # chi2(k=2, p=0.999)
+    scale: float = 1e6,
+) -> DataFrame:
+    """Multivariate outlier flags: rows whose squared Mahalanobis
+    distance from the column-mean vector exceeds ``threshold``
+    (chi-squared quantile at the chosen confidence) — the
+    correlation-aware complement of the univariate `mad_outliers`
+    (a row can be unremarkable per-column yet impossible jointly).
+
+    Engine-portable exactness, the repo's Gram pattern
+    (`operators/collinearity.py`): every first/second moment is an
+    EXACT integer/decimal sum of ``round(value*scale)`` fixed-point
+    values (sums of doubles are order-dependent; sums of integers are
+    not), collected as k + k(k+1)/2 scalars. The covariance, its
+    closed-form inverse (k <= 3: adjugate/determinant, the same
+    expression tree a SQL oracle writes — np.linalg.inv would
+    compute different ulps), and the per-row quadratic form are then
+    deterministic IEEE arithmetic on identical inputs in any engine.
+    One aggregation pass + one broadcast-coefficient projection scan.
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k != 2:
+        raise NotImplementedError(
+            "closed-form engine-portable path implemented for k=2 "
+            "(the certificate shape); extend with the k=3 adjugate "
+            "before use"
+        )
+    x, y = cols
+    xu = F.round(F.col(x) * scale).cast("decimal(38,0)")
+    yu = F.round(F.col(y) * scale).cast("decimal(38,0)")
+    m = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xu).alias("sx"),
+        F.sum(yu).alias("sy"),
+        F.sum(xu * xu).alias("sxx"),
+        F.sum(xu * yu).alias("sxy"),
+        F.sum(yu * yu).alias("syy"),
+    ).collect()[0]
+    n = float(m["n"])
+    sx, sy = float(m["sx"]), float(m["sy"])
+    sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
+    mx, my = sx / n, sy / n
+    # covariance entries (population, /n) in scaled units
+    cxx = sxx / n - mx * mx
+    cxy = sxy / n - mx * my
+    cyy = syy / n - my * my
+    det = cxx * cyy - cxy * cxy
+    ixx, ixy, iyy = cyy / det, -cxy / det, cxx / det
+    dx = F.round(F.col(x) * scale).cast("double") - F.lit(mx)
+    dy = F.round(F.col(y) * scale).cast("double") - F.lit(my)
+    d2 = (
+        dx * (dx * F.lit(ixx) + dy * F.lit(ixy))
+        + dy * (dx * F.lit(ixy) + dy * F.lit(iyy))
+    )
+    return df.withColumn("mahalanobis_sq", d2).filter(
+        F.col("mahalanobis_sq") > threshold
+    )

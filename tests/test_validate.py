@@ -221,3 +221,29 @@ def test_psi_empty_bin_laplace_floor(spark):
 
     assert all(math.isfinite(r["psi_term"]) for r in out)
     assert sum(r["n_b"] for r in out) == 50
+
+
+def test_mahalanobis_flags_joint_outlier(spark):
+    from hdfe_spark.operators.validate import mahalanobis_outliers
+
+    # y ~ 2x cloud, plus one point that is inside BOTH marginal
+    # ranges but off the correlation axis — invisible to per-column
+    # checks, flagrant jointly.
+    rows = [(float(i % 50), 2.0 * (i % 50) + (i % 7) * 0.1)
+            for i in range(500)]
+    rows.append((10.0, 80.0))  # x mid-range, y mid-range, wrong pair
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = mahalanobis_outliers(df, ["x", "y"], threshold=13.8155).collect()
+    assert (10.0, 80.0) in {(r["x"], r["y"]) for r in out}
+    # the on-axis cloud stays unflagged
+    assert len(out) <= 5
+
+
+def test_mahalanobis_k3_not_implemented(spark):
+    from hdfe_spark.operators.validate import mahalanobis_outliers
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double")
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        mahalanobis_outliers(df, ["a", "b", "c"])
