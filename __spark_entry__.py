@@ -4557,13 +4557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `pagerank`, `multimodal_audio`) — never driver-recorded,
       promoted in-window in the same round they were built (fifth
       curation pass; displaced five r03-green backstops to 51+).
-    - positions 51+: the ROUND-7 ROTATION QUEUE first — the five
+    - positions 51+: the ROUND-7 ROTATION QUEUE first — the seven
       hash-matchable queries built after the window filled
       (`col_profile`, `recursive_cte`, `set_ops`, `dpp_pruned_join`,
-      `streaming_dq`), then the ten certificate-covered rows-only
-      demos, the eight round-6 re-certification rows (driver-green
-      r5), and the r03/r04/r05 driver-green backlog — ALL still
-      gated locally every round (`tools/check_oracle.py`).
+      `streaming_dq`, `psi_drift`, `mahalanobis` at 51-57), then the
+      eight round-6 re-certification rows (driver-green r5), the ten
+      certificate-covered rows-only demos, and the r03/r04/r05
+      driver-green backlog — ALL still gated locally every round
+      (`tools/check_oracle.py`).
     """
     return {
         # -- position 1: the round-5 red, fixed --
@@ -4627,6 +4628,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "multimodal_audio": _q_multimodal_audio,
         # ------ end of the driver's 50-query window ------------------
+        # ROUND-7 ROTATION QUEUE (positions 51-57): the seven
+        # hash-matchable queries built after the window filled, in
+        # build order — first in line for the next rotation:
+        "col_profile": _q_col_profile,
+        "recursive_cte": _q_recursive_cte,
+        "set_ops": _q_set_ops,
+        "dpp_pruned_join": _q_dpp_pruned_join,
+        "streaming_dq": _q_streaming_dq,
+        "psi_drift": _q_psi_drift,
+        "mahalanobis": _q_mahalanobis,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -4645,13 +4656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh_recall r4, ivf_recall r4, semdedup_recall and
         # pq/ivfpq_recall in-window) plus `col_profile` (built this
         # round, one slot short) — the round-7 rotation queue:
-        "col_profile": _q_col_profile,
-        "recursive_cte": _q_recursive_cte,
-        "set_ops": _q_set_ops,
-        "dpp_pruned_join": _q_dpp_pruned_join,
-        "streaming_dq": _q_streaming_dq,
-        "psi_drift": _q_psi_drift,
-        "mahalanobis": _q_mahalanobis,
         "semdedup": _q_semdedup,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
