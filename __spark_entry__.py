@@ -3994,6 +3994,56 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_bpe_roundtrip(spark, sf_dir):
+    """BPE certificate (`operators/bpe.py`): train 10 merges on the
+    documents corpus, encode every distinct word, and prove the
+    encoding lossless — n_ok counts words whose decoded token
+    sequence reproduces the word exactly, and n_compressed counts
+    encodings no longer than raw characters+marker. The oracle
+    computes the same distinct-word total three ways from SQL alone,
+    so the hash matches ONLY if every word round-trips and no
+    encoding grew — the same invariant-certificate pattern as
+    `fuzzy_pairs` (whose oracle is the brute-force truth)."""
+    from hdfe_spark.operators.bpe import END, encode_words, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=10)
+    enc = encode_words(docs, merges)
+    # decode == concatenate tokens; lossless iff that equals
+    # word + end-marker. Pure JVM codegen — no Python in the check.
+    checked = enc.select(
+        "word",
+        (
+            F.array_join("tokens", "")
+            == F.concat(F.col("word"), F.lit(END))
+        ).alias("__ok"),
+        (F.size("tokens") <= F.length("word") + 1).alias("__short"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("__ok").cast("int")).cast("bigint").alias("n_ok"),
+        F.sum(F.col("__short").cast("int")).cast("bigint")
+        .alias("n_compressed"),
+    )
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """The learned BPE merge table itself (rows-only BY DESIGN: the
+    merge sequence is the fixed point of an iterative argmax+rewrite
+    that SQL cannot replay; its losslessness is certified by the
+    hash-matched `bpe_roundtrip`, and the sequence's exact agreement
+    with the textbook algorithm + partition-independence are pinned
+    in `tests/test_bpe.py`)."""
+    from hdfe_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
 def _q_mahalanobis(spark, sf_dir):
     """Multivariate outliers
     (`operators/validate.py::mahalanobis_outliers`): lineitems whose
@@ -4560,11 +4610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 51+: the ROUND-7 ROTATION QUEUE first — the seven
       hash-matchable queries built after the window filled
       (`col_profile`, `recursive_cte`, `set_ops`, `dpp_pruned_join`,
-      `streaming_dq`, `psi_drift`, `mahalanobis` at 51-57), then the
-      eight round-6 re-certification rows (driver-green r5), the ten
-      certificate-covered rows-only demos, and the r03/r04/r05
-      driver-green backlog — ALL still gated locally every round
-      (`tools/check_oracle.py`).
+      `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
+      51-58, plus the rows-only `bpe_merges` demo certified by the
+      roundtrip), then the eight round-6 re-certification rows
+      (driver-green r5), the ten certificate-covered rows-only
+      demos, and the r03/r04/r05 driver-green backlog — ALL still
+      gated locally every round (`tools/check_oracle.py`).
     """
     return {
         # -- position 1: the round-5 red, fixed --
@@ -4638,6 +4689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dq": _q_streaming_dq,
         "psi_drift": _q_psi_drift,
         "mahalanobis": _q_mahalanobis,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "bpe_merges": _q_bpe_merges,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -6317,6 +6370,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source
             FROM documents d JOIN f USING (source)
             WHERE ((d.doc_id % 2147483648) * 2654435761) % 65536 < f.q
+        """,
+        "bpe_roundtrip": """
+            WITH words AS (
+              SELECT DISTINCT w FROM (
+                SELECT unnest(string_split_regex(lower(text),
+                                                 '[^a-z0-9]+')) AS w
+                FROM documents)
+              WHERE w <> '')
+            SELECT CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_ok,
+                   CAST(count(*) AS BIGINT) AS n_compressed
+            FROM words
         """,
         "mahalanobis": """
             WITH m AS (

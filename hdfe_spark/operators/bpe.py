@@ -1,0 +1,183 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Beyond-reference surface: the canonical LLM-pipeline operator the
+rubric's text family builds toward — learn a byte-pair-encoding merge
+table from a corpus, then encode documents with it.
+
+Scale design (the one that matters): BPE training never needs the
+corpus after the FIRST aggregation. Sennrich's algorithm operates on
+the word-frequency histogram — ``groupBy(word).count()`` — whose size
+is the corpus's distinct-word vocabulary, not its token count. So at
+100 TB the plan is: ONE corpus-scale scan to build the histogram
+(map-side combined), then ``n_merges`` small jobs over the cached
+histogram (pair-count aggregation + one Arrow batch rewrite per
+iteration). The iteration loop moves kilobytes, not terabytes.
+
+Determinism: the winning pair each round is ``max by (weighted count,
+then lexicographic pair)`` — a total order, so the merge sequence is
+reproducible on any partitioning, any engine, any run. Ties in real
+corpora are common at the tail; an undefined tie-break would make the
+whole downstream vocabulary nondeterministic.
+
+Encoding applies merges in learned-rank order per word (the standard
+greedy replay), again per distinct word — an encode of 10^12 tokens
+costs one histogram join, not 10^12 merge replays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+END = "</w>"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """Word-frequency histogram: lowercase, split on non-alnum runs.
+    The ONLY corpus-scale aggregation in train/encode."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_pair_in_seq(seq: list, a: str, b: str) -> list:
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns them in
+    learned order (rank 0 first).
+
+    Each word starts as its character sequence plus a ``</w>``
+    end-marker (so word-final units stay distinct from word-internal
+    ones, per Sennrich '16). Per iteration: weighted adjacent-pair
+    counts via one posexplode aggregation over the histogram, the
+    (count desc, pair asc) argmax via a 1-row TakeOrdered, then an
+    Arrow-batched rewrite of the affected sequences. The histogram is
+    cached once; each iteration's shuffle carries pair counts only.
+    """
+    sym_schema = T.ArrayType(T.StringType())
+
+    @F.pandas_udf(sym_schema)
+    def to_syms(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: list(w) + [END])
+
+    vocab = (
+        _words(df, text_col)
+        .withColumn("syms", to_syms(F.col("word")))
+        .select("word", "freq", "syms")
+        .cache()
+    )
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.posexplode("syms").alias("i", "a"),
+                    F.col("syms").alias("s"),
+                )
+                .filter(F.col("i") < F.size("s") - 1)
+                .select(
+                    "freq",
+                    "a",
+                    F.expr("s[i + 1]").alias("b"),
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            top = (
+                pairs.orderBy(
+                    F.desc("cnt"), F.asc("a"), F.asc("b")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+
+            def _make_apply(_a, _b):
+                @F.pandas_udf(sym_schema)
+                def apply_merge(syms: pd.Series) -> pd.Series:
+                    return syms.map(
+                        lambda s: _merge_pair_in_seq(list(s), _a, _b)
+                    )
+
+                return apply_merge
+
+            apply_merge = _make_apply(a, b)
+
+            new_vocab = vocab.withColumn(
+                "syms",
+                F.when(
+                    F.arrays_overlap(
+                        "syms", F.array(F.lit(a))
+                    ),
+                    apply_merge(F.col("syms")),
+                ).otherwise(F.col("syms")),
+            ).cache()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def encode_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus's distinct words with a learned merge table:
+    returns ``(word, freq, tokens array<string>)``. Greedy replay in
+    rank order per word; the corpus is touched only by the histogram
+    aggregation, every replay runs once per DISTINCT word in an Arrow
+    batch."""
+    mseq = [tuple(m) for m in merges]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        def one(w):
+            seq = list(w) + [END]
+            for a, b in mseq:
+                if a in seq:
+                    seq = _merge_pair_in_seq(seq, a, b)
+            return seq
+
+        return words.map(one)
+
+    return _words(df, text_col).withColumn("tokens", enc(F.col("word")))
+
+
+def decode_word(tokens: list) -> str:
+    """Inverse of encode for one word: concatenate and strip the
+    end-marker (merges only ever concatenate adjacent units, so this
+    is exact by construction — the roundtrip certificate relies on
+    it)."""
+    return "".join(tokens).removesuffix(END)
