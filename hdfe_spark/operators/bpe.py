@@ -84,13 +84,16 @@ def train_bpe(
     def to_syms(words: pd.Series) -> pd.Series:
         return words.map(lambda w: list(w) + [END])
 
+    # localCheckpoint (eager) instead of cache: it truncates lineage
+    # AND the analyzed plan, so per-iteration JVM state stays O(1) —
+    # a cache chain kept every iteration's plan alive and ran the
+    # driver out of heap within ~20 merges.
     vocab = (
         _words(df, text_col)
         .withColumn("syms", to_syms(F.col("word")))
         .select("word", "freq", "syms")
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    vocab.count()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
@@ -140,10 +143,9 @@ def train_bpe(
                     ),
                     apply_merge(F.col("syms")),
                 ).otherwise(F.col("syms")),
-            ).cache()
-            new_vocab.count()
-            vocab.unpersist()
-            vocab = new_vocab
+            ).localCheckpoint(eager=True)
+            old, vocab = vocab, new_vocab
+            old.unpersist()
     finally:
         vocab.unpersist()
     return merges

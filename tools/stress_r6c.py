@@ -208,6 +208,48 @@ def stress_dpp(n: int = 20_000_000, n_parts: int = 50, n_keep: int = 2):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def stress_bpe(n_docs: int = 1_000_000, n_merges: int = 20):
+    """BPE training at 1M synthetic docs: the corpus-scale cost is
+    ONE histogram aggregation; every merge iteration then works on
+    the ~50k-word vocabulary regardless of corpus size. Reports the
+    split so the histogram-bounded design is visible in numbers."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.bpe import train_bpe
+
+    spark = _spark()
+    rng = np.random.default_rng(7)
+    words = [
+        "".join(rng.choice(list("abcdefghij"), size=rng.integers(3, 10)))
+        for _ in range(50_000)
+    ]
+    vocab_df = spark.createDataFrame(
+        list(enumerate(words)), "wid long, w string"
+    )
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc"),
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("slot"),
+        )
+        .withColumn(
+            "wid", F.pmod(F.xxhash64(F.col("doc") * 13 + F.col("slot")),
+                          F.lit(50_000))
+        )
+        .join(F.broadcast(vocab_df), "wid")
+        .groupBy("doc")
+        .agg(F.concat_ws(" ", F.collect_list("w")).alias("text"))
+    )
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, "text", n_merges=n_merges)
+    dt = time.perf_counter() - t0
+    print(
+        f"bpe: {n_docs} docs, {n_merges} merges in {dt:.1f}s "
+        f"(first 5: {merges[:5]})"
+    )
+    assert len(merges) == n_merges
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("tpch", "all"):
@@ -216,3 +258,5 @@ if __name__ == "__main__":
         stress_validate()
     if which in ("dpp", "all"):
         stress_dpp()
+    if which in ("bpe",):
+        stress_bpe()
