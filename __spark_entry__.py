@@ -4558,6 +4558,251 @@ def _q_dup_ngram_spans(spark, sf_dir):
     return dup_ngram_spans(docs, "doc_id", "text", k=8)
 
 
+# ------------------------------------------------- stats / ML family
+
+
+def _q_ab_ttest(spark, sf_dir):
+    """Welch two-sample t-test (`operators/stats.py::welch_ttest`):
+    do 'click' and 'view' events carry different mean values? Each
+    population reduces to exact DECIMAL(38,0) fixed-point moments in
+    one scan (order-independent, the Gram pattern); the t statistic
+    and Welch-Satterthwaite dof are then one deterministic IEEE
+    expression tree the DuckDB oracle mirrors literally — sqrt, not
+    pow(x,0.5), since only sqrt is correctly-rounded everywhere."""
+    from hdfe_spark.operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    out = welch_ttest(a, b, "value")
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 9).alias("mean_a"),
+        F.round("mean_b", 9).alias("mean_b"),
+        F.round("var_a", 9).alias("var_a"),
+        F.round("var_b", 9).alias("var_b"),
+        F.round("t_stat", 9).alias("t_stat"),
+        F.round("dof", 9).alias("dof"),
+    )
+
+
+def _q_chi2_contingency(spark, sf_dir):
+    """Chi-squared independence (`operators/stats.py::
+    chi2_independence`): is order priority independent of order
+    status? One shuffle builds the contingency table; margins are
+    broadcast re-aggregations of the cell table. PER-CELL chi2 terms
+    (each one exact-bigint products + a single IEEE division) — the
+    caller sums for the statistic, so no output value depends on a
+    float summation order."""
+    from hdfe_spark.operators.stats import chi2_independence
+
+    od = _t(spark, sf_dir, "orders")
+    out = chi2_independence(od, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        "o_orderstatus", "o_orderpriority", "obs",
+        "row_total", "col_total",
+        F.round("expected", 9).alias("expected"),
+        F.round("chi2_term", 9).alias("chi2_term"),
+    )
+
+
+def _q_ols_ridge(spark, sf_dir):
+    """Closed-form ridge regression (`operators/stats.py::ridge2`):
+    l_extendedprice on (l_quantity, l_discount) with lam=10 — the
+    conditioned complement of `estimate.estimate`'s exact OLS for
+    near-collinear pairs. Nine exact fixed-point moments in ONE
+    scan; centered Gram + 2x2 adjugate inverse evaluated as the same
+    IEEE expression tree on both engines (mahalanobis pattern)."""
+    from hdfe_spark.operators.stats import ridge2
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ridge2(li, ["l_quantity", "l_discount"], "l_extendedprice", 10.0)
+    return out.select(
+        "n",
+        F.round("b_l_quantity", 9).alias("b_qty"),
+        F.round("b_l_discount", 9).alias("b_disc"),
+        F.round("intercept", 9).alias("intercept"),
+        "lam",
+    )
+
+
+def _q_kmeans(spark, sf_dir):
+    """Fixed-iteration Lloyd's k-means (`operators/cluster.py::
+    kmeans_fixed`): 3 clusters x 3 iterations over lineitem's
+    (quantity, extendedprice) plane — the third iterative-algorithm
+    certificate beyond `pagerank` and connected components. Init is
+    the first k rows under the (orderkey, linenumber) total order;
+    assignment is IEEE-double argmin with index tie-break; means are
+    exact fixed-point sums — so the DuckDB oracle unrolls the SAME
+    three iterations as CTE layers and the per-cluster counts and
+    final centroids hash-match. Each iteration is one map-side-
+    combined groupBy (k*(d+1) scalars), never a shuffle of points."""
+    from hdfe_spark.operators.cluster import kmeans_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    assigned, cents = kmeans_fixed(
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"],
+        k=3,
+        n_iter=3,
+        # (orderkey, linenumber) is NOT unique in the fixture (60k
+        # rows, 45.8k distinct pairs) — append the features so init
+        # picks under a total order on both engines
+        order_cols=["l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice"],
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cent_rows = [
+        (i, float(c[0]), float(c[1])) for i, c in enumerate(cents)
+    ]
+    cdf = spark.createDataFrame(
+        cent_rows, "cluster int, cx double, cy double"
+    )
+    return counts.join(F.broadcast(cdf), "cluster").select(
+        "cluster", "n",
+        F.round("cx", 9).alias("cx"),
+        F.round("cy", 9).alias("cy"),
+    )
+
+
+def _q_ewma(spark, sf_dir):
+    """Per-user exponential moving average
+    (`operators/stats.py::ewma`): the adjust=False recursion as a
+    LEFT FOLD over each user's event_id-ordered values (one groupBy
+    + F.aggregate). alpha=0.5 so every operation halves exactly;
+    DuckDB's list_reduce replays the identical fold (acc starts at
+    the first element = y_0 = x_0), making the smoothed value
+    bit-reproducible — a windowed float SUM would diverge in
+    segment-tree order."""
+    from hdfe_spark.operators.stats import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "event_id", "value", alpha=0.5)
+    return out.select(
+        "user_id", "n", F.round("ewma", 9).alias("ewma")
+    )
+
+
+def _q_log_parse(spark, sf_dir):
+    """Log-line roundtrip certificate (`operators/text.py::
+    extract_fields`): events are rendered to Apache-style text lines
+    (concat + UTC date_format), parsed back with regexp capture
+    groups (RE2/Java-regex common subset), and aggregated per
+    (event_type, hour). Pure JVM codegen end-to-end — synthesize,
+    extract, and aggregate fuse into one scan stage with zero Python
+    and one final shuffle; the oracle runs the SAME synthesize+parse
+    pipeline in DuckDB, so the hash match certifies the extraction,
+    not just the aggregate."""
+    from hdfe_spark.operators.text import extract_fields
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ts = F.timestamp_micros(ts_micros(ev, "ts"))
+    lines = ev.select(
+        F.concat(
+            F.lit("evt id="), F.col("event_id").cast("string"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" type=["), F.col("event_type"),
+            F.lit("] ts="), F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+        ).alias("line")
+    )
+    parsed = extract_fields(
+        lines,
+        "line",
+        r"^evt id=(\d+) user=(\d+) type=\[(\w+)\] "
+        r"ts=\d{4}-\d{2}-\d{2} (\d{2}):\d{2}:\d{2}$",
+        [
+            ("event_id", "long"),
+            ("user_id", "long"),
+            ("event_type", "string"),
+            ("hour", "int"),
+        ],
+    )
+    return (
+        parsed.filter(F.col("event_id").isNotNull())
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def _q_attribution(spark, sf_dir):
+    """Last-touch attribution (`operators/sessions.py::
+    attribute_last_touch`): every purchase credits the user's most
+    recent strictly-preceding click/view (ignore-nulls last() over a
+    1-PRECEDING-bounded frame — one window pass on the entity key,
+    never an event-table self-join). Organic purchases attribute to
+    NULL. Ordered by (epoch-us, event_id) on both engines so ties
+    can't diverge."""
+    from hdfe_spark.operators.sessions import attribute_last_touch
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    out = attribute_last_touch(
+        ev,
+        "user_id",
+        ["ts_us", "event_id"],
+        "event_type",
+        touch_types=["click", "view"],
+        conversion_types=["purchase"],
+        carry_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "value", "touch_type",
+        F.col("touch_event_id").cast("long").alias("touch_event_id"),
+    )
+
+
+def _q_gap_fill(spark, sf_dir):
+    """Linear gap interpolation (`operators/resample.py::
+    interpolate_gaps`): per-user daily value series (exact
+    fixed-point micro-sums per bin), densified to every day in the
+    user's span (sequence+explode — rows ∝ bins, events touched
+    once), with empty days linearly interpolated between known
+    neighbors and edge days left NULL. Two frame-bounded
+    ignore-nulls window passes over one (user, day) sort; the
+    interpolation is a single IEEE expression on exact inputs, so
+    the oracle reproduces it bit-for-bit."""
+    from hdfe_spark.operators.resample import interpolate_gaps
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("bin"),
+        F.round(F.col("value") * 1e6).cast("long").alias("vu"),
+    )
+    agg = base.groupBy("user_id", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vu").alias("sv"),
+    )
+    span = agg.groupBy("user_id").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi")).alias("bin"),
+    )
+    j = spine.join(agg, ["user_id", "bin"], "left").select(
+        "user_id",
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        (F.col("sv").cast("double") / F.lit(1e6)).alias("v"),
+    )
+    out = interpolate_gaps(j, "user_id", "bin", "v")
+    return out.select(
+        "user_id", "bin", "n",
+        F.round("value_interp", 9).alias("value_interp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -4691,6 +4936,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis": _q_mahalanobis,
         "bpe_roundtrip": _q_bpe_roundtrip,
         "bpe_merges": _q_bpe_merges,
+        # stats/ML family built in the round-6 third continuation
+        # session (tenth curation pass) — round-7 rotation queue:
+        "ab_ttest": _q_ab_ttest,
+        "chi2_contingency": _q_chi2_contingency,
+        "ols_ridge": _q_ols_ridge,
+        "kmeans": _q_kmeans,
+        "ewma": _q_ewma,
+        "log_parse": _q_log_parse,
+        "attribution": _q_attribution,
+        "gap_fill": _q_gap_fill,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -4785,7 +5040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_lateral": _q_posexplode_lateral,
         "window_ranks": _q_window_ranks,
         "grouped_quantiles": _q_grouped_quantiles,
-        "set_ops": _q_set_ops,
         "scalar_funcs": _q_scalar_funcs,
         "streaming_agg": _q_streaming_agg,
         "streaming_window": _q_streaming_window,
@@ -7403,6 +7657,339 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id
             LIMIT 10
+        """,
+        "ab_ttest": """
+            WITH pa AS (
+              SELECT CAST(round(value * 1e6) AS HUGEINT) AS u FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL),
+            pb AS (
+              SELECT CAST(round(value * 1e6) AS HUGEINT) AS u FROM events
+              WHERE event_type = 'view' AND value IS NOT NULL),
+            ma AS (SELECT count(*) AS na, CAST(sum(u) AS DOUBLE) AS sa,
+                          CAST(sum(u * u) AS DOUBLE) AS ssa FROM pa),
+            mb AS (SELECT count(*) AS nb, CAST(sum(u) AS DOUBLE) AS sb,
+                          CAST(sum(u * u) AS DOUBLE) AS ssb FROM pb),
+            c AS (
+              SELECT na, nb, sa / na AS mean_a, sb / nb AS mean_b,
+                     (ssa - sa * sa / na) / (na - 1) AS var_a,
+                     (ssb - sb * sb / nb) / (nb - 1) AS var_b
+              FROM ma, mb),
+            d AS (
+              SELECT c.*, var_a / na AS s2a, var_b / nb AS s2b FROM c)
+            SELECT na AS n_a, nb AS n_b,
+                   round(mean_a / 1e6, 9) AS mean_a,
+                   round(mean_b / 1e6, 9) AS mean_b,
+                   round(var_a / (1e6 * 1e6), 9) AS var_a,
+                   round(var_b / (1e6 * 1e6), 9) AS var_b,
+                   round((mean_a - mean_b) / sqrt(s2a + s2b), 9) AS t_stat,
+                   round((s2a + s2b) * (s2a + s2b)
+                         / (s2a * s2a / (na - 1)
+                            + s2b * s2b / (nb - 1)), 9) AS dof
+            FROM d
+        """,
+        "chi2_contingency": """
+            WITH cells AS (
+              SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1, 2),
+            rm AS (SELECT o_orderstatus,
+                          CAST(sum(obs) AS BIGINT) AS row_total
+                   FROM cells GROUP BY 1),
+            cm AS (SELECT o_orderpriority,
+                          CAST(sum(obs) AS BIGINT) AS col_total
+                   FROM cells GROUP BY 1),
+            g AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM cells)
+            SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
+                   rm.row_total, cm.col_total,
+                   round(CAST(rm.row_total AS DOUBLE)
+                         * CAST(cm.col_total AS DOUBLE)
+                         / CAST(g.grand AS DOUBLE), 9) AS expected,
+                   round((CAST(c.obs AS DOUBLE)
+                          - CAST(rm.row_total AS DOUBLE)
+                            * CAST(cm.col_total AS DOUBLE)
+                            / CAST(g.grand AS DOUBLE))
+                         * (CAST(c.obs AS DOUBLE)
+                            - CAST(rm.row_total AS DOUBLE)
+                              * CAST(cm.col_total AS DOUBLE)
+                              / CAST(g.grand AS DOUBLE))
+                         / (CAST(rm.row_total AS DOUBLE)
+                            * CAST(cm.col_total AS DOUBLE)
+                            / CAST(g.grand AS DOUBLE)), 9) AS chi2_term
+            FROM cells c
+            JOIN rm USING (o_orderstatus)
+            JOIN cm USING (o_orderpriority)
+            CROSS JOIN g
+        """,
+        "ols_ridge": """
+            WITH m AS (
+              SELECT count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s1,
+                CAST(sum(CAST(round(l_discount * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s2,
+                CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS sy,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s11,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_discount * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s12,
+                CAST(sum(CAST(round(l_discount * 1e6) AS HUGEINT)
+                         * CAST(round(l_discount * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s22,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s1y,
+                CAST(sum(CAST(round(l_discount * 1e6) AS HUGEINT)
+                         * CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s2y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            mm AS (
+              SELECT n, s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+                     s11, s12, s22, s1y, s2y
+              FROM m),
+            gr AS (
+              SELECT n, m1, m2, my,
+                     s11 - n * m1 * m1 AS a11,
+                     s12 - n * m1 * m2 AS a12,
+                     s22 - n * m2 * m2 AS a22,
+                     s1y - n * m1 * my AS g1,
+                     s2y - n * m2 * my AS g2
+              FROM mm),
+            sol AS (
+              SELECT gr.*,
+                     (a11 + 1e13) * (a22 + 1e13) - a12 * a12 AS det
+              FROM gr),
+            b AS (
+              SELECT n, m1, m2, my,
+                     ((a22 + 1e13) * g1 - a12 * g2) / det AS b1,
+                     ((a11 + 1e13) * g2 - a12 * g1) / det AS b2
+              FROM sol)
+            SELECT n, round(b1, 9) AS b_qty, round(b2, 9) AS b_disc,
+                   round((my - b1 * m1 - b2 * m2) / 1e6, 9) AS intercept,
+                   CAST(10.0 AS DOUBLE) AS lam
+            FROM b
+        """,
+        "kmeans": """
+            WITH pts AS (
+              SELECT l_quantity AS x, l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            c0 AS (
+              SELECT row_number() OVER (ORDER BY ok, ln, x, y) - 1
+                       AS idx,
+                     x AS cx, y AS cy
+              FROM (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                           l_quantity AS x, l_extendedprice AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+                    ORDER BY ok, ln, x, y LIMIT 3)),
+            w0 AS (
+              SELECT
+                max(CASE WHEN idx = 0 THEN cx END) AS cx0,
+                max(CASE WHEN idx = 0 THEN cy END) AS cy0,
+                max(CASE WHEN idx = 1 THEN cx END) AS cx1,
+                max(CASE WHEN idx = 1 THEN cy END) AS cy1,
+                max(CASE WHEN idx = 2 THEN cx END) AS cx2,
+                max(CASE WHEN idx = 2 THEN cy END) AS cy2
+              FROM c0),
+            a1 AS (
+              SELECT x, y,
+                CASE WHEN (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1)
+                      AND (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 0
+                     WHEN (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 1
+                     ELSE 2 END AS idx
+              FROM pts CROSS JOIN w0),
+            c1 AS (
+              SELECT idx,
+                CAST(sum(CAST(round(x * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cx,
+                CAST(sum(CAST(round(y * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cy
+              FROM a1 GROUP BY idx),
+            w1 AS (
+              SELECT
+                max(CASE WHEN idx = 0 THEN cx END) AS cx0,
+                max(CASE WHEN idx = 0 THEN cy END) AS cy0,
+                max(CASE WHEN idx = 1 THEN cx END) AS cx1,
+                max(CASE WHEN idx = 1 THEN cy END) AS cy1,
+                max(CASE WHEN idx = 2 THEN cx END) AS cx2,
+                max(CASE WHEN idx = 2 THEN cy END) AS cy2
+              FROM c1),
+            a2 AS (
+              SELECT x, y,
+                CASE WHEN (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1)
+                      AND (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 0
+                     WHEN (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 1
+                     ELSE 2 END AS idx
+              FROM pts CROSS JOIN w1),
+            c2 AS (
+              SELECT idx,
+                CAST(sum(CAST(round(x * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cx,
+                CAST(sum(CAST(round(y * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cy
+              FROM a2 GROUP BY idx),
+            w2 AS (
+              SELECT
+                max(CASE WHEN idx = 0 THEN cx END) AS cx0,
+                max(CASE WHEN idx = 0 THEN cy END) AS cy0,
+                max(CASE WHEN idx = 1 THEN cx END) AS cx1,
+                max(CASE WHEN idx = 1 THEN cy END) AS cy1,
+                max(CASE WHEN idx = 2 THEN cx END) AS cx2,
+                max(CASE WHEN idx = 2 THEN cy END) AS cy2
+              FROM c2),
+            a3 AS (
+              SELECT x, y,
+                CASE WHEN (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1)
+                      AND (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 0
+                     WHEN (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 1
+                     ELSE 2 END AS idx
+              FROM pts CROSS JOIN w2),
+            c3 AS (
+              SELECT idx,
+                CAST(sum(CAST(round(x * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cx,
+                CAST(sum(CAST(round(y * 1e6) AS HUGEINT)) AS DOUBLE)
+                  / count(*) / 1e6 AS cy
+              FROM a3 GROUP BY idx),
+            w3 AS (
+              SELECT
+                max(CASE WHEN idx = 0 THEN cx END) AS cx0,
+                max(CASE WHEN idx = 0 THEN cy END) AS cy0,
+                max(CASE WHEN idx = 1 THEN cx END) AS cx1,
+                max(CASE WHEN idx = 1 THEN cy END) AS cy1,
+                max(CASE WHEN idx = 2 THEN cx END) AS cx2,
+                max(CASE WHEN idx = 2 THEN cy END) AS cy2
+              FROM c3),
+            a4 AS (
+              SELECT x, y,
+                CASE WHEN (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1)
+                      AND (x - cx0) * (x - cx0) + (y - cy0) * (y - cy0) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 0
+                     WHEN (x - cx1) * (x - cx1) + (y - cy1) * (y - cy1) <= (x - cx2) * (x - cx2) + (y - cy2) * (y - cy2) THEN 1
+                     ELSE 2 END AS idx
+              FROM pts CROSS JOIN w3)
+            SELECT CAST(a4.idx AS INTEGER) AS cluster,
+                   count(*) AS n,
+                   round(max(c3.cx), 9) AS cx,
+                   round(max(c3.cy), 9) AS cy
+            FROM a4 JOIN c3 ON a4.idx = c3.idx
+            GROUP BY a4.idx
+        """,
+        "ewma": """
+            SELECT user_id, count(*) AS n,
+                   round(list_reduce(list(value ORDER BY event_id),
+                                     (acc, x) -> 0.5 * x + 0.5 * acc),
+                         9) AS ewma
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
+        """,
+        "log_parse": """
+            WITH lines AS (
+              SELECT 'evt id=' || CAST(event_id AS VARCHAR)
+                     || ' user=' || CAST(user_id AS VARCHAR)
+                     || ' type=[' || event_type
+                     || '] ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+                       AS line
+              FROM events),
+            p AS (
+              SELECT
+                CAST(regexp_extract(line,
+                  '^evt id=(\\d+) user=(\\d+) type=\\[(\\w+)\\] ts=\\d{4}-\\d{2}-\\d{2} (\\d{2}):\\d{2}:\\d{2}$',
+                  1) AS BIGINT) AS event_id,
+                CAST(regexp_extract(line,
+                  '^evt id=(\\d+) user=(\\d+) type=\\[(\\w+)\\] ts=\\d{4}-\\d{2}-\\d{2} (\\d{2}):\\d{2}:\\d{2}$',
+                  2) AS BIGINT) AS user_id,
+                regexp_extract(line,
+                  '^evt id=(\\d+) user=(\\d+) type=\\[(\\w+)\\] ts=\\d{4}-\\d{2}-\\d{2} (\\d{2}):\\d{2}:\\d{2}$',
+                  3) AS event_type,
+                CAST(regexp_extract(line,
+                  '^evt id=(\\d+) user=(\\d+) type=\\[(\\w+)\\] ts=\\d{4}-\\d{2}-\\d{2} (\\d{2}):\\d{2}:\\d{2}$',
+                  4) AS INTEGER) AS hour
+              FROM lines)
+            SELECT event_type, hour, count(*) AS n,
+                   count(DISTINCT user_id) AS n_users
+            FROM p
+            WHERE event_id IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "attribution": """
+            WITH t AS (
+              SELECT event_id, user_id, event_type, value,
+                     last_value(CASE WHEN event_type IN ('click', 'view')
+                                     THEN struct_pack(
+                                            t := event_type,
+                                            e := event_id)
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lt
+              FROM events)
+            SELECT event_id, user_id, value,
+                   struct_extract(lt, 't') AS touch_type,
+                   CAST(struct_extract(lt, 'e') AS BIGINT)
+                     AS touch_event_id
+            FROM t WHERE event_type = 'purchase'
+        """,
+        "gap_fill": """
+            WITH base AS (
+              SELECT user_id,
+                     epoch_us(ts) // 86400000000 AS bin,
+                     CAST(round(value * 1e6) AS BIGINT) AS vu
+              FROM events WHERE value IS NOT NULL),
+            agg AS (
+              SELECT user_id, bin, count(*) AS n, sum(vu) AS sv
+              FROM base GROUP BY 1, 2),
+            span AS (
+              SELECT user_id, min(bin) AS lo, max(bin) AS hi
+              FROM agg GROUP BY 1),
+            spine AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS bin
+              FROM span),
+            j AS (
+              SELECT s.user_id, s.bin,
+                     CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+                     CAST(a.sv AS DOUBLE) / 1e6 AS v
+              FROM spine s LEFT JOIN agg a
+                ON s.user_id = a.user_id AND s.bin = a.bin),
+            k AS (
+              SELECT user_id, bin, n, v,
+                     CASE WHEN v IS NOT NULL
+                          THEN struct_pack(i := bin, v := v) END AS kn
+              FROM j),
+            w AS (
+              SELECT user_id, bin, n, v,
+                     last_value(kn IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS back,
+                     first_value(kn IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY bin
+                        ROWS BETWEEN 1 FOLLOWING
+                                 AND UNBOUNDED FOLLOWING) AS fwd
+              FROM k)
+            SELECT user_id, bin, n,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN back IS NOT NULL AND fwd IS NOT NULL
+                              THEN struct_extract(back, 'v')
+                                   + (struct_extract(fwd, 'v')
+                                      - struct_extract(back, 'v'))
+                                     * (CAST(bin - struct_extract(back, 'i')
+                                             AS DOUBLE)
+                                        / CAST(struct_extract(fwd, 'i')
+                                               - struct_extract(back, 'i')
+                                               AS DOUBLE))
+                         END, 9) AS value_interp
+            FROM w
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

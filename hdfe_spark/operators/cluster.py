@@ -1,0 +1,132 @@
+"""Distributed clustering: fixed-iteration Lloyd's k-means with a
+deterministic, engine-portable contract.
+
+Beyond-reference surface (the reference's only "grouping" is by
+observed categorical keys, `hdfe/groupby.py`): corpus curation needs
+DISCOVERED groups — topic buckets for rebalancing, embedding
+partitions for SemDeDup (`operators/dedup.py::semdedup` trains its
+coarse quantizer with exactly this loop) — and an auditable
+certificate that the distributed implementation computes the textbook
+iteration, not an approximation of it.
+
+Determinism contract (what makes a DuckDB oracle able to unroll the
+SAME iterations as CTE layers, the `graph.py::pagerank` pattern):
+
+- init: the k rows with the smallest ``order_cols`` values (a total
+  order), NOT a random sample;
+- assignment: argmin of squared Euclidean distance in IEEE double,
+  ties broken by centroid index;
+- update: per-cluster mean = exact fixed-point decimal sum of
+  ``round(value*1e6)`` integers (order-independent, unlike a float
+  sum) cast to double, divided by the count — identical last-ulp
+  result in any engine;
+- an empty cluster keeps its previous centroid (documented; with
+  first-k init every cluster is non-empty on iteration 1).
+
+Scale design: each iteration is ONE map-side-combined groupBy over
+the points (k*(d+1) partial scalars per task) plus a driver-side
+k x d centroid update — no shuffle of the points themselves, ever.
+The assignment expression is a broadcast-literal codegen projection
+(k and d are small; the point table never moves). Iterations are a
+Python loop over Spark jobs, the same shape as
+`estimate.py::_ap_sweeps_distributed` — at 100 TB each sweep is one
+scan, and AQE-coalesced partials keep the reduce tiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1e6
+
+
+def _assign_expr(feature_cols: list[str], centroids: list[tuple]):
+    """Column expr: index of the nearest centroid (squared Euclidean,
+    double), ties to the lowest index. Pure codegen — centroids ride
+    as literals."""
+    dists = []
+    for cx in centroids:
+        d = F.lit(0.0)
+        for col, c in zip(feature_cols, cx):
+            diff = F.col(col).cast("double") - F.lit(float(c))
+            d = d + diff * diff
+        dists.append(d)
+    best_d = F.least(*dists) if len(dists) > 1 else dists[0]
+    expr = F.lit(None).cast("int")
+    # first index attaining the min wins: scan from the back so the
+    # earliest when() in the final expression is the lowest index
+    for idx in range(len(centroids) - 1, -1, -1):
+        expr = F.when(dists[idx] == best_d, F.lit(idx)).otherwise(expr)
+    return expr
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int,
+    n_iter: int,
+    order_cols: Sequence[str],
+) -> tuple[DataFrame, list[tuple]]:
+    """Run exactly ``n_iter`` Lloyd iterations; returns
+    ``(assigned_df, centroids)`` where ``assigned_df`` is ``df`` plus
+    a ``cluster`` column (the FINAL assignment against the last
+    centroid update) and ``centroids`` the final k x d list.
+
+    ``order_cols`` must totally order the rows (init takes the first
+    k). NULL feature rows are excluded up front.
+    """
+    feature_cols = list(feature_cols)
+    cond = F.lit(True)
+    for c in feature_cols:
+        cond = cond & F.col(c).isNotNull()
+    pts = df.filter(cond)
+
+    init_cols = list(dict.fromkeys([*order_cols, *feature_cols]))
+    init_rows = (
+        pts.select(*init_cols)
+        .orderBy(*order_cols)
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} but only {len(init_rows)} rows")
+    centroids = [
+        tuple(float(r[c]) for c in feature_cols) for r in init_rows
+    ]
+
+    sums = [
+        F.sum(
+            F.round(F.col(c) * _SCALE).cast("decimal(38,0)")
+        ).alias(f"_s{i}")
+        for i, c in enumerate(feature_cols)
+    ]
+    for _ in range(n_iter):
+        assigned = pts.withColumn(
+            "cluster", _assign_expr(feature_cols, centroids)
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_n"), *sums)
+            .collect()
+        )
+        by_idx = {int(r["cluster"]): r for r in stats}
+        new = []
+        for idx in range(k):
+            r = by_idx.get(idx)
+            if r is None or r["_n"] == 0:
+                new.append(centroids[idx])  # empty cluster: keep
+                continue
+            n = float(r["_n"])
+            new.append(
+                tuple(
+                    float(r[f"_s{i}"]) / n / _SCALE
+                    for i in range(len(feature_cols))
+                )
+            )
+        centroids = new
+
+    out = pts.withColumn("cluster", _assign_expr(feature_cols, centroids))
+    return out, centroids

@@ -20,7 +20,7 @@ does); this is the declarative, distributed form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,3 +84,55 @@ def resample_events(
             F.coalesce(F.col("__sv"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of NULL values across a per-key integer
+    grid (the dense spine ``resample_events`` emits, with empty bins
+    as NULL instead of zero): every interior NULL at index t between
+    known neighbors (t0, y0) and (t1, y1) becomes
+    y0 + (y1-y0) * (t-t0)/(t1-t0); leading/trailing NULLs (no known
+    neighbor on one side) stay NULL — interpolation only, never
+    extrapolation.
+
+    Two frame-bounded window passes over ONE (key, idx) sort: an
+    ignore-nulls last() looking back carries (t0, y0), an
+    ignore-nulls first() looking forward carries (t1, y1) — the
+    pandas ``Series.interpolate(limit_area='inside')`` semantics,
+    distributed. All index arithmetic is integer; the interpolation
+    itself is one deterministic IEEE expression on doubles, so a SQL
+    oracle reproduces it exactly.
+    """
+    known = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(idx_col).cast("long").alias("i"),
+            F.col(value_col).cast("double").alias("v"),
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(idx_col)
+    back = F.last(known, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = F.first(known, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    t = F.col(idx_col).cast("long")
+    y0, t0 = back.getField("v"), back.getField("i")
+    y1, t1 = fwd.getField("v"), fwd.getField("i")
+    interp = y0 + (y1 - y0) * (
+        (t - t0).cast("double") / (t1 - t0).cast("double")
+    )
+    out = (
+        F.when(F.col(value_col).isNotNull(),
+               F.col(value_col).cast("double"))
+        .when(back.isNotNull() & fwd.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return df.withColumn(out_col, out)

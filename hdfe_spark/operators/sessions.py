@@ -12,6 +12,8 @@ key, evicted by watermark).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,3 +60,57 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration"),
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: Sequence[str],
+    type_col: str,
+    touch_types: Sequence[str],
+    conversion_types: Sequence[str],
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Last-touch attribution: every conversion event is credited to
+    the entity's most recent STRICTLY PRECEDING touch event (by the
+    ``order_cols`` total order); conversions with no prior touch
+    attribute to NULL (organic).
+
+    The marketing-analytics workhorse over the same event logs the
+    curation pipeline reads: one window pass per entity (frame
+    UNBOUNDED PRECEDING .. 1 PRECEDING with an ignore-nulls last()),
+    shuffles only on the entity key — never a self-join of the event
+    table against itself, which at 100 TB would square the touch
+    volume.
+
+    Output: the conversion rows plus ``touch_type`` and
+    ``touch_<c>`` for each carry column (all NULL when organic).
+    ``order_cols`` must totally order each entity's events (ties
+    would make "most recent" nondeterministic).
+    """
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_struct = F.when(
+        is_touch,
+        F.struct(
+            F.col(type_col).alias("t"),
+            *[F.col(c).alias(c) for c in carry_cols],
+        ),
+    )
+    last_touch = F.last(touch_struct, ignorenulls=True).over(w)
+    out = df.withColumn("_lt", last_touch).filter(
+        F.col(type_col).isin(list(conversion_types))
+    )
+    sel = [
+        *df.columns,
+        F.col("_lt").getField("t").alias("touch_type"),
+        *[
+            F.col("_lt").getField(c).alias(f"touch_{c}")
+            for c in carry_cols
+        ],
+    ]
+    return out.select(*sel)

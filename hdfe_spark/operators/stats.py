@@ -1,0 +1,299 @@
+"""Hypothesis-testing and time-series statistics: Welch's two-sample
+t-test, chi-squared independence, and per-key exponential moving
+averages.
+
+Beyond-reference surface: the reference stops at point estimates and
+(cluster-robust) standard errors (`hdfe/hdfe.py:150-213`); a data
+pipeline that A/B-tests curation policies or monitors engagement
+streams also needs the classical two-sample machinery and smoothed
+trend lines — expressed, at 100 TB, as single-scan aggregations and
+one-window passes, never a driver-side loop.
+
+Engine-portable exactness (the repo's Gram pattern,
+`operators/collinearity.py` / `validate.py::mahalanobis_outliers`):
+
+- ``welch_ttest`` reduces each population to exact fixed-point
+  moments (count / sum / sum-of-squares of ``round(value*scale)``
+  integers summed as DECIMAL(38,0) — order-independent, unlike
+  float sums), then evaluates the t statistic and the
+  Welch–Satterthwaite dof with one deterministic IEEE expression
+  tree a SQL oracle can mirror literally. ONE aggregation pass per
+  population; the result is k scalars regardless of row count.
+- ``chi2_independence`` builds the contingency table with one
+  groupBy, derives margins with two tiny re-aggregations joined
+  back (broadcast — the table has |A|x|B| cells, not |rows|), and
+  emits PER-CELL expected counts and chi-squared terms. The global
+  statistic is a sum the CALLER takes; keeping cells separate means
+  no output value depends on a float summation order.
+- ``ewma`` evaluates the recursive smoother y_0 = x_0, y_t =
+  a*x_t + (1-a)*y_{t-1} (pandas ``adjust=False``) as a LEFT FOLD
+  over the key's order-sorted value array (one groupBy + one
+  ``F.aggregate``). A fold is sequential BY DEFINITION, so DuckDB's
+  ``list_reduce`` replays the identical IEEE operation sequence —
+  unlike a windowed float SUM, which DuckDB may evaluate in segment-
+  tree order and Spark sequentially, diverging in the last ulp. No
+  closed-form (1-a)^{-t} rescaling, so no overflow cap either.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def welch_ttest(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the
+    ``value_col`` populations of ``df_a`` and ``df_b``.
+
+    Returns a ONE-ROW DataFrame: n_a, n_b, mean_a, mean_b, var_a,
+    var_b (sample variances, /(n-1)), t_stat, dof
+    (Welch–Satterthwaite). Means/variances are in the original
+    units. NULL values are excluded (SQL aggregate semantics).
+
+    Scale: each side is one scan reduced map-side to 3 scalars; the
+    statistic is driver-side arithmetic. At 100 TB this is the
+    minimum possible work — no shuffle wider than the partial
+    aggregates.
+    """
+
+    def moments(df: DataFrame, tag: str):
+        v = F.col(value_col)
+        u = F.round(v * scale).cast("decimal(38,0)")
+        return df.filter(v.isNotNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            F.sum(u).alias(f"s_{tag}"),
+            F.sum(u * u).alias(f"ss_{tag}"),
+        )
+
+    ma = moments(df_a, "a").collect()[0]
+    mb = moments(df_b, "b").collect()[0]
+    na, nb = int(ma["n_a"]), int(mb["n_b"])
+    if na < 2 or nb < 2:
+        raise ValueError("welch_ttest needs >= 2 non-null rows per side")
+    sa, ssa = float(ma["s_a"]), float(ma["ss_a"])
+    sb, ssb = float(mb["s_b"]), float(mb["ss_b"])
+    # All of the below is deterministic IEEE double arithmetic on
+    # identical inputs — the oracle writes the same expression tree.
+    mean_a, mean_b = sa / na, sb / nb
+    var_a = (ssa - sa * sa / na) / (na - 1)
+    var_b = (ssb - sb * sb / nb) / (nb - 1)
+    se2_a, se2_b = var_a / na, var_b / nb
+    # sqrt/products only (no pow): libm pow(x, 0.5) need not equal
+    # the correctly-rounded IEEE sqrt every SQL engine uses
+    t_stat = (mean_a - mean_b) / math.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - 1) + se2_b * se2_b / (nb - 1)
+    )
+    spark = df_a.sparkSession
+    row = [
+        (
+            na,
+            nb,
+            mean_a / scale,
+            mean_b / scale,
+            var_a / (scale * scale),
+            var_b / (scale * scale),
+            t_stat,
+            dof,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_a long, n_b long, mean_a double, mean_b double, "
+        "var_a double, var_b double, t_stat double, dof double",
+    )
+
+
+def ridge2(
+    df: DataFrame,
+    x_cols: Sequence[str],
+    y_col: str,
+    lam: float,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Closed-form ridge regression for exactly two regressors plus
+    an (unpenalized, absorbed-by-centering) intercept: minimize
+    ||y - a - Xb||^2 + lam*||b||^2, solved as
+    b = (X'X_c + lam*I)^{-1} X'y_c on CENTERED moments, a = my - b.mx.
+
+    The regularized complement of `estimate.estimate` (exact OLS,
+    reference `hdfe/hdfe.py`): at 100 TB feature scales,
+    near-collinear regressor pairs that `collinearity.py` flags get
+    a conditioned solve instead of a column drop.
+
+    Exactness: the 9 sufficient moments are fixed-point DECIMAL(38,0)
+    sums of ``round(value*scale)`` integers (one scan, map-side
+    partials, order-independent); the centered Gram, the 2x2
+    adjugate inverse, and the coefficients are then one deterministic
+    IEEE expression tree evaluated driver-side — a SQL oracle mirrors
+    it literally (`validate.py::mahalanobis_outliers` pattern).
+    Returns ONE row: n, b_<x1>, b_<x2>, intercept, lam.
+    """
+    x_cols = list(x_cols)
+    if len(x_cols) != 2:
+        raise NotImplementedError(
+            "closed-form engine-portable path implemented for p=2 "
+            "(the certificate shape); general p lives in "
+            "estimate.estimate"
+        )
+    x1, x2, y = x_cols[0], x_cols[1], y_col
+
+    def u(c):
+        return F.round(F.col(c) * scale).cast("decimal(38,0)")
+
+    cond = (
+        F.col(x1).isNotNull()
+        & F.col(x2).isNotNull()
+        & F.col(y).isNotNull()
+    )
+    m = (
+        df.filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(u(x1)).alias("s1"),
+            F.sum(u(x2)).alias("s2"),
+            F.sum(u(y)).alias("sy"),
+            F.sum(u(x1) * u(x1)).alias("s11"),
+            F.sum(u(x1) * u(x2)).alias("s12"),
+            F.sum(u(x2) * u(x2)).alias("s22"),
+            F.sum(u(x1) * u(y)).alias("s1y"),
+            F.sum(u(x2) * u(y)).alias("s2y"),
+        )
+        .collect()[0]
+    )
+    n = float(m["n"])
+    s1, s2, sy = float(m["s1"]), float(m["s2"]), float(m["sy"])
+    s11, s12, s22 = float(m["s11"]), float(m["s12"]), float(m["s22"])
+    s1y, s2y = float(m["s1y"]), float(m["s2y"])
+    m1, m2, my = s1 / n, s2 / n, sy / n
+    # centered Gram and cross-moments, still in scaled units
+    a11 = s11 - n * m1 * m1
+    a12 = s12 - n * m1 * m2
+    a22 = s22 - n * m2 * m2
+    g1 = s1y - n * m1 * my
+    g2 = s2y - n * m2 * my
+    # ridge term in scaled units: b is unit-free per scaled x, and
+    # the caller's lam applies to original units, so lam scales by
+    # scale^2 exactly like the Gram entries
+    ls = lam * scale * scale
+    det = (a11 + ls) * (a22 + ls) - a12 * a12
+    b1 = ((a22 + ls) * g1 - a12 * g2) / det
+    b2 = ((a11 + ls) * g2 - a12 * g1) / det
+    intercept = (my - b1 * m1 - b2 * m2) / scale
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(m["n"]), b1, b2, intercept, lam)],
+        f"n long, b_{x1} double, b_{x2} double, "
+        "intercept double, lam double",
+    )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns: one row per observed (col_a, col_b) cell with the
+    observed count, expected count under independence, and the
+    cell's chi-squared term (obs-exp)^2/exp.
+
+    The caller sums ``chi2_term`` for the statistic and compares to
+    chi2((|A|-1)(|B|-1)); per-cell output keeps every value free of
+    float-summation order (expected = exact-bigint product / exact
+    bigint — one IEEE division per cell).
+
+    Scale: ONE shuffle on (col_a, col_b) builds the table; margins
+    are re-aggregations of the |A|x|B|-cell table (tiny), joined
+    back broadcast.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    row_m = cells.groupBy(col_a).agg(F.sum("obs").alias("row_total"))
+    col_m = cells.groupBy(col_b).agg(F.sum("obs").alias("col_total"))
+    grand = cells.agg(F.sum("obs").alias("grand"))
+    out = (
+        cells.join(F.broadcast(row_m), col_a)
+        .join(F.broadcast(col_m), col_b)
+        .crossJoin(F.broadcast(grand))
+    )
+    exp = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return out.select(
+        col_a,
+        col_b,
+        "obs",
+        "row_total",
+        "col_total",
+        exp.alias("expected"),
+        term.alias("chi2_term"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key FINAL exponential moving average, pandas
+    ``adjust=False`` recursion y_0 = x_0, y_t = alpha*x_t +
+    (1-alpha)*y_{t-1}, evaluated as a left fold over the key's
+    order-sorted values. Returns one row per key: (key, n, ewma).
+
+    Why a fold and not a windowed closed form: the fold replays the
+    recursion's exact IEEE operation sequence, and DuckDB's
+    ``list_reduce`` (acc starts at the first element, same as y_0 =
+    x_0) is the identical left fold — bit-reproducible across
+    engines. A windowed SUM of x_j*(1-a)^{-j} would hit segment-tree
+    vs sequential summation-order divergence AND overflow for long
+    series.
+
+    ``order_col`` must totally order each key's rows (same contract
+    as ``rank.global_rank``). Scale: one shuffle on the key; each
+    key's series materializes as an in-memory array in its task
+    (fine for per-entity event series; for million-row single-key
+    series, segment the fold: EWMA composes associatively as
+    y = A*y_prev + B per block).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .agg(xs.alias("_xs"), F.count(F.lit(1)).alias("n"))
+    )
+    vals = F.col("_xs").getField("v")
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return per_key.select(key_col, "n", folded.alias(out_col))

@@ -747,3 +747,34 @@ def dup_ngram_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def extract_fields(
+    df: DataFrame,
+    col: str,
+    pattern: str,
+    fields: "Sequence[tuple[str, str]]",
+    keep: "Sequence[str]" = (),
+) -> DataFrame:
+    """Structured field extraction from semi-structured text lines
+    (the log-parsing step at the head of any telemetry/ingest
+    pipeline): regex capture group i+1 becomes column ``fields[i] =
+    (name, sql_type)``, cast from string.
+
+    Pure JVM codegen (``regexp_extract`` per field — no Python, no
+    shuffle: a map-only projection that fuses into the scan at any
+    scale). Non-matching lines yield empty-string extractions, which
+    ``try_cast`` to NULL for non-string types (ANSI-safe — a plain
+    cast throws on the first garbage line) — filter on a required
+    field's nullness to drop garbage lines.
+
+    Portability: stick to the RE2/Java-regex COMMON subset
+    (character classes, quantifiers, anchors, groups — no
+    backreferences or lookaround) and the extraction is
+    engine-reproducible; the repo's oracle queries do exactly this.
+    """
+    exprs = [F.col(c) for c in keep]
+    for i, (name, typ) in enumerate(fields):
+        e = F.regexp_extract(F.col(col), pattern, i + 1)
+        exprs.append(e.try_cast(typ).alias(name))
+    return df.select(*exprs)

@@ -38,3 +38,38 @@ def test_resample_guards_giant_span(spark):
         ).count()
         == 11
     )
+
+
+def test_interpolate_gaps_linear_inside_only(spark):
+    from hdfe_spark.operators.resample import interpolate_gaps
+
+    rows = [
+        (1, 0, None),   # leading null stays null
+        (1, 1, 10.0),
+        (1, 2, None),   # interp between (1,10) and (4,40): 20
+        (1, 3, None),   # 30
+        (1, 4, 40.0),
+        (1, 5, None),   # trailing null stays null
+        (2, 0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        (r["k"], r["t"]): r["value_interp"]
+        for r in interpolate_gaps(df, "k", "t", "v").collect()
+    }
+    assert got[(1, 0)] is None and got[(1, 5)] is None
+    assert got[(1, 1)] == 10.0 and got[(1, 4)] == 40.0
+    assert got[(1, 2)] == 20.0 and got[(1, 3)] == 30.0
+    assert got[(2, 0)] == 5.0
+
+
+def test_interpolate_gaps_uneven_spacing(spark):
+    from hdfe_spark.operators.resample import interpolate_gaps
+
+    rows = [(1, 0, 0.0), (1, 10, None), (1, 40, 8.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        r["t"]: r["value_interp"]
+        for r in interpolate_gaps(df, "k", "t", "v").collect()
+    }
+    assert got[10] == 0.0 + 8.0 * (10 / 40)

@@ -88,3 +88,39 @@ def test_tfidf_topk_orders_and_limits(spark):
     # doc 0's top term is its thrice-repeated unique term 'a'
     top0 = out[out.doc_id == 0].sort_values("tfidf", ascending=False)
     assert top0.iloc[0]["term"] == "a"
+
+
+def test_attribute_last_touch_basic(spark):
+    from hdfe_spark.operators.sessions import attribute_last_touch
+
+    rows = [
+        # user 1: click(v=1) -> view(v=2) -> purchase(v=10) -> purchase(v=20)
+        (1, 1, 1, "click", 1.0),
+        (2, 2, 1, "view", 2.0),
+        (3, 3, 1, "purchase", 10.0),
+        (4, 4, 1, "purchase", 20.0),
+        # user 2: organic purchase (no prior touch)
+        (5, 1, 2, "purchase", 7.0),
+        # user 3: touch AFTER the purchase does not attribute
+        (6, 2, 3, "purchase", 5.0),
+        (7, 3, 3, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+        "value double"
+    )
+    out = attribute_last_touch(
+        df,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        touch_types=["click", "view"],
+        conversion_types=["purchase"],
+        carry_cols=["event_id"],
+    )
+    got = {r["event_id"]: r for r in out.collect()}
+    assert set(got) == {3, 4, 5, 6}
+    assert got[3]["touch_type"] == "view" and got[3]["touch_event_id"] == 2
+    assert got[4]["touch_type"] == "view"  # most recent preceding touch
+    assert got[5]["touch_type"] is None  # organic
+    assert got[6]["touch_type"] is None  # later touch can't attribute

@@ -1,0 +1,135 @@
+"""Welch t-test, chi-squared independence, ridge closed form, EWMA
+fold — each checked against an independent reference computation
+(scipy-free: closed forms on tiny fixtures)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from hdfe_spark.operators.stats import (
+    chi2_independence,
+    ewma,
+    ridge2,
+    welch_ttest,
+)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(10.0, 2.0, 400), 6)
+    b = np.round(rng.normal(10.5, 3.0, 300), 6)
+    df_a = spark.createDataFrame([(float(v),) for v in a], "v double")
+    df_b = spark.createDataFrame([(float(v),) for v in b], "v double")
+    got = welch_ttest(df_a, df_b, "v").collect()[0]
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["mean_a"] == pytest.approx(a.mean(), rel=1e-9)
+    assert got["var_b"] == pytest.approx(vb, rel=1e-9)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert got["dof"] == pytest.approx(dof, rel=1e-9)
+
+
+def test_welch_ttest_rejects_tiny(spark):
+    one = spark.createDataFrame([(1.0,)], "v double")
+    two = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="2 non-null"):
+        welch_ttest(one, two, "v")
+
+
+def test_chi2_independence_2x2_closed_form(spark):
+    # classic 2x2: obs [[10, 20], [30, 40]]
+    rows = (
+        [("x", "p")] * 10
+        + [("x", "q")] * 20
+        + [("y", "p")] * 30
+        + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {
+        (r["a"], r["b"]): r
+        for r in chi2_independence(df, "a", "b").collect()
+    }
+    assert len(out) == 4
+    # margins: x=30, y=70, p=40, q=60, N=100
+    cell = out[("x", "p")]
+    assert cell["obs"] == 10
+    assert cell["expected"] == pytest.approx(30 * 40 / 100.0)
+    assert cell["chi2_term"] == pytest.approx((10 - 12.0) ** 2 / 12.0)
+    chi2 = sum(r["chi2_term"] for r in out.values())
+    # classic formula for 2x2: N(ad-bc)^2 / (row1 row2 col1 col2)
+    expect = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert chi2 == pytest.approx(expect, rel=1e-12)
+
+
+def test_ewma_matches_pandas_recursion(spark):
+    import pandas as pd
+
+    rows = [(1, i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9])]
+    rows += [(2, 0, 7.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {
+        r["k"]: r for r in ewma(df, "k", "t", "v", alpha=0.5).collect()
+    }
+    want = (
+        pd.Series([3, 1, 4, 1, 5, 9], dtype=float)
+        .ewm(alpha=0.5, adjust=False)
+        .mean()
+        .iloc[-1]
+    )
+    assert got[1]["ewma"] == pytest.approx(want, rel=1e-12)
+    assert got[1]["n"] == 6
+    assert got[2]["ewma"] == 7.0  # single element: y_0 = x_0
+
+
+def test_ewma_ignores_order_of_input_rows(spark):
+    rows = [(1, 2, 4.0), (1, 0, 3.0), (1, 1, 1.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = ewma(df, "k", "t", "v", alpha=0.5).collect()[0]["ewma"]
+    # fold over t-order [3,1,4]: y=3 -> 2 -> 3
+    assert got == 3.0
+
+
+def test_ridge2_matches_numpy_closed_form(spark):
+    rng = np.random.default_rng(11)
+    x1 = np.round(rng.normal(0, 1, 500), 6)
+    x2 = np.round(0.8 * x1 + rng.normal(0, 0.3, 500), 6)  # collinear-ish
+    y = np.round(2.0 * x1 - 1.0 * x2 + 0.5 + rng.normal(0, 0.1, 500), 6)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    lam = 3.0
+    got = ridge2(df, ["x1", "x2"], "y", lam).collect()[0]
+    xc = np.column_stack([x1 - x1.mean(), x2 - x2.mean()])
+    yc = y - y.mean()
+    b = np.linalg.solve(xc.T @ xc + lam * np.eye(2), xc.T @ yc)
+    assert got["b_x1"] == pytest.approx(b[0], rel=1e-6)
+    assert got["b_x2"] == pytest.approx(b[1], rel=1e-6)
+    a = y.mean() - b[0] * x1.mean() - b[1] * x2.mean()
+    assert got["intercept"] == pytest.approx(a, rel=1e-6)
+    # lam -> 0 recovers OLS
+    ols = np.linalg.solve(xc.T @ xc, xc.T @ yc)
+    got0 = ridge2(df, ["x1", "x2"], "y", 0.0).collect()[0]
+    assert got0["b_x1"] == pytest.approx(ols[0], rel=1e-6)
+
+
+def test_ridge2_shrinks_toward_zero(spark):
+    rng = np.random.default_rng(3)
+    x1 = rng.normal(0, 1, 200)
+    x2 = rng.normal(0, 1, 200)
+    y = x1 + x2
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    b_small = ridge2(df, ["x1", "x2"], "y", 0.1).collect()[0]
+    b_big = ridge2(df, ["x1", "x2"], "y", 1e6).collect()[0]
+    assert abs(b_big["b_x1"]) < abs(b_small["b_x1"]) < 1.01
+    assert abs(b_big["b_x1"]) < 0.05

@@ -305,3 +305,34 @@ def test_bigram_logprob_math(spark):
     assert got.loc[1, "n_bigrams"] == 3
     assert got.loc[2, "n_bigrams"] == 1
     assert 3 not in got.index  # single-token doc has no bigrams
+
+
+def test_extract_fields_parses_log_lines(spark):
+    from hdfe_spark.operators.text import extract_fields
+
+    rows = [
+        ("evt id=12 user=7 type=[click] ts=2024-01-02 03:04:05",),
+        ("evt id=13 user=8 type=[view] ts=2024-01-02 04:00:00",),
+        ("garbage line",),
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    out = extract_fields(
+        df,
+        "line",
+        r"^evt id=(\d+) user=(\d+) type=\[(\w+)\] "
+        r"ts=(\d{4}-\d{2}-\d{2}) (\d{2}):",
+        [
+            ("id", "long"),
+            ("uid", "long"),
+            ("etype", "string"),
+            ("day", "date"),
+            ("hour", "int"),
+        ],
+    )
+    got = out.filter("id IS NOT NULL").orderBy("id").collect()
+    assert len(got) == 2
+    assert got[0]["uid"] == 7 and got[0]["etype"] == "click"
+    assert got[0]["hour"] == 3 and str(got[0]["day"]) == "2024-01-02"
+    # garbage: every non-string cast nulls out
+    bad = out.filter("id IS NULL").collect()
+    assert len(bad) == 1 and bad[0]["etype"] == ""
