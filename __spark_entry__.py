@@ -31,6 +31,20 @@ def _t(spark, sf_dir, name):
     return load_table(spark, name, sf_dir)
 
 
+def _pround(col, digits: int = 9):
+    """Portable round-half-up for float OUTPUT columns:
+    floor(x*10^d + 0.5)/10^d evaluates identically on any IEEE
+    engine given identical doubles. Plain round(x, 9) does NOT:
+    Spark rounds the double's shortest decimal repr
+    (BigDecimal.valueOf) while DuckDB rounds the binary value, and
+    they disagree whenever digit d+1 lands on a boundary — 9 of
+    15000 rows in target_encode's first gate run. Oracles mirror
+    this as floor((expr) * 1e9 + 0.5) / 1e9."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = float(10 ** digits)
+    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+
+
 # --------------------------------------------------------------- entry
 
 
@@ -4577,12 +4591,12 @@ def _q_ab_ttest(spark, sf_dir):
     out = welch_ttest(a, b, "value")
     return out.select(
         "n_a", "n_b",
-        F.round("mean_a", 9).alias("mean_a"),
-        F.round("mean_b", 9).alias("mean_b"),
-        F.round("var_a", 9).alias("var_a"),
-        F.round("var_b", 9).alias("var_b"),
-        F.round("t_stat", 9).alias("t_stat"),
-        F.round("dof", 9).alias("dof"),
+        _pround("mean_a").alias("mean_a"),
+        _pround("mean_b").alias("mean_b"),
+        _pround("var_a").alias("var_a"),
+        _pround("var_b").alias("var_b"),
+        _pround("t_stat").alias("t_stat"),
+        _pround("dof").alias("dof"),
     )
 
 
@@ -4601,8 +4615,8 @@ def _q_chi2_contingency(spark, sf_dir):
     return out.select(
         "o_orderstatus", "o_orderpriority", "obs",
         "row_total", "col_total",
-        F.round("expected", 9).alias("expected"),
-        F.round("chi2_term", 9).alias("chi2_term"),
+        _pround("expected").alias("expected"),
+        _pround("chi2_term").alias("chi2_term"),
     )
 
 
@@ -4619,9 +4633,9 @@ def _q_ols_ridge(spark, sf_dir):
     out = ridge2(li, ["l_quantity", "l_discount"], "l_extendedprice", 10.0)
     return out.select(
         "n",
-        F.round("b_l_quantity", 9).alias("b_qty"),
-        F.round("b_l_discount", 9).alias("b_disc"),
-        F.round("intercept", 9).alias("intercept"),
+        _pround("b_l_quantity").alias("b_qty"),
+        _pround("b_l_discount").alias("b_disc"),
+        _pround("intercept").alias("intercept"),
         "lam",
     )
 
@@ -4663,8 +4677,8 @@ def _q_kmeans(spark, sf_dir):
     )
     return counts.join(F.broadcast(cdf), "cluster").select(
         "cluster", "n",
-        F.round("cx", 9).alias("cx"),
-        F.round("cy", 9).alias("cy"),
+        _pround("cx").alias("cx"),
+        _pround("cy").alias("cy"),
     )
 
 
@@ -4682,7 +4696,7 @@ def _q_ewma(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = ewma(ev, "user_id", "event_id", "value", alpha=0.5)
     return out.select(
-        "user_id", "n", F.round("ewma", 9).alias("ewma")
+        "user_id", "n", _pround("ewma").alias("ewma")
     )
 
 
@@ -4799,7 +4813,91 @@ def _q_gap_fill(spark, sf_dir):
     out = interpolate_gaps(j, "user_id", "bin", "v")
     return out.select(
         "user_id", "bin", "n",
-        F.round("value_interp", 9).alias("value_interp"),
+        _pround("value_interp").alias("value_interp"),
+    )
+
+
+
+def _q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U / Wilcoxon rank-sum
+    (`operators/stats.py::mann_whitney_u`): click vs view event
+    values. Average-tie rank sums ride in half-units as exact
+    DECIMAL(38,0) integers over the distinct-value table, whose
+    cumulative counts come from the DISTRIBUTED prefix sum
+    (`rank.py` — no global single-partition window); the z statistic
+    is driver-side IEEE arithmetic on 4 exact scalars, mirrored
+    literally by the oracle's windowed integer sums."""
+    from hdfe_spark.operators.stats import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events")
+    out = mann_whitney_u(ev, "event_type", "value", "click", "view")
+    return out.select(
+        "n_a", "n_b", "u_a", "u_b", "tie_term",
+        _pround("z").alias("z"),
+    )
+
+
+def _q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (`operators/stats.py::
+    ks_2sample`): purchase vs error event values. The max ECDF gap
+    is kept exact by cross-multiplying — |cuma*nb - cumb*na| is an
+    integer, so the max is order-free; D is one final integer
+    division. Cumulatives via the distributed prefix sum over
+    distinct values."""
+    from hdfe_spark.operators.stats import ks_2sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_2sample(ev, "event_type", "value", "purchase", "error")
+
+
+def _q_spearman(spark, sf_dir):
+    """Spearman rank correlation (`operators/stats.py::
+    spearman_corr`) between lineitem quantity and extendedprice:
+    average-tie ranks in integral half-units from per-column
+    distinct-value prefix sums, joined back; Pearson on five exact
+    DECIMAL(38,0) rank moments. Never sorts the full table."""
+    from hdfe_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select("n", _pround("rho").alias("rho"))
+
+
+def _q_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding (`operators/encoding.py::
+    target_encode_loo`): o_orderpriority encoded against
+    o_totalprice with prior weight 10 — the constant-width
+    replacement for a 100 TB-cardinality one-hot expansion
+    (`make_dummies`). Exact fixed-point category sums; each row's
+    own label excluded; singletons/unseen pulled to the prior. One
+    groupBy + one (broadcastable) join + codegen projection."""
+    from hdfe_spark.operators.encoding import target_encode_loo
+
+    od = _t(spark, sf_dir, "orders")
+    out = target_encode_loo(
+        od, "o_orderpriority", "o_totalprice", prior_weight=10.0
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _pround("o_orderpriority_te").alias("te"),
+    )
+
+
+def _q_standardize(spark, sf_dir):
+    """Z-score feature scaling (`operators/stats.py::standardize`):
+    lineitem quantity and extendedprice standardized in ONE moment
+    scan (exact DECIMAL(38,0) fixed-point sums, per-column non-null
+    counts) + one codegen projection — sample stddev, deterministic
+    IEEE per-row scores."""
+    from hdfe_spark.operators.stats import standardize
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        _pround("l_quantity_z").alias("qty_z"),
+        _pround("l_extendedprice_z").alias("price_z"),
     )
 
 
@@ -4946,6 +5044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_parse": _q_log_parse,
         "attribution": _q_attribution,
         "gap_fill": _q_gap_fill,
+        "mann_whitney": _q_mann_whitney,
+        "ks_test": _q_ks_test,
+        "spearman": _q_spearman,
+        "target_encode": _q_target_encode,
+        "standardize": _q_standardize,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -7677,14 +7780,14 @@ def oracle_sql() -> dict[str, str]:
             d AS (
               SELECT c.*, var_a / na AS s2a, var_b / nb AS s2b FROM c)
             SELECT na AS n_a, nb AS n_b,
-                   round(mean_a / 1e6, 9) AS mean_a,
-                   round(mean_b / 1e6, 9) AS mean_b,
-                   round(var_a / (1e6 * 1e6), 9) AS var_a,
-                   round(var_b / (1e6 * 1e6), 9) AS var_b,
-                   round((mean_a - mean_b) / sqrt(s2a + s2b), 9) AS t_stat,
-                   round((s2a + s2b) * (s2a + s2b)
+                   floor((mean_a / 1e6) * 1e9 + 0.5) / 1e9 AS mean_a,
+                   floor((mean_b / 1e6) * 1e9 + 0.5) / 1e9 AS mean_b,
+                   floor((var_a / (1e6 * 1e6)) * 1e9 + 0.5) / 1e9 AS var_a,
+                   floor((var_b / (1e6 * 1e6)) * 1e9 + 0.5) / 1e9 AS var_b,
+                   floor(((mean_a - mean_b) / sqrt(s2a + s2b)) * 1e9 + 0.5) / 1e9 AS t_stat,
+                   floor(((s2a + s2b) * (s2a + s2b)
                          / (s2a * s2a / (na - 1)
-                            + s2b * s2b / (nb - 1)), 9) AS dof
+                            + s2b * s2b / (nb - 1))) * 1e9 + 0.5) / 1e9 AS dof
             FROM d
         """,
         "chi2_contingency": """
@@ -7703,10 +7806,10 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT CAST(sum(obs) AS BIGINT) AS grand FROM cells)
             SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
                    rm.row_total, cm.col_total,
-                   round(CAST(rm.row_total AS DOUBLE)
+                   floor((CAST(rm.row_total AS DOUBLE)
                          * CAST(cm.col_total AS DOUBLE)
-                         / CAST(g.grand AS DOUBLE), 9) AS expected,
-                   round((CAST(c.obs AS DOUBLE)
+                         / CAST(g.grand AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS expected,
+                   floor(((CAST(c.obs AS DOUBLE)
                           - CAST(rm.row_total AS DOUBLE)
                             * CAST(cm.col_total AS DOUBLE)
                             / CAST(g.grand AS DOUBLE))
@@ -7716,7 +7819,7 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(g.grand AS DOUBLE))
                          / (CAST(rm.row_total AS DOUBLE)
                             * CAST(cm.col_total AS DOUBLE)
-                            / CAST(g.grand AS DOUBLE)), 9) AS chi2_term
+                            / CAST(g.grand AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS chi2_term
             FROM cells c
             JOIN rm USING (o_orderstatus)
             JOIN cm USING (o_orderpriority)
@@ -7770,8 +7873,8 @@ def oracle_sql() -> dict[str, str]:
                      ((a22 + 1e13) * g1 - a12 * g2) / det AS b1,
                      ((a11 + 1e13) * g2 - a12 * g1) / det AS b2
               FROM sol)
-            SELECT n, round(b1, 9) AS b_qty, round(b2, 9) AS b_disc,
-                   round((my - b1 * m1 - b2 * m2) / 1e6, 9) AS intercept,
+            SELECT n, floor((b1) * 1e9 + 0.5) / 1e9 AS b_qty, floor((b2) * 1e9 + 0.5) / 1e9 AS b_disc,
+                   floor(((my - b1 * m1 - b2 * m2) / 1e6) * 1e9 + 0.5) / 1e9 AS intercept,
                    CAST(10.0 AS DOUBLE) AS lam
             FROM b
         """,
@@ -7878,16 +7981,15 @@ def oracle_sql() -> dict[str, str]:
               FROM pts CROSS JOIN w3)
             SELECT CAST(a4.idx AS INTEGER) AS cluster,
                    count(*) AS n,
-                   round(max(c3.cx), 9) AS cx,
-                   round(max(c3.cy), 9) AS cy
+                   floor((max(c3.cx)) * 1e9 + 0.5) / 1e9 AS cx,
+                   floor((max(c3.cy)) * 1e9 + 0.5) / 1e9 AS cy
             FROM a4 JOIN c3 ON a4.idx = c3.idx
             GROUP BY a4.idx
         """,
         "ewma": """
             SELECT user_id, count(*) AS n,
-                   round(list_reduce(list(value ORDER BY event_id),
-                                     (acc, x) -> 0.5 * x + 0.5 * acc),
-                         9) AS ewma
+                   floor((list_reduce(list(value ORDER BY event_id),
+                                     (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e9 + 0.5) / 1e9 AS ewma
             FROM events
             WHERE value IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id
@@ -7978,7 +8080,7 @@ def oracle_sql() -> dict[str, str]:
                                  AND UNBOUNDED FOLLOWING) AS fwd
               FROM k)
             SELECT user_id, bin, n,
-                   round(CASE WHEN v IS NOT NULL THEN v
+                   floor((CASE WHEN v IS NOT NULL THEN v
                               WHEN back IS NOT NULL AND fwd IS NOT NULL
                               THEN struct_extract(back, 'v')
                                    + (struct_extract(fwd, 'v')
@@ -7988,8 +8090,180 @@ def oracle_sql() -> dict[str, str]:
                                         / CAST(struct_extract(fwd, 'i')
                                                - struct_extract(back, 'i')
                                                AS DOUBLE))
-                         END, 9) AS value_interp
+                         END) * 1e9 + 0.5) / 1e9 AS value_interp
             FROM w
+        """,
+        "mann_whitney": """
+            WITH cells AS (
+              SELECT value AS v,
+                CAST(sum(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY value),
+            cum AS (
+              SELECT v, ca, cb,
+                sum(ca) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumb
+              FROM cells),
+            agg AS (
+              SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb,
+                     CAST(sum(CAST(ca AS HUGEINT)
+                              * (2 * CAST(cuma + cumb - ca - cb
+                                          AS HUGEINT)
+                                 + CAST(ca + cb AS HUGEINT) + 1))
+                          AS DOUBLE) AS ra2,
+                     CAST(sum(CAST(ca + cb AS HUGEINT)
+                              * CAST(ca + cb AS HUGEINT)
+                              * CAST(ca + cb AS HUGEINT)
+                              - CAST(ca + cb AS HUGEINT))
+                          AS DOUBLE) AS ties
+              FROM cum),
+            u AS (
+              SELECT na, nb, ties,
+                     ra2 / 2.0 - na * (na + 1) / 2.0 AS u_a
+              FROM agg),
+            v AS (
+              SELECT u.*,
+                     CAST(na AS DOUBLE) * nb - u_a AS u_b,
+                     CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+                     CAST(na AS DOUBLE) * nb / 12.0
+                       * ((na + nb + 1)
+                          - ties / (CAST(na + nb AS DOUBLE)
+                                    * (na + nb - 1))) AS var
+              FROM u)
+            SELECT na AS n_a, nb AS n_b, u_a, u_b,
+                   ties AS tie_term,
+                   floor(((u_a - mu) / sqrt(var)) * 1e9 + 0.5) / 1e9 AS z
+            FROM v
+        """,
+        "ks_test": """
+            WITH cells AS (
+              SELECT value AS v,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('purchase', 'error')
+              GROUP BY value),
+            cum AS (
+              SELECT ca, cb,
+                sum(ca) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumb
+              FROM cells),
+            tot AS (
+              SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb
+              FROM cells),
+            mx AS (
+              SELECT max(abs(CAST(cuma AS HUGEINT) * nb
+                             - CAST(cumb AS HUGEINT) * na)) AS d_num
+              FROM cum, tot)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(d_num AS BIGINT) AS d_num,
+                   CAST(d_num AS DOUBLE)
+                     / (CAST(na AS DOUBLE) * nb) AS d
+            FROM tot, mx
+        """,
+        "spearman": """
+            WITH base AS (
+              SELECT l_quantity AS x, l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            cx AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+            rx AS (
+              SELECT x,
+                2 * (sum(c) OVER (ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2x
+              FROM cx),
+            cy AS (SELECT y, count(*) AS c FROM base GROUP BY y),
+            ry AS (
+              SELECT y,
+                2 * (sum(c) OVER (ORDER BY y
+                       ROWS UNBOUNDED PRECEDING) - c) + c + 1 AS r2y
+              FROM cy),
+            r AS (
+              SELECT CAST(r2x AS HUGEINT) AS r2x,
+                     CAST(r2y AS HUGEINT) AS r2y
+              FROM base JOIN rx USING (x) JOIN ry USING (y)),
+            m AS (
+              SELECT count(*) AS n,
+                     CAST(sum(r2x) AS DOUBLE) AS sx,
+                     CAST(sum(r2y) AS DOUBLE) AS sy,
+                     CAST(sum(r2x * r2x) AS DOUBLE) AS sxx,
+                     CAST(sum(r2x * r2y) AS DOUBLE) AS sxy,
+                     CAST(sum(r2y * r2y) AS DOUBLE) AS syy
+              FROM r)
+            SELECT n,
+                   floor(((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx)
+                                * (n * syy - sy * sy))) * 1e9 + 0.5) / 1e9 AS rho
+            FROM m
+        """,
+        "target_encode": """
+            WITH g AS (
+              SELECT count(*) AS gn,
+                     CAST(sum(CAST(round(o_totalprice * 1e6)
+                                   AS HUGEINT)) AS DOUBLE) AS gs
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            pc AS (
+              SELECT o_orderpriority,
+                     count(*) AS cn,
+                     CAST(sum(CAST(round(o_totalprice * 1e6)
+                                   AS HUGEINT)) AS DOUBLE) AS cs
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1)
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   floor((CASE
+                     WHEN o.o_totalprice IS NOT NULL
+                          AND pc.cs IS NOT NULL
+                          AND CAST(pc.cn AS DOUBLE) - 1.0 + 10.0 > 0.0
+                     THEN (pc.cs
+                           - CAST(round(o.o_totalprice * 1e6) AS DOUBLE)
+                           + 10.0 * (g.gs / g.gn))
+                          / (CAST(pc.cn AS DOUBLE) - 1.0 + 10.0)
+                     WHEN o.o_totalprice IS NULL THEN NULL
+                     ELSE g.gs / g.gn END / 1e6) * 1e9 + 0.5) / 1e9 AS te
+            FROM orders o
+            LEFT JOIN pc USING (o_orderpriority)
+            CROSS JOIN g
+        """,
+        "standardize": """
+            WITH m AS (
+              SELECT count(l_quantity) AS n1,
+                     count(l_extendedprice) AS n2,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s1,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS ss1,
+                CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS s2,
+                CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT)
+                         * CAST(round(l_extendedprice * 1e6)
+                                AS HUGEINT)) AS DOUBLE) AS ss2
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+                   floor(((CAST(round(l_quantity * 1e6) AS DOUBLE)
+                          - s1 / n1)
+                         / sqrt((ss1 - s1 * s1 / n1) / (n1 - 1))) * 1e9 + 0.5) / 1e9 AS qty_z,
+                   floor(((CAST(round(l_extendedprice * 1e6) AS DOUBLE)
+                          - s2 / n2)
+                         / sqrt((ss2 - s2 * s2 / n2) / (n2 - 1))) * 1e9 + 0.5) / 1e9 AS price_z
+            FROM lineitem, m
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -142,3 +142,71 @@ def get_all_dummies(
         out, n = make_dummies(out, c, drop_col=(i > 0), output="columns")
         names += n
     return out, names
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 10.0,
+    scale: float = 1e6,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding with prior smoothing — the
+    leakage-safe categorical feature for tree/linear models:
+
+        te_i = (sum_cat - y_i + m * mu) / (n_cat - 1 + m)
+
+    where mu is the GLOBAL target mean, m = ``prior_weight``; each
+    row's own target is excluded (plain per-category means leak the
+    label into its own feature), and singleton categories
+    (n_cat = 1, m = 0 would divide by zero) are pulled entirely to
+    the prior by the smoothing term.
+
+    The one-hot expansion path (`make_dummies`, reference
+    `hdfe/fixed_effects.py:9-26`) explodes at 100 TB cardinalities;
+    target encoding is its constant-width replacement. One groupBy
+    builds the per-category (n, sum) table — broadcast back when
+    small, hash-join otherwise; the encode itself is a codegen
+    projection.
+
+    Exactness: per-category and global sums are exact fixed-point
+    DECIMAL(38,0); te is then a single IEEE expression on exact
+    inputs — engine-reproducible, SQL-oracle-mirrorable. NULL
+    targets are excluded from sums and get NULL encodes; NULL
+    categories encode to the prior mean.
+    """
+    out_col = out_col or f"{cat_col}_te"
+    u = F.round(F.col(target_col) * scale).cast("decimal(38,0)")
+    g = df.filter(F.col(target_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum(u).alias("gs"),
+    ).collect()[0]
+    mu = float(g["gs"]) / float(g["gn"])  # scaled units
+    per_cat = (
+        df.filter(
+            F.col(target_col).isNotNull() & F.col(cat_col).isNotNull()
+        )
+        .groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cn"),
+            F.sum(u).alias("__cs"),
+        )
+    )
+    joined = df.join(per_cat, cat_col, "left")
+    m = float(prior_weight)
+    yu = F.round(F.col(target_col) * scale).cast("double")
+    denom = F.col("__cn").cast("double") - F.lit(1.0) + F.lit(m)
+    te_scaled = F.when(
+        F.col(target_col).isNotNull()
+        & F.col("__cs").isNotNull()
+        & (denom > F.lit(0.0)),
+        (F.col("__cs").cast("double") - yu + F.lit(m) * F.lit(mu))
+        / denom,
+    ).when(
+        F.col(target_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(F.lit(mu))  # null/unseen category, or an unsmoothed
+    # singleton (denom 0, ANSI would raise): pull to the prior mean
+    return joined.withColumn(out_col, te_scaled / F.lit(scale)).drop(
+        "__cn", "__cs"
+    )

@@ -297,3 +297,221 @@ def ewma(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return per_key.select(key_col, "n", folded.alias(out_col))
+
+
+# ---------------------------------------------------------------
+# Rank-based nonparametrics: built on the distinct-value table +
+# distributed exact prefix sums (`operators/rank.py::prefix_sum`),
+# so no global single-partition WindowExec ever appears: the
+# cumulative pass runs over DISTINCT values (|V| << N rows), range-
+# partitioned. Every statistic reduces to a handful of exact
+# integer/decimal scalars; the final z / D / rho is one
+# deterministic IEEE expression both engines share.
+
+
+def _side_cells(df, value_col, side_col, a_label, b_label):
+    """Distinct-value table with per-side counts and INCLUSIVE
+    cumulative counts under the value order."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    cells = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(side_col).isin([a_label, b_label])
+        )
+        .groupBy(value_col)
+        .agg(
+            F.sum(
+                F.when(F.col(side_col) == a_label, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(side_col) == b_label, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    cells = prefix_sum(cells, [value_col], "ca", out_col="cuma")
+    cells = prefix_sum(cells, [value_col], "cb", out_col="cumb")
+    return cells
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+    a_label,
+    b_label,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test with average-tie
+    ranks and tie-corrected normal approximation (no continuity
+    correction — documented, so the oracle states the same formula).
+
+    Exactness: rank sums ride in HALF-UNITS — for a distinct value
+    with c pooled occurrences, cum-before count B, the average rank
+    is B + (c+1)/2, so 2*R_a = sum(ca * (2B + c + 1)) stays integral
+    (DECIMAL(38,0): at 10^12 rows the products pass int64). The
+    z-score is then driver-side IEEE arithmetic on 5 exact scalars.
+
+    One groupBy builds the distinct-value cells; two distributed
+    prefix sums give cumulative counts; one aggregation reduces to
+    scalars. Returns one row: n_a, n_b, u_a, u_b, tie_term, z.
+    """
+    cells = _side_cells(df, value_col, side_col, a_label, b_label)
+    c = (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+    before = (
+        F.col("cuma") + F.col("cumb") - F.col("ca") - F.col("cb")
+    ).cast("decimal(38,0)")
+    r2_term = F.col("ca").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * before + c + F.lit(1)
+    )
+    m = cells.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(r2_term).alias("ra2"),
+        F.sum(c * c * c - c).alias("ties"),
+    ).collect()[0]
+    na, nb = int(m["na"]), int(m["nb"])
+    if na == 0 or nb == 0:
+        raise ValueError("mann_whitney_u: empty side")
+    n = na + nb
+    ra2, ties = float(m["ra2"]), float(m["ties"])
+    u_a = ra2 / 2.0 - na * (na + 1) / 2.0
+    u_b = float(na) * nb - u_a
+    mu = float(na) * nb / 2.0
+    var = (
+        float(na) * nb / 12.0 * ((n + 1) - ties / (float(n) * (n - 1)))
+    )
+    z = (u_a - mu) / math.sqrt(var)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(na, nb, u_a, u_b, ties, z)],
+        "n_a long, n_b long, u_a double, u_b double, "
+        "tie_term double, z double",
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    side_col: str,
+    value_col: str,
+    a_label,
+    b_label,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D: the max ECDF gap evaluated
+    at every pooled distinct value, kept EXACT by cross-multiplying
+    — |cuma*nb - cumb*na| is an integer (DECIMAL(38,0) at scale), so
+    the argmax is order-free and engine-exact; D itself is one final
+    integer division in IEEE double.
+
+    Returns one row: n_a, n_b, d_num (the integer numerator),
+    d = d_num/(n_a*n_b)."""
+    cells = _side_cells(df, value_col, side_col, a_label, b_label)
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    ).collect()[0]
+    na, nb = int(tot["na"]), int(tot["nb"])
+    if na == 0 or nb == 0:
+        raise ValueError("ks_2sample: empty side")
+    gap = F.abs(
+        F.col("cuma").cast("decimal(38,0)") * F.lit(nb)
+        - F.col("cumb").cast("decimal(38,0)") * F.lit(na)
+    )
+    m = cells.agg(F.max(gap).alias("d_num")).collect()[0]
+    d_num = int(m["d_num"])
+    d = float(d_num) / (float(na) * nb)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(na, nb, d_num, d)],
+        "n_a long, n_b long, d_num long, d double",
+    )
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation with average-tie ranks, exactly:
+    each column's ranks come from its distinct-value table (count +
+    exclusive cumulative via distributed prefix sum) joined back to
+    the rows — in half-units 2*rank = 2B + c + 1 stays integral, and
+    the half-unit scaling cancels in the correlation. The Pearson
+    formula then runs on five exact DECIMAL(38,0) sums; the final
+    rho is deterministic IEEE double arithmetic.
+
+    Never sorts the full table: two small distinct-value prefix
+    sums + two joins back (broadcast when the value domain is
+    small) + one aggregation. Returns one row: n, rho."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(x_col, y_col)
+
+    def rank_table(col, rcol):
+        cells = base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cells = prefix_sum(cells, [col], "c", out_col="cum")
+        return cells.select(
+            col,
+            (
+                F.lit(2) * (F.col("cum") - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            ).cast("decimal(38,0)").alias(rcol),
+        )
+
+    rx = rank_table(x_col, "r2x")
+    ry = rank_table(y_col, "r2y")
+    ranked = base.join(rx, x_col).join(ry, y_col)
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+    ).collect()[0]
+    n = float(m["n"])
+    sx, sy = float(m["sx"]), float(m["sy"])
+    sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
+    num = n * sxy - sx * sy
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(m["n"]), num / den)], "n long, rho double"
+    )
+
+
+def standardize(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: float = 1e6,
+    suffix: str = "_z",
+) -> DataFrame:
+    """Z-score standardization (the ML feature-scaling primitive):
+    for each column, (x - mean)/stddev with SAMPLE stddev, where
+    mean/stddev derive from exact fixed-point DECIMAL(38,0) moments
+    (one scan for ALL columns) — so the per-row z-scores are
+    deterministic IEEE doubles any engine reproduces. Adds
+    ``<col><suffix>`` per input column; NULLs stay NULL."""
+    cols = list(cols)
+    aggs = []
+    for c in cols:
+        u = F.round(F.col(c) * scale).cast("decimal(38,0)")
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"n_{c}"))
+        aggs.append(F.sum(u).alias(f"s_{c}"))
+        aggs.append(F.sum(u * u).alias(f"ss_{c}"))
+    m = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        # per-column non-null counts: a shared row count would skew
+        # the moments of any column carrying NULLs
+        n = float(m[f"n_{c}"])
+        s, ss = float(m[f"s_{c}"]), float(m[f"ss_{c}"])
+        mean = s / n
+        sd = math.sqrt((ss - s * s / n) / (n - 1))
+        z = (
+            F.round(F.col(c) * scale).cast("double") - F.lit(mean)
+        ) / F.lit(sd)
+        out = out.withColumn(c + suffix, z)
+    return out

@@ -80,3 +80,38 @@ def test_vector_output_matches_columns(small_int_df):
     pdf = out.toPandas().sort_values("row_id")
     dense = np.array([v.toArray() for v in pdf[vec_col]])
     np.testing.assert_array_equal(dense, [[0, 1], [1, 0], [1, 0]])
+
+
+def test_target_encode_loo(spark):
+    import pytest
+
+    from hdfe_spark.operators.encoding import target_encode_loo
+
+    rows = [
+        ("a", 10.0), ("a", 20.0), ("a", 30.0),
+        ("b", 100.0),            # singleton -> prior mean
+        (None, 50.0),            # null category -> prior mean
+        ("a", None),             # null target -> null encode
+    ]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = target_encode_loo(df, "cat", "y", prior_weight=0.0)
+    got = {
+        (r["cat"], r["y"]): r["cat_te"] for r in out.collect()
+    }
+    # LOO with no prior: for ("a", 10): (60-10)/2 = 25
+    assert got[("a", 10.0)] == pytest.approx(25.0)
+    assert got[("a", 20.0)] == pytest.approx(20.0)
+    assert got[("a", 30.0)] == pytest.approx(15.0)
+    mu = (10 + 20 + 30 + 100 + 50) / 5
+    # singleton with m=0: 0/0 guarded? prior_weight=0 -> denominator 0
+    # -> inf/nan; use the smoothed call for the contract cases below
+    out2 = target_encode_loo(df, "cat", "y", prior_weight=2.0)
+    got2 = {
+        (r["cat"], r["y"]): r["cat_te"] for r in out2.collect()
+    }
+    assert got2[("b", 100.0)] == pytest.approx(mu)  # pulled to prior
+    assert got2[(None, 50.0)] == pytest.approx(mu)
+    assert got2[("a", None)] is None
+    # smoothing blends LOO mean with prior
+    want = ((60 - 10) + 2 * mu) / (3 - 1 + 2)
+    assert got2[("a", 10.0)] == pytest.approx(want)

@@ -133,3 +133,89 @@ def test_ridge2_shrinks_toward_zero(spark):
     b_big = ridge2(df, ["x1", "x2"], "y", 1e6).collect()[0]
     assert abs(b_big["b_x1"]) < abs(b_small["b_x1"]) < 1.01
     assert abs(b_big["b_x1"]) < 0.05
+
+
+def test_mann_whitney_matches_scipy_formula(spark):
+    from hdfe_spark.operators.stats import mann_whitney_u
+
+    # small fixture with ties, hand-checkable
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 6.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "side string, v double")
+    got = mann_whitney_u(df, "side", "v", "a", "b").collect()[0]
+    # reference: average ranks of pooled [1,2,2,2,3,5,6,6,7]
+    # ranks:     [1, 3,3,3, 5, 6, 7.5,7.5, 9]
+    ra = 1 + 3 + 3 + 6 + 9  # side a holds 1,2,2,5,7
+    ua = ra - 5 * 6 / 2
+    assert got["n_a"] == 5 and got["n_b"] == 4
+    assert got["u_a"] == ua
+    assert got["u_b"] == 5 * 4 - ua
+    # tie groups: three 2s (c=3), two 6s (c=2)
+    assert got["tie_term"] == (27 - 3) + (8 - 2)
+    import math
+
+    n = 9
+    var = 5 * 4 / 12 * ((n + 1) - got["tie_term"] / (n * (n - 1)))
+    assert got["z"] == pytest.approx(
+        (ua - 5 * 4 / 2) / math.sqrt(var), rel=1e-12
+    )
+
+
+def test_ks_2sample_exact(spark):
+    from hdfe_spark.operators.stats import ks_2sample
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "side string, v double")
+    got = ks_2sample(df, "side", "v", "a", "b").collect()[0]
+    # ECDFs: at v=2, Fa=2/4, Fb=0 -> gap 1/2 (max)
+    assert got["d_num"] == 8  # |2*4 - 0*4| = 8
+    assert got["d"] == 0.5
+
+
+def test_spearman_matches_scipy_style(spark):
+    from hdfe_spark.operators.stats import spearman_corr
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    x = np.round(rng.normal(0, 1, 300), 3)  # 3 decimals -> real ties
+    y = np.round(0.6 * x + rng.normal(0, 1, 300), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double",
+    )
+    got = spearman_corr(df, "x", "y").collect()[0]
+    rx = pd.Series(x).rank(method="average")
+    ry = pd.Series(y).rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"] == 300
+    assert got["rho"] == pytest.approx(want, rel=1e-9)
+
+
+def test_spearman_perfect_monotone(spark):
+    from hdfe_spark.operators.stats import spearman_corr
+
+    rows = [(float(i), float(i * i)) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(
+        1.0
+    )
+
+
+def test_standardize_zero_mean_unit_var(spark):
+    from hdfe_spark.operators.stats import standardize
+
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    v = np.round(rng.normal(50, 10, 500), 6)
+    df = spark.createDataFrame([(float(x),) for x in v], "v double")
+    z = standardize(df, ["v"]).toPandas()["v_z"]
+    assert z.mean() == pytest.approx(0.0, abs=1e-9)
+    assert z.std(ddof=1) == pytest.approx(1.0, rel=1e-9)
+    want = (v - v.mean()) / v.std(ddof=1)
+    assert np.allclose(np.sort(z), np.sort(want), rtol=1e-6)
