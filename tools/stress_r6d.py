@@ -1,0 +1,230 @@
+"""Round-6 stress, fourth batch: the stats/ML family at 20M rows.
+
+1. `nonparam`: 20M-row two-sample with heavy ties (values quantized
+   to 1e4 distinct levels) — Mann-Whitney U and two-sample KS must
+   reduce the 20M rows to a 1e4-cell distinct-value table before any
+   windowing (the prefix sums run over cells, never rows), and the
+   exact statistics must match a numpy replica computed from the
+   same cell counts.
+
+2. `moments`: Welch t-test + ridge + standardize over 20M rows —
+   each is ONE aggregation scan (wall ~ scan time); standardize's
+   projection adds a second scan. Cross-checked against numpy on
+   the generating parameters (loose tolerance: the data is random).
+
+3. `kmeans`: 20M points, k=8, 5 iterations — per-iteration wall
+   must be flat (each iteration is one map-side-combined groupBy of
+   k*(d+1) partials, no point shuffle), and planted well-separated
+   blobs must be recovered exactly.
+
+4. `encode`: target_encode_loo over 20M rows x 100k categories —
+   the category table stays broadcastable, the encode is one join +
+   projection; planted singleton categories land exactly on the
+   prior mean.
+
+Usage: python tools/stress_r6d.py [nonparam|moments|kmeans|encode]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 20_000_000
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r6d")
+
+
+def _base(spark, n=N, parts=64):
+    from pyspark.sql import functions as F
+
+    return spark.range(0, n, 1, parts).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).alias("is_a"),
+        # heavy ties: 1e4 distinct quantized values; side b shifted
+        (
+            F.floor(F.abs(F.hash(F.col("id"), F.lit(1))) % 10_000)
+            + F.when(F.col("id") % 2 == 0, 0).otherwise(120)
+        ).cast("double").alias("v"),
+    )
+
+
+def stress_nonparam():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import ks_2sample, mann_whitney_u
+
+    spark = _spark()
+    df = _base(spark).withColumn(
+        "side", F.when(F.col("is_a"), "a").otherwise("b")
+    )
+    df = df.persist()
+    n = df.count()
+    print(f"rows: {n}")
+
+    t0 = time.perf_counter()
+    mw = mann_whitney_u(df, "side", "v", "a", "b").collect()[0]
+    t_mw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ks = ks_2sample(df, "side", "v", "a", "b").collect()[0]
+    t_ks = time.perf_counter() - t0
+    print(f"mann_whitney: {t_mw:.1f}s z={mw['z']:.3f} "
+          f"u_a={mw['u_a']:.0f}")
+    print(f"ks_2sample:   {t_ks:.1f}s d={ks['d']:.6f} "
+          f"d_num={ks['d_num']}")
+
+    # numpy replica from the same cell counts (exact, fits driver)
+    pdf = (
+        df.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
+        )
+        .toPandas()
+        .sort_values("v")
+    )
+    ca, cb = pdf["ca"].to_numpy(np.int64), pdf["cb"].to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    c = ca + cb
+    before = np.concatenate([[0], np.cumsum(c)[:-1]])
+    ra2 = int((ca * (2 * before + c + 1)).sum())
+    ua = ra2 / 2.0 - na * (na + 1) / 2.0
+    assert ua == mw["u_a"], (ua, mw["u_a"])
+    dnum = int(np.abs(np.cumsum(ca) * nb - np.cumsum(cb) * na).max())
+    assert dnum == ks["d_num"], (dnum, ks["d_num"])
+    print("exactness vs numpy replica: OK")
+
+
+def stress_moments():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import (
+        ridge2,
+        standardize,
+        welch_ttest,
+    )
+
+    spark = _spark()
+    df = _base(spark).persist()
+    df.count()
+
+    a = df.filter(F.col("is_a"))
+    b = df.filter(~F.col("is_a"))
+    t0 = time.perf_counter()
+    tt = welch_ttest(a, b, "v").collect()[0]
+    t_tt = time.perf_counter() - t0
+    # planted shift is 120 on a ~uniform(0, 1e4): t must be hugely neg
+    print(f"welch_ttest: {t_tt:.1f}s t={tt['t_stat']:.1f} "
+          f"dmean={tt['mean_b'] - tt['mean_a']:.2f}")
+    assert tt["t_stat"] < -50 and 110 < tt["mean_b"] - tt["mean_a"] < 130
+
+    xdf = df.select(
+        "v",
+        (F.col("v") * 0.5 + (F.col("id") % 97).cast("double")).alias("x2"),
+        (F.col("v") * 2.0 + (F.col("id") % 31).cast("double")).alias("y"),
+    )
+    t0 = time.perf_counter()
+    r = ridge2(xdf, ["v", "x2"], "y", 1.0).collect()[0]
+    t_r = time.perf_counter() - t0
+    print(f"ridge2: {t_r:.1f}s b_v={r['b_v']:.4f} b_x2={r['b_x2']:.4f}")
+    assert abs(r["b_v"] - 2.0) < 0.05  # y = 2v + noise-ish
+
+    t0 = time.perf_counter()
+    z = standardize(df, ["v"])
+    stats = z.agg(
+        F.count(F.lit(1)), F.min("v_z"), F.max("v_z")
+    ).collect()[0]
+    t_z = time.perf_counter() - t0
+    print(f"standardize: {t_z:.1f}s range=({stats[1]:.2f},{stats[2]:.2f})")
+    df.unpersist()
+
+
+def stress_kmeans():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.cluster import kmeans_fixed
+
+    spark = _spark()
+    # 8 well-separated blobs on a grid, 2.5M points each
+    pts = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        ((F.col("id") % 8) % 4 * 100
+         + (F.abs(F.hash(F.col("id"), F.lit(7))) % 1000) / 100.0
+         ).cast("double").alias("x"),
+        (F.floor((F.col("id") % 8) / 4) * 100
+         + (F.abs(F.hash(F.col("id"), F.lit(11))) % 1000) / 100.0
+         ).cast("double").alias("y"),
+    ).persist()
+    pts.count()
+    t0 = time.perf_counter()
+    assigned, cents = kmeans_fixed(
+        pts, ["x", "y"], k=8, n_iter=5, order_cols=["id"]
+    )
+    counts = assigned.groupBy("cluster").count().collect()
+    dt = time.perf_counter() - t0
+    print(f"kmeans 20M x k=8 x 5 iters: {dt:.1f}s "
+          f"({dt / 5:.1f}s/iter incl final assign)")
+    sizes = sorted(r["count"] for r in counts)
+    print("cluster sizes:", sizes)
+    # every blob is 2.5M points; recovered clusters must match blobs
+    assert sizes == [2_500_000] * 8, sizes
+    # centroids sit at grid + ~5 offset (blob offsets are ~U[0,10))
+    want = [(gx * 100 + 5.0, gy * 100 + 5.0)
+            for gx in range(4) for gy in range(2)]
+    for cx, cy in cents:
+        assert any(
+            abs(cx - wx) < 1.5 and abs(cy - wy) < 1.5 for wx, wy in want
+        ), (cx, cy)
+    print("blob recovery: OK")
+    pts.unpersist()
+
+
+def stress_encode():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.encoding import target_encode_loo
+
+    spark = _spark()
+    # 100k categories; categories 0..9 are singletons (planted)
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, F.col("id"))
+        .otherwise(10 + F.abs(F.hash(F.col("id"))) % 100_000)
+        .cast("string").alias("cat"),
+        ((F.col("id") % 1000) / 10.0).alias("y"),
+    ).persist()
+    df.count()
+    t0 = time.perf_counter()
+    out = target_encode_loo(df, "cat", "y", prior_weight=20.0)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cat_te"), F.max("cat_te"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    print(f"target_encode 20M x 100k cats: {dt:.1f}s "
+          f"te range=({agg[1]:.3f},{agg[2]:.3f})")
+    # singletons land exactly on the prior mean
+    mu = df.agg(F.avg("y")).collect()[0][0]
+    singles = out.filter(F.col("id") < 10).select("cat_te").collect()
+    for r in singles:
+        assert abs(r["cat_te"] - mu) < 1e-6, (r, mu)
+    print(f"singleton -> prior ({mu:.4f}): OK")
+    df.unpersist()
+
+
+if __name__ == "__main__":
+    {
+        "nonparam": stress_nonparam,
+        "moments": stress_moments,
+        "kmeans": stress_kmeans,
+        "encode": stress_encode,
+    }[sys.argv[1]]()
