@@ -4955,10 +4955,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (`col_profile`, `recursive_cte`, `set_ops`, `dpp_pruned_join`,
       `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
       51-58, plus the rows-only `bpe_merges` demo certified by the
-      roundtrip), then the eight round-6 re-certification rows
-      (driver-green r5), the ten certificate-covered rows-only
-      demos, and the r03/r04/r05 driver-green backlog — ALL still
-      gated locally every round (`tools/check_oracle.py`).
+      roundtrip), then the THIRD-SESSION stats/ML family (tenth
+      curation pass, 13 queries `ab_ttest` ... `standardize`, all
+      hash-green on first gate), then the eight round-6
+      re-certification rows (driver-green r5), the ten
+      certificate-covered rows-only demos, and the r03/r04/r05
+      driver-green backlog — ALL still gated locally every round
+      (`tools/check_oracle.py`).
     """
     return {
         # -- position 1: the round-5 red, fixed --

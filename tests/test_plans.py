@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from hdfe_spark.plans import assert_plan, plan_report
+from hdfe_spark.plans.audit import explain_string
 
 
 @pytest.fixture(scope="module")
@@ -496,3 +497,73 @@ def test_dpp_plan_has_runtime_partition_filter(spark, sf_dir):
     rep = plan_report(out)
     assert rep["n_broadcast_joins"] >= 1
     assert rep["n_sortmerge_joins"] == 0
+
+
+def test_stats_family_plans_python_free(spark, sf_dir):
+    """The whole stats/ML family stays JVM-side: no Python stages,
+    no cartesian products, anywhere."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in ["ab_ttest", "chi2_contingency", "ols_ridge",
+                 "mann_whitney", "ks_test", "spearman",
+                 "target_encode", "standardize", "ewma",
+                 "log_parse", "attribution", "gap_fill"]:
+        out = qs[name](spark, sf_dir)
+        simple = explain_string(out, "simple")
+        assert "CartesianProduct" not in simple, name
+        rep = plan_report(out)
+        assert rep["n_python_stages"] == 0, name
+
+
+def test_standardize_is_single_projection_scan(spark, sf_dir):
+    """After the one moment scan (an action inside the operator),
+    the returned frame is a pure codegen projection over the parquet
+    scan — zero exchanges, zero joins."""
+    import __spark_entry__ as em
+
+    out = em.queries()["standardize"](spark, sf_dir)
+    assert_plan(out, n_exchanges=0, n_broadcast_joins=0,
+                n_sortmerge_joins=0)
+
+
+def test_chi2_margins_broadcast(spark, sf_dir):
+    """The contingency cells shuffle once; margins and the grand
+    total join back as broadcasts — no sort-merge join of tiny
+    aggregates."""
+    import __spark_entry__ as em
+
+    out = em.queries()["chi2_contingency"](spark, sf_dir)
+    rep = assert_plan(out, n_sortmerge_joins=0)
+    assert rep["n_broadcast_joins"] >= 3
+
+
+def test_target_encode_single_join_no_window(spark, sf_dir):
+    """Encoding is one join of the category table back onto the
+    rows plus a codegen projection — no window operator (a per-row
+    window LOO would sort every category group)."""
+    import __spark_entry__ as em
+
+    out = em.queries()["target_encode"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "Window" not in simple
+    assert plan_report(out)["n_sortmerge_joins"] == 0
+
+
+def test_nonparametrics_no_global_single_partition_window(spark, sf_dir):
+    """Mann-Whitney/KS/Spearman: the cumulative pass must be the
+    rank.py distributed prefix sum — any Window in the plan must be
+    partitioned by the range-partition id, never a global
+    partition-less window (`Window [..] ORDER BY` with empty
+    PARTITION BY funnels the table through one task)."""
+    import __spark_entry__ as em
+    from hdfe_spark.operators.stats import _side_cells
+
+    ev = em.queries.__globals__["_t"](spark, sf_dir, "events")
+    cells = _side_cells(ev, "value", "event_type", "click", "view")
+    simple = explain_string(cells, "simple")
+    # rank.py's window partitions by __pid; a global window would
+    # show "Window [...], [v ASC" with no partition spec
+    for line in simple.splitlines():
+        if "Window" in line:
+            assert "__pid" in line, line
