@@ -4901,6 +4901,25 @@ def _q_standardize(spark, sf_dir):
     )
 
 
+
+def _q_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap (`operators/sampling.py::
+    poisson_bootstrap_means`): 16 replicate means of event value,
+    each row reweighted by a Poisson(1) draw keyed on md5(id#rep) —
+    the coordination-free distributed bootstrap, made reproducible
+    on any engine by the 4-hex CDF-threshold trick (string compares,
+    no RNG). ONE aggregation scan computes all 32 sums map-side; the
+    oracle explodes replicates instead (same math, |rows| is tiny at
+    sf0.01) and lands on identical integers."""
+    from hdfe_spark.operators.sampling import poisson_bootstrap_means
+
+    ev = _t(spark, sf_dir, "events")
+    out = poisson_bootstrap_means(ev, "event_id", "value", n_reps=16)
+    return out.select(
+        "replicate", "n_eff", _pround("mean").alias("mean")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5052,6 +5071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": _q_spearman,
         "target_encode": _q_target_encode,
         "standardize": _q_standardize,
+        "bootstrap_ci": _q_bootstrap_ci,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8267,6 +8287,35 @@ def oracle_sql() -> dict[str, str]:
                           - s2 / n2)
                          / sqrt((ss2 - s2 * s2 / n2) / (n2 - 1))) * 1e9 + 0.5) / 1e9 AS price_z
             FROM lineitem, m
+        """,
+        "bootstrap_ci": """
+            WITH reps AS (
+              SELECT unnest(generate_series(0, 15)) AS j),
+            base AS (
+              SELECT event_id, value FROM events
+              WHERE value IS NOT NULL),
+            h AS (
+              SELECT r.j, b.value,
+                     substr(md5(b.event_id || '#' || r.j), 1, 4) AS hx
+              FROM base b CROSS JOIN reps r),
+            w AS (
+              SELECT j,
+                     CASE WHEN hx < '5e2d' THEN 0
+                          WHEN hx < 'bc5a' THEN 1
+                          WHEN hx < 'eb71' THEN 2
+                          WHEN hx < 'fb23' THEN 3
+                          WHEN hx < 'ff10' THEN 4
+                          WHEN hx < 'ffd9' THEN 5
+                          WHEN hx < 'fffa' THEN 6
+                          ELSE 7 END AS w,
+                     CAST(round(value * 1e6) AS HUGEINT) AS vu
+              FROM h)
+            SELECT CAST(j AS INTEGER) AS replicate,
+                   CAST(sum(w) AS BIGINT) AS n_eff,
+                   floor((CAST(sum(CAST(w AS HUGEINT) * vu) AS DOUBLE)
+                          / CAST(sum(w) AS BIGINT) / 1e6) * 1e9 + 0.5)
+                     / 1e9 AS mean
+            FROM w GROUP BY j
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -127,3 +127,75 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# Poisson(1) CDF quantized to 16 bits, hex-encoded: a 4-hex md5
+# prefix compares lexicographically = numerically, so the weight
+# lookup is pure string CASE logic any engine reproduces bit-for-bit.
+_POISSON_HEX = [
+    (0, "5e2d"), (1, "bc5a"), (2, "eb71"), (3, "fb23"),
+    (4, "ff10"), (5, "ffd9"), (6, "fffa"),
+]
+
+
+def _poisson_weight(id_col: Column, rep: int) -> Column:
+    h = F.substring(
+        F.md5(F.concat_ws("#", id_col.cast("string"), F.lit(str(rep)))),
+        1,
+        4,
+    )
+    expr = F.lit(7)  # tail mass beyond the table (~9e-5) caps at 7
+    for k, hx in reversed(_POISSON_HEX):
+        expr = F.when(h < F.lit(hx), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 16,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean: replicate r
+    reweights every row by an iid-ish Poisson(1) draw keyed on
+    ``md5(id#r)`` and takes the weighted mean — the standard
+    single-pass distributed bootstrap (resampling n-out-of-n is a
+    multinomial; Poisson(1) approximates it without coordination,
+    and the hash key makes every draw reproducible on ANY engine:
+    no RNG state, no partition order).
+
+    ONE aggregation scan computes all ``n_reps`` replicates as
+    2*n_reps map-side-combined expressions (never an explode — a
+    row-amplifying join would be B x the corpus at 100 TB); the
+    replicate means use exact fixed-point value sums, so each mean
+    is one deterministic IEEE division. The caller takes replicate
+    quantiles for the CI.
+
+    Returns ``n_reps`` rows: replicate, n_eff (total drawn weight),
+    mean. NULL values are excluded; the Poisson table is quantized
+    to 16 bits with the >6 tail capped at 7 (bias ~1e-4, documented
+    — this is a certificate-friendly PSEUDO-bootstrap by design).
+    """
+    idc = F.col(id_col)
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    aggs = []
+    for r in range(n_reps):
+        w = _poisson_weight(idc, r)
+        aggs.append(F.sum(w).cast("long").alias(f"w_{r}"))
+        aggs.append(
+            F.sum(w.cast("decimal(38,0)") * u).alias(f"wy_{r}")
+        )
+    m = (
+        df.filter(F.col(value_col).isNotNull())
+        .agg(*aggs)
+        .collect()[0]
+    )
+    rows = []
+    for r in range(n_reps):
+        n_eff = int(m[f"w_{r}"])
+        mean = float(m[f"wy_{r}"]) / float(n_eff) / scale
+        rows.append((r, n_eff, mean))
+    return df.sparkSession.createDataFrame(
+        rows, "replicate int, n_eff long, mean double"
+    )

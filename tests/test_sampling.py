@@ -81,3 +81,73 @@ def test_knuth_hash_portable_for_large_ids(spark):
             f"SELECT (({i} % 2147483648) * 2654435761) % 4294967296"
         ).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_poisson_bootstrap_matches_hashlib_replica(spark):
+    import hashlib
+
+    import pytest
+
+    import numpy as np
+
+    from hdfe_spark.operators.sampling import poisson_bootstrap_means
+
+    th = [(0, "5e2d"), (1, "bc5a"), (2, "eb71"), (3, "fb23"),
+          (4, "ff10"), (5, "ffd9"), (6, "fffa")]
+
+    def weight(i, r):
+        h = hashlib.md5(f"{i}#{r}".encode()).hexdigest()[:4]
+        for k, hx in th:
+            if h < hx:
+                return k
+        return 7
+
+    vals = {i: round(float(i % 37) * 0.25, 6) for i in range(400)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vals.items()], "id long, v double"
+    )
+    got = {
+        r["replicate"]: r
+        for r in poisson_bootstrap_means(df, "id", "v", n_reps=4).collect()
+    }
+    for rep in range(4):
+        ws = np.array([weight(i, rep) for i in vals])
+        ys = np.array([round(vals[i] * 1e6) for i in vals])
+        n_eff = int(ws.sum())
+        mean = float((ws * ys).sum()) / n_eff / 1e6
+        assert got[rep]["n_eff"] == n_eff
+        assert got[rep]["mean"] == pytest.approx(mean, rel=1e-12)
+
+
+def test_poisson_bootstrap_weight_mean_near_one(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.sampling import _poisson_weight
+
+    df = spark.range(0, 20000).select(
+        _poisson_weight(F.col("id"), 0).alias("w")
+    )
+    m = df.agg(F.avg("w"), F.max("w")).collect()[0]
+    assert 0.97 < m[0] < 1.03  # Poisson(1) mean
+    assert m[1] <= 7
+
+
+def test_poisson_bootstrap_ci_covers_true_mean(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.sampling import poisson_bootstrap_means
+
+    rng = np.random.default_rng(4)
+    v = np.round(rng.normal(10.0, 2.0, 5000), 6)
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(v)], "id long, v double"
+    )
+    means = np.array([
+        r["mean"]
+        for r in poisson_bootstrap_means(df, "id", "v", n_reps=16).collect()
+    ])
+    lo, hi = np.percentile(means, [2.5, 97.5])
+    assert lo < v.mean() < hi
+    # replicate spread ~ standard error of the mean
+    se = v.std(ddof=1) / np.sqrt(len(v))
+    assert 0.3 * se < means.std(ddof=1) < 3 * se
