@@ -4920,6 +4920,49 @@ def _q_bootstrap_ci(spark, sf_dir):
     )
 
 
+
+def _q_robust_ols(spark, sf_dir):
+    """Huber-robust regression via 2 IRLS sweeps
+    (`operators/stats.py::huber_irls2`): extendedprice on quantity
+    with delta=10000 — the outlier-resistant complement of the exact
+    OLS suite. IRLS weights are QUANTIZED to 20 fractional bits so
+    the weighted moments stay order-free integer sums; the DuckDB
+    oracle unrolls the identical init + 2 sweeps as CTE layers
+    (fourth iterative-algorithm certificate, after CC / PageRank /
+    k-means)."""
+    from hdfe_spark.operators.stats import huber_irls2
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = huber_irls2(
+        li, "l_quantity", "l_extendedprice", delta=10000.0, n_iter=2
+    )
+    return out.select(
+        "n",
+        _pround("b0").alias("b0"),
+        _pround("b1").alias("b1"),
+        "n_downweighted",
+    )
+
+
+def _q_auc(spark, sf_dir):
+    """Exact ROC AUC (`operators/stats.py::auc_score`): does event
+    value "score" predict purchases? AUC via the rank-sum identity
+    U/(n_pos*n_neg) with average-tie ranks, on the same
+    distinct-value prefix-sum path as `mann_whitney` — never a
+    global score sort. The rank sum rides as an exact integer, so
+    the AUC is one deterministic division."""
+    from hdfe_spark.operators.stats import auc_score
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    labeled = ev.withColumn(
+        "is_purchase", F.col("event_type") == "purchase"
+    )
+    out = auc_score(labeled, "is_purchase", "value")
+    return out.select(
+        "n_pos", "n_neg", _pround("auc").alias("auc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5072,6 +5115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": _q_target_encode,
         "standardize": _q_standardize,
         "bootstrap_ci": _q_bootstrap_ci,
+        "robust_ols": _q_robust_ols,
+        "auc": _q_auc,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8316,6 +8361,116 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(sum(w) AS BIGINT) / 1e6) * 1e9 + 0.5)
                      / 1e9 AS mean
             FROM w GROUP BY j
+        """,
+        "robust_ols": """
+            WITH base AS (
+              SELECT CAST(round(l_quantity * 1e6) AS HUGEINT) AS xu,
+                     CAST(round(l_extendedprice * 1e6) AS HUGEINT)
+                       AS yu
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            m0 AS (
+              SELECT CAST(sum(CAST(1048576 AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(1048576 AS HUGEINT) * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(1048576 AS HUGEINT) * yu) AS DOUBLE) AS swy,
+                     CAST(sum(CAST(1048576 AS HUGEINT) * xu * xu) AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(1048576 AS HUGEINT) * xu * yu) AS DOUBLE) AS swxy,
+                     count(*) AS n,
+                     CAST(0 AS BIGINT) AS nd
+              FROM base),
+            f0 AS (
+              SELECT (m0.sw * m0.swxy - m0.swx * m0.swy)
+                       / (m0.sw * m0.swxx - m0.swx * m0.swx) AS b1,
+                     (m0.swy - ((m0.sw * m0.swxy - m0.swx * m0.swy)
+                                 / (m0.sw * m0.swxx - m0.swx * m0.swx))
+                      * m0.swx) / m0.sw AS b0,
+                     m0.n, m0.nd
+              FROM m0),
+            w1 AS (
+              SELECT xu, yu,
+                CASE WHEN abs(CAST(yu AS DOUBLE) - f0.b0 - f0.b1 * CAST(xu AS DOUBLE)) <= 10000000000.0 THEN 1048576
+                     ELSE CAST(floor(10000000000.0 / abs(CAST(yu AS DOUBLE) - f0.b0 - f0.b1 * CAST(xu AS DOUBLE))
+                               * 1048576.0) AS BIGINT)
+                END AS w
+              FROM base CROSS JOIN f0),
+            m1 AS (
+              SELECT CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(w AS HUGEINT) * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(w AS HUGEINT) * yu) AS DOUBLE) AS swy,
+                     CAST(sum(CAST(w AS HUGEINT) * xu * xu) AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(w AS HUGEINT) * xu * yu) AS DOUBLE) AS swxy,
+                     count(*) AS n,
+                     CAST(sum(CASE WHEN w < 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM w1),
+            f1 AS (
+              SELECT (m1.sw * m1.swxy - m1.swx * m1.swy)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b1,
+                     (m1.swy - ((m1.sw * m1.swxy - m1.swx * m1.swy)
+                                 / (m1.sw * m1.swxx - m1.swx * m1.swx))
+                      * m1.swx) / m1.sw AS b0,
+                     m1.n, m1.nd
+              FROM m1),
+            w2 AS (
+              SELECT xu, yu,
+                CASE WHEN abs(CAST(yu AS DOUBLE) - f1.b0 - f1.b1 * CAST(xu AS DOUBLE)) <= 10000000000.0 THEN 1048576
+                     ELSE CAST(floor(10000000000.0 / abs(CAST(yu AS DOUBLE) - f1.b0 - f1.b1 * CAST(xu AS DOUBLE))
+                               * 1048576.0) AS BIGINT)
+                END AS w
+              FROM base CROSS JOIN f1),
+            m2 AS (
+              SELECT CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(w AS HUGEINT) * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(w AS HUGEINT) * yu) AS DOUBLE) AS swy,
+                     CAST(sum(CAST(w AS HUGEINT) * xu * xu) AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(w AS HUGEINT) * xu * yu) AS DOUBLE) AS swxy,
+                     count(*) AS n,
+                     CAST(sum(CASE WHEN w < 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM w2),
+            f2 AS (
+              SELECT (m2.sw * m2.swxy - m2.swx * m2.swy)
+                       / (m2.sw * m2.swxx - m2.swx * m2.swx) AS b1,
+                     (m2.swy - ((m2.sw * m2.swxy - m2.swx * m2.swy)
+                                 / (m2.sw * m2.swxx - m2.swx * m2.swx))
+                      * m2.swx) / m2.sw AS b0,
+                     m2.n, m2.nd
+              FROM m2)
+            SELECT n,
+                   floor((b0 / 1e6) * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1) * 1e9 + 0.5) / 1e9 AS b1,
+                   nd AS n_downweighted
+            FROM f2
+        """,
+        "auc": """
+            WITH cells AS (
+              SELECT value AS v,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN event_type <> 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM events WHERE value IS NOT NULL
+              GROUP BY value),
+            cum AS (
+              SELECT v, ca, cb,
+                sum(ca) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumb
+              FROM cells),
+            agg AS (
+              SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb,
+                     CAST(sum(CAST(ca AS HUGEINT)
+                              * (2 * CAST(cuma + cumb - ca - cb
+                                          AS HUGEINT)
+                                 + CAST(ca + cb AS HUGEINT) + 1))
+                          AS DOUBLE) AS ra2
+              FROM cum)
+            SELECT na AS n_pos, nb AS n_neg,
+                   floor(((ra2 / 2.0 - na * (na + 1) / 2.0)
+                          / (CAST(na AS DOUBLE) * nb)) * 1e9 + 0.5)
+                     / 1e9 AS auc
+            FROM agg
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

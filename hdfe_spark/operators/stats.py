@@ -515,3 +515,111 @@ def standardize(
         ) / F.lit(sd)
         out = out.withColumn(c + suffix, z)
     return out
+
+
+def huber_irls2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    delta: float,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    wbits: int = 20,
+) -> DataFrame:
+    """Huber-robust simple regression via ``n_iter`` IRLS sweeps —
+    the outlier-resistant complement of `ridge2`/`estimate.estimate`
+    (a single corrupt shard at 100 TB can drag an exact OLS slope
+    arbitrarily; Huber caps each row's influence at ``delta``).
+
+    Iteration t: weights w_i = min(1, delta/|r_i|) from the previous
+    fit's residuals, then the weighted least-squares closed form on
+    (1, x). Engine-exact in a distributed setting because the
+    weights are QUANTIZED to ``wbits`` fractional bits
+    (floor(w * 2^wbits), an integer 0..2^wbits): the weighted
+    moments are then integer*integer products summed as
+    DECIMAL(38,0) — order-free — while a raw double weight would
+    make every moment a float sum whose value depends on partition
+    boundaries. Each sweep is ONE aggregation scan; the closed-form
+    solve is driver-side IEEE arithmetic a SQL oracle unrolls as CTE
+    layers (the `kmeans`/`pagerank` certificate pattern).
+
+    Returns one row: n, b0 (intercept), b1 (slope), n_downweighted
+    (rows with w < 1 in the final sweep). Init is the UNWEIGHTED
+    OLS fit (iteration 0).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter >= 1")
+    xu = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    yu = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+
+    def wls(w_int):
+        """Weighted moments with integer weights (w2 = 2^wbits
+        denominator folds out of the normal equations)."""
+        wd = w_int.cast("decimal(38,0)")
+        m = base.agg(
+            F.sum(wd).alias("sw"),
+            F.sum(wd * xu).alias("swx"),
+            F.sum(wd * yu).alias("swy"),
+            F.sum(wd * xu * xu).alias("swxx"),
+            F.sum(wd * xu * yu).alias("swxy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((w_int < F.lit(1 << wbits)).cast("long")).alias("nd"),
+        ).collect()[0]
+        sw = float(m["sw"])
+        swx, swy = float(m["swx"]), float(m["swy"])
+        swxx, swxy = float(m["swxx"]), float(m["swxy"])
+        # slope/intercept in scaled units
+        den = sw * swxx - swx * swx
+        b1 = (sw * swxy - swx * swy) / den
+        b0 = (swy - b1 * swx) / sw
+        return b0, b1, int(m["n"]), int(m["nd"])
+
+    one = F.lit(1 << wbits)
+    b0, b1, n, _ = wls(one)  # iteration 0: unweighted OLS
+    ds = delta * scale  # delta in scaled units
+    nd = 0
+    for _ in range(n_iter):
+        r = F.abs(
+            yu.cast("double")
+            - F.lit(b0)
+            - F.lit(b1) * xu.cast("double")
+        )
+        w = F.when(
+            r <= F.lit(ds), one
+        ).otherwise(
+            F.floor(F.lit(ds) / r * F.lit(float(1 << wbits)))
+            .cast("long")
+        )
+        b0, b1, n, nd = wls(w)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, b0 / scale, b1, nd)],
+        "n long, b0 double, b1 double, n_downweighted long",
+    )
+
+
+def auc_score(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """ROC AUC of a score against a boolean label, computed exactly
+    via the rank-sum identity AUC = U_pos / (n_pos * n_neg) with
+    average-tie ranks (ties contribute 1/2, the standard trapezoid
+    convention) — the classifier-eval companion of
+    ``mann_whitney_u``, sharing its distinct-value prefix-sum path:
+    never a global score sort, exact at any scale. Returns one row:
+    n_pos, n_neg, auc."""
+    sided = df.withColumn(
+        "__side",
+        F.when(F.col(label_col).cast("boolean"), "p").otherwise("n"),
+    )
+    r = mann_whitney_u(sided, "__side", score_col, "p", "n").collect()[0]
+    na, nb = int(r["n_a"]), int(r["n_b"])
+    auc = float(r["u_a"]) / (float(na) * nb)
+    return df.sparkSession.createDataFrame(
+        [(na, nb, auc)], "n_pos long, n_neg long, auc double"
+    )

@@ -219,3 +219,74 @@ def test_standardize_zero_mean_unit_var(spark):
     assert z.std(ddof=1) == pytest.approx(1.0, rel=1e-9)
     want = (v - v.mean()) / v.std(ddof=1)
     assert np.allclose(np.sort(z), np.sort(want), rtol=1e-6)
+
+
+def test_huber_irls2_matches_numpy_replica(spark):
+    from hdfe_spark.operators.stats import huber_irls2
+
+    rng = np.random.default_rng(6)
+    x = np.round(rng.uniform(0, 10, 400), 6)
+    y = np.round(3.0 * x + 1.0 + rng.normal(0, 0.5, 400), 6)
+    y[:8] += 500.0  # gross outliers
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double",
+    )
+    delta = 2.0
+    got = huber_irls2(df, "x", "y", delta=delta, n_iter=2).collect()[0]
+
+    # numpy replica of the exact quantized algorithm
+    xu = np.round(x * 1e6)
+    yu = np.round(y * 1e6)
+    W = 1 << 20
+
+    def wls(w):
+        sw = float((w).sum())
+        swx, swy = float((w * xu).sum()), float((w * yu).sum())
+        swxx = float((w * xu * xu).sum())
+        swxy = float((w * xu * yu).sum())
+        den = sw * swxx - swx * swx
+        b1 = (sw * swxy - swx * swy) / den
+        b0 = (swy - b1 * swx) / sw
+        return b0, b1
+
+    b0, b1 = wls(np.full_like(xu, W))
+    ds = delta * 1e6
+    for _ in range(2):
+        r = np.abs(yu - b0 - b1 * xu)
+        w = np.where(r <= ds, W, np.floor(ds / r * W))
+        b0, b1 = wls(w)
+    nd = int((w < W).sum())
+    assert got["b1"] == pytest.approx(b1, rel=1e-12)
+    assert got["b0"] == pytest.approx(b0 / 1e6, rel=1e-9)
+    assert got["n_downweighted"] == nd
+    # robustness: huber slope strictly closer to truth than OLS
+    ols_b1 = np.polyfit(x, y, 1)[0]
+    assert abs(got["b1"] - 3.0) < 0.1
+    assert abs(got["b1"] - 3.0) < abs(ols_b1 - 3.0) / 2
+
+
+def test_auc_score_exact(spark):
+    from hdfe_spark.operators.stats import auc_score
+
+    # perfect separation -> 1.0; ties at the boundary -> 0.5 credit
+    rows = [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    assert auc_score(df, "y", "s").collect()[0]["auc"] == 1.0
+
+    rows = [(True, 0.9), (True, 0.5), (False, 0.5), (False, 0.1)]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    # pairs: (0.9>0.5)=1, (0.9>0.1)=1, (0.5=0.5)=0.5, (0.5>0.1)=1
+    assert auc_score(df, "y", "s").collect()[0]["auc"] == 3.5 / 4
+
+    # random scores -> near 0.5
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (bool(rng.integers(2)), float(round(rng.random(), 6)))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = auc_score(df, "y", "s").collect()[0]["auc"]
+    assert 0.45 < got < 0.55
