@@ -4963,6 +4963,117 @@ def _q_auc(spark, sf_dir):
     )
 
 
+
+def _q_rolling_beta(spark, sf_dir):
+    """Per-user rolling trend slope (`operators/stats.py::
+    rolling_beta`): OLS beta of event value on the event's DAY index
+    over the trailing 20 events. The five trailing moments are
+    windowed sums of fixed-point INTEGERS — exact under Spark's
+    per-frame recompute and DuckDB's segment tree alike (a float
+    windowed sum would diverge) — and constant-x windows yield NULL
+    via an exact integer test."""
+    from hdfe_spark.operators.stats import rolling_beta
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts")).withColumn(
+        "day", F.expr("ts_us div 86400000000").cast("double")
+    )
+    out = rolling_beta(
+        ev, "user_id", "event_id", "day", "value", window=20
+    )
+    return out.select(
+        "user_id", "event_id", _pround("beta").alias("beta")
+    )
+
+
+def _q_kfold_cv(spark, sf_dir):
+    """5-fold cross-validated OLS (`operators/stats.py::kfold_ols`):
+    extendedprice on quantity, folds keyed on md5(orderkey#line) —
+    group-aware, engine-portable. TWO passes total: fold moments
+    (training moments = total minus fold, exact integer
+    subtraction), then one scoring scan against the broadcast
+    fold->beta table with residuals quantized to integer micros so
+    the per-fold SSE is an order-free sum. The oracle rebuilds both
+    passes in SQL."""
+    from hdfe_spark.operators.stats import kfold_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = kfold_ols(
+        li, ["l_orderkey", "l_linenumber"], "l_quantity",
+        "l_extendedprice",
+    )
+    return out.select(
+        "fold", "n_train", "n_test",
+        _pround("b0").alias("b0"),
+        _pround("b1").alias("b1"),
+        _pround("rmse").alias("rmse"),
+    )
+
+
+def _q_calibration(spark, sf_dir):
+    """Score-calibration table (`operators/rank.py::exact_ntile` +
+    exact per-tile stats): events decile-binned by value (exact
+    NTILE under the (value, event_id) total order — distributed,
+    no single-task window), each tile reporting volume, purchase
+    rate, and mean score from exact integer sums. The eval-side
+    companion of `auc`: AUC says IF the score ranks, this says
+    WHERE it is (mis)calibrated."""
+    from hdfe_spark.operators.rank import exact_ntile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tiled = exact_ntile(ev, ["value", "event_id"], 10)
+    vu = F.round(F.col("value") * 1e6).cast("decimal(38,0)")
+    pos = (F.col("event_type") == "purchase").cast("long")
+    out = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pos).cast("long").alias("n_pos"),
+        F.sum(vu).alias("__sv"),
+    )
+    return out.select(
+        F.col("tile").cast("int").alias("tile"),
+        "n",
+        "n_pos",
+        _pround(
+            F.col("__sv").cast("double") / F.col("n") / F.lit(1e6)
+        ).alias("mean_score"),
+        _pround(
+            F.col("n_pos").cast("double") / F.col("n")
+        ).alias("pos_rate"),
+    )
+
+
+
+def _q_survival(spark, sf_dir):
+    """Kaplan-Meier churn curve (`operators/stats.py::
+    kaplan_meier`): per-user activity span in days as the duration,
+    users still active in the final week censored — the estimator
+    that a plain retention ratio gets wrong under censoring. The
+    per-subject reduction and duration cells are distributed; the
+    T-step product-limit recurrence runs driver-side over the tiny
+    cell table, and the oracle replays the identical sequential
+    recurrence as a RECURSIVE CTE (the engine's fifth
+    iterative/sequential certificate form)."""
+    from hdfe_spark.operators.stats import kaplan_meier
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    gmax = ev.agg(F.max("ts_us")).collect()[0][0]
+    cutoff = int(gmax) - 7 * 86_400_000_000
+    subj = per.select(
+        F.expr("(mx - mn) div 86400000000").alias("dur"),
+        (F.col("mx") < F.lit(cutoff)).alias("event"),
+    )
+    out = kaplan_meier(subj, "dur", "event")
+    return out.select(
+        "t", "n_risk", "d", "c", _pround("s").alias("s")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5117,6 +5228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "robust_ols": _q_robust_ols,
         "auc": _q_auc,
+        "rolling_beta": _q_rolling_beta,
+        "kfold_cv": _q_kfold_cv,
+        "calibration": _q_calibration,
+        "survival": _q_survival,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8471,6 +8586,149 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(na AS DOUBLE) * nb)) * 1e9 + 0.5)
                      / 1e9 AS auc
             FROM agg
+        """,
+        "rolling_beta": """
+            WITH base AS (
+              SELECT user_id, event_id,
+                     CAST(round(CAST(epoch_us(ts) // 86400000000
+                                     AS DOUBLE) * 1e6) AS HUGEINT)
+                       AS xu,
+                     CAST(round(value * 1e6) AS HUGEINT) AS yu
+              FROM events),
+            w AS (
+              SELECT user_id, event_id,
+                CAST(count(*) OVER fr AS HUGEINT) AS n,
+                sum(xu) OVER fr AS sx,
+                sum(yu) OVER fr AS sy,
+                sum(xu * xu) OVER fr AS sxx,
+                sum(xu * yu) OVER fr AS sxy
+              FROM base
+              WINDOW fr AS (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN 19 PRECEDING
+                                     AND CURRENT ROW))
+            SELECT user_id, event_id,
+                   floor((CASE WHEN n * sxx - sx * sx <> 0
+                          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)
+                          END) * 1e9 + 0.5) / 1e9 AS beta
+            FROM w
+        """,
+        "kfold_cv": """
+            WITH raw AS (
+              SELECT l_quantity, l_extendedprice,
+                     substr(md5(l_orderkey || '#' || l_linenumber),
+                            1, 4) AS h
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            base AS (
+              SELECT CAST(round(l_quantity * 1e6) AS HUGEINT) AS xu,
+                     CAST(round(l_extendedprice * 1e6) AS HUGEINT)
+                       AS yu,
+                     CASE WHEN h < '3333' THEN 0
+                          WHEN h < '6666' THEN 1
+                          WHEN h < '9999' THEN 2
+                          WHEN h < 'cccc' THEN 3
+                          ELSE 4 END AS fold
+              FROM raw),
+            fm AS (
+              SELECT fold, count(*) AS n, sum(xu) AS sx,
+                     sum(yu) AS sy, sum(xu * xu) AS sxx,
+                     sum(xu * yu) AS sxy
+              FROM base GROUP BY fold),
+            tm AS (
+              SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                     sum(sxx) AS sxx, sum(sxy) AS sxy
+              FROM fm),
+            tr AS (
+              SELECT fm.fold,
+                     CAST(tm.n - fm.n AS DOUBLE) AS n,
+                     CAST(tm.sx - fm.sx AS DOUBLE) AS sx,
+                     CAST(tm.sy - fm.sy AS DOUBLE) AS sy,
+                     CAST(tm.sxx - fm.sxx AS DOUBLE) AS sxx,
+                     CAST(tm.sxy - fm.sxy AS DOUBLE) AS sxy
+              FROM fm CROSS JOIN tm),
+            bet AS (
+              SELECT fold, CAST(n AS BIGINT) AS n_train,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+                     (sy - (n * sxy - sx * sy)
+                           / (n * sxx - sx * sx) * sx) / n AS b0
+              FROM tr),
+            sc AS (
+              SELECT base.fold, bet.n_train, bet.b0, bet.b1,
+                     CAST(floor(CAST(yu AS DOUBLE) - b0
+                                - b1 * CAST(xu AS DOUBLE) + 0.5)
+                          AS HUGEINT) AS ri
+              FROM base JOIN bet USING (fold)),
+            ag AS (
+              SELECT fold, n_train, b0, b1,
+                     count(*) AS n_test,
+                     CAST(sum(ri * ri) AS DOUBLE) AS sse
+              FROM sc GROUP BY fold, n_train, b0, b1)
+            SELECT CAST(fold AS INTEGER) AS fold, n_train, n_test,
+                   floor((b0 / 1e6) * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1) * 1e9 + 0.5) / 1e9 AS b1,
+                   floor((sqrt(sse / n_test) / 1e6) * 1e9 + 0.5)
+                     / 1e9 AS rmse
+            FROM ag
+        """,
+        "calibration": """
+            WITH tiled AS (
+              SELECT event_type, value,
+                     ntile(10) OVER (ORDER BY value, event_id)
+                       AS tile
+              FROM events WHERE value IS NOT NULL)
+            SELECT CAST(tile AS INTEGER) AS tile,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   floor((CAST(sum(CAST(round(value * 1e6)
+                                        AS HUGEINT)) AS DOUBLE)
+                          / count(*) / 1e6) * 1e9 + 0.5) / 1e9
+                     AS mean_score,
+                   floor((CAST(sum(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*)) * 1e9 + 0.5)
+                     / 1e9 AS pos_rate
+            FROM tiled GROUP BY tile
+        """,
+        "survival": """
+            WITH RECURSIVE per AS (
+              SELECT user_id, min(epoch_us(ts)) AS mn,
+                     max(epoch_us(ts)) AS mx
+              FROM events GROUP BY user_id),
+            g AS (SELECT max(epoch_us(ts)) AS gm FROM events),
+            subj AS (
+              SELECT (mx - mn) // 86400000000 AS dur,
+                     mx < gm - 604800000000 AS ev
+              FROM per, g),
+            cells AS (
+              SELECT dur AS t,
+                     CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d,
+                     CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END)
+                          AS BIGINT) AS c
+              FROM subj GROUP BY dur),
+            ord AS (
+              SELECT row_number() OVER (ORDER BY t) AS i, t, d, c
+              FROM cells),
+            tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM cells),
+            km AS (
+              SELECT o.i, o.t, o.d, o.c, tot.n AS n_risk,
+                     1.0 - CAST(o.d AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE) AS s
+              FROM ord o, tot WHERE o.i = 1
+              UNION ALL
+              SELECT o.i, o.t, o.d, o.c,
+                     km.n_risk - km.d - km.c AS n_risk,
+                     km.s * (1.0 - CAST(o.d AS DOUBLE)
+                             / CAST(km.n_risk - km.d - km.c
+                                    AS DOUBLE)) AS s
+              FROM km JOIN ord o ON o.i = km.i + 1)
+            SELECT t, n_risk, d, c,
+                   floor((s) * 1e9 + 0.5) / 1e9 AS s
+            FROM km
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

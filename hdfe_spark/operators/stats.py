@@ -623,3 +623,205 @@ def auc_score(
     return df.sparkSession.createDataFrame(
         [(na, nb, auc)], "n_pos long, n_neg long, auc double"
     )
+
+
+def rolling_beta(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int,
+    scale: float = 1e6,
+    out_col: str = "beta",
+) -> DataFrame:
+    """Per-key rolling regression slope: at each row, the OLS beta
+    of y on x over the trailing ``window`` rows (the time-series
+    feature behind hedging ratios / sensitivity monitors).
+
+    The five trailing moments are WINDOWED SUMS OF INTEGERS
+    (fixed-point micros), exact under any evaluation order — Spark's
+    per-frame recompute and DuckDB's segment tree land on the same
+    integers, unlike a float windowed sum — and the slope is one
+    IEEE expression per row. Windows where x is constant (den = 0,
+    an exact integer test) yield NULL. One window pass, parallel
+    across keys; ``order_col`` must totally order each key's rows.
+    """
+    from pyspark.sql import Window as W
+
+    xu = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    yu = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+    sx = F.sum(xu).over(w)
+    sy = F.sum(yu).over(w)
+    sxx = F.sum(xu * xu).over(w)
+    sxy = F.sum(xu * yu).over(w)
+    den = n * sxx - sx * sx  # exact decimal integer
+    beta = F.when(
+        den != F.lit(0),
+        (n * sxy - sx * sy).cast("double") / den.cast("double"),
+    )
+    return df.withColumn(out_col, beta)
+
+
+_KFOLD_HEX_5 = ["3333", "6666", "9999", "cccc"]  # floor(0x10000*k/5)
+
+
+def kfold_ols(
+    df: DataFrame,
+    fold_key_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """5-fold cross-validated simple OLS in TWO passes total,
+    regardless of fold count — the distributed CV pattern:
+
+    1. one groupBy computes each fold's exact fixed-point moments;
+       every fold's TRAINING moments are then total-minus-fold
+       (exact integer subtraction — the fold-level leave-one-out
+       trick, no per-fold re-scan);
+    2. one scan scores every row against its own fold's held-out
+       betas (broadcast fold->beta table) and reduces per-fold
+       squared error.
+
+    Folds come from a 4-hex md5 prefix of the concatenated
+    ``fold_key_cols`` (group-aware: rows sharing the key stay in one
+    fold — no leakage between near-duplicate rows), thresholds at
+    floor(0x10000*k/5): engine-portable string compares. Residuals
+    are quantized to integer micros (floor(r+0.5)) before squaring,
+    so the per-fold SSE is an order-free integer sum — the <=0.5
+    micro quantization is what makes the distributed metric
+    reproducible bit-for-bit.
+
+    Returns 5 rows: fold, n_train, n_test, b0, b1, rmse.
+    """
+    key = F.concat_ws(
+        "#", *[F.col(c).cast("string") for c in fold_key_cols]
+    )
+    h = F.substring(F.md5(key), 1, 4)
+    fold = F.lit(4)
+    for i, hx in enumerate(reversed(_KFOLD_HEX_5)):
+        fold = F.when(h < F.lit(hx), F.lit(3 - i)).otherwise(fold)
+    xu = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    yu = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).withColumn("__fold", fold)
+    m = {
+        int(r["__fold"]): r
+        for r in base.groupBy("__fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xu).alias("sx"),
+            F.sum(yu).alias("sy"),
+            F.sum(xu * xu).alias("sxx"),
+            F.sum(xu * yu).alias("sxy"),
+        )
+        .collect()
+    }
+    tot = {
+        c: sum(int(m[f][c]) for f in m) for c in
+        ("n", "sx", "sy", "sxx", "sxy")
+    }
+    betas = []
+    for f in range(5):
+        if f not in m:
+            raise ValueError(f"fold {f} is empty; need >= 5 groups")
+        n = float(tot["n"] - int(m[f]["n"]))
+        sx = float(tot["sx"] - int(m[f]["sx"]))
+        sy = float(tot["sy"] - int(m[f]["sy"]))
+        sxx = float(tot["sxx"] - int(m[f]["sxx"]))
+        sxy = float(tot["sxy"] - int(m[f]["sxy"]))
+        b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        b0 = (sy - b1 * sx) / n  # scaled units
+        betas.append((f, int(n), b0, b1))
+    spark = df.sparkSession
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            betas, "__fold int, n_train long, __b0 double, __b1 double"
+        )
+    )
+    r = (
+        yu.cast("double") - F.col("__b0") - F.col("__b1") * xu.cast("double")
+    )
+    r_int = F.floor(r + F.lit(0.5)).cast("decimal(38,0)")
+    scored = base.join(bdf, "__fold").select(
+        "__fold", "n_train", (r_int * r_int).alias("__r2"),
+        F.col("__b0"), F.col("__b1"),
+    )
+    out = scored.groupBy("__fold", "n_train", "__b0", "__b1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("__r2").alias("__sse"),
+    )
+    rows = []
+    for rr in out.collect():
+        rmse = (
+            math.sqrt(float(rr["__sse"]) / rr["n_test"]) / scale
+        )
+        rows.append(
+            (
+                int(rr["__fold"]),
+                int(rr["n_train"]),
+                int(rr["n_test"]),
+                rr["__b0"] / scale,
+                rr["__b1"],
+                rmse,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "fold int, n_train long, n_test long, b0 double, "
+        "b1 double, rmse double",
+    )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve: one row per distinct duration t
+    with the at-risk count, deaths d, censored c, and the product-
+    limit estimate S(t) = prod_{t' <= t} (1 - d/n_at_risk) — the
+    churn/retention estimator that handles censored subjects (still
+    active at observation end) correctly, which a plain retention
+    ratio does not.
+
+    Distribution: the heavy work is upstream (reducing raw events to
+    one row per subject) and the per-duration cell aggregation (one
+    groupBy). The T-step recurrence itself runs driver-side over the
+    collected cells — T = distinct durations, bounded by the time
+    granularity (the kmeans/huber_irls2 collect-scalars pattern), so
+    the sequential float product is a deterministic op sequence a
+    SQL oracle replays with a recursive CTE. ``event_col`` is
+    boolean-like: true = observed event (death/churn), false =
+    censored.
+    """
+    ev = F.col(event_col).cast("boolean")
+    cells = (
+        subjects.filter(F.col(duration_col).isNotNull())
+        .groupBy(duration_col)
+        .agg(
+            F.sum(ev.cast("long")).cast("long").alias("d"),
+            F.sum((~ev).cast("long")).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    cells.sort(key=lambda r: r[duration_col])
+    tot = sum(int(r["d"]) + int(r["c"]) for r in cells)
+    rows, n_risk, s = [], tot, 1.0
+    for r in cells:
+        d, c = int(r["d"]), int(r["c"])
+        s = s * (1.0 - d / n_risk)
+        rows.append((r[duration_col], n_risk, d, c, s))
+        n_risk -= d + c
+    return subjects.sparkSession.createDataFrame(
+        rows,
+        f"t long, n_risk long, d long, c long, s double",
+    )

@@ -290,3 +290,114 @@ def test_auc_score_exact(spark):
     df = spark.createDataFrame(rows, "y boolean, s double")
     got = auc_score(df, "y", "s").collect()[0]["auc"]
     assert 0.45 < got < 0.55
+
+
+def test_rolling_beta_matches_numpy(spark):
+    from hdfe_spark.operators.stats import rolling_beta
+
+    rng = np.random.default_rng(12)
+    x = np.round(rng.uniform(1, 5, 40), 6)
+    y = np.round(2.0 * x + rng.normal(0, 0.2, 40), 6)
+    rows = [(1, i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "k long, t long, x double, y double")
+    got = (
+        rolling_beta(df, "k", "t", "x", "y", window=10)
+        .orderBy("t")
+        .toPandas()["beta"]
+    )
+    xu, yu = np.round(x * 1e6), np.round(y * 1e6)
+    for t in [0, 5, 15, 39]:
+        lo = max(0, t - 9)
+        xs, ys = xu[lo:t + 1], yu[lo:t + 1]
+        n = len(xs)
+        den = n * (xs * xs).sum() - xs.sum() ** 2
+        if den == 0:
+            assert got[t] is None or np.isnan(got[t])
+        else:
+            want = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / den
+            assert got[t] == pytest.approx(want, rel=1e-9)
+    # interior windows track the true slope
+    assert abs(got[30] - 2.0) < 0.3
+
+
+def test_rolling_beta_constant_x_is_null(spark):
+    from hdfe_spark.operators.stats import rolling_beta
+
+    rows = [(1, i, 3.0, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, t long, x double, y double")
+    out = rolling_beta(df, "k", "t", "x", "y", window=3).collect()
+    assert all(r["beta"] is None for r in out)
+
+
+def test_kfold_ols_matches_hashlib_replica(spark):
+    import hashlib
+
+    from hdfe_spark.operators.stats import kfold_ols
+
+    rng = np.random.default_rng(13)
+    x = np.round(rng.uniform(0, 10, 600), 6)
+    y = np.round(1.5 * x + 2.0 + rng.normal(0, 0.3, 600), 6)
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["fold"]: r for r in kfold_ols(df, ["id"], "x", "y").collect()}
+    assert len(got) == 5
+
+    th = ["3333", "6666", "9999", "cccc"]
+
+    def fold_of(i):
+        h = hashlib.md5(f"{i}".encode()).hexdigest()[:4]
+        for f, t in enumerate(th):
+            if h < t:
+                return f
+        return 4
+
+    folds = np.array([fold_of(i) for i in range(600)])
+    xu, yu = np.round(x * 1e6), np.round(y * 1e6)
+    for f in range(5):
+        tr = folds != f
+        te = folds == f
+        n = float(tr.sum())
+        sx, sy = float(xu[tr].sum()), float(yu[tr].sum())
+        sxx = float((xu[tr] * xu[tr]).sum())
+        sxy = float((xu[tr] * yu[tr]).sum())
+        b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        b0 = (sy - b1 * sx) / n
+        r = yu[te] - b0 - b1 * xu[te]
+        ri = np.floor(r + 0.5)
+        rmse = math.sqrt(float((ri * ri).sum()) / te.sum()) / 1e6
+        assert got[f]["n_train"] == int(n)
+        assert got[f]["n_test"] == int(te.sum())
+        assert got[f]["b1"] == pytest.approx(b1, rel=1e-12)
+        assert got[f]["rmse"] == pytest.approx(rmse, rel=1e-12)
+        # out-of-fold slope near truth, rmse near noise sd
+        assert abs(got[f]["b1"] - 1.5) < 0.05
+        assert 0.2 < got[f]["rmse"] < 0.45
+
+
+def test_kaplan_meier_textbook(spark):
+    from hdfe_spark.operators.stats import kaplan_meier
+
+    # classic small example: durations with deaths and censoring
+    rows = [(1, True), (1, True), (3, True), (3, False),
+            (5, True), (5, True), (8, False)]
+    df = spark.createDataFrame(rows, "dur long, ev boolean")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1]["n_risk"] == 7 and got[1]["d"] == 2
+    assert got[1]["s"] == pytest.approx(5 / 7)
+    assert got[3]["n_risk"] == 5
+    assert got[3]["s"] == pytest.approx(5 / 7 * 4 / 5)
+    assert got[5]["n_risk"] == 3
+    assert got[5]["s"] == pytest.approx(5 / 7 * 4 / 5 * 1 / 3)
+    # censoring-only step: S unchanged
+    assert got[8]["s"] == got[5]["s"] and got[8]["d"] == 0
+
+
+def test_kaplan_meier_no_censoring_is_ecdf(spark):
+    from hdfe_spark.operators.stats import kaplan_meier
+
+    rows = [(t, True) for t in [1, 2, 2, 4]]
+    df = spark.createDataFrame(rows, "dur long, ev boolean")
+    got = {r["t"]: r["s"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1] == pytest.approx(3 / 4)
+    assert got[2] == pytest.approx(1 / 4)
+    assert got[4] == pytest.approx(0.0, abs=1e-15)
