@@ -5129,8 +5129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
       51-58, plus the rows-only `bpe_merges` demo certified by the
       roundtrip), then the THIRD-SESSION stats/ML family (tenth
-      curation pass, 13 queries `ab_ttest` ... `standardize`, all
-      hash-green on first gate), then the eight round-6
+      curation pass, 20 queries `ab_ttest` ... `survival`: classical
+      tests, nonparametrics, ridge/Huber/k-means/CV, bootstrap, AUC
+      + calibration, EWMA/rolling/gap-fill/attribution/log-parse/
+      target-encode, Kaplan-Meier — all hash-green on first gate),
+      then the eight round-6
       re-certification rows (driver-green r5), the ten
       certificate-covered rows-only demos, and the r03/r04/r05
       driver-green backlog — ALL still gated locally every round

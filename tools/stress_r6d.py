@@ -221,10 +221,44 @@ def stress_encode():
     df.unpersist()
 
 
+def stress_rolling():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import kfold_ols, rolling_beta
+
+    spark = _spark()
+    # 20M rows, 200k keys x 100 rows each
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        (F.col("id") % 200_000).alias("k"),
+        (F.col("id") / 200_000).cast("double").alias("x"),
+        ((F.col("id") / 200_000) * 2.0
+         + (F.abs(F.hash(F.col("id"))) % 100) / 100.0
+         ).cast("double").alias("y"),
+    ).persist()
+    df.count()
+    t0 = time.perf_counter()
+    out = rolling_beta(df, "k", "id", "x", "y", window=20)
+    n = out.filter(F.col("beta").isNotNull()).count()
+    t_rb = time.perf_counter() - t0
+    print(f"rolling_beta 20M x 200k keys, w=20: {t_rb:.1f}s "
+          f"non-null={n}")
+
+    t0 = time.perf_counter()
+    cv = kfold_ols(df, ["id"], "x", "y").collect()
+    t_cv = time.perf_counter() - t0
+    b1s = [r["b1"] for r in cv]
+    print(f"kfold_ols 20M: {t_cv:.1f}s b1 range="
+          f"({min(b1s):.5f},{max(b1s):.5f})")
+    assert all(abs(b - 2.0) < 0.01 for b in b1s), b1s
+    df.unpersist()
+
+
 if __name__ == "__main__":
     {
         "nonparam": stress_nonparam,
         "moments": stress_moments,
         "kmeans": stress_kmeans,
         "encode": stress_encode,
+        "rolling": stress_rolling,
     }[sys.argv[1]]()
