@@ -5074,6 +5074,42 @@ def _q_survival(spark, sf_dir):
     )
 
 
+
+def _q_streaming_ewma(spark, sf_dir):
+    """Streaming EWMA (thirteenth streaming form, `streaming/ops.py::
+    streaming_ewma`): the adjust=False smoother folded incrementally
+    across micro-batches with O(1) state per user. The availableNow
+    replay folds in event_id order, replaying the batch fold's exact
+    IEEE op sequence — so the batch `ewma` list_reduce SQL is the
+    oracle, and the final per-user state hash-matches it."""
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_ewma
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_ewma(
+        stream, entity_col="user_id", order_col="event_id",
+        value_col="value", alpha=0.5,
+    )
+    sink = _fresh_sink(spark)
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(sink)
+    latest = snap.groupBy("user_id").agg(
+        F.max_by(F.struct("n", "ewma"), "n").alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        _pround(F.col("s.ewma")).alias("ewma"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5235,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_cv": _q_kfold_cv,
         "calibration": _q_calibration,
         "survival": _q_survival,
+        "streaming_ewma": _q_streaming_ewma,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8732,6 +8769,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, n_risk, d, c,
                    floor((s) * 1e9 + 0.5) / 1e9 AS s
             FROM km
+        """,
+        "streaming_ewma": """
+            SELECT user_id, count(*) AS n,
+                   floor((list_reduce(list(value ORDER BY event_id),
+                                     (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e9 + 0.5) / 1e9 AS ewma
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -440,3 +440,69 @@ def streaming_constraint_metrics(stream: DataFrame, rules) -> DataFrame:
     from hdfe_spark.operators.validate import check_constraints
 
     return check_constraints(stream, rules, streaming=True)
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming exponential moving average (thirteenth streaming
+    form): per entity, the adjust=False recursion y = a*x + (1-a)*y
+    folded incrementally across micro-batches via
+    ``applyInPandasWithState`` — O(1) state per key (the smoothed
+    value and a count), the incremental twin of the batch
+    ``operators/stats.py::ewma`` fold. Emits one (entity, n, ewma)
+    row per key per batch; the row with the largest n is the final
+    state.
+
+    Certificate contract: with an availableNow replay the fold order
+    is the in-batch ``order_col`` sort, so the final state replays
+    the batch fold's exact IEEE op sequence (CPython float and JVM
+    double are both IEEE binary64) — the batch query IS the oracle.
+    Cross-batch order follows source delivery, the standard stateful
+    caveat (`streaming_lag_transform`)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("y", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    a = float(alpha)
+    b = 1.0 - a
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            y, n = state.get
+        else:
+            y, n = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="stable")
+            for v in pdf[value_col]:
+                if v is None or pd.isna(v):
+                    continue
+                v = float(v)
+                y = v if n == 0 else a * v + b * y
+                n += 1
+        state.update((y, n))
+        if n > 0:
+            yield pd.DataFrame(
+                {entity_col: [key[0]], "n": [n], "ewma": [y]}
+            )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -302,3 +302,42 @@ def test_streaming_cms_matches_batch_sketch(spark, sf_dir, events_batch):
         for r in cms_build(events_batch, "event_type", d=4, n_hex=2).collect()
     }
     assert got == want
+
+
+def test_streaming_ewma_equals_batch_fold(spark, sf_dir):
+    """Thirteenth streaming form: the incremental EWMA state after an
+    availableNow replay equals the batch fold exactly (same IEEE op
+    sequence in event_id order)."""
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.operators.stats import ewma
+    from hdfe_spark.sources.tables import load_table
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_ewma
+
+    load_table(spark, "events", sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_ewma(stream, "user_id", "event_id", "value", alpha=0.5)
+    name = "ewma_stream_test_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["s"]["n"], r["s"]["ewma"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n", "ewma"), "n").alias("s"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["ewma"])
+        for r in ewma(
+            load_table(spark, "events", sf_dir),
+            "user_id", "event_id", "value", alpha=0.5,
+        ).collect()
+    }
+    assert got == batch  # bit-exact, not approx
