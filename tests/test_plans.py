@@ -567,3 +567,27 @@ def test_nonparametrics_no_global_single_partition_window(spark, sf_dir):
     for line in simple.splitlines():
         if "Window" in line:
             assert "__pid" in line, line
+
+
+def test_rolling_beta_single_window_pass(spark, sf_dir):
+    """The five sliding moments + lags compile into window work over
+    ONE (key) exchange — no join, no Python."""
+    import __spark_entry__ as em
+
+    out = em.queries()["rolling_beta"](spark, sf_dir)
+    rep = plan_report(out)
+    assert rep["n_python_stages"] == 0
+    assert rep["n_broadcast_joins"] == 0
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_hash_exchanges"] <= 1
+
+
+def test_kfold_scoring_join_broadcasts(spark, sf_dir):
+    """The fold->beta table (5 rows) must broadcast onto the scoring
+    scan — a shuffled join of a 5-row table would be a plan bug."""
+    import __spark_entry__ as em
+
+    out = em.queries()["kfold_cv"](spark, sf_dir)
+    rep = plan_report(out)
+    assert rep["n_sortmerge_joins"] == 0
+    assert rep["n_python_stages"] == 0
