@@ -5110,6 +5110,42 @@ def _q_streaming_ewma(spark, sf_dir):
     )
 
 
+
+def _q_radius_join(spark, sf_dir):
+    """Planar radius join (`operators/rangejoin.py::radius_join`):
+    1500 synthetic integer points (portable Knuth-hash coordinates
+    from vec_ids, the `weighted_sample` trick) self-joined within
+    radius 2000 on a 100k x 100k grid. Grid-bucketed: the right side
+    owns one cell, the left probes the 3x3 neighborhood — every pair
+    found exactly once, no dedup, no nested loop. The oracle is the
+    brute-force quadratic join, so the hash match is an exactness
+    certificate for the bucketing. Integer squared distances: no
+    trig, engine-exact."""
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def knuth(expr):
+        return F.pmod(
+            F.pmod(expr, F.lit(1 << 31)) * F.lit(2654435761),
+            F.lit(1 << 32),
+        ) % F.lit(100_000)
+
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        knuth(F.col("vec_id") * 2 + 1).cast("long").alias("x"),
+        knuth(F.col("vec_id") * 2 + 2).cast("long").alias("y"),
+    )
+    out = radius_join(pts, pts, "x", "y", 2000)
+    d2 = (
+        (F.col("x_l") - F.col("x_r")) * (F.col("x_l") - F.col("x_r"))
+        + (F.col("y_l") - F.col("y_r")) * (F.col("y_l") - F.col("y_r"))
+    )
+    return out.filter(F.col("id_l") < F.col("id_r")).select(
+        "id_l", "id_r", d2.cast("long").alias("d2")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5272,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": _q_calibration,
         "survival": _q_survival,
         "streaming_ewma": _q_streaming_ewma,
+        "radius_join": _q_radius_join,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8777,6 +8814,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE value IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id
+        """,
+        "radius_join": """
+            WITH pts AS (
+              SELECT vec_id AS id,
+                     ((vec_id * 2 + 1) % 2147483648) * 2654435761
+                       % 4294967296 % 100000 AS x,
+                     ((vec_id * 2 + 2) % 2147483648) * 2654435761
+                       % 4294967296 % 100000 AS y
+              FROM embeddings)
+            SELECT a.id AS id_l, b.id AS id_r,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS d2
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 4000000
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -132,3 +132,69 @@ def interval_overlap_join(
         .filter(overlap & representative)
         .drop("__bucket")
     )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    x_col: str,
+    y_col: str,
+    radius: int,
+    suffixes: tuple = ("_l", "_r"),
+) -> DataFrame:
+    """Planar radius join (the 2D spatial analogue of
+    ``interval_overlap_join``): every (left, right) pair with
+    squared Euclidean distance <= radius^2, over INTEGER coordinates
+    (fixed-point micro-degrees / millimeters — integer distance
+    arithmetic is what makes the predicate engine-exact; haversine's
+    trig would diverge in the last ulp across engines).
+
+    Grid-bucketed rewrite of the quadratic cross join: right points
+    land in their single radius-sized grid cell; left points probe
+    the 3x3 neighborhood (a 9x explode of the SMALLER side beats a
+    |L|x|R| nested loop by orders of magnitude, and every qualifying
+    pair is found exactly once because the right point owns exactly
+    one cell — no dedup pass). The equi-join on cell ids hash-
+    partitions; AQE handles hot cells. Columns are emitted with
+    ``suffixes``.
+    """
+    r = int(radius)
+    lx, ly = F.col(x_col), F.col(y_col)
+
+    def cell(c):
+        return F.floor(c / F.lit(r)).cast("long")
+
+    rt = right.select(
+        *[F.col(c).alias(c + suffixes[1]) for c in right.columns],
+        cell(lx).alias("__cx"),
+        cell(ly).alias("__cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    lt = left.select(
+        *[F.col(c).alias(c + suffixes[0]) for c in left.columns],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell(lx) + F.lit(dx)).alias("cx"),
+                        (cell(ly) + F.lit(dy)).alias("cy"),
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("__cell"),
+    ).select(
+        "*",
+        F.col("__cell.cx").alias("__cx"),
+        F.col("__cell.cy").alias("__cy"),
+    ).drop("__cell")
+    xl = F.col(x_col + suffixes[0])
+    yl = F.col(y_col + suffixes[0])
+    xr = F.col(x_col + suffixes[1])
+    yr = F.col(y_col + suffixes[1])
+    d2 = (xl - xr) * (xl - xr) + (yl - yr) * (yl - yr)
+    return (
+        lt.join(rt, ["__cx", "__cy"])
+        .filter(d2 <= F.lit(r) * F.lit(r))
+        .drop("__cx", "__cy")
+    )

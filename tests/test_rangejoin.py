@@ -140,3 +140,45 @@ def test_interval_overlap_join_matches_brute_force(spark):
         .collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_radius_join_matches_brute_force(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    rng = np.random.default_rng(8)
+    pa = rng.integers(0, 1000, (120, 2))
+    pb = rng.integers(0, 1000, (150, 2))
+    a = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(pa)],
+        "id long, x long, y long",
+    )
+    b = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(pb)],
+        "id long, x long, y long",
+    )
+    r = 75
+    got = {
+        (row["id_l"], row["id_r"])
+        for row in radius_join(a, b, "x", "y", r).collect()
+    }
+    d2 = ((pa[:, None, :] - pb[None, :, :]) ** 2).sum(axis=2)
+    want = {
+        (i, j)
+        for i in range(len(pa))
+        for j in range(len(pb))
+        if d2[i, j] <= r * r
+    }
+    assert got == want and len(want) > 100
+
+
+def test_radius_join_negative_coords(spark):
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    a = spark.createDataFrame([(1, -5, -5)], "id long, x long, y long")
+    b = spark.createDataFrame(
+        [(2, -8, -9), (3, 40, 0)], "id long, x long, y long"
+    )
+    got = radius_join(a, b, "x", "y", 10).collect()
+    assert len(got) == 1 and got[0]["id_r"] == 2

@@ -254,6 +254,37 @@ def stress_rolling():
     df.unpersist()
 
 
+def stress_radius():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    spark = _spark()
+
+    def pts(n, salt, parts=64):
+        return spark.range(0, n, 1, parts).select(
+            F.col("id"),
+            (F.abs(F.hash(F.col("id"), F.lit(salt))) % 1_000_000
+             ).cast("long").alias("x"),
+            (F.abs(F.hash(F.col("id"), F.lit(salt + 1))) % 1_000_000
+             ).cast("long").alias("y"),
+        )
+
+    small = pts(200_000, 3).persist()
+    big = pts(N, 7).persist()
+    small.count(), big.count()
+    t0 = time.perf_counter()
+    # explode the SMALL side (the operator 9x-explodes `left`)
+    n_pairs = radius_join(small, big, "x", "y", 500).count()
+    dt = time.perf_counter() - t0
+    # expected pairs ~ |S||B| * pi r^2 / area
+    want = 200_000 * N * 3.141592653589793 * 500 * 500 / 1e12
+    print(f"radius_join 200k x 20M, r=500: {dt:.1f}s pairs={n_pairs} "
+          f"(expected ~{want:.0f})")
+    assert 0.8 * want < n_pairs < 1.2 * want
+    small.unpersist(); big.unpersist()
+
+
 if __name__ == "__main__":
     {
         "nonparam": stress_nonparam,
@@ -261,4 +292,5 @@ if __name__ == "__main__":
         "kmeans": stress_kmeans,
         "encode": stress_encode,
         "rolling": stress_rolling,
+        "radius": stress_radius,
     }[sys.argv[1]]()
