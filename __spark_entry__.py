@@ -822,26 +822,6 @@ def _q_grouped_quantiles(spark, sf_dir):
     )
 
 
-def _q_set_ops(spark, sf_dir):
-    """Set operations (rubric: absent from the reference): suppliers
-    with 'A'-returned lines vs 'R'-returned lines — INTERSECT /
-    EXCEPT / UNION cardinalities in one 3-row result."""
-    li = _t(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey").distinct()
-    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey").distinct()
-
-    def one(op, dfx):
-        return dfx.agg(
-            F.lit(op).alias("op"), F.count(F.lit(1)).cast("bigint").alias("n")
-        )
-
-    return (
-        one("except", a.subtract(r))
-        .unionAll(one("intersect", a.intersect(r)))
-        .unionAll(one("union", a.union(r).distinct()))
-    )
-
-
 def _q_scalar_funcs(spark, sf_dir):
     """String / date / JSON scalar functions in one projection
     (rubric: the reference has no scalar-function surface at all).
@@ -4665,6 +4645,9 @@ def _q_kmeans(spark, sf_dir):
         # picks under a total order on both engines
         order_cols=["l_orderkey", "l_linenumber", "l_quantity",
                     "l_extendedprice"],
+        # the SQL unroll drops an empty cluster's group; fail loud
+        # instead of silently diverging from the oracle
+        on_empty="raise",
     )
     counts = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -4975,7 +4958,9 @@ def _q_rolling_beta(spark, sf_dir):
     from hdfe_spark.operators.stats import rolling_beta
     from hdfe_spark.sources.tables import ts_micros
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     ev = ev.withColumn("ts_us", ts_micros(ev, "ts")).withColumn(
         "day", F.expr("ts_us div 86400000000").cast("double")
     )
@@ -6456,18 +6441,6 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 6) AS q50,
                    round(quantile_cont(l_quantity, 0.75), 6) AS q75
             FROM lineitem GROUP BY l_returnflag
-        """,
-        "set_ops": """
-            WITH a AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
-                 r AS (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
-            SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n
-            FROM (SELECT * FROM a EXCEPT SELECT * FROM r)
-            UNION ALL
-            SELECT 'intersect', CAST(count(*) AS BIGINT)
-            FROM (SELECT * FROM a INTERSECT SELECT * FROM r)
-            UNION ALL
-            SELECT 'union', CAST(count(*) AS BIGINT)
-            FROM (SELECT * FROM a UNION SELECT * FROM r)
         """,
         "scalar_funcs": """
             SELECT event_id,
@@ -8671,7 +8644,7 @@ def oracle_sql() -> dict[str, str]:
                                      AS DOUBLE) * 1e6) AS HUGEINT)
                        AS xu,
                      CAST(round(value * 1e6) AS HUGEINT) AS yu
-              FROM events),
+              FROM events WHERE value IS NOT NULL),
             w AS (
               SELECT user_id, event_id,
                 CAST(count(*) OVER fr AS HUGEINT) AS n,

@@ -20,8 +20,13 @@ SAME iterations as CTE layers, the `graph.py::pagerank` pattern):
   ``round(value*1e6)`` integers (order-independent, unlike a float
   sum) cast to double, divided by the count — identical last-ulp
   result in any engine;
-- an empty cluster keeps its previous centroid (documented; with
-  first-k init every cluster is non-empty on iteration 1).
+- duplicate init seeds RAISE (two identical centroids make the
+  lower index win every tie — its twin starts empty, which the
+  SQL unroll cannot express);
+- an empty cluster keeps its previous centroid under
+  ``on_empty="keep"`` — but a SQL unroll drops the empty group, so
+  certificate callers pass ``on_empty="raise"`` to make any
+  divergence loud instead of silent.
 
 Scale design: each iteration is ONE map-side-combined groupBy over
 the points (k*(d+1) partial scalars per task) plus a driver-side
@@ -69,6 +74,7 @@ def kmeans_fixed(
     k: int,
     n_iter: int,
     order_cols: Sequence[str],
+    on_empty: str = "keep",
 ) -> tuple[DataFrame, list[tuple]]:
     """Run exactly ``n_iter`` Lloyd iterations; returns
     ``(assigned_df, centroids)`` where ``assigned_df`` is ``df`` plus
@@ -96,6 +102,13 @@ def kmeans_fixed(
     centroids = [
         tuple(float(r[c]) for c in feature_cols) for r in init_rows
     ]
+    if len(set(centroids)) < k:
+        raise ValueError(
+            "kmeans_fixed: duplicate init seeds (two of the first k "
+            "rows share identical features) — the duplicate's "
+            "cluster would start empty; extend order_cols or dedupe "
+            "the input"
+        )
 
     sums = [
         F.sum(
@@ -117,6 +130,13 @@ def kmeans_fixed(
         for idx in range(k):
             r = by_idx.get(idx)
             if r is None or r["_n"] == 0:
+                if on_empty == "raise":
+                    raise ValueError(
+                        f"kmeans_fixed: cluster {idx} emptied during "
+                        "iteration (on_empty='raise' — the SQL-unroll "
+                        "certificate cannot express the keep-previous "
+                        "fallback)"
+                    )
                 new.append(centroids[idx])  # empty cluster: keep
                 continue
             n = float(r["_n"])

@@ -193,7 +193,12 @@ def poisson_bootstrap_means(
     )
     rows = []
     for r in range(n_reps):
-        n_eff = int(m[f"w_{r}"])
+        n_eff = int(m[f"w_{r}"] or 0)  # sum() over 0 rows is NULL
+        if n_eff == 0:
+            raise ValueError(
+                f"bootstrap replicate {r} drew total weight 0 "
+                "(input too small for a Poisson bootstrap)"
+            )
         mean = float(m[f"wy_{r}"]) / float(n_eff) / scale
         rows.append((r, n_eff, mean))
     return df.sparkSession.createDataFrame(

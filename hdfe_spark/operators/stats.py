@@ -380,6 +380,11 @@ def mann_whitney_u(
     var = (
         float(na) * nb / 12.0 * ((n + 1) - ties / (float(n) * (n - 1)))
     )
+    if var <= 0.0:
+        raise ValueError(
+            "mann_whitney_u: zero rank variance (all pooled values "
+            "tied) — the z statistic is undefined"
+        )
     z = (u_a - mu) / math.sqrt(var)
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -476,6 +481,11 @@ def spearman_corr(
     sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
     num = n * sxy - sx * sy
     den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    if den <= 0.0:
+        raise ValueError(
+            "spearman_corr: a column is constant (zero rank "
+            "variance) — rho is undefined"
+        )
     spark = df.sparkSession
     return spark.createDataFrame(
         [(int(m["n"]), num / den)], "n long, rho double"
@@ -507,9 +517,19 @@ def standardize(
         # per-column non-null counts: a shared row count would skew
         # the moments of any column carrying NULLs
         n = float(m[f"n_{c}"])
+        if n < 2:
+            raise ValueError(
+                f"standardize: column {c!r} has {int(n)} non-null "
+                "rows; sample stddev needs >= 2"
+            )
         s, ss = float(m[f"s_{c}"]), float(m[f"ss_{c}"])
         mean = s / n
         sd = math.sqrt((ss - s * s / n) / (n - 1))
+        if sd == 0.0:
+            raise ValueError(
+                f"standardize: column {c!r} is constant — z-scores "
+                "are undefined"
+            )
         z = (
             F.round(F.col(c) * scale).cast("double") - F.lit(mean)
         ) / F.lit(sd)
@@ -613,7 +633,7 @@ def auc_score(
     ``mann_whitney_u``, sharing its distinct-value prefix-sum path:
     never a global score sort, exact at any scale. Returns one row:
     n_pos, n_neg, auc."""
-    sided = df.withColumn(
+    sided = df.filter(F.col(label_col).isNotNull()).withColumn(
         "__side",
         F.when(F.col(label_col).cast("boolean"), "p").otherwise("n"),
     )
@@ -652,9 +672,13 @@ def rolling_beta(
     expression per row; windows where x is constant (den = 0, an
     exact integer test) yield NULL. One window pass, parallel
     across keys; ``order_col`` must totally order each key's rows.
+    Rows with NULL x or y are EXCLUDED up front (they would
+    otherwise inflate the window count n while dropping out of the
+    moment sums — silently wrong slopes, not NULLs).
     """
     from pyspark.sql import Window as W
 
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     xu = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
     yu = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
     wc = (

@@ -485,14 +485,19 @@ def streaming_ewma(
             y, n = state.get
         else:
             y, n = None, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col, kind="stable")
-            for v in pdf[value_col]:
-                if v is None or pd.isna(v):
-                    continue
-                v = float(v)
-                y = v if n == 0 else a * v + b * y
-                n += 1
+        # Concatenate BEFORE sorting: a key whose micro-batch spans
+        # multiple Arrow chunks must fold in one global order_col
+        # order — per-chunk sorts would interleave chunks in arrival
+        # order and silently break the bit-exact batch-fold
+        # certificate (repro: 12 rows at maxRecordsPerBatch=3).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        for v in pdf[value_col]:
+            if v is None or pd.isna(v):
+                continue
+            v = float(v)
+            y = v if n == 0 else a * v + b * y
+            n += 1
         state.update((y, n))
         if n > 0:
             yield pd.DataFrame(

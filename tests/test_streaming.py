@@ -341,3 +341,55 @@ def test_streaming_ewma_equals_batch_fold(spark, sf_dir):
         ).collect()
     }
     assert got == batch  # bit-exact, not approx
+
+
+def test_streaming_ewma_multichunk_fold_order(spark, tmp_path):
+    """Regression: a key whose micro-batch spans multiple Arrow
+    chunks must fold in ONE global order_col sort — per-chunk sorts
+    interleave chunks in arrival order and break the batch
+    certificate (caught by code review with maxRecordsPerBatch=3)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.streaming.ops import streaming_ewma
+
+    src = str(tmp_path / "ewma_chunks")
+    # 12 rows, one key, written in REVERSE event order
+    rows = [(1, 11 - i, float(v))
+            for i, v in enumerate([1, 2, 4, 8, 3, 9, 5, 7, 6, 2, 8, 4])]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, value double"
+        ).parquet(src)
+        sm = streaming_ewma(stream, "user_id", "event_id", "value", 0.5)
+        name = "ewma_chunk_sink"
+        q = (
+            sm.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table(name)
+            .orderBy(F.desc("n"))
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    # reference: sequential fold in event_id order
+    ordered = [v for _, _, v in sorted(rows, key=lambda r: r[1])]
+    y = ordered[0]
+    for v in ordered[1:]:
+        y = 0.5 * v + 0.5 * y
+    assert got["n"] == 12 and got["ewma"] == y  # bit-exact
