@@ -197,3 +197,85 @@ def test_truncated_fmt_chunk_is_flagged_not_fatal(spark):
     )
     out = decode_media(df).toPandas()
     assert not out["decode_ok"].iloc[0]
+
+
+@SLOW
+@given(pdf=panel(), alpha=st.sampled_from([0.25, 0.5, 0.75]))
+def test_ewma_matches_pandas_ewm(spark, pdf, alpha):
+    from hdfe_spark.operators.stats import ewma
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["k"]: (r["n"], r["ewma"])
+        for r in ewma(df, "k", "t", "v", alpha=alpha).collect()
+    }
+    for k, g in pdf.groupby("k"):
+        want = (
+            g.sort_values("t")["v"]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .iloc[-1]
+        )
+        n, y = got[k]
+        assert n == len(g)
+        assert y == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+@SLOW
+@given(pdf=panel())
+def test_mann_whitney_u_sum_identity(spark, pdf):
+    """U_a + U_b == n_a * n_b for ANY data (rank-sum identity), and
+    u_a equals the brute-force pair count with half-credit ties."""
+    from hdfe_spark.operators.stats import mann_whitney_u
+
+    pdf = pdf.copy()
+    pdf["side"] = np.where(pdf["k"] % 2 == 0, "a", "b")
+    if (pdf["side"] == "a").sum() == 0 or (pdf["side"] == "b").sum() == 0:
+        return
+    # quantize to force ties
+    pdf["v"] = np.round(pdf["v"], 1)
+    df = spark.createDataFrame(pdf)
+    try:
+        got = mann_whitney_u(df, "side", "v", "a", "b").collect()[0]
+    except ValueError:
+        return  # all-tied degenerate: documented raise
+    assert got["u_a"] + got["u_b"] == got["n_a"] * got["n_b"]
+    a = pdf[pdf["side"] == "a"]["v"].to_numpy()
+    b = pdf[pdf["side"] == "b"]["v"].to_numpy()
+    wins = (a[:, None] > b[None, :]).sum() + 0.5 * (
+        a[:, None] == b[None, :]
+    ).sum()
+    assert got["u_a"] == pytest.approx(wins, rel=1e-12, abs=1e-9)
+
+
+@SLOW
+@given(pdf=panel())
+def test_interpolate_gaps_bounded_by_neighbors(spark, pdf):
+    """Interpolated values always lie between their two anchor
+    values; known rows pass through; edge NULLs stay NULL."""
+    from hdfe_spark.operators.resample import interpolate_gaps
+
+    pdf = pdf.copy()
+    # null out every third value to create gaps
+    pdf.loc[pdf.index % 3 == 1, "v"] = None
+    df = spark.createDataFrame(pdf)
+    out = interpolate_gaps(df, "k", "t", "v").toPandas()
+    merged = out.merge(pdf, on=["k", "t"], suffixes=("", "_in"))
+    for k, g in merged.groupby("k"):
+        g = g.sort_values("t")
+        known = g[g["v_in"].notna()]
+        for _, row in g.iterrows():
+            if pd.notna(row["v_in"]):
+                assert row["value_interp"] == pytest.approx(row["v_in"])
+            elif pd.isna(row["value_interp"]):
+                # must be an edge (no known neighbor on one side)
+                assert (
+                    len(known[known["t"] < row["t"]]) == 0
+                    or len(known[known["t"] > row["t"]]) == 0
+                )
+            else:
+                lo = known[known["t"] < row["t"]]["v_in"].iloc[-1]
+                hi = known[known["t"] > row["t"]]["v_in"].iloc[0]
+                lo, hi = min(lo, hi), max(lo, hi)
+                eps = 1e-9 * max(abs(lo), abs(hi), 1.0)
+                assert lo - eps <= row["value_interp"] <= hi + eps
