@@ -5131,6 +5131,46 @@ def _q_radius_join(spark, sf_dir):
     )
 
 
+
+def _q_containment(spark, sf_dir):
+    """Directed shingle containment (`operators/dedup.py::
+    containment_pairs`): C(A->B) = |S_A n S_B| / |S_A| >= 0.6 over
+    the documents corpus — the asymmetric near-dup measure that
+    catches short-quoted-in-long duplicates Jaccard misses. The
+    oracle is the brute-force all-ordered-pairs list_intersect join,
+    so the hash match certifies the shingle-join candidate
+    generation loses nothing above threshold."""
+    from hdfe_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs, "text", "doc_id", shingle_k=5, threshold=0.6
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "size_a",
+        _pround("containment").alias("containment"),
+    )
+
+
+def _q_benford(spark, sf_dir):
+    """Benford first-digit audit (`operators/validate.py::
+    benford_digit_audit`) over order totals: per-digit observed vs
+    log10(1+1/d)-expected counts with chi-squared terms — the
+    fabricated-data screen. The leading digit comes from the decimal
+    STRING of the exact fixed-point integer (integer-to-string
+    rendering is engine-identical; log10 on doubles is not), and the
+    expectations ride as dumped double literals on both engines."""
+    from hdfe_spark.operators.validate import benford_digit_audit
+
+    od = _t(spark, sf_dir, "orders")
+    out = benford_digit_audit(od, "o_totalprice", scale=100.0)
+    return out.select(
+        "digit", "n",
+        _pround("expected").alias("expected"),
+        _pround("chi2_term").alias("chi2_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5294,6 +5334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": _q_survival,
         "streaming_ewma": _q_streaming_ewma,
         "radius_join": _q_radius_join,
+        "containment": _q_containment,
+        "benford": _q_benford,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8802,6 +8844,59 @@ def oracle_sql() -> dict[str, str]:
             FROM pts a JOIN pts b ON a.id < b.id
             WHERE (a.x - b.x) * (a.x - b.x)
                   + (a.y - b.y) * (a.y - b.y) <= 4000000
+        """,
+        "containment": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN length(text) >= 5
+                       THEN list_transform(
+                              generate_series(1, length(text) - 4),
+                              i -> substr(lower(text), i, 5))
+                       ELSE [] END) AS s
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
+                     AS n_common,
+                   CAST(len(a.s) AS BIGINT) AS size_a,
+                   floor((len(list_intersect(a.s, b.s))
+                          / CAST(len(a.s) AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS containment
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE len(a.s) > 0
+              AND len(list_intersect(a.s, b.s))
+                  / CAST(len(a.s) AS DOUBLE) >= 0.6
+        """,
+        "benford": """
+            WITH obs AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                           AS HUGEINT) AS VARCHAR),
+                                 1, 1) AS INTEGER) AS digit,
+                     count(*) AS n
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+              GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+            e AS (
+              SELECT digit, n,
+                     CAST(t AS DOUBLE)
+                     * (CASE digit
+                        WHEN 1 THEN 0.3010299956639812
+                        WHEN 2 THEN 0.17609125905568124
+                        WHEN 3 THEN 0.12493873660829992
+                        WHEN 4 THEN 0.09691001300805642
+                        WHEN 5 THEN 0.07918124604762482
+                        WHEN 6 THEN 0.06694678963061322
+                        WHEN 7 THEN 0.05799194697768673
+                        WHEN 8 THEN 0.05115252244738129
+                        WHEN 9 THEN 0.04575749056067514
+                        END) AS expected
+              FROM obs, tot)
+            SELECT digit, n,
+                   floor((expected) * 1e9 + 0.5) / 1e9 AS expected,
+                   floor(((CAST(n AS DOUBLE) - expected)
+                          * (CAST(n AS DOUBLE) - expected)
+                          / expected) * 1e9 + 0.5) / 1e9 AS chi2_term
+            FROM e
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -594,3 +594,58 @@ def semdedup(
         n_centroids=n_centroids, threshold=threshold, seed=seed,
     )
     return dedup_by_components(df, pairs, id_col=id_col)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT C(A->B) = |S_A ∩ S_B| / |S_A| for
+    every ordered pair above ``threshold`` — the asymmetric
+    complement of Jaccard dedup: a short document quoted wholesale
+    inside a long one has high containment but low Jaccard, so
+    Jaccard-only pipelines keep the embedded duplicate
+    (Broder's containment, the ExactSubstr motivation).
+
+    Exact and output-complete above any threshold > 0: a qualifying
+    pair shares >= 1 shingle, so the shingle-keyed equi-join
+    generates every candidate (the hash match against a brute-force
+    all-pairs oracle certifies exactly this). One explode + one
+    self-equi-join on the shingle + one grouped count; the join key
+    skews on stop-shingles at corpus scale — AQE skew splitting
+    handles the hot keys, and the shuffle moves (doc, shingle)
+    pairs, never text.
+    """
+    from hdfe_spark.operators.text import shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles(F.lower(F.col(text_col)), shingle_k)
+        ).alias("__s"),
+    ).filter(F.size("__s") > 0)
+    sizes = sh.select(F.col(id_col), F.size("__s").alias("__size"))
+    ex = sh.select(F.col(id_col), F.explode("__s").alias("__g"))
+    a = ex.select(F.col(id_col).alias("id_a"), "__g")
+    b = ex.select(F.col(id_col).alias("id_b"), "__g")
+    common = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = common.join(
+        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+            "__size", "size_a"
+        ),
+        "id_a",
+    )
+    c = F.col("n_common") / F.col("size_a")
+    return out.filter(c >= F.lit(float(threshold))).select(
+        "id_a", "id_b", "n_common",
+        F.col("size_a").cast("long").alias("size_a"),
+        c.alias("containment"),
+    )

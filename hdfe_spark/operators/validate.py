@@ -437,3 +437,55 @@ def mahalanobis_outliers(
     return df.withColumn("mahalanobis_sq", d2).filter(
         F.col("mahalanobis_sq") > threshold
     )
+
+
+def benford_digit_audit(
+    df: DataFrame,
+    col: str,
+    scale: float = 100.0,
+) -> DataFrame:
+    """Benford's-law first-digit audit: one row per leading digit
+    1-9 with the observed count, Benford-expected count, and the
+    chi-squared term — the classic fabricated-data / unit-mixing
+    screen for monetary columns (a corpus shard whose prices were
+    synthesized uniformly lights up instantly).
+
+    Engine-portable by construction: the leading digit comes from
+    the DECIMAL STRING of the exact fixed-point integer
+    ``round(value*scale)`` (no log10 on doubles, whose libm varies
+    by engine — integer-to-string rendering does not), and the
+    log10 expectations ride as dumped double literals. Per-digit
+    chi2 terms only; the caller sums and compares to chi2(8). One
+    groupBy over 9 keys. Non-positive values are excluded
+    (documented: Benford applies to positive magnitudes).
+    """
+    import math
+
+    u = F.round(F.col(col) * scale).cast("decimal(38,0)")
+    digit = F.substring(u.cast("string"), 1, 1).cast("int")
+    obs = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = F.broadcast(
+        obs.agg(F.sum("n").cast("long").alias("__tot"))
+    )
+    p = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        p = F.when(
+            F.col("digit") == d, F.lit(math.log10(1.0 + 1.0 / d))
+        ).otherwise(p)
+    exp = F.col("__tot").cast("double") * p
+    term = (F.col("n").cast("double") - exp) * (
+        F.col("n").cast("double") - exp
+    ) / exp
+    return (
+        obs.crossJoin(tot)
+        .select(
+            "digit", "n",
+            exp.alias("expected"),
+            term.alias("chi2_term"),
+        )
+    )

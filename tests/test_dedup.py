@@ -183,3 +183,39 @@ def test_remove_boilerplate_lines(spark):
     assert out[1] == "gamma"
     assert out[2] == "delta"
     assert out[3] == ""  # kept, emptied
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    from hdfe_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox"),                      # contained in 1
+        (3, "the quick brown fox jumps over the lazy dog again"),
+        (4, "zzzzz completely different content"),
+        (5, "xy"),                                   # shorter than k
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, threshold=0.3).collect()
+    }
+
+    def sh(t):
+        t = t.lower()
+        return {t[i:i + 5] for i in range(len(t) - 4)} if len(t) >= 5 else set()
+
+    want = {}
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia == ib or not sh(ta):
+                continue
+            c = len(sh(ta) & sh(tb)) / len(sh(ta))
+            if c >= 0.3:
+                want[(ia, ib)] = c
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k]["containment"] == pytest.approx(c)
+    # the asymmetry that motivates the operator: short-in-long
+    assert (2, 1) in want and want[(2, 1)] == 1.0
+    assert (1, 2) not in want or want.get((1, 2), 0) < 0.5

@@ -247,3 +247,27 @@ def test_mahalanobis_k3_not_implemented(spark):
 
     with _pt.raises(NotImplementedError):
         mahalanobis_outliers(df, ["a", "b", "c"])
+
+
+def test_benford_digit_audit(spark):
+    import math
+
+    from hdfe_spark.operators.validate import benford_digit_audit
+
+    # 100 values with first digits 1..9 in a known pattern + noise rows
+    rows = []
+    for d in range(1, 10):
+        for i in range(d * 3):
+            rows.append((float(d) * 10 + i * 0.01,))
+    rows += [(None,), (-5.0,), (0.0,)]  # excluded
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in benford_digit_audit(df, "v").collect()}
+    n_tot = sum(d * 3 for d in range(1, 10))
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        assert got[d]["n"] == d * 3
+        p = math.log10(1 + 1 / d)
+        assert got[d]["expected"] == pytest.approx(n_tot * p)
+        assert got[d]["chi2_term"] == pytest.approx(
+            (d * 3 - n_tot * p) ** 2 / (n_tot * p)
+        )
