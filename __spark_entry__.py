@@ -5226,7 +5226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
       51-58, plus the rows-only `bpe_merges` demo certified by the
       roundtrip), then the THIRD-SESSION stats/ML family (tenth
-      curation pass, 21 queries `ab_ttest` ... `streaming_ewma`: classical
+      curation pass, 24 queries `ab_ttest` ... `benford`: classical
       tests, nonparametrics, ridge/Huber/k-means/CV, bootstrap, AUC
       + calibration, EWMA/rolling/gap-fill/attribution/log-parse/
       target-encode, Kaplan-Meier — all hash-green on first gate),
