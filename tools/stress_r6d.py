@@ -285,6 +285,63 @@ def stress_radius():
     small.unpersist(); big.unpersist()
 
 
+def stress_containment():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.dedup import containment_pairs
+
+    spark = _spark()
+    n_docs = 200_000
+    # 20 pseudo-words of ~9 digits each (~200 chars/doc). Shingles
+    # must be LONGER than for natural text: digit-alphabet 5-grams
+    # have only ~1e5 distinct values (first attempt: the self-join
+    # exploded to ~1e10 rows on those hot keys) — 12-grams give a
+    # 1e12 space, the quasi-unique regime where exact containment
+    # joins are tractable; natural-language corpora need a MinHash/
+    # LSH candidate stage upstream (documented in the operator).
+    words = [
+        F.abs(F.hash(F.col("id"), F.lit(j))).cast("string")
+        for j in range(20)
+    ]
+    base = spark.range(0, n_docs, 1, 64).select(
+        F.col("id"), F.concat_ws(" ", *words).alias("text")
+    )
+    # plant: every 100th doc's text is embedded as the PREFIX of the
+    # next doc's text -> containment(planted -> host) = 1.0
+    host = F.col("id") % 100 == 1
+    prev_words = [
+        F.abs(F.hash(F.col("id") - 1, F.lit(j))).cast("string")
+        for j in range(10)
+    ]
+    docs = base.withColumn(
+        "text",
+        F.when(host, F.concat_ws(" ", *prev_words, F.col("text")))
+        .otherwise(F.col("text")),
+    ).withColumn(
+        "text",
+        F.when(F.col("id") % 100 == 0,
+               F.concat_ws(" ", *[
+                   F.abs(F.hash(F.col("id"), F.lit(j))).cast("string")
+                   for j in range(10)
+               ]))
+        .otherwise(F.col("text")),
+    ).persist()
+    docs.count()
+    t0 = time.perf_counter()
+    pairs = containment_pairs(
+        docs, "text", "id", shingle_k=12, threshold=0.9
+    ).persist()
+    n_pairs = pairs.count()
+    dt = time.perf_counter() - t0
+    planted = pairs.filter(
+        (F.col("id_a") % 100 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    print(f"containment 200k docs (~200 chars): {dt:.1f}s "
+          f"pairs(C>=0.9)={n_pairs} planted_recovered={planted}/2000")
+    assert planted == 2000, planted
+    pairs.unpersist(); docs.unpersist()
+
+
 if __name__ == "__main__":
     {
         "nonparam": stress_nonparam,
@@ -293,4 +350,5 @@ if __name__ == "__main__":
         "encode": stress_encode,
         "rolling": stress_rolling,
         "radius": stress_radius,
+        "containment": stress_containment,
     }[sys.argv[1]]()
