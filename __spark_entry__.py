@@ -8846,14 +8846,16 @@ def oracle_sql() -> dict[str, str]:
                   + (a.y - b.y) * (a.y - b.y) <= 4000000
         """,
         "containment": """
-            WITH sh AS (
+            WITH lo AS (SELECT doc_id, lower(text) AS lt
+                        FROM documents),
+            sh AS (
               SELECT doc_id,
-                     list_distinct(CASE WHEN length(text) >= 5
+                     list_distinct(CASE WHEN length(lt) >= 5
                        THEN list_transform(
-                              generate_series(1, length(text) - 4),
-                              i -> substr(lower(text), i, 5))
+                              generate_series(1, length(lt) - 4),
+                              i -> substr(lt, i, 5))
                        ELSE [] END) AS s
-              FROM documents)
+              FROM lo)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(len(list_intersect(a.s, b.s)) AS BIGINT)
                      AS n_common,
@@ -8873,7 +8875,8 @@ def oracle_sql() -> dict[str, str]:
                                  1, 1) AS INTEGER) AS digit,
                      count(*) AS n
               FROM orders
-              WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+              WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS HUGEINT) >= 1
               GROUP BY 1),
             tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
             e AS (

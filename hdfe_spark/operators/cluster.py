@@ -84,6 +84,11 @@ def kmeans_fixed(
     ``order_cols`` must totally order the rows (init takes the first
     k). NULL feature rows are excluded up front.
     """
+    if on_empty not in ("keep", "raise"):
+        raise ValueError(
+            f"kmeans_fixed: on_empty must be 'keep' or 'raise', "
+            f"got {on_empty!r}"
+        )
     feature_cols = list(feature_cols)
     cond = F.lit(True)
     for c in feature_cols:

@@ -156,9 +156,18 @@ def radius_join(
     pair is found exactly once because the right point owns exactly
     one cell — no dedup pass). The equi-join on cell ids hash-
     partitions; AQE handles hot cells. Columns are emitted with
-    ``suffixes``.
+    ``suffixes``. Contract: radius >= 1, and |coordinates| < 2^52 —
+    the cell id comes from floor(c/r) in double arithmetic, which
+    loses integer precision beyond that (a point could land one
+    cell off and a boundary pair be silently missed).
     """
     r = int(radius)
+    if r < 1:
+        raise ValueError(
+            "radius_join: radius must be >= 1 (radius 0 would "
+            "divide the grid-cell computation by zero; for exact "
+            "coordinate matches use a plain equi-join on (x, y))"
+        )
     lx, ly = F.col(x_col), F.col(y_col)
 
     def cell(c):

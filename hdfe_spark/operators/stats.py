@@ -775,7 +775,14 @@ def kfold_ols(
         sy = float(tot["sy"] - int(m[f]["sy"]))
         sxx = float(tot["sxx"] - int(m[f]["sxx"]))
         sxy = float(tot["sxy"] - int(m[f]["sxy"]))
-        b1 = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        den = n * sxx - sx * sx
+        if den == 0.0:
+            raise ValueError(
+                f"kfold_ols: regressor {x_col!r} is constant on the "
+                f"training folds complementary to fold {f} — the "
+                "slope is undefined"
+            )
+        b1 = (n * sxy - sx * sy) / den
         b0 = (sy - b1 * sx) / n  # scaled units
         betas.append((f, int(n), b0, b1))
     spark = df.sparkSession
@@ -840,6 +847,17 @@ def kaplan_meier(
     boolean-like: true = observed event (death/churn), false =
     censored.
     """
+    from pyspark.sql import types as T
+
+    dt = subjects.schema[duration_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"kaplan_meier: duration_col {duration_col!r} is "
+            f"{dt.simpleString()}; the curve contract is integral "
+            "durations (bin fractional times upstream)"
+        )
     ev = F.col(event_col).cast("boolean")
     cells = (
         subjects.filter(F.col(duration_col).isNotNull())
@@ -860,5 +878,5 @@ def kaplan_meier(
         n_risk -= d + c
     return subjects.sparkSession.createDataFrame(
         rows,
-        f"t long, n_risk long, d long, c long, s double",
+        "t long, n_risk long, d long, c long, s double",
     )

@@ -456,15 +456,21 @@ def benford_digit_audit(
     by engine — integer-to-string rendering does not), and the
     log10 expectations ride as dumped double literals. Per-digit
     chi2 terms only; the caller sums and compares to chi2(8). One
-    groupBy over 9 keys. Non-positive values are excluded
-    (documented: Benford applies to positive magnitudes).
+    groupBy over 9 keys. Values rounding below 1 fixed-point unit
+    are excluded (Benford applies to positive magnitudes, and a
+    sub-half-unit value has no leading digit).
     """
     import math
 
     u = F.round(F.col(col) * scale).cast("decimal(38,0)")
     digit = F.substring(u.cast("string"), 1, 1).cast("int")
     obs = (
-        df.filter(F.col(col).isNotNull() & (F.col(col) > 0))
+        # filter on the ROUNDED integer, not the raw value: values in
+        # (0, 0.5/scale) round to 0, which has no leading digit — a
+        # raw-value filter would emit a digit=0 row with NULL
+        # expectation AND inflate the total behind every digit's
+        # chi2 term
+        df.filter(F.col(col).isNotNull() & (u >= F.lit(1)))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -466,7 +466,11 @@ def streaming_ewma(
     caveat (`streaming_lag_transform`)."""
     out_schema = T.StructType(
         [
-            T.StructField(entity_col, T.LongType()),
+            # take the key's REAL type from the stream schema — a
+            # hardcoded LongType would break string/other entity keys
+            T.StructField(
+                entity_col, stream.schema[entity_col].dataType
+            ),
             T.StructField("n", T.LongType()),
             T.StructField("ewma", T.DoubleType()),
         ]
