@@ -5171,6 +5171,30 @@ def _q_benford(spark, sf_dir):
     )
 
 
+
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (`operators/similarity.py::
+    hard_negatives`): for each of 5 anchor embeddings, the top-5
+    corpus vectors with cosine in [0.2, 0.95) — similar enough to
+    be informative, below the near-duplicate band that poisons a
+    contrastive loss with false negatives. The band mask applies
+    BEFORE the local top-k (a post-filter would let near-dups starve
+    the slots); one corpus scan, per-batch GEMM, candidates capped
+    at partitions x q x k. Oracle: brute-force banded QUALIFY
+    top-k."""
+    from hdfe_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = hard_negatives(emb, anchors, k=5, lo=0.2, hi=0.95)
+    return out.select(
+        "query_id", "vec_id",
+        _pround("cosine", 6).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5226,7 +5250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
       51-58, plus the rows-only `bpe_merges` demo certified by the
       roundtrip), then the THIRD-SESSION stats/ML family (tenth
-      curation pass, 24 queries `ab_ttest` ... `benford`: classical
+      curation pass, 25 queries `ab_ttest` ... `hard_negatives`:
+      classical
       tests, nonparametrics, ridge/Huber/k-means/CV, bootstrap, AUC
       + calibration, EWMA/rolling/gap-fill/attribution/log-parse/
       target-encode, Kaplan-Meier — all hash-green on first gate),
@@ -5336,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": _q_radius_join,
         "containment": _q_containment,
         "benford": _q_benford,
+        "hard_negatives": _q_hard_negatives,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8900,6 +8926,23 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(n AS DOUBLE) - expected)
                           / expected) * 1e9 + 0.5) / 1e9 AS chi2_term
             FROM e
+        """,
+        "hard_negatives": """
+            WITH anchors AS (
+              SELECT vec_id AS query_id, embedding AS q
+              FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT a.query_id, e.vec_id,
+                     list_cosine_similarity(
+                       cast(e.embedding AS double[]),
+                       cast(a.q AS double[])) AS s
+              FROM embeddings e CROSS JOIN anchors a)
+            SELECT query_id, vec_id,
+                   floor((s) * 1e6 + 0.5) / 1e6 AS cosine
+            FROM scored
+            WHERE s >= 0.2 AND s < 0.95
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

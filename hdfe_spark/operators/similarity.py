@@ -610,3 +610,84 @@ def ivfpq_topk(
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: "np.ndarray | list | DataFrame",
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    query, the top-``k`` most-similar corpus vectors whose cosine
+    lies in the band [``lo``, ``hi``) — above ``lo`` so the negative
+    is HARD (informative gradient), below ``hi`` so near-duplicates
+    of the anchor (false negatives that would poison the loss) are
+    excluded. Self-matches fall out with the band (cos=1 >= hi).
+
+    Same plan shape as ``knn_join`` (one corpus scan, per-batch GEMM
+    against all anchors) with the crucial difference that the BAND
+    MASK applies before the local top-k — a filter after a plain
+    top-k would let near-duplicates occupy the k slots and starve
+    the output. Shuffles at most partitions x q x k candidate rows.
+    Exact; ties break by ascending id, so results are deterministic
+    and SQL-oracle-matchable.
+    """
+    from pyspark.sql import Window as W
+
+    if isinstance(queries, DataFrame):
+        rows = queries.select(query_id_col, vec_col).collect()
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    else:
+        qids = np.arange(len(queries), dtype=np.int64)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in queries])
+    Qn = _normalize_rows(Q)
+    kk, flo, fhi = int(k), float(lo), float(hi)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            M = _normalize_rows(_stack(pdf[vec_col]))
+            ids = pdf[id_col].to_numpy(np.int64)
+            S = M @ Qn.T  # (batch, q)
+            in_band = (S >= flo) & (S < fhi)
+            # push out-of-band scores below every real candidate so
+            # argpartition never selects them, then mask them out
+            S_masked = np.where(in_band, S, -np.inf)
+            take = min(kk, S.shape[0])
+            part = np.argpartition(-S_masked, take - 1, axis=0)[:take, :]
+            qcol = np.repeat(qids, take)
+            rcol = part.T.reshape(-1)
+            scores = S_masked[rcol, np.repeat(np.arange(len(qids)), take)]
+            keep = np.isfinite(scores)
+            yield pd.DataFrame(
+                {
+                    query_id_col: qcol[keep],
+                    id_col: ids[rcol[keep]],
+                    "cosine": scores[keep],
+                }
+            )
+
+    cand = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, schema=out_schema
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .drop("__rn")
+    )

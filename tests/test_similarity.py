@@ -204,3 +204,39 @@ def test_ivfpq_topk_recall_and_determinism(emb, emb_np):
     assert recall >= 0.2  # compounded approximation, half the lists
     again = ivfpq_topk(q, k=10, n_probe=8, index=ivfpq_index(emb)).toPandas()
     assert list(again["vec_id"]) == list(got["vec_id"])
+
+
+def test_hard_negatives_band_and_exactness(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(14)
+    n, d = 200, 16
+    X = rng.normal(0, 1, (n, d))
+    # make ids 0..4 near-duplicates of anchor 0 (must be excluded)
+    for i in range(1, 5):
+        X[i] = X[0] + rng.normal(0, 0.01, d)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = df.filter("vec_id = 0").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    got = hard_negatives(
+        df, anchors, k=5, lo=0.1, hi=0.9
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    # brute-force reference
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    s = Xn @ Xn[0]
+    band = [(i, s[i]) for i in range(n) if 0.1 <= s[i] < 0.9]
+    band.sort(key=lambda t: (-t[1], t[0]))
+    want = [i for i, _ in band[:5]]
+    assert ids == want
+    assert 0 not in ids  # self excluded by the band
+    for i in range(1, 5):
+        assert i not in ids  # near-dups excluded
+    for r in got:
+        assert 0.1 <= r["cosine"] < 0.9
