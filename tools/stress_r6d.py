@@ -342,6 +342,42 @@ def stress_containment():
     pairs.unpersist(); docs.unpersist()
 
 
+def stress_hardneg():
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.similarity import hard_negatives
+
+    spark = _spark()
+    # 1M 32-dim vectors (deterministic hash features), 100 anchors
+    n, d = 1_000_000, 32
+    cols = [
+        ((F.abs(F.hash(F.col("id"), F.lit(j))) % 1000) / 500.0 - 1.0
+         ).alias(f"c{j}")
+        for j in range(d)
+    ]
+    emb = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), *cols)
+    emb = emb.select(
+        "vec_id",
+        F.array(*[F.col(f"c{j}") for j in range(d)]).alias("embedding"),
+    ).persist()
+    emb.count()
+    anchors = emb.filter(F.col("vec_id") < 100).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    t0 = time.perf_counter()
+    out = hard_negatives(emb, anchors, k=10, lo=0.5, hi=0.95)
+    rows = out.collect()
+    dt = time.perf_counter() - t0
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    n_full = sum(1 for v in per_q.values() if len(v) == 10)
+    assert all(0.5 <= c < 0.95 for v in per_q.values() for c in v)
+    print(f"hard_negatives 1M x 100 anchors, k=10, band [0.5,0.95): "
+          f"{dt:.1f}s anchors_with_full_k={n_full}/100")
+
+
 if __name__ == "__main__":
     {
         "nonparam": stress_nonparam,
@@ -351,4 +387,5 @@ if __name__ == "__main__":
         "rolling": stress_rolling,
         "radius": stress_radius,
         "containment": stress_containment,
+        "hardneg": stress_hardneg,
     }[sys.argv[1]]()
