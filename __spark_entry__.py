@@ -5195,6 +5195,44 @@ def _q_hard_negatives(spark, sf_dir):
     )
 
 
+
+def _q_ab_proportions(spark, sf_dir):
+    """Two-proportion z-test (`operators/stats.py::
+    two_proportion_ztest`): do click-users and view-users convert to
+    purchase at different rates? Users split by their modal
+    exposure; success = an above-median purchase count (>= 14: the
+    fixture has no never-purchasers, so 'any purchase' is the
+    degenerate pool=1 case the operator refuses). Exact counts
+    until the final scalars — the conversion-rate companion of
+    `ab_ttest`."""
+    from hdfe_spark.operators.stats import two_proportion_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    # per user: clicks vs views (variant = more clicks than views),
+    # converted = >= 14 purchases — deterministic integer comparisons
+    per = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("nc"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("np"),
+    )
+    labeled = per.select(
+        F.when(F.col("nc") > F.col("nv"), "clicky")
+        .otherwise("viewy").alias("variant"),
+        (F.col("np") >= 14).alias("converted"),
+    )
+    out = two_proportion_ztest(
+        labeled, "variant", "converted", "clicky", "viewy"
+    )
+    return out.select(
+        "n_a", "n_b", "s_a", "s_b",
+        _pround("p_a").alias("p_a"),
+        _pround("p_b").alias("p_b"),
+        _pround("z").alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-5 each recorded exactly the first
@@ -5362,6 +5400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "benford": _q_benford,
         "hard_negatives": _q_hard_negatives,
+        "ab_proportions": _q_ab_proportions,
         # round-6 re-certification rows displaced by the eighth pass
         # (code paths changed early round 6; all were driver-green r5
         # and re-verify hash-green under the strict local gate every
@@ -8943,6 +8982,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE s >= 0.2 AND s < 0.95
             QUALIFY row_number() OVER (
               PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+        """,
+        "ab_proportions": """
+            WITH per AS (
+              SELECT user_id,
+                sum(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS nc,
+                sum(CASE WHEN event_type = 'view'
+                         THEN 1 ELSE 0 END) AS nv,
+                sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS np
+              FROM events GROUP BY user_id),
+            lab AS (
+              SELECT CASE WHEN nc > nv THEN 'clicky'
+                          ELSE 'viewy' END AS variant,
+                     np >= 14 AS converted
+              FROM per),
+            m AS (
+              SELECT
+                CAST(sum(CASE WHEN variant = 'clicky'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN variant = 'viewy'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                CAST(sum(CASE WHEN variant = 'clicky' AND converted
+                              THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+                CAST(sum(CASE WHEN variant = 'viewy' AND converted
+                              THEN 1 ELSE 0 END) AS BIGINT) AS sb
+              FROM lab),
+            c AS (
+              SELECT na, nb, sa, sb,
+                     CAST(sa AS DOUBLE) / na AS pa,
+                     CAST(sb AS DOUBLE) / nb AS pb,
+                     CAST(sa + sb AS DOUBLE) / (na + nb) AS pool
+              FROM m)
+            SELECT na AS n_a, nb AS n_b, sa AS s_a, sb AS s_b,
+                   floor((pa) * 1e9 + 0.5) / 1e9 AS p_a,
+                   floor((pb) * 1e9 + 0.5) / 1e9 AS p_b,
+                   floor(((pa - pb)
+                          / sqrt(pool * (1.0 - pool)
+                                 * (1.0 / na + 1.0 / nb)))
+                         * 1e9 + 0.5) / 1e9 AS z
+            FROM c
         """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,

@@ -880,3 +880,63 @@ def kaplan_meier(
         rows,
         "t long, n_risk long, d long, c long, s double",
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    a_label,
+    b_label,
+) -> DataFrame:
+    """Two-proportion z-test (pooled standard error): is the success
+    rate of group A different from group B? THE conversion-rate A/B
+    test — the categorical sibling of ``welch_ttest``.
+
+    Everything is counts until the final scalars: one aggregation
+    scan reduces to 4 exact integers (n, successes per side); the
+    rates, pooled proportion, and z are a deterministic IEEE
+    expression any SQL oracle mirrors. Returns one row: n_a, n_b,
+    s_a, s_b, p_a, p_b, z. Rows with NULL group or success are
+    excluded; degenerate pooled rates (0 or 1: zero variance) raise.
+    """
+    suc = F.col(success_col).cast("boolean")
+    m = (
+        df.filter(
+            suc.isNotNull()
+            & F.col(group_col).isin([a_label, b_label])
+        )
+        .agg(
+            F.sum(
+                (F.col(group_col) == a_label).cast("long")
+            ).alias("na"),
+            F.sum(
+                (F.col(group_col) == b_label).cast("long")
+            ).alias("nb"),
+            F.sum(
+                ((F.col(group_col) == a_label) & suc).cast("long")
+            ).alias("sa"),
+            F.sum(
+                ((F.col(group_col) == b_label) & suc).cast("long")
+            ).alias("sb"),
+        )
+        .collect()[0]
+    )
+    na, nb = int(m["na"] or 0), int(m["nb"] or 0)
+    sa, sb = int(m["sa"] or 0), int(m["sb"] or 0)
+    if na == 0 or nb == 0:
+        raise ValueError("two_proportion_ztest: empty side")
+    p_a, p_b = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    if var <= 0.0:
+        raise ValueError(
+            "two_proportion_ztest: pooled rate is 0 or 1 — zero "
+            "variance, z undefined"
+        )
+    z = (p_a - p_b) / math.sqrt(var)
+    return df.sparkSession.createDataFrame(
+        [(na, nb, sa, sb, p_a, p_b, z)],
+        "n_a long, n_b long, s_a long, s_b long, "
+        "p_a double, p_b double, z double",
+    )

@@ -401,3 +401,32 @@ def test_kaplan_meier_no_censoring_is_ecdf(spark):
     assert got[1] == pytest.approx(3 / 4)
     assert got[2] == pytest.approx(1 / 4)
     assert got[4] == pytest.approx(0.0, abs=1e-15)
+
+
+def test_two_proportion_ztest_closed_form(spark):
+    from hdfe_spark.operators.stats import two_proportion_ztest
+
+    rows = (
+        [("a", True)] * 120 + [("a", False)] * 380
+        + [("b", True)] * 90 + [("b", False)] * 410
+        + [("c", True)] * 5          # other group: excluded
+        + [("a", None)]              # null success: excluded
+    )
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    got = two_proportion_ztest(df, "g", "ok", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (500, 500)
+    assert (got["s_a"], got["s_b"]) == (120, 90)
+    pa, pb = 120 / 500, 90 / 500
+    pool = 210 / 1000
+    z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1 / 500 + 1 / 500))
+    assert got["z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_two_proportion_ztest_degenerate_raises(spark):
+    from hdfe_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [("a", True), ("b", True)], "g string, ok boolean"
+    )
+    with pytest.raises(ValueError, match="zero"):
+        two_proportion_ztest(df, "g", "ok", "a", "b")
