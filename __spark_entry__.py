@@ -5288,7 +5288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `streaming_dq`, `psi_drift`, `mahalanobis`, `bpe_roundtrip` at
       51-58, plus the rows-only `bpe_merges` demo certified by the
       roundtrip), then the THIRD-SESSION stats/ML family (tenth
-      curation pass, 25 queries `ab_ttest` ... `hard_negatives`:
+      curation pass, 27 queries `ab_ttest` ... `ab_proportions`:
       classical
       tests, nonparametrics, ridge/Huber/k-means/CV, bootstrap, AUC
       + calibration, EWMA/rolling/gap-fill/attribution/log-parse/

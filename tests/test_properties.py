@@ -279,3 +279,52 @@ def test_interpolate_gaps_bounded_by_neighbors(spark, pdf):
                 lo, hi = min(lo, hi), max(lo, hi)
                 eps = 1e-9 * max(abs(lo), abs(hi), 1.0)
                 assert lo - eps <= row["value_interp"] <= hi + eps
+
+
+@SLOW
+@given(pdf=panel())
+def test_containment_in_unit_interval_and_self_free(spark, pdf):
+    """Containment is always in (0, 1], never emits self-pairs, and
+    C(A->B) = 1 whenever A's shingle set is a subset of B's."""
+    from hdfe_spark.operators.dedup import containment_pairs
+
+    pdf = pdf.copy()
+    pdf["text"] = (
+        "w" + (pdf["k"] % 3).astype(str) + " common prefix text "
+        + (pdf["t"] % 5).astype(str)
+    )
+    pdf["doc_id"] = pdf["t"]
+    df = spark.createDataFrame(pdf[["doc_id", "text"]])
+    out = containment_pairs(df, threshold=0.01).collect()
+    for r in out:
+        assert r["id_a"] != r["id_b"]
+        assert 0.0 < r["containment"] <= 1.0
+        assert r["n_common"] <= r["size_a"]
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    r=st.integers(min_value=1, max_value=30),
+)
+def test_radius_join_is_symmetric_and_complete(spark, n, r):
+    """Self-join pair set == brute force, and (a,b) present iff
+    (b,a) present (distance is symmetric)."""
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    rng = np.random.default_rng(n * 31 + r)
+    pts = rng.integers(-50, 50, (n, 2))
+    df = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    got = {
+        (row["id_l"], row["id_r"])
+        for row in radius_join(df, df, "x", "y", r).collect()
+    }
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    want = {
+        (i, j) for i in range(n) for j in range(n) if d2[i, j] <= r * r
+    }
+    assert got == want
+    assert all((b, a) in got for a, b in got)
