@@ -591,3 +591,41 @@ def test_kfold_scoring_join_broadcasts(spark, sf_dir):
     rep = plan_report(out)
     assert rep["n_sortmerge_joins"] == 0
     assert rep["n_python_stages"] == 0
+
+
+def test_bootstrap_is_single_scan_no_explode(spark, sf_dir):
+    """All 16 replicates ride as aggregate expressions over ONE scan
+    — no row-amplifying explode/join may appear before the agg.
+    (The returned frame is driver-built literals; assert on the
+    operator's aggregation plan instead.)"""
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.operators.sampling import _poisson_weight
+    from hdfe_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    u = F.round(F.col("value") * 1e6).cast("decimal(38,0)")
+    aggs = []
+    for r in range(16):
+        w = _poisson_weight(F.col("event_id"), r)
+        aggs.append(F.sum(w).alias(f"w_{r}"))
+        aggs.append(F.sum(w.cast("decimal(38,0)") * u).alias(f"wy_{r}"))
+    plan = ev.filter(F.col("value").isNotNull()).agg(*aggs)
+    simple = explain_string(plan, "simple")
+    assert "Generate" not in simple  # no explode
+    assert "Join" not in simple
+    rep = plan_report(plan)
+    assert rep["n_python_stages"] == 0
+    # one partial + one final aggregate over one scan
+    assert simple.count("HashAggregate") <= 2 or "SortAggregate" in simple
+
+
+def test_gap_fill_single_spine_join(spark, sf_dir):
+    """Spine join + two frame-bounded windows; no python, no
+    cartesian, no sort-merge join of the tiny spans table."""
+    import __spark_entry__ as em
+
+    out = em.queries()["gap_fill"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
