@@ -174,14 +174,25 @@ def target_encode_loo(
     DECIMAL(38,0); te is then a single IEEE expression on exact
     inputs — engine-reproducible, SQL-oracle-mirrorable. NULL
     targets are excluded from sums and get NULL encodes; NULL
-    categories encode to the prior mean.
+    categories encode to the prior mean. The prior mu is computed
+    over the SAME population the per-category table smooths toward
+    — rows with BOTH category and target non-null — so a skewed
+    block of NULL-category rows cannot bias the prior that
+    singleton/unseen categories are pulled to.
     """
     out_col = out_col or f"{cat_col}_te"
     u = F.round(F.col(target_col) * scale).cast("decimal(38,0)")
-    g = df.filter(F.col(target_col).isNotNull()).agg(
+    g = df.filter(
+        F.col(target_col).isNotNull() & F.col(cat_col).isNotNull()
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("gn"),
         F.sum(u).alias("gs"),
     ).collect()[0]
+    if int(g["gn"] or 0) == 0:
+        raise ValueError(
+            "target_encode_loo: no rows with non-null category and "
+            "target — the prior mean is undefined"
+        )
     mu = float(g["gs"]) / float(g["gn"])  # scaled units
     per_cat = (
         df.filter(

@@ -634,8 +634,21 @@ def hard_negatives(
     MASK applies before the local top-k — a filter after a plain
     top-k would let near-duplicates occupy the k slots and starve
     the output. Shuffles at most partitions x q x k candidate rows.
-    Exact; ties break by ascending id, so results are deterministic
-    and SQL-oracle-matchable.
+
+    Determinism: each batch is pre-sorted by ``id_col`` and the
+    local top-k uses a STABLE sort, so boundary ties (duplicate
+    corpus vectors are common in dedup corpora) keep the LOWEST ids
+    — matching the global (cosine desc, id asc) re-rank and a SQL
+    ``QUALIFY row_number()`` oracle. Cosine is computed dot-FIRST
+    (``(M @ Q.T) / (||m||·||q||)``, not normalize-then-GEMM): for
+    integer-valued inputs the GEMM sums are exact in float64
+    regardless of summation order, and the remaining ops
+    (sqrt → multiply → max-guard → divide) are single correctly-
+    rounded IEEE steps, so a SQL engine evaluating the same
+    expression tree produces bit-identical cosines (the
+    ``hard_negatives`` certificate quantizes inputs to exploit
+    this). For general float inputs results are standard
+    float-accurate cosine.
     """
     from pyspark.sql import Window as W
 
@@ -646,7 +659,7 @@ def hard_negatives(
     else:
         qids = np.arange(len(queries), dtype=np.int64)
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in queries])
-    Qn = _normalize_rows(Q)
+    qnorm = np.sqrt((Q * Q).sum(axis=1))
     kk, flo, fhi = int(k), float(lo), float(hi)
 
     out_schema = T.StructType(
@@ -659,15 +672,22 @@ def hard_negatives(
 
     def local_topk(batches):
         for pdf in batches:
-            M = _normalize_rows(_stack(pdf[vec_col]))
             ids = pdf[id_col].to_numpy(np.int64)
-            S = M @ Qn.T  # (batch, q)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            M = _stack(pdf[vec_col])[order]
+            mnorm = np.sqrt((M * M).sum(axis=1))
+            # dot-first: exact GEMM for integer-valued inputs, then
+            # one multiply + one divide per cell (engine-portable)
+            denom = np.maximum(np.outer(mnorm, qnorm), 1e-30)
+            S = (M @ Q.T) / denom  # (batch, q)
             in_band = (S >= flo) & (S < fhi)
-            # push out-of-band scores below every real candidate so
-            # argpartition never selects them, then mask them out
             S_masked = np.where(in_band, S, -np.inf)
             take = min(kk, S.shape[0])
-            part = np.argpartition(-S_masked, take - 1, axis=0)[:take, :]
+            # stable sort over id-ordered rows: boundary ties keep
+            # the lowest ids, matching the global re-rank's
+            # (cosine desc, id asc) order exactly
+            part = np.argsort(-S_masked, axis=0, kind="stable")[:take, :]
             qcol = np.repeat(qids, take)
             rcol = part.T.reshape(-1)
             scores = S_masked[rcol, np.repeat(np.arange(len(qids)), take)]

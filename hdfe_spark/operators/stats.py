@@ -37,6 +37,7 @@ Engine-portable exactness (the repo's Gram pattern,
 
 from __future__ import annotations
 
+import decimal as _decimal
 import math
 from collections.abc import Sequence
 
@@ -119,8 +120,8 @@ def ridge2(
     lam: float,
     scale: float = 1e6,
 ) -> DataFrame:
-    """Closed-form ridge regression for exactly two regressors plus
-    an (unpenalized, absorbed-by-centering) intercept: minimize
+    """Closed-form ridge regression plus an (unpenalized,
+    absorbed-by-centering) intercept: minimize
     ||y - a - Xb||^2 + lam*||b||^2, solved as
     b = (X'X_c + lam*I)^{-1} X'y_c on CENTERED moments, a = my - b.mx.
 
@@ -131,19 +132,18 @@ def ridge2(
 
     Exactness: the 9 sufficient moments are fixed-point DECIMAL(38,0)
     sums of ``round(value*scale)`` integers (one scan, map-side
-    partials, order-independent); the centered Gram, the 2x2
+    partials, order-independent); for p=2 the centered Gram, the 2x2
     adjugate inverse, and the coefficients are then one deterministic
     IEEE expression tree evaluated driver-side — a SQL oracle mirrors
-    it literally (`validate.py::mahalanobis_outliers` pattern).
-    Returns ONE row: n, b_<x1>, b_<x2>, intercept, lam.
+    it literally (`validate.py::mahalanobis_outliers` pattern). For
+    p != 2 the same exact moments feed a driver-side p×p
+    ``np.linalg.solve`` (`_ridge_general`) — deterministic per
+    platform, not SQL-mirrorable, so the certificate stays p=2.
+    Returns ONE row: n, b_<x_i>..., intercept, lam.
     """
     x_cols = list(x_cols)
     if len(x_cols) != 2:
-        raise NotImplementedError(
-            "closed-form engine-portable path implemented for p=2 "
-            "(the certificate shape); general p lives in "
-            "estimate.estimate"
-        )
+        return _ridge_general(df, x_cols, y_col, lam, scale)
     x1, x2, y = x_cols[0], x_cols[1], y_col
 
     def u(c):
@@ -193,6 +193,66 @@ def ridge2(
         [(int(m["n"]), b1, b2, intercept, lam)],
         f"n long, b_{x1} double, b_{x2} double, "
         "intercept double, lam double",
+    )
+
+
+def _ridge_general(
+    df: DataFrame,
+    x_cols: list,
+    y_col: str,
+    lam: float,
+    scale: float,
+) -> DataFrame:
+    """General-p ridge: the SAME one-scan exact fixed-point moments
+    as the p=2 path (every centered-Gram input is an order-free
+    DECIMAL(38,0) sum), with the p×p regularized solve done
+    driver-side via ``np.linalg.solve`` — deterministic per
+    platform, but not a literal SQL expression tree, so the
+    cross-engine certificate query keeps the p=2 adjugate shape.
+    Returns ONE row: n, b_<x_i>..., intercept, lam."""
+    import numpy as np
+
+    if len(x_cols) < 1:
+        raise ValueError("ridge2 needs >= 1 regressor")
+    y = y_col
+
+    def u(c):
+        return F.round(F.col(c) * scale).cast("decimal(38,0)")
+
+    cond = F.col(y).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    p = len(x_cols)
+    exprs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, c in enumerate(x_cols):
+        exprs.append(F.sum(u(c)).alias(f"s{i}"))
+    exprs.append(F.sum(u(y)).alias("sy"))
+    for i in range(p):
+        for j in range(i, p):
+            exprs.append(
+                F.sum(u(x_cols[i]) * u(x_cols[j])).alias(f"s{i}_{j}")
+            )
+        exprs.append(F.sum(u(x_cols[i]) * u(y)).alias(f"s{i}_y"))
+    m = df.filter(cond).agg(*exprs).collect()[0]
+    n = float(m["n"])
+    if n == 0:
+        raise ValueError("ridge2: no rows with all regressors and y")
+    mx = np.array([float(m[f"s{i}"]) / n for i in range(p)])
+    my = float(m["sy"]) / n
+    A = np.empty((p, p))
+    g = np.empty(p)
+    for i in range(p):
+        for j in range(i, p):
+            A[i, j] = A[j, i] = float(m[f"s{i}_{j}"]) - n * mx[i] * mx[j]
+        g[i] = float(m[f"s{i}_y"]) - n * mx[i] * my
+    ls = lam * scale * scale
+    b = np.linalg.solve(A + ls * np.eye(p), g)
+    intercept = (my - float(b @ mx)) / scale
+    names = ", ".join(f"b_{c} double" for c in x_cols)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(m["n"]), *[float(v) for v in b], intercept, lam)],
+        f"n long, {names}, intercept double, lam double",
     )
 
 
@@ -267,11 +327,18 @@ def ewma(
     series.
 
     ``order_col`` must totally order each key's rows (same contract
-    as ``rank.global_rank``). Scale: one shuffle on the key; each
-    key's series materializes as an in-memory array in its task
-    (fine for per-entity event series; for million-row single-key
-    series, segment the fold: EWMA composes associatively as
-    y = A*y_prev + B per block).
+    as ``rank.global_rank``) — ENFORCED, not prose: the aggregation
+    also counts distinct order values per key, and any key where
+    count != distinct-count raises in-plan via ``raise_error``
+    (the loud-failure convention of ``kmeans_fixed``'s duplicate-
+    seed check). Silently, ``array_sort`` over (order, value)
+    structs would break order ties by VALUE while a SQL
+    ``list(... ORDER BY order)`` oracle leaves tie order
+    unspecified — the engines could diverge without an error.
+    Scale: one shuffle on the key; each key's series materializes
+    as an in-memory array in its task (fine for per-entity event
+    series; for million-row single-key series, segment the fold:
+    EWMA composes associatively as y = A*y_prev + B per block).
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
@@ -288,7 +355,11 @@ def ewma(
             F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
         )
         .groupBy(key_col)
-        .agg(xs.alias("_xs"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            xs.alias("_xs"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(order_col)).alias("_n_ord"),
+        )
     )
     vals = F.col("_xs").getField("v")
     folded = F.aggregate(
@@ -296,7 +367,19 @@ def ewma(
         F.element_at(vals, 1),
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
-    return per_key.select(key_col, "n", folded.alias(out_col))
+    guarded = F.when(
+        F.col("_n_ord") != F.col("n"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ewma: duplicate order values within key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(" — the fold order would be engine-dependent"),
+            )
+        ).cast("double"),
+    ).otherwise(folded)
+    return per_key.select(key_col, "n", guarded.alias(out_col))
 
 
 # ---------------------------------------------------------------
@@ -407,8 +490,10 @@ def ks_2sample(
     the argmax is order-free and engine-exact; D itself is one final
     integer division in IEEE double.
 
-    Returns one row: n_a, n_b, d_num (the integer numerator),
-    d = d_num/(n_a*n_b)."""
+    Returns one row: n_a, n_b, d_num (the integer numerator, as
+    DECIMAL(38,0) — it is bounded by n_a*n_b, which overflows int64
+    once both sides exceed ~3e9 rows, well inside the 1e12-row scale
+    this module targets), d = d_num/(n_a*n_b)."""
     cells = _side_cells(df, value_col, side_col, a_label, b_label)
     tot = cells.agg(
         F.sum("ca").cast("long").alias("na"),
@@ -422,12 +507,12 @@ def ks_2sample(
         - F.col("cumb").cast("decimal(38,0)") * F.lit(na)
     )
     m = cells.agg(F.max(gap).alias("d_num")).collect()[0]
-    d_num = int(m["d_num"])
+    d_num = int(m["d_num"])  # exact arbitrary-precision Python int
     d = float(d_num) / (float(na) * nb)
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(na, nb, d_num, d)],
-        "n_a long, n_b long, d_num long, d double",
+        [(na, nb, _decimal.Decimal(d_num), d)],
+        "n_a long, n_b long, d_num decimal(38,0), d double",
     )
 
 
@@ -588,11 +673,21 @@ def huber_irls2(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum((w_int < F.lit(1 << wbits)).cast("long")).alias("nd"),
         ).collect()[0]
+        if int(m["n"]) == 0 or m["sw"] is None:
+            raise ValueError(
+                "huber_irls2: no rows with non-null x and y"
+            )
         sw = float(m["sw"])
         swx, swy = float(m["swx"]), float(m["swy"])
         swxx, swxy = float(m["swxx"]), float(m["swxy"])
         # slope/intercept in scaled units
         den = sw * swxx - swx * swx
+        if den == 0.0:
+            raise ValueError(
+                "huber_irls2: degenerate design (x is constant over "
+                "the weighted sample — zero weighted variance); the "
+                "slope is unidentified"
+            )
         b1 = (sw * swxy - swx * swy) / den
         b0 = (swy - b1 * swx) / sw
         return b0, b1, int(m["n"]), int(m["nd"])
@@ -829,6 +924,7 @@ def kaplan_meier(
     subjects: DataFrame,
     duration_col: str,
     event_col: str,
+    max_cells: int = 100_000,
 ) -> DataFrame:
     """Kaplan-Meier survival curve: one row per distinct duration t
     with the at-risk count, deaths d, censored c, and the product-
@@ -846,6 +942,14 @@ def kaplan_meier(
     SQL oracle replays with a recursive CTE. ``event_col`` is
     boolean-like: true = observed event (death/churn), false =
     censored.
+
+    ``max_cells`` bounds the driver collect: the recurrence pulls
+    one row per DISTINCT duration, and second-grained durations over
+    a 100 TB corpus would be millions of driver rows. The count is
+    checked distributed-side FIRST and the operator raises (the
+    bloom dtype-guard convention) instead of OOM-ing the driver —
+    coarsen the duration (e.g. days, not seconds) or raise the cap
+    deliberately.
     """
     from pyspark.sql import types as T
 
@@ -859,15 +963,22 @@ def kaplan_meier(
             "durations (bin fractional times upstream)"
         )
     ev = F.col(event_col).cast("boolean")
-    cells = (
+    cell_df = (
         subjects.filter(F.col(duration_col).isNotNull())
         .groupBy(duration_col)
         .agg(
             F.sum(ev.cast("long")).cast("long").alias("d"),
             F.sum((~ev).cast("long")).cast("long").alias("c"),
         )
-        .collect()
     )
+    n_cells = cell_df.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kaplan_meier: {n_cells} distinct durations exceed "
+            f"max_cells={max_cells}; coarsen duration_col (bin to a "
+            "coarser granularity) or raise max_cells deliberately"
+        )
+    cells = cell_df.collect()
     cells.sort(key=lambda r: r[duration_col])
     tot = sum(int(r["d"]) + int(r["c"]) for r in cells)
     rows, n_risk, s = [], tot, 1.0

@@ -392,48 +392,79 @@ def mahalanobis_outliers(
     (`operators/collinearity.py`): every first/second moment is an
     EXACT integer/decimal sum of ``round(value*scale)`` fixed-point
     values (sums of doubles are order-dependent; sums of integers are
-    not), collected as k + k(k+1)/2 scalars. The covariance, its
-    closed-form inverse (k <= 3: adjugate/determinant, the same
-    expression tree a SQL oracle writes — np.linalg.inv would
-    compute different ulps), and the per-row quadratic form are then
-    deterministic IEEE arithmetic on identical inputs in any engine.
-    One aggregation pass + one broadcast-coefficient projection scan.
+    not), collected as k + k(k+1)/2 scalars in ONE aggregation pass.
+    For k=2 (the SQL-certificate shape) the covariance inverse is
+    the closed-form adjugate/determinant — the same expression tree
+    a SQL oracle writes, bit-portable across engines. For k >= 3 the
+    SAME exact moments feed a driver-side ``np.linalg.inv`` (a k×k
+    solve on exact inputs — deterministic per platform, but not a
+    literal SQL expression tree, so the cross-engine certificate
+    stays k=2; the reference's own rank tooling makes the identical
+    trade, `hdfe/multicollinearity.py:75-108` via LAPACK). Either
+    way the per-row quadratic form is one broadcast-coefficient
+    codegen projection scan.
     """
     cols = list(cols)
     k = len(cols)
-    if k != 2:
-        raise NotImplementedError(
-            "closed-form engine-portable path implemented for k=2 "
-            "(the certificate shape); extend with the k=3 adjugate "
-            "before use"
-        )
-    x, y = cols
-    xu = F.round(F.col(x) * scale).cast("decimal(38,0)")
-    yu = F.round(F.col(y) * scale).cast("decimal(38,0)")
-    m = df.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(xu).alias("sx"),
-        F.sum(yu).alias("sy"),
-        F.sum(xu * xu).alias("sxx"),
-        F.sum(xu * yu).alias("sxy"),
-        F.sum(yu * yu).alias("syy"),
-    ).collect()[0]
+    if k < 2:
+        raise ValueError("mahalanobis_outliers needs >= 2 columns")
+
+    def u_dec(c):
+        return F.round(F.col(c) * scale).cast("decimal(38,0)")
+
+    exprs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, c in enumerate(cols):
+        exprs.append(F.sum(u_dec(c)).alias(f"s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            exprs.append(
+                F.sum(u_dec(cols[i]) * u_dec(cols[j])).alias(f"s{i}_{j}")
+            )
+    m = df.agg(*exprs).collect()[0]
     n = float(m["n"])
-    sx, sy = float(m["sx"]), float(m["sy"])
-    sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
-    mx, my = sx / n, sy / n
-    # covariance entries (population, /n) in scaled units
-    cxx = sxx / n - mx * mx
-    cxy = sxy / n - mx * my
-    cyy = syy / n - my * my
-    det = cxx * cyy - cxy * cxy
-    ixx, ixy, iyy = cyy / det, -cxy / det, cxx / det
-    dx = F.round(F.col(x) * scale).cast("double") - F.lit(mx)
-    dy = F.round(F.col(y) * scale).cast("double") - F.lit(my)
-    d2 = (
-        dx * (dx * F.lit(ixx) + dy * F.lit(ixy))
-        + dy * (dx * F.lit(ixy) + dy * F.lit(iyy))
-    )
+    if n == 0:
+        raise ValueError("mahalanobis_outliers: empty input")
+    means = [float(m[f"s{i}"]) / n for i in range(k)]
+    if k == 2:
+        # closed-form adjugate: the bit-portable certificate path
+        mx, my = means
+        cxx = float(m["s0_0"]) / n - mx * mx
+        cxy = float(m["s0_1"]) / n - mx * my
+        cyy = float(m["s1_1"]) / n - my * my
+        det = cxx * cyy - cxy * cxy
+        if det == 0.0:
+            raise ValueError(
+                "mahalanobis_outliers: singular covariance "
+                "(collinear columns)"
+            )
+        inv = [[cyy / det, -cxy / det], [-cxy / det, cxx / det]]
+    else:
+        import numpy as np
+
+        C = np.empty((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                cij = float(m[f"s{i}_{j}"]) / n - means[i] * means[j]
+                C[i, j] = C[j, i] = cij
+        if np.linalg.matrix_rank(C) < k:
+            raise ValueError(
+                "mahalanobis_outliers: singular covariance "
+                "(collinear columns) — drop them first "
+                "(collinearity.find_collinear_cols_gram)"
+            )
+        inv = np.linalg.inv(C).tolist()
+    d = [
+        F.round(F.col(c) * scale).cast("double") - F.lit(mu)
+        for c, mu in zip(cols, means)
+    ]
+    d2 = None
+    for i in range(k):
+        row_i = None
+        for j in range(k):
+            term = d[j] * F.lit(inv[i][j])
+            row_i = term if row_i is None else row_i + term
+        quad = d[i] * row_i
+        d2 = quad if d2 is None else d2 + quad
     return df.withColumn("mahalanobis_sq", d2).filter(
         F.col("mahalanobis_sq") > threshold
     )

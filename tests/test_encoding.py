@@ -102,7 +102,10 @@ def test_target_encode_loo(spark):
     assert got[("a", 10.0)] == pytest.approx(25.0)
     assert got[("a", 20.0)] == pytest.approx(20.0)
     assert got[("a", 30.0)] == pytest.approx(15.0)
-    mu = (10 + 20 + 30 + 100 + 50) / 5
+    # prior mu spans the SAME population the per-category table
+    # smooths toward: category AND target non-null (the NULL-category
+    # row (None, 50) is excluded — round-7 ADVICE fix)
+    mu = (10 + 20 + 30 + 100) / 4
     # singleton with m=0: 0/0 guarded? prior_weight=0 -> denominator 0
     # -> inf/nan; use the smoothed call for the contract cases below
     out2 = target_encode_loo(df, "cat", "y", prior_weight=2.0)

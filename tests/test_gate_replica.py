@@ -71,3 +71,30 @@ def test_string_rendered_form_passes_compare():
         {"flag": ["A"], "sum_price_exact": ["1061400897.6700"]}
     )
     assert gate.compare("decimal_agg_new", spark_pdf, duck_pdf) == []
+
+
+def test_nonscalar_cells_fail_compare():
+    """The round-6 `inverted_index` err class: the DRIVER's pandas
+    canonicalizer crashes on list cells; the replica must FAIL such
+    outputs instead of tupling them up (the old charitable path)."""
+    spark_pdf = pd.DataFrame(
+        {"token": ["a"], "df": [1], "postings": [["d1", "d2"]]}
+    )
+    duck_pdf = pd.DataFrame(
+        {"token": ["a"], "df": [1], "postings": [["d1", "d2"]]}
+    )
+    problems = gate.compare("inverted_index_old", spark_pdf, duck_pdf)
+    assert problems and "non-scalar" in problems[0], problems
+
+
+def test_ndarray_cells_fail_compare():
+    spark_pdf = pd.DataFrame({"k": [1], "v": [np.array([1.0, 2.0])]})
+    duck_pdf = pd.DataFrame({"k": [1], "v": [np.array([1.0, 2.0])]})
+    problems = gate.compare("arr", spark_pdf, duck_pdf)
+    assert problems and "non-scalar" in problems[0], problems
+
+
+def test_scalar_rendered_postings_pass_compare():
+    spark_pdf = pd.DataFrame({"token": ["a"], "df": [1], "postings": ["3,7,9"]})
+    duck_pdf = pd.DataFrame({"token": ["a"], "df": [1], "postings": ["3,7,9"]})
+    assert gate.compare("inverted_index_new", spark_pdf, duck_pdf) == []

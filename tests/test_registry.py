@@ -5,11 +5,15 @@ rows-only query drifting unannounced into a recorded slot."""
 
 import __spark_entry__ as em
 
-# After the eighth/ninth curation passes every window entry has an
-# oracle: all ten rows-only demos sit at 51+ as the round-7 rotation
-# queue (the 15 TPC-H queries and the data-quality family took their
-# slots — a hash-matchable first recording beats a rows-only one).
-ROWS_ONLY_BY_DESIGN: set[str] = set()
+# Round-7 window: the last four never-driver-recorded rows-only
+# demos ride the window deliberately — each is carried by a
+# driver-green hash-matched certificate (`bpe_roundtrip`,
+# `semdedup_recall`, `pq_recall`, `ivfpq_recall`) and the driver
+# records a weaker rows-only row. After round 7 records them the
+# never-recorded backlog is 0.
+ROWS_ONLY_BY_DESIGN: set[str] = {
+    "bpe_merges", "semdedup", "pq_topk", "ivfpq_topk",
+}
 
 
 def test_window_all_have_oracles_or_are_declared():
@@ -21,37 +25,38 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round6_window_composition():
-    """Positions 1-50: the fixed decimal_agg first, then the 12
-    round-5-built never-driver-recorded queries, tpch_q18, the 15
-    TPC-H queries completing the suite (eighth curation pass), the
-    round-6-built operator batches. If this fails after an
-    intentional round-7 rotation, update the expectation alongside
+def test_round7_window_composition():
+    """Positions 1-50 (eleventh curation pass): the fixed
+    inverted_index first, then ALL 37 never-driver-recorded queries
+    (post-freeze builds, the stats/ML family, the last rows-only
+    demos), then 12 re-certification rows. If this fails after an
+    intentional round-8 rotation, update the expectation alongside
     the `queries()` docstring."""
     q = list(em.queries())
-    assert q[0] == "decimal_agg"
-    assert set(q[1:13]) == {
-        "semdedup_recall", "dq_report", "snapshot_roundtrip", "winsorize",
-        "tpch_q5", "join_nulls", "string_funcs", "date_parts",
-        "pmi_bigrams", "rebalance_sources", "ref_integrity",
-        "mad_outliers",
+    assert q[0] == "inverted_index"
+    assert set(q[1:9]) == {
+        "col_profile", "recursive_cte", "dpp_pruned_join",
+        "streaming_dq", "psi_drift", "mahalanobis", "bpe_roundtrip",
+        "bpe_merges",
     }
-    assert q[13] == "tpch_q18"
-    assert set(q[14:29]) == {
-        "tpch_q2", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-        "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q15",
-        "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
+    assert set(q[9:35]) == {
+        "ab_ttest", "chi2_contingency", "ols_ridge", "kmeans", "ewma",
+        "log_parse", "attribution", "gap_fill", "mann_whitney",
+        "ks_test", "spearman", "target_encode", "standardize",
+        "bootstrap_ci", "robust_ols", "auc", "rolling_beta",
+        "kfold_cv", "calibration", "survival", "streaming_ewma",
+        "radius_join", "containment", "benford", "hard_negatives",
+        "ab_proportions",
     }
-    assert set(q[29:34]) == {
-        "inverted_index", "label_centroids", "snapshot_diff",
-        "scd2_intervals", "streaming_snapshot",
+    assert set(q[35:38]) == {"semdedup", "pq_topk", "ivfpq_topk"}
+    assert set(q[38:46]) == {
+        "fuzzy_pairs", "fuzzy_dedup", "upsert_roundtrip",
+        "streaming_upsert", "weighted_sample", "running_total",
+        "pack_sequences", "compact_roundtrip",
     }
-    assert set(q[45:50]) == {
-        "snapshot_diff_apply", "tpch_q21", "interval_join",
-        "pagerank", "multimodal_audio",
+    assert set(q[46:50]) == {
+        "ols_2fe", "minhash_dedup", "tfidf_topk", "sessionize",
     }
-    # every hash-matchable query in 1-50 has never been driver-
-    # recorded before round 6 — the window wastes no slots
     assert len(set(q)) == len(q)
 
 

@@ -239,14 +239,16 @@ def test_mahalanobis_flags_joint_outlier(spark):
     assert len(out) <= 5
 
 
-def test_mahalanobis_k3_not_implemented(spark):
+def test_mahalanobis_k1_rejected(spark):
+    # k >= 3 is implemented since round 7 (exact moments + driver
+    # inverse, tests/test_advice_r7.py); only k < 2 is rejected.
     from hdfe_spark.operators.validate import mahalanobis_outliers
 
     df = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double")
     import pytest as _pt
 
-    with _pt.raises(NotImplementedError):
-        mahalanobis_outliers(df, ["a", "b", "c"])
+    with _pt.raises(ValueError, match=">= 2 columns"):
+        mahalanobis_outliers(df, ["a"])
 
 
 def test_benford_digit_audit(spark):

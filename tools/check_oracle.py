@@ -21,12 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+class NonScalarCellError(ValueError):
+    """An oracle-checked output column contains list/ndarray/dict cells.
+
+    The DRIVER's canonicalizer sorts the collected frame with pandas
+    ``sort_values`` over every column and crashes on unhashable cells
+    (the round-6 ``inverted_index`` err: ``postings: array<string>`` →
+    ``TypeError: unhashable type: 'list'``).  The old replica gate
+    silently tupled lists before sorting, so it modeled the driver too
+    charitably and green-lit a query the driver could never hash.  The
+    replica must PREDICT the driver, so non-scalar cells are a hard
+    FAIL here: scalar-render arrays on both engines instead
+    (Spark ``array_join(sort_array(...), ',')`` ↔ DuckDB
+    ``array_to_string(list_sort(...), ',')``) or emit long form.
+    """
+
+
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    # Arrays → tuples so they sort/compare
     for c in pdf.columns:
-        if pdf[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-            pdf[c] = pdf[c].map(lambda v: tuple(v) if v is not None else None)
+        if pdf[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray, dict, set))).any():
+            raise NonScalarCellError(
+                f"column {c!r} contains non-scalar cells; the driver's pandas "
+                "canonicalizer cannot sort them — scalar-render the array "
+                "(array_join / array_to_string) or emit long form"
+            )
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(drop=True)
 
 
@@ -85,8 +104,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
-    s = normalize(spark_pdf)
-    d = normalize(duck_pdf)
+    try:
+        s = normalize(spark_pdf)
+        d = normalize(duck_pdf)
+    except NonScalarCellError as e:
+        problems.append(f"non-scalar output (driver canonicalizer would crash): {e}")
+        return problems
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()
         bad = [
