@@ -649,3 +649,39 @@ def containment_pairs(
         F.col("size_a").cast("long").alias("size_a"),
         c.alias("containment"),
     )
+
+
+def select_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    order_by: "list[Column | str]",
+    keep_unclustered: bool = True,
+) -> DataFrame:
+    """The keep-policy step every dedup pipeline ends with: given
+    cluster assignments (from exact-hash groups, MinHash connected
+    components, or SemDeDup clusters), keep exactly ONE
+    representative row per cluster — the best one under
+    ``order_by`` (e.g. quality desc, doc_id asc; make the order
+    TOTAL or the choice is nondeterministic).
+
+    Rows with a NULL ``cluster_col`` are singletons: kept verbatim
+    when ``keep_unclustered`` (the common case — only near-dup
+    clusters were materialized, everything else survives).
+
+    Scale: one hash-partitioned window keyed on the cluster
+    (parallel across clusters, never global), plus a cheap NULL
+    split — no join, no collect. The reference has no dedup surface
+    at all; this completes exact_dedup/minhash/semdedup into a
+    usable keep-one pipeline."""
+    from pyspark.sql import Window as W
+
+    clustered = df.filter(F.col(cluster_col).isNotNull())
+    w = W.partitionBy(cluster_col).orderBy(*order_by)
+    reps = (
+        clustered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if keep_unclustered:
+        reps = reps.unionByName(df.filter(F.col(cluster_col).isNull()))
+    return reps

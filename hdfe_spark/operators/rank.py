@@ -233,3 +233,79 @@ def prefix_sum(
         .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w))
         .drop("__pid", "__off", "__mid")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    pcts: "Sequence[int]" = (25, 50, 75),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact weighted lower quantiles: for each integer percentile p
+    the smallest value v with cum_weight(v) * 100 >= p * W — token-
+    budget planning's workhorse ("which doc-length cutoff keeps 90%
+    of the token mass?"), where every row counts ``weight_col``
+    times (tokens, bytes, impressions).
+
+    Exactness: weights must be INTEGRAL (float weights raise — the
+    `prefix_sum` convention); cumulative weights come from the
+    distributed exact prefix sum over DISTINCT values (|V| cells,
+    never a row sort, no single-partition WindowExec), and the
+    threshold test cross-multiplies (cumw*100 vs p*W) so no
+    division ever happens — bit-portable on any engine. One
+    aggregation + the prefix-sum pass + one |V|-cell reduction.
+    Returns one row per percentile: pct, value, plus the covered
+    cumulative weight."""
+    pcts = [int(p) for p in pcts]
+    if not pcts or not all(0 < p <= 100 for p in pcts):
+        raise ValueError("weighted_quantiles: pcts must be in (0, 100]")
+    wtype = df.schema[weight_col].dataType
+    if isinstance(wtype, (T.FloatType, T.DoubleType)):
+        raise ValueError(
+            f"weighted_quantiles: weight_col {weight_col!r} is "
+            f"{wtype.simpleString()}; exact cumulative weights need "
+            "integral weights (quantize upstream)"
+        )
+    cells = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(F.sum(F.col(weight_col)).cast("long").alias("__w"))
+    )
+    cum = prefix_sum(
+        cells, [value_col], "__w", out_col="__cumw",
+        num_partitions=num_partitions,
+    )
+    w_tot = cum.agg(F.sum("__w").cast("long")).collect()[0][0]
+    if not w_tot:
+        raise ValueError("weighted_quantiles: zero total weight")
+    aggs = []
+    for p in pcts:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cumw") * 100 >= F.lit(p) * F.lit(w_tot),
+                    F.col(value_col),
+                )
+            ).alias(f"__q{p}")
+        )
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cumw") * 100 >= F.lit(p) * F.lit(w_tot),
+                    F.col("__cumw"),
+                )
+            ).alias(f"__c{p}")
+        )
+    row = cum.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(p).cast("long").alias("pct"),
+            F.col(f"__q{p}").alias("value"),
+            F.col(f"__c{p}").cast("long").alias("cum_weight"),
+        )
+        for p in pcts
+    ]
+    return row.select(F.inline(F.array(*structs)))

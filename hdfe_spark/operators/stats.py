@@ -1051,3 +1051,292 @@ def two_proportion_ztest(
         "n_a long, n_b long, s_a long, s_b long, "
         "p_a double, p_b double, z double",
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1e6,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """One-way ANOVA: does ``value_col``'s mean differ across the
+    levels of ``group_col``?  F = (SSB/(k-1)) / (SSW/(N-k)) — the
+    k-sample generalization of ``welch_ttest`` (equal-variance
+    model), the first question asked of any multi-arm experiment.
+
+    Exactness: ONE groupBy scan reduces each group to exact
+    fixed-point DECIMAL(38,0) moments (n_g, sum_g) plus one global
+    (N, S, SSQ) aggregate; the only order-sensitive float reduction
+    — sum over groups of s_g^2/n_g — is evaluated driver-side as a
+    LEFT FOLD over the groups in ``group_col`` order (the
+    kmeans/kaplan_meier collect-scalars pattern), which a DuckDB
+    oracle replays with ``list_reduce(list(... ORDER BY g))`` —
+    identical IEEE op sequence, never a parallel float sum. The
+    group count is bounded (``max_groups`` guard, the kaplan_meier
+    convention). Returns ONE row: k, n, f_stat, ssb, ssw (original
+    units)."""
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    base = df.filter(F.col(value_col).isNotNull())
+    cell_df = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(u).alias("sg"),
+    )
+    n_groups = cell_df.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"anova_oneway: {n_groups} groups exceed "
+            f"max_groups={max_groups}"
+        )
+    if n_groups < 2:
+        raise ValueError("anova_oneway: needs >= 2 groups")
+    cells = cell_df.collect()
+    cells.sort(key=lambda r: r[group_col])
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u).alias("s"),
+        F.sum(u * u).alias("ssq"),
+    ).collect()[0]
+    n, s, ssq = int(tot["n"]), float(tot["s"]), float(tot["ssq"])
+    k = len(cells)
+    if n <= k:
+        raise ValueError("anova_oneway: no within-group dof (N <= k)")
+    # left fold in group order: acc starts at the FIRST term, like
+    # DuckDB list_reduce
+    terms = [
+        float(r["sg"]) * float(r["sg"]) / float(r["ng"]) for r in cells
+    ]
+    t = terms[0]
+    for x in terms[1:]:
+        t = t + x
+    ssb = t - s * s / n
+    ssw = ssq - t
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    s2 = scale * scale
+    return df.sparkSession.createDataFrame(
+        [(k, n, f_stat, ssb / s2, ssw / s2)],
+        "k long, n long, f_stat double, ssb double, ssw double",
+    )
+
+
+def pca2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Two-column principal component analysis in closed form: the
+    sample covariance eigendecomposition via the 2x2 characteristic
+    quadratic — eigenvalues (tr ± sqrt((cxx-cyy)^2 + 4*cxy^2))/2,
+    principal axis (cxy, l1 - cxx) normalized.  The dimensionality-
+    reduction counterpart of `ridge2`/`mahalanobis_outliers`: same
+    one-scan exact DECIMAL(38,0) moment reduction, then a purely
+    closed-form scalar tail (sqrt/products only, no iteration, no
+    LAPACK) that is ONE deterministic IEEE expression tree a SQL
+    oracle mirrors literally — the same reason those operators'
+    certificates are bit-portable.  Returns ONE row: n, lambda1 >=
+    lambda2 (original units), var_explained = l1/(l1+l2), and the
+    unit principal axis (v1x, v1y) with v1x >= 0 pinned for sign
+    determinism (cxy = 0 falls back to the dominant coordinate
+    axis)."""
+
+    def u(c):
+        return F.round(F.col(c) * scale).cast("decimal(38,0)")
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u(x_col)).alias("sx"),
+        F.sum(u(y_col)).alias("sy"),
+        F.sum(u(x_col) * u(x_col)).alias("sxx"),
+        F.sum(u(x_col) * u(y_col)).alias("sxy"),
+        F.sum(u(y_col) * u(y_col)).alias("syy"),
+    ).collect()[0]
+    n = int(m["n"])
+    if n < 2:
+        raise ValueError("pca2: needs >= 2 rows")
+    nf = float(n)
+    sx, sy = float(m["sx"]), float(m["sy"])
+    sxx, sxy, syy = float(m["sxx"]), float(m["sxy"]), float(m["syy"])
+    mx, my = sx / nf, sy / nf
+    # sample covariance (/(n-1)) in scaled units
+    cxx = (sxx - nf * mx * mx) / (nf - 1.0)
+    cxy = (sxy - nf * mx * my) / (nf - 1.0)
+    cyy = (syy - nf * my * my) / (nf - 1.0)
+    d = cxx - cyy
+    disc = math.sqrt(d * d + 4.0 * (cxy * cxy))
+    l1 = (cxx + cyy + disc) / 2.0
+    l2 = (cxx + cyy - disc) / 2.0
+    if l1 + l2 <= 0.0:
+        raise ValueError("pca2: degenerate (zero total variance)")
+    if cxy == 0.0:
+        v1x, v1y = (1.0, 0.0) if cxx >= cyy else (0.0, 1.0)
+    else:
+        ax, ay = cxy, l1 - cxx
+        nrm = math.sqrt(ax * ax + ay * ay)
+        v1x, v1y = ax / nrm, ay / nrm
+        if v1x < 0.0:
+            v1x, v1y = -v1x, -v1y
+    s2 = scale * scale
+    return df.sparkSession.createDataFrame(
+        [(n, l1 / s2, l2 / s2, l1 / (l1 + l2), v1x, v1y)],
+        "n long, lambda1 double, lambda2 double, "
+        "var_explained double, v1x double, v1y double",
+    )
+
+
+def autocorr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lag: int = 1,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation: the Pearson correlation
+    between x_t and x_{t-lag} over each key's ``order_col``-ordered
+    series — the serial-dependence diagnostic behind seasonality
+    checks and residual whiteness tests.
+
+    Plan: ONE partitioned window pass pairs each row with its
+    lagged value (hash-partitioned by key — parallel across keys,
+    never a global sort), then one groupBy reduces each key's pairs
+    to exact fixed-point DECIMAL(38,0) Pearson moments; the final r
+    is a deterministic IEEE expression tree per key. ``order_col``
+    ties within a key are broken by nothing — the window order must
+    be total per key (the ewma contract; pass a unique event id).
+    Returns one row per key with >= 2 pairs: key, n_pairs, r."""
+    from pyspark.sql import Window as W
+
+    if lag < 1:
+        raise ValueError("autocorr: lag must be >= 1")
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    w = W.partitionBy(key_col).orderBy(order_col)
+    paired = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(key_col, order_col, u.alias("__x"))
+        .withColumn("__xl", F.lag("__x", lag).over(w))
+        .filter(F.col("__xl").isNotNull())
+    )
+    g = paired.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").alias("sx"),
+        F.sum("__xl").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__xl") * F.col("__xl")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__xl")).alias("sxy"),
+    )
+    nf = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nf * sxy - sx * sy
+    den = F.sqrt(nf * sxx - sx * sx) * F.sqrt(nf * syy - sy * sy)
+    return (
+        g.filter(F.col("n_pairs") >= 2)
+        .withColumn(
+            "r", F.when(den > F.lit(0.0), num / den)
+        )
+        .select(key_col, "n_pairs", "r")
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift statistic: the final value of
+    s_t = max(0, s_{t-1} + (x_t - target - slack)), s_0 = 0, over
+    the key's ``order_col``-ordered series — the classic
+    change-detection accumulator (a persistent upward shift of the
+    mean grows s linearly; noise is absorbed by the slack).
+
+    The recursion is order-sensitive BY DESIGN, so it runs as a
+    left fold over the sorted value array (the `ewma` pattern):
+    Spark ``F.aggregate`` with init 0.0 ≡ DuckDB
+    ``list_reduce(list_prepend(0.0, list(...)))`` — the identical
+    IEEE op sequence, bit-reproducible across engines. Duplicate
+    ``order_col`` values within a key raise in-plan (same guard and
+    reason as ``ewma``). One shuffle on the key. Returns one row
+    per key: key, n, cusum."""
+    if not 0.0 <= slack:
+        raise ValueError("cusum: slack must be >= 0")
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .agg(
+            xs.alias("_xs"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(order_col)).alias("_n_ord"),
+        )
+    )
+    vals = F.col("_xs").getField("v")
+    adj = F.lit(float(target) + float(slack))
+    folded = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), acc + (x - adj)),
+    )
+    guarded = F.when(
+        F.col("_n_ord") != F.col("n"),
+        F.raise_error(
+            F.concat(
+                F.lit("cusum: duplicate order values within key "),
+                F.col(key_col).cast("string"),
+                F.lit(" — the fold order would be engine-dependent"),
+            )
+        ).cast("double"),
+    ).otherwise(folded)
+    return per_key.select(key_col, "n", guarded.alias("cusum"))
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1e6,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Brown-Forsythe test of equal variances (Levene with the
+    MEDIAN center): one-way ANOVA on z = |x - median_g| — the
+    robust pre-check before pooling variances (`anova_oneway`,
+    `welch_ttest` choose models by its answer), median-centered so
+    heavy tails don't masquerade as variance differences.
+
+    Per-group medians are exact order statistics (``percentile``,
+    the `mad_outliers` pattern — portable because both engines
+    interpolate the same way, never a float sum), broadcast back;
+    the ANOVA stage then reuses `anova_oneway`'s exact fixed-point
+    moments + ordered driver fold. Returns ONE row: k, n, f_stat,
+    ssb, ssw (z-units)."""
+    med = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("__g")
+    ).agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    dev = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(med), F.col(group_col) == F.col("__g"))
+        .withColumn("__z", F.abs(F.col(value_col) - F.col("__med")))
+    )
+    return anova_oneway(
+        dev, group_col, "__z", scale=scale, max_groups=max_groups
+    )

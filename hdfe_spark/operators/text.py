@@ -778,3 +778,161 @@ def extract_fields(
         e = F.regexp_extract(F.col(col), pattern, i + 1)
         exprs.append(e.try_cast(typ).alias(name))
     return df.select(*exprs)
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the rewrite stage completing
+    `dup_ngram_spans` (which only measures): every token covered by
+    a k-gram that appears in >= ``min_docs`` documents is deleted,
+    and the survivors are re-joined in order. This is the ExactSubstr
+    dedup action of Lee et al. 2022 expressed on token k-grams: the
+    memorizable cross-document span disappears from EVERY document
+    carrying it while unique prose stays.
+
+    Returns one row per document that keeps at least one token:
+    ``n_tokens`` (before), ``n_kept``, and ``scrubbed_text``.
+
+    100 TB plan (all linear in total token count, zero Python): one
+    codegen shingling projection with START POSITIONS, one
+    gram-keyed aggregation for the duplicate set (map-side combine),
+    one equi-join back to mark covered starts, one explode of the
+    fixed-width cover window (k rows per covered start, distinct),
+    one anti-join against the token-position stream, and one
+    per-document ordered re-assembly (hash-partitioned by doc, never
+    global). The gram text keys the shuffle for exactness; swap in
+    ``xxhash64(gram)`` at petabyte scale (`dup_ngram_spans` note).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    base = df.select(F.col(id_col), t.alias("__toks"))
+    grams_expr = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - F.lit(k)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(
+                    F.slice("__toks", i + 1, k), " "
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<pos:int,gram:string>>")
+    )
+    g = base.select(
+        id_col, F.explode(grams_expr).alias("__pg")
+    ).select(
+        id_col,
+        F.col("__pg.pos").alias("__pos"),
+        F.col("__pg.gram").alias("__gram"),
+    )
+    dup = (
+        g.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    covered = (
+        g.join(dup, "__gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__pos"), F.col("__pos") + F.lit(k - 1)
+                )
+            ).alias("__tp"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        id_col,
+        F.posexplode("__toks").alias("__tp", "__token"),
+    )
+    kept = tok.join(covered, [id_col, "__tp"], "left_anti")
+    totals = base.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__tp").alias("p"),
+                                F.col("__token").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+        )
+    )
+    return out.join(totals, id_col).select(
+        id_col, "n_tokens", "n_kept", "scrubbed_text"
+    )
+
+
+def lm_score_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus bucketing (Wenzek et al. 2020 split their
+    crawl into head/middle/tail by LM perplexity): every document is
+    scored by how COMMON its vocabulary is and the corpus is cut
+    into ``n_buckets`` exact equal-count tiers — head = fluent
+    common prose, tail = rare-token junk, the slice boundaries every
+    curation recipe then samples from differently.
+
+    The score is avg_tf = (sum of the corpus-wide counts of the
+    doc's tokens) / n_tokens. Unlike ``unigram_logprob``'s
+    bits/token (a FLOAT SUM of log2 terms — summation order and
+    libm log2 ulps differ across engines, fine for a rounded score
+    column, unsafe as a SORT KEY where one ulp flips a bucket
+    boundary), avg_tf is one IEEE division of two exact integers —
+    bit-identical everywhere, so the tile assignment is too.
+    Ordering: (avg_tf desc, doc_id) — total, engine-portable.
+
+    Plan: explode → one vocabulary-sized count aggregation
+    (broadcast back) → per-doc integer reduction → `rank.exact_ntile`
+    (distributed order statistics, no single-partition window).
+    Zero-token docs drop (no score; mirrored by oracles)."""
+    from hdfe_spark.operators.rank import exact_ntile
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    model = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_t")
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("c_t").cast("long").alias("s_tf"),
+        )
+        .withColumn(
+            "avg_tf",
+            F.col("s_tf").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("__neg", -F.col("avg_tf"))
+    )
+    tiled = exact_ntile(
+        per_doc, ["__neg", id_col], n_buckets, tile_col="bucket"
+    )
+    return tiled.select(
+        id_col, "n_tokens", "s_tf", "avg_tf", "bucket"
+    )

@@ -15,6 +15,7 @@ executors.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 import pandas as pd
@@ -506,6 +507,98 @@ def streaming_ewma(
         if n > 0:
             yield pd.DataFrame(
                 {entity_col: [key[0]], "n": [n], "ewma": [y]}
+            )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_anomaly(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    z: int = 3,
+    min_n: int = 10,
+    scale: float = 1e3,
+) -> DataFrame:
+    """Streaming z-score anomaly counter (fourteenth streaming
+    form): per entity, each arriving value is tested against the
+    running mean/variance of the values BEFORE it, and the state
+    counts how many were anomalous — the online data-quality monitor
+    (`streaming_dq` checks constraints; this checks distribution).
+
+    Exactness (why this certifies, unlike textbook Welford): the
+    state is the exact integer triple (n, s=sum u, q=sum u^2) of
+    u = round(value*scale), and the test cross-multiplies so no
+    division or float ever enters:
+
+        (n*u - s)^2 > z^2 * (n*q - s^2)   [prev-row n, s, q]
+
+    evaluated in arbitrary-precision Python ints. A batch engine
+    replays the identical decision from cumulative integer sums
+    (windowed integer cumsums ARE order-free-exact), so the
+    availableNow final state equals the batch count bit-for-bit —
+    no IEEE sequencing contract needed at all, stronger than the
+    ewma fold certificate. State storage is two longs: the contract
+    is sum(u^2) < 2^63 per key (|value|*scale <= 1e6 for ~1e7 rows
+    per key; widen scale down or shard keys past that).
+
+    Emits one (entity, n, n_anomalies) row per key per batch; the
+    row with the largest n is the final state. In-batch order is the
+    ``order_col`` sort (concat-then-sort, the streaming_ewma
+    lesson); cross-batch order follows source delivery, the standard
+    stateful caveat."""
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                entity_col, stream.schema[entity_col].dataType
+            ),
+            T.StructField("n", T.LongType()),
+            T.StructField("n_anomalies", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("q", T.LongType()),
+            T.StructField("na", T.LongType()),
+        ]
+    )
+    z2 = int(z) * int(z)
+    mn = int(min_n)
+    sc = float(scale)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, s, q, na = state.get
+        else:
+            n, s, q, na = 0, 0, 0, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        for v in pdf[value_col]:
+            if v is None or pd.isna(v):
+                continue
+            u = int(math.floor(float(v) * sc + 0.5))
+            if n >= mn and (n * u - s) ** 2 > z2 * (n * q - s * s):
+                na += 1
+            n += 1
+            s += u
+            q += u * u
+        state.update((n, s, q, na))
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    entity_col: [key[0]],
+                    "n": [n],
+                    "n_anomalies": [na],
+                }
             )
 
     return stream.groupBy(entity_col).applyInPandasWithState(

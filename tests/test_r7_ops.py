@@ -1,0 +1,314 @@
+"""Round-7 operator batch: one-way ANOVA, Brown-Forsythe, 2-column
+PCA, per-key autocorrelation, CUSUM drift, exact weighted quantiles,
+dedup representative selection, duplicated-span scrubbing, CCNet
+bucketing, and the streaming anomaly counter (14th streaming form)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.dedup import select_representatives
+from hdfe_spark.operators.rank import weighted_quantiles
+from hdfe_spark.operators.stats import (
+    anova_oneway,
+    autocorr,
+    brown_forsythe,
+    cusum,
+    pca2,
+)
+from hdfe_spark.operators.text import lm_score_buckets, scrub_duplicate_spans
+
+
+# ------------------------------------------------------------- anova
+
+
+def _f_oneway(groups):
+    """scipy-free one-way ANOVA reference."""
+    allv = np.concatenate(groups)
+    n, k = len(allv), len(groups)
+    gm = allv.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    return (ssb / (k - 1)) / (ssw / (n - k)), ssb, ssw
+
+
+def test_anova_matches_reference(spark):
+    rng = np.random.default_rng(3)
+    groups = [
+        np.round(rng.normal(10 + d, 2.0, 150), 6) for d in (0.0, 0.5, 1.5)
+    ]
+    rows = [
+        (f"g{i}", float(v)) for i, g in enumerate(groups) for v in g
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = anova_oneway(df, "g", "v").collect()[0]
+    f, ssb, ssw = _f_oneway(groups)
+    assert got["k"] == 3 and got["n"] == 450
+    assert got["f_stat"] == pytest.approx(f, rel=1e-9)
+    assert got["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert got["ssw"] == pytest.approx(ssw, rel=1e-9)
+
+
+def test_anova_guards(spark):
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        anova_oneway(one, "g", "v")
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="no within-group dof"):
+        anova_oneway(tiny, "g", "v")
+
+
+def test_brown_forsythe_detects_variance_difference(spark):
+    rng = np.random.default_rng(4)
+    a = np.round(rng.normal(0, 1.0, 300), 6)
+    b = np.round(rng.normal(0, 4.0, 300), 6)
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = brown_forsythe(df, "g", "v").collect()[0]
+    # reference on |x - median|
+    za = np.abs(a - np.median(a))
+    zb = np.abs(b - np.median(b))
+    f, _, _ = _f_oneway([za, zb])
+    assert got["f_stat"] == pytest.approx(f, rel=1e-6)
+    assert got["f_stat"] > 50  # wildly unequal variances
+
+
+# -------------------------------------------------------------- pca2
+
+
+def test_pca2_matches_numpy_eig(spark):
+    rng = np.random.default_rng(9)
+    x = np.round(rng.normal(size=500), 6)
+    y = np.round(2.0 * x + rng.normal(size=500) * 0.5, 6)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    got = pca2(df, "x", "y").collect()[0]
+    C = np.cov(np.stack([x, y]), ddof=1)
+    evals, evecs = np.linalg.eigh(C)
+    l1, l2 = evals[1], evals[0]
+    v = evecs[:, 1]
+    if v[0] < 0:
+        v = -v
+    assert got["lambda1"] == pytest.approx(l1, rel=1e-9)
+    assert got["lambda2"] == pytest.approx(l2, rel=1e-9)
+    assert got["var_explained"] == pytest.approx(l1 / (l1 + l2), rel=1e-9)
+    assert got["v1x"] == pytest.approx(v[0], rel=1e-6)
+    assert got["v1y"] == pytest.approx(v[1], rel=1e-6)
+
+
+def test_pca2_axis_aligned(spark):
+    # zero covariance: principal axis is the higher-variance axis
+    rows = [(float(v), float(0)) for v in (-2, -1, 0, 1, 2)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = pca2(df, "x", "y").collect()[0]
+    assert (got["v1x"], got["v1y"]) == (1.0, 0.0)
+    assert got["lambda2"] == 0.0
+
+
+# ---------------------------------------------------------- autocorr
+
+
+def test_autocorr_matches_pandas(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(12)
+    series = {
+        "a": np.round(np.cumsum(rng.normal(size=80)), 6),
+        "b": np.round(rng.normal(size=60), 6),
+    }
+    rows = [
+        (k, i, float(v)) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, v double")
+    got = {r["k"]: r for r in autocorr(df, "k", "o", "v", lag=1).collect()}
+    for k, vs in series.items():
+        s = pd.Series(vs)
+        exp = s.iloc[1:].reset_index(drop=True).corr(
+            s.iloc[:-1].reset_index(drop=True)
+        )
+        assert got[k]["n_pairs"] == len(vs) - 1
+        assert got[k]["r"] == pytest.approx(exp, rel=1e-6)
+
+
+def test_autocorr_lag2_and_guard(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(9)], "k string, o long, v double"
+    )
+    r = autocorr(df, "k", "o", "v", lag=3).collect()[0]
+    assert r["r"] == pytest.approx(1.0)  # period-3 series, lag 3
+    with pytest.raises(ValueError, match="lag must be >= 1"):
+        autocorr(df, "k", "o", "v", lag=0)
+
+
+# ------------------------------------------------------------- cusum
+
+
+def test_cusum_detects_shift(spark):
+    # 20 in-control points at 10, then 10 shifted to 12
+    vals = [10.0] * 20 + [12.0] * 10
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, o long, v double"
+    )
+    got = cusum(df, "k", "o", "v", target=10.0, slack=0.5).collect()[0]
+    # in-control: max(0, 0 + (10-10.5)) = 0 each step; shift: +1.5/step
+    assert got["cusum"] == pytest.approx(15.0)
+    assert got["n"] == 30
+
+
+def test_cusum_duplicate_order_raises(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 1, 2.0)], "k string, o long, v double"
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        cusum(df, "k", "o", "v", target=0.0).collect()
+
+
+# ------------------------------------------------- weighted_quantiles
+
+
+def test_weighted_quantiles_exact(spark):
+    rows = [(10.0, 1), (20.0, 2), (30.0, 3), (40.0, 4)]  # W=10
+    df = spark.createDataFrame(rows, "v double, w long")
+    got = {
+        r["pct"]: (r["value"], r["cum_weight"])
+        for r in weighted_quantiles(df, "v", "w", pcts=(10, 30, 50, 100)).collect()
+    }
+    # cum: 10->1, 20->3, 30->6, 40->10
+    assert got[10] == (10.0, 1)   # 1*100 >= 10*10
+    assert got[30] == (20.0, 3)   # 3*100 >= 300
+    assert got[50] == (30.0, 6)
+    assert got[100] == (40.0, 10)
+
+
+def test_weighted_quantiles_float_weight_raises(spark):
+    df = spark.createDataFrame([(1.0, 1.5)], "v double, w double")
+    with pytest.raises(ValueError, match="integral weights"):
+        weighted_quantiles(df, "v", "w")
+
+
+# -------------------------------------------- select_representatives
+
+
+def test_select_representatives(spark):
+    rows = [
+        ("c1", 1, 5), ("c1", 2, 9), ("c1", 3, 9),   # best: quality 9, id 2
+        ("c2", 4, 1),
+        (None, 5, 0), (None, 6, 0),                  # unclustered kept
+    ]
+    df = spark.createDataFrame(rows, "cluster string, doc_id long, q long")
+    kept = select_representatives(
+        df, "cluster", [F.desc("q"), F.asc("doc_id")]
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [2, 4, 5, 6]
+    only = select_representatives(
+        df, "cluster", [F.desc("q"), F.asc("doc_id")], keep_unclustered=False
+    )
+    assert sorted(r["doc_id"] for r in only.collect()) == [2, 4]
+
+
+# ------------------------------------------- scrub_duplicate_spans
+
+
+def test_scrub_duplicate_spans(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = [
+        (1, f"unique one text {shared} tail one"),
+        (2, f"other opening {shared} closing words two"),
+        (3, "completely independent document with its own words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(df, k=8).collect()}
+    # the shared 8-gram is removed from docs 1 and 2; unique prose stays
+    assert out[1]["scrubbed_text"] == "unique one text tail one"
+    assert out[2]["scrubbed_text"] == "other opening closing words two"
+    assert out[3]["scrubbed_text"] == docs[2][1]
+    assert out[1]["n_tokens"] == 13 and out[1]["n_kept"] == 5
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+
+
+def test_scrub_short_docs_survive(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(df, k=8).collect()}
+    # shorter than k tokens: no grams, nothing scrubbed
+    assert out[1]["scrubbed_text"] == "tiny doc"
+    assert out[2]["n_kept"] == 2
+
+
+# ------------------------------------------------- lm_score_buckets
+
+
+def test_lm_score_buckets(spark):
+    docs = [
+        (1, "the the the the"),          # most common tokens
+        (2, "the the rare1 rare2"),
+        (3, "zzz qqq xxx www"),          # all-unique junk
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score_buckets(df, n_buckets=3).collect()}
+    assert out[1]["bucket"] == 1 and out[3]["bucket"] == 3
+    assert out[1]["avg_tf"] == 6.0   # 'the' appears 6x in corpus
+    assert out[3]["avg_tf"] == 1.0
+
+
+# ------------------------------------------------- streaming_anomaly
+
+
+def test_streaming_anomaly_equals_batch(spark, tmp_path):
+    """availableNow replay of the exact-integer state equals the
+    batch windowed-cumsum decision rule row-for-row."""
+    from hdfe_spark.streaming.ops import streaming_anomaly
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for key in (1, 2):
+        vals = np.round(rng.normal(100, 5, 60), 3)
+        vals[40] += 60  # inject an anomaly
+        rows += [(key, i, float(v)) for i, v in enumerate(vals)]
+    src = str(tmp_path / "anom_src")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, value double"
+    ).parquet(src)
+    sm = streaming_anomaly(
+        stream, "user_id", "event_id", "value", z=3, min_n=10, scale=1e3
+    )
+    name = "anom_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["s"]["n"], r["s"]["n_anomalies"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n", "n_anomalies"), "n").alias("s"))
+        .collect()
+    }
+    # batch replica: exact integer cumulative decision
+    exp = {}
+    for key in (1, 2):
+        vs = [v for k, _, v in sorted(rows) if k == key]
+        n = s = qq = na = 0
+        for v in vs:
+            u = int(math.floor(v * 1e3 + 0.5))
+            if n >= 10 and (n * u - s) ** 2 > 9 * (n * qq - s * s):
+                na += 1
+            n, s, qq = n + 1, s + u, qq + u * u
+        exp[key] = (n, na)
+    assert got == exp
+    assert all(na >= 1 for _, na in exp.values())  # injection caught
