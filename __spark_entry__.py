@@ -5364,6 +5364,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "sessionize": _q_sessionize,
         # ------ end of the driver's 50-query window ------
+        # ROUND-8 ROTATION QUEUE: the ten operators BUILT in round 7
+        # (never driver-recorded — first in line next rotation):
+        "anova": _q_anova,
+        "levene": _q_levene,
+        "pca2": _q_pca2,
+        "autocorr": _q_autocorr,
+        "cusum": _q_cusum,
+        "weighted_quantiles": _q_weighted_quantiles,
+        "dedup_reps": _q_dedup_reps,
+        "span_scrub": _q_span_scrub,
+        "lm_buckets": _q_lm_buckets,
+        "streaming_anomaly": _q_streaming_anomaly,
         # round-6 window greens (recorded CORRECTNESS_r06), most
         # recent driver rows first:
         "decimal_agg": _q_decimal_agg,
@@ -9024,8 +9036,540 @@ def oracle_sql() -> dict[str, str]:
                          * 1e9 + 0.5) / 1e9 AS z
             FROM c
         """,
+        "anova": """
+            WITH cells AS (
+              SELECT l_returnflag AS g,
+                     CAST(count(*) AS BIGINT) AS ng,
+                     sum(CAST(round(l_extendedprice * 1e6)
+                              AS HUGEINT)) AS sg
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY l_returnflag),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(ng) AS BIGINT) AS n,
+                     -- ordered left fold: acc starts at the first
+                     -- term, replaying the driver's group-order sum
+                     list_reduce(
+                       list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                            / CAST(ng AS DOUBLE) ORDER BY g),
+                       (acc, x) -> acc + x) AS t
+              FROM cells),
+            tot AS (
+              SELECT CAST(sum(CAST(round(l_extendedprice * 1e6)
+                                   AS HUGEINT)) AS DOUBLE) AS s,
+                     CAST(sum(CAST(round(l_extendedprice * 1e6)
+                                   AS HUGEINT)
+                              * CAST(round(l_extendedprice * 1e6)
+                                     AS HUGEINT)) AS DOUBLE) AS ssq
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            c AS (
+              SELECT k, n, t - s * s / n AS ssb, ssq - t AS ssw
+              FROM agg, tot)
+            SELECT k, n,
+                   floor(((ssb / (k - 1)) / (ssw / (n - k)))
+                         * 1e6 + 0.5) / 1e6 AS f_stat,
+                   floor((ssb / 1e12) * 1e3 + 0.5) / 1e3 AS ssb,
+                   floor((ssw / 1e12) * 1e3 + 0.5) / 1e3 AS ssw
+            FROM c
+        """,
+        "levene": """
+            WITH med AS (
+              SELECT l_returnflag AS g, median(l_quantity) AS md
+              FROM lineitem WHERE l_quantity IS NOT NULL
+              GROUP BY l_returnflag),
+            z AS (
+              SELECT l.l_returnflag AS g,
+                     abs(l.l_quantity - m.md) AS z
+              FROM lineitem l JOIN med m ON l.l_returnflag = m.g
+              WHERE l.l_quantity IS NOT NULL),
+            cells AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                     sum(CAST(round(z * 1e6) AS HUGEINT)) AS sg
+              FROM z GROUP BY g),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(ng) AS BIGINT) AS n,
+                     list_reduce(
+                       list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                            / CAST(ng AS DOUBLE) ORDER BY g),
+                       (acc, x) -> acc + x) AS t
+              FROM cells),
+            tot AS (
+              SELECT CAST(sum(CAST(round(z * 1e6) AS HUGEINT))
+                          AS DOUBLE) AS s,
+                     CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                              * CAST(round(z * 1e6) AS HUGEINT))
+                          AS DOUBLE) AS ssq
+              FROM z),
+            c AS (
+              SELECT k, n, t - s * s / n AS ssb, ssq - t AS ssw
+              FROM agg, tot)
+            SELECT k, n,
+                   floor(((ssb / (k - 1)) / (ssw / (n - k)))
+                         * 1e6 + 0.5) / 1e6 AS f_stat,
+                   floor((ssb / 1e12) * 1e6 + 0.5) / 1e6 AS ssb,
+                   floor((ssw / 1e12) * 1e6 + 0.5) / 1e6 AS ssw
+            FROM c
+        """,
+        "pca2": """
+            WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS sx,
+                CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS sy,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_quantity * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS sxx,
+                CAST(sum(CAST(round(l_quantity * 1e6) AS HUGEINT)
+                         * CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS sxy,
+                CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT)
+                         * CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                     AS DOUBLE) AS syy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            c AS (
+              SELECT n, CAST(n AS DOUBLE) AS nf,
+                     sx / CAST(n AS DOUBLE) AS mx,
+                     sy / CAST(n AS DOUBLE) AS my,
+                     sxx, sxy, syy
+              FROM m),
+            cov AS (
+              SELECT n,
+                     (sxx - nf * mx * mx) / (nf - 1.0) AS cxx,
+                     (sxy - nf * mx * my) / (nf - 1.0) AS cxy,
+                     (syy - nf * my * my) / (nf - 1.0) AS cyy
+              FROM c),
+            e AS (
+              SELECT n, cxx, cxy, cyy,
+                     sqrt((cxx - cyy) * (cxx - cyy)
+                          + 4.0 * (cxy * cxy)) AS disc
+              FROM cov),
+            l AS (
+              SELECT n, cxx, cxy, cyy,
+                     (cxx + cyy + disc) / 2.0 AS l1,
+                     (cxx + cyy - disc) / 2.0 AS l2
+              FROM e),
+            v AS (
+              SELECT n, l1, l2, cxx, cxy, cyy,
+                     sqrt(cxy * cxy
+                          + (l1 - cxx) * (l1 - cxx)) AS nrm
+              FROM l),
+            vv AS (
+              SELECT n, l1, l2,
+                CASE WHEN cxy = 0.0 THEN
+                       CASE WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END
+                     WHEN cxy / nrm < 0.0 THEN -(cxy / nrm)
+                     ELSE cxy / nrm END AS v1x,
+                CASE WHEN cxy = 0.0 THEN
+                       CASE WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END
+                     WHEN cxy / nrm < 0.0 THEN -((l1 - cxx) / nrm)
+                     ELSE (l1 - cxx) / nrm END AS v1y
+              FROM v)
+            SELECT n,
+                   floor((l1 / 1e12) * 1e6 + 0.5) / 1e6 AS lambda1,
+                   floor((l2 / 1e12) * 1e6 + 0.5) / 1e6 AS lambda2,
+                   floor((l1 / (l1 + l2)) * 1e9 + 0.5) / 1e9
+                     AS var_explained,
+                   floor((v1x) * 1e9 + 0.5) / 1e9 AS v1x,
+                   floor((v1y) * 1e9 + 0.5) / 1e9 AS v1y
+            FROM vv
+        """,
+        "autocorr": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(round(value * 1e6) AS HUGEINT) AS x,
+                     CAST(round(lag(value) OVER (
+                       PARTITION BY user_id ORDER BY event_id) * 1e6)
+                       AS HUGEINT) AS xl
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            g AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(xl) AS DOUBLE) AS sy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx,
+                     CAST(sum(xl * xl) AS DOUBLE) AS syy,
+                     CAST(sum(x * xl) AS DOUBLE) AS sxy
+              FROM p WHERE xl IS NOT NULL
+              GROUP BY user_id)
+            SELECT user_id, n_pairs,
+                   floor((CASE WHEN
+                       sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+                       > 0.0
+                     THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                 - sy * sy))
+                     END) * 1e9 + 0.5) / 1e9 AS r
+            FROM g WHERE n_pairs >= 2
+        """,
+        "cusum": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   floor((list_reduce(
+                     list_prepend(0.0, list(value ORDER BY event_id)),
+                     (acc, x) -> greatest(0.0, acc + (x - 260.0))))
+                     * 1e6 + 0.5) / 1e6 AS cusum
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
+        """,
+        "weighted_quantiles": """
+            WITH cells AS (
+              SELECT n_chars AS v,
+                     CAST(sum(n_chars) AS BIGINT) AS w
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY n_chars),
+            cum AS (
+              SELECT v, w,
+                     sum(w) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumw
+              FROM cells),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM cells)
+            SELECT CAST(p.pct AS BIGINT) AS pct,
+                   min(CASE WHEN cumw * 100 >= p.pct * wt
+                            THEN v END) AS value,
+                   CAST(min(CASE WHEN cumw * 100 >= p.pct * wt
+                                 THEN cumw END) AS BIGINT)
+                     AS cum_weight
+            FROM cum, tot,
+                 (VALUES (25), (50), (75), (90), (99)) p(pct)
+            GROUP BY p.pct
+        """,
+        "dedup_reps": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                     md5(substr(lower(trim(text)), 1, 64)) AS h
+              FROM documents),
+            sz AS (SELECT h, count(*) AS c FROM d GROUP BY h),
+            j AS (
+              SELECT d.doc_id, d.n_chars,
+                     CASE WHEN sz.c > 1 THEN d.h END AS cluster
+              FROM d JOIN sz USING (h))
+            SELECT doc_id, cluster,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM j WHERE cluster IS NOT NULL
+            QUALIFY row_number() OVER (
+              PARTITION BY cluster
+              ORDER BY n_chars DESC, doc_id) = 1
+            UNION ALL
+            SELECT doc_id, NULL AS cluster,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM j WHERE cluster IS NULL
+        """,
+        "span_scrub": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS arr
+              FROM documents),
+            g AS (
+              SELECT doc_id, i.k - 1 AS pos,
+                     array_to_string(
+                       list_slice(arr, i.k, i.k + 7), ' ') AS gram
+              FROM t, LATERAL unnest(range(1, len(arr) - 7 + 1)) i(k)
+              WHERE len(arr) >= 8),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT g.doc_id, g.pos + q.i AS tp
+              FROM g JOIN dup USING (gram),
+                   LATERAL unnest(range(0, 8)) q(i)),
+            tok AS (
+              SELECT doc_id, i.k - 1 AS tp, arr[i.k] AS token
+              FROM t, LATERAL unnest(range(1, len(arr) + 1)) i(k)),
+            kept AS (
+              SELECT tok.doc_id, tok.tp, tok.token
+              FROM tok LEFT JOIN cov
+                ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+              WHERE cov.doc_id IS NULL),
+            tots AS (
+              SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens
+              FROM t)
+            SELECT k2.doc_id, tots.n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(k2.token, ' ' ORDER BY k2.tp)
+                     AS scrubbed_text
+            FROM kept k2 JOIN tots USING (doc_id)
+            GROUP BY k2.doc_id, tots.n_tokens
+        """,
+        "lm_buckets": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS t
+              FROM documents),
+            model AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY t),
+            per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(c) AS BIGINT) AS s_tf
+              FROM tok JOIN model USING (t)
+              GROUP BY doc_id),
+            sc AS (
+              SELECT doc_id, n_tokens, s_tf,
+                     CAST(s_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS avg_tf
+              FROM per)
+            SELECT doc_id, n_tokens, s_tf,
+                   floor((avg_tf) * 1e9 + 0.5) / 1e9 AS avg_tf,
+                   CAST(ntile(3) OVER (ORDER BY -avg_tf, doc_id)
+                        AS BIGINT) AS bucket
+            FROM sc
+        """,
+        "streaming_anomaly": """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     CAST(floor(value * 1000.0 + 0.5) AS HUGEINT) AS u
+              FROM events WHERE value IS NOT NULL),
+            c AS (
+              SELECT user_id, u,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY event_id) - 1
+                  AS HUGEINT) AS np,
+                CAST(coalesce(sum(u) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS HUGEINT) AS sp,
+                CAST(coalesce(sum(u * u) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS HUGEINT) AS qp
+              FROM e)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN np >= 10
+                       AND (np * u - sp) * (np * u - sp)
+                           > 9 * (np * qp - sp * sp)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM c GROUP BY user_id
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
         # multimodal_decode
     }
+
+
+# ------------------------------------------------- round-7 additions
+
+
+def _q_anova(spark, sf_dir):
+    """One-way ANOVA (`operators/stats.py::anova_oneway`): does mean
+    l_extendedprice differ across the three l_returnflag arms? Exact
+    DECIMAL(38,0) per-group moments in one scan; the only float
+    reduction (sum over groups of s_g^2/n_g) is a driver-side LEFT
+    FOLD in group order, which the oracle replays with
+    `list_reduce(list(... ORDER BY g))` — identical IEEE sequence.
+    Safe quantization: extendedprice has 2 decimals, so x*1e6 is
+    integral to ~1e-4 — never near the .5 rounding boundary where
+    Spark/DuckDB round() semantics diverge."""
+    from hdfe_spark.operators.stats import anova_oneway
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = anova_oneway(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "k", "n",
+        _pround("f_stat", 6).alias("f_stat"),
+        _pround("ssb", 3).alias("ssb"),
+        _pround("ssw", 3).alias("ssw"),
+    )
+
+
+def _q_levene(spark, sf_dir):
+    """Brown-Forsythe equal-variance test (`operators/stats.py::
+    brown_forsythe`): is l_quantity's spread the same across
+    l_returnflag arms? ANOVA on z = |x - median_g|. l_quantity is
+    integral, so group medians are integers or exact halves and
+    z*1e6 is EXACTLY integral — the quantization round is
+    boundary-free on both engines (the reason this query uses
+    quantity, not a 2-decimal price whose median can end in .005)."""
+    from hdfe_spark.operators.stats import brown_forsythe
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = brown_forsythe(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "k", "n",
+        _pround("f_stat", 6).alias("f_stat"),
+        _pround("ssb", 6).alias("ssb"),
+        _pround("ssw", 6).alias("ssw"),
+    )
+
+
+def _q_pca2(spark, sf_dir):
+    """Closed-form 2-column PCA (`operators/stats.py::pca2`) of
+    (l_quantity, l_extendedprice): sample covariance from exact
+    fixed-point moments, eigenvalues via the 2x2 characteristic
+    quadratic, principal axis sign-pinned v1x >= 0 — every op after
+    the exact moments is one deterministic IEEE expression tree the
+    oracle mirrors literally (sqrt/products only, no LAPACK, no
+    iteration)."""
+    from hdfe_spark.operators.stats import pca2
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pca2(li, "l_quantity", "l_extendedprice")
+    return out.select(
+        "n",
+        _pround("lambda1", 6).alias("lambda1"),
+        _pround("lambda2", 6).alias("lambda2"),
+        _pround("var_explained").alias("var_explained"),
+        _pround("v1x").alias("v1x"),
+        _pround("v1y").alias("v1y"),
+    )
+
+
+def _q_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values
+    (`operators/stats.py::autocorr`): one partitioned window pass
+    pairs x_t with x_{t-1} in event_id order (hash-partitioned by
+    user — parallel across keys), then exact DECIMAL(38,0) Pearson
+    moments per key and a deterministic IEEE r expression. The
+    serial-dependence diagnostic for engagement streams."""
+    from hdfe_spark.operators.stats import autocorr
+
+    ev = _t(spark, sf_dir, "events")
+    out = autocorr(ev, "user_id", "event_id", "value", lag=1)
+    return out.select(
+        "user_id", "n_pairs", _pround("r").alias("r")
+    )
+
+
+def _q_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM drift statistic
+    (`operators/stats.py::cusum`): s_t = max(0, s_{t-1} + (x_t -
+    260)) folded over each user's event_id-ordered values (target
+    250, slack 10). Sequential by design, so it runs as a left fold
+    ≡ DuckDB `list_reduce(list_prepend(0.0, ...))` — identical IEEE
+    sequence; duplicate order values raise in-plan."""
+    from hdfe_spark.operators.stats import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum(ev, "user_id", "event_id", "value", target=250.0, slack=10.0)
+    return out.select(
+        "user_id", "n", _pround("cusum", 6).alias("cusum")
+    )
+
+
+def _q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (`operators/rank.py::
+    weighted_quantiles`): which document-length cutoff keeps p% of
+    the corpus's total character mass (value = weight = n_chars) —
+    the token-budget planning primitive. Distinct-value cells +
+    distributed prefix sum (no single-partition window), threshold
+    by integer cross-multiplication (cumw*100 >= p*W): no division,
+    bit-portable."""
+    from hdfe_spark.operators.rank import weighted_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_quantiles(
+        docs, "n_chars", "n_chars", pcts=(25, 50, 75, 90, 99)
+    )
+
+
+def _q_dedup_reps(spark, sf_dir):
+    """Cluster-representative selection (`operators/dedup.py::
+    select_representatives`) — the keep-policy step after dedup:
+    documents clustered by the md5 of their 64-char normalized
+    prefix (22 multi-doc clusters in the fixture); each cluster
+    keeps its longest doc (n_chars desc, doc_id asc — a TOTAL
+    order), singletons pass through. One partitioned window keyed on
+    the cluster; no collect, no join beyond the cluster-size
+    annotation."""
+    from hdfe_spark.operators.dedup import select_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 64))
+    sized = (
+        docs.withColumn("__h", h)
+        .withColumn(
+            "__csz",
+            F.count(F.lit(1)).over(Window.partitionBy("__h")),
+        )
+        .withColumn(
+            "cluster", F.when(F.col("__csz") > 1, F.col("__h"))
+        )
+    )
+    kept = select_representatives(
+        sized, "cluster", [F.desc("n_chars"), F.asc("doc_id")]
+    )
+    return kept.select(
+        "doc_id", "cluster", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def _q_span_scrub(spark, sf_dir):
+    """Duplicated-span REMOVAL (`operators/text.py::
+    scrub_duplicate_spans`) — the ExactSubstr rewrite completing
+    `dup_ngram_spans`: every token covered by a cross-document
+    8-gram is deleted and the survivors re-joined in order (47
+    fixture docs are hit). Gram-keyed aggregation for the duplicate
+    set, fixed-width cover explode, anti-join, ordered per-doc
+    re-assembly — all linear, zero Python."""
+    from hdfe_spark.operators.text import scrub_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = scrub_duplicate_spans(docs, k=8, min_docs=2)
+    return out.select("doc_id", "n_tokens", "n_kept", "scrubbed_text")
+
+
+def _q_lm_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus bucketing
+    (`operators/text.py::lm_score_buckets`): docs scored by mean
+    corpus-frequency of their tokens (one IEEE division of two
+    exact integers — bit-portable as a SORT KEY, unlike a float-sum
+    bits/token score), then cut into 3 exact-NTILE tiers via the
+    distributed order statistics (no single-partition window)."""
+    from hdfe_spark.operators.text import lm_score_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_score_buckets(docs, n_buckets=3)
+    return out.select(
+        "doc_id", "n_tokens", "s_tf",
+        _pround("avg_tf").alias("avg_tf"),
+        "bucket",
+    )
+
+
+def _q_streaming_anomaly(spark, sf_dir):
+    """Streaming z-score anomaly counter (fourteenth streaming form,
+    `streaming/ops.py::streaming_anomaly`): each arriving value is
+    tested against the running mean/variance of its key's PRIOR
+    values via the cross-multiplied integer rule
+    (n*u - s)^2 > 9*(n*q - s^2) — the state is exact integers, so
+    the availableNow final state equals a batch windowed-cumsum
+    replay bit-for-bit (no IEEE sequencing contract needed; stronger
+    than the ewma fold certificate)."""
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_anomaly
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_anomaly(
+        stream, entity_col="user_id", order_col="event_id",
+        value_col="value", z=3, min_n=10, scale=1e3,
+    )
+    sink = _fresh_sink(spark)
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(sink)
+    latest = snap.groupBy("user_id").agg(
+        F.max_by(F.struct("n", "n_anomalies"), "n").alias("s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("s.n").alias("n"),
+        F.col("s.n_anomalies").alias("n_anomalies"),
+    )

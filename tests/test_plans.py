@@ -629,3 +629,70 @@ def test_gap_fill_single_spine_join(spark, sf_dir):
     simple = explain_string(out, "simple")
     assert "CartesianProduct" not in simple
     assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_r7_stats_plans_python_free(spark, sf_dir):
+    """Round-7 batch: anova/levene/pca2/autocorr/cusum stay JVM-side
+    with no cartesian products; autocorr's window is key-partitioned
+    (never a global sort)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in ["anova", "levene", "pca2", "autocorr", "cusum"]:
+        out = qs[name](spark, sf_dir)
+        simple = explain_string(out, "simple")
+        assert "CartesianProduct" not in simple, name
+        rep = plan_report(out)
+        assert rep["n_python_stages"] == 0, name
+
+
+def test_autocorr_partitioned_window_single_shuffle(spark, sf_dir):
+    """The lag pairing and the moment aggregation share ONE key
+    exchange; every Window is PARTITION BY the key."""
+    import __spark_entry__ as em
+
+    out = em.queries()["autocorr"](spark, sf_dir)
+    rep = plan_report(out)
+    assert rep["n_hash_exchanges"] <= 1
+    simple = explain_string(out, "simple")
+    for line in simple.splitlines():
+        if "Window" in line:
+            assert "user_id" in line, line
+
+
+def test_span_scrub_no_python_no_cartesian(spark, sf_dir):
+    """The ExactSubstr rewrite is pure JVM: shingling projection,
+    gram-keyed aggregation, cover explode, anti-join, ordered
+    re-assembly — zero Python stages, zero cartesian products."""
+    import __spark_entry__ as em
+
+    out = em.queries()["span_scrub"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    assert "CartesianProduct" not in simple
+    assert plan_report(out)["n_python_stages"] == 0
+
+
+def test_dedup_reps_window_partitioned_by_cluster(spark, sf_dir):
+    """Representative selection windows are partitioned (by the
+    content-hash cluster) — parallel across clusters, never a
+    global sort."""
+    import __spark_entry__ as em
+
+    out = em.queries()["dedup_reps"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    for line in simple.splitlines():
+        if "Window" in line:
+            assert "__h" in line or "cluster" in line, line
+
+
+def test_weighted_quantiles_no_global_window(spark, sf_dir):
+    """The cumulative-weight pass is the rank.py distributed prefix
+    sum: any Window must be partitioned by the range-partition id,
+    never a global partition-less window."""
+    import __spark_entry__ as em
+
+    out = em.queries()["weighted_quantiles"](spark, sf_dir)
+    simple = explain_string(out, "simple")
+    for line in simple.splitlines():
+        if "Window" in line:
+            assert "__pid" in line, line
