@@ -9245,11 +9245,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, n_chars,
                      md5(substr(lower(trim(text)), 1, 64)) AS h
               FROM documents),
-            sz AS (SELECT h, count(*) AS c FROM d GROUP BY h),
             j AS (
-              SELECT d.doc_id, d.n_chars,
-                     CASE WHEN sz.c > 1 THEN d.h END AS cluster
-              FROM d JOIN sz USING (h))
+              -- windowed count, not a USING(h) join: a NULL text
+              -- yields a NULL hash, and an equi-join would DROP
+              -- those rows while the Spark side keeps them as
+              -- unclustered singletons
+              SELECT doc_id, n_chars,
+                     CASE WHEN count(*) OVER (PARTITION BY h) > 1
+                          THEN h END AS cluster
+              FROM d)
             SELECT doc_id, cluster,
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM j WHERE cluster IS NOT NULL

@@ -274,30 +274,29 @@ def weighted_quantiles(
         .groupBy(value_col)
         .agg(F.sum(F.col(weight_col)).cast("long").alias("__w"))
     )
+    # total from the cheap pre-prefix-sum cells (summing the
+    # prefix_sum OUTPUT would execute its whole distributed
+    # pipeline twice for one scalar)
+    w_tot = cells.agg(F.sum("__w").cast("long")).collect()[0][0]
+    if not w_tot:
+        raise ValueError("weighted_quantiles: zero total weight")
     cum = prefix_sum(
         cells, [value_col], "__w", out_col="__cumw",
         num_partitions=num_partitions,
     )
-    w_tot = cum.agg(F.sum("__w").cast("long")).collect()[0][0]
-    if not w_tot:
-        raise ValueError("weighted_quantiles: zero total weight")
+    # DECIMAL(38,0) comparison: cumw*100 and p*W overflow int64 once
+    # total weight passes ~9.2e16 (the ks_2sample d_num class); the
+    # oracle side is HUGEINT, so the Spark side must widen too
+    cumw_dec = F.col("__cumw").cast("decimal(38,0)")
     aggs = []
     for p in pcts:
+        thresh = F.lit(str(p * int(w_tot))).cast("decimal(38,0)")
+        hit = cumw_dec * F.lit(100) >= thresh
         aggs.append(
-            F.min(
-                F.when(
-                    F.col("__cumw") * 100 >= F.lit(p) * F.lit(w_tot),
-                    F.col(value_col),
-                )
-            ).alias(f"__q{p}")
+            F.min(F.when(hit, F.col(value_col))).alias(f"__q{p}")
         )
         aggs.append(
-            F.min(
-                F.when(
-                    F.col("__cumw") * 100 >= F.lit(p) * F.lit(w_tot),
-                    F.col("__cumw"),
-                )
-            ).alias(f"__c{p}")
+            F.min(F.when(hit, F.col("__cumw"))).alias(f"__c{p}")
         )
     row = cum.agg(*aggs)
     structs = [

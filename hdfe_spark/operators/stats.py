@@ -45,6 +45,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _dup_order_guard(op_name: str, key_col: str, result):
+    """In-plan loud failure when a key's order column is not a total
+    order (count != distinct-count, precomputed as columns ``n`` vs
+    ``_n_ord``): the fold/lag order would be engine-dependent, so
+    the operator raises instead of silently diverging from a SQL
+    oracle. Shared by every ordered-fold operator (`ewma`, `cusum`)
+    and the lag pairing (`autocorr`)."""
+    return F.when(
+        F.col("_n_ord") != F.col("n"),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: duplicate order values within key "),
+                F.col(key_col).cast("string"),
+                F.lit(" — the fold order would be engine-dependent"),
+            )
+        ).cast("double"),
+    ).otherwise(result)
+
+
 def welch_ttest(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -367,18 +387,7 @@ def ewma(
         F.element_at(vals, 1),
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
-    guarded = F.when(
-        F.col("_n_ord") != F.col("n"),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "ewma: duplicate order values within key "
-                ),
-                F.col(key_col).cast("string"),
-                F.lit(" — the fold order would be engine-dependent"),
-            )
-        ).cast("double"),
-    ).otherwise(folded)
+    guarded = _dup_order_guard("ewma", key_col, folded)
     return per_key.select(key_col, "n", guarded.alias(out_col))
 
 
@@ -971,14 +980,15 @@ def kaplan_meier(
             F.sum((~ev).cast("long")).cast("long").alias("c"),
         )
     )
-    n_cells = cell_df.count()
-    if n_cells > max_cells:
+    # bound the driver collect in the SAME pass (limit pushes into
+    # the aggregation) — a count() first would scan the input twice
+    cells = cell_df.limit(max_cells + 1).collect()
+    if len(cells) > max_cells:
         raise ValueError(
-            f"kaplan_meier: {n_cells} distinct durations exceed "
+            f"kaplan_meier: distinct durations exceed "
             f"max_cells={max_cells}; coarsen duration_col (bin to a "
             "coarser granularity) or raise max_cells deliberately"
         )
-    cells = cell_df.collect()
     cells.sort(key=lambda r: r[duration_col])
     tot = sum(int(r["d"]) + int(r["c"]) for r in cells)
     rows, n_risk, s = [], tot, 1.0
@@ -1074,23 +1084,26 @@ def anova_oneway(
     oracle replays with ``list_reduce(list(... ORDER BY g))`` —
     identical IEEE op sequence, never a parallel float sum. The
     group count is bounded (``max_groups`` guard, the kaplan_meier
-    convention). Returns ONE row: k, n, f_stat, ssb, ssw (original
-    units)."""
+    convention — enforced in the SAME pass via limit(max+1), no
+    second scan). NULL groups and NULL values are excluded (SQL
+    aggregate semantics; also what `brown_forsythe`'s median join
+    does, so the two agree). Returns ONE row: k, n, f_stat, ssb,
+    ssw (original units)."""
     u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
-    base = df.filter(F.col(value_col).isNotNull())
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     cell_df = base.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum(u).alias("sg"),
     )
-    n_groups = cell_df.count()
-    if n_groups > max_groups:
+    cells = cell_df.limit(max_groups + 1).collect()
+    if len(cells) > max_groups:
         raise ValueError(
-            f"anova_oneway: {n_groups} groups exceed "
-            f"max_groups={max_groups}"
+            f"anova_oneway: more than max_groups={max_groups} groups"
         )
-    if n_groups < 2:
+    if len(cells) < 2:
         raise ValueError("anova_oneway: needs >= 2 groups")
-    cells = cell_df.collect()
     cells.sort(key=lambda r: r[group_col])
     tot = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1111,6 +1124,11 @@ def anova_oneway(
         t = t + x
     ssb = t - s * s / n
     ssw = ssq - t
+    if ssw == 0.0:
+        raise ValueError(
+            "anova_oneway: zero within-group variance (every group "
+            "is constant) — F is undefined"
+        )
     f_stat = (ssb / (k - 1)) / (ssw / (n - k))
     s2 = scale * scale
     return df.sparkSession.createDataFrame(
@@ -1205,28 +1223,33 @@ def autocorr(
     never a global sort), then one groupBy reduces each key's pairs
     to exact fixed-point DECIMAL(38,0) Pearson moments; the final r
     is a deterministic IEEE expression tree per key. ``order_col``
-    ties within a key are broken by nothing — the window order must
-    be total per key (the ewma contract; pass a unique event id).
-    Returns one row per key with >= 2 pairs: key, n_pairs, r."""
+    must be a TOTAL order per key — ENFORCED in-plan: the same
+    aggregation counts rows vs distinct order values and any key
+    with a duplicate raises (`_dup_order_guard`, the ewma/cusum
+    convention) instead of silently pairing in an engine-dependent
+    order. Returns one row per key with >= 2 pairs: key, n_pairs,
+    r."""
     from pyspark.sql import Window as W
 
     if lag < 1:
         raise ValueError("autocorr: lag must be >= 1")
     u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
-    w = W.partitionBy(key_col).orderBy(order_col)
-    paired = (
+    w = W.partitionBy(key_col).orderBy("__o")
+    lagged = (
         df.filter(
             F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
         )
-        .select(key_col, order_col, u.alias("__x"))
+        .select(key_col, F.col(order_col).alias("__o"), u.alias("__x"))
         .withColumn("__xl", F.lag("__x", lag).over(w))
-        .filter(F.col("__xl").isNotNull())
     )
-    g = paired.groupBy(key_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("__x").alias("sx"),
+    has = F.col("__xl").isNotNull()
+    g = lagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__o")).alias("_n_ord"),
+        F.count("__xl").cast("long").alias("n_pairs"),
+        F.sum(F.when(has, F.col("__x"))).alias("sx"),
         F.sum("__xl").alias("sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.when(has, F.col("__x") * F.col("__x"))).alias("sxx"),
         F.sum(F.col("__xl") * F.col("__xl")).alias("syy"),
         F.sum(F.col("__x") * F.col("__xl")).alias("sxy"),
     )
@@ -1238,11 +1261,10 @@ def autocorr(
     sxy = F.col("sxy").cast("double")
     num = nf * sxy - sx * sy
     den = F.sqrt(nf * sxx - sx * sx) * F.sqrt(nf * syy - sy * sy)
+    r = F.when(den > F.lit(0.0), num / den)
     return (
         g.filter(F.col("n_pairs") >= 2)
-        .withColumn(
-            "r", F.when(den > F.lit(0.0), num / den)
-        )
+        .withColumn("r", _dup_order_guard("autocorr", key_col, r))
         .select(key_col, "n_pairs", "r")
     )
 
@@ -1297,16 +1319,7 @@ def cusum(
         F.lit(0.0),
         lambda acc, x: F.greatest(F.lit(0.0), acc + (x - adj)),
     )
-    guarded = F.when(
-        F.col("_n_ord") != F.col("n"),
-        F.raise_error(
-            F.concat(
-                F.lit("cusum: duplicate order values within key "),
-                F.col(key_col).cast("string"),
-                F.lit(" — the fold order would be engine-dependent"),
-            )
-        ).cast("double"),
-    ).otherwise(folded)
+    guarded = _dup_order_guard("cusum", key_col, folded)
     return per_key.select(key_col, "n", guarded.alias("cusum"))
 
 

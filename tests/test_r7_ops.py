@@ -312,3 +312,37 @@ def test_streaming_anomaly_equals_batch(spark, tmp_path):
         exp[key] = (n, na)
     assert got == exp
     assert all(na >= 1 for _, na in exp.values())  # injection caught
+
+
+# ------------------------------------- review-pass regressions (r7)
+
+
+def test_anova_null_group_excluded(spark):
+    """NULL groups are excluded like SQL aggregates (and like
+    brown_forsythe's median join) — not a driver TypeError from
+    sorting None against str."""
+    rows = (
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 5.0)]
+        + [(None, 100.0)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = anova_oneway(df, "g", "v").collect()[0]
+    assert got["k"] == 2 and got["n"] == 4
+
+
+def test_anova_zero_within_variance_raises(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    with pytest.raises(ValueError, match="zero within-group variance"):
+        anova_oneway(df, "g", "v")
+
+
+def test_autocorr_duplicate_order_raises(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 1, 2.0), ("k", 2, 3.0), ("k", 3, 1.0)],
+        "k string, o long, v double",
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        autocorr(df, "k", "o", "v", lag=1).collect()
