@@ -5376,6 +5376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": _q_span_scrub,
         "lm_buckets": _q_lm_buckets,
         "streaming_anomaly": _q_streaming_anomaly,
+        "isotonic_cal": _q_isotonic_cal,
+        "bfs_levels": _q_bfs_levels,
         # round-6 window greens (recorded CORRECTNESS_r06), most
         # recent driver rows first:
         "decimal_agg": _q_decimal_agg,
@@ -9330,6 +9332,74 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bucket
             FROM sc
         """,
+        "isotonic_cal": """
+            WITH t AS (
+              SELECT event_id, value, event_type,
+                     ntile(10) OVER (ORDER BY value, event_id)
+                       AS tile
+              FROM events WHERE value IS NOT NULL),
+            bins AS (
+              SELECT tile, CAST(count(*) AS BIGINT) AS w,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS s
+              FROM t GROUP BY tile),
+            pre AS (
+              SELECT tile,
+                     sum(w) OVER (ORDER BY tile
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                     sum(s) OVER (ORDER BY tile
+                       ROWS UNBOUNDED PRECEDING) AS cs
+              FROM bins),
+            pre0 AS (
+              SELECT CAST(0 AS BIGINT) AS tile,
+                     CAST(0 AS HUGEINT) AS cw,
+                     CAST(0 AS HUGEINT) AS cs
+              UNION ALL SELECT tile, cw, cs FROM pre),
+            rates AS (
+              -- minimax lattice: rate of every window [j..k]
+              -- straddling i, from exact integer prefix sums
+              SELECT i.tile AS i, j.tile AS jm1,
+                     CAST(k.cs - j.cs AS DOUBLE)
+                       / CAST(k.cw - j.cw AS DOUBLE) AS r
+              FROM pre i, pre0 j, pre k
+              WHERE j.tile <= i.tile - 1 AND k.tile >= i.tile),
+            inner_min AS (
+              SELECT i, jm1, min(r) AS mr
+              FROM rates GROUP BY i, jm1),
+            fit AS (
+              SELECT i AS tile, max(mr) AS iso
+              FROM inner_min GROUP BY i)
+            SELECT b.tile, b.w AS n, b.s AS n_pos,
+                   floor((CAST(b.s AS DOUBLE) / CAST(b.w AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS raw_rate,
+                   floor((f.iso) * 1e9 + 0.5) / 1e9 AS iso_rate
+            FROM bins b JOIN fit f USING (tile)
+        """,
+        "bfs_levels": """
+            WITH e0 AS (
+              SELECT DISTINCT o_custkey AS s,
+                     l_suppkey + 1000000 AS t
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT s, t FROM e0
+                  UNION SELECT t, s FROM e0),
+            l0 AS (SELECT min(s) AS node FROM e),
+            l1 AS (
+              SELECT DISTINCT e.t AS node FROM e JOIN l0 ON e.s = l0.node
+              WHERE e.t NOT IN (SELECT node FROM l0)),
+            l2 AS (
+              SELECT DISTINCT e.t AS node FROM e JOIN l1 ON e.s = l1.node
+              WHERE e.t NOT IN (SELECT node FROM l0
+                                UNION ALL SELECT node FROM l1)),
+            l3 AS (
+              SELECT DISTINCT e.t AS node FROM e JOIN l2 ON e.s = l2.node
+              WHERE e.t NOT IN (SELECT node FROM l0
+                                UNION ALL SELECT node FROM l1
+                                UNION ALL SELECT node FROM l2))
+            SELECT node, 0 AS level FROM l0
+            UNION ALL SELECT node, 1 FROM l1
+            UNION ALL SELECT node, 2 FROM l2
+            UNION ALL SELECT node, 3 FROM l3
+        """,
         "streaming_anomaly": """
             WITH e AS (
               SELECT user_id, event_id,
@@ -9577,3 +9647,53 @@ def _q_streaming_anomaly(spark, sf_dir):
         F.col("s.n").alias("n"),
         F.col("s.n_anomalies").alias("n_anomalies"),
     )
+
+
+def _q_isotonic_cal(spark, sf_dir):
+    """Isotonic calibration (`operators/stats.py::isotonic_fit`):
+    the monotone least-squares fit of per-decile purchase rates —
+    what PAV computes, but evaluated via the MINIMAX identity
+    max_{j<=i} min_{k>=i} rate(j..k) over exact integer prefix sums,
+    so there is no data-dependent merge sequence to replay: every
+    candidate rate is one IEEE division of exact integers (< 2^53 at
+    any plausible bin count, so Python's exact-rational int/int
+    division and SQL's cast-then-divide agree bit-for-bit) and the
+    oracle evaluates the same O(bins^3) lattice in SQL. Completes
+    the model-eval family: `auc` ranks, `calibration` localizes,
+    this corrects."""
+    from hdfe_spark.operators.stats import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lab = ev.withColumn(
+        "__pos", (F.col("event_type") == "purchase")
+    )
+    out = isotonic_fit(lab, ["value", "event_id"], "__pos", n_bins=10)
+    return out.select(
+        "tile", "n", "n_pos",
+        _pround("raw_rate").alias("raw_rate"),
+        _pround("iso_rate").alias("iso_rate"),
+    )
+
+
+def _q_bfs_levels(spark, sf_dir):
+    """Fixed-depth BFS (`operators/graph.py::bfs_levels`) over the
+    undirected customer–supplier bipartite graph (the pagerank edge
+    set): hop distances 0-3 from the smallest customer node. The
+    fourth iterative-algorithm certificate (after connected
+    components, pagerank, k-means): fixed iterations, set semantics,
+    no floats — the oracle unrolls the identical three
+    frontier-expansion layers."""
+    from hdfe_spark.operators.graph import bfs_levels
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+    source = e.agg(F.min("u")).collect()[0][0]
+    return bfs_levels(e, "u", "v", source=source, max_depth=3)

@@ -276,3 +276,57 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
         & (F.greatest("w1.dst", "w2.dst") == F.col("y")),
     )
     return tri.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    source,
+    max_depth: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Fixed-depth breadth-first search from one source node: every
+    node within ``max_depth`` hops, labeled with its hop distance —
+    the reachability/radius primitive complementing
+    `connected_components` (which answers "same component?" but not
+    "how far?").
+
+    FIXED iterations (the pagerank/kmeans certificate convention):
+    each level d is one equi-join of the previous frontier against
+    the edge list plus one anti-join against the visited set — no
+    data-dependent stopping, so a SQL oracle unrolls the identical
+    ``max_depth`` layers. Set semantics throughout (distinct nodes);
+    no floats anywhere, so cross-engine exactness is trivial. At
+    scale each iteration shuffles |frontier ⋈ edges| keyed rows;
+    the visited set stays keyed by node for the anti-join.
+
+    Returns (node, level) with level 0 = the source."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        )
+    e = e.distinct()
+    spark = edges.sparkSession
+    node_type = e.schema["s"].dataType.simpleString()
+    visited = spark.createDataFrame(
+        [(source, 0)], f"node {node_type}, level int"
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("node", "s"), "s"
+            )
+            .select(F.col("t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited

@@ -1353,3 +1353,82 @@ def brown_forsythe(
     return anova_oneway(
         dev, group_col, "__z", scale=scale, max_groups=max_groups
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    order_by: "Sequence[str]",
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration over exact
+    score bins — the step after `calibration` shows WHERE a score is
+    miscalibrated: the least-squares monotone fit of the per-bin
+    positive rate, i.e. what PAV (pool-adjacent-violators) computes.
+
+    Engine-portable exactness without replaying PAV's data-dependent
+    merge sequence: the fit is evaluated via the MINIMAX identity
+
+        iso_i = max_{j<=i} min_{k>=i} (S_k - S_{j-1}) / (W_k - W_{j-1})
+
+    on exact integer prefix sums of (count, positives) per bin —
+    every candidate rate is ONE IEEE division of two exact integers
+    and max/min are comparisons, so a SQL oracle evaluating the
+    same O(n_bins^3) lattice produces bit-identical values (the
+    closed-form-family trick applied to an algorithm usually stated
+    iteratively). n_bins is small (deciles); the lattice is driver-
+    side over n_bins cells, the heavy work is the distributed
+    `exact_ntile` + one aggregation.
+
+    ``label_col`` must be boolean-like; bins come from
+    `rank.exact_ntile` under the TOTAL order ``order_by``. Returns
+    one row per bin: tile, n, n_pos, raw_rate, iso_rate
+    (nondecreasing in tile)."""
+    from hdfe_spark.operators.rank import exact_ntile
+
+    tiled = exact_ntile(df, order_by, n_bins, tile_col="__tile")
+    pos = F.col(label_col).cast("boolean").cast("long")
+    cells = (
+        tiled.groupBy("__tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum(pos).cast("long").alias("s"),
+        )
+        .collect()
+    )
+    cells.sort(key=lambda r: r["__tile"])
+    w = [int(r["w"]) for r in cells]
+    s = [int(r["s"] or 0) for r in cells]
+    k = len(cells)
+    cw = [0]
+    cs = [0]
+    for i in range(k):
+        cw.append(cw[-1] + w[i])
+        cs.append(cs[-1] + s[i])
+    iso = []
+    for i in range(1, k + 1):
+        best = None
+        for j in range(1, i + 1):
+            worst = None
+            for kk in range(i, k + 1):
+                r = (cs[kk] - cs[j - 1]) / (cw[kk] - cw[j - 1])
+                if worst is None or r < worst:
+                    worst = r
+            if best is None or worst > best:
+                best = worst
+        iso.append(best)
+    rows = [
+        (
+            int(cells[i]["__tile"]),
+            w[i],
+            s[i],
+            s[i] / w[i],
+            iso[i],
+        )
+        for i in range(k)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows,
+        "tile long, n long, n_pos long, raw_rate double, "
+        "iso_rate double",
+    )

@@ -346,3 +346,87 @@ def test_autocorr_duplicate_order_raises(spark):
     )
     with pytest.raises(Exception, match="duplicate order"):
         autocorr(df, "k", "o", "v", lag=1).collect()
+
+
+# ---------------------------------------------- isotonic / bfs (r7b)
+
+
+def _pav(w, y):
+    """Stack-based weighted pool-adjacent-violators reference."""
+    blocks = []  # (weight, sum)
+    for wi, yi in zip(w, y):
+        blocks.append([wi, yi])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    out = []
+    for wi, si in blocks:
+        out.extend([si / wi] * 1)
+    # expand back to per-input-block values
+    fit = []
+    it = iter(blocks)
+    cur, left = None, 0
+    bi = 0
+    for wi in w:
+        if left == 0:
+            cur = blocks[bi][1] / blocks[bi][0]
+            left = blocks[bi][0]
+            bi += 1
+        fit.append(cur)
+        left -= wi
+    return fit
+
+
+def test_isotonic_minimax_equals_pav(spark):
+    from hdfe_spark.operators.stats import isotonic_fit
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    score = rng.uniform(size=n)
+    # noisy, roughly increasing success probability
+    label = rng.uniform(size=n) < (0.2 + 0.6 * score**2)
+    df = spark.createDataFrame(
+        [(i, float(s), bool(l)) for i, (s, l) in enumerate(zip(score, label))],
+        "id long, score double, label boolean",
+    )
+    rows = isotonic_fit(df, ["score", "id"], "label", n_bins=10).collect()
+    rows.sort(key=lambda r: r["tile"])
+    got = [r["iso_rate"] for r in rows]
+    # PAV reference over the same bins (equal-size exact deciles)
+    order = np.lexsort((np.arange(n), score))
+    binned = np.array_split(label[order].astype(int), 10)
+    w = [len(b) for b in binned]
+    s = [int(b.sum()) for b in binned]
+    exp = _pav(w, s)
+    assert got == pytest.approx(exp, abs=1e-12)
+    # monotone nondecreasing, and mass-preserving overall
+    assert all(a <= b + 1e-15 for a, b in zip(got, got[1:]))
+    raw = [r["n_pos"] / r["n"] for r in rows]
+    assert sum(g * r["n"] for g, r in zip(got, rows)) == pytest.approx(
+        sum(ra * r["n"] for ra, r in zip(raw, rows))
+    )
+
+
+def test_bfs_levels_small_graph(spark):
+    from hdfe_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (7, 8)],
+        "u long, v long",
+    )
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(edges, "u", "v", source=1, max_depth=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3}
+    # directed variant: 6 is still reached, but nothing flows back
+    d = {
+        r["node"]: r["level"]
+        for r in bfs_levels(
+            edges, "u", "v", source=2, max_depth=2, directed=True
+        ).collect()
+    }
+    assert d == {2: 0, 3: 1, 6: 1, 4: 2}
