@@ -229,10 +229,52 @@ def stress_scrub():
     )
 
 
+def stress_bfs_iso():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.graph import bfs_levels
+    from hdfe_spark.operators.stats import isotonic_fit
+
+    spark = _spark()
+    # random bipartite graph: 2M left x 200k right, 20M edges
+    e = spark.range(0, N, 1, 64).select(
+        (F.abs(F.hash(F.col("id"), F.lit(11))) % 2_000_000).alias("u"),
+        (F.abs(F.hash(F.col("id"), F.lit(13))) % 200_000
+         + 10_000_000).alias("v"),
+    )
+    t0 = time.time()
+    lv = bfs_levels(e, "u", "v", source=0, max_depth=3)
+    counts = {r["level"]: r["cnt"] for r in
+              lv.groupBy("level").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    wall = time.time() - t0
+    assert counts[0] == 1
+    # expected: ~10 suppliers at level 1, ~1000 custs at level 2,
+    # ~100k supps at level 3 (Poisson degree ~10 each way)
+    assert 1 <= counts[1] < 100 and counts[2] > 100
+    t0 = time.time()
+    iso_df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        (F.abs(F.hash(F.col("id"), F.lit(17))) % 1_000_000).alias("sc"),
+        ((F.abs(F.hash(F.col("id"), F.lit(19))) % 1_000_000
+          + F.abs(F.hash(F.col("id"), F.lit(17))) % 1_000_000)
+         > 1_200_000).alias("label"),
+    )
+    rows = isotonic_fit(iso_df, ["sc", "id"], "label", n_bins=10).collect()
+    wall_iso = time.time() - t0
+    iso = [r["iso_rate"] for r in sorted(rows, key=lambda r: r["tile"])]
+    assert all(a <= b + 1e-15 for a, b in zip(iso, iso[1:]))
+    assert sum(r["n"] for r in rows) == N
+    print(
+        f"bfs: 20M-edge bipartite, levels {counts}, wall={wall:.1f}s; "
+        f"isotonic 20M rows 10 bins wall={wall_iso:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     {
         "survival": stress_survival,
         "evalpair": stress_evalpair,
         "r7stats": stress_r7stats,
         "scrub": stress_scrub,
+        "bfs_iso": stress_bfs_iso,
     }[sys.argv[1]]()
