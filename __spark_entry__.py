@@ -5298,7 +5298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 47-50: headline-bench re-certification (`ols_2fe`
       `minhash_dedup` `tfidf_topk` `sessionize`) — the most
       expensive plans in BENCH, re-recorded on current fixtures.
-    - positions 51+: the round-6 window greens first (most recent
+    - positions 51-62: the ROUND-8 ROTATION QUEUE — the twelve
+      operators built in round 7 (`anova` … `bfs_levels`), never
+      driver-recorded, first in line next rotation.
+    - positions 63+: the round-6 window greens first (most recent
       driver rows), then the r03-r05 driver-green backlog — ALL
       still gated locally every round (`tools/check_oracle.py`,
       which now hard-FAILS any non-scalar output cell so no
