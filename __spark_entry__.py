@@ -5381,6 +5381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_anomaly": _q_streaming_anomaly,
         "isotonic_cal": _q_isotonic_cal,
         "bfs_levels": _q_bfs_levels,
+        "gini": _q_gini,
+        "cross_corr": _q_cross_corr,
         # round-6 window greens (recorded CORRECTNESS_r06), most
         # recent driver rows first:
         "decimal_agg": _q_decimal_agg,
@@ -9335,6 +9337,66 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bucket
             FROM sc
         """,
+        "gini": """
+            WITH cells AS (
+              SELECT CAST(round(n_chars * 1.0) AS HUGEINT) AS u,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY 1),
+            cum AS (
+              SELECT u, c,
+                     sum(c) OVER (ORDER BY u
+                       ROWS UNBOUNDED PRECEDING) AS cm
+              FROM cells),
+            agg AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(u * c) AS DOUBLE) AS s,
+                     -- T = 2*S1: v*c*(2B + c + 1) per tie block
+                     CAST(sum(u * c * (2 * (cm - c) + c + 1))
+                          AS DOUBLE) AS t2
+              FROM cum)
+            SELECT n,
+                   floor((t2 / (CAST(n AS DOUBLE) * s)
+                          - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS gini
+            FROM agg
+        """,
+        "cross_corr": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(round(value * 1e6) AS HUGEINT) AS x,
+                     CAST(round(lag(CASE WHEN event_type = 'purchase'
+                                         THEN 1.0 ELSE 0.0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id)
+                       * 1e6) AS HUGEINT) AS yl
+              FROM events
+              -- event_type IS NOT NULL mirrors the operator: a NULL
+              -- type makes the indicator NULL and the row DROPS
+              -- before lagging (an ELSE 0.0 would keep it)
+              WHERE value IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            g AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(x) AS DOUBLE) AS sx,
+                     CAST(sum(yl) AS DOUBLE) AS sy,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx,
+                     CAST(sum(yl * yl) AS DOUBLE) AS syy,
+                     CAST(sum(x * yl) AS DOUBLE) AS sxy
+              FROM p WHERE yl IS NOT NULL
+              GROUP BY user_id)
+            SELECT user_id, n_pairs,
+                   floor((CASE WHEN
+                       sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                       * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+                       > 0.0
+                     THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                       / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                          * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                 - sy * sy))
+                     END) * 1e9 + 0.5) / 1e9 AS r
+            FROM g WHERE n_pairs >= 2
+        """,
         "isotonic_cal": """
             WITH t AS (
               SELECT event_id, value, event_type,
@@ -9700,3 +9762,34 @@ def _q_bfs_levels(spark, sf_dir):
     )
     source = e.agg(F.min("u")).collect()[0][0]
     return bfs_levels(e, "u", "v", source=source, max_depth=3)
+
+
+def _q_gini(spark, sf_dir):
+    """Exact Gini coefficient (`operators/stats.py::gini`) of the
+    corpus's character mass over documents — "how concentrated is
+    the byte budget?", the continuous complement of
+    `weighted_quantiles`' cutoffs. Distinct-value cells + the
+    distributed prefix sum; tie blocks contribute closed-form rank
+    sums, so T = 2*S1 is pure integer DECIMAL arithmetic and the
+    final statistic is two IEEE divisions the oracle mirrors."""
+    from hdfe_spark.operators.stats import gini
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gini(docs, "n_chars", scale=1.0)
+    return out.select("n", _pround("gini").alias("gini"))
+
+
+def _q_cross_corr(spark, sf_dir):
+    """Per-user lead-lag cross-correlation (`operators/stats.py::
+    cross_corr`): does a purchase foreshadow the NEXT event's value?
+    x_t = value, y_{t-1} = purchase indicator, one key-partitioned
+    window pass + exact DECIMAL(38,0) Pearson moments per user —
+    `autocorr`'s two-series generalization, sharing its in-plan
+    duplicate-order guard."""
+    from hdfe_spark.operators.stats import cross_corr
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__ind", (F.col("event_type") == "purchase").cast("double")
+    )
+    out = cross_corr(ev, "user_id", "event_id", "value", "__ind", lag=1)
+    return out.select("user_id", "n_pairs", _pround("r").alias("r"))

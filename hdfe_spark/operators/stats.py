@@ -1432,3 +1432,129 @@ def isotonic_fit(
         "tile long, n long, n_pos long, raw_rate double, "
         "iso_rate double",
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative quantity — the
+    concentration metric a curation pipeline points at token/byte
+    mass ("do 1% of documents hold half the corpus?"), the
+    continuous complement of `weighted_quantiles`' cutoffs.
+
+        G = 2*S1 / (n*S) - (n+1)/n,   S1 = sum_i i*x_(i)
+
+    over the ascending sort — but never BY sorting rows: ties make
+    every within-block order equivalent (sum of ranks over a tie
+    block is closed-form), so S1 reduces to the DISTINCT-value cell
+    table with cumulative counts from the distributed prefix sum
+    (`mann_whitney`'s path): a cell (v, c) at cumulative-before B
+    contributes v*c*(2B + c + 1) to T = 2*S1 — kept doubled so the
+    aggregation is PURE integer multiplication in DECIMAL(38,0)
+    (a /2 would widen the decimal scale). Exact until the two final
+    IEEE divisions — bit-portable. Negative values raise (Gini is
+    undefined); zero total raises.
+
+    Returns ONE row: n, gini."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    cum = prefix_sum(cells, ["__u"], "__c", out_col="__cum")
+    c = F.col("__c").cast("decimal(38,0)")
+    b = (F.col("__cum") - F.col("__c")).cast("decimal(38,0)")
+    uu = F.col("__u")
+    # T = 2*S1: v*c*(2B + c + 1) per tie block — integer-only
+    block2 = uu * c * (F.lit(2) * b + c + F.lit(1))
+    m = cum.agg(
+        F.min("__u").alias("umin"),
+        F.sum(c).alias("n"),
+        F.sum(uu * c).alias("s"),
+        F.sum(block2).alias("t2"),
+    ).collect()[0]
+    if m["umin"] is None:
+        raise ValueError("gini: empty input")
+    if m["umin"] < 0:
+        raise ValueError("gini: negative values — Gini is undefined")
+    n = int(m["n"])
+    s = int(m["s"])
+    if s == 0:
+        raise ValueError("gini: zero total — Gini is undefined")
+    t2 = int(m["t2"])
+    g = float(t2) / (float(n) * float(s)) - float(n + 1) / float(n)
+    return df.sparkSession.createDataFrame(
+        [(n, g)], "n long, gini double"
+    )
+
+
+def cross_corr(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    lag: int = 1,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-key lead-lag cross-correlation: Pearson r between x_t and
+    y_{t-lag} over each key's ``order_col``-ordered series — "does a
+    spike in y foreshadow x ``lag`` steps later?", the two-series
+    generalization of `autocorr` (which is cross_corr of a series
+    with itself). Same plan and exactness: one key-partitioned
+    window pass, exact DECIMAL(38,0) Pearson moments, in-plan
+    duplicate-order guard. Rows where either series is NULL are
+    excluded BEFORE lagging (both series must share the order
+    spine). Returns one row per key with >= 2 pairs: key, n_pairs,
+    r."""
+    from pyspark.sql import Window as W
+
+    if lag < 1:
+        raise ValueError("cross_corr: lag must be >= 1")
+    ux = F.round(F.col(x_col) * scale).cast("decimal(38,0)")
+    uy = F.round(F.col(y_col) * scale).cast("decimal(38,0)")
+    w = W.partitionBy(key_col).orderBy("__o")
+    lagged = (
+        df.filter(
+            F.col(order_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            key_col,
+            F.col(order_col).alias("__o"),
+            ux.alias("__x"),
+            uy.alias("__y"),
+        )
+        .withColumn("__yl", F.lag("__y", lag).over(w))
+    )
+    has = F.col("__yl").isNotNull()
+    g = lagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__o")).alias("_n_ord"),
+        F.count("__yl").cast("long").alias("n_pairs"),
+        F.sum(F.when(has, F.col("__x"))).alias("sx"),
+        F.sum("__yl").alias("sy"),
+        F.sum(F.when(has, F.col("__x") * F.col("__x"))).alias("sxx"),
+        F.sum(F.col("__yl") * F.col("__yl")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__yl")).alias("sxy"),
+    )
+    nf = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nf * sxy - sx * sy
+    den = F.sqrt(nf * sxx - sx * sx) * F.sqrt(nf * syy - sy * sy)
+    r = F.when(den > F.lit(0.0), num / den)
+    return (
+        g.filter(F.col("n_pairs") >= 2)
+        .withColumn("r", _dup_order_guard("cross_corr", key_col, r))
+        .select(key_col, "n_pairs", "r")
+    )

@@ -430,3 +430,76 @@ def test_bfs_levels_small_graph(spark):
         ).collect()
     }
     assert d == {2: 0, 3: 1, 6: 1, 4: 2}
+
+
+# ------------------------------------------------- gini / cross_corr
+
+
+def test_gini_known_values(spark):
+    from hdfe_spark.operators.stats import gini
+
+    # all equal -> 0
+    eq = spark.createDataFrame([(5.0,)] * 8, "v double")
+    assert gini(eq, "v").collect()[0]["gini"] == pytest.approx(0.0)
+    # one holder of everything among n -> (n-1)/n
+    n = 10
+    conc = spark.createDataFrame(
+        [(0.0,)] * (n - 1) + [(100.0,)], "v double"
+    )
+    assert gini(conc, "v").collect()[0]["gini"] == pytest.approx(
+        (n - 1) / n
+    )
+
+
+def test_gini_matches_numpy_reference(spark):
+    from hdfe_spark.operators.stats import gini
+
+    rng = np.random.default_rng(23)
+    x = np.round(rng.lognormal(0, 1.2, 4000), 6)
+    df = spark.createDataFrame([(float(v),) for v in x], "v double")
+    got = gini(df, "v").collect()[0]
+    xs = np.sort(np.round(x * 1e6))
+    i = np.arange(1, len(xs) + 1)
+    exp = 2 * (i * xs).sum() / (len(xs) * xs.sum()) - (len(xs) + 1) / len(xs)
+    assert got["gini"] == pytest.approx(exp, rel=1e-9)
+    assert got["n"] == 4000
+
+
+def test_gini_guards(spark):
+    from hdfe_spark.operators.stats import gini
+
+    neg = spark.createDataFrame([(-1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="negative"):
+        gini(neg, "v")
+    zero = spark.createDataFrame([(0.0,), (0.0,)], "v double")
+    with pytest.raises(ValueError, match="zero total"):
+        gini(zero, "v")
+
+
+def test_cross_corr_matches_pandas(spark):
+    import pandas as pd
+
+    from hdfe_spark.operators.stats import cross_corr
+
+    rng = np.random.default_rng(29)
+    y = np.round(rng.normal(size=100), 6)
+    x = np.round(np.roll(y, 2) * 0.8 + rng.normal(size=100) * 0.3, 6)
+    rows = [("k", i, float(x[i]), float(y[i])) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, o long, x double, y double")
+    got = cross_corr(df, "k", "o", "x", "y", lag=2).collect()[0]
+    sx = pd.Series(x[2:])
+    sy = pd.Series(y[:-2])
+    assert got["n_pairs"] == 98
+    assert got["r"] == pytest.approx(sx.corr(sy), rel=1e-6)
+    assert got["r"] > 0.8  # the planted lead-lag relationship
+
+
+def test_cross_corr_duplicate_order_raises(spark):
+    from hdfe_spark.operators.stats import cross_corr
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0, 1.0), ("k", 1, 2.0, 2.0), ("k", 2, 3.0, 3.0)],
+        "k string, o long, x double, y double",
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        cross_corr(df, "k", "o", "x", "y").collect()
