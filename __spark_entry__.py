@@ -5298,10 +5298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 47-50: headline-bench re-certification (`ols_2fe`
       `minhash_dedup` `tfidf_topk` `sessionize`) — the most
       expensive plans in BENCH, re-recorded on current fixtures.
-    - positions 51-62: the ROUND-8 ROTATION QUEUE — the twelve
-      operators built in round 7 (`anova` … `bfs_levels`), never
+    - positions 51-64: the ROUND-8 ROTATION QUEUE — the fourteen
+      operators built in round 7 (`anova` … `cross_corr`), never
       driver-recorded, first in line next rotation.
-    - positions 63+: the round-6 window greens first (most recent
+    - positions 65+: the round-6 window greens first (most recent
       driver rows), then the r03-r05 driver-green backlog — ALL
       still gated locally every round (`tools/check_oracle.py`,
       which now hard-FAILS any non-scalar output cell so no
@@ -5367,8 +5367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "sessionize": _q_sessionize,
         # ------ end of the driver's 50-query window ------
-        # ROUND-8 ROTATION QUEUE: the ten operators BUILT in round 7
-        # (never driver-recorded — first in line next rotation):
+        # ROUND-8 ROTATION QUEUE: the fourteen operators BUILT in
+        # round 7 (never driver-recorded — first in line next
+        # rotation):
         "anova": _q_anova,
         "levene": _q_levene,
         "pca2": _q_pca2,
@@ -9402,7 +9403,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, value, event_type,
                      ntile(10) OVER (ORDER BY value, event_id)
                        AS tile
-              FROM events WHERE value IS NOT NULL),
+              -- event_id IS NOT NULL: Spark windows sort NULLS
+              -- FIRST, DuckDB NULLS LAST — a NULL order key near a
+              -- boundary would tile differently per engine
+              FROM events WHERE value IS NOT NULL
+                AND event_id IS NOT NULL),
             bins AS (
               SELECT tile, CAST(count(*) AS BIGINT) AS w,
                      CAST(sum(CASE WHEN event_type = 'purchase'
@@ -9728,7 +9733,9 @@ def _q_isotonic_cal(spark, sf_dir):
     this corrects."""
     from hdfe_spark.operators.stats import isotonic_fit
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
     lab = ev.withColumn(
         "__pos", (F.col("event_type") == "purchase")
     )

@@ -309,7 +309,10 @@ def bfs_levels(
         e = e.unionByName(
             e.select(F.col("t").alias("s"), F.col("s").alias("t"))
         )
-    e = e.distinct()
+    # materialize once: every level re-joins the edge list, and
+    # without this the full upstream derivation (joins, distinct)
+    # would re-execute max_depth times
+    e = e.distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
     node_type = e.schema["s"].dataType.simpleString()
     visited = spark.createDataFrame(

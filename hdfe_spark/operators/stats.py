@@ -1355,6 +1355,32 @@ def brown_forsythe(
     )
 
 
+def _isotonic_minimax(w: "list[int]", s: "list[int]") -> "list[float]":
+    """The minimax evaluation of the isotonic fit over (weight,
+    positives) bins: iso_i = max_{j<=i} min_{k>=i} windowed rate on
+    exact integer prefix sums. Extracted so the PAV-equivalence can
+    be property-tested directly on arbitrary bin profiles."""
+    k = len(w)
+    cw = [0]
+    cs = [0]
+    for i in range(k):
+        cw.append(cw[-1] + w[i])
+        cs.append(cs[-1] + s[i])
+    iso = []
+    for i in range(1, k + 1):
+        best = None
+        for j in range(1, i + 1):
+            worst = None
+            for kk in range(i, k + 1):
+                r = (cs[kk] - cs[j - 1]) / (cw[kk] - cw[j - 1])
+                if worst is None or r < worst:
+                    worst = r
+            if best is None or worst > best:
+                best = worst
+        iso.append(best)
+    return iso
+
+
 def isotonic_fit(
     df: DataFrame,
     order_by: "Sequence[str]",
@@ -1383,9 +1409,25 @@ def isotonic_fit(
     ``label_col`` must be boolean-like; bins come from
     `rank.exact_ntile` under the TOTAL order ``order_by``. Returns
     one row per bin: tile, n, n_pos, raw_rate, iso_rate
-    (nondecreasing in tile)."""
+    (nondecreasing in tile). ``order_by`` must be a TOTAL order —
+    ENFORCED with a loud ValueError (the `_dup_order_guard`
+    convention): a tied ordering makes `exact_ntile`'s boundary
+    assignment nondeterministic and the certificate would diverge
+    silently."""
     from hdfe_spark.operators.rank import exact_ntile
 
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.struct(*[F.col(c) for c in order_by])
+        ).alias("d"),
+    ).collect()[0]
+    if int(chk["n"]) != int(chk["d"] or 0):
+        raise ValueError(
+            "isotonic_fit: order_by is not a total order (duplicate "
+            "keys) — tile boundaries would be engine-dependent; add "
+            "a unique tiebreaker column"
+        )
     tiled = exact_ntile(df, order_by, n_bins, tile_col="__tile")
     pos = F.col(label_col).cast("boolean").cast("long")
     cells = (
@@ -1400,23 +1442,7 @@ def isotonic_fit(
     w = [int(r["w"]) for r in cells]
     s = [int(r["s"] or 0) for r in cells]
     k = len(cells)
-    cw = [0]
-    cs = [0]
-    for i in range(k):
-        cw.append(cw[-1] + w[i])
-        cs.append(cs[-1] + s[i])
-    iso = []
-    for i in range(1, k + 1):
-        best = None
-        for j in range(1, i + 1):
-            worst = None
-            for kk in range(i, k + 1):
-                r = (cs[kk] - cs[j - 1]) / (cw[kk] - cw[j - 1])
-                if worst is None or r < worst:
-                    worst = r
-            if best is None or worst > best:
-                best = worst
-        iso.append(best)
+    iso = _isotonic_minimax(w, s)
     rows = [
         (
             int(cells[i]["__tile"]),

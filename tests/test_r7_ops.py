@@ -362,12 +362,8 @@ def _pav(w, y):
             b = blocks.pop()
             blocks[-1][0] += b[0]
             blocks[-1][1] += b[1]
-    out = []
-    for wi, si in blocks:
-        out.extend([si / wi] * 1)
     # expand back to per-input-block values
     fit = []
-    it = iter(blocks)
     cur, left = None, 0
     bi = 0
     for wi in w:
