@@ -270,6 +270,37 @@ def stress_bfs_iso():
     )
 
 
+def stress_gini_xcorr():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import cross_corr, gini
+
+    spark = _spark()
+    t0 = time.time()
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("key"),
+        F.col("id").alias("o"),
+        (F.abs(F.hash(F.col("id"), F.lit(31))) % 100_000).cast(
+            "double"
+        ).alias("x"),
+        (F.abs(F.hash(F.col("id"), F.lit(37))) % 100_000).cast(
+            "double"
+        ).alias("y"),
+    )
+    g = gini(df, "x", scale=1.0).collect()[0]
+    t_g = time.time() - t0
+    # uniform distribution -> Gini ~ 1/3
+    assert abs(g["gini"] - 1.0 / 3.0) < 0.01, g
+    t0 = time.time()
+    cc = cross_corr(df, "key", "o", "x", "y", lag=1)
+    n_keys = cc.count()
+    t_c = time.time() - t0
+    assert n_keys == 1000
+    print(f"gini 20M (uniform, G={g['gini']:.4f}): {t_g:.1f}s; "
+          f"cross_corr 20M x 1000 keys: {t_c:.1f}s")
+
+
 if __name__ == "__main__":
     {
         "survival": stress_survival,
@@ -277,4 +308,5 @@ if __name__ == "__main__":
         "r7stats": stress_r7stats,
         "scrub": stress_scrub,
         "bfs_iso": stress_bfs_iso,
+        "gini_xcorr": stress_gini_xcorr,
     }[sys.argv[1]]()
