@@ -5298,10 +5298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - positions 47-50: headline-bench re-certification (`ols_2fe`
       `minhash_dedup` `tfidf_topk` `sessionize`) — the most
       expensive plans in BENCH, re-recorded on current fixtures.
-    - positions 51-64: the ROUND-8 ROTATION QUEUE — the fourteen
-      operators built in round 7 (`anova` … `cross_corr`), never
+    - positions 51-65: the ROUND-8 ROTATION QUEUE — the fifteen
+      operators built in round 7 (`anova` … `binary_source`), never
       driver-recorded, first in line next rotation.
-    - positions 65+: the round-6 window greens first (most recent
+    - positions 66+: the round-6 window greens first (most recent
       driver rows), then the r03-r05 driver-green backlog — ALL
       still gated locally every round (`tools/check_oracle.py`,
       which now hard-FAILS any non-scalar output cell so no
@@ -5367,7 +5367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "sessionize": _q_sessionize,
         # ------ end of the driver's 50-query window ------
-        # ROUND-8 ROTATION QUEUE: the fourteen operators BUILT in
+        # ROUND-8 ROTATION QUEUE: the fifteen operators BUILT in
         # round 7 (never driver-recorded — first in line next
         # rotation):
         "anova": _q_anova,
@@ -5384,6 +5384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": _q_bfs_levels,
         "gini": _q_gini,
         "cross_corr": _q_cross_corr,
+        "binary_source": _q_binary_source,
         # round-6 window greens (recorded CORRECTNESS_r06), most
         # recent driver rows first:
         "decimal_agg": _q_decimal_agg,
@@ -9338,6 +9339,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bucket
             FROM sc
         """,
+        "binary_source": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                     AS length,
+                   md5(text) AS md5_hex
+            FROM documents
+            WHERE doc_id < 100 AND length(text) > 0
+        """,
         "gini": """
             WITH cells AS (
               SELECT CAST(round(n_chars * 1.0) AS HUGEINT) AS u,
@@ -9800,3 +9809,39 @@ def _q_cross_corr(spark, sf_dir):
     )
     out = cross_corr(ev, "user_id", "event_id", "value", "__ind", lag=1)
     return out.select("user_id", "n_pairs", _pround("r").alias("r"))
+
+
+def _q_binary_source(spark, sf_dir):
+    """Opaque-binary ingestion certificate (`sources/tables.py::
+    read_binary_files`, Spark's built-in ``binaryFile`` format — the
+    multimodal I/O path): the first 100 documents are materialized
+    as <doc_id>.bin files (driver-side FIXTURE PREP over a bounded
+    100-row collect, not the operator), then listed and read back in
+    parallel; the output (doc_id from the filename, on-disk byte
+    length, md5 of the content bytes) must equal the utf-8 byte
+    length and md5 the oracle computes from the documents table —
+    proving the bytes survive the filesystem round trip untouched.
+    binaryFile prunes columns, so length-only scans never read
+    content; at 100 TB this source shards by
+    spark.sql.files.maxPartitionBytes like any parquet scan."""
+    from hdfe_spark.sources.tables import read_binary_files
+
+    d = _fresh_tmpdir("hdfe_bin_")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        # length > 0: binaryFile yields NO row for a zero-byte file,
+        # so an empty text would drop Spark-side only — exclude it
+        # on both engines
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(f"{d}/{int(r['doc_id'])}.bin", "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    out = read_binary_files(spark, d + "/*.bin")
+    return out.select(
+        F.col("file_id").alias("doc_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("md5_hex"),
+    )

@@ -94,3 +94,37 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each table as a temp view so ``spark.sql`` queries work."""
     for t in TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def read_binary_files(
+    spark,
+    path_glob: str,
+    id_pattern: str = r"(\d+)\.bin$",
+):
+    """Opaque-binary ingestion via Spark's built-in ``binaryFile``
+    format — THE entry point for multimodal payloads (images, audio,
+    video) at scale: each file becomes one row of (path,
+    modificationTime, length, content: binary), listed and read in
+    parallel across executors, with partition sizing governed by
+    ``spark.sql.files.maxPartitionBytes`` exactly like parquet scans.
+    The decode stage downstream is `operators/multimodal.py`'s
+    mapInPandas codecs; this is the I/O half.
+
+    Returns (file_id, length, content): ``file_id`` parsed from the
+    file name by ``id_pattern`` (NULL when the name does not match —
+    callers filter or fail loud), ``length`` the on-disk byte count
+    as reported by the source (no content materialization needed for
+    length-only queries: binaryFile supports column pruning).
+    ZERO-BYTE files yield no row at all (the source partitions by
+    bytes) — an empty payload must be represented upstream by a
+    sentinel, not an empty file."""
+    from pyspark.sql import functions as F
+
+    bf = spark.read.format("binaryFile").load(path_glob)
+    return bf.select(
+        F.regexp_extract(F.col("path"), id_pattern, 1)
+        .cast("long")
+        .alias("file_id"),
+        F.col("length"),
+        F.col("content"),
+    )

@@ -499,3 +499,28 @@ def test_cross_corr_duplicate_order_raises(spark):
     )
     with pytest.raises(Exception, match="duplicate order"):
         cross_corr(df, "k", "o", "x", "y").collect()
+
+
+# --------------------------------------------------- binary source
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    import hashlib
+
+    from hdfe_spark.sources.tables import read_binary_files
+
+    payloads = {1: b"hello world", 2: b"\x00\x01\xffbinary", 7: b""}
+    for i, b in payloads.items():
+        (tmp_path / f"{i}.bin").write_bytes(b)
+    (tmp_path / "notes.txt").write_bytes(b"ignored")
+    out = {
+        r["file_id"]: (r["length"], bytes(r["content"]))
+        for r in read_binary_files(
+            spark, str(tmp_path) + "/*.bin"
+        ).collect()
+    }
+    # zero-byte files produce NO row (Spark's binaryFile partitions
+    # by bytes) — pinned here because the docstring promises it
+    assert set(out) == {1, 2}
+    for i in (1, 2):
+        assert out[i] == (len(payloads[i]), payloads[i])
