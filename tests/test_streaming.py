@@ -393,3 +393,63 @@ def test_streaming_ewma_multichunk_fold_order(spark, tmp_path):
     for v in ordered[1:]:
         y = 0.5 * v + 0.5 * y
     assert got["n"] == 12 and got["ewma"] == y  # bit-exact
+
+
+def test_streaming_anomaly_multichunk_order(spark, tmp_path):
+    """Fourteenth-form regression guard (the streaming_ewma lesson):
+    a key whose micro-batch spans multiple Arrow chunks must process
+    in ONE global event_id sort — per-chunk iteration would evaluate
+    the prior-stats rule against wrong prefixes."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.streaming.ops import streaming_anomaly
+
+    src = str(tmp_path / "anom_chunks")
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.5, 9.0, 10.0,
+            10.5, 9.5, 10.0, 55.0, 10.0, 9.5]
+    # written in REVERSE event order so arrival != event order
+    rows = [(1, len(vals) - 1 - i, v) for i, v in enumerate(vals[::-1])]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, value double"
+        ).parquet(src)
+        sm = streaming_anomaly(
+            stream, "user_id", "event_id", "value",
+            z=3, min_n=5, scale=1e3,
+        )
+        name = "anom_chunk_sink"
+        q = (
+            sm.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = (
+            spark.table(name)
+            .orderBy(F.desc("n"))
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    # reference: the exact integer rule in event_id order
+    n = s = qq = na = 0
+    for v in vals:
+        u = int(math.floor(v * 1e3 + 0.5))
+        if n >= 5 and (n * u - s) ** 2 > 9 * (n * qq - s * s):
+            na += 1
+        n, s, qq = n + 1, s + u, qq + u * u
+    assert (got["n"], got["n_anomalies"]) == (n, na)
+    assert na >= 1  # the planted 55.0 spike is caught
