@@ -121,9 +121,13 @@ def read_binary_files(
     from pyspark.sql import functions as F
 
     bf = spark.read.format("binaryFile").load(path_glob)
+    # try_cast, not cast: regexp_extract yields '' (not NULL) on a
+    # non-matching name, and under the session's ANSI mode a bare
+    # cast('' as long) would kill the whole scan instead of giving
+    # the promised NULL file_id
     return bf.select(
         F.regexp_extract(F.col("path"), id_pattern, 1)
-        .cast("long")
+        .try_cast("long")
         .alias("file_id"),
         F.col("length"),
         F.col("content"),

@@ -524,3 +524,19 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
     assert set(out) == {1, 2}
     for i in (1, 2):
         assert out[i] == (len(payloads[i]), payloads[i])
+
+
+def test_read_binary_files_nonmatching_name_is_null(spark, tmp_path):
+    """ANSI regression (third review pass): a matched file whose name
+    has no id must yield NULL file_id, not kill the scan with a
+    CAST_INVALID_INPUT (regexp_extract returns '' on no match and a
+    bare cast('' as long) throws under ANSI)."""
+    from hdfe_spark.sources.tables import read_binary_files
+
+    (tmp_path / "42.bin").write_bytes(b"x")
+    (tmp_path / "abc.bin").write_bytes(b"y")
+    out = {
+        r["file_id"]
+        for r in read_binary_files(spark, str(tmp_path) + "/*.bin").collect()
+    }
+    assert out == {42, None}
