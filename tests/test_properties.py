@@ -391,3 +391,49 @@ def test_weighted_quantile_matches_reference(spark, vals, pct):
             exp = (v, cum)
             break
     assert (got["value"], got["cum_weight"]) == exp
+
+
+@st.composite
+def tiny_corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=5))
+    vocab = ["a", "b", "c", "d"]
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(min_value=0, max_value=12))
+        docs.append(
+            (i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_tok)))
+        )
+    return docs
+
+
+@SLOW
+@given(docs=tiny_corpus(), k=st.integers(min_value=2, max_value=4))
+def test_span_scrub_matches_brute_force(spark, docs, k):
+    """scrub_duplicate_spans must equal a direct Python reference for
+    ANY corpus: tokens covered by a cross-document k-gram vanish,
+    everything else survives in order. A 4-letter vocabulary makes
+    duplicated grams common, exercising overlap and full-coverage
+    paths the fixtures rarely hit."""
+    from hdfe_spark.operators.text import scrub_duplicate_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["scrubbed_text"])
+        for r in scrub_duplicate_spans(df, k=k, min_docs=2).collect()
+    }
+    toks = {i: t.split() if t else [] for i, t in docs}
+    grams = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[p:p + k]), set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    exp = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - k + 1):
+            if " ".join(ts[p:p + k]) in dup:
+                covered.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        if kept:
+            exp[i] = (len(ts), len(kept), " ".join(kept))
+    assert got == exp
