@@ -155,3 +155,86 @@ def kmeans_fixed(
 
     out = pts.withColumn("cluster", _assign_expr(feature_cols, centroids))
     return out, centroids
+
+
+def dbscan_grid(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """Exact planar DBSCAN over INTEGER coordinates — density
+    clustering with noise, composed entirely from this repo's
+    already-certified primitives: the grid-bucketed `radius_join`
+    (every eps-neighbor pair exactly once, integer squared
+    distances) and `graph.connected_components` (exact single-link
+    over the core graph). Deterministic BY CONSTRUCTION, unlike
+    textbook DBSCAN whose border-point assignment depends on visit
+    order: borders attach to the MINIMUM core cluster label among
+    their core neighbors, a total-order rule any SQL oracle can
+    replay.
+
+    Standard DBSCAN semantics otherwise: a point is CORE when its
+    eps-ball (incl. itself) holds >= min_pts points; core points in
+    the same density-connected region share a cluster; non-core
+    points with a core neighbor are border points of that cluster;
+    everything else is noise (dropped — callers anti-join for it).
+
+    Scale: one self radius_join (3x3 cell probes, never all-pairs),
+    one degree aggregation, one core-core component pass bounded by
+    |core-pair| edges, one border attach join. Returns (id, x, y,
+    cluster, is_core) with cluster = min core id in the region.
+
+    Pre-built in round 7 for the round-8 registry (net-new query cap
+    discipline); unit-tested against a brute-force reference."""
+    from hdfe_spark.operators.graph import connected_components
+    from hdfe_spark.operators.rangejoin import radius_join
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    pairs = radius_join(
+        pts, pts, "x", "y", radius=eps, suffixes=("_a", "_b")
+    ).select(F.col("id_a"), F.col("id_b"))
+    # degree INCLUDING self (the self-pair survives the radius join
+    # at distance 0), so the eps-ball count is exactly sum of pairs
+    deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("__deg"))
+    core = deg.filter(F.col("__deg") >= min_pts).select(
+        F.col("id_a").alias("id")
+    )
+    # core-core edges (exclude self loops; CC treats them as noise)
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(cc_edges, "id_a", "id_b")
+    # isolated core points (no core neighbor) are their own cluster
+    core_lab = (
+        core.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )
+    # border points: non-core with >= 1 core neighbor; attach to the
+    # MINIMUM core cluster (deterministic, visit-order-free)
+    border = (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .join(core_lab.withColumnRenamed("id", "id_b"), "id_b")
+        .join(core.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("id_a").alias("id"), "cluster")
+    )
+    labeled = core_lab.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )
+    return pts.join(labeled, "id").select(
+        "id", "x", "y", "cluster", "is_core"
+    )

@@ -1584,3 +1584,56 @@ def cross_corr(
         .withColumn("r", _dup_order_guard("cross_corr", key_col, r))
         .select(key_col, "n_pairs", "r")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, per-cell:
+    one row per observed (a, b) cell with the joint count, both
+    margins, and the cell's MI term (n_ab/N) * log2(N*n_ab /
+    (n_a*n_b)) — the feature-relevance / redundancy measure behind
+    MI-based feature selection, the information-theoretic sibling of
+    `chi2_independence` (and the same plan: one contingency shuffle,
+    two tiny margin re-aggregations joined back broadcast).
+
+    The CALLER sums ``mi_term`` for the statistic; keeping cells
+    separate means no output value depends on a float summation
+    order (the chi2/benford convention). Each term is deterministic
+    IEEE arithmetic on exact integer counts — except log2, which is
+    not correctly rounded by every libm: a cross-engine oracle
+    should compare the integer counts exactly and the terms at
+    rounded precision. NULL categories are excluded (SQL join/agg
+    semantics).
+
+    Pre-built in round 7 for the round-8 registry (net-new query cap
+    discipline)."""
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    )
+    cells = base.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    ma = cells.groupBy(col_a).agg(
+        F.sum("n_ab").cast("long").alias("n_a")
+    )
+    mb = cells.groupBy(col_b).agg(
+        F.sum("n_ab").cast("long").alias("n_b")
+    )
+    tot = cells.agg(F.sum("n_ab").cast("long").alias("n_tot"))
+    out = (
+        cells.join(F.broadcast(ma), col_a)
+        .join(F.broadcast(mb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    nab = F.col("n_ab").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nt = F.col("n_tot").cast("double")
+    term = (nab / nt) * F.log2((nt * nab) / (na * nb))
+    return out.select(
+        col_a, col_b, "n_ab", "n_a", "n_b", "n_tot",
+        term.alias("mi_term"),
+    )

@@ -540,3 +540,91 @@ def test_read_binary_files_nonmatching_name_is_null(spark, tmp_path):
         for r in read_binary_files(spark, str(tmp_path) + "/*.bin").collect()
     }
     assert out == {42, None}
+
+
+# --------------------------------- round-8 pre-builds (no query yet)
+
+
+def test_dbscan_grid_matches_brute_force(spark):
+    from hdfe_spark.operators.cluster import dbscan_grid
+
+    rng = np.random.default_rng(41)
+    # two dense blobs + sparse noise, integer coordinates
+    blob1 = rng.normal((0, 0), 3, size=(40, 2))
+    blob2 = rng.normal((100, 100), 3, size=(40, 2))
+    noise = rng.uniform(-50, 150, size=(10, 2))
+    pts = np.round(np.vstack([blob1, blob2, noise])).astype(int)
+    rows = [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    eps, min_pts = 8, 5
+    got = {
+        r["id"]: (r["cluster"], r["is_core"])
+        for r in dbscan_grid(df, "id", "x", "y", eps, min_pts).collect()
+    }
+    # brute force
+    n = len(pts)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    nbrs = d2 <= eps * eps
+    core = {i for i in range(n) if nbrs[i].sum() >= min_pts}
+    # core components (single link over core-core eps edges)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in core:
+        for j in core:
+            if i < j and nbrs[i][j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    exp = {}
+    comp = {}
+    for i in core:
+        comp.setdefault(find(i), []).append(i)
+    lab = {}
+    for root, members in comp.items():
+        m = min(members)
+        for i in members:
+            lab[i] = m
+    for i in core:
+        exp[i] = (lab[i], True)
+    for i in range(n):
+        if i in core:
+            continue
+        cands = [lab[j] for j in core if nbrs[i][j]]
+        if cands:
+            exp[i] = (min(cands), False)
+    assert got == exp
+    # the two blobs form exactly two clusters among core points
+    assert len({c for c, isc in got.values() if isc}) == 2
+
+
+def test_mutual_information_matches_reference(spark):
+    import math as _m
+
+    from hdfe_spark.operators.stats import mutual_information
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+        + [(None, "p")] * 5 + [("x", None)] * 5   # excluded
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = mutual_information(df, "a", "b").collect()
+    mi = sum(r["mi_term"] for r in out)
+    # reference
+    joint = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 10, ("y", "q"): 30}
+    ntot = 80
+    na = {"x": 40, "y": 40}
+    nb = {"p": 40, "q": 40}
+    exp = sum(
+        (c / ntot) * _m.log2(ntot * c / (na[a] * nb[b]))
+        for (a, b), c in joint.items()
+    )
+    assert mi == pytest.approx(exp, rel=1e-12)
+    assert all(r["n_tot"] == 80 for r in out)
+    assert mi > 0.15  # strongly dependent fixture
