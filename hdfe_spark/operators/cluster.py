@@ -184,8 +184,15 @@ def dbscan_grid(
 
     Scale: one self radius_join (3x3 cell probes, never all-pairs),
     one degree aggregation, one core-core component pass bounded by
-    |core-pair| edges, one border attach join. Returns (id, x, y,
-    cluster, is_core) with cluster = min core id in the region.
+    |core-pair| edges, one border attach join. The materialized pair
+    count is sum over points of |eps-ball| — LINEAR when eps is
+    sized to the density (each ball ~ min_pts, the regime DBSCAN is
+    for), but a ball holding k points costs k² pairs, so an eps
+    spanning whole dense regions degrades quadratically (measured:
+    60-point balls fine at 2M points, 1,900-point balls are not —
+    SCALE.md round-7 note); shrink eps or pre-aggregate duplicate
+    coordinates first. Returns (id, x, y, cluster, is_core) with
+    cluster = min core id in the region.
 
     Pre-built in round 7 for the round-8 registry (net-new query cap
     discipline); unit-tested against a brute-force reference."""

@@ -301,6 +301,51 @@ def stress_gini_xcorr():
           f"cross_corr 20M x 1000 keys: {t_c:.1f}s")
 
 
+def stress_dbscan():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.cluster import dbscan_grid
+
+    spark = _spark()
+    n_pts = 2_000_000
+    # ~63k blobs of ~30 points in 60x60 boxes on a sparse 1e8 grid
+    # (each eps-ball ~ the blob: ~30 points, so the pair
+    # materialization stays ~n*30, not quadratic), + 5% uniform noise
+    pts = spark.range(0, n_pts, 1, 64).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 20 != 0,
+            (F.col("id") % 63_333) * 1_500
+            + (F.abs(F.hash(F.col("id"), F.lit(43))) % 60),
+        ).otherwise(
+            F.abs(F.hash(F.col("id"), F.lit(47))) % 100_000_000
+        ).alias("x"),
+        F.when(
+            F.col("id") % 20 != 0,
+            (F.col("id") % 63_333) * 1_500
+            + (F.abs(F.hash(F.col("id"), F.lit(53))) % 60),
+        ).otherwise(
+            F.abs(F.hash(F.col("id"), F.lit(59))) % 100_000_000
+        ).alias("y"),
+    )
+    t0 = time.time()
+    out = dbscan_grid(pts, "id", "x", "y", eps=100, min_pts=10)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("labeled"),
+        F.count_distinct("cluster").alias("clusters"),
+        F.sum(F.col("is_core").cast("long")).alias("core"),
+    ).collect()[0]
+    wall = time.time() - t0
+    # each blob's 60x60 box sits inside one eps=100 ball -> all ~30
+    # members are core and each blob is (at least) one cluster
+    assert agg["clusters"] >= 63_000, agg
+    assert agg["core"] >= n_pts * 9 // 10, agg
+    print(
+        f"dbscan: 2M points, ~63k planted blobs -> {agg['clusters']} "
+        f"clusters, {agg['core']} core, wall={wall:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     {
         "survival": stress_survival,
@@ -309,4 +354,5 @@ if __name__ == "__main__":
         "scrub": stress_scrub,
         "bfs_iso": stress_bfs_iso,
         "gini_xcorr": stress_gini_xcorr,
+        "dbscan": stress_dbscan,
     }[sys.argv[1]]()
