@@ -333,3 +333,79 @@ def bfs_levels(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    source,
+    n_iter: int = 6,
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source shortest path distances by ``n_iter``
+    Bellman-Ford relaxation rounds — the weighted generalization of
+    `bfs_levels` (which counts hops): after round d every shortest
+    path using <= d edges is final, so fixed iterations give exact
+    distances for all nodes within ``n_iter`` edges of the source
+    (the pagerank/kmeans fixed-iteration certificate convention —
+    an unrolled SQL oracle replays the identical rounds; no
+    data-dependent convergence test).
+
+    Weights must be NON-NEGATIVE INTEGERS (integral type enforced;
+    min/+ over integers is engine-exact in any order — float
+    distances would be path-order-dependent). Each round is one
+    equi-join of the current distance table against the edge list +
+    one min-aggregation; the edge list is localCheckpointed once
+    (the bfs_levels lesson). Returns (node, dist) for every reached
+    node; unreached nodes are absent."""
+    from pyspark.sql import types as T
+
+    wtype = edges.schema[weight_col].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"shortest_paths: weight_col {weight_col!r} is "
+            f"{wtype.simpleString()}; exact min-plus relaxation "
+            "needs integral weights (quantize upstream)"
+        )
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("t"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("t").alias("s"), F.col("s").alias("t"), "w"
+            )
+        )
+    neg = e.filter(F.col("w") < 0).limit(1).count()
+    if neg:
+        raise ValueError(
+            "shortest_paths: negative weights — fixed-round "
+            "Bellman-Ford would silently under-relax"
+        )
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    node_type = e.schema["s"].dataType.simpleString()
+    dist = spark.createDataFrame(
+        [(source, 0)], f"node {node_type}, dist long"
+    )
+    for _ in range(n_iter):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "s"), "s")
+            .select(
+                F.col("t").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -628,3 +628,103 @@ def test_mutual_information_matches_reference(spark):
     assert mi == pytest.approx(exp, rel=1e-12)
     assert all(r["n_tot"] == 80 for r in out)
     assert mi > 0.15  # strongly dependent fixture
+
+
+def test_shortest_paths_matches_reference(spark):
+    from hdfe_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (1, 3, 1), (3, 2, 1), (2, 4, 1), (3, 4, 7),
+         (4, 5, 2), (9, 10, 1)],
+        "u long, v long, w long",
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            edges, "u", "v", "w", source=1, n_iter=6
+        ).collect()
+    }
+    # dijkstra by hand: 1->3 (1), 3->2 (2), 2->4 (3), 4->5 (5)
+    assert got == {1: 0, 3: 1, 2: 2, 4: 3, 5: 5}
+    # undirected variant reaches the same set symmetrically
+    und = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            edges, "u", "v", "w", source=5, n_iter=6, directed=False
+        ).collect()
+    }
+    assert und[1] == 5 and und[4] == 2
+
+
+def test_shortest_paths_guards(spark):
+    import pytest as _pt
+
+    from hdfe_spark.operators.graph import shortest_paths
+
+    neg = spark.createDataFrame([(1, 2, -1)], "u long, v long, w long")
+    with _pt.raises(ValueError, match="negative weights"):
+        shortest_paths(neg, "u", "v", "w", source=1)
+    fl = spark.createDataFrame([(1, 2, 1.5)], "u long, v long, w double")
+    with _pt.raises(ValueError, match="integral weights"):
+        shortest_paths(fl, "u", "v", "w", source=1)
+
+
+def test_streaming_hopping_agg_equals_batch(spark, sf_dir):
+    """Fifteenth streaming form: hopping windows' availableNow replay
+    equals the batch F.window(ts, win, slide) aggregation exactly."""
+    from hdfe_spark.sources.tables import load_table, ts_micros
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_hopping_agg,
+    )
+
+    load_table(spark, "events", sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_hopping_agg(
+        stream, "event_type", window="2 hours", slide="1 hour"
+    )
+    name = "hop_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["win_end"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.table(name).collect()
+    }
+    # batch replica on the same timestamp semantics (ts_micros
+    # adapts to whichever physical type the fixture carries)
+    from pyspark.sql import functions as FF
+
+    evb = load_table(spark, "events", sf_dir)
+    tsc = ts_micros(evb)
+    batch = evb.withColumn("__t", (tsc / FF.lit(1_000_000)).cast("timestamp"))
+    exp = {
+        (r["win_start"], r["win_end"], r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in (
+            batch.groupBy(
+                FF.window(FF.col("__t"), "2 hours", "1 hour"),
+                "event_type",
+            )
+            .agg(
+                FF.count(FF.lit(1)).alias("n_events"),
+                FF.sum("value").alias("sum_value"),
+            )
+            .select(
+                FF.col("window.start").alias("win_start"),
+                FF.col("window.end").alias("win_end"),
+                "event_type", "n_events", "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], rel=1e-9)
