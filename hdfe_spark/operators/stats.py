@@ -1637,3 +1637,68 @@ def mutual_information(
         col_a, col_b, "n_ab", "n_a", "n_b", "n_tot",
         term.alias("mi_term"),
     )
+
+
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact best binary split of a numeric feature against a
+    boolean label — the decision-stump / feature-quality primitive
+    under tree learners and "is this signal worth a column?" audits:
+    the threshold t maximizing weighted Gini impurity reduction for
+    the partition (x <= t | x > t).
+
+    Exactness without a row sort: candidate thresholds are the
+    DISTINCT feature values with (count, positives) prefix sums from
+    the distributed prefix sum (`gini`/`mann_whitney`'s path); for
+    each candidate the parent/left/right impurities are rational
+    functions of exact integers, compared via ONE IEEE expression
+    per cell. The argmax breaks ties by the SMALLEST threshold (a
+    total order any SQL oracle replays). Returns ONE row:
+    n, threshold, gain, p_left, p_right (left = x <= threshold)."""
+    from hdfe_spark.operators.rank import prefix_sum
+
+    base = df.filter(
+        F.col(feature_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    cells = base.groupBy(F.col(feature_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum(F.col(label_col).cast("boolean").cast("long"))
+        .cast("long")
+        .alias("__p"),
+    )
+    cum = prefix_sum(cells, ["__v"], "__c", out_col="__cc")
+    cum = prefix_sum(cum, ["__v"], "__p", out_col="__cp")
+    tot = cum.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum("__p").cast("long").alias("p"),
+    ).collect()[0]
+    n, p = int(tot["n"]), int(tot["p"] or 0)
+    if n < 2:
+        raise ValueError("best_split: needs >= 2 rows")
+    nl = F.col("__cc").cast("double")
+    pl = F.col("__cp").cast("double")
+    nr = F.lit(float(n)) - nl
+    pr = F.lit(float(p)) - pl
+    # weighted Gini of the split: sum of 2*p_i*(1-p_i)*n_i/n per side
+    gini_l = F.lit(2.0) * (pl / nl) * (F.lit(1.0) - pl / nl)
+    gini_r = F.lit(2.0) * (pr / nr) * (F.lit(1.0) - pr / nr)
+    child = (nl / F.lit(float(n))) * gini_l + (
+        nr / F.lit(float(n))
+    ) * gini_r
+    parent = 2.0 * (p / n) * (1.0 - p / n)
+    scored = cum.filter(F.col("__cc") < n).select(
+        F.col("__v").alias("threshold"),
+        (F.lit(parent) - child).alias("gain"),
+        (pl / nl).alias("p_left"),
+        (pr / nr).alias("p_right"),
+    )
+    best = scored.orderBy(
+        F.col("gain").desc(), F.col("threshold").asc()
+    ).limit(1)
+    return best.select(
+        F.lit(n).cast("long").alias("n"),
+        "threshold", "gain", "p_left", "p_right",
+    )

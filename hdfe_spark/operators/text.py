@@ -936,3 +936,77 @@ def lm_score_buckets(
     return tiled.select(
         id_col, "n_tokens", "s_tf", "avg_tf", "bucket"
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring of every document against a bag
+    of query terms — THE lexical ranking function behind retrieval
+    (and behind retrieval-based data curation: "find the corpus
+    slice relevant to this topic before sampling"). Completes the
+    search-side family: `inverted_index` builds postings, `tf_idf`
+    weighs terms, this ranks documents for a query.
+
+        score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*|d|/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))     [Robertson]
+
+    Plan (100 TB shape): one tokenize/explode pass filtered to the
+    (broadcast) query vocabulary — the corpus-wide shuffle carries
+    ONLY query-term hits; doc lengths and df come from two small
+    aggregations (avgdl is a broadcast 1-row scalar). Per-term
+    inputs (tf, df, |d|, N) are exact integers; the score is a
+    per-term IEEE expression SUMMED over <= |query| terms per doc
+    (a bounded, per-doc-deterministic reduction — emit per-term
+    rows if cross-engine hash-exactness of the sum order matters).
+    Returns (id, score, n_hit_terms), only for docs hitting >= 1
+    query term."""
+    q = [t.lower() for t in query_terms]
+    if not q:
+        raise ValueError("bm25_scores: empty query")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__dl").cast("long").alias("__tot"),
+    )
+    hits = (
+        toks.filter(F.col("t").isin(q))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    df_t = hits.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    j = (
+        hits.join(F.broadcast(df_t), "t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("__n").cast("double")
+    dfc = F.col("__df").cast("double")
+    tf = F.col("__tf").cast("double")
+    dlen = F.col("__dl").cast("double")
+    avgdl = F.col("__tot").cast("double") / n
+    idf = F.log((n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0))
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dlen / avgdl
+    )
+    term_score = idf * tf * F.lit(k1 + 1.0) / denom
+    return (
+        j.withColumn("__s", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__s").alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )

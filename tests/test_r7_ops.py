@@ -728,3 +728,88 @@ def test_streaming_hopping_agg_equals_batch(spark, sf_dir):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert got[k][1] == pytest.approx(exp[k][1], rel=1e-9)
+
+
+def test_bm25_matches_reference(spark):
+    import math as _m
+
+    from hdfe_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "spark engine spark query"),
+        (2, "pandas engine"),
+        (3, "cats and dogs"),
+        (4, "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["n_hit_terms"])
+        for r in bm25_scores(df, ["spark", "engine"]).collect()
+    }
+    # reference
+    toks = {i: t.split() for i, t in docs}
+    N = 4
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfc = {"spark": 2, "engine": 2}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, ts in toks.items():
+        s, hits = 0.0, 0
+        for term in ("spark", "engine"):
+            tf = ts.count(term)
+            if not tf:
+                continue
+            hits += 1
+            idf = _m.log((N - dfc[term] + 0.5) / (dfc[term] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(ts) / avgdl)
+            )
+        if hits:
+            exp[i] = (s, hits)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][1] == exp[i][1]
+        assert got[i][0] == pytest.approx(exp[i][0], rel=1e-9)
+    # doc 1 (two spark hits, short) outranks the others
+    assert got[1][0] == max(v[0] for v in got.values())
+
+
+def test_best_split_exact(spark):
+    from hdfe_spark.operators.stats import best_split
+
+    # perfectly separable at 5: x<=5 all false, x>5 all true
+    rows = [(float(x), x > 5) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    got = best_split(df, "x", "y").collect()[0]
+    assert got["threshold"] == 5.0
+    assert got["gain"] == pytest.approx(0.5)  # parent gini 0.5 -> 0
+    assert got["p_left"] == 0.0 and got["p_right"] == 1.0
+    assert got["n"] == 10
+
+
+def test_best_split_matches_brute_force(spark):
+    from hdfe_spark.operators.stats import best_split
+
+    rng = np.random.default_rng(51)
+    x = np.round(rng.uniform(0, 10, 500), 2)
+    y = (x + rng.normal(0, 2.0, 500)) > 5
+    df = spark.createDataFrame(
+        [(float(a), bool(l)) for a, l in zip(x, y)], "x double, y boolean"
+    )
+    got = best_split(df, "x", "y").collect()[0]
+    n, p = len(x), int(y.sum())
+    parent = 2 * (p / n) * (1 - p / n)
+    best = None
+    for t in sorted(set(x)):
+        m = x <= t
+        nl = int(m.sum())
+        if nl == 0 or nl == n:
+            continue
+        pl, prr = int(y[m].sum()), int(y[~m].sum())
+        gl = 2 * (pl / nl) * (1 - pl / nl)
+        gr = 2 * (prr / (n - nl)) * (1 - prr / (n - nl))
+        gain = parent - ((nl / n) * gl + ((n - nl) / n) * gr)
+        if best is None or gain > best[0] + 1e-15:
+            best = (gain, t)
+    assert got["threshold"] == pytest.approx(best[1])
+    assert got["gain"] == pytest.approx(best[0], rel=1e-9)
