@@ -204,14 +204,23 @@ def dbscan_grid(
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),
     )
-    pairs = radius_join(
-        pts, pts, "x", "y", radius=eps, suffixes=("_a", "_b")
-    ).select(F.col("id_a"), F.col("id_b"))
+    # materialize once: the pair table feeds FOUR plan branches
+    # (degree, core-core edges twice, border attach) — without this
+    # the dominant 9x-explode radius join recomputes per branch
+    pairs = (
+        radius_join(
+            pts, pts, "x", "y", radius=eps, suffixes=("_a", "_b")
+        )
+        .select(F.col("id_a"), F.col("id_b"))
+        .localCheckpoint(eager=True)
+    )
     # degree INCLUDING self (the self-pair survives the radius join
     # at distance 0), so the eps-ball count is exactly sum of pairs
     deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("__deg"))
-    core = deg.filter(F.col("__deg") >= min_pts).select(
-        F.col("id_a").alias("id")
+    core = (
+        deg.filter(F.col("__deg") >= min_pts)
+        .select(F.col("id_a").alias("id"))
+        .localCheckpoint(eager=True)
     )
     # core-core edges (exclude self loops; CC treats them as noise)
     cc_edges = (

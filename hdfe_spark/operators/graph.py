@@ -346,12 +346,16 @@ def shortest_paths(
 ) -> DataFrame:
     """Single-source shortest path distances by ``n_iter``
     Bellman-Ford relaxation rounds — the weighted generalization of
-    `bfs_levels` (which counts hops): after round d every shortest
-    path using <= d edges is final, so fixed iterations give exact
-    distances for all nodes within ``n_iter`` edges of the source
-    (the pagerank/kmeans fixed-iteration certificate convention —
-    an unrolled SQL oracle replays the identical rounds; no
-    data-dependent convergence test).
+    `bfs_levels` (which counts hops): after round d every node whose
+    OPTIMAL path uses <= d edges carries its exact distance. A node
+    one hop away can still be overestimated if its best route is a
+    longer-but-cheaper chain of more than ``n_iter`` edges — size
+    ``n_iter`` to the graph's weighted-path hop diameter, or treat
+    the result as the standard "<= n_iter-edge-constrained shortest
+    path" semantics (exact under that reading for EVERY node, which
+    is what a fixed-round SQL oracle certifies — the pagerank/kmeans
+    fixed-iteration convention; no data-dependent convergence
+    test).
 
     Weights must be NON-NEGATIVE INTEGERS (integral type enforced;
     min/+ over integers is engine-exact in any order — float
@@ -382,13 +386,16 @@ def shortest_paths(
                 F.col("t").alias("s"), F.col("s").alias("t"), "w"
             )
         )
+    # checkpoint FIRST, validate against the materialized edges —
+    # guarding the raw plan would execute the upstream derivation
+    # twice (the bfs_levels lesson)
+    e = e.localCheckpoint(eager=True)
     neg = e.filter(F.col("w") < 0).limit(1).count()
     if neg:
         raise ValueError(
             "shortest_paths: negative weights — fixed-round "
             "Bellman-Ford would silently under-relax"
         )
-    e = e.localCheckpoint(eager=True)
     spark = edges.sparkSession
     node_type = e.schema["s"].dataType.simpleString()
     dist = spark.createDataFrame(

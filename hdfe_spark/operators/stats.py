@@ -276,6 +276,27 @@ def _ridge_general(
     )
 
 
+def _contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Shared contingency scaffold for `chi2_independence` and
+    `mutual_information`: NULL-filtered (a, b) cell counts with both
+    margins and the grand total joined back broadcast — ONE shuffle
+    on (a, b), margin re-aggregations over the tiny cell table.
+    Columns: col_a, col_b, obs, row_total, col_total, grand."""
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    row_m = cells.groupBy(col_a).agg(F.sum("obs").alias("row_total"))
+    col_m = cells.groupBy(col_b).agg(F.sum("obs").alias("col_total"))
+    grand = cells.agg(F.sum("obs").alias("grand"))
+    return (
+        cells.join(F.broadcast(row_m), col_a)
+        .join(F.broadcast(col_m), col_b)
+        .crossJoin(F.broadcast(grand))
+    )
+
+
 def chi2_independence(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:
@@ -293,19 +314,7 @@ def chi2_independence(
     are re-aggregations of the |A|x|B|-cell table (tiny), joined
     back broadcast.
     """
-    cells = (
-        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-        .groupBy(col_a, col_b)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-    )
-    row_m = cells.groupBy(col_a).agg(F.sum("obs").alias("row_total"))
-    col_m = cells.groupBy(col_b).agg(F.sum("obs").alias("col_total"))
-    grand = cells.agg(F.sum("obs").alias("grand"))
-    out = (
-        cells.join(F.broadcast(row_m), col_a)
-        .join(F.broadcast(col_m), col_b)
-        .crossJoin(F.broadcast(grand))
-    )
+    out = _contingency(df, col_a, col_b)
     exp = (
         F.col("row_total").cast("double")
         * F.col("col_total").cast("double")
@@ -1610,31 +1619,19 @@ def mutual_information(
 
     Pre-built in round 7 for the round-8 registry (net-new query cap
     discipline)."""
-    base = df.filter(
-        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
-    )
-    cells = base.groupBy(col_a, col_b).agg(
-        F.count(F.lit(1)).cast("long").alias("n_ab")
-    )
-    ma = cells.groupBy(col_a).agg(
-        F.sum("n_ab").cast("long").alias("n_a")
-    )
-    mb = cells.groupBy(col_b).agg(
-        F.sum("n_ab").cast("long").alias("n_b")
-    )
-    tot = cells.agg(F.sum("n_ab").cast("long").alias("n_tot"))
-    out = (
-        cells.join(F.broadcast(ma), col_a)
-        .join(F.broadcast(mb), col_b)
-        .crossJoin(F.broadcast(tot))
-    )
-    nab = F.col("n_ab").cast("double")
-    na = F.col("n_a").cast("double")
-    nb = F.col("n_b").cast("double")
-    nt = F.col("n_tot").cast("double")
+    out = _contingency(df, col_a, col_b)
+    nab = F.col("obs").cast("double")
+    na = F.col("row_total").cast("double")
+    nb = F.col("col_total").cast("double")
+    nt = F.col("grand").cast("double")
     term = (nab / nt) * F.log2((nt * nab) / (na * nb))
     return out.select(
-        col_a, col_b, "n_ab", "n_a", "n_b", "n_tot",
+        col_a,
+        col_b,
+        F.col("obs").cast("long").alias("n_ab"),
+        F.col("row_total").cast("long").alias("n_a"),
+        F.col("col_total").cast("long").alias("n_b"),
+        F.col("grand").cast("long").alias("n_tot"),
         term.alias("mi_term"),
     )
 

@@ -959,29 +959,44 @@ def bm25_scores(
     Plan (100 TB shape): one tokenize/explode pass filtered to the
     (broadcast) query vocabulary — the corpus-wide shuffle carries
     ONLY query-term hits; doc lengths and df come from two small
-    aggregations (avgdl is a broadcast 1-row scalar). Per-term
-    inputs (tf, df, |d|, N) are exact integers; the score is a
+    aggregations (avgdl is a broadcast 1-row scalar). N and avgdl
+    span the WHOLE corpus including token-less documents (a
+    stats-over-hits-only shortcut would shrink every idf). Repeated
+    query terms weight their contribution by query-term frequency —
+    true bag semantics, not a silent set collapse. Per-term inputs
+    (tf, qtf, df, |d|, N) are exact integers; the score is a
     per-term IEEE expression SUMMED over <= |query| terms per doc
     (a bounded, per-doc-deterministic reduction — emit per-term
     rows if cross-engine hash-exactness of the sum order matters).
     Returns (id, score, n_hit_terms), only for docs hitting >= 1
     query term."""
-    q = [t.lower() for t in query_terms]
-    if not q:
+    from collections import Counter
+
+    qtf_map = Counter(t.lower() for t in query_terms)
+    if not qtf_map:
         raise ValueError("bm25_scores: empty query")
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, c) for t, c in sorted(qtf_map.items())],
+        "t string, __qtf long",
+    )
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
     )
     dl = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("__dl")
     )
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("__dl").cast("long").alias("__tot"),
+    # corpus stats over ALL documents (token-less docs count toward
+    # N and pull avgdl down, exactly like a reference implementation
+    # iterating the collection)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    ).crossJoin(
+        dl.agg(F.coalesce(F.sum("__dl"), F.lit(0)).cast("long").alias("__tot"))
     )
     hits = (
-        toks.filter(F.col("t").isin(q))
-        .groupBy(id_col, "t")
+        toks.join(F.broadcast(qdf), "t")
+        .groupBy(id_col, "t", "__qtf")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
     df_t = hits.groupBy("t").agg(
@@ -1001,7 +1016,10 @@ def bm25_scores(
     denom = tf + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * dlen / avgdl
     )
-    term_score = idf * tf * F.lit(k1 + 1.0) / denom
+    term_score = (
+        F.col("__qtf").cast("double")
+        * idf * tf * F.lit(k1 + 1.0) / denom
+    )
     return (
         j.withColumn("__s", term_score)
         .groupBy(id_col)

@@ -609,39 +609,3 @@ def streaming_anomaly(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-
-def streaming_hopping_agg(
-    stream: DataFrame,
-    group_col: str,
-    window: str = "1 hour",
-    slide: str = "30 minutes",
-    ts_col: str = "ts",
-    watermark: str = "2 hours",
-):
-    """Hopping (sliding) event-time windows — the fifteenth
-    streaming form: overlapping windows of length ``window`` every
-    ``slide``, so each event contributes to window/slide windows
-    (the smoothing variant of `streaming_windowed_agg`'s tumbling
-    windows; window == slide degenerates to tumbling). Watermarked
-    state eviction bounds memory exactly like the tumbling form;
-    epoch-aligned windows make an availableNow replay equal the
-    batch ``F.window(ts, window, slide)`` aggregation row-for-row —
-    the batch query IS the oracle."""
-    return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(
-            F.window(F.col(ts_col), window, slide),
-            F.col(group_col),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-        )
-        .select(
-            F.col("window.start").alias("win_start"),
-            F.col("window.end").alias("win_end"),
-            group_col,
-            "n_events",
-            "sum_value",
-        )
-    )

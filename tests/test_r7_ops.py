@@ -670,18 +670,21 @@ def test_shortest_paths_guards(spark):
 
 
 def test_streaming_hopping_agg_equals_batch(spark, sf_dir):
-    """Fifteenth streaming form: hopping windows' availableNow replay
-    equals the batch F.window(ts, win, slide) aggregation exactly."""
+    """Hopping (sliding) event-time windows — covered by the EXISTING
+    streaming_windowed_agg slide parameter (a fourth-review pass
+    caught a redundant reimplementation): the availableNow replay
+    must equal the batch F.window(ts, win, slide) aggregation."""
     from hdfe_spark.sources.tables import load_table, ts_micros
     from hdfe_spark.streaming.ops import (
         read_events_stream,
-        streaming_hopping_agg,
+        streaming_windowed_agg,
     )
 
     load_table(spark, "events", sf_dir)
     stream = read_events_stream(spark, sf_dir)
-    sm = streaming_hopping_agg(
-        stream, "event_type", window="2 hours", slide="1 hour"
+    sm = streaming_windowed_agg(
+        stream, "event_type", window="2 hours", slide="1 hour",
+        watermark="4 hours",
     )
     name = "hop_sink"
     q = (
@@ -693,8 +696,8 @@ def test_streaming_hopping_agg_equals_batch(spark, sf_dir):
     )
     q.awaitTermination()
     got = {
-        (r["win_start"], r["win_end"], r["event_type"]):
-            (r["n_events"], r["sum_value"])
+        (r["window_start"], r["window_end"], r["event_type"]):
+            (r["count_value"], r["mean_value"])
         for r in spark.table(name).collect()
     }
     # batch replica on the same timestamp semantics (ts_micros
@@ -705,21 +708,21 @@ def test_streaming_hopping_agg_equals_batch(spark, sf_dir):
     tsc = ts_micros(evb)
     batch = evb.withColumn("__t", (tsc / FF.lit(1_000_000)).cast("timestamp"))
     exp = {
-        (r["win_start"], r["win_end"], r["event_type"]):
-            (r["n_events"], r["sum_value"])
+        (r["window_start"], r["window_end"], r["event_type"]):
+            (r["count_value"], r["mean_value"])
         for r in (
             batch.groupBy(
                 FF.window(FF.col("__t"), "2 hours", "1 hour"),
                 "event_type",
             )
             .agg(
-                FF.count(FF.lit(1)).alias("n_events"),
-                FF.sum("value").alias("sum_value"),
+                FF.count("value").alias("count_value"),
+                FF.avg("value").alias("mean_value"),
             )
             .select(
-                FF.col("window.start").alias("win_start"),
-                FF.col("window.end").alias("win_end"),
-                "event_type", "n_events", "sum_value",
+                FF.col("window.start").alias("window_start"),
+                FF.col("window.end").alias("window_end"),
+                "event_type", "count_value", "mean_value",
             )
             .collect()
         )
@@ -813,3 +816,28 @@ def test_best_split_matches_brute_force(spark):
             best = (gain, t)
     assert got["threshold"] == pytest.approx(best[1])
     assert got["gain"] == pytest.approx(best[0], rel=1e-9)
+
+
+def test_bm25_corpus_stats_and_query_bag(spark):
+    """Fourth-review regressions: N/avgdl span token-less docs, and a
+    repeated query term doubles its contribution (bag semantics)."""
+    from hdfe_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "spark engine"),
+        (2, "spark"),
+        (3, ""),          # token-less: counts toward N, dl=0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import math as _m
+
+    one = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["spark"]).collect()}
+    two = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["spark", "spark"]).collect()}
+    assert two[1] == pytest.approx(2 * one[1])
+    # N = 3 (not 2): idf = ln(1 + (3-2+0.5)/(2+0.5)), avgdl = 3/3
+    k1, b = 1.2, 0.75
+    idf = _m.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp2 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * (1 / 1.0)))
+    assert one[2] == pytest.approx(exp2, rel=1e-9)
