@@ -1699,3 +1699,179 @@ def best_split(
         F.lit(n).cast("long").alias("n"),
         "threshold", "gain", "p_left", "p_right",
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    value = trend + seasonal + residual, with the trend a CENTERED
+    ``period``-point moving average and the seasonal component the
+    per-phase mean of the detrended series (the moving-average
+    variant of STL — the diagnostic behind "is this weekly pattern
+    or drift?"). ``period`` must be ODD >= 3 (the centered window is
+    symmetric); rows are phased by their 0-based position within the
+    key's ``order_col`` order, so sampling must be regular.
+
+    Engine-portable exactness: the centered window sum is the
+    cumulative-minus-offset identity over EXACT fixed-point integers
+    (`rolling_beta`'s trick — never a float frame sum), trend is ONE
+    IEEE division of exact integers, and the per-phase seasonal mean
+    is evaluated as sum(u)/n - sum(S)/(period*n) on exact integer
+    aggregates — never a float mean of detrended doubles, whose
+    summation order would differ across engines. Duplicate order
+    values within a key raise in-plan (`_dup_order_guard`
+    convention: phasing by row position would be nondeterministic).
+
+    Output: one row per FULL-WINDOW position (h rows at each key
+    edge have no centered trend and are dropped): key, order, value,
+    trend, seasonal, resid."""
+    from pyspark.sql import Window as W
+
+    if period < 3 or period % 2 == 0:
+        raise ValueError(
+            "seasonal_decompose: period must be odd and >= 3 "
+            "(centered moving average)"
+        )
+    h = (period - 1) // 2
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__val"),
+        F.round(F.col(value_col) * scale)
+        .cast("decimal(38,0)")
+        .alias("__u"),
+    )
+    wc = (
+        W.partitionBy("__k")
+        .orderBy("__o")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wl = W.partitionBy("__k").orderBy("__o")
+    cum = F.sum("__u").over(wc)
+    s_t = F.lead(cum, h).over(wl) - F.coalesce(
+        F.lag(cum, h + 1).over(wl), F.lit(0).cast("decimal(38,0)")
+    )
+    cnt = F.sum(F.lit(1).cast("decimal(38,0)")).over(wc)
+    c_t = F.lead(cnt, h).over(wl) - F.coalesce(
+        F.lag(cnt, h + 1).over(wl), F.lit(0).cast("decimal(38,0)")
+    )
+    rn = F.row_number().over(wl) - 1
+    win = base.select(
+        "__k", "__o", "__val", "__u",
+        s_t.alias("__s"),
+        c_t.alias("__c"),
+        (rn % period).alias("__phase"),
+    ).filter(F.col("__c") == F.lit(period))
+    per_phase = win.groupBy("__k", "__phase").agg(
+        F.count(F.lit(1)).cast("long").alias("__nj"),
+        F.sum("__u").alias("__suj"),
+        F.sum("__s").alias("__ssj"),
+    )
+    nj = F.col("__nj").cast("double")
+    seasonal_j = (
+        F.col("__suj").cast("double") / nj
+        - F.col("__ssj").cast("double") / (F.lit(float(period)) * nj)
+    )
+    phase_tab = per_phase.select(
+        "__k", "__phase", seasonal_j.alias("__seasonal")
+    )
+    # total-order guard per key (row-position phasing would be
+    # nondeterministic under ties)
+    guard = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__o")).alias("_n_ord"),
+    )
+    joined = (
+        win.join(F.broadcast(phase_tab), ["__k", "__phase"])
+        .join(F.broadcast(guard), "__k")
+    )
+    trend = F.col("__s").cast("double") / F.lit(float(period))
+    detr = F.col("__u").cast("double") - trend
+    resid = detr - F.col("__seasonal")
+    guarded_trend = _dup_order_guard(
+        "seasonal_decompose", "__k", trend
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__o").alias(order_col),
+        F.col("__val").alias(value_col),
+        (guarded_trend / F.lit(scale)).alias("trend"),
+        (F.col("__seasonal") / F.lit(scale)).alias("seasonal"),
+        (resid / F.lit(scale)).alias("resid"),
+    )
+
+
+def kaplan_meier_by(
+    subjects: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Stratified Kaplan-Meier: one survival curve PER GROUP — the
+    cohort-comparison form that is the reason KM exists ("does the
+    treatment arm churn slower?"), generalizing `kaplan_meier`'s
+    single curve. Same design: one distributed (group, duration)
+    cell aggregation with the driver collect bounded in the SAME
+    pass (limit(max_cells+1), never a second scan), then the
+    product-limit recurrence per group over its sorted cells — the
+    deterministic op sequence a per-group recursive-CTE oracle
+    replays. NULL groups are excluded (SQL semantics, the
+    anova_oneway convention). Returns (group, t, n_risk, d, c, s)."""
+    from pyspark.sql import types as T
+
+    dt = subjects.schema[duration_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"kaplan_meier_by: duration_col {duration_col!r} is "
+            f"{dt.simpleString()}; the curve contract is integral "
+            "durations (bin fractional times upstream)"
+        )
+    ev = F.col(event_col).cast("boolean")
+    cell_df = (
+        subjects.filter(
+            F.col(duration_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(group_col, duration_col)
+        .agg(
+            F.sum(ev.cast("long")).cast("long").alias("d"),
+            F.sum((~ev).cast("long")).cast("long").alias("c"),
+        )
+    )
+    cells = cell_df.limit(max_cells + 1).collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"kaplan_meier_by: (group, duration) cells exceed "
+            f"max_cells={max_cells}; coarsen duration_col or raise "
+            "max_cells deliberately"
+        )
+    by_group: dict = {}
+    for r in cells:
+        by_group.setdefault(r[group_col], []).append(r)
+    rows = []
+    for g, cs in sorted(by_group.items(), key=lambda kv: kv[0]):
+        cs.sort(key=lambda r: r[duration_col])
+        n_risk = sum(int(r["d"]) + int(r["c"]) for r in cs)
+        s = 1.0
+        for r in cs:
+            d, c = int(r["d"]), int(r["c"])
+            s = s * (1.0 - d / n_risk)
+            rows.append((g, r[duration_col], n_risk, d, c, s))
+            n_risk -= d + c
+    gtype = subjects.schema[group_col].dataType.simpleString()
+    return subjects.sparkSession.createDataFrame(
+        rows,
+        f"{group_col} {gtype}, t long, n_risk long, d long, "
+        "c long, s double",
+    )

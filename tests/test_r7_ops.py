@@ -841,3 +841,82 @@ def test_bm25_corpus_stats_and_query_bag(spark):
     idf = _m.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
     exp2 = idf * 1 * (k1 + 1) / (1 + k1 * (1 - b + b * (1 / 1.0)))
     assert one[2] == pytest.approx(exp2, rel=1e-9)
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    from hdfe_spark.operators.stats import seasonal_decompose
+
+    # y = 0.5*t + planted weekly-ish pattern (period 7), no noise
+    period = 7
+    pattern = [3.0, -1.0, 2.0, 0.0, -2.5, 1.5, -3.0]
+    rows = [
+        ("k", t, 0.5 * t + pattern[t % period])
+        for t in range(70)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = seasonal_decompose(df, "k", "t", "v", period=period).collect()
+    got = {r["t"]: r for r in out}
+    # edges dropped: h=3 rows each side
+    assert set(got) == set(range(3, 67))
+    # the centered MA of a linear trend is exact; seasonal means
+    # recover the pattern up to a constant; trend absorbs the rest
+    for t, r in got.items():
+        # reconstruction is exact: trend + seasonal + resid = value
+        assert r["trend"] + r["seasonal"] + r["resid"] == pytest.approx(
+            r["v"], abs=1e-9
+        )
+    # residuals of a perfectly periodic + linear series are ~0
+    # (pattern mean folds between trend and seasonal)
+    assert max(abs(r["resid"]) for r in got.values()) < 1e-6
+
+
+def test_seasonal_decompose_guards(spark):
+    from hdfe_spark.operators.stats import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 1, 2.0)] + [("k", i, 1.0) for i in range(2, 9)],
+        "k string, t long, v double",
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        seasonal_decompose(df, "k", "t", "v", period=3).collect()
+    ok_df = spark.createDataFrame(
+        [("k", i, 1.0) for i in range(9)], "k string, t long, v double"
+    )
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose(ok_df, "k", "t", "v", period=4)
+
+
+def test_kaplan_meier_by_matches_single_curve(spark):
+    from hdfe_spark.operators.stats import kaplan_meier, kaplan_meier_by
+
+    rows = (
+        [("a", 1, True), ("a", 2, False), ("a", 2, True), ("a", 3, True)]
+        + [("b", 1, True), ("b", 1, True), ("b", 4, False)]
+        + [(None, 9, True)]  # NULL group excluded
+    )
+    df = spark.createDataFrame(rows, "g string, t long, e boolean")
+    strat = kaplan_meier_by(df, "g", "t", "e")
+    got = {
+        (r["g"], r["t"]): (r["n_risk"], r["d"], r["c"], r["s"])
+        for r in strat.collect()
+    }
+    # each stratum equals the single-curve operator on its slice
+    for g in ("a", "b"):
+        single = kaplan_meier(
+            df.filter(F.col("g") == g), "t", "e"
+        ).collect()
+        for r in single:
+            assert got[(g, r["t"])] == (
+                r["n_risk"], r["d"], r["c"], r["s"]
+            )
+    assert not any(k[0] is None for k in got)
+
+
+def test_kaplan_meier_by_cell_cap(spark):
+    from hdfe_spark.operators.stats import kaplan_meier_by
+
+    df = spark.createDataFrame(
+        [("g", i, True) for i in range(50)], "g string, t long, e boolean"
+    )
+    with pytest.raises(ValueError, match="cells exceed"):
+        kaplan_meier_by(df, "g", "t", "e", max_cells=10)
