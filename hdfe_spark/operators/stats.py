@@ -938,6 +938,67 @@ def kfold_ols(
     )
 
 
+def _km_duration_guard(df, duration_col: str, opname: str) -> None:
+    from pyspark.sql import types as T
+
+    dt = df.schema[duration_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"{opname}: duration_col {duration_col!r} is "
+            f"{dt.simpleString()}; the curve contract is integral "
+            "durations (bin fractional times upstream)"
+        )
+
+
+def _km_cells(df, duration_col, event_col, group_cols, max_cells, opname):
+    """Bounded (group..., duration) cell collect shared by the
+    single-curve and stratified Kaplan-Meier: d (events), c
+    (censored), and a NULL-event count that fails LOUD — a NULL
+    outcome silently vanishing from the risk set would skew every
+    downstream survival probability."""
+    ev = F.col(event_col).cast("boolean")
+    cell_df = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(*group_cols, duration_col)
+        .agg(
+            F.sum(ev.cast("long")).cast("long").alias("d"),
+            F.sum((~ev).cast("long")).cast("long").alias("c"),
+            F.sum(ev.isNull().cast("long")).cast("long").alias("__nul"),
+        )
+    )
+    cells = cell_df.limit(max_cells + 1).collect()
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"{opname}: distinct cells exceed max_cells={max_cells}; "
+            "coarsen duration_col (bin to a coarser granularity) or "
+            "raise max_cells deliberately"
+        )
+    if any(int(r["__nul"] or 0) > 0 for r in cells):
+        raise ValueError(
+            f"{opname}: NULL {event_col!r} values — an unknown "
+            "outcome cannot be placed in the risk set; filter or "
+            "impute upstream"
+        )
+    return cells
+
+
+def _km_curve(cells_sorted):
+    """Product-limit recurrence over duration-sorted cells: yields
+    (t, n_risk, d, c, s) — the deterministic op sequence a
+    recursive-CTE oracle replays."""
+    n_risk = sum(int(r["d"]) + int(r["c"]) for r in cells_sorted)
+    s = 1.0
+    out = []
+    for r in cells_sorted:
+        d, c = int(r["d"]), int(r["c"])
+        s = s * (1.0 - d / n_risk)
+        out.append((n_risk, d, c, s))
+        n_risk -= d + c
+    return out
+
+
 def kaplan_meier(
     subjects: DataFrame,
     duration_col: str,
@@ -953,59 +1014,25 @@ def kaplan_meier(
 
     Distribution: the heavy work is upstream (reducing raw events to
     one row per subject) and the per-duration cell aggregation (one
-    groupBy). The T-step recurrence itself runs driver-side over the
-    collected cells — T = distinct durations, bounded by the time
-    granularity (the kmeans/huber_irls2 collect-scalars pattern), so
-    the sequential float product is a deterministic op sequence a
-    SQL oracle replays with a recursive CTE. ``event_col`` is
-    boolean-like: true = observed event (death/churn), false =
-    censored.
-
-    ``max_cells`` bounds the driver collect: the recurrence pulls
-    one row per DISTINCT duration, and second-grained durations over
-    a 100 TB corpus would be millions of driver rows. The count is
-    checked distributed-side FIRST and the operator raises (the
-    bloom dtype-guard convention) instead of OOM-ing the driver —
-    coarsen the duration (e.g. days, not seconds) or raise the cap
-    deliberately.
+    groupBy, driver collect bounded via limit(max_cells+1) in the
+    SAME pass). The T-step recurrence runs driver-side over the
+    collected cells — the sequential float product is a
+    deterministic op sequence a SQL oracle replays with a recursive
+    CTE. ``event_col`` is boolean-like: true = observed event
+    (death/churn), false = censored; NULL events raise (an unknown
+    outcome cannot be placed in the risk set). Shares its cell/
+    recurrence machinery with the stratified `kaplan_meier_by`.
     """
-    from pyspark.sql import types as T
-
-    dt = subjects.schema[duration_col].dataType
-    if not isinstance(
-        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
-        raise ValueError(
-            f"kaplan_meier: duration_col {duration_col!r} is "
-            f"{dt.simpleString()}; the curve contract is integral "
-            "durations (bin fractional times upstream)"
-        )
-    ev = F.col(event_col).cast("boolean")
-    cell_df = (
-        subjects.filter(F.col(duration_col).isNotNull())
-        .groupBy(duration_col)
-        .agg(
-            F.sum(ev.cast("long")).cast("long").alias("d"),
-            F.sum((~ev).cast("long")).cast("long").alias("c"),
-        )
+    _km_duration_guard(subjects, duration_col, "kaplan_meier")
+    cells = _km_cells(
+        subjects, duration_col, event_col, [], max_cells,
+        "kaplan_meier",
     )
-    # bound the driver collect in the SAME pass (limit pushes into
-    # the aggregation) — a count() first would scan the input twice
-    cells = cell_df.limit(max_cells + 1).collect()
-    if len(cells) > max_cells:
-        raise ValueError(
-            f"kaplan_meier: distinct durations exceed "
-            f"max_cells={max_cells}; coarsen duration_col (bin to a "
-            "coarser granularity) or raise max_cells deliberately"
-        )
     cells.sort(key=lambda r: r[duration_col])
-    tot = sum(int(r["d"]) + int(r["c"]) for r in cells)
-    rows, n_risk, s = [], tot, 1.0
-    for r in cells:
-        d, c = int(r["d"]), int(r["c"])
-        s = s * (1.0 - d / n_risk)
-        rows.append((r[duration_col], n_risk, d, c, s))
-        n_risk -= d + c
+    rows = [
+        (r[duration_col], n_risk, d, c, sv)
+        for r, (n_risk, d, c, sv) in zip(cells, _km_curve(cells))
+    ]
     return subjects.sparkSession.createDataFrame(
         rows,
         "t long, n_risk long, d long, c long, s double",
@@ -1716,7 +1743,14 @@ def seasonal_decompose(
     variant of STL — the diagnostic behind "is this weekly pattern
     or drift?"). ``period`` must be ODD >= 3 (the centered window is
     symmetric); rows are phased by their 0-based position within the
-    key's ``order_col`` order, so sampling must be regular.
+    key's ``order_col`` order, so sampling must be regular — and
+    that contract is ENFORCED, not prose: duplicate order values OR
+    NULL values raise a ValueError up front (a NULL would silently
+    shift every later row's phase; a tie would phase rows
+    nondeterministically). The check is DRIVER-side on one tiny
+    aggregate — an in-plan guard column could be pruned away by a
+    caller selecting other columns (a review pass demonstrated
+    exactly that).
 
     Engine-portable exactness: the centered window sum is the
     cumulative-minus-offset identity over EXACT fixed-point integers
@@ -1724,9 +1758,10 @@ def seasonal_decompose(
     IEEE division of exact integers, and the per-phase seasonal mean
     is evaluated as sum(u)/n - sum(S)/(period*n) on exact integer
     aggregates — never a float mean of detrended doubles, whose
-    summation order would differ across engines. Duplicate order
-    values within a key raise in-plan (`_dup_order_guard`
-    convention: phasing by row position would be nondeterministic).
+    summation order would differ across engines. The windowed pass
+    is localCheckpointed once (it feeds both the per-phase table and
+    the output join — the materialize-once convention, measured 2.5x
+    on dbscan_grid).
 
     Output: one row per FULL-WINDOW position (h rows at each key
     edge have no centered trend and are dropped): key, order, value,
@@ -1739,9 +1774,25 @@ def seasonal_decompose(
             "(centered moving average)"
         )
     h = (period - 1) // 2
-    base = df.filter(
-        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(
+    chk = df.filter(F.col(order_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.struct(F.col(key_col), F.col(order_col))
+        ).alias("d"),
+        F.sum(F.col(value_col).isNull().cast("long")).alias("nv"),
+    ).collect()[0]
+    if int(chk["n"] or 0) != int(chk["d"] or 0):
+        raise ValueError(
+            "seasonal_decompose: duplicate order values within a "
+            "key — row-position phasing would be nondeterministic"
+        )
+    if int(chk["nv"] or 0) > 0:
+        raise ValueError(
+            "seasonal_decompose: NULL values in the series — they "
+            "would shift every later row's phase; interpolate or "
+            "drop-and-reindex upstream (resample.interpolate_gaps)"
+        )
+    base = df.filter(F.col(order_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
         F.col(order_col).alias("__o"),
         F.col(value_col).alias("__val"),
@@ -1759,17 +1810,19 @@ def seasonal_decompose(
     s_t = F.lead(cum, h).over(wl) - F.coalesce(
         F.lag(cum, h + 1).over(wl), F.lit(0).cast("decimal(38,0)")
     )
-    cnt = F.sum(F.lit(1).cast("decimal(38,0)")).over(wc)
-    c_t = F.lead(cnt, h).over(wl) - F.coalesce(
-        F.lag(cnt, h + 1).over(wl), F.lit(0).cast("decimal(38,0)")
-    )
     rn = F.row_number().over(wl) - 1
-    win = base.select(
-        "__k", "__o", "__val", "__u",
-        s_t.alias("__s"),
-        c_t.alias("__c"),
-        (rn % period).alias("__phase"),
-    ).filter(F.col("__c") == F.lit(period))
+    # full window: h rows before (rn >= h) and h rows after (the
+    # lead is non-NULL) — no separate count window needed
+    win = (
+        base.select(
+            "__k", "__o", "__val", "__u",
+            s_t.alias("__s"),
+            rn.alias("__rn"),
+        )
+        .filter(F.col("__s").isNotNull() & (F.col("__rn") >= h))
+        .withColumn("__phase", F.col("__rn") % period)
+        .localCheckpoint(eager=True)
+    )
     per_phase = win.groupBy("__k", "__phase").agg(
         F.count(F.lit(1)).cast("long").alias("__nj"),
         F.sum("__u").alias("__suj"),
@@ -1783,27 +1836,15 @@ def seasonal_decompose(
     phase_tab = per_phase.select(
         "__k", "__phase", seasonal_j.alias("__seasonal")
     )
-    # total-order guard per key (row-position phasing would be
-    # nondeterministic under ties)
-    guard = base.groupBy("__k").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("__o")).alias("_n_ord"),
-    )
-    joined = (
-        win.join(F.broadcast(phase_tab), ["__k", "__phase"])
-        .join(F.broadcast(guard), "__k")
-    )
+    joined = win.join(F.broadcast(phase_tab), ["__k", "__phase"])
     trend = F.col("__s").cast("double") / F.lit(float(period))
     detr = F.col("__u").cast("double") - trend
     resid = detr - F.col("__seasonal")
-    guarded_trend = _dup_order_guard(
-        "seasonal_decompose", "__k", trend
-    )
     return joined.select(
         F.col("__k").alias(key_col),
         F.col("__o").alias(order_col),
         F.col("__val").alias(value_col),
-        (guarded_trend / F.lit(scale)).alias("trend"),
+        (trend / F.lit(scale)).alias("trend"),
         (F.col("__seasonal") / F.lit(scale)).alias("seasonal"),
         (resid / F.lit(scale)).alias("resid"),
     )
@@ -1818,60 +1859,43 @@ def kaplan_meier_by(
 ) -> DataFrame:
     """Stratified Kaplan-Meier: one survival curve PER GROUP — the
     cohort-comparison form that is the reason KM exists ("does the
-    treatment arm churn slower?"), generalizing `kaplan_meier`'s
-    single curve. Same design: one distributed (group, duration)
-    cell aggregation with the driver collect bounded in the SAME
-    pass (limit(max_cells+1), never a second scan), then the
-    product-limit recurrence per group over its sorted cells — the
-    deterministic op sequence a per-group recursive-CTE oracle
-    replays. NULL groups are excluded (SQL semantics, the
-    anova_oneway convention). Returns (group, t, n_risk, d, c, s)."""
-    from pyspark.sql import types as T
-
-    dt = subjects.schema[duration_col].dataType
-    if not isinstance(
-        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    ):
+    treatment arm churn slower?"). Shares the bounded cell collect,
+    the NULL-event loud failure, and the product-limit recurrence
+    with the single-curve `kaplan_meier` (`_km_cells`/`_km_curve`);
+    NULL groups are excluded (SQL semantics, the anova_oneway
+    convention). ``group_col`` may not collide with the output
+    columns (t, n_risk, d, c, s) — raises, rather than emitting an
+    ambiguous schema. Returns (group, t, n_risk, d, c, s)."""
+    if group_col in ("t", "n_risk", "d", "c", "s"):
         raise ValueError(
-            f"kaplan_meier_by: duration_col {duration_col!r} is "
-            f"{dt.simpleString()}; the curve contract is integral "
-            "durations (bin fractional times upstream)"
+            f"kaplan_meier_by: group_col {group_col!r} collides "
+            "with an output column — alias it first"
         )
-    ev = F.col(event_col).cast("boolean")
-    cell_df = (
-        subjects.filter(
-            F.col(duration_col).isNotNull()
-            & F.col(group_col).isNotNull()
-        )
-        .groupBy(group_col, duration_col)
-        .agg(
-            F.sum(ev.cast("long")).cast("long").alias("d"),
-            F.sum((~ev).cast("long")).cast("long").alias("c"),
-        )
+    _km_duration_guard(subjects, duration_col, "kaplan_meier_by")
+    cells = _km_cells(
+        subjects.filter(F.col(group_col).isNotNull()),
+        duration_col, event_col, [group_col], max_cells,
+        "kaplan_meier_by",
     )
-    cells = cell_df.limit(max_cells + 1).collect()
-    if len(cells) > max_cells:
-        raise ValueError(
-            f"kaplan_meier_by: (group, duration) cells exceed "
-            f"max_cells={max_cells}; coarsen duration_col or raise "
-            "max_cells deliberately"
-        )
     by_group: dict = {}
     for r in cells:
         by_group.setdefault(r[group_col], []).append(r)
     rows = []
     for g, cs in sorted(by_group.items(), key=lambda kv: kv[0]):
         cs.sort(key=lambda r: r[duration_col])
-        n_risk = sum(int(r["d"]) + int(r["c"]) for r in cs)
-        s = 1.0
-        for r in cs:
-            d, c = int(r["d"]), int(r["c"])
-            s = s * (1.0 - d / n_risk)
-            rows.append((g, r[duration_col], n_risk, d, c, s))
-            n_risk -= d + c
-    gtype = subjects.schema[group_col].dataType.simpleString()
-    return subjects.sparkSession.createDataFrame(
-        rows,
-        f"{group_col} {gtype}, t long, n_risk long, d long, "
-        "c long, s double",
+        for r, (n_risk, d, c, sv) in zip(cs, _km_curve(cs)):
+            rows.append((g, r[duration_col], n_risk, d, c, sv))
+    from pyspark.sql import types as T
+
+    gfield = subjects.schema[group_col]
+    schema = T.StructType(
+        [
+            T.StructField(group_col, gfield.dataType),
+            T.StructField("t", T.LongType()),
+            T.StructField("n_risk", T.LongType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
     )
+    return subjects.sparkSession.createDataFrame(rows, schema)

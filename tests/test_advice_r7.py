@@ -254,7 +254,7 @@ def test_kaplan_meier_cell_cap_raises(spark):
     df = spark.createDataFrame(
         [(i, True) for i in range(50)], "t long, ev boolean"
     )
-    with pytest.raises(ValueError, match="distinct durations exceed"):
+    with pytest.raises(ValueError, match="cells exceed"):
         kaplan_meier(df, "t", "ev", max_cells=10)
 
 

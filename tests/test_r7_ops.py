@@ -920,3 +920,56 @@ def test_kaplan_meier_by_cell_cap(spark):
     )
     with pytest.raises(ValueError, match="cells exceed"):
         kaplan_meier_by(df, "g", "t", "e", max_cells=10)
+
+
+def test_kaplan_meier_null_event_raises(spark):
+    """Fifth-review regression: a NULL outcome must fail loud, not
+    vanish from the risk set (or crash with a bare TypeError)."""
+    from hdfe_spark.operators.stats import kaplan_meier, kaplan_meier_by
+
+    df = spark.createDataFrame(
+        [(1, True), (2, None), (2, True)], "t long, e boolean"
+    )
+    with pytest.raises(ValueError, match="NULL 'e' values"):
+        kaplan_meier(df, "t", "e")
+    g = spark.createDataFrame(
+        [("g", 1, True), ("g", 2, None)], "g string, t long, e boolean"
+    )
+    with pytest.raises(ValueError, match="NULL 'e' values"):
+        kaplan_meier_by(g, "g", "t", "e")
+
+
+def test_kaplan_meier_by_colliding_group_name_raises(spark):
+    from hdfe_spark.operators.stats import kaplan_meier_by
+
+    df = spark.createDataFrame(
+        [("x", 1, True)], "s string, t long, e boolean"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        kaplan_meier_by(df, "s", "t", "e")
+
+
+def test_seasonal_decompose_null_value_raises(spark):
+    """Fifth-review regression: a NULL value would silently shift
+    every later row's phase — it must raise instead."""
+    from hdfe_spark.operators.stats import seasonal_decompose
+
+    rows = [("k", i, None if i == 5 else float(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    with pytest.raises(ValueError, match="NULL values in the series"):
+        seasonal_decompose(df, "k", "t", "v", period=3)
+
+
+def test_seasonal_decompose_guard_unprunable(spark):
+    """The duplicate-order check is driver-side, so selecting only
+    seasonal/resid cannot prune it away (the in-plan-guard pitfall a
+    review pass demonstrated)."""
+    from hdfe_spark.operators.stats import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 1, 2.0)]
+        + [("k", i, 1.0) for i in range(2, 9)],
+        "k string, t long, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate order"):
+        seasonal_decompose(df, "k", "t", "v", period=3)
