@@ -9159,7 +9159,7 @@ def oracle_sql() -> dict[str, str]:
             l AS (
               SELECT n, cxx, cxy, cyy,
                      (cxx + cyy + disc) / 2.0 AS l1,
-                     (cxx + cyy - disc) / 2.0 AS l2
+                     greatest((cxx + cyy - disc) / 2.0, 0.0) AS l2
               FROM e),
             v AS (
               SELECT n, l1, l2, cxx, cxy, cyy,

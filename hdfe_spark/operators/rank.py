@@ -261,7 +261,9 @@ def weighted_quantiles(
     if not pcts or not all(0 < p <= 100 for p in pcts):
         raise ValueError("weighted_quantiles: pcts must be in (0, 100]")
     wtype = df.schema[weight_col].dataType
-    if isinstance(wtype, (T.FloatType, T.DoubleType)):
+    if isinstance(wtype, (T.FloatType, T.DoubleType)) or (
+        isinstance(wtype, T.DecimalType) and wtype.scale > 0
+    ):
         raise ValueError(
             f"weighted_quantiles: weight_col {weight_col!r} is "
             f"{wtype.simpleString()}; exact cumulative weights need "
@@ -272,14 +274,27 @@ def weighted_quantiles(
             F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
         )
         .groupBy(value_col)
-        .agg(F.sum(F.col(weight_col)).cast("long").alias("__w"))
+        .agg(
+            F.sum(F.col(weight_col)).cast("long").alias("__w"),
+            F.min(F.col(weight_col)).cast("long").alias("__minw"),
+        )
     )
     # total from the cheap pre-prefix-sum cells (summing the
     # prefix_sum OUTPUT would execute its whole distributed
-    # pipeline twice for one scalar)
-    w_tot = cells.agg(F.sum("__w").cast("long")).collect()[0][0]
+    # pipeline twice for one scalar); min(weight) rides the same
+    # reduction — negative weights make the cumulative sum
+    # non-monotone, so "smallest value crossing p% of W" is undefined
+    w_tot, w_min = cells.agg(
+        F.sum("__w").cast("long"), F.min("__minw")
+    ).collect()[0]
+    if w_min is not None and w_min < 0:
+        raise ValueError(
+            f"weighted_quantiles: negative weight {w_min} in "
+            f"{weight_col!r}; cumulative weights must be monotone"
+        )
     if not w_tot:
         raise ValueError("weighted_quantiles: zero total weight")
+    cells = cells.drop("__minw")
     cum = prefix_sum(
         cells, [value_col], "__w", out_col="__cumw",
         num_partitions=num_partitions,

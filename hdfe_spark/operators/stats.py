@@ -1120,11 +1120,15 @@ def anova_oneway(
     oracle replays with ``list_reduce(list(... ORDER BY g))`` —
     identical IEEE op sequence, never a parallel float sum. The
     group count is bounded (``max_groups`` guard, the kaplan_meier
-    convention — enforced in the SAME pass via limit(max+1), no
-    second scan). NULL groups and NULL values are excluded (SQL
-    aggregate semantics; also what `brown_forsythe`'s median join
-    does, so the two agree). Returns ONE row: k, n, f_stat, ssb,
-    ssw (original units)."""
+    convention — enforced in the SAME pass via limit(max+1)). The
+    global (N, S, SSQ) totals are DERIVED from the collected cells
+    (exact integer/Decimal sums, order-free), so the whole statistic
+    comes from ONE action over the source — a non-deterministic or
+    recomputed source cannot make cells and totals disagree. NULL
+    groups and NULL values are excluded (SQL aggregate semantics;
+    also what `brown_forsythe`'s median join does, so the two
+    agree). Returns ONE row: k, n, f_stat, ssb, ssw (original
+    units)."""
     u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
@@ -1132,6 +1136,7 @@ def anova_oneway(
     cell_df = base.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum(u).alias("sg"),
+        F.sum(u * u).alias("qg"),
     )
     cells = cell_df.limit(max_groups + 1).collect()
     if len(cells) > max_groups:
@@ -1141,12 +1146,12 @@ def anova_oneway(
     if len(cells) < 2:
         raise ValueError("anova_oneway: needs >= 2 groups")
     cells.sort(key=lambda r: r[group_col])
-    tot = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(u).alias("s"),
-        F.sum(u * u).alias("ssq"),
-    ).collect()[0]
-    n, s, ssq = int(tot["n"]), float(tot["s"]), float(tot["ssq"])
+    # totals from the cells themselves: sums of exact ints/Decimals
+    # are order-independent, so this is bit-identical to a separate
+    # global aggregate — without the second scan's consistency risk
+    n = sum(int(r["ng"]) for r in cells)
+    s = float(sum(int(r["sg"]) for r in cells))
+    ssq = float(sum(int(r["qg"]) for r in cells))
     k = len(cells)
     if n <= k:
         raise ValueError("anova_oneway: no within-group dof (N <= k)")
@@ -1222,7 +1227,10 @@ def pca2(
     d = cxx - cyy
     disc = math.sqrt(d * d + 4.0 * (cxy * cxy))
     l1 = (cxx + cyy + disc) / 2.0
-    l2 = (cxx + cyy - disc) / 2.0
+    # float cancellation on near-degenerate data can push l2 a hair
+    # below 0, which would emit var_explained > 1; covariance
+    # eigenvalues are nonnegative by construction, so clamp
+    l2 = max((cxx + cyy - disc) / 2.0, 0.0)
     if l1 + l2 <= 0.0:
         raise ValueError("pca2: degenerate (zero total variance)")
     if cxy == 0.0:
@@ -1744,9 +1752,10 @@ def seasonal_decompose(
     or drift?"). ``period`` must be ODD >= 3 (the centered window is
     symmetric); rows are phased by their 0-based position within the
     key's ``order_col`` order, so sampling must be regular — and
-    that contract is ENFORCED, not prose: duplicate order values OR
-    NULL values raise a ValueError up front (a NULL would silently
-    shift every later row's phase; a tie would phase rows
+    that contract is ENFORCED, not prose: duplicate order values,
+    NULL values, OR NULL order values raise a ValueError up front (a
+    NULL value — or a silently dropped NULL-order row — would shift
+    every later row's phase; a tie would phase rows
     nondeterministically). The check is DRIVER-side on one tiny
     aggregate — an in-plan guard column could be pruned away by a
     caller selecting other columns (a review pass demonstrated
@@ -1774,13 +1783,23 @@ def seasonal_decompose(
             "(centered moving average)"
         )
     h = (period - 1) // 2
-    chk = df.filter(F.col(order_col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"),
+    ord_ok = F.col(order_col).isNotNull()
+    chk = df.agg(
+        F.count(F.when(ord_ok, F.lit(1))).alias("n"),
         F.count_distinct(
-            F.struct(F.col(key_col), F.col(order_col))
+            F.when(ord_ok, F.struct(F.col(key_col), F.col(order_col)))
         ).alias("d"),
-        F.sum(F.col(value_col).isNull().cast("long")).alias("nv"),
+        F.sum(
+            (ord_ok & F.col(value_col).isNull()).cast("long")
+        ).alias("nv"),
+        F.sum(F.col(order_col).isNull().cast("long")).alias("no"),
     ).collect()[0]
+    if int(chk["no"] or 0) > 0:
+        raise ValueError(
+            "seasonal_decompose: NULL order values — dropping them "
+            "would shift every later row's phase exactly like a NULL "
+            "value would; repair the ordering column upstream"
+        )
     if int(chk["n"] or 0) != int(chk["d"] or 0):
         raise ValueError(
             "seasonal_decompose: duplicate order values within a "

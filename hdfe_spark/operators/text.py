@@ -905,9 +905,14 @@ def lm_score_buckets(
     bit-identical everywhere, so the tile assignment is too.
     Ordering: (avg_tf desc, doc_id) — total, engine-portable.
 
-    Plan: explode → one vocabulary-sized count aggregation
-    (broadcast back) → per-doc integer reduction → `rank.exact_ntile`
-    (distributed order statistics, no single-partition window).
+    Plan: explode → one vocabulary-sized count aggregation joined
+    back on the token → per-doc integer reduction → `rank.exact_ntile`
+    (distributed order statistics, no single-partition window). The
+    vocabulary join is NOT hinted broadcast: whitespace-token
+    vocabulary is unbounded (at web-crawl scale it can exceed the
+    broadcast/driver limits — unlike ``bm25_scores``, whose
+    broadcast table is bounded by the query's term count), so AQE
+    decides shuffle- vs broadcast-join from the measured size.
     Zero-token docs drop (no score; mirrored by oracles)."""
     from hdfe_spark.operators.rank import exact_ntile
 
@@ -918,7 +923,7 @@ def lm_score_buckets(
         F.count(F.lit(1)).cast("long").alias("c_t")
     )
     per_doc = (
-        toks.join(F.broadcast(model), "t")
+        toks.join(model, "t")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
