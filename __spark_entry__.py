@@ -5269,107 +5269,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window (rounds 3-6 each recorded exactly the first
     50 dict entries — SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-7 ROTATION (eleventh curation pass), executed at round-7
-    START per the queued plan:
+    ROUND-8 ROTATION (twelfth curation pass), executed at round-8
+    START per the queued plan (VERDICT r7 items 1-2, 7-8):
 
-    - position 1: `inverted_index` — round 6's only red. Not wrong
-      values (the local gate hash-matched it) but an output-shape
-      crash: the driver's pandas canonicalizer cannot sort an
-      `array<string>` postings column. Fixed by scalar-rendering the
-      postings (`array_join` ↔ `array_to_string`); stays at position
-      1 so round 7 records the green row (decimal_agg precedent).
-    - positions 2-9: the eight hash-matchable queries built after the
-      round-6 window froze (`col_profile` `recursive_cte`
-      `dpp_pruned_join` `streaming_dq` `psi_drift` `mahalanobis`
-      `bpe_roundtrip`) plus the rows-only `bpe_merges` demo whose
-      losslessness is certified by `bpe_roundtrip` in the adjacent
-      slot.
-    - positions 10-35: the 26-query stats/ML family built in the
-      round-6 third session, never driver-recorded (`ab_ttest` …
-      `ab_proportions`).
-    - positions 36-38: the last three never-recorded rows-only demos
-      (`semdedup`, `pq_topk`, `ivfpq_topk`) — each certificate
-      (`semdedup_recall`, `pq_recall`, `ivfpq_recall`) is
-      driver-green. After this window EVERY registry query has a
-      driver row: never-recorded backlog -> 0.
-    - positions 39-46: the eight round-6 re-certification rows
-      displaced by the TPC-H batch (driver-green r5; code paths
-      changed early round 6).
-    - positions 47-50: headline-bench re-certification (`ols_2fe`
-      `minhash_dedup` `tfidf_topk` `sessionize`) — the most
-      expensive plans in BENCH, re-recorded on current fixtures.
-    - positions 51-65: the ROUND-8 ROTATION QUEUE — the fifteen
-      operators built in round 7 (`anova` … `binary_source`), never
-      driver-recorded, first in line next rotation.
-    - positions 66+: the round-6 window greens first (most recent
-      driver rows), then the r03-r05 driver-green backlog — ALL
-      still gated locally every round (`tools/check_oracle.py`,
-      which now hard-FAILS any non-scalar output cell so no
-      array-typed column can reach the window again).
+    - positions 1-15: the fifteen round-7 builds (`anova` ...
+      `binary_source`) — the ONLY never-driver-recorded queries
+      after round 7's clean 50/50 window; all locally hash-green
+      under the dtype-strict replica gate.
+    - positions 16-22: the seven round-8 registrations of the
+      operators pre-built (with tests + stress) in round 7:
+      `bm25` `dbscan` `shortest_paths` `mutual_information`
+      `best_split` `seasonal` `km_by`. Each is oracle-checked.
+    - positions 23-50: re-certification of the 28 stalest driver
+      rows (r03/r04 greens, now 4-5 rounds old, code untouched but
+      fixtures regenerated every round).
+    - positions 51+: the oracle-checked backlog (most recent driver
+      evidence first), ALL still gated locally every round
+      (`tools/full_gate.sh`); the 11 rows-only demos sit at the
+      very end — per VERDICT item 8 the window spends slots only on
+      hash-matchable rows, and each demo's exactness certificate
+      (`*_recall` / `*_exactness` / `bpe_roundtrip`) IS
+      oracle-checked and driver-green.
     """
 
     return {
         # ------ driver window: positions 1-50 ------
-        # 1: the round-6 red, fixed (scalar postings)
-        "inverted_index": _q_inverted_index,
-        # 2-9: post-freeze round-6 builds, never recorded
-        "col_profile": _q_col_profile,
-        "recursive_cte": _q_recursive_cte,
-        "dpp_pruned_join": _q_dpp_pruned_join,
-        "streaming_dq": _q_streaming_dq,
-        "psi_drift": _q_psi_drift,
-        "mahalanobis": _q_mahalanobis,
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "bpe_merges": _q_bpe_merges,
-        # 10-35: the stats/ML family, never recorded
-        "ab_ttest": _q_ab_ttest,
-        "chi2_contingency": _q_chi2_contingency,
-        "ols_ridge": _q_ols_ridge,
-        "kmeans": _q_kmeans,
-        "ewma": _q_ewma,
-        "log_parse": _q_log_parse,
-        "attribution": _q_attribution,
-        "gap_fill": _q_gap_fill,
-        "mann_whitney": _q_mann_whitney,
-        "ks_test": _q_ks_test,
-        "spearman": _q_spearman,
-        "target_encode": _q_target_encode,
-        "standardize": _q_standardize,
-        "bootstrap_ci": _q_bootstrap_ci,
-        "robust_ols": _q_robust_ols,
-        "auc": _q_auc,
-        "rolling_beta": _q_rolling_beta,
-        "kfold_cv": _q_kfold_cv,
-        "calibration": _q_calibration,
-        "survival": _q_survival,
-        "streaming_ewma": _q_streaming_ewma,
-        "radius_join": _q_radius_join,
-        "containment": _q_containment,
-        "benford": _q_benford,
-        "hard_negatives": _q_hard_negatives,
-        "ab_proportions": _q_ab_proportions,
-        # 36-38: last rows-only demos (certificates driver-green)
-        "semdedup": _q_semdedup,
-        "pq_topk": _q_pq_topk,
-        "ivfpq_topk": _q_ivfpq_topk,
-        # 39-46: round-6-displaced re-certification rows
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "upsert_roundtrip": _q_upsert_roundtrip,
-        "streaming_upsert": _q_streaming_upsert,
-        "weighted_sample": _q_weighted_sample,
-        "running_total": _q_running_total,
-        "pack_sequences": _q_pack_sequences,
-        "compact_roundtrip": _q_compact_roundtrip,
-        # 47-50: headline-bench re-certification
-        "ols_2fe": _q_ols_2fe,
-        "minhash_dedup": _q_minhash_dedup,
-        "tfidf_topk": _q_tfidf_topk,
-        "sessionize": _q_sessionize,
-        # ------ end of the driver's 50-query window ------
-        # ROUND-8 ROTATION QUEUE: the fifteen operators BUILT in
-        # round 7 (never driver-recorded — first in line next
-        # rotation):
+        # 1-15: the fifteen round-7 builds, never driver-recorded
         "anova": _q_anova,
         "levene": _q_levene,
         "pca2": _q_pca2,
@@ -5385,169 +5310,232 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini": _q_gini,
         "cross_corr": _q_cross_corr,
         "binary_source": _q_binary_source,
-        # round-6 window greens (recorded CORRECTNESS_r06), most
-        # recent driver rows first:
-        "decimal_agg": _q_decimal_agg,
-        "semdedup_recall": _q_semdedup_recall,
-        "dq_report": _q_dq_report,
-        "snapshot_roundtrip": _q_snapshot_roundtrip,
-        "winsorize": _q_winsorize,
-        "tpch_q5": _q_tpch_q5,
-        "join_nulls": _q_join_nulls,
-        "string_funcs": _q_string_funcs,
+        # 16-22: the seven round-8 registrations
+        "bm25": _q_bm25,
+        "dbscan": _q_dbscan,
+        "shortest_paths": _q_shortest_paths,
+        "mutual_information": _q_mutual_information,
+        "best_split": _q_best_split,
+        "seasonal": _q_seasonal,
+        "km_by": _q_km_by,
+        # 23-50: re-certification of the stalest driver
+        # evidence (r03/r04 greens, 4-5 rounds old)
+        "cosine_topk": _q_cosine_topk,
+        "dummies_drop_last": _q_dummies_drop_last,
+        "embedding_neardup": _q_embedding_neardup,
+        "grouped_agg_salted": _q_grouped_agg_salted,
+        "knn_join": _q_knn_join,
+        "lags_zero_fill": _q_lags_zero_fill,
+        "lang_id": _q_lang_id,
+        "line_dedup": _q_line_dedup,
+        "minhash_dedup_cc": _q_minhash_dedup_cc,
+        "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ols_3fe": _q_ols_3fe,
+        "quality": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "scrub_pii": _q_scrub_pii,
+        "se_robust": _q_se_robust,
+        "all_dummies": _q_all_dummies,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "approx_distinct": _q_approx_distinct,
+        "asof_join": _q_asof_join,
+        "bucketed_join": _q_bucketed_join,
+        "collinear_cols": _q_collinear_cols,
+        "contamination": _q_contamination,
+        "demean": _q_demean,
+        "dummies": _q_dummies,
+        "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
+        "exact_dedup": _q_exact_dedup,
+        "factorize": _q_factorize,
+        # ------ end of the driver's 50-query window ------
+        # backlog: remaining oracle-checked queries, most
+        # recent driver rows first; the 11 rows-only demos
+        # sit LAST (window slots go to hash-matchable rows
+        # only - each demo's certificate query is oracle-
+        # checked and driver-green)
+        "ab_proportions": _q_ab_proportions,
+        "ab_ttest": _q_ab_ttest,
+        "attribution": _q_attribution,
+        "auc": _q_auc,
+        "benford": _q_benford,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "calibration": _q_calibration,
+        "chi2_contingency": _q_chi2_contingency,
+        "col_profile": _q_col_profile,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "containment": _q_containment,
+        "dpp_pruned_join": _q_dpp_pruned_join,
+        "ewma": _q_ewma,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "gap_fill": _q_gap_fill,
+        "hard_negatives": _q_hard_negatives,
+        "inverted_index": _q_inverted_index,
+        "kfold_cv": _q_kfold_cv,
+        "kmeans": _q_kmeans,
+        "ks_test": _q_ks_test,
+        "log_parse": _q_log_parse,
+        "mahalanobis": _q_mahalanobis,
+        "mann_whitney": _q_mann_whitney,
+        "minhash_dedup": _q_minhash_dedup,
+        "ols_2fe": _q_ols_2fe,
+        "ols_ridge": _q_ols_ridge,
+        "pack_sequences": _q_pack_sequences,
+        "psi_drift": _q_psi_drift,
+        "radius_join": _q_radius_join,
+        "recursive_cte": _q_recursive_cte,
+        "robust_ols": _q_robust_ols,
+        "rolling_beta": _q_rolling_beta,
+        "running_total": _q_running_total,
+        "sessionize": _q_sessionize,
+        "spearman": _q_spearman,
+        "standardize": _q_standardize,
+        "streaming_dq": _q_streaming_dq,
+        "streaming_ewma": _q_streaming_ewma,
+        "streaming_upsert": _q_streaming_upsert,
+        "survival": _q_survival,
+        "target_encode": _q_target_encode,
+        "tfidf_topk": _q_tfidf_topk,
+        "upsert_roundtrip": _q_upsert_roundtrip,
+        "weighted_sample": _q_weighted_sample,
+        "agg_refresh": _q_agg_refresh,
+        "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
+        "decimal_agg": _q_decimal_agg,
+        "dq_report": _q_dq_report,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "heavy_hitters": _q_heavy_hitters,
+        "interval_join": _q_interval_join,
+        "join_nulls": _q_join_nulls,
+        "label_centroids": _q_label_centroids,
+        "mad_outliers": _q_mad_outliers,
+        "multimodal_audio": _q_multimodal_audio,
+        "pagerank": _q_pagerank,
         "pmi_bigrams": _q_pmi_bigrams,
         "rebalance_sources": _q_rebalance_sources,
         "ref_integrity": _q_ref_integrity,
-        "mad_outliers": _q_mad_outliers,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
+        "scd2_intervals": _q_scd2_intervals,
+        "schema_evolution": _q_schema_evolution,
+        "semdedup_recall": _q_semdedup_recall,
+        "setsim_join": _q_setsim_join,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_diff_apply": _q_snapshot_diff_apply,
+        "snapshot_roundtrip": _q_snapshot_roundtrip,
+        "streaming_cms": _q_streaming_cms,
+        "streaming_snapshot": _q_streaming_snapshot,
+        "string_funcs": _q_string_funcs,
         "tpch_q10": _q_tpch_q10,
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
         "tpch_q20": _q_tpch_q20,
-        "tpch_q22": _q_tpch_q22,
-        "label_centroids": _q_label_centroids,
-        "snapshot_diff": _q_snapshot_diff,
-        "scd2_intervals": _q_scd2_intervals,
-        "streaming_snapshot": _q_streaming_snapshot,
-        "video_frames": _q_video_frames,
-        "schema_evolution": _q_schema_evolution,
-        "streaming_cms": _q_streaming_cms,
-        "agg_refresh": _q_agg_refresh,
-        "cms_certificate": _q_cms_certificate,
-        "heavy_hitters": _q_heavy_hitters,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q13": _q_tpch_q13,
-        "triangle_count": _q_triangle_count,
-        "setsim_join": _q_setsim_join,
-        "dup_ngram_spans": _q_dup_ngram_spans,
-        "snapshot_diff_apply": _q_snapshot_diff_apply,
         "tpch_q21": _q_tpch_q21,
-        "interval_join": _q_interval_join,
-        "pagerank": _q_pagerank,
-        "multimodal_audio": _q_multimodal_audio,
-        # r03-r05 driver-green backlog (unchanged relative order):
-        "set_ops": _q_set_ops,
-        "fingerprint": _q_fingerprint,
-        "simhash_dedup": _q_simhash_dedup,
-        "simhash_neardup": _q_simhash_neardup,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "ivf_topk": _q_ivf_topk,
-        "fingerprint_neardup": _q_fingerprint_neardup,
-        "quality": _q_quality,
-        "lang_id": _q_lang_id,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_pairs": _q_minhash_pairs,
-        "minhash_dedup_cc": _q_minhash_dedup_cc,
-        "knn_join": _q_knn_join,
-        "embedding_neardup": _q_embedding_neardup,
-        "scrub_pii": _q_scrub_pii,
-        "line_dedup": _q_line_dedup,
-        "repetition_stats": _q_repetition_stats,
-        "pipeline_curate": _q_pipeline_curate,
-        "asof_join": _q_asof_join,
-        "normalize_text": _q_normalize_text,
-        "stratified_sample": _q_stratified_sample,
-        "hash_split": _q_hash_split,
-        "join_agg_topk": _q_join_agg_topk,
-        "bucketed_join": _q_bucketed_join,
-        "approx_distinct": _q_approx_distinct,
-        "window_funcs": _q_window_funcs,
-        "rollup_agg": _q_rollup_agg,
-        "zorder_layout": _q_zorder_layout,
-        "chunk_docs": _q_chunk_docs,
-        "key_skew": _q_key_skew,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "triangle_count": _q_triangle_count,
+        "video_frames": _q_video_frames,
+        "winsorize": _q_winsorize,
         "approx_quantiles": _q_approx_quantiles,
-        "bloom_join": _q_bloom_join,
-        "range_join": _q_range_join,
-        "pq_recall": _q_pq_recall,
-        "salted_join": _q_salted_join,
-        "multimodal_resize": _q_multimodal_resize,
-        "streaming_enrich": _q_streaming_enrich,
-        "sql_q1": _q_sql_q1,
-        "rolling_window": _q_rolling_window,
-        "cube_agg": _q_cube_agg,
-        "json_roundtrip": _q_json_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "feature_hash": _q_feature_hash,
-        "ivfpq_recall": _q_ivfpq_recall,
-        "bigram_logprob": _q_bigram_logprob,
-        "resample": _q_resample,
-        "group_ols": _q_group_ols,
-        "equidepth_hist": _q_equidepth_hist,
-        "null_semantics": _q_null_semantics,
-        "interval_arith": _q_interval_arith,
-        "histogram": _q_histogram,
-        "corr_matrix": _q_corr_matrix,
-        "pivot_wide": _q_pivot_wide,
-        "unpivot_long": _q_unpivot_long,
-        "latest_per_key": _q_latest_per_key,
-        "char_entropy": _q_char_entropy,
-        "tpch_q3": _q_tpch_q3,
         "array_funcs": _q_array_funcs,
+        "bigram_logprob": _q_bigram_logprob,
+        "bloom_join": _q_bloom_join,
+        "char_entropy": _q_char_entropy,
+        "chunk_docs": _q_chunk_docs,
+        "corr_matrix": _q_corr_matrix,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "cube_agg": _q_cube_agg,
+        "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
+        "feature_hash": _q_feature_hash,
         "filter_agg": _q_filter_agg,
-        "semi_anti_join": _q_semi_anti_join,
         "funnel": _q_funnel,
-        "retention": _q_retention,
+        "group_ols": _q_group_ols,
         "grouping_sets": _q_grouping_sets,
-        "subqueries": _q_subqueries,
+        "histogram": _q_histogram,
+        "interval_arith": _q_interval_arith,
+        "ivfpq_recall": _q_ivfpq_recall,
+        "json_roundtrip": _q_json_roundtrip,
+        "key_skew": _q_key_skew,
+        "latest_per_key": _q_latest_per_key,
+        "multimodal_resize": _q_multimodal_resize,
+        "null_semantics": _q_null_semantics,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "pivot_wide": _q_pivot_wide,
         "posexplode_lateral": _q_posexplode_lateral,
+        "pq_recall": _q_pq_recall,
+        "range_join": _q_range_join,
+        "resample": _q_resample,
+        "retention": _q_retention,
+        "rolling_window": _q_rolling_window,
+        "salted_join": _q_salted_join,
+        "semi_anti_join": _q_semi_anti_join,
+        "sql_q1": _q_sql_q1,
+        "streaming_enrich": _q_streaming_enrich,
+        "subqueries": _q_subqueries,
+        "tpch_q3": _q_tpch_q3,
+        "unpivot_long": _q_unpivot_long,
         "window_ranks": _q_window_ranks,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "scalar_funcs": _q_scalar_funcs,
-        "streaming_agg": _q_streaming_agg,
-        "streaming_window": _q_streaming_window,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_lags": _q_streaming_lags,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "multimodal_decode": _q_multimodal_decode,
-        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
+        "zorder_layout": _q_zorder_layout,
+        "fe_effects": _q_fe_effects,
         "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
-        "ivf_recall": _q_ivf_recall,
-        "grouped_agg": _q_grouped_agg,
-        "grouped_transform": _q_grouped_transform,
-        "grouped_apply": _q_grouped_apply,
-        "groupby_reuse": _q_groupby_reuse,
-        "demean": _q_demean,
-        "lags": _q_lags,
-        "factorize": _q_factorize,
-        "dummies": _q_dummies,
-        "all_dummies": _q_all_dummies,
         "gram": _q_gram,
-        "collinear_cols": _q_collinear_cols,
+        "groupby_reuse": _q_groupby_reuse,
+        "grouped_agg": _q_grouped_agg,
+        "grouped_apply": _q_grouped_apply,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_transform": _q_grouped_transform,
+        "hash_split": _q_hash_split,
+        "ivf_recall": _q_ivf_recall,
+        "join_agg_topk": _q_join_agg_topk,
+        "lags": _q_lags,
+        "lm_logprob": _q_lm_logprob,
+        "multimodal_decode": _q_multimodal_decode,
+        "normalize_text": _q_normalize_text,
         "ols_pooled": _q_ols_pooled,
         "ols_within_fe": _q_ols_within_fe,
-        "se_pooled": _q_se_pooled,
-        "se_cluster": _q_se_cluster,
-        "residuals": _q_residuals,
+        "pipeline_curate": _q_pipeline_curate,
         "rank_repair": _q_rank_repair,
-        "fe_effects": _q_fe_effects,
-        "exact_dedup": _q_exact_dedup,
+        "residuals": _q_residuals,
+        "rollup_agg": _q_rollup_agg,
+        "scalar_funcs": _q_scalar_funcs,
+        "se_cluster": _q_se_cluster,
+        "se_pooled": _q_se_pooled,
+        "set_ops": _q_set_ops,
+        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_agg": _q_streaming_agg,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_lags": _q_streaming_lags,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_window": _q_streaming_window,
         "token_stats": _q_token_stats,
-        "lm_logprob": _q_lm_logprob,
-        "contamination": _q_contamination,
-        "cosine_topk": _q_cosine_topk,
-        "grouped_agg_salted": _q_grouped_agg_salted,
-        "dummies_drop_last": _q_dummies_drop_last,
-        "lags_zero_fill": _q_lags_zero_fill,
-        "ols_3fe": _q_ols_3fe,
-        "se_robust": _q_se_robust,
+        "window_funcs": _q_window_funcs,
+        "bpe_merges": _q_bpe_merges,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "pq_topk": _q_pq_topk,
+        "semdedup": _q_semdedup,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "fingerprint": _q_fingerprint,
+        "ivf_topk": _q_ivf_topk,
+        "simhash_dedup": _q_simhash_dedup,
+        "simhash_neardup": _q_simhash_neardup,
+        "fingerprint_neardup": _q_fingerprint_neardup,
     }
 
 
@@ -9505,6 +9493,288 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
             FROM c GROUP BY user_id
         """,
+        # ---- round-8 registrations ----
+        "bm25": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '')) AS t
+              FROM documents),
+            q(t, qtf) AS (VALUES ('hash', 2), ('join', 1), ('scan', 1)),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT CAST(count(*) AS BIGINT)
+                           FROM documents) AS n,
+                          (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT)
+                           FROM dl) AS tot),
+            hits AS (
+              SELECT toks.doc_id, toks.t, q.qtf,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM toks JOIN q ON toks.t = q.t
+              GROUP BY toks.doc_id, toks.t, q.qtf),
+            dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+                    FROM hits GROUP BY t),
+            j AS (
+              SELECT h.doc_id,
+                     CAST(h.qtf AS DOUBLE)
+                       * ln((CAST(st.n AS DOUBLE) - CAST(dft.df AS DOUBLE)
+                             + 0.5)
+                            / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+                       * CAST(h.tf AS DOUBLE) * 2.2
+                       / (CAST(h.tf AS DOUBLE)
+                          + 1.2 * (0.25
+                                   + 0.75 * CAST(dl.dl AS DOUBLE)
+                                     / (CAST(st.tot AS DOUBLE)
+                                        / CAST(st.n AS DOUBLE))))
+                       AS term
+              FROM hits h JOIN dft ON h.t = dft.t
+                   JOIN dl ON h.doc_id = dl.doc_id, st)
+            SELECT doc_id,
+                   floor(sum(term) * 1e6 + 0.5) / 1e6 AS score,
+                   CAST(count(*) AS BIGINT) AS n_hit_terms
+            FROM j GROUP BY doc_id
+        """,
+        "dbscan": """
+            WITH RECURSIVE pts AS (
+              SELECT vec_id AS id,
+                     ((vec_id * 2 + 1) % 2147483648) * 2654435761
+                       % 4294967296 % 100000 AS x,
+                     ((vec_id * 2 + 2) % 2147483648) * 2654435761
+                       % 4294967296 % 100000 AS y
+              FROM embeddings),
+            pairs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM pts a JOIN pts b
+                ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 1440000),
+            deg AS (SELECT ia AS id, count(*) AS d
+                    FROM pairs GROUP BY ia),
+            core AS (SELECT id FROM deg WHERE d >= 5),
+            ce AS (
+              SELECT p.ia, p.ib FROM pairs p
+              JOIN core a ON p.ia = a.id
+              JOIN core b ON p.ib = b.id
+              WHERE p.ia <> p.ib),
+            reach(a, b) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT r.a, ce.ib FROM reach r JOIN ce ON r.b = ce.ia),
+            lab AS (SELECT a AS id, min(b) AS cluster
+                    FROM reach GROUP BY a),
+            border AS (
+              SELECT p.ia AS id, min(l.cluster) AS cluster
+              FROM pairs p JOIN lab l ON p.ib = l.id
+              WHERE p.ia <> p.ib
+                AND p.ia NOT IN (SELECT id FROM core)
+              GROUP BY p.ia),
+            allx AS (
+              SELECT id, cluster, TRUE AS is_core FROM lab
+              UNION ALL
+              SELECT id, cluster, FALSE FROM border)
+            SELECT p.id, p.x, p.y, a.cluster, a.is_core
+            FROM pts p JOIN allx a ON p.id = a.id
+        """,
+        "shortest_paths": """
+            WITH e0 AS (
+              SELECT o_custkey AS s, l_suppkey + 1000000 AS t,
+                     CAST(min(l_quantity) AS BIGINT) AS w
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+            e AS (SELECT s, t, w FROM e0
+                  UNION ALL SELECT t, s, w FROM e0),
+            src AS (SELECT min(s) AS v FROM e),
+            d0 AS (SELECT v AS node, CAST(0 AS BIGINT) AS dist
+                   FROM src),
+            d1 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d0
+                     UNION ALL
+                     SELECT e.t, d0.dist + e.w FROM d0
+                       JOIN e ON e.s = d0.node) GROUP BY node),
+            d2 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d1
+                     UNION ALL
+                     SELECT e.t, d1.dist + e.w FROM d1
+                       JOIN e ON e.s = d1.node) GROUP BY node),
+            d3 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d2
+                     UNION ALL
+                     SELECT e.t, d2.dist + e.w FROM d2
+                       JOIN e ON e.s = d2.node) GROUP BY node),
+            d4 AS (SELECT node, min(dist) AS dist FROM (
+                     SELECT node, dist FROM d3
+                     UNION ALL
+                     SELECT e.t, d3.dist + e.w FROM d3
+                       JOIN e ON e.s = d3.node) GROUP BY node)
+            SELECT node, dist FROM d4
+        """,
+        "mutual_information": """
+            WITH base AS (
+              SELECT lang, source FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL),
+            cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ab
+              FROM base GROUP BY lang, source),
+            ra AS (SELECT lang, CAST(sum(n_ab) AS BIGINT) AS n_a
+                   FROM cells GROUP BY lang),
+            cb AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS n_b
+                   FROM cells GROUP BY source),
+            g AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_tot
+                  FROM cells)
+            SELECT c.lang, c.source, c.n_ab, ra.n_a, cb.n_b, g.n_tot,
+                   floor(((CAST(c.n_ab AS DOUBLE)
+                           / CAST(g.n_tot AS DOUBLE))
+                          * log2((CAST(g.n_tot AS DOUBLE)
+                                  * CAST(c.n_ab AS DOUBLE))
+                                 / (CAST(ra.n_a AS DOUBLE)
+                                    * CAST(cb.n_b AS DOUBLE))))
+                         * 1e9 + 0.5) / 1e9 AS mi_term
+            FROM cells c
+            JOIN ra ON c.lang = ra.lang
+            JOIN cb ON c.source = cb.source, g
+        """,
+        "best_split": """
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            cells AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS c,
+                     CAST(sum(p) AS BIGINT) AS pp
+              FROM base GROUP BY v),
+            cum AS (
+              SELECT v,
+                     sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cc,
+                     sum(pp) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cp
+              FROM cells),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(pp) AS BIGINT) AS p
+                    FROM cells),
+            scored AS (
+              SELECT cum.v AS threshold,
+                     2.0 * (CAST(tot.p AS DOUBLE)
+                            / CAST(tot.n AS DOUBLE))
+                       * (1.0 - CAST(tot.p AS DOUBLE)
+                                / CAST(tot.n AS DOUBLE))
+                     - ((CAST(cum.cc AS DOUBLE)
+                         / CAST(tot.n AS DOUBLE))
+                        * (2.0 * (CAST(cum.cp AS DOUBLE)
+                                  / CAST(cum.cc AS DOUBLE))
+                           * (1.0 - CAST(cum.cp AS DOUBLE)
+                                    / CAST(cum.cc AS DOUBLE)))
+                        + ((CAST(tot.n AS DOUBLE)
+                            - CAST(cum.cc AS DOUBLE))
+                           / CAST(tot.n AS DOUBLE))
+                          * (2.0 * ((CAST(tot.p AS DOUBLE)
+                                     - CAST(cum.cp AS DOUBLE))
+                                    / (CAST(tot.n AS DOUBLE)
+                                       - CAST(cum.cc AS DOUBLE)))
+                             * (1.0 - (CAST(tot.p AS DOUBLE)
+                                       - CAST(cum.cp AS DOUBLE))
+                                      / (CAST(tot.n AS DOUBLE)
+                                         - CAST(cum.cc AS DOUBLE)))))
+                       AS g,
+                     CAST(cum.cp AS DOUBLE)
+                       / CAST(cum.cc AS DOUBLE) AS pl,
+                     (CAST(tot.p AS DOUBLE) - CAST(cum.cp AS DOUBLE))
+                       / (CAST(tot.n AS DOUBLE)
+                          - CAST(cum.cc AS DOUBLE)) AS pr,
+                     tot.n AS n
+              FROM cum, tot WHERE cum.cc < tot.n)
+            SELECT n, threshold,
+                   floor(g * 1e9 + 0.5) / 1e9 AS gain,
+                   floor(pl * 1e9 + 0.5) / 1e9 AS p_left,
+                   floor(pr * 1e9 + 0.5) / 1e9 AS p_right
+            FROM scored ORDER BY g DESC, threshold ASC LIMIT 1
+        """,
+        "seasonal": """
+            WITH base AS (
+              SELECT user_id AS k, event_id AS o, value AS val,
+                     CAST(round(value * 1e6) AS HUGEINT) AS u
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            w AS (
+              SELECT k, o, val, u,
+                     sum(u) OVER (PARTITION BY k ORDER BY o
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                     row_number() OVER (PARTITION BY k ORDER BY o)
+                       - 1 AS rn
+              FROM base),
+            s AS (
+              SELECT k, o, val, u, rn,
+                     lead(cum, 3) OVER (PARTITION BY k ORDER BY o)
+                       - coalesce(lag(cum, 4) OVER (
+                           PARTITION BY k ORDER BY o), 0) AS sw
+              FROM w),
+            win AS (
+              SELECT k, o, val, u, sw, rn % 7 AS ph
+              FROM s WHERE sw IS NOT NULL AND rn >= 3),
+            pp AS (
+              SELECT k, ph, CAST(count(*) AS BIGINT) AS nj,
+                     sum(u) AS suj, sum(sw) AS ssj
+              FROM win GROUP BY k, ph),
+            j AS (
+              SELECT w.k, w.o, w.val,
+                     CAST(w.sw AS DOUBLE) / 7.0 AS trend_s,
+                     CAST(p.suj AS DOUBLE) / CAST(p.nj AS DOUBLE)
+                       - CAST(p.ssj AS DOUBLE)
+                         / (7.0 * CAST(p.nj AS DOUBLE)) AS seas_s,
+                     CAST(w.u AS DOUBLE) AS uf
+              FROM win w JOIN pp p ON w.k = p.k AND w.ph = p.ph)
+            SELECT k AS user_id, o AS event_id,
+                   floor(val * 1e9 + 0.5) / 1e9 AS value,
+                   floor((trend_s / 1e6) * 1e9 + 0.5) / 1e9 AS trend,
+                   floor((seas_s / 1e6) * 1e9 + 0.5) / 1e9 AS seasonal,
+                   floor(((uf - trend_s - seas_s) / 1e6) * 1e9 + 0.5)
+                     / 1e9 AS resid
+            FROM j
+        """,
+        "km_by": """
+            WITH RECURSIVE per AS (
+              SELECT user_id, min(epoch_us(ts)) AS mn,
+                     max(epoch_us(ts)) AS mx
+              FROM events GROUP BY user_id),
+            g AS (SELECT max(epoch_us(ts)) AS gm FROM events),
+            subj AS (
+              SELECT user_id % 3 AS cohort,
+                     (mx - mn) // 86400000000 AS dur,
+                     mx < gm - 604800000000 AS ev
+              FROM per, g),
+            cells AS (
+              SELECT cohort, dur AS t,
+                     CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END)
+                          AS BIGINT) AS d,
+                     CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END)
+                          AS BIGINT) AS c
+              FROM subj GROUP BY cohort, dur),
+            ord AS (
+              SELECT cohort,
+                     row_number() OVER (PARTITION BY cohort
+                       ORDER BY t) AS i,
+                     t, d, c
+              FROM cells),
+            tot AS (SELECT cohort, CAST(sum(d + c) AS BIGINT) AS n
+                    FROM cells GROUP BY cohort),
+            km AS (
+              SELECT o.cohort, o.i, o.t, o.d, o.c, tot.n AS n_risk,
+                     1.0 - CAST(o.d AS DOUBLE)
+                           / CAST(tot.n AS DOUBLE) AS s
+              FROM ord o JOIN tot ON o.cohort = tot.cohort
+              WHERE o.i = 1
+              UNION ALL
+              SELECT o.cohort, o.i, o.t, o.d, o.c,
+                     km.n_risk - km.d - km.c AS n_risk,
+                     km.s * (1.0 - CAST(o.d AS DOUBLE)
+                             / CAST(km.n_risk - km.d - km.c
+                                    AS DOUBLE)) AS s
+              FROM km JOIN ord o
+                ON o.cohort = km.cohort AND o.i = km.i + 1)
+            SELECT cohort, t, n_risk, d, c,
+                   floor((s) * 1e9 + 0.5) / 1e9 AS s
+            FROM km
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -9844,4 +10114,201 @@ def _q_binary_source(spark, sf_dir):
         F.col("file_id").alias("doc_id"),
         F.col("length"),
         F.md5(F.col("content")).alias("md5_hex"),
+    )
+
+
+# ------------------------------------------------- round-8 additions
+
+
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking (`operators/text.py::bm25_scores`) of the
+    document corpus against the bag-query {hash x2, join, scan} —
+    the repeated term exercises true query-term-frequency weighting
+    (a set collapse would halve its contribution). The corpus
+    shuffle carries only query-term hits (broadcast query vocab);
+    N and avgdl span the whole corpus. Every per-term input (tf,
+    qtf, df, |d|, N, total length) is an exact integer; the per-doc
+    score sums <= 3 IEEE terms, so a 6-digit round absorbs the
+    float-summation-order and ln-ulp slack (term magnitudes are
+    O(1); differences are ~1e-16)."""
+    from hdfe_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["hash", "join", "scan", "hash"])
+    return out.select(
+        "doc_id",
+        _pround("score", 6).alias("score"),
+        "n_hit_terms",
+    )
+
+
+def _q_dbscan(spark, sf_dir):
+    """Exact planar DBSCAN (`operators/cluster.py::dbscan_grid`,
+    eps=1200, min_pts=5) over the same 500 Knuth-hash integer points
+    as `radius_join` — composed from the certified grid-bucketed
+    radius join and min-label connected components, with the
+    deterministic border rule (attach to the MINIMUM core cluster).
+    The oracle is brute-force: quadratic neighbor pairs, a
+    transitive-closure recursive CTE over core-core edges with
+    min-reachable-id labels (~20k closure rows at sf0.01), and the
+    same min-cluster border attach — so the hash match certifies
+    bucketing, components, and border policy at once. All-integer
+    arithmetic; no floats anywhere."""
+    from hdfe_spark.operators.cluster import dbscan_grid
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def knuth(expr):
+        return F.pmod(
+            F.pmod(expr, F.lit(1 << 31)) * F.lit(2654435761),
+            F.lit(1 << 32),
+        ) % F.lit(100_000)
+
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        knuth(F.col("vec_id") * 2 + 1).cast("long").alias("x"),
+        knuth(F.col("vec_id") * 2 + 2).cast("long").alias("y"),
+    )
+    return dbscan_grid(pts, "id", "x", "y", eps=1200, min_pts=5)
+
+
+def _q_shortest_paths(spark, sf_dir):
+    """Fixed-round Bellman-Ford (`operators/graph.py::
+    shortest_paths`, 4 relaxation rounds, undirected) over the
+    customer–supplier graph (the bfs_levels/pagerank edge set) with
+    integer weights = min line quantity per edge: the "<= 4-edge
+    cost-constrained shortest path" semantics a fixed-round oracle
+    certifies EXACTLY for every node (the pagerank/kmeans
+    fixed-iteration convention — no data-dependent convergence
+    test). min/+ over integers is engine-exact in any order; the
+    oracle unrolls the identical four join+min rounds."""
+    from hdfe_spark.operators.graph import shortest_paths
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    source = e.agg(F.min("u")).collect()[0][0]
+    return shortest_paths(
+        e, "u", "v", "w", source=source, n_iter=4, directed=False
+    )
+
+
+def _q_mutual_information(spark, sf_dir):
+    """Per-cell mutual information (`operators/stats.py::
+    mutual_information`) between document language and source — the
+    information-theoretic sibling of `chi2_contingency` on the same
+    `_contingency` scaffold (one (a,b) shuffle, broadcast margins).
+    All counts are exact BIGINTs compared raw; the only float —
+    the per-cell MI term (n_ab/N)*log2(N*n_ab/(n_a*n_b)) — is one
+    IEEE expression per cell, rounded at 1e-9 for the log2 libm
+    ulp (the chi2/benford convention; no cross-row float sum
+    anywhere)."""
+    from hdfe_spark.operators.stats import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mutual_information(docs, "lang", "source")
+    return out.select(
+        "lang",
+        "source",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_tot",
+        _pround("mi_term").alias("mi_term"),
+    )
+
+
+def _q_best_split(spark, sf_dir):
+    """Exact decision-stump split (`operators/stats.py::
+    best_split`): the n_chars threshold best separating English from
+    non-English documents by Gini gain. Candidates are DISTINCT
+    feature values with distributed (count, positives) prefix sums —
+    never a row sort; every impurity is a rational function of exact
+    integers, so the argmax ordering compares bit-identical doubles
+    on both engines (ties break on the smallest threshold). The
+    oracle replays the identical expression tree over a window
+    prefix sum."""
+    from hdfe_spark.operators.stats import best_split
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    base = docs.select(
+        "n_chars", (F.col("lang") == F.lit("en")).alias("y")
+    )
+    out = best_split(base, "n_chars", "y")
+    return out.select(
+        "n",
+        "threshold",
+        _pround("gain").alias("gain"),
+        _pround("p_left").alias("p_left"),
+        _pround("p_right").alias("p_right"),
+    )
+
+
+def _q_seasonal(spark, sf_dir):
+    """Per-user additive seasonal decomposition (`operators/
+    stats.py::seasonal_decompose`, period 7): value = trend +
+    seasonal + residual over each user's event_id-ordered series.
+    The centered 7-point trend window is the cumulative-minus-offset
+    identity over exact fixed-point HUGEINT/DECIMAL(38,0) sums (the
+    rolling_beta trick — never a float frame sum), the per-phase
+    seasonal mean is evaluated on exact integer aggregates, and
+    every emitted float is a deterministic IEEE expression of those
+    integers — the oracle mirrors the identical windows and
+    divisions. The NULL/duplicate-order guards see the same
+    pre-filtered input on both engines."""
+    from hdfe_spark.operators.stats import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    base = ev.select("user_id", "event_id", "value")
+    out = seasonal_decompose(
+        base, "user_id", "event_id", "value", period=7
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _pround("value").alias("value"),
+        _pround("trend").alias("trend"),
+        _pround("seasonal").alias("seasonal"),
+        _pround("resid").alias("resid"),
+    )
+
+
+def _q_km_by(spark, sf_dir):
+    """Stratified Kaplan-Meier (`operators/stats.py::
+    kaplan_meier_by`): the `survival` churn curve split into three
+    deterministic user cohorts (user_id % 3) — the A/B/C cohort
+    comparison KM exists for. Shares `_km_cells`/`_km_curve` with
+    the certified single-curve query; the oracle partitions the
+    identical recursive-CTE product-limit recurrence by cohort
+    (sequential float product replayed in duration order per
+    stratum)."""
+    from hdfe_spark.operators.stats import kaplan_meier_by
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    per = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    gmax = ev.agg(F.max("ts_us")).collect()[0][0]
+    cutoff = int(gmax) - 7 * 86_400_000_000
+    subj = per.select(
+        (F.col("user_id") % F.lit(3)).alias("cohort"),
+        F.expr("(mx - mn) div 86400000000").alias("dur"),
+        (F.col("mx") < F.lit(cutoff)).alias("event"),
+    )
+    out = kaplan_meier_by(subj, "cohort", "dur", "event")
+    return out.select(
+        "cohort", "t", "n_risk", "d", "c", _pround("s").alias("s")
     )
