@@ -5,15 +5,10 @@ rows-only query drifting unannounced into a recorded slot."""
 
 import __spark_entry__ as em
 
-# Round-7 window: the last four never-driver-recorded rows-only
-# demos ride the window deliberately — each is carried by a
-# driver-green hash-matched certificate (`bpe_roundtrip`,
-# `semdedup_recall`, `pq_recall`, `ivfpq_recall`) and the driver
-# records a weaker rows-only row. After round 7 records them the
-# never-recorded backlog is 0.
-ROWS_ONLY_BY_DESIGN: set[str] = {
-    "bpe_merges", "semdedup", "pq_topk", "ivfpq_topk",
-}
+# Round-8 window: spends slots ONLY on hash-matchable rows (VERDICT
+# r7 item 8) — the 11 rows-only demos sit at the registry tail, each
+# carried by an oracle-checked, driver-green certificate query.
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 
 def test_window_all_have_oracles_or_are_declared():
@@ -25,39 +20,31 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round7_window_composition():
-    """Positions 1-50 (eleventh curation pass): the fixed
-    inverted_index first, then ALL 37 never-driver-recorded queries
-    (post-freeze builds, the stats/ML family, the last rows-only
-    demos), then 12 re-certification rows. If this fails after an
-    intentional round-8 rotation, update the expectation alongside
-    the `queries()` docstring."""
+def test_round8_window_composition():
+    """Positions 1-50 (twelfth curation pass): the fifteen round-7
+    builds, the seven round-8 registrations, then 28 stalest-
+    evidence re-certification rows — every slot oracle-checked. If
+    this fails after an intentional round-9 rotation, update the
+    expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[0] == "inverted_index"
-    assert set(q[1:9]) == {
-        "col_profile", "recursive_cte", "dpp_pruned_join",
-        "streaming_dq", "psi_drift", "mahalanobis", "bpe_roundtrip",
-        "bpe_merges",
+    assert set(q[:15]) == {
+        "anova", "levene", "pca2", "autocorr", "cusum",
+        "weighted_quantiles", "dedup_reps", "span_scrub",
+        "lm_buckets", "streaming_anomaly", "isotonic_cal",
+        "bfs_levels", "gini", "cross_corr", "binary_source",
     }
-    assert set(q[9:35]) == {
-        "ab_ttest", "chi2_contingency", "ols_ridge", "kmeans", "ewma",
-        "log_parse", "attribution", "gap_fill", "mann_whitney",
-        "ks_test", "spearman", "target_encode", "standardize",
-        "bootstrap_ci", "robust_ols", "auc", "rolling_beta",
-        "kfold_cv", "calibration", "survival", "streaming_ewma",
-        "radius_join", "containment", "benford", "hard_negatives",
-        "ab_proportions",
+    assert set(q[15:22]) == {
+        "bm25", "dbscan", "shortest_paths", "mutual_information",
+        "best_split", "seasonal", "km_by",
     }
-    assert set(q[35:38]) == {"semdedup", "pq_topk", "ivfpq_topk"}
-    assert set(q[38:46]) == {
-        "fuzzy_pairs", "fuzzy_dedup", "upsert_roundtrip",
-        "streaming_upsert", "weighted_sample", "running_total",
-        "pack_sequences", "compact_roundtrip",
-    }
-    assert set(q[46:50]) == {
-        "ols_2fe", "minhash_dedup", "tfidf_topk", "sessionize",
-    }
+    # 23-50: re-certs, all oracle-checked (checked by the window
+    # test above); rows-only demos must all sit OUTSIDE the window
+    oracles = em.oracle_sql()
+    rows_only = [k for k in q if k not in oracles]
+    assert len(rows_only) == 11
+    assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
+    assert len(q) == 232
 
 
 def test_every_query_has_callable():
