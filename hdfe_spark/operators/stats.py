@@ -1178,6 +1178,93 @@ def anova_oneway(
     )
 
 
+def pca(
+    df: DataFrame,
+    x_cols: "list[str]",
+    scale: float = 1e6,
+) -> DataFrame:
+    """General-k principal component analysis: ONE scan reduces the
+    k columns to exact fixed-point DECIMAL(38,0) Gram moments (the
+    `_ridge_general` pattern — every centered-covariance input is an
+    order-free integer sum), then the k×k sample-covariance
+    eigendecomposition runs driver-side via ``numpy.linalg.eigh``
+    (symmetric, deterministic per platform). The distributed work is
+    k(k+1)/2 + k sums over one pass — no row sort, no iteration, no
+    per-row Python.
+
+    eigh is LAPACK, not a literal SQL expression tree, so the
+    cross-engine certificate query stays the closed-form 2-column
+    `pca2` (same moments, same covariance, k=2); this operator is
+    the production path beyond it. Eigenvalues are clamped at 0 (the
+    pca2 cancellation guard) and axes are sign-pinned: the largest-
+    magnitude loading (first index on ties) is made positive —
+    deterministic, basis-stable for simple eigenvalues.
+
+    Returns k rows, largest component first: component (1-based),
+    eigenvalue (original units), var_explained, and one loading
+    column v_<col> per input column."""
+    import numpy as np
+
+    k = len(x_cols)
+    if k < 2:
+        raise ValueError("pca: needs >= 2 columns")
+
+    def u(c):
+        return F.round(F.col(c) * scale).cast("decimal(38,0)")
+
+    cond = F.lit(True)
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    exprs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, c in enumerate(x_cols):
+        exprs.append(F.sum(u(c)).alias(f"s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            exprs.append(
+                F.sum(u(x_cols[i]) * u(x_cols[j])).alias(f"s{i}_{j}")
+            )
+    m = df.filter(cond).agg(*exprs).collect()[0]
+    n = int(m["n"])
+    if n < 2:
+        raise ValueError("pca: needs >= 2 complete rows")
+    nf = float(n)
+    mx = np.array([float(m[f"s{i}"]) / nf for i in range(k)])
+    C = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            C[i, j] = C[j, i] = (
+                float(m[f"s{i}_{j}"]) - nf * mx[i] * mx[j]
+            ) / (nf - 1.0)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1]
+    evals = np.maximum(evals[order], 0.0)
+    evecs = evecs[:, order]
+    tot = float(evals.sum())
+    if tot <= 0.0:
+        raise ValueError("pca: degenerate (zero total variance)")
+    # sign pin: largest-|loading| coordinate positive (first on ties)
+    for j in range(k):
+        pin = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[pin, j] < 0.0:
+            evecs[:, j] = -evecs[:, j]
+    s2 = scale * scale
+    rows = [
+        (
+            j + 1,
+            float(evals[j]) / s2,
+            float(evals[j]) / tot,
+            *[float(v) for v in evecs[:, j]],
+        )
+        for j in range(k)
+    ]
+    names = ", ".join(f"v_{c} double" for c in x_cols)
+    return df.sparkSession.createDataFrame(
+        rows,
+        f"component long, eigenvalue double, var_explained double, "
+        f"{names}",
+    )
+
+
 def pca2(
     df: DataFrame,
     x_col: str,
