@@ -122,7 +122,47 @@ def main():
             a = np.tanh(a @ a.T / 700.0)
         return round(time.perf_counter() - t0, 4)
 
+    def parallel_capacity_probe() -> dict:
+        """Fixed 32-thread CPU-bound workload: 32 identical numpy
+        matmul tasks through a 32-worker thread pool (BLAS releases
+        the GIL). The single-task time tracks per-core speed like
+        `single_core_probe`; the 32-way wall time tracks how much
+        parallel CPU this multi-tenant host actually grants THIS
+        run, so a bench regression is attributable from the JSON
+        alone instead of requiring a worktree A/B (the round-7
+        host-drift investigation, SCALE.md). The task is ELEMENTWISE
+        numpy (tanh — single-threaded, GIL-released), not matmul:
+        multithreaded BLAS would understate the single-task baseline
+        and corrupt the ratio. Idle-host reading here: ~12x
+        effective on 32 logical CPUs (SMT + tenancy); markedly
+        lower during a bench run = noisy neighbors."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import numpy as np
+
+        def task(seed: int) -> float:
+            a = np.random.default_rng(seed).standard_normal(400_000)
+            for _ in range(40):
+                a = np.tanh(a) + 0.1 * a
+            return float(a[0])
+
+        t0 = time.perf_counter()
+        task(0)
+        t_single = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            list(ex.map(task, range(32)))
+        t_par = time.perf_counter() - t0
+        return {
+            "single_task_sec": round(t_single, 4),
+            "par32_sec": round(t_par, 4),
+            "effective_parallelism": (
+                round(32.0 * t_single / t_par, 2) if t_par else None
+            ),
+        }
+
     probe_before = single_core_probe()
+    capacity_before = parallel_capacity_probe()
     timings = run_pass()
     # A/A evidence IN the artifact: an immediate same-session second
     # pass over the identical frozen list. aa_ratio far from 1.0 (or a
@@ -130,6 +170,7 @@ def main():
     # delta is real code/plan drift.
     rerun = run_pass()
     probe_after = single_core_probe()
+    capacity_after = parallel_capacity_probe()
 
     total = round(sum(timings.values()), 4)
     total2 = round(sum(rerun.values()), 4)
@@ -146,6 +187,7 @@ def main():
                 "aa_ratio": round(total2 / total, 4) if total else None,
                 "queries_rerun": rerun,
                 "single_core_probe_sec": [probe_before, probe_after],
+                "capacity_probe": [capacity_before, capacity_after],
             }
         )
     )
