@@ -323,3 +323,95 @@ def weighted_quantiles(
         for p in pcts
     ]
     return row.select(F.inline(F.array(*structs)))
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    pcts: "Sequence[int]" = (25, 50, 75),
+) -> DataFrame:
+    """Per-GROUP exact weighted lower quantiles: for every group and
+    integer percentile p, the smallest value v whose within-group
+    cumulative weight satisfies cum_weight(v)*100 >= p*W_g — the
+    stratified form of `weighted_quantiles` ("which doc-length
+    cutoff keeps 90% of each LANGUAGE's token mass?").
+
+    Where the global operator needs the distributed `prefix_sum` (a
+    single total order), the grouped form's running weights
+    partition naturally: one window pass PARTITION BY group ORDER BY
+    value over the (group, value) cell table — parallel across
+    groups, each task bounded by one group's distinct values, no
+    single-partition WindowExec anywhere. Same exactness contract:
+    integral weights enforced (float and fractional-DECIMAL weight
+    columns raise), negative weights raise, and the threshold test
+    cross-multiplies exact integers widened to DECIMAL(38,0) — no
+    division, bit-portable on any engine.
+
+    Plan: one groupBy to cells, one partitioned window, one
+    per-(group, pct) min-reduction. Returns one row per (group,
+    pct) with a nonempty group: group, pct, value, cum_weight."""
+    pcts = [int(p) for p in pcts]
+    if not pcts or not all(0 < p <= 100 for p in pcts):
+        raise ValueError(
+            "grouped_weighted_quantiles: pcts must be in (0, 100]"
+        )
+    wtype = df.schema[weight_col].dataType
+    if isinstance(wtype, (T.FloatType, T.DoubleType)) or (
+        isinstance(wtype, T.DecimalType) and wtype.scale > 0
+    ):
+        raise ValueError(
+            f"grouped_weighted_quantiles: weight_col {weight_col!r} "
+            f"is {wtype.simpleString()}; exact cumulative weights "
+            "need integral weights (quantize upstream)"
+        )
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+        )
+        .groupBy(group_col, value_col)
+        .agg(
+            F.sum(F.col(weight_col)).cast("long").alias("__w"),
+            F.min(F.col(weight_col)).cast("long").alias("__minw"),
+        )
+    )
+    neg = cells.agg(F.min("__minw")).collect()[0][0]
+    if neg is not None and neg < 0:
+        raise ValueError(
+            f"grouped_weighted_quantiles: negative weight {neg} in "
+            f"{weight_col!r}; cumulative weights must be monotone"
+        )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    cum = cells.select(
+        group_col,
+        value_col,
+        F.sum("__w").over(w).cast("decimal(38,0)").alias("__cumw"),
+        F.sum("__w").over(wg).cast("decimal(38,0)").alias("__wtot"),
+    )
+    aggs = []
+    for p in pcts:
+        hit = F.col("__cumw") * F.lit(100) >= F.lit(p) * F.col("__wtot")
+        aggs.append(
+            F.min(F.when(hit, F.col(value_col))).alias(f"__q{p}")
+        )
+        aggs.append(
+            F.min(F.when(hit, F.col("__cumw"))).alias(f"__c{p}")
+        )
+    g = cum.groupBy(group_col).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(p).cast("long").alias("pct"),
+            F.col(f"__q{p}").alias("value"),
+            F.col(f"__c{p}").cast("long").alias("cum_weight"),
+        )
+        for p in pcts
+    ]
+    return g.select(group_col, F.inline(F.array(*structs)))

@@ -114,3 +114,170 @@ def attribute_last_touch(
         ],
     ]
     return out.select(*sel)
+
+
+def funnel(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: "int | None" = None,
+) -> DataFrame:
+    """Ordered multi-step funnel conversion per entity: the EARLIEST
+    completion of ``steps`` in sequence — step i must occur STRICTLY
+    after the chosen step i-1 event, and (if ``within`` is given)
+    within ``within`` order-units of step 1. The product-analytics
+    primitive ("view → click → signup → purchase: where do users
+    drop off?") over the same event logs the curation pipeline
+    reads.
+
+    Semantics are the standard greedy-earliest funnel: t_1 = the
+    entity's first step-1 event; t_i = the first step-i event after
+    t_{i-1} (and <= t_1 + within). Greedy-earliest is OPTIMAL for
+    sequence containment (matching the earliest feasible event never
+    excludes a later completion), so "did the entity convert" is
+    exact, not heuristic.
+
+    Plan (100 TB shape): ONE shuffle — a single groupBy collects one
+    SORTED per-step event-time array per entity
+    (``sort_array(collect_list(when(type=s_i, order)))``), then the
+    step walk is a pure JVM array-expression fold (k bounded
+    ``filter(...)[0]`` probes, no Python, no self-joins — a k-way
+    self-join of the event table against itself would square the
+    event volume). Per-entity arrays are bounded by the entity's own
+    activity — the same boundedness sessionize's window assumes.
+    ``order_col`` must be integral (epoch micros): min/filter over
+    integers is engine-exact.
+
+    Returns one row per entity with >= 1 step-1 event: entity,
+    steps_completed, and t_1..t_k (NULL beyond the completed
+    prefix)."""
+    if not steps or len(steps) < 2:
+        raise ValueError("funnel: needs >= 2 steps")
+    from pyspark.sql import types as T
+
+    otype = df.schema[order_col].dataType
+    if not isinstance(
+        otype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"funnel: order_col {order_col!r} is "
+            f"{otype.simpleString()}; funnel timestamps must be "
+            "integral (epoch micros) for engine-exact min/filter"
+        )
+    k = len(steps)
+    aggs = [
+        F.sort_array(
+            F.filter(
+                F.collect_list(
+                    F.when(F.col(type_col) == F.lit(s), F.col(order_col))
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.filter(F.col(order_col).isNotNull()).groupBy(
+        F.col(entity_col)
+    ).agg(*aggs)
+    # step walk: t0 = first step-1 event; t_i = first step-i event
+    # strictly after t_{i-1} (and within the window of t0)
+    # try_element_at: an entity with no step-1 event yields an
+    # empty array — NULL, not an ANSI index error
+    t_prev = F.try_element_at(F.col("__a0"), F.lit(1))
+    ts = [t_prev]
+    for i in range(1, k):
+        arr = F.col(f"__a{i}")
+        cand = F.filter(
+            arr,
+            (lambda prev: (lambda x: x > prev))(ts[i - 1]),
+        )
+        if within is not None:
+            cand = F.filter(
+                cand,
+                (lambda t0: (lambda x: x - t0 <= F.lit(int(within))))(
+                    ts[0]
+                ),
+            )
+        ts.append(F.try_element_at(cand, F.lit(1)))
+    out = g.select(
+        entity_col,
+        *[ts[i].alias(f"t_{i + 1}") for i in range(k)],
+    ).filter(F.col("t_1").isNotNull())
+    completed = F.lit(0)
+    for i in range(k):
+        completed = completed + F.col(f"t_{i + 1}").isNotNull().cast(
+            "int"
+        )
+    # NULLs only extend from the right (t_i is NULL whenever
+    # t_{i-1} is), so the count equals the completed prefix length
+    return out.select(
+        entity_col,
+        completed.cast("long").alias("steps_completed"),
+        *[f"t_{i + 1}" for i in range(k)],
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by the time
+    bucket of their FIRST event (cohort = first_order div bucket),
+    and each (cohort, offset) cell counts how many of that cohort
+    were active in bucket cohort+offset — the "week-N retention"
+    triangle behind every growth dashboard, and the activity-decay
+    audit for longitudinal training corpora.
+
+    Plan (100 TB shape): per-entity first bucket (one groupBy),
+    distinct (entity, bucket) activity pairs (one aggregation on the
+    SAME entity-keyed shuffle — AQE reuses the exchange), an
+    entity-keyed equi-join of the two (co-partitioned, no broadcast
+    needed at any scale), then a tiny (cohort, offset) count. All
+    integer arithmetic (div/counts); the only float is the final
+    retention ratio — one IEEE division of two exact longs per cell.
+    NULL order rows are excluded (SQL aggregate semantics).
+
+    Returns one row per observed (cohort, offset): cohort (bucket
+    index), offset (>= 0), n_active, cohort_size, retention."""
+    if bucket <= 0:
+        raise ValueError("retention_cohorts: bucket must be positive")
+    ev = df.filter(F.col(order_col).isNotNull()).select(
+        F.col(entity_col).alias("__e"),
+        # SQL `div` (exact integer division, never a float detour —
+        # floor(a/b) on doubles is inexact past 2^53); order values
+        # are assumed non-negative (epoch time), where truncating
+        # and flooring division agree on both engines
+        F.expr(
+            f"cast(`{order_col}` as bigint) div {int(bucket)}"
+        ).alias("__b"),
+    )
+    first = ev.groupBy("__e").agg(F.min("__b").alias("__cohort"))
+    active = ev.distinct()
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        active.join(first, "__e")
+        .groupBy(
+            F.col("__cohort").alias("cohort"),
+            (F.col("__b") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(
+        F.broadcast(sizes.withColumnRenamed("__cohort", "cohort")),
+        "cohort",
+    ).select(
+        "cohort",
+        "offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -2005,3 +2005,111 @@ def kaplan_meier_by(
         ]
     )
     return subjects.sparkSession.createDataFrame(rows, schema)
+
+
+def changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Exact single mean-shift changepoint per key: the split of the
+    ``order_col``-ordered series minimizing SSE_left + SSE_right —
+    `best_split`'s time-axis sibling (binary segmentation's first
+    step, the "did this metric shift and when?" primitive behind
+    drift triage).
+
+    Plan (100 TB shape): ONE window pass per key (hash-partitioned —
+    parallel across keys, never a global sort) builds cumulative
+    exact fixed-point moments (n_l, Σu, Σu²) plus the key totals on
+    the SAME exchange; every candidate's cost is then a per-row IEEE
+    expression of exact DECIMAL(38,0) integers, and the per-key
+    argmin is ONE lexicographic struct-min aggregation — (cost,
+    order) ascending, so ties break on the EARLIEST split, a total
+    order any SQL oracle replays with row_number() OVER (ORDER BY
+    cost, o). No float is ever summed across rows; divisions happen
+    once per candidate in a deterministic expression tree (the
+    best_split convention, so bit-identical argmin ordering on any
+    IEEE engine). Duplicate order values within a key raise in-plan
+    (`_dup_order_guard`); NULL order/value rows are excluded.
+
+    Returns one row per key with >= 2 points: key, n, split_order
+    (last point of the left segment), n_left, n_right, sse_total,
+    sse_split, gain (all SSEs in original units)."""
+    from pyspark.sql import Window as W
+
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        u.alias("__u"),
+    )
+    wc = (
+        W.partitionBy("__k")
+        .orderBy("__o")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wg = W.partitionBy("__k")
+    cum = base.select(
+        "__k",
+        "__o",
+        "__u",
+        F.count(F.lit(1)).over(wc).alias("__nl"),
+        F.sum("__u").over(wc).alias("__sl"),
+        F.sum(F.col("__u") * F.col("__u")).over(wc).alias("__ql"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+        F.sum("__u").over(wg).alias("__s"),
+        F.sum(F.col("__u") * F.col("__u")).over(wg).alias("__q"),
+    )
+    nl = F.col("__nl").cast("double")
+    sl = F.col("__sl").cast("double")
+    ql = F.col("__ql").cast("double")
+    nn = F.col("__n").cast("double")
+    ss = F.col("__s").cast("double")
+    qq = F.col("__q").cast("double")
+    nr = nn - nl
+    sr = ss - sl
+    cost = (ql - (sl * sl) / nl) + ((qq - ql) - (sr * sr) / nr)
+    cand = cum.filter(F.col("__nl") < F.col("__n")).select(
+        "__k",
+        F.struct(
+            cost.alias("cost"),
+            F.col("__o").alias("o"),
+            F.col("__nl").alias("nl"),
+        ).alias("__cand"),
+        F.col("__o"),
+    )
+    g = cand.groupBy("__k").agg(F.min("__cand").alias("__best"))
+    # totals re-derived exactly (order-free integer sums); the
+    # duplicate-order guard counts over ALL rows, not candidates —
+    # a tie between the last row and a candidate would otherwise
+    # slip through while still making the window order (and thus
+    # the boundary cumulative sums) engine-dependent
+    tot = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__o")).alias("_n_ord"),
+        F.sum("__u").alias("__ts"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__tq"),
+    )
+    j = g.join(tot, "__k")
+    tn = F.col("n").cast("double")
+    tsd = F.col("__ts").cast("double")
+    tqd = F.col("__tq").cast("double")
+    cost0 = tqd - (tsd * tsd) / tn
+    best_cost = F.col("__best").getField("cost")
+    s2 = F.lit(scale * scale)
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("n"),
+        F.col("__best").getField("o").alias("split_order"),
+        F.col("__best").getField("nl").alias("n_left"),
+        (F.col("n") - F.col("__best").getField("nl")).alias("n_right"),
+        (cost0 / s2).alias("sse_total"),
+        _dup_order_guard("changepoint", "__k", best_cost / s2).alias(
+            "sse_split"
+        ),
+        ((cost0 - best_cost) / s2).alias("gain"),
+    )
