@@ -123,9 +123,9 @@ def main():
         return round(time.perf_counter() - t0, 4)
 
     def parallel_capacity_probe() -> dict:
-        """Fixed 32-thread CPU-bound workload: 32 identical numpy
-        matmul tasks through a 32-worker thread pool (BLAS releases
-        the GIL). The single-task time tracks per-core speed like
+        """Fixed 32-thread CPU-bound workload: 32 identical
+        elementwise-numpy tasks through a 32-worker thread pool
+        (numpy releases the GIL). The single-task time tracks per-core speed like
         `single_core_probe`; the 32-way wall time tracks how much
         parallel CPU this multi-tenant host actually grants THIS
         run, so a bench regression is attributable from the JSON

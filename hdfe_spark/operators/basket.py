@@ -60,6 +60,13 @@ def assoc_rules(
             F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
         )
         .distinct()
+        # materialize once: the distinct pair table feeds FOUR plan
+        # branches (N, item margins, both self-join sides) — without
+        # this the distinct shuffle recomputes per branch AND a
+        # non-deterministic source could make N disagree with the
+        # pair counts it divides (the anova_oneway one-action
+        # convention)
+        .localCheckpoint(eager=True)
     )
     n_baskets = bi.agg(
         F.count_distinct("__b").cast("long")

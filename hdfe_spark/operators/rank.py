@@ -347,11 +347,17 @@ def grouped_weighted_quantiles(
     integral weights enforced (float and fractional-DECIMAL weight
     columns raise), negative weights raise, and the threshold test
     cross-multiplies exact integers widened to DECIMAL(38,0) — no
-    division, bit-portable on any engine.
+    division, bit-portable on any engine. Groups whose TOTAL weight
+    is zero are ABSENT from the output (a quantile of a zero-mass
+    distribution is undefined — the grouped analogue of the global
+    operator's zero-total-weight raise; without the filter the
+    0*100 >= p*0 comparison would emit the group's smallest value
+    as every quantile).
 
     Plan: one groupBy to cells, one partitioned window, one
     per-(group, pct) min-reduction. Returns one row per (group,
-    pct) with a nonempty group: group, pct, value, cum_weight."""
+    pct) with a nonempty, nonzero-weight group: group, pct, value,
+    cum_weight."""
     pcts = [int(p) for p in pcts]
     if not pcts or not all(0 < p <= 100 for p in pcts):
         raise ValueError(
@@ -395,7 +401,7 @@ def grouped_weighted_quantiles(
         value_col,
         F.sum("__w").over(w).cast("decimal(38,0)").alias("__cumw"),
         F.sum("__w").over(wg).cast("decimal(38,0)").alias("__wtot"),
-    )
+    ).filter(F.col("__wtot") > 0)
     aggs = []
     for p in pcts:
         hit = F.col("__cumw") * F.lit(100) >= F.lit(p) * F.col("__wtot")

@@ -133,22 +133,28 @@ def funnel(
     reads.
 
     Semantics are the standard greedy-earliest funnel: t_1 = the
-    entity's first step-1 event; t_i = the first step-i event after
-    t_{i-1} (and <= t_1 + within). Greedy-earliest is OPTIMAL for
-    sequence containment (matching the earliest feasible event never
-    excludes a later completion), so "did the entity convert" is
-    exact, not heuristic.
+    chosen step-1 anchor; t_i = the first step-i event after
+    t_{i-1} (and <= t_1 + within). WITHOUT a window, greedy from the
+    entity's first step-1 event is OPTIMAL for sequence containment
+    (matching the earliest feasible event never excludes a later
+    completion), so one anchor suffices. WITH a window that proof
+    breaks — a later step-1 anchor can complete where the first
+    cannot (A@0, A@100, B@105, within=10) — so EVERY step-1 event is
+    tried as an anchor and the best walk wins (most steps completed;
+    earliest anchor on ties). Exact, not heuristic, in both modes.
 
     Plan (100 TB shape): ONE shuffle — a single groupBy collects one
     SORTED per-step event-time array per entity
     (``sort_array(collect_list(when(type=s_i, order)))``), then the
-    step walk is a pure JVM array-expression fold (k bounded
+    step walk is a pure JVM array-expression fold (bounded
     ``filter(...)[0]`` probes, no Python, no self-joins — a k-way
     self-join of the event table against itself would square the
     event volume). Per-entity arrays are bounded by the entity's own
-    activity — the same boundedness sessionize's window assumes.
-    ``order_col`` must be integral (epoch micros): min/filter over
-    integers is engine-exact.
+    activity — the same boundedness sessionize's window assumes; the
+    windowed multi-anchor walk costs O(|step-1 events| x total
+    events) ARRAY probes per entity (in-memory, no extra shuffle).
+    ``order_col`` must be integral (epoch micros, emitted as
+    bigint): min/filter over integers is engine-exact.
 
     Returns one row per entity with >= 1 step-1 event: entity,
     steps_completed, and t_1..t_k (NULL beyond the completed
@@ -169,11 +175,11 @@ def funnel(
     k = len(steps)
     aggs = [
         F.sort_array(
-            F.filter(
-                F.collect_list(
-                    F.when(F.col(type_col) == F.lit(s), F.col(order_col))
-                ),
-                lambda x: x.isNotNull(),
+            F.collect_list(
+                F.when(
+                    F.col(type_col) == F.lit(s),
+                    F.col(order_col).cast("long"),
+                )
             )
         ).alias(f"__a{i}")
         for i, s in enumerate(steps)
@@ -181,42 +187,62 @@ def funnel(
     g = df.filter(F.col(order_col).isNotNull()).groupBy(
         F.col(entity_col)
     ).agg(*aggs)
-    # step walk: t0 = first step-1 event; t_i = first step-i event
-    # strictly after t_{i-1} (and within the window of t0)
-    # try_element_at: an entity with no step-1 event yields an
-    # empty array — NULL, not an ANSI index error
-    t_prev = F.try_element_at(F.col("__a0"), F.lit(1))
-    ts = [t_prev]
-    for i in range(1, k):
-        arr = F.col(f"__a{i}")
-        cand = F.filter(
-            arr,
-            (lambda prev: (lambda x: x > prev))(ts[i - 1]),
+    stype = "struct<c:int," + ",".join(
+        f"t{i + 1}:bigint" for i in range(k)
+    ) + ">"
+
+    def walk_from(anchor):
+        """Greedy walk t_1..t_k from a given step-1 anchor, as a
+        (completed, t1..tk) struct expression."""
+        ts = [anchor]
+        for i in range(1, k):
+            arr = F.col(f"__a{i}")
+            prev, t0 = ts[i - 1], ts[0]
+            if within is None:
+                cand = F.filter(
+                    arr, (lambda p: (lambda x: x > p))(prev)
+                )
+            else:
+                w_lit = F.lit(int(within))
+                cand = F.filter(
+                    arr,
+                    (
+                        lambda p, a0: (
+                            lambda x: (x > p) & (x - a0 <= w_lit)
+                        )
+                    )(prev, t0),
+                )
+            # try_element_at: empty candidate set -> NULL, not an
+            # ANSI index error
+            ts.append(F.try_element_at(cand, F.lit(1)))
+        completed = F.lit(0)
+        for t in ts:
+            completed = completed + t.isNotNull().cast("int")
+        return F.struct(
+            completed.alias("c"),
+            *[ts[i].cast("bigint").alias(f"t{i + 1}") for i in range(k)],
         )
-        if within is not None:
-            cand = F.filter(
-                cand,
-                (lambda t0: (lambda x: x - t0 <= F.lit(int(within))))(
-                    ts[0]
-                ),
-            )
-        ts.append(F.try_element_at(cand, F.lit(1)))
+
+    if within is None:
+        best = walk_from(F.try_element_at(F.col("__a0"), F.lit(1)))
+    else:
+        # every step-1 event is a candidate anchor; fold keeps the
+        # first walk with the strictly highest step count, so ties
+        # resolve to the EARLIEST anchor (the array is sorted)
+        walks = F.transform(F.col("__a0"), lambda a: walk_from(a))
+        best = F.aggregate(
+            walks,
+            F.lit(None).cast(stype),
+            lambda acc, s: F.when(
+                acc.isNull() | (s.getField("c") > acc.getField("c")), s
+            ).otherwise(acc),
+        )
     out = g.select(
         entity_col,
-        *[ts[i].alias(f"t_{i + 1}") for i in range(k)],
-    ).filter(F.col("t_1").isNotNull())
-    completed = F.lit(0)
-    for i in range(k):
-        completed = completed + F.col(f"t_{i + 1}").isNotNull().cast(
-            "int"
-        )
-    # NULLs only extend from the right (t_i is NULL whenever
-    # t_{i-1} is), so the count equals the completed prefix length
-    return out.select(
-        entity_col,
-        completed.cast("long").alias("steps_completed"),
-        *[f"t_{i + 1}" for i in range(k)],
+        best.getField("c").cast("long").alias("steps_completed"),
+        *[best.getField(f"t{i + 1}").alias(f"t_{i + 1}") for i in range(k)],
     )
+    return out.filter(F.col("t_1").isNotNull())
 
 
 def retention_cohorts(
@@ -232,20 +258,27 @@ def retention_cohorts(
     triangle behind every growth dashboard, and the activity-decay
     audit for longitudinal training corpora.
 
-    Plan (100 TB shape): per-entity first bucket (one groupBy),
-    distinct (entity, bucket) activity pairs (one aggregation on the
-    SAME entity-keyed shuffle — AQE reuses the exchange), an
-    entity-keyed equi-join of the two (co-partitioned, no broadcast
-    needed at any scale), then a tiny (cohort, offset) count. All
+    Plan (100 TB shape): the raw events reduce ONCE to distinct
+    (entity, bucket) activity pairs — a shuffle on (entity, bucket),
+    after which everything runs over the far smaller pair table: the
+    per-entity first bucket is a groupBy of the PAIRS (re-keys by
+    entity — a second, pair-sized exchange; the keys differ so the
+    first exchange cannot be reused, which is why the reduction
+    happens first), the pair-to-cohort equi-join re-uses that
+    entity keying, and the final (cohort, offset) count is tiny. All
     integer arithmetic (div/counts); the only float is the final
     retention ratio — one IEEE division of two exact longs per cell.
-    NULL order rows are excluded (SQL aggregate semantics).
+    NULL order AND NULL entity rows are excluded (an anonymous event
+    can neither found a cohort nor count as retention — keeping it
+    in one side only would deflate every ratio).
 
     Returns one row per observed (cohort, offset): cohort (bucket
     index), offset (>= 0), n_active, cohort_size, retention."""
     if bucket <= 0:
         raise ValueError("retention_cohorts: bucket must be positive")
-    ev = df.filter(F.col(order_col).isNotNull()).select(
+    ev = df.filter(
+        F.col(order_col).isNotNull() & F.col(entity_col).isNotNull()
+    ).select(
         F.col(entity_col).alias("__e"),
         # SQL `div` (exact integer division, never a float detour —
         # floor(a/b) on doubles is inexact past 2^53); order values
@@ -255,8 +288,10 @@ def retention_cohorts(
             f"cast(`{order_col}` as bigint) div {int(bucket)}"
         ).alias("__b"),
     )
-    first = ev.groupBy("__e").agg(F.min("__b").alias("__cohort"))
     active = ev.distinct()
+    # first bucket from the DEDUPED pairs, not the raw events — the
+    # min is identical and the aggregation input is far smaller
+    first = active.groupBy("__e").agg(F.min("__b").alias("__cohort"))
     sizes = first.groupBy("__cohort").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size")
     )

@@ -2031,8 +2031,13 @@ def changepoint(
     cost, o). No float is ever summed across rows; divisions happen
     once per candidate in a deterministic expression tree (the
     best_split convention, so bit-identical argmin ordering on any
-    IEEE engine). Duplicate order values within a key raise in-plan
-    (`_dup_order_guard`); NULL order/value rows are excluded.
+    IEEE engine). Duplicate order values within a key raise — the
+    check is DRIVER-side on one tiny aggregate over ALL rows (the
+    seasonal_decompose convention: an in-plan guard column is
+    prunable by a caller selecting other columns, and a duplicate
+    involving only the excluded last row would still make the
+    boundary cumulative sums engine-dependent). NULL order/value
+    rows are excluded.
 
     Returns one row per key with >= 2 points: key, n, split_order
     (last point of the left segment), n_left, n_right, sse_total,
@@ -2047,6 +2052,16 @@ def changepoint(
         F.col(order_col).alias("__o"),
         u.alias("__u"),
     )
+    chk = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct("__k", "__o")).alias("d"),
+    ).collect()[0]
+    if int(chk["n"] or 0) != int(chk["d"] or 0):
+        raise ValueError(
+            "changepoint: duplicate order values within a key — the "
+            "cumulative sums (and thus every candidate cost) would "
+            "be engine-dependent"
+        )
     wc = (
         W.partitionBy("__k")
         .orderBy("__o")
@@ -2080,17 +2095,11 @@ def changepoint(
             F.col("__o").alias("o"),
             F.col("__nl").alias("nl"),
         ).alias("__cand"),
-        F.col("__o"),
     )
     g = cand.groupBy("__k").agg(F.min("__cand").alias("__best"))
-    # totals re-derived exactly (order-free integer sums); the
-    # duplicate-order guard counts over ALL rows, not candidates —
-    # a tie between the last row and a candidate would otherwise
-    # slip through while still making the window order (and thus
-    # the boundary cumulative sums) engine-dependent
+    # totals re-derived exactly (order-free integer sums)
     tot = base.groupBy("__k").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("__o")).alias("_n_ord"),
         F.sum("__u").alias("__ts"),
         F.sum(F.col("__u") * F.col("__u")).alias("__tq"),
     )
@@ -2108,8 +2117,6 @@ def changepoint(
         F.col("__best").getField("nl").alias("n_left"),
         (F.col("n") - F.col("__best").getField("nl")).alias("n_right"),
         (cost0 / s2).alias("sse_total"),
-        _dup_order_guard("changepoint", "__k", best_cost / s2).alias(
-            "sse_split"
-        ),
+        (best_cost / s2).alias("sse_split"),
         ((cost0 - best_cost) / s2).alias("gain"),
     )

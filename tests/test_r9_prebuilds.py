@@ -60,6 +60,23 @@ def test_funnel_strictly_after_and_within(spark):
     assert out[3]["t_2"] == 25
 
 
+def test_funnel_windowed_tries_every_anchor(spark):
+    """Review finding: with a window, greedy from the FIRST step-1
+    event is not optimal — A@0, A@100, B@105, within=10 converts
+    via the LATER anchor. Every step-1 event must be tried."""
+    df = _events(spark, [
+        (1, 0, "a"), (1, 100, "a"), (1, 105, "b"),
+    ])
+    r = funnel(df, "uid", "t", "typ", ["a", "b"], within=10).collect()[0]
+    assert (r["steps_completed"], r["t_1"], r["t_2"]) == (2, 100, 105)
+    # earliest-anchor tie-break: two anchors both complete -> first
+    df2 = _events(spark, [
+        (1, 0, "a"), (1, 5, "b"), (1, 100, "a"), (1, 105, "b"),
+    ])
+    r2 = funnel(df2, "uid", "t", "typ", ["a", "b"], within=10).collect()[0]
+    assert (r2["t_1"], r2["t_2"]) == (0, 5)
+
+
 def test_funnel_guards(spark):
     df = _events(spark, [(1, 10, "a")])
     with pytest.raises(ValueError, match=">= 2 steps"):
@@ -96,6 +113,19 @@ def test_retention_cohorts_guard(spark):
     df = spark.createDataFrame([(1, 10)], "uid long, t long")
     with pytest.raises(ValueError, match="positive"):
         retention_cohorts(df, "uid", "t", bucket=0)
+
+
+def test_retention_cohorts_null_entities_excluded(spark):
+    """Review finding: NULL-entity rows used to found a cohort (the
+    groupBy keeps the NULL group) but never match the activity
+    equi-join, deflating that cohort's retention."""
+    rows = [(None, 10), (None, 25), (1, 12)]
+    df = spark.createDataFrame(rows, "uid long, t long")
+    out = retention_cohorts(df, "uid", "t", bucket=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cohort"], r["n_active"], r["cohort_size"]) == (1, 1, 1)
+    assert r["retention"] == 1.0
 
 
 # --------------------------------------------------------- baskets
@@ -160,6 +190,16 @@ def test_grouped_weighted_quantiles_exact(spark):
     assert out[("g2", 100)]["cum_weight"] == 10
 
 
+def test_grouped_weighted_quantiles_zero_weight_group_absent(spark):
+    """Review finding: a zero-total-weight group used to satisfy
+    0*100 >= p*0 on its first row and emit its smallest value as
+    every quantile. Such groups are now absent."""
+    rows = [("z", 1.0, 0), ("z", 5.0, 0), ("g", 2.0, 3)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = grouped_weighted_quantiles(df, "g", "v", "w", [50]).collect()
+    assert [(r["g"], r["value"]) for r in out] == [("g", 2.0)]
+
+
 def test_grouped_weighted_quantiles_guards(spark):
     df = spark.createDataFrame(
         [("g", 1.0, 1.5)], "g string, v double, w double"
@@ -201,7 +241,16 @@ def test_changepoint_tie_breaks_earliest_and_filters(spark):
 
 
 def test_changepoint_duplicate_order_raises(spark):
+    """Driver-side guard (review finding: an in-plan guard wrapping
+    one output column is pruned when callers select the others) —
+    raises at CALL time, before any output column is touched."""
     rows = [("k", 1, 1.0), ("k", 1, 2.0), ("k", 2, 3.0)]
     df = spark.createDataFrame(rows, "k string, t long, v double")
-    with pytest.raises(Exception, match="duplicate order"):
-        changepoint(df, "k", "t", "v").collect()
+    with pytest.raises(ValueError, match="duplicate order"):
+        changepoint(df, "k", "t", "v")
+    # a duplicate on the LAST row (no candidate row carries it)
+    # must also raise — the tie still corrupts boundary sums
+    rows2 = [("k", 1, 1.0), ("k", 2, 2.0), ("k", 2, 3.0)]
+    df2 = spark.createDataFrame(rows2, "k string, t long, v double")
+    with pytest.raises(ValueError, match="duplicate order"):
+        changepoint(df2, "k", "t", "v")
