@@ -132,10 +132,16 @@ def main():
         alone instead of requiring a worktree A/B (the round-7
         host-drift investigation, SCALE.md). The task is ELEMENTWISE
         numpy (tanh — single-threaded, GIL-released), not matmul:
-        multithreaded BLAS would understate the single-task baseline
-        and corrupt the ratio. Idle-host reading here: ~12x
-        effective on 32 logical CPUs (SMT + tenancy); markedly
-        lower during a bench run = noisy neighbors."""
+        multithreaded BLAS would understate the single-task
+        baseline. READ par32_sec, not the ratio, as the drift
+        signal: it is a FIXED amount of total work, so its wall
+        time moves directly with granted capacity (idle band on
+        this host: ~0.33-0.36 s; it rises under noisy neighbors).
+        effective_parallelism is reported but load-confounded —
+        ambient load slows the single-task baseline MORE than the
+        saturated pool, so the ratio paradoxically RISES on a busy
+        host (measured: ~5x idle, ~12x while a full gate run owned
+        the machine)."""
         from concurrent.futures import ThreadPoolExecutor
 
         import numpy as np
