@@ -609,3 +609,96 @@ def streaming_anomaly(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    entity_col: str,
+    order_col: str,
+    type_col: str,
+    steps: "Sequence[str]",
+) -> DataFrame:
+    """Streaming funnel progress (fifteenth streaming form): per
+    entity, the greedy-earliest completion of ``steps`` in sequence,
+    advanced incrementally across micro-batches with O(k) state per
+    key — the live twin of the batch `operators/sessions.py::funnel`
+    ("how far down view → click → buy is each user RIGHT NOW?").
+
+    State is the completed-prefix timestamp vector (t_1..t_k): an
+    arriving event advances the walk iff its type is the NEXT needed
+    step and its order is strictly after the last completed step.
+    Greedy-earliest is optimal for unconstrained sequence
+    containment (the batch operator's proof), and the incremental
+    greedy walk consumes events in the same order the batch walk
+    reads them, so with an availableNow replay the final state per
+    key EQUALS the batch funnel's row — the batch query is the
+    oracle (the streaming_ewma contract). The windowed (``within``)
+    batch mode is deliberately NOT offered here: it requires
+    retaining every step-1 anchor, which is unbounded state.
+    Cross-batch order follows source delivery, the standard stateful
+    caveat (`streaming_lag_transform`).
+
+    Emits one (entity, steps_completed, t_1..t_k) row per key per
+    batch; the row with the largest steps_completed (any batch) is
+    current progress."""
+    if not steps or len(steps) < 2:
+        raise ValueError("streaming_funnel: needs >= 2 steps")
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+    if len(step_of) != k:
+        raise ValueError("streaming_funnel: steps must be distinct")
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                entity_col, stream.schema[entity_col].dataType
+            ),
+            T.StructField("steps_completed", T.LongType()),
+            *[
+                T.StructField(f"t_{i + 1}", T.LongType())
+                for i in range(k)
+            ],
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(k)]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ts = list(state.get) if state.exists else [None] * k
+        # one global order_col sort per key per batch — the
+        # multi-chunk lesson from streaming_ewma
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        done = sum(1 for t in ts if t is not None)
+        for o, typ in zip(pdf[order_col], pdf[type_col]):
+            if o is None or pd.isna(o) or done >= k:
+                continue
+            if step_of.get(typ) != done:
+                continue
+            o = int(o)
+            if done > 0 and not (o > ts[done - 1]):
+                continue
+            ts[done] = o
+            done += 1
+        state.update(tuple(ts))
+        if done > 0:
+            yield pd.DataFrame(
+                [[key[0], done, *ts]],
+                columns=[
+                    entity_col,
+                    "steps_completed",
+                    *[f"t_{i + 1}" for i in range(k)],
+                ],
+            )
+
+    return (
+        stream.select(entity_col, order_col, type_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -254,3 +254,63 @@ def test_changepoint_duplicate_order_raises(spark):
     df2 = spark.createDataFrame(rows2, "k string, t long, v double")
     with pytest.raises(ValueError, match="duplicate order"):
         changepoint(df2, "k", "t", "v")
+
+
+# ----------------------------------------------- streaming_funnel
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir):
+    """Fifteenth streaming form: the incremental greedy walk after
+    an availableNow replay equals the batch funnel exactly."""
+    from hdfe_spark.sources.tables import load_table
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    load_table(spark, "events", sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_funnel(stream, "user_id", "event_id", "event_type", steps)
+    name = "funnel_stream_test_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["s"]["steps_completed"], r["s"]["t_1"],
+                       r["s"]["t_2"], r["s"]["t_3"])
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("steps_completed", "t_1", "t_2", "t_3"),
+                "steps_completed",
+            ).alias("s")
+        )
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["steps_completed"], r["t_1"], r["t_2"], r["t_3"])
+        for r in funnel(
+            load_table(spark, "events", sf_dir),
+            "user_id", "event_id", "event_type", steps,
+        ).collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
+def test_streaming_funnel_guards(spark, sf_dir):
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_funnel
+    from hdfe_spark.sources.tables import load_table
+
+    load_table(spark, "events", sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        streaming_funnel(stream, "user_id", "event_id", "event_type", ["a"])
+    with pytest.raises(ValueError, match="distinct"):
+        streaming_funnel(
+            stream, "user_id", "event_id", "event_type", ["a", "a"]
+        )
