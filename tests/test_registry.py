@@ -21,10 +21,11 @@ def test_window_all_have_oracles_or_are_declared():
 
 
 def test_round8_window_composition():
-    """Positions 1-50 (twelfth curation pass): the fifteen round-7
-    builds, the seven round-8 registrations, then 28 stalest-
-    evidence re-certification rows — every slot oracle-checked. If
-    this fails after an intentional round-9 rotation, update the
+    """Positions 1-50 (thirteenth curation pass): the fifteen
+    round-7 builds, the seven round-8 registrations, the five
+    late-round-8 registrations, then 23 stalest-evidence
+    re-certification rows — every slot oracle-checked. If this
+    fails after an intentional round-9 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
     assert set(q[:15]) == {
@@ -37,14 +38,17 @@ def test_round8_window_composition():
         "bm25", "dbscan", "shortest_paths", "mutual_information",
         "best_split", "seasonal", "km_by",
     }
-    # 23-50: re-certs, all oracle-checked (checked by the window
+    assert set(q[22:27]) == {
+        "funnel", "retention", "assoc_rules", "gwq", "changepoint",
+    }
+    # 28-50: re-certs, all oracle-checked (checked by the window
     # test above); rows-only demos must all sit OUTSIDE the window
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 232
+    assert len(q) == 237
 
 
 def test_every_query_has_callable():
