@@ -5282,9 +5282,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       operators pre-built (with tests + stress) in round 7:
       `bm25` `dbscan` `shortest_paths` `mutual_information`
       `best_split` `seasonal` `km_by`. Each is oracle-checked.
-    - positions 23-27: the five late-round-8 registrations of the
-      operators pre-built THIS round: `funnel` `retention`
-      `assoc_rules` `gwq` `changepoint`. Each is oracle-checked.
+    - positions 23-27: the five round-9 registrations of the
+      operators pre-built in round 8: `funnel_steps`
+      `cohort_retention` `assoc_rules` `gwq` `changepoint`. Each is
+      oracle-checked. (`funnel_steps`/`cohort_retention` are named
+      apart from the older driver-green `funnel`/`retention`
+      queries, which are hand-built event queries; the new pair are
+      the `operators/sessions.py` windowed-funnel and
+      cohort-triangle OPERATORS.)
     - positions 28-50: re-certification of the 23 stalest driver
       rows (r03/r04 greens, now 4-5 rounds old, code untouched but
       fixtures regenerated every round); the 5 re-certs displaced
@@ -5325,9 +5330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_split": _q_best_split,
         "seasonal": _q_seasonal,
         "km_by": _q_km_by,
-        # 23-27: the five late-round-8 registrations
-        "funnel": _q_funnel,
-        "retention": _q_retention,
+        # 23-27: the five round-9 registrations
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
         "assoc_rules": _q_assoc_rules,
         "gwq": _q_gwq,
         "changepoint": _q_changepoint,
@@ -9790,7 +9795,7 @@ def oracle_sql() -> dict[str, str]:
                    floor((s) * 1e9 + 0.5) / 1e9 AS s
             FROM km
         """,
-        "funnel": """
+        "funnel_steps": """
             WITH ev AS (
               SELECT user_id AS u, epoch_us(ts) AS t,
                      event_type AS ty
@@ -9824,7 +9829,7 @@ def oracle_sql() -> dict[str, str]:
                    t1 AS t_1, t2 AS t_2, t3 AS t_3
             FROM best WHERE rn = 1
         """,
-        "retention": """
+        "cohort_retention": """
             WITH ev AS (
               SELECT DISTINCT user_id AS e,
                      epoch_us(ts) // 604800000000 AS b
@@ -10511,7 +10516,7 @@ def _q_km_by(spark, sf_dir):
 # ------------------------------------------------ round-8b additions
 
 
-def _q_funnel(spark, sf_dir):
+def _q_funnel_steps(spark, sf_dir):
     """Windowed multi-step funnel (`operators/sessions.py::funnel`):
     per user, the earliest view -> click -> purchase completion with
     every step inside 2 days of the chosen view anchor. The windowed
@@ -10541,7 +10546,7 @@ def _q_funnel(spark, sf_dir):
     )
 
 
-def _q_retention(spark, sf_dir):
+def _q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention (`operators/sessions.py::
     retention_cohorts`, bucket = 7 days of micros): users cohorted
     by the week of their first event; each (cohort, offset) cell

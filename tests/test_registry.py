@@ -39,7 +39,8 @@ def test_round8_window_composition():
         "best_split", "seasonal", "km_by",
     }
     assert set(q[22:27]) == {
-        "funnel", "retention", "assoc_rules", "gwq", "changepoint",
+        "funnel_steps", "cohort_retention", "assoc_rules", "gwq",
+        "changepoint",
     }
     # 28-50: re-certs, all oracle-checked (checked by the window
     # test above); rows-only demos must all sit OUTSIDE the window
