@@ -416,3 +416,80 @@ def shortest_paths(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    n_rounds: int = 8,
+) -> DataFrame:
+    """k-core decomposition by ``n_rounds`` peeling rounds: drop
+    every node of degree < k, recompute degrees on the induced
+    subgraph, repeat — the dense-subgraph extractor behind spam-ring
+    and community-nucleus detection (the k-core is the maximal
+    subgraph where every member has >= k surviving neighbors).
+
+    FIXED rounds (the pagerank/bfs certificate convention): after
+    round r the survivor set is the r-step peel, which EQUALS the
+    true k-core iff the peel has converged. The result carries an
+    explicit ``converged`` flag (no node dropped in the final
+    round); when true the output IS the exact k-core — the
+    honest-contract form `shortest_paths` uses for its
+    <=n_iter-edge semantics. A SQL oracle unrolls exactly
+    ``n_rounds`` layers; the implementation exits early once a
+    round drops nothing, which is OUTPUT-IDENTICAL because peeling
+    is idempotent after convergence (every later unrolled layer is
+    a no-op on both engines) — an execution shortcut, not a
+    semantic branch. Size ``n_rounds`` to the peel depth
+    (degeneracy ordering peels shallow graphs in a handful of
+    rounds; a path graph needs O(n) — state the contract, don't
+    guess).
+
+    Graph semantics: undirected simple graph — edges are
+    symmetrized and dedup'd, self-loops dropped (a self-loop would
+    let an isolated node count itself toward k). All-integer
+    degrees; no floats anywhere. Each round is one degree
+    aggregation + two semi-joins of the edge list against the
+    survivor set; the live edge set is localCheckpointed per round
+    (the bfs_levels lesson — otherwise round r re-executes rounds
+    1..r-1).
+
+    Returns (node, degree, converged): surviving nodes with their
+    final induced degree."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    if n_rounds < 1:
+        raise ValueError("kcore: n_rounds must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).filter(F.col("s") != F.col("t"))
+    e = (
+        e.unionByName(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dropped_last = 0
+    for _ in range(n_rounds):
+        deg = e.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        ).localCheckpoint(eager=True)
+        keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("s")
+        n_before = deg.count()
+        n_after = keep.count()
+        dropped_last = n_before - n_after
+        if dropped_last == 0:
+            break
+        e = (
+            e.join(keep, "s")
+            .join(keep.withColumnRenamed("s", "t"), "t")
+            .select("s", "t")
+            .localCheckpoint(eager=True)
+        )
+    out = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return out.withColumn("converged", F.lit(dropped_last == 0))

@@ -316,3 +316,90 @@ def retention_cohorts(
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every observed (src, dst) state pair, the count
+    of consecutive transitions src -> dst and the empirical
+    transition probability P(dst | src) — the sequence-model prior
+    behind next-event prediction, funnel diagnosis, and curriculum
+    ordering of event-log training data (which state follows which,
+    and how deterministically).
+
+    Plan (100 TB shape): ONE window pass keyed by the entity (the
+    same sort any per-entity sequence op pays — the successor of
+    each event via ``lead`` over (order, tiebreaks)), then two
+    state-vocabulary-sized aggregations: the (src, dst) pair count
+    and its src margin. The wide shuffle is bounded by the event
+    table once; everything after is |states|² at most. The
+    probability is ONE IEEE division of two exact longs — no float
+    summation anywhere, so a SQL oracle mirrors it exactly.
+
+    Order determinism: the fold order must be a TOTAL order or the
+    pairing is engine-dependent. With ``tiebreak_cols`` the sort key
+    is (order, *tiebreaks); duplicate full keys within an entity
+    raise IN-PLAN (adjacent-row equality check on the already-sorted
+    window — zero extra shuffle), the `_dup_order_guard` convention
+    of the ordered-fold family (`stats.ewma`).
+
+    NULL entity / order / state rows are excluded up front (an
+    unattributable or unorderable event can neither emit nor receive
+    a transition); NULLs in a tiebreak column are fine (NULL sorts
+    first, and the guard still catches genuine duplicates because
+    two NULL-tiebreak rows with equal order values compare equal on
+    the guard key).
+
+    Returns one row per observed (src, dst): src, dst, n (exact
+    transition count), n_src (outgoing margin of src), p = n/n_src.
+    """
+    ties = list(tiebreak_cols or [])
+    ev = df.filter(
+        F.col(entity_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(order_col).alias("__o"),
+        F.col(state_col).alias("__s"),
+        *[F.col(t).alias(f"__t{i}") for i, t in enumerate(ties)],
+    )
+    okey = [F.col("__o")] + [F.col(f"__t{i}") for i in range(len(ties))]
+    w = Window.partitionBy("__e").orderBy(*okey)
+    full_key = F.struct(*okey)
+    dup = full_key.eqNullSafe(F.lag(full_key).over(w))
+    nxt = F.when(
+        dup,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "event_transitions: duplicate order values within "
+                    "entity "
+                ),
+                F.col("__e").cast("string"),
+                F.lit(" — the transition pairing would be engine-dependent"),
+            )
+        ).cast(df.schema[state_col].dataType),
+    ).otherwise(F.lead("__s").over(w))
+    pairs = (
+        ev.select(F.col("__s").alias("src"), nxt.alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    margins = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(margins, "src").select(
+        "src",
+        "dst",
+        "n",
+        "n_src",
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias(
+            "p"
+        ),
+    )

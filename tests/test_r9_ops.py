@@ -1,0 +1,211 @@
+"""Round-9 operator tests: event_transitions, logistic2, item_cf,
+kcore."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.basket import item_cf
+from hdfe_spark.operators.graph import kcore
+from hdfe_spark.operators.sessions import event_transitions
+from hdfe_spark.operators.stats import logistic2
+
+
+# ------------------------------------------------- event_transitions
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "e long, o long, s string, i long")
+
+
+def test_transitions_counts_and_probs(spark):
+    df = _ev(spark, [
+        (1, 1, "a", 0), (1, 2, "b", 1), (1, 3, "a", 2), (1, 4, "b", 3),
+        (2, 1, "a", 4), (2, 2, "a", 5),
+    ])
+    out = {(r["src"], r["dst"]): r for r in
+           event_transitions(df, "e", "o", "s").collect()}
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "a")]["n"] == 1
+    assert out[("b", "a")]["n"] == 1
+    # margins: a emits 3 transitions, b emits 1
+    assert out[("a", "b")]["n_src"] == 3
+    assert out[("a", "b")]["p"] == pytest.approx(2 / 3)
+    assert out[("b", "a")]["p"] == 1.0
+
+
+def test_transitions_no_cross_entity_pairing(spark):
+    df = _ev(spark, [(1, 1, "a", 0), (2, 2, "b", 1)])
+    assert event_transitions(df, "e", "o", "s").count() == 0
+
+
+def test_transitions_null_rows_excluded(spark):
+    df = _ev(spark, [
+        (1, 1, "a", 0), (1, 2, None, 1), (1, 3, "b", 2),
+        (None, 4, "a", 3), (1, None, "c", 4),
+    ])
+    out = event_transitions(df, "e", "o", "s").collect()
+    # the NULL-state row is excluded up front -> a(1) pairs with b(3)
+    assert len(out) == 1
+    assert (out[0]["src"], out[0]["dst"]) == ("a", "b")
+
+
+def test_transitions_duplicate_order_raises(spark):
+    df = _ev(spark, [(1, 1, "a", 0), (1, 1, "b", 1)])
+    with pytest.raises(Exception, match="duplicate order"):
+        event_transitions(df, "e", "o", "s").collect()
+    # a tiebreak making the key total fixes it
+    assert event_transitions(df, "e", "o", "s", ["i"]).count() == 1
+
+
+def test_transitions_duplicate_full_key_raises(spark):
+    df = _ev(spark, [(1, 1, "a", 7), (1, 1, "b", 7)])
+    with pytest.raises(Exception, match="duplicate order"):
+        event_transitions(df, "e", "o", "s", ["i"]).collect()
+
+
+# --------------------------------------------------------- logistic2
+
+
+def test_logistic_recovers_coefficients(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 2.0, 4000)
+    p = 1 / (1 + np.exp(-(0.5 + 1.2 * x)))
+    y = (rng.random(4000) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y long"
+    )
+    r = logistic2(df, "x", "y", n_iter=6).collect()[0]
+    # full-precision Newton reference
+    b = np.zeros(2)
+    X = np.column_stack([np.ones_like(x), x])
+    for _ in range(12):
+        pp = 1 / (1 + np.exp(-X @ b))
+        w = pp * (1 - pp)
+        b = b + np.linalg.solve(X.T @ (X * w[:, None]), X.T @ (y - pp))
+    assert r["n"] == 4000 and r["n_pos"] == int(y.sum())
+    # wbits=16 quantization bounds the gap well inside 1e-3
+    assert abs(r["b0"] - b[0]) < 1e-3
+    assert abs(r["b1"] - b[1]) < 1e-3
+
+
+def test_logistic_iteration0_balanced_gradient(spark):
+    # at beta=0, p=1/2 exactly: one sweep = one weighted-OLS step
+    # whose slope sign must match the class separation
+    df = spark.createDataFrame(
+        [(-1.0, 0), (-2.0, 0), (1.0, 1), (2.0, 1)], "x double, y long"
+    )
+    r = logistic2(df, "x", "y", n_iter=1).collect()[0]
+    assert r["b1"] > 0 and abs(r["b0"]) < 1e-9
+
+
+def test_logistic_guards(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 0)], "x double, y long")
+    with pytest.raises(ValueError, match="integral"):
+        logistic2(df.withColumn("y", F.col("y").cast("double")), "x", "y")
+    with pytest.raises(ValueError, match="outside"):
+        logistic2(df.withColumn("y", F.col("y") + 1), "x", "y")
+    with pytest.raises(ValueError, match="singular"):
+        logistic2(df.withColumn("x", F.lit(3.0)), "x", "y")
+    with pytest.raises(ValueError, match="no rows"):
+        logistic2(df.filter("x > 99"), "x", "y")
+
+
+def test_logistic_boolean_y_accepted(spark):
+    df = spark.createDataFrame(
+        [(-1.0, False), (-2.0, False), (1.0, True), (2.0, True)],
+        "x double, y boolean",
+    )
+    r = logistic2(df, "x", "y", n_iter=2).collect()[0]
+    assert r["n_pos"] == 2 and r["b1"] > 0
+
+
+# ----------------------------------------------------------- item_cf
+
+
+def test_item_cf_cosine_and_rank(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (4, "c"), (5, "a"), (5, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item"], r["neighbor"]): r for r in
+           item_cf(df, "b", "i", min_count=1, k=10).collect()}
+    # margins: a=4 b=4 c=3; co-occurrence ab=3 ac=2 bc=2
+    assert out[("a", "b")]["cosine"] == 3 / math.sqrt(16)
+    assert out[("a", "c")]["cosine"] == 2 / math.sqrt(12)
+    assert out[("a", "b")]["rank"] == 1
+    assert out[("a", "c")]["rank"] == 2
+    # symmetric cosine, per-side ranks
+    assert out[("c", "a")]["cosine"] == out[("a", "c")]["cosine"]
+    # c's neighbors tie at 2/sqrt(12) -> tiebreak on neighbor key
+    assert out[("c", "a")]["rank"] == 1
+    assert out[("c", "b")]["rank"] == 2
+
+
+def test_item_cf_k_and_min_count(spark):
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    top1 = item_cf(df, "b", "i", min_count=1, k=1)
+    assert top1.filter("item = 'a'").count() == 1
+    # min_count=2 keeps only the ab pair
+    out = item_cf(df, "b", "i", min_count=2, k=10).collect()
+    assert {(r["item"], r["neighbor"]) for r in out} == {
+        ("a", "b"), ("b", "a")
+    }
+
+
+def test_item_cf_duplicate_basket_items_count_once(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b")], "b long, i string"
+    )
+    r = item_cf(df, "b", "i", min_count=1, k=5).collect()[0]
+    assert r["n_ab"] == 1 and r["n_item"] == 1 and r["cosine"] == 1.0
+
+
+# ------------------------------------------------------------- kcore
+
+
+def _g(spark, edges):
+    return spark.createDataFrame(edges, "s long, t long")
+
+
+def test_kcore_triangle_with_pendants(spark):
+    df = _g(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6)])
+    out = {r["node"]: r for r in
+           kcore(df, "s", "t", k=2, n_rounds=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["degree"] == 2 and r["converged"] for r in out.values())
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # path 4-5 hangs off a triangle: removing 5 (deg 1) drops 4 to
+    # deg 1 -> second round removes it too
+    df = _g(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    out = kcore(df, "s", "t", k=2, n_rounds=5).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
+    assert all(r["converged"] for r in out)
+    # one round is NOT enough: node 4 still present, flagged honest
+    partial = kcore(df, "s", "t", k=2, n_rounds=1).collect()
+    assert {r["node"] for r in partial} == {1, 2, 3, 4}
+    assert not any(r["converged"] for r in partial)
+
+
+def test_kcore_self_loops_and_direction_ignored(spark):
+    df = _g(spark, [(1, 1), (1, 2), (2, 1), (2, 3), (1, 3)])
+    out = kcore(df, "s", "t", k=2, n_rounds=4).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
+    assert all(r["degree"] == 2 for r in out)
+
+
+def test_kcore_empty_core(spark):
+    df = _g(spark, [(1, 2), (2, 3)])
+    assert kcore(df, "s", "t", k=3, n_rounds=4).count() == 0
+
+
+def test_kcore_guards(spark):
+    df = _g(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="k must"):
+        kcore(df, "s", "t", k=0)
+    with pytest.raises(ValueError, match="n_rounds"):
+        kcore(df, "s", "t", k=1, n_rounds=0)
