@@ -5290,11 +5290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries, which are hand-built event queries; the new pair are
       the `operators/sessions.py` windowed-funnel and
       cohort-triangle OPERATORS.)
-    - positions 28-50: re-certification of the 23 stalest driver
-      rows (r03/r04 greens, now 4-5 rounds old, code untouched but
-      fixtures regenerated every round); the 5 re-certs displaced
-      by the new registrations (`demean` ... `factorize`) lead the
-      backlog — they keep their r03/r04 green rows.
+    - positions 28-31: the four round-9 builds — `transitions`
+      (Markov transition matrix), `logistic` (quantized-Newton
+      logistic regression, the sixth iterative certificate),
+      `itemcf` (item-item cosine top-k), `kcore` (fixed-round peel
+      with convergence flag). Each oracle-checked.
+    - positions 32-50: re-certification of the 19 stalest driver
+      rows (r03/r04 greens, now 5-6 rounds old, code untouched but
+      fixtures regenerated every round); the 4 re-certs displaced
+      by the round-9 builds (`asof_join` ... `contamination`) and
+      the 5 displaced by the round-8 registrations (`demean` ...
+      `factorize`) lead the backlog — they keep their r03/r04
+      green rows.
     - positions 51+: the oracle-checked backlog (most recent driver
       evidence first), ALL still gated locally every round
       (`tools/full_gate.sh`); the 11 rows-only demos sit at the
@@ -5336,7 +5343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _q_assoc_rules,
         "gwq": _q_gwq,
         "changepoint": _q_changepoint,
-        # 28-50: re-certification of the stalest driver
+        # 28-31: the four round-9 builds
+        "transitions": _q_transitions,
+        "logistic": _q_logistic,
+        "itemcf": _q_itemcf,
+        "kcore": _q_kcore,
+        # 32-50: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
         "dummies_drop_last": _q_dummies_drop_last,
@@ -5357,18 +5369,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
-        "asof_join": _q_asof_join,
-        "bucketed_join": _q_bucketed_join,
-        "collinear_cols": _q_collinear_cols,
-        "contamination": _q_contamination,
         # ------ end of the driver's 50-query window ------
-        # backlog: the 5 re-certs displaced by the late-r8
-        # registrations first (r03/r04 driver-green), then
+        # backlog: the 4 re-certs displaced by the round-9
+        # builds, then the 5 displaced by the late-r8
+        # registrations (all r03/r04 driver-green), then
         # remaining oracle-checked queries, most recent
         # driver rows first; the 11 rows-only demos sit
         # LAST (window slots go to hash-matchable rows
         # only - each demo's certificate query is oracle-
         # checked and driver-green)
+        "asof_join": _q_asof_join,
+        "bucketed_join": _q_bucketed_join,
+        "collinear_cols": _q_collinear_cols,
+        "contamination": _q_contamination,
         "demean": _q_demean,
         "dummies": _q_dummies,
         "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
@@ -9974,6 +9987,161 @@ def oracle_sql() -> dict[str, str]:
                          * 1e9 + 0.5) / 1e9 AS gain
             FROM best WHERE rn = 1
         """,
+        "transitions": """
+            WITH ev AS (
+              SELECT user_id AS u, epoch_us(ts) AS t,
+                     event_id AS i, event_type AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL),
+            seq AS (
+              SELECT u, s,
+                     lead(s) OVER (PARTITION BY u ORDER BY t, i)
+                       AS nxt
+              FROM ev),
+            pairs AS (
+              SELECT s AS src, nxt AS dst,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY s, nxt),
+            m AS (
+              SELECT src, CAST(sum(n) AS BIGINT) AS n_src
+              FROM pairs GROUP BY src)
+            SELECT p.src, p.dst, p.n, m.n_src,
+                   floor((CAST(p.n AS DOUBLE)
+                          / CAST(m.n_src AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS p
+            FROM pairs p JOIN m ON p.src = m.src
+        """,
+        "logistic": """
+            WITH base AS (
+              SELECT CAST(round(value * 1e6) AS HUGEINT) AS xu,
+                     CAST(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS BIGINT) AS yl
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            m0 AS (
+              SELECT CAST(sum(CAST(16384 AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(16384 AS HUGEINT) * xu) AS DOUBLE)
+                       AS swx,
+                     CAST(sum(CAST(16384 AS HUGEINT) * xu * xu)
+                          AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(CASE WHEN yl = 1 THEN 32768
+                                        ELSE -32768 END AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST(CASE WHEN yl = 1 THEN 32768
+                                        ELSE -32768 END AS HUGEINT)
+                              * xu) AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS n_pos
+              FROM base),
+            f0 AS (
+              SELECT (m0.swxx * m0.sg - m0.swx * m0.sgx)
+                       / (m0.sw * m0.swxx - m0.swx * m0.swx) AS b0,
+                     (m0.sw * m0.sgx - m0.swx * m0.sg)
+                       / (m0.sw * m0.swxx - m0.swx * m0.swx) AS b1
+              FROM m0),
+            w1 AS (
+              SELECT xu, yl,
+                     1.0 / (1.0 + exp(-(f0.b0
+                                        + f0.b1 * CAST(xu AS DOUBLE))))
+                       AS p
+              FROM base CROSS JOIN f0),
+            m1 AS (
+              SELECT CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT) * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT) * xu * xu) AS DOUBLE)
+                       AS swxx,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - p)
+                                         * 65536.0 + 0.5) AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - p)
+                                         * 65536.0 + 0.5) AS HUGEINT)
+                              * xu) AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS n_pos
+              FROM w1),
+            f1 AS (
+              SELECT f0.b0 + (m1.swxx * m1.sg - m1.swx * m1.sgx)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b0,
+                     f0.b1 + (m1.sw * m1.sgx - m1.swx * m1.sg)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b1,
+                     m1.n, m1.n_pos
+              FROM m1 CROSS JOIN f0)
+            SELECT n, n_pos,
+                   floor((b0) * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1 * 1e6) * 1e9 + 0.5) / 1e9 AS b1
+            FROM f1
+        """,
+        "itemcf": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, p_brand AS i
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
+            ic AS (
+              SELECT i, CAST(count(*) AS BIGINT) AS n
+              FROM bi GROUP BY i),
+            pr AS (
+              SELECT l.i AS ia, r.i AS ib,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+              GROUP BY l.i, r.i
+              HAVING count(*) >= 5),
+            sym AS (
+              SELECT ia AS item, ib AS neighbor, n_ab FROM pr
+              UNION ALL
+              SELECT ib, ia, n_ab FROM pr),
+            sc AS (
+              SELECT b.item, b.neighbor, b.n_ab,
+                     a.n AS n_item, c.n AS n_neighbor,
+                     CAST(b.n_ab AS DOUBLE)
+                       / sqrt(CAST(a.n AS DOUBLE)
+                              * CAST(c.n AS DOUBLE)) AS cosine
+              FROM sym b
+              JOIN ic a ON b.item = a.i
+              JOIN ic c ON b.neighbor = c.i),
+            rk AS (
+              SELECT item, neighbor, n_ab, n_item, n_neighbor, cosine,
+                     row_number() OVER (PARTITION BY item
+                       ORDER BY cosine DESC, neighbor ASC) AS rank
+              FROM sc)
+            SELECT item, neighbor, CAST(rank AS BIGINT) AS rank,
+                   n_ab, n_item, n_neighbor, cosine
+            FROM rk WHERE rank <= 5
+        """,
+        "kcore": """
+            WITH bi AS (
+              SELECT DISTINCT o_custkey AS u,
+                     l_suppkey + 1000000 AS v
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e0 AS (
+              SELECT u AS s, v AS t FROM bi WHERE u <> v
+              UNION
+              SELECT v, u FROM bi WHERE u <> v),
+            d1 AS (SELECT s, count(*) AS deg FROM e0 GROUP BY s),
+            k1 AS (SELECT s FROM d1 WHERE deg >= 25),
+            e1 AS (SELECT e.s, e.t FROM e0 e
+                   JOIN k1 a ON e.s = a.s JOIN k1 b ON e.t = b.s),
+            d2 AS (SELECT s, count(*) AS deg FROM e1 GROUP BY s),
+            k2 AS (SELECT s FROM d2 WHERE deg >= 25),
+            e2 AS (SELECT e.s, e.t FROM e1 e
+                   JOIN k2 a ON e.s = a.s JOIN k2 b ON e.t = b.s),
+            d3 AS (SELECT s, count(*) AS deg FROM e2 GROUP BY s),
+            k3 AS (SELECT s FROM d3 WHERE deg >= 25),
+            e3 AS (SELECT e.s, e.t FROM e2 e
+                   JOIN k3 a ON e.s = a.s JOIN k3 b ON e.t = b.s),
+            d4 AS (SELECT s, count(*) AS deg FROM e3 GROUP BY s),
+            k4 AS (SELECT s FROM d4 WHERE deg >= 25),
+            e4 AS (SELECT e.s, e.t FROM e3 e
+                   JOIN k4 a ON e.s = a.s JOIN k4 b ON e.t = b.s)
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS degree,
+                   (SELECT count(*) FROM d4)
+                     = (SELECT count(*) FROM k4) AS converged
+            FROM e4 GROUP BY s
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -10644,3 +10812,93 @@ def _q_changepoint(spark, sf_dir):
         _pround("sse_split").alias("sse_split"),
         _pround("gain").alias("gain"),
     )
+
+
+# ------------------------------------------------- round-9 additions
+
+
+def _q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (`operators/sessions.py::
+    event_transitions`): which event type follows which, per user,
+    over the events stream — exact pair counts from ONE entity-keyed
+    window pass (lead over (ts, event_id) — a total order, with the
+    adjacent-row duplicate guard inherited from the ordered-fold
+    family), then state-vocabulary-sized aggregations. P(dst|src) is
+    one IEEE division of two exact longs, rounded on both engines."""
+    from hdfe_spark.operators.sessions import event_transitions
+    from hdfe_spark.sources.tables import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", ts_micros(ev, "ts"))
+    out = event_transitions(
+        ev, "user_id", "ts_us", "event_type", ["event_id"]
+    )
+    return out.select(
+        "src", "dst", "n", "n_src", _pround("p").alias("p")
+    )
+
+
+def _q_logistic(spark, sf_dir):
+    """Logistic regression (`operators/stats.py::logistic2`): the
+    log-odds of an event being a purchase as a function of its
+    value, fit by TWO Newton sweeps with 16-bit-quantized weights/
+    gradients — the sixth iterative certificate (after kmeans,
+    pagerank, robust_ols, bellman-ford, kfold): order-free
+    DECIMAL(38,0) moment sums, driver-side 2x2 solves the oracle
+    replays as CTE layers. Iteration 1 is EXACT on any engine
+    (beta=0 -> p=1/2 -> integer weights); iteration 2's sigmoid
+    quantization margin is 2^-37 per ulp."""
+    from hdfe_spark.operators.stats import logistic2
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("long")
+    )
+    out = logistic2(ev, "value", "is_purchase", n_iter=2)
+    return out.select(
+        "n", "n_pos",
+        _pround("b0").alias("b0"),
+        _pround("b1").alias("b1"),
+    )
+
+
+def _q_itemcf(spark, sf_dir):
+    """Item-item collaborative filtering (`operators/basket.py::
+    item_cf`): for each part brand, its top-5 co-ordered
+    neighbors by binary cosine over order baskets. Counts are exact
+    BIGINTs; cosine = n_ab/sqrt(n_a*n_b) where sqrt is IEEE
+    correctly-rounded — the emitted doubles are bit-identical on
+    any engine, so NO rounding is applied (a stronger certificate
+    than the pround family). Rank ties break on the neighbor key."""
+    from hdfe_spark.operators.basket import item_cf
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bi = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return item_cf(bi, "l_orderkey", "p_brand", min_count=5, k=5)
+
+
+def _q_kcore(spark, sf_dir):
+    """k-core decomposition (`operators/graph.py::kcore`) of the
+    undirected customer-supplier bipartite graph (the pagerank/bfs
+    edge set): the maximal subgraph where every node keeps >= k
+    surviving neighbors, by 4 fixed peeling rounds the oracle
+    unrolls layer-by-layer — all-integer degrees, set semantics, no
+    floats. The converged flag certifies whether 4 rounds sufficed
+    (peeling is idempotent after convergence, so early exit is
+    output-identical)."""
+    from hdfe_spark.operators.graph import kcore
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+    return kcore(e, "u", "v", k=25, n_rounds=4)

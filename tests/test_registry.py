@@ -20,13 +20,14 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round8_window_composition():
-    """Positions 1-50 (thirteenth curation pass): the fifteen
+def test_round9_window_composition():
+    """Positions 1-50 (fourteenth curation pass): the fifteen
     round-7 builds, the seven round-8 registrations, the five
-    late-round-8 registrations, then 23 stalest-evidence
-    re-certification rows — every slot oracle-checked. If this
-    fails after an intentional round-9 rotation, update the
-    expectation alongside the `queries()` docstring."""
+    round-9 registrations of the round-8 pre-builds, the four
+    round-9 builds, then 19 stalest-evidence re-certification
+    rows — every slot oracle-checked. If this fails after an
+    intentional round-10 rotation, update the expectation
+    alongside the `queries()` docstring."""
     q = list(em.queries())
     assert set(q[:15]) == {
         "anova", "levene", "pca2", "autocorr", "cusum",
@@ -42,14 +43,17 @@ def test_round8_window_composition():
         "funnel_steps", "cohort_retention", "assoc_rules", "gwq",
         "changepoint",
     }
-    # 28-50: re-certs, all oracle-checked (checked by the window
+    assert set(q[27:31]) == {
+        "transitions", "logistic", "itemcf", "kcore",
+    }
+    # 32-50: re-certs, all oracle-checked (checked by the window
     # test above); rows-only demos must all sit OUTSIDE the window
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 237
+    assert len(q) == 241
 
 
 def test_every_query_has_callable():
