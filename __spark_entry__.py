@@ -5290,18 +5290,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries, which are hand-built event queries; the new pair are
       the `operators/sessions.py` windowed-funnel and
       cohort-triangle OPERATORS.)
-    - positions 28-31: the four round-9 builds — `transitions`
+    - positions 28-32: the five round-9 builds — `transitions`
       (Markov transition matrix), `logistic` (quantized-Newton
       logistic regression, the sixth iterative certificate),
       `itemcf` (item-item cosine top-k), `kcore` (fixed-round peel
-      with convergence flag). Each oracle-checked.
-    - positions 32-50: re-certification of the 19 stalest driver
+      with convergence flag), `streaming_transitions` (sixteenth
+      streaming form, integer availableNow-equals-batch). Each
+      oracle-checked.
+    - positions 33-50: re-certification of the 18 stalest driver
       rows (r03/r04 greens, now 5-6 rounds old, code untouched but
-      fixtures regenerated every round); the 4 re-certs displaced
-      by the round-9 builds (`asof_join` ... `contamination`) and
-      the 5 displaced by the round-8 registrations (`demean` ...
-      `factorize`) lead the backlog — they keep their r03/r04
-      green rows.
+      fixtures regenerated every round); the 5 re-certs displaced
+      by the round-9 builds (`approx_distinct` ...
+      `contamination`) and the 5 displaced by the round-8
+      registrations (`demean` ... `factorize`) lead the backlog —
+      they keep their r03/r04 green rows.
     - positions 51+: the oracle-checked backlog (most recent driver
       evidence first), ALL still gated locally every round
       (`tools/full_gate.sh`); the 11 rows-only demos sit at the
@@ -5348,7 +5350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic": _q_logistic,
         "itemcf": _q_itemcf,
         "kcore": _q_kcore,
-        # 32-50: re-certification of the stalest driver
+        "streaming_transitions": _q_streaming_transitions,
+        # 33-50: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
         "dummies_drop_last": _q_dummies_drop_last,
@@ -5368,7 +5371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se_robust": _q_se_robust,
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
-        "approx_distinct": _q_approx_distinct,
         # ------ end of the driver's 50-query window ------
         # backlog: the 4 re-certs displaced by the round-9
         # builds, then the 5 displaced by the late-r8
@@ -5378,6 +5380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LAST (window slots go to hash-matchable rows
         # only - each demo's certificate query is oracle-
         # checked and driver-green)
+        "approx_distinct": _q_approx_distinct,
         "asof_join": _q_asof_join,
         "bucketed_join": _q_bucketed_join,
         "collinear_cols": _q_collinear_cols,
@@ -10013,6 +10016,30 @@ def oracle_sql() -> dict[str, str]:
                      / 1e9 AS p
             FROM pairs p JOIN m ON p.src = m.src
         """,
+        "streaming_transitions": """
+            WITH ev AS (
+              SELECT user_id AS u, event_id AS i, event_type AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            seq AS (
+              SELECT u, s,
+                     lead(s) OVER (PARTITION BY u ORDER BY i) AS nxt
+              FROM ev),
+            pairs AS (
+              SELECT s AS src, nxt AS dst,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE nxt IS NOT NULL
+              GROUP BY s, nxt),
+            m AS (
+              SELECT src, CAST(sum(n) AS BIGINT) AS n_src
+              FROM pairs GROUP BY src)
+            SELECT p.src, p.dst, p.n, m.n_src,
+                   floor((CAST(p.n AS DOUBLE)
+                          / CAST(m.n_src AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS p
+            FROM pairs p JOIN m ON p.src = m.src
+        """,
         "logistic": """
             WITH base AS (
               SELECT CAST(round(value * 1e6) AS HUGEINT) AS xu,
@@ -10902,3 +10929,51 @@ def _q_kcore(spark, sf_dir):
         .distinct()
     )
     return kcore(e, "u", "v", k=25, n_rounds=4)
+
+
+def _q_streaming_transitions(spark, sf_dir):
+    """Sixteenth streaming form (`streaming/ops.py::
+    streaming_transitions`): the Markov transition counter folded
+    incrementally with O(1) state per user (last order + last
+    state); each micro-batch emits integer delta rows, and the
+    availableNow replay's summed deltas reproduce the batch
+    `event_transitions` matrix EXACTLY — so the batch lead-window
+    SQL is the oracle, with no float anywhere until the final
+    single division."""
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_transitions,
+    )
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_transitions(
+        stream, "user_id", "event_id", "event_type"
+    )
+    sink = _fresh_sink(spark)
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(sink)
+    pairs = snap.groupBy("src", "dst").agg(F.sum("n").alias("n"))
+    # margins from the raw deltas with a renamed key: deriving them
+    # from `pairs` self-joins the memory-sink view, which the
+    # resolver rejects (conflicting references)
+    margins = snap.groupBy(F.col("src").alias("__msrc")).agg(
+        F.sum("n").alias("n_src")
+    )
+    return pairs.join(
+        margins, pairs["src"] == margins["__msrc"]
+    ).select(
+        "src", "dst",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_src").cast("long").alias("n_src"),
+        _pround(
+            F.col("n").cast("double") / F.col("n_src").cast("double")
+        ).alias("p"),
+    )

@@ -702,3 +702,96 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    order_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming Markov transition counter (sixteenth streaming
+    form): the incremental twin of `operators/sessions.py::
+    event_transitions`. Per entity, ``applyInPandasWithState``
+    keeps only the LAST seen (order, state) — O(1) state per key —
+    and each micro-batch emits that key's new transition pairs as
+    (src, dst, n) delta rows, including the BRIDGE transition from
+    the previous batch's final state into this batch's first event.
+    Summing the deltas by (src, dst) downstream reproduces the
+    batch operator's counts exactly (integer equality — the
+    strongest availableNow-equals-batch certificate form, no float
+    anywhere).
+
+    Cross-batch order follows source delivery (the standard
+    stateful caveat — `streaming_ewma`); within a micro-batch rows
+    fold in ``order_col`` order, so an availableNow replay IS the
+    batch pairing. Duplicate order values within a key raise, and
+    an out-of-order arrival ACROSS batches (new row ordered before
+    the stored last state) also raises rather than silently pairing
+    backwards — a batch-only operator would have sorted it
+    correctly, so the stream must refuse to diverge. NULL
+    order/state rows are dropped (the batch operator's exclusion
+    rule); NULL entities are dropped by the groupBy key itself."""
+    out_schema = T.StructType(
+        [
+            T.StructField("src", stream.schema[state_col].dataType),
+            T.StructField("dst", stream.schema[state_col].dataType),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("o", stream.schema[order_col].dataType),
+            T.StructField("s", stream.schema[state_col].dataType),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if key[0] is None:
+            return
+        # concat BEFORE sorting (the streaming_ewma chunk lesson)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[
+            pdf[order_col].notna() & pdf[state_col].notna()
+        ].sort_values(order_col, kind="stable")
+        if len(pdf) == 0:
+            return
+        orders = pdf[order_col].tolist()
+        if len(set(orders)) != len(orders):
+            raise ValueError(
+                "streaming_transitions: duplicate order values "
+                f"within entity {key[0]!r} — the pairing would be "
+                "engine-dependent"
+            )
+        states = pdf[state_col].tolist()
+        if state.exists:
+            last_o, last_s = state.get
+            if orders[0] <= last_o:
+                raise ValueError(
+                    "streaming_transitions: out-of-order arrival "
+                    f"for entity {key[0]!r} (order {orders[0]!r} "
+                    f"after state at {last_o!r}) — a batch sort "
+                    "would have paired differently"
+                )
+            orders = [last_o] + orders
+            states = [last_s] + states
+        counts: dict = {}
+        for a, b in zip(states, states[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        state.update((orders[-1], states[-1]))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "src": [k[0] for k in counts],
+                    "dst": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

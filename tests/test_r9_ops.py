@@ -209,3 +209,128 @@ def test_kcore_guards(spark):
         kcore(df, "s", "t", k=0)
     with pytest.raises(ValueError, match="n_rounds"):
         kcore(df, "s", "t", k=1, n_rounds=0)
+
+
+# ------------------------------------------- streaming_transitions
+
+
+def test_streaming_transitions_equals_batch(spark, sf_dir):
+    """Sixteenth streaming form: summed per-batch transition deltas
+    after an availableNow replay equal the batch operator's counts
+    exactly (integer dict equality)."""
+    from hdfe_spark.sources.tables import load_table, ts_micros
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_transitions,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    sm = streaming_transitions(stream, "user_id", "event_id", "event_type")
+    name = "transitions_stream_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.table(name)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["src"], r["dst"]): r["n"]
+        for r in event_transitions(
+            ev, "user_id", "event_id", "event_type"
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_transitions_bridges_batches(spark, tmp_path):
+    """The cross-batch BRIDGE transition (stored last state -> first
+    event of the next batch) must be emitted: two single-file
+    micro-batches whose junction pair appears nowhere within either
+    batch."""
+    src = str(tmp_path / "trans_batches")
+    b1 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "u long, o long, s string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3, "c"), (1, 4, "a")], "u long, o long, s string"
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+    from hdfe_spark.streaming.ops import streaming_transitions
+
+    stream = (
+        spark.readStream.schema("u long, o long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sm = streaming_transitions(stream, "u", "o", "s")
+    name = "trans_bridge_sink"
+    q = (
+        sm.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.table(name)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    # the full ordered walk a->b->c->a regardless of how the files
+    # were split into micro-batches
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_streaming_transitions_multichunk_order(spark, tmp_path):
+    """The streaming_ewma chunk lesson: a key spanning multiple
+    Arrow chunks must pair in ONE global order sort."""
+    src = str(tmp_path / "trans_chunks")
+    # 8 rows, one key, written in REVERSE order: sorted walk is
+    # a b a b a b a b -> (a,b):4, (b,a):3
+    rows = [(1, 8 - i, "a" if (8 - i) % 2 == 1 else "b")
+            for i in range(8)]
+    spark.createDataFrame(
+        rows, "u long, o long, s string"
+    ).coalesce(1).write.parquet(src)
+    from hdfe_spark.streaming.ops import streaming_transitions
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema("u long, o long, s string").parquet(
+            src
+        )
+        sm = streaming_transitions(stream, "u", "o", "s")
+        name = "trans_chunk_sink"
+        q = (
+            sm.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in spark.table(name).groupBy("src", "dst")
+        .agg(F.sum("n").alias("n")).collect()
+    }
+    assert got == {("a", "b"): 4, ("b", "a"): 3}
