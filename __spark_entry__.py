@@ -5290,18 +5290,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries, which are hand-built event queries; the new pair are
       the `operators/sessions.py` windowed-funnel and
       cohort-triangle OPERATORS.)
-    - positions 28-32: the five round-9 builds — `transitions`
+    - positions 28-34: the seven round-9 builds — `transitions`
       (Markov transition matrix), `logistic` (quantized-Newton
       logistic regression, the sixth iterative certificate),
       `itemcf` (item-item cosine top-k), `kcore` (fixed-round peel
       with convergence flag), `streaming_transitions` (sixteenth
-      streaming form, integer availableNow-equals-batch). Each
-      oracle-checked.
-    - positions 33-50: re-certification of the 18 stalest driver
+      streaming form, integer availableNow-equals-batch),
+      `labelprop` (synchronous label-propagation communities),
+      `logistic_by` (per-group Newton with broadcast beta
+      re-entry). Each oracle-checked.
+    - positions 35-50: re-certification of the 16 stalest driver
       rows (r03/r04 greens, now 5-6 rounds old, code untouched but
-      fixtures regenerated every round); the 5 re-certs displaced
-      by the round-9 builds (`approx_distinct` ...
-      `contamination`) and the 5 displaced by the round-8
+      fixtures regenerated every round); the 7 re-certs displaced
+      by the round-9 builds (`all_dummies` ... `contamination`)
+      and the 5 displaced by the round-8
       registrations (`demean` ... `factorize`) lead the backlog —
       they keep their r03/r04 green rows.
     - positions 51+: the oracle-checked backlog (most recent driver
@@ -5351,7 +5353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemcf": _q_itemcf,
         "kcore": _q_kcore,
         "streaming_transitions": _q_streaming_transitions,
-        # 33-50: re-certification of the stalest driver
+        "labelprop": _q_labelprop,
+        "logistic_by": _q_logistic_by,
+        # 35-50: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
         "dummies_drop_last": _q_dummies_drop_last,
@@ -5369,8 +5373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
         "se_robust": _q_se_robust,
-        "all_dummies": _q_all_dummies,
-        "ann_lsh_recall": _q_ann_lsh_recall,
         # ------ end of the driver's 50-query window ------
         # backlog: the 4 re-certs displaced by the round-9
         # builds, then the 5 displaced by the late-r8
@@ -5380,6 +5382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LAST (window slots go to hash-matchable rows
         # only - each demo's certificate query is oracle-
         # checked and driver-green)
+        "all_dummies": _q_all_dummies,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
         "asof_join": _q_asof_join,
         "bucketed_join": _q_bucketed_join,
@@ -10169,6 +10173,115 @@ def oracle_sql() -> dict[str, str]:
                      = (SELECT count(*) FROM k4) AS converged
             FROM e4 GROUP BY s
         """,
+        "labelprop": """
+            WITH bi AS (
+              SELECT DISTINCT o_custkey AS u,
+                     l_suppkey + 1000000 AS v
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e0 AS (
+              SELECT u AS s, v AS t FROM bi WHERE u <> v
+              UNION
+              SELECT v, u FROM bi WHERE u <> v),
+            l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e0),
+            c1 AS (
+              SELECT e.t AS v, l.lab, count(*) AS cnt
+              FROM e0 e JOIN l0 l ON e.s = l.node
+              GROUP BY e.t, l.lab),
+            l1 AS (
+              SELECT v AS node, lab FROM (
+                SELECT v, lab, row_number() OVER (PARTITION BY v
+                  ORDER BY cnt DESC, lab ASC) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS (
+              SELECT e.t AS v, l.lab, count(*) AS cnt
+              FROM e0 e JOIN l1 l ON e.s = l.node
+              GROUP BY e.t, l.lab),
+            l2 AS (
+              SELECT v AS node, lab FROM (
+                SELECT v, lab, row_number() OVER (PARTITION BY v
+                  ORDER BY cnt DESC, lab ASC) AS rn
+                FROM c2) WHERE rn = 1),
+            c3 AS (
+              SELECT e.t AS v, l.lab, count(*) AS cnt
+              FROM e0 e JOIN l2 l ON e.s = l.node
+              GROUP BY e.t, l.lab),
+            l3 AS (
+              SELECT v AS node, lab FROM (
+                SELECT v, lab, row_number() OVER (PARTITION BY v
+                  ORDER BY cnt DESC, lab ASC) AS rn
+                FROM c3) WHERE rn = 1)
+            SELECT node, CAST(lab AS BIGINT) AS label FROM l3
+        """,
+        "logistic_by": """
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     CAST(round(o_totalprice * 1e6) AS HUGEINT) AS xu,
+                     CAST(CASE WHEN o_orderstatus = 'F'
+                               THEN 1 ELSE 0 END AS BIGINT) AS yl
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+            m0 AS (
+              SELECT g,
+                     CAST(sum(CAST(16384 AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(16384 AS HUGEINT) * xu) AS DOUBLE)
+                       AS swx,
+                     CAST(sum(CAST(16384 AS HUGEINT) * xu * xu)
+                          AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(CASE WHEN yl = 1 THEN 32768
+                                        ELSE -32768 END AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST(CASE WHEN yl = 1 THEN 32768
+                                        ELSE -32768 END AS HUGEINT)
+                              * xu) AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS n_pos
+              FROM base GROUP BY g),
+            f0 AS (
+              SELECT g,
+                     (swxx * sg - swx * sgx)
+                       / (sw * swxx - swx * swx) AS b0,
+                     (sw * sgx - swx * sg)
+                       / (sw * swxx - swx * swx) AS b1
+              FROM m0),
+            w1 AS (
+              SELECT b.g, b.xu, b.yl,
+                     1.0 / (1.0 + exp(-(f.b0
+                                        + f.b1 * CAST(b.xu AS DOUBLE))))
+                       AS p
+              FROM base b JOIN f0 f ON b.g = f.g),
+            m1 AS (
+              SELECT g,
+                     CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT) * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(floor(p * (1.0 - p) * 65536.0)
+                                   AS HUGEINT) * xu * xu) AS DOUBLE)
+                       AS swxx,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - p)
+                                         * 65536.0 + 0.5) AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - p)
+                                         * 65536.0 + 0.5) AS HUGEINT)
+                              * xu) AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS n_pos
+              FROM w1 GROUP BY g),
+            f1 AS (
+              SELECT m1.g,
+                     f0.b0 + (m1.swxx * m1.sg - m1.swx * m1.sgx)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b0,
+                     f0.b1 + (m1.sw * m1.sgx - m1.swx * m1.sg)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b1,
+                     m1.n, m1.n_pos
+              FROM m1 JOIN f0 ON m1.g = f0.g)
+            SELECT g AS o_orderpriority, n, n_pos,
+                   floor((b0) * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1 * 1e6) * 1e9 + 0.5) / 1e9 AS b1
+            FROM f1
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -10976,4 +11089,52 @@ def _q_streaming_transitions(spark, sf_dir):
         _pround(
             F.col("n").cast("double") / F.col("n_src").cast("double")
         ).alias("p"),
+    )
+
+
+def _q_labelprop(spark, sf_dir):
+    """Synchronous label propagation (`operators/graph.py::
+    label_propagation`) over the customer-supplier bipartite graph:
+    3 fixed rounds, most-frequent-neighbor-label updates with a
+    (count DESC, label ASC) total-order tiebreak — deterministic by
+    construction (no visit order), so the oracle unrolls the
+    identical 3 layers. All-integer counts; the bipartite
+    oscillation caveat is part of the fixed-round contract."""
+    from hdfe_spark.operators.graph import label_propagation
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+    return label_propagation(e, "u", "v", n_rounds=3)
+
+
+def _q_logistic_by(spark, sf_dir):
+    """Per-group logistic regression (`operators/stats.py::
+    logistic2_by`): the log-odds of an order being fulfilled
+    (status F) as a function of its total price, fitted
+    INDEPENDENTLY per order priority in two Newton sweeps — the
+    stratified `logistic` (one groupBy scan per sweep for ALL
+    groups, broadcast beta re-entry). Same quantized-moment
+    exactness; the oracle unrolls grouped CTE layers joined on the
+    group key."""
+    from hdfe_spark.operators.stats import logistic2_by
+
+    od = _t(spark, sf_dir, "orders")
+    od = od.withColumn(
+        "is_f", (F.col("o_orderstatus") == "F").cast("long")
+    )
+    out = logistic2_by(
+        od, "o_orderpriority", "o_totalprice", "is_f", n_iter=2
+    )
+    return out.select(
+        "o_orderpriority", "n", "n_pos",
+        _pround("b0").alias("b0"),
+        _pround("b1").alias("b1"),
     )

@@ -493,3 +493,75 @@ def kcore(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     return out.withColumn("converged", F.lit(dropped_last == 0))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected graph: every node starts as its own label; each round
+    every node adopts the most frequent label among its neighbors
+    (ties -> smallest label) — the cheap community detector that
+    groups densely linked near-duplicate clusters or co-citation
+    neighborhoods without any modularity machinery.
+
+    DETERMINISTIC by construction, unlike classic LPA: updates are
+    synchronous (no visit order) and the argmax tiebreak is total
+    (count DESC, label ASC), so a SQL oracle unrolls the identical
+    ``n_rounds`` layers — the pagerank/bfs fixed-iteration
+    convention. The honest caveat of the synchronous variant:
+    bipartite-ish regions can oscillate with period 2 instead of
+    converging (the classic LPA result), which fixed rounds render
+    deterministic rather than hide — communities are "labels after
+    exactly n_rounds".
+
+    Node labels must be ordinal (the node id type) — the tiebreak
+    and the max(struct) argmax encode label order. Self-loops are
+    dropped; edges are symmetrized and dedup'd. Per round: one join
+    of the edge list against the label table + one (node, label)
+    count + one per-node argmax — two shuffles over edges, same as
+    `connected_components`' per-round cost; the label table is
+    localCheckpointed per round (lineage bound).
+
+    Returns (node, label) after ``n_rounds``.
+    """
+    if n_rounds < 1:
+        raise ValueError("label_propagation: n_rounds must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).filter(F.col("s") != F.col("t"))
+    e = (
+        e.unionByName(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        counts = (
+            e.join(labels, e["s"] == labels["node"])
+            .groupBy(F.col("t").alias("v"), F.col("lab"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            counts.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("lab")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("label"))

@@ -2239,3 +2239,147 @@ def logistic2(
         [(n, n_pos, b0, b1p * scale)],
         "n long, n_pos long, b0 double, b1 double",
     )
+
+
+def logistic2_by(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    wbits: int = 16,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Per-GROUP logistic regression: `logistic2`'s stratified form —
+    one independent (1, x) Newton fit per group, the "many small
+    models" shape of a curation pipeline (a quality/propensity
+    classifier per language, per source, per shard) fitted in
+    ``n_iter`` scans TOTAL, not per group.
+
+    Per sweep: ONE groupBy aggregation collects every group's
+    quantized Newton moments (the `logistic2` quantization — weights
+    and gradients floored to ``wbits`` fractional bits, so the sums
+    are order-free DECIMAL(38,0) integers), the driver solves each
+    group's 2x2, and the new betas re-enter the plan as a BROADCAST
+    join on the group key (the betas are driver-known floats, so the
+    per-row sigmoid is a deterministic IEEE expression on any
+    engine). The collect is bounded by ``max_groups`` (guarded on
+    the first sweep, the anova_oneway convention).
+
+    Loud failure: a group with singular normal equations (constant
+    x, or weights collapsed under complete separation) raises and
+    NAMES the group — filter such groups upstream; emitting NULL
+    betas would let a broken stratum ride silently into a scoring
+    join. ``y_col`` must be integral/boolean with values in {0, 1}
+    across ALL groups (one global guard in the first sweep).
+
+    Returns one row per group: group, n, n_pos, b0, b1.
+    """
+    if n_iter < 1:
+        raise ValueError("logistic2_by: n_iter >= 1")
+    ytype = df.schema[y_col].dataType
+    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
+        isinstance(ytype, T.DecimalType) and ytype.scale > 0
+    ):
+        raise ValueError(
+            f"logistic2_by: y_col {y_col!r} is {ytype.simpleString()}; "
+            "a binary outcome must be integral/boolean"
+        )
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.round(F.col(x_col) * scale).cast("decimal(38,0)").alias("__xu"),
+        F.col(y_col).cast("long").alias("__yl"),
+    )
+    W = float(1 << wbits)
+    xu, xd = F.col("__xu"), F.col("__xu").cast("double")
+    yl = F.col("__yl")
+    spark = df.sparkSession
+
+    betas: "dict | None" = None  # group -> (b0, b1p)
+
+    def sweep(first: bool):
+        if first:
+            t = F.lit(0.0)
+        else:
+            t = F.col("__b0") + F.col("__b1p") * xd
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-t))
+        wq = F.floor(p * (F.lit(1.0) - p) * F.lit(W)).cast("decimal(38,0)")
+        gq = F.floor(
+            (yl.cast("double") - p) * F.lit(W) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        src = base
+        if not first:
+            bt = spark.createDataFrame(
+                [(g, b0, b1p) for g, (b0, b1p) in betas.items()],
+                df.select(F.col(group_col).alias("__g")).schema.add(
+                    "__b0", "double"
+                ).add("__b1p", "double"),
+            )
+            src = base.join(F.broadcast(bt), "__g")
+        aggs = [
+            F.sum(wq).alias("sw"),
+            F.sum(wq * xu).alias("swx"),
+            F.sum(wq * xu * xu).alias("swxx"),
+            F.sum(gq).alias("sg"),
+            F.sum(gq * xu).alias("sgx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(yl).cast("long").alias("n_pos"),
+        ]
+        if first:
+            aggs += [F.min(yl).alias("ymin"), F.max(yl).alias("ymax")]
+        rows = (
+            src.groupBy("__g").agg(*aggs).limit(max_groups + 1).collect()
+        )
+        if first:
+            if len(rows) > max_groups:
+                raise ValueError(
+                    f"logistic2_by: more than {max_groups} groups — "
+                    "raise max_groups or pre-aggregate"
+                )
+            if not rows:
+                raise ValueError(
+                    "logistic2_by: no rows with non-null group, x, y"
+                )
+            for m in rows:
+                if int(m["ymin"]) < 0 or int(m["ymax"]) > 1:
+                    raise ValueError(
+                        f"logistic2_by: y_col {y_col!r} has values "
+                        "outside {0, 1} in group "
+                        f"{m['__g']!r}"
+                    )
+        out = {}
+        stats = {}
+        for m in rows:
+            sw, swx = float(m["sw"]), float(m["swx"])
+            swxx = float(m["swxx"])
+            sg, sgx = float(m["sg"]), float(m["sgx"])
+            det = sw * swxx - swx * swx
+            if det == 0.0:
+                raise ValueError(
+                    "logistic2_by: singular normal matrix in group "
+                    f"{m['__g']!r} (constant x or collapsed weights)"
+                )
+            b0p, b1pp = (0.0, 0.0) if first else betas[m["__g"]]
+            out[m["__g"]] = (
+                b0p + (swxx * sg - swx * sgx) / det,
+                b1pp + (sw * sgx - swx * sg) / det,
+            )
+            stats[m["__g"]] = (int(m["n"]), int(m["n_pos"]))
+        return out, stats
+
+    stats: dict = {}
+    for it in range(n_iter):
+        betas, stats = sweep(it == 0)
+    gtype = df.schema[group_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [
+            (g, stats[g][0], stats[g][1], b0, b1p * scale)
+            for g, (b0, b1p) in betas.items()
+        ],
+        f"{group_col} {gtype}, n long, n_pos long, b0 double, b1 double",
+    )

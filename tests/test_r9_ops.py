@@ -334,3 +334,84 @@ def test_streaming_transitions_multichunk_order(spark, tmp_path):
         .agg(F.sum("n").alias("n")).collect()
     }
     assert got == {("a", "b"): 4, ("b", "a"): 3}
+
+
+# ------------------------------------------------- label_propagation
+
+
+def test_label_prop_two_triangles(spark):
+    from hdfe_spark.operators.graph import label_propagation
+
+    df = _g(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    out = {r["node"]: r["label"] for r in
+           label_propagation(df, "s", "t", n_rounds=3).collect()}
+    # each triangle collapses to its min label
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == out[6] == 4
+
+
+def test_label_prop_deterministic_tiebreak(spark):
+    from hdfe_spark.operators.graph import label_propagation
+
+    # node 3's neighbors {1, 2} tie at count 1 -> smallest label
+    df = _g(spark, [(1, 3), (2, 3)])
+    out = {r["node"]: r["label"] for r in
+           label_propagation(df, "s", "t", n_rounds=1).collect()}
+    assert out[3] == 1
+    # 1 and 2 each have only neighbor 3
+    assert out[1] == 3 and out[2] == 3
+
+
+def test_label_prop_fixed_rounds_deterministic(spark):
+    from hdfe_spark.operators.graph import label_propagation
+
+    # bipartite 2-cycle oscillates: after 1 round labels swap; after
+    # 2 rounds they swap back — both answers deterministic
+    df = _g(spark, [(1, 2)])
+    r1 = {r["node"]: r["label"] for r in
+          label_propagation(df, "s", "t", n_rounds=1).collect()}
+    r2 = {r["node"]: r["label"] for r in
+          label_propagation(df, "s", "t", n_rounds=2).collect()}
+    assert r1 == {1: 2, 2: 1}
+    assert r2 == {1: 1, 2: 2}
+
+
+# ------------------------------------------------------ logistic2_by
+
+
+def test_logistic_by_matches_solo_fits(spark):
+    from hdfe_spark.operators.stats import logistic2, logistic2_by
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, (a, b) in enumerate([(0.2, 1.0), (-0.5, 2.0)]):
+        x = rng.normal(0, 1.5, 1500)
+        y = (rng.random(1500) < 1 / (1 + np.exp(-(a + b * x)))).astype(int)
+        rows += [(f"g{g}", float(xx), int(yy)) for xx, yy in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    out = {r["g"]: r for r in
+           logistic2_by(df, "g", "x", "y", n_iter=3).collect()}
+    for g in ("g0", "g1"):
+        solo = logistic2(
+            df.filter(F.col("g") == g), "x", "y", n_iter=3
+        ).collect()[0]
+        r = out[g]
+        assert (r["n"], r["n_pos"]) == (solo["n"], solo["n_pos"])
+        # bit-exact: identical moments, identical driver algebra
+        assert r["b0"] == solo["b0"] and r["b1"] == solo["b1"]
+
+
+def test_logistic_by_guards(spark):
+    from hdfe_spark.operators.stats import logistic2_by
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 0), ("b", 3.0, 1), ("b", 3.0, 0)],
+        "g string, x double, y long",
+    )
+    # group b has constant x -> singular, named loudly
+    with pytest.raises(ValueError, match="group 'b'"):
+        logistic2_by(df, "g", "x", "y")
+    with pytest.raises(ValueError, match="max_groups"):
+        logistic2_by(df, "g", "x", "y", max_groups=1)
+    with pytest.raises(ValueError, match="outside"):
+        logistic2_by(df.withColumn("y", F.col("y") * 2), "g", "x", "y")

@@ -43,18 +43,18 @@ def test_round9_window_composition():
         "funnel_steps", "cohort_retention", "assoc_rules", "gwq",
         "changepoint",
     }
-    assert set(q[27:32]) == {
+    assert set(q[27:34]) == {
         "transitions", "logistic", "itemcf", "kcore",
-        "streaming_transitions",
+        "streaming_transitions", "labelprop", "logistic_by",
     }
-    # 33-50: re-certs, all oracle-checked (checked by the window
+    # 35-50: re-certs, all oracle-checked (checked by the window
     # test above); rows-only demos must all sit OUTSIDE the window
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 242
+    assert len(q) == 244
 
 
 def test_every_query_has_callable():
