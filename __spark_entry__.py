@@ -5355,7 +5355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transitions": _q_streaming_transitions,
         "labelprop": _q_labelprop,
         "logistic_by": _q_logistic_by,
-        # 35-50: re-certification of the stalest driver
+        # 35+: the second round-9 batch
+        "holt": _q_holt,
+        # remainder: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
         "dummies_drop_last": _q_dummies_drop_last,
@@ -10282,6 +10284,38 @@ def oracle_sql() -> dict[str, str]:
                    floor((b1 * 1e6) * 1e9 + 0.5) / 1e9 AS b1
             FROM f1
         """,
+        "holt": """
+            WITH RECURSIVE base AS (
+              SELECT user_id AS k, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            rec AS (
+              SELECT b2.k, CAST(2 AS BIGINT) AS rn, b2.n,
+                     0.3 * b2.v + (1.0 - 0.3)
+                       * (b1.v + (b2.v - b1.v)) AS l,
+                     0.2 * ((0.3 * b2.v + (1.0 - 0.3)
+                             * (b1.v + (b2.v - b1.v))) - b1.v)
+                       + (1.0 - 0.2) * (b2.v - b1.v) AS b
+              FROM base b1 JOIN base b2
+                ON b1.k = b2.k AND b1.rn = 1 AND b2.rn = 2
+              UNION ALL
+              SELECT rec.k, rec.rn + 1, rec.n,
+                     0.3 * nx.v + (1.0 - 0.3)
+                       * (rec.l + rec.b) AS l,
+                     0.2 * ((0.3 * nx.v + (1.0 - 0.3)
+                             * (rec.l + rec.b)) - rec.l)
+                       + (1.0 - 0.2) * rec.b AS b
+              FROM rec JOIN base nx
+                ON nx.k = rec.k AND nx.rn = rec.rn + 1)
+            SELECT k AS user_id, n,
+                   floor((l) * 1e9 + 0.5) / 1e9 AS level,
+                   floor((b) * 1e9 + 0.5) / 1e9 AS trend,
+                   floor((l + b) * 1e9 + 0.5) / 1e9 AS forecast
+            FROM rec WHERE rn = n
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -11137,4 +11171,29 @@ def _q_logistic_by(spark, sf_dir):
         "o_orderpriority", "n", "n_pos",
         _pround("b0").alias("b0"),
         _pround("b1").alias("b1"),
+    )
+
+
+def _q_holt(spark, sf_dir):
+    """Per-user Holt linear smoothing (`operators/stats.py::holt`,
+    alpha=0.3, gamma=0.2): `ewma`'s trend-aware sibling, the final
+    (level, trend, one-step forecast) state of each user's
+    event_id-ordered value series. The 2-state recursion is a left
+    fold whose exact IEEE expression tree the oracle replays as a
+    RECURSIVE CTE (the `survival` pattern — list_reduce cannot carry
+    a 2-field accumulator); the (1-alpha)/(1-gamma) complements are
+    SPELLED as `1.0 - 0.3` on both engines because the subtraction
+    result differs from the literal 0.7 by one ulp. Keys need >= 2
+    observations (no defined trend otherwise) — the oracle's final
+    rn = n join enforces the same bound."""
+    from hdfe_spark.operators.stats import holt
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt(ev, "user_id", "event_id", "value", 0.3, 0.2)
+    return out.select(
+        "user_id",
+        "n",
+        _pround("level").alias("level"),
+        _pround("trend").alias("trend"),
+        _pround("forecast").alias("forecast"),
     )

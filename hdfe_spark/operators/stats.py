@@ -401,6 +401,102 @@ def ewma(
     return per_key.select(key_col, "n", guarded.alias(out_col))
 
 
+def holt(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    gamma: float,
+) -> DataFrame:
+    """Per-key FINAL Holt linear (double exponential) smoothing
+    state — `ewma`'s trend-aware sibling and the classic one-step
+    forecaster for per-entity event series. Init l_1 = x_1,
+    b_1 = x_2 - x_1; for t >= 2:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+
+    Returns one row per key with >= 2 observations: (key, n, level,
+    trend, forecast) where forecast = level + trend (the one-step-
+    ahead prediction).
+
+    Like `ewma`, the recursion is evaluated as a left fold over the
+    key's order-sorted values so the exact IEEE operation sequence
+    is pinned; the state is a 2-field struct and the SQL oracle is a
+    RECURSIVE CTE replaying the identical expression tree row by row
+    (the `survival` product-limit pattern — DuckDB's list_reduce
+    cannot carry a 2-component accumulator). b_t references l_t: the
+    fold inlines l_t's expression into b_t's tree verbatim, which
+    re-evaluates the same deterministic subtree — bit-identical, no
+    ordering hazard. Keys with a single observation have no defined
+    trend and are dropped (n >= 2 contract, mirrored by the oracle's
+    HAVING).
+
+    ``order_col`` must totally order each key's rows — enforced
+    in-plan by the shared duplicate-order guard. Scale: one shuffle
+    on the key; each key's series materializes in its task (the ewma
+    segmentation note applies: Holt also composes associatively as
+    an affine map on (l, b) per block).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if not 0.0 < gamma < 1.0:
+        raise ValueError("gamma must be in (0, 1)")
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .agg(
+            xs.alias("_xs"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(order_col)).alias("_n_ord"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    vals = F.col("_xs").getField("v")
+    v1 = F.element_at(vals, 1)
+    v2 = F.element_at(vals, 2)
+    A, G = F.lit(float(alpha)), F.lit(float(gamma))
+    nA, nG = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(gamma))
+    init = F.struct(
+        (A * v2 + nA * (v1 + (v2 - v1))).alias("l"),
+        (
+            G * ((A * v2 + nA * (v1 + (v2 - v1))) - v1)
+            + nG * (v2 - v1)
+        ).alias("b"),
+    )
+    folded = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (A * x + nA * (acc["l"] + acc["b"])).alias("l"),
+            (
+                G * ((A * x + nA * (acc["l"] + acc["b"])) - acc["l"])
+                + nG * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    level = _dup_order_guard("holt", key_col, folded["l"])
+    trend = _dup_order_guard("holt", key_col, folded["b"])
+    return per_key.select(
+        key_col,
+        "n",
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast"),
+    )
+
+
 # ---------------------------------------------------------------
 # Rank-based nonparametrics: built on the distinct-value table +
 # distributed exact prefix sums (`operators/rank.py::prefix_sum`),

@@ -415,3 +415,70 @@ def test_logistic_by_guards(spark):
         logistic2_by(df, "g", "x", "y", max_groups=1)
     with pytest.raises(ValueError, match="outside"):
         logistic2_by(df.withColumn("y", F.col("y") * 2), "g", "x", "y")
+
+
+# ------------------------------------------------- holt
+
+
+def test_holt_matches_reference_fold(spark):
+    from hdfe_spark.operators.stats import holt
+    import random
+
+    random.seed(11)
+    rows = []
+    for k in range(6):
+        n = random.choice([2, 3, 9, 50])
+        for t in range(n):
+            rows.append((k, t, round(random.uniform(-4, 4), 3)))
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    out = {r["k"]: r for r in holt(df, "k", "o", "v", 0.3, 0.2).collect()}
+
+    def ref(vs, a, g):
+        l, b = vs[0], vs[1] - vs[0]
+        for x in vs[1:]:
+            ln = a * x + (1 - a) * (l + b)
+            b = g * (ln - l) + (1 - g) * b
+            l = ln
+        return l, b
+
+    import collections
+
+    series = collections.defaultdict(list)
+    for k, t, v in rows:
+        series[k].append((t, v))
+    for k, s in series.items():
+        vs = [v for _, v in sorted(s)]
+        l, b = ref(vs, 0.3, 0.2)
+        r = out[k]
+        # bit-exact: the fold replays the identical IEEE sequence
+        assert r["level"] == l and r["trend"] == b
+        assert r["forecast"] == l + b and r["n"] == len(vs)
+
+
+def test_holt_drops_single_observation_keys(spark):
+    from hdfe_spark.operators.stats import holt
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, 1.0), (2, 2, 3.0)], "k int, o int, v double"
+    )
+    out = holt(df, "k", "o", "v", 0.5, 0.5).collect()
+    assert [r["k"] for r in out] == [2]
+    # n=2: state is exactly the init (l_2, b_2)
+    r = out[0]
+    l2 = 0.5 * 3.0 + 0.5 * (1.0 + (3.0 - 1.0))
+    b2 = 0.5 * (l2 - 1.0) + 0.5 * (3.0 - 1.0)
+    assert r["level"] == l2 and r["trend"] == b2
+
+
+def test_holt_guards(spark):
+    from hdfe_spark.operators.stats import holt
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, 6.0), (1, 2, 7.0)], "k int, o int, v double"
+    )
+    with pytest.raises(ValueError):
+        holt(df, "k", "o", "v", 1.5, 0.5)
+    with pytest.raises(ValueError):
+        holt(df, "k", "o", "v", 0.5, 0.0)
+    with pytest.raises(Exception, match="duplicate order"):
+        holt(df, "k", "o", "v", 0.5, 0.5).collect()
