@@ -5357,6 +5357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_by": _q_logistic_by,
         # 35+: the second round-9 batch
         "holt": _q_holt,
+        "hll": _q_hll,
         # remainder: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
@@ -10316,6 +10317,47 @@ def oracle_sql() -> dict[str, str]:
                    floor((l + b) * 1e9 + 0.5) / 1e9 AS forecast
             FROM rec WHERE rn = n
         """,
+        "hll": """
+            WITH h AS (
+              SELECT md5(CAST(event_id AS VARCHAR)) AS hx,
+                     event_id AS k
+              FROM events WHERE event_id IS NOT NULL),
+            r AS (
+              SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bkt,
+                     CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0
+                          THEN 33
+                          ELSE 33 - length(bin(
+                            ('0x' || substr(hx, 3, 8))::BIGINT))
+                     END AS rho,
+                     k
+              FROM h),
+            pb AS (
+              SELECT bkt, max(rho) AS mx,
+                     CAST(count(DISTINCT k) AS BIGINT) AS nd
+              FROM r GROUP BY bkt),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS seen,
+                     CAST(sum(CAST(1 AS BIGINT) << (33 - mx))
+                          AS BIGINT) AS s_seen,
+                     CAST(sum(nd) AS BIGINT) AS n_exact
+              FROM pb),
+            s AS (
+              SELECT seen, n_exact,
+                     s_seen + (256 - seen)
+                       * CAST(8589934592 AS BIGINT) AS s33
+              FROM a),
+            e AS (
+              SELECT n_exact, 256 - seen AS n_empty, s33,
+                     0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                       * 8589934592.0 / CAST(s33 AS DOUBLE) AS est
+              FROM s)
+            SELECT CAST(256 AS BIGINT) AS m, n_exact, n_empty, s33,
+                   floor((est) * 1e9 + 0.5) / 1e9 AS est,
+                   floor(((est - CAST(n_exact AS DOUBLE))
+                          / CAST(n_exact AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS rel_err
+            FROM e
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -11171,6 +11213,30 @@ def _q_logistic_by(spark, sf_dir):
         "o_orderpriority", "n", "n_pos",
         _pround("b0").alias("b0"),
         _pround("b1").alias("b1"),
+    )
+
+
+def _q_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct count (`operators/
+    sketch.py::hll_distinct`, b=8 -> 256 buckets) of events.event_id
+    — the replicable counterpart of `approx_distinct` (whose HLL++
+    internals no oracle can mirror). md5 bucketing, exact-BIGINT
+    harmonic denominator (every 2^-M_j term scaled by 2^33 to an
+    integer; empty buckets one multiply), and a single final IEEE
+    expression for the estimate — the oracle replays the sketch
+    bit-for-bit INCLUDING the estimate, and the row carries its own
+    accuracy certificate (n_exact, rel_err ~ 1.04/sqrt(256))."""
+    from hdfe_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_distinct(ev, "event_id", b=8)
+    return out.select(
+        "m",
+        "n_exact",
+        "n_empty",
+        "s33",
+        _pround("est").alias("est"),
+        _pround("rel_err").alias("rel_err"),
     )
 
 

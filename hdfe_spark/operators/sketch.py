@@ -120,3 +120,89 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, b: int = 8
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (Flajolet et
+    al. 2007) whose EVERY intermediate value is an exact integer —
+    so a SQL oracle reproduces the estimate bit-for-bit, unlike
+    Spark's own ``approx_count_distinct`` (private HLL++ seed/impl).
+
+    Hash = md5 of the key rendered as a string (cross-engine stable,
+    the `minhash` convention). Bucket = first ``b/4`` hex chars
+    (``m = 2**b`` buckets); rank source = the NEXT 8 hex chars as a
+    32-bit integer v, rho = (33 - bitlength(v)), v=0 -> 33. The
+    harmonic-mean denominator sum(2^-M_j) is scaled by 2^33 so every
+    term 2^(33 - M_j) is an exact BIGINT (M_j in [1, 33], 2^32 max;
+    m buckets keep the sum far under 2^63); EMPTY buckets contribute
+    2^33 each via one (m - seen) multiply — no bucket spine needed.
+    The final estimate alpha_m * m^2 * 2^33 / S is the only float
+    arithmetic: a fixed IEEE expression of integers, spelled
+    identically in the oracle (alpha_m's defining expression
+    0.7213/(1 + 1.079/m) is written out, never a rounded literal).
+    No small-range linear-counting correction: ln() is libm and
+    engines may disagree in the last ulp — the raw-estimate contract
+    is exact-replicable instead, and n_empty is emitted so a caller
+    can apply their own correction.
+
+    Returns ONE row: (m, n_exact, n_empty, s33, est, rel_err) —
+    n_exact (an exact count_distinct riding the same scan group) and
+    rel_err = (est - n_exact)/n_exact make the row its own accuracy
+    certificate (expected |rel_err| ~ 1.04/sqrt(m) ~ 6.5% at b=8).
+
+    Scale: the sketch itself is ONE map-side-combinable aggregation
+    over m counters — at 100 TB the shuffle is m rows, not the key
+    universe (drop n_exact/rel_err there: the exact count is the
+    expensive half and exists here only as the certificate).
+    """
+    if b % 4 != 0 or not 4 <= b <= 16:
+        raise ValueError("b must be a multiple of 4 in [4, 16]")
+    m = 1 << b
+    hx = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, b // 4), 16, 10).cast("long")
+    v32 = F.conv(F.substring(hx, b // 4 + 1, 8), 16, 10).cast("long")
+    rho = F.when(v32 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v32))
+    )
+    per_bucket = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            bucket.alias("__bkt"),
+            rho.alias("__rho"),
+            F.col(key_col).alias("__k"),
+        )
+        .groupBy("__bkt")
+        .agg(
+            F.max("__rho").alias("__mx"),
+            F.count_distinct("__k").alias("__nd"),
+        )
+    )
+    two33 = F.lit(8589934592)  # 2^33
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = per_bucket.agg(
+        F.count(F.lit(1)).alias("__seen"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(33 - __mx as int))")
+        ).alias("__s_seen"),
+        F.sum("__nd").alias("n_exact"),
+    )
+    s33 = (
+        F.col("__s_seen")
+        + (F.lit(m) - F.col("__seen")).cast("long") * two33
+    )
+    est = (
+        alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(8589934592.0)
+    ) / s33.cast("double")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.lit(m) - F.col("__seen")).cast("long").alias("n_empty"),
+        s33.cast("long").alias("s33"),
+        est.alias("est"),
+        (
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )

@@ -73,3 +73,54 @@ def test_triangle_count_known_graphs(spark):
 
 def test_triangle_count_ignores_self_loops(spark):
     assert _tri(spark, [(1, 1), (1, 2), (2, 3), (1, 3), (2, 2)]) == 1
+
+
+# ------------------------------------------------- hll_distinct
+
+
+def test_hll_matches_python_replica(spark):
+    import hashlib
+
+    from hdfe_spark.operators.sketch import hll_distinct
+
+    rows = [(i % 3777,) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k long")
+    r = hll_distinct(df, "k", b=8).collect()[0]
+
+    M = {}
+    for k in set(x for (x,) in rows):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bkt = int(h[:2], 16)
+        v = int(h[2:10], 16)
+        rho = 33 if v == 0 else 33 - v.bit_length()
+        M[bkt] = max(M.get(bkt, 0), rho)
+    s33 = sum(1 << (33 - mx) for mx in M.values()) + (256 - len(M)) * (
+        1 << 33
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    est = (alpha * 256.0 * 256.0 * 8589934592.0) / float(s33)
+    # bit-exact: integer denominator, one shared IEEE expression
+    assert r["s33"] == s33 and r["est"] == est
+    assert r["n_exact"] == 3777 and r["m"] == 256
+    assert abs(r["rel_err"]) < 0.2
+
+
+def test_hll_small_and_empty_buckets(spark):
+    from hdfe_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    r = hll_distinct(df, "k", b=8).collect()[0]
+    assert r["n_exact"] == 2 and r["n_empty"] == 254
+    assert r["s33"] > 254 * (1 << 33)
+
+
+def test_hll_rejects_bad_b(spark):
+    import pytest as _pytest
+
+    from hdfe_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "k", b=6)
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "k", b=20)
