@@ -5358,6 +5358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 35+: the second round-9 batch
         "holt": _q_holt,
         "hll": _q_hll,
+        "hits": _q_hits,
         # remainder: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
@@ -10358,6 +10359,36 @@ def oracle_sql() -> dict[str, str]:
                      / 1e9 AS rel_err
             FROM e
         """,
+        "hits": """
+            WITH seq AS (
+              SELECT l_partkey AS s,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey) AS t
+              FROM lineitem),
+            e AS (
+              SELECT DISTINCT s AS u, t AS v FROM seq
+              WHERE s IS NOT NULL AND t IS NOT NULL),
+            a1 AS (
+              SELECT v, CAST(count(*) AS HUGEINT) AS a
+              FROM e GROUP BY v),
+            h1 AS (
+              SELECT e.u, CAST(sum(a1.a) AS HUGEINT) AS h
+              FROM e JOIN a1 ON e.v = a1.v GROUP BY e.u),
+            a2 AS (
+              SELECT e.v, CAST(sum(h1.h) AS HUGEINT) AS a
+              FROM e JOIN h1 ON e.u = h1.u GROUP BY e.v),
+            h2 AS (
+              SELECT e.u, CAST(sum(a2.a) AS HUGEINT) AS h
+              FROM e JOIN a2 ON e.v = a2.v GROUP BY e.u),
+            top AS (
+              SELECT v FROM a2 ORDER BY a DESC, v ASC LIMIT 15)
+            SELECT top.v AS node,
+                   CAST(a2.a AS BIGINT) AS authority,
+                   CAST(coalesce(h2.h, 0) AS BIGINT) AS hub
+            FROM top JOIN a2 ON top.v = a2.v
+            LEFT JOIN h2 ON h2.u = top.v
+            ORDER BY a2.a DESC, top.v ASC
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -11213,6 +11244,39 @@ def _q_logistic_by(spark, sf_dir):
         "o_orderpriority", "n", "n_pos",
         _pround("b0").alias("b0"),
         _pround("b1").alias("b1"),
+    )
+
+
+def _q_hits(spark, sf_dir):
+    """Kleinberg HITS (`operators/graph.py::hits`, 2 rounds, top-15
+    authorities) over the part-succession graph: within each order,
+    an edge from each line's part to the next line's part (the
+    co-purchase sequence digraph — nodes appear on both sides, so
+    hubs and authorities are both non-trivial). The succession
+    window orders by (l_linenumber, l_partkey) because the fixture's
+    line numbers are NOT unique within an order — the composite sort
+    makes the VALUE sequence deterministic (ties only between equal
+    part keys, where order is immaterial). UNNORMALIZED: every
+    score is an exact integer path-count sum in DECIMAL(38,0) —
+    normalization only rescales rankings — and the oracle unrolls
+    the two a/h join layers with identical set semantics. Boundary
+    ties break on the part key."""
+    from hdfe_spark.operators.graph import hits
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey"
+    )
+    e = li.select(
+        F.col("l_partkey").alias("s"),
+        F.lead("l_partkey").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    out = hits(e, "s", "t", n_iter=2, k=15)
+    return out.select(
+        "node",
+        F.col("authority").cast("long").alias("authority"),
+        F.col("hub").cast("long").alias("hub"),
     )
 
 

@@ -565,3 +565,72 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("label"))
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iter: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs and authorities), UNNORMALIZED so every
+    score is an exact integer: with h_0 = 1 on all source nodes,
+    round t computes a_t(v) = sum of h_{t-1} over in-edges, then
+    h_t(u) = sum of a_t over out-edges. Skipping the usual L2
+    normalization changes nothing about the RANKING (normalization
+    is a positive scalar per round) but turns every score into a sum
+    of path counts — DECIMAL(38,0) arithmetic with no float
+    divergence, the `pagerank`-certificate convention taken all the
+    way to exactness. Rankings after n_iter rounds are the power-
+    iteration approximation of the principal eigenvector of A^T A;
+    scores grow like (d_max^2)^n_iter, so DECIMAL(38,0) holds
+    through n_iter <= 4 even at billion-edge degree skew.
+
+    FIXED ``n_iter`` rounds (no data-dependent stop): a SQL oracle
+    unrolls the identical join layers. Set semantics on edges
+    (distinct), edge list localCheckpointed ONCE and re-joined every
+    round — 2 shuffles per round keyed by node. Returns the top
+    ``k`` authorities: (node, authority, hub), authority DESC with
+    the node id breaking boundary ties; hub is the node's final hub
+    score (0 for pure sinks)."""
+    if n_iter < 1:
+        raise ValueError("hits: n_iter >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    one = F.lit(1).cast("decimal(38,0)")
+    h = e.select("u").distinct().select("u", one.alias("h"))
+    a = None
+    for _ in range(n_iter):
+        a = (
+            e.join(h, "u")
+            .groupBy("v")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            e.join(a, "v")
+            .groupBy("u")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    top = (
+        a.orderBy(F.col("a").desc(), F.col("v").asc())
+        .limit(k)
+        .join(h.withColumnRenamed("u", "v"), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("a").alias("authority"),
+            F.coalesce(F.col("h"), F.lit(0).cast("decimal(38,0)")).alias(
+                "hub"
+            ),
+        )
+        .orderBy(F.col("authority").desc(), F.col("node").asc())
+    )
+    return top

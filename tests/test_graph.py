@@ -116,3 +116,64 @@ def test_pagerank_symmetric_cycle_is_uniform(spark):
     )
     pr = [r["pr"] for r in pagerank(edges, n_iter=5).collect()]
     assert all(abs(p - 1.0 / n) < 1e-12 for p in pr)
+
+
+# ------------------------------------------------- hits
+
+
+def test_hits_matches_python_replica(spark):
+    import collections
+    import random
+
+    from hdfe_spark.operators.graph import hits
+
+    random.seed(5)
+    edges = list(
+        {(random.randrange(25), random.randrange(25)) for _ in range(160)}
+    )
+    df = spark.createDataFrame(edges, "s long, t long")
+    out = hits(df, "s", "t", n_iter=2, k=8).collect()
+
+    h = {u: 1 for u, _ in edges}
+    a = {}
+    for _ in range(2):
+        a = collections.defaultdict(int)
+        for u, v in edges:
+            if u in h:
+                a[v] += h[u]
+        h2 = collections.defaultdict(int)
+        for u, v in edges:
+            if v in a:
+                h2[u] += a[v]
+        h = h2
+    top = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    exp = [(n, av, h.get(n, 0)) for n, av in top]
+    got = [(r["node"], int(r["authority"]), int(r["hub"])) for r in out]
+    assert got == exp
+
+
+def test_hits_pure_sink_has_zero_hub(spark):
+    from hdfe_spark.operators.graph import hits
+
+    # star into node 9 (a pure sink), plus 9 -> nothing
+    df = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 2)], "s long, t long"
+    )
+    out = {r["node"]: r for r in hits(df, "s", "t", n_iter=2, k=4).collect()}
+    assert int(out[9]["hub"]) == 0
+    # a1: 9->3, 2->1; h1: 1->4, 2->3, 3->3; a2(9)=h1(1)+h1(2)+h1(3)=10
+    assert int(out[9]["authority"]) == 10
+
+
+def test_hits_dedups_edges_and_rejects_bad_iter(spark):
+    import pytest as _pytest
+
+    from hdfe_spark.operators.graph import hits
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], "s long, t long"
+    )
+    out = hits(df, "s", "t", n_iter=1, k=5).collect()
+    assert len(out) == 1 and int(out[0]["authority"]) == 1
+    with _pytest.raises(ValueError):
+        hits(df, "s", "t", n_iter=0)
