@@ -5359,6 +5359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt": _q_holt,
         "hll": _q_hll,
         "hits": _q_hits,
+        "poisson": _q_poisson,
         # remainder: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
@@ -10389,6 +10390,66 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h2 ON h2.u = top.v
             ORDER BY a2.a DESC, top.v ASC
         """,
+        "poisson": """
+            WITH base AS (
+              SELECT CAST(round(c_acctbal * 1e6) AS HUGEINT) AS xu,
+                     CAST(coalesce(o.cnt, 0) AS BIGINT) AS yl
+              FROM customer
+              LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+                         FROM orders GROUP BY o_custkey) o
+                ON c_custkey = o.o_custkey
+              WHERE c_acctbal IS NOT NULL),
+            m0 AS (
+              SELECT CAST(sum(CAST(65536 AS HUGEINT)) AS DOUBLE) AS sw,
+                     CAST(sum(CAST(65536 AS HUGEINT) * xu) AS DOUBLE)
+                       AS swx,
+                     CAST(sum(CAST(65536 AS HUGEINT) * xu * xu)
+                          AS DOUBLE) AS swxx,
+                     CAST(sum(CAST((yl - 1) * 65536 AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST((yl - 1) * 65536 AS HUGEINT) * xu)
+                          AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS sum_y
+              FROM base),
+            f0 AS (
+              SELECT (m0.swxx * m0.sg - m0.swx * m0.sgx)
+                       / (m0.sw * m0.swxx - m0.swx * m0.swx) AS b0,
+                     (m0.sw * m0.sgx - m0.swx * m0.sg)
+                       / (m0.sw * m0.swxx - m0.swx * m0.swx) AS b1
+              FROM m0),
+            w1 AS (
+              SELECT xu, yl,
+                     exp(f0.b0 + f0.b1 * CAST(xu AS DOUBLE)) AS mu
+              FROM base CROSS JOIN f0),
+            m1 AS (
+              SELECT CAST(sum(CAST(floor(mu * 65536.0) AS HUGEINT))
+                          AS DOUBLE) AS sw,
+                     CAST(sum(CAST(floor(mu * 65536.0) AS HUGEINT)
+                              * xu) AS DOUBLE) AS swx,
+                     CAST(sum(CAST(floor(mu * 65536.0) AS HUGEINT)
+                              * xu * xu) AS DOUBLE) AS swxx,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - mu)
+                                         * 65536.0 + 0.5) AS HUGEINT))
+                          AS DOUBLE) AS sg,
+                     CAST(sum(CAST(floor((CAST(yl AS DOUBLE) - mu)
+                                         * 65536.0 + 0.5) AS HUGEINT)
+                              * xu) AS DOUBLE) AS sgx,
+                     count(*) AS n,
+                     CAST(sum(yl) AS BIGINT) AS sum_y
+              FROM w1),
+            f1 AS (
+              SELECT f0.b0 + (m1.swxx * m1.sg - m1.swx * m1.sgx)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b0,
+                     f0.b1 + (m1.sw * m1.sgx - m1.swx * m1.sg)
+                       / (m1.sw * m1.swxx - m1.swx * m1.swx) AS b1,
+                     m1.n, m1.sum_y
+              FROM m1 CROSS JOIN f0)
+            SELECT n, sum_y,
+                   floor((b0) * 1e9 + 0.5) / 1e9 AS b0,
+                   floor((b1 * 1e6) * 1e9 + 0.5) / 1e9 AS b1
+            FROM f1
+        """,
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -11242,6 +11303,36 @@ def _q_logistic_by(spark, sf_dir):
     )
     return out.select(
         "o_orderpriority", "n", "n_pos",
+        _pround("b0").alias("b0"),
+        _pround("b1").alias("b1"),
+    )
+
+
+def _q_poisson(spark, sf_dir):
+    """Poisson regression (`operators/stats.py::poisson2`): the
+    log-rate of orders per customer as a function of account
+    balance, fit by TWO Newton sweeps with 16-bit-quantized
+    weights/gradients — `logistic`'s count-outcome sibling and the
+    seventh iterative certificate. Customers with no orders enter
+    with y = 0 (left join), so the model sees the full exposure
+    population. Iteration 1 is EXACT on any engine (beta=0 -> mu=1
+    -> integer weights); the oracle unrolls both sweeps as CTE
+    layers."""
+    from hdfe_spark.operators.stats import poisson2
+
+    cust = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders")
+    cnt = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    base = (
+        cust.join(cnt, cust["c_custkey"] == cnt["o_custkey"], "left")
+        .select(
+            "c_acctbal",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    out = poisson2(base, "c_acctbal", "y", n_iter=2)
+    return out.select(
+        "n", "sum_y",
         _pround("b0").alias("b0"),
         _pround("b1").alias("b1"),
     )

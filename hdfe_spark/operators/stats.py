@@ -2337,6 +2337,117 @@ def logistic2(
     )
 
 
+def poisson2(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_iter: int = 2,
+    scale: float = 1e6,
+    wbits: int = 16,
+) -> DataFrame:
+    """Poisson regression of a count outcome on (1, x) with log link
+    via ``n_iter`` Newton-Raphson sweeps — `logistic2`'s sibling for
+    COUNT outcomes (events per user, defects per shard, tokens per
+    document: the canonical rate model next to the engine's OLS and
+    logistic family).
+
+    Iteration t: mu_i = exp(b0 + b1*x_i), Newton step
+    delta = (X'WX)^-1 X'(y - mu) with W = diag(mu_i) — identical
+    shape to `logistic2` with p(1-p) -> mu and (y-p) -> (y-mu), and
+    the same engine-exactness argument: per-row weight/gradient are
+    QUANTIZED to ``wbits`` fractional bits (floor(mu * 2^wbits),
+    floor((y-mu) * 2^wbits + 0.5)) so the Newton moments are
+    order-free DECIMAL(38,0) integer sums; the 2^wbits factor
+    cancels in the solve; exp() landing exactly on a floor boundary
+    after a last-ulp libm difference has density ~2^-37 per ulp.
+
+    Init is beta = (0, 0), where mu = 1 exactly: the first sweep's
+    weight is the integer 2^wbits and the gradient (y-1)*2^wbits is
+    exact for integral y — iteration 1's moments are exact on any
+    engine (the `logistic2` init argument). Fixed ``n_iter`` sweeps,
+    one aggregation scan each; a SQL oracle unrolls sweeps as CTE
+    layers. Overdispersed or exploding fits stay bounded by the
+    fixed iteration count; a weight overflowing the quantization
+    (mu * 2^wbits beyond DECIMAL(38,0)) fails the cast LOUDLY under
+    ANSI mode rather than silently truncating.
+
+    ``y_col`` must be integral/boolean with values >= 0 (a float
+    count would make the gradient's exactness a rounding decision) —
+    guarded on the first moment scan.
+
+    Returns one row: n, sum_y, b0, b1 (log-rate intercept/slope in
+    original x units).
+    """
+    if n_iter < 1:
+        raise ValueError("poisson2: n_iter >= 1")
+    ytype = df.schema[y_col].dataType
+    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
+        isinstance(ytype, T.DecimalType) and ytype.scale > 0
+    ):
+        raise ValueError(
+            f"poisson2: y_col {y_col!r} is {ytype.simpleString()}; "
+            "a count outcome must be integral (round upstream)"
+        )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.round(F.col(x_col) * scale).cast("decimal(38,0)").alias("__xu"),
+        F.col(y_col).cast("long").alias("__yl"),
+    )
+    W = float(1 << wbits)
+    xu, xd = F.col("__xu"), F.col("__xu").cast("double")
+    yl = F.col("__yl")
+
+    def sweep(b0: float, b1p: float, first: bool):
+        mu = F.exp(F.lit(b0) + F.lit(b1p) * xd)
+        wq = F.floor(mu * F.lit(W)).cast("decimal(38,0)")
+        gq = F.floor(
+            (yl.cast("double") - mu) * F.lit(W) + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        aggs = [
+            F.sum(wq).alias("sw"),
+            F.sum(wq * xu).alias("swx"),
+            F.sum(wq * xu * xu).alias("swxx"),
+            F.sum(gq).alias("sg"),
+            F.sum(gq * xu).alias("sgx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(yl).cast("long").alias("sum_y"),
+        ]
+        if first:
+            aggs += [F.min(yl).alias("ymin")]
+        m = base.agg(*aggs).collect()[0]
+        if int(m["n"]) == 0:
+            raise ValueError("poisson2: no rows with non-null x and y")
+        if first and int(m["ymin"]) < 0:
+            raise ValueError(
+                f"poisson2: y_col {y_col!r} has negative values — "
+                "not a count"
+            )
+        sw, swx, swxx = float(m["sw"]), float(m["swx"]), float(m["swxx"])
+        sg, sgx = float(m["sg"]), float(m["sgx"])
+        det = sw * swxx - swx * swx
+        if det == 0.0:
+            raise ValueError(
+                "poisson2: singular normal matrix (constant x over "
+                "the weighted sample)"
+            )
+        return (
+            b0 + (swxx * sg - swx * sgx) / det,
+            b1p + (sw * sgx - swx * sg) / det,
+            int(m["n"]),
+            int(m["sum_y"]),
+        )
+
+    b0, b1p = 0.0, 0.0
+    n = sum_y = 0
+    for it in range(n_iter):
+        b0, b1p, n, sum_y = sweep(b0, b1p, it == 0)
+    return df.sparkSession.createDataFrame(
+        [(n, sum_y, b0, b1p * scale)],
+        "n long, sum_y long, b0 double, b1 double",
+    )
+
+
 def logistic2_by(
     df: DataFrame,
     group_col: str,

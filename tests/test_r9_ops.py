@@ -482,3 +482,63 @@ def test_holt_guards(spark):
         holt(df, "k", "o", "v", 0.5, 0.0)
     with pytest.raises(Exception, match="duplicate order"):
         holt(df, "k", "o", "v", 0.5, 0.5).collect()
+
+
+# ------------------------------------------------- poisson2
+
+
+def test_poisson_recovers_rate_params(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.stats import poisson2
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1.0, 4000)
+    y = rng.poisson(np.exp(0.4 + 0.7 * x))
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(x, y)], "x double, y long"
+    )
+    r = poisson2(df, "x", "y", n_iter=4).collect()[0]
+    assert abs(r["b0"] - 0.4) < 0.1 and abs(r["b1"] - 0.7) < 0.1
+    assert r["n"] == 4000 and r["sum_y"] == int(y.sum())
+
+
+def test_poisson_guards(spark):
+    from hdfe_spark.operators.stats import poisson2
+
+    df = spark.createDataFrame(
+        [(1.0, 2), (2.0, 0), (3.0, 1)], "x double, y long"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        poisson2(df.withColumn("y", F.col("y").cast("double")), "x", "y")
+    with pytest.raises(ValueError, match="negative"):
+        poisson2(df.withColumn("y", F.col("y") - 5), "x", "y")
+    with pytest.raises(ValueError, match="singular"):
+        poisson2(df.withColumn("x", F.lit(1.0)), "x", "y")
+    with pytest.raises(ValueError):
+        poisson2(df, "x", "y", n_iter=0)
+
+
+def test_poisson_first_sweep_is_weighted_ols_identity(spark):
+    # beta=0 -> mu=1: the first Newton step solves the EXACT integer
+    # normal equations; verify against a numpy solve on the same
+    # quantized moments
+    import numpy as np
+
+    from hdfe_spark.operators.stats import poisson2
+
+    xs = [0.5, 1.5, -2.0, 3.25]
+    ys = [1, 3, 0, 2]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y long")
+    r = poisson2(df, "x", "y", n_iter=1).collect()[0]
+    xu = np.array([round(v * 1e6) for v in xs], dtype=object)
+    W = 65536
+    sw = float(W * len(xs))
+    swx = float(sum(W * u for u in xu))
+    swxx = float(sum(W * u * u for u in xu))
+    sg = float(sum((y - 1) * W for y in ys))
+    sgx = float(sum((y - 1) * W * u for y, u in zip(ys, xu)))
+    det = sw * swxx - swx * swx
+    b0 = (swxx * sg - swx * sgx) / det
+    b1 = (sw * sgx - swx * sg) / det
+    assert r["b0"] == b0 and r["b1"] == b1 * 1e6
