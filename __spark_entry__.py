@@ -5360,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll": _q_hll,
         "hits": _q_hits,
         "poisson": _q_poisson,
+        "tree2": _q_tree2,
         # remainder: re-certification of the stalest driver
         # evidence (r03/r04 greens, 4-5 rounds old)
         "cosine_topk": _q_cosine_topk,
@@ -10450,6 +10451,7 @@ def oracle_sql() -> dict[str, str]:
                    floor((b1 * 1e6) * 1e9 + 0.5) / 1e9 AS b1
             FROM f1
         """,
+        "tree2": _tree2_oracle(),
         # rows-only (hash functions / LSH / numpy-seeded stubs not
         # reproducible in DuckDB): fingerprint, fingerprint_neardup,
         # simhash_dedup, simhash_neardup, ann_lsh_topk, ivf_topk,
@@ -11305,6 +11307,126 @@ def _q_logistic_by(spark, sf_dir):
         "o_orderpriority", "n", "n_pos",
         _pround("b0").alias("b0"),
         _pround("b1").alias("b1"),
+    )
+
+
+def _q_tree2(spark, sf_dir):
+    """Greedy depth-2 CART (`operators/stats.py::tree_depth2`) on
+    the `best_split` task: n_chars thresholds separating English
+    from non-English documents — the root stump, then the exact best
+    split of each side. Each fit is the certified `best_split` plan
+    (distinct-value prefix sums, integer-exact impurities, smallest-
+    threshold tie-break); the oracle composes THREE copies of the
+    best_split scored-CTE text (generated from one template so the
+    impurity expression tree is literally identical) with the child
+    predicates referencing the root's LIMIT-1 threshold."""
+    from hdfe_spark.operators.stats import tree_depth2
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    base = docs.select(
+        "n_chars", (F.col("lang") == F.lit("en")).alias("y")
+    )
+    out = tree_depth2(base, "n_chars", "y")
+    return out.select(
+        "node",
+        "n",
+        "threshold",
+        _pround("gain").alias("gain"),
+        _pround("p_left").alias("p_left"),
+        _pround("p_right").alias("p_right"),
+    )
+
+
+def _tree2_oracle() -> str:
+    """Compose the depth-2 tree oracle from one best_split CTE
+    template per node so all three impurity expressions are
+    textually identical to the certified `best_split` oracle."""
+
+    def side(s: str, src: str) -> str:
+        return f"""
+            cells_{s} AS (
+              SELECT v, CAST(count(*) AS BIGINT) AS c,
+                     CAST(sum(p) AS BIGINT) AS pp
+              FROM {src} GROUP BY v),
+            cum_{s} AS (
+              SELECT v,
+                     sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cc,
+                     sum(pp) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cp
+              FROM cells_{s}),
+            tot_{s} AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(pp) AS BIGINT) AS p
+                    FROM cells_{s}),
+            scored_{s} AS (
+              SELECT cum_{s}.v AS threshold,
+                     2.0 * (CAST(tot_{s}.p AS DOUBLE)
+                            / CAST(tot_{s}.n AS DOUBLE))
+                       * (1.0 - CAST(tot_{s}.p AS DOUBLE)
+                                / CAST(tot_{s}.n AS DOUBLE))
+                     - ((CAST(cum_{s}.cc AS DOUBLE)
+                         / CAST(tot_{s}.n AS DOUBLE))
+                        * (2.0 * (CAST(cum_{s}.cp AS DOUBLE)
+                                  / CAST(cum_{s}.cc AS DOUBLE))
+                           * (1.0 - CAST(cum_{s}.cp AS DOUBLE)
+                                    / CAST(cum_{s}.cc AS DOUBLE)))
+                        + ((CAST(tot_{s}.n AS DOUBLE)
+                            - CAST(cum_{s}.cc AS DOUBLE))
+                           / CAST(tot_{s}.n AS DOUBLE))
+                          * (2.0 * ((CAST(tot_{s}.p AS DOUBLE)
+                                     - CAST(cum_{s}.cp AS DOUBLE))
+                                    / (CAST(tot_{s}.n AS DOUBLE)
+                                       - CAST(cum_{s}.cc AS DOUBLE)))
+                             * (1.0 - (CAST(tot_{s}.p AS DOUBLE)
+                                       - CAST(cum_{s}.cp AS DOUBLE))
+                                      / (CAST(tot_{s}.n AS DOUBLE)
+                                         - CAST(cum_{s}.cc
+                                                AS DOUBLE)))))
+                       AS g,
+                     CAST(cum_{s}.cp AS DOUBLE)
+                       / CAST(cum_{s}.cc AS DOUBLE) AS pl,
+                     (CAST(tot_{s}.p AS DOUBLE)
+                      - CAST(cum_{s}.cp AS DOUBLE))
+                       / (CAST(tot_{s}.n AS DOUBLE)
+                          - CAST(cum_{s}.cc AS DOUBLE)) AS pr,
+                     tot_{s}.n AS n
+              FROM cum_{s}, tot_{s}
+              WHERE cum_{s}.cc < tot_{s}.n),
+            best_{s} AS (
+              SELECT n, threshold, g, pl, pr FROM scored_{s}
+              ORDER BY g DESC, threshold ASC LIMIT 1)"""
+
+    pick = (
+        "SELECT '{node}' AS node, n, threshold,\n"
+        "                   floor(g * 1e9 + 0.5) / 1e9 AS gain,\n"
+        "                   floor(pl * 1e9 + 0.5) / 1e9 AS p_left,\n"
+        "                   floor(pr * 1e9 + 0.5) / 1e9 AS p_right\n"
+        "            FROM best_{s}"
+    )
+    return (
+        """
+            WITH base AS (
+              SELECT n_chars AS v,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+              FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),"""
+        + side("r", "base")
+        + """,
+            base_l AS (SELECT * FROM base
+                       WHERE v <= (SELECT threshold FROM best_r)),"""
+        + side("l", "base_l")
+        + """,
+            base_rt AS (SELECT * FROM base
+                        WHERE v > (SELECT threshold FROM best_r)),"""
+        + side("rt", "base_rt")
+        + "\n            "
+        + pick.format(node="root", s="r")
+        + "\n            UNION ALL "
+        + pick.format(node="left", s="l")
+        + "\n            UNION ALL "
+        + pick.format(node="right", s="rt")
     )
 
 

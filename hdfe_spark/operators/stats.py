@@ -1920,6 +1920,58 @@ def best_split(
     )
 
 
+def tree_depth2(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Greedy depth-2 CART on one numeric feature: the exact
+    `best_split` stump at the root, then the exact best split of
+    each resulting side — the smallest real decision TREE (three
+    stumps stitched greedily), and the natural next step after
+    `best_split` for "how much structure does this feature carry?"
+    audits. Greedy is the CART contract, not an approximation of
+    global optimality.
+
+    All heavy work is the three `best_split` passes (distinct-value
+    cells + distributed prefix sums — never a row sort; impurities
+    are rational functions of exact integers); the only driver state
+    is three 1-row results. A child whose rows all share one feature
+    value (or has < 2 rows) has NO valid split and is simply absent
+    from the output — the oracle's per-side LIMIT 1 over an empty
+    candidate set reproduces the same absence.
+
+    Returns up to 3 rows: (node in 'root'|'left'|'right', n,
+    threshold, gain, p_left, p_right), where left/right fits cover
+    x <= root-threshold and x > root-threshold respectively."""
+    root_rows = best_split(df, feature_col, label_col).collect()
+    if not root_rows:
+        raise ValueError(
+            "tree_depth2: the root has no valid split (constant "
+            "feature)"
+        )
+    root = root_rows[0]
+    t = root["threshold"]
+    out = [("root",) + tuple(root)]
+    for node, side in (
+        ("left", F.col(feature_col) <= F.lit(t)),
+        ("right", F.col(feature_col) > F.lit(t)),
+    ):
+        try:
+            rows = best_split(df.filter(side), feature_col, label_col)
+            rows = rows.collect()
+        except ValueError:
+            continue
+        if rows:
+            out.append((node,) + tuple(rows[0]))
+    ftype = df.schema[feature_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out,
+        f"node string, n long, threshold {ftype}, gain double, "
+        "p_left double, p_right double",
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     key_col: str,

@@ -542,3 +542,85 @@ def test_poisson_first_sweep_is_weighted_ols_identity(spark):
     b0 = (swxx * sg - swx * sgx) / det
     b1 = (sw * sgx - swx * sg) / det
     assert r["b0"] == b0 and r["b1"] == b1 * 1e6
+
+
+# ------------------------------------------------- tree_depth2
+
+
+def test_tree_depth2_matches_brute_force(spark):
+    import random
+
+    from hdfe_spark.operators.stats import tree_depth2
+
+    random.seed(2)
+    rows = [
+        (
+            float(v),
+            bool(random.random() < (0.8 if v > 10 else 0.2)),
+        )
+        for v in (random.randrange(20) for _ in range(500))
+    ]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    out = {r["node"]: r for r in tree_depth2(df, "x", "y").collect()}
+
+    def bs(data):
+        n = len(data)
+        p = sum(1 for _, l in data if l)
+        if n < 2:
+            return None
+        parent = 2 * (p / n) * (1 - p / n)
+        best = None
+        for t in sorted(set(v for v, _ in data))[:-1]:
+            L = [(v, l) for v, l in data if v <= t]
+            R = [(v, l) for v, l in data if v > t]
+            nl, pl = len(L), sum(1 for _, l in L if l)
+            nr, pr = len(R), sum(1 for _, l in R if l)
+            g = parent - (
+                (nl / n) * 2 * (pl / nl) * (1 - pl / nl)
+                + (nr / n) * 2 * (pr / nr) * (1 - pr / nr)
+            )
+            if best is None or g > best[1] + 1e-15:
+                best = (t, g, n)
+        return best
+
+    root = bs(rows)
+    assert out["root"]["threshold"] == root[0]
+    assert abs(out["root"]["gain"] - root[1]) < 1e-12
+    t = root[0]
+    for node, data in (
+        ("left", [r for r in rows if r[0] <= t]),
+        ("right", [r for r in rows if r[0] > t]),
+    ):
+        b = bs(data)
+        if b is None:
+            assert node not in out
+        else:
+            r = out[node]
+            assert r["threshold"] == b[0] and r["n"] == b[2]
+            assert abs(r["gain"] - b[1]) < 1e-12
+
+
+def test_tree_depth2_unsplittable_child_absent(spark):
+    from hdfe_spark.operators.stats import tree_depth2
+
+    # left side of the root split ends up single-valued -> no row
+    df = spark.createDataFrame(
+        [(1.0, True), (1.0, True), (2.0, False), (3.0, True),
+         (3.0, False)],
+        "x double, y boolean",
+    )
+    out = {r["node"]: r for r in tree_depth2(df, "x", "y").collect()}
+    assert "root" in out
+    t = out["root"]["threshold"]
+    if t == 1.0:
+        assert "left" not in out
+
+
+def test_tree_depth2_constant_feature_raises(spark):
+    from hdfe_spark.operators.stats import tree_depth2
+
+    df = spark.createDataFrame(
+        [(1.0, True), (1.0, False)], "x double, y boolean"
+    )
+    with pytest.raises(ValueError, match="no valid split"):
+        tree_depth2(df, "x", "y")

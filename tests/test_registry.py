@@ -47,7 +47,7 @@ def test_round9_window_composition():
         "transitions", "logistic", "itemcf", "kcore",
         "streaming_transitions", "labelprop", "logistic_by",
     }
-    assert set(q[34:38]) == {"holt", "hll", "hits", "poisson"}
+    assert set(q[34:39]) == {"holt", "hll", "hits", "poisson", "tree2"}
     # 35-50: re-certs, all oracle-checked (checked by the window
     # test above); rows-only demos must all sit OUTSIDE the window
     oracles = em.oracle_sql()
@@ -55,7 +55,7 @@ def test_round9_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 248
+    assert len(q) == 249
 
 
 def test_every_query_has_callable():
