@@ -5290,7 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries, which are hand-built event queries; the new pair are
       the `operators/sessions.py` windowed-funnel and
       cohort-triangle OPERATORS.)
-    - positions 28-34: the seven round-9 builds — `transitions`
+    - positions 28-34: the first round-9 batch — `transitions`
       (Markov transition matrix), `logistic` (quantized-Newton
       logistic regression, the sixth iterative certificate),
       `itemcf` (item-item cosine top-k), `kcore` (fixed-round peel
@@ -5299,13 +5299,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `labelprop` (synchronous label-propagation communities),
       `logistic_by` (per-group Newton with broadcast beta
       re-entry). Each oracle-checked.
-    - positions 35-50: re-certification of the 16 stalest driver
+    - positions 35-39: the second round-9 batch — `holt` (Holt
+      linear smoothing), `hll` (deterministic HyperLogLog), `hits`
+      (integer hubs/authorities), `poisson` (quantized-Newton
+      Poisson regression), `tree2` (greedy depth-2 CART). Each
+      oracle-checked.
+    - positions 40-50: re-certification of the 11 stalest driver
       rows (r03/r04 greens, now 5-6 rounds old, code untouched but
-      fixtures regenerated every round); the 7 re-certs displaced
-      by the round-9 builds (`all_dummies` ... `contamination`)
-      and the 5 displaced by the round-8
-      registrations (`demean` ... `factorize`) lead the backlog —
-      they keep their r03/r04 green rows.
+      fixtures regenerated every round). The second round-9 batch
+      displaced five further re-certs (`ols_3fe` `quality`
+      `repetition_stats` `scrub_pii` `se_robust`) to the head of
+      the backlog — they keep their r03/r04 green rows and lead
+      the next rotation.
     - positions 51+: the oracle-checked backlog (most recent driver
       evidence first), ALL still gated locally every round
       (`tools/full_gate.sh`); the 11 rows-only demos sit at the
@@ -5347,7 +5352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _q_assoc_rules,
         "gwq": _q_gwq,
         "changepoint": _q_changepoint,
-        # 28-31: the four round-9 builds
+        # 28-34: the first round-9 batch
         "transitions": _q_transitions,
         "logistic": _q_logistic,
         "itemcf": _q_itemcf,
@@ -5355,14 +5360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_transitions": _q_streaming_transitions,
         "labelprop": _q_labelprop,
         "logistic_by": _q_logistic_by,
-        # 35+: the second round-9 batch
+        # 35-39: the second round-9 batch
         "holt": _q_holt,
         "hll": _q_hll,
         "hits": _q_hits,
         "poisson": _q_poisson,
         "tree2": _q_tree2,
-        # remainder: re-certification of the stalest driver
-        # evidence (r03/r04 greens, 4-5 rounds old)
+        # 40-50: re-certification of the stalest driver
+        # evidence (r03/r04 greens, 5-6 rounds old)
         "cosine_topk": _q_cosine_topk,
         "dummies_drop_last": _q_dummies_drop_last,
         "embedding_neardup": _q_embedding_neardup,
@@ -5374,20 +5379,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_cc": _q_minhash_dedup_cc,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        # ------ end of the driver's 50-query window ------
+        # backlog: first the 5 re-certs displaced by the
+        # second round-9 batch (all r03/r04 driver-green),
+        # then the re-certs displaced by earlier rotations,
+        # then remaining oracle-checked queries, most recent
+        # driver rows first; the 11 rows-only demos sit
+        # LAST (window slots go to hash-matchable rows
+        # only - each demo's certificate query is oracle-
+        # checked and driver-green)
         "ols_3fe": _q_ols_3fe,
         "quality": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
         "se_robust": _q_se_robust,
-        # ------ end of the driver's 50-query window ------
-        # backlog: the 4 re-certs displaced by the round-9
-        # builds, then the 5 displaced by the late-r8
-        # registrations (all r03/r04 driver-green), then
-        # remaining oracle-checked queries, most recent
-        # driver rows first; the 11 rows-only demos sit
-        # LAST (window slots go to hash-matchable rows
-        # only - each demo's certificate query is oracle-
-        # checked and driver-green)
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
@@ -11190,6 +11195,25 @@ def _q_itemcf(spark, sf_dir):
     return item_cf(bi, "l_orderkey", "p_brand", min_count=5, k=5)
 
 
+def _cust_supp_edges(spark, sf_dir):
+    """The customer-supplier bipartite edge list shared by
+    `_q_kcore` and `_q_labelprop` (and mirrored verbatim by both
+    oracles): customers join suppliers through order lineitems, with
+    suppkey offset by 1,000,000 into a disjoint id space. One
+    definition so the two registered queries and their oracles can
+    never silently diverge on the edge construction."""
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+
+
 def _q_kcore(spark, sf_dir):
     """k-core decomposition (`operators/graph.py::kcore`) of the
     undirected customer-supplier bipartite graph (the pagerank/bfs
@@ -11201,17 +11225,7 @@ def _q_kcore(spark, sf_dir):
     output-identical)."""
     from hdfe_spark.operators.graph import kcore
 
-    od = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e = (
-        od.join(li, od.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"),
-            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
-        )
-        .distinct()
-    )
-    return kcore(e, "u", "v", k=25, n_rounds=4)
+    return kcore(_cust_supp_edges(spark, sf_dir), "u", "v", k=25, n_rounds=4)
 
 
 def _q_streaming_transitions(spark, sf_dir):
@@ -11272,17 +11286,9 @@ def _q_labelprop(spark, sf_dir):
     oscillation caveat is part of the fixed-round contract."""
     from hdfe_spark.operators.graph import label_propagation
 
-    od = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    e = (
-        od.join(li, od.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"),
-            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
-        )
-        .distinct()
+    return label_propagation(
+        _cust_supp_edges(spark, sf_dir), "u", "v", n_rounds=3
     )
-    return label_propagation(e, "u", "v", n_rounds=3)
 
 
 def _q_logistic_by(spark, sf_dir):

@@ -478,9 +478,20 @@ def kcore(
             F.count(F.lit(1)).cast("long").alias("deg")
         ).localCheckpoint(eager=True)
         keep = deg.filter(F.col("deg") >= F.lit(int(k))).select("s")
-        n_before = deg.count()
-        n_after = keep.count()
-        dropped_last = n_before - n_after
+        # one aggregation returns both counts (one job per round,
+        # not two, over the checkpointed degree table)
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("deg") >= F.lit(int(k)), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("na"),
+        ).collect()[0]
+        dropped_last = int(row["nb"]) - int(row["na"])
         if dropped_last == 0:
             break
         e = (
@@ -518,8 +529,9 @@ def label_propagation(
     deterministic rather than hide — communities are "labels after
     exactly n_rounds".
 
-    Node labels must be ordinal (the node id type) — the tiebreak
-    and the max(struct) argmax encode label order. Self-loops are
+    Node labels need only be ORDERABLE (any id type — int, string,
+    date): the argmax is min(struct(-count, label)), which negates
+    the always-numeric count rather than the label. Self-loops are
     dropped; edges are symmetrized and dedup'd. Per round: one join
     of the edge list against the label table + one (node, label)
     count + one per-node argmax — two shuffles over edges, same as
@@ -552,16 +564,18 @@ def label_propagation(
             .groupBy(F.col("t").alias("v"), F.col("lab"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
+        # argmax via min(struct(-cnt, lab)): negate the always-numeric
+        # count, never the label, so string/any-orderable node ids work
         labels = (
             counts.groupBy(F.col("v").alias("node"))
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("cnt"), (-F.col("lab")).alias("nl")
+                        (-F.col("cnt")).alias("nc"), F.col("lab")
                     )
                 ).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("lab"))
+            .select("node", F.col("m.lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("label"))
@@ -596,6 +610,8 @@ def hits(
     score (0 for pure sinks)."""
     if n_iter < 1:
         raise ValueError("hits: n_iter >= 1")
+    if k < 1:
+        raise ValueError("hits: k must be >= 1")
     e = (
         edges.select(
             F.col(src_col).alias("u"), F.col(dst_col).alias("v")

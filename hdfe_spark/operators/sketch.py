@@ -151,6 +151,9 @@ def hll_distinct(
     n_exact (an exact count_distinct riding the same scan group) and
     rel_err = (est - n_exact)/n_exact make the row its own accuracy
     certificate (expected |rel_err| ~ 1.04/sqrt(m) ~ 6.5% at b=8).
+    Empty (or all-NULL-key) input yields the defined all-empty-sketch
+    row — n_exact = 0, n_empty = m, s33 = m * 2^33, est = alpha * m —
+    with rel_err NULL (undefined at n_exact = 0), never NULL sums.
 
     Scale: the sketch itself is ONE map-side-combinable aggregation
     over m counters — at 100 TB the shuffle is m rows, not the key
@@ -181,12 +184,22 @@ def hll_distinct(
     )
     two33 = F.lit(8589934592)  # 2^33
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    # coalesce: sum() over zero buckets is NULL — an empty (or
+    # all-NULL-key) input must yield the defined all-empty-sketch row
+    # (s33 = m * 2^33, est = alpha * m), not NULL columns
     agg = per_bucket.agg(
         F.count(F.lit(1)).alias("__seen"),
-        F.sum(
-            F.expr("shiftleft(cast(1 as bigint), cast(33 - __mx as int))")
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(33 - __mx as int))"
+                )
+            ),
+            F.lit(0).cast("long"),
         ).alias("__s_seen"),
-        F.sum("__nd").alias("n_exact"),
+        F.coalesce(F.sum("__nd"), F.lit(0).cast("long")).alias(
+            "n_exact"
+        ),
     )
     s33 = (
         F.col("__s_seen")
@@ -201,8 +214,9 @@ def hll_distinct(
         (F.lit(m) - F.col("__seen")).cast("long").alias("n_empty"),
         s33.cast("long").alias("s33"),
         est.alias("est"),
-        (
+        F.when(
+            F.col("n_exact") > 0,
             (est - F.col("n_exact").cast("double"))
-            / F.col("n_exact").cast("double")
+            / F.col("n_exact").cast("double"),
         ).alias("rel_err"),
     )

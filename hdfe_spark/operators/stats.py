@@ -2271,6 +2271,49 @@ def changepoint(
     )
 
 
+def _check_integral_y(fn: str, df: DataFrame, y_col: str, kind: str) -> None:
+    """Shared quantized-Newton guard: the outcome must be integral/
+    boolean (float y would make the gradient's exactness a rounding
+    decision). Used by logistic2 / poisson2 / logistic2_by."""
+    ytype = df.schema[y_col].dataType
+    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
+        isinstance(ytype, T.DecimalType) and ytype.scale > 0
+    ):
+        raise ValueError(
+            f"{fn}: y_col {y_col!r} is {ytype.simpleString()}; {kind}"
+        )
+
+
+def _newton_aggs(wq, gq, xu, yl, stat_name: str) -> list:
+    """The five quantized Newton moments + row count + outcome total
+    shared verbatim by logistic2 / poisson2 / logistic2_by — one
+    definition so an overflow/guard fix lands in all three."""
+    return [
+        F.sum(wq).alias("sw"),
+        F.sum(wq * xu).alias("swx"),
+        F.sum(wq * xu * xu).alias("swxx"),
+        F.sum(gq).alias("sg"),
+        F.sum(gq * xu).alias("sgx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(yl).cast("long").alias(stat_name),
+    ]
+
+
+def _newton_solve2x2(m, fn: str, singular_ctx: str) -> "tuple[float, float]":
+    """Driver-side 2x2 Newton solve on one row of collected moments.
+    The float expressions are spelled EXACTLY as the SQL oracles
+    spell them (swxx*sg - swx*sgx etc.) — do not reorder."""
+    sw, swx, swxx = float(m["sw"]), float(m["swx"]), float(m["swxx"])
+    sg, sgx = float(m["sg"]), float(m["sgx"])
+    det = sw * swxx - swx * swx
+    if det == 0.0:
+        raise ValueError(f"{fn}: singular normal matrix {singular_ctx}")
+    return (
+        (swxx * sg - swx * sgx) / det,
+        (sw * sgx - swx * sg) / det,
+    )
+
+
 def logistic2(
     df: DataFrame,
     x_col: str,
@@ -2318,15 +2361,13 @@ def logistic2(
     """
     if n_iter < 1:
         raise ValueError("logistic2: n_iter >= 1")
-    ytype = df.schema[y_col].dataType
-    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
-        isinstance(ytype, T.DecimalType) and ytype.scale > 0
-    ):
-        raise ValueError(
-            f"logistic2: y_col {y_col!r} is {ytype.simpleString()}; "
-            "a binary outcome must be integral/boolean (threshold "
-            "upstream)"
-        )
+    _check_integral_y(
+        "logistic2",
+        df,
+        y_col,
+        "a binary outcome must be integral/boolean (threshold "
+        "upstream)",
+    )
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
@@ -2344,15 +2385,7 @@ def logistic2(
         gq = F.floor(
             (yl.cast("double") - p) * F.lit(W) + F.lit(0.5)
         ).cast("decimal(38,0)")
-        aggs = [
-            F.sum(wq).alias("sw"),
-            F.sum(wq * xu).alias("swx"),
-            F.sum(wq * xu * xu).alias("swxx"),
-            F.sum(gq).alias("sg"),
-            F.sum(gq * xu).alias("sgx"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(yl).cast("long").alias("n_pos"),
-        ]
+        aggs = _newton_aggs(wq, gq, xu, yl, "n_pos")
         if first:
             aggs += [F.min(yl).alias("ymin"), F.max(yl).alias("ymax")]
         m = base.agg(*aggs).collect()[0]
@@ -2363,21 +2396,13 @@ def logistic2(
                 f"logistic2: y_col {y_col!r} has values outside "
                 "{0, 1}"
             )
-        sw, swx, swxx = float(m["sw"]), float(m["swx"]), float(m["swxx"])
-        sg, sgx = float(m["sg"]), float(m["sgx"])
-        det = sw * swxx - swx * swx
-        if det == 0.0:
-            raise ValueError(
-                "logistic2: singular normal matrix (constant x over "
-                "the weighted sample, or weights collapsed to zero "
-                "under complete separation)"
-            )
-        return (
-            b0 + (swxx * sg - swx * sgx) / det,
-            b1p + (sw * sgx - swx * sg) / det,
-            int(m["n"]),
-            int(m["n_pos"]),
+        d0, d1 = _newton_solve2x2(
+            m,
+            "logistic2",
+            "(constant x over the weighted sample, or weights "
+            "collapsed to zero under complete separation)",
         )
+        return (b0 + d0, b1p + d1, int(m["n"]), int(m["n_pos"]))
 
     b0, b1p = 0.0, 0.0
     n = n_pos = 0
@@ -2432,14 +2457,12 @@ def poisson2(
     """
     if n_iter < 1:
         raise ValueError("poisson2: n_iter >= 1")
-    ytype = df.schema[y_col].dataType
-    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
-        isinstance(ytype, T.DecimalType) and ytype.scale > 0
-    ):
-        raise ValueError(
-            f"poisson2: y_col {y_col!r} is {ytype.simpleString()}; "
-            "a count outcome must be integral (round upstream)"
-        )
+    _check_integral_y(
+        "poisson2",
+        df,
+        y_col,
+        "a count outcome must be integral (round upstream)",
+    )
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
@@ -2456,15 +2479,7 @@ def poisson2(
         gq = F.floor(
             (yl.cast("double") - mu) * F.lit(W) + F.lit(0.5)
         ).cast("decimal(38,0)")
-        aggs = [
-            F.sum(wq).alias("sw"),
-            F.sum(wq * xu).alias("swx"),
-            F.sum(wq * xu * xu).alias("swxx"),
-            F.sum(gq).alias("sg"),
-            F.sum(gq * xu).alias("sgx"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(yl).cast("long").alias("sum_y"),
-        ]
+        aggs = _newton_aggs(wq, gq, xu, yl, "sum_y")
         if first:
             aggs += [F.min(yl).alias("ymin")]
         m = base.agg(*aggs).collect()[0]
@@ -2475,20 +2490,10 @@ def poisson2(
                 f"poisson2: y_col {y_col!r} has negative values — "
                 "not a count"
             )
-        sw, swx, swxx = float(m["sw"]), float(m["swx"]), float(m["swxx"])
-        sg, sgx = float(m["sg"]), float(m["sgx"])
-        det = sw * swxx - swx * swx
-        if det == 0.0:
-            raise ValueError(
-                "poisson2: singular normal matrix (constant x over "
-                "the weighted sample)"
-            )
-        return (
-            b0 + (swxx * sg - swx * sgx) / det,
-            b1p + (sw * sgx - swx * sg) / det,
-            int(m["n"]),
-            int(m["sum_y"]),
+        d0, d1 = _newton_solve2x2(
+            m, "poisson2", "(constant x over the weighted sample)"
         )
+        return (b0 + d0, b1p + d1, int(m["n"]), int(m["sum_y"]))
 
     b0, b1p = 0.0, 0.0
     n = sum_y = 0
@@ -2537,14 +2542,12 @@ def logistic2_by(
     """
     if n_iter < 1:
         raise ValueError("logistic2_by: n_iter >= 1")
-    ytype = df.schema[y_col].dataType
-    if isinstance(ytype, (T.FloatType, T.DoubleType)) or (
-        isinstance(ytype, T.DecimalType) and ytype.scale > 0
-    ):
-        raise ValueError(
-            f"logistic2_by: y_col {y_col!r} is {ytype.simpleString()}; "
-            "a binary outcome must be integral/boolean"
-        )
+    _check_integral_y(
+        "logistic2_by",
+        df,
+        y_col,
+        "a binary outcome must be integral/boolean",
+    )
     base = df.filter(
         F.col(group_col).isNotNull()
         & F.col(x_col).isNotNull()
@@ -2580,15 +2583,7 @@ def logistic2_by(
                 ).add("__b1p", "double"),
             )
             src = base.join(F.broadcast(bt), "__g")
-        aggs = [
-            F.sum(wq).alias("sw"),
-            F.sum(wq * xu).alias("swx"),
-            F.sum(wq * xu * xu).alias("swxx"),
-            F.sum(gq).alias("sg"),
-            F.sum(gq * xu).alias("sgx"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(yl).cast("long").alias("n_pos"),
-        ]
+        aggs = _newton_aggs(wq, gq, xu, yl, "n_pos")
         if first:
             aggs += [F.min(yl).alias("ymin"), F.max(yl).alias("ymax")]
         rows = (
@@ -2614,20 +2609,14 @@ def logistic2_by(
         out = {}
         stats = {}
         for m in rows:
-            sw, swx = float(m["sw"]), float(m["swx"])
-            swxx = float(m["swxx"])
-            sg, sgx = float(m["sg"]), float(m["sgx"])
-            det = sw * swxx - swx * swx
-            if det == 0.0:
-                raise ValueError(
-                    "logistic2_by: singular normal matrix in group "
-                    f"{m['__g']!r} (constant x or collapsed weights)"
-                )
-            b0p, b1pp = (0.0, 0.0) if first else betas[m["__g"]]
-            out[m["__g"]] = (
-                b0p + (swxx * sg - swx * sgx) / det,
-                b1pp + (sw * sgx - swx * sg) / det,
+            d0, d1 = _newton_solve2x2(
+                m,
+                "logistic2_by",
+                f"in group {m['__g']!r} (constant x or collapsed "
+                "weights)",
             )
+            b0p, b1pp = (0.0, 0.0) if first else betas[m["__g"]]
+            out[m["__g"]] = (b0p + d0, b1pp + d1)
             stats[m["__g"]] = (int(m["n"]), int(m["n_pos"]))
         return out, stats
 

@@ -23,9 +23,12 @@ def test_window_all_have_oracles_or_are_declared():
 def test_round9_window_composition():
     """Positions 1-50 (fourteenth curation pass): the fifteen
     round-7 builds, the seven round-8 registrations, the five
-    round-9 registrations of the round-8 pre-builds, the four
-    round-9 builds, then 19 stalest-evidence re-certification
-    rows — every slot oracle-checked. If this fails after an
+    round-9 registrations of the round-8 pre-builds, the twelve
+    round-9 builds (two batches), then 11 stalest-evidence
+    re-certification rows — every slot oracle-checked; the five
+    re-certs displaced by the second round-9 batch (ols_3fe,
+    quality, repetition_stats, scrub_pii, se_robust) lead the
+    backlog at positions 51-55. If this fails after an
     intentional round-10 rotation, update the expectation
     alongside the `queries()` docstring."""
     q = list(em.queries())
@@ -48,8 +51,13 @@ def test_round9_window_composition():
         "streaming_transitions", "labelprop", "logistic_by",
     }
     assert set(q[34:39]) == {"holt", "hll", "hits", "poisson", "tree2"}
-    # 35-50: re-certs, all oracle-checked (checked by the window
-    # test above); rows-only demos must all sit OUTSIDE the window
+    # 40-50: re-certs, all oracle-checked; the five displaced
+    # re-certs lead the backlog at 51-55
+    assert set(q[50:55]) == {
+        "ols_3fe", "quality", "repetition_stats", "scrub_pii",
+        "se_robust",
+    }
+    # rows-only demos must all sit OUTSIDE the window
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
