@@ -1033,3 +1033,76 @@ def bm25_scores(
             F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    id_col: str,
+    source_col: str,
+    rank_col: str,
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of multiple ranked lists — the standard way to merge `bm25_scores`
+    (lexical) with `cosine_topk` (dense) retrieval, completing the
+    engine's search family with the hybrid step every RAG pipeline
+    ships.
+
+    ENGINE-EXACT by integer arithmetic: instead of the paper's float
+    1/(k0 + rank), each hit contributes the exact integer
+    ``2^32 div (k0 + rank)`` — a monotone transform of the classic
+    score (same denominator order) whose SUM is order-free on any
+    engine; no float appears anywhere. Ranks must be >= 1 (guarded
+    in-plan: a 0/negative rank raises via ANSI division only for
+    k0 + rank = 0, so the guard is explicit). A document appearing
+    twice under one source keeps both contributions (feed top-k
+    lists, which are duplicate-free by construction — the contract).
+
+    Returns the fused top ``k``: (id, rrf_q, n_sources, rank) with
+    the total order (rrf_q DESC, id ASC) — rrf_q the exact integer
+    fused score, n_sources the number of distinct contributing
+    lists. One aggregation keyed by the doc id + one global top-k
+    (limit-k after a sort of |candidate| rows — the union of top-k
+    lists, NOT the corpus).
+    """
+    if k0 < 0:
+        raise ValueError("rrf_fuse: k0 must be >= 0")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    base = rankings.filter(
+        F.col(id_col).isNotNull()
+        & F.col(source_col).isNotNull()
+        & F.col(rank_col).isNotNull()
+    )
+    # TRUE integral division (SQL `div`), never float `/` + floor:
+    # double division of longs can round up across an integer
+    # boundary and flip the floor
+    contrib = F.when(
+        F.col(rank_col) >= 1,
+        F.expr(
+            f"cast(4294967296 as bigint) div "
+            f"(cast({int(k0)} as bigint) + cast(`{rank_col}` as bigint))"
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("rrf_fuse: rank must be >= 1, got "),
+                F.col(rank_col).cast("string"),
+            )
+        ).cast("long")
+    )
+    fused = base.groupBy(F.col(id_col).alias("id")).agg(
+        F.sum(contrib).cast("long").alias("rrf_q"),
+        F.count_distinct(F.col(source_col)).cast("long").alias(
+            "n_sources"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_q").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rrf_q", "n_sources", "rank")
+    )
