@@ -28,6 +28,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _undirected_edges(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Shared edge prep for the undirected-graph operators (`kcore`,
+    `label_propagation`): project to (s, t), drop self-loops (the
+    s != t comparison also drops NULL endpoints — three-valued
+    logic, relied upon), symmetrize, dedup, and localCheckpoint
+    eagerly so every per-round reuse reads one materialized table
+    instead of re-running the union+distinct."""
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
+    ).filter(F.col("s") != F.col("t"))
+    return (
+        e.unionByName(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -462,16 +483,7 @@ def kcore(
         raise ValueError("kcore: k must be >= 1")
     if n_rounds < 1:
         raise ValueError("kcore: n_rounds must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
-    ).filter(F.col("s") != F.col("t"))
-    e = (
-        e.unionByName(
-            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _undirected_edges(edges, src_col, dst_col)
     dropped_last = 0
     for _ in range(n_rounds):
         deg = e.groupBy("s").agg(
@@ -542,16 +554,7 @@ def label_propagation(
     """
     if n_rounds < 1:
         raise ValueError("label_propagation: n_rounds must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("s"), F.col(dst_col).alias("t")
-    ).filter(F.col("s") != F.col("t"))
-    e = (
-        e.unionByName(
-            e.select(F.col("t").alias("s"), F.col("s").alias("t"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _undirected_edges(edges, src_col, dst_col)
     labels = (
         e.select(F.col("s").alias("node"))
         .distinct()

@@ -27,21 +27,21 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _D38 = "decimal(38,0)"
 
 
 def _guard_binary_label(fn: str, df: DataFrame, label_col: str) -> None:
-    ltype = df.schema[label_col].dataType
-    if isinstance(ltype, (T.FloatType, T.DoubleType)) or (
-        isinstance(ltype, T.DecimalType) and ltype.scale > 0
-    ):
-        raise ValueError(
-            f"{fn}: label_col {label_col!r} is {ltype.simpleString()}; "
-            "a binary label must be integral/boolean (threshold "
-            "upstream)"
-        )
+    # Delegate to the shared quantized-family guard (stats.py) so a
+    # future fix to the integral-label check lands here too.
+    from hdfe_spark.operators.stats import _check_integral_y
+
+    _check_integral_y(
+        fn,
+        df,
+        label_col,
+        "a binary label must be integral/boolean (threshold upstream)",
+    )
 
 
 def adaboost_stumps(

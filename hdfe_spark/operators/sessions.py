@@ -351,10 +351,13 @@ def event_transitions(
 
     NULL entity / order / state rows are excluded up front (an
     unattributable or unorderable event can neither emit nor receive
-    a transition); NULLs in a tiebreak column are fine (NULL sorts
-    first, and the guard still catches genuine duplicates because
+    a transition); NULLs in a tiebreak column are fine and sort LAST
+    (``asc_nulls_last``, explicitly — Spark's window default is
+    NULLS FIRST while SQL engines such as DuckDB default to NULLS
+    LAST, so the pairing would silently diverge cross-engine on the
+    default), and the guard still catches genuine duplicates because
     two NULL-tiebreak rows with equal order values compare equal on
-    the guard key).
+    the null-safe guard key.
 
     Returns one row per observed (src, dst): src, dst, n (exact
     transition count), n_src (outgoing margin of src), p = n/n_src.
@@ -371,7 +374,12 @@ def event_transitions(
         *[F.col(t).alias(f"__t{i}") for i, t in enumerate(ties)],
     )
     okey = [F.col("__o")] + [F.col(f"__t{i}") for i in range(len(ties))]
-    w = Window.partitionBy("__e").orderBy(*okey)
+    # NULLS LAST to match the SQL-engine default (DuckDB / ANSI
+    # ORDER BY ASC) — Spark windows default to NULLS FIRST, which
+    # would pair different transitions than the oracle on NULL ties.
+    w = Window.partitionBy("__e").orderBy(
+        *[c.asc_nulls_last() for c in okey]
+    )
     full_key = F.struct(*okey)
     dup = full_key.eqNullSafe(F.lag(full_key).over(w))
     nxt = F.when(

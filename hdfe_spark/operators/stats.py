@@ -486,9 +486,18 @@ def holt(
             ).alias("b"),
         ),
     )
-    level = _dup_order_guard("holt", key_col, folded["l"])
-    trend = _dup_order_guard("holt", key_col, folded["b"])
-    return per_key.select(
+    # Materialize the fold ONCE. The O(series)-step F.aggregate tree
+    # contains lambda variables, which whole-stage subexpression
+    # elimination skips (SPARK-35410); referencing `folded` from
+    # level, trend, and forecast would evaluate the entire fold 4x
+    # per key. Staging it behind its own projection pins a single
+    # evaluation — CollapseProject keeps the two projections apart
+    # because the producer expression is non-cheap and referenced
+    # more than once downstream.
+    staged = per_key.select(key_col, "n", "_n_ord", folded.alias("_f"))
+    level = _dup_order_guard("holt", key_col, F.col("_f")["l"])
+    trend = _dup_order_guard("holt", key_col, F.col("_f")["b"])
+    return staged.select(
         key_col,
         "n",
         level.alias("level"),

@@ -1101,8 +1101,11 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("rrf_q").desc(), F.col("id").asc())
+    # rank as LONG — the family convention (`item_cf` casts its
+    # row_number the same way) so the SQL oracle's BIGINT row_number
+    # hash-matches without a papering cast on the oracle side.
     return (
-        fused.withColumn("rank", F.row_number().over(w))
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("id", "rrf_q", "n_sources", "rank")
     )
