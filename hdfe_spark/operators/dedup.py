@@ -685,3 +685,152 @@ def select_representatives(
     if keep_unclustered:
         reps = reps.unionByName(df.filter(F.col(cluster_col).isNull()))
     return reps
+
+
+def url_normalize(url: Column, strip_www: bool = False) -> Column:
+    """Canonicalize a URL for web-corpus dedup — the standard crawl
+    normalization, as one deterministic JVM expression tree (zero
+    Python, zero shuffle; every step has an exact DuckDB mirror:
+    regexp_extract / list_filter / list_sort / array_to_string).
+
+    Steps, in order, on the trimmed input:
+
+    1. scheme and host lowercased (path/query stay case-sensitive
+       per RFC 3986); optionally a leading ``www.`` is stripped from
+       the host (``strip_www`` — off by default, it conflates
+       genuinely distinct hosts);
+    2. default ports dropped (``:80`` for http, ``:443`` for https;
+       any other port is kept);
+    3. the fragment (``#...``) removed — it never reaches a server;
+    4. tracking query parameters removed (``utm_*``, ``gclid``,
+       ``fbclid``), the remaining ``k=v`` pairs sorted bytewise and
+       re-joined with ``&`` (param ORDER is transport noise; an
+       empty remainder drops the ``?`` entirely);
+    5. an empty path becomes ``/`` and a single trailing slash is
+       stripped from any longer path (``/a/`` == ``/a``; the root
+       stays ``/``).
+
+    The authority is parsed per RFC 3986: an optional
+    ``userinfo@`` prefix is preserved VERBATIM (case-sensitive —
+    distinct credentials are distinct resources, and lowercasing a
+    password-bearing URL would corrupt it), and a bracketed IPv6
+    literal ``[...]`` is taken whole (a ':' inside the brackets is
+    never mistaken for a port separator).
+
+    Strings with no ``scheme://`` prefix are NOT URLs and pass
+    through trimmed-but-unchanged (normalizing a relative path or a
+    bare word would corrupt it); NULL stays NULL.
+    """
+    t = F.trim(url)
+    scheme_re = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+    scheme = F.lower(F.regexp_extract(t, scheme_re, 1))
+    after = F.regexp_replace(t, scheme_re, "")
+    authority = F.regexp_extract(after, r"^([^/?#]*)", 1)
+    # userinfo = everything through the LAST '@' (host can never
+    # contain '@'); kept verbatim, '' when absent
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
+    bracket = hostport.startswith("[")
+    host = F.lower(
+        F.when(
+            bracket, F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1)
+        ).otherwise(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.when(
+        bracket, F.regexp_extract(hostport, r"^\[[^\]]*\]:([0-9]+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r"^[^:]*:([0-9]+)$", 1))
+    default_port = (
+        (scheme == F.lit("http")) & (port == F.lit("80"))
+    ) | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    portpart = F.when(
+        (port == F.lit("")) | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(after, r"^[^/?#]*([^?#]*)", 1)
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    # query = text between the FIRST '?' and the fragment; extracting
+    # from the fragment-stripped form, not t, so a '?' inside a
+    # fragment ("http://h#frag?x") is never mistaken for a query
+    query = F.regexp_extract(
+        F.regexp_replace(t, r"#.*$", ""), r"\?(.*)$", 1
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid)(=|$)"),
+    )
+    qsorted = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        userinfo,
+        host,
+        portpart,
+        path,
+        F.when(qsorted == F.lit(""), F.lit("")).otherwise(
+            F.concat(F.lit("?"), qsorted)
+        ),
+    )
+    return F.when(scheme == F.lit(""), t).otherwise(canon)
+
+
+def url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Exact URL dedup over `url_normalize` canonical forms — the
+    crawl-pipeline step between fetch and content dedup. Returns the
+    full per-row assignment (the `er_cluster` shape, so downstream
+    keep-policies stay free):
+
+        (id, url, canonical_url, n_dups, is_rep)
+
+    where rows sharing a canonical form are one group, ``n_dups`` is
+    the group size, and ``is_rep`` marks the minimum id (feed the
+    output to `select_representatives` keyed on canonical_url for a
+    quality-ranked policy instead). NULL urls are kept verbatim as
+    singletons (canonical_url NULL, n_dups 1, is_rep true) — the
+    `select_representatives` keep-unclustered contract. NULL ids are
+    excluded up front (the `er_cluster` contract: an unidentifiable
+    row can neither group nor represent).
+
+    Scale: normalization is expression-only and evaluated ONCE on
+    the scan; the single shuffle keys on (canonical, NULL-singleton
+    key) and both aggregates (count, min-id) ride ONE window
+    partition pass — no join, no second exchange, no second scan
+    (a split-and-union formulation would canonicalize twice), and
+    NULL-url rows partition by their own id instead of piling into
+    one hot NULL partition. At 100 TB, key on ``sha2(canonical,
+    256)`` upstream if urls run long (the exact_dedup digest trick).
+    """
+    base = df.filter(F.col(id_col).isNotNull())
+    canon = url_normalize(F.col(url_col), strip_www=strip_www)
+    withc = base.select(
+        F.col(id_col),
+        F.col(url_col),
+        canon.alias("canonical_url"),
+        # NULL canonicals are singletons BY ID — a composite key
+        # (canonical, id-when-null) can never collide with a real
+        # group (non-null groups carry NULL here). canonical_url is
+        # NULL exactly when the url is NULL, so the key derives from
+        # the RAW column: re-referencing `canon` would evaluate its
+        # lambda-bearing tree twice per row (param filtering uses
+        # F.filter — excluded from subexpression elimination,
+        # SPARK-35410, the measured 4x holt lesson)
+        F.when(F.col(url_col).isNull(), F.col(id_col)).alias(
+            "__nullkey"
+        ),
+    )
+    w = Window.partitionBy("canonical_url", "__nullkey")
+    return withc.select(
+        id_col,
+        url_col,
+        "canonical_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_dups"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_rep"),
+    )

@@ -92,7 +92,17 @@ def fuzzy_pairs(
     """Distinct id pairs (id_a < id_b) whose normalized ``prefix_len``
     character prefixes are within ``max_distance`` Levenshtein edits.
     Exact for ``max_distance=1`` (see module docstring); for larger
-    distances the gram blocking is a recall heuristic."""
+    distances the gram blocking is a recall heuristic.
+
+    Scale envelope: the candidate-join cost is sum of
+    block-population² over (bigram, length) blocks, so it depends on
+    the corpus's PREFIX BIGRAM DIVERSITY, not just row count. Natural
+    text prefixes spread over thousands of case-folded bigrams; a
+    low-alphabet corpus concentrates them — hex digests have only
+    256 possible bigrams, which at 4M rows measured >1e10 candidate
+    pairs (killed; tools/stress_r10b.py). For hash-like keys use
+    `exact_dedup` (digest equality) instead — edit distance on
+    uniform hashes is meaningless anyway."""
     norm = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
         1,
@@ -133,4 +143,88 @@ def fuzzy_pairs(
             .alias("distance"),
         )
         .distinct()
+    )
+
+
+def er_cluster(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 1,
+    prefix_len: int = 16,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Entity-resolution clustering: the full per-row cluster
+    assignment that `fuzzy_dedup` (which only KEEPS survivors)
+    throws away. Composes the certified pieces — blocked
+    `fuzzy_pairs` (exact at ``max_distance=1``) feeding the exact
+    min-label `connected_components` — and returns one row per
+    non-NULL-id input row:
+
+        (id, er_id, cluster_size, is_rep)
+
+    where ``er_id`` is the minimum id in the row's edit-distance
+    cluster (rows with no near-duplicate are singletons: er_id =
+    their own id, cluster_size = 1), ``cluster_size`` counts the
+    cluster's member rows, and ``is_rep`` marks the canonical
+    representative (id == er_id — the min-id keep policy; feed the
+    output to `select_representatives` for a quality-ranked policy
+    instead). NULL ids are excluded up front (an unidentifiable row
+    can neither cluster nor represent), mirroring the
+    `event_transitions` NULL-entity contract. ``id_col`` must be
+    UNIQUE — it is an identity, and sizes/representatives are
+    defined over ids: with duplicate ids the join back to the id
+    spine fans out, every copy of a duplicated id reports is_rep
+    under the same min-id rule, and ``cluster_size`` (a distinct-id
+    count from the pair graph) no longer equals a row count. Dedup
+    upstream (`exact_dedup` / `latest_per_key`) first.
+
+    Scale: the pair graph is block-keyed (never all-pairs), the
+    component table holds ONLY clustered nodes (pairs' endpoints —
+    usually a small fraction of the corpus), and the join back to
+    the id spine is a plain equi-join with NO explicit broadcast
+    hint: AQE broadcasts it when the cluster table is small (the
+    common case) and falls back to a shuffle join when a
+    pathological corpus makes it big (the `lm_score_buckets` lesson:
+    an unconditional broadcast of an unbounded table is a
+    driver-OOM). Cluster sizes aggregate over the component table
+    alone, so the full corpus is never shuffled by cluster id.
+
+    Reference parity: the reference has no entity-resolution surface
+    at all; this completes fuzzy_pairs/fuzzy_dedup into the standard
+    ER triple (match -> cluster -> canonicalize). Oracle design
+    (round-10 registration): brute-force Levenshtein pairs +
+    recursive-CTE transitive closure (the `minhash_dedup_cc`
+    pattern), cluster = least(u, min(reach)) per node.
+    """
+    from hdfe_spark.operators.graph import connected_components
+
+    ids = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__rid")
+    )
+    pairs = fuzzy_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        max_distance=max_distance,
+        prefix_len=prefix_len,
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", max_iter=max_iter
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("__csz")
+    )
+    labeled = comp.join(sizes, on="component")
+    er_id = F.coalesce(F.col("component"), F.col("__rid"))
+    return (
+        ids.join(labeled, ids["__rid"] == labeled["node"], "left")
+        .select(
+            F.col("__rid").alias(id_col),
+            er_id.alias("er_id"),
+            F.coalesce(F.col("__csz"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (er_id == F.col("__rid")).alias("is_rep"),
+        )
     )

@@ -160,6 +160,20 @@ def hll_distinct(
     universe (drop n_exact/rel_err there: the exact count is the
     expensive half and exists here only as the certificate).
     """
+    return _hll_rollup(df, key_col, b, group_cols=[])
+
+
+def _hll_rollup(
+    df: DataFrame, key_col: str, b: int, group_cols: "list[str]"
+) -> DataFrame:
+    """Shared HLL core for `hll_distinct` (``group_cols=[]`` — the
+    global single-row sketch) and `hll_by` (one sketch per group):
+    ONE expression spelling for the md5 bucket/rho derivation, the
+    two-level rollup, and the s33/est/rel_err output, so the two
+    operators' bit-exact contracts can never drift apart. The
+    empty-input coalesce is spelled once here too: it defines the
+    global sketch's all-empty row and is a no-op per group (a group
+    exists only with >= 1 seen bucket)."""
     if b % 4 != 0 or not 4 <= b <= 16:
         raise ValueError("b must be a multiple of 4 in [4, 16]")
     m = 1 << b
@@ -172,11 +186,12 @@ def hll_distinct(
     per_bucket = (
         df.filter(F.col(key_col).isNotNull())
         .select(
+            *group_cols,
             bucket.alias("__bkt"),
             rho.alias("__rho"),
             F.col(key_col).alias("__k"),
         )
-        .groupBy("__bkt")
+        .groupBy(*group_cols, "__bkt")
         .agg(
             F.max("__rho").alias("__mx"),
             F.count_distinct("__k").alias("__nd"),
@@ -187,7 +202,7 @@ def hll_distinct(
     # coalesce: sum() over zero buckets is NULL — an empty (or
     # all-NULL-key) input must yield the defined all-empty-sketch row
     # (s33 = m * 2^33, est = alpha * m), not NULL columns
-    agg = per_bucket.agg(
+    agg = per_bucket.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__seen"),
         F.coalesce(
             F.sum(
@@ -209,6 +224,7 @@ def hll_distinct(
         alpha * F.lit(float(m)) * F.lit(float(m)) * F.lit(8589934592.0)
     ) / s33.cast("double")
     return agg.select(
+        *group_cols,
         F.lit(m).cast("long").alias("m"),
         F.col("n_exact").cast("long").alias("n_exact"),
         (F.lit(m) - F.col("__seen")).cast("long").alias("n_empty"),
@@ -220,3 +236,28 @@ def hll_distinct(
             / F.col("n_exact").cast("double"),
         ).alias("rel_err"),
     )
+
+
+def hll_by(
+    df: DataFrame, group_col: str, key_col: str, b: int = 8
+) -> DataFrame:
+    """Per-group `hll_distinct`: one deterministic-HLL row PER GROUP
+    (distinct users per day, distinct tokens per source, ...) with
+    the identical bit-exact contract — every intermediate an exact
+    integer, the estimate one fixed IEEE expression of integers, so
+    a grouped SQL oracle reproduces every row bit-for-bit.
+
+    Returns one row per group with >= 1 non-NULL key: (group, m,
+    n_exact, n_empty, s33, est, rel_err). Groups whose every key is
+    NULL are ABSENT (no group spine — same absence contract as
+    `heavy_hitters`); a NULL group value is itself a group (GROUP BY
+    NULL, identical on both engines). n_exact / rel_err are the
+    per-group accuracy certificate, as in the global sketch.
+
+    Scale: ONE aggregation keyed (group, bucket) — map-side
+    combinable, shuffle volume <= groups x m counter rows however
+    many input rows — then an m-fan-in rollup per group. At 100 TB
+    drop n_exact/rel_err: the exact count_distinct is the expensive
+    half and exists here only as the certificate.
+    """
+    return _hll_rollup(df, key_col, b, group_cols=[group_col])

@@ -66,6 +66,37 @@ def _dup_order_guard(op_name: str, key_col: str, result):
     ).otherwise(result)
 
 
+def _ordered_series(
+    df: DataFrame, key_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Shared per-key ordered-series scaffold for the fold family
+    (`ewma`, `cusum`, `holt`, `holt_winters`): NULL-filtered
+    (order, value-as-double) structs collected and array_sorted into
+    ``_xs`` per key, plus the ``n`` / ``_n_ord`` columns
+    `_dup_order_guard` consumes. ONE expression spelling so the
+    total-order contract (and any future fix to it) cannot drift
+    between the four operators."""
+    xs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    return (
+        df.filter(
+            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .agg(
+            xs.alias("_xs"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(order_col)).alias("_n_ord"),
+        )
+    )
+
+
 def welch_ttest(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -372,25 +403,7 @@ def ewma(
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
-    xs = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("o"),
-                F.col(value_col).cast("double").alias("v"),
-            )
-        )
-    )
-    per_key = (
-        df.filter(
-            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(key_col)
-        .agg(
-            xs.alias("_xs"),
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(order_col)).alias("_n_ord"),
-        )
-    )
+    per_key = _ordered_series(df, key_col, order_col, value_col)
     vals = F.col("_xs").getField("v")
     folded = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
@@ -443,25 +456,8 @@ def holt(
         raise ValueError("alpha must be in (0, 1)")
     if not 0.0 < gamma < 1.0:
         raise ValueError("gamma must be in (0, 1)")
-    xs = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("o"),
-                F.col(value_col).cast("double").alias("v"),
-            )
-        )
-    )
-    per_key = (
-        df.filter(
-            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(key_col)
-        .agg(
-            xs.alias("_xs"),
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(order_col)).alias("_n_ord"),
-        )
-        .filter(F.col("n") >= 2)
+    per_key = _ordered_series(df, key_col, order_col, value_col).filter(
+        F.col("n") >= 2
     )
     vals = F.col("_xs").getField("v")
     v1 = F.element_at(vals, 1)
@@ -503,6 +499,157 @@ def holt(
         level.alias("level"),
         trend.alias("trend"),
         (level + trend).alias("forecast"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    gamma: float,
+    delta: float,
+) -> DataFrame:
+    """Per-key FINAL Holt-Winters ADDITIVE smoothing state — `holt`'s
+    seasonal completion (triple exponential smoothing), the standard
+    forecaster for per-entity series with a known cycle ``period``
+    (hour-of-day, day-of-week, ...). Classical (NIST) init over the
+    first two cycles, then for t > m (m = period):
+
+        l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+        s_t = delta*(x_t - l_t) + (1-delta)*s_{t-m}
+
+    with l_m = mean(x_1..x_m), b_m = (mean(x_{m+1}..x_{2m}) -
+    mean(x_1..x_m)) / m, s_i = x_i - l_m for i = 1..m. Returns one
+    row per key with >= 2m observations (shorter keys have no
+    defined second-cycle trend and are dropped — the n >= 2 holt
+    contract, scaled): (key, n, level, trend, season, forecast)
+    where ``season`` is s_{n+1-m} (the component the next step
+    consumes) and forecast = level + trend + season, the one-step-
+    ahead prediction.
+
+    Determinism contract (the `holt` design, state widened): the
+    recursion is ONE left fold whose accumulator is a
+    (l, b, seasons array<double>) struct — the seasons array is an
+    m-slot ring (head = the season the NEXT step consumes; each step
+    pops the head and appends the refreshed slot), so the exact IEEE
+    operation sequence is pinned and a SQL oracle replays it as a
+    RECURSIVE CTE carrying a LIST column. The init sums are spelled
+    as left-to-right folds over the first/second cycle slices —
+    never a float SUM aggregate, whose order is engine-dependent.
+    The fold is staged behind one projection (SPARK-35410: lambda
+    trees are excluded from subexpression elimination — the measured
+    4x-evaluation holt lesson) before level/trend/season/forecast
+    reference it. ``order_col`` must totally order each key's rows
+    (shared duplicate-order guard).
+
+    Scale: one shuffle on the key; each key's series materializes in
+    its task; per-row fold work is O(1) amortized plus the O(m) ring
+    rebuild — keep ``period`` modest (<= a few hundred), which every
+    calendar seasonality is.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    for name, v in (("alpha", alpha), ("gamma", gamma), ("delta", delta)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1)")
+    m = int(period)
+    per_key = _ordered_series(df, key_col, order_col, value_col).filter(
+        F.col("n") >= 2 * m
+    )
+    vals = F.col("_xs").getField("v")
+    A, G, D = (
+        F.lit(float(alpha)),
+        F.lit(float(gamma)),
+        F.lit(float(delta)),
+    )
+    nA, nG, nD = (
+        F.lit(1.0 - float(alpha)),
+        F.lit(1.0 - float(gamma)),
+        F.lit(1.0 - float(delta)),
+    )
+    fm = F.lit(float(m))
+
+    def _fold_sum(arr):
+        # left-to-right pinned-order sum (replayed by the oracle as
+        # list_reduce — a scalar accumulator, which DuckDB supports)
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    mean1 = _fold_sum(F.slice(vals, 1, m)) / fm
+    mean2 = _fold_sum(F.slice(vals, m + 1, m)) / fm
+    # Stage the init-cycle means ONCE (same SPARK-35410 discipline as
+    # the main fold: each mean is a lambda fold, and mean1 feeds l0,
+    # b0, AND every seasonal slot — as raw expressions they would be
+    # re-evaluated at every reference site).
+    staged0 = per_key.select(
+        key_col,
+        "n",
+        "_n_ord",
+        "_xs",
+        mean1.alias("_m1"),
+        mean2.alias("_m2"),
+    )
+    vals0 = F.col("_xs").getField("v")
+    init = F.struct(
+        F.col("_m1").alias("l"),
+        ((F.col("_m2") - F.col("_m1")) / fm).alias("b"),
+        F.transform(
+            F.slice(vals0, 1, m), lambda v: v - F.col("_m1")
+        ).alias("s"),
+    )
+    folded = F.aggregate(
+        F.slice(vals0, m + 1, F.greatest(F.size(vals0) - m, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (
+                A * (x - F.element_at(acc["s"], 1))
+                + nA * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                G
+                * (
+                    (
+                        A * (x - F.element_at(acc["s"], 1))
+                        + nA * (acc["l"] + acc["b"])
+                    )
+                    - acc["l"]
+                )
+                + nG * acc["b"]
+            ).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    D
+                    * (
+                        x
+                        - (
+                            A * (x - F.element_at(acc["s"], 1))
+                            + nA * (acc["l"] + acc["b"])
+                        )
+                    )
+                    + nD * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        ),
+    )
+    staged = staged0.select(
+        key_col, "n", "_n_ord", folded.alias("_f")
+    )
+    level = _dup_order_guard("holt_winters", key_col, F.col("_f")["l"])
+    trend = _dup_order_guard("holt_winters", key_col, F.col("_f")["b"])
+    season = _dup_order_guard(
+        "holt_winters", key_col, F.element_at(F.col("_f")["s"], 1)
+    )
+    return staged.select(
+        key_col,
+        "n",
+        level.alias("level"),
+        trend.alias("trend"),
+        season.alias("season"),
+        (level + trend + season).alias("forecast"),
     )
 
 
@@ -1530,25 +1677,7 @@ def cusum(
     per key: key, n, cusum."""
     if not 0.0 <= slack:
         raise ValueError("cusum: slack must be >= 0")
-    xs = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(order_col).alias("o"),
-                F.col(value_col).cast("double").alias("v"),
-            )
-        )
-    )
-    per_key = (
-        df.filter(
-            F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
-        )
-        .groupBy(key_col)
-        .agg(
-            xs.alias("_xs"),
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(order_col)).alias("_n_ord"),
-        )
-    )
+    per_key = _ordered_series(df, key_col, order_col, value_col)
     vals = F.col("_xs").getField("v")
     adj = F.lit(float(target) + float(slack))
     folded = F.aggregate(

@@ -1,8 +1,10 @@
 """Round-10 pre-builds: AdaBoost stumps (quantized weights),
 multinomial Naive Bayes train/score (integer counts, quantized
-log-probs), and integer reciprocal-rank fusion. Operators + tests
-land this round; registry queries and oracles are next round's first
-job (the round-8/9 pre-build convention)."""
+log-probs), integer reciprocal-rank fusion, entity-resolution
+clustering (er_cluster), grouped deterministic HLL (hll_by), and
+additive Holt-Winters (holt_winters). Operators + tests land this
+round; registry queries and oracles are next round's first job (the
+round-8/9 pre-build convention)."""
 
 import math
 
@@ -188,3 +190,285 @@ def test_rrf_fuse_topk_cut(spark):
     ).collect()
     assert [r["id"] for r in out] == ["d0", "d1"]
     assert [r["rank"] for r in out] == [1, 2]
+
+
+# ---------------- er_cluster ----------------
+
+
+def test_er_cluster_synthetic(spark):
+    from hdfe_spark.operators.fuzzy import er_cluster
+
+    rows = [
+        (1, "martin"),
+        (2, "artin"),      # d=1 from martin
+        (3, "martln"),     # d=1 from martin
+        (7, "mrtln"),      # d=1 from martln only -> same cluster via CC
+        (6, "zzzzzz"),     # singleton
+        (None, "martin"),  # NULL id: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in er_cluster(df).collect()}
+    assert set(out) == {1, 2, 3, 6, 7}
+    for i in (1, 2, 3, 7):
+        assert out[i]["er_id"] == 1
+        assert out[i]["cluster_size"] == 4
+        assert out[i]["is_rep"] == (i == 1)
+    assert out[6]["er_id"] == 6
+    assert out[6]["cluster_size"] == 1
+    assert out[6]["is_rep"] is True
+
+
+def test_er_cluster_matches_brute_force_union_find(spark, sf_dir):
+    from hdfe_spark.operators.fuzzy import er_cluster
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["er_id"], r["cluster_size"], r["is_rep"])
+        for r in er_cluster(docs).collect()
+    }
+    # brute-force pairs on normalized prefixes (the fuzzy_pairs
+    # exactness test's replica), then a driver union-find
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        1,
+        16,
+    )
+    k = docs.select(F.col("doc_id").alias("id"), norm.alias("s")).filter(
+        F.length("s") >= 1
+    )
+    a, b = k.alias("a"), k.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(F.levenshtein(F.col("a.s"), F.col("b.s")) <= 1)
+        .select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+        .collect()
+    )
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    from collections import Counter
+
+    root = {i: find(i) for i in ids}
+    size = Counter(root.values())
+    want = {
+        i: (root[i], size[root[i]], root[i] == i) for i in ids
+    }
+    assert got == want
+    # the fixture must actually exercise a multi-row cluster
+    assert any(sz > 1 for _, sz, _ in got.values())
+
+
+# ---------------- hll_by ----------------
+
+
+def test_hll_by_equals_global_per_group(spark):
+    from hdfe_spark.operators.sketch import hll_by, hll_distinct
+
+    rows = [(g, f"u{g}_{i % (50 * (g + 1))}") for g in range(3)
+            for i in range(400)]
+    rows += [(None, f"x{i}") for i in range(30)]   # NULL group: a group
+    rows += [(0, None)] * 5                        # NULL keys: filtered
+    df = spark.createDataFrame(rows, "g int, k string")
+    got = {r["g"]: r for r in hll_by(df, "g", "k", b=8).collect()}
+    assert set(got) == {0, 1, 2, None}
+    for g in [0, 1, 2, None]:
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        solo = hll_distinct(df.filter(cond), "k", b=8).collect()[0]
+        row = got[g]
+        for c in ("m", "n_exact", "n_empty", "s33", "est", "rel_err"):
+            assert row[c] == solo[c], (g, c)
+
+
+def test_hll_by_absent_groups_and_empty(spark):
+    from hdfe_spark.operators.sketch import hll_by
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a")], "g int, k string"
+    )
+    out = {r["g"]: r for r in hll_by(df, "g", "k").collect()}
+    assert set(out) == {2}  # group 1 has only NULL keys -> absent
+    assert out[2]["n_exact"] == 1
+    assert hll_by(df.filter("g < 0"), "g", "k").count() == 0
+    with pytest.raises(ValueError):
+        hll_by(df, "g", "k", b=7)
+
+
+# ---------------- holt_winters ----------------
+
+
+def _hw_replica(vs, m, a, g, d):
+    acc = 0.0
+    for v in vs[:m]:
+        acc = acc + v
+    l = acc / m
+    acc2 = 0.0
+    for v in vs[m:2 * m]:
+        acc2 = acc2 + v
+    b = (acc2 / m - acc / m) / m
+    s = [v - l for v in vs[:m]]
+    for x in vs[m:]:
+        sh = s[0]
+        ln = a * (x - sh) + (1 - a) * (l + b)
+        bn = g * (ln - l) + (1 - g) * b
+        sn = d * (x - ln) + (1 - d) * sh
+        s = s[1:] + [sn]
+        l, b = ln, bn
+    return l, b, s[0]
+
+
+def test_holt_winters_matches_replica_bit_exact(spark):
+    from hdfe_spark.operators.stats import holt_winters
+
+    import random
+
+    random.seed(23)
+    m = 4
+    rows = []
+    for k in range(5):
+        n = random.choice([8, 9, 20, 41])
+        for t in range(n):
+            base = 10 + 0.5 * t + [3, -1, -4, 2][t % m]
+            rows.append((k, t, round(base + random.uniform(-1, 1), 3)))
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    out = {
+        r["k"]: r
+        for r in holt_winters(
+            df, "k", "o", "v", period=m, alpha=0.3, gamma=0.15, delta=0.2
+        ).collect()
+    }
+    import collections
+
+    series = collections.defaultdict(list)
+    for k, t, v in rows:
+        series[k].append((t, v))
+    for k, sr in series.items():
+        vs = [v for _, v in sorted(sr)]
+        l, b, s0 = _hw_replica(vs, m, 0.3, 0.15, 0.2)
+        r = out[k]
+        # bit-exact: the fold replays the identical IEEE sequence
+        assert r["level"] == l and r["trend"] == b and r["season"] == s0
+        assert r["forecast"] == l + b + s0 and r["n"] == len(vs)
+
+
+def test_holt_winters_drops_short_keys_and_boundary(spark):
+    from hdfe_spark.operators.stats import holt_winters
+
+    m = 3
+    rows = [(1, t, float(t)) for t in range(2 * m - 1)]   # n = 5 < 6
+    rows += [(2, t, float(t % m)) for t in range(2 * m)]  # n = 6: kept
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    out = holt_winters(df, "k", "o", "v", m, 0.5, 0.5, 0.5).collect()
+    assert [r["k"] for r in out] == [2]
+    vs = [float(t % m) for t in range(2 * m)]
+    l, b, s0 = _hw_replica(vs, m, 0.5, 0.5, 0.5)
+    r = out[0]
+    assert r["level"] == l and r["trend"] == b and r["season"] == s0
+
+
+def test_holt_winters_guards(spark):
+    from hdfe_spark.operators.stats import holt_winters
+
+    ok = [(1, t, float(t)) for t in range(8)]
+    df = spark.createDataFrame(ok, "k int, o int, v double")
+    with pytest.raises(ValueError, match="period"):
+        holt_winters(df, "k", "o", "v", 1, 0.5, 0.5, 0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters(df, "k", "o", "v", 4, 1.0, 0.5, 0.5)
+    with pytest.raises(ValueError, match="delta"):
+        holt_winters(df, "k", "o", "v", 4, 0.5, 0.5, 0.0)
+    dup = spark.createDataFrame(
+        ok + [(1, 3, 9.9)], "k int, o int, v double"
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        holt_winters(dup, "k", "o", "v", 4, 0.5, 0.5, 0.5).collect()
+
+
+def test_holt_winters_single_fold_evaluation(spark):
+    from hdfe_spark.operators.stats import holt_winters
+
+    df = spark.createDataFrame(
+        [("k", i, float(i * i % 7)) for i in range(1, 10)],
+        "g string, o int, v double",
+    )
+    out = holt_winters(df, "g", "o", "v", 4, 0.5, 0.3, 0.2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the O(series)-step main fold (its s-ring rebuild is the only
+    # concat(slice(...)) in the tree) must appear exactly once —
+    # CollapseProject must NOT re-inline it into level/trend/season/
+    # forecast (the measured 4x holt lesson, SPARK-35410); and the
+    # three lambda folds (init mean x2 + main) must not multiply
+    assert plan.count("concat(slice(") == 1, plan
+    assert plan.count("aggregate(") == 3, plan
+
+
+# ---------------- url_normalize / url_dedup ----------------
+
+
+def test_url_normalize_steps(spark):
+    from hdfe_spark.operators.dedup import url_normalize
+
+    cases = [
+        # scheme+host case, default port, trailing slash
+        ("HTTP://ExAmple.COM:80/A/B/", "http://example.com/A/B"),
+        # https default port, fragment stripped, root path kept
+        ("https://h.io:443/#top", "https://h.io/"),
+        # non-default port kept; empty path -> /
+        ("http://h.io:8080", "http://h.io:8080/"),
+        # tracking params dropped, rest sorted, ? dropped when empty
+        ("http://h.io/p?utm_source=x&gclid=1&fbclid=2", "http://h.io/p"),
+        ("http://h.io/p?b=2&a=1&utm_c=z", "http://h.io/p?a=1&b=2"),
+        # ? inside fragment is NOT a query
+        ("http://h.io/p#frag?x=1", "http://h.io/p"),
+        # path case preserved; query value case preserved
+        ("http://H.io/CaSe?K=V", "http://h.io/CaSe?K=V"),
+        # non-URL passes through trimmed
+        ("  not a url  ", "not a url"),
+        ("relative/path?utm_source=x", "relative/path?utm_source=x"),
+        # double slash collapses only the LAST trailing one
+        ("http://h.io/a//", "http://h.io/a/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r["c"]
+        for r in df.select(url_normalize(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    www = (
+        spark.createDataFrame([("http://www.h.io/p",)], "u string")
+        .select(url_normalize(F.col("u"), strip_www=True).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert www == "http://h.io/p"
+
+
+def test_url_dedup_groups_and_reps(spark):
+    from hdfe_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "http://A.io/x?b=2&a=1"),
+        (2, "http://a.io:80/x/?a=1&b=2&utm_source=t"),
+        (3, "http://a.io/x#f"),     # no query -> different canon
+        (4, None),                  # NULL url: singleton, kept
+        (None, "http://a.io/x"),    # NULL id: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["canonical_url"] == "http://a.io/x?a=1&b=2"
+    assert out[1]["canonical_url"] == out[2]["canonical_url"]
+    assert out[1]["n_dups"] == 2 and out[2]["n_dups"] == 2
+    assert out[1]["is_rep"] is True and out[2]["is_rep"] is False
+    assert out[3]["canonical_url"] == "http://a.io/x"
+    assert out[3]["n_dups"] == 1 and out[3]["is_rep"] is True
+    assert out[4]["canonical_url"] is None
+    assert out[4]["n_dups"] == 1 and out[4]["is_rep"] is True

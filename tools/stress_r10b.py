@@ -1,0 +1,359 @@
+"""Round-10 pre-build stress, second batch: er_cluster, hll_by,
+holt_winters at 4-20M rows with exact replicas.
+
+1. `er_cluster`: 1.2M synthetic docs (300k planted 3-member edit
+   clusters + 300k decoys) — ground truth is NOT the planted layout
+   (accidental d<=1 pairs are legal input) but a driver union-find
+   over the ACTUAL pair table from the already-certified exact
+   `fuzzy_pairs`, so the full 1.2M-row (er_id, cluster_size,
+   is_rep) assignment is verified EXACTLY, end to end. The corpus
+   stems are base64-rendered (alphabet ~38 case-folded symbols,
+   ~1.4k distinct first/last bigrams) and the planted edits are
+   alphabet-rotation substitutions, matching the text-prefix
+   population the bigram blocking is designed for — a first cut
+   used hex stems (256 possible bigrams) and a constant '~' edit
+   char, which concentrated millions of rows into a few hundred hot
+   blocks and blew the candidate join past 1e10 pairs (killed);
+   that envelope is now documented on `fuzzy_pairs`.
+
+2. `hll_by`: 20M rows over 40 groups with closed-form per-group
+   distinct counts (4k .. 160k) — a hashlib replica of the md5
+   bucket/rho pipeline reproduces every group's (n_exact, n_empty,
+   s33) EXACTLY and the estimate bit-for-bit (same IEEE
+   expression).
+
+3. `holt_winters`: 100k keys x 200 observations (20M rows), period
+   7 — the fold is a pinned-order IEEE recursion with an m-slot
+   seasonal ring, so a vectorized numpy replay of the IDENTICAL
+   operation sequence must match level/trend/season BIT-FOR-BIT on
+   all 100k keys.
+
+4. `url_dedup`: 20M URLs (1M sites x 20 surface variants mixing
+   host case, default ports, tracking params, param order, trailing
+   slashes, fragments) — every row's (canonical, n_dups, is_rep) is
+   verified EXACTLY against the closed form by one aggregation,
+   nothing collected.
+
+Usage: python tools/stress_r10b.py [er|hll_by|hw|url]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r10b")
+
+
+def stress_er():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.fuzzy import er_cluster, fuzzy_pairs
+
+    spark = _spark()
+    n_clusters, n_decoys = 300_000, 300_000
+    # Stems are base64(9 md5 bytes) = 12 chars over a ~38-symbol
+    # case-folded alphabet (~1.4k distinct first/last bigrams) — the
+    # text-prefix population the bigram blocking is designed for.
+    # member 0: the stem; member 1: last char substituted; member 2:
+    # first char substituted. The substitute is the alphabet-ROTATED
+    # original char (translate, no case-fold fixed points), so the
+    # edits keep the corpus's bigram diversity — a first cut used a
+    # constant '~', which concentrated 500k last-bigrams into 38 hot
+    # blocks and quadrupled the candidate join. d(0,1) = d(0,2) = 1
+    # by construction. Decoys: 16-char stems (the +-1 length band
+    # excludes every 12-char member). Accidental cross-cluster d<=1
+    # stems are fine: truth below is a union-find over the ACTUAL
+    # pair table.
+    b64 = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz0123456789+/"
+    )
+    rot = b64[1:] + b64[0]
+    stem = F.base64(F.unhex(F.substring(F.md5(F.col("c").cast("string")), 1, 18)))
+    members = spark.range(0, n_clusters, 1, 64).select(
+        F.col("id").alias("c")
+    ).select(
+        F.explode(
+            F.array(
+                F.struct((F.col("c") * 3).alias("doc_id"), stem.alias("text")),
+                F.struct(
+                    (F.col("c") * 3 + 1).alias("doc_id"),
+                    F.concat(
+                        F.substring(stem, 1, 11),
+                        F.translate(F.substring(stem, 12, 1), b64, rot),
+                    ).alias("text"),
+                ),
+                F.struct(
+                    (F.col("c") * 3 + 2).alias("doc_id"),
+                    F.concat(
+                        F.translate(F.substring(stem, 1, 1), b64, rot),
+                        F.substring(stem, 2, 11),
+                    ).alias("text"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.doc_id", "m.text")
+    decoys = spark.range(0, n_decoys, 1, 64).select(
+        (F.col("id") + 3 * n_clusters).alias("doc_id"),
+        F.base64(
+            F.unhex(
+                F.substring(
+                    F.md5((F.col("id") + 7_777_777).cast("string")), 1, 24
+                )
+            )
+        ).alias("text"),
+    )
+    docs = members.unionByName(decoys).localCheckpoint(eager=True)
+    n_docs = 3 * n_clusters + n_decoys
+
+    t0 = time.time()
+    out = er_cluster(docs, prefix_len=16).toPandas()
+    wall = time.time() - t0
+    assert len(out) == n_docs, len(out)
+
+    # ground truth: union-find over the exact certified pair table
+    pairs = fuzzy_pairs(docs, prefix_len=16).select("id_a", "id_b").toPandas()
+    parent = np.arange(n_docs, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    root = np.array([find(i) for i in range(n_docs)], dtype=np.int64)
+    sizes = np.bincount(root, minlength=n_docs)
+    ids = out["doc_id"].to_numpy()
+    ok = (
+        (out["er_id"].to_numpy() == root[ids])
+        & (out["cluster_size"].to_numpy() == sizes[root[ids]])
+        & (out["is_rep"].to_numpy() == (root[ids] == ids))
+    )
+    assert ok.all(), f"{int((~ok).sum())} rows diverged from union-find truth"
+    n_multi = int((sizes[root] > 1).sum())
+    print(
+        f"er_cluster: {n_docs} docs ({len(pairs)} exact pairs, "
+        f"{n_multi} rows in multi-row clusters), full assignment "
+        f"EXACT vs driver union-find, {wall:.1f}s"
+    )
+
+
+def stress_hll_by():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.sketch import hll_by
+
+    spark = _spark()
+    n, n_groups, b = 20_000_000, 40, 8
+    m = 1 << b
+    per = n // n_groups  # 500k rows per group
+    # group g's keys cycle over 4000*(g+1) distinct values, rendered
+    # disjointly per group (key = g * 10_000_000 + local)
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % n_groups).alias("g"),
+        (
+            (F.col("id") % n_groups) * 10_000_000
+            + (F.col("id") / n_groups).cast("long")
+            % ((F.col("id") % n_groups + 1) * 4000)
+        ).alias("k"),
+    )
+    t0 = time.time()
+    rows = {int(r["g"]): r for r in hll_by(df, "g", "k", b=b).collect()}
+    wall = time.time() - t0
+    assert len(rows) == n_groups
+
+    t1 = time.time()
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    bad = 0
+    for g in range(n_groups):
+        nd = (g + 1) * 4000
+        assert per % nd == 0 or per >= nd  # every value appears
+        mx = np.zeros(m, dtype=np.int64)
+        for local in range(nd):
+            k = g * 10_000_000 + local
+            hx = hashlib.md5(str(k).encode()).hexdigest()
+            bkt = int(hx[: b // 4], 16)
+            v32 = int(hx[b // 4 : b // 4 + 8], 16)
+            rho = 33 if v32 == 0 else 33 - v32.bit_length()
+            if rho > mx[bkt]:
+                mx[bkt] = rho
+        seen = int((mx > 0).sum())
+        s33 = int(sum(1 << (33 - int(r)) for r in mx[mx > 0])) + (
+            m - seen
+        ) * (1 << 33)
+        est = (alpha * float(m) * float(m) * 8589934592.0) / float(s33)
+        r = rows[g]
+        ok = (
+            int(r["n_exact"]) == nd
+            and int(r["n_empty"]) == m - seen
+            and int(r["s33"]) == s33
+            and r["est"] == est
+        )
+        bad += not ok
+    assert bad == 0, f"{bad} groups diverged from hashlib replica"
+    print(
+        f"hll_by: {n} rows, {n_groups} groups (4k-160k distinct), "
+        f"all (n_exact, n_empty, s33) EXACT and est BIT-IDENTICAL "
+        f"vs hashlib replica, spark {wall:.1f}s, replica "
+        f"{time.time() - t1:.1f}s"
+    )
+
+
+def stress_hw():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import holt_winters
+
+    spark = _spark()
+    n_keys, per, m = 100_000, 200, 7
+    alpha, gamma, delta = 0.3, 0.15, 0.2
+    df = spark.range(0, n_keys * per, 1, 64).select(
+        (F.col("id") / per).cast("long").alias("k"),
+        (F.col("id") % per).alias("t"),
+        (
+            (
+                (F.col("id") / per).cast("long")
+                + (F.col("id") % per) * (F.col("id") % per)
+            )
+            % 97
+        ).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    rows = holt_winters(
+        df, "k", "t", "v", period=m, alpha=alpha, gamma=gamma, delta=delta
+    ).collect()
+    wall = time.time() - t0
+    assert len(rows) == n_keys, len(rows)
+
+    # vectorized replay of the IDENTICAL IEEE expression sequence
+    ks = np.arange(n_keys, dtype=np.int64)
+    A, nA = alpha, 1.0 - alpha
+    G, nG = gamma, 1.0 - gamma
+    D, nD = delta, 1.0 - delta
+    v = lambda t: ((ks + t * t) % 97).astype(np.float64)  # noqa: E731
+    acc = np.zeros(n_keys)
+    for t in range(m):
+        acc = acc + v(t)
+    l = acc / m
+    acc2 = np.zeros(n_keys)
+    for t in range(m, 2 * m):
+        acc2 = acc2 + v(t)
+    b = (acc2 / m - acc / m) / m
+    s = [v(t) - l for t in range(m)]
+    for t in range(m, per):
+        x = v(t)
+        sh = s[0]
+        ln = A * (x - sh) + nA * (l + b)
+        bn = G * ((A * (x - sh) + nA * (l + b)) - l) + nG * b
+        sn = D * (x - (A * (x - sh) + nA * (l + b))) + nD * sh
+        s = s[1:] + [sn]
+        l, b = ln, bn
+    got_l = np.empty(n_keys)
+    got_b = np.empty(n_keys)
+    got_s = np.empty(n_keys)
+    for r in rows:
+        got_l[int(r["k"])] = r["level"]
+        got_b[int(r["k"])] = r["trend"]
+        got_s[int(r["k"])] = r["season"]
+    assert np.array_equal(got_l, l), "level diverged from IEEE replay"
+    assert np.array_equal(got_b, b), "trend diverged from IEEE replay"
+    assert np.array_equal(got_s, s[0]), "season diverged from IEEE replay"
+    print(
+        f"holt_winters: 20M rows ({n_keys} keys x {per}, m={m}), "
+        f"level/trend/season BIT-IDENTICAL to the vectorized IEEE "
+        f"replay on all keys, {wall:.1f}s"
+    )
+
+
+def stress_url():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.dedup import url_dedup
+
+    spark = _spark()
+    n, n_sites = 20_000_000, 1_000_000
+    # 20 surface variants per site, all canonicalizing to
+    # http://site<k>.example/p?a=1&b=2 — mixed case hosts, default
+    # ports, tracking params, param order, trailing slash, fragments
+    sid = (F.col("id") % n_sites).cast("long")
+    variant = (F.col("id") / n_sites).cast("long")  # 0..19
+    host = F.concat(
+        F.when(variant % 2 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+        sid.cast("string"),
+        F.lit(".example"),
+    )
+    port = F.when(variant % 5 == 0, F.lit(":80")).otherwise(F.lit(""))
+    slash = F.when(variant % 3 == 0, F.lit("/p/")).otherwise(F.lit("/p"))
+    q = F.when(
+        variant % 4 == 0,
+        F.concat(F.lit("?b=2&a=1&utm_source=v"), variant.cast("string")),
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(variant % 7 == 0, F.lit("#frag?x=9")).otherwise(F.lit(""))
+    df = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("http://"), host, port, slash, q, frag).alias("url"),
+    )
+    t0 = time.time()
+    out = url_dedup(df)
+    # full 20M-row verification by AGGREGATION (never collected):
+    # every row's canonical must equal the closed form for its site,
+    # every group has exactly 20 members, and the representative is
+    # the minimum id (== the site index, since doc_id % n_sites = k
+    # and variant 0 has the smallest id k)
+    expect = F.concat(
+        F.lit("http://site"),
+        (F.col("doc_id") % n_sites).cast("string"),
+        F.lit(".example/p?a=1&b=2"),
+    )
+    agg = out.select(
+        (F.col("canonical_url") == expect).cast("long").alias("c_ok"),
+        (F.col("n_dups") == 20).cast("long").alias("d_ok"),
+        (
+            F.col("is_rep").cast("long")
+            == (F.col("doc_id") < n_sites).cast("long")
+        ).cast("long").alias("r_ok"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_ok").alias("c"),
+        F.sum("d_ok").alias("d"),
+        F.sum("r_ok").alias("r"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert agg["n"] == n and agg["c"] == n and agg["d"] == n and agg["r"] == n, agg
+    print(
+        f"url_dedup: {n} rows -> {n_sites} canonical groups, every "
+        f"row's (canonical, n_dups, is_rep) EXACT vs the closed form "
+        f"(verified by aggregation, nothing collected), {wall:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("er", "all"):
+        stress_er()
+    if which in ("hll_by", "all"):
+        stress_hll_by()
+    if which in ("hw", "all"):
+        stress_hw()
+    if which in ("url", "all"):
+        stress_url()
