@@ -163,6 +163,69 @@ def hll_distinct(
     return _hll_rollup(df, key_col, b, group_cols=[])
 
 
+def _hll_bucket_rho(key_col: str, b: int):
+    """The deterministic HLL hash pipeline, spelled once: md5 of the
+    key's string rendering -> bucket = first b/4 hex chars, rho =
+    33 - bitlength of the next 8 hex chars (v=0 -> 33). Shared by
+    `_hll_rollup` (batch, global and grouped) and
+    `streaming.ops.streaming_hll` (the per-bucket MAX fold), so the
+    bit-exact cross-engine contract has exactly one spelling."""
+    hx = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(hx, 1, b // 4), 16, 10).cast("long")
+    v32 = F.conv(F.substring(hx, b // 4 + 1, 8), 16, 10).cast("long")
+    rho = F.when(v32 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v32))
+    )
+    return bucket, rho
+
+
+def _hll_alpha(m: int):
+    """alpha_m's defining expression 0.7213/(1 + 1.079/m), spelled
+    once (never a rounded literal) — shared by `_hll_rollup` and
+    `hll_finalize` so the estimate arithmetic cannot drift."""
+    return F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+
+
+def hll_finalize(bucket_table: DataFrame, b: int = 8) -> DataFrame:
+    """Finalize a (``__bkt``, ``__mx``) per-bucket max-rho table —
+    e.g. the `streaming_hll` sink after any number of micro-batches —
+    into the sketch estimate row (m, n_empty, s33, est). The s33 /
+    est arithmetic is the `hll_distinct` spelling exactly (exact
+    integer sum scaled by 2^33; one IEEE division at the end); there
+    is no n_exact/rel_err certificate here because a stream cannot
+    carry the exact count_distinct the batch sketch rides for free.
+    Scale: the input is at most m = 2**b rows — this is driver-cheap
+    by construction."""
+    if b % 4 != 0 or not 4 <= b <= 16:
+        raise ValueError("b must be a multiple of 4 in [4, 16]")
+    m = 1 << b
+    two33 = F.lit(8589934592)  # 2^33
+    agg = bucket_table.groupBy().agg(
+        F.count(F.lit(1)).alias("__seen"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(33 - __mx as int))"
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("__s_seen"),
+    )
+    s33 = (
+        F.col("__s_seen")
+        + (F.lit(m) - F.col("__seen")).cast("long") * two33
+    )
+    est = (
+        _hll_alpha(m) * F.lit(float(m)) * F.lit(float(m)) * F.lit(8589934592.0)
+    ) / s33.cast("double")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("__seen")).cast("long").alias("n_empty"),
+        s33.cast("long").alias("s33"),
+        est.alias("est"),
+    )
+
+
 def _hll_rollup(
     df: DataFrame, key_col: str, b: int, group_cols: "list[str]"
 ) -> DataFrame:
@@ -177,12 +240,7 @@ def _hll_rollup(
     if b % 4 != 0 or not 4 <= b <= 16:
         raise ValueError("b must be a multiple of 4 in [4, 16]")
     m = 1 << b
-    hx = F.md5(F.col(key_col).cast("string"))
-    bucket = F.conv(F.substring(hx, 1, b // 4), 16, 10).cast("long")
-    v32 = F.conv(F.substring(hx, b // 4 + 1, 8), 16, 10).cast("long")
-    rho = F.when(v32 == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.bin(v32))
-    )
+    bucket, rho = _hll_bucket_rho(key_col, b)
     per_bucket = (
         df.filter(F.col(key_col).isNotNull())
         .select(
@@ -198,7 +256,7 @@ def _hll_rollup(
         )
     )
     two33 = F.lit(8589934592)  # 2^33
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    alpha = _hll_alpha(m)
     # coalesce: sum() over zero buckets is NULL — an empty (or
     # all-NULL-key) input must yield the defined all-empty-sketch row
     # (s33 = m * 2^33, est = alpha * m), not NULL columns

@@ -795,3 +795,33 @@ def streaming_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hll(stream: DataFrame, key_col: str, b: int = 8) -> DataFrame:
+    """Deterministic HyperLogLog folded over a stream (the
+    seventeenth streaming form): the HLL merge rule is a per-bucket
+    MAX of rho — order-free and idempotent, so a complete-mode
+    ``groupBy(bucket).max(rho)`` equals the batch sketch's bucket
+    table BIT-FOR-BIT whatever the micro-batch boundaries were (the
+    `streaming_cms` argument, with max instead of add; duplicate
+    re-delivery cannot even inflate it, unlike a counter sketch).
+    Hashing is the shared `sketch._hll_bucket_rho` spelling, so the
+    stream state, the batch operator, and the SQL oracle all agree
+    bit-exactly.
+
+    Returns the (``__bkt``, ``__mx``) state stream; finalize a sink
+    snapshot with `sketch.hll_finalize` (one <= 2**b-row batch
+    aggregation producing the s33/est row). The exact n_exact
+    certificate of the batch sketch has no streaming form —
+    count_distinct state is the key universe, the thing a sketch
+    exists to avoid; state here is <= 2**b counters forever.
+    """
+    from hdfe_spark.operators.sketch import _hll_bucket_rho
+
+    bucket, rho = _hll_bucket_rho(key_col, b)
+    return (
+        stream.filter(F.col(key_col).isNotNull())
+        .select(bucket.alias("__bkt"), rho.alias("__rho"))
+        .groupBy("__bkt")
+        .agg(F.max("__rho").alias("__mx"))
+    )

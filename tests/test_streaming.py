@@ -453,3 +453,47 @@ def test_streaming_anomaly_multichunk_order(spark, tmp_path):
         n, s, qq = n + 1, s + u, qq + u * u
     assert (got["n"], got["n_anomalies"]) == (n, na)
     assert na >= 1  # the planted 55.0 spike is caught
+
+
+def test_streaming_hll_matches_batch_sketch(spark, sf_dir, events_batch):
+    """Seventeenth streaming form: the per-bucket max-rho state after
+    an availableNow replay equals the batch sketch's bucket table
+    bit-for-bit (HLL merge = MAX, order-free and idempotent), and the
+    finalized (m, n_empty, s33, est) row equals hll_distinct's."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from hdfe_spark.operators.sketch import (
+        _hll_bucket_rho,
+        hll_distinct,
+        hll_finalize,
+    )
+    from hdfe_spark.streaming.ops import read_events_stream, streaming_hll
+
+    stream = read_events_stream(spark, sf_dir)
+    state = streaming_hll(stream, "user_id", b=8)
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        state.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["__bkt"], r["__mx"]) for r in spark.table(sink).collect()}
+    bucket, rho = _hll_bucket_rho("user_id", 8)
+    want = {
+        (r["__bkt"], r["__mx"])
+        for r in events_batch.filter(F.col("user_id").isNotNull())
+        .select(bucket.alias("__bkt"), rho.alias("__rho"))
+        .groupBy("__bkt")
+        .agg(F.max("__rho").alias("__mx"))
+        .collect()
+    }
+    assert got == want
+    fin = hll_finalize(spark.table(sink), b=8).collect()[0]
+    batch = hll_distinct(events_batch, "user_id", b=8).collect()[0]
+    for c in ("m", "n_empty", "s33", "est"):
+        assert fin[c] == batch[c], c
