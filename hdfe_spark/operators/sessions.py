@@ -318,6 +318,40 @@ def retention_cohorts(
     )
 
 
+def _ordered_event_stream(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_cols,
+):
+    """Shared prep for the per-entity sequence operators
+    (`event_transitions`, `event_ngrams`): NULL-filtered (entity,
+    order, state, tiebreaks) projection, the NULLS-LAST total-order
+    window (Spark windows default NULLS FIRST where SQL engines sort
+    NULLS LAST — the round-9 cross-engine pairing lesson), and the
+    duplicate-full-key predicate the in-plan guard fires on. One
+    spelling so the order contract cannot drift between the ops."""
+    ties = list(tiebreak_cols or [])
+    ev = df.filter(
+        F.col(entity_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("__e"),
+        F.col(order_col).alias("__o"),
+        F.col(state_col).alias("__s"),
+        *[F.col(t).alias(f"__t{i}") for i, t in enumerate(ties)],
+    )
+    okey = [F.col("__o")] + [F.col(f"__t{i}") for i in range(len(ties))]
+    w = Window.partitionBy("__e").orderBy(
+        *[c.asc_nulls_last() for c in okey]
+    )
+    full_key = F.struct(*okey)
+    dup = full_key.eqNullSafe(F.lag(full_key).over(w))
+    return ev, w, dup
+
+
 def event_transitions(
     df: DataFrame,
     entity_col: str,
@@ -362,26 +396,9 @@ def event_transitions(
     Returns one row per observed (src, dst): src, dst, n (exact
     transition count), n_src (outgoing margin of src), p = n/n_src.
     """
-    ties = list(tiebreak_cols or [])
-    ev = df.filter(
-        F.col(entity_col).isNotNull()
-        & F.col(order_col).isNotNull()
-        & F.col(state_col).isNotNull()
-    ).select(
-        F.col(entity_col).alias("__e"),
-        F.col(order_col).alias("__o"),
-        F.col(state_col).alias("__s"),
-        *[F.col(t).alias(f"__t{i}") for i, t in enumerate(ties)],
+    ev, w, dup = _ordered_event_stream(
+        df, entity_col, order_col, state_col, tiebreak_cols
     )
-    okey = [F.col("__o")] + [F.col(f"__t{i}") for i in range(len(ties))]
-    # NULLS LAST to match the SQL-engine default (DuckDB / ANSI
-    # ORDER BY ASC) — Spark windows default to NULLS FIRST, which
-    # would pair different transitions than the oracle on NULL ties.
-    w = Window.partitionBy("__e").orderBy(
-        *[c.asc_nulls_last() for c in okey]
-    )
-    full_key = F.struct(*okey)
-    dup = full_key.eqNullSafe(F.lag(full_key).over(w))
     nxt = F.when(
         dup,
         F.raise_error(
@@ -411,3 +428,64 @@ def event_transitions(
             "p"
         ),
     )
+
+
+def event_ngrams(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    state_col: str,
+    k: int = 3,
+    tiebreak_cols: "Sequence[str] | None" = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Consecutive k-state sequence counts over per-entity event
+    streams — `event_transitions`' higher-order sibling (k = 2 IS
+    the transition pair count): the sequence-mining primitive behind
+    behavioral motifs, funnel-path discovery, and next-k-step
+    priors. "Consecutive" means adjacent in the entity's
+    NULL-state-filtered stream, the `event_transitions` semantics.
+
+    Plan (100 TB shape): the SAME single entity-keyed window pass
+    (shared `_ordered_event_stream` prep — NULLS-LAST total order,
+    in-plan duplicate-key guard), k-1 ``lead`` columns riding the
+    one sort, then ONE aggregation over the observed k-grams.
+    Output volume is bounded by min(|events|, |states|^k) — pass
+    ``min_count`` > 1 to prune the tail (the `assoc_rules`
+    min-support convention; pruning happens AFTER the exact count,
+    so surviving counts are exact, never sampled).
+
+    Returns one row per observed k-gram with count >= min_count:
+    s1..sk (the states, in order), n (exact count). A SQL oracle
+    mirrors it with k-1 window leads and a GROUP BY.
+    """
+    if k < 2:
+        raise ValueError("event_ngrams: k must be >= 2")
+    if min_count < 1:
+        raise ValueError("event_ngrams: min_count must be >= 1")
+    ev, w, dup = _ordered_event_stream(
+        df, entity_col, order_col, state_col, tiebreak_cols
+    )
+    state_t = df.schema[state_col].dataType
+    guard_first = F.when(
+        dup,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "event_ngrams: duplicate order values within entity "
+                ),
+                F.col("__e").cast("string"),
+                F.lit(" — the k-gram pairing would be engine-dependent"),
+            )
+        ).cast(state_t),
+    ).otherwise(F.col("__s"))
+    cols = [guard_first.alias("s1")] + [
+        F.lead("__s", i).over(w).alias(f"s{i + 1}") for i in range(1, k)
+    ]
+    grams = ev.select(*cols).filter(F.col(f"s{k}").isNotNull())
+    out = grams.groupBy(*[f"s{i + 1}" for i in range(k)]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

@@ -472,3 +472,73 @@ def test_url_dedup_groups_and_reps(spark):
     assert out[3]["n_dups"] == 1 and out[3]["is_rep"] is True
     assert out[4]["canonical_url"] is None
     assert out[4]["n_dups"] == 1 and out[4]["is_rep"] is True
+
+
+# ---------------- event_ngrams ----------------
+
+
+def test_event_ngrams_k2_equals_transitions(spark):
+    from hdfe_spark.operators.sessions import event_ngrams, event_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+        (2, 1, "b"), (2, 2, "a"), (2, 3, "b"),
+        (3, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "e long, o long, s string")
+    tr = {
+        (r["src"], r["dst"]): r["n"]
+        for r in event_transitions(df, "e", "o", "s").collect()
+    }
+    ng = {
+        (r["s1"], r["s2"]): r["n"]
+        for r in event_ngrams(df, "e", "o", "s", k=2).collect()
+    }
+    assert ng == tr
+
+
+def test_event_ngrams_trigrams_and_min_count(spark):
+    from hdfe_spark.operators.sessions import event_ngrams
+
+    rows = [(1, t, s) for t, s in enumerate("abcabcab")]
+    rows += [(2, t, s) for t, s in enumerate("abc")]
+    df = spark.createDataFrame(rows, "e long, o long, s string")
+    got = {
+        (r["s1"], r["s2"], r["s3"]): r["n"]
+        for r in event_ngrams(df, "e", "o", "s", k=3).collect()
+    }
+    # entity 1 "abcabcab": abc x2, bca x2, cab x2; entity 2: abc x1
+    assert got == {
+        ("a", "b", "c"): 3,
+        ("b", "c", "a"): 2,
+        ("c", "a", "b"): 2,
+    }
+    pruned = {
+        (r["s1"], r["s2"], r["s3"]): r["n"]
+        for r in event_ngrams(df, "e", "o", "s", k=3, min_count=3).collect()
+    }
+    assert pruned == {("a", "b", "c"): 3}
+
+
+def test_event_ngrams_guards(spark):
+    import pytest
+
+    from hdfe_spark.operators.sessions import event_ngrams
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "b"), (1, 2, "c")], "e long, o long, s string"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        event_ngrams(df, "e", "o", "s", k=1)
+    with pytest.raises(Exception, match="duplicate order"):
+        event_ngrams(df, "e", "o", "s", k=2).collect()
+    # NULL states are excluded: the stream for entity 1 is a,c ->
+    # the (a, c) bigram IS adjacent-after-filter (documented)
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, None), (1, 3, "c")], "e long, o long, s string"
+    )
+    got = {
+        (r["s1"], r["s2"]): r["n"]
+        for r in event_ngrams(df2, "e", "o", "s", k=2).collect()
+    }
+    assert got == {("a", "c"): 1}

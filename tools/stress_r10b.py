@@ -34,7 +34,10 @@ holt_winters at 4-20M rows with exact replicas.
    verified EXACTLY against the closed form by one aggregation,
    nothing collected.
 
-Usage: python tools/stress_r10b.py [er|hll_by|hw|url]
+5. `event_ngrams`: 20M events (1M entities x 20, 5-state cycles) —
+   all five closed-form trigram counts verified EXACTLY.
+
+Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams]
 """
 
 from __future__ import annotations
@@ -347,6 +350,54 @@ def stress_url():
     )
 
 
+
+
+def stress_ngrams():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.sessions import event_ngrams
+
+    spark = _spark()
+    n_entities, per = 1_000_000, 20
+    # entity e's stream is the 5-state cycle starting at phase e%5:
+    # every trigram is (c, c+1, c+2) mod 5, count = per-2 per entity
+    # -> 5 closed-form trigrams, each n_entities * (per - 2) / 5 ...
+    # exactly: entities are uniform over phases, and a cycle emits
+    # each rotation equally: total (per-2) * n_entities trigrams
+    # spread EXACTLY evenly over the 5 rotations.
+    df = spark.range(0, n_entities * per, 1, 64).select(
+        (F.col("id") / per).cast("long").alias("e"),
+        (F.col("id") % per).alias("t"),
+        (
+            ((F.col("id") / per).cast("long") + F.col("id") % per) % 5
+        ).cast("string").alias("s"),
+    )
+    t0 = time.time()
+    got = {
+        (r["s1"], r["s2"], r["s3"]): r["n"]
+        for r in event_ngrams(df, "e", "t", "s", k=3).collect()
+    }
+    wall = time.time() - t0
+    want = {}
+    for c in range(5):
+        key = (str(c), str((c + 1) % 5), str((c + 2) % 5))
+        want[key] = 0
+    # entity with phase p emits trigrams starting at states
+    # (p+t)%5 for t in 0..per-3: 18 trigrams, rotations hit
+    # ceil/floor(18/5) depending on phase — compute exactly
+    for p in range(5):
+        n_e = n_entities // 5 + (1 if p < n_entities % 5 else 0)
+        for t in range(per - 2):
+            key = (str((p + t) % 5), str((p + t + 1) % 5), str((p + t + 2) % 5))
+            want[key] += n_e
+    assert got == want, "trigram counts diverged from closed form"
+    print(
+        f"event_ngrams: {n_entities * per} events ({n_entities} "
+        f"entities x {per}), all 5 closed-form trigram counts EXACT, "
+        f"{wall:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("er", "all"):
@@ -357,3 +408,5 @@ if __name__ == "__main__":
         stress_hw()
     if which in ("url", "all"):
         stress_url()
+    if which in ("ngrams", "all"):
+        stress_ngrams()
