@@ -5264,6 +5264,292 @@ def _q_ab_proportions(spark, sf_dir):
     )
 
 
+
+
+def _q_er_cluster(spark, sf_dir):
+    """Entity-resolution clustering (`operators/fuzzy.py::er_cluster`):
+    the full per-row assignment `fuzzy_dedup` throws away — exact
+    blocked distance-1 pairs -> min-label connected components ->
+    (er_id, cluster_size, is_rep) per document; singletons carry
+    their own id. Oracle: brute-force Levenshtein pairs +
+    recursive-CTE transitive closure (the `minhash_dedup_cc`
+    pattern) + a component-size rollup."""
+    from hdfe_spark.operators.fuzzy import er_cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    return er_cluster(docs)
+
+
+def _q_hll_by(spark, sf_dir):
+    """Grouped deterministic HyperLogLog (`operators/sketch.py::
+    hll_by`, b=8): one `hll` sketch row PER event_type over the
+    distinct user_id universe — the shared `_hll_rollup` core keyed
+    by the group, so the grouped oracle is the `hll` SQL with the
+    group threaded through every CTE. Each row carries its own
+    n_exact/rel_err accuracy certificate."""
+    from hdfe_spark.operators.sketch import hll_by
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_by(ev, "event_type", "user_id", b=8)
+    return out.select(
+        "event_type",
+        "m",
+        "n_exact",
+        "n_empty",
+        "s33",
+        _pround("est").alias("est"),
+        _pround("rel_err").alias("rel_err"),
+    )
+
+
+def _q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters smoothing (`operators/stats.py::
+    holt_winters`, period=4, alpha=0.3, gamma=0.2, delta=0.25):
+    `holt` plus an m-slot seasonal ring in the fold accumulator —
+    classical first/second-cycle init, n >= 2m contract. The oracle
+    is a RECURSIVE CTE carrying the ring as a LIST column (DuckDB),
+    replaying the identical IEEE sequence; init sums are
+    list_reduce over a 0.0-prepended slice so the fold's 0.0 init
+    is pinned on both engines, and complements are spelled
+    (1.0 - a), never the folded literal."""
+    from hdfe_spark.operators.stats import holt_winters
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt_winters(
+        ev, "user_id", "event_id", "value", 4, 0.3, 0.2, 0.25
+    )
+    return out.select(
+        "user_id",
+        "n",
+        _pround("level").alias("level"),
+        _pround("trend").alias("trend"),
+        _pround("season").alias("season"),
+        _pround("forecast").alias("forecast"),
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + exact dedup (`operators/dedup.py::
+    url_normalize` / `url_dedup`): 8 deterministic surface variants
+    (host case, default port, trailing slash, tracking params,
+    param order, fragments) are synthesized per document id —
+    IDENTICALLY on both engines — and must collapse to one
+    canonical per (doc_id % 40) site with exact group counts and
+    min-id representatives. The oracle replays the WHOLE
+    normalization pipeline (RFC-3986 authority split, port drop,
+    param filter+sort, slash trim) with DuckDB's regex/list
+    functions, not a closed form."""
+    from hdfe_spark.operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/p/")).otherwise(
+            F.lit("/p")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("?b=2&a=1&utm_source=x")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#f?z=9")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", url.alias("url")
+    )
+    return url_dedup(base, id_col="doc_id", url_col="url")
+
+
+def _q_event_ngrams(spark, sf_dir):
+    """Consecutive event trigram counts (`operators/sessions.py::
+    event_ngrams`, k=3): `transitions`' higher-order sibling on the
+    shared ordered-event prep — per-user event_id-ordered streams,
+    one window pass with two lead columns, exact counts. The oracle
+    is two SQL window leads + GROUP BY."""
+    from hdfe_spark.operators.sessions import event_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_ngrams(ev, "user_id", "event_id", "event_type", k=3)
+
+
+def _q_streaming_hll(spark, sf_dir):
+    """Seventeenth streaming form (`streaming/ops.py::
+    streaming_hll`): the deterministic HLL folded incrementally —
+    per-bucket MAX of rho is order-free and idempotent, so the
+    availableNow replay's bucket state equals the batch sketch
+    bit-for-bit whatever the micro-batch boundaries (and duplicate
+    delivery cannot inflate it, unlike counter sketches).
+    `hll_finalize` rolls the sink into (m, n_empty, s33, est); the
+    batch `hll` SQL minus its n_exact certificate is the oracle."""
+    from hdfe_spark.operators.sketch import hll_finalize
+    from hdfe_spark.streaming.ops import (
+        read_events_stream,
+        streaming_hll,
+    )
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf for the stream read
+    stream = read_events_stream(spark, sf_dir)
+    state = streaming_hll(stream, "user_id", b=8)
+    sink = _fresh_sink(spark)
+    q = (
+        state.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = hll_finalize(spark.table(sink), b=8)
+    return out.select(
+        "m", "n_empty", "s33", _pround("est").alias("est")
+    )
+
+
+
+
+def _q_rrf_fuse(spark, sf_dir):
+    """Reciprocal-rank fusion (`operators/text.py::rrf_fuse`,
+    k0=60): merges two part rankings — by exact line count and by
+    max extended price (both order-free exact metrics, id-ASC
+    tiebreak, so the input top-100 lists are deterministic on any
+    engine) — into the hybrid top-20. Every contribution is the
+    exact integer 2^32 div (60 + rank): TRUE integral division on
+    both engines (SQL div / DuckDB //), no float anywhere."""
+    from pyspark.sql import Window
+
+    from hdfe_spark.operators.text import rrf_fuse
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def ranked(metric, name):
+        # NULL part keys out BEFORE ranking (house convention): a
+        # NULL group would rank NULLS-FIRST on Spark but NULLS-LAST
+        # on a SQL engine, shifting every later rank
+        agg = (
+            li.filter(F.col("l_partkey").isNotNull())
+            .groupBy("l_partkey")
+            .agg(metric.alias("__m"))
+        )
+        w = Window.orderBy(F.col("__m").desc(), F.col("l_partkey").asc())
+        return (
+            agg.select(
+                F.col("l_partkey").alias("id"),
+                F.lit(name).alias("src"),
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+            .filter(F.col("rank") <= 100)
+        )
+
+    rankings = ranked(F.count(F.lit(1)), "cnt").unionByName(
+        ranked(F.max("l_extendedprice"), "mx")
+    )
+    return rrf_fuse(rankings, "id", "src", "rank", k0=60, k=20)
+
+
+
+
+def _q_adaboost(spark, sf_dir):
+    """AdaBoost.M1 over exact weighted stumps (`operators/ml.py::
+    adaboost_stumps`, 2 rounds, 16-bit integer row weights): the
+    seventh iterative certificate. Weighted errors are exact
+    integer sums (weights constant within each (x, y) cell), the
+    per-round argmin is the (err, threshold, polarity DESC) total
+    order, and the weight update floor(w * exp(-/+alpha) + 0.5) is
+    replayed by the oracle with DuckDB's ln/exp — bit-identical to
+    the driver's libm here (measured: 0/200k mismatches on (alpha,
+    exp(+/-alpha)) pairs up to W = 2^40), with every intermediate
+    integer exact."""
+    from hdfe_spark.operators.ml import adaboost_stumps
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_linenumber").alias("x"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 2)
+        .cast("long")
+        .alias("y"),
+    )
+    out = adaboost_stumps(df, "x", "y", n_rounds=2)
+    return out.select(
+        "round",
+        F.col("threshold").cast("long").alias("threshold"),
+        "polarity",
+        "err_q",
+        "w_total_q",
+        _pround("alpha").alias("alpha"),
+    )
+
+
+def _q_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes train + self-score (`operators/
+    ml.py::nb_train`/`nb_score`, V=50000, 20-bit quantized logs):
+    language classification of the documents corpus from its own
+    whitespace unigrams. Training is pure integer (class, token)
+    aggregation; every per-token log-probability is QUANTIZED to an
+    integer (floor(ln((n+1)/(n_class+V)) * 2^20)) before any sum,
+    so each doc's score is an exact order-free integer and the
+    argmax (score DESC, class ASC) is a total order. JVM log vs
+    DuckDB ln agreed on every one of the fixture's model values
+    (measured this round); a disagreement would need ln to land
+    within ~2^-33 of a quantization boundary."""
+    from hdfe_spark.operators.ml import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang").alias("c"),
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    model = nb_train(toks.select("c", "t"), "c", "t")
+    return nb_score(
+        toks.select("doc_id", "t"), model, "doc_id", "t",
+        vocab_size=50000,
+    )
+
+
+
+
+def _q_rake(spark, sf_dir):
+    """RAKE keyword statistics (`operators/text.py::rake_keywords`,
+    en stopwords, min_freq=2): candidate phrases are maximal
+    non-stopword word runs (punctuation and whole-word stopwords
+    delimit — \\b-anchored alternation, identical in RE2 and Java),
+    freq/degree are exact integer aggregates, score = deg/freq is
+    one IEEE division. The oracle replays the same two
+    regexp_replace passes + split + filter + GROUP BY."""
+    from hdfe_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    out = rake_keywords(docs, "text", min_freq=2)
+    return out.select(
+        "word", "freq", "deg", _pround("score").alias("score")
+    )
+
+
+def _q_rare_levels(spark, sf_dir):
+    """Rare-level collapsing (`operators/encoding.py::
+    collapse_rare_levels`, min_count=6): the pre-`dummies`/
+    `target_encode` cardinality guard — levels under the threshold
+    fold into '__other__', NULLs pass through (absence is not a
+    rare level). Input levels are doc_id % 97 (fully deterministic:
+    a fixed set of levels lands exactly on the threshold); output
+    is the collapsed distribution, all exact integers."""
+    from hdfe_spark.operators.encoding import collapse_rare_levels
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id").isNotNull()).select(
+        (F.col("doc_id") % 97).cast("int").alias("lvl")
+    )
+    out = collapse_rare_levels(base, "lvl", min_count=6)
+    return out.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-6 each recorded exactly the first
@@ -5393,6 +5679,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "scrub_pii": _q_scrub_pii,
         "se_robust": _q_se_robust,
+        # round-9-continuation registrations (positions 56-66):
+        # the nine de-risked round-10 pre-builds plus rake /
+        # rare_levels, all oracle-checked now and queued for the
+        # round-10 window rotation
+        "er_cluster": _q_er_cluster,
+        "hll_by": _q_hll_by,
+        "holt_winters": _q_holt_winters,
+        "url_dedup": _q_url_dedup,
+        "event_ngrams": _q_event_ngrams,
+        "streaming_hll": _q_streaming_hll,
+        "rrf_fuse": _q_rrf_fuse,
+        "adaboost": _q_adaboost,
+        "nb_classify": _q_nb_classify,
+        "rake": _q_rake,
+        "rare_levels": _q_rare_levels,
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
@@ -10365,6 +10666,461 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n_exact AS DOUBLE)) * 1e9 + 0.5)
                      / 1e9 AS rel_err
             FROM e
+        """,
+        "er_cluster": """
+            WITH RECURSIVE k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            1, 16) AS s
+              FROM documents),
+            f AS (SELECT doc_id, s FROM k WHERE length(s) >= 1),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM f a JOIN f b ON a.doc_id < b.doc_id
+              WHERE levenshtein(a.s, b.s) <= 1),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+                WHERE n.v <> r.u),
+            comp AS (
+              SELECT u AS node, least(u, min(v)) AS component
+              FROM reach GROUP BY u),
+            sz AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS csz
+              FROM comp GROUP BY component)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS er_id,
+                   coalesce(sz.csz, CAST(1 AS BIGINT)) AS cluster_size,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_rep
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.node
+            LEFT JOIN sz ON c.component = sz.component
+            WHERE d.doc_id IS NOT NULL
+        """,
+        "hll_by": """
+            WITH h AS (
+              SELECT event_type AS g,
+                     md5(CAST(user_id AS VARCHAR)) AS hx,
+                     user_id AS k
+              FROM events WHERE user_id IS NOT NULL),
+            r AS (
+              SELECT g, ('0x' || substr(hx, 1, 2))::BIGINT AS bkt,
+                     CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0
+                          THEN 33
+                          ELSE 33 - length(bin(
+                            ('0x' || substr(hx, 3, 8))::BIGINT))
+                     END AS rho,
+                     k
+              FROM h),
+            pb AS (
+              SELECT g, bkt, max(rho) AS mx,
+                     CAST(count(DISTINCT k) AS BIGINT) AS nd
+              FROM r GROUP BY g, bkt),
+            a AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS seen,
+                     CAST(sum(CAST(1 AS BIGINT) << (33 - mx))
+                          AS BIGINT) AS s_seen,
+                     CAST(sum(nd) AS BIGINT) AS n_exact
+              FROM pb GROUP BY g),
+            s AS (
+              SELECT g, seen, n_exact,
+                     s_seen + (256 - seen)
+                       * CAST(8589934592 AS BIGINT) AS s33
+              FROM a),
+            e AS (
+              SELECT g, n_exact, 256 - seen AS n_empty, s33,
+                     0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                       * 8589934592.0 / CAST(s33 AS DOUBLE) AS est
+              FROM s)
+            SELECT g AS event_type, CAST(256 AS BIGINT) AS m,
+                   n_exact, n_empty, s33,
+                   floor((est) * 1e9 + 0.5) / 1e9 AS est,
+                   floor(((est - CAST(n_exact AS DOUBLE))
+                          / CAST(n_exact AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS rel_err
+            FROM e
+        """,
+        "holt_winters": """
+            WITH RECURSIVE ord AS (
+              SELECT user_id AS k, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS t,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL),
+            base AS (
+              SELECT k, n, list(v ORDER BY t) AS vs
+              FROM ord GROUP BY k, n HAVING n >= 8),
+            ini AS (
+              SELECT k, n, vs,
+                     list_reduce(list_prepend(0.0, vs[1:4]),
+                                 (a, x) -> a + x) / 4.0 AS m1,
+                     list_reduce(list_prepend(0.0, vs[5:8]),
+                                 (a, x) -> a + x) / 4.0 AS m2
+              FROM base),
+            state AS (
+              SELECT k, n, vs, CAST(4 AS BIGINT) AS t,
+                     m1 AS l,
+                     (m2 - m1) / 4.0 AS b,
+                     list_transform(vs[1:4], x -> x - m1) AS sr
+              FROM ini
+              UNION ALL
+              SELECT k, n, vs, t + 1,
+                     0.3 * (vs[t+1] - sr[1])
+                       + (1.0 - 0.3) * (l + b),
+                     0.2 * ((0.3 * (vs[t+1] - sr[1])
+                             + (1.0 - 0.3) * (l + b)) - l)
+                       + (1.0 - 0.2) * b,
+                     list_append(sr[2:],
+                       0.25 * (vs[t+1] - (0.3 * (vs[t+1] - sr[1])
+                                          + (1.0 - 0.3) * (l + b)))
+                         + (1.0 - 0.25) * sr[1])
+              FROM state WHERE t < n)
+            SELECT k AS user_id, n,
+                   floor((l) * 1e9 + 0.5) / 1e9 AS level,
+                   floor((b) * 1e9 + 0.5) / 1e9 AS trend,
+                   floor((sr[1]) * 1e9 + 0.5) / 1e9 AS season,
+                   floor((l + b + sr[1]) * 1e9 + 0.5) / 1e9
+                     AS forecast
+            FROM state WHERE t = n
+        """,
+        "url_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP://Site' || CAST(doc_id % 40 AS VARCHAR)
+                     || '.example'
+                     || CASE WHEN doc_id % 5 = 0 THEN ':80'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN '/p/'
+                             ELSE '/p' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN '?b=2&a=1&utm_source=x'
+                             ELSE '?a=1&b=2' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '#f?z=9'
+                             ELSE '' END AS url
+              FROM documents WHERE doc_id IS NOT NULL),
+            p AS (SELECT doc_id, url, trim(url) AS t FROM u),
+            x AS (
+              SELECT doc_id, url, t,
+                     lower(regexp_extract(t,
+                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     regexp_replace(t,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS aft,
+                     regexp_extract(regexp_replace(t, '#.*$', ''),
+                       '\\?(.*)$', 1) AS q
+              FROM p),
+            y AS (
+              SELECT *,
+                     regexp_extract(aft, '^([^/?#]*)', 1) AS authority,
+                     regexp_extract(aft, '^[^/?#]*([^?#]*)', 1)
+                       AS rawpath
+              FROM x),
+            z AS (
+              SELECT *,
+                     regexp_extract(authority, '^(.*@)', 1) AS userinfo,
+                     regexp_replace(authority, '^.*@', '') AS hostport
+              FROM y),
+            w AS (
+              SELECT *,
+                CASE WHEN hostport LIKE '[%'
+                     THEN lower(regexp_extract(hostport,
+                            '^(\\[[^\\]]*\\])', 1))
+                     ELSE lower(regexp_extract(hostport,
+                            '^([^:]*)', 1)) END AS host,
+                CASE WHEN hostport LIKE '[%'
+                     THEN regexp_extract(hostport,
+                            '^\\[[^\\]]*\\]:([0-9]+)$', 1)
+                     ELSE regexp_extract(hostport,
+                            '^[^:]*:([0-9]+)$', 1) END AS port
+              FROM z),
+            qf AS (
+              SELECT *,
+                     array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       pp -> pp != '' AND NOT regexp_matches(pp,
+                         '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&')
+                       AS qs
+              FROM w),
+            c AS (
+              SELECT doc_id, url,
+                CASE WHEN scheme = '' THEN t ELSE
+                  scheme || '://' || userinfo || host ||
+                  CASE WHEN port = ''
+                         OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                       THEN '' ELSE ':' || port END ||
+                  CASE WHEN rawpath = '' THEN '/'
+                       ELSE regexp_replace(rawpath, '(.)/$', '\\1')
+                       END ||
+                  CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                END AS canonical_url
+              FROM qf)
+            SELECT doc_id, url, canonical_url,
+                   CAST(count(*) OVER (PARTITION BY canonical_url)
+                        AS BIGINT) AS n_dups,
+                   doc_id = min(doc_id)
+                     OVER (PARTITION BY canonical_url) AS is_rep
+            FROM c
+        """,
+        "event_ngrams": """
+            WITH ev AS (
+              SELECT user_id AS u, event_id AS i, event_type AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                AND event_type IS NOT NULL),
+            seq AS (
+              SELECT s AS s1,
+                     lead(s, 1) OVER (PARTITION BY u ORDER BY i)
+                       AS s2,
+                     lead(s, 2) OVER (PARTITION BY u ORDER BY i)
+                       AS s3
+              FROM ev)
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE s3 IS NOT NULL
+            GROUP BY s1, s2, s3
+        """,
+        "streaming_hll": """
+            WITH h AS (
+              SELECT md5(CAST(user_id AS VARCHAR)) AS hx
+              FROM events WHERE user_id IS NOT NULL),
+            r AS (
+              SELECT ('0x' || substr(hx, 1, 2))::BIGINT AS bkt,
+                     CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0
+                          THEN 33
+                          ELSE 33 - length(bin(
+                            ('0x' || substr(hx, 3, 8))::BIGINT))
+                     END AS rho
+              FROM h),
+            pb AS (SELECT bkt, max(rho) AS mx FROM r GROUP BY bkt),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS seen,
+                     CAST(coalesce(sum(CAST(1 AS BIGINT)
+                                       << (33 - mx)), 0)
+                          AS BIGINT) AS s_seen
+              FROM pb),
+            s AS (
+              SELECT seen,
+                     s_seen + (256 - seen)
+                       * CAST(8589934592 AS BIGINT) AS s33
+              FROM a)
+            SELECT CAST(256 AS BIGINT) AS m,
+                   CAST(256 - seen AS BIGINT) AS n_empty, s33,
+                   floor((0.7213 / (1.0 + 1.079 / 256.0) * 256.0
+                          * 256.0 * 8589934592.0
+                          / CAST(s33 AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS est
+            FROM s
+        """,
+        "rrf_fuse": """
+            WITH c AS (
+              SELECT l_partkey AS id, CAST(count(*) AS BIGINT) AS m
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY l_partkey),
+            s1 AS (
+              SELECT id, 'cnt' AS src,
+                     CAST(row_number() OVER (ORDER BY m DESC, id ASC)
+                          AS BIGINT) AS rank
+              FROM c QUALIFY rank <= 100),
+            x AS (
+              SELECT l_partkey AS id, max(l_extendedprice) AS m
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY l_partkey),
+            s2 AS (
+              SELECT id, 'mx' AS src,
+                     CAST(row_number() OVER (ORDER BY m DESC, id ASC)
+                          AS BIGINT) AS rank
+              FROM x QUALIFY rank <= 100),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+            f AS (
+              SELECT id,
+                     CAST(sum(CAST(4294967296 AS BIGINT)
+                              // (60 + rank)) AS BIGINT) AS rrf_q,
+                     CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+              FROM u GROUP BY id)
+            SELECT id, rrf_q, n_sources,
+                   CAST(row_number() OVER (ORDER BY rrf_q DESC, id ASC)
+                        AS BIGINT) AS rank
+            FROM f QUALIFY rank <= 20
+        """,
+        "adaboost": """
+            WITH base AS (
+              SELECT l_linenumber AS x,
+                     CAST((l_orderkey + l_linenumber) % 2 AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_linenumber IS NOT NULL
+                AND l_orderkey IS NOT NULL),
+            cells0 AS (
+              SELECT x, y, CAST(count(*) AS HUGEINT) AS cnt,
+                     CAST(65536 AS HUGEINT) AS wr
+              FROM base GROUP BY x, y),
+            v1 AS (
+              SELECT x AS v, sum(wr * cnt * y) AS wp,
+                     sum(wr * cnt * (1 - y)) AS wn
+              FROM cells0 GROUP BY x),
+            c1 AS (
+              SELECT v,
+                     sum(wp) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cp,
+                     sum(wn) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cn
+              FROM v1),
+            t1 AS (SELECT sum(wp) AS twp, sum(wn) AS twn FROM v1),
+            s1 AS (
+              SELECT c1.v,
+                     c1.cn + (t1.twp - c1.cp) AS ep,
+                     (t1.twp + t1.twn)
+                       - (c1.cn + (t1.twp - c1.cp)) AS em,
+                     t1.twp + t1.twn AS w
+              FROM c1 CROSS JOIN t1),
+            b1 AS (
+              SELECT v,
+                     CASE WHEN ep <= em THEN ep ELSE em END AS err,
+                     CASE WHEN ep <= em THEN 1 ELSE -1 END AS pol,
+                     w
+              FROM s1
+              ORDER BY err ASC, v ASC, pol DESC LIMIT 1),
+            a1 AS (
+              SELECT v, err, pol, w,
+                     0.5 * ln(CAST(w - err AS DOUBLE)
+                              / CAST(err AS DOUBLE)) AS alpha
+              FROM b1),
+            cells1 AS (
+              SELECT c.x, c.y, c.cnt,
+                     CAST(floor(CAST(c.wr AS DOUBLE)
+                       * exp(CASE WHEN
+                           (CASE WHEN a1.pol = 1 THEN c.x <= a1.v
+                                 ELSE c.x > a1.v END) = (c.y = 1)
+                           THEN -a1.alpha ELSE a1.alpha END)
+                       + 0.5) AS HUGEINT) AS wr
+              FROM cells0 c CROSS JOIN a1),
+            v2 AS (
+              SELECT x AS v, sum(wr * cnt * y) AS wp,
+                     sum(wr * cnt * (1 - y)) AS wn
+              FROM cells1 GROUP BY x),
+            c2 AS (
+              SELECT v,
+                     sum(wp) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cp,
+                     sum(wn) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cn
+              FROM v2),
+            t2 AS (SELECT sum(wp) AS twp, sum(wn) AS twn FROM v2),
+            s2 AS (
+              SELECT c2.v,
+                     c2.cn + (t2.twp - c2.cp) AS ep,
+                     (t2.twp + t2.twn)
+                       - (c2.cn + (t2.twp - c2.cp)) AS em,
+                     t2.twp + t2.twn AS w
+              FROM c2 CROSS JOIN t2),
+            b2 AS (
+              SELECT v,
+                     CASE WHEN ep <= em THEN ep ELSE em END AS err,
+                     CASE WHEN ep <= em THEN 1 ELSE -1 END AS pol,
+                     w
+              FROM s2
+              ORDER BY err ASC, v ASC, pol DESC LIMIT 1),
+            a2 AS (
+              SELECT v, err, pol, w,
+                     0.5 * ln(CAST(w - err AS DOUBLE)
+                              / CAST(err AS DOUBLE)) AS alpha
+              FROM b2)
+            SELECT 1 AS round, CAST(v AS BIGINT) AS threshold,
+                   pol AS polarity, CAST(err AS BIGINT) AS err_q,
+                   CAST(w AS BIGINT) AS w_total_q,
+                   floor((alpha) * 1e9 + 0.5) / 1e9 AS alpha
+            FROM a1
+            UNION ALL
+            SELECT 2, CAST(v AS BIGINT), pol, CAST(err AS BIGINT),
+                   CAST(w AS BIGINT),
+                   floor((alpha) * 1e9 + 0.5) / 1e9
+            FROM a2
+        """,
+        "nb_classify": """
+            WITH toks AS (
+              SELECT lang AS c, doc_id, tok AS t
+              FROM (SELECT lang, doc_id,
+                           unnest(string_split_regex(lower(text),
+                                                     '\\s+')) AS tok
+                    FROM documents)
+              WHERE tok != ''),
+            model AS (
+              SELECT c AS class, t AS token,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE c IS NOT NULL GROUP BY c, t),
+            margin AS (
+              SELECT class, CAST(sum(n) AS BIGINT) AS n_class
+              FROM model GROUP BY class),
+            q AS (
+              SELECT m.class, m.token,
+                     CAST(floor(ln((CAST(m.n AS DOUBLE) + 1.0)
+                       / (CAST(g.n_class AS DOUBLE) + 50000.0))
+                       * 1048576.0) AS BIGINT) AS ql
+              FROM model m JOIN margin g USING (class)),
+            miss AS (
+              SELECT class,
+                     CAST(floor(ln(1.0
+                       / (CAST(n_class AS DOUBLE) + 50000.0))
+                       * 1048576.0) AS BIGINT) AS mq
+              FROM margin),
+            dt AS (
+              SELECT doc_id AS doc, t FROM toks
+              WHERE doc_id IS NOT NULL),
+            fan AS (
+              SELECT d.doc, c.class, coalesce(q.ql, c.mq) AS ql
+              FROM dt d CROSS JOIN miss c
+              LEFT JOIN q ON q.class = c.class AND q.token = d.t),
+            sc AS (
+              SELECT doc, class, CAST(sum(ql) AS BIGINT) AS score_q,
+                     CAST(count(*) AS BIGINT) AS n_tokens
+              FROM fan GROUP BY doc, class)
+            SELECT doc, class AS pred_class, score_q, n_tokens
+            FROM sc
+            QUALIFY row_number() OVER (PARTITION BY doc
+              ORDER BY score_q DESC, class ASC) = 1
+        """,
+        "rake": """
+            WITH seg AS (
+              SELECT unnest(string_split(
+                regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9\\s]+', '|',
+                                 'g'),
+                  '\\b(and|for|in|is|it|of|that|the|to|was)\\b', '|',
+                  'g'),
+                '|')) AS s
+              FROM documents),
+            ph AS (
+              SELECT list_filter(string_split_regex(s, '\\s+'),
+                                 w -> w != '') AS ws
+              FROM seg),
+            ph2 AS (
+              SELECT ws, len(ws) AS plen FROM ph WHERE len(ws) >= 1),
+            w AS (SELECT unnest(ws) AS word, plen FROM ph2),
+            agg AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS deg
+              FROM w GROUP BY word)
+            SELECT word, freq, deg,
+                   floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS score
+            FROM agg WHERE freq >= 2
+        """,
+        "rare_levels": """
+            WITH b AS (
+              SELECT CAST(doc_id % 97 AS INTEGER) AS lvl
+              FROM documents WHERE doc_id IS NOT NULL),
+            c AS (SELECT lvl, count(*) AS lc FROM b GROUP BY lvl),
+            r AS (
+              SELECT CASE WHEN c.lc >= 6 THEN CAST(b.lvl AS VARCHAR)
+                          ELSE '__other__' END AS lvl
+              FROM b JOIN c ON b.lvl = c.lvl)
+            SELECT lvl, CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY lvl
         """,
         "hits": """
             WITH seq AS (

@@ -221,3 +221,48 @@ def target_encode_loo(
     return joined.withColumn(out_col, te_scaled / F.lit(scale)).drop(
         "__cn", "__cs"
     )
+
+
+def collapse_rare_levels(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other_label: str = "__other__",
+    out_col: "str | None" = None,
+) -> DataFrame:
+    """Collapse categorical levels with fewer than ``min_count``
+    rows into one ``other_label`` bucket — the standard
+    feature-engineering step BEFORE `dummies`/`target_encode` on a
+    high-cardinality column (one-hotting a million-level column is
+    a million-column design matrix; the tail carries no signal).
+
+    Exact and deterministic: level counts are one integer
+    aggregation; the rewrite is when(count >= min_count, level,
+    other). NULL levels pass through as NULL — NULL means the value
+    is ABSENT, not that a rare level was observed, and folding NULL
+    into ``other_label`` would invent data (the `target_encode`
+    NULL convention).
+
+    Scale: one count aggregation over levels + one level-keyed join
+    back, NO broadcast hint — AQE broadcasts the level table when
+    it is small (the common case) and falls back cleanly when a
+    pathological column makes it big (the `lm_score_buckets`
+    lesson). The rewritten column replaces ``col`` unless
+    ``out_col`` names a new one, and is always STRING (the bucket
+    label is a string; numeric levels are rendered by CAST — the
+    downstream consumers, `dummies`/`target_encode`, key on the
+    value, not the type).
+    """
+    if min_count < 1:
+        raise ValueError("collapse_rare_levels: min_count must be >= 1")
+    target = out_col or col
+    counts = df.groupBy(F.col(col).alias("__lvl")).agg(
+        F.count(F.lit(1)).alias("__lc")
+    )
+    joined = df.join(
+        counts, df[col].eqNullSafe(counts["__lvl"]), "left"
+    )
+    rewritten = F.when(F.col(col).isNull(), F.lit(None).cast("string")).when(
+        F.col("__lc") >= min_count, F.col(col).cast("string")
+    ).otherwise(F.lit(other_label))
+    return joined.withColumn(target, rewritten).drop("__lvl", "__lc")

@@ -1109,3 +1109,76 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("id", "rrf_q", "n_sources", "rank")
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: "Sequence[str] | None" = None,
+    min_freq: int = 1,
+) -> DataFrame:
+    """RAKE keyword statistics (Rose et al. 2010) over a corpus —
+    the classic unsupervised keyword extractor: candidate phrases
+    are maximal runs of non-stopword words (stopwords and
+    punctuation are the phrase delimiters), each member word
+    accumulates freq += 1 and degree += phrase length, and the
+    keyword score is deg/freq (words that live in long multi-word
+    phrases outrank words that appear alone).
+
+    ENGINE-EXACT: freq and deg are exact integer aggregates of a
+    deterministic tokenization (lowercase -> punctuation runs and
+    whole-word stopwords replaced by a delimiter -> split); score is
+    ONE IEEE division of two exact longs. The stopword alternation
+    is anchored with \\b on both sides, so alternative order cannot
+    change a match (RE2 and Java agree; no lookarounds — RE2 has
+    none). Returns one row per word with freq >= min_freq:
+    (word, freq, deg, score).
+
+    Scale: pure JVM expressions to the explode, then ONE word-keyed
+    aggregation — the `token_stats` shape; no shuffle before the
+    final groupBy, no Python anywhere.
+    """
+    if min_freq < 1:
+        raise ValueError("rake_keywords: min_freq must be >= 1")
+    stops = sorted(
+        set(LANG_STOPWORDS["en"] if stopwords is None else stopwords)
+    )
+    if not stops:
+        raise ValueError("rake_keywords: stopword list is empty")
+    stop_re = r"\b(" + "|".join(stops) + r")\b"
+    lowered = F.lower(F.col(text_col))
+    segs = F.split(
+        F.regexp_replace(
+            F.regexp_replace(lowered, r"[^a-z0-9\s]+", "|"),
+            stop_re,
+            "|",
+        ),
+        r"\|",
+    )
+    phrases = (
+        df.select(F.explode(segs).alias("__seg"))
+        .select(
+            F.filter(
+                F.split(F.col("__seg"), r"\s+"), lambda t: t != ""
+            ).alias("__ws")
+        )
+        .filter(F.size("__ws") >= 1)
+    )
+    words = phrases.select(
+        F.explode("__ws").alias("word"),
+        F.size("__ws").cast("long").alias("__plen"),
+    )
+    out = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("__plen").cast("long").alias("deg"),
+    )
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out.select(
+        "word",
+        "freq",
+        "deg",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
+            "score"
+        ),
+    )

@@ -542,3 +542,73 @@ def test_event_ngrams_guards(spark):
         for r in event_ngrams(df2, "e", "o", "s", k=2).collect()
     }
     assert got == {("a", "c"): 1}
+
+
+# ---------------- rake_keywords ----------------
+
+
+def test_rake_matches_hand_computation(spark):
+    from hdfe_spark.operators.text import rake_keywords
+
+    # classic RAKE example shape: stopwords split phrases
+    docs = [
+        ("deep learning models, and deep nets",),
+        ("the learning rate",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = {
+        r["word"]: (r["freq"], r["deg"], r["score"])
+        for r in rake_keywords(df, "text").collect()
+    }
+    # phrases: [deep learning models] [deep nets] [learning rate]
+    # ("and"/"the" are stopwords; "," splits)
+    assert out["deep"] == (2, 5, 2.5)          # 3 + 2
+    assert out["learning"] == (2, 5, 2.5)      # 3 + 2
+    assert out["models"] == (1, 3, 3.0)
+    assert out["nets"] == (1, 2, 2.0)
+    assert out["rate"] == (1, 2, 2.0)
+    assert "and" not in out and "the" not in out
+    # min_freq prunes exactly
+    from hdfe_spark.operators.text import rake_keywords as rk
+
+    pruned = {r["word"] for r in rk(df, "text", min_freq=2).collect()}
+    assert pruned == {"deep", "learning"}
+
+
+def test_rake_guards_and_nulls(spark):
+    import pytest
+
+    from hdfe_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame([(None,), ("the and of",)], "text string")
+    assert rake_keywords(df, "text").count() == 0  # all stop/NULL
+    with pytest.raises(ValueError, match="min_freq"):
+        rake_keywords(df, "text", min_freq=0)
+    with pytest.raises(ValueError, match="stopword"):
+        rake_keywords(df, "text", stopwords=[])
+
+
+# ---------------- collapse_rare_levels ----------------
+
+
+def test_collapse_rare_levels(spark):
+    from hdfe_spark.operators.encoding import collapse_rare_levels
+
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "lvl string")
+    out = collapse_rare_levels(df, "lvl", min_count=2).collect()
+    got = {}
+    for r in out:
+        got[r["lvl"]] = got.get(r["lvl"], 0) + 1
+    assert got == {"a": 5, "b": 2, "__other__": 1, None: 2}
+    # numeric column -> string output, new column name honored
+    df2 = spark.createDataFrame([(1,), (1,), (9,)], "k int")
+    out2 = collapse_rare_levels(df2, "k", 2, out_col="kc")
+    assert dict(out2.groupBy("kc").count().collect()) == {
+        "1": 2, "__other__": 1,
+    }
+    assert [f.name for f in out2.schema if f.name == "kc"]
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        collapse_rare_levels(df, "lvl", 0)

@@ -109,3 +109,27 @@ def test_fold_family_shares_ordered_series(spark):
     )
     with pytest.raises(Exception, match="duplicate order"):
         stats.ewma(dup, "k", "o", "v", alpha=0.5).collect()
+
+
+def test_streaming_hll_finalize_empty_defined(spark):
+    """Second review pass: hll_finalize on an EMPTY bucket table must
+    yield the defined all-empty-sketch row (never NULL sums), and the
+    streaming_hll ORACLE must carry the same coalesce — the original
+    oracle draft re-opened the contract hole the round-8 review
+    closed on the Spark side."""
+    import __spark_entry__ as em
+
+    from hdfe_spark.operators.sketch import hll_finalize
+
+    empty = spark.createDataFrame([], "__bkt long, __mx int")
+    r = hll_finalize(empty, b=8).collect()[0]
+    assert r["m"] == 256 and r["n_empty"] == 256
+    assert r["s33"] == 256 * (1 << 33)
+    assert r["est"] is not None
+    assert "coalesce(sum" in em.oracle_sql()["streaming_hll"]
+    # and the rrf wrapper + oracle both exclude NULL part keys
+    # (NULLS FIRST vs NULLS LAST would shift every later rank)
+    import inspect
+
+    assert "isNotNull" in inspect.getsource(em._q_rrf_fuse)
+    assert em.oracle_sql()["rrf_fuse"].count("IS NOT NULL") == 2

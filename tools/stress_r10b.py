@@ -37,7 +37,11 @@ holt_winters at 4-20M rows with exact replicas.
 5. `event_ngrams`: 20M events (1M entities x 20, 5-state cycles) —
    all five closed-form trigram counts verified EXACTLY.
 
-Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams]
+6. `rake_keywords`: 20M synthetic docs over a 100k-word cycle —
+   every word's (freq, deg, score) verified EXACTLY against the
+   closed form by one aggregation.
+
+Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams|rake]
 """
 
 from __future__ import annotations
@@ -398,6 +402,44 @@ def stress_ngrams():
     )
 
 
+
+
+def stress_rake():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.text import rake_keywords
+
+    spark = _spark()
+    n, K = 20_000_000, 100_000
+    # doc i = "k<a> k<b> and k<c>" -> phrases [k<a> k<b>] (len 2) and
+    # [k<c>] (len 1). Each word k<j> appears once per role over a
+    # uniform cycle: freq = 3N/K, deg = (2+2+1)N/K, score = 5/3 —
+    # identical for every word, verified by one aggregation.
+    w = lambda off: F.concat(  # noqa: E731
+        F.lit("k"), ((F.col("id") + off) % K).cast("string")
+    )
+    df = spark.range(0, n, 1, 64).select(
+        F.concat_ws(" ", w(0), w(1), F.lit("and"), w(2)).alias("text")
+    )
+    t0 = time.time()
+    agg = rake_keywords(df, "text").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.min("freq").alias("f0"), F.max("freq").alias("f1"),
+        F.min("deg").alias("d0"), F.max("deg").alias("d1"),
+        F.min("score").alias("s0"), F.max("score").alias("s1"),
+    ).collect()[0]
+    wall = time.time() - t0
+    per = n // K
+    assert agg["nw"] == K, agg
+    assert agg["f0"] == agg["f1"] == 3 * per, agg
+    assert agg["d0"] == agg["d1"] == 5 * per, agg
+    assert agg["s0"] == agg["s1"] == (5 * per) / (3 * per), agg
+    print(
+        f"rake_keywords: {n} docs -> {K} words, every (freq, deg, "
+        f"score) EXACT vs the closed form, {wall:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("er", "all"):
@@ -410,3 +452,5 @@ if __name__ == "__main__":
         stress_url()
     if which in ("ngrams", "all"):
         stress_ngrams()
+    if which in ("rake", "all"):
+        stress_rake()
