@@ -653,3 +653,143 @@ def hits(
         .orderBy(F.col("authority").desc(), F.col("node").asc())
     )
     return top
+
+
+def mst_boruvka(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+    weight_col: str = "w",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Minimum-spanning-forest edges by ``n_rounds`` Boruvka phases
+    — the graph family's weighted completion (CC finds the
+    components; this finds the cheapest skeleton that connects
+    them). Each phase picks, for every current component, its
+    minimum outgoing edge under the STRICT total order
+    (w, min(u,v), max(u,v)) — a deterministic tie-break, which makes
+    the MST unique and every selected edge cut-property-safe — then
+    contracts the picked edges with the exact min-label
+    `connected_components`.
+
+    Fixed-round contract (the pagerank/kmeans/`shortest_paths`
+    convention, no data-dependent convergence test): after r phases
+    the selected set is EXACTLY the unique MST's edges restricted to
+    components of Boruvka depth <= r. Components at least halve
+    each phase, so ``n_rounds`` = ceil(log2(max component size))
+    completes the forest; smaller values return the documented
+    partial forest (still a SUBSET of the unique MST — never a
+    wrong edge). Returns one row per selected edge: (u, v, w) with
+    u < v.
+
+    Weights must be INTEGRAL (enforced): the argmin over exact
+    integers is engine-exact in any grouping order, which is what
+    lets a SQL oracle unroll the phases. Self-loops and duplicate
+    (u, v) edges are dropped up front (the cheapest parallel edge
+    survives via the min-struct). Scale: per phase, 2 edge-keyed
+    joins against the label table + one component-keyed argmin +
+    one contraction CC over the PICKED edges only (<= #components
+    rows, not the edge list); the symmetrized edge table is
+    localCheckpointed once.
+    """
+    from pyspark.sql import types as T
+
+    if n_rounds < 1:
+        raise ValueError("mst_boruvka: n_rounds must be >= 1")
+    wtype = edges.schema[weight_col].dataType
+    if not isinstance(
+        wtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"mst_boruvka: weight_col {weight_col!r} is "
+            f"{wtype.simpleString()}; exact argmin needs integral "
+            "weights (quantize upstream)"
+        )
+    # canonical undirected edges (u < v), cheapest parallel edge
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # symmetrized view for per-endpoint argmin
+    sym = canon.unionByName(
+        canon.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    picked = None
+    for _ in range(n_rounds):
+        la = labels.select(
+            F.col("node").alias("__na"), F.col("comp").alias("__ca")
+        )
+        lb = labels.select(
+            F.col("node").alias("__nb"), F.col("comp").alias("__cb")
+        )
+        cross = (
+            sym.join(la, sym["a"] == la["__na"])
+            .join(lb, sym["b"] == lb["__nb"])
+            .filter(F.col("__ca") != F.col("__cb"))
+        )
+        if cross.limit(1).count() == 0:
+            break
+        # min outgoing edge per component under (w, min, max)
+        chosen = cross.groupBy("__ca").agg(
+            F.min(
+                F.struct(
+                    F.col("w"),
+                    F.least(F.col("a"), F.col("b")).alias("u"),
+                    F.greatest(F.col("a"), F.col("b")).alias("v"),
+                )
+            ).alias("m")
+        )
+        new_edges = chosen.select(
+            F.col("m.u").alias("u"),
+            F.col("m.v").alias("v"),
+            F.col("m.w").alias("w"),
+        ).distinct().localCheckpoint(eager=True)
+        picked = (
+            new_edges
+            if picked is None
+            else picked.unionByName(new_edges).distinct()
+        ).localCheckpoint(eager=True)
+        # contract: relabel via CC over components linked this phase
+        comp_edges = (
+            cross.join(
+                new_edges,
+                (F.least(cross["a"], cross["b"]) == new_edges["u"])
+                & (F.greatest(cross["a"], cross["b"]) == new_edges["v"])
+                & (cross["w"] == new_edges["w"]),
+                "left_semi",
+            )
+            .select(
+                F.col("__ca").alias("x"), F.col("__cb").alias("y")
+            )
+            .distinct()
+        )
+        cc = connected_components(comp_edges, src="x", dst="y")
+        labels = (
+            labels.join(
+                cc, labels["comp"] == cc["node"], "left"
+            )
+            .select(
+                labels["node"],
+                F.coalesce(cc["component"], labels["comp"]).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    if picked is None:
+        return canon.filter(F.lit(False)).select(
+            F.col("a").alias("u"), F.col("b").alias("v"), "w"
+        )
+    return picked

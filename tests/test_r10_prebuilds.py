@@ -612,3 +612,91 @@ def test_collapse_rare_levels(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         collapse_rare_levels(df, "lvl", 0)
+
+
+# ---------------- mst_boruvka ----------------
+
+
+def _kruskal(n_nodes, edges):
+    """Unique-MST replica under the (w, min, max) total order."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    picked = []
+    for w, u, v in sorted((w, min(u, v), max(u, v)) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            picked.append((u, v, w))
+    return set(picked)
+
+
+def test_mst_matches_kruskal(spark):
+    from hdfe_spark.operators.graph import mst_boruvka
+
+    import random
+
+    random.seed(31)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        u, v = random.randrange(n), random.randrange(n)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    rows = [(u, v, random.randint(1, 50)) for u, v in sorted(edges)]
+    df = spark.createDataFrame(rows, "u long, v long, w long")
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in mst_boruvka(df, "u", "v", "w", n_rounds=8).collect()
+    }
+    want = _kruskal(n, rows)
+    assert got == want
+
+
+def test_mst_partial_and_guards(spark):
+    import pytest
+
+    from hdfe_spark.operators.graph import mst_boruvka
+
+    # triangle with distinct weights: one round completes the MST
+    tri = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 2), (0, 2, 3)], "u long, v long, w long"
+    )
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in mst_boruvka(tri, n_rounds=1).collect()
+    }
+    assert got == {(0, 1, 1), (1, 2, 2)}
+    # a 5-path needs 3 phases; 1 phase returns a PARTIAL forest that
+    # is still a subset of the unique MST (here: every pick is safe)
+    path = spark.createDataFrame(
+        [(i, i + 1, 10 + i) for i in range(5)], "u long, v long, w long"
+    )
+    full = {
+        (r["u"], r["v"]) for r in mst_boruvka(path, n_rounds=3).collect()
+    }
+    assert full == {(i, i + 1) for i in range(5)}
+    part = {
+        (r["u"], r["v"]) for r in mst_boruvka(path, n_rounds=1).collect()
+    }
+    assert part <= full and len(part) >= 3
+    with pytest.raises(ValueError, match="integral"):
+        mst_boruvka(
+            spark.createDataFrame([(0, 1, 1.5)], "u long, v long, w double")
+        )
+    # ties broken by (w, min, max): parallel-free square, all w=7 —
+    # unique MST under the total order is the Kruskal replica's
+    sq = spark.createDataFrame(
+        [(0, 1, 7), (1, 2, 7), (2, 3, 7), (0, 3, 7)],
+        "u long, v long, w long",
+    )
+    got_sq = {
+        (r["u"], r["v"], r["w"])
+        for r in mst_boruvka(sq, n_rounds=4).collect()
+    }
+    assert got_sq == _kruskal(4, [(0, 1, 7), (1, 2, 7), (2, 3, 7), (0, 3, 7)])

@@ -41,7 +41,11 @@ holt_winters at 4-20M rows with exact replicas.
    every word's (freq, deg, score) verified EXACTLY against the
    closed form by one aggregation.
 
-Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams|rake]
+7. `mst_boruvka`: 6M edges (2M disjoint weighted triangles) — one
+   phase must pick exactly every triangle's 2-edge MST; edge count,
+   total weight, and edge shape verified EXACTLY by aggregation.
+
+Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams|rake|mst]
 """
 
 from __future__ import annotations
@@ -440,6 +444,61 @@ def stress_rake():
     )
 
 
+
+
+def stress_mst():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.graph import mst_boruvka
+
+    spark = _spark()
+    m = 2_000_000  # triangles; 6M canonical edge rows
+    # triangle i = nodes (3i, 3i+1, 3i+2), weights 3i+1 < 3i+2 < 3i+3
+    # -> unique MST per triangle = its two lightest edges, found in
+    # ONE Boruvka phase; forest totals are closed-form.
+    base = spark.range(0, m, 1, 64)
+    tri = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("id") * 3).alias("u"),
+                    (F.col("id") * 3 + 1).alias("v"),
+                    (F.col("id") * 3 + 1).alias("w"),
+                ),
+                F.struct(
+                    (F.col("id") * 3 + 1).alias("u"),
+                    (F.col("id") * 3 + 2).alias("v"),
+                    (F.col("id") * 3 + 2).alias("w"),
+                ),
+                F.struct(
+                    (F.col("id") * 3).alias("u"),
+                    (F.col("id") * 3 + 2).alias("v"),
+                    (F.col("id") * 3 + 3).alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v", "e.w")
+    t0 = time.time()
+    out = mst_boruvka(tri, "u", "v", "w", n_rounds=1)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("tw"),
+        F.sum((F.col("v") - F.col("u")).cast("long")).alias("dv"),
+    ).collect()[0]
+    wall = time.time() - t0
+    # picked: per triangle the (3i,3i+1,w=3i+1) and (3i+1,3i+2,
+    # w=3i+2) edges -> 2m edges, total weight sum(6i+3), and every
+    # picked edge spans adjacent node ids (v - u = 1)
+    assert agg["n"] == 2 * m, agg
+    assert agg["tw"] == 6 * (m * (m - 1) // 2) + 3 * m, agg
+    assert agg["dv"] == 2 * m, agg
+    print(
+        f"mst_boruvka: {3 * m} edges ({m} triangles), one phase picks "
+        f"the exact 2-edge MST of every triangle (count+weight+shape "
+        f"closed-form EXACT), {wall:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("er", "all"):
@@ -454,3 +513,5 @@ if __name__ == "__main__":
         stress_ngrams()
     if which in ("rake", "all"):
         stress_rake()
+    if which in ("mst", "all"):
+        stress_mst()
