@@ -5550,6 +5550,35 @@ def _q_rare_levels(spark, sf_dir):
     )
 
 
+
+
+def _q_streaming_rake(spark, sf_dir):
+    """Eighteenth streaming form (`streaming/ops.py::
+    streaming_rake`): RAKE keyword statistics folded incrementally —
+    freq and degree are ADDITIVE, so the complete-mode availableNow
+    fold equals the batch `rake` table exactly whatever the
+    micro-batch boundaries; the batch RAKE SQL is the oracle."""
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_rake,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = streaming_rake(stream, "text", min_freq=2)
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "word", "freq", "deg", _pround("score").alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (rounds 3-6 each recorded exactly the first
@@ -5694,6 +5723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": _q_nb_classify,
         "rake": _q_rake,
         "rare_levels": _q_rare_levels,
+        "streaming_rake": _q_streaming_rake,
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
@@ -11083,6 +11113,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             QUALIFY row_number() OVER (PARTITION BY doc
               ORDER BY score_q DESC, class ASC) = 1
+        """,
+        "streaming_rake": """
+            WITH seg AS (
+              SELECT unnest(string_split(
+                regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9\\s]+', '|',
+                                 'g'),
+                  '\\b(and|for|in|is|it|of|that|the|to|was)\\b', '|',
+                  'g'),
+                '|')) AS s
+              FROM documents),
+            ph AS (
+              SELECT list_filter(string_split_regex(s, '\\s+'),
+                                 w -> w != '') AS ws
+              FROM seg),
+            ph2 AS (
+              SELECT ws, len(ws) AS plen FROM ph WHERE len(ws) >= 1),
+            w AS (SELECT unnest(ws) AS word, plen FROM ph2),
+            agg AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS deg
+              FROM w GROUP BY word)
+            SELECT word, freq, deg,
+                   floor((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS score
+            FROM agg WHERE freq >= 2
         """,
         "rake": """
             WITH seg AS (

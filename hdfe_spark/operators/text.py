@@ -1111,6 +1111,44 @@ def rrf_fuse(
     )
 
 
+
+
+def _rake_words(df, text_col, stopwords):
+    """Shared RAKE word derivation for the batch operator and
+    `streaming/ops.py::streaming_rake`: lowercase -> punctuation
+    runs and \\b-anchored whole-word stopwords become phrase
+    delimiters -> (word, phrase length) rows. Stateless row
+    expressions, so the same pipeline runs on a stream unchanged."""
+    stops = sorted(
+        set(LANG_STOPWORDS["en"] if stopwords is None else stopwords)
+    )
+    if not stops:
+        raise ValueError("rake_keywords: stopword list is empty")
+    stop_re = r"\b(" + "|".join(stops) + r")\b"
+    lowered = F.lower(F.col(text_col))
+    segs = F.split(
+        F.regexp_replace(
+            F.regexp_replace(lowered, r"[^a-z0-9\s]+", "|"),
+            stop_re,
+            "|",
+        ),
+        r"\|",
+    )
+    phrases = (
+        df.select(F.explode(segs).alias("__seg"))
+        .select(
+            F.filter(
+                F.split(F.col("__seg"), r"\s+"), lambda t: t != ""
+            ).alias("__ws")
+        )
+        .filter(F.size("__ws") >= 1)
+    )
+    return phrases.select(
+        F.explode("__ws").alias("word"),
+        F.size("__ws").cast("long").alias("__plen"),
+    )
+
+
 def rake_keywords(
     df: DataFrame,
     text_col: str = "text",
@@ -1140,34 +1178,7 @@ def rake_keywords(
     """
     if min_freq < 1:
         raise ValueError("rake_keywords: min_freq must be >= 1")
-    stops = sorted(
-        set(LANG_STOPWORDS["en"] if stopwords is None else stopwords)
-    )
-    if not stops:
-        raise ValueError("rake_keywords: stopword list is empty")
-    stop_re = r"\b(" + "|".join(stops) + r")\b"
-    lowered = F.lower(F.col(text_col))
-    segs = F.split(
-        F.regexp_replace(
-            F.regexp_replace(lowered, r"[^a-z0-9\s]+", "|"),
-            stop_re,
-            "|",
-        ),
-        r"\|",
-    )
-    phrases = (
-        df.select(F.explode(segs).alias("__seg"))
-        .select(
-            F.filter(
-                F.split(F.col("__seg"), r"\s+"), lambda t: t != ""
-            ).alias("__ws")
-        )
-        .filter(F.size("__ws") >= 1)
-    )
-    words = phrases.select(
-        F.explode("__ws").alias("word"),
-        F.size("__ws").cast("long").alias("__plen"),
-    )
+    words = _rake_words(df, text_col, stopwords)
     out = words.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum("__plen").cast("long").alias("deg"),

@@ -25,6 +25,42 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """Generic file-source stream over a single-file fixture table
+    (the `read_events_stream` symlink-directory trick, shared): the
+    file-stream source requires a DIRECTORY, so the file is exposed
+    through a cached temp dir of symlinks, swept at interpreter
+    exit. No event-time normalization — use `read_events_stream`
+    for the events table."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    src = os.path.abspath(f"{sf_dir}/{table}.parquet")
+    cache = read_table_stream.__dict__.setdefault("_dirs", {})
+    d = cache.get(src)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"hdfe_{table}_stream_")
+        os.symlink(src, os.path.join(d, f"{table}.parquet"))
+        if not cache:
+            atexit.register(
+                lambda: [
+                    shutil.rmtree(p, ignore_errors=True)
+                    for p in cache.values()
+                ]
+            )
+        cache[src] = d
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -824,4 +860,41 @@ def streaming_hll(stream: DataFrame, key_col: str, b: int = 8) -> DataFrame:
         .select(bucket.alias("__bkt"), rho.alias("__rho"))
         .groupBy("__bkt")
         .agg(F.max("__rho").alias("__mx"))
+    )
+
+
+def streaming_rake(
+    stream: DataFrame,
+    text_col: str = "text",
+    stopwords=None,
+    min_freq: int = 1,
+) -> DataFrame:
+    """RAKE keyword statistics folded over a document stream (the
+    eighteenth streaming form): the phrase derivation is stateless
+    row expressions (shared `text._rake_words` spelling) and both
+    aggregates are purely ADDITIVE (freq = count, deg = sum of
+    phrase lengths), so the complete-mode micro-batch fold equals
+    the batch `rake_keywords` table EXACTLY whatever the batch
+    boundaries — the `streaming_cms` argument. State is one
+    (freq, deg) counter pair per distinct word. The score division
+    and the min_freq cut ride the OUTPUT projection, so they never
+    touch state."""
+    from hdfe_spark.operators.text import _rake_words
+
+    if min_freq < 1:
+        raise ValueError("streaming_rake: min_freq must be >= 1")
+    words = _rake_words(stream, text_col, stopwords)
+    out = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("__plen").cast("long").alias("deg"),
+    )
+    if min_freq > 1:
+        out = out.filter(F.col("freq") >= min_freq)
+    return out.select(
+        "word",
+        "freq",
+        "deg",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
+            "score"
+        ),
     )

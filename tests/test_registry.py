@@ -63,16 +63,16 @@ def test_round9_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= 50 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 260
+    assert len(q) == 261
     # round-9-continuation registrations: ALL NINE round-10
     # pre-builds plus two same-session builds (rake keyword
     # extraction, rare-level collapsing), oracle-checked and queued
     # at the backlog head (adaboost/nb_classify landed after a
     # measured libm-parity analysis cleared their exp/ln oracles)
-    assert set(q[55:66]) == {
+    assert set(q[55:67]) == {
         "er_cluster", "hll_by", "holt_winters", "url_dedup",
         "event_ngrams", "streaming_hll", "rrf_fuse", "adaboost",
-        "nb_classify", "rake", "rare_levels",
+        "nb_classify", "rake", "rare_levels", "streaming_rake",
     }
 
 

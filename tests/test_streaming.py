@@ -497,3 +497,44 @@ def test_streaming_hll_matches_batch_sketch(spark, sf_dir, events_batch):
     batch = hll_distinct(events_batch, "user_id", b=8).collect()[0]
     for c in ("m", "n_empty", "s33", "est"):
         assert fin[c] == batch[c], c
+
+
+def test_streaming_rake_matches_batch(spark, sf_dir, tmp_path):
+    """Eighteenth streaming form: RAKE's freq/deg are additive, so
+    the availableNow fold over arbitrary file boundaries equals the
+    batch table exactly, score included."""
+    import uuid
+
+    from hdfe_spark.operators.text import rake_keywords
+    from hdfe_spark.streaming.ops import streaming_rake
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "rake_src")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_rake(stream, "text", min_freq=2)
+    sink = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["word"]: (r["freq"], r["deg"], r["score"])
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        r["word"]: (r["freq"], r["deg"], r["score"])
+        for r in rake_keywords(docs, "text", min_freq=2).collect()
+    }
+    assert got == want and len(got) > 0
