@@ -204,3 +204,48 @@ def poisson_bootstrap_means(
     return df.sparkSession.createDataFrame(
         rows, "replicate int, n_eff long, mean double"
     )
+
+
+def weighted_sample_by(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group `weighted_sample`: a deterministic weighted
+    without-replacement sample of ``k`` rows from EVERY group —
+    quality-weighted corpus mixing with a per-source quota (the
+    global sampler can't guarantee per-source representation; the
+    grouped one is the standard source-mixing primitive). Identical
+    A-ES key construction (Knuth-hash uniform from the id, key =
+    ln(u)/w, k largest win), so the selection is bit-reproducible
+    on any engine and any partitioning; rows with non-positive
+    weight are excluded, groups with fewer than k positive-weight
+    rows return what they have, and a NULL group is itself a group
+    (the `hll_by` convention).
+
+    Plan: ONE group-partitioned window pass (rank over es_key DESC,
+    id ASC — parallel across groups, never a global sort; the
+    global sampler's TakeOrderedAndProject has no grouped analogue,
+    so the window IS the scale path here). Returns the input rows
+    plus ``es_key``.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample_by: k must be >= 1")
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.ln(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", F.round(key, 10))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

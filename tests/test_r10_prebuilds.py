@@ -700,3 +700,45 @@ def test_mst_partial_and_guards(spark):
         for r in mst_boruvka(sq, n_rounds=4).collect()
     }
     assert got_sq == _kruskal(4, [(0, 1, 7), (1, 2, 7), (2, 3, 7), (0, 3, 7)])
+
+
+# ---------------- weighted_sample_by ----------------
+
+
+def test_weighted_sample_by_equals_global_per_group(spark):
+    from hdfe_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_by,
+    )
+
+    rows = [
+        (g, i * 7 + g, float(1 + (i % 5)))
+        for g in range(3)
+        for i in range(40)
+    ]
+    rows += [(None, 999, 2.0), (None, 998, 0.5)]
+    rows += [(0, 500, 0.0), (0, 501, -1.0)]  # non-positive: excluded
+    df = spark.createDataFrame(rows, "g int, doc_id long, w double")
+    got = weighted_sample_by(df, "g", "w", k=5).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["doc_id"])
+    # per group, the grouped sample equals the global sampler run on
+    # that group alone (identical key construction)
+    for g in [0, 1, 2, None]:
+        cond = "g is null" if g is None else f"g = {g}"
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.filter(cond), "w", k=5
+            ).collect()
+        }
+        assert by_g[g] == solo, g
+        assert len(by_g[g]) == (2 if g is None else 5)
+    # NULL group has only 2 positive-weight rows -> both returned
+    assert by_g[None] == {999, 998}
+    assert 500 not in by_g[0] and 501 not in by_g[0]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_by(df, "g", "w", k=0)

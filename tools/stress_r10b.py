@@ -45,7 +45,11 @@ holt_winters at 4-20M rows with exact replicas.
    phase must pick exactly every triangle's 2-edge MST; edge count,
    total weight, and edge shape verified EXACTLY by aggregation.
 
-Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams|rake|mst]
+8. `weighted_sample_by`: 20M rows, 1000 groups x k=10 — group sizes
+   exact everywhere; three sampled groups bit-equal to the global
+   A-ES sampler run per group.
+
+Usage: python tools/stress_r10b.py [er|hll_by|hw|url|ngrams|rake|mst|wsample]
 """
 
 from __future__ import annotations
@@ -499,6 +503,53 @@ def stress_mst():
     )
 
 
+
+
+def stress_wsample_by():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_by,
+    )
+
+    spark = _spark()
+    n, n_groups, k = 20_000_000, 1000, 10
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % n_groups).alias("g"),
+        F.col("id").alias("doc_id"),
+        (1.0 + (F.col("id") % 7).cast("double")).alias("w"),
+    )
+    t0 = time.time()
+    out = weighted_sample_by(df, "g", "w", k=k, id_col="doc_id")
+    sizes = out.groupBy("g").count().agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.min("count").alias("lo"),
+        F.max("count").alias("hi"),
+    ).collect()[0]
+    wall = time.time() - t0
+    assert (sizes["ng"], sizes["lo"], sizes["hi"]) == (n_groups, k, k), sizes
+    # three sampled groups equal the GLOBAL sampler run on the group
+    # alone (identical A-ES key construction)
+    for g in (0, 499, 999):
+        got = {
+            r["doc_id"]
+            for r in out.filter(F.col("g") == g).collect()
+        }
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.filter(F.col("g") == g), "w", k=k, id_col="doc_id"
+            ).collect()
+        }
+        assert got == solo, g
+    print(
+        f"weighted_sample_by: {n} rows -> {n_groups} groups x {k}, "
+        f"sizes exact, 3 sampled groups BIT-EQUAL to the global "
+        f"sampler per group, {wall:.1f}s"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("er", "all"):
@@ -515,3 +566,5 @@ if __name__ == "__main__":
         stress_rake()
     if which in ("mst", "all"):
         stress_mst()
+    if which in ("wsample", "all"):
+        stress_wsample_by()
