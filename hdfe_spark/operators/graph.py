@@ -705,14 +705,20 @@ def mst_boruvka(
             f"{wtype.simpleString()}; exact argmin needs integral "
             "weights (quantize upstream)"
         )
-    # canonical undirected edges (u < v), cheapest parallel edge
+    # canonical undirected edges (u < v), cheapest parallel edge.
+    # NULL weights are dropped up front: Spark struct-min orders a
+    # NULL field BEFORE every value, so a NULL-weight edge would win
+    # every argmin (review finding) — and a weightless edge has no
+    # defined place in an MST anyway.
     canon = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
             F.col(weight_col).cast("long").alias("w"),
         )
-        .filter(F.col("a") != F.col("b"))
+        .filter(
+            (F.col("a") != F.col("b")) & F.col("w").isNotNull()
+        )
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)
@@ -726,6 +732,8 @@ def mst_boruvka(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
+    from hdfe_spark.operators.estimate import _unpersist_checkpoint
+
     picked = None
     for _ in range(n_rounds):
         la = labels.select(
@@ -734,23 +742,31 @@ def mst_boruvka(
         lb = labels.select(
             F.col("node").alias("__nb"), F.col("comp").alias("__cb")
         )
+        # materialize ONCE per phase: the argmin, the parent table,
+        # and the emptiness decision all read this double join
+        # (review finding: un-checkpointed it executed 3x per phase)
         cross = (
             sym.join(la, sym["a"] == la["__na"])
             .join(lb, sym["b"] == lb["__nb"])
             .filter(F.col("__ca") != F.col("__cb"))
+            .localCheckpoint(eager=True)
         )
-        if cross.limit(1).count() == 0:
-            break
-        # min outgoing edge per component under (w, min, max)
+        # min outgoing edge per component under (w, min, max); the
+        # struct also carries the edge's FAR component so the
+        # contraction needs no join back against cross
         chosen = cross.groupBy("__ca").agg(
             F.min(
                 F.struct(
                     F.col("w"),
                     F.least(F.col("a"), F.col("b")).alias("u"),
                     F.greatest(F.col("a"), F.col("b")).alias("v"),
+                    F.col("__cb").alias("cb"),
                 )
             ).alias("m")
-        )
+        ).localCheckpoint(eager=True)
+        _unpersist_checkpoint(cross)
+        if chosen.limit(1).count() == 0:
+            break
         new_edges = chosen.select(
             F.col("m.u").alias("u"),
             F.col("m.v").alias("v"),
@@ -761,33 +777,64 @@ def mst_boruvka(
             if picked is None
             else picked.unionByName(new_edges).distinct()
         ).localCheckpoint(eager=True)
-        # contract: relabel via CC over components linked this phase
-        comp_edges = (
-            cross.join(
-                new_edges,
-                (F.least(cross["a"], cross["b"]) == new_edges["u"])
-                & (F.greatest(cross["a"], cross["b"]) == new_edges["v"])
-                & (cross["w"] == new_edges["w"]),
-                "left_semi",
-            )
-            .select(
-                F.col("__ca").alias("x"), F.col("__cb").alias("y")
-            )
-            .distinct()
+        # contract by POINTER DOUBLING over the chosen-edge pseudo-
+        # forest, not min-label CC: each component points at the far
+        # component of its pick; the functional graph is trees
+        # hanging off 2-cycles (mutual picks). Break each 2-cycle at
+        # its min endpoint, then square the pointer until fixpoint —
+        # O(log diameter) rounds, where one-hop min-label CC needs
+        # O(diameter) rounds and its max_iter raises on chain-shaped
+        # merge graphs (review finding: a monotone-weight path is
+        # exactly that shape).
+        par = chosen.select(
+            F.col("__ca").alias("c"), F.col("m.cb").alias("p")
         )
-        cc = connected_components(comp_edges, src="x", dst="y")
-        labels = (
-            labels.join(
-                cc, labels["comp"] == cc["node"], "left"
-            )
+        pp = par.select(
+            F.col("c").alias("__c2"), F.col("p").alias("__p2")
+        )
+        par = (
+            par.join(pp, par["p"] == pp["__c2"], "left")
             .select(
-                labels["node"],
-                F.coalesce(cc["component"], labels["comp"]).alias(
-                    "comp"
-                ),
+                "c",
+                F.when(
+                    F.col("__p2") == F.col("c"),  # 2-cycle
+                    F.least(F.col("c"), F.col("p")),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
             )
             .localCheckpoint(eager=True)
         )
+        while True:
+            hop = par.select(
+                F.col("c").alias("__c2"), F.col("p").alias("__p2")
+            )
+            nxt = (
+                par.join(hop, par["p"] == hop["__c2"], "left")
+                .select(
+                    "c",
+                    F.coalesce(F.col("__p2"), F.col("p")).alias("p"),
+                    (
+                        F.coalesce(F.col("__p2"), F.col("p"))
+                        != F.col("p")
+                    ).cast("long").alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.agg(F.sum("__chg")).collect()[0][0]
+            _unpersist_checkpoint(par)
+            par = nxt.drop("__chg")
+            if not changed:
+                break
+        labels = (
+            labels.join(par, labels["comp"] == par["c"], "left")
+            .select(
+                labels["node"],
+                F.coalesce(par["p"], labels["comp"]).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(par)
     if picked is None:
         return canon.filter(F.lit(False)).select(
             F.col("a").alias("u"), F.col("b").alias("v"), "w"

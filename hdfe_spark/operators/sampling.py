@@ -86,6 +86,20 @@ def split_by_hash(
     )
 
 
+def _aes_key(id_col: str, weight_col: str) -> Column:
+    """The Efraimidis-Spirakis key ln(u)/w with u from the Knuth
+    multiplicative hash of the id — spelled ONCE and shared by
+    `weighted_sample` and `weighted_sample_by`, whose documented
+    contract is that their selections are bit-identical per group;
+    two hand-copied expression blocks could silently drift."""
+    h = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(2654435761),
+        F.lit(1 << 32),
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    return F.ln(u) / F.col(weight_col)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -115,12 +129,7 @@ def weighted_sample(
     top-k heaps, k-row driver merge) — no global sort, no shuffle of
     the corpus. At 100 TB this is the sampling primitive for
     quality-weighted corpus mixing."""
-    h = F.pmod(
-        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(2654435761),
-        F.lit(1 << 32),
-    )
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
-    key = F.ln(u) / F.col(weight_col)
+    key = _aes_key(id_col, weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("es_key", F.round(key, 10))
@@ -233,12 +242,7 @@ def weighted_sample_by(
     """
     if k < 1:
         raise ValueError("weighted_sample_by: k must be >= 1")
-    h = F.pmod(
-        F.pmod(F.col(id_col), F.lit(1 << 31)) * F.lit(2654435761),
-        F.lit(1 << 32),
-    )
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
-    key = F.ln(u) / F.col(weight_col)
+    key = _aes_key(id_col, weight_col)
     w = Window.partitionBy(group_col).orderBy(
         F.col("es_key").desc(), F.col(id_col)
     )

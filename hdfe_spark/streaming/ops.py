@@ -26,20 +26,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def read_table_stream(
-    spark: SparkSession, sf_dir: str, table: str
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Generic file-source stream over a single-file fixture table
     (the `read_events_stream` symlink-directory trick, shared): the
     file-stream source requires a DIRECTORY, so the file is exposed
     through a cached temp dir of symlinks, swept at interpreter
-    exit. No event-time normalization — use `read_events_stream`
-    for the events table."""
+    exit. No event-time normalization — `read_events_stream` wraps
+    this helper and adds it for the events table."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     src = os.path.abspath(f"{sf_dir}/{table}.parquet")
     cache = read_table_stream.__dict__.setdefault("_dirs", {})
     d = cache.get(src)
@@ -68,37 +72,7 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events fixture (one-file directory;
     ``maxFilesPerTrigger`` makes it incremental in tests)."""
-    if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file-stream source requires a *directory*; the fixture is a
-    # single file. Expose it through a temp dir of symlinks (cheap,
-    # read-only-safe) — cached per fixture path so a 100-query driver
-    # session makes ONE dir, not one per streaming query, and swept
-    # at interpreter exit.
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    src = os.path.abspath(f"{sf_dir}/events.parquet")
-    cache = read_events_stream.__dict__.setdefault("_dirs", {})
-    d = cache.get(src)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="hdfe_events_stream_")
-        os.symlink(src, os.path.join(d, "events.parquet"))
-        if not cache:
-            atexit.register(
-                lambda: [
-                    shutil.rmtree(p, ignore_errors=True)
-                    for p in cache.values()
-                ]
-            )
-        cache[src] = d
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    stream = read_table_stream(spark, sf_dir, "events", schema=schema)
     # Normalize event time to a real TIMESTAMP whatever physical type
     # the fixture generation wrote (event-time operators reject NTZ,
     # and ns arrives as long under nanosAsLong):
@@ -879,22 +853,12 @@ def streaming_rake(
     (freq, deg) counter pair per distinct word. The score division
     and the min_freq cut ride the OUTPUT projection, so they never
     touch state."""
-    from hdfe_spark.operators.text import _rake_words
+    from hdfe_spark.operators.text import rake_keywords
 
-    if min_freq < 1:
-        raise ValueError("streaming_rake: min_freq must be >= 1")
-    words = _rake_words(stream, text_col, stopwords)
-    out = words.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("freq"),
-        F.sum("__plen").cast("long").alias("deg"),
-    )
-    if min_freq > 1:
-        out = out.filter(F.col("freq") >= min_freq)
-    return out.select(
-        "word",
-        "freq",
-        "deg",
-        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
-            "score"
-        ),
+    # the batch operator IS streaming-safe end to end (stateless
+    # row expressions + additive aggregates + post-agg projection),
+    # so delegate — a copied body would silently diverge from the
+    # batch semantics this form's whole contract is equality with
+    return rake_keywords(
+        stream, text_col, stopwords=stopwords, min_freq=min_freq
     )

@@ -658,6 +658,33 @@ def test_mst_matches_kruskal(spark):
     assert got == want
 
 
+def test_mst_chain_merge_graph(spark):
+    """Review regression: a monotone-weight path makes phase 1 pick
+    EVERY edge, so the contraction graph is one long chain — the
+    old min-label-CC contraction exceeded max_iter=50 and raised;
+    pointer doubling handles it in O(log n) rounds."""
+    from hdfe_spark.operators.graph import mst_boruvka
+
+    n = 200
+    path = spark.createDataFrame(
+        [(i, i + 1, 100 + i) for i in range(n - 1)],
+        "u long, v long, w long",
+    )
+    got = {
+        (r["u"], r["v"]) for r in mst_boruvka(path, n_rounds=1).collect()
+    }
+    assert got == {(i, i + 1) for i in range(n - 1)}
+    # NULL-weight edges are excluded, never argmin winners
+    withnull = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, None), (0, 2, 7)], "u long, v long, w long"
+    )
+    got2 = {
+        (r["u"], r["v"], r["w"])
+        for r in mst_boruvka(withnull, n_rounds=2).collect()
+    }
+    assert got2 == {(0, 1, 5), (0, 2, 7)}
+
+
 def test_mst_partial_and_guards(spark):
     import pytest
 
@@ -672,11 +699,12 @@ def test_mst_partial_and_guards(spark):
         for r in mst_boruvka(tri, n_rounds=1).collect()
     }
     assert got == {(0, 1, 1), (1, 2, 2)}
-    # a 5-path needs 3 phases; 1 phase returns a PARTIAL forest that
-    # is still a subset of the unique MST (here: every pick is safe)
-    path = spark.createDataFrame(
-        [(i, i + 1, 10 + i) for i in range(5)], "u long, v long, w long"
-    )
+    # non-monotone path weights: one phase leaves a genuine GAP, so
+    # the partial-forest contract (subset of the unique MST, never a
+    # wrong edge) is actually exercised (a monotone path completes
+    # in one phase — the earlier version of this test was vacuous)
+    zig = [(0, 1, 1), (1, 2, 9), (2, 3, 2), (3, 4, 8), (4, 5, 3)]
+    path = spark.createDataFrame(zig, "u long, v long, w long")
     full = {
         (r["u"], r["v"]) for r in mst_boruvka(path, n_rounds=3).collect()
     }
@@ -684,7 +712,10 @@ def test_mst_partial_and_guards(spark):
     part = {
         (r["u"], r["v"]) for r in mst_boruvka(path, n_rounds=1).collect()
     }
-    assert part <= full and len(part) >= 3
+    # phase 1 picks exactly {(0,1), (2,3), (4,5)} — the heavy
+    # (1,2) and (3,4) edges are nobody's minimum: two real gaps
+    assert part == {(0, 1), (2, 3), (4, 5)}
+    assert part < full
     with pytest.raises(ValueError, match="integral"):
         mst_boruvka(
             spark.createDataFrame([(0, 1, 1.5)], "u long, v long, w double")

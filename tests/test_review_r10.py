@@ -133,3 +133,25 @@ def test_streaming_hll_finalize_empty_defined(spark):
 
     assert "isNotNull" in inspect.getsource(em._q_rrf_fuse)
     assert em.oracle_sql()["rrf_fuse"].count("IS NOT NULL") == 2
+
+
+def test_third_review_shared_spellings():
+    """Third review pass, pinned: streaming_rake delegates to the
+    batch operator (its contract IS batch equality); the events
+    stream delegates the symlink-dir mechanism to read_table_stream
+    (one cache, one sweeper); both weighted samplers share one
+    _aes_key spelling (their contract is bit-equal selection)."""
+    import inspect
+
+    import hdfe_spark.operators.sampling as sampling
+    import hdfe_spark.streaming.ops as ops
+
+    assert "return rake_keywords(" in inspect.getsource(ops.streaming_rake)
+    assert "read_table_stream(" in inspect.getsource(
+        ops.read_events_stream
+    )
+    # exactly one copy of the Knuth-hash expression survives (the
+    # shared helper; docstring prose aside)
+    assert inspect.getsource(sampling).count("F.lit(2654435761)") == 1
+    for fn in (sampling.weighted_sample, sampling.weighted_sample_by):
+        assert "_aes_key(" in inspect.getsource(fn), fn.__name__
