@@ -5581,137 +5581,30 @@ def _q_streaming_rake(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
-    CORRECTNESS window (rounds 3-6 each recorded exactly the first
-    50 dict entries — SURVEY.md S2.5 documents the rotation policy).
+    CORRECTNESS window (each round records exactly the first 50 dict
+    entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-8 ROTATION (thirteenth curation pass; extended late in
-    round 8 when the five operators pre-built mid-round were
-    registered — VERDICT r7 items 1-2, 7-8 plus the queued round-9
-    lead task executed early):
+    ROUND-10 ROTATION (fourteenth curation pass), executed exactly as
+    queued in SURVEY.md after CORRECTNESS_r09 came back 50/50 green:
 
-    - positions 1-15: the fifteen round-7 builds (`anova` ...
-      `binary_source`) — never driver-recorded after round 7's
-      clean 50/50 window; all locally hash-green under the
-      dtype-strict replica gate.
-    - positions 16-22: the seven round-8 registrations of the
-      operators pre-built (with tests + stress) in round 7:
-      `bm25` `dbscan` `shortest_paths` `mutual_information`
-      `best_split` `seasonal` `km_by`. Each is oracle-checked.
-    - positions 23-27: the five round-9 registrations of the
-      operators pre-built in round 8: `funnel_steps`
-      `cohort_retention` `assoc_rules` `gwq` `changepoint`. Each is
-      oracle-checked. (`funnel_steps`/`cohort_retention` are named
-      apart from the older driver-green `funnel`/`retention`
-      queries, which are hand-built event queries; the new pair are
-      the `operators/sessions.py` windowed-funnel and
-      cohort-triangle OPERATORS.)
-    - positions 28-34: the first round-9 batch — `transitions`
-      (Markov transition matrix), `logistic` (quantized-Newton
-      logistic regression, the sixth iterative certificate),
-      `itemcf` (item-item cosine top-k), `kcore` (fixed-round peel
-      with convergence flag), `streaming_transitions` (sixteenth
-      streaming form, integer availableNow-equals-batch),
-      `labelprop` (synchronous label-propagation communities),
-      `logistic_by` (per-group Newton with broadcast beta
-      re-entry). Each oracle-checked.
-    - positions 35-39: the second round-9 batch — `holt` (Holt
-      linear smoothing), `hll` (deterministic HyperLogLog), `hits`
-      (integer hubs/authorities), `poisson` (quantized-Newton
-      Poisson regression), `tree2` (greedy depth-2 CART). Each
-      oracle-checked.
-    - positions 40-50: re-certification of the 11 stalest driver
-      rows (r03/r04 greens, now 5-6 rounds old, code untouched but
-      fixtures regenerated every round). The second round-9 batch
-      displaced five further re-certs (`ols_3fe` `quality`
-      `repetition_stats` `scrub_pii` `se_robust`) to the head of
-      the backlog — they keep their r03/r04 green rows and lead
-      the next rotation.
-    - positions 51+: the oracle-checked backlog (most recent driver
-      evidence first), ALL still gated locally every round
-      (`tools/full_gate.sh`); the 11 rows-only demos sit at the
-      very end — per VERDICT item 8 the window spends slots only on
-      hash-matchable rows, and each demo's exactness certificate
-      (`*_recall` / `*_exactness` / `bpe_roundtrip`) IS
-      oracle-checked and driver-green.
+    - positions 1-12: the twelve round-9-continuation registrations
+      (`er_cluster` `hll_by` `holt_winters` `url_dedup` `event_ngrams`
+      `streaming_hll` `rrf_fuse` `adaboost` `nb_classify` `rake`
+      `rare_levels` `streaming_rake`) -- the only oracle-checked
+      queries with no driver CORRECTNESS row yet.
+    - positions 13-50: the 38 stalest driver-green re-certs: the five
+      r03 rows (`ols_3fe` `quality` `repetition_stats` `scrub_pii`
+      `se_robust`) then the 33 alphabetically-first r04 rows. The
+      remaining r04 rows lead the backlog and the round-11 rotation.
+    - backlog: stalest-evidence-first (ties alphabetical), so the next
+      rotation is always "take the head"; the 11 rows-only demos stay
+      at the tail per the VERDICT-r6 window policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 ------
-        # 1-15: the fifteen round-7 builds, never driver-recorded
-        "anova": _q_anova,
-        "levene": _q_levene,
-        "pca2": _q_pca2,
-        "autocorr": _q_autocorr,
-        "cusum": _q_cusum,
-        "weighted_quantiles": _q_weighted_quantiles,
-        "dedup_reps": _q_dedup_reps,
-        "span_scrub": _q_span_scrub,
-        "lm_buckets": _q_lm_buckets,
-        "streaming_anomaly": _q_streaming_anomaly,
-        "isotonic_cal": _q_isotonic_cal,
-        "bfs_levels": _q_bfs_levels,
-        "gini": _q_gini,
-        "cross_corr": _q_cross_corr,
-        "binary_source": _q_binary_source,
-        # 16-22: the seven round-8 registrations
-        "bm25": _q_bm25,
-        "dbscan": _q_dbscan,
-        "shortest_paths": _q_shortest_paths,
-        "mutual_information": _q_mutual_information,
-        "best_split": _q_best_split,
-        "seasonal": _q_seasonal,
-        "km_by": _q_km_by,
-        # 23-27: the five round-9 registrations
-        "funnel_steps": _q_funnel_steps,
-        "cohort_retention": _q_cohort_retention,
-        "assoc_rules": _q_assoc_rules,
-        "gwq": _q_gwq,
-        "changepoint": _q_changepoint,
-        # 28-34: the first round-9 batch
-        "transitions": _q_transitions,
-        "logistic": _q_logistic,
-        "itemcf": _q_itemcf,
-        "kcore": _q_kcore,
-        "streaming_transitions": _q_streaming_transitions,
-        "labelprop": _q_labelprop,
-        "logistic_by": _q_logistic_by,
-        # 35-39: the second round-9 batch
-        "holt": _q_holt,
-        "hll": _q_hll,
-        "hits": _q_hits,
-        "poisson": _q_poisson,
-        "tree2": _q_tree2,
-        # 40-50: re-certification of the stalest driver
-        # evidence (r03/r04 greens, 5-6 rounds old)
-        "cosine_topk": _q_cosine_topk,
-        "dummies_drop_last": _q_dummies_drop_last,
-        "embedding_neardup": _q_embedding_neardup,
-        "grouped_agg_salted": _q_grouped_agg_salted,
-        "knn_join": _q_knn_join,
-        "lags_zero_fill": _q_lags_zero_fill,
-        "lang_id": _q_lang_id,
-        "line_dedup": _q_line_dedup,
-        "minhash_dedup_cc": _q_minhash_dedup_cc,
-        "minhash_pairs": _q_minhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        # ------ end of the driver's 50-query window ------
-        # backlog: first the 5 re-certs displaced by the
-        # second round-9 batch (all r03/r04 driver-green),
-        # then the re-certs displaced by earlier rotations,
-        # then remaining oracle-checked queries, most recent
-        # driver rows first; the 11 rows-only demos sit
-        # LAST (window slots go to hash-matchable rows
-        # only - each demo's certificate query is oracle-
-        # checked and driver-green)
-        "ols_3fe": _q_ols_3fe,
-        "quality": _q_quality,
-        "repetition_stats": _q_repetition_stats,
-        "scrub_pii": _q_scrub_pii,
-        "se_robust": _q_se_robust,
-        # round-9-continuation registrations (positions 56-66):
-        # the nine de-risked round-10 pre-builds plus rake /
-        # rare_levels, all oracle-checked now and queued for the
-        # round-10 window rotation
+        # ------ driver window: positions 1-50 (round-10 rotation) ------
+        # 1-12: the twelve round-9-continuation registrations --
+        # never driver-recorded (gate-green since GATELOG_r9)
         "er_cluster": _q_er_cluster,
         "hll_by": _q_hll_by,
         "holt_winters": _q_holt_winters,
@@ -5724,6 +5617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake": _q_rake,
         "rare_levels": _q_rare_levels,
         "streaming_rake": _q_streaming_rake,
+        # 13-50: the 38 stalest driver-green re-certs (newest
+        # evidence r03/r04, displaced across rounds 7-9)
+        "ols_3fe": _q_ols_3fe,
+        "quality": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "scrub_pii": _q_scrub_pii,
+        "se_robust": _q_se_robust,
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "approx_distinct": _q_approx_distinct,
@@ -5736,52 +5636,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
         "exact_dedup": _q_exact_dedup,
         "factorize": _q_factorize,
-        "ab_proportions": _q_ab_proportions,
-        "ab_ttest": _q_ab_ttest,
-        "attribution": _q_attribution,
-        "auc": _q_auc,
-        "benford": _q_benford,
-        "bootstrap_ci": _q_bootstrap_ci,
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "calibration": _q_calibration,
-        "chi2_contingency": _q_chi2_contingency,
-        "col_profile": _q_col_profile,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "containment": _q_containment,
-        "dpp_pruned_join": _q_dpp_pruned_join,
-        "ewma": _q_ewma,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "gap_fill": _q_gap_fill,
-        "hard_negatives": _q_hard_negatives,
-        "inverted_index": _q_inverted_index,
-        "kfold_cv": _q_kfold_cv,
-        "kmeans": _q_kmeans,
-        "ks_test": _q_ks_test,
-        "log_parse": _q_log_parse,
-        "mahalanobis": _q_mahalanobis,
-        "mann_whitney": _q_mann_whitney,
-        "minhash_dedup": _q_minhash_dedup,
-        "ols_2fe": _q_ols_2fe,
-        "ols_ridge": _q_ols_ridge,
-        "pack_sequences": _q_pack_sequences,
-        "psi_drift": _q_psi_drift,
-        "radius_join": _q_radius_join,
-        "recursive_cte": _q_recursive_cte,
-        "robust_ols": _q_robust_ols,
-        "rolling_beta": _q_rolling_beta,
-        "running_total": _q_running_total,
-        "sessionize": _q_sessionize,
-        "spearman": _q_spearman,
-        "standardize": _q_standardize,
-        "streaming_dq": _q_streaming_dq,
-        "streaming_ewma": _q_streaming_ewma,
-        "streaming_upsert": _q_streaming_upsert,
-        "survival": _q_survival,
-        "target_encode": _q_target_encode,
-        "tfidf_topk": _q_tfidf_topk,
-        "upsert_roundtrip": _q_upsert_roundtrip,
-        "weighted_sample": _q_weighted_sample,
+        "fe_effects": _q_fe_effects,
+        "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
+        "gram": _q_gram,
+        "groupby_reuse": _q_groupby_reuse,
+        "grouped_agg": _q_grouped_agg,
+        "grouped_apply": _q_grouped_apply,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_transform": _q_grouped_transform,
+        "hash_split": _q_hash_split,
+        "ivf_recall": _q_ivf_recall,
+        "join_agg_topk": _q_join_agg_topk,
+        "lags": _q_lags,
+        "lm_logprob": _q_lm_logprob,
+        "multimodal_decode": _q_multimodal_decode,
+        "normalize_text": _q_normalize_text,
+        "ols_pooled": _q_ols_pooled,
+        "ols_within_fe": _q_ols_within_fe,
+        "pipeline_curate": _q_pipeline_curate,
+        "rank_repair": _q_rank_repair,
+        "residuals": _q_residuals,
+        "rollup_agg": _q_rollup_agg,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
+        # head of the backlog IS the next rotation's re-cert list;
+        # the 11 rows-only demos sit last (window slots go to
+        # hash-matchable rows only -- each demo's exactness
+        # certificate query is oracle-checked and driver-green)
+        "scalar_funcs": _q_scalar_funcs,
+        "se_cluster": _q_se_cluster,
+        "se_pooled": _q_se_pooled,
+        "set_ops": _q_set_ops,
+        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_agg": _q_streaming_agg,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_lags": _q_streaming_lags,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_window": _q_streaming_window,
+        "token_stats": _q_token_stats,
+        "window_funcs": _q_window_funcs,
+        "approx_quantiles": _q_approx_quantiles,
+        "array_funcs": _q_array_funcs,
+        "bigram_logprob": _q_bigram_logprob,
+        "bloom_join": _q_bloom_join,
+        "char_entropy": _q_char_entropy,
+        "chunk_docs": _q_chunk_docs,
+        "corr_matrix": _q_corr_matrix,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "cube_agg": _q_cube_agg,
+        "equidepth_hist": _q_equidepth_hist,
+        "exact_median": _q_exact_median,
+        "feature_hash": _q_feature_hash,
+        "filter_agg": _q_filter_agg,
+        "funnel": _q_funnel,
+        "group_ols": _q_group_ols,
+        "grouping_sets": _q_grouping_sets,
+        "histogram": _q_histogram,
+        "interval_arith": _q_interval_arith,
+        "ivfpq_recall": _q_ivfpq_recall,
+        "json_roundtrip": _q_json_roundtrip,
+        "key_skew": _q_key_skew,
+        "latest_per_key": _q_latest_per_key,
+        "multimodal_resize": _q_multimodal_resize,
+        "null_semantics": _q_null_semantics,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "pivot_wide": _q_pivot_wide,
+        "posexplode_lateral": _q_posexplode_lateral,
+        "pq_recall": _q_pq_recall,
+        "range_join": _q_range_join,
+        "resample": _q_resample,
+        "retention": _q_retention,
+        "rolling_window": _q_rolling_window,
+        "salted_join": _q_salted_join,
+        "semi_anti_join": _q_semi_anti_join,
+        "sql_q1": _q_sql_q1,
+        "streaming_enrich": _q_streaming_enrich,
+        "subqueries": _q_subqueries,
+        "tpch_q3": _q_tpch_q3,
+        "unpivot_long": _q_unpivot_long,
+        "window_ranks": _q_window_ranks,
+        "zorder_layout": _q_zorder_layout,
         "agg_refresh": _q_agg_refresh,
         "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
@@ -5831,82 +5768,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "video_frames": _q_video_frames,
         "winsorize": _q_winsorize,
-        "approx_quantiles": _q_approx_quantiles,
-        "array_funcs": _q_array_funcs,
-        "bigram_logprob": _q_bigram_logprob,
-        "bloom_join": _q_bloom_join,
-        "char_entropy": _q_char_entropy,
-        "chunk_docs": _q_chunk_docs,
-        "corr_matrix": _q_corr_matrix,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "cube_agg": _q_cube_agg,
-        "equidepth_hist": _q_equidepth_hist,
-        "exact_median": _q_exact_median,
-        "feature_hash": _q_feature_hash,
-        "filter_agg": _q_filter_agg,
-        "funnel": _q_funnel,
-        "group_ols": _q_group_ols,
-        "grouping_sets": _q_grouping_sets,
-        "histogram": _q_histogram,
-        "interval_arith": _q_interval_arith,
-        "ivfpq_recall": _q_ivfpq_recall,
-        "json_roundtrip": _q_json_roundtrip,
-        "key_skew": _q_key_skew,
-        "latest_per_key": _q_latest_per_key,
-        "multimodal_resize": _q_multimodal_resize,
-        "null_semantics": _q_null_semantics,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "pivot_wide": _q_pivot_wide,
-        "posexplode_lateral": _q_posexplode_lateral,
-        "pq_recall": _q_pq_recall,
-        "range_join": _q_range_join,
-        "resample": _q_resample,
-        "retention": _q_retention,
-        "rolling_window": _q_rolling_window,
-        "salted_join": _q_salted_join,
-        "semi_anti_join": _q_semi_anti_join,
-        "sql_q1": _q_sql_q1,
-        "streaming_enrich": _q_streaming_enrich,
-        "subqueries": _q_subqueries,
-        "tpch_q3": _q_tpch_q3,
-        "unpivot_long": _q_unpivot_long,
-        "window_ranks": _q_window_ranks,
-        "zorder_layout": _q_zorder_layout,
-        "fe_effects": _q_fe_effects,
-        "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
-        "gram": _q_gram,
-        "groupby_reuse": _q_groupby_reuse,
-        "grouped_agg": _q_grouped_agg,
-        "grouped_apply": _q_grouped_apply,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "grouped_transform": _q_grouped_transform,
-        "hash_split": _q_hash_split,
-        "ivf_recall": _q_ivf_recall,
-        "join_agg_topk": _q_join_agg_topk,
-        "lags": _q_lags,
-        "lm_logprob": _q_lm_logprob,
-        "multimodal_decode": _q_multimodal_decode,
-        "normalize_text": _q_normalize_text,
-        "ols_pooled": _q_ols_pooled,
-        "ols_within_fe": _q_ols_within_fe,
-        "pipeline_curate": _q_pipeline_curate,
-        "rank_repair": _q_rank_repair,
-        "residuals": _q_residuals,
-        "rollup_agg": _q_rollup_agg,
-        "scalar_funcs": _q_scalar_funcs,
-        "se_cluster": _q_se_cluster,
-        "se_pooled": _q_se_pooled,
-        "set_ops": _q_set_ops,
-        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
-        "stratified_sample": _q_stratified_sample,
-        "streaming_agg": _q_streaming_agg,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_lags": _q_streaming_lags,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_window": _q_streaming_window,
-        "token_stats": _q_token_stats,
-        "window_funcs": _q_window_funcs,
+        "ab_proportions": _q_ab_proportions,
+        "ab_ttest": _q_ab_ttest,
+        "attribution": _q_attribution,
+        "auc": _q_auc,
+        "benford": _q_benford,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "calibration": _q_calibration,
+        "chi2_contingency": _q_chi2_contingency,
+        "col_profile": _q_col_profile,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "containment": _q_containment,
+        "dpp_pruned_join": _q_dpp_pruned_join,
+        "ewma": _q_ewma,
+        "fuzzy_dedup": _q_fuzzy_dedup,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "gap_fill": _q_gap_fill,
+        "hard_negatives": _q_hard_negatives,
+        "inverted_index": _q_inverted_index,
+        "kfold_cv": _q_kfold_cv,
+        "kmeans": _q_kmeans,
+        "ks_test": _q_ks_test,
+        "log_parse": _q_log_parse,
+        "mahalanobis": _q_mahalanobis,
+        "mann_whitney": _q_mann_whitney,
+        "minhash_dedup": _q_minhash_dedup,
+        "ols_2fe": _q_ols_2fe,
+        "ols_ridge": _q_ols_ridge,
+        "pack_sequences": _q_pack_sequences,
+        "psi_drift": _q_psi_drift,
+        "radius_join": _q_radius_join,
+        "recursive_cte": _q_recursive_cte,
+        "robust_ols": _q_robust_ols,
+        "rolling_beta": _q_rolling_beta,
+        "running_total": _q_running_total,
+        "sessionize": _q_sessionize,
+        "spearman": _q_spearman,
+        "standardize": _q_standardize,
+        "streaming_dq": _q_streaming_dq,
+        "streaming_ewma": _q_streaming_ewma,
+        "streaming_upsert": _q_streaming_upsert,
+        "survival": _q_survival,
+        "target_encode": _q_target_encode,
+        "tfidf_topk": _q_tfidf_topk,
+        "upsert_roundtrip": _q_upsert_roundtrip,
+        "weighted_sample": _q_weighted_sample,
+        "anova": _q_anova,
+        "assoc_rules": _q_assoc_rules,
+        "autocorr": _q_autocorr,
+        "best_split": _q_best_split,
+        "bfs_levels": _q_bfs_levels,
+        "binary_source": _q_binary_source,
+        "bm25": _q_bm25,
+        "changepoint": _q_changepoint,
+        "cohort_retention": _q_cohort_retention,
+        "cosine_topk": _q_cosine_topk,
+        "cross_corr": _q_cross_corr,
+        "cusum": _q_cusum,
+        "dbscan": _q_dbscan,
+        "dedup_reps": _q_dedup_reps,
+        "dummies_drop_last": _q_dummies_drop_last,
+        "embedding_neardup": _q_embedding_neardup,
+        "funnel_steps": _q_funnel_steps,
+        "gini": _q_gini,
+        "grouped_agg_salted": _q_grouped_agg_salted,
+        "gwq": _q_gwq,
+        "hits": _q_hits,
+        "hll": _q_hll,
+        "holt": _q_holt,
+        "isotonic_cal": _q_isotonic_cal,
+        "itemcf": _q_itemcf,
+        "kcore": _q_kcore,
+        "km_by": _q_km_by,
+        "knn_join": _q_knn_join,
+        "labelprop": _q_labelprop,
+        "lags_zero_fill": _q_lags_zero_fill,
+        "lang_id": _q_lang_id,
+        "levene": _q_levene,
+        "line_dedup": _q_line_dedup,
+        "lm_buckets": _q_lm_buckets,
+        "logistic": _q_logistic,
+        "logistic_by": _q_logistic_by,
+        "minhash_dedup_cc": _q_minhash_dedup_cc,
+        "minhash_pairs": _q_minhash_pairs,
+        "mutual_information": _q_mutual_information,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "pca2": _q_pca2,
+        "poisson": _q_poisson,
+        "seasonal": _q_seasonal,
+        "shortest_paths": _q_shortest_paths,
+        "span_scrub": _q_span_scrub,
+        "streaming_anomaly": _q_streaming_anomaly,
+        "streaming_transitions": _q_streaming_transitions,
+        "transitions": _q_transitions,
+        "tree2": _q_tree2,
+        "weighted_quantiles": _q_weighted_quantiles,
+        # rows-only demos (registry tail)
         "bpe_merges": _q_bpe_merges,
         "ivfpq_topk": _q_ivfpq_topk,
         "pq_topk": _q_pq_topk,

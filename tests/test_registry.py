@@ -20,60 +20,40 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round9_window_composition():
-    """Positions 1-50 (fourteenth curation pass): the fifteen
-    round-7 builds, the seven round-8 registrations, the five
-    round-9 registrations of the round-8 pre-builds, the twelve
-    round-9 builds (two batches), then 11 stalest-evidence
-    re-certification rows — every slot oracle-checked; the five
-    re-certs displaced by the second round-9 batch (ols_3fe,
-    quality, repetition_stats, scrub_pii, se_robust) lead the
-    backlog at positions 51-55. If this fails after an
-    intentional round-10 rotation, update the expectation
-    alongside the `queries()` docstring."""
+def test_round10_window_composition():
+    """Positions 1-50 (fourteenth curation pass, executed as queued
+    in SURVEY.md): 1-12 = the twelve round-9-continuation
+    registrations (the only oracle-checked queries with no driver
+    CORRECTNESS row), 13-50 = the 38 stalest driver-green re-certs
+    (five r03 rows, then the 33 alphabetically-first r04 rows);
+    the backlog is ordered stalest-evidence-first so its head IS
+    the round-11 re-cert list. If this fails after an intentional
+    round-11 rotation, update the expectation alongside the
+    `queries()` docstring."""
     q = list(em.queries())
-    assert set(q[:15]) == {
-        "anova", "levene", "pca2", "autocorr", "cusum",
-        "weighted_quantiles", "dedup_reps", "span_scrub",
-        "lm_buckets", "streaming_anomaly", "isotonic_cal",
-        "bfs_levels", "gini", "cross_corr", "binary_source",
-    }
-    assert set(q[15:22]) == {
-        "bm25", "dbscan", "shortest_paths", "mutual_information",
-        "best_split", "seasonal", "km_by",
-    }
-    assert set(q[22:27]) == {
-        "funnel_steps", "cohort_retention", "assoc_rules", "gwq",
-        "changepoint",
-    }
-    assert set(q[27:34]) == {
-        "transitions", "logistic", "itemcf", "kcore",
-        "streaming_transitions", "labelprop", "logistic_by",
-    }
-    assert set(q[34:39]) == {"holt", "hll", "hits", "poisson", "tree2"}
-    # 40-50: re-certs, all oracle-checked; the five displaced
-    # re-certs lead the backlog at 51-55
-    assert set(q[50:55]) == {
-        "ols_3fe", "quality", "repetition_stats", "scrub_pii",
-        "se_robust",
-    }
-    # rows-only demos must all sit OUTSIDE the window
-    oracles = em.oracle_sql()
-    rows_only = [k for k in q if k not in oracles]
-    assert len(rows_only) == 11
-    assert all(q.index(k) >= 50 for k in rows_only), rows_only
-    assert len(set(q)) == len(q)
-    assert len(q) == 261
-    # round-9-continuation registrations: ALL NINE round-10
-    # pre-builds plus two same-session builds (rake keyword
-    # extraction, rare-level collapsing), oracle-checked and queued
-    # at the backlog head (adaboost/nb_classify landed after a
-    # measured libm-parity analysis cleared their exp/ln oracles)
-    assert set(q[55:67]) == {
+    assert q[:12] == [
         "er_cluster", "hll_by", "holt_winters", "url_dedup",
         "event_ngrams", "streaming_hll", "rrf_fuse", "adaboost",
         "nb_classify", "rake", "rare_levels", "streaming_rake",
-    }
+    ]
+    assert q[12:17] == [
+        "ols_3fe", "quality", "repetition_stats", "scrub_pii",
+        "se_robust",
+    ]
+    # 18-50: the alphabetically-first r04 re-certs
+    assert q[17:50] == sorted(q[17:50])
+    assert q[17] == "all_dummies" and q[49] == "rollup_agg"
+    # backlog head: the r04 rows that did not fit the window
+    assert q[50:54] == [
+        "scalar_funcs", "se_cluster", "se_pooled", "set_ops",
+    ]
+    # rows-only demos must all sit OUTSIDE the window, at the tail
+    oracles = em.oracle_sql()
+    rows_only = [k for k in q if k not in oracles]
+    assert len(rows_only) == 11
+    assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
+    assert len(set(q)) == len(q)
+    assert len(q) == 261
 
 
 def test_every_query_has_callable():
