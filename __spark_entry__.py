@@ -5579,6 +5579,60 @@ def _q_streaming_rake(spark, sf_dir):
     )
 
 
+def _q_mst(spark, sf_dir):
+    """Boruvka minimum-spanning-forest (`operators/graph.py::
+    mst_boruvka`), 2 fixed phases over the weighted customer-supplier
+    graph (the kcore/labelprop edge set with the cheapest lineitem's
+    cents as the integral weight): per phase, every component's
+    minimum outgoing edge under the STRICT (w, min, max) order —
+    deterministic tie-break, so the selected set is exactly the
+    unique MST restricted to Boruvka depth <= 2 and the oracle can
+    unroll both phases (argmin via ranked window, the contraction CC
+    via the `minhash_dedup_cc` reach-closure pattern). All-integer
+    weights, engine-exact argmin."""
+    from hdfe_spark.operators.graph import mst_boruvka
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .agg(
+            # min(double) picks an input value, *100 is one IEEE op
+            # (identical bits in both engines), and a 2-decimal
+            # price times 100 sits within 1 ulp of an integer — so
+            # round() never lands on a .5 tie and the cast is
+            # engine-exact. A bare cast would TRUNCATE x.99999...
+            F.round(F.min("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("w")
+        )
+    )
+    return mst_boruvka(edges, "u", "v", "w", n_rounds=2)
+
+
+def _q_weighted_sample_by(spark, sf_dir):
+    """Per-group deterministic weighted sampling (`operators/
+    sampling.py::weighted_sample_by`, Efraimidis-Spirakis A-ES): 20
+    documents per language drawn with inclusion probability ∝
+    n_chars — the per-source-quota corpus-mixing primitive. The key
+    construction is the SAME `_aes_key` expression as the global
+    `weighted_sample` (documented bit-identical contract), so the
+    oracle is that query's SQL with a QUALIFY row_number over the
+    language partition; a NULL language is itself a group."""
+    from hdfe_spark.operators.sampling import weighted_sample_by
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_by(docs, "lang", "n_chars", 20)
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("es_key", 6).alias("es_key"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -5599,6 +5653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - backlog: stalest-evidence-first (ties alphabetical), so the next
       rotation is always "take the head"; the 11 rows-only demos stay
       at the tail per the VERDICT-r6 window policy.
+
+    Round-10 registrations (the two pre-built operators VERDICT items
+    2-3 called for) sit at the very head of the backlog — never
+    driver-recorded, so they lead the round-11 rotation: `mst`
+    (Boruvka minimum spanning forest, 2-phase SQL-unroll oracle) and
+    `weighted_sample_by` (per-group A-ES sampling, the global
+    sampler's SQL + QUALIFY over the group partition).
     """
 
     return {
@@ -5658,6 +5719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residuals": _q_residuals,
         "rollup_agg": _q_rollup_agg,
         # ------ end of the driver's 50-query window ------
+        # round-10 registrations (never driver-recorded -> they
+        # lead the round-11 rotation)
+        "mst": _q_mst,
+        "weighted_sample_by": _q_weighted_sample_by,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -7154,6 +7219,87 @@ def oracle_sql() -> dict[str, str]:
             FROM k
             ORDER BY round(raw, 10) DESC, doc_id
             LIMIT 50
+        """,
+        # the global sampler's key construction verbatim, + QUALIFY
+        # row_number over the group partition (the recorded design)
+        "weighted_sample_by": """
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     round(ln((((doc_id % 2147483648) * 2654435761)
+                               % 4294967296 + 0.5)
+                           / 4294967296.0) / n_chars, 10) AS ek
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, lang, n_chars, round(ek, 6) AS es_key
+            FROM k
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY ek DESC, doc_id) <= 20
+        """,
+        # 2-phase Boruvka unroll: per-phase argmin as a ranked window
+        # under the STRICT (w, min, max) edge order (unique row per
+        # partition, so rn=1 == Spark's min-struct), contraction as
+        # the minhash_dedup_cc reach-closure CC over the PICKED
+        # edges only. Every node of sym is an endpoint of its own
+        # pick, so the label table covers all nodes.
+        "mst": """
+            WITH RECURSIVE g AS (
+              SELECT o_custkey AS u, l_suppkey + 1000000 AS v,
+                     cast(round(min(l_extendedprice) * 100)
+                          AS bigint) AS w
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2
+            ),
+            canon AS (
+              SELECT least(u, v) AS a, greatest(u, v) AS b,
+                     min(w) AS w
+              FROM g WHERE u <> v AND w IS NOT NULL GROUP BY 1, 2
+            ),
+            sym AS (
+              SELECT a, b, w FROM canon
+              UNION ALL
+              SELECT b, a, w FROM canon
+            ),
+            ch1 AS (
+              SELECT least(a, b) AS u, greatest(a, b) AS v, w,
+                     row_number() OVER (
+                       PARTITION BY a
+                       ORDER BY w, least(a, b), greatest(a, b)
+                     ) AS rn
+              FROM sym
+            ),
+            p1 AS (SELECT DISTINCT u, v, w FROM ch1 WHERE rn = 1),
+            und AS (
+              SELECT u, v FROM p1 UNION SELECT v, u FROM p1
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, n.v FROM reach r JOIN und n ON r.v = n.u
+                WHERE n.v <> r.u
+            ),
+            lab AS (
+              SELECT u AS node, least(u, min(v)) AS comp
+              FROM reach GROUP BY u
+            ),
+            cr2 AS (
+              SELECT s.a, s.b, s.w, la.comp AS ca
+              FROM sym s
+              JOIN lab la ON s.a = la.node
+              JOIN lab lb ON s.b = lb.node
+              WHERE la.comp <> lb.comp
+            ),
+            ch2 AS (
+              SELECT least(a, b) AS u, greatest(a, b) AS v, w,
+                     row_number() OVER (
+                       PARTITION BY ca
+                       ORDER BY w, least(a, b), greatest(a, b)
+                     ) AS rn
+              FROM cr2
+            ),
+            p2 AS (SELECT DISTINCT u, v, w FROM ch2 WHERE rn = 1)
+            SELECT u, v, w FROM p1
+            UNION
+            SELECT u, v, w FROM p2
         """,
         "latest_per_key": """
             WITH r AS (

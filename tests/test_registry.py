@@ -43,8 +43,11 @@ def test_round10_window_composition():
     # 18-50: the alphabetically-first r04 re-certs
     assert q[17:50] == sorted(q[17:50])
     assert q[17] == "all_dummies" and q[49] == "rollup_agg"
-    # backlog head: the r04 rows that did not fit the window
-    assert q[50:54] == [
+    # backlog head: the round-10 registrations (never driver-
+    # recorded -> they lead the round-11 rotation), then the r04
+    # rows that did not fit the window
+    assert q[50:56] == [
+        "mst", "weighted_sample_by",
         "scalar_funcs", "se_cluster", "se_pooled", "set_ops",
     ]
     # rows-only demos must all sit OUTSIDE the window, at the tail
@@ -53,7 +56,7 @@ def test_round10_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 261
+    assert len(q) == 263
 
 
 def test_every_query_has_callable():
