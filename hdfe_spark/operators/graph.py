@@ -539,7 +539,17 @@ def label_propagation(
     bipartite-ish regions can oscillate with period 2 instead of
     converging (the classic LPA result), which fixed rounds render
     deterministic rather than hide — communities are "labels after
-    exactly n_rounds".
+    exactly n_rounds". Concretely (ADVICE r9): an isolated 2-node
+    component {10,11} ends every ODD round with its labels SWAPPED
+    (10→11, 11→10), so the returned labels are NOT guaranteed to be
+    a partition consistent with connectivity — two nodes sharing a
+    label may sit in different oscillation phases, and callers that
+    need a connectivity-consistent partition should use
+    `connected_components` (exact) or group on (label, round-parity
+    insensitive) post-processing of their own. Changing the update
+    to include the node's own label would fix 2-cycles but is a
+    different operator contract — the registered `labelprop` oracle
+    pins the pure-neighbor synchronous vote.
 
     Node labels need only be ORDERABLE (any id type — int, string,
     date): the argmax is min(struct(-count, label)), which negates

@@ -155,6 +155,16 @@ def adaboost_stumps(
                 "adaboost_stumps: a stump separates the labels "
                 "perfectly (alpha infinite) — use best_split"
             )
+        if w_total > (1 << 63) - 1:
+            # the output schema's err_q/w_total_q are int64 (pinned
+            # by the registered oracle); weights grow ~exp(alpha)
+            # per round, so fail HERE with a usable message instead
+            # of at the very end in createDataFrame (ADVICE r9)
+            raise ValueError(
+                f"adaboost_stumps: round {rnd} total weight "
+                f"{w_total} exceeds int64 — lower weight_bits or "
+                "n_rounds"
+            )
         alpha = 0.5 * math.log((w_total - err) / err)
         f_ok = math.exp(-alpha)
         f_bad = math.exp(alpha)

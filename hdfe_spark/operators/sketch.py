@@ -210,10 +210,42 @@ def hll_finalize(bucket_table: DataFrame, b: int = 8) -> DataFrame:
             ),
             F.lit(0).cast("long"),
         ).alias("__s_seen"),
+        F.coalesce(F.max("__bkt"), F.lit(0)).alias("__maxb"),
+        F.coalesce(F.min("__mx"), F.lit(1)).alias("__minx"),
+        F.coalesce(F.max("__mx"), F.lit(33)).alias("__maxx"),
+        F.count_distinct(F.col("__bkt")).alias("__nbkt"),
+    )
+    # a table built at a different b (or with duplicate bucket rows)
+    # would otherwise produce a silently-negative n_empty and a wrong
+    # s33/est — raise loudly instead (ADVICE r9). assert_true returns
+    # NULL when the check passes, so riding it into s33 via
+    # coalesce(...,0) keeps the guard in the executed plan (a
+    # dropped helper column would be pruned by Catalyst).
+    guard = F.assert_true(
+        (F.col("__maxb") < F.lit(m))
+        & (F.col("__minx") >= F.lit(1))
+        & (F.col("__maxx") <= F.lit(33))
+        & (F.col("__nbkt") == F.col("__seen")),
+        F.concat(
+            F.lit(
+                f"hll_finalize: bucket table inconsistent with b={b}"
+                f" (m={m}): max __bkt="
+            ),
+            F.col("__maxb").cast("string"),
+            F.lit(", __mx range ["),
+            F.col("__minx").cast("string"),
+            F.lit(", "),
+            F.col("__maxx").cast("string"),
+            F.lit("], rows/distinct buckets "),
+            F.col("__seen").cast("string"),
+            F.lit("/"),
+            F.col("__nbkt").cast("string"),
+        ),
     )
     s33 = (
         F.col("__s_seen")
         + (F.lit(m) - F.col("__seen")).cast("long") * two33
+        + F.coalesce(guard.cast("long"), F.lit(0))
     )
     est = (
         _hll_alpha(m) * F.lit(float(m)) * F.lit(float(m)) * F.lit(8589934592.0)

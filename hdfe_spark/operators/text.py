@@ -14,6 +14,8 @@ parallelize per file split at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1124,6 +1126,16 @@ def _rake_words(df, text_col, stopwords):
     )
     if not stops:
         raise ValueError("rake_keywords: stopword list is empty")
+    # stopwords are interpolated into the delimiter regex: a regex
+    # metacharacter (apostrophe-word, '+', '.') would silently
+    # corrupt the alternation instead of matching literally, and a
+    # non-word char can't be \b-anchored sensibly anyway (ADVICE r9)
+    bad = [s for s in stops if not re.fullmatch(r"[a-z0-9]+", s)]
+    if bad:
+        raise ValueError(
+            "rake_keywords: stopwords must match [a-z0-9]+ "
+            f"(lowercase, no regex metacharacters); got {bad[:5]}"
+        )
     stop_re = r"\b(" + "|".join(stops) + r")\b"
     lowered = F.lower(F.col(text_col))
     segs = F.split(
