@@ -3,7 +3,12 @@ in round 10): the adaboost int64 weight guard, the RAKE stopword
 regex-metacharacter validation, and the hll_finalize bucket-table
 consistency guard. The fourth finding (label_propagation 2-cycle
 oscillation) is a documented contract, pinned here as behavior so
-the docs can't silently drift from what the operator does."""
+the docs can't silently drift from what the operator does.
+
+Also pins VERDICT r9 item 5: the fold family's enforced
+max-series-length guard (`stats._ordered_series`) — a key longer
+than ``max_series_len`` raises loudly in-plan instead of quietly
+materializing an unbounded array in one task."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -75,6 +80,29 @@ def test_adaboost_weight_guard_raises_before_int64_overflow(spark):
     )
     with pytest.raises(ValueError, match="exceeds int64"):
         adaboost_stumps(df, "x", "y", n_rounds=2, wbits=62)
+
+
+def test_series_fold_max_length_guard(spark):
+    # VERDICT r9 item 5: every _ordered_series consumer refuses a
+    # key whose series exceeds max_series_len — loudly, in-plan,
+    # naming the operator and the key
+    from hdfe_spark.operators.stats import cusum, ewma, holt
+
+    df = spark.createDataFrame(
+        [(1, t, float(t)) for t in range(10)],
+        "k long, t long, x double",
+    )
+    with pytest.raises(Exception, match="ewma: series length 10"):
+        ewma(df, "k", "t", "x", alpha=0.3, max_series_len=9).collect()
+    with pytest.raises(Exception, match="cusum: series length 10"):
+        cusum(df, "k", "t", "x", target=0.0, max_series_len=9).collect()
+    with pytest.raises(Exception, match="holt: series length 10"):
+        holt(
+            df, "k", "t", "x", alpha=0.3, gamma=0.3, max_series_len=9
+        ).collect()
+    # at the limit, the fold result is unchanged
+    ok = ewma(df, "k", "t", "x", alpha=0.3, max_series_len=10).collect()
+    assert len(ok) == 1 and ok[0]["n"] == 10
 
 
 def test_labelprop_two_cycle_oscillation_is_the_documented_contract(
