@@ -850,3 +850,72 @@ def mst_boruvka(
             F.col("a").alias("u"), F.col("b").alias("v"), "w"
         )
     return picked
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int = 20,
+    min_cn: int = 2,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-edge
+    node pair sharing >= ``min_cn`` neighbors, the common-neighbor
+    count and the resource-allocation index — the classic "which
+    links are missing" scores (Liben-Nowell & Kleinberg 2003; RA:
+    Zhou, Lu, Zhang 2009 — both public). RA down-weights hub
+    wedges: RA(u,v) = Σ_{z in CN} 1/deg(z).
+
+    Engine-exactness: RA is QUANTIZED to integer arithmetic —
+    ra_q = Σ (2^30 div deg(z)), true integer division in BOTH
+    engines, so the sum is order-free and a SQL oracle replays it
+    verbatim (no float sum over a variable-size set, no libm).
+    Top-``k`` under the total order (cn DESC, ra_q DESC, u, v).
+
+    Plan: symmetrize+dedup once (shared `_undirected_edges`), one
+    node-keyed degree aggregation broadcast back, ONE wedge
+    self-join keyed on the center node emitting (u < v) pairs, one
+    pair-keyed aggregation, an anti-join against the existing edge
+    set, then TakeOrderedAndProject. Cost is the triangle-count
+    shape — Σ_z deg(z)^2 wedges; on power-law graphs cap the hubs
+    upstream (drop deg > d_max centers) exactly as `triangle_count`
+    documents. Never materializes all node pairs.
+    """
+    if k < 1:
+        raise ValueError("common_neighbors: k must be >= 1")
+    if min_cn < 1:
+        raise ValueError("common_neighbors: min_cn must be >= 1")
+    sym = _undirected_edges(edges, src_col, dst_col)
+    deg = sym.groupBy(F.col("s").alias("__z")).agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    # wedge u - z - v with u < v; each side carries the center's
+    # degree share (2^30 div deg) so the pair agg needs no re-join
+    wz = sym.join(F.broadcast(deg), sym["s"] == deg["__z"]).select(
+        F.col("s").alias("__c"),
+        F.col("t").alias("__n"),
+        (F.lit(1 << 30) / F.col("__deg")).cast("long").alias("__ra"),
+    )
+    a = wz.select(
+        F.col("__c"), F.col("__n").alias("u"), F.col("__ra")
+    )
+    b = wz.select(F.col("__c").alias("__c2"), F.col("__n").alias("v"))
+    pairs = (
+        a.join(b, (a["__c"] == b["__c2"]) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("__ra").cast("long").alias("ra_q"),
+        )
+        .filter(F.col("cn") >= min_cn)
+    )
+    existing = sym.filter(F.col("s") < F.col("t")).select(
+        F.col("s").alias("u"), F.col("t").alias("v")
+    )
+    return (
+        pairs.join(existing, ["u", "v"], "left_anti")
+        .orderBy(
+            F.col("cn").desc(), F.col("ra_q").desc(), "u", "v"
+        )
+        .limit(k)
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _D38 = "decimal(38,0)"
@@ -346,3 +346,298 @@ def nb_score(
         F.col("m.score_q").alias("score_q"),
         F.col("m.n_tokens").alias("n_tokens"),
     )
+
+
+def confusion_stats(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Binary-classification confusion counts + derived metrics in
+    ONE aggregation pass — the evaluation row every curation
+    classifier (the NB/logistic/stump family above) gets scored
+    with. Labels and predictions must be integral 0/1 (enforced by
+    the shared integral-label guard); NULL label or prediction rows
+    are excluded, mirroring SQL aggregate semantics.
+
+    Returns one row: (n, tp, fp, fn, tn, accuracy, precision,
+    recall, f1). The four counts are exact integer conditional sums
+    (order-free on any engine); each metric is a single IEEE
+    division of exact integers — deterministic, the `welch_ttest`
+    convention. Zero-denominator metrics are NULL, never NaN (SQL
+    semantics both engines share).
+
+    Scale: one narrow scan reduced map-side to four counters — the
+    minimum possible work; no shuffle wider than one row.
+    """
+    _guard_binary_label("confusion_stats", df, label_col)
+    _guard_binary_label("confusion_stats", df, pred_col)
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    base = df.filter(y.isNotNull() & p.isNotNull())
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt((y == 1) & (p == 1)).alias("tp"),
+        cnt((y == 0) & (p == 1)).alias("fp"),
+        cnt((y == 1) & (p == 0)).alias("fn"),
+        cnt((y == 0) & (p == 0)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, dbl(num) / dbl(den)
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        ratio(tp + tn, F.col("n")).alias("accuracy"),
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        # f1 = 2tp / (2tp + fp + fn): exact-integer denominator, one
+        # division — algebraically the harmonic mean without the
+        # intermediate precision/recall divisions (fewer IEEE ops,
+        # same value contract on both engines)
+        ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+    )
+
+
+def precision_at_k(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    ks: "Sequence[int]" = (1, 5, 10),
+) -> DataFrame:
+    """Ranked-retrieval precision/recall at the given cutoffs over
+    ONE global ranking by (score DESC, id ASC) — the deterministic
+    total order the retrieval family (`bm25`, `cosine_topk`,
+    `rrf_fuse`) emits. Relevance labels must be integral 0/1.
+
+    Returns one row per k: (k, n_rel_at_k, precision, recall) with
+    recall against the TOTAL number of relevant rows. Counts are
+    exact integers; each metric is one IEEE division.
+
+    Scale: `orderBy().limit(max k)` compiles to
+    TakeOrderedAndProject — per-partition heaps of max(k) rows, one
+    k-sized fan-in, never a global sort; the relevant-rows total is
+    one map-side-combined counter on the same scan shape.
+    """
+    _guard_binary_label("precision_at_k", df, label_col)
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("precision_at_k: cutoffs must be >= 1")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    n_rel = base.agg(F.sum("__y").cast("long").alias("nr"))
+    top = (
+        base.orderBy(F.col("__s").desc(), F.col("__id").asc())
+        .limit(ks[-1])
+        .select(
+            "__y",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+            )
+            .alias("__r"),
+        )
+    )
+    rows = []
+    for k in ks:
+        rows.append(
+            top.filter(F.col("__r") <= k).agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("__y").cast("long").alias("n_rel_at_k"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.crossJoin(F.broadcast(n_rel)).select(
+        "k",
+        "n_rel_at_k",
+        (F.col("n_rel_at_k").cast("double") / F.col("k")).alias(
+            "precision"
+        ),
+        F.when(
+            F.col("nr") > 0,
+            F.col("n_rel_at_k").cast("double") / F.col("nr"),
+        ).alias("recall"),
+    )
+
+
+def ndcg_by(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    qbits: int = 30,
+) -> DataFrame:
+    """Per-query NDCG@k with QUANTIZED discount weights, so the DCG
+    sums are exact integers on any engine: rank items within each
+    query by (score DESC, id ASC), take
+    dcg_q = Σ_{r<=k} rel_r * w_q(r) with
+    w_q(r) = round(2^qbits / log2(r + 1)) — the per-rank constants
+    are computed ONCE in CPython (glibc libm, the `adaboost` parity
+    argument) and inlined as integer literals into BOTH the Spark
+    plan and the SQL oracle, so no engine evaluates log2 at all.
+    The ideal ranking re-ranks by (rel DESC, id ASC); ndcg is the
+    single IEEE division dcg_q / idcg_q.
+
+    Relevance must be integral >= 0 (graded relevance in small
+    integers — the standard 0-4 scale); queries with idcg_q = 0
+    (all-zero relevance) return NULL ndcg. Returns one row per
+    query: (query, n, dcg_q, idcg_q, ndcg).
+
+    Scale: two rank columns over ONE query-partitioned window sort
+    (rank by score; the ideal rank is a second window on the same
+    partition key — AQE reuses the exchange), then one grouped
+    integer aggregation. Parallel across queries; never a global
+    sort.
+    """
+    if k < 1:
+        raise ValueError("ndcg_by: k must be >= 1")
+    from hdfe_spark.operators.stats import _check_integral_y
+
+    _check_integral_y(
+        "ndcg_by", df, rel_col,
+        "graded relevance must be integral (0-4 scale upstream)",
+    )
+    # rank -> quantized discount; literal integers, no runtime log2
+    wq = {
+        r: int(round((1 << qbits) / math.log2(r + 1)))
+        for r in range(1, k + 1)
+    }
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(rel_col).cast("long").alias("__rel"),
+    )
+    w_pred = Window.partitionBy("q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    w_ideal = Window.partitionBy("q").orderBy(
+        F.col("__rel").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        "q",
+        "__rel",
+        F.row_number().over(w_pred).alias("__rp"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    disc = lambda rank_col: F.element_at(  # noqa: E731
+        F.lit([wq[r] for r in range(1, k + 1)]), rank_col
+    )
+    agg = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("__rp") <= k, F.col("__rel") * disc(F.col("__rp"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_q"),
+        F.sum(
+            F.when(
+                F.col("__ri") <= k, F.col("__rel") * disc(F.col("__ri"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_q"),
+    )
+    return agg.select(
+        F.col("q").alias(query_col),
+        "n",
+        "dcg_q",
+        "idcg_q",
+        F.when(
+            F.col("idcg_q") > 0,
+            F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double"),
+        ).alias("ndcg"),
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift/gains table — the model-triage view: rows ranked
+    by (score DESC, id ASC) into ``n_buckets`` equal-depth buckets
+    (ntile over the deterministic total order), then per bucket the
+    response rate and cumulative lift vs the overall rate. Labels
+    integral 0/1.
+
+    Returns one row per bucket: (bucket, n, n_pos, rate, cum_n,
+    cum_pos, cum_lift). Counts exact integers; rate / cum_lift are
+    single IEEE divisions of exact integers (cum_lift =
+    (cum_pos * n_total) / (cum_n * pos_total) computed as ONE
+    division of two exact integer products — never a ratio of
+    ratios). ntile over a total order is engine-portable: both
+    engines assign floor-based equal-depth buckets to the identical
+    row sequence.
+
+    Scale: one global sort shuffle (range-partitioned, the price of
+    exact equal-depth buckets — the same trade `equidepth_hist`
+    documents), then a ``n_buckets``-row aggregation and a window
+    over those n_buckets rows.
+    """
+    _guard_binary_label("lift_table", df, label_col)
+    if n_buckets < 2:
+        raise ValueError("lift_table: n_buckets must be >= 2")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("long").alias("__y"),
+    )
+    w = Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+    per = (
+        base.select(
+            F.ntile(n_buckets).over(w).alias("bucket"), "__y"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.sum("n").over(wb).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wb).cast("long").alias("cum_pos"),
+        F.sum("n").over(wt).cast("long").alias("__nt"),
+        F.sum("n_pos").over(wt).cast("long").alias("__pt"),
+    )
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("rate"),
+        "cum_n",
+        "cum_pos",
+        F.when(
+            (F.col("__pt") > 0) & (F.col("cum_n") > 0),
+            (F.col("cum_pos") * F.col("__nt")).cast("double")
+            / (F.col("cum_n") * F.col("__pt")).cast("double"),
+        ).alias("cum_lift"),
+    ).orderBy("bucket")

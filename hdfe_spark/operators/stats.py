@@ -2823,3 +2823,82 @@ def logistic2_by(
         ],
         f"{group_col} {gtype}, n long, n_pos long, b0 double, b1 double",
     )
+
+
+def cuped(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM 2013, public): per-variant means of the metric y adjusted
+    by the pre-experiment covariate x,
+
+        theta      = cov(x, y) / var(x)          (POOLED, all rows)
+        mean_cuped = mean_v(y) - theta * (mean_v(x) - mean(x))
+
+    — the standard A/B variance-reduction estimator (the covariate
+    is pre-treatment, so its expectation is equal across variants
+    and the adjustment is unbiased while soaking up the x-correlated
+    noise in y).
+
+    Exactness (the `welch_ttest` convention): x and y are quantized
+    to integers once (round(v * scale) as DECIMAL(38,0)), ALL
+    distributed sums are exact integer moments (order-free on any
+    engine), and theta / the adjusted means are a handful of IEEE
+    ops on those exact integers — the oracle writes the identical
+    expression tree. NULL metric/covariate rows are excluded;
+    a NULL variant is itself a group (the `hll_by` convention).
+
+    Returns one row per variant: (variant, n, mean, mean_cuped,
+    theta). Scale: one global-moment aggregation (5 scalars) + one
+    variant-keyed aggregation — two narrow scans, map-side combined;
+    nothing wider than the variant count ever shuffles.
+    """
+    y = F.col(metric_col)
+    x = F.col(covariate_col)
+    base = df.filter(y.isNotNull() & x.isNotNull()).select(
+        F.col(variant_col).alias("__v"),
+        F.round(y * F.lit(scale)).cast("decimal(38,0)").alias("__yq"),
+        F.round(x * F.lit(scale)).cast("decimal(38,0)").alias("__xq"),
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__xq").alias("sx"),
+        F.sum("__yq").alias("sy"),
+        F.sum(F.col("__xq") * F.col("__xq")).alias("sxx"),
+        F.sum(F.col("__xq") * F.col("__yq")).alias("sxy"),
+    ).collect()[0]
+    n = int(g["n"])
+    if n < 2:
+        raise ValueError("cuped: needs >= 2 non-null rows")
+    sx, sy = int(g["sx"]), int(g["sy"])
+    sxx, sxy = int(g["sxx"]), int(g["sxy"])
+    var_num = n * sxx - sx * sx  # exact ints (python bigint)
+    if var_num == 0:
+        raise ValueError(
+            "cuped: covariate has zero variance — nothing to adjust by"
+        )
+    # ONE division of two exact integers; both engines round the
+    # bigint->double conversions identically (IEEE nearest)
+    theta = float(n * sxy - sx * sy) / float(var_num)
+    mean_x = float(sx) / float(n)  # quantized units
+    per = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__yq").alias("__syv"),
+        F.sum("__xq").alias("__sxv"),
+    )
+    inv = F.lit(1.0 / scale)
+    mean_y_v = F.col("__syv").cast("double") / F.col("n").cast("double")
+    mean_x_v = F.col("__sxv").cast("double") / F.col("n").cast("double")
+    return per.select(
+        F.col("__v").alias(variant_col),
+        "n",
+        (mean_y_v * inv).alias("mean"),
+        (
+            (mean_y_v - F.lit(theta) * (mean_x_v - F.lit(mean_x))) * inv
+        ).alias("mean_cuped"),
+        F.lit(theta).alias("theta"),
+    )

@@ -1205,3 +1205,145 @@ def rake_keywords(
             "score"
         ),
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts — the (center, context) pair
+    table word2vec-style embedding training feeds on, and
+    `pmi_bigrams`' windowed generalization: every ordered token pair
+    (w_i, w_{i+d}) for d = 1..``window``, counted over the corpus,
+    pairs rarer than ``min_count`` pruned.
+
+    ZERO joins: each distance d is one JVM ``zip_with`` of the token
+    array against its d-shifted self (the `pmi_bigrams`/
+    `bigram_logprob` stream), the per-distance pair arrays are
+    flattened and exploded once, and the counts are ONE map-side-
+    combinable (w1, w2) aggregation. Exact integers end to end;
+    slice lengths clamp at 0 via greatest(), so short documents
+    contribute nothing rather than erroring.
+
+    Returns (w1, w2, n). Scale: corpus-sized narrow projection in
+    whole-stage codegen + one pair-keyed shuffle; output is
+    vocabulary-pair-sized, never corpus-sized, and min_count prunes
+    the long tail at the aggregation (partial aggregates cap it
+    map-side first)."""
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    if min_count < 1:
+        raise ValueError("skipgram_pairs: min_count must be >= 1")
+    base = _spread(
+        df.select(tokens(F.col(text_col)).alias("__a")).filter(
+            F.size("__a") >= 2
+        )
+    )
+    per_d = [
+        F.expr(
+            f"zip_with(slice(__a, 1, greatest(size(__a) - {d}, 0)),"
+            f" slice(__a, 1 + {d}, greatest(size(__a) - {d}, 0)),"
+            " (x, y) -> struct(x AS w1, y AS w2))"
+        )
+        for d in range(1, window + 1)
+    ]
+    return (
+        base.select(
+            F.explode(F.flatten(F.array(*per_d))).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+# Gopher's stop-word presence rule checks these eight words
+# (Rae et al. 2021, public); two distinct hits pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    — the repetition/format half lives in `repetition_stats`): per
+    document the six classic signals and the combined verdict,
+
+    - n_words, mean_word_len           (3 <= mean <= 10)
+    - symbol_ratio  ('#' + '...')/words  (< 0.1)
+    - bullet_ratio  (bullet-led lines)   (< 0.9)
+    - n_stop_hits   (distinct hits among the eight Gopher stop
+                     words; >= 2)
+    - alpha_frac    (words containing a letter; > 0.8)
+
+    Engine-portable by construction: every count is an exact
+    integer from replace/split/length arithmetic (occurrences of a
+    literal = length delta / pattern length — both engines scan
+    left-to-right non-overlapping), each ratio is ONE IEEE division,
+    and the verdict is SQL three-valued boolean logic (an empty doc
+    fails the word bound FALSE, so `passes` is never NULL). Tokens
+    share the corpus `tokens()` spelling.
+
+    Returns (id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    n_stop_hits, alpha_frac, passes). Scale: stateless row
+    expressions in whole-stage codegen — zero shuffles, zero joins;
+    filters on `passes` push into the scan stage."""
+    txt = F.col(text_col)
+    lower = F.lower(txt)
+    toks = tokens(txt)
+    n_words = F.size(toks).cast("long")
+    # Σ token lengths == non-whitespace length (tokens are the \s+
+    # split, so every non-ws char is in exactly one token)
+    char_len = F.length(F.regexp_replace(txt, r"\s+", "")).cast("long")
+    n_hash = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("#")))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("...")))) / 3
+    ).cast("long")
+    lines = F.split(txt, r"\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(F.ltrim(ln), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("long") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    mean_wl = F.when(n_words > 0, dbl(char_len) / dbl(n_words))
+    sym = F.when(n_words > 0, dbl(n_hash + n_ellipsis) / dbl(n_words))
+    bul = F.when(n_lines > 0, dbl(n_bullet) / dbl(n_lines))
+    alp = F.when(n_words > 0, dbl(n_alpha) / dbl(n_words))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        bul.alias("bullet_ratio"),
+        n_stop.alias("n_stop_hits"),
+        alp.alias("alpha_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_ratio") < 0.9)
+        & (F.col("n_stop_hits") >= 2)
+        & (F.col("alpha_frac") > 0.8)
+    )
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))

@@ -862,3 +862,22 @@ def streaming_rake(
     return rake_keywords(
         stream, text_col, stopwords=stopwords, min_freq=min_freq
     )
+
+
+def streaming_confusion(
+    stream: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Streaming model-quality monitor (the nineteenth streaming
+    form): confusion counts folded over a prediction stream. The
+    four counters are purely ADDITIVE integer conditional sums and
+    the derived metrics (accuracy/precision/recall/f1) ride the
+    post-aggregation OUTPUT projection, so the complete-mode
+    availableNow fold equals the batch `ml.confusion_stats` row
+    EXACTLY whatever the micro-batch boundaries — the
+    `streaming_rake`/`streaming_cms` additivity argument. State is
+    four counters. Delegates to the batch operator outright: a
+    copied body could silently diverge from the batch semantics
+    this form's whole contract is equality with."""
+    from hdfe_spark.operators.ml import confusion_stats
+
+    return confusion_stats(stream, label_col, pred_col)

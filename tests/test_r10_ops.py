@@ -1,0 +1,345 @@
+"""Round-10 operators: the model-evaluation family (confusion,
+P@k/R@k, quantized NDCG, lift/gains), CUPED variance reduction,
+common-neighbor link prediction, skip-gram co-occurrence, Gopher
+quality rules, and the nineteenth streaming form. Every expectation
+below is hand-computed or an independent Python replica — never the
+operator's own output."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------- confusion_stats ----------------
+
+
+def test_confusion_stats_hand_computed(spark):
+    from hdfe_spark.operators.ml import confusion_stats
+
+    rows = [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0), (0, 0), (None, 1), (1, None)]
+    df = spark.createDataFrame(rows, "y long, p long")
+    r = confusion_stats(df, "y", "p").collect()[0]
+    assert (r["n"], r["tp"], r["fp"], r["fn"], r["tn"]) == (6, 2, 1, 1, 2)
+    assert r["accuracy"] == 4 / 6
+    assert r["precision"] == 2 / 3
+    assert r["recall"] == 2 / 3
+    assert r["f1"] == 4 / (4 + 1 + 1)
+
+
+def test_confusion_stats_zero_denominators_are_null(spark):
+    from hdfe_spark.operators.ml import confusion_stats
+
+    df = spark.createDataFrame([(0, 0), (0, 0)], "y long, p long")
+    r = confusion_stats(df, "y", "p").collect()[0]
+    assert r["precision"] is None and r["recall"] is None
+    assert r["f1"] is None
+    assert r["accuracy"] == 1.0
+
+
+def test_confusion_stats_rejects_float_labels(spark):
+    from hdfe_spark.operators.ml import confusion_stats
+
+    df = spark.createDataFrame([(1.0, 1)], "y double, p long")
+    with pytest.raises(ValueError):
+        confusion_stats(df, "y", "p")
+
+
+# ---------------- precision_at_k ----------------
+
+
+def test_precision_at_k_hand_computed(spark):
+    from hdfe_spark.operators.ml import precision_at_k
+
+    # ranking by (score desc, id asc): ids 1..6 scores 6..1,
+    # relevant = {1, 3, 4, 6}  (4 relevant total)
+    rows = [(1, 6.0, 1), (2, 5.0, 0), (3, 4.0, 1),
+            (4, 3.0, 1), (5, 2.0, 0), (6, 1.0, 1)]
+    df = spark.createDataFrame(rows, "id long, s double, y long")
+    out = {
+        r["k"]: r
+        for r in precision_at_k(df, "id", "s", "y", ks=[1, 3, 5]).collect()
+    }
+    assert out[1]["n_rel_at_k"] == 1 and out[1]["precision"] == 1.0
+    assert out[3]["n_rel_at_k"] == 2 and out[3]["precision"] == 2 / 3
+    assert out[5]["n_rel_at_k"] == 3 and out[5]["precision"] == 3 / 5
+    assert out[5]["recall"] == 3 / 4
+
+
+def test_precision_at_k_score_tie_breaks_by_id(spark):
+    from hdfe_spark.operators.ml import precision_at_k
+
+    rows = [(2, 1.0, 0), (1, 1.0, 1)]
+    df = spark.createDataFrame(rows, "id long, s double, y long")
+    out = precision_at_k(df, "id", "s", "y", ks=[1]).collect()[0]
+    assert out["n_rel_at_k"] == 1  # id 1 wins the tie
+
+
+# ---------------- ndcg_by ----------------
+
+
+def _ndcg_replica(items, k, qbits=30):
+    # items: list of (id, score, rel)
+    wq = {r: round((1 << qbits) / math.log2(r + 1)) for r in range(1, k + 1)}
+    pred = sorted(items, key=lambda t: (-t[1], t[0]))
+    ideal = sorted(items, key=lambda t: (-t[2], t[0]))
+    dcg = sum(t[2] * wq[i + 1] for i, t in enumerate(pred[:k]))
+    idcg = sum(t[2] * wq[i + 1] for i, t in enumerate(ideal[:k]))
+    return dcg, idcg, (dcg / idcg if idcg else None)
+
+
+def test_ndcg_by_matches_replica(spark):
+    from hdfe_spark.operators.ml import ndcg_by
+
+    items_a = [(1, 9.0, 3), (2, 8.0, 0), (3, 7.0, 2), (4, 6.0, 3), (5, 1.0, 1)]
+    items_b = [(1, 3.0, 1), (2, 2.0, 0)]
+    rows = [("a", *t) for t in items_a] + [("b", *t) for t in items_b]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel long")
+    out = {r["q"]: r for r in ndcg_by(df, "q", "id", "s", "rel", k=3).collect()}
+    for q, items in (("a", items_a), ("b", items_b)):
+        dcg, idcg, nd = _ndcg_replica(items, 3)
+        assert out[q]["dcg_q"] == dcg
+        assert out[q]["idcg_q"] == idcg
+        assert out[q]["ndcg"] == nd
+    # perfect ranking -> ndcg exactly 1.0
+    assert out["b"]["ndcg"] == 1.0
+
+
+def test_ndcg_by_all_zero_relevance_is_null(spark):
+    from hdfe_spark.operators.ml import ndcg_by
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0, 0), ("a", 2, 1.0, 0)],
+        "q string, id long, s double, rel long",
+    )
+    r = ndcg_by(df, "q", "id", "s", "rel", k=2).collect()[0]
+    assert r["dcg_q"] == 0 and r["idcg_q"] == 0 and r["ndcg"] is None
+
+
+# ---------------- lift_table ----------------
+
+
+def test_lift_table_hand_computed(spark):
+    from hdfe_spark.operators.ml import lift_table
+
+    # 10 rows, scores = id desc ranking; positives at top 3 + one at rank 8
+    rows = [(i, float(20 - i), 1 if i in (1, 2, 3, 8) else 0)
+            for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, s double, y long")
+    out = lift_table(df, "id", "s", "y", n_buckets=5).collect()
+    assert [r["bucket"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["n"] for r in out] == [2] * 5
+    assert [r["n_pos"] for r in out] == [2, 1, 0, 1, 0]
+    # bucket 1: cum_lift = (2 * 10) / (2 * 4) = 2.5
+    assert out[0]["cum_lift"] == 2.5
+    # last bucket: cum covers everything -> lift exactly 1
+    assert out[-1]["cum_lift"] == 1.0
+    assert out[0]["rate"] == 1.0 and out[2]["rate"] == 0.0
+
+
+# ---------------- cuped ----------------
+
+
+def test_cuped_matches_replica(spark):
+    from hdfe_spark.operators.stats import cuped
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        x = rng.uniform(0, 10)
+        v = "t" if i % 2 else "c"
+        lift = 0.5 if v == "t" else 0.0
+        y = 2.0 * x + lift + rng.uniform(-1, 1)
+        rows.append((v, round(y, 4), round(x, 4)))
+    df = spark.createDataFrame(rows, "v string, y double, x double")
+    out = {r["v"]: r for r in cuped(df, "v", "y", "x").collect()}
+    # replica with the identical quantization
+    q = lambda t: int(round(t * 1e6))  # noqa: E731
+    xs = [q(x) for _, _, x in rows]
+    ys = [q(y) for _, y, _ in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    mean_x = float(sx) / float(n)
+    for v in ("t", "c"):
+        grp = [(q(y), q(x)) for vv, y, x in rows if vv == v]
+        nv = len(grp)
+        my = float(sum(a for a, _ in grp)) / float(nv)
+        mx = float(sum(b for _, b in grp)) / float(nv)
+        assert out[v]["n"] == nv
+        assert out[v]["theta"] == theta
+        assert out[v]["mean"] == my * 1e-6
+        assert out[v]["mean_cuped"] == (my - theta * (mx - mean_x)) * 1e-6
+    # CUPED must shrink the treatment/control gap noise but keep
+    # the true lift visible: both adjusted means exist and differ
+    assert abs(
+        (out["t"]["mean_cuped"] - out["c"]["mean_cuped"]) - 0.5
+    ) < 0.25
+
+
+def test_cuped_zero_variance_covariate_raises(spark):
+    from hdfe_spark.operators.stats import cuped
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("b", 2.0, 5.0)], "v string, y double, x double"
+    )
+    with pytest.raises(ValueError, match="zero variance"):
+        cuped(df, "v", "y", "x")
+
+
+# ---------------- common_neighbors ----------------
+
+
+def test_common_neighbors_hand_computed(spark):
+    from hdfe_spark.operators.graph import common_neighbors
+
+    # star 1-2, 1-3, 1-4 plus edge 2-3: candidate non-edges sharing
+    # >= 1 neighbor: (2,4) cn={1}, (3,4) cn={1}, (2,3) IS an edge.
+    # deg: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "u long, v long"
+    )
+    out = {
+        (r["u"], r["v"]): r
+        for r in common_neighbors(edges, "u", "v", k=10, min_cn=1).collect()
+    }
+    assert set(out) == {(2, 4), (3, 4)}
+    ra1 = (1 << 30) // 3  # center 1 has degree 3
+    assert out[(2, 4)]["cn"] == 1 and out[(2, 4)]["ra_q"] == ra1
+    assert out[(3, 4)]["cn"] == 1 and out[(3, 4)]["ra_q"] == ra1
+
+
+def test_common_neighbors_excludes_existing_edges_and_orders(spark):
+    from hdfe_spark.operators.graph import common_neighbors
+
+    # triangle + pendant: 1-2, 2-3, 1-3, 3-4. Non-edges: (1,4) via 3,
+    # (2,4) via 3. Pair (1,2),(1,3),(2,3) are edges -> excluded.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u long, v long"
+    )
+    rows = common_neighbors(edges, "u", "v", k=10, min_cn=1).collect()
+    got = [(r["u"], r["v"]) for r in rows]
+    assert got == [(1, 4), (2, 4)]  # tie on (cn, ra_q) -> (u, v) order
+
+
+def test_common_neighbors_min_cn_prunes(spark):
+    from hdfe_spark.operators.graph import common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "u long, v long"
+    )
+    assert common_neighbors(edges, "u", "v", k=10, min_cn=2).count() == 0
+
+
+# ---------------- skipgram_pairs ----------------
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from hdfe_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in skipgram_pairs(df, "text", window=2, min_count=1).collect()
+    }
+    # doc1 d=1: ab bc ca ab ; d=2: ac ba cb ; doc2 d=1: ab
+    expect = {
+        ("a", "b"): 3, ("b", "c"): 1, ("c", "a"): 1,
+        ("a", "c"): 1, ("b", "a"): 1, ("c", "b"): 1,
+    }
+    assert out == expect
+
+
+def test_skipgram_min_count_and_short_docs(spark):
+    from hdfe_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in skipgram_pairs(df, "text", window=3, min_count=2).collect()
+    }
+    assert out == {("a", "b"): 2}
+
+
+# ---------------- gopher_rules ----------------
+
+
+def test_gopher_rules_metrics_hand_computed(spark):
+    from hdfe_spark.operators.text import gopher_rules
+
+    text = "The cat and dog have fun\n- bullet line\nplain ### tail..."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_rules(df, min_words=3).collect()[0]
+    toks = text.lower().split()
+    assert r["n_words"] == len(toks)
+    assert r["mean_word_len"] == sum(len(t) for t in toks) / len(toks)
+    assert r["symbol_ratio"] == (3 + 1) / len(toks)
+    assert r["bullet_ratio"] == 1 / 3
+    # stop hits among the gopher eight: the, and, have, with? ->
+    # the, and, have = 3
+    assert r["n_stop_hits"] == 3
+    # alpha words: all except "###" and "-"?  "-" and "###" lack
+    # letters; "tail..." has letters
+    n_alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+    assert r["alpha_frac"] == n_alpha / len(toks)
+    assert r["passes"] is False  # symbol_ratio 4/12 > 0.1
+
+
+def test_gopher_rules_pass_and_empty(spark):
+    from hdfe_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the quick brown fox jumps over and over with great zeal of it"]
+        * 5
+    )
+    df = spark.createDataFrame(
+        [(1, good), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=50).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["n_words"] == 0
+    assert out[2]["passes"] is False
+    assert out[2]["mean_word_len"] is None
+
+
+# ---------------- streaming_confusion ----------------
+
+
+def test_streaming_confusion_equals_batch(spark, sf_dir, tmp_path):
+    from hdfe_spark.operators.ml import confusion_stats
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_confusion,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lab = lambda d: d.select(  # noqa: E731
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("value") > 0.5).cast("long").alias("p"),
+    )
+    batch = lab(ev).collect()
+    stream = read_table_stream(spark, sf_dir, "events")
+    out = streaming_confusion(
+        lab(stream).withColumnRenamed("y", "y"), "y", "p"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_r10_conf")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_r10_conf").collect()[0]
+    want = confusion_stats(
+        spark.createDataFrame(batch, "y long, p long"), "y", "p"
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
