@@ -15,6 +15,7 @@ left exact.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -5633,6 +5634,207 @@ def _q_weighted_sample_by(spark, sf_dir):
     )
 
 
+def _q_confusion(spark, sf_dir):
+    """Binary-classifier confusion row (`operators/ml.py::
+    confusion_stats`): label = event_id parity, prediction =
+    value > 0.5, over events — four exact integer conditional
+    counters in ONE map-side-combined aggregation, each metric one
+    IEEE division of exact integers (f1 spelled 2tp/(2tp+fp+fn),
+    never a ratio of ratios)."""
+    from hdfe_spark.operators.ml import confusion_stats
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("value") > 0.5).cast("long").alias("p"),
+    )
+    out = confusion_stats(base, "y", "p")
+    return out.select(
+        "n", "tp", "fp", "fn", "tn",
+        _pround("accuracy").alias("accuracy"),
+        _pround("precision").alias("precision"),
+        _pround("recall").alias("recall"),
+        _pround("f1").alias("f1"),
+    )
+
+
+def _q_pr_at_k(spark, sf_dir):
+    """Ranked-retrieval precision/recall at k (`operators/ml.py::
+    precision_at_k`): documents ranked by (n_chars DESC, doc_id) —
+    the deterministic retrieval total order — with relevance
+    doc_id % 3 == 0; cutoffs 5/25/100. TakeOrderedAndProject heaps,
+    never a global sort; counts exact, each metric one division."""
+    from hdfe_spark.operators.ml import precision_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("y"),
+    )
+    out = precision_at_k(base, "doc_id", "s", "y", ks=(5, 25, 100))
+    return out.select(
+        "k", "n_rel_at_k",
+        _pround("precision").alias("precision"),
+        _pround("recall").alias("recall"),
+    )
+
+
+def _q_ndcg(spark, sf_dir):
+    """Per-query NDCG@10 with QUANTIZED discounts (`operators/
+    ml.py::ndcg_by`): queries = event types, items ranked by
+    (value DESC, event_id), graded relevance event_id % 4. The
+    per-rank weights round(2^30/log2(r+1)) are computed once in
+    CPython and inlined as integer literals into BOTH engines'
+    plans — no runtime log2 anywhere, so dcg_q/idcg_q are exact
+    integer sums and ndcg is one IEEE division."""
+    from hdfe_spark.operators.ml import ndcg_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 4).cast("long").alias("rel"),
+    )
+    out = ndcg_by(base, "event_type", "event_id", "s", "rel", k=10)
+    return out.select(
+        "event_type", "n", "dcg_q", "idcg_q",
+        _pround("ndcg").alias("ndcg"),
+    )
+
+
+def _q_lift(spark, sf_dir):
+    """Decile lift/gains table (`operators/ml.py::lift_table`):
+    orders ranked by (o_totalprice DESC, o_orderkey) into 10
+    equal-depth buckets, response = order fulfilled (status F).
+    ntile over a total order is engine-portable; cum_lift is ONE
+    division of two exact integer products."""
+    from hdfe_spark.operators.ml import lift_table
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    out = lift_table(base, "o_orderkey", "s", "y", n_buckets=10)
+    return out.select(
+        "bucket", "n", "n_pos",
+        _pround("rate").alias("rate"),
+        "cum_n", "cum_pos",
+        _pround("cum_lift").alias("cum_lift"),
+    )
+
+
+def _q_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (`operators/stats.py::
+    cuped`): per order priority, the mean total price adjusted by
+    the customer-key covariate at scale=1 — every distributed sum
+    an exact int64 moment (the quantization keeps n*sxy inside
+    BIGINT, so BOTH engines make each int->double conversion as one
+    correctly-rounded step), theta/means a handful of IEEE ops the
+    oracle spells identically."""
+    from hdfe_spark.operators.stats import cuped
+
+    od = _t(spark, sf_dir, "orders")
+    out = cuped(
+        od, "o_orderpriority", "o_totalprice", "o_custkey", scale=1.0
+    )
+    return out.select(
+        "o_orderpriority", "n",
+        _pround("mean").alias("mean"),
+        _pround("mean_cuped").alias("mean_cuped"),
+        _pround("theta").alias("theta"),
+    )
+
+
+def _q_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction (`operators/graph.py::
+    common_neighbors`) over the customer-supplier graph (the
+    kcore/labelprop edge set): top-25 NON-edges by common-neighbor
+    count with the quantized resource-allocation index
+    ra_q = sum(2^30 div deg) — true integer division in both
+    engines, order-free integer sums, total-order top-k."""
+    from hdfe_spark.operators.graph import common_neighbors
+
+    return common_neighbors(
+        _cust_supp_edges(spark, sf_dir), "u", "v", k=25, min_cn=2
+    )
+
+
+def _q_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence pair counts (`operators/text.py::
+    skipgram_pairs`, window 2, min_count 5): the word2vec training-
+    pair table — per distance one JVM zip_with of the token array
+    against its shifted self (zero joins), one pair-keyed integer
+    aggregation. `pmi_bigrams`' windowed generalization on the
+    shared tokenizer spelling."""
+    from hdfe_spark.operators.text import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_pairs(docs, "text", window=2, min_count=5)
+
+
+def _q_gopher(spark, sf_dir):
+    """Gopher-style quality rules (`operators/text.py::
+    gopher_rules`, Rae et al. 2021): per document the six classic
+    signals (word count, mean word length, symbol ratio, bullet
+    ratio, stop-word hits, alphabetic-word fraction) and the
+    combined verdict — every count exact replace/split/length
+    integer arithmetic, each ratio ONE division, the verdict SQL
+    boolean logic. Stateless codegen projection, zero shuffles."""
+    from hdfe_spark.operators.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_rules(docs, min_words=10)
+    return out.select(
+        "doc_id", "n_words",
+        _pround("mean_word_len").alias("mean_word_len"),
+        _pround("symbol_ratio").alias("symbol_ratio"),
+        _pround("bullet_ratio").alias("bullet_ratio"),
+        "n_stop_hits",
+        _pround("alpha_frac").alias("alpha_frac"),
+        "passes",
+    )
+
+
+def _q_streaming_confusion(spark, sf_dir):
+    """Nineteenth streaming form (`streaming/ops.py::
+    streaming_confusion`): confusion counters folded over the
+    events stream in complete mode — the four counts are ADDITIVE,
+    the metrics ride the output projection, so the availableNow
+    fold equals the batch `confusion` row exactly whatever the
+    micro-batch boundaries; the batch SQL is the oracle."""
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_confusion,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("value") > 0.5).cast("long").alias("p"),
+    )
+    out = streaming_confusion(base, "y", "p")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "n", "tp", "fp", "fn", "tn",
+        _pround("accuracy").alias("accuracy"),
+        _pround("precision").alias("precision"),
+        _pround("recall").alias("recall"),
+        _pround("f1").alias("f1"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -5723,6 +5925,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead the round-11 rotation)
         "mst": _q_mst,
         "weighted_sample_by": _q_weighted_sample_by,
+        "confusion": _q_confusion,
+        "pr_at_k": _q_pr_at_k,
+        "ndcg": _q_ndcg,
+        "lift": _q_lift,
+        "cuped": _q_cuped,
+        "link_predict": _q_link_predict,
+        "skipgrams": _q_skipgrams,
+        "gopher": _q_gopher,
+        "streaming_confusion": _q_streaming_confusion,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -5945,6 +6156,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------- oracle SQL
+
+# One spelling for the batch `confusion` query and its availableNow
+# twin `streaming_confusion` (the fold is additive, so the stream
+# equals the batch row exactly — two hand-copied SQL blocks could
+# silently drift).
+_CONFUSION_SQL = """
+    WITH b AS (
+      SELECT CAST(event_id % 2 AS BIGINT) AS y,
+             CAST(value > 0.5 AS BIGINT) AS p
+      FROM events
+      WHERE event_id IS NOT NULL AND value IS NOT NULL),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN y = 1 AND p = 1
+               THEN 1 END), 0) AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN y = 0 AND p = 1
+               THEN 1 END), 0) AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN y = 1 AND p = 0
+               THEN 1 END), 0) AS BIGINT) AS fn,
+             CAST(coalesce(sum(CASE WHEN y = 0 AND p = 0
+               THEN 1 END), 0) AS BIGINT) AS tn
+      FROM b)
+    SELECT n, tp, fp, fn, tn,
+           CASE WHEN n > 0 THEN
+             floor(((tp + tn) / CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9
+           END AS accuracy,
+           CASE WHEN tp + fp > 0 THEN
+             floor((tp / CAST(tp + fp AS DOUBLE)) * 1e9 + 0.5) / 1e9
+           END AS "precision",
+           CASE WHEN tp + fn > 0 THEN
+             floor((tp / CAST(tp + fn AS DOUBLE)) * 1e9 + 0.5) / 1e9
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+             floor((2 * tp / CAST(2 * tp + fp + fn AS DOUBLE)) * 1e9
+                   + 0.5) / 1e9
+           END AS f1
+    FROM c
+"""
+
+# ndcg@10 quantized discount weights: round(2^30 / log2(r+1)) for
+# rank r = 1..10 — the SAME CPython libm evaluation `ml.ndcg_by`
+# inlines into the Spark plan (qbits=30), rendered once as a SQL
+# list literal so neither engine touches log2 at runtime.
+_NDCG_W = ", ".join(
+    str(int(round((1 << 30) / math.log2(r + 1)))) for r in range(1, 11)
+)
 
 _WITHIN_CTE = """
 WITH d AS (
@@ -7300,6 +7557,241 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, w FROM p1
             UNION
             SELECT u, v, w FROM p2
+        """,
+        "confusion": _CONFUSION_SQL,
+        "streaming_confusion": _CONFUSION_SQL,
+        "pr_at_k": """
+            WITH b AS (
+              SELECT doc_id AS id, n_chars AS s,
+                     CAST(doc_id % 3 = 0 AS BIGINT) AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+            r AS (SELECT y,
+                         row_number() OVER (ORDER BY s DESC, id) AS rn
+                  FROM b),
+            t AS (SELECT CAST(sum(y) AS BIGINT) AS nr FROM b),
+            k AS (SELECT unnest([5, 25, 100]) AS k),
+            g AS (
+              SELECT k.k,
+                     CAST(coalesce(sum(r.y), 0) AS BIGINT) AS n_rel_at_k
+              FROM k LEFT JOIN r ON r.rn <= k.k
+              GROUP BY k.k)
+            SELECT CAST(k AS BIGINT) AS k, n_rel_at_k,
+                   floor((n_rel_at_k / CAST(k AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS "precision",
+                   CASE WHEN t.nr > 0 THEN
+                     floor((n_rel_at_k / CAST(t.nr AS DOUBLE)) * 1e9
+                           + 0.5) / 1e9
+                   END AS recall
+            FROM g CROSS JOIN t
+            ORDER BY k
+        """,
+        # the per-rank discount weights round(2^30/log2(r+1)) are the
+        # SAME CPython-computed integer literals the Spark plan uses —
+        # neither engine evaluates log2 at runtime
+        "ndcg": f"""
+            WITH b AS (
+              SELECT event_type AS q, event_id AS id, value AS s,
+                     CAST(event_id % 4 AS BIGINT) AS rel
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            r AS (SELECT q, rel,
+                    row_number() OVER (
+                      PARTITION BY q ORDER BY s DESC, id) AS rp,
+                    row_number() OVER (
+                      PARTITION BY q ORDER BY rel DESC, id) AS ri
+                  FROM b),
+            a AS (SELECT q,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN rp <= 10
+                      THEN rel * ([{_NDCG_W}])[rp] ELSE 0 END)
+                      AS BIGINT) AS dcg_q,
+                    CAST(sum(CASE WHEN ri <= 10
+                      THEN rel * ([{_NDCG_W}])[ri] ELSE 0 END)
+                      AS BIGINT) AS idcg_q
+                  FROM r GROUP BY q)
+            SELECT q AS event_type, n, dcg_q, idcg_q,
+                   CASE WHEN idcg_q > 0 THEN
+                     floor((dcg_q / CAST(idcg_q AS DOUBLE)) * 1e9
+                           + 0.5) / 1e9
+                   END AS ndcg
+            FROM a
+        """,
+        "lift": """
+            WITH b AS (
+              SELECT o_orderkey AS id, o_totalprice AS s,
+                     CAST(o_orderstatus = 'F' AS BIGINT) AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+            t AS (SELECT ntile(10) OVER (ORDER BY s DESC, id)
+                           AS bucket, y
+                  FROM b),
+            p AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(y) AS BIGINT) AS n_pos
+                  FROM t GROUP BY bucket),
+            c AS (SELECT bucket, n, n_pos,
+                    CAST(sum(n) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                    CAST(sum(n_pos) OVER (ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+                    CAST(sum(n) OVER () AS BIGINT) AS nt,
+                    CAST(sum(n_pos) OVER () AS BIGINT) AS pt
+                  FROM p)
+            SELECT bucket, n, n_pos,
+                   floor((n_pos / CAST(n AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS rate,
+                   cum_n, cum_pos,
+                   CASE WHEN pt > 0 AND cum_n > 0 THEN
+                     floor(((cum_pos * nt) / CAST(cum_n * pt AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9
+                   END AS cum_lift
+            FROM c ORDER BY bucket
+        """,
+        # scale=1 keeps every moment product inside BIGINT, so both
+        # engines make each int->double conversion in one correctly-
+        # rounded step (no hugeint double-rounding in the theta path)
+        "cuped": """
+            WITH b AS (
+              SELECT o_orderpriority AS v,
+                     CAST(round(o_totalprice * 1.0) AS BIGINT) AS yq,
+                     CAST(round(o_custkey * 1.0) AS BIGINT) AS xq
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_custkey IS NOT NULL),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(xq) AS BIGINT) AS sx,
+                         CAST(sum(yq) AS BIGINT) AS sy,
+                         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                         CAST(sum(xq * yq) AS BIGINT) AS sxy
+                  FROM b),
+            th AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            AS theta,
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                            AS mean_x
+                   FROM g),
+            p AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(yq) AS BIGINT) AS syv,
+                         CAST(sum(xq) AS BIGINT) AS sxv
+                  FROM b GROUP BY v)
+            SELECT p.v AS o_orderpriority, p.n,
+                   floor(((syv / CAST(p.n AS DOUBLE)) * 1.0) * 1e9
+                         + 0.5) / 1e9 AS mean,
+                   floor((((syv / CAST(p.n AS DOUBLE))
+                           - th.theta * ((sxv / CAST(p.n AS DOUBLE))
+                                         - th.mean_x)) * 1.0) * 1e9
+                         + 0.5) / 1e9 AS mean_cuped,
+                   floor(th.theta * 1e9 + 0.5) / 1e9 AS theta
+            FROM p CROSS JOIN th
+        """,
+        "link_predict": """
+            WITH g AS (
+              SELECT DISTINCT o_custkey AS u,
+                              l_suppkey + 1000000 AS v
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            e AS (SELECT u AS s, v AS t FROM g WHERE u <> v
+                  UNION
+                  SELECT v, u FROM g WHERE u <> v),
+            d AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS dg
+                  FROM e GROUP BY s),
+            w AS (SELECT e.s AS c, e.t AS nb,
+                         CAST(1073741824 // d.dg AS BIGINT) AS ra
+                  FROM e JOIN d ON e.s = d.z),
+            pr AS (SELECT a.nb AS u, b.nb AS v,
+                          CAST(count(*) AS BIGINT) AS cn,
+                          CAST(sum(a.ra) AS BIGINT) AS ra_q
+                   FROM w a JOIN w b
+                     ON a.c = b.c AND a.nb < b.nb
+                   GROUP BY 1, 2
+                   HAVING count(*) >= 2),
+            ex AS (SELECT s AS u, t AS v FROM e WHERE s < t)
+            SELECT u, v, cn, ra_q
+            FROM pr ANTI JOIN ex USING (u, v)
+            ORDER BY cn DESC, ra_q DESC, u, v
+            LIMIT 25
+        """,
+        "skipgrams": """
+            WITH toks AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS a
+              FROM documents),
+            pr AS (
+              SELECT a[i] AS w1, a[i + d] AS w2
+              FROM toks,
+                   unnest(range(1, len(a))) AS t(i),
+                   unnest([1, 2]) AS s(d)
+              WHERE len(a) >= 2 AND i + d <= len(a))
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY w1, w2 HAVING count(*) >= 5
+        """,
+        "gopher": """
+            WITH b AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS a,
+                     string_split(text, chr(10)) AS ls
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(a) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                          AS BIGINT) AS clen,
+                     CAST(length(text)
+                          - length(replace(text, '#', ''))
+                          AS BIGINT) AS nhash,
+                     CAST((length(text)
+                           - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nell,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(ls,
+                       x -> substr(ltrim(x), 1, 1) = '-'
+                         OR substr(ltrim(x), 1, 1) = '*'
+                         OR substr(ltrim(x), 1, 1) = '•'))
+                          AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(a,
+                       x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(CAST(list_contains(a, 'the') AS BIGINT)
+                        + CAST(list_contains(a, 'be') AS BIGINT)
+                        + CAST(list_contains(a, 'to') AS BIGINT)
+                        + CAST(list_contains(a, 'of') AS BIGINT)
+                        + CAST(list_contains(a, 'and') AS BIGINT)
+                        + CAST(list_contains(a, 'that') AS BIGINT)
+                        + CAST(list_contains(a, 'have') AS BIGINT)
+                        + CAST(list_contains(a, 'with') AS BIGINT)
+                          AS BIGINT) AS n_stop
+              FROM b),
+            r AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                       THEN clen / CAST(n_words AS DOUBLE) END AS mwl,
+                     CASE WHEN n_words > 0
+                       THEN (nhash + nell) / CAST(n_words AS DOUBLE)
+                       END AS sym,
+                     CASE WHEN n_lines > 0
+                       THEN n_bullet / CAST(n_lines AS DOUBLE)
+                       END AS bul,
+                     n_stop,
+                     CASE WHEN n_words > 0
+                       THEN n_alpha / CAST(n_words AS DOUBLE)
+                       END AS alp
+              FROM m)
+            SELECT doc_id, n_words,
+                   floor(mwl * 1e9 + 0.5) / 1e9 AS mean_word_len,
+                   floor(sym * 1e9 + 0.5) / 1e9 AS symbol_ratio,
+                   floor(bul * 1e9 + 0.5) / 1e9 AS bullet_ratio,
+                   n_stop AS n_stop_hits,
+                   floor(alp * 1e9 + 0.5) / 1e9 AS alpha_frac,
+                   coalesce(n_words >= 10 AND n_words <= 100000
+                            AND mwl >= 3.0 AND mwl <= 10.0
+                            AND sym < 0.1 AND bul < 0.9
+                            AND n_stop >= 2 AND alp > 0.8,
+                            false) AS passes
+            FROM r
         """,
         "latest_per_key": """
             WITH r AS (

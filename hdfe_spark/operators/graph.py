@@ -894,7 +894,11 @@ def common_neighbors(
     wz = sym.join(F.broadcast(deg), sym["s"] == deg["__z"]).select(
         F.col("s").alias("__c"),
         F.col("t").alias("__n"),
-        (F.lit(1 << 30) / F.col("__deg")).cast("long").alias("__ra"),
+        # true integer division (SQL `div`) — a float divide +
+        # cast can truncate across an integer boundary when the
+        # quotient rounds up to the next representable double (the
+        # `rrf_fuse` lesson)
+        F.expr(f"{1 << 30} div __deg").cast("long").alias("__ra"),
     )
     a = wz.select(
         F.col("__c"), F.col("__n").alias("u"), F.col("__ra")

@@ -449,7 +449,9 @@ def precision_at_k(
         rows.append(
             top.filter(F.col("__r") <= k).agg(
                 F.lit(k).cast("long").alias("k"),
-                F.sum("__y").cast("long").alias("n_rel_at_k"),
+                F.coalesce(F.sum("__y"), F.lit(0))
+                .cast("long")
+                .alias("n_rel_at_k"),
             )
         )
     out = rows[0]
@@ -604,7 +606,11 @@ def lift_table(
     w = Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
     per = (
         base.select(
-            F.ntile(n_buckets).over(w).alias("bucket"), "__y"
+            # LONG bucket — the family convention (`item_cf`/`rrf_fuse`
+            # cast their row_number the same way) so the SQL oracle's
+            # BIGINT ntile hash-matches without a papering cast
+            F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+            "__y",
         )
         .groupBy("bucket")
         .agg(
