@@ -1,7 +1,9 @@
-"""Classic supervised learners re-expressed as certificate-friendly
-Spark plans: AdaBoost decision stumps with quantized weights, and a
-multinomial Naive Bayes trainer/scorer with integer counts and
-quantized log-probabilities.
+"""Classic supervised learners and their evaluation suite,
+re-expressed as certificate-friendly Spark plans: AdaBoost decision
+stumps with quantized weights, a multinomial Naive Bayes
+trainer/scorer with integer counts and quantized log-probabilities,
+and the model-eval family (confusion metrics, precision/recall@k,
+quantized-discount NDCG, decile lift/gains).
 
 Beyond-reference surface (the reference engine stops at linear
 models, `/root/reference/hdfe/hdfe.py:14-302`); these are the
