@@ -649,3 +649,119 @@ def lift_table(
             / (F.col("cum_n") * F.col("__pt")).cast("double"),
         ).alias("cum_lift"),
     ).orderBy("bucket")
+
+
+def cohen_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    labelings (annotator vs annotator, or model vs gold), MULTICLASS
+    over any orderable label type. The algebra is arranged so the
+    whole statistic is ONE division of exact integers:
+
+        kappa = (po - pe) / (1 - pe)
+              = (N*agree - S) / (N^2 - S),   S = sum_i row_i * col_i
+
+    — numerator and denominator are exact DECIMAL(38,0) products of
+    integer counts (order-free on any engine), so no float appears
+    until the final division. NULL label/pred rows are excluded.
+
+    Returns one row: (n, agree, po, pe, kappa); kappa is NULL when
+    pe = 1 (a single class on both sides — undefined, never a
+    crash). Plan: one (label, pred) aggregation, two class-sized
+    margin rollups joined class-to-class (AQE-planned, class-space
+    sized), two 1-row reductions — nothing row-sized ever reaches
+    the driver."""
+    y = F.col(label_col)
+    p = F.col(pred_col)
+    cm = (
+        df.filter(y.isNotNull() & p.isNotNull())
+        .groupBy(y.alias("__y"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    tot = cm.agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__y") == F.col("__p"), F.col("__c"))),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("__agree"),
+    )
+    rows = cm.groupBy(F.col("__y").alias("__cls")).agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__r")
+    )
+    cols = cm.groupBy(F.col("__p").alias("__cls2")).agg(
+        F.sum("__c").cast("decimal(38,0)").alias("__k")
+    )
+    s = rows.join(cols, rows["__cls"] == cols["__cls2"]).agg(
+        F.coalesce(F.sum(F.col("__r") * F.col("__k")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__s")
+    )
+    j = tot.crossJoin(F.broadcast(s))
+    num = F.col("__n") * F.col("__agree") - F.col("__s")
+    den = F.col("__n") * F.col("__n") - F.col("__s")
+    return j.select(
+        F.col("__n").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("agree"),
+        (F.col("__agree").cast("double") / F.col("__n").cast("double"))
+        .alias("po"),
+        (
+            F.col("__s").cast("double")
+            / (F.col("__n") * F.col("__n")).cast("double")
+        ).alias("pe"),
+        F.when(
+            den != F.lit(0).cast("decimal(38,0)"),
+            num.cast("double") / den.cast("double"),
+        ).alias("kappa"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    qbits: int = 30,
+) -> DataFrame:
+    """Brier score (mean squared error of a probabilistic
+    classifier) with QUANTIZED per-row terms, so the distributed sum
+    is exact: each row contributes round((p - y)^2 * 2^qbits) — the
+    squared error is one deterministic IEEE expression per row, the
+    rounding is engine-identical for non-negative values, and the
+    DECIMAL(38,0) sum is order-free; the score is ONE final division
+    brier_q / (n * 2^qbits). Labels integral 0/1; NULL label/prob
+    rows excluded; probabilities outside [0, 1] raise (they are a
+    caller bug a mean would silently absorb).
+
+    Returns one row: (n, brier_q, brier). One map-side-combined
+    aggregation — the minimum possible work."""
+    _guard_binary_label("brier_score", df, label_col)
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("long")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    scale = float(1 << qbits)
+    d = p - y.cast("double")
+    term = F.round(d * d * F.lit(scale)).cast("decimal(38,0)")
+    guard = F.when(
+        (p < 0.0) | (p > 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("brier_score: probability out of [0, 1]: "),
+                p.cast("string"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(term)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(guard), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("brier_q"),
+    )
+    return agg.select(
+        "n",
+        "brier_q",
+        F.when(
+            F.col("n") > 0,
+            F.col("brier_q").cast("double")
+            / (F.col("n").cast("double") * F.lit(scale)),
+        ).alias("brier"),
+    )

@@ -711,3 +711,80 @@ def hard_negatives(
         .filter(F.col("__rn") <= kk)
         .drop("__rn")
     )
+
+
+def silhouette_fixed(
+    df: DataFrame,
+    vec_col: str,
+    centroids: "list[list[float]]",
+    qbits: int = 20,
+) -> DataFrame:
+    """Simplified silhouette against FIXED centroid vectors — the
+    cluster-quality readout (Rousseeuw 1987's silhouette with the
+    standard centroid simplification): each vector is assigned to
+    its nearest centroid (Euclidean, first-index tie-break — the
+    `kmeans_fixed` convention), a = that distance, b = the distance
+    to the nearest OTHER centroid, s = (b - a)/max(a, b).
+
+    Engine-exactness: the centroids are driver-known literals, every
+    distance is a pinned LEFT-FOLD over dimensions (init 0.0, acc +
+    (x_i - c_i)^2 — the `ewma` fold argument, replayed by the oracle
+    as list_reduce(list_prepend(0.0, ...))), a/b come from
+    array_sort over the k computed doubles (identical on both
+    engines because the inputs are identical doubles), and each
+    row's s is QUANTIZED to round(s * 2^qbits) so the per-cluster
+    sums are exact integers; mean_sil is one final division. A
+    vector equal to two centroids (max(a,b) = 0) scores s = 0 by
+    convention.
+
+    Returns one row per cluster: (cluster, n, sil_q, mean_sil).
+    Plan: one narrow codegen projection (k ordered folds per row) +
+    one k-row aggregation — zero joins, zero shuffles wider than k
+    rows; the centroid list is expression literals, never data.
+    """
+    k = len(centroids)
+    if k < 2:
+        raise ValueError("silhouette_fixed: needs >= 2 centroids")
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("silhouette_fixed: centroid dims differ")
+
+    def dist(c):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        sq = F.zip_with(
+            F.col(vec_col),
+            lit,
+            lambda a, b: (a.cast("double") - b)
+            * (a.cast("double") - b),
+        )
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+    dists = F.array(*[dist(c) for c in centroids])
+    srt = F.array_sort(dists)
+    a = F.element_at(srt, 1)
+    b = F.element_at(srt, 2)
+    cluster = (F.array_position(dists, a) - 1).cast("long")
+    s = F.when(
+        F.greatest(a, b) > 0.0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    sq_col = F.round(s * F.lit(float(1 << qbits))).cast("long")
+    per = (
+        df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        )
+        .select(cluster.alias("cluster"), sq_col.alias("__sq"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__sq").cast("long").alias("sil_q"),
+        )
+    )
+    return per.select(
+        "cluster",
+        "n",
+        "sil_q",
+        (
+            F.col("sil_q").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(1 << qbits)))
+        ).alias("mean_sil"),
+    )

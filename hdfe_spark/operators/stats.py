@@ -41,7 +41,7 @@ import decimal as _decimal
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2901,4 +2901,181 @@ def cuped(
             (mean_y_v - F.lit(theta) * (mean_x_v - F.lit(mean_x))) * inv
         ).alias("mean_cuped"),
         F.lit(theta).alias("theta"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """Kruskal-Wallis H test — `anova_oneway`'s rank-based sibling
+    (does the DISTRIBUTION of ``value_col`` differ across groups?),
+    with average-tie ranks and the standard tie correction.
+
+    Exactness (the `mann_whitney_u` half-unit trick, per group):
+    for a pooled distinct value with total count c and cum-before
+    count B, every average rank is (2B + c + 1)/2, so the DOUBLED
+    per-group rank sums 2*R_g = sum(c_g * (2B + c + 1)) ride as
+    exact DECIMAL(38,0) integers; the tie term sum(c^3 - c) is
+    integral too. The only order-sensitive float reduction — the
+    sum over groups of R_g^2/n_g — is a driver-side LEFT FOLD in
+    group order (the `anova_oneway` collect-scalars pattern, group
+    count bounded by ``max_groups``), which the oracle replays with
+    ``list_reduce(list(... ORDER BY g))``. H and the tie-corrected
+    H_adj are then a handful of IEEE ops on exact scalars.
+
+    NULL groups/values are excluded. Raises when every pooled value
+    is tied (the correction denominator is 0 — H is undefined).
+    Plan: one (value, group) aggregation, one value-level rollup +
+    two distributed prefix sums, one AQE-planned join back, one
+    group-level aggregation bounded by ``max_groups`` — never a
+    global row sort (ranks come from counts, not sorting). Returns
+    ONE row: k, n, tie_term, h, h_adj.
+    """
+    from hdfe_spark.operators.rank import prefix_sum
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    vg = base.groupBy("__v", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__cg")
+    )
+    v = vg.groupBy("__v").agg(F.sum("__cg").cast("long").alias("__c"))
+    v = prefix_sum(v, ["__v"], "__c", out_col="__cumc")
+    tie = v.agg(
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__c")
+            * F.col("__c")
+            - F.col("__c")
+        ).alias("ties"),
+    ).collect()[0]
+    ties = int(tie["ties"] or 0)
+    b2 = (
+        F.lit(2).cast("decimal(38,0)")
+        * (F.col("__cumc") - F.col("__c"))
+        + F.col("__c")
+        + F.lit(1)
+    )
+    groups = (
+        vg.join(v, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cg").cast("long").alias("ng"),
+            F.sum(F.col("__cg").cast("decimal(38,0)") * b2).alias(
+                "r2g"
+            ),
+        )
+    )
+    cells = groups.limit(max_groups + 1).collect()
+    if len(cells) > max_groups:
+        raise ValueError(
+            f"kruskal_wallis: more than max_groups={max_groups} groups"
+        )
+    if len(cells) < 2:
+        raise ValueError("kruskal_wallis: needs >= 2 groups")
+    cells.sort(key=lambda r: r["__g"])
+    n = sum(int(r["ng"]) for r in cells)
+    k = len(cells)
+    denom_t = n * n * n - n
+    if ties >= denom_t:
+        raise ValueError(
+            "kruskal_wallis: all pooled values tied — H is undefined"
+        )
+    # left fold in group order (acc = first term, the anova/DuckDB
+    # list_reduce convention); R_g^2/n_g = (2R_g)^2 / (4 n_g)
+    terms = [
+        float(r["r2g"]) * float(r["r2g"]) / (4.0 * float(r["ng"]))
+        for r in cells
+    ]
+    t = terms[0]
+    for x in terms[1:]:
+        t = t + x
+    h = (12.0 * t) / float(n * (n + 1)) - 3.0 * float(n + 1)
+    corr = 1.0 - float(ties) / float(denom_t)
+    h_adj = h / corr
+    return df.sparkSession.createDataFrame(
+        [(k, n, float(ties), h, h_adj)],
+        "k long, n long, tie_term double, h double, h_adj double",
+    )
+
+
+def auc_by(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group exact ROC AUC — `auc_score` stratified (the
+    per-query retrieval/ranking eval): within every group, AUC via
+    the rank-sum identity with average-tie ranks,
+
+        auc = (2*R_pos - n_pos*(n_pos+1)) / (2 * n_pos * n_neg)
+
+    where 2*R_pos rides as an exact DECIMAL(38,0) integer (the
+    `mann_whitney_u` half-unit trick evaluated with GROUP-
+    PARTITIONED window prefix sums instead of the global
+    distributed prefix sum — parallel across groups, never a global
+    sort), so the whole statistic is ONE division of exact integers
+    per group: fully distributed, no driver collect, and a SQL
+    oracle spells it verbatim.
+
+    NULL labels/scores are excluded; a NULL group is itself a group
+    (the `hll_by` convention). Groups with no positives or no
+    negatives return NULL auc (undefined, never a crash). Returns
+    one row per group: (group, n_pos, n_neg, auc).
+    """
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__v"),
+        F.col(label_col).cast("boolean").cast("long").alias("__y"),
+    )
+    cells = base.groupBy("__g", "__v").agg(
+        F.sum("__y").cast("long").alias("__cp"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__cn"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "__g", "__cp", "__cn",
+        F.sum("__cp").over(w).alias("__cump"),
+        F.sum("__cn").over(w).alias("__cumn"),
+    )
+    c = (F.col("__cp") + F.col("__cn")).cast("decimal(38,0)")
+    before = (
+        F.col("__cump") + F.col("__cumn")
+        - F.col("__cp") - F.col("__cn")
+    ).cast("decimal(38,0)")
+    r2term = F.col("__cp").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * before + c + F.lit(1)
+    )
+    g = cum.groupBy("__g").agg(
+        F.sum("__cp").cast("long").alias("n_pos"),
+        F.sum("__cn").cast("long").alias("n_neg"),
+        F.sum(r2term).alias("__ra2"),
+    )
+    npos = F.col("n_pos").cast("decimal(38,0)")
+    u2 = F.col("__ra2") - npos * (F.col("n_pos") + F.lit(1))
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_pos")
+        * F.col("n_neg")
+    )
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u2.cast("double") / den.cast("double"),
+        ).alias("auc"),
     )

@@ -881,3 +881,19 @@ def streaming_confusion(
     from hdfe_spark.operators.ml import confusion_stats
 
     return confusion_stats(stream, label_col, pred_col)
+
+
+def streaming_gopher(stream: DataFrame, **kwargs) -> DataFrame:
+    """Streaming quality gate (the twentieth streaming form): the
+    Gopher rules applied to documents AS THEY ARRIVE — the C4/Gopher
+    filter a crawl-ingest pipeline runs before anything lands.
+    `text.gopher_rules` is stateless row expressions end to end
+    (no aggregation, no window), so it is streaming-safe in APPEND
+    mode and an availableNow replay emits exactly the batch rows —
+    the strongest equality form there is, no state to reconcile.
+    Delegates outright: a copied body could silently diverge from
+    the batch semantics this form's whole contract is equality
+    with."""
+    from hdfe_spark.operators.text import gopher_rules
+
+    return gopher_rules(stream, **kwargs)

@@ -343,3 +343,237 @@ def test_streaming_confusion_equals_batch(spark, sf_dir, tmp_path):
         spark.createDataFrame(batch, "y long, p long"), "y", "p"
     ).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+# ---------------- kruskal_wallis ----------------
+
+
+def _kruskal_replica(groups):
+    # groups: dict g -> list of values; average-tie ranks
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    n = len(pooled)
+    # average rank per distinct value
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank = {}
+    cum = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        rank[v] = cum + (c + 1) / 2
+        cum += c
+    ties = sum(c * c * c - c for c in cnt.values())
+    ks = sorted(groups)
+    terms = [
+        (2 * sum(rank[v] for v in groups[g])) ** 2
+        / (4.0 * len(groups[g]))
+        for g in ks
+    ]
+    t = terms[0]
+    for x in terms[1:]:
+        t = t + x
+    h = (12.0 * t) / float(n * (n + 1)) - 3.0 * float(n + 1)
+    corr = 1.0 - float(ties) / float(n**3 - n)
+    return h, h / corr, float(ties)
+
+
+def test_kruskal_wallis_matches_replica(spark):
+    from hdfe_spark.operators.stats import kruskal_wallis
+
+    groups = {
+        "a": [1.0, 2.0, 2.0, 5.0, 7.0],
+        "b": [2.0, 4.0, 4.0, 9.0],
+        "c": [3.0, 3.0, 6.0, 8.0, 8.0, 10.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = kruskal_wallis(df, "g", "x").collect()[0]
+    h, h_adj, ties = _kruskal_replica(groups)
+    assert r["k"] == 3 and r["n"] == 15
+    assert r["tie_term"] == ties
+    assert r["h"] == h
+    assert r["h_adj"] == h_adj
+
+
+def test_kruskal_wallis_all_tied_raises(spark):
+    from hdfe_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0)], "g string, x double"
+    )
+    with pytest.raises(ValueError, match="tied"):
+        kruskal_wallis(df, "g", "x")
+
+
+# ---------------- auc_by ----------------
+
+
+def test_auc_by_matches_global_auc_per_group(spark):
+    from hdfe_spark.operators.stats import auc_by, auc_score
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("q1", "q2", "q3"):
+        for _ in range(60):
+            y = rng.randint(0, 1)
+            # informative score with ties
+            s = round(y * 0.4 + rng.uniform(0, 1), 1)
+            rows.append((g, y, s))
+    df = spark.createDataFrame(rows, "g string, y long, s double")
+    got = {r["g"]: r for r in auc_by(df, "g", "y", "s").collect()}
+    for g in ("q1", "q2", "q3"):
+        sub = df.filter(F.col("g") == g).withColumn(
+            "yy", F.col("y") == 1
+        )
+        want = auc_score(sub, "yy", "s").collect()[0]
+        assert got[g]["n_pos"] == want["n_pos"]
+        assert got[g]["n_neg"] == want["n_neg"]
+        assert got[g]["auc"] == want["auc"], g
+
+
+def test_auc_by_degenerate_group_is_null(spark):
+    from hdfe_spark.operators.stats import auc_by
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 1, 2.0), ("h", 1, 1.0), ("h", 0, 0.5)],
+        "g string, y long, s double",
+    )
+    out = {r["g"]: r for r in auc_by(df, "g", "y", "s").collect()}
+    assert out["g"]["auc"] is None  # no negatives
+    assert out["h"]["auc"] == 1.0
+
+
+# ---------------- cohen_kappa ----------------
+
+
+def test_cohen_kappa_hand_computed(spark):
+    from hdfe_spark.operators.ml import cohen_kappa
+
+    # classic 2x2: 20 a/a, 5 a/b, 10 b/a, 15 b/b
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "y string, p string")
+    r = cohen_kappa(df, "y", "p").collect()[0]
+    n, agree = 50, 35
+    s = 25 * 30 + 25 * 20  # row_a*col_a + row_b*col_b
+    assert (r["n"], r["agree"]) == (n, agree)
+    assert r["po"] == agree / n
+    assert r["pe"] == s / (n * n)
+    assert r["kappa"] == (n * agree - s) / (n * n - s)
+
+
+def test_cohen_kappa_single_class_is_null(spark):
+    from hdfe_spark.operators.ml import cohen_kappa
+
+    df = spark.createDataFrame([("a", "a")] * 5, "y string, p string")
+    assert cohen_kappa(df, "y", "p").collect()[0]["kappa"] is None
+
+
+def test_cohen_kappa_multiclass_and_disjoint_classes(spark):
+    from hdfe_spark.operators.ml import cohen_kappa
+
+    # pred class 'c' never appears as label: its margin product is 0
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "c"), ("b", "b"), ("a", "c")],
+        "y string, p string",
+    )
+    r = cohen_kappa(df, "y", "p").collect()[0]
+    s = 2 * 1 + 2 * 1  # row_a*col_a + row_b*col_b ; col_c unmatched
+    assert r["agree"] == 2
+    assert r["kappa"] == (4 * 2 - s) / (16 - s)
+
+
+# ---------------- brier_score ----------------
+
+
+def test_brier_score_hand_computed(spark):
+    from hdfe_spark.operators.ml import brier_score
+
+    rows = [(1, 0.9), (0, 0.2), (1, 0.5), (0, 0.0)]
+    df = spark.createDataFrame(rows, "y long, p double")
+    r = brier_score(df, "y", "p").collect()[0]
+    q = 1 << 30
+    want_q = sum(round((p - y) ** 2 * q) for y, p in rows)
+    assert r["n"] == 4
+    assert int(r["brier_q"]) == want_q
+    assert r["brier"] == want_q / (4.0 * q)
+
+
+def test_brier_score_rejects_out_of_range(spark):
+    from hdfe_spark.operators.ml import brier_score
+
+    df = spark.createDataFrame([(1, 1.5)], "y long, p double")
+    with pytest.raises(Exception, match="out of"):
+        brier_score(df, "y", "p").collect()
+
+
+# ---------------- silhouette_fixed ----------------
+
+
+def test_silhouette_fixed_hand_computed(spark):
+    from hdfe_spark.operators.similarity import silhouette_fixed
+
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0]),   # a=1, b=9  -> s = 8/9, cluster 0
+        (2, [9.0, 0.0]),   # a=1, b=9  -> s = 8/9, cluster 1
+        (3, [4.0, 0.0]),   # a=4, b=6  -> s = 2/6, cluster 0
+        (4, [0.0, 0.0]),   # a=0, b=10 -> s = 1.0, cluster 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    out = {
+        r["cluster"]: r
+        for r in silhouette_fixed(df, "v", cents).collect()
+    }
+    q = 1 << 20
+    s89 = round(8.0 / 9.0 * q)
+    assert out[0]["n"] == 3
+    assert out[0]["sil_q"] == s89 + round((2.0 / 6.0) * q) + q
+    assert out[1]["n"] == 1 and out[1]["sil_q"] == s89
+    assert out[1]["mean_sil"] == s89 / float(q)
+
+
+def test_silhouette_tie_breaks_to_first_centroid(spark):
+    from hdfe_spark.operators.similarity import silhouette_fixed
+
+    cents = [[0.0, 0.0], [2.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, v array<float>"
+    )
+    r = silhouette_fixed(df, "v", cents).collect()[0]
+    assert r["cluster"] == 0  # equidistant -> first index
+    assert r["sil_q"] == 0  # a == b -> s = 0
+
+
+# ---------------- streaming_gopher ----------------
+
+
+def test_streaming_gopher_equals_batch(spark, sf_dir):
+    from hdfe_spark.operators.text import gopher_rules
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_gopher,
+    )
+
+    batch = gopher_rules(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_words=3
+    ).collect()
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = streaming_gopher(stream, min_words=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_r10_gopher")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_r10_gopher").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(
+        [tuple(r) for r in got], key=lambda t: t[0]
+    ) == sorted([tuple(r) for r in batch], key=lambda t: t[0])
