@@ -5835,6 +5835,155 @@ def _q_streaming_confusion(spark, sf_dir):
     )
 
 
+def _q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H (`operators/stats.py::kruskal_wallis`) of
+    l_quantity across return flags — `anova`'s rank-based sibling.
+    Doubled rank sums ride as exact DECIMAL(38,0) integers (the
+    mann_whitney half-unit trick); the one order-sensitive float
+    reduction (sum over groups of R^2/n) is a driver left fold in
+    group order the oracle replays with list_reduce(... ORDER BY
+    g). Ranks come from counts + prefix sums — never a global
+    sort."""
+    from hdfe_spark.operators.stats import kruskal_wallis
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = kruskal_wallis(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "k", "n", "tie_term",
+        _pround("h").alias("h"),
+        _pround("h_adj").alias("h_adj"),
+    )
+
+
+def _q_auc_by(spark, sf_dir):
+    """Per-group exact ROC AUC (`operators/stats.py::auc_by`): does
+    value rank event-id parity, per event type — the per-query
+    ranking eval. The rank-sum identity over GROUP-PARTITIONED
+    window prefix sums makes each group's AUC one division of exact
+    integers: fully distributed, no collect, parallel across
+    groups."""
+    from hdfe_spark.operators.stats import auc_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 2).cast("long").alias("y"),
+    )
+    out = auc_by(base, "event_type", "y", "s")
+    return out.select(
+        "event_type", "n_pos", "n_neg", _pround("auc").alias("auc")
+    )
+
+
+def _q_kappa(spark, sf_dir):
+    """Cohen's kappa (`operators/ml.py::cohen_kappa`): chance-
+    corrected agreement between order status and a price-threshold
+    prediction. The algebra is ONE division of exact DECIMAL(38,0)
+    integer products — kappa = (N*agree - S)/(N^2 - S) with S the
+    margin product sum — so no float exists until the final
+    division."""
+    from hdfe_spark.operators.ml import cohen_kappa
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderstatus").alias("y"),
+        F.when(F.col("o_totalprice") > 150000.0, F.lit("F"))
+        .otherwise(F.lit("O"))
+        .alias("p"),
+    )
+    out = cohen_kappa(base, "y", "p")
+    return out.select(
+        "n", "agree",
+        _pround("po").alias("po"),
+        _pround("pe").alias("pe"),
+        _pround("kappa").alias("kappa"),
+    )
+
+
+def _q_brier(spark, sf_dir):
+    """Quantized Brier score (`operators/ml.py::brier_score`):
+    event value clamped to [0, 1] as the probability that event_id
+    is odd. Each row's squared error is one deterministic IEEE
+    expression quantized to 2^-30, so the distributed sum is an
+    exact DECIMAL(38,0) integer and the score is ONE final
+    division."""
+    from hdfe_spark.operators.ml import brier_score
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    out = brier_score(base, "y", "p")
+    # decimal_agg precedent: DuckDB's pandas bridge degrades
+    # DECIMAL(38,0) to float64, so the exact integer rides the wire
+    # as its canonical string on both engines
+    return out.select(
+        "n",
+        F.col("brier_q").cast("string").alias("brier_q"),
+        _pround("brier").alias("brier"),
+    )
+
+
+def _q_silhouette(spark, sf_dir):
+    """Simplified silhouette (`operators/similarity.py::
+    silhouette_fixed`) of the embeddings table against the first
+    four vectors as fixed centroids: every distance is a pinned
+    left fold over dimensions (init 0.0 — replayed by the oracle's
+    list_reduce(list_prepend(0.0, ...))), a/b come from sorting the
+    k identical doubles, per-row s is quantized to 2^-20 so the
+    per-cluster sums are exact integers."""
+    from hdfe_spark.operators.similarity import silhouette_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = silhouette_fixed(emb, "embedding", cents)
+    return out.select(
+        "cluster", "n", "sil_q", _pround("mean_sil").alias("mean_sil")
+    )
+
+
+def _q_streaming_gopher(spark, sf_dir):
+    """Twentieth streaming form (`streaming/ops.py::
+    streaming_gopher`): the Gopher quality gate applied to the
+    document stream in APPEND mode — stateless row expressions, so
+    the availableNow replay emits exactly the batch `gopher` rows
+    and the batch SQL is the oracle verbatim."""
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_gopher,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    out = streaming_gopher(stream, min_words=10)
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "doc_id", "n_words",
+        _pround("mean_word_len").alias("mean_word_len"),
+        _pround("symbol_ratio").alias("symbol_ratio"),
+        _pround("bullet_ratio").alias("bullet_ratio"),
+        "n_stop_hits",
+        _pround("alpha_frac").alias("alpha_frac"),
+        "passes",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -5934,6 +6083,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgrams": _q_skipgrams,
         "gopher": _q_gopher,
         "streaming_confusion": _q_streaming_confusion,
+        "kruskal": _q_kruskal,
+        "auc_by": _q_auc_by,
+        "kappa": _q_kappa,
+        "brier": _q_brier,
+        "silhouette": _q_silhouette,
+        "streaming_gopher": _q_streaming_gopher,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -6202,6 +6357,76 @@ _CONFUSION_SQL = """
 _NDCG_W = ", ".join(
     str(int(round((1 << 30) / math.log2(r + 1)))) for r in range(1, 11)
 )
+
+# One spelling for the batch `gopher` query and its append-mode
+# availableNow twin `streaming_gopher` (stateless rows, so the
+# stream equals the batch table verbatim).
+_GOPHER_SQL = """
+            WITH b AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS a,
+                     string_split(text, chr(10)) AS ls
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(a) AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                          AS BIGINT) AS clen,
+                     CAST(length(text)
+                          - length(replace(text, '#', ''))
+                          AS BIGINT) AS nhash,
+                     CAST((length(text)
+                           - length(replace(text, '...', ''))) // 3
+                          AS BIGINT) AS nell,
+                     CAST(len(ls) AS BIGINT) AS n_lines,
+                     CAST(len(list_filter(ls,
+                       x -> substr(ltrim(x), 1, 1) = '-'
+                         OR substr(ltrim(x), 1, 1) = '*'
+                         OR substr(ltrim(x), 1, 1) = '•'))
+                          AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(a,
+                       x -> regexp_matches(x, '[a-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(CAST(list_contains(a, 'the') AS BIGINT)
+                        + CAST(list_contains(a, 'be') AS BIGINT)
+                        + CAST(list_contains(a, 'to') AS BIGINT)
+                        + CAST(list_contains(a, 'of') AS BIGINT)
+                        + CAST(list_contains(a, 'and') AS BIGINT)
+                        + CAST(list_contains(a, 'that') AS BIGINT)
+                        + CAST(list_contains(a, 'have') AS BIGINT)
+                        + CAST(list_contains(a, 'with') AS BIGINT)
+                          AS BIGINT) AS n_stop
+              FROM b),
+            r AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0
+                       THEN clen / CAST(n_words AS DOUBLE) END AS mwl,
+                     CASE WHEN n_words > 0
+                       THEN (nhash + nell) / CAST(n_words AS DOUBLE)
+                       END AS sym,
+                     CASE WHEN n_lines > 0
+                       THEN n_bullet / CAST(n_lines AS DOUBLE)
+                       END AS bul,
+                     n_stop,
+                     CASE WHEN n_words > 0
+                       THEN n_alpha / CAST(n_words AS DOUBLE)
+                       END AS alp
+              FROM m)
+            SELECT doc_id, n_words,
+                   floor(mwl * 1e9 + 0.5) / 1e9 AS mean_word_len,
+                   floor(sym * 1e9 + 0.5) / 1e9 AS symbol_ratio,
+                   floor(bul * 1e9 + 0.5) / 1e9 AS bullet_ratio,
+                   n_stop AS n_stop_hits,
+                   floor(alp * 1e9 + 0.5) / 1e9 AS alpha_frac,
+                   coalesce(n_words >= 10 AND n_words <= 100000
+                            AND mwl >= 3.0 AND mwl <= 10.0
+                            AND sym < 0.1 AND bul < 0.9
+                            AND n_stop >= 2 AND alp > 0.8,
+                            false) AS passes
+            FROM r
+        """
 
 _WITHIN_CTE = """
 WITH d AS (
@@ -7727,71 +7952,178 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
             FROM pr GROUP BY w1, w2 HAVING count(*) >= 5
         """,
-        "gopher": """
+        "gopher": _GOPHER_SQL,
+        "streaming_gopher": _GOPHER_SQL,
+        "kruskal": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_returnflag IS NOT NULL),
+            vg AS (SELECT v, g, CAST(count(*) AS BIGINT) AS cg
+                   FROM base GROUP BY v, g),
+            vc AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c
+                   FROM vg GROUP BY v),
+            vcc AS (SELECT v, c,
+                      CAST(sum(c) OVER (ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+                    FROM vc),
+            tiet AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c)
+                              AS HUGEINT) AS ties
+                     FROM vcc),
+            gr AS (SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+                     CAST(sum(CAST(cg AS HUGEINT)
+                       * (2 * (CAST(cumc AS HUGEINT) - c) + c + 1))
+                       AS HUGEINT) AS r2g
+                   FROM vg JOIN vcc USING (v) GROUP BY g),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(ng) AS BIGINT) AS n,
+                      -- ordered left fold, acc = first term (the
+                      -- anova list_reduce convention)
+                      list_reduce(
+                        list(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                             / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g),
+                        (acc, x) -> acc + x) AS t
+                    FROM gr),
+            c2 AS (SELECT k, n,
+                     CAST(tiet.ties AS DOUBLE) AS tie_term,
+                     (12.0 * t) / CAST(n * (n + 1) AS DOUBLE)
+                       - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+                     1.0 - CAST(tiet.ties AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * n * n - n
+                              AS DOUBLE) AS corr
+                   FROM agg, tiet)
+            SELECT k, n, tie_term,
+                   floor(h * 1e9 + 0.5) / 1e9 AS h,
+                   floor((h / corr) * 1e9 + 0.5) / 1e9 AS h_adj
+            FROM c2
+        """,
+        "auc_by": """
+            WITH base AS (
+              SELECT event_type AS g, value AS v,
+                     CAST(event_id % 2 AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            cells AS (SELECT g, v,
+                        CAST(sum(y) AS BIGINT) AS cp,
+                        CAST(sum(1 - y) AS BIGINT) AS cn
+                      FROM base GROUP BY g, v),
+            cum AS (SELECT g, cp, cn,
+                      CAST(sum(cp) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cump,
+                      CAST(sum(cn) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+                    FROM cells),
+            gr AS (SELECT g,
+                     CAST(sum(cp) AS BIGINT) AS n_pos,
+                     CAST(sum(cn) AS BIGINT) AS n_neg,
+                     CAST(sum(CAST(cp AS HUGEINT)
+                       * (2 * (CAST(cump AS HUGEINT) + cumn - cp - cn)
+                          + (cp + cn) + 1)) AS HUGEINT) AS ra2
+                   FROM cum GROUP BY g)
+            SELECT g AS event_type, n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     floor((CAST(ra2 - CAST(n_pos AS HUGEINT)
+                                       * (n_pos + 1) AS DOUBLE)
+                            / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg
+                                   AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                   END AS auc
+            FROM gr
+        """,
+        "kappa": """
             WITH b AS (
-              SELECT doc_id, text,
-                     list_filter(
-                       regexp_split_to_array(lower(text), '\\s+'),
-                       x -> x <> '') AS a,
-                     string_split(text, chr(10)) AS ls
-              FROM documents),
-            m AS (
-              SELECT doc_id,
-                     CAST(len(a) AS BIGINT) AS n_words,
-                     CAST(length(regexp_replace(text, '\\s+', '', 'g'))
-                          AS BIGINT) AS clen,
-                     CAST(length(text)
-                          - length(replace(text, '#', ''))
-                          AS BIGINT) AS nhash,
-                     CAST((length(text)
-                           - length(replace(text, '...', ''))) // 3
-                          AS BIGINT) AS nell,
-                     CAST(len(ls) AS BIGINT) AS n_lines,
-                     CAST(len(list_filter(ls,
-                       x -> substr(ltrim(x), 1, 1) = '-'
-                         OR substr(ltrim(x), 1, 1) = '*'
-                         OR substr(ltrim(x), 1, 1) = '•'))
-                          AS BIGINT) AS n_bullet,
-                     CAST(len(list_filter(a,
-                       x -> regexp_matches(x, '[a-z]')))
-                          AS BIGINT) AS n_alpha,
-                     CAST(CAST(list_contains(a, 'the') AS BIGINT)
-                        + CAST(list_contains(a, 'be') AS BIGINT)
-                        + CAST(list_contains(a, 'to') AS BIGINT)
-                        + CAST(list_contains(a, 'of') AS BIGINT)
-                        + CAST(list_contains(a, 'and') AS BIGINT)
-                        + CAST(list_contains(a, 'that') AS BIGINT)
-                        + CAST(list_contains(a, 'have') AS BIGINT)
-                        + CAST(list_contains(a, 'with') AS BIGINT)
-                          AS BIGINT) AS n_stop
-              FROM b),
-            r AS (
-              SELECT doc_id, n_words,
-                     CASE WHEN n_words > 0
-                       THEN clen / CAST(n_words AS DOUBLE) END AS mwl,
-                     CASE WHEN n_words > 0
-                       THEN (nhash + nell) / CAST(n_words AS DOUBLE)
-                       END AS sym,
-                     CASE WHEN n_lines > 0
-                       THEN n_bullet / CAST(n_lines AS DOUBLE)
-                       END AS bul,
-                     n_stop,
-                     CASE WHEN n_words > 0
-                       THEN n_alpha / CAST(n_words AS DOUBLE)
-                       END AS alp
-              FROM m)
-            SELECT doc_id, n_words,
-                   floor(mwl * 1e9 + 0.5) / 1e9 AS mean_word_len,
-                   floor(sym * 1e9 + 0.5) / 1e9 AS symbol_ratio,
-                   floor(bul * 1e9 + 0.5) / 1e9 AS bullet_ratio,
-                   n_stop AS n_stop_hits,
-                   floor(alp * 1e9 + 0.5) / 1e9 AS alpha_frac,
-                   coalesce(n_words >= 10 AND n_words <= 100000
-                            AND mwl >= 3.0 AND mwl <= 10.0
-                            AND sym < 0.1 AND bul < 0.9
-                            AND n_stop >= 2 AND alp > 0.8,
-                            false) AS passes
-            FROM r
+              SELECT o_orderstatus AS y,
+                     CASE WHEN o_totalprice > 150000.0
+                       THEN 'F' ELSE 'O' END AS p
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            cm AS (SELECT y, p, CAST(count(*) AS BIGINT) AS c
+                   FROM b GROUP BY y, p),
+            tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                      CAST(coalesce(sum(CASE WHEN y = p THEN c END),
+                                    0) AS HUGEINT) AS agree
+                    FROM cm),
+            rw AS (SELECT y AS cls, CAST(sum(c) AS HUGEINT) AS r
+                   FROM cm GROUP BY y),
+            cl AS (SELECT p AS cls, CAST(sum(c) AS HUGEINT) AS k
+                   FROM cm GROUP BY p),
+            sm AS (SELECT CAST(coalesce(sum(rw.r * cl.k), 0)
+                             AS HUGEINT) AS s
+                   FROM rw JOIN cl USING (cls))
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(agree AS BIGINT) AS agree,
+                   floor((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS po,
+                   floor((CAST(s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS pe,
+                   CASE WHEN n * n - s <> 0 THEN
+                     floor((CAST(n * agree - s AS DOUBLE)
+                            / CAST(n * n - s AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9
+                   END AS kappa
+            FROM tot, sm
+        """,
+        "brier": """
+            WITH b AS (
+              SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                     least(greatest(value, 0.0), 1.0) AS p
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(CAST(coalesce(sum(CAST(round(
+                       (p - CAST(y AS DOUBLE))
+                       * (p - CAST(y AS DOUBLE))
+                       * 1073741824.0) AS BIGINT)), 0)
+                       AS DECIMAL(38,0)) AS VARCHAR) AS brier_q
+              FROM b)
+            SELECT n, brier_q,
+                   CASE WHEN n > 0 THEN
+                     floor((CAST(CAST(brier_q AS DECIMAL(38,0))
+                                 AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1073741824.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS brier
+            FROM a
+        """,
+        "silhouette": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS ce
+              FROM embeddings WHERE vec_id < 4),
+            d AS (
+              SELECT e.vec_id, c.cid,
+                     sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(range(1, 65), i ->
+                         (CAST(e.embedding[i] AS DOUBLE)
+                          - CAST(c.ce[i] AS DOUBLE))
+                         * (CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(c.ce[i] AS DOUBLE)))),
+                       (acc, x) -> acc + x)) AS dist
+              FROM embeddings e CROSS JOIN c
+              WHERE e.embedding IS NOT NULL
+                AND len(e.embedding) = 64),
+            agg AS (SELECT vec_id, list(dist ORDER BY cid) AS ds
+                    FROM d GROUP BY vec_id),
+            s AS (SELECT vec_id, list_sort(ds) AS srt,
+                    CAST(list_position(ds, list_sort(ds)[1]) - 1
+                         AS BIGINT) AS cluster
+                  FROM agg),
+            r AS (SELECT cluster,
+                    CASE WHEN greatest(srt[1], srt[2]) > 0
+                      THEN (srt[2] - srt[1])
+                           / greatest(srt[1], srt[2])
+                      ELSE 0.0 END AS sv
+                  FROM s),
+            q AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(sv * 1048576.0) AS BIGINT))
+                         AS BIGINT) AS sil_q
+                  FROM r GROUP BY cluster)
+            SELECT cluster, n, sil_q,
+                   floor((CAST(sil_q AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * 1048576.0))
+                         * 1e9 + 0.5) / 1e9 AS mean_sil
+            FROM q
         """,
         "latest_per_key": """
             WITH r AS (
