@@ -5886,7 +5886,13 @@ def _q_kappa(spark, sf_dir):
     from hdfe_spark.operators.ml import cohen_kappa
 
     od = _t(spark, sf_dir, "orders")
-    base = od.select(
+    # filter BEFORE deriving p: the when/otherwise would map a NULL
+    # price to p='O' while the oracle's WHERE drops the row — a
+    # latent op/oracle divergence (review r10)
+    base = od.filter(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    ).select(
         F.col("o_orderstatus").alias("y"),
         F.when(F.col("o_totalprice") > 150000.0, F.lit("F"))
         .otherwise(F.lit("O"))

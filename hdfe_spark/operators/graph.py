@@ -890,8 +890,10 @@ def common_neighbors(
         F.count(F.lit(1)).cast("long").alias("__deg")
     )
     # wedge u - z - v with u < v; each side carries the center's
-    # degree share (2^30 div deg) so the pair agg needs no re-join
-    wz = sym.join(F.broadcast(deg), sym["s"] == deg["__z"]).select(
+    # degree share (2^30 div deg) so the pair agg needs no re-join.
+    # NO broadcast hint: deg is node-sized and unbounded (review
+    # r10) — AQE auto-broadcasts small graphs and shuffles big ones
+    wz = sym.join(deg, sym["s"] == deg["__z"]).select(
         F.col("s").alias("__c"),
         F.col("t").alias("__n"),
         # true integer division (SQL `div`) — a float divide +

@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 _D38 = "decimal(38,0)"
 
 
+def _bin01(fn: str, name: str, col):
+    """In-plan 0/1 DOMAIN guard (review r10): `_guard_binary_label`
+    only rejects float DTYPES — an out-of-domain integral value
+    (y = 2) would otherwise land in n but in none of the counters,
+    silently corrupting every derived metric. Rides the expression
+    itself, so it cannot be pruned and works on streams."""
+    return F.when(
+        col.isNotNull() & ~col.isin(0, 1),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn}: {name} outside {{0, 1}}: "),
+                col.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(col)
+
+
 def _guard_binary_label(fn: str, df: DataFrame, label_col: str) -> None:
     # Delegate to the shared quantized-family guard (stats.py) so a
     # future fix to the integral-label check lands here too.
@@ -372,10 +389,14 @@ def confusion_stats(
     """
     _guard_binary_label("confusion_stats", df, label_col)
     _guard_binary_label("confusion_stats", df, pred_col)
-    y = F.col(label_col).cast("long")
-    p = F.col(pred_col).cast("long")
+    y = _bin01("confusion_stats", label_col, F.col(label_col).cast("long"))
+    p = _bin01("confusion_stats", pred_col, F.col(pred_col).cast("long"))
     base = df.filter(y.isNotNull() & p.isNotNull())
-    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    # coalesce(..., 0): an empty (or all-NULL) input must produce the
+    # oracle's (0, 0, 0, 0, 0) row, not NULL counters (review r10)
+    cnt = lambda c: F.coalesce(  # noqa: E731
+        F.sum(c.cast("long")), F.lit(0)
+    ).cast("long")
     agg = base.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         cnt((y == 1) & (p == 1)).alias("tp"),
@@ -431,7 +452,8 @@ def precision_at_k(
     ).select(
         F.col(id_col).alias("__id"),
         F.col(score_col).alias("__s"),
-        F.col(label_col).cast("long").alias("__y"),
+        _bin01("precision_at_k", label_col, F.col(label_col).cast("long"))
+        .alias("__y"),
     )
     n_rel = base.agg(F.sum("__y").cast("long").alias("nr"))
     top = (
@@ -446,19 +468,32 @@ def precision_at_k(
             .alias("__r"),
         )
     )
-    rows = []
-    for k in ks:
-        rows.append(
-            top.filter(F.col("__r") <= k).agg(
-                F.lit(k).cast("long").alias("k"),
-                F.coalesce(F.sum("__y"), F.lit(0))
-                .cast("long")
-                .alias("n_rel_at_k"),
+    # ONE conditional aggregation over the single top-maxk pass (a
+    # per-cutoff agg branch would re-run the TakeOrdered scan once
+    # per k — review r10), then explode the k columns to rows
+    hits = top.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("__r") <= k, F.col("__y"))),
+                       F.lit(0))
+            .cast("long")
+            .alias(f"__h{k}")
+            for k in ks
+        ]
+    )
+    out = hits.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"__h{k}").alias("n_rel_at_k"),
+                    )
+                    for k in ks
+                ]
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        ).alias("__kv")
+    ).select(F.col("__kv.k").alias("k"),
+             F.col("__kv.n_rel_at_k").alias("n_rel_at_k"))
     return out.crossJoin(F.broadcast(n_rel)).select(
         "k",
         "n_rel_at_k",
@@ -522,7 +557,17 @@ def ndcg_by(
         F.col(query_col).alias("q"),
         F.col(id_col).alias("__id"),
         F.col(score_col).alias("__s"),
-        F.col(rel_col).cast("long").alias("__rel"),
+        F.when(
+            F.col(rel_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("ndcg_by: negative relevance: "),
+                    F.col(rel_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(rel_col).cast("long"))
+        .alias("__rel"),
     )
     w_pred = Window.partitionBy("q").orderBy(
         F.col("__s").desc(), F.col("__id").asc()
@@ -590,30 +635,31 @@ def lift_table(
     engines assign floor-based equal-depth buckets to the identical
     row sequence.
 
-    Scale: one global sort shuffle (range-partitioned, the price of
-    exact equal-depth buckets — the same trade `equidepth_hist`
-    documents), then a ``n_buckets``-row aggregation and a window
-    over those n_buckets rows.
+    Scale: one range-partitioned `rank.exact_ntile` pass (never the
+    single-task ntile() Window), then a ``n_buckets``-row
+    aggregation and a window over those n_buckets rows.
     """
     _guard_binary_label("lift_table", df, label_col)
     if n_buckets < 2:
         raise ValueError("lift_table: n_buckets must be >= 2")
+    from hdfe_spark.operators.rank import exact_ntile
+
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
         F.col(id_col).alias("__id"),
-        F.col(score_col).alias("__s"),
-        F.col(label_col).cast("long").alias("__y"),
+        # exact_ntile orders ASCENDING by column names; negating the
+        # score realizes (score DESC, id ASC) — exact for doubles
+        (-F.col(score_col)).alias("__negs"),
+        _bin01("lift_table", label_col, F.col(label_col).cast("long"))
+        .alias("__y"),
     )
-    w = Window.orderBy(F.col("__s").desc(), F.col("__id").asc())
+    # distributed NTILE (range shuffle + pinned blocks) — a bare
+    # ntile() OVER (ORDER BY ...) funnels every row through ONE task
+    # (review r10); exact_ntile hash-matches SQL NTILE semantics
     per = (
-        base.select(
-            # LONG bucket — the family convention (`item_cf`/`rrf_fuse`
-            # cast their row_number the same way) so the SQL oracle's
-            # BIGINT ntile hash-matches without a papering cast
-            F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
-            "__y",
-        )
+        exact_ntile(base, ["__negs", "__id"], n_buckets,
+                    tile_col="bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -736,7 +782,7 @@ def brier_score(
     aggregation — the minimum possible work."""
     _guard_binary_label("brier_score", df, label_col)
     p = F.col(prob_col)
-    y = F.col(label_col).cast("long")
+    y = _bin01("brier_score", label_col, F.col(label_col).cast("long"))
     base = df.filter(p.isNotNull() & y.isNotNull())
     scale = float(1 << qbits)
     d = p - y.cast("double")

@@ -735,7 +735,10 @@ def silhouette_fixed(
     row's s is QUANTIZED to round(s * 2^qbits) so the per-cluster
     sums are exact integers; mean_sil is one final division. A
     vector equal to two centroids (max(a,b) = 0) scores s = 0 by
-    convention.
+    convention; a vector whose dimension differs from the
+    centroids' RAISES in-plan (a silent drop would bias the
+    readout), while NULL vectors are excluded like any aggregate
+    NULL.
 
     Returns one row per cluster: (cluster, n, sil_q, mean_sil).
     Plan: one narrow codegen projection (k ordered folds per row) +
@@ -763,15 +766,27 @@ def silhouette_fixed(
     srt = F.array_sort(dists)
     a = F.element_at(srt, 1)
     b = F.element_at(srt, 2)
-    cluster = (F.array_position(dists, a) - 1).cast("long")
+    # wrong-dimension vectors RAISE (review r10: the loud-guard
+    # convention — a silent drop would report cluster quality over
+    # a biased subpopulation); NULL vectors are excluded like NULLs
+    # in any aggregate
+    cluster = F.when(
+        F.size(vec_col) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"silhouette_fixed: vector dimension != {dim}: "
+                ),
+                F.size(vec_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise((F.array_position(dists, a) - 1).cast("long"))
     s = F.when(
         F.greatest(a, b) > 0.0, (b - a) / F.greatest(a, b)
     ).otherwise(F.lit(0.0))
     sq_col = F.round(s * F.lit(float(1 << qbits))).cast("long")
     per = (
-        df.filter(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-        )
+        df.filter(F.col(vec_col).isNotNull())
         .select(cluster.alias("cluster"), sq_col.alias("__sq"))
         .groupBy("cluster")
         .agg(

@@ -211,9 +211,11 @@ def hll_finalize(bucket_table: DataFrame, b: int = 8) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("__s_seen"),
         F.coalesce(F.max("__bkt"), F.lit(0)).alias("__maxb"),
+        F.coalesce(F.min("__bkt"), F.lit(0)).alias("__minb"),
         F.coalesce(F.min("__mx"), F.lit(1)).alias("__minx"),
         F.coalesce(F.max("__mx"), F.lit(33)).alias("__maxx"),
         F.count_distinct(F.col("__bkt")).alias("__nbkt"),
+        F.count(F.col("__mx")).alias("__nmx"),
     )
     # a table built at a different b (or with duplicate bucket rows)
     # would otherwise produce a silently-negative n_empty and a wrong
@@ -221,11 +223,16 @@ def hll_finalize(bucket_table: DataFrame, b: int = 8) -> DataFrame:
     # NULL when the check passes, so riding it into s33 via
     # coalesce(...,0) keeps the guard in the executed plan (a
     # dropped helper column would be pruned by Catalyst).
+    # review r10: also reject negative buckets and NULL __mx rows —
+    # both passed the first guard while silently corrupting
+    # n_empty / s33 (min/max aggregates skip NULLs)
     guard = F.assert_true(
         (F.col("__maxb") < F.lit(m))
+        & (F.col("__minb") >= F.lit(0))
         & (F.col("__minx") >= F.lit(1))
         & (F.col("__maxx") <= F.lit(33))
-        & (F.col("__nbkt") == F.col("__seen")),
+        & (F.col("__nbkt") == F.col("__seen"))
+        & (F.col("__nmx") == F.col("__seen")),
         F.concat(
             F.lit(
                 f"hll_finalize: bucket table inconsistent with b={b}"

@@ -1296,7 +1296,6 @@ def gopher_rules(
     expressions in whole-stage codegen — zero shuffles, zero joins;
     filters on `passes` push into the scan stage."""
     txt = F.col(text_col)
-    lower = F.lower(txt)
     toks = tokens(txt)
     n_words = F.size(toks).cast("long")
     # Σ token lengths == non-whitespace length (tokens are the \s+

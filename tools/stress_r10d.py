@@ -1,0 +1,274 @@
+"""Round-10 stress, second batch: kruskal_wallis / auc_by /
+cohen_kappa / brier_score / silhouette_fixed at 20M rows, each vs a
+CLOSED-FORM Python replica (bigint/IEEE, never the operator's own
+output). Modulus correlations are used DELIBERATELY here (the
+r10c cuped lesson): each generator's joint structure is derived in
+the replica, not assumed independent.
+
+1. `kruskal_wallis`: v = i mod 1000, g = v mod 2 — the two groups
+   own disjoint value sets (even/odd), so every rank sum is an
+   arithmetic-series closed form.
+2. `auc_by`: 1000 groups, score index s = (i div 1000) mod 100
+   (independent of the group BY CONSTRUCTION — i mod 100 is constant
+   within a group since 100 | 1000), label y = s mod 2 — positives
+   own the odd scores; identical exact AUC per group.
+3. `cohen_kappa`: y = i mod 3, p = y except every 5th row — counts
+   by CRT over mod 15.
+4. `brier_score`: p = (i mod 100)/100, y = i mod 2 — the quantized
+   term sum is a 100-residue closed form (i mod 100 determines y).
+5. `silhouette_fixed`: rows cycle over 4 fixed 4-d templates
+   against 2 centroids — per-template s replicated with the same
+   IEEE op sequence.
+
+Usage: python tools/stress_r10d.py [kruskal|auc|kappa|brier|sil]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r10d")
+
+
+N = 20_000_000
+
+
+def stress_kruskal():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import kruskal_wallis
+
+    spark = _spark()
+    M = 1000
+    rows = spark.range(0, N, 1, 64).select(
+        ((F.col("id") % M) % 2).cast("string").alias("g"),
+        (F.col("id") % M).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    r = kruskal_wallis(rows, "g", "v").collect()[0]
+    dt = time.time() - t0
+    per_v = N // M
+    # replica: value v (0..M-1) has count per_v, owned by group v%2
+    ranks = {}
+    cum = 0
+    for v in range(M):
+        ranks[v] = 2 * cum + per_v + 1  # doubled avg rank
+        cum += per_v
+    ties = sum(per_v**3 - per_v for _ in range(M))
+    groups = {}
+    for par in (0, 1):
+        r2 = sum(per_v * ranks[v] for v in range(M) if v % 2 == par)
+        groups[str(par)] = (N // 2, r2)
+    ks = sorted(groups)
+    terms = [
+        float(groups[g][1]) * float(groups[g][1])
+        / (4.0 * float(groups[g][0]))
+        for g in ks
+    ]
+    t = terms[0]
+    for x in terms[1:]:
+        t = t + x
+    h = (12.0 * t) / float(N * (N + 1)) - 3.0 * float(N + 1)
+    corr = 1.0 - float(ties) / float(N**3 - N)
+    assert r["k"] == 2 and r["n"] == N
+    assert r["tie_term"] == float(ties), (r["tie_term"], ties)
+    assert r["h"] == h, (r["h"], h)
+    assert r["h_adj"] == h / corr
+    print(f"kruskal_wallis 20M rows: {dt:.1f}s — H EXACT vs closed form")
+
+
+def stress_auc():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import auc_by
+
+    spark = _spark()
+    G = 1000
+    # score index via integer DIVISION by G so it is independent of
+    # the group (i % 100 would be CONSTANT within a group — 100
+    # divides G; the modulus trap this file's docstring warns about
+    # bit the first cut of this very generator)
+    sidx = (F.col("id") / G).cast("long") % 100
+    rows = spark.range(0, N, 1, 64).select(
+        (F.col("id") % G).cast("string").alias("g"),
+        sidx.cast("double").alias("s"),
+        (sidx % 2).cast("long").alias("y"),
+    )
+    t0 = time.time()
+    out = auc_by(rows, "g", "y", "s")
+    chk = out.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.min("auc").alias("a0"), F.max("auc").alias("a1"),
+        F.min("n_pos").alias("p0"), F.max("n_pos").alias("p1"),
+    ).collect()[0]
+    dt = time.time() - t0
+    # replica for one group (all identical): score v has n/(G*100)
+    # rows, label v%2
+    per = N // (G * 100)
+    cum = 0
+    ra2 = 0
+    for v in range(100):
+        if v % 2 == 1:
+            ra2 += per * (2 * cum + per + 1)
+        cum += per
+    npos = 50 * per
+    nneg = 50 * per
+    auc = float(ra2 - npos * (npos + 1)) / float(2 * npos * nneg)
+    assert chk["ng"] == G
+    assert chk["p0"] == chk["p1"] == npos
+    assert chk["a0"] == chk["a1"] == auc, (chk, auc)
+    print(f"auc_by 20M rows / 1000 groups: {dt:.1f}s — every AUC EXACT")
+
+
+def stress_kappa():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.ml import cohen_kappa
+
+    spark = _spark()
+    y = (F.col("id") % 3).cast("string")
+    p = F.when(
+        F.col("id") % 5 == 0, ((F.col("id") + 1) % 3).cast("string")
+    ).otherwise(y)
+    rows = spark.range(0, N, 1, 64).select(y.alias("y"), p.alias("p"))
+    t0 = time.time()
+    r = cohen_kappa(rows, "y", "p").collect()[0]
+    dt = time.time() - t0
+    # replica by residues mod 15 (bigint)
+    per = N // 15
+    from collections import Counter
+
+    cm = Counter()
+    for i in range(15):
+        yy = i % 3
+        pp = (i + 1) % 3 if i % 5 == 0 else yy
+        cm[(yy, pp)] += per
+    n = sum(cm.values())
+    agree = sum(c for (a, b), c in cm.items() if a == b)
+    rowm = Counter()
+    colm = Counter()
+    for (a, b), c in cm.items():
+        rowm[a] += c
+        colm[b] += c
+    s = sum(rowm[k] * colm[k] for k in rowm if k in colm)
+    assert r["n"] == n and r["agree"] == agree
+    assert r["po"] == agree / n
+    assert r["pe"] == s / (n * n)
+    assert r["kappa"] == float(n * agree - s) / float(n * n - s)
+    print(f"cohen_kappa 20M rows: {dt:.1f}s — kappa EXACT vs CRT replica")
+
+
+def stress_brier():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.ml import brier_score
+
+    spark = _spark()
+    rows = spark.range(0, N, 1, 64).select(
+        ((F.col("id") % 100) % 2).cast("long").alias("y"),
+        ((F.col("id") % 100).cast("double") / 100.0).alias("p"),
+    )
+    t0 = time.time()
+    r = brier_score(rows, "y", "p").collect()[0]
+    dt = time.time() - t0
+    per = N // 100
+    q = 1 << 30
+    want = 0
+    for v in range(100):
+        pp = v / 100.0
+        yy = v % 2
+        want += per * round((pp - yy) * (pp - yy) * float(q))
+    assert r["n"] == N
+    assert int(r["brier_q"]) == want, (r["brier_q"], want)
+    assert r["brier"] == float(want) / (float(N) * float(q))
+    print(f"brier_score 20M rows: {dt:.1f}s — brier_q EXACT vs closed form")
+
+
+def stress_sil():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.similarity import silhouette_fixed
+
+    spark = _spark()
+    cents = [[0.0, 0.0, 0.0, 0.0], [10.0, 0.0, 0.0, 0.0]]
+    templates = [
+        [1.0, 0.0, 0.0, 0.0],
+        [9.0, 1.0, 0.0, 0.0],
+        [5.0, 0.0, 0.0, 0.0],   # equidistant -> cluster 0, s = 0
+        [0.0, 2.0, 0.0, 0.0],
+    ]
+    tcol = F.col("id") % 4
+    vec = F.when(
+        tcol == 0, F.array(*[F.lit(x) for x in templates[0]])
+    )
+    for i in range(1, 4):
+        vec = vec.when(
+            tcol == i, F.array(*[F.lit(x) for x in templates[i]])
+        )
+    rows = spark.range(0, N, 1, 64).select(
+        vec.cast("array<float>").alias("v")
+    )
+    t0 = time.time()
+    out = {
+        r["cluster"]: r
+        for r in silhouette_fixed(rows, "v", cents).collect()
+    }
+    dt = time.time() - t0
+
+    # replica with the SAME op sequence (left fold over dims, sqrt,
+    # sort, quantize); float32 narrowing applied to the inputs
+    import numpy as np
+
+    def srep(tpl):
+        x = [float(np.float32(t)) for t in tpl]
+        ds = []
+        for c in cents:
+            acc = 0.0
+            for a, b in zip(x, c):
+                acc = acc + (a - b) * (a - b)
+            ds.append(math.sqrt(acc))
+        srt = sorted(ds)
+        cl = ds.index(srt[0])
+        s = (
+            (srt[1] - srt[0]) / max(srt[0], srt[1])
+            if max(srt[0], srt[1]) > 0
+            else 0.0
+        )
+        return cl, round(s * float(1 << 20))
+    per = N // 4
+    want = {}
+    for tpl in templates:
+        cl, sq = srep(tpl)
+        wn, ws = want.get(cl, (0, 0))
+        want[cl] = (wn + per, ws + per * sq)
+    for cl, (wn, ws) in want.items():
+        assert out[cl]["n"] == wn, (cl, out[cl], wn)
+        assert out[cl]["sil_q"] == ws, (cl, out[cl], ws)
+        assert out[cl]["mean_sil"] == float(ws) / (
+            float(wn) * float(1 << 20)
+        )
+    print(
+        f"silhouette_fixed 20M rows: {dt:.1f}s — per-cluster sums EXACT"
+    )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    for name, fn in {
+        "kruskal": stress_kruskal,
+        "auc": stress_auc,
+        "kappa": stress_kappa,
+        "brier": stress_brier,
+        "sil": stress_sil,
+    }.items():
+        if which in (name, "all"):
+            fn()
