@@ -13,7 +13,8 @@ the replica, not assumed independent.
    within a group since 100 | 1000), label y = s mod 2 — positives
    own the odd scores; identical exact AUC per group.
 3. `cohen_kappa`: y = i mod 3, p = y except every 5th row — counts
-   by CRT over mod 15.
+   by CRT over mod 15 (N mod 15 != 0: the first residues carry one
+   extra row, derived not assumed).
 4. `brier_score`: p = (i mod 100)/100, y = i mod 2 — the quantized
    term sum is a 100-residue closed form (i mod 100 determines y).
 5. `silhouette_fixed`: rows cycle over 4 fixed 4-d templates
@@ -143,15 +144,15 @@ def stress_kappa():
     t0 = time.time()
     r = cohen_kappa(rows, "y", "p").collect()[0]
     dt = time.time() - t0
-    # replica by residues mod 15 (bigint)
-    per = N // 15
+    # replica by residues mod 15 (bigint); N is NOT divisible by
+    # 15, so the first N mod 15 residues carry one extra row
     from collections import Counter
 
     cm = Counter()
     for i in range(15):
         yy = i % 3
         pp = (i + 1) % 3 if i % 5 == 0 else yy
-        cm[(yy, pp)] += per
+        cm[(yy, pp)] += N // 15 + (1 if i < N % 15 else 0)
     n = sum(cm.values())
     agree = sum(c for (a, b), c in cm.items() if a == b)
     rowm = Counter()
