@@ -5655,6 +5655,7 @@ def _q_confusion(spark, sf_dir):
         _pround("precision").alias("precision"),
         _pround("recall").alias("recall"),
         _pround("f1").alias("f1"),
+        _pround("mcc").alias("mcc"),
     )
 
 
@@ -5832,6 +5833,7 @@ def _q_streaming_confusion(spark, sf_dir):
         _pround("precision").alias("precision"),
         _pround("recall").alias("recall"),
         _pround("f1").alias("f1"),
+        _pround("mcc").alias("mcc"),
     )
 
 
@@ -5990,6 +5992,98 @@ def _q_streaming_gopher(spark, sf_dir):
     )
 
 
+def _q_spearman_by(spark, sf_dir):
+    """Per-group Spearman rho (`operators/stats.py::spearman_by`):
+    quantity-vs-price rank correlation per return flag — the global
+    `spearman` stratified, with group-partitioned window rank
+    tables (parallel across groups, never a global sort) and six
+    exact DECIMAL(38,0) rank moments per group; rho is one fixed
+    IEEE expression the oracle spells verbatim."""
+    from hdfe_spark.operators.stats import spearman_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_by(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.select(
+        "l_returnflag", "n", _pround("rho").alias("rho")
+    )
+
+
+def _q_entropy_by(spark, sf_dir):
+    """Per-source language entropy (`operators/stats.py::
+    entropy_by`): the corpus-diversity signal, computed as
+    H = ln(n) - (1/n) sum c ln c with every ln taken of an INTEGER
+    count and quantized to 2^-20 (the lm-family measured-parity
+    convention), so the numerator is an exact DECIMAL(38,0) integer
+    and the entropy is one final division."""
+    from hdfe_spark.operators.stats import entropy_by
+
+    docs = _t(spark, sf_dir, "documents")
+    out = entropy_by(docs, "source", "lang")
+    return out.select(
+        "source", "n", "n_distinct", _pround("entropy").alias("entropy")
+    )
+
+
+def _q_ece(spark, sf_dir):
+    """Reliability-diagram bins (`operators/ml.py::
+    calibration_bins`) for the brier fixture (clamped event value
+    as P(event_id odd)): 10 fixed-width probability bins, per-bin
+    confidence from exact quantized sums, accuracy from exact
+    counts, |gap| per bin — per-bin ROWS, so no output ever rides
+    an order-sensitive float sum over bins."""
+    from hdfe_spark.operators.ml import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    out = calibration_bins(base, "y", "p", n_bins=10)
+    return out.select(
+        "bin", "n", "n_pos",
+        _pround("conf").alias("conf"),
+        _pround("acc").alias("acc"),
+        _pround("gap").alias("gap"),
+    )
+
+
+def _q_streaming_brier(spark, sf_dir):
+    """Twenty-first streaming form (`streaming/ops.py::
+    streaming_brier`): the quantized Brier score folded over the
+    events stream in complete mode — both state counters are
+    additive, so availableNow equals the batch `brier` row exactly
+    and the batch SQL is the oracle."""
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_brier,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    out = streaming_brier(base, "y", "p")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "n",
+        F.col("brier_q").cast("string").alias("brier_q"),
+        _pround("brier").alias("brier"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6095,6 +6189,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": _q_brier,
         "silhouette": _q_silhouette,
         "streaming_gopher": _q_streaming_gopher,
+        "spearman_by": _q_spearman_by,
+        "entropy_by": _q_entropy_by,
+        "ece": _q_ece,
+        "streaming_brier": _q_streaming_brier,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -6352,7 +6450,17 @@ _CONFUSION_SQL = """
            CASE WHEN 2 * tp + fp + fn > 0 THEN
              floor((2 * tp / CAST(2 * tp + fp + fn AS DOUBLE)) * 1e9
                    + 0.5) / 1e9
-           END AS f1
+           END AS f1,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+                     AND tn + fn > 0 THEN
+             floor((CAST(CAST(tp AS HUGEINT) * tn
+                         - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                    / sqrt(CAST(tp + fp AS DOUBLE)
+                           * CAST(tp + fn AS DOUBLE)
+                           * CAST(tn + fp AS DOUBLE)
+                           * CAST(tn + fn AS DOUBLE))) * 1e9 + 0.5)
+               / 1e9
+           END AS mcc
     FROM c
 """
 
@@ -6432,6 +6540,32 @@ _GOPHER_SQL = """
                             AND n_stop >= 2 AND alp > 0.8,
                             false) AS passes
             FROM r
+        """
+
+# One spelling for the batch `brier` query and its complete-mode
+# availableNow twin `streaming_brier` (additive counters).
+_BRIER_SQL = """
+            WITH b AS (
+              SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                     least(greatest(value, 0.0), 1.0) AS p
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(CAST(coalesce(sum(CAST(round(
+                       (p - CAST(y AS DOUBLE))
+                       * (p - CAST(y AS DOUBLE))
+                       * 1073741824.0) AS BIGINT)), 0)
+                       AS DECIMAL(38,0)) AS VARCHAR) AS brier_q
+              FROM b)
+            SELECT n, brier_q,
+                   CASE WHEN n > 0 THEN
+                     floor((CAST(CAST(brier_q AS DECIMAL(38,0))
+                                 AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * 1073741824.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS brier
+            FROM a
         """
 
 _WITHIN_CTE = """
@@ -8070,29 +8204,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS kappa
             FROM tot, sm
         """,
-        "brier": """
-            WITH b AS (
-              SELECT CAST(event_id % 2 AS BIGINT) AS y,
-                     least(greatest(value, 0.0), 1.0) AS p
-              FROM events
-              WHERE value IS NOT NULL AND event_id IS NOT NULL),
-            a AS (
-              SELECT CAST(count(*) AS BIGINT) AS n,
-                     CAST(CAST(coalesce(sum(CAST(round(
-                       (p - CAST(y AS DOUBLE))
-                       * (p - CAST(y AS DOUBLE))
-                       * 1073741824.0) AS BIGINT)), 0)
-                       AS DECIMAL(38,0)) AS VARCHAR) AS brier_q
-              FROM b)
-            SELECT n, brier_q,
-                   CASE WHEN n > 0 THEN
-                     floor((CAST(CAST(brier_q AS DECIMAL(38,0))
-                                 AS DOUBLE)
-                            / (CAST(n AS DOUBLE) * 1073741824.0))
-                           * 1e9 + 0.5) / 1e9
-                   END AS brier
-            FROM a
-        """,
+        "brier": _BRIER_SQL,
+        "streaming_brier": _BRIER_SQL,
         "silhouette": """
             WITH c AS (
               SELECT vec_id AS cid, embedding AS ce
@@ -8130,6 +8243,100 @@ def oracle_sql() -> dict[str, str]:
                           / (CAST(n AS DOUBLE) * 1048576.0))
                          * 1e9 + 0.5) / 1e9 AS mean_sil
             FROM q
+        """,
+        "spearman_by": """
+            WITH base AS (
+              SELECT l_returnflag AS g, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            cx AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY g, x),
+            rx AS (SELECT g, x,
+                     CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY x
+                       ROWS UNBOUNDED PRECEDING) - c) + c + 1
+                       AS HUGEINT) AS r2x
+                   FROM cx),
+            cy AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY g, y),
+            ry AS (SELECT g, y,
+                     CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY y
+                       ROWS UNBOUNDED PRECEDING) - c) + c + 1
+                       AS HUGEINT) AS r2y
+                   FROM cy),
+            rk AS (SELECT b.g, r2x, r2y
+                   FROM base b
+                   JOIN rx ON b.g = rx.g AND b.x = rx.x
+                   JOIN ry ON b.g = ry.g AND b.y = ry.y),
+            m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(r2x) AS HUGEINT) AS sx,
+                    CAST(sum(r2y) AS HUGEINT) AS sy,
+                    CAST(sum(r2x * r2x) AS HUGEINT) AS sxx,
+                    CAST(sum(r2x * r2y) AS HUGEINT) AS sxy,
+                    CAST(sum(r2y * r2y) AS HUGEINT) AS syy
+                  FROM rk GROUP BY g),
+            e AS (SELECT g, n,
+                    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                      AS num,
+                    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE)
+                              * CAST(sy AS DOUBLE))) AS den
+                  FROM m)
+            SELECT g AS l_returnflag, n,
+                   CASE WHEN den > 0 THEN
+                     floor((num / den) * 1e9 + 0.5) / 1e9
+                   END AS rho
+            FROM e
+        """,
+        "entropy_by": """
+            WITH base AS (
+              SELECT source AS g, lang AS v FROM documents
+              WHERE lang IS NOT NULL),
+            cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                      FROM base GROUP BY g, v),
+            gq AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(CAST(c AS HUGEINT)
+                       * CAST(round(ln(c) * 1048576.0) AS BIGINT))
+                       AS HUGEINT) AS s
+                   FROM cells GROUP BY g)
+            SELECT g AS source, n, n_distinct,
+                   floor((CAST(CAST(n AS HUGEINT)
+                               * CAST(round(ln(n) * 1048576.0)
+                                      AS BIGINT) - s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * 1048576.0))
+                         * 1e9 + 0.5) / 1e9 AS entropy
+            FROM gq
+        """,
+        "ece": """
+            WITH b AS (
+              SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                     least(greatest(value, 0.0), 1.0) AS p
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            per AS (
+              SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(CAST(round(p * 1048576.0) AS BIGINT))
+                          AS HUGEINT) AS spq
+              FROM b GROUP BY 1),
+            r AS (
+              SELECT bin, n, n_pos,
+                     CAST(spq AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1048576.0) AS conf,
+                     CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS acc
+              FROM per)
+            SELECT bin, n, n_pos,
+                   floor(conf * 1e9 + 0.5) / 1e9 AS conf,
+                   floor(acc * 1e9 + 0.5) / 1e9 AS acc,
+                   floor(abs(conf - acc) * 1e9 + 0.5) / 1e9 AS gap
+            FROM r ORDER BY bin
         """,
         "latest_per_key": """
             WITH r AS (

@@ -378,11 +378,16 @@ def confusion_stats(
     are excluded, mirroring SQL aggregate semantics.
 
     Returns one row: (n, tp, fp, fn, tn, accuracy, precision,
-    recall, f1). The four counts are exact integer conditional sums
-    (order-free on any engine); each metric is a single IEEE
+    recall, f1, mcc). The four counts are exact integer conditional
+    sums (order-free on any engine); each metric is a single IEEE
     division of exact integers — deterministic, the `welch_ttest`
-    convention. Zero-denominator metrics are NULL, never NaN (SQL
-    semantics both engines share).
+    convention. MCC's numerator tp*tn - fp*fn is an exact
+    DECIMAL(38,0) product difference; its denominator is the fixed
+    IEEE expression sqrt(d1*d2*d3*d4) over the four margin doubles
+    (the exact integer product would overflow DECIMAL(38,0) past
+    ~60M rows — the doubles are identical on both engines, so the
+    expression is deterministic). Zero-denominator metrics are
+    NULL, never NaN (SQL semantics both engines share).
 
     Scale: one narrow scan reduced map-side to four counters — the
     minimum possible work; no shuffle wider than one row.
@@ -419,6 +424,18 @@ def confusion_stats(
         # intermediate precision/recall divisions (fewer IEEE ops,
         # same value contract on both engines)
         ratio(F.lit(2) * tp, F.lit(2) * tp + fp + fn).alias("f1"),
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0)
+            & (tn + fn > 0),
+            (
+                tp.cast("decimal(38,0)") * tn
+                - fp.cast("decimal(38,0)") * fn
+            ).cast("double")
+            / F.sqrt(
+                dbl(tp + fp) * dbl(tp + fn) * dbl(tn + fp)
+                * dbl(tn + fn)
+            ),
+        ).alias("mcc"),
     )
 
 
@@ -811,3 +828,70 @@ def brier_score(
             / (F.col("n").cast("double") * F.lit(scale)),
         ).alias("brier"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    qbits: int = 20,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    per-bin table whose weighted |gap| sum is the Expected
+    Calibration Error: probabilities land in ``n_bins`` fixed-width
+    bins (floor(p * n_bins), p = 1.0 folded into the last bin —
+    both engines floor the identical double), each bin reporting
+    volume, positives, mean confidence, accuracy, and |conf - acc|.
+
+    Exactness: per-row p is quantized once (round(p * 2^qbits), an
+    exact integer), so the per-bin confidence sums are order-free
+    DECIMAL(38,0); conf/acc/gap are two divisions and one
+    subtraction of deterministic doubles. Emitting PER-BIN rows —
+    not the scalar ECE — keeps every output free of an
+    order-sensitive float sum over bins (callers fold the scalar in
+    bin order if they want it). Labels integral 0/1 (in-plan domain
+    guard); probabilities outside [0, 1] raise (the `brier_score`
+    guard); NULL rows excluded.
+
+    Returns one row per non-empty bin: (bin, n, n_pos, conf, acc,
+    gap). One map-side-combined aggregation over <= n_bins rows."""
+    _guard_binary_label("calibration_bins", df, label_col)
+    if n_bins < 2:
+        raise ValueError("calibration_bins: n_bins must be >= 2")
+    p = F.col(prob_col)
+    y = _bin01("calibration_bins", label_col, F.col(label_col).cast("long"))
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    scale = float(1 << qbits)
+    pq = F.round(p * F.lit(scale)).cast("decimal(38,0)")
+    pq_guarded = F.when(
+        (p < 0.0) | (p > 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("calibration_bins: probability out of [0, 1]: "),
+                p.cast("string"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(pq)
+    b = F.least(
+        F.floor(p * F.lit(n_bins)).cast("long"), F.lit(n_bins - 1)
+    )
+    per = (
+        base.select(b.alias("bin"), y.alias("__y"), pq_guarded.alias("__pq"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__pq").cast("decimal(38,0)").alias("__spq"),
+        )
+    )
+    conf = F.col("__spq").cast("double") / (
+        F.col("n").cast("double") * F.lit(scale)
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per.select(
+        "bin", "n", "n_pos",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        F.abs(conf - acc).alias("gap"),
+    ).orderBy("bin")

@@ -3079,3 +3079,127 @@ def auc_by(
             u2.cast("double") / den.cast("double"),
         ).alias("auc"),
     )
+
+
+def spearman_by(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Spearman rank correlation — `spearman_corr`
+    stratified (monotone-association per segment/query/source), with
+    the same average-tie exactness: each column's within-group ranks
+    come from (group, value) cell counts + a GROUP-PARTITIONED
+    window cumulative (parallel across groups, never a global sort),
+    doubled so 2*rank = 2B + c + 1 stays integral; the six rank
+    moments are exact DECIMAL(38,0) sums per group, and rho is one
+    fixed IEEE expression on their double casts that a SQL oracle
+    spells verbatim.
+
+    NULL x/y rows are excluded; a NULL group is itself a group (the
+    `hll_by` convention). Groups where either column is constant
+    (zero rank variance) return NULL rho. Returns one row per
+    group: (group, n, rho).
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+
+    def rank_table(col, rcol):
+        cells = base.groupBy("__g", col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        w = (
+            Window.partitionBy("__g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return cells.select(
+            "__g",
+            col,
+            (
+                F.lit(2)
+                * (F.sum("__c").over(w) - F.col("__c"))
+                + F.col("__c")
+                + F.lit(1)
+            ).cast("decimal(38,0)").alias(rcol),
+        )
+
+    rx = rank_table("__x", "__r2x")
+    ry = rank_table("__y", "__r2y")
+    ranked = base.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"])
+    m = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__r2x").alias("__sx"),
+        F.sum("__r2y").alias("__sy"),
+        F.sum(F.col("__r2x") * F.col("__r2x")).alias("__sxx"),
+        F.sum(F.col("__r2x") * F.col("__r2y")).alias("__sxy"),
+        F.sum(F.col("__r2y") * F.col("__r2y")).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(den > 0.0, num / den).alias("rho"),
+    )
+
+
+def entropy_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qbits: int = 20,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column (nats) —
+    the diversity signal corpus curation tracks per source (a
+    near-zero entropy source is boilerplate; see also
+    `char_entropy` for the within-document variant). Uses the
+    identity H = ln(n) - (1/n) * sum_v c_v ln c_v so the only libm
+    calls are ln of INTEGER counts, each QUANTIZED to
+    round(2^qbits * ln c) — the lm-family convention whose
+    JVM-vs-DuckDB parity was measured (a disagreement needs ln
+    within ~2^-(qbits+1) of a rounding boundary) — making the
+    entropy numerator n*qln(n) - sum(c * qln(c)) an exact
+    DECIMAL(38,0) integer; the entropy is ONE final division.
+
+    NULL values are excluded; a NULL group is itself a group.
+    Returns one row per group: (group, n, n_distinct, entropy).
+    Plan: one (group, value) cell aggregation + one group rollup —
+    two map-side-combined shuffles, nothing driver-side.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    scale = float(1 << qbits)
+    cells = base.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    qln_c = F.round(F.ln(F.col("__c")) * F.lit(scale)).cast(
+        "decimal(38,0)"
+    )
+    g = cells.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("__c").cast("decimal(38,0)") * qln_c).alias("__s"),
+    )
+    qln_n = F.round(F.ln(F.col("n")) * F.lit(scale)).cast(
+        "decimal(38,0)"
+    )
+    e_num = F.col("n").cast("decimal(38,0)") * qln_n - F.col("__s")
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n_distinct",
+        (
+            e_num.cast("double")
+            / (F.col("n").cast("double") * F.lit(scale))
+        ).alias("entropy"),
+    )

@@ -897,3 +897,19 @@ def streaming_gopher(stream: DataFrame, **kwargs) -> DataFrame:
     from hdfe_spark.operators.text import gopher_rules
 
     return gopher_rules(stream, **kwargs)
+
+
+def streaming_brier(
+    stream: DataFrame, label_col: str, prob_col: str, qbits: int = 30
+) -> DataFrame:
+    """Streaming probabilistic-quality monitor (the twenty-first
+    streaming form): the quantized Brier score folded over a
+    prediction stream. The quantized term sum and the row count are
+    both ADDITIVE and the final division rides the output
+    projection, so the complete-mode availableNow fold equals the
+    batch `ml.brier_score` row EXACTLY whatever the micro-batch
+    boundaries. State is two counters. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.ml import brier_score
+
+    return brier_score(stream, label_col, prob_col, qbits=qbits)

@@ -577,3 +577,121 @@ def test_streaming_gopher_equals_batch(spark, sf_dir):
     assert sorted(
         [tuple(r) for r in got], key=lambda t: t[0]
     ) == sorted([tuple(r) for r in batch], key=lambda t: t[0])
+
+
+# ---------------- batch 3: mcc / calibration_bins / spearman_by /
+# entropy_by / streaming_brier ----------------
+
+
+def test_confusion_mcc_hand_computed(spark):
+    from hdfe_spark.operators.ml import confusion_stats
+
+    rows = [(1, 1)] * 6 + [(0, 1)] * 2 + [(1, 0)] * 1 + [(0, 0)] * 3
+    df = spark.createDataFrame(rows, "y long, p long")
+    r = confusion_stats(df, "y", "p").collect()[0]
+    tp, fp, fn, tn = 6, 2, 1, 3
+    num = tp * tn - fp * fn
+    den = math.sqrt(
+        float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn)
+    )
+    assert r["mcc"] == num / den
+    # degenerate margin -> NULL
+    d2 = spark.createDataFrame([(1, 1), (1, 0)], "y long, p long")
+    assert confusion_stats(d2, "y", "p").collect()[0]["mcc"] is None
+
+
+def test_calibration_bins_hand_computed(spark):
+    from hdfe_spark.operators.ml import calibration_bins
+
+    rows = [(1, 0.95), (0, 0.92), (1, 1.0), (0, 0.05), (0, 0.12), (1, 0.18)]
+    df = spark.createDataFrame(rows, "y long, p double")
+    out = {r["bin"]: r for r in calibration_bins(df, "y", "p").collect()}
+    q = 1 << 20
+    # bin 9: p in {.95,.92,1.0}; bin 0: {.05}; bin 1: {.12,.18}
+    assert set(out) == {0, 1, 9}
+    assert out[9]["n"] == 3 and out[9]["n_pos"] == 2
+    spq = round(0.95 * q) + round(0.92 * q) + round(1.0 * q)
+    assert out[9]["conf"] == spq / (3.0 * q)
+    assert out[9]["acc"] == 2 / 3
+    assert out[9]["gap"] == abs(spq / (3.0 * q) - 2 / 3)
+    assert out[0]["n_pos"] == 0 and out[1]["n_pos"] == 1
+
+
+def test_calibration_bins_rejects_bad_prob(spark):
+    from hdfe_spark.operators.ml import calibration_bins
+
+    df = spark.createDataFrame([(1, -0.1)], "y long, p double")
+    with pytest.raises(Exception, match="out of"):
+        calibration_bins(df, "y", "p").collect()
+
+
+def test_spearman_by_matches_global_per_group(spark):
+    from hdfe_spark.operators.stats import spearman_by, spearman_corr
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(80):
+            x = rng.randint(0, 20)
+            y = x + rng.randint(-5, 5) if g == "a" else rng.randint(0, 20)
+            rows.append((g, float(x), float(y)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in spearman_by(df, "g", "x", "y").collect()}
+    for g in ("a", "b"):
+        want = spearman_corr(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert got[g]["n"] == want["n"]
+        assert got[g]["rho"] == pytest.approx(want["rho"], abs=1e-12), g
+    # constant column -> NULL rho
+    dfc = spark.createDataFrame(
+        [("c", 1.0, 2.0), ("c", 1.0, 3.0)], "g string, x double, y double"
+    )
+    assert spearman_by(dfc, "g", "x", "y").collect()[0]["rho"] is None
+
+
+def test_entropy_by_hand_computed(spark):
+    from hdfe_spark.operators.stats import entropy_by
+
+    rows = [("s1", "en")] * 4 + [("s1", "de")] * 4 + [("s2", "en")] * 5
+    df = spark.createDataFrame(rows, "src string, lang string")
+    out = {r["src"]: r for r in entropy_by(df, "src", "lang").collect()}
+    q = 1 << 20
+    # s1: uniform over 2 -> H = ln 2; numerator 8*qln(8) - 2*4*qln(4)
+    e_num = 8 * round(math.log(8) * q) - 2 * (4 * round(math.log(4) * q))
+    assert out["s1"]["n"] == 8 and out["s1"]["n_distinct"] == 2
+    assert out["s1"]["entropy"] == e_num / (8.0 * q)
+    assert abs(out["s1"]["entropy"] - math.log(2)) < 1e-5
+    # s2: single value -> exactly 0 (n*qln(n) - n*qln(n))
+    assert out["s2"]["entropy"] == 0.0
+
+
+def test_streaming_brier_equals_batch(spark, sf_dir):
+    from hdfe_spark.operators.ml import brier_score
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_brier,
+    )
+
+    lab = lambda d: d.select(  # noqa: E731
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = brier_score(lab(ev), "y", "p").collect()[0]
+    stream = read_table_stream(spark, sf_dir, "events")
+    out = streaming_brier(lab(stream), "y", "p")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_r10_brier")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_r10_brier").collect()[0]
+    assert got.asDict() == want.asDict()
