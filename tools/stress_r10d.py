@@ -262,6 +262,125 @@ def stress_sil():
     )
 
 
+def stress_spearman_by():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import spearman_by
+
+    spark = _spark()
+    G, V = 10, 1000
+    x = (F.col("id") / G).cast("long") % V
+    rows = spark.range(0, N, 1, 64).select(
+        (F.col("id") % G).cast("string").alias("g"),
+        x.cast("double").alias("x"),
+        ((x * 7 + 3) % V).cast("double").alias("y"),
+    )
+    t0 = time.time()
+    out = spearman_by(rows, "g", "x", "y")
+    chk = out.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.min("rho").alias("r0"), F.max("rho").alias("r1"),
+        F.min("n").alias("n0"), F.max("n").alias("n1"),
+    ).collect()[0]
+    dt = time.time() - t0
+    # replica: within every group each x value 0..V-1 occurs per
+    # times with y = (7x+3) mod V — a permutation, so both rank
+    # tables are the same multiset; moments via bigint loops, rho
+    # via the operator's double expression
+    per = N // (G * V)
+    n = per * V
+    r2 = {v: 2 * (v * per) + per + 1 for v in range(V)}  # doubled rank
+    sx = sum(per * r2[v] for v in range(V))
+    sxx = sum(per * r2[v] * r2[v] for v in range(V))
+    sxy = sum(per * r2[v] * r2[(v * 7 + 3) % V] for v in range(V))
+    nd = float(n)
+    num = nd * float(sxy) - float(sx) * float(sx)
+    den = math.sqrt(
+        (nd * float(sxx) - float(sx) * float(sx))
+        * (nd * float(sxx) - float(sx) * float(sx))
+    )
+    rho = num / den
+    assert chk["ng"] == G and chk["n0"] == chk["n1"] == n
+    assert chk["r0"] == chk["r1"] == rho, (chk, rho)
+    print(
+        f"spearman_by 20M rows / {G} groups: {dt:.1f}s — every rho"
+        " EXACT vs the bigint rank replica"
+    )
+
+
+def stress_entropy_by():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import entropy_by
+
+    spark = _spark()
+    G, V = 100, 50
+    rows = spark.range(0, N, 1, 64).select(
+        (F.col("id") % G).cast("string").alias("g"),
+        ((F.col("id") / G).cast("long") % V).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    out = entropy_by(rows, "g", "v")
+    chk = out.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.min("entropy").alias("e0"), F.max("entropy").alias("e1"),
+        F.min("n_distinct").alias("d0"), F.max("n_distinct").alias("d1"),
+    ).collect()[0]
+    dt = time.time() - t0
+    per = N // (G * V)
+    n = per * V
+    q = 1 << 20
+    e_num = n * round(math.log(n) * q) - V * (per * round(math.log(per) * q))
+    want = float(e_num) / (float(n) * float(q))
+    assert chk["ng"] == G and chk["d0"] == chk["d1"] == V
+    assert chk["e0"] == chk["e1"] == want, (chk, want)
+    print(
+        f"entropy_by 20M rows / {G} groups: {dt:.1f}s — every entropy"
+        " EXACT vs the quantized closed form"
+    )
+
+
+def stress_ece():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.ml import calibration_bins
+
+    spark = _spark()
+    rows = spark.range(0, N, 1, 64).select(
+        ((F.col("id") % 100) % 2).cast("long").alias("y"),
+        ((F.col("id") % 100).cast("double") / 100.0).alias("p"),
+    )
+    t0 = time.time()
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(rows, "y", "p", n_bins=10).collect()
+    }
+    dt = time.time() - t0
+    q = 1 << 20
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, 0])
+    for v in range(100):
+        pp = v / 100.0
+        b = min(int(pp * 10), 9)
+        cnt = N // 100
+        want[b][0] += cnt
+        want[b][1] += cnt * (v % 2)
+        want[b][2] += cnt * round(pp * float(q))
+    assert set(out) == set(want)
+    for b, (wn, wp, wq) in want.items():
+        r = out[b]
+        assert r["n"] == wn and r["n_pos"] == wp, (b, r)
+        conf = float(wq) / (float(wn) * float(q))
+        acc = float(wp) / float(wn)
+        assert r["conf"] == conf and r["acc"] == acc
+        assert r["gap"] == abs(conf - acc)
+    print(
+        f"calibration_bins 20M rows: {dt:.1f}s — all 10 bins EXACT"
+        " vs the quantized closed form"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     for name, fn in {
@@ -270,6 +389,9 @@ if __name__ == "__main__":
         "kappa": stress_kappa,
         "brier": stress_brier,
         "sil": stress_sil,
+        "spearman": stress_spearman_by,
+        "entropy": stress_entropy_by,
+        "ece": stress_ece,
     }.items():
         if which in (name, "all"):
             fn()
