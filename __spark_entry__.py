@@ -8267,8 +8267,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM cy),
             rk AS (SELECT b.g, r2x, r2y
                    FROM base b
-                   JOIN rx ON b.g = rx.g AND b.x = rx.x
-                   JOIN ry ON b.g = ry.g AND b.y = ry.y),
+                   JOIN rx ON b.g IS NOT DISTINCT FROM rx.g
+                          AND b.x = rx.x
+                   JOIN ry ON b.g IS NOT DISTINCT FROM ry.g
+                          AND b.y = ry.y),
             m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
                     CAST(sum(r2x) AS HUGEINT) AS sx,
                     CAST(sum(r2y) AS HUGEINT) AS sy,

@@ -384,9 +384,9 @@ def confusion_stats(
     convention. MCC's numerator tp*tn - fp*fn is an exact
     DECIMAL(38,0) product difference; its denominator is the fixed
     IEEE expression sqrt(d1*d2*d3*d4) over the four margin doubles
-    (the exact integer product would overflow DECIMAL(38,0) past
-    ~60M rows — the doubles are identical on both engines, so the
-    expression is deterministic). Zero-denominator metrics are
+    (the exact four-margin integer product (n/2)^4 would overflow
+    DECIMAL(38,0) past ~6e9 rows — the doubles are identical on
+    both engines, so the expression is deterministic). Zero-denominator metrics are
     NULL, never NaN (SQL semantics both engines share).
 
     Scale: one narrow scan reduced map-side to four counters — the
@@ -889,9 +889,13 @@ def calibration_bins(
         F.col("n").cast("double") * F.lit(scale)
     )
     acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    # unordered, like every sibling grouped operator — the caller
+    # (or oracle) orders; an operator-side orderBy would add a sort
+    # stage to every plan and block streaming delegation (review
+    # r10b)
     return per.select(
         "bin", "n", "n_pos",
         conf.alias("conf"),
         acc.alias("acc"),
         F.abs(conf - acc).alias("gap"),
-    ).orderBy("bin")
+    )

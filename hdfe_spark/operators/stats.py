@@ -3107,7 +3107,10 @@ def spearman_by(
         F.col(y_col).alias("__y"),
     )
 
-    def rank_table(col, rcol):
+    def rank_table(col, rcol, gname, vname):
+        # keys RENAMED (__gx/__xv): the rank table derives from
+        # `base`, so joining back by the original names would hit
+        # the self-join attribute ambiguity
         cells = base.groupBy("__g", col).agg(
             F.count(F.lit(1)).cast("long").alias("__c")
         )
@@ -3117,8 +3120,8 @@ def spearman_by(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return cells.select(
-            "__g",
-            col,
+            F.col("__g").alias(gname),
+            F.col(col).alias(vname),
             (
                 F.lit(2)
                 * (F.sum("__c").over(w) - F.col("__c"))
@@ -3127,9 +3130,22 @@ def spearman_by(
             ).cast("decimal(38,0)").alias(rcol),
         )
 
-    rx = rank_table("__x", "__r2x")
-    ry = rank_table("__y", "__r2y")
-    ranked = base.join(rx, ["__g", "__x"]).join(ry, ["__g", "__y"])
+    rx = rank_table("__x", "__r2x", "__gx", "__xv")
+    ry = rank_table("__y", "__r2y", "__gy", "__yv")
+    # NULL-SAFE group key: a bare ["__g", ...] equi-join would drop
+    # every NULL-group row, violating the NULL-group contract above
+    # (review r10b; auc_by/entropy_by get this for free from
+    # groupBy/Window partitioning)
+    ranked = base.join(
+        rx,
+        F.col("__g").eqNullSafe(F.col("__gx"))
+        & (F.col("__x") == F.col("__xv")),
+    ).drop("__gx", "__xv")
+    ranked = ranked.join(
+        ry,
+        F.col("__g").eqNullSafe(F.col("__gy"))
+        & (F.col("__y") == F.col("__yv")),
+    ).drop("__gy", "__yv")
     m = ranked.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__r2x").alias("__sx"),
@@ -3145,10 +3161,20 @@ def spearman_by(
     syy = F.col("__syy").cast("double")
     num = nd * sxy - sx * sy
     den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    # the constant-column gate runs on EXACT decimal moments, not
+    # the double-rounded den: past 2^53 the float n*sxx - sx*sx of
+    # a constant column cancels catastrophically to a NONZERO value
+    # (measured: 2.2e12 at n=10M) and would emit junk rho instead
+    # of NULL (review r10b). DECIMAL(38,0) bounds these products at
+    # ~1e9 rows per group — the ks_2sample documented-bound class.
+    nD = F.col("n").cast("decimal(38,0)")
+    varx = nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = nD * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    zero = F.lit(0).cast("decimal(38,0)")
     return m.select(
         F.col("__g").alias(group_col),
         "n",
-        F.when(den > 0.0, num / den).alias("rho"),
+        F.when((varx > zero) & (vary > zero), num / den).alias("rho"),
     )
 
 

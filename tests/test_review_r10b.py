@@ -110,3 +110,42 @@ def test_precision_at_k_single_scan(spark):
     got = {r["k"]: r["n_rel_at_k"] for r in out.collect()}
     # scores desc = ids desc; odd ids are relevant; top2 = {19, 18}
     assert got == {2: 1, 5: 3, 10: 5}
+
+
+def test_spearman_by_null_group_is_a_group(spark):
+    # review r10b: the rank joins must be NULL-SAFE on the group key
+    from hdfe_spark.operators.stats import spearman_by
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1.0), (None, 2.0, 3.0), (None, 3.0, 2.0),
+         ("a", 1.0, 2.0), ("a", 2.0, 4.0)],
+        "g string, x double, y double",
+    )
+    out = {r["g"]: r for r in spearman_by(df, "g", "x", "y").collect()}
+    assert None in out and out[None]["n"] == 3
+    assert out[None]["rho"] == 0.5  # ranks (1,2,3) vs (1,3,2)
+    assert out["a"]["rho"] == 1.0
+
+
+def test_spearman_by_constant_gate_uses_exact_moments(spark):
+    # the gate must run on exact DECIMAL moments; with doubles a
+    # constant column's variance cancels to nonzero past 2^53
+    # (measured at n=10M in the review) — pin the small case AND
+    # the decimal expression by checking NULL, not near-zero
+    from hdfe_spark.operators.stats import spearman_by
+
+    df = spark.createDataFrame(
+        [("c", 1.0, float(i)) for i in range(50)],
+        "g string, x double, y double",
+    )
+    assert spearman_by(df, "g", "x", "y").collect()[0]["rho"] is None
+
+
+def test_calibration_bins_plan_has_no_sort(spark):
+    from hdfe_spark.operators.ml import calibration_bins
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (0, 0.1)], "y long, p double"
+    )
+    plan = calibration_bins(df, "y", "p")._jdf
+    assert "Sort" not in plan.queryExecution().executedPlan().toString()
