@@ -899,3 +899,94 @@ def calibration_bins(
         acc.alias("acc"),
         F.abs(conf - acc).alias("gap"),
     )
+
+
+def als_rank1(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    rscale: int = 100,
+    qbits: int = 20,
+) -> DataFrame:
+    """Rank-1 alternating least squares over (user, item, rating) —
+    one full ALS alternation computing the leading singular-vector
+    item scores (the power-iteration step every recommender
+    bootstrap runs; `item_cf`'s model-based sibling). With item
+    factors initialized to 1:
+
+        sweep 1:  u_i = mean of user i's ratings
+        sweep 2:  v_j = sum_i r_ij u_i / sum_i u_i^2   (i rated j)
+
+    Engine-exact: ratings quantize once (round(r * rscale), exact
+    integers), sweep-1 means quantize to U_i = round(2^qbits *
+    sum(rq)/(rscale * deg)) — ONE rounded IEEE division per user —
+    and sweep 2 is pure exact-integer moments:
+    v_j = (sum rq*U) * 2^qbits / (rscale * sum U^2), one final
+    division. A SQL oracle unrolls both sweeps verbatim. Users
+    whose U_i = 0 still participate (zero contribution); items
+    rated only by such users have den = 0 and return NULL v.
+
+    Returns one row per item: (item, n_ratings, v). Plan: one
+    user-keyed aggregation, one AQE-planned join of the ratings
+    against the user table, one item-keyed aggregation — the same
+    two-shuffle class as `nb_train`; nothing driver-side.
+    """
+    if rscale < 1:
+        raise ValueError("als_rank1: rscale must be >= 1")
+    r = F.col(rating_col)
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & r.isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__i"),
+        F.round(r * F.lit(float(rscale))).cast("long").alias("__rq"),
+    )
+    qs = float(1 << qbits)
+    users = base.groupBy("__u").agg(
+        F.sum("__rq").cast("decimal(38,0)").alias("__sr"),
+        F.count(F.lit(1)).cast("long").alias("__deg"),
+    )
+    uq = users.select(
+        F.col("__u").alias("__u2"),
+        F.round(
+            F.lit(qs)
+            * F.col("__sr").cast("double")
+            / (F.lit(float(rscale)) * F.col("__deg").cast("double"))
+        )
+        .cast("long")
+        .alias("__U"),
+    )
+    # uq derives from base, so the join needs explicit frame
+    # aliases — attribute-id reuse otherwise makes __U ambiguous
+    joined = (
+        base.alias("l")
+        .join(uq.alias("r"), F.col("l.__u") == F.col("r.__u2"))
+        .select(
+            F.col("l.__i").alias("__i"),
+            F.col("l.__rq").alias("__rq"),
+            F.col("r.__U").alias("__U"),
+        )
+    )
+    items = joined.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+        F.sum(F.col("__rq").cast("decimal(38,0)") * F.col("__U"))
+        .cast("decimal(38,0)")
+        .alias("__num"),
+        F.sum(F.col("__U").cast("decimal(38,0)") * F.col("__U"))
+        .cast("decimal(38,0)")
+        .alias("__den"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return items.select(
+        F.col("__i").alias(item_col),
+        "n_ratings",
+        F.when(
+            F.col("__den") > zero,
+            F.col("__num").cast("double")
+            * F.lit(qs)
+            / (F.lit(float(rscale)) * F.col("__den").cast("double")),
+        ).alias("v"),
+    )

@@ -3229,3 +3229,116 @@ def entropy_by(
             / (F.col("n").cast("double") * F.lit(scale))
         ).alias("entropy"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    a_label,
+    b_label,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do two groups' survival curves
+    differ? The inference companion of `kaplan_meier`/`km_by` (the
+    curves say WHAT, this says WHETHER the gap is noise) — churn
+    A/B readouts at event-time granularity with censoring handled.
+
+    At every distinct event time t: O1 = observed events in group
+    a, E1_t = d_t * n1_t / n_t, V_t = d_t (n1_t/n_t)(n2_t/n_t)
+    (n_t - d_t)/(n_t - 1); chi2 = (O1 - E1)^2 / V with E1, V summed
+    over event times.
+
+    Exactness: per-time cells (counts, events per group) are exact
+    integers from ONE duration-keyed aggregation; at-risk counts
+    come from exact prefix arithmetic over the collected cells
+    (bounded by ``max_cells``, the `kaplan_meier` convention); the
+    two order-sensitive float sums (E1, V) are driver LEFT FOLDS in
+    time order — each term one fixed IEEE expression — which a SQL
+    oracle replays with list_reduce over time-ordered lists. Times
+    with a single subject at risk contribute V = 0 (their n1*n2
+    product is 0 anyway; the 0/0 is defined away, the standard
+    convention). NULL events raise (an unknown outcome cannot be
+    placed in the risk set); rows outside the two labels are
+    excluded. Returns ONE row: (n_a, n_b, o1, e1, v, chi2).
+    """
+    _km_duration_guard(df, duration_col, "logrank_test")
+    ev = F.col(event_col)
+    base = df.filter(
+        F.col(group_col).isin([a_label, b_label])
+        & F.col(duration_col).isNotNull()
+    ).select(
+        F.col(duration_col).alias("__t"),
+        F.when(
+            ev.isNull(),
+            F.raise_error(
+                F.lit(
+                    "logrank_test: NULL event flag — an unknown "
+                    "outcome cannot be placed in the risk set"
+                )
+            ).cast("long"),
+        )
+        .otherwise(ev.cast("boolean").cast("long"))
+        .alias("__d"),
+        (F.col(group_col) == F.lit(a_label)).cast("long").alias("__a"),
+    )
+    cells = (
+        base.groupBy("__t")
+        .agg(
+            F.sum("__a").cast("long").alias("ca"),
+            F.sum(F.lit(1) - F.col("__a")).cast("long").alias("cb"),
+            F.sum(F.col("__a") * F.col("__d")).cast("long").alias("da"),
+            F.sum((F.lit(1) - F.col("__a")) * F.col("__d"))
+            .cast("long")
+            .alias("db"),
+        )
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"logrank_test: more than max_cells={max_cells} distinct "
+            "durations"
+        )
+    cells.sort(key=lambda r: r["__t"])
+    n_a = sum(int(r["ca"]) for r in cells)
+    n_b = sum(int(r["cb"]) for r in cells)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("logrank_test: empty group")
+    # at-risk = total - (subjects with smaller duration): exact ints
+    o1 = 0
+    e1 = 0.0
+    v = 0.0
+    seen_a, seen_b = 0, 0
+    for r in cells:
+        ca, cb = int(r["ca"]), int(r["cb"])
+        da, db = int(r["da"]), int(r["db"])
+        n1 = n_a - seen_a
+        n2 = n_b - seen_b
+        seen_a += ca
+        seen_b += cb
+        dt = da + db
+        if dt == 0:
+            continue
+        nt = n1 + n2
+        o1 += da
+        # fixed IEEE term spellings, replayed by the oracle
+        e1 = e1 + float(dt * n1) / float(nt)
+        if nt > 1:
+            v = v + (
+                float(dt * n1)
+                / float(nt)
+                * (float(n2) / float(nt))
+                * (float(nt - dt) / float(nt - 1))
+            )
+    if v == 0.0:
+        raise ValueError(
+            "logrank_test: zero variance (no time has both groups "
+            "at risk with an event) — chi2 is undefined"
+        )
+    chi2 = (float(o1) - e1) * (float(o1) - e1) / v
+    return df.sparkSession.createDataFrame(
+        [(n_a, n_b, o1, e1, v, chi2)],
+        "n_a long, n_b long, o1 long, e1 double, v double, chi2 double",
+    )
