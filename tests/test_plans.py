@@ -696,3 +696,62 @@ def test_weighted_quantiles_no_global_window(spark, sf_dir):
     for line in simple.splitlines():
         if "Window" in line:
             assert "__pid" in line, line
+
+
+def test_gopher_rules_zero_shuffle(docs):
+    """Gopher quality rules are stateless row expressions — zero
+    exchanges, zero Python stages (the `passes` filter can push
+    into the scan stage at 100 TB)."""
+    from hdfe_spark.operators.text import gopher_rules
+
+    out = gopher_rules(docs, min_words=10)
+    assert_plan(out, n_exchanges=0, n_python_stages=0)
+
+
+def test_skipgram_pairs_one_exchange(docs):
+    """Skip-gram counting is per-distance zip_with + ONE pair-keyed
+    aggregation: exactly one exchange (plus the _spread round-robin
+    when the local fixture scan is narrower than the core count —
+    tolerated), zero joins, zero Python."""
+    from hdfe_spark.operators.text import skipgram_pairs
+    from hdfe_spark.plans import plan_report
+
+    out = skipgram_pairs(docs, "text", window=2, min_count=5)
+    rep = plan_report(out)
+    assert rep["n_broadcast_joins"] + rep["n_sortmerge_joins"] == 0
+    assert rep["n_python_stages"] == 0
+    assert rep["n_exchanges"] <= 2  # agg (+ optional _spread)
+
+
+def test_confusion_stats_single_pass(spark, sf_dir):
+    """The confusion row is one map-side-combined global aggregate:
+    one exchange (the 1-row final agg), nothing Python."""
+    from hdfe_spark.operators.ml import confusion_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("value") > 0.5).cast("long").alias("p"),
+    )
+    out = confusion_stats(ev, "y", "p")
+    assert_plan(
+        out, n_exchanges=1, n_python_stages=0,
+        n_broadcast_joins=0, n_sortmerge_joins=0,
+    )
+
+
+def test_auc_by_no_global_sort(spark, sf_dir):
+    """Per-group AUC ranks come from counts + group-partitioned
+    window prefix sums — no global (single-partition) sort and no
+    Python anywhere."""
+    from hdfe_spark.operators.stats import auc_by
+    from hdfe_spark.plans.audit import explain_string
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 2).cast("long").alias("y"),
+    )
+    out = auc_by(ev, "event_type", "y", "s")
+    plan = explain_string(out)
+    assert "SinglePartition" not in plan
+    assert_plan(out, n_python_stages=0)
