@@ -76,7 +76,7 @@ def test_logrank_null_event_raises(spark):
     df = spark.createDataFrame(
         [(1, None, "a"), (2, 1, "b")], "t long, d long, g string"
     )
-    with pytest.raises(Exception, match="NULL event"):
+    with pytest.raises(Exception, match="cannot be placed"):
         logrank_test(df, "t", "d", "g", "a", "b")
 
 
@@ -90,22 +90,33 @@ def test_logrank_empty_group_raises(spark):
         logrank_test(df, "t", "d", "g", "a", "b")
 
 
+def _half_up(x):
+    # Spark F.round on doubles is HALF_UP; Python round() is
+    # banker's — the house replica convention is floor(x + 0.5)
+    # (review r10c finding; same as test_r10_prebuilds)
+    import math
+
+    return math.floor(x + 0.5)
+
+
 def _als_replica(rows, rscale=100, qbits=20):
     from collections import defaultdict
 
     qs = float(1 << qbits)
     by_u = defaultdict(list)
     for u, i, r in rows:
-        by_u[u].append(round(r * rscale))
+        by_u[u].append(_half_up(r * rscale))
     U = {
-        u: round(qs * float(sum(rqs)) / (float(rscale) * float(len(rqs))))
+        u: _half_up(
+            qs * float(sum(rqs)) / (float(rscale) * float(len(rqs)))
+        )
         for u, rqs in by_u.items()
     }
     num = defaultdict(int)
     den = defaultdict(int)
     cnt = defaultdict(int)
     for u, i, r in rows:
-        rq = round(r * rscale)
+        rq = _half_up(r * rscale)
         num[i] += rq * U[u]
         den[i] += U[u] * U[u]
         cnt[i] += 1
@@ -148,19 +159,22 @@ def test_als_rank1_zero_factor_users_give_null_v(spark):
     assert got[21] == 1.0
 
 
-def test_als_rank1_power_iteration_sanity(spark):
+def test_als_rank1_power_iteration_separates_blocks(spark):
     from hdfe_spark.operators.ml import als_rank1
 
-    # block structure: users 1-2 love items 10-11, hate 20-21;
-    # users 3-4 the reverse -> after one alternation the scores of
-    # the two blocks must separate for the heavy-rating block
+    # ASYMMETRIC blocks (review r10c: a symmetric fixture makes
+    # every user mean equal, so separation was impossible and the
+    # old test vacuous): heavy raters 1-2 (mean 3.5) love items
+    # 10-11; light raters 3-4 (mean 1.5) love items 20-21. After
+    # one alternation the items loved by the heavy block must
+    # score strictly higher.
     rows = []
     for u in (1, 2):
         rows += [(u, 10, 5.0), (u, 11, 5.0), (u, 20, 1.0), (u, 21, 1.0)]
     for u in (3, 4):
-        rows += [(u, 10, 1.0), (u, 11, 1.0), (u, 20, 5.0), (u, 21, 5.0)]
+        rows += [(u, 10, 1.0), (u, 11, 1.0), (u, 20, 2.0), (u, 21, 2.0)]
     df = spark.createDataFrame(rows, "u long, i long, r double")
     got = {r["i"]: r["v"] for r in als_rank1(df, "u", "i", "r").collect()}
-    # symmetric blocks: equal means -> equal v; sanity: all defined
     assert all(v is not None for v in got.values())
     assert got[10] == got[11] and got[20] == got[21]
+    assert got[10] > got[20]

@@ -54,6 +54,8 @@ def stress_als():
     # replica: id = u + j*U, U % 7 == 1  =>  id % 7 == (u + j) % 7;
     # rq(u, j) = ((u + j) % 7 + 1) * 50. user u's 20 ratings sum
     # over j=0..19 depends only on c = u % 7.
+    import math
+
     qs = float(1 << 20)
     n_items = N // U  # 20
     # exact count of u in [0, U) with u % 7 == c
@@ -61,7 +63,9 @@ def stress_als():
     Uq = {}
     for c in range(7):
         s = sum(((c + j) % 7 + 1) * 50 for j in range(n_items))
-        Uq[c] = round(qs * float(s) / (100.0 * float(n_items)))
+        # floor(x + 0.5): Spark F.round is HALF_UP, Python round()
+        # is banker's (review r10c)
+        Uq[c] = math.floor(qs * float(s) / (100.0 * float(n_items)) + 0.5)
     want = {}
     for j in range(n_items):
         num = sum(
