@@ -6084,6 +6084,57 @@ def _q_streaming_brier(spark, sf_dir):
     )
 
 
+def _q_als(spark, sf_dir):
+    """Rank-1 ALS item scores (`operators/ml.py::als_rank1`): one
+    full alternation over (user, event_type, value) ratings — user
+    factors are quantized rating means (ONE rounded IEEE division
+    per user; F.round is BigDecimal HALF_UP = round-away-from-zero,
+    DuckDB's round exactly), item scores pure exact-integer moments
+    with one final division. The oracle unrolls both sweeps as two
+    CTE layers joined on the user key."""
+    from hdfe_spark.operators.ml import als_rank1
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("user_id", "event_type", F.col("value").alias("r"))
+    out = als_rank1(base, "user_id", "event_type", "r")
+    return out.select(
+        "event_type", "n_ratings", _pround("v").alias("v")
+    )
+
+
+def _q_logrank(spark, sf_dir):
+    """Log-rank survival comparison (`operators/stats.py::
+    logrank_test`): synthetic durations/events from event ids, user
+    parity as the arm. Per-(group, time) cells come from the shared
+    `_km_cells` collect; E1/V are driver LEFT FOLDS in time order
+    the oracle replays with list_reduce(list_prepend(0.0, list(...
+    ORDER BY t))) — the nt<=1 guard contributes a 0.0 term, an
+    exact float identity."""
+    from hdfe_spark.operators.stats import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("event_id") % 30).cast("long").alias("t"),
+        (F.col("event_id") % 3 == 0).cast("long").alias("d"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("g"),
+    )
+    out = logrank_test(base, "t", "d", "g", "a", "b")
+    return out.select(
+        "n_a", "n_b", "o1",
+        _pround("e1").alias("e1"),
+        _pround("v").alias("v"),
+        _pround("chi2").alias("chi2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6193,6 +6244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_by": _q_entropy_by,
         "ece": _q_ece,
         "streaming_brier": _q_streaming_brier,
+        "als": _q_als,
+        "logrank": _q_logrank,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -8339,6 +8392,95 @@ def oracle_sql() -> dict[str, str]:
                    floor(acc * 1e9 + 0.5) / 1e9 AS acc,
                    floor(abs(conf - acc) * 1e9 + 0.5) / 1e9 AS gap
             FROM r ORDER BY bin
+        """,
+        "als": """
+            WITH b AS (
+              SELECT user_id AS u, event_type AS i,
+                     CAST(round(value * 100.0) AS BIGINT) AS rq
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                AND value IS NOT NULL),
+            us AS (SELECT u, CAST(sum(rq) AS HUGEINT) AS sr,
+                          CAST(count(*) AS BIGINT) AS deg
+                   FROM b GROUP BY u),
+            uq AS (SELECT u,
+                     CAST(round(1048576.0 * CAST(sr AS DOUBLE)
+                          / (100.0 * CAST(deg AS DOUBLE)))
+                          AS BIGINT) AS uf
+                   FROM us),
+            j AS (SELECT b.i, b.rq, uq.uf
+                  FROM b JOIN uq ON b.u = uq.u),
+            it AS (SELECT i,
+                     CAST(count(*) AS BIGINT) AS n_ratings,
+                     CAST(sum(CAST(rq AS HUGEINT) * uf) AS HUGEINT)
+                       AS num,
+                     CAST(sum(CAST(uf AS HUGEINT) * uf) AS HUGEINT)
+                       AS den
+                   FROM j GROUP BY i)
+            SELECT i AS event_type, n_ratings,
+                   CASE WHEN den > 0 THEN
+                     floor((CAST(num AS DOUBLE) * 1048576.0
+                            / (100.0 * CAST(den AS DOUBLE)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS v
+            FROM it
+        """,
+        "logrank": """
+            WITH b AS (
+              SELECT CAST(event_id % 30 AS BIGINT) AS t,
+                     CAST(event_id % 3 = 0 AS BIGINT) AS d,
+                     CASE WHEN user_id % 2 = 0 THEN 'a'
+                          ELSE 'b' END AS g
+              FROM events
+              WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+            cells AS (SELECT t,
+                CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cb,
+                CAST(sum(CASE WHEN g = 'a' THEN d ELSE 0 END)
+                     AS BIGINT) AS da,
+                CAST(sum(CASE WHEN g = 'b' THEN d ELSE 0 END)
+                     AS BIGINT) AS db
+              FROM b GROUP BY t),
+            tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                           CAST(sum(cb) AS BIGINT) AS n_b
+                    FROM cells),
+            rk AS (SELECT t, da, db,
+                     CAST(tot.n_a - (sum(ca) OVER (ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) - ca) AS BIGINT)
+                       AS n1,
+                     CAST(tot.n_b - (sum(cb) OVER (ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) - cb) AS BIGINT)
+                       AS n2
+                   FROM cells CROSS JOIN tot),
+            ev AS (SELECT t, da, n1, n2, da + db AS dt,
+                          n1 + n2 AS nt
+                   FROM rk WHERE da + db > 0),
+            f AS (SELECT
+                CAST(sum(da) AS BIGINT) AS o1,
+                -- driver fold replay: 0.0 init, time order; the
+                -- nt<=1 guard contributes an exact-identity 0.0
+                list_reduce(list_prepend(0.0,
+                  list(CAST(dt * n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+                       ORDER BY t)),
+                  (a, x) -> a + x) AS e1,
+                list_reduce(list_prepend(0.0,
+                  list(CASE WHEN nt > 1 THEN
+                         CAST(dt * n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+                         * (CAST(n2 AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * (CAST(nt - dt AS DOUBLE)
+                            / CAST(nt - 1 AS DOUBLE))
+                       ELSE 0.0 END ORDER BY t)),
+                  (a, x) -> a + x) AS v
+              FROM ev)
+            SELECT tot.n_a, tot.n_b, f.o1,
+                   floor(f.e1 * 1e9 + 0.5) / 1e9 AS e1,
+                   floor(f.v * 1e9 + 0.5) / 1e9 AS v,
+                   floor(((CAST(f.o1 AS DOUBLE) - f.e1)
+                          * (CAST(f.o1 AS DOUBLE) - f.e1) / f.v)
+                         * 1e9 + 0.5) / 1e9 AS chi2
+            FROM f CROSS JOIN tot
         """,
         "latest_per_key": """
             WITH r AS (
