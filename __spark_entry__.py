@@ -6135,6 +6135,89 @@ def _q_logrank(spark, sf_dir):
     )
 
 
+def _q_mcnemar(spark, sf_dir):
+    """McNemar's paired classifier comparison (`operators/stats.py::
+    mcnemar_test`): two value thresholds as rival models for event
+    parity, scored on the SAME rows — discordant counts b/c are
+    exact integer conditional sums, chi2 = (b-c)^2/(b+c) one
+    division."""
+    from hdfe_spark.operators.stats import mcnemar_test
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        (F.col("value") > 0.5).cast("long").alias("pa"),
+        (F.col("value") > 0.3).cast("long").alias("pb"),
+    )
+    out = mcnemar_test(base, "y", "pa", "pb")
+    return out.select("n", "b", "c", _pround("chi2").alias("chi2"))
+
+
+def _q_cramers(spark, sf_dir):
+    """Cramer's V effect size (`operators/stats.py::cramers_v`) for
+    the chi2_contingency fixture (order status x priority): per-cell
+    terms from the shared `chi2_independence`, summed by a driver
+    LEFT FOLD in (a, b) cell order the oracle replays with
+    list_reduce(... ORDER BY a, b); V = sqrt(chi2 / (n * min(r-1,
+    c-1)))."""
+    from hdfe_spark.operators.stats import cramers_v
+
+    od = _t(spark, sf_dir, "orders")
+    out = cramers_v(od, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        "n", "r", "c",
+        _pround("chi2").alias("chi2"),
+        _pround("v").alias("v"),
+    )
+
+
+def _q_gini_by(spark, sf_dir):
+    """Per-source Gini of document mass (`operators/stats.py::
+    gini_by`): the global `gini`'s doubled tie-block identity with
+    GROUP-PARTITIONED window prefix sums (the `auc_by` shape) —
+    every sum an exact DECIMAL(38,0) integer, the coefficient one
+    fixed IEEE expression per group; negative values raise
+    in-plan."""
+    from hdfe_spark.operators.stats import gini_by
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gini_by(docs, "source", "n_chars")
+    return out.select("source", "n", _pround("gini").alias("gini"))
+
+
+def _q_streaming_ece(spark, sf_dir):
+    """Twenty-second streaming form (`streaming/ops.py::
+    streaming_ece`): reliability bins folded over the events stream
+    in complete mode — additive per-bin counters, availableNow
+    equals the batch `ece` table exactly; the batch SQL is the
+    oracle verbatim."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_ece
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    out = streaming_ece(base, "y", "p")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "bin", "n", "n_pos",
+        _pround("conf").alias("conf"),
+        _pround("acc").alias("acc"),
+        _pround("gap").alias("gap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6246,6 +6329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_brier": _q_streaming_brier,
         "als": _q_als,
         "logrank": _q_logrank,
+        "mcnemar": _q_mcnemar,
+        "cramers": _q_cramers,
+        "gini_by": _q_gini_by,
+        "streaming_ece": _q_streaming_ece,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -6619,6 +6706,35 @@ _BRIER_SQL = """
                            * 1e9 + 0.5) / 1e9
                    END AS brier
             FROM a
+        """
+
+# One spelling for the batch `ece` query and its complete-mode
+# availableNow twin `streaming_ece` (additive per-bin counters).
+_ECE_SQL = """
+            WITH b AS (
+              SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                     least(greatest(value, 0.0), 1.0) AS p
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            per AS (
+              SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(CAST(round(p * 1048576.0) AS BIGINT))
+                          AS HUGEINT) AS spq
+              FROM b GROUP BY 1),
+            r AS (
+              SELECT bin, n, n_pos,
+                     CAST(spq AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1048576.0) AS conf,
+                     CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS acc
+              FROM per)
+            SELECT bin, n, n_pos,
+                   floor(conf * 1e9 + 0.5) / 1e9 AS conf,
+                   floor(acc * 1e9 + 0.5) / 1e9 AS acc,
+                   floor(abs(conf - acc) * 1e9 + 0.5) / 1e9 AS gap
+            FROM r ORDER BY bin
         """
 
 _WITHIN_CTE = """
@@ -8367,32 +8483,8 @@ def oracle_sql() -> dict[str, str]:
                          * 1e9 + 0.5) / 1e9 AS entropy
             FROM gq
         """,
-        "ece": """
-            WITH b AS (
-              SELECT CAST(event_id % 2 AS BIGINT) AS y,
-                     least(greatest(value, 0.0), 1.0) AS p
-              FROM events
-              WHERE value IS NOT NULL AND event_id IS NOT NULL),
-            per AS (
-              SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
-                     CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(y) AS BIGINT) AS n_pos,
-                     CAST(sum(CAST(round(p * 1048576.0) AS BIGINT))
-                          AS HUGEINT) AS spq
-              FROM b GROUP BY 1),
-            r AS (
-              SELECT bin, n, n_pos,
-                     CAST(spq AS DOUBLE)
-                       / (CAST(n AS DOUBLE) * 1048576.0) AS conf,
-                     CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
-                       AS acc
-              FROM per)
-            SELECT bin, n, n_pos,
-                   floor(conf * 1e9 + 0.5) / 1e9 AS conf,
-                   floor(acc * 1e9 + 0.5) / 1e9 AS acc,
-                   floor(abs(conf - acc) * 1e9 + 0.5) / 1e9 AS gap
-            FROM r ORDER BY bin
-        """,
+        "ece": _ECE_SQL,
+        "streaming_ece": _ECE_SQL,
         "als": """
             WITH b AS (
               SELECT user_id AS u, event_type AS i,
@@ -8481,6 +8573,97 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(f.o1 AS DOUBLE) - f.e1) / f.v)
                          * 1e9 + 0.5) / 1e9 AS chi2
             FROM f CROSS JOIN tot
+        """,
+        "mcnemar": """
+            WITH b AS (
+              SELECT CAST(event_id % 2 AS BIGINT) AS y,
+                     CAST(value > 0.5 AS BIGINT) AS pa,
+                     CAST(value > 0.3 AS BIGINT) AS pb
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(coalesce(sum(CASE WHEN pa = y AND pb <> y
+                       THEN 1 END), 0) AS BIGINT) AS b,
+                     CAST(coalesce(sum(CASE WHEN pa <> y AND pb = y
+                       THEN 1 END), 0) AS BIGINT) AS c
+              FROM b)
+            SELECT n, b, c,
+                   CASE WHEN b + c > 0 THEN
+                     floor((((b - c) * (b - c))
+                            / CAST(b + c AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9
+                   END AS chi2
+            FROM a
+        """,
+        "cramers": """
+            WITH ct AS (
+              SELECT o_orderstatus AS a, o_orderpriority AS b2,
+                     CAST(count(*) AS BIGINT) AS obs
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1, 2),
+            rm AS (SELECT a, CAST(sum(obs) AS BIGINT) AS rt
+                   FROM ct GROUP BY a),
+            cm AS (SELECT b2, CAST(sum(obs) AS BIGINT) AS ctl
+                   FROM ct GROUP BY b2),
+            gt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM ct),
+            cells AS (
+              SELECT ct.a, ct.b2,
+                     (CAST(obs AS DOUBLE)
+                      - CAST(rt AS DOUBLE) * CAST(ctl AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(obs AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ctl AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ctl AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS term
+              FROM ct JOIN rm USING (a) JOIN cm USING (b2)
+              CROSS JOIN gt),
+            agg AS (
+              SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b2) AS BIGINT) AS c,
+                     -- driver fold replay: acc = first term,
+                     -- (a, b) cell order
+                     list_reduce(list(term ORDER BY a, b2),
+                                 (x, y) -> x + y) AS chi2
+              FROM cells)
+            SELECT gt.n, agg.r, agg.c,
+                   floor(agg.chi2 * 1e9 + 0.5) / 1e9 AS chi2,
+                   floor(sqrt(agg.chi2
+                              / (CAST(gt.n AS DOUBLE)
+                                 * CAST(least(agg.r - 1, agg.c - 1)
+                                        AS DOUBLE))) * 1e9 + 0.5)
+                     / 1e9 AS v
+            FROM agg CROSS JOIN gt
+        """,
+        "gini_by": """
+            WITH b AS (
+              SELECT source AS g,
+                     CAST(round(n_chars * 1e6) AS BIGINT) AS u
+              FROM documents WHERE n_chars IS NOT NULL),
+            cells AS (SELECT g, u, CAST(count(*) AS BIGINT) AS c
+                      FROM b GROUP BY g, u),
+            cum AS (SELECT g, u, c,
+                      CAST(sum(c) OVER (PARTITION BY g ORDER BY u
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+                    FROM cells),
+            gr AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(CAST(u AS HUGEINT) * c) AS HUGEINT)
+                       AS s,
+                     CAST(sum(CAST(u AS HUGEINT) * c
+                       * (2 * (CAST(cm AS HUGEINT) - c) + c + 1))
+                       AS HUGEINT) AS t2
+                   FROM cum GROUP BY g)
+            SELECT g AS source, n,
+                   CASE WHEN s > 0 THEN
+                     floor((CAST(t2 AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                            - (CAST(n AS DOUBLE) + 1.0)
+                              / CAST(n AS DOUBLE)) * 1e9 + 0.5) / 1e9
+                   END AS gini
+            FROM gr
         """,
         "latest_per_key": """
             WITH r AS (

@@ -3840,3 +3840,162 @@ def logrank_test(
         [(n_a, n_b, o1, e1, v, chi2)],
         "n_a long, n_b long, o1 long, e1 double, v double, chi2 double",
     )
+
+
+def mcnemar_test(
+    df: DataFrame, label_col: str, pred_a_col: str, pred_b_col: str
+) -> DataFrame:
+    """McNemar's paired test: do two classifiers scored on the SAME
+    rows differ? The only correct way to compare models on shared
+    eval data (two independent accuracy CIs ignore the pairing).
+    With b = rows A got right and B wrong, c = the reverse:
+
+        chi2 = (b - c)^2 / (b + c)
+
+    b, c are exact integer conditional sums (order-free), the
+    statistic ONE division of exact integers; rows where both agree
+    contribute nothing (the discordant-pairs principle). Labels and
+    both predictions must be integral 0/1 (the `confusion_stats`
+    in-plan domain guard, shared spelling); NULL rows excluded.
+    chi2 is NULL when b + c = 0 (no discordant pairs — undefined,
+    never a crash). Returns ONE row: (n, b, c, chi2). One map-side-
+    combined aggregation — the minimum possible work."""
+    from hdfe_spark.operators.ml import _bin01
+
+    y = _bin01("mcnemar_test", label_col, F.col(label_col).cast("long"))
+    pa = _bin01(
+        "mcnemar_test", pred_a_col, F.col(pred_a_col).cast("long")
+    )
+    pb = _bin01(
+        "mcnemar_test", pred_b_col, F.col(pred_b_col).cast("long")
+    )
+    base = df.filter(y.isNotNull() & pa.isNotNull() & pb.isNotNull())
+    cnt = lambda cond: F.coalesce(  # noqa: E731
+        F.sum(cond.cast("long")), F.lit(0)
+    ).cast("long")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt((pa == y) & (pb != y)).alias("b"),
+        cnt((pa != y) & (pb == y)).alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    return agg.select(
+        "n", "b", "c",
+        F.when(
+            b + c > 0,
+            ((b - c) * (b - c)).cast("double")
+            / (b + c).cast("double"),
+        ).alias("chi2"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_cells: int = 100_000,
+) -> DataFrame:
+    """Cramer's V — the [0, 1] effect size `chi2_independence`'s raw
+    statistic lacks: V = sqrt(chi2 / (n * min(r-1, c-1))). The
+    per-cell chi2 terms come from the SHARED `chi2_independence`
+    (exact counts, one IEEE division per cell); the one
+    order-sensitive float reduction — the sum of terms — is a
+    driver LEFT FOLD over the cells in (a, b) order (the
+    anova/kruskal collect-scalars pattern, bounded by
+    ``max_cells``), which the oracle replays with
+    list_reduce(list(... ORDER BY a, b)). Returns ONE row:
+    (n, r, c, chi2, v)."""
+    cells = (
+        chi2_independence(df, col_a, col_b)
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"cramers_v: more than max_cells={max_cells} cells"
+        )
+    if not cells:
+        raise ValueError("cramers_v: empty input")
+    cells.sort(key=lambda x: (x[col_a], x[col_b]))
+    n = sum(int(x["obs"]) for x in cells)
+    r = len({x[col_a] for x in cells})
+    c = len({x[col_b] for x in cells})
+    k = min(r - 1, c - 1)
+    if k < 1:
+        raise ValueError(
+            "cramers_v: a column is constant — V is undefined"
+        )
+    terms = [float(x["chi2_term"]) for x in cells]
+    chi2 = terms[0]
+    for t in terms[1:]:
+        chi2 = chi2 + t
+    v = math.sqrt(chi2 / (float(n) * float(k)))
+    return df.sparkSession.createDataFrame(
+        [(n, r, c, chi2, v)],
+        "n long, r long, c long, chi2 double, v double",
+    )
+
+
+def gini_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group exact Gini coefficient — the global `gini`
+    stratified (concentration of token/byte mass per source): the
+    same doubled tie-block identity T = sum v*c*(2B + c + 1) with B
+    from GROUP-PARTITIONED window prefix sums (parallel across
+    groups, never a global sort — the `auc_by` shape), every sum an
+    exact DECIMAL(38,0) integer, and the coefficient
+
+        G = T / (n * S) - (n + 1) / n
+
+    a fixed IEEE expression per group the oracle spells verbatim.
+    Negative values raise in-plan (Gini is undefined); groups with
+    zero total return NULL gini; a NULL group is itself a group.
+    Returns one row per group: (group, n, gini)."""
+    u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    ug = F.when(
+        u < zero,
+        F.raise_error(
+            F.concat(
+                F.lit("gini_by: negative value: "),
+                F.col(value_col).cast("string"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(u)
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), ug.alias("__u"))
+        .groupBy("__g", "__u")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__u")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "__g", "__u", "__c", F.sum("__c").over(w).alias("__cum")
+    )
+    c = F.col("__c").cast("decimal(38,0)")
+    b = (F.col("__cum") - F.col("__c")).cast("decimal(38,0)")
+    block2 = F.col("__u") * c * (F.lit(2) * b + c + F.lit(1))
+    g = cum.groupBy("__g").agg(
+        F.sum(c).cast("long").alias("n"),
+        F.sum(F.col("__u") * c).alias("__s"),
+        F.sum(block2).alias("__t2"),
+    )
+    nd = F.col("n").cast("double")
+    gini_expr = (
+        F.col("__t2").cast("double")
+        / (nd * F.col("__s").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(F.col("__s") > zero, gini_expr).alias("gini"),
+    )

@@ -913,3 +913,26 @@ def streaming_brier(
     from hdfe_spark.operators.ml import brier_score
 
     return brier_score(stream, label_col, prob_col, qbits=qbits)
+
+
+def streaming_ece(
+    stream: DataFrame,
+    label_col: str,
+    prob_col: str,
+    n_bins: int = 10,
+    qbits: int = 20,
+) -> DataFrame:
+    """Streaming calibration monitor (the twenty-second streaming
+    form): reliability-diagram bins folded over a prediction stream
+    in complete mode — the per-bin counters (n, n_pos, quantized
+    confidence sum) are ADDITIVE and conf/acc/gap ride the output
+    projection, so the availableNow fold equals the batch
+    `ml.calibration_bins` table exactly whatever the micro-batch
+    boundaries. State is three counters per non-empty bin (<=
+    n_bins rows). Delegates outright (the `streaming_confusion`
+    argument)."""
+    from hdfe_spark.operators.ml import calibration_bins
+
+    return calibration_bins(
+        stream, label_col, prob_col, n_bins=n_bins, qbits=qbits
+    )

@@ -695,3 +695,126 @@ def test_streaming_brier_equals_batch(spark, sf_dir):
     q.awaitTermination()
     got = spark.table("t_r10_brier").collect()[0]
     assert got.asDict() == want.asDict()
+
+
+# ---------------- batch 4: mcnemar / cramers_v / gini_by /
+# streaming_ece ----------------
+
+
+def test_mcnemar_hand_computed(spark):
+    from hdfe_spark.operators.stats import mcnemar_test
+
+    # y, pa, pb: 5 both-right, 3 a-right-b-wrong, 1 a-wrong-b-right,
+    # 2 both-wrong
+    rows = (
+        [(1, 1, 1)] * 5 + [(1, 1, 0)] * 3 + [(1, 0, 1)] * 1
+        + [(1, 0, 0)] * 2
+    )
+    df = spark.createDataFrame(rows, "y long, pa long, pb long")
+    r = mcnemar_test(df, "y", "pa", "pb").collect()[0]
+    assert (r["n"], r["b"], r["c"]) == (11, 3, 1)
+    assert r["chi2"] == 4 / 4
+    # no discordant pairs -> NULL
+    d2 = spark.createDataFrame([(1, 1, 1)] * 3, "y long, pa long, pb long")
+    assert mcnemar_test(d2, "y", "pa", "pb").collect()[0]["chi2"] is None
+
+
+def test_mcnemar_rejects_out_of_domain(spark):
+    from hdfe_spark.operators.stats import mcnemar_test
+
+    df = spark.createDataFrame([(1, 2, 0)], "y long, pa long, pb long")
+    with pytest.raises(Exception, match="outside"):
+        mcnemar_test(df, "y", "pa", "pb").collect()
+
+
+def test_cramers_v_matches_replica(spark):
+    from hdfe_spark.operators.stats import cramers_v
+
+    rows = (
+        [("x", "p")] * 20 + [("x", "q")] * 5
+        + [("y", "p")] * 8 + [("y", "q")] * 17
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    n = 50
+    obs = {("x", "p"): 20, ("x", "q"): 5, ("y", "p"): 8, ("y", "q"): 17}
+    rowm = {"x": 25, "y": 25}
+    colm = {"p": 28, "q": 22}
+    chi2 = 0.0
+    for (aa, bb) in sorted(obs):
+        exp = float(rowm[aa]) * float(colm[bb]) / float(n)
+        chi2 = chi2 + (float(obs[(aa, bb)]) - exp) ** 2 / exp
+    import math as _m
+
+    assert (r["n"], r["r"], r["c"]) == (50, 2, 2)
+    assert r["chi2"] == chi2
+    assert r["v"] == _m.sqrt(chi2 / (50 * 1))
+
+
+def test_cramers_v_constant_column_raises(spark):
+    from hdfe_spark.operators.stats import cramers_v
+
+    df = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    with pytest.raises(ValueError, match="constant"):
+        cramers_v(df, "a", "b")
+
+
+def test_gini_by_matches_global_per_group(spark):
+    from hdfe_spark.operators.stats import gini, gini_by
+
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (g, float(rng.randint(0, 100)))
+        for g in ("a", "b") for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in gini_by(df, "g", "x").collect()}
+    for g in ("a", "b"):
+        want = gini(df.filter(F.col("g") == g), "x").collect()[0]
+        assert got[g]["n"] == want["n"]
+        assert got[g]["gini"] == pytest.approx(want["gini"], abs=1e-12)
+
+
+def test_gini_by_edge_cases(spark):
+    from hdfe_spark.operators.stats import gini_by
+
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0), ("e", 5.0), ("e", 5.0)],
+        "g string, x double",
+    )
+    out = {r["g"]: r for r in gini_by(df, "g", "x").collect()}
+    assert out["z"]["gini"] is None  # zero total
+    assert out["e"]["gini"] == 0.0  # perfect equality
+    neg = spark.createDataFrame([("n", -1.0)], "g string, x double")
+    with pytest.raises(Exception, match="negative"):
+        gini_by(neg, "g", "x").collect()
+
+
+def test_streaming_ece_equals_batch(spark, sf_dir):
+    from hdfe_spark.operators.ml import calibration_bins
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_ece
+
+    lab = lambda d: d.select(  # noqa: E731
+        (F.col("event_id") % 2).cast("long").alias("y"),
+        F.least(
+            F.greatest(F.col("value"), F.lit(0.0)), F.lit(1.0)
+        ).alias("p"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(
+        [tuple(r) for r in calibration_bins(lab(ev), "y", "p").collect()]
+    )
+    stream = read_table_stream(spark, sf_dir, "events")
+    out = streaming_ece(lab(stream), "y", "p")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_r10_ece")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted([tuple(r) for r in spark.table("t_r10_ece").collect()])
+    assert got == want

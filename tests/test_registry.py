@@ -46,7 +46,7 @@ def test_round10_window_composition():
     # backlog head: the round-10 registrations (never driver-
     # recorded -> they lead the round-11 rotation), then the r04
     # rows that did not fit the window
-    assert q[50:75] == [
+    assert q[50:79] == [
         "mst", "weighted_sample_by",
         "confusion", "pr_at_k", "ndcg", "lift", "cuped",
         "link_predict", "skipgrams", "gopher", "streaming_confusion",
@@ -54,6 +54,7 @@ def test_round10_window_composition():
         "streaming_gopher",
         "spearman_by", "entropy_by", "ece", "streaming_brier",
         "als", "logrank",
+        "mcnemar", "cramers", "gini_by", "streaming_ece",
         "scalar_funcs", "se_cluster",
     ]
     # rows-only demos must all sit OUTSIDE the window, at the tail
@@ -62,7 +63,7 @@ def test_round10_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 284
+    assert len(q) == 288
 
 
 def test_every_query_has_callable():
