@@ -381,6 +381,76 @@ def stress_ece():
     )
 
 
+def stress_gini_by():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import gini_by
+
+    spark = _spark()
+    G, V = 100, 200
+    # value index independent of the group via integer division
+    vidx = (F.col("id") / G).cast("long") % V
+    rows = spark.range(0, N, 1, 64).select(
+        (F.col("id") % G).cast("string").alias("g"),
+        vidx.cast("double").alias("x"),
+    )
+    t0 = time.time()
+    out = gini_by(rows, "g", "x", scale=1.0)
+    chk = out.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.min("gini").alias("g0"), F.max("gini").alias("g1"),
+        F.min("n").alias("n0"), F.max("n").alias("n1"),
+    ).collect()[0]
+    dt = time.time() - t0
+    per = N // (G * V)
+    n = per * V
+    cum = 0
+    t2 = 0
+    s = 0
+    for v in range(V):
+        t2 += v * per * (2 * cum + per + 1)
+        s += v * per
+        cum += per
+    want = float(t2) / (float(n) * float(s)) - (float(n) + 1.0) / float(n)
+    assert chk["ng"] == G and chk["n0"] == chk["n1"] == n
+    assert chk["g0"] == chk["g1"] == want, (chk, want)
+    print(
+        f"gini_by 20M rows / {G} groups: {dt:.1f}s — every gini EXACT"
+        " vs the tie-block closed form"
+    )
+
+
+def stress_mcnemar():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import mcnemar_test
+
+    spark = _spark()
+    rows = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 2).cast("long").alias("y"),
+        ((F.col("id") % 4) < 2).cast("long").alias("pa"),
+        ((F.col("id") % 8) < 4).cast("long").alias("pb"),
+    )
+    t0 = time.time()
+    r = mcnemar_test(rows, "y", "pa", "pb").collect()[0]
+    dt = time.time() - t0
+    # joint replica over the 8 residues (N divisible by 8)
+    per = N // 8
+    b = c = 0
+    for i in range(8):
+        y, pa, pb = i % 2, 1 if i % 4 < 2 else 0, 1 if i % 8 < 4 else 0
+        if pa == y and pb != y:
+            b += per
+        if pa != y and pb == y:
+            c += per
+    assert (r["n"], r["b"], r["c"]) == (N, b, c)
+    assert r["chi2"] == float((b - c) * (b - c)) / float(b + c)
+    print(
+        f"mcnemar_test 20M rows: {dt:.1f}s — (b, c, chi2) EXACT vs"
+        " the joint-residue replica"
+    )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     for name, fn in {
@@ -392,6 +462,8 @@ if __name__ == "__main__":
         "spearman": stress_spearman_by,
         "entropy": stress_entropy_by,
         "ece": stress_ece,
+        "gini_by": stress_gini_by,
+        "mcnemar": stress_mcnemar,
     }.items():
         if which in (name, "all"):
             fn()
