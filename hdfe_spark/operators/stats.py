@@ -3323,525 +3323,6 @@ def logrank_test(
     )
 
 
-def cuped(
-    df: DataFrame,
-    variant_col: str,
-    metric_col: str,
-    covariate_col: str,
-    scale: float = 1e6,
-) -> DataFrame:
-    """CUPED variance-reduced experiment readout (Deng et al.,
-    WSDM 2013, public): per-variant means of the metric y adjusted
-    by the pre-experiment covariate x,
-
-        theta      = cov(x, y) / var(x)          (POOLED, all rows)
-        mean_cuped = mean_v(y) - theta * (mean_v(x) - mean(x))
-
-    — the standard A/B variance-reduction estimator (the covariate
-    is pre-treatment, so its expectation is equal across variants
-    and the adjustment is unbiased while soaking up the x-correlated
-    noise in y).
-
-    Exactness (the `welch_ttest` convention): x and y are quantized
-    to integers once (round(v * scale) as DECIMAL(38,0)), ALL
-    distributed sums are exact integer moments (order-free on any
-    engine), and theta / the adjusted means are a handful of IEEE
-    ops on those exact integers — the oracle writes the identical
-    expression tree. NULL metric/covariate rows are excluded;
-    a NULL variant is itself a group (the `hll_by` convention).
-
-    Returns one row per variant: (variant, n, mean, mean_cuped,
-    theta). Scale: one global-moment aggregation (5 scalars) + one
-    variant-keyed aggregation — two narrow scans, map-side combined;
-    nothing wider than the variant count ever shuffles.
-    """
-    y = F.col(metric_col)
-    x = F.col(covariate_col)
-    base = df.filter(y.isNotNull() & x.isNotNull()).select(
-        F.col(variant_col).alias("__v"),
-        F.round(y * F.lit(scale)).cast("decimal(38,0)").alias("__yq"),
-        F.round(x * F.lit(scale)).cast("decimal(38,0)").alias("__xq"),
-    )
-    g = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__xq").alias("sx"),
-        F.sum("__yq").alias("sy"),
-        F.sum(F.col("__xq") * F.col("__xq")).alias("sxx"),
-        F.sum(F.col("__xq") * F.col("__yq")).alias("sxy"),
-    ).collect()[0]
-    n = int(g["n"])
-    if n < 2:
-        raise ValueError("cuped: needs >= 2 non-null rows")
-    sx, sy = int(g["sx"]), int(g["sy"])
-    sxx, sxy = int(g["sxx"]), int(g["sxy"])
-    var_num = n * sxx - sx * sx  # exact ints (python bigint)
-    if var_num == 0:
-        raise ValueError(
-            "cuped: covariate has zero variance — nothing to adjust by"
-        )
-    # ONE division of two exact integers; both engines round the
-    # bigint->double conversions identically (IEEE nearest)
-    theta = float(n * sxy - sx * sy) / float(var_num)
-    mean_x = float(sx) / float(n)  # quantized units
-    per = base.groupBy("__v").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__yq").alias("__syv"),
-        F.sum("__xq").alias("__sxv"),
-    )
-    inv = F.lit(1.0 / scale)
-    mean_y_v = F.col("__syv").cast("double") / F.col("n").cast("double")
-    mean_x_v = F.col("__sxv").cast("double") / F.col("n").cast("double")
-    return per.select(
-        F.col("__v").alias(variant_col),
-        "n",
-        (mean_y_v * inv).alias("mean"),
-        (
-            (mean_y_v - F.lit(theta) * (mean_x_v - F.lit(mean_x))) * inv
-        ).alias("mean_cuped"),
-        F.lit(theta).alias("theta"),
-    )
-
-
-def kruskal_wallis(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    max_groups: int = 100_000,
-) -> DataFrame:
-    """Kruskal-Wallis H test — `anova_oneway`'s rank-based sibling
-    (does the DISTRIBUTION of ``value_col`` differ across groups?),
-    with average-tie ranks and the standard tie correction.
-
-    Exactness (the `mann_whitney_u` half-unit trick, per group):
-    for a pooled distinct value with total count c and cum-before
-    count B, every average rank is (2B + c + 1)/2, so the DOUBLED
-    per-group rank sums 2*R_g = sum(c_g * (2B + c + 1)) ride as
-    exact DECIMAL(38,0) integers; the tie term sum(c^3 - c) is
-    integral too. The only order-sensitive float reduction — the
-    sum over groups of R_g^2/n_g — is a driver-side LEFT FOLD in
-    group order (the `anova_oneway` collect-scalars pattern, group
-    count bounded by ``max_groups``), which the oracle replays with
-    ``list_reduce(list(... ORDER BY g))``. H and the tie-corrected
-    H_adj are then a handful of IEEE ops on exact scalars.
-
-    NULL groups/values are excluded. Raises when every pooled value
-    is tied (the correction denominator is 0 — H is undefined).
-    Plan: one (value, group) aggregation, one value-level rollup +
-    two distributed prefix sums, one AQE-planned join back, one
-    group-level aggregation bounded by ``max_groups`` — never a
-    global row sort (ranks come from counts, not sorting). Returns
-    ONE row: k, n, tie_term, h, h_adj.
-    """
-    from hdfe_spark.operators.rank import prefix_sum
-
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    )
-    vg = base.groupBy("__v", "__g").agg(
-        F.count(F.lit(1)).cast("long").alias("__cg")
-    )
-    v = vg.groupBy("__v").agg(F.sum("__cg").cast("long").alias("__c"))
-    v = prefix_sum(v, ["__v"], "__c", out_col="__cumc")
-    tie = v.agg(
-        F.sum(
-            F.col("__c").cast("decimal(38,0)")
-            * F.col("__c")
-            * F.col("__c")
-            - F.col("__c")
-        ).alias("ties"),
-    ).collect()[0]
-    ties = int(tie["ties"] or 0)
-    b2 = (
-        F.lit(2).cast("decimal(38,0)")
-        * (F.col("__cumc") - F.col("__c"))
-        + F.col("__c")
-        + F.lit(1)
-    )
-    groups = (
-        vg.join(v, "__v")
-        .groupBy("__g")
-        .agg(
-            F.sum("__cg").cast("long").alias("ng"),
-            F.sum(F.col("__cg").cast("decimal(38,0)") * b2).alias(
-                "r2g"
-            ),
-        )
-    )
-    cells = groups.limit(max_groups + 1).collect()
-    if len(cells) > max_groups:
-        raise ValueError(
-            f"kruskal_wallis: more than max_groups={max_groups} groups"
-        )
-    if len(cells) < 2:
-        raise ValueError("kruskal_wallis: needs >= 2 groups")
-    cells.sort(key=lambda r: r["__g"])
-    n = sum(int(r["ng"]) for r in cells)
-    k = len(cells)
-    denom_t = n * n * n - n
-    if ties >= denom_t:
-        raise ValueError(
-            "kruskal_wallis: all pooled values tied — H is undefined"
-        )
-    # left fold in group order (acc = first term, the anova/DuckDB
-    # list_reduce convention); R_g^2/n_g = (2R_g)^2 / (4 n_g)
-    terms = [
-        float(r["r2g"]) * float(r["r2g"]) / (4.0 * float(r["ng"]))
-        for r in cells
-    ]
-    t = terms[0]
-    for x in terms[1:]:
-        t = t + x
-    h = (12.0 * t) / float(n * (n + 1)) - 3.0 * float(n + 1)
-    corr = 1.0 - float(ties) / float(denom_t)
-    h_adj = h / corr
-    return df.sparkSession.createDataFrame(
-        [(k, n, float(ties), h, h_adj)],
-        "k long, n long, tie_term double, h double, h_adj double",
-    )
-
-
-def auc_by(
-    df: DataFrame,
-    group_col: str,
-    label_col: str,
-    score_col: str,
-) -> DataFrame:
-    """Per-group exact ROC AUC — `auc_score` stratified (the
-    per-query retrieval/ranking eval): within every group, AUC via
-    the rank-sum identity with average-tie ranks,
-
-        auc = (2*R_pos - n_pos*(n_pos+1)) / (2 * n_pos * n_neg)
-
-    where 2*R_pos rides as an exact DECIMAL(38,0) integer (the
-    `mann_whitney_u` half-unit trick evaluated with GROUP-
-    PARTITIONED window prefix sums instead of the global
-    distributed prefix sum — parallel across groups, never a global
-    sort), so the whole statistic is ONE division of exact integers
-    per group: fully distributed, no driver collect, and a SQL
-    oracle spells it verbatim.
-
-    NULL labels/scores are excluded; a NULL group is itself a group
-    (the `hll_by` convention). Groups with no positives or no
-    negatives return NULL auc (undefined, never a crash). Returns
-    one row per group: (group, n_pos, n_neg, auc).
-    """
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("__g"),
-        F.col(score_col).alias("__v"),
-        F.col(label_col).cast("boolean").cast("long").alias("__y"),
-    )
-    cells = base.groupBy("__g", "__v").agg(
-        F.sum("__y").cast("long").alias("__cp"),
-        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__cn"),
-    )
-    w = (
-        Window.partitionBy("__g")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = cells.select(
-        "__g", "__cp", "__cn",
-        F.sum("__cp").over(w).alias("__cump"),
-        F.sum("__cn").over(w).alias("__cumn"),
-    )
-    c = (F.col("__cp") + F.col("__cn")).cast("decimal(38,0)")
-    before = (
-        F.col("__cump") + F.col("__cumn")
-        - F.col("__cp") - F.col("__cn")
-    ).cast("decimal(38,0)")
-    r2term = F.col("__cp").cast("decimal(38,0)") * (
-        F.lit(2).cast("decimal(38,0)") * before + c + F.lit(1)
-    )
-    g = cum.groupBy("__g").agg(
-        F.sum("__cp").cast("long").alias("n_pos"),
-        F.sum("__cn").cast("long").alias("n_neg"),
-        F.sum(r2term).alias("__ra2"),
-    )
-    npos = F.col("n_pos").cast("decimal(38,0)")
-    u2 = F.col("__ra2") - npos * (F.col("n_pos") + F.lit(1))
-    den = (
-        F.lit(2).cast("decimal(38,0)")
-        * F.col("n_pos")
-        * F.col("n_neg")
-    )
-    return g.select(
-        F.col("__g").alias(group_col),
-        "n_pos",
-        "n_neg",
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            u2.cast("double") / den.cast("double"),
-        ).alias("auc"),
-    )
-
-
-def spearman_by(
-    df: DataFrame, group_col: str, x_col: str, y_col: str
-) -> DataFrame:
-    """Per-group Spearman rank correlation — `spearman_corr`
-    stratified (monotone-association per segment/query/source), with
-    the same average-tie exactness: each column's within-group ranks
-    come from (group, value) cell counts + a GROUP-PARTITIONED
-    window cumulative (parallel across groups, never a global sort),
-    doubled so 2*rank = 2B + c + 1 stays integral; the six rank
-    moments are exact DECIMAL(38,0) sums per group, and rho is one
-    fixed IEEE expression on their double casts that a SQL oracle
-    spells verbatim.
-
-    NULL x/y rows are excluded; a NULL group is itself a group (the
-    `hll_by` convention). Groups where either column is constant
-    (zero rank variance) return NULL rho. Returns one row per
-    group: (group, n, rho).
-    """
-    base = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("__g"),
-        F.col(x_col).alias("__x"),
-        F.col(y_col).alias("__y"),
-    )
-
-    def rank_table(col, rcol, gname, vname):
-        # keys RENAMED (__gx/__xv): the rank table derives from
-        # `base`, so joining back by the original names would hit
-        # the self-join attribute ambiguity
-        cells = base.groupBy("__g", col).agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
-        )
-        w = (
-            Window.partitionBy("__g")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return cells.select(
-            F.col("__g").alias(gname),
-            F.col(col).alias(vname),
-            (
-                F.lit(2)
-                * (F.sum("__c").over(w) - F.col("__c"))
-                + F.col("__c")
-                + F.lit(1)
-            ).cast("decimal(38,0)").alias(rcol),
-        )
-
-    rx = rank_table("__x", "__r2x", "__gx", "__xv")
-    ry = rank_table("__y", "__r2y", "__gy", "__yv")
-    # NULL-SAFE group key: a bare ["__g", ...] equi-join would drop
-    # every NULL-group row, violating the NULL-group contract above
-    # (review r10b; auc_by/entropy_by get this for free from
-    # groupBy/Window partitioning)
-    ranked = base.join(
-        rx,
-        F.col("__g").eqNullSafe(F.col("__gx"))
-        & (F.col("__x") == F.col("__xv")),
-    ).drop("__gx", "__xv")
-    ranked = ranked.join(
-        ry,
-        F.col("__g").eqNullSafe(F.col("__gy"))
-        & (F.col("__y") == F.col("__yv")),
-    ).drop("__gy", "__yv")
-    m = ranked.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__r2x").alias("__sx"),
-        F.sum("__r2y").alias("__sy"),
-        F.sum(F.col("__r2x") * F.col("__r2x")).alias("__sxx"),
-        F.sum(F.col("__r2x") * F.col("__r2y")).alias("__sxy"),
-        F.sum(F.col("__r2y") * F.col("__r2y")).alias("__syy"),
-    )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    syy = F.col("__syy").cast("double")
-    num = nd * sxy - sx * sy
-    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
-    # the constant-column gate runs on EXACT decimal moments, not
-    # the double-rounded den: past 2^53 the float n*sxx - sx*sx of
-    # a constant column cancels catastrophically to a NONZERO value
-    # (measured: 2.2e12 at n=10M) and would emit junk rho instead
-    # of NULL (review r10b). DECIMAL(38,0) bounds these products at
-    # ~1e9 rows per group — the ks_2sample documented-bound class.
-    nD = F.col("n").cast("decimal(38,0)")
-    varx = nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    vary = nD * F.col("__syy") - F.col("__sy") * F.col("__sy")
-    zero = F.lit(0).cast("decimal(38,0)")
-    return m.select(
-        F.col("__g").alias(group_col),
-        "n",
-        F.when((varx > zero) & (vary > zero), num / den).alias("rho"),
-    )
-
-
-def entropy_by(
-    df: DataFrame,
-    group_col: str,
-    value_col: str,
-    qbits: int = 20,
-) -> DataFrame:
-    """Per-group Shannon entropy of a categorical column (nats) —
-    the diversity signal corpus curation tracks per source (a
-    near-zero entropy source is boilerplate; see also
-    `char_entropy` for the within-document variant). Uses the
-    identity H = ln(n) - (1/n) * sum_v c_v ln c_v so the only libm
-    calls are ln of INTEGER counts, each QUANTIZED to
-    round(2^qbits * ln c) — the lm-family convention whose
-    JVM-vs-DuckDB parity was measured (a disagreement needs ln
-    within ~2^-(qbits+1) of a rounding boundary) — making the
-    entropy numerator n*qln(n) - sum(c * qln(c)) an exact
-    DECIMAL(38,0) integer; the entropy is ONE final division.
-
-    NULL values are excluded; a NULL group is itself a group.
-    Returns one row per group: (group, n, n_distinct, entropy).
-    Plan: one (group, value) cell aggregation + one group rollup —
-    two map-side-combined shuffles, nothing driver-side.
-    """
-    base = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
-    )
-    scale = float(1 << qbits)
-    cells = base.groupBy("__g", "__v").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
-    qln_c = F.round(F.ln(F.col("__c")) * F.lit(scale)).cast(
-        "decimal(38,0)"
-    )
-    g = cells.groupBy("__g").agg(
-        F.sum("__c").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(F.col("__c").cast("decimal(38,0)") * qln_c).alias("__s"),
-    )
-    qln_n = F.round(F.ln(F.col("n")) * F.lit(scale)).cast(
-        "decimal(38,0)"
-    )
-    e_num = F.col("n").cast("decimal(38,0)") * qln_n - F.col("__s")
-    return g.select(
-        F.col("__g").alias(group_col),
-        "n",
-        "n_distinct",
-        (
-            e_num.cast("double")
-            / (F.col("n").cast("double") * F.lit(scale))
-        ).alias("entropy"),
-    )
-
-
-def logrank_test(
-    df: DataFrame,
-    duration_col: str,
-    event_col: str,
-    group_col: str,
-    a_label,
-    b_label,
-    max_cells: int = 100_000,
-) -> DataFrame:
-    """Log-rank (Mantel-Cox) test: do two groups' survival curves
-    differ? The inference companion of `kaplan_meier`/`km_by` (the
-    curves say WHAT, this says WHETHER the gap is noise) — churn
-    A/B readouts at event-time granularity with censoring handled.
-
-    At every distinct event time t: O1 = observed events in group
-    a, E1_t = d_t * n1_t / n_t, V_t = d_t (n1_t/n_t)(n2_t/n_t)
-    (n_t - d_t)/(n_t - 1); chi2 = (O1 - E1)^2 / V with E1, V summed
-    over event times.
-
-    Exactness: per-time cells (counts, events per group) are exact
-    integers from ONE duration-keyed aggregation; at-risk counts
-    come from exact prefix arithmetic over the collected cells
-    (bounded by ``max_cells``, the `kaplan_meier` convention); the
-    two order-sensitive float sums (E1, V) are driver LEFT FOLDS in
-    time order — each term one fixed IEEE expression — which a SQL
-    oracle replays with list_reduce over time-ordered lists. Times
-    with a single subject at risk contribute V = 0 (their n1*n2
-    product is 0 anyway; the 0/0 is defined away, the standard
-    convention). NULL events raise (an unknown outcome cannot be
-    placed in the risk set); rows outside the two labels are
-    excluded. Returns ONE row: (n_a, n_b, o1, e1, v, chi2).
-    """
-    _km_duration_guard(df, duration_col, "logrank_test")
-    ev = F.col(event_col)
-    base = df.filter(
-        F.col(group_col).isin([a_label, b_label])
-        & F.col(duration_col).isNotNull()
-    ).select(
-        F.col(duration_col).alias("__t"),
-        F.when(
-            ev.isNull(),
-            F.raise_error(
-                F.lit(
-                    "logrank_test: NULL event flag — an unknown "
-                    "outcome cannot be placed in the risk set"
-                )
-            ).cast("long"),
-        )
-        .otherwise(ev.cast("boolean").cast("long"))
-        .alias("__d"),
-        (F.col(group_col) == F.lit(a_label)).cast("long").alias("__a"),
-    )
-    cells = (
-        base.groupBy("__t")
-        .agg(
-            F.sum("__a").cast("long").alias("ca"),
-            F.sum(F.lit(1) - F.col("__a")).cast("long").alias("cb"),
-            F.sum(F.col("__a") * F.col("__d")).cast("long").alias("da"),
-            F.sum((F.lit(1) - F.col("__a")) * F.col("__d"))
-            .cast("long")
-            .alias("db"),
-        )
-        .limit(max_cells + 1)
-        .collect()
-    )
-    if len(cells) > max_cells:
-        raise ValueError(
-            f"logrank_test: more than max_cells={max_cells} distinct "
-            "durations"
-        )
-    cells.sort(key=lambda r: r["__t"])
-    n_a = sum(int(r["ca"]) for r in cells)
-    n_b = sum(int(r["cb"]) for r in cells)
-    if n_a == 0 or n_b == 0:
-        raise ValueError("logrank_test: empty group")
-    # at-risk = total - (subjects with smaller duration): exact ints
-    o1 = 0
-    e1 = 0.0
-    v = 0.0
-    seen_a, seen_b = 0, 0
-    for r in cells:
-        ca, cb = int(r["ca"]), int(r["cb"])
-        da, db = int(r["da"]), int(r["db"])
-        n1 = n_a - seen_a
-        n2 = n_b - seen_b
-        seen_a += ca
-        seen_b += cb
-        dt = da + db
-        if dt == 0:
-            continue
-        nt = n1 + n2
-        o1 += da
-        # fixed IEEE term spellings, replayed by the oracle
-        e1 = e1 + float(dt * n1) / float(nt)
-        if nt > 1:
-            v = v + (
-                float(dt * n1)
-                / float(nt)
-                * (float(n2) / float(nt))
-                * (float(nt - dt) / float(nt - 1))
-            )
-    if v == 0.0:
-        raise ValueError(
-            "logrank_test: zero variance (no time has both groups "
-            "at risk with an event) — chi2 is undefined"
-        )
-    chi2 = (float(o1) - e1) * (float(o1) - e1) / v
-    return df.sparkSession.createDataFrame(
-        [(n_a, n_b, o1, e1, v, chi2)],
-        "n_a long, n_b long, o1 long, e1 double, v double, chi2 double",
-    )
-
-
 def mcnemar_test(
     df: DataFrame, label_col: str, pred_a_col: str, pred_b_col: str
 ) -> DataFrame:
@@ -3957,8 +3438,10 @@ def gini_by(
     Returns one row per group: (group, n, gini)."""
     u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
     zero = F.lit(0).cast("decimal(38,0)")
+    # guard the RAW value (review r10d): a quantized guard would let
+    # values in (-0.5/scale, 0) slip through as zero-mass rows
     ug = F.when(
-        u < zero,
+        F.col(value_col) < 0,
         F.raise_error(
             F.concat(
                 F.lit("gini_by: negative value: "),

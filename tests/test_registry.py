@@ -80,3 +80,25 @@ def test_oracle_keys_are_registry_queries():
     q = set(em.queries())
     extra = [k for k in em.oracle_sql() if k not in q]
     assert extra == [], f"oracles without a query: {extra}"
+
+
+def test_no_shadowed_duplicate_definitions():
+    """A backwards slice in an editing script once duplicated a
+    whole block of stats.py, leaving the FIRST copy silently
+    shadowed (the live `logrank_test` was the wrong one while its
+    registered query documented the other). Pin the invariant: no
+    module in the package defines the same top-level name twice."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "hdfe_spark"
+    for py in sorted(root.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        names = [
+            n.name
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef))
+        ]
+        dupes = {x for x in names if names.count(x) > 1}
+        assert not dupes, f"{py}: shadowed duplicate defs {dupes}"
