@@ -437,3 +437,115 @@ def test_span_scrub_matches_brute_force(spark, docs, k):
         if kept:
             exp[i] = (len(ts), len(kept), " ".join(kept))
     assert got == exp
+
+
+@st.composite
+def _preds(draw):
+    n = draw(st.integers(min_value=2, max_value=80))
+    ys = draw(
+        st.lists(st.integers(0, 1), min_size=n, max_size=n)
+    )
+    ps = draw(
+        st.lists(st.integers(0, 1), min_size=n, max_size=n)
+    )
+    probs = draw(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1.0,
+                      allow_nan=False),
+            min_size=n, max_size=n,
+        )
+    )
+    return ys, ps, probs
+
+
+@SLOW
+@given(_preds())
+def test_confusion_invariants(spark, data):
+    """For ANY 0/1 labels/preds: counters partition n; every metric
+    is in [0, 1]; mcc in [-1, 1]."""
+    from hdfe_spark.operators.ml import confusion_stats
+
+    ys, ps, _ = data
+    df = spark.createDataFrame(list(zip(ys, ps)), "y long, p long")
+    r = confusion_stats(df, "y", "p").collect()[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n"]
+    for m in ("accuracy", "precision", "recall", "f1"):
+        if r[m] is not None:
+            assert 0.0 <= r[m] <= 1.0, (m, r[m])
+    if r["mcc"] is not None:
+        assert -1.0 <= r["mcc"] <= 1.0 + 1e-12
+
+
+@SLOW
+@given(_preds())
+def test_brier_and_bins_invariants(spark, data):
+    """brier in [0, 1]; calibration bins partition the rows, conf
+    and acc in [0, 1], gap == |conf - acc|."""
+    from hdfe_spark.operators.ml import brier_score, calibration_bins
+
+    ys, _, probs = data
+    df = spark.createDataFrame(
+        list(zip(ys, probs)), "y long, p double"
+    )
+    r = brier_score(df, "y", "p").collect()[0]
+    assert 0.0 <= r["brier"] <= 1.0 + 1e-9
+    bins = calibration_bins(df, "y", "p").collect()
+    assert sum(b["n"] for b in bins) == len(ys)
+    for b in bins:
+        assert 0 <= b["bin"] <= 9
+        assert 0.0 <= b["acc"] <= 1.0
+        assert -1e-9 <= b["conf"] <= 1.0 + 1e-9
+        assert b["gap"] == abs(b["conf"] - b["acc"])
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.floats(min_value=0.0, max_value=1e4, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_gini_by_range_invariant(spark, rows):
+    """For ANY non-negative values: gini in [0, 1) per group (NULL
+    only for zero-total groups)."""
+    from hdfe_spark.operators.stats import gini_by
+
+    df = spark.createDataFrame(
+        [(str(g), v) for g, v in rows], "g string, x double"
+    )
+    for r in gini_by(df, "g", "x").collect():
+        if r["gini"] is not None:
+            assert -1e-9 <= r["gini"] < 1.0, r
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 1),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=80,
+    )
+)
+def test_auc_by_range_invariant(spark, rows):
+    """For ANY labeled scores: AUC in [0, 1] per group; NULL exactly
+    for one-sided groups."""
+    from hdfe_spark.operators.stats import auc_by
+
+    df = spark.createDataFrame(
+        [(str(g), y, s) for g, y, s in rows],
+        "g string, y long, s double",
+    )
+    got = auc_by(df, "g", "y", "s").collect()
+    for r in got:
+        one_sided = r["n_pos"] == 0 or r["n_neg"] == 0
+        assert (r["auc"] is None) == one_sided
+        if r["auc"] is not None:
+            assert -1e-12 <= r["auc"] <= 1.0 + 1e-12
