@@ -102,3 +102,28 @@ def test_no_shadowed_duplicate_definitions():
         ]
         dupes = {x for x in names if names.count(x) > 1}
         assert not dupes, f"{py}: shadowed duplicate defs {dupes}"
+
+
+def test_no_duplicate_dict_keys_in_entry_source():
+    """A duplicate key in the queries()/oracle_sql() dict LITERALS
+    would silently overwrite the earlier entry (Python keeps the
+    last) — invisible at runtime because the live dict still looks
+    valid. Pin zero duplicates at the source level via AST."""
+    import ast
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    tree = ast.parse(p.read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name in (
+            "queries", "oracle_sql",
+        ):
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in sub.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dupes = {k for k in keys if keys.count(k) > 1}
+                    assert not dupes, (node.name, dupes)
