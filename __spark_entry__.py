@@ -6155,11 +6155,12 @@ def _q_mcnemar(spark, sf_dir):
 
 def _q_cramers(spark, sf_dir):
     """Cramer's V effect size (`operators/stats.py::cramers_v`) for
-    the chi2_contingency fixture (order status x priority): per-cell
-    terms from the shared `chi2_independence`, summed by a driver
-    LEFT FOLD in (a, b) cell order the oracle replays with
-    list_reduce(... ORDER BY a, b); V = sqrt(chi2 / (n * min(r-1,
-    c-1)))."""
+    the chi2_contingency fixture (order status x priority): observed
+    terms from the shared `chi2_independence`, densified to the FULL
+    r x c grid (unobserved cells contribute (0-exp)^2/exp), summed
+    by a driver LEFT FOLD in (a, b) grid order the oracle replays
+    with list_reduce over the margin cross-join LEFT JOIN observed;
+    V = sqrt(chi2 / (n * min(r-1, c-1)))."""
     from hdfe_spark.operators.stats import cramers_v
 
     od = _t(spark, sf_dir, "orders")
@@ -8451,15 +8452,16 @@ def oracle_sql() -> dict[str, str]:
                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                       AS num,
-                    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                            - CAST(sy AS DOUBLE)
-                              * CAST(sy AS DOUBLE))) AS den
+                    -- EXACT hugeint radicands, one double cast
+                    -- each (the operator's decimal varx/vary)
+                    CAST(n AS HUGEINT) * sxx - sx * sx AS varx,
+                    CAST(n AS HUGEINT) * syy - sy * sy AS vary
                   FROM m)
             SELECT g AS l_returnflag, n,
-                   CASE WHEN den > 0 THEN
-                     floor((num / den) * 1e9 + 0.5) / 1e9
+                   CASE WHEN varx > 0 AND vary > 0 THEN
+                     floor((num / sqrt(CAST(varx AS DOUBLE)
+                                       * CAST(vary AS DOUBLE)))
+                           * 1e9 + 0.5) / 1e9
                    END AS rho
             FROM e
         """,
@@ -8609,8 +8611,16 @@ def oracle_sql() -> dict[str, str]:
             cm AS (SELECT b2, CAST(sum(obs) AS BIGINT) AS ctl
                    FROM ct GROUP BY b2),
             gt AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM ct),
+            grid AS (
+              -- FULL r x c grid: margins cross-joined, observed
+              -- counts left-joined (obs = 0 for unobserved cells),
+              -- matching the operator's driver-side densification
+              SELECT rm.a, cm.b2, rm.rt, cm.ctl,
+                     CAST(COALESCE(ct.obs, 0) AS BIGINT) AS obs
+              FROM rm CROSS JOIN cm
+              LEFT JOIN ct ON rm.a = ct.a AND cm.b2 = ct.b2),
             cells AS (
-              SELECT ct.a, ct.b2,
+              SELECT grid.a, grid.b2,
                      (CAST(obs AS DOUBLE)
                       - CAST(rt AS DOUBLE) * CAST(ctl AS DOUBLE)
                         / CAST(n AS DOUBLE))
@@ -8619,8 +8629,7 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(n AS DOUBLE))
                      / (CAST(rt AS DOUBLE) * CAST(ctl AS DOUBLE)
                         / CAST(n AS DOUBLE)) AS term
-              FROM ct JOIN rm USING (a) JOIN cm USING (b2)
-              CROSS JOIN gt),
+              FROM grid CROSS JOIN gt),
             agg AS (
               SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
                      CAST(count(DISTINCT b2) AS BIGINT) AS c,

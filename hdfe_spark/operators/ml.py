@@ -729,7 +729,9 @@ def cohen_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
 
     Returns one row: (n, agree, po, pe, kappa); kappa is NULL when
     pe = 1 (a single class on both sides — undefined, never a
-    crash). Plan: one (label, pred) aggregation, two class-sized
+    crash). Empty or all-NULL input returns the ZERO-COUNTERS row
+    (0, 0, NULL, NULL, NULL) — the `confusion_stats` empty-input
+    convention, shared across the eval family. Plan: one (label, pred) aggregation, two class-sized
     margin rollups joined class-to-class (AQE-planned, class-space
     sized), two 1-row reductions — nothing row-sized ever reaches
     the driver."""
@@ -740,8 +742,14 @@ def cohen_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
         .groupBy(y.alias("__y"), p.alias("__p"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
+    # __n coalesced like __agree/__s: empty or all-NULL input is the
+    # ZERO-COUNTERS row (0, 0, NULL, NULL, NULL) — the
+    # confusion_stats empty-input convention, shared across the eval
+    # family (advice r10)
     tot = cm.agg(
-        F.sum("__c").cast("decimal(38,0)").alias("__n"),
+        F.coalesce(F.sum("__c"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__n"),
         F.coalesce(
             F.sum(F.when(F.col("__y") == F.col("__p"), F.col("__c"))),
             F.lit(0),
@@ -763,14 +771,19 @@ def cohen_kappa(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     j = tot.crossJoin(F.broadcast(s))
     num = F.col("__n") * F.col("__agree") - F.col("__s")
     den = F.col("__n") * F.col("__n") - F.col("__s")
+    zeroD = F.lit(0).cast("decimal(38,0)")
     return j.select(
         F.col("__n").cast("long").alias("n"),
         F.col("__agree").cast("long").alias("agree"),
-        (F.col("__agree").cast("double") / F.col("__n").cast("double"))
-        .alias("po"),
-        (
+        F.when(
+            F.col("__n") > zeroD,
+            F.col("__agree").cast("double")
+            / F.col("__n").cast("double"),
+        ).alias("po"),
+        F.when(
+            F.col("__n") > zeroD,
             F.col("__s").cast("double")
-            / (F.col("__n") * F.col("__n")).cast("double")
+            / (F.col("__n") * F.col("__n")).cast("double"),
         ).alias("pe"),
         F.when(
             den != F.lit(0).cast("decimal(38,0)"),

@@ -1049,7 +1049,13 @@ def auc_score(
     convention) — the classifier-eval companion of
     ``mann_whitney_u``, sharing its distinct-value prefix-sum path:
     never a global score sort, exact at any scale. Returns one row:
-    n_pos, n_neg, auc."""
+    n_pos, n_neg, auc.
+
+    LABEL CONVENTION: BOOLEAN coercion — any nonzero label is
+    positive, zero is negative (`auc_by` inherits this; the
+    probability-comparing eval ops — `confusion_stats`,
+    `brier_score`, `mcnemar_test` — instead raise on labels outside
+    {0, 1} via `_bin01` because their algebra needs literal 0/1)."""
     sided = df.filter(F.col(label_col).isNotNull()).withColumn(
         "__side",
         F.when(F.col(label_col).cast("boolean"), "p").otherwise("n"),
@@ -3028,6 +3034,14 @@ def auc_by(
     (the `hll_by` convention). Groups with no positives or no
     negatives return NULL auc (undefined, never a crash). Returns
     one row per group: (group, n_pos, n_neg, auc).
+
+    LABEL CONVENTION: labels follow `auc_score`'s BOOLEAN coercion —
+    any nonzero value is positive, zero is negative (ROC-AUC is
+    well-defined for any positive/negative split, unlike the
+    probability-comparing metrics) — deliberately unlike
+    `confusion_stats`/`brier_score`/`mcnemar_test`, whose `_bin01`
+    guard raises on labels outside {0, 1} because their algebra
+    needs literal 0/1 values.
     """
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
@@ -3160,16 +3174,21 @@ def spearman_by(
     sxy = F.col("__sxy").cast("double")
     syy = F.col("__syy").cast("double")
     num = nd * sxy - sx * sy
-    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
-    # the constant-column gate runs on EXACT decimal moments, not
-    # the double-rounded den: past 2^53 the float n*sxx - sx*sx of
-    # a constant column cancels catastrophically to a NONZERO value
-    # (measured: 2.2e12 at n=10M) and would emit junk rho instead
-    # of NULL (review r10b). DECIMAL(38,0) bounds these products at
-    # ~1e9 rows per group — the ks_2sample documented-bound class.
+    # BOTH the constant-column gate AND den's radicands run on the
+    # EXACT decimal moments: past 2^53 the float n*sxx - sx*sx of a
+    # (near-)constant column cancels catastrophically — to a NONZERO
+    # value for an exactly-constant column (measured: 2.2e12 at
+    # n=10M, review r10b) and, symmetrically, to a NEGATIVE value
+    # for a near-constant one, where a double-expression den would
+    # be sqrt(neg) = NaN while the exact variance stays positive
+    # (advice r10: the gated and computed quantities must agree).
+    # den = sqrt(varx_exact * vary_exact) with ONE double cast per
+    # exact radicand. DECIMAL(38,0) bounds these products at ~1e9
+    # rows per group — the ks_2sample documented-bound class.
     nD = F.col("n").cast("decimal(38,0)")
     varx = nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     vary = nD * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    den = F.sqrt(varx.cast("double") * vary.cast("double"))
     zero = F.lit(0).cast("decimal(38,0)")
     return m.select(
         F.col("__g").alias(group_col),
@@ -3378,14 +3397,19 @@ def cramers_v(
 ) -> DataFrame:
     """Cramer's V — the [0, 1] effect size `chi2_independence`'s raw
     statistic lacks: V = sqrt(chi2 / (n * min(r-1, c-1))). The
-    per-cell chi2 terms come from the SHARED `chi2_independence`
-    (exact counts, one IEEE division per cell); the one
-    order-sensitive float reduction — the sum of terms — is a
-    driver LEFT FOLD over the cells in (a, b) order (the
-    anova/kruskal collect-scalars pattern, bounded by
-    ``max_cells``), which the oracle replays with
-    list_reduce(list(... ORDER BY a, b)). Returns ONE row:
-    (n, r, c, chi2, v)."""
+    per-cell chi2 terms for OBSERVED cells come from the SHARED
+    `chi2_independence` (exact counts, one IEEE division per cell);
+    the statistic then sums over the FULL r x c grid — every
+    unobserved (a, b) combination contributes (0 - exp)^2 / exp
+    with exp = row_total * col_total / n, computed here with the
+    SAME IEEE expression the observed path uses (obs = 0), so
+    sparse contingency tables are not underestimated. The one
+    order-sensitive float reduction — the sum of grid terms — is a
+    driver LEFT FOLD in (a, b) grid order (the anova/kruskal
+    collect-scalars pattern, bounded by ``max_cells`` on BOTH the
+    observed cell count and the dense r*c grid), which the oracle
+    replays with list_reduce over the margin cross-join LEFT JOIN
+    observed, ORDER BY a, b. Returns ONE row: (n, r, c, chi2, v)."""
     cells = (
         chi2_independence(df, col_a, col_b)
         .limit(max_cells + 1)
@@ -3397,16 +3421,35 @@ def cramers_v(
         )
     if not cells:
         raise ValueError("cramers_v: empty input")
-    cells.sort(key=lambda x: (x[col_a], x[col_b]))
+    row_tot: dict = {}
+    col_tot: dict = {}
+    term_map: dict = {}
+    for x in cells:
+        row_tot[x[col_a]] = int(x["row_total"])
+        col_tot[x[col_b]] = int(x["col_total"])
+        term_map[(x[col_a], x[col_b])] = float(x["chi2_term"])
     n = sum(int(x["obs"]) for x in cells)
-    r = len({x[col_a] for x in cells})
-    c = len({x[col_b] for x in cells})
+    r = len(row_tot)
+    c = len(col_tot)
+    if r * c > max_cells:
+        raise ValueError(
+            f"cramers_v: dense grid r*c={r * c} exceeds "
+            f"max_cells={max_cells}"
+        )
     k = min(r - 1, c - 1)
     if k < 1:
         raise ValueError(
             "cramers_v: a column is constant — V is undefined"
         )
-    terms = [float(x["chi2_term"]) for x in cells]
+    grand = float(n)
+    terms = []
+    for a in sorted(row_tot):
+        for b in sorted(col_tot):
+            t = term_map.get((a, b))
+            if t is None:
+                exp = float(row_tot[a]) * float(col_tot[b]) / grand
+                t = (0.0 - exp) * (0.0 - exp) / exp
+            terms.append(t)
     chi2 = terms[0]
     for t in terms[1:]:
         chi2 = chi2 + t
