@@ -6224,89 +6224,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window (each round records exactly the first 50 dict
     entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-10 ROTATION (fourteenth curation pass), executed exactly as
-    queued in SURVEY.md after CORRECTNESS_r09 came back 50/50 green:
+    ROUND-11 ROTATION (fifteenth curation pass), executed exactly as
+    queued in SURVEY.md after CORRECTNESS_r10 came back 50/50 green:
 
-    - positions 1-12: the twelve round-9-continuation registrations
-      (`er_cluster` `hll_by` `holt_winters` `url_dedup` `event_ngrams`
-      `streaming_hll` `rrf_fuse` `adaboost` `nb_classify` `rake`
-      `rare_levels` `streaming_rake`) -- the only oracle-checked
-      queries with no driver CORRECTNESS row yet.
-    - positions 13-50: the 38 stalest driver-green re-certs: the five
-      r03 rows (`ols_3fe` `quality` `repetition_stats` `scrub_pii`
-      `se_robust`) then the 33 alphabetically-first r04 rows. The
-      remaining r04 rows lead the backlog and the round-11 rotation.
-    - backlog: stalest-evidence-first (ties alphabetical), so the next
-      rotation is always "take the head"; the 11 rows-only demos stay
-      at the tail per the VERDICT-r6 window policy.
-
-    Round-10 registrations (the two pre-built operators VERDICT items
-    2-3 called for) sit at the very head of the backlog — never
-    driver-recorded, so they lead the round-11 rotation: `mst`
-    (Boruvka minimum spanning forest, 2-phase SQL-unroll oracle) and
-    `weighted_sample_by` (per-group A-ES sampling, the global
-    sampler's SQL + QUALIFY over the group partition).
+    - positions 1-27: the 27 round-10 registrations (`mst`
+      `weighted_sample_by` `confusion` `pr_at_k` `ndcg` `lift`
+      `cuped` `link_predict` `skipgrams` `gopher`
+      `streaming_confusion` `kruskal` `auc_by` `kappa` `brier`
+      `silhouette` `streaming_gopher` `spearman_by` `entropy_by`
+      `ece` `streaming_brier` `als` `logrank` `mcnemar` `cramers`
+      `gini_by` `streaming_ece`) -- the only oracle-checked queries
+      with no driver CORRECTNESS row yet.
+    - positions 28-50: the 23 stalest driver-green re-certs
+      (`scalar_funcs` .. `cube_agg`, all carrying r04 evidence).
+    - backlog: stalest-evidence-first (ties alphabetical), so the
+      next rotation is always "take the head": the remaining r04
+      rows (`equidepth_hist` onward), then the r05-r9 strata
+      unchanged, then the 50 round-10-window entries (fresh r10
+      evidence), and the 11 rows-only demos at the tail per the
+      VERDICT-r6 window policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 (round-10 rotation) ------
-        # 1-12: the twelve round-9-continuation registrations --
-        # never driver-recorded (gate-green since GATELOG_r9)
-        "er_cluster": _q_er_cluster,
-        "hll_by": _q_hll_by,
-        "holt_winters": _q_holt_winters,
-        "url_dedup": _q_url_dedup,
-        "event_ngrams": _q_event_ngrams,
-        "streaming_hll": _q_streaming_hll,
-        "rrf_fuse": _q_rrf_fuse,
-        "adaboost": _q_adaboost,
-        "nb_classify": _q_nb_classify,
-        "rake": _q_rake,
-        "rare_levels": _q_rare_levels,
-        "streaming_rake": _q_streaming_rake,
-        # 13-50: the 38 stalest driver-green re-certs (newest
-        # evidence r03/r04, displaced across rounds 7-9)
-        "ols_3fe": _q_ols_3fe,
-        "quality": _q_quality,
-        "repetition_stats": _q_repetition_stats,
-        "scrub_pii": _q_scrub_pii,
-        "se_robust": _q_se_robust,
-        "all_dummies": _q_all_dummies,
-        "ann_lsh_recall": _q_ann_lsh_recall,
-        "approx_distinct": _q_approx_distinct,
-        "asof_join": _q_asof_join,
-        "bucketed_join": _q_bucketed_join,
-        "collinear_cols": _q_collinear_cols,
-        "contamination": _q_contamination,
-        "demean": _q_demean,
-        "dummies": _q_dummies,
-        "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
-        "exact_dedup": _q_exact_dedup,
-        "factorize": _q_factorize,
-        "fe_effects": _q_fe_effects,
-        "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
-        "gram": _q_gram,
-        "groupby_reuse": _q_groupby_reuse,
-        "grouped_agg": _q_grouped_agg,
-        "grouped_apply": _q_grouped_apply,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "grouped_transform": _q_grouped_transform,
-        "hash_split": _q_hash_split,
-        "ivf_recall": _q_ivf_recall,
-        "join_agg_topk": _q_join_agg_topk,
-        "lags": _q_lags,
-        "lm_logprob": _q_lm_logprob,
-        "multimodal_decode": _q_multimodal_decode,
-        "normalize_text": _q_normalize_text,
-        "ols_pooled": _q_ols_pooled,
-        "ols_within_fe": _q_ols_within_fe,
-        "pipeline_curate": _q_pipeline_curate,
-        "rank_repair": _q_rank_repair,
-        "residuals": _q_residuals,
-        "rollup_agg": _q_rollup_agg,
-        # ------ end of the driver's 50-query window ------
-        # round-10 registrations (never driver-recorded -> they
-        # lead the round-11 rotation)
+        # ------ driver window: positions 1-50 (round-11 rotation) ------
+        # 1-27: the 27 round-10 registrations -- the only oracle-
+        # checked queries with no driver CORRECTNESS row yet
         "mst": _q_mst,
         "weighted_sample_by": _q_weighted_sample_by,
         "confusion": _q_confusion,
@@ -6334,12 +6276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers": _q_cramers,
         "gini_by": _q_gini_by,
         "streaming_ece": _q_streaming_ece,
-        # backlog: every remaining oracle-checked query, ordered
-        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
-        # head of the backlog IS the next rotation's re-cert list;
-        # the 11 rows-only demos sit last (window slots go to
-        # hash-matchable rows only -- each demo's exactness
-        # certificate query is oracle-checked and driver-green)
+        # 28-50: the 23 stalest driver-green re-certs (r04
+        # evidence, displaced across rounds 7-10)
         "scalar_funcs": _q_scalar_funcs,
         "se_cluster": _q_se_cluster,
         "se_pooled": _q_se_pooled,
@@ -6363,6 +6301,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": _q_corr_matrix,
         "csv_roundtrip": _q_csv_roundtrip,
         "cube_agg": _q_cube_agg,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
+        # head of the backlog IS the next rotation's re-cert list;
+        # the 50 round-10-window entries (fresh r10 evidence) sit
+        # last before the 11 rows-only demos, which keep the tail
+        # (window slots go to hash-matchable rows only -- each
+        # demo's exactness certificate query is oracle-checked
+        # and driver-green)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,
@@ -6540,7 +6487,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": _q_transitions,
         "tree2": _q_tree2,
         "weighted_quantiles": _q_weighted_quantiles,
-        # rows-only demos (registry tail)
+        # freshest re-certs: the round-10 window (r10 evidence)
+        "adaboost": _q_adaboost,
+        "all_dummies": _q_all_dummies,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "approx_distinct": _q_approx_distinct,
+        "asof_join": _q_asof_join,
+        "bucketed_join": _q_bucketed_join,
+        "collinear_cols": _q_collinear_cols,
+        "contamination": _q_contamination,
+        "demean": _q_demean,
+        "dummies": _q_dummies,
+        "embedding_neardup_lsh_recall": _q_embedding_neardup_lsh_recall,
+        "er_cluster": _q_er_cluster,
+        "event_ngrams": _q_event_ngrams,
+        "exact_dedup": _q_exact_dedup,
+        "factorize": _q_factorize,
+        "fe_effects": _q_fe_effects,
+        "fingerprint_neardup_exactness": _q_fingerprint_neardup_exactness,
+        "gram": _q_gram,
+        "groupby_reuse": _q_groupby_reuse,
+        "grouped_agg": _q_grouped_agg,
+        "grouped_apply": _q_grouped_apply,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_transform": _q_grouped_transform,
+        "hash_split": _q_hash_split,
+        "hll_by": _q_hll_by,
+        "holt_winters": _q_holt_winters,
+        "ivf_recall": _q_ivf_recall,
+        "join_agg_topk": _q_join_agg_topk,
+        "lags": _q_lags,
+        "lm_logprob": _q_lm_logprob,
+        "multimodal_decode": _q_multimodal_decode,
+        "nb_classify": _q_nb_classify,
+        "normalize_text": _q_normalize_text,
+        "ols_3fe": _q_ols_3fe,
+        "ols_pooled": _q_ols_pooled,
+        "ols_within_fe": _q_ols_within_fe,
+        "pipeline_curate": _q_pipeline_curate,
+        "quality": _q_quality,
+        "rake": _q_rake,
+        "rank_repair": _q_rank_repair,
+        "rare_levels": _q_rare_levels,
+        "repetition_stats": _q_repetition_stats,
+        "residuals": _q_residuals,
+        "rollup_agg": _q_rollup_agg,
+        "rrf_fuse": _q_rrf_fuse,
+        "scrub_pii": _q_scrub_pii,
+        "se_robust": _q_se_robust,
+        "streaming_hll": _q_streaming_hll,
+        "streaming_rake": _q_streaming_rake,
+        "url_dedup": _q_url_dedup,
+        # rows-only demos (no oracle -- registry tail by policy)
         "bpe_merges": _q_bpe_merges,
         "ivfpq_topk": _q_ivfpq_topk,
         "pq_topk": _q_pq_topk,

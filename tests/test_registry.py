@@ -20,33 +20,19 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round10_window_composition():
-    """Positions 1-50 (fourteenth curation pass, executed as queued
-    in SURVEY.md): 1-12 = the twelve round-9-continuation
-    registrations (the only oracle-checked queries with no driver
-    CORRECTNESS row), 13-50 = the 38 stalest driver-green re-certs
-    (five r03 rows, then the 33 alphabetically-first r04 rows);
-    the backlog is ordered stalest-evidence-first so its head IS
-    the round-11 re-cert list. If this fails after an intentional
-    round-11 rotation, update the expectation alongside the
+def test_round11_window_composition():
+    """Positions 1-50 (fifteenth curation pass, executed as queued
+    in SURVEY.md): 1-27 = the 27 round-10 registrations (the only
+    oracle-checked queries with no driver CORRECTNESS row), 28-50 =
+    the 23 stalest driver-green re-certs (`scalar_funcs` ..
+    `cube_agg`, r04 evidence); the backlog stays stalest-evidence-
+    first so its head IS the round-12 re-cert list, with the 50
+    round-10-window entries (fresh r10 evidence) last before the 11
+    rows-only demos at the tail. If this fails after an intentional
+    round-12 rotation, update the expectation alongside the
     `queries()` docstring."""
     q = list(em.queries())
-    assert q[:12] == [
-        "er_cluster", "hll_by", "holt_winters", "url_dedup",
-        "event_ngrams", "streaming_hll", "rrf_fuse", "adaboost",
-        "nb_classify", "rake", "rare_levels", "streaming_rake",
-    ]
-    assert q[12:17] == [
-        "ols_3fe", "quality", "repetition_stats", "scrub_pii",
-        "se_robust",
-    ]
-    # 18-50: the alphabetically-first r04 re-certs
-    assert q[17:50] == sorted(q[17:50])
-    assert q[17] == "all_dummies" and q[49] == "rollup_agg"
-    # backlog head: the round-10 registrations (never driver-
-    # recorded -> they lead the round-11 rotation), then the r04
-    # rows that did not fit the window
-    assert q[50:79] == [
+    assert q[:27] == [
         "mst", "weighted_sample_by",
         "confusion", "pr_at_k", "ndcg", "lift", "cuped",
         "link_predict", "skipgrams", "gopher", "streaming_confusion",
@@ -55,8 +41,16 @@ def test_round10_window_composition():
         "spearman_by", "entropy_by", "ece", "streaming_brier",
         "als", "logrank",
         "mcnemar", "cramers", "gini_by", "streaming_ece",
-        "scalar_funcs", "se_cluster",
     ]
+    assert q[27] == "scalar_funcs" and q[49] == "cube_agg"
+    # backlog head: the remaining r04 re-certs (round-12 rotation
+    # candidates), stalest-first
+    assert q[50] == "equidepth_hist"
+    # the 50 round-10-window entries (freshest evidence) sit last
+    # before the rows-only tail, alphabetical within the tie
+    r10_window = q[len(q) - 11 - 50 : len(q) - 11]
+    assert r10_window == sorted(r10_window)
+    assert r10_window[0] == "adaboost" and r10_window[-1] == "url_dedup"
     # rows-only demos must all sit OUTSIDE the window, at the tail
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
