@@ -72,10 +72,12 @@ def _dup_order_guard(op_name: str, key_col: str, result):
 # default is ~256 MB for the largest key: survivable on a fat local
 # driver, already past what a 4-8 GiB cluster executor should carry.
 # The guard converts "silently huge key" into a loud in-plan error
-# naming the escape hatch (segmented affine-block composition — NOT
-# implemented as the default path because block math reorders the
-# IEEE operation sequence and would break the bit-exact fold
-# oracles). A key so large the collect itself OOMs dies earlier
+# naming the escape hatch: the BLOCKED variants below
+# (`ewma_blocked`/`holt_blocked`/`cusum_blocked` — segmented
+# affine-map composition, NOT the default path because block math
+# reorders the IEEE operation sequence and would break the
+# bit-exact fold oracles). A key so large the collect itself OOMs
+# dies earlier
 # with Spark's own error; this guard bounds the CONTRACT for
 # everything that fits.
 MAX_SERIES_LEN = 8_000_000
@@ -131,8 +133,10 @@ def _ordered_series(
                 F.col(key_col).cast("string"),
                 F.lit(
                     f" exceeds max_series_len={int(max_n)} — the whole"
-                    " series materializes in one task; pre-aggregate"
-                    " the series, or raise max_series_len knowingly"
+                    " series materializes in one task; use the blocked"
+                    " variant (ewma_blocked/holt_blocked/"
+                    "cusum_blocked), pre-aggregate the series, or"
+                    " raise max_series_len knowingly"
                 ),
             )
         ).cast("long"),
@@ -140,6 +144,386 @@ def _ordered_series(
     return agg.select(
         key_col, "_xs", n_guarded.alias("n"), "_n_ord"
     )
+
+
+# ---------------------------------------------------------------
+# Blocked (segmented) series folds — the 100x-scale path for the
+# fold family. The sequential operators above materialize each
+# key's whole series in ONE task (bounded by the loud
+# `max_series_len` guard). The smoothing recursions, however,
+# compose ASSOCIATIVELY as maps on the state:
+#
+#   ewma   y -> A*y + B            (scalar affine; per step
+#                                   A=1-alpha, B=alpha*x)
+#   holt   (l,b) -> M*(l,b) + c    (2x2 affine)
+#   cusum  s -> max(h, s + a)      (max-plus affine; per step
+#                                   h=0, a=x-target-slack)
+#
+# so a key's series can be split into ordered blocks of at most
+# ``block_len`` elements, each block partial-folded to its
+# composite map IN PARALLEL, and the per-key result recovered by
+# composing at most ``max_blocks`` tiny map structs — capacity
+# block_len * max_blocks rows per key (1M x 10k = 10G default)
+# with no task ever holding more than block_len elements.
+#
+# Numeric contract: block 0 starts from the operator's exact init
+# (y=x_1 / holt's (l_2,b_2) / s=0) and replays the sequential fold
+# verbatim, so ANY key with n <= block_len is BIT-IDENTICAL to the
+# sequential operator. Beyond one block, the composition
+# re-associates the IEEE operation sequence (the pairwise-sum
+# trade: same recursion, different rounding path, error O(n*eps));
+# when every step is exact in binary64 — integer cusum deltas,
+# dyadic ewma/holt coefficients on exact series — the blocked and
+# sequential results are bit-equal at ANY length, which is what the
+# boundary stress pins. The sequential operators stay the oracle
+# path; these are the scale escape hatch their guard names.
+#
+# holt_winters has NO blocked variant: its state is (l, b,
+# s[1..period]) — an affine map on R^(period+2) whose block
+# composition is a dense (period+2)^2 matrix product, O(period^2)
+# PER ELEMENT in the partial fold. That is a worse plan than the
+# guard for every realistic period; a hot key there should be
+# pre-aggregated (e.g. resample to the season grid) instead.
+# ---------------------------------------------------------------
+
+
+def _blocked_series(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    op_name: str,
+    block_len: int,
+    max_blocks: int,
+) -> DataFrame:
+    """Shared scaffold for the blocked fold family: distributed
+    within-key positions (``rank.global_rank`` — range-partition +
+    offset reconstruction, NEVER a per-key single-task window), then
+    one row per (key, block) with the block's order-sorted value
+    array ``_bs`` (<= block_len elements), its block id ``_blk``,
+    and the per-key ``n`` / ``_n_ord`` columns the duplicate-order
+    and capacity guards consume."""
+    from hdfe_spark.operators.rank import global_rank
+
+    if block_len < 2:
+        raise ValueError(f"{op_name}: block_len must be >= 2")
+    if max_blocks < 1:
+        raise ValueError(f"{op_name}: max_blocks must be >= 1")
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # (key, order) is a total order iff order is unique per key —
+    # exactly the family's duplicate-order contract, checked below
+    ranked = global_rank(base, ["__k", "__o"], rank_col="__gpos")
+    per_key = ranked.groupBy("__k").agg(
+        F.min("__gpos").alias("__p0"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__o")).alias("_n_ord"),
+    )
+    cap = int(block_len) * int(max_blocks)
+    n_guarded = F.when(
+        F.col("n") > F.lit(cap),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: series length "),
+                F.col("n").cast("string"),
+                F.lit(" for key "),
+                F.col("__k").cast("string"),
+                F.lit(
+                    f" exceeds block_len*max_blocks={cap} — raise"
+                    " block_len or max_blocks knowingly"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    per_key = per_key.select(
+        F.col("__k").alias("__k2"),
+        "__p0",
+        n_guarded.alias("n"),
+        "_n_ord",
+    )
+    kpos = F.col("__gpos") - F.col("__p0")  # 0-based within-key pos
+    return (
+        ranked.join(
+            per_key, F.col("__k").eqNullSafe(F.col("__k2"))
+        )
+        .drop("__k2")
+        .select(
+            "__k",
+            "n",
+            "_n_ord",
+            (kpos / F.lit(int(block_len)))
+            .cast("long")
+            .alias("__blk"),
+            (kpos % F.lit(int(block_len))).alias("__bpos"),
+            "__v",
+        )
+        .groupBy("__k", "__blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__bpos"), F.col("__v")))
+            ).alias("_bs"),
+            F.first("n").alias("n"),
+            F.first("_n_ord").alias("_n_ord"),
+        )
+    )
+
+
+def _blocked_compose(
+    blocks: DataFrame,
+    key_col: str,
+    map_expr,
+    compose,
+) -> DataFrame:
+    """Outer stage of the blocked fold: per-key collect of the tiny
+    (block id, map struct) rows (<= max_blocks, guarded upstream),
+    sorted by block id and left-folded with ``compose``. Applies the
+    duplicate-order guard on the way out. ``map_expr`` is the
+    per-block map struct expression (evaluated over ``_bs``);
+    ``compose`` is a lambda (acc_map, next_map) -> composed map."""
+    summarized = blocks.select(
+        "__k",
+        "n",
+        "_n_ord",
+        F.struct(F.col("__blk").alias("i"), map_expr.alias("m")).alias(
+            "_bm"
+        ),
+    )
+    per_key = summarized.groupBy("__k").agg(
+        F.array_sort(F.collect_list("_bm")).alias("_ms"),
+        F.first("n").alias("n"),
+        F.first("_n_ord").alias("_n_ord"),
+    )
+    maps = F.col("_ms").getField("m")
+    composed = F.aggregate(
+        F.slice(maps, 2, F.greatest(F.size(maps) - 1, F.lit(0))),
+        F.element_at(maps, 1),
+        compose,
+    )
+    staged = per_key.select(
+        F.col("__k").alias(key_col), "n", "_n_ord",
+        composed.alias("_f"),
+    )
+    return staged
+
+
+def ewma_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    block_len: int = 1_000_000,
+    max_blocks: int = 10_000,
+) -> DataFrame:
+    """`ewma` evaluated as a BLOCKED fold — identical recursion,
+    distributed over per-key blocks so no task holds more than
+    ``block_len`` elements (see the blocked-family banner above for
+    the capacity/bit-equality contract). Block 0 replays ewma's
+    exact init-and-fold; blocks beyond it partial-fold to the
+    scalar affine map (A, B) with per step A *= (1-alpha),
+    B = alpha*x + (1-alpha)*B, composed per key as
+    (A2*A1, A2*B1 + B2). Returns one row per key: (key, n, ewma)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    A, nA = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    blocks = _blocked_series(
+        df, key_col, order_col, value_col, "ewma_blocked",
+        block_len, max_blocks,
+    )
+    vals = F.col("_bs").getField("__v")
+    # block 0: acc = (A=0, B=y) seeded y = x_1 — the ewma fold
+    # verbatim; later blocks: acc = (A=1, B=0) over ALL elements
+    is0 = F.col("__blk") == F.lit(0)
+    init = F.when(
+        is0,
+        F.struct(
+            F.lit(0.0).alias("a"), F.element_at(vals, 1).alias("b")
+        ),
+    ).otherwise(
+        F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b"))
+    )
+    body = F.when(
+        is0, F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ).otherwise(vals)
+    map_expr = F.aggregate(
+        body,
+        init,
+        lambda acc, x: F.struct(
+            (nA * acc["a"]).alias("a"),
+            (A * x + nA * acc["b"]).alias("b"),
+        ),
+    )
+    staged = _blocked_compose(
+        blocks,
+        key_col,
+        map_expr,
+        lambda acc, m: F.struct(
+            (m["a"] * acc["a"]).alias("a"),
+            (m["a"] * acc["b"] + m["b"]).alias("b"),
+        ),
+    )
+    out = _dup_order_guard(
+        "ewma_blocked", key_col, F.col("_f")["b"]
+    )
+    return staged.select(key_col, "n", out.alias(out_col))
+
+
+def holt_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    block_len: int = 1_000_000,
+    max_blocks: int = 10_000,
+) -> DataFrame:
+    """`holt` evaluated as a BLOCKED fold (see the blocked-family
+    banner): the Holt step is affine on (l, b), so each block
+    partial-folds to a 2x2 matrix M plus offset c — per step, with
+    r1j = (1-alpha)*(m1j + m2j) the new level row,
+
+        m1j' = r1j                      c1' = (1-a)*(c1+c2) + a*x
+        m2j' = g*(r1j - m1j) + (1-g)*m2j
+        c2'  = g*(c1' - c1) + (1-g)*c2
+
+    — and blocks compose by matrix product. Block 0 folds directly
+    from holt's exact (l_2, b_2) init (M = 0), so the composed c IS
+    the state. Keys with n < 2 are dropped (the holt contract).
+    Returns one row per key: (key, n, level, trend, forecast)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if not 0.0 < gamma < 1.0:
+        raise ValueError("gamma must be in (0, 1)")
+    A, G = F.lit(float(alpha)), F.lit(float(gamma))
+    nA, nG = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(gamma))
+    blocks = _blocked_series(
+        df, key_col, order_col, value_col, "holt_blocked",
+        block_len, max_blocks,
+    ).filter(F.col("n") >= 2)
+    vals = F.col("_bs").getField("__v")
+    is0 = F.col("__blk") == F.lit(0)
+    v1, v2 = F.element_at(vals, 1), F.element_at(vals, 2)
+    zero, one = F.lit(0.0), F.lit(1.0)
+
+    def mk(m11, m12, m21, m22, c1, c2):
+        return F.struct(
+            m11.alias("m11"), m12.alias("m12"),
+            m21.alias("m21"), m22.alias("m22"),
+            c1.alias("c1"), c2.alias("c2"),
+        )
+
+    # block 0 init: holt's exact (l_2, b_2) with M = 0
+    l2 = A * v2 + nA * (v1 + (v2 - v1))
+    b2 = G * ((A * v2 + nA * (v1 + (v2 - v1))) - v1) + nG * (v2 - v1)
+    init = F.when(is0, mk(zero, zero, zero, zero, l2, b2)).otherwise(
+        mk(one, zero, zero, one, zero, zero)
+    )
+    body = F.when(
+        is0, F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+    ).otherwise(vals)
+
+    def step(acc, x):
+        r11 = nA * (acc["m11"] + acc["m21"])
+        r12 = nA * (acc["m12"] + acc["m22"])
+        nc1 = nA * (acc["c1"] + acc["c2"]) + A * x
+        return mk(
+            r11,
+            r12,
+            G * (r11 - acc["m11"]) + nG * acc["m21"],
+            G * (r12 - acc["m12"]) + nG * acc["m22"],
+            nc1,
+            G * (nc1 - acc["c1"]) + nG * acc["c2"],
+        )
+
+    map_expr = F.aggregate(body, init, step)
+
+    def compose(acc, m):
+        # next map m applied AFTER acc: M' = m.M @ acc.M,
+        # c' = m.M @ acc.c + m.c
+        return mk(
+            m["m11"] * acc["m11"] + m["m12"] * acc["m21"],
+            m["m11"] * acc["m12"] + m["m12"] * acc["m22"],
+            m["m21"] * acc["m11"] + m["m22"] * acc["m21"],
+            m["m21"] * acc["m12"] + m["m22"] * acc["m22"],
+            m["m11"] * acc["c1"] + m["m12"] * acc["c2"] + m["c1"],
+            m["m21"] * acc["c1"] + m["m22"] * acc["c2"] + m["c2"],
+        )
+
+    staged = _blocked_compose(blocks, key_col, map_expr, compose)
+    level = _dup_order_guard("holt_blocked", key_col, F.col("_f")["c1"])
+    trend = _dup_order_guard("holt_blocked", key_col, F.col("_f")["c2"])
+    return staged.select(
+        key_col,
+        "n",
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast"),
+    )
+
+
+def cusum_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    block_len: int = 1_000_000,
+    max_blocks: int = 10_000,
+) -> DataFrame:
+    """`cusum` evaluated as a BLOCKED fold (see the blocked-family
+    banner): the CUSUM step s -> max(0, s + d) is affine in the
+    MAX-PLUS semiring, so a block partial-folds to the map
+    s -> max(h, s + a) — per step d: h' = max(0, h + d), a' = a + d,
+    identity (h=0, a=0) valid because s >= 0 throughout — and blocks
+    compose as h' = max(m.h, acc.h + m.a), a' = acc.a + m.a. With
+    integer-exact deltas every operation is exact in binary64, so
+    blocked == sequential BIT-FOR-BIT at any length (the stress
+    fixture). Returns one row per key: (key, n, cusum)."""
+    if not 0.0 <= slack:
+        raise ValueError("cusum_blocked: slack must be >= 0")
+    adj = F.lit(float(target) + float(slack))
+    blocks = _blocked_series(
+        df, key_col, order_col, value_col, "cusum_blocked",
+        block_len, max_blocks,
+    )
+    vals = F.col("_bs").getField("__v")
+    init = F.struct(F.lit(0.0).alias("h"), F.lit(0.0).alias("a"))
+    map_expr = F.aggregate(
+        vals,
+        init,
+        lambda acc, x: F.struct(
+            F.greatest(F.lit(0.0), acc["h"] + (x - adj)).alias("h"),
+            (acc["a"] + (x - adj)).alias("a"),
+        ),
+    )
+    staged = _blocked_compose(
+        blocks,
+        key_col,
+        map_expr,
+        lambda acc, m: F.struct(
+            F.greatest(m["h"], acc["h"] + m["a"]).alias("h"),
+            (acc["a"] + m["a"]).alias("a"),
+        ),
+    )
+    # apply the composed map to s_0 = 0: f(0) = max(h, 0 + a).
+    # (h >= a always — h's unrolled form is the max over all
+    # clipped suffix sums, one of which is the full sum a, computed
+    # by the identical addition sequence — so this equals h; the
+    # greatest() spells f(0) literally rather than relying on it.)
+    out = _dup_order_guard(
+        "cusum_blocked",
+        key_col,
+        F.greatest(F.col("_f")["h"], F.col("_f")["a"]),
+    )
+    return staged.select(key_col, "n", out.alias("cusum"))
 
 
 def welch_ttest(
