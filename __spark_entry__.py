@@ -6219,6 +6219,71 @@ def _q_streaming_ece(spark, sf_dir):
     )
 
 
+def _q_ewma_blocked(spark, sf_dir):
+    """Blocked per-user EWMA (`operators/stats.py::ewma_blocked`):
+    the same adjust=False recursion as `ewma`, evaluated by the
+    segmented affine-map fold — distributed `global_rank` positions
+    (no per-key single-task window), per-block partial folds to
+    (A, B) scalar affine maps, per-key composition. Every fixture
+    key fits in ONE block, where block 0 replays the sequential
+    init-and-fold verbatim — BIT-IDENTICAL to `ewma`, so the oracle
+    is the same list_reduce; the multi-block regime is pinned by
+    tests/test_blocked_folds.py and the 100M single-key stress
+    (SCALE.md round 11)."""
+    from hdfe_spark.operators.stats import ewma_blocked
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_blocked(ev, "user_id", "event_id", "value", alpha=0.5)
+    return out.select(
+        "user_id", "n", _pround("ewma").alias("ewma")
+    )
+
+
+def _q_cusum_blocked(spark, sf_dir):
+    """Blocked per-user CUSUM (`operators/stats.py::cusum_blocked`)
+    in the EXACT regime: deltas floor(value) - 250 are integers, so
+    every max-plus operation is exact in binary64 and the blocked
+    fold is BIT-IDENTICAL to the sequential recursion at ANY
+    blocking — block_len=4 forces ~25 composed blocks per fixture
+    key, so the driver check exercises the real multi-block
+    composition path (unlike `ewma_blocked`/`holt_blocked`, whose
+    float re-association keeps their registrations single-block).
+    Oracle = the sequential list_reduce replay on floor(value)."""
+    from hdfe_spark.operators.stats import cusum_blocked
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__iv", F.floor(F.col("value")).cast("double")
+    )
+    out = cusum_blocked(
+        ev, "user_id", "event_id", "__iv",
+        target=250.0, block_len=4, max_blocks=100_000,
+    )
+    return out.select(
+        "user_id", "n", _pround("cusum", 6).alias("cusum")
+    )
+
+
+def _q_holt_blocked(spark, sf_dir):
+    """Blocked per-user Holt smoothing (`operators/stats.py::
+    holt_blocked`, alpha=0.3, gamma=0.2): the 2-state recursion as
+    per-block 2x2 affine maps composed by matrix product. Fixture
+    keys are single-block (bit-identical to `holt` — the block-0
+    contract), so the oracle is `holt`'s recursive CTE verbatim;
+    multi-block coverage lives in tests/test_blocked_folds.py and
+    the 8M-boundary stress (SCALE.md round 11)."""
+    from hdfe_spark.operators.stats import holt_blocked
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt_blocked(ev, "user_id", "event_id", "value", 0.3, 0.2)
+    return out.select(
+        "user_id",
+        "n",
+        _pround("level").alias("level"),
+        _pround("trend").alias("trend"),
+        _pround("forecast").alias("forecast"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6302,6 +6367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "cube_agg": _q_cube_agg,
         # ------ end of the driver's 50-query window ------
+        # round-11 registrations (never driver-recorded -> they
+        # lead the round-12 rotation): the blocked series folds
+        "ewma_blocked": _q_ewma_blocked,
+        "cusum_blocked": _q_cusum_blocked,
+        "holt_blocked": _q_holt_blocked,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -10186,6 +10256,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL AND event_id IS NOT NULL
             GROUP BY user_id
         """,
+        # blocked fold registrations: ewma_blocked/holt_blocked are
+        # single-block on the fixture (bit-identical to the
+        # sequential fold — the block-0 contract), so they share the
+        # sequential oracles verbatim; cusum_blocked runs MULTI-block
+        # (block_len=4) in the integer-exact regime, where blocked ==
+        # sequential bit-for-bit, so its oracle is the sequential
+        # replay on floor(value)
+        "ewma_blocked": """
+            SELECT user_id, count(*) AS n,
+                   floor((list_reduce(list(value ORDER BY event_id),
+                                     (acc, x) -> 0.5 * x + 0.5 * acc)) * 1e9 + 0.5) / 1e9 AS ewma
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
+        """,
+        "cusum_blocked": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   floor((list_reduce(
+                     list_prepend(0.0, list(CAST(floor(value) AS DOUBLE)
+                                            ORDER BY event_id)),
+                     (acc, x) -> greatest(0.0, acc + (x - 250.0))))
+                     * 1e6 + 0.5) / 1e6 AS cusum
+            FROM events
+            WHERE value IS NOT NULL AND event_id IS NOT NULL
+            GROUP BY user_id
+        """,
         "log_parse": """
             WITH lines AS (
               SELECT 'evt id=' || CAST(event_id AS VARCHAR)
@@ -12100,6 +12196,41 @@ def oracle_sql() -> dict[str, str]:
             FROM f1
         """,
         "holt": """
+            WITH RECURSIVE base AS (
+              SELECT user_id AS k, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            rec AS (
+              SELECT b2.k, CAST(2 AS BIGINT) AS rn, b2.n,
+                     0.3 * b2.v + (1.0 - 0.3)
+                       * (b1.v + (b2.v - b1.v)) AS l,
+                     0.2 * ((0.3 * b2.v + (1.0 - 0.3)
+                             * (b1.v + (b2.v - b1.v))) - b1.v)
+                       + (1.0 - 0.2) * (b2.v - b1.v) AS b
+              FROM base b1 JOIN base b2
+                ON b1.k = b2.k AND b1.rn = 1 AND b2.rn = 2
+              UNION ALL
+              SELECT rec.k, rec.rn + 1, rec.n,
+                     0.3 * nx.v + (1.0 - 0.3)
+                       * (rec.l + rec.b) AS l,
+                     0.2 * ((0.3 * nx.v + (1.0 - 0.3)
+                             * (rec.l + rec.b)) - rec.l)
+                       + (1.0 - 0.2) * rec.b AS b
+              FROM rec JOIN base nx
+                ON nx.k = rec.k AND nx.rn = rec.rn + 1)
+            SELECT k AS user_id, n,
+                   floor((l) * 1e9 + 0.5) / 1e9 AS level,
+                   floor((b) * 1e9 + 0.5) / 1e9 AS trend,
+                   floor((l + b) * 1e9 + 0.5) / 1e9 AS forecast
+            FROM rec WHERE rn = n
+        """,
+        # holt_blocked: single-block on the fixture -> bit-identical
+        # to holt (block-0 contract); the recursive-CTE oracle is
+        # holt's verbatim
+        "holt_blocked": """
             WITH RECURSIVE base AS (
               SELECT user_id AS k, value AS v,
                      row_number() OVER (PARTITION BY user_id
