@@ -6284,6 +6284,73 @@ def _q_holt_blocked(spark, sf_dir):
     )
 
 
+def _q_mrr(spark, sf_dir):
+    """Mean reciprocal rank at k=10 (`operators/ml.py::mrr`):
+    queries = users, items ranked by (value DESC, event_id),
+    relevance = event_id % 5 == 0. Per-query reciprocals are
+    QUANTIZED to round(2^30 / r) — integer literals inlined into
+    BOTH engines' plans (the ndcg_by convention), so rr_sum_q is an
+    exact integer and mrr is one IEEE division."""
+    from hdfe_spark.operators.ml import mrr
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 5 == 0).cast("long").alias("rel"),
+    )
+    out = mrr(base, "user_id", "event_id", "s", "rel", k=10)
+    return out.select(
+        "n_queries", "n_hit", "rr_sum_q", _pround("mrr").alias("mrr")
+    )
+
+
+def _q_avg_precision(spark, sf_dir):
+    """Per-query average precision at k=10 (`operators/ml.py::
+    avg_precision_by` — the MAP components): every P@r is a
+    rational with denominator r <= 10, summed EXACTLY over the
+    common denominator lcm(1..10) = 2520 as integer ap_num; ap is
+    one IEEE division — engine-exact with no quantization error at
+    all. Queries = users, relevance = event_id % 5 == 0."""
+    from hdfe_spark.operators.ml import avg_precision_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 5 == 0).cast("long").alias("rel"),
+    )
+    out = avg_precision_by(base, "user_id", "event_id", "s", "rel", k=10)
+    return out.select(
+        "user_id", "n", "n_rel", "ap_num", _pround("ap").alias("ap")
+    )
+
+
+def _q_recall_at_k(spark, sf_dir):
+    """Per-query precision/recall at k=10 (`operators/ml.py::
+    recall_at_k_by` — `pr_at_k`'s grouped sibling): exact integer
+    counters over one query-partitioned window rank, one IEEE
+    division per metric. Queries = users, relevance =
+    event_id % 5 == 0."""
+    from hdfe_spark.operators.ml import recall_at_k_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("s"),
+        (F.col("event_id") % 5 == 0).cast("long").alias("rel"),
+    )
+    out = recall_at_k_by(base, "user_id", "event_id", "s", "rel", k=10)
+    return out.select(
+        "user_id", "n", "n_rel", "n_hit",
+        _pround("precision").alias("precision"),
+        _pround("recall").alias("recall"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6372,6 +6439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
+        # ... and the retrieval-eval completion (MRR / MAP / R@k)
+        "mrr": _q_mrr,
+        "avg_precision": _q_avg_precision,
+        "recall_at_k": _q_recall_at_k,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -12261,6 +12332,104 @@ def oracle_sql() -> dict[str, str]:
                    floor((b) * 1e9 + 0.5) / 1e9 AS trend,
                    floor((l + b) * 1e9 + 0.5) / 1e9 AS forecast
             FROM rec WHERE rn = n
+        """,
+        # retrieval-eval trio: reciprocal literals round(2^30/r) and
+        # the lcm(1..10)=2520 precision weights are the SAME integers
+        # CPython inlines into the Spark plans
+        "mrr": """
+            WITH base AS (
+              SELECT user_id AS q, event_id AS id, value AS s,
+                     CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END
+                       AS rel
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            rk AS (
+              SELECT q, rel,
+                     row_number() OVER (PARTITION BY q
+                       ORDER BY s DESC, id ASC) AS rp
+              FROM base),
+            fh AS (SELECT q, min(rp) AS fr
+                   FROM rk WHERE rel = 1 AND rp <= 10 GROUP BY q),
+            nq AS (SELECT CAST(count(DISTINCT q) AS BIGINT)
+                     AS n_queries FROM base),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+                     CAST(COALESCE(sum(list_extract(
+                       [1073741824, 536870912, 357913941, 268435456,
+                        214748365, 178956971, 153391689, 134217728,
+                        119304647, 107374182], fr)), 0) AS BIGINT)
+                       AS rr_sum_q
+                   FROM fh)
+            SELECT n_queries, n_hit, rr_sum_q,
+                   CASE WHEN n_queries > 0 THEN
+                     floor((CAST(rr_sum_q AS DOUBLE)
+                            / (1073741824.0
+                               * CAST(n_queries AS DOUBLE)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS mrr
+            FROM ag CROSS JOIN nq
+        """,
+        "avg_precision": """
+            WITH base AS (
+              SELECT user_id AS q, event_id AS id, value AS s,
+                     CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END
+                       AS rel
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            rk AS (
+              SELECT q, rel,
+                     row_number() OVER (PARTITION BY q
+                       ORDER BY s DESC, id ASC) AS rp,
+                     sum(rel) OVER (PARTITION BY q
+                       ORDER BY s DESC, id ASC
+                       ROWS UNBOUNDED PRECEDING) AS hits
+              FROM base),
+            ag AS (
+              SELECT q, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(rel) AS BIGINT) AS n_rel,
+                     CAST(COALESCE(sum(
+                       CASE WHEN rel = 1 AND rp <= 10 THEN
+                         hits * list_extract(
+                           [2520, 1260, 840, 630, 504,
+                            420, 360, 315, 280, 252], rp)
+                       END), 0) AS BIGINT) AS ap_num
+              FROM rk GROUP BY q)
+            SELECT q AS user_id, n, n_rel, ap_num,
+                   CASE WHEN n_rel > 0 THEN
+                     floor((CAST(ap_num AS DOUBLE)
+                            / (2520.0
+                               * CAST(least(n_rel, 10) AS DOUBLE)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS ap
+            FROM ag
+        """,
+        "recall_at_k": """
+            WITH base AS (
+              SELECT user_id AS q, event_id AS id, value AS s,
+                     CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END
+                       AS rel
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            rk AS (
+              SELECT q, rel,
+                     row_number() OVER (PARTITION BY q
+                       ORDER BY s DESC, id ASC) AS rp
+              FROM base),
+            ag AS (
+              SELECT q, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(rel) AS BIGINT) AS n_rel,
+                     CAST(COALESCE(sum(CASE WHEN rp <= 10
+                                            THEN rel END), 0)
+                          AS BIGINT) AS n_hit
+              FROM rk GROUP BY q)
+            SELECT q AS user_id, n, n_rel, n_hit,
+                   floor((CAST(n_hit AS DOUBLE) / 10.0)
+                         * 1e9 + 0.5) / 1e9 AS precision,
+                   CASE WHEN n_rel > 0 THEN
+                     floor((CAST(n_hit AS DOUBLE)
+                            / CAST(n_rel AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9
+                   END AS recall
+            FROM ag
         """,
         "hll": """
             WITH h AS (

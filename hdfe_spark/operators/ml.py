@@ -630,6 +630,221 @@ def ndcg_by(
     )
 
 
+def mrr(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    qbits: int = 30,
+) -> DataFrame:
+    """Mean reciprocal rank at cutoff k — the first-hit retrieval
+    metric (`ndcg_by`'s binary-relevance sibling): within each
+    query, items rank by (score DESC, id ASC); rr_q = 1/rank of the
+    FIRST relevant item if it appears within the top k, else 0.
+
+    The cross-query mean of reciprocals is a float sum whose order
+    an engine may not pin, so each reciprocal is QUANTIZED to the
+    integer round(2^qbits / r) — computed ONCE in CPython for
+    r = 1..k and inlined as literals into BOTH engines' plans (the
+    `ndcg_by` discount convention) — making the sum exact and the
+    final mrr ONE IEEE division rr_sum_q / (n_queries * 2^qbits).
+    Relevance must be integral 0/1. Returns ONE row: (n_queries,
+    n_hit, rr_sum_q, mrr); n_queries = 0 returns the zero-counters
+    row with NULL mrr (the `confusion_stats` convention).
+
+    Scale: one query-partitioned window rank (parallel across
+    queries, never a global sort), one filter to first-hit rows,
+    two map-side-combined counters."""
+    if k < 1:
+        raise ValueError("mrr: k must be >= 1")
+    _guard_binary_label("mrr", df, rel_col)
+    rq = {r: int(round((1 << qbits) / r)) for r in range(1, k + 1)}
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        _bin01("mrr", rel_col, F.col(rel_col).cast("long")).alias(
+            "__rel"
+        ),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        "q", "__rel", F.row_number().over(w).alias("__rp")
+    )
+    first_hit = (
+        ranked.filter((F.col("__rel") == 1) & (F.col("__rp") <= k))
+        .groupBy("q")
+        .agg(F.min("__rp").alias("__fr"))
+    )
+    # lazy 1-row distinct-query counter crossJoined back broadcast —
+    # no driver action inside the operator
+    nq = base.agg(
+        F.count_distinct(F.col("q")).cast("long").alias("n_queries")
+    )
+    rr = F.element_at(F.lit([rq[r] for r in range(1, k + 1)]), F.col("__fr"))
+    agg = first_hit.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias(
+            "n_hit"
+        ),
+        F.coalesce(F.sum(rr), F.lit(0)).cast("long").alias("rr_sum_q"),
+    )
+    return agg.crossJoin(F.broadcast(nq)).select(
+        "n_queries",
+        "n_hit",
+        "rr_sum_q",
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("rr_sum_q").cast("double")
+            / (F.lit(float(1 << qbits)) * F.col("n_queries").cast("double")),
+        ).alias("mrr"),
+    )
+
+
+def avg_precision_by(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query average precision at cutoff k (the MAP components):
+    AP@k_q = ( Σ_{r<=k, rel_r=1} P@r ) / min(R_q, k) with
+    P@r = hits_{<=r} / r and R_q = the query's total relevant count.
+
+    Every P@r is a rational with denominator r <= k, so the
+    numerator sum is EXACT over the common denominator
+    L = lcm(1..k): each hit at rank r contributes the integer
+    hits_r * (L / r), the per-query sum ap_num is an exact integer,
+    and ap = ap_num / (L * min(R_q, k)) is ONE IEEE division —
+    engine-exact with no quantization error at all. Relevance must
+    be integral 0/1; queries with R_q = 0 return NULL ap. Returns
+    one row per query: (query, n, n_rel, ap_num, ap).
+
+    Scale: one query-partitioned window rank + one running-hits
+    window on the SAME partition key (AQE reuses the exchange),
+    then one grouped integer aggregation. Parallel across queries;
+    never a global sort."""
+    if k < 1:
+        raise ValueError("avg_precision_by: k must be >= 1")
+    _guard_binary_label("avg_precision_by", df, rel_col)
+    L = math.lcm(*range(1, k + 1))
+    lw = {r: L // r for r in range(1, k + 1)}
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        _bin01(
+            "avg_precision_by", rel_col, F.col(rel_col).cast("long")
+        ).alias("__rel"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = base.select(
+        "q",
+        "__rel",
+        F.row_number().over(w).alias("__rp"),
+        F.sum("__rel").over(wrun).alias("__hits"),
+    )
+    lw_arr = F.lit([lw[r] for r in range(1, k + 1)])
+    term = F.when(
+        (F.col("__rel") == 1) & (F.col("__rp") <= k),
+        F.col("__hits") * F.element_at(lw_arr, F.col("__rp")),
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rel").cast("long").alias("n_rel"),
+        F.sum(term).cast("long").alias("ap_num"),
+    )
+    denom = F.lit(float(L)) * F.least(
+        F.col("n_rel"), F.lit(k)
+    ).cast("double")
+    return agg.select(
+        F.col("q").alias(query_col),
+        "n",
+        "n_rel",
+        "ap_num",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("ap_num").cast("double") / denom,
+        ).alias("ap"),
+    )
+
+
+def recall_at_k_by(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query precision/recall at cutoff k — `precision_at_k`'s
+    grouped sibling (that one ranks ONE global list; retrieval eval
+    wants the per-query view MAP/MRR average over). Within each
+    query, items rank by (score DESC, id ASC); hits = relevant rows
+    in the top k. All counters exact integers; precision = hits/k
+    and recall = hits/R_q are one IEEE division each. Relevance
+    must be integral 0/1; queries with R_q = 0 return NULL recall.
+    Returns one row per query: (query, n, n_rel, n_hit, precision,
+    recall).
+
+    Scale: one query-partitioned window rank, one grouped counter
+    aggregation. Parallel across queries; never a global sort."""
+    if k < 1:
+        raise ValueError("recall_at_k_by: k must be >= 1")
+    _guard_binary_label("recall_at_k_by", df, rel_col)
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        _bin01(
+            "recall_at_k_by", rel_col, F.col(rel_col).cast("long")
+        ).alias("__rel"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = base.select(
+        "q", "__rel", F.row_number().over(w).alias("__rp")
+    )
+    agg = ranked.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rel").cast("long").alias("n_rel"),
+        F.coalesce(
+            F.sum(F.when(F.col("__rp") <= k, F.col("__rel"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        F.col("q").alias(query_col),
+        "n",
+        "n_rel",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.lit(float(k))).alias(
+            "precision"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("n_hit").cast("double") / F.col("n_rel").cast("double"),
+        ).alias("recall"),
+    )
+
+
 def lift_table(
     df: DataFrame,
     id_col: str,

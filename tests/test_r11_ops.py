@@ -1,0 +1,102 @@
+"""Round-11 operator tests: the retrieval-eval completion (MRR,
+per-query average precision / MAP components, per-query P/R@k) —
+exact-integer algebra (quantized reciprocals / lcm-denominator
+precision sums / plain counters), hand-computed fixtures, label
+guards, and the no-global-sort plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.ml import avg_precision_by, mrr, recall_at_k_by
+
+
+@pytest.fixture(scope="module")
+def retrieval_df(spark):
+    rows = [
+        # q1: scores 9..5 -> relevant at ranks 2 and 4
+        ("q1", 1, 9.0, 0), ("q1", 2, 8.0, 1), ("q1", 3, 7.0, 0),
+        ("q1", 4, 6.0, 1), ("q1", 5, 5.0, 0),
+        # q2: relevant at rank 1
+        ("q2", 1, 3.0, 1), ("q2", 2, 2.0, 0),
+        # q3: nothing relevant
+        ("q3", 1, 1.0, 0),
+    ]
+    return spark.createDataFrame(rows, "q string, id long, s double, rel long")
+
+
+def test_mrr_hand_computed(spark, retrieval_df):
+    row = mrr(retrieval_df, "q", "id", "s", "rel", k=10).collect()[0]
+    assert row["n_queries"] == 3 and row["n_hit"] == 2
+    # rr(q1) = round(2^30/2), rr(q2) = 2^30; mean over 3 queries
+    exp_sum = round((1 << 30) / 2) + (1 << 30)
+    assert row["rr_sum_q"] == exp_sum
+    assert row["mrr"] == pytest.approx(exp_sum / ((1 << 30) * 3), rel=1e-15)
+
+
+def test_mrr_cutoff_and_empty(spark, retrieval_df):
+    # k=1: only q2's rank-1 hit counts
+    row = mrr(retrieval_df, "q", "id", "s", "rel", k=1).collect()[0]
+    assert row["n_hit"] == 1 and row["rr_sum_q"] == (1 << 30)
+    empty = spark.createDataFrame([], "q string, id long, s double, rel long")
+    row = mrr(empty, "q", "id", "s", "rel").collect()[0]
+    assert (row["n_queries"], row["n_hit"], row["rr_sum_q"]) == (0, 0, 0)
+    assert row["mrr"] is None
+
+
+def test_avg_precision_hand_computed(spark, retrieval_df):
+    got = {
+        r["q"]: (r["n_rel"], r["ap_num"], r["ap"])
+        for r in avg_precision_by(retrieval_df, "q", "id", "s", "rel", k=10).collect()
+    }
+    # q1: P@2 = 1/2 and P@4 = 2/4; L = 2520 ->
+    # ap_num = 1*1260 + 2*630 = 2520; ap = 2520/(2520*2) = 0.5
+    assert got["q1"] == (2, 2520, 0.5)
+    assert got["q2"] == (1, 2520, 1.0)
+    assert got["q3"][0] == 0 and got["q3"][2] is None
+
+
+def test_recall_at_k_hand_computed(spark, retrieval_df):
+    got = {
+        r["q"]: (r["n_hit"], r["precision"], r["recall"])
+        for r in recall_at_k_by(retrieval_df, "q", "id", "s", "rel", k=3).collect()
+    }
+    assert got["q1"] == (1, pytest.approx(1 / 3), 0.5)
+    assert got["q2"] == (1, pytest.approx(1 / 3), 1.0)
+    assert got["q3"][0] == 0 and got["q3"][2] is None
+
+
+def test_retrieval_trio_label_guard(spark, retrieval_df):
+    bad = retrieval_df.withColumn("rel", F.col("rel") * 2)
+    for op in (
+        lambda d: mrr(d, "q", "id", "s", "rel"),
+        lambda d: avg_precision_by(d, "q", "id", "s", "rel"),
+        lambda d: recall_at_k_by(d, "q", "id", "s", "rel"),
+    ):
+        with pytest.raises(Exception, match="0|1|integral"):
+            op(bad).collect()
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        mrr(retrieval_df, "q", "id", "s", "rel", k=0)
+
+
+def test_retrieval_trio_no_global_sort(spark, retrieval_df):
+    # per-query ops: windows are query-partitioned, no
+    # SinglePartition anywhere in the plan
+    for op in (
+        avg_precision_by(retrieval_df, "q", "id", "s", "rel"),
+        recall_at_k_by(retrieval_df, "q", "id", "s", "rel"),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+    # mrr reduces to ONE summary row, so its final aggregate
+    # legitimately fans partial aggregates into a SinglePartition
+    # exchange (scalar-sized); what must NOT happen is a WINDOW on
+    # a single partition (a data-sized global sort)
+    plan = mrr(retrieval_df, "q", "id", "s", "rel")._jdf.queryExecution().executedPlan().toString()
+    # every window spec is partitioned by the query column...
+    specs = plan.count("windowspecdefinition(")
+    assert specs >= 1
+    assert specs == plan.count("windowspecdefinition(q#")
+    # ...and the only SinglePartition exchanges are scalar fan-ins
+    # (final 1-row aggregate + broadcast of the 1-row nq counter),
+    # never a data-sized sort
+    assert plan.count("Exchange SinglePartition") <= 2
