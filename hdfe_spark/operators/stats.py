@@ -163,8 +163,16 @@ def _ordered_series(
 # ``block_len`` elements, each block partial-folded to its
 # composite map IN PARALLEL, and the per-key result recovered by
 # composing at most ``max_blocks`` tiny map structs — capacity
-# block_len * max_blocks rows per key (1M x 10k = 10G default)
+# block_len * max_blocks rows per key (2^18 x 10k = 2.6G default)
 # with no task ever holding more than block_len elements.
+#
+# MEMORY SIZING: the per-block collect_list aggregation buffer is
+# BOXED (~100 B/element measured), so one in-flight task costs
+# ~block_len * 100 B on top of the pinned base — the 2^18 default
+# keeps 32 concurrent tasks near 1 GB total, safe on a 4-8 GiB
+# executor; block_len = 1M needs a ~32 GiB heap at 32-way
+# concurrency (the 100M stress OOMed a 16 GiB JVM at 1M blocks and
+# passed at the default).
 #
 # Numeric contract: block 0 starts from the operator's exact init
 # (y=x_1 / holt's (l_2,b_2) / s=0) and replays the sequential fold
@@ -247,7 +255,7 @@ def _blocked_series(
         "_n_ord",
     )
     kpos = F.col("__gpos") - F.col("__p0")  # 0-based within-key pos
-    return (
+    assigned = (
         ranked.join(
             per_key, F.col("__k").eqNullSafe(F.col("__k2"))
         )
@@ -262,6 +270,27 @@ def _blocked_series(
             (kpos % F.lit(int(block_len))).alias("__bpos"),
             "__v",
         )
+    )
+    # SIZE THE BLOCK SHUFFLE TO THE BLOCK COUNT: a hash aggregate
+    # holds EVERY group buffer of its partition simultaneously, so
+    # with the session's default partition count the concurrent
+    # reduce tasks collectively buffer the whole table in boxed form
+    # (~100 B/element — measured OOM on a 16 GiB heap at 100M rows).
+    # Repartitioning by (key, block) into ~one-block partitions
+    # bounds each task at ~block_len boxed elements; the groupBy
+    # below sees its clustering satisfied, so this REPLACES (not
+    # adds to) the aggregation exchange. The count is a cheap job on
+    # the pinned rank output.
+    n_total = ranked.count()
+    default_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_parts = max(
+        default_parts,
+        min(-(-n_total // int(block_len)), 200_000),
+    )
+    return (
+        assigned.repartition(n_parts, "__k", "__blk")
         .groupBy("__k", "__blk")
         .agg(
             F.array_sort(
@@ -318,7 +347,7 @@ def ewma_blocked(
     value_col: str,
     alpha: float,
     out_col: str = "ewma",
-    block_len: int = 1_000_000,
+    block_len: int = 262_144,
     max_blocks: int = 10_000,
 ) -> DataFrame:
     """`ewma` evaluated as a BLOCKED fold — identical recursion,
@@ -381,7 +410,7 @@ def holt_blocked(
     value_col: str,
     alpha: float,
     gamma: float,
-    block_len: int = 1_000_000,
+    block_len: int = 262_144,
     max_blocks: int = 10_000,
 ) -> DataFrame:
     """`holt` evaluated as a BLOCKED fold (see the blocked-family
@@ -475,7 +504,7 @@ def cusum_blocked(
     value_col: str,
     target: float,
     slack: float = 0.0,
-    block_len: int = 1_000_000,
+    block_len: int = 262_144,
     max_blocks: int = 10_000,
 ) -> DataFrame:
     """`cusum` evaluated as a BLOCKED fold (see the blocked-family

@@ -169,8 +169,11 @@ def stress_ewma100m():
         F.lit(c).alias("v"),
     )
     t0 = time.time()
+    # default block_len (2^18): ~382 blocks; 1M blocks OOMed the
+    # 16 GiB local JVM at 32-way concurrency (see the blocked-family
+    # memory-sizing note in stats.py)
     row = ewma_blocked(
-        df, "k", "t", "v", 0.5, block_len=1_000_000, max_blocks=200
+        df, "k", "t", "v", 0.5, block_len=262_144, max_blocks=400
     ).collect()[0]
     dt = time.time() - t0
     ok = row["ewma"] == c and row["n"] == N100
