@@ -133,13 +133,18 @@ def stress_spearman():
     hot_global = spearman_corr(
         skew.filter(skew["grp"] == "hot"), "x", "yv"
     ).collect()[0]["rho"]
-    ok = rs["hot"] == hot_global
+    # NOT bit-equal by design: spearman_by's den comes from the
+    # EXACT decimal moments (the r10-advice fix) while
+    # spearman_corr spells the double-difference expression — each
+    # matches its own oracle; they agree to ~1 ulp (measured
+    # 3e-16 rel at 19.8M rows)
+    rel = abs(rs["hot"] - hot_global) / max(1e-300, abs(hot_global))
     print(
         f"spearman hot-group cross-check: by={rs['hot']!r} "
-        f"global={hot_global!r} EXACT={ok} "
+        f"global={hot_global!r} rel={rel:.1e} "
         f"skew/balanced={t_skew / max(t_bal, 1e-9):.2f}x"
     )
-    assert ok
+    assert rel < 1e-12
     spark.stop()
 
 
