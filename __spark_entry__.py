@@ -8588,18 +8588,17 @@ def oracle_sql() -> dict[str, str]:
                     CAST(sum(r2y * r2y) AS HUGEINT) AS syy
                   FROM rk GROUP BY g),
             e AS (SELECT g, n,
-                    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-                      AS num,
-                    -- EXACT hugeint radicands, one double cast
-                    -- each (the operator's decimal varx/vary)
+                    -- EXACT hugeint differences, one double cast
+                    -- each (the operator's decimal num/varx/vary)
+                    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
                     CAST(n AS HUGEINT) * sxx - sx * sx AS varx,
                     CAST(n AS HUGEINT) * syy - sy * sy AS vary
                   FROM m)
             SELECT g AS l_returnflag, n,
                    CASE WHEN varx > 0 AND vary > 0 THEN
-                     floor((num / sqrt(CAST(varx AS DOUBLE)
-                                       * CAST(vary AS DOUBLE)))
+                     floor((CAST(num AS DOUBLE)
+                            / sqrt(CAST(varx AS DOUBLE)
+                                   * CAST(vary AS DOUBLE)))
                            * 1e9 + 0.5) / 1e9
                    END AS rho
             FROM e
@@ -12350,8 +12349,11 @@ def oracle_sql() -> dict[str, str]:
               FROM base),
             fh AS (SELECT q, min(rp) AS fr
                    FROM rk WHERE rel = 1 AND rp <= 10 GROUP BY q),
-            nq AS (SELECT CAST(count(DISTINCT q) AS BIGINT)
-                     AS n_queries FROM base),
+            -- count over DISTINCT keeps a NULL query as a query
+            -- (count(DISTINCT q) would drop it while the
+            -- numerator's GROUP BY keeps its hit — review r11)
+            nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                   FROM (SELECT DISTINCT q FROM base)),
             ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
                      CAST(COALESCE(sum(list_extract(
                        [1073741824, 536870912, 357913941, 268435456,

@@ -524,6 +524,31 @@ def precision_at_k(
     )
 
 
+def _retrieval_base(df, query_col, id_col, score_col, rel_col, rel_expr):
+    """Shared per-query retrieval scaffold (`ndcg_by`, `mrr`,
+    `avg_precision_by`, `recall_at_k_by`): the NULL-filtered
+    (q, __id, __s, __rel) projection plus the query-partitioned
+    (score DESC, id ASC) ranking window — ONE spelling so the
+    ranking contract (NULL handling, tie order) cannot drift
+    between the four operators (the `_ordered_series` discipline).
+    A NULL query is itself a query (the `hll_by` convention —
+    groupBy/Window partitioning keep it). ``rel_expr`` is the
+    operator's relevance Column (binary `_bin01` or the graded
+    guard) over ``rel_col``."""
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+        rel_expr.alias("__rel"),
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    return base, w
+
+
 def ndcg_by(
     df: DataFrame,
     query_col: str,
@@ -568,12 +593,7 @@ def ndcg_by(
         r: int(round((1 << qbits) / math.log2(r + 1)))
         for r in range(1, k + 1)
     }
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
-    ).select(
-        F.col(query_col).alias("q"),
-        F.col(id_col).alias("__id"),
-        F.col(score_col).alias("__s"),
+    graded = (
         F.when(
             F.col(rel_col) < 0,
             F.raise_error(
@@ -584,10 +604,9 @@ def ndcg_by(
             ).cast("long"),
         )
         .otherwise(F.col(rel_col).cast("long"))
-        .alias("__rel"),
     )
-    w_pred = Window.partitionBy("q").orderBy(
-        F.col("__s").desc(), F.col("__id").asc()
+    base, w_pred = _retrieval_base(
+        df, query_col, id_col, score_col, rel_col, graded
     )
     w_ideal = Window.partitionBy("q").orderBy(
         F.col("__rel").desc(), F.col("__id").asc()
@@ -661,18 +680,9 @@ def mrr(
         raise ValueError("mrr: k must be >= 1")
     _guard_binary_label("mrr", df, rel_col)
     rq = {r: int(round((1 << qbits) / r)) for r in range(1, k + 1)}
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
-    ).select(
-        F.col(query_col).alias("q"),
-        F.col(id_col).alias("__id"),
-        F.col(score_col).alias("__s"),
-        _bin01("mrr", rel_col, F.col(rel_col).cast("long")).alias(
-            "__rel"
-        ),
-    )
-    w = Window.partitionBy("q").orderBy(
-        F.col("__s").desc(), F.col("__id").asc()
+    base, w = _retrieval_base(
+        df, query_col, id_col, score_col, rel_col,
+        _bin01("mrr", rel_col, F.col(rel_col).cast("long")),
     )
     ranked = base.select(
         "q", "__rel", F.row_number().over(w).alias("__rp")
@@ -682,10 +692,16 @@ def mrr(
         .groupBy("q")
         .agg(F.min("__rp").alias("__fr"))
     )
-    # lazy 1-row distinct-query counter crossJoined back broadcast —
-    # no driver action inside the operator
-    nq = base.agg(
-        F.count_distinct(F.col("q")).cast("long").alias("n_queries")
+    # lazy 1-row query counter crossJoined back broadcast — no
+    # driver action inside the operator. Counted via groupBy (NOT
+    # count_distinct, which silently DROPS a NULL query while the
+    # numerator's groupBy keeps its hit — mrr could exceed 1.0; the
+    # scaffold's contract is "a NULL query is itself a query",
+    # review r11)
+    nq = (
+        base.groupBy("q")
+        .agg(F.lit(1).alias("__one"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     )
     rr = F.element_at(F.lit([rq[r] for r in range(1, k + 1)]), F.col("__fr"))
     agg = first_hit.agg(
@@ -733,21 +749,23 @@ def avg_precision_by(
     never a global sort."""
     if k < 1:
         raise ValueError("avg_precision_by: k must be >= 1")
+    if k > 42:
+        # lcm(1..43) = 9419588158802421600 > 2^63-1: the weight
+        # literals (and ap_num, which approaches k*L) would overflow
+        # int64 — fail loudly here instead of an opaque engine
+        # NumberFormatException (review r11). k <= 42 keeps
+        # k*L <= 9.2e18, inside int64.
+        raise ValueError(
+            "avg_precision_by: k must be <= 42 — lcm(1..k) exceeds"
+            " int64 beyond that and the exact-rational ap_num would"
+            " overflow"
+        )
     _guard_binary_label("avg_precision_by", df, rel_col)
     L = math.lcm(*range(1, k + 1))
     lw = {r: L // r for r in range(1, k + 1)}
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
-    ).select(
-        F.col(query_col).alias("q"),
-        F.col(id_col).alias("__id"),
-        F.col(score_col).alias("__s"),
-        _bin01(
-            "avg_precision_by", rel_col, F.col(rel_col).cast("long")
-        ).alias("__rel"),
-    )
-    w = Window.partitionBy("q").orderBy(
-        F.col("__s").desc(), F.col("__id").asc()
+    base, w = _retrieval_base(
+        df, query_col, id_col, score_col, rel_col,
+        _bin01("avg_precision_by", rel_col, F.col(rel_col).cast("long")),
     )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = base.select(
@@ -804,18 +822,9 @@ def recall_at_k_by(
     if k < 1:
         raise ValueError("recall_at_k_by: k must be >= 1")
     _guard_binary_label("recall_at_k_by", df, rel_col)
-    base = df.filter(
-        F.col(score_col).isNotNull() & F.col(rel_col).isNotNull()
-    ).select(
-        F.col(query_col).alias("q"),
-        F.col(id_col).alias("__id"),
-        F.col(score_col).alias("__s"),
-        _bin01(
-            "recall_at_k_by", rel_col, F.col(rel_col).cast("long")
-        ).alias("__rel"),
-    )
-    w = Window.partitionBy("q").orderBy(
-        F.col("__s").desc(), F.col("__id").asc()
+    base, w = _retrieval_base(
+        df, query_col, id_col, score_col, rel_col,
+        _bin01("recall_at_k_by", rel_col, F.col(rel_col).cast("long")),
     )
     ranked = base.select(
         "q", "__rel", F.row_number().over(w).alias("__rp")

@@ -49,6 +49,19 @@ from pyspark.sql import types as T
 _PID_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | row
 
 
+def shuffle_partitions(spark, default: int = 200) -> int:
+    """The session's shuffle-partition count as an int, tolerating
+    platforms whose forks set ``spark.sql.shuffle.partitions`` to
+    the non-numeric ``"auto"`` (review r11) — shared by every
+    operator that sizes an explicit repartition from the conf."""
+    try:
+        return int(
+            spark.conf.get("spark.sql.shuffle.partitions", str(default))
+        )
+    except ValueError:
+        return default
+
+
 def _pinned_sorted(
     df: DataFrame, order_by: Sequence[str], num_partitions: int | None
 ) -> DataFrame:
@@ -57,9 +70,7 @@ def _pinned_sorted(
     boundaries come from a nondeterministic sample job)."""
     cols = [F.col(c) for c in order_by]
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        num_partitions = shuffle_partitions(df.sparkSession)
     return (
         df.repartitionByRange(num_partitions, *cols)
         .sortWithinPartitions(*cols)

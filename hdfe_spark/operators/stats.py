@@ -282,9 +282,9 @@ def _blocked_series(
     # adds to) the aggregation exchange. The count is a cheap job on
     # the pinned rank output.
     n_total = ranked.count()
-    default_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    from hdfe_spark.operators.rank import shuffle_partitions
+
+    default_parts = shuffle_partitions(df.sparkSession)
     n_parts = max(
         default_parts,
         min(-(-n_total // int(block_len)), 200_000),
@@ -3581,24 +3581,23 @@ def spearman_by(
         F.sum(F.col("__r2x") * F.col("__r2y")).alias("__sxy"),
         F.sum(F.col("__r2y") * F.col("__r2y")).alias("__syy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
-    sxx = F.col("__sxx").cast("double")
-    sxy = F.col("__sxy").cast("double")
-    syy = F.col("__syy").cast("double")
-    num = nd * sxy - sx * sy
-    # BOTH the constant-column gate AND den's radicands run on the
-    # EXACT decimal moments: past 2^53 the float n*sxx - sx*sx of a
+    # The gate, num, AND den's radicands ALL run on the EXACT
+    # decimal moments: past 2^53 the float n*sxx - sx*sx of a
     # (near-)constant column cancels catastrophically — to a NONZERO
     # value for an exactly-constant column (measured: 2.2e12 at
-    # n=10M, review r10b) and, symmetrically, to a NEGATIVE value
-    # for a near-constant one, where a double-expression den would
-    # be sqrt(neg) = NaN while the exact variance stays positive
-    # (advice r10: the gated and computed quantities must agree).
-    # den = sqrt(varx_exact * vary_exact) with ONE double cast per
-    # exact radicand. DECIMAL(38,0) bounds these products at ~1e9
-    # rows per group — the ks_2sample documented-bound class.
+    # n=10M, review r10b), to a NEGATIVE value for a near-constant
+    # one where a double-expression den would be sqrt(neg) = NaN
+    # while the exact variance stays positive (advice r10), and the
+    # SAME cancellation in a double num would emit junk rho over an
+    # exact den (review r11 — the covariance difference n*sxy -
+    # sx*sy carries ~1e13 absolute error at 4e28 operand magnitude).
+    # Each exact decimal difference takes ONE double cast.
+    # DECIMAL(38,0) bounds these products at ~1e9 rows per group —
+    # the ks_2sample documented-bound class.
     nD = F.col("n").cast("decimal(38,0)")
+    num = (
+        nD * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ).cast("double")
     varx = nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")
     vary = nD * F.col("__syy") - F.col("__sy") * F.col("__sy")
     den = F.sqrt(varx.cast("double") * vary.cast("double"))
