@@ -192,6 +192,36 @@ def demean(
     )
 
 
+def topk_by(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    order_cols: str | Sequence[str],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group under ``order_cols`` (descending, with
+    the caller supplying a unique tiebreak — the `latest_per_key`
+    contract, of which this is the k > 1 generalization): "top 5
+    documents per source by quality", "each user's 3 biggest
+    events". Appends 1-based ``rank_col``.
+
+    Scale: ONE hash-partitioned window keyed by ``key_cols`` —
+    parallel across groups, never a global sort; per-group work is
+    bounded by group cardinality. (For the GLOBAL top-k use an
+    orderBy().limit(k) — TakeOrderedAndProject heaps — instead.)"""
+    if k < 1:
+        raise ValueError("topk_by: k must be >= 1")
+    keys = _as_list(key_cols)
+    order = _as_list(order_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 class Groupby:
     """Reusable grouped-execution handle (reference ``Groupby`` class,
     ``hdfe/groupby.py:8-148``).

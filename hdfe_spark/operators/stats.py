@@ -1357,6 +1357,112 @@ def standardize(
     return out
 
 
+def zscore_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1e6,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score TRANSFORM — `standardize` stratified (scale
+    features within segment/source/experiment-arm instead of
+    globally): one row per input row with ``out_col`` appended.
+
+    Engine-exact like its global sibling: per-group moments are
+    exact DECIMAL(38,0) sums of round(v * scale); the sample
+    variance numerator n*ss - s*s is an EXACT decimal difference
+    (never the double cancellation — the spearman_by lesson), and z
+    = (u - s/n) / sd is a fixed IEEE expression both engines spell
+    verbatim. Groups with n < 2 or zero variance get NULL z (a
+    transform must not poison the whole table the way the global
+    `standardize` deliberately raises); NULL values stay NULL; a
+    NULL group is itself a group (the `hll_by` convention).
+
+    Scale: one shuffle for the per-group moments, one AQE-planned
+    join back (group-cardinality-sized), pure row expressions after
+    — no window over data rows, no driver collect."""
+    u = F.round(F.col(value_col) * F.lit(float(scale))).cast(
+        "decimal(38,0)"
+    )
+    m = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(u).alias("__s"),
+            F.sum(u * u).alias("__ss"),
+        )
+    )
+    nD = F.col("__n").cast("decimal(38,0)")
+    varnum = (nD * F.col("__ss") - F.col("__s") * F.col("__s")).cast(
+        "double"
+    )
+    nd = F.col("__n").cast("double")
+    sd = F.sqrt(varnum / (nd * (nd - F.lit(1.0))))
+    stats_t = m.select(
+        "__g",
+        "__n",
+        (F.col("__s").cast("double") / nd).alias("__mean"),
+        F.when((F.col("__n") >= 2) & (varnum > 0), sd).alias("__sd"),
+    )
+    uu = F.round(F.col(value_col) * F.lit(float(scale))).cast("double")
+    return (
+        df.join(
+            stats_t, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        )
+        .withColumn(out_col, (uu - F.col("__mean")) / F.col("__sd"))
+        .drop("__g", "__n", "__mean", "__sd")
+    )
+
+
+def winsorize_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str = "w",
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value_col`` to its group's
+    [p_lo, p_hi] exact percentiles — the outlier-taming transform
+    run per segment before per-group means/regressions (a single
+    hot group's tail otherwise sets the global fences).
+
+    Percentiles are exact order statistics (``percentile`` with
+    linear interpolation — the `mad_outliers`/`brown_forsythe`
+    portability precedent: both engines interpolate identically);
+    the clamp is least/greatest, pure row expressions. NULL values
+    stay NULL; a NULL group is itself a group.
+
+    Scale: one shuffle for the per-group percentile pair (exact
+    percentile sorts WITHIN each group's aggregation buffer — fine
+    for per-entity groups; a billion-row single group should be
+    quantile-bucketed first), one AQE-planned join back."""
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError(
+            "winsorize_by: need 0 <= p_lo < p_hi <= 1"
+        )
+    cuts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.expr(f"percentile({value_col}, {p_lo!r})").alias("__lo"),
+            F.expr(f"percentile({value_col}, {p_hi!r})").alias("__hi"),
+        )
+    )
+    return (
+        df.join(cuts, F.col(group_col).eqNullSafe(F.col("__g")), "left")
+        .withColumn(
+            out_col,
+            F.least(
+                F.greatest(F.col(value_col), F.col("__lo")),
+                F.col("__hi"),
+            ),
+        )
+        .drop("__g", "__lo", "__hi")
+    )
+
+
 def huber_irls2(
     df: DataFrame,
     x_col: str,

@@ -100,3 +100,65 @@ def test_retrieval_trio_no_global_sort(spark, retrieval_df):
     # (final 1-row aggregate + broadcast of the 1-row nq counter),
     # never a data-sized sort
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_zscore_by_exact_and_null_conventions(spark):
+    from hdfe_spark.operators.stats import zscore_by
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0),   # mean 2, sd 1
+        ("b", 10.0), ("b", 10.0),             # constant -> NULL
+        (None, 5.0), (None, 7.0),             # NULL group is a group
+        ("c", 9.0),                           # singleton -> NULL
+        ("a", None),                          # NULL value stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = sorted(
+        [(r["g"], r["v"], r["z"]) for r in zscore_by(df, "g", "v").collect()],
+        key=lambda x: (str(x[0]), -1.0 if x[1] is None else x[1]),
+    )
+    za = [z for g, v, z in got if g == "a" and v is not None]
+    assert [round(z, 12) for z in za] == [-1.0, 0.0, 1.0]
+    assert all(z is None for g, v, z in got if g == "b")
+    assert all(z is None for g, v, z in got if g == "c")
+    assert [z for g, v, z in got if g == "a" and v is None] == [None]
+    zn = sorted(z for g, v, z in got if g is None)
+    import math
+
+    sd = math.sqrt(2.0) * 1e6  # half-unit deviations at scale 1e6
+    assert zn[0] == pytest.approx(-1e6 / sd, rel=1e-12)
+
+
+def test_winsorize_by_clamps_to_group_percentiles(spark):
+    from hdfe_spark.operators.stats import winsorize_by
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_by(df, "g", "v", 0.0, 0.5, out_col="w").collect()
+    wa = sorted(r["w"] for r in out if r["g"] == "a")
+    # p50 of 1..10 = 5.5 -> everything above clamps to 5.5
+    assert wa == [1.0, 2.0, 3.0, 4.0, 5.0, 5.5, 5.5, 5.5, 5.5, 5.5]
+    assert [r["w"] for r in out if r["g"] == "b"] == [100.0]
+    with pytest.raises(ValueError, match="p_lo < p_hi"):
+        winsorize_by(df, "g", "v", 0.9, 0.1)
+
+
+def test_topk_by_rank_and_tiebreak(spark):
+    from hdfe_spark.operators.groupby import topk_by
+
+    rows = [("a", i, float(i % 7)) for i in range(20)]
+    rows += [("b", i, float(i)) for i in range(2)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = {
+        (r["g"], r["rank"]): (r["v"], r["i"])
+        for r in topk_by(df, "g", ["v", "i"], k=3).collect()
+    }
+    # value 6.0 occurs at i = 6, 13; tiebreak i DESC puts 13 first
+    assert got[("a", 1)] == (6.0, 13)
+    assert got[("a", 2)] == (6.0, 6)
+    assert got[("a", 3)] == (5.0, 19)
+    # a group smaller than k yields all its rows
+    assert got[("b", 1)] == (1.0, 1) and got[("b", 2)] == (0.0, 0)
+    assert ("b", 3) not in got
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        topk_by(df, "g", ["v"], k=0)
