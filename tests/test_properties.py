@@ -549,3 +549,81 @@ def test_auc_by_range_invariant(spark, rows):
         assert (r["auc"] is None) == one_sided
         if r["auc"] is not None:
             assert -1e-12 <= r["auc"] <= 1.0 + 1e-12
+
+
+@st.composite
+def keyed_series(draw):
+    n = draw(st.integers(min_value=1, max_value=50))
+    keys = draw(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=n, max_size=n)
+    )
+    vals = draw(
+        st.lists(
+            st.floats(
+                min_value=-1e4, max_value=1e4,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    block_len = draw(st.integers(min_value=2, max_value=8))
+    return keys, vals, block_len
+
+
+@SLOW
+@given(data=keyed_series(), alpha=st.floats(min_value=0.05, max_value=0.95))
+def test_blocked_ewma_matches_sequential_any_series(spark, data, alpha):
+    """For ANY keyed series and ANY small block size, the blocked
+    fold agrees with the sequential fold to ~1 ulp per composition
+    step, and a blocking wider than every key is bit-identical."""
+    from hdfe_spark.operators.stats import ewma, ewma_blocked
+
+    keys, vals, block_len = data
+    rows = [(str(k), i, v) for i, (k, v) in enumerate(zip(keys, vals))]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    seq = {r["k"]: r["ewma"] for r in ewma(df, "k", "t", "v", alpha).collect()}
+    blk = {
+        r["k"]: r["ewma"]
+        for r in ewma_blocked(
+            df, "k", "t", "v", alpha, block_len=block_len, max_blocks=64
+        ).collect()
+    }
+    assert set(seq) == set(blk)
+    for k in seq:
+        assert blk[k] == pytest.approx(seq[k], rel=1e-10, abs=1e-9), k
+    one = {
+        r["k"]: r["ewma"]
+        for r in ewma_blocked(df, "k", "t", "v", alpha, block_len=64).collect()
+    }
+    assert one == seq
+
+
+@SLOW
+@given(data=keyed_series(), target=st.integers(min_value=-3, max_value=3))
+def test_blocked_cusum_integer_deltas_bit_exact_any_blocking(
+    spark, data, target
+):
+    """Integer-exact regime: for ANY integer series and ANY block
+    size, blocked cusum == sequential cusum BIT-FOR-BIT (max-plus
+    algebra on exact binary64 integers)."""
+    from hdfe_spark.operators.stats import cusum, cusum_blocked
+
+    keys, vals, block_len = data
+    rows = [
+        (str(k), i, float(int(v) % 7 - 3))
+        for i, (k, v) in enumerate(zip(keys, vals))
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    seq = {
+        r["k"]: r["cusum"]
+        for r in cusum(df, "k", "t", "v", float(target)).collect()
+    }
+    blk = {
+        r["k"]: r["cusum"]
+        for r in cusum_blocked(
+            df, "k", "t", "v", float(target),
+            block_len=block_len, max_blocks=64,
+        ).collect()
+    }
+    assert blk == seq
