@@ -1357,6 +1357,96 @@ def standardize(
     return out
 
 
+def welch_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test — `welch_ttest` stratified:
+    one t statistic per group between the ``arm_a`` and ``arm_b``
+    populations of ``arm_col`` (the run-every-experiment-at-once
+    primitive: 10k segments/experiments in ONE aggregation instead
+    of 10k driver round trips).
+
+    Engine-exact like the global test, hardened further: per
+    (group, arm) moments are exact DECIMAL(38,0) sums of
+    round(v * scale), and each sample-variance numerator n*ss - s*s
+    is an EXACT decimal difference (the global test's Python-double
+    ss - s*s/n spelling cancels catastrophically past 2^53 — the
+    spearman_by/zscore_by lesson); t and the Welch–Satterthwaite
+    dof are then one fixed IEEE expression per group (sqrt, never
+    pow). Groups where either arm has n < 2 get NULL t/dof
+    (a panel must not raise because one segment is thin — the
+    zscore_by convention); a NULL group is itself a group. Means
+    and variances are reported in ORIGINAL units. Returns one row
+    per group: (group, n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, dof).
+
+    Scale: ONE shuffle on the group (conditional per-arm moments in
+    the same aggregation — never a self-join of two filtered
+    scans), then pure row expressions."""
+    v = F.col(value_col)
+    u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+
+    def _arm(cond, tag):
+        zero = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1))), F.lit(0)
+            ).cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u)), zero).alias(f"__s_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u * u)), zero).alias(
+                f"__ss_{tag}"
+            ),
+        ]
+
+    m = (
+        df.filter(v.isNotNull() & (is_a | is_b))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
+    )
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}")
+        nD = n.cast("decimal(38,0)")
+        nd = n.cast("double")
+        varnum = (
+            nD * F.col(f"__ss_{tag}")
+            - F.col(f"__s_{tag}") * F.col(f"__s_{tag}")
+        ).cast("double")
+        mean = F.col(f"__s_{tag}").cast("double") / nd
+        var = varnum / (nd * (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    nda, mean_a, var_a = _stats("a")
+    ndb, mean_b, var_b = _stats("b")
+    se2a, se2b = var_a / nda, var_b / ndb
+    t = (mean_a - mean_b) / F.sqrt(se2a + se2b)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (nda - F.lit(1.0))
+        + se2b * se2b / (ndb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    sc, sc2 = F.lit(float(scale)), F.lit(float(scale) * float(scale))
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") >= 1, mean_a / sc).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, mean_b / sc).alias("mean_b"),
+        F.when(F.col("n_a") >= 2, var_a / sc2).alias("var_a"),
+        F.when(F.col("n_b") >= 2, var_b / sc2).alias("var_b"),
+        F.when(ok, t).alias("t_stat"),
+        F.when(ok, dof).alias("dof"),
+    )
+
+
 def zscore_by(
     df: DataFrame,
     group_col: str,

@@ -162,3 +162,32 @@ def test_topk_by_rank_and_tiebreak(spark):
     assert ("b", 3) not in got
     with pytest.raises(ValueError, match="k must be >= 1"):
         topk_by(df, "g", ["v"], k=0)
+
+
+def test_welch_by_matches_global_and_thin_groups(spark):
+    import random
+
+    from hdfe_spark.operators.stats import welch_by, welch_ttest
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("s1", "s2"):
+        rows += [(g, "A", round(rng.gauss(10, 2), 3)) for _ in range(30)]
+        rows += [(g, "B", round(rng.gauss(11, 3), 3)) for _ in range(25)]
+    rows += [("thin", "A", 1.0), ("thin", "B", 2.0), ("thin", "B", 3.0)]
+    rows += [(None, "A", 1.0), (None, "A", 2.0), (None, "B", 5.0), (None, "B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    out = {r["g"]: r for r in welch_by(df, "g", "arm", "v", "A", "B").collect()}
+    glob = welch_ttest(
+        df.filter((df.g == "s1") & (df.arm == "A")),
+        df.filter((df.g == "s1") & (df.arm == "B")),
+        "v",
+    ).collect()[0]
+    for c in ("mean_a", "mean_b", "var_a", "var_b", "t_stat", "dof"):
+        assert out["s1"][c] == pytest.approx(glob[c], rel=1e-9), c
+    # thin arm (n_a = 1): moments reported, t/dof/var_a NULL
+    thin = out["thin"]
+    assert thin["n_a"] == 1 and thin["mean_a"] == 1.0
+    assert thin["var_a"] is None and thin["t_stat"] is None
+    # a NULL group is itself a group
+    assert out[None]["t_stat"] is not None
