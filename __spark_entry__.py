@@ -6413,6 +6413,30 @@ def _q_welch_by(spark, sf_dir):
     )
 
 
+def _q_ks_by(spark, sf_dir):
+    """Per-segment two-sample KS (`operators/stats.py::ks_by` —
+    `ks_2sample` stratified, `welch_by`'s distribution-shift
+    companion): purchase-vs-error value distributions per
+    user-id-mod-10 segment. Fully distributed (no driver collect):
+    (segment, value) cells, GROUP-PARTITIONED window prefix sums,
+    exact cross-multiplied gap |cuma*nb - cumb*na|, one grouped max;
+    d_num cast to long on the wire (the ks_test convention)."""
+    from hdfe_spark.operators.stats import ks_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = ks_by(base, "segment", "event_type", "value", "purchase", "error")
+    return out.select(
+        "segment", "n_a", "n_b",
+        F.col("d_num").cast("long").alias("d_num"),
+        _pround("d").alias("d"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -6509,6 +6533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_by": _q_zscore_by,
         "topk_by": _q_topk_by,
         "welch_by": _q_welch_by,
+        "ks_by": _q_ks_by,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -10705,6 +10730,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d_num AS DOUBLE)
                      / (CAST(na AS DOUBLE) * nb) AS d
             FROM tot, mx
+        """,
+        "ks_by": """
+            WITH cells AS (
+              SELECT user_id % 10 AS segment, value AS v,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('purchase', 'error')
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT segment, ca, cb,
+                sum(ca) OVER (PARTITION BY segment ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cuma,
+                sum(cb) OVER (PARTITION BY segment ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cumb,
+                CAST(sum(ca) OVER (PARTITION BY segment) AS BIGINT)
+                  AS na,
+                CAST(sum(cb) OVER (PARTITION BY segment) AS BIGINT)
+                  AS nb
+              FROM cells),
+            mx AS (
+              SELECT segment,
+                     CAST(max(na) AS BIGINT) AS n_a,
+                     CAST(max(nb) AS BIGINT) AS n_b,
+                     max(abs(CAST(cuma AS HUGEINT) * nb
+                             - CAST(cumb AS HUGEINT) * na)) AS d_num
+              FROM cum GROUP BY segment)
+            SELECT segment, n_a, n_b,
+                   CAST(d_num AS BIGINT) AS d_num,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     floor((CAST(d_num AS DOUBLE)
+                            / (CAST(n_a AS DOUBLE)
+                               * CAST(n_b AS DOUBLE)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS d
+            FROM mx
         """,
         "spearman": """
             WITH base AS (

@@ -1251,6 +1251,84 @@ def ks_2sample(
     )
 
 
+def ks_by(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    a_label,
+    b_label,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov D — `ks_2sample`
+    stratified (distribution shift per segment/experiment, the
+    companion of `welch_by`'s mean shift): within every group, the
+    max ECDF gap over the group's pooled distinct values, kept EXACT
+    by cross-multiplying — |cuma*nb - cumb*na| is an integer
+    (DECIMAL(38,0)), so the per-group max is order-free and
+    engine-exact; D is one final IEEE division per group.
+
+    Unlike the global test (driver collect of two scalars), this is
+    FULLY distributed: (group, value) cell counts, GROUP-PARTITIONED
+    window prefix sums (parallel across groups, never a global sort
+    — the `auc_by` shape), one grouped max. Groups where either side
+    is empty return NULL d (the thin-arm `welch_by` convention);
+    NULL values are excluded; a NULL group is itself a group.
+    Returns one row per group: (group, n_a, n_b, d_num, d)."""
+    sv = F.col(side_col)
+    cells = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ((sv == F.lit(a_label)) | (sv == F.lit(b_label)))
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(sv == F.lit(a_label), F.lit(1))), F.lit(0)
+            ).cast("long").alias("__ca"),
+            F.coalesce(
+                F.sum(F.when(sv == F.lit(b_label), F.lit(1))), F.lit(0)
+            ).cast("long").alias("__cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("__g")
+    cum = cells.select(
+        "__g",
+        F.sum("__ca").over(w).cast("decimal(38,0)").alias("__cuma"),
+        F.sum("__cb").over(w).cast("decimal(38,0)").alias("__cumb"),
+        F.sum("__ca").over(wall).cast("long").alias("__na"),
+        F.sum("__cb").over(wall).cast("long").alias("__nb"),
+    )
+    gap = F.abs(
+        F.col("__cuma") * F.col("__nb").cast("decimal(38,0)")
+        - F.col("__cumb") * F.col("__na").cast("decimal(38,0)")
+    )
+    agg = cum.groupBy("__g").agg(
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.max(gap).alias("d_num"),
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_a",
+        "n_b",
+        "d_num",
+        F.when(
+            ok,
+            F.col("d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("d"),
+    )
+
+
 def spearman_corr(
     df: DataFrame, x_col: str, y_col: str
 ) -> DataFrame:

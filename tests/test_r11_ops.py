@@ -191,3 +191,29 @@ def test_welch_by_matches_global_and_thin_groups(spark):
     assert thin["var_a"] is None and thin["t_stat"] is None
     # a NULL group is itself a group
     assert out[None]["t_stat"] is not None
+
+
+def test_ks_by_matches_global_per_group(spark):
+    import random
+
+    from hdfe_spark.operators.stats import ks_2sample, ks_by
+
+    rng = random.Random(5)
+    rows = []
+    for g, shift in (("s1", 0.0), ("s2", 2.0)):
+        rows += [(g, "A", round(rng.gauss(0, 1), 2)) for _ in range(40)]
+        rows += [(g, "B", round(rng.gauss(shift, 1), 2)) for _ in range(35)]
+    rows += [("onesided", "A", 1.0)]
+    df = spark.createDataFrame(rows, "g string, s string, v double")
+    out = {r["g"]: r for r in ks_by(df, "g", "s", "v", "A", "B").collect()}
+    for g in ("s1", "s2"):
+        glob = ks_2sample(df.filter(df.g == g), "s", "v", "A", "B").collect()[0]
+        r = out[g]
+        assert (r["n_a"], r["n_b"], r["d_num"], r["d"]) == (
+            glob["n_a"], glob["n_b"], glob["d_num"], glob["d"],
+        ), g
+    # a group missing one side reports counts and NULL d
+    assert out["onesided"]["n_b"] == 0 and out["onesided"]["d"] is None
+    # group-partitioned windows only: no SinglePartition
+    plan = ks_by(df, "g", "s", "v", "A", "B")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
