@@ -6413,6 +6413,44 @@ def _q_welch_by(spark, sf_dir):
     )
 
 
+def _q_streaming_welch(spark, sf_dir):
+    """Twenty-third streaming form (`streaming/ops.py::
+    streaming_welch`): per-segment Welch t between click and view
+    arms folded over the events stream in complete mode — the six
+    per-segment moment counters are additive, availableNow equals
+    the batch `welch_by` table exactly; the batch SQL is the oracle
+    verbatim."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_welch
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = streaming_welch(
+        base, "segment", "event_type", "value", "click", "view"
+    )
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "segment", "n_a", "n_b",
+        _pround("mean_a").alias("mean_a"),
+        _pround("mean_b").alias("mean_b"),
+        _pround("var_a").alias("var_a"),
+        _pround("var_b").alias("var_b"),
+        _pround("t_stat").alias("t_stat"),
+        _pround("dof").alias("dof"),
+    )
+
+
 def _q_ks_by(spark, sf_dir):
     """Per-segment two-sample KS (`operators/stats.py::ks_by` —
     `ks_2sample` stratified, `welch_by`'s distribution-shift
@@ -6534,6 +6572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_by": _q_topk_by,
         "welch_by": _q_welch_by,
         "ks_by": _q_ks_by,
+        "streaming_welch": _q_streaming_welch,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -10253,6 +10292,74 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "welch_by": """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m),
+            d AS (
+              SELECT c.*, va / CAST(na AS DOUBLE) AS s2a,
+                     vb / CAST(nb AS DOUBLE) AS s2b
+              FROM c)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   CASE WHEN na >= 1 THEN
+                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_a,
+                   CASE WHEN nb >= 1 THEN
+                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_b,
+                   CASE WHEN na >= 2 THEN
+                     floor((va / (1000000.0 * 1000000.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS var_a,
+                   CASE WHEN nb >= 2 THEN
+                     floor((vb / (1000000.0 * 1000000.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS var_b,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     floor(((ma - mb) / sqrt(s2a + s2b))
+                           * 1e9 + 0.5) / 1e9
+                   END AS t_stat,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     floor(((s2a + s2b) * (s2a + s2b)
+                            / (s2a * s2a / (CAST(na AS DOUBLE) - 1.0)
+                               + s2b * s2b
+                                 / (CAST(nb AS DOUBLE) - 1.0)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS dof
+            FROM d
+        """,
+        "streaming_welch": """
             WITH m AS (
               SELECT user_id % 10 AS segment,
                      CAST(COALESCE(sum(CASE WHEN event_type = 'click'

@@ -915,6 +915,33 @@ def streaming_brier(
     return brier_score(stream, label_col, prob_col, qbits=qbits)
 
 
+def streaming_welch(
+    stream: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Streaming experiment monitor (the TWENTY-THIRD streaming
+    form): per-segment Welch two-sample t between two arms, folded
+    over an assignment/metric stream in complete mode — the
+    per-(segment, arm) moment counters (n, exact decimal sum, sum of
+    squares) are ADDITIVE and t/dof/means ride the output
+    projection, so the availableNow fold equals the batch
+    `stats.welch_by` table EXACTLY whatever the micro-batch
+    boundaries: the always-on "is any experiment segment moving?"
+    dashboard. State is six counters per segment. Delegates outright
+    (the `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import welch_by
+
+    return welch_by(
+        stream, group_col, arm_col, value_col, arm_a, arm_b,
+        scale=scale,
+    )
+
+
 def streaming_ece(
     stream: DataFrame,
     label_col: str,

@@ -538,3 +538,48 @@ def test_streaming_rake_matches_batch(spark, sf_dir, tmp_path):
         for r in rake_keywords(docs, "text", min_freq=2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_welch_equals_batch(spark, sf_dir):
+    """23rd form: per-segment Welch moments are additive counters,
+    so the complete-mode availableNow fold equals batch welch_by
+    bit-for-bit."""
+    from hdfe_spark.operators.stats import welch_by
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_welch
+
+    from pyspark.sql import functions as F
+
+    def base(df):
+        return df.select(
+            (F.col("user_id") % 10).cast("long").alias("segment"),
+            "event_type",
+            "value",
+        )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    out = streaming_welch(
+        base(stream), "segment", "event_type", "value", "click", "view"
+    )
+    import uuid
+
+    sink = "sw_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["segment"]: tuple(r)
+        for r in spark.table(sink).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["segment"]: tuple(r)
+        for r in welch_by(
+            base(ev), "segment", "event_type", "value", "click", "view"
+        ).collect()
+    }
+    assert got == want
