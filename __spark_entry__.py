@@ -6952,6 +6952,78 @@ _GOPHER_SQL = """
             FROM r
         """
 
+# One spelling for the batch `welch_by` query and its
+# complete-mode availableNow twin `streaming_welch`
+# (additive per-segment moment counters).
+_WELCH_BY_SQL = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m),
+            d AS (
+              SELECT c.*, va / CAST(na AS DOUBLE) AS s2a,
+                     vb / CAST(nb AS DOUBLE) AS s2b
+              FROM c)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   CASE WHEN na >= 1 THEN
+                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_a,
+                   CASE WHEN nb >= 1 THEN
+                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_b,
+                   CASE WHEN na >= 2 THEN
+                     floor((va / (1000000.0 * 1000000.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS var_a,
+                   CASE WHEN nb >= 2 THEN
+                     floor((vb / (1000000.0 * 1000000.0))
+                           * 1e9 + 0.5) / 1e9
+                   END AS var_b,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     floor(((ma - mb) / sqrt(s2a + s2b))
+                           * 1e9 + 0.5) / 1e9
+                   END AS t_stat,
+                   CASE WHEN na >= 2 AND nb >= 2 THEN
+                     floor(((s2a + s2b) * (s2a + s2b)
+                            / (s2a * s2a / (CAST(na AS DOUBLE) - 1.0)
+                               + s2b * s2b
+                                 / (CAST(nb AS DOUBLE) - 1.0)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS dof
+            FROM d
+        """
+
 # One spelling for the batch `brier` query and its complete-mode
 # availableNow twin `streaming_brier` (additive counters).
 _BRIER_SQL = """
@@ -10291,142 +10363,8 @@ def oracle_sql() -> dict[str, str]:
                             + s2b * s2b / (nb - 1))) * 1e9 + 0.5) / 1e9 AS dof
             FROM d
         """,
-        "welch_by": """
-            WITH m AS (
-              SELECT user_id % 10 AS segment,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN 1 END), 0) AS BIGINT) AS na,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS sa,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                            * CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS ssa,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN 1 END), 0) AS BIGINT) AS nb,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS sb,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                            * CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS ssb
-              FROM events
-              WHERE value IS NOT NULL
-                AND event_type IN ('click', 'view')
-              GROUP BY 1),
-            c AS (
-              SELECT segment, na, nb,
-                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
-                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
-                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
-                       / (CAST(na AS DOUBLE)
-                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
-                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
-                       / (CAST(nb AS DOUBLE)
-                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
-              FROM m),
-            d AS (
-              SELECT c.*, va / CAST(na AS DOUBLE) AS s2a,
-                     vb / CAST(nb AS DOUBLE) AS s2b
-              FROM c)
-            SELECT segment, na AS n_a, nb AS n_b,
-                   CASE WHEN na >= 1 THEN
-                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
-                   END AS mean_a,
-                   CASE WHEN nb >= 1 THEN
-                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
-                   END AS mean_b,
-                   CASE WHEN na >= 2 THEN
-                     floor((va / (1000000.0 * 1000000.0))
-                           * 1e9 + 0.5) / 1e9
-                   END AS var_a,
-                   CASE WHEN nb >= 2 THEN
-                     floor((vb / (1000000.0 * 1000000.0))
-                           * 1e9 + 0.5) / 1e9
-                   END AS var_b,
-                   CASE WHEN na >= 2 AND nb >= 2 THEN
-                     floor(((ma - mb) / sqrt(s2a + s2b))
-                           * 1e9 + 0.5) / 1e9
-                   END AS t_stat,
-                   CASE WHEN na >= 2 AND nb >= 2 THEN
-                     floor(((s2a + s2b) * (s2a + s2b)
-                            / (s2a * s2a / (CAST(na AS DOUBLE) - 1.0)
-                               + s2b * s2b
-                                 / (CAST(nb AS DOUBLE) - 1.0)))
-                           * 1e9 + 0.5) / 1e9
-                   END AS dof
-            FROM d
-        """,
-        "streaming_welch": """
-            WITH m AS (
-              SELECT user_id % 10 AS segment,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN 1 END), 0) AS BIGINT) AS na,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS sa,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                            * CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS ssa,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN 1 END), 0) AS BIGINT) AS nb,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS sb,
-                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
-                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
-                            * CAST(round(value * 1000000.0) AS HUGEINT)
-                       END), 0) AS HUGEINT) AS ssb
-              FROM events
-              WHERE value IS NOT NULL
-                AND event_type IN ('click', 'view')
-              GROUP BY 1),
-            c AS (
-              SELECT segment, na, nb,
-                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
-                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
-                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
-                       / (CAST(na AS DOUBLE)
-                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
-                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
-                       / (CAST(nb AS DOUBLE)
-                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
-              FROM m),
-            d AS (
-              SELECT c.*, va / CAST(na AS DOUBLE) AS s2a,
-                     vb / CAST(nb AS DOUBLE) AS s2b
-              FROM c)
-            SELECT segment, na AS n_a, nb AS n_b,
-                   CASE WHEN na >= 1 THEN
-                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
-                   END AS mean_a,
-                   CASE WHEN nb >= 1 THEN
-                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
-                   END AS mean_b,
-                   CASE WHEN na >= 2 THEN
-                     floor((va / (1000000.0 * 1000000.0))
-                           * 1e9 + 0.5) / 1e9
-                   END AS var_a,
-                   CASE WHEN nb >= 2 THEN
-                     floor((vb / (1000000.0 * 1000000.0))
-                           * 1e9 + 0.5) / 1e9
-                   END AS var_b,
-                   CASE WHEN na >= 2 AND nb >= 2 THEN
-                     floor(((ma - mb) / sqrt(s2a + s2b))
-                           * 1e9 + 0.5) / 1e9
-                   END AS t_stat,
-                   CASE WHEN na >= 2 AND nb >= 2 THEN
-                     floor(((s2a + s2b) * (s2a + s2b)
-                            / (s2a * s2a / (CAST(na AS DOUBLE) - 1.0)
-                               + s2b * s2b
-                                 / (CAST(nb AS DOUBLE) - 1.0)))
-                           * 1e9 + 0.5) / 1e9
-                   END AS dof
-            FROM d
-        """,
+        "welch_by": _WELCH_BY_SQL,
+        "streaming_welch": _WELCH_BY_SQL,
         "chi2_contingency": """
             WITH cells AS (
               SELECT o_orderstatus, o_orderpriority, count(*) AS obs

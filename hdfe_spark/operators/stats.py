@@ -1622,9 +1622,16 @@ def winsorize_by(
         df.join(cuts, F.col(group_col).eqNullSafe(F.col("__g")), "left")
         .withColumn(
             out_col,
-            F.least(
-                F.greatest(F.col(value_col), F.col("__lo")),
-                F.col("__hi"),
+            # explicit NULL guard: greatest/least SKIP null arguments
+            # (greatest(NULL, lo) = lo), so an unguarded clamp would
+            # silently rewrite missing values to the group's p_lo
+            # bound — fabricated data (review r11, second pass)
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.least(
+                    F.greatest(F.col(value_col), F.col("__lo")),
+                    F.col("__hi"),
+                ),
             ),
         )
         .drop("__g", "__lo", "__hi")

@@ -105,3 +105,26 @@ def test_retrieval_ops_share_one_scaffold():
         src.count('Window.partitionBy("q").orderBy(\n        F.col("__s").desc(), F.col("__id").asc()\n    )')
         == 1
     )
+
+
+def test_winsorize_by_null_values_stay_null(spark):
+    """Second review pass: greatest/least SKIP null arguments
+    (greatest(NULL, lo) = lo), so an unguarded clamp silently
+    rewrote missing values to the group's p_lo bound."""
+    from hdfe_spark.operators.stats import winsorize_by
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize_by(df, "g", "v", 0.0, 0.5, out_col="w").collect()
+    assert [r["w"] for r in out if r["v"] is None] == [None]
+    assert sorted(r["w"] for r in out if r["v"] is not None) == [1.0, 2.0, 2.0]
+
+
+def test_welch_oracle_shared_between_batch_and_stream():
+    """Second review pass: the streaming_welch oracle must BE the
+    welch_by oracle (one _WELCH_BY_SQL constant), not a copy that
+    can drift."""
+    import __spark_entry__ as em
+
+    o = em.oracle_sql()
+    assert o["welch_by"] is o["streaming_welch"]
