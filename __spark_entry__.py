@@ -6413,6 +6413,29 @@ def _q_welch_by(spark, sf_dir):
     )
 
 
+def _q_srm_check(spark, sf_dir):
+    """Per-segment sample-ratio-mismatch check (`operators/
+    stats.py::chi2_gof_by` — 1-way chi-squared goodness of fit
+    against the DESIGNED 50/50 split): was each user-id-mod-10
+    segment's even/odd event-id assignment actually balanced? Exact
+    per-category counters from one conditional aggregation; each
+    term a fixed IEEE expression with the literal probability;
+    out-of-design categories raise in-plan."""
+    from hdfe_spark.operators.stats import chi2_gof_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        F.when(F.col("event_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+    )
+    out = chi2_gof_by(base, "segment", "arm", {"even": 0.5, "odd": 0.5})
+    return out.select(
+        "segment", "n", _pround("chi2").alias("chi2"), "dof"
+    )
+
+
 def _q_streaming_welch(spark, sf_dir):
     """Twenty-third streaming form (`streaming/ops.py::
     streaming_welch`): per-segment Welch t between click and view
@@ -6573,6 +6596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_by": _q_welch_by,
         "ks_by": _q_ks_by,
         "streaming_welch": _q_streaming_welch,
+        "srm_check": _q_srm_check,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -10775,6 +10799,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d_num AS DOUBLE)
                      / (CAST(na AS DOUBLE) * nb) AS d
             FROM tot, mx
+        """,
+        "srm_check": """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_id % 2 = 0
+                       THEN 1 END), 0) AS BIGINT) AS o0,
+                     CAST(COALESCE(sum(CASE WHEN event_id % 2 <> 0
+                       THEN 1 END), 0) AS BIGINT) AS o1
+              FROM events GROUP BY 1),
+            st AS (
+              SELECT segment, o0, o1,
+                     CAST(o0 + o1 AS BIGINT) AS n,
+                     CAST(o0 + o1 AS DOUBLE) AS nd
+              FROM m)
+            SELECT segment, n,
+                   floor((
+                     (CAST(o0 AS DOUBLE) - nd * 0.5)
+                     * (CAST(o0 AS DOUBLE) - nd * 0.5)
+                     / (nd * 0.5)
+                     + (CAST(o1 AS DOUBLE) - nd * 0.5)
+                       * (CAST(o1 AS DOUBLE) - nd * 0.5)
+                       / (nd * 0.5)
+                   ) * 1e9 + 0.5) / 1e9 AS chi2,
+                   CAST(1 AS BIGINT) AS dof
+            FROM st
         """,
         "ks_by": """
             WITH cells AS (

@@ -4082,6 +4082,77 @@ def mcnemar_test(
     )
 
 
+def chi2_gof_by(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    probs: dict,
+) -> DataFrame:
+    """Per-group chi-squared GOODNESS-OF-FIT against SPECIFIED
+    category probabilities — the sample-ratio-mismatch (SRM) check
+    every experimentation platform runs per experiment
+    ("was this 50/50 split actually 50/50?"), and the 1-way
+    companion of `chi2_independence`'s 2-way test.
+
+    chi2_g = Σ_c (obs_c - n_g*p_c)² / (n_g*p_c) over the categories
+    of ``probs`` (validated: positive, summing to 1 within 1e-9).
+    Per-category counts come from ONE conditional aggregation (the
+    category set is a static literal, the ndcg_by convention) —
+    exact integers; each term is a fixed IEEE expression with the
+    literal p_c. A category outside ``probs`` (including NULL)
+    raises IN-PLAN (an arm not in the design is a caller bug a
+    quiet filter would absorb — the `_bin01` convention). Returns
+    one row per group: (group, n, chi2, dof) with dof = k-1.
+
+    Scale: one map-side-combined aggregation keyed on the group;
+    no window, no join, no driver collect."""
+    if not probs:
+        raise ValueError("chi2_gof_by: probs must be non-empty")
+    cats = list(probs)
+    ps = [float(probs[c]) for c in cats]
+    if any(p <= 0.0 for p in ps):
+        raise ValueError("chi2_gof_by: every probability must be > 0")
+    if abs(sum(ps) - 1.0) > 1e-9:
+        raise ValueError(
+            f"chi2_gof_by: probabilities sum to {sum(ps)!r}, not 1"
+        )
+    cat = F.col(cat_col)
+    guarded = F.when(
+        cat.isNull() | ~cat.isin(cats),
+        F.raise_error(
+            F.concat(
+                F.lit("chi2_gof_by: category outside the design: "),
+                F.coalesce(cat.cast("string"), F.lit("NULL")),
+            )
+        ),
+    ).otherwise(cat)
+    obs = [
+        F.coalesce(
+            F.sum(F.when(guarded == F.lit(c), F.lit(1))), F.lit(0)
+        ).cast("long").alias(f"__o{i}")
+        for i, c in enumerate(cats)
+    ]
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(*obs)
+    n = sum((F.col(f"__o{i}") for i in range(1, len(cats))),
+            F.col("__o0")).cast("long")
+    staged = agg.select("__g", *[f"__o{i}" for i in range(len(cats))],
+                        n.alias("n"))
+    nd = F.col("n").cast("double")
+    terms = None
+    for i, p in enumerate(ps):
+        e = nd * F.lit(p)
+        t = (F.col(f"__o{i}").cast("double") - e) * (
+            F.col(f"__o{i}").cast("double") - e
+        ) / e
+        terms = t if terms is None else terms + t
+    return staged.select(
+        F.col("__g").alias(group_col),
+        "n",
+        terms.alias("chi2"),
+        F.lit(len(cats) - 1).cast("long").alias("dof"),
+    )
+
+
 def cramers_v(
     df: DataFrame,
     col_a: str,

@@ -217,3 +217,28 @@ def test_ks_by_matches_global_per_group(spark):
     # group-partitioned windows only: no SinglePartition
     plan = ks_by(df, "g", "s", "v", "A", "B")._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_chi2_gof_by_srm(spark):
+    from hdfe_spark.operators.stats import chi2_gof_by
+
+    rows = (
+        [("e1", "A")] * 60 + [("e1", "B")] * 40
+        + [("e2", "A")] * 50 + [("e2", "B")] * 50
+    )
+    df = spark.createDataFrame(rows, "g string, arm string")
+    out = {
+        r["g"]: r
+        for r in chi2_gof_by(df, "g", "arm", {"A": 0.5, "B": 0.5}).collect()
+    }
+    # e1: exp 50/50, obs 60/40 -> chi2 = 100/50 + 100/50 = 4
+    assert out["e1"]["chi2"] == 4.0 and out["e1"]["n"] == 100
+    assert out["e2"]["chi2"] == 0.0 and out["e1"]["dof"] == 1
+    # out-of-design category (incl. NULL) raises in-plan
+    bad = df.union(spark.createDataFrame([("e1", "C")], "g string, arm string"))
+    with pytest.raises(Exception, match="outside the design"):
+        chi2_gof_by(bad, "g", "arm", {"A": 0.5, "B": 0.5}).collect()
+    with pytest.raises(ValueError, match="sum to"):
+        chi2_gof_by(df, "g", "arm", {"A": 0.5, "B": 0.4})
+    with pytest.raises(ValueError, match="> 0"):
+        chi2_gof_by(df, "g", "arm", {"A": 1.5, "B": -0.5})

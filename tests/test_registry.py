@@ -46,13 +46,13 @@ def test_round11_window_composition():
     # positions 51-53: the round-11 registrations (blocked series
     # folds — never driver-recorded, they lead the round-12
     # rotation), then the remaining r04 re-certs stalest-first
-    assert q[50:61] == [
+    assert q[50:62] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
-        "streaming_welch",
+        "streaming_welch", "srm_check",
     ]
-    assert q[61] == "equidepth_hist"
+    assert q[62] == "equidepth_hist"
     # the 50 round-10-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r10_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -64,7 +64,7 @@ def test_round11_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 299
+    assert len(q) == 300
 
 
 def test_every_query_has_callable():

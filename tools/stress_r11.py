@@ -185,6 +185,37 @@ def stress_ewma100m():
     spark.stop()
 
 
+def stress_holt100m():
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import holt_blocked
+
+    spark = _spark()
+    c = 3.1416015625  # dyadic constant; alpha = gamma = 0.5
+    df = spark.range(0, N100, 1, 128).select(
+        F.lit("hot").alias("k"),
+        F.col("id").alias("t"),
+        F.lit(c).alias("v"),
+    )
+    t0 = time.time()
+    row = holt_blocked(
+        df, "k", "t", "v", 0.5, 0.5,
+        block_len=262_144, max_blocks=400,
+    ).collect()[0]
+    dt = time.time() - t0
+    # constant series: level = c, trend = 0 in exact arithmetic; the
+    # blocked composition re-associates, so assert at 1e-12 rel
+    rel_l = abs(row["level"] - c) / c
+    ok = rel_l < 1e-12 and abs(row["trend"]) < 1e-9 and row["n"] == N100
+    print(
+        f"holt100m: n={row['n']} level={row['level']!r} "
+        f"trend={row['trend']!r} rel_l={rel_l:.1e} ok={ok} "
+        f"wall={dt:.1f}s"
+    )
+    assert ok
+    spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("cusum100m", "all"):
@@ -193,3 +224,5 @@ if __name__ == "__main__":
         stress_boundary()
     if which in ("ewma100m", "all"):
         stress_ewma100m()
+    if which in ("holt100m",):
+        stress_holt100m()
