@@ -6424,7 +6424,11 @@ def _q_srm_check(spark, sf_dir):
     from hdfe_spark.operators.stats import chi2_gof_by
 
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
+    # event_id IS NOT NULL on BOTH sides: otherwise Spark's
+    # otherwise('odd') would count a NULL id as odd while the
+    # oracle's CASE drops it from both counters (review r11,
+    # third pass)
+    base = ev.filter(F.col("event_id").isNotNull()).select(
         (F.col("user_id") % 10).cast("long").alias("segment"),
         F.when(F.col("event_id") % 2 == 0, "even")
         .otherwise("odd")
@@ -10807,7 +10811,8 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 END), 0) AS BIGINT) AS o0,
                      CAST(COALESCE(sum(CASE WHEN event_id % 2 <> 0
                        THEN 1 END), 0) AS BIGINT) AS o1
-              FROM events GROUP BY 1),
+              FROM events WHERE event_id IS NOT NULL
+              GROUP BY 1),
             st AS (
               SELECT segment, o0, o1,
                      CAST(o0 + o1 AS BIGINT) AS n,

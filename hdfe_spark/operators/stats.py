@@ -4108,6 +4108,14 @@ def chi2_gof_by(
     no window, no join, no driver collect."""
     if not probs:
         raise ValueError("chi2_gof_by: probs must be non-empty")
+    if group_col in ("n", "chi2", "dof"):
+        # the output schema is (group, n, chi2, dof): a group column
+        # named like a fixed output would yield duplicate column
+        # names and AMBIGUOUS_REFERENCE downstream (review r11)
+        raise ValueError(
+            f"chi2_gof_by: group_col {group_col!r} collides with a"
+            " fixed output column (n/chi2/dof) — rename it upstream"
+        )
     cats = list(probs)
     ps = [float(probs[c]) for c in cats]
     if any(p <= 0.0 for p in ps):

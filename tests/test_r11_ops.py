@@ -233,7 +233,8 @@ def test_chi2_gof_by_srm(spark):
     }
     # e1: exp 50/50, obs 60/40 -> chi2 = 100/50 + 100/50 = 4
     assert out["e1"]["chi2"] == 4.0 and out["e1"]["n"] == 100
-    assert out["e2"]["chi2"] == 0.0 and out["e1"]["dof"] == 1
+    assert out["e2"]["chi2"] == 0.0 and out["e2"]["dof"] == 1
+    assert out["e1"]["dof"] == 1
     # out-of-design category (incl. NULL) raises in-plan
     bad = df.union(spark.createDataFrame([("e1", "C")], "g string, arm string"))
     with pytest.raises(Exception, match="outside the design"):
@@ -242,3 +243,25 @@ def test_chi2_gof_by_srm(spark):
         chi2_gof_by(df, "g", "arm", {"A": 0.5, "B": 0.4})
     with pytest.raises(ValueError, match="> 0"):
         chi2_gof_by(df, "g", "arm", {"A": 1.5, "B": -0.5})
+
+
+def test_new_per_group_plans_have_no_single_partition(spark):
+    from hdfe_spark.operators.stats import chi2_gof_by, welch_by, zscore_by
+
+    rows = [("g1", "A", 1.0), ("g1", "B", 2.0), ("g2", "A", 3.0)]
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    for op in (
+        welch_by(df, "g", "arm", "v", "A", "B"),
+        zscore_by(df, "g", "v"),
+        chi2_gof_by(df, "g", "arm", {"A": 0.5, "B": 0.5}),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+def test_chi2_gof_by_reserved_group_name_raises(spark):
+    from hdfe_spark.operators.stats import chi2_gof_by
+
+    df = spark.createDataFrame([("e1", "A")], "n string, arm string")
+    with pytest.raises(ValueError, match="collides with a fixed output"):
+        chi2_gof_by(df, "n", "arm", {"A": 1.0})

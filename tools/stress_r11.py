@@ -224,5 +224,12 @@ if __name__ == "__main__":
         stress_boundary()
     if which in ("ewma100m", "all"):
         stress_ewma100m()
+    if which == "all":
+        print(
+            "holt100m: SKIPPED from the all-path — needs a 48 GiB"
+            " driver heap (SPARK_DRIVER_MEM=48g); run"
+            " `SPARK_DRIVER_MEM=48g python tools/stress_r11.py"
+            " holt100m` explicitly (see SCALE.md)"
+        )
     if which in ("holt100m",):
         stress_holt100m()
