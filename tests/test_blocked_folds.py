@@ -152,3 +152,20 @@ def test_sequential_guard_names_blocked_variants(spark):
     )
     with pytest.raises(Exception, match="ewma_blocked"):
         ewma(df, "k", "t", "v", 0.5, max_series_len=3).collect()
+
+
+def test_blocked_fold_null_key_is_a_key(spark):
+    """The hll_by convention holds through the blocked path: a NULL
+    key is its own key (eqNullSafe join of the per-key stats), and
+    its multi-block fold matches the sequential operator."""
+    rows = [(None, t, float(t % 5)) for t in range(40)]
+    rows += [("a", t, 1.0 + t) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    seq = {r["k"]: r["ewma"] for r in ewma(df, "k", "t", "v", 0.4).collect()}
+    blk = {
+        r["k"]: r["ewma"]
+        for r in ewma_blocked(df, "k", "t", "v", 0.4, block_len=8).collect()
+    }
+    assert set(map(str, seq)) == set(map(str, blk)) == {"None", "a"}
+    assert blk[None] == pytest.approx(seq[None], rel=1e-12)
+    assert blk["a"] == seq["a"]  # single block: bit-identical

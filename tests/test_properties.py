@@ -627,3 +627,38 @@ def test_blocked_cusum_integer_deltas_bit_exact_any_blocking(
         ).collect()
     }
     assert blk == seq
+
+
+@SLOW
+@given(
+    data=keyed_series(),
+    alpha=st.floats(min_value=0.1, max_value=0.9),
+    gamma=st.floats(min_value=0.1, max_value=0.9),
+)
+def test_blocked_holt_matches_sequential_any_series(
+    spark, data, alpha, gamma
+):
+    """The 2x2 affine composition: for ANY keyed series and block
+    size, blocked holt agrees with the sequential fold to tight rel
+    tolerance on level/trend/forecast."""
+    from hdfe_spark.operators.stats import holt, holt_blocked
+
+    keys, vals, block_len = data
+    rows = [(str(k), i, v) for i, (k, v) in enumerate(zip(keys, vals))]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    cols = ("level", "trend", "forecast")
+    seq = {
+        r["k"]: tuple(r[c] for c in cols)
+        for r in holt(df, "k", "t", "v", alpha, gamma).collect()
+    }
+    blk = {
+        r["k"]: tuple(r[c] for c in cols)
+        for r in holt_blocked(
+            df, "k", "t", "v", alpha, gamma,
+            block_len=block_len, max_blocks=64,
+        ).collect()
+    }
+    assert set(seq) == set(blk)
+    for k in seq:
+        for s, b in zip(seq[k], blk[k]):
+            assert b == pytest.approx(s, rel=1e-8, abs=1e-8), k
