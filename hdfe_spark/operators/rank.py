@@ -432,3 +432,112 @@ def grouped_weighted_quantiles(
         for p in pcts
     ]
     return g.select(group_col, F.inline(F.array(*structs)))
+
+
+def grouped_quantiles_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group SKETCH quantiles (``percentile_approx``,
+    Greenwald-Khanna-style rank error <= 1/accuracy) — the
+    bounded-memory scale path for billion-row groups, where the
+    exact ``percentile`` (which sorts each group inside its
+    aggregation buffer — the `grouped_quantiles` / `winsorize_by`
+    audit path) no longer fits a task. One aggregation; sketch
+    memory is O(accuracy * log n) per group regardless of group
+    size. Returns one row per group: (group, n, q0..q{k-1}).
+
+    The sketch's returned VALUES can legally vary with partition
+    merge order, so they are not oracle-hashable — the registered
+    driver query is `grouped_quantiles_approx_certificate`, which
+    re-ranks every returned value exactly in a second scan and
+    checks the per-group GK bound (the `approx_quantiles`
+    convention, stratified)."""
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(
+            "grouped_quantiles_approx: probs must be in [0, 1]"
+        )
+    if accuracy < 1:
+        raise ValueError("grouped_quantiles_approx: accuracy >= 1")
+    agg = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("__g")
+    ).agg(
+        F.percentile_approx(
+            value_col, F.lit(probs), F.lit(int(accuracy))
+        ).alias("__qv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n",
+        *[
+            F.col("__qv")[i].alias(f"q{i}")
+            for i in range(len(probs))
+        ],
+    )
+
+
+def grouped_quantiles_approx_certificate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group accuracy certificate for
+    `grouped_quantiles_approx`: every group's returned value is
+    re-ranked EXACTLY in a second scan and its tie-robust rank
+    interval [#{x < v}, #{x <= v}] / n_g must intersect
+    [p - eps, p + eps] with eps = 1/accuracy (+1/n_g discreteness
+    + fp slack) — the GK guarantee, checked per group. Emits only
+    scale-stable facts: (group, n, n_probs, within_bound); sketch
+    values never appear in the output (their exact bits can vary
+    with partition merge order).
+
+    Scale: two scans — the sketch aggregation, then one join of the
+    group-cardinality sketch table back onto the data (AQE-planned)
+    with conditional counters. No window, no sort."""
+    probs = [float(p) for p in probs]
+    sk = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("__g")
+    ).agg(
+        F.percentile_approx(
+            value_col, F.lit(probs), F.lit(int(accuracy))
+        ).alias("__qv"),
+    )
+    probe = df.filter(F.col(value_col).isNotNull()).join(
+        sk, F.col(group_col).eqNullSafe(F.col("__g"))
+    )
+    counters = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(len(probs)):
+        counters.append(
+            F.sum(
+                F.when(F.col(value_col) < F.col("__qv")[i], 1)
+                .otherwise(0)
+            ).cast("long").alias(f"__lt{i}")
+        )
+        counters.append(
+            F.sum(
+                F.when(F.col(value_col) <= F.col("__qv")[i], 1)
+                .otherwise(0)
+            ).cast("long").alias(f"__le{i}")
+        )
+    checked = probe.groupBy("__g").agg(*counters)
+    nd = F.col("n").cast("double")
+    eps = F.lit(1.0 / int(accuracy) + 1e-9) + F.lit(1.0) / nd
+    within = None
+    for i, p in enumerate(probs):
+        lo_ok = F.col(f"__lt{i}").cast("double") / nd - F.lit(p) <= eps
+        hi_ok = F.lit(p) - F.col(f"__le{i}").cast("double") / nd <= eps
+        c = lo_ok & hi_ok
+        within = c if within is None else (within & c)
+    return checked.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.lit(len(probs)).cast("long").alias("n_probs"),
+        within.alias("within_bound"),
+    )

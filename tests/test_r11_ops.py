@@ -265,3 +265,31 @@ def test_chi2_gof_by_reserved_group_name_raises(spark):
     df = spark.createDataFrame([("e1", "A")], "n string, arm string")
     with pytest.raises(ValueError, match="collides with a fixed output"):
         chi2_gof_by(df, "n", "arm", {"A": 1.0})
+
+
+def test_grouped_quantiles_approx_and_certificate(spark):
+    """Round-12 pre-build: per-group sketch quantiles + the per-group
+    GK-bound certificate (registration deferred to the r12 window)."""
+    import random
+
+    from hdfe_spark.operators.rank import (
+        grouped_quantiles_approx,
+        grouped_quantiles_approx_certificate,
+    )
+
+    rng = random.Random(9)
+    rows = [(g, rng.uniform(0, 100)) for g in ("a", "b") for _ in range(3000)]
+    rows += [(None, float(v)) for v in range(100)]  # NULL group is a group
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in grouped_quantiles_approx(df, "g", "v", (0.25, 0.5, 0.9)).collect()
+    }
+    assert out["a"]["n"] == 3000 and abs(out["a"]["q1"] - 50.0) < 5.0
+    assert out[None]["n"] == 100
+    cert = grouped_quantiles_approx_certificate(
+        df, "g", "v", (0.25, 0.5, 0.9)
+    ).collect()
+    assert len(cert) == 3 and all(r["within_bound"] for r in cert)
+    with pytest.raises(ValueError, match="probs"):
+        grouped_quantiles_approx(df, "g", "v", (1.5,))
