@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdfe_spark.operators._guards import no_output_collision
+
 _D38 = "decimal(38,0)"
 
 
@@ -582,6 +584,9 @@ def ndcg_by(
     """
     if k < 1:
         raise ValueError("ndcg_by: k must be >= 1")
+    no_output_collision(
+        "ndcg_by", "query_col", query_col, ("n", "dcg_q", "idcg_q", "ndcg")
+    )
     from hdfe_spark.operators.stats import _check_integral_y
 
     _check_integral_y(
@@ -761,6 +766,12 @@ def avg_precision_by(
             " overflow"
         )
     _guard_binary_label("avg_precision_by", df, rel_col)
+    no_output_collision(
+        "avg_precision_by",
+        "query_col",
+        query_col,
+        ("n", "n_rel", "ap_num", "ap"),
+    )
     L = math.lcm(*range(1, k + 1))
     lw = {r: L // r for r in range(1, k + 1)}
     base, w = _retrieval_base(
@@ -822,6 +833,12 @@ def recall_at_k_by(
     if k < 1:
         raise ValueError("recall_at_k_by: k must be >= 1")
     _guard_binary_label("recall_at_k_by", df, rel_col)
+    no_output_collision(
+        "recall_at_k_by",
+        "query_col",
+        query_col,
+        ("n", "n_rel", "n_hit", "precision", "recall"),
+    )
     base, w = _retrieval_base(
         df, query_col, id_col, score_col, rel_col,
         _bin01("recall_at_k_by", rel_col, F.col(rel_col).cast("long")),

@@ -28,6 +28,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdfe_spark.operators._guards import quote_ident
 from hdfe_spark.operators.rank import prefix_sum
 
 
@@ -51,7 +52,12 @@ def pack_sequences(
     )
     prefix = F.col("__cum") - F.col(token_col)  # exclusive running total
     return (
-        cum.withColumn(bin_col, F.expr(f"(__cum - {token_col}) div {capacity}"))
+        cum.withColumn(
+            bin_col,
+            F.expr(
+                f"(__cum - {quote_ident(token_col)}) div {capacity}"
+            ),
+        )
         .withColumn(offset_col, prefix % capacity)
         .drop("__cum")
     )

@@ -29,6 +29,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdfe_spark.operators._guards import quote_ident
+
 
 def range_join(
     left: DataFrame,
@@ -61,12 +63,14 @@ def range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.expr(f"{right_start} div {w}"),
-                F.expr(f"{right_end} div {w}"),
+                F.expr(f"{quote_ident(right_start)} div {w}"),
+                F.expr(f"{quote_ident(right_end)} div {w}"),
             )
         ),
     )
-    l = left.withColumn("__bucket", F.expr(f"{left_point} div {w}"))
+    l = left.withColumn(
+        "__bucket", F.expr(f"{quote_ident(left_point)} div {w}")
+    )
     cond = (F.col(left_point) >= F.col(right_start)) & (
         F.col(left_point) < F.col(right_end)
     )
@@ -113,8 +117,8 @@ def interval_overlap_join(
             "__bucket",
             F.explode(
                 F.sequence(
-                    F.expr(f"{start} div {w}"),
-                    F.expr(f"({end} - 1) div {w}"),
+                    F.expr(f"{quote_ident(start)} div {w}"),
+                    F.expr(f"({quote_ident(end)} - 1) div {w}"),
                 )
             ),
         )

@@ -46,6 +46,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hdfe_spark.operators._guards import no_output_collision
+
 _PID_SHIFT = 33  # monotonically_increasing_id packs pid << 33 | row
 
 
@@ -83,21 +85,17 @@ def _pid() -> Column:
     return F.shiftright(F.col("__mid"), _PID_SHIFT)
 
 
-def global_rank(
+def global_rank_with_total(
     df: DataFrame,
     order_by: Sequence[str],
     rank_col: str = "rank",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Add an exact 1-based global ``rank_col`` with ``row_number``
-    semantics (offset + local position) under the REQUIRED total
-    order ``order_by`` — it equals ``rank``/``dense_rank`` only
-    because the order is total (no ties); with a tied ordering the
-    result is neither dense_rank nor deterministic, which is why the
-    module contract demands a unique tiebreak column. Computed
-    without a single-partition sort: see module docstring for the
-    three-phase plan; cost is one range shuffle + one pinned
-    materialization, vs. WindowExec's one-task funnel."""
+) -> "tuple[DataFrame, int]":
+    """`global_rank` plus the exact total row count as a second
+    return value — the per-partition counts the offset phase already
+    collects sum to it, so callers that would otherwise run a second
+    full ``count()`` job over the ranked output (`_blocked_series`,
+    `exact_ntile` — advice r12) get the total for free."""
     spark = df.sparkSession
     pinned = _pinned_sorted(df, order_by, num_partitions)
     pid = _pid().alias("__pid")
@@ -115,12 +113,34 @@ def global_rank(
     off = F.broadcast(
         spark.createDataFrame(offsets, "__pid long, __off long")
     )
-    return (
+    ranked = (
         pinned.withColumn("__pid", pid)
         .join(off, "__pid")
         .withColumn(rank_col, F.col("__off") + local + 1)
         .drop("__pid", "__off", "__mid")
     )
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based global ``rank_col`` with ``row_number``
+    semantics (offset + local position) under the REQUIRED total
+    order ``order_by`` — it equals ``rank``/``dense_rank`` only
+    because the order is total (no ties); with a tied ordering the
+    result is neither dense_rank nor deterministic, which is why the
+    module contract demands a unique tiebreak column. Computed
+    without a single-partition sort: see module docstring for the
+    three-phase plan; cost is one range shuffle + one pinned
+    materialization, vs. WindowExec's one-task funnel."""
+    ranked, _ = global_rank_with_total(
+        df, order_by, rank_col=rank_col, num_partitions=num_partitions
+    )
+    return ranked
 
 
 def exact_ntile(
@@ -133,10 +153,9 @@ def exact_ntile(
     """Exact SQL-NTILE tile assignment under a total order, with no
     Window operator in the plan. Hash-matches
     ``ntile(n) OVER (ORDER BY ...)`` on any engine."""
-    ranked = global_rank(
+    ranked, total = global_rank_with_total(
         df, order_by, rank_col="__rank", num_partitions=num_partitions
     )
-    total = ranked.count()  # cheap: counts the pinned blocks
     # SQL NTILE semantics: the first N % k tiles hold one row MORE
     # (all big tiles first — not the Bresenham even spread). Integer
     # `div`, not float `/`+cast: exact at any rank magnitude.
@@ -463,6 +482,12 @@ def grouped_quantiles_approx(
         )
     if accuracy < 1:
         raise ValueError("grouped_quantiles_approx: accuracy >= 1")
+    no_output_collision(
+        "grouped_quantiles_approx",
+        "group_col",
+        group_col,
+        ("n", *[f"q{i}" for i in range(len(probs))]),
+    )
     agg = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col).alias("__g")
     ).agg(
@@ -502,6 +527,12 @@ def grouped_quantiles_approx_certificate(
     group-cardinality sketch table back onto the data (AQE-planned)
     with conditional counters. No window, no sort."""
     probs = [float(p) for p in probs]
+    no_output_collision(
+        "grouped_quantiles_approx_certificate",
+        "group_col",
+        group_col,
+        ("n", "n_probs", "within_bound"),
+    )
     sk = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col).alias("__g")
     ).agg(

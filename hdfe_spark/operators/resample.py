@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hdfe_spark.operators._guards import quote_ident
+
 
 def resample_events(
     df: DataFrame,
@@ -45,7 +47,9 @@ def resample_events(
     the time range."""
     w = int(bin_us)
     binned = (
-        df.withColumn("__bin", F.expr(f"{ts_us_col} div {w}"))
+        df.withColumn(
+            "__bin", F.expr(f"{quote_ident(ts_us_col)} div {w}")
+        )
         .groupBy(entity_col, "__bin")
         .agg(
             F.count(F.lit(1)).alias("__n"),

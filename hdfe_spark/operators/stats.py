@@ -45,6 +45,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hdfe_spark.operators._guards import (
+    no_inplace_overwrite,
+    no_output_collision,
+    quote_ident,
+)
 
 
 def _dup_order_guard(op_name: str, key_col: str, result):
@@ -211,7 +216,7 @@ def _blocked_series(
     array ``_bs`` (<= block_len elements), its block id ``_blk``,
     and the per-key ``n`` / ``_n_ord`` columns the duplicate-order
     and capacity guards consume."""
-    from hdfe_spark.operators.rank import global_rank
+    from hdfe_spark.operators.rank import global_rank_with_total
 
     if block_len < 2:
         raise ValueError(f"{op_name}: block_len must be >= 2")
@@ -226,7 +231,9 @@ def _blocked_series(
     )
     # (key, order) is a total order iff order is unique per key —
     # exactly the family's duplicate-order contract, checked below
-    ranked = global_rank(base, ["__k", "__o"], rank_col="__gpos")
+    ranked, n_total = global_rank_with_total(
+        base, ["__k", "__o"], rank_col="__gpos"
+    )
     per_key = ranked.groupBy("__k").agg(
         F.min("__gpos").alias("__p0"),
         F.count(F.lit(1)).alias("n"),
@@ -279,9 +286,9 @@ def _blocked_series(
     # Repartitioning by (key, block) into ~one-block partitions
     # bounds each task at ~block_len boxed elements; the groupBy
     # below sees its clustering satisfied, so this REPLACES (not
-    # adds to) the aggregation exchange. The count is a cheap job on
-    # the pinned rank output.
-    n_total = ranked.count()
+    # adds to) the aggregation exchange. The total comes free from
+    # the rank phase's per-partition offset counts (advice r12) —
+    # no second count job over the pinned output.
     from hdfe_spark.operators.rank import shuffle_partitions
 
     default_parts = shuffle_partitions(df.sparkSession)
@@ -1274,6 +1281,9 @@ def ks_by(
     is empty return NULL d (the thin-arm `welch_by` convention);
     NULL values are excluded; a NULL group is itself a group.
     Returns one row per group: (group, n_a, n_b, d_num, d)."""
+    no_output_collision(
+        "ks_by", "group_col", group_col, ("n_a", "n_b", "d_num", "d")
+    )
     sv = F.col(side_col)
     cells = (
         df.filter(
@@ -1467,6 +1477,15 @@ def welch_by(
     Scale: ONE shuffle on the group (conditional per-arm moments in
     the same aggregation — never a self-join of two filtered
     scans), then pure row expressions."""
+    no_output_collision(
+        "welch_by",
+        "group_col",
+        group_col,
+        (
+            "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+            "t_stat", "dof",
+        ),
+    )
     v = F.col(value_col)
     u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
     is_a = F.col(arm_col) == F.lit(arm_a)
@@ -1549,6 +1568,7 @@ def zscore_by(
     Scale: one shuffle for the per-group moments, one AQE-planned
     join back (group-cardinality-sized), pure row expressions after
     — no window over data rows, no driver collect."""
+    no_inplace_overwrite("zscore_by", out_col, df.columns)
     u = F.round(F.col(value_col) * F.lit(float(scale))).cast(
         "decimal(38,0)"
     )
@@ -1610,12 +1630,14 @@ def winsorize_by(
         raise ValueError(
             "winsorize_by: need 0 <= p_lo < p_hi <= 1"
         )
+    no_inplace_overwrite("winsorize_by", out_col, df.columns)
+    vq = quote_ident(value_col)
     cuts = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("__g"))
         .agg(
-            F.expr(f"percentile({value_col}, {p_lo!r})").alias("__lo"),
-            F.expr(f"percentile({value_col}, {p_hi!r})").alias("__hi"),
+            F.expr(f"percentile({vq}, {p_lo!r})").alias("__lo"),
+            F.expr(f"percentile({vq}, {p_hi!r})").alias("__hi"),
         )
     )
     return (
@@ -2464,7 +2486,11 @@ def brown_forsythe(
     ssb, ssw (z-units)."""
     med = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col).alias("__g")
-    ).agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    ).agg(
+        F.expr(f"percentile({quote_ident(value_col)}, 0.5)").alias(
+            "__med"
+        )
+    )
     dev = (
         df.filter(F.col(value_col).isNotNull())
         .join(F.broadcast(med), F.col(group_col) == F.col("__g"))
@@ -4108,14 +4134,13 @@ def chi2_gof_by(
     no window, no join, no driver collect."""
     if not probs:
         raise ValueError("chi2_gof_by: probs must be non-empty")
-    if group_col in ("n", "chi2", "dof"):
-        # the output schema is (group, n, chi2, dof): a group column
-        # named like a fixed output would yield duplicate column
-        # names and AMBIGUOUS_REFERENCE downstream (review r11)
-        raise ValueError(
-            f"chi2_gof_by: group_col {group_col!r} collides with a"
-            " fixed output column (n/chi2/dof) — rename it upstream"
-        )
+    # the output schema is (group, n, chi2, dof): a group column
+    # named like a fixed output would yield duplicate column names
+    # and AMBIGUOUS_REFERENCE downstream (review r11; factored into
+    # the shared guard for the whole grouped family, advice r12)
+    no_output_collision(
+        "chi2_gof_by", "group_col", group_col, ("n", "chi2", "dof")
+    )
     cats = list(probs)
     ps = [float(probs[c]) for c in cats]
     if any(p <= 0.0 for p in ps):

@@ -38,6 +38,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdfe_spark.operators._guards import quote_ident
+
 
 def _rule_exprs(rule: dict, streaming: bool = False):
     """Compile one rule into (metric expression, threshold, label).
@@ -256,7 +258,9 @@ def mad_outliers(
     statistics (selection + one interpolation), never float sums.
     """
     if accuracy is None:
-        med_fn = lambda c: F.expr(f"percentile({c}, 0.5)")  # noqa: E731
+        med_fn = lambda c: F.expr(  # noqa: E731
+            f"percentile({quote_ident(c)}, 0.5)"
+        )
     else:
         med_fn = lambda c: F.percentile_approx(  # noqa: E731
             c, 0.5, accuracy
