@@ -823,6 +823,28 @@ def _q_grouped_quantiles(spark, sf_dir):
     )
 
 
+def _q_grouped_quantiles_approx_certificate(spark, sf_dir):
+    """Per-group GK-bound certificate for the SKETCH quantile path
+    (``rank.grouped_quantiles_approx`` — the bounded-memory route
+    for billion-row groups, where exact ``percentile``'s in-buffer
+    per-group sort can't fit a task; reference analogue: the
+    grouped-aggregate surface, hdfe/groupby.py:123-148, at scales
+    the exact path can't serve). Sketch VALUES are legally
+    merge-order-dependent, so the registered output is the
+    scale-stable certificate (the `approx_quantiles` convention,
+    stratified): every returned value is re-ranked EXACTLY in a
+    second scan and its tie-robust rank interval must satisfy the
+    1/accuracy GK bound per group."""
+    from hdfe_spark.operators.rank import (
+        grouped_quantiles_approx_certificate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_quantiles_approx_certificate(
+        li, "l_returnflag", "l_extendedprice"
+    )
+
+
 def _q_scalar_funcs(spark, sf_dir):
     """String / date / JSON scalar functions in one projection
     (rubric: the reference has no scalar-function surface at all).
@@ -6507,108 +6529,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window (each round records exactly the first 50 dict
     entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-11 ROTATION (fifteenth curation pass), executed exactly as
-    queued in SURVEY.md after CORRECTNESS_r10 came back 50/50 green:
+    ROUND-12 ROTATION (sixteenth curation pass), executed exactly as
+    queued in SURVEY.md after CORRECTNESS_r11 came back 50/50 green:
 
-    - positions 1-27: the 27 round-10 registrations (`mst`
-      `weighted_sample_by` `confusion` `pr_at_k` `ndcg` `lift`
-      `cuped` `link_predict` `skipgrams` `gopher`
-      `streaming_confusion` `kruskal` `auc_by` `kappa` `brier`
-      `silhouette` `streaming_gopher` `spearman_by` `entropy_by`
-      `ece` `streaming_brier` `als` `logrank` `mcnemar` `cramers`
-      `gini_by` `streaming_ece`) -- the only oracle-checked queries
-      with no driver CORRECTNESS row yet.
-    - positions 28-50: the 23 stalest driver-green re-certs
-      (`scalar_funcs` .. `cube_agg`, all carrying r04 evidence).
+    - positions 1-13: the 13 oracle-checked queries with no driver
+      CORRECTNESS row yet -- the 12 round-11 registrations
+      (`ewma_blocked` `cusum_blocked` `holt_blocked` `mrr`
+      `avg_precision` `recall_at_k` `zscore_by` `topk_by` `welch_by`
+      `ks_by` `streaming_welch` `srm_check`) plus this round's
+      `grouped_quantiles_approx_certificate` registration.
+    - positions 14-50: the 37 stalest driver-green re-certs -- the
+      entire r05-evidence stratum (32 queries, `equidepth_hist` ..
+      `zorder_layout`) plus the 5-query head of the r06 stratum
+      (`agg_refresh` .. `dq_report`).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the remaining r04
-      rows (`equidepth_hist` onward), then the r05-r9 strata
-      unchanged, then the 50 round-10-window entries (fresh r10
-      evidence), and the 11 rows-only demos at the tail per the
-      VERDICT-r6 window policy.
+      next rotation is always "take the head": the remaining r06
+      rows (`dup_ngram_spans` onward), then the r07/r09/r10 strata,
+      then the 50 round-11-window entries (fresh r11 evidence), and
+      the 11 rows-only demos at the tail per the VERDICT-r6 window
+      policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 (round-11 rotation) ------
-        # 1-27: the 27 round-10 registrations -- the only oracle-
-        # checked queries with no driver CORRECTNESS row yet
-        "mst": _q_mst,
-        "weighted_sample_by": _q_weighted_sample_by,
-        "confusion": _q_confusion,
-        "pr_at_k": _q_pr_at_k,
-        "ndcg": _q_ndcg,
-        "lift": _q_lift,
-        "cuped": _q_cuped,
-        "link_predict": _q_link_predict,
-        "skipgrams": _q_skipgrams,
-        "gopher": _q_gopher,
-        "streaming_confusion": _q_streaming_confusion,
-        "kruskal": _q_kruskal,
-        "auc_by": _q_auc_by,
-        "kappa": _q_kappa,
-        "brier": _q_brier,
-        "silhouette": _q_silhouette,
-        "streaming_gopher": _q_streaming_gopher,
-        "spearman_by": _q_spearman_by,
-        "entropy_by": _q_entropy_by,
-        "ece": _q_ece,
-        "streaming_brier": _q_streaming_brier,
-        "als": _q_als,
-        "logrank": _q_logrank,
-        "mcnemar": _q_mcnemar,
-        "cramers": _q_cramers,
-        "gini_by": _q_gini_by,
-        "streaming_ece": _q_streaming_ece,
-        # 28-50: the 23 stalest driver-green re-certs (r04
-        # evidence, displaced across rounds 7-10)
-        "scalar_funcs": _q_scalar_funcs,
-        "se_cluster": _q_se_cluster,
-        "se_pooled": _q_se_pooled,
-        "set_ops": _q_set_ops,
-        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
-        "stratified_sample": _q_stratified_sample,
-        "streaming_agg": _q_streaming_agg,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_interval_join": _q_streaming_interval_join,
-        "streaming_lags": _q_streaming_lags,
-        "streaming_sessions": _q_streaming_sessions,
-        "streaming_window": _q_streaming_window,
-        "token_stats": _q_token_stats,
-        "window_funcs": _q_window_funcs,
-        "approx_quantiles": _q_approx_quantiles,
-        "array_funcs": _q_array_funcs,
-        "bigram_logprob": _q_bigram_logprob,
-        "bloom_join": _q_bloom_join,
-        "char_entropy": _q_char_entropy,
-        "chunk_docs": _q_chunk_docs,
-        "corr_matrix": _q_corr_matrix,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "cube_agg": _q_cube_agg,
-        # ------ end of the driver's 50-query window ------
-        # round-11 registrations (never driver-recorded -> they
-        # lead the round-12 rotation): the blocked series folds
+        # ------ driver window: positions 1-50 (round-12 rotation) ------
+        # 1-13: the 13 never-driver-recorded oracle-checked
+        # queries (the 12 round-11 registrations + this round's
+        # grouped_quantiles_approx_certificate registration --
+        # the bounded-memory grouped-quantile scale path)
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
-        # ... and the retrieval-eval completion (MRR / MAP / R@k)
         "mrr": _q_mrr,
         "avg_precision": _q_avg_precision,
         "recall_at_k": _q_recall_at_k,
-        # ... and the per-group feature-engineering staples
         "zscore_by": _q_zscore_by,
         "topk_by": _q_topk_by,
         "welch_by": _q_welch_by,
         "ks_by": _q_ks_by,
         "streaming_welch": _q_streaming_welch,
         "srm_check": _q_srm_check,
-        # backlog: every remaining oracle-checked query, ordered
-        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
-        # head of the backlog IS the next rotation's re-cert list;
-        # the 50 round-10-window entries (fresh r10 evidence) sit
-        # last before the 11 rows-only demos, which keep the tail
-        # (window slots go to hash-matchable rows only -- each
-        # demo's exactness certificate query is oracle-checked
-        # and driver-green)
+        "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
+        # 14-50: the 37 stalest driver-green re-certs (the whole
+        # r05-evidence stratum, 32 queries, + the 5-query head of
+        # the r06 stratum)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,
@@ -6646,6 +6609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": _q_date_parts,
         "decimal_agg": _q_decimal_agg,
         "dq_report": _q_dq_report,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
+        # head of the backlog IS the next rotation's re-cert list;
+        # the 50 round-11-window entries (fresh r11 evidence) sit
+        # last before the 11 rows-only demos, which keep the tail
+        # (window slots go to hash-matchable rows only -- each
+        # demo's exactness certificate query is oracle-checked
+        # and driver-green)
         "dup_ngram_spans": _q_dup_ngram_spans,
         "heavy_hitters": _q_heavy_hitters,
         "interval_join": _q_interval_join,
@@ -6786,7 +6758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": _q_transitions,
         "tree2": _q_tree2,
         "weighted_quantiles": _q_weighted_quantiles,
-        # freshest re-certs: the round-10 window (r10 evidence)
         "adaboost": _q_adaboost,
         "all_dummies": _q_all_dummies,
         "ann_lsh_recall": _q_ann_lsh_recall,
@@ -6837,7 +6808,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": _q_streaming_hll,
         "streaming_rake": _q_streaming_rake,
         "url_dedup": _q_url_dedup,
-        # rows-only demos (no oracle -- registry tail by policy)
+        "als": _q_als,
+        "approx_quantiles": _q_approx_quantiles,
+        "array_funcs": _q_array_funcs,
+        "auc_by": _q_auc_by,
+        "bigram_logprob": _q_bigram_logprob,
+        "bloom_join": _q_bloom_join,
+        "brier": _q_brier,
+        "char_entropy": _q_char_entropy,
+        "chunk_docs": _q_chunk_docs,
+        "confusion": _q_confusion,
+        "corr_matrix": _q_corr_matrix,
+        "cramers": _q_cramers,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "cube_agg": _q_cube_agg,
+        "cuped": _q_cuped,
+        "ece": _q_ece,
+        "entropy_by": _q_entropy_by,
+        "gini_by": _q_gini_by,
+        "gopher": _q_gopher,
+        "kappa": _q_kappa,
+        "kruskal": _q_kruskal,
+        "lift": _q_lift,
+        "link_predict": _q_link_predict,
+        "logrank": _q_logrank,
+        "mcnemar": _q_mcnemar,
+        "mst": _q_mst,
+        "ndcg": _q_ndcg,
+        "pr_at_k": _q_pr_at_k,
+        "scalar_funcs": _q_scalar_funcs,
+        "se_cluster": _q_se_cluster,
+        "se_pooled": _q_se_pooled,
+        "set_ops": _q_set_ops,
+        "silhouette": _q_silhouette,
+        "simhash_neardup_exactness": _q_simhash_neardup_exactness,
+        "skipgrams": _q_skipgrams,
+        "spearman_by": _q_spearman_by,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_agg": _q_streaming_agg,
+        "streaming_brier": _q_streaming_brier,
+        "streaming_confusion": _q_streaming_confusion,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_ece": _q_streaming_ece,
+        "streaming_gopher": _q_streaming_gopher,
+        "streaming_interval_join": _q_streaming_interval_join,
+        "streaming_lags": _q_streaming_lags,
+        "streaming_sessions": _q_streaming_sessions,
+        "streaming_window": _q_streaming_window,
+        "token_stats": _q_token_stats,
+        "weighted_sample_by": _q_weighted_sample_by,
+        "window_funcs": _q_window_funcs,
+        # rows-only demos (no oracle -- driver records a weaker
+        # rows-only check; kept out of the window per VERDICT r6)
         "bpe_merges": _q_bpe_merges,
         "ivfpq_topk": _q_ivfpq_topk,
         "pq_topk": _q_pq_topk,
@@ -7979,6 +8001,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(5 AS BIGINT) AS n_probs,
                    true AS within_bound
             FROM lineitem
+        """,
+        "grouped_quantiles_approx_certificate": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(3 AS BIGINT) AS n_probs,
+                   true AS within_bound
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY l_returnflag
         """,
         "key_skew": """
             WITH c AS (

@@ -20,51 +20,46 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round11_window_composition():
-    """Positions 1-50 (fifteenth curation pass, executed as queued
-    in SURVEY.md): 1-27 = the 27 round-10 registrations (the only
-    oracle-checked queries with no driver CORRECTNESS row), 28-50 =
-    the 23 stalest driver-green re-certs (`scalar_funcs` ..
-    `cube_agg`, r04 evidence); the backlog stays stalest-evidence-
-    first so its head IS the round-12 re-cert list, with the 50
-    round-10-window entries (fresh r10 evidence) last before the 11
-    rows-only demos at the tail. If this fails after an intentional
-    round-12 rotation, update the expectation alongside the
-    `queries()` docstring."""
+def test_round12_window_composition():
+    """Positions 1-50 (sixteenth curation pass, executed as queued
+    in SURVEY.md): 1-13 = the 13 never-driver-recorded oracle-checked
+    queries (the 12 round-11 registrations + this round's
+    `grouped_quantiles_approx_certificate` registration), 14-50 =
+    the 37 stalest driver-green re-certs (the whole r05 stratum,
+    `equidepth_hist` .. `zorder_layout`, + the 5-query head of the
+    r06 stratum, `agg_refresh` .. `dq_report`); the backlog stays
+    stalest-evidence-first so its head IS the round-13 re-cert list,
+    with the 50 round-11-window entries (fresh r11 evidence) last
+    before the 11 rows-only demos at the tail. If this fails after
+    an intentional round-13 rotation, update the expectation
+    alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:27] == [
-        "mst", "weighted_sample_by",
-        "confusion", "pr_at_k", "ndcg", "lift", "cuped",
-        "link_predict", "skipgrams", "gopher", "streaming_confusion",
-        "kruskal", "auc_by", "kappa", "brier", "silhouette",
-        "streaming_gopher",
-        "spearman_by", "entropy_by", "ece", "streaming_brier",
-        "als", "logrank",
-        "mcnemar", "cramers", "gini_by", "streaming_ece",
-    ]
-    assert q[27] == "scalar_funcs" and q[49] == "cube_agg"
-    # positions 51-53: the round-11 registrations (blocked series
-    # folds — never driver-recorded, they lead the round-12
-    # rotation), then the remaining r04 re-certs stalest-first
-    assert q[50:62] == [
+    assert q[:13] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
         "streaming_welch", "srm_check",
+        "grouped_quantiles_approx_certificate",
     ]
-    assert q[62] == "equidepth_hist"
-    # the 50 round-10-window entries (freshest evidence) sit last
+    assert q[13] == "equidepth_hist" and q[44] == "zorder_layout"
+    assert q[45:50] == [
+        "agg_refresh", "cms_certificate", "date_parts",
+        "decimal_agg", "dq_report",
+    ]
+    # backlog head = the remaining r06 stratum, stalest-first
+    assert q[50] == "dup_ngram_spans"
+    # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
-    r10_window = q[len(q) - 11 - 50 : len(q) - 11]
-    assert r10_window == sorted(r10_window)
-    assert r10_window[0] == "adaboost" and r10_window[-1] == "url_dedup"
+    r11_window = q[len(q) - 11 - 50 : len(q) - 11]
+    assert r11_window == sorted(r11_window)
+    assert r11_window[0] == "als" and r11_window[-1] == "window_funcs"
     # rows-only demos must all sit OUTSIDE the window, at the tail
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 300
+    assert len(q) == 301
 
 
 def test_every_query_has_callable():
