@@ -5348,6 +5348,33 @@ def _q_holt_winters(spark, sf_dir):
     )
 
 
+def _q_holt_winters_blocked(spark, sf_dir):
+    """Blocked additive Holt-Winters (`operators/stats.py::
+    holt_winters_blocked`, period=4, alpha=0.3, gamma=0.2,
+    delta=0.25): the K=period+2 state recursion as per-block affine
+    maps whose matrix part is DATA-INDEPENDENT (driver numpy sweep
+    M=T^len joined by block length), composed per key as K^2
+    offset-vector updates. Fixture keys are single-block
+    (bit-identical to `holt_winters` — the block-0 contract), so
+    the oracle is the sequential recursive CTE verbatim; multi-block
+    and 100M-scale coverage live in tests/test_r12_ops.py and
+    SCALE.md round 12."""
+    from hdfe_spark.operators.stats import holt_winters_blocked
+
+    ev = _t(spark, sf_dir, "events")
+    out = holt_winters_blocked(
+        ev, "user_id", "event_id", "value", 4, 0.3, 0.2, 0.25
+    )
+    return out.select(
+        "user_id",
+        "n",
+        _pround("level").alias("level"),
+        _pround("trend").alias("trend"),
+        _pround("season").alias("season"),
+        _pround("forecast").alias("forecast"),
+    )
+
+
 def _q_url_dedup(spark, sf_dir):
     """URL canonicalization + exact dedup (`operators/dedup.py::
     url_normalize` / `url_dedup`): 8 deterministic surface variants
@@ -6532,16 +6559,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-12 ROTATION (sixteenth curation pass), executed exactly as
     queued in SURVEY.md after CORRECTNESS_r11 came back 50/50 green:
 
-    - positions 1-13: the 13 oracle-checked queries with no driver
+    - positions 1-14: the oracle-checked queries with no driver
       CORRECTNESS row yet -- the 12 round-11 registrations
       (`ewma_blocked` `cusum_blocked` `holt_blocked` `mrr`
       `avg_precision` `recall_at_k` `zscore_by` `topk_by` `welch_by`
-      `ks_by` `streaming_welch` `srm_check`) plus this round's
-      `grouped_quantiles_approx_certificate` registration.
-    - positions 14-50: the 37 stalest driver-green re-certs -- the
+      `ks_by` `streaming_welch` `srm_check`) plus this round's two
+      registrations, `grouped_quantiles_approx_certificate` and
+      `holt_winters_blocked`.
+    - positions 15-50: the 36 stalest driver-green re-certs -- the
       entire r05-evidence stratum (32 queries, `equidepth_hist` ..
-      `zorder_layout`) plus the 5-query head of the r06 stratum
-      (`agg_refresh` .. `dq_report`).
+      `zorder_layout`) plus the 4-query head of the r06 stratum
+      (`agg_refresh` .. `decimal_agg`).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the remaining r06
       rows (`dup_ngram_spans` onward), then the r07/r09/r10 strata,
@@ -6552,10 +6580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------ driver window: positions 1-50 (round-12 rotation) ------
-        # 1-13: the 13 never-driver-recorded oracle-checked
-        # queries (the 12 round-11 registrations + this round's
-        # grouped_quantiles_approx_certificate registration --
-        # the bounded-memory grouped-quantile scale path)
+        # 1-14: the never-driver-recorded oracle-checked
+        # queries (the 12 round-11 registrations + this round's two
+        # registrations: grouped_quantiles_approx_certificate -- the
+        # bounded-memory grouped-quantile scale path -- and
+        # holt_winters_blocked -- the seasonal blocked fold)
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
@@ -6569,7 +6598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_welch": _q_streaming_welch,
         "srm_check": _q_srm_check,
         "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
-        # 14-50: the 37 stalest driver-green re-certs (the whole
+        "holt_winters_blocked": _q_holt_winters_blocked,
+        # 15-50: the 36 stalest driver-green re-certs (the whole
         # r05-evidence stratum, 32 queries, + the 5-query head of
         # the r06 stratum)
         "equidepth_hist": _q_equidepth_hist,
@@ -6608,8 +6638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
         "decimal_agg": _q_decimal_agg,
-        "dq_report": _q_dq_report,
         # ------ end of the driver's 50-query window ------
+        "dq_report": _q_dq_report,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list;
@@ -12920,6 +12950,50 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "holt_winters": """
+            WITH RECURSIVE ord AS (
+              SELECT user_id AS k, value AS v,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY event_id) AS t,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL),
+            base AS (
+              SELECT k, n, list(v ORDER BY t) AS vs
+              FROM ord GROUP BY k, n HAVING n >= 8),
+            ini AS (
+              SELECT k, n, vs,
+                     list_reduce(list_prepend(0.0, vs[1:4]),
+                                 (a, x) -> a + x) / 4.0 AS m1,
+                     list_reduce(list_prepend(0.0, vs[5:8]),
+                                 (a, x) -> a + x) / 4.0 AS m2
+              FROM base),
+            state AS (
+              SELECT k, n, vs, CAST(4 AS BIGINT) AS t,
+                     m1 AS l,
+                     (m2 - m1) / 4.0 AS b,
+                     list_transform(vs[1:4], x -> x - m1) AS sr
+              FROM ini
+              UNION ALL
+              SELECT k, n, vs, t + 1,
+                     0.3 * (vs[t+1] - sr[1])
+                       + (1.0 - 0.3) * (l + b),
+                     0.2 * ((0.3 * (vs[t+1] - sr[1])
+                             + (1.0 - 0.3) * (l + b)) - l)
+                       + (1.0 - 0.2) * b,
+                     list_append(sr[2:],
+                       0.25 * (vs[t+1] - (0.3 * (vs[t+1] - sr[1])
+                                          + (1.0 - 0.3) * (l + b)))
+                         + (1.0 - 0.25) * sr[1])
+              FROM state WHERE t < n)
+            SELECT k AS user_id, n,
+                   floor((l) * 1e9 + 0.5) / 1e9 AS level,
+                   floor((b) * 1e9 + 0.5) / 1e9 AS trend,
+                   floor((sr[1]) * 1e9 + 0.5) / 1e9 AS season,
+                   floor((l + b + sr[1]) * 1e9 + 0.5) / 1e9
+                     AS forecast
+            FROM state WHERE t = n
+        """,
+        "holt_winters_blocked": """
             WITH RECURSIVE ord AS (
               SELECT user_id AS k, value AS v,
                      row_number() OVER (PARTITION BY user_id

@@ -208,6 +208,7 @@ def _blocked_series(
     op_name: str,
     block_len: int,
     max_blocks: int,
+    with_lens: bool = False,
 ) -> DataFrame:
     """Shared scaffold for the blocked fold family: distributed
     within-key positions (``rank.global_rank`` — range-partition +
@@ -215,7 +216,16 @@ def _blocked_series(
     one row per (key, block) with the block's order-sorted value
     array ``_bs`` (<= block_len elements), its block id ``_blk``,
     and the per-key ``n`` / ``_n_ord`` columns the duplicate-order
-    and capacity guards consume."""
+    and capacity guards consume.
+
+    ``with_lens=True`` returns ``(blocks, lens)`` where ``lens`` is
+    the sorted set of block LENGTHS that occur, derived in Python
+    from the distinct per-key counts (one extra key-sized
+    aggregation job over the pinned rank output — never a scan of
+    the block table itself, which would recompute the heavy fold
+    input). Consumers whose per-block linear map depends only on
+    the block length (`holt_winters_blocked`) build their
+    driver-side map table from exactly these lens."""
     from hdfe_spark.operators.rank import global_rank_with_total
 
     if block_len < 2:
@@ -286,17 +296,34 @@ def _blocked_series(
     # Repartitioning by (key, block) into ~one-block partitions
     # bounds each task at ~block_len boxed elements; the groupBy
     # below sees its clustering satisfied, so this REPLACES (not
-    # adds to) the aggregation exchange. The total comes free from
-    # the rank phase's per-partition offset counts (advice r12) —
-    # no second count job over the pinned output.
+    # adds to) the aggregation exchange.
+    #
+    # MATERIALIZATION FENCE — deliberately kept even though the
+    # rank phase's offset counts already sum to n_total (advice r12
+    # tried removing it): the cheap count pass over the checkpointed
+    # rank output settles the storage pool BEFORE the fold stage
+    # needs its execution memory. Measured A/B at 100M rows/one key
+    # on a 16 GiB heap (SCALE.md r12): with the fence ewma_blocked
+    # passes in ~133 s; without it the fold stage OOMs — identical
+    # plans otherwise (n_total value verified equal). The fence's
+    # count is reconciled against the offset total as a free
+    # integrity check.
     from hdfe_spark.operators.rank import shuffle_partitions
+
+    fence_total = ranked.count()
+    if fence_total != n_total:
+        raise RuntimeError(
+            f"{op_name}: rank offset total {n_total} !="
+            f" materialized count {fence_total} — the pinned"
+            " checkpoint is inconsistent"
+        )
 
     default_parts = shuffle_partitions(df.sparkSession)
     n_parts = max(
         default_parts,
         min(-(-n_total // int(block_len)), 200_000),
     )
-    return (
+    blocks = (
         assigned.repartition(n_parts, "__k", "__blk")
         .groupBy("__k", "__blk")
         .agg(
@@ -307,6 +334,20 @@ def _blocked_series(
             F.first("_n_ord").alias("_n_ord"),
         )
     )
+    if not with_lens:
+        return blocks
+    bl = int(block_len)
+    lens: "set[int]" = set()
+    for r in ranked.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("n").distinct().collect():
+        n = int(r["n"])
+        nb = -(-n // bl)
+        lens.add(min(n, bl))             # block 0
+        if nb > 1:
+            lens.add(bl)                 # full middle blocks
+            lens.add(n - (nb - 1) * bl)  # the short last block
+    return blocks, sorted(lens)
 
 
 def _blocked_compose(
@@ -410,6 +451,47 @@ def ewma_blocked(
     return staged.select(key_col, "n", out.alias(out_col))
 
 
+def _holt_linear_maps(
+    alpha: float, gamma: float, lens: "Sequence[int]"
+) -> "list[tuple[int, float, float, float, float]]":
+    """Driver-side replay of the Holt step's LINEAR part: the block
+    map matrix M(len) = T^len, iterated left-to-right with the
+    IDENTICAL IEEE expression shapes the in-plan fold used to spell
+    per element (r1j = (1-a)*(m1j+m2j); m2j' = g*(r1j-m1j) +
+    (1-g)*m2j) — CPython and the JVM both evaluate correctly-rounded
+    binary64 ops, so each row is BIT-IDENTICAL to the retired
+    per-element struct fold (pinned in tests/test_r12_ops.py via an
+    inline replay of the old 6-field fold). M never reads the data,
+    only the step count, which is what makes the offset-only data
+    fold possible. Snapshotted at exactly the block lengths in
+    ``lens`` (the occurring lengths from
+    ``_blocked_series(with_lens=True)``) so the map table stays a
+    handful of rows — a full 1..block_len table rode every task
+    binary as a multi-MB LocalRelation (measured in the r12 100M
+    stress)."""
+    nA = 1.0 - float(alpha)
+    G = float(gamma)
+    nG = 1.0 - float(gamma)
+    need = sorted({int(x) for x in lens})
+    m11, m12, m21, m22 = 1.0, 0.0, 0.0, 1.0
+    rows = []
+    if not need:
+        return rows
+    j = 0
+    for ln in range(1, need[-1] + 1):
+        r11 = nA * (m11 + m21)
+        r12 = nA * (m12 + m22)
+        m21 = G * (r11 - m11) + nG * m21
+        m22 = G * (r12 - m12) + nG * m22
+        m11, m12 = r11, r12
+        if ln == need[j]:
+            rows.append((ln, m11, m12, m21, m22))
+            j += 1
+            if j == len(need):
+                break
+    return rows
+
+
 def holt_blocked(
     df: DataFrame,
     key_col: str,
@@ -422,31 +504,52 @@ def holt_blocked(
 ) -> DataFrame:
     """`holt` evaluated as a BLOCKED fold (see the blocked-family
     banner): the Holt step is affine on (l, b), so each block
-    partial-folds to a 2x2 matrix M plus offset c — per step, with
-    r1j = (1-alpha)*(m1j + m2j) the new level row,
+    partial-folds to a 2x2 matrix M plus offset c — per step,
 
-        m1j' = r1j                      c1' = (1-a)*(c1+c2) + a*x
-        m2j' = g*(r1j - m1j) + (1-g)*m2j
-        c2'  = g*(c1' - c1) + (1-g)*c2
+        c1' = (1-a)*(c1+c2) + a*x
+        c2' = g*(c1' - c1) + (1-g)*c2
 
     — and blocks compose by matrix product. Block 0 folds directly
     from holt's exact (l_2, b_2) init (M = 0), so the composed c IS
     the state. Keys with n < 2 are dropped (the holt contract).
-    Returns one row per key: (key, n, level, trend, forecast)."""
+    Returns one row per key: (key, n, level, trend, forecast).
+
+    The matrix part is DATA-INDEPENDENT — M is T^len for the
+    constant step matrix T — so the in-plan fold carries only the
+    2-field offset vector (the scalar `ewma_blocked` memory profile;
+    the retired 6-field struct fold's interpreted allocation
+    pressure needed a 3x larger heap at 100M rows/key — SCALE.md
+    r11/r12) and M(len) arrives by a broadcast join against a
+    driver-computed table of exactly the OCCURRING block lengths
+    (`_blocked_series(with_lens=True)` + `_holt_linear_maps`),
+    replayed with bit-identical IEEE ops. Driver cost is one
+    key-sized distinct-count job plus an O(max_len) sweep; the map
+    table is a handful of rows."""
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
     if not 0.0 < gamma < 1.0:
         raise ValueError("gamma must be in (0, 1)")
     A, G = F.lit(float(alpha)), F.lit(float(gamma))
     nA, nG = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(gamma))
-    blocks = _blocked_series(
+    blocks, lens = _blocked_series(
         df, key_col, order_col, value_col, "holt_blocked",
-        block_len, max_blocks,
-    ).filter(F.col("n") >= 2)
+        block_len, max_blocks, with_lens=True,
+    )
+    blocks = blocks.filter(F.col("n") >= 2)
+    mt = F.broadcast(
+        df.sparkSession.createDataFrame(
+            _holt_linear_maps(alpha, gamma, lens),
+            "__len long, __tm11 double, __tm12 double,"
+            " __tm21 double, __tm22 double",
+        )
+    )
+    blocks = blocks.join(
+        mt, F.size(F.col("_bs")).cast("long") == F.col("__len")
+    ).drop("__len")
     vals = F.col("_bs").getField("__v")
     is0 = F.col("__blk") == F.lit(0)
     v1, v2 = F.element_at(vals, 1), F.element_at(vals, 2)
-    zero, one = F.lit(0.0), F.lit(1.0)
+    zero = F.lit(0.0)
 
     def mk(m11, m12, m21, m22, c1, c2):
         return F.struct(
@@ -455,30 +558,42 @@ def holt_blocked(
             c1.alias("c1"), c2.alias("c2"),
         )
 
-    # block 0 init: holt's exact (l_2, b_2) with M = 0
+    # block 0 init: holt's exact (l_2, b_2); M = 0 (and STAYS 0
+    # under the linear recurrence, so the zero literal is exact)
     l2 = A * v2 + nA * (v1 + (v2 - v1))
     b2 = G * ((A * v2 + nA * (v1 + (v2 - v1))) - v1) + nG * (v2 - v1)
-    init = F.when(is0, mk(zero, zero, zero, zero, l2, b2)).otherwise(
-        mk(one, zero, zero, one, zero, zero)
-    )
+    cinit = F.when(
+        is0, F.struct(l2.alias("c1"), b2.alias("c2"))
+    ).otherwise(F.struct(zero.alias("c1"), zero.alias("c2")))
     body = F.when(
         is0, F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
     ).otherwise(vals)
 
-    def step(acc, x):
-        r11 = nA * (acc["m11"] + acc["m21"])
-        r12 = nA * (acc["m12"] + acc["m22"])
+    def cstep(acc, x):
         nc1 = nA * (acc["c1"] + acc["c2"]) + A * x
-        return mk(
-            r11,
-            r12,
-            G * (r11 - acc["m11"]) + nG * acc["m21"],
-            G * (r12 - acc["m12"]) + nG * acc["m22"],
-            nc1,
-            G * (nc1 - acc["c1"]) + nG * acc["c2"],
+        return F.struct(
+            nc1.alias("c1"),
+            (G * (nc1 - acc["c1"]) + nG * acc["c2"]).alias("c2"),
         )
 
-    map_expr = F.aggregate(body, init, step)
+    # the 6-field map is assembled in the aggregate's FINISH lambda:
+    # referencing the fold's fields as separate top-level expressions
+    # would re-run the whole per-element fold once per field
+    # (SPARK-35410 — lambda trees are excluded from subexpression
+    # elimination; the measured 4x-evaluation holt lesson)
+    map_expr = F.aggregate(
+        body,
+        cinit,
+        cstep,
+        lambda acc: mk(
+            F.when(is0, zero).otherwise(F.col("__tm11")),
+            F.when(is0, zero).otherwise(F.col("__tm12")),
+            F.when(is0, zero).otherwise(F.col("__tm21")),
+            F.when(is0, zero).otherwise(F.col("__tm22")),
+            acc["c1"],
+            acc["c2"],
+        ),
+    )
 
     def compose(acc, m):
         # next map m applied AFTER acc: M' = m.M @ acc.M,
@@ -501,6 +616,288 @@ def holt_blocked(
         level.alias("level"),
         trend.alias("trend"),
         (level + trend).alias("forecast"),
+    )
+
+
+def _hw_linear_maps(
+    alpha: float,
+    gamma: float,
+    delta: float,
+    period: int,
+    lens: "Sequence[int]",
+) -> "dict[int, list[float]]":
+    """Driver-side numpy sweep of the Holt-Winters step's LINEAR
+    part: M(len) = T^len over the K = period+2 state basis
+    (l, b, s_1..s_m), snapshotted at exactly the block lengths in
+    ``lens`` (sorted ascending upstream). One sweep to max(lens),
+    O(max_len * K) vectorized work — the per-step expressions mirror
+    the in-plan fold at x = 0, so M is the same linear map the
+    retired-style full-state fold would carry, without any data
+    dependence. Row-major flattening: M[i][j] = out[len][i*K + j]
+    (component i's coefficient on initial basis j)."""
+    import numpy as np
+
+    m = int(period)
+    K = m + 2
+    A, G, D = float(alpha), float(gamma), float(delta)
+    nA, nG, nD = 1.0 - A, 1.0 - G, 1.0 - D
+    need = sorted({int(x) for x in lens})
+    out: "dict[int, list[float]]" = {}
+    if not need:
+        return out
+    V = np.eye(K)  # rows: state components; cols: basis directions
+    j = 0
+    for t in range(1, need[-1] + 1):
+        l, b, s1 = V[0], V[1], V[2]
+        nl = A * (0.0 - s1) + nA * (l + b)
+        nb = G * (nl - l) + nG * b
+        ns = D * (0.0 - nl) + nD * s1
+        W = np.empty_like(V)
+        W[0] = nl
+        W[1] = nb
+        if m > 1:
+            W[2 : K - 1] = V[3:K]
+        W[K - 1] = ns
+        V = W
+        if t == need[j]:
+            out[t] = [float(x) for x in V.reshape(-1)]
+            j += 1
+            if j == len(need):
+                break
+    return out
+
+
+def holt_winters_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+    alpha: float,
+    gamma: float,
+    delta: float,
+    block_len: int = 262_144,
+    max_blocks: int = 10_000,
+) -> DataFrame:
+    """`holt_winters` evaluated as a BLOCKED fold (see the
+    blocked-family banner; VERDICT r11 item 5): the additive HW step
+    is affine on the K = period+2 state (l, b, s_1..s_m), so a block
+    partial-folds to (M, c) — and, as in `holt_blocked`, M is
+    DATA-INDEPENDENT (M = T^len for the constant step matrix T), so
+    the in-plan per-element fold carries only the (l, b, ring)
+    offset state — the sequential fold's own accumulator shape — and
+    M(len) arrives by broadcast join from the `_hw_linear_maps`
+    driver sweep over exactly the occurring block lengths
+    (`_blocked_series(with_lens=True)`).
+
+    The per-key composition exploits that block 0's M is ZERO (it
+    folds from the NIST init directly): the left fold carries only
+    the K-vector c — c' = M_next @ c + c_next, K^2 unrolled
+    multiply-adds per block — never the K^3 matrix-matrix product.
+    Block 0 replays the sequential init-and-fold verbatim, so
+    single-block keys are BIT-IDENTICAL to `holt_winters` (pinned);
+    multi-block keys re-associate like the rest of the family.
+    Keys with n < 2*period are dropped (the sequential contract);
+    ``block_len`` must be >= 2*period so block 0 contains both init
+    cycles. ``period`` is capped at 24 (hour-of-day) — beyond that
+    the unrolled K^2 compose and the K^2-per-len map table stop
+    being the right trade; the sequential `holt_winters` with its
+    `max_series_len` guard is the documented envelope. Returns one
+    row per key: (key, n, level, trend, season, forecast)."""
+    m = int(period)
+    if m < 2:
+        raise ValueError("holt_winters_blocked: period must be >= 2")
+    if m > 24:
+        raise ValueError(
+            "holt_winters_blocked: period must be <= 24 — the"
+            " composition unrolls (period+2)^2 expressions per block"
+            " and the map table holds (period+2)^2 doubles per"
+            " distinct block length; use the sequential holt_winters"
+            " (max_series_len guard) beyond hour-of-day periods"
+        )
+    for name, v in (
+        ("alpha", alpha), ("gamma", gamma), ("delta", delta)
+    ):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1)")
+    if int(block_len) < 2 * m:
+        raise ValueError(
+            "holt_winters_blocked: block_len must be >= 2*period so"
+            " block 0 contains both init cycles"
+        )
+    K = m + 2
+    A, G, D = (
+        F.lit(float(alpha)), F.lit(float(gamma)), F.lit(float(delta))
+    )
+    nA, nG, nD = (
+        F.lit(1.0 - float(alpha)),
+        F.lit(1.0 - float(gamma)),
+        F.lit(1.0 - float(delta)),
+    )
+    fm = F.lit(float(m))
+    blocks, lens = _blocked_series(
+        df, key_col, order_col, value_col, "holt_winters_blocked",
+        block_len, max_blocks, with_lens=True,
+    )
+    blocks = blocks.filter(F.col("n") >= 2 * m)
+    if len(lens) * K * K > 4_000_000:
+        raise ValueError(
+            f"holt_winters_blocked: {len(lens)} distinct block"
+            f" lengths x K^2={K * K} map cells exceed the broadcast"
+            " envelope — pick a block_len that evens out the last"
+            " blocks (fewer distinct lengths) or a smaller period"
+        )
+    hw_maps = _hw_linear_maps(alpha, gamma, delta, m, lens)
+    mt = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(ln, hw_maps[ln]) for ln in lens],
+            "__len long, __mm array<double>",
+        )
+    )
+    vals = F.col("_bs").getField("__v")
+    is0 = F.col("__blk") == F.lit(0)
+
+    def _fold_sum(arr):
+        # left-to-right pinned-order sum — the sequential init shape
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    mean1 = _fold_sum(F.slice(vals, 1, m)) / fm
+    mean2 = _fold_sum(F.slice(vals, m + 1, m)) / fm
+    staged0 = blocks.join(
+        mt, F.size(F.col("_bs")).cast("long") == F.col("__len")
+    ).drop("__len").select(
+        "__k", "__blk", "n", "_n_ord", "_bs", "__mm",
+        F.when(is0, mean1).alias("_m1"),
+        F.when(is0, mean2).alias("_m2"),
+    )
+    vals0 = F.col("_bs").getField("__v")
+    zeros_m = F.array(*[F.lit(0.0)] * m)
+    # block 0: the sequential NIST init verbatim (its block holds the
+    # first 2m elements by the block_len >= 2m guard); other blocks:
+    # the zero state, so the fold result IS the affine offset c
+    init = F.when(
+        is0,
+        F.struct(
+            F.col("_m1").alias("l"),
+            ((F.col("_m2") - F.col("_m1")) / fm).alias("b"),
+            F.transform(
+                F.slice(vals0, 1, m), lambda v: v - F.col("_m1")
+            ).alias("s"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(0.0).alias("l"),
+            F.lit(0.0).alias("b"),
+            zeros_m.alias("s"),
+        )
+    )
+    body = F.when(
+        is0,
+        F.slice(vals0, m + 1, F.greatest(F.size(vals0) - m, F.lit(0))),
+    ).otherwise(vals0)
+
+    def step(acc, x):
+        # the sequential holt_winters fold lambda VERBATIM — the
+        # pinned IEEE shape that makes single-block keys bit-identical
+        return F.struct(
+            (
+                A * (x - F.element_at(acc["s"], 1))
+                + nA * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                G
+                * (
+                    (
+                        A * (x - F.element_at(acc["s"], 1))
+                        + nA * (acc["l"] + acc["b"])
+                    )
+                    - acc["l"]
+                )
+                + nG * acc["b"]
+            ).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1),
+                F.array(
+                    D
+                    * (
+                        x
+                        - (
+                            A * (x - F.element_at(acc["s"], 1))
+                            + nA * (acc["l"] + acc["b"])
+                        )
+                    )
+                    + nD * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        )
+
+    zero_mm = F.array(*[F.lit(0.0)] * (K * K))
+    # finish lambda: assemble the (mm, c) map in ONE fold evaluation
+    # (SPARK-35410 — separate field references would re-run the fold)
+    map_expr = F.aggregate(
+        body,
+        init,
+        step,
+        lambda acc: F.struct(
+            F.when(is0, zero_mm).otherwise(F.col("__mm")).alias("mm"),
+            F.concat(F.array(acc["l"], acc["b"]), acc["s"]).alias("c"),
+        ),
+    )
+    summarized = staged0.select(
+        "__k",
+        "n",
+        "_n_ord",
+        F.struct(F.col("__blk").alias("i"), map_expr.alias("m")).alias(
+            "_bm"
+        ),
+    )
+    per_key = summarized.groupBy("__k").agg(
+        F.array_sort(F.collect_list("_bm")).alias("_ms"),
+        F.first("n").alias("n"),
+        F.first("_n_ord").alias("_n_ord"),
+    )
+    maps_col = F.col("_ms").getField("m")
+
+    def apply_map(mx, acc_c):
+        # c' = mx.M @ c + mx.c — K^2 unrolled multiply-adds; the
+        # matrix-matrix product is never needed because the fold
+        # seed (block 0) has M = 0
+        rows = []
+        for i in range(K):
+            e = F.element_at(mx["mm"], i * K + 1) * F.element_at(
+                acc_c, 1
+            )
+            for k in range(1, K):
+                e = e + F.element_at(
+                    mx["mm"], i * K + k + 1
+                ) * F.element_at(acc_c, k + 1)
+            rows.append(e + F.element_at(mx["c"], i + 1))
+        return F.array(*rows)
+
+    composed = F.aggregate(
+        F.slice(maps_col, 2, F.greatest(F.size(maps_col) - 1, F.lit(0))),
+        F.element_at(maps_col, 1).getField("c"),
+        lambda acc_c, mx: apply_map(mx, acc_c),
+    )
+    staged = per_key.select(
+        F.col("__k").alias(key_col), "n", "_n_ord", composed.alias("_c")
+    )
+    level = _dup_order_guard(
+        "holt_winters_blocked", key_col, F.element_at(F.col("_c"), 1)
+    )
+    trend = _dup_order_guard(
+        "holt_winters_blocked", key_col, F.element_at(F.col("_c"), 2)
+    )
+    season = _dup_order_guard(
+        "holt_winters_blocked", key_col, F.element_at(F.col("_c"), 3)
+    )
+    return staged.select(
+        key_col,
+        "n",
+        level.alias("level"),
+        trend.alias("trend"),
+        season.alias("season"),
+        (level + trend + season).alias("forecast"),
     )
 
 

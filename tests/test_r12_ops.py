@@ -1,0 +1,320 @@
+"""Round-12 build pins.
+
+VERDICT r11 item 4: `holt_blocked`'s per-element fold now carries
+only the 2-field offset vector; the data-independent block matrix
+M(len) = T^len arrives from the driver-side `_holt_linear_maps`
+replay. The tests here pin the core claim — the new path is
+BIT-IDENTICAL to the retired 6-field in-plan struct fold — by
+re-implementing the retired fold inline and comparing on a
+genuinely multi-block fixture.
+"""
+
+import math
+import struct as _struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _bits(x: float) -> bytes:
+    return _struct.pack("<d", x)
+
+
+def _retired_holt_blocked(df, key_col, order_col, value_col,
+                          alpha, gamma, block_len, max_blocks):
+    """Verbatim re-implementation of the round-11 holt_blocked
+    (the 6-field per-element struct fold this round retired)."""
+    from hdfe_spark.operators.stats import (
+        _blocked_compose,
+        _blocked_series,
+        _dup_order_guard,
+    )
+
+    A, G = F.lit(float(alpha)), F.lit(float(gamma))
+    nA, nG = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(gamma))
+    blocks = _blocked_series(
+        df, key_col, order_col, value_col, "holt_blocked",
+        block_len, max_blocks,
+    ).filter(F.col("n") >= 2)
+    vals = F.col("_bs").getField("__v")
+    is0 = F.col("__blk") == F.lit(0)
+    v1, v2 = F.element_at(vals, 1), F.element_at(vals, 2)
+    zero, one = F.lit(0.0), F.lit(1.0)
+
+    def mk(m11, m12, m21, m22, c1, c2):
+        return F.struct(
+            m11.alias("m11"), m12.alias("m12"),
+            m21.alias("m21"), m22.alias("m22"),
+            c1.alias("c1"), c2.alias("c2"),
+        )
+
+    l2 = A * v2 + nA * (v1 + (v2 - v1))
+    b2 = G * ((A * v2 + nA * (v1 + (v2 - v1))) - v1) + nG * (v2 - v1)
+    init = F.when(is0, mk(zero, zero, zero, zero, l2, b2)).otherwise(
+        mk(one, zero, zero, one, zero, zero)
+    )
+    body = F.when(
+        is0, F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+    ).otherwise(vals)
+
+    def step(acc, x):
+        r11 = nA * (acc["m11"] + acc["m21"])
+        r12 = nA * (acc["m12"] + acc["m22"])
+        nc1 = nA * (acc["c1"] + acc["c2"]) + A * x
+        return mk(
+            r11,
+            r12,
+            G * (r11 - acc["m11"]) + nG * acc["m21"],
+            G * (r12 - acc["m12"]) + nG * acc["m22"],
+            nc1,
+            G * (nc1 - acc["c1"]) + nG * acc["c2"],
+        )
+
+    map_expr = F.aggregate(body, init, step)
+
+    def compose(acc, m):
+        return mk(
+            m["m11"] * acc["m11"] + m["m12"] * acc["m21"],
+            m["m11"] * acc["m12"] + m["m12"] * acc["m22"],
+            m["m21"] * acc["m11"] + m["m22"] * acc["m21"],
+            m["m21"] * acc["m12"] + m["m22"] * acc["m22"],
+            m["m11"] * acc["c1"] + m["m12"] * acc["c2"] + m["c1"],
+            m["m21"] * acc["c1"] + m["m22"] * acc["c2"] + m["c2"],
+        )
+
+    staged = _blocked_compose(blocks, key_col, map_expr, compose)
+    level = _dup_order_guard("holt_blocked", key_col, F.col("_f")["c1"])
+    trend = _dup_order_guard("holt_blocked", key_col, F.col("_f")["c2"])
+    return staged.select(
+        key_col, "n", level.alias("level"), trend.alias("trend"),
+        (level + trend).alias("forecast"),
+    )
+
+
+@pytest.mark.parametrize("alpha,gamma", [(0.3, 0.2), (0.5, 0.5), (0.9, 0.05)])
+def test_holt_blocked_bit_identical_to_retired_fold(spark, alpha, gamma):
+    # multi-block, multi-key, irregular lengths (last block short,
+    # one key exactly one block, one key a 2-row edge)
+    from hdfe_spark.operators.stats import holt_blocked
+
+    rows = []
+    for k, n in [("a", 100), ("b", 16), ("c", 2), ("d", 49)]:
+        for t in range(n):
+            # deterministic non-dyadic series, key-decorrelated
+            v = math.sin(0.7 * t + hash(k) % 97) * 10 + t * 0.3
+            rows.append((k, t, v))
+    df = spark.createDataFrame(rows, ["k", "t", "v"]).repartition(8)
+
+    new = {
+        r["k"]: r
+        for r in holt_blocked(
+            df, "k", "t", "v", alpha, gamma,
+            block_len=16, max_blocks=100,
+        ).collect()
+    }
+    old = {
+        r["k"]: r
+        for r in _retired_holt_blocked(
+            df, "k", "t", "v", alpha, gamma, 16, 100
+        ).collect()
+    }
+    assert set(new) == set(old) == {"a", "b", "c", "d"}
+    for k in new:
+        for fld in ("level", "trend", "forecast"):
+            assert _bits(new[k][fld]) == _bits(old[k][fld]), (
+                k, fld, new[k][fld], old[k][fld]
+            )
+
+
+def test_holt_linear_maps_replays_inplan_matrix_fold(spark):
+    # the driver replay must produce the same bits as an actual
+    # in-plan interpreted fold of the retired matrix recurrence
+    from hdfe_spark.operators.stats import _holt_linear_maps
+
+    alpha, gamma = 0.37, 0.21
+    n = 23
+    tbl = {r[0]: r[1:] for r in _holt_linear_maps(alpha, gamma, [n])}
+    A, G = float(alpha), float(gamma)
+    nA, nG = F.lit(1.0 - A), F.lit(1.0 - G)
+    Gl = F.lit(G)
+
+    def step(acc, x):
+        r11 = nA * (acc["m11"] + acc["m21"])
+        r12 = nA * (acc["m12"] + acc["m22"])
+        return F.struct(
+            r11.alias("m11"),
+            r12.alias("m12"),
+            (Gl * (r11 - acc["m11"]) + nG * acc["m21"]).alias("m21"),
+            (Gl * (r12 - acc["m12"]) + nG * acc["m22"]).alias("m22"),
+        )
+
+    init = F.struct(
+        F.lit(1.0).alias("m11"), F.lit(0.0).alias("m12"),
+        F.lit(0.0).alias("m21"), F.lit(1.0).alias("m22"),
+    )
+    row = (
+        spark.range(1)
+        .select(
+            F.aggregate(
+                F.array(*[F.lit(0.0)] * n), init, step
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    got = (row["m11"], row["m12"], row["m21"], row["m22"])
+    want = tbl[n]
+    assert all(_bits(a) == _bits(b) for a, b in zip(got, want)), (
+        got, want
+    )
+
+
+def test_holt_blocked_plan_has_broadcast_map_table(spark):
+    # the len->M table must ride a broadcast join, never a shuffle
+    from hdfe_spark.operators.stats import holt_blocked
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(40)], ["k", "t", "v"]
+    )
+    plan = (
+        holt_blocked(df, "k", "t", "v", 0.3, 0.2, block_len=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------- holt_winters_blocked (VERDICT r11 item 5) ----------------
+
+
+def _hw_fixture(spark, keys, m=4):
+    rows = []
+    for k, n in keys:
+        for t in range(n):
+            v = (
+                10.0
+                + 0.05 * t
+                + 2.0 * math.sin(2 * math.pi * (t % m) / m)
+                + 0.3 * math.sin(1.3 * t + hash(k) % 31)
+            )
+            rows.append((k, t, v))
+    return spark.createDataFrame(rows, ["k", "t", "v"]).repartition(8)
+
+
+def test_hw_blocked_single_block_bit_identical(spark):
+    from hdfe_spark.operators.stats import holt_winters, holt_winters_blocked
+
+    df = _hw_fixture(spark, [("a", 60), ("b", 8), ("c", 31)], m=4)
+    seq = {
+        r["k"]: r
+        for r in holt_winters(
+            df, "k", "t", "v", 4, 0.3, 0.2, 0.25
+        ).collect()
+    }
+    blk = {
+        r["k"]: r
+        for r in holt_winters_blocked(
+            df, "k", "t", "v", 4, 0.3, 0.2, 0.25,
+            block_len=64, max_blocks=10,
+        ).collect()
+    }
+    assert set(seq) == set(blk) == {"a", "b", "c"}
+    for k in seq:
+        for fld in ("level", "trend", "season", "forecast"):
+            assert _bits(seq[k][fld]) == _bits(blk[k][fld]), (
+                k, fld, seq[k][fld], blk[k][fld]
+            )
+
+
+def test_hw_blocked_multiblock_matches_sequential(spark):
+    from hdfe_spark.operators.stats import holt_winters, holt_winters_blocked
+
+    df = _hw_fixture(spark, [("a", 500), ("b", 129), ("c", 16)], m=4)
+    seq = {
+        r["k"]: r
+        for r in holt_winters(
+            df, "k", "t", "v", 4, 0.3, 0.2, 0.25
+        ).collect()
+    }
+    blk = {
+        r["k"]: r
+        for r in holt_winters_blocked(
+            df, "k", "t", "v", 4, 0.3, 0.2, 0.25,
+            block_len=64, max_blocks=20,
+        ).collect()
+    }
+    assert set(seq) == set(blk)
+    for k in seq:
+        assert blk[k]["n"] == seq[k]["n"]
+        for fld in ("level", "trend", "season", "forecast"):
+            s, b = seq[k][fld], blk[k][fld]
+            assert abs(s - b) <= 1e-9 * max(1.0, abs(s)), (k, fld, s, b)
+
+
+def test_hw_blocked_constant_series_exact(spark):
+    # dyadic constant, dyadic params: every IEEE step exact ->
+    # level == c, trend == 0, season == 0 across blocks
+    from hdfe_spark.operators.stats import holt_winters_blocked
+
+    c = 3.1416015625
+    df = spark.createDataFrame(
+        [("a", t, c) for t in range(300)], ["k", "t", "v"]
+    )
+    row = holt_winters_blocked(
+        df, "k", "t", "v", 4, 0.5, 0.5, 0.5,
+        block_len=64, max_blocks=10,
+    ).collect()[0]
+    assert abs(row["level"] - c) / c < 1e-12
+    assert abs(row["trend"]) < 1e-9
+    assert abs(row["season"]) < 1e-9
+
+
+def test_hw_blocked_guards(spark):
+    from hdfe_spark.operators.stats import holt_winters_blocked
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(30)], ["k", "t", "v"]
+    )
+    with pytest.raises(ValueError, match="block_len must be >= 2"):
+        holt_winters_blocked(
+            df, "k", "t", "v", 12, 0.3, 0.2, 0.25, block_len=16
+        )
+    with pytest.raises(ValueError, match="period must be <= 24"):
+        holt_winters_blocked(df, "k", "t", "v", 25, 0.3, 0.2, 0.25)
+    with pytest.raises(ValueError, match="period must be >= 2"):
+        holt_winters_blocked(df, "k", "t", "v", 1, 0.3, 0.2, 0.25)
+    # n < 2*period keys are dropped, not raised
+    short = holt_winters_blocked(
+        df.filter(F.col("t") < 7), "k", "t", "v", 4, 0.3, 0.2, 0.25
+    )
+    assert short.count() == 0
+
+
+def test_hw_blocked_period24_compiles_and_runs(spark):
+    # the envelope boundary: K = 26, K^2 = 676 unrolled compose
+    from hdfe_spark.operators.stats import holt_winters, holt_winters_blocked
+
+    df = _hw_fixture(spark, [("a", 120)], m=24)
+    blk = holt_winters_blocked(
+        df, "k", "t", "v", 24, 0.3, 0.2, 0.25,
+        block_len=50, max_blocks=10,
+    ).collect()[0]
+    seq = holt_winters(df, "k", "t", "v", 24, 0.3, 0.2, 0.25).collect()[0]
+    for fld in ("level", "trend", "season", "forecast"):
+        s, b = seq[fld], blk[fld]
+        assert abs(s - b) <= 1e-9 * max(1.0, abs(s)), (fld, s, b)
+
+
+def test_hw_linear_maps_identity_consistency():
+    # M(1) must equal one application of T to the identity basis
+    from hdfe_spark.operators.stats import _hw_linear_maps
+
+    m, A, G, D = 3, 0.3, 0.2, 0.25
+    K = m + 2
+    got = _hw_linear_maps(A, G, D, m, [1])[1]
+    nA, nG, nD = 1 - A, 1 - G, 1 - D
+    # basis j=0 is l: l'=nA*l, b'=G*(nA*l - l)+0, ring shifts, s_new=-D*l'
+    assert _bits(got[0 * K + 0]) == _bits(nA * (1.0 + 0.0))
+    assert _bits(got[1 * K + 0]) == _bits(G * (nA * 1.0 - 1.0) + nG * 0.0)
+    # basis j=2 is s_1: l' = A*(0-1)+0
+    assert _bits(got[0 * K + 2]) == _bits(A * (0.0 - 1.0) + nA * 0.0)
+    # ring shift: new s_1 (row 2) = old s_2 (basis 3)
+    assert got[2 * K + 3] == 1.0

@@ -22,32 +22,34 @@ def test_window_all_have_oracles_or_are_declared():
 
 def test_round12_window_composition():
     """Positions 1-50 (sixteenth curation pass, executed as queued
-    in SURVEY.md): 1-13 = the 13 never-driver-recorded oracle-checked
-    queries (the 12 round-11 registrations + this round's
-    `grouped_quantiles_approx_certificate` registration), 14-50 =
-    the 37 stalest driver-green re-certs (the whole r05 stratum,
-    `equidepth_hist` .. `zorder_layout`, + the 5-query head of the
-    r06 stratum, `agg_refresh` .. `dq_report`); the backlog stays
+    in SURVEY.md): 1-14 = the never-driver-recorded oracle-checked
+    queries (the 12 round-11 registrations + this round's two
+    registrations, `grouped_quantiles_approx_certificate` and
+    `holt_winters_blocked`), 15-50 = the 36 stalest driver-green
+    re-certs (the whole r05 stratum, `equidepth_hist` ..
+    `zorder_layout`, + the 4-query head of the r06 stratum,
+    `agg_refresh` .. `decimal_agg`); the backlog stays
     stalest-evidence-first so its head IS the round-13 re-cert list,
     with the 50 round-11-window entries (fresh r11 evidence) last
     before the 11 rows-only demos at the tail. If this fails after
     an intentional round-13 rotation, update the expectation
     alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:13] == [
+    assert q[:14] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
         "streaming_welch", "srm_check",
         "grouped_quantiles_approx_certificate",
+        "holt_winters_blocked",
     ]
-    assert q[13] == "equidepth_hist" and q[44] == "zorder_layout"
-    assert q[45:50] == [
+    assert q[14] == "equidepth_hist" and q[45] == "zorder_layout"
+    assert q[46:50] == [
         "agg_refresh", "cms_certificate", "date_parts",
-        "decimal_agg", "dq_report",
+        "decimal_agg",
     ]
     # backlog head = the remaining r06 stratum, stalest-first
-    assert q[50] == "dup_ngram_spans"
+    assert q[50] == "dq_report" and q[51] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -59,7 +61,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 301
+    assert len(q) == 302
 
 
 def test_every_query_has_callable():
