@@ -200,6 +200,56 @@ def _ordered_series(
 # ---------------------------------------------------------------
 
 
+def _max_cells_guard(cells, op_name: str, max_cells, wrap_col: str):
+    """Route check for the per-group CELL-WINDOW family (`auc_by`,
+    `gini_by`, `spearman_by`, `ks_by` — VERDICT r11 item 8): their
+    group-partitioned window runs over the group's DISTINCT-value
+    cells, so a hot group is fine at 99% row skew (the cell table is
+    compressed — measured 3.6x worst, SCALE.md r11b) but a group
+    whose DISTINCT-value count exceeds the task envelope would
+    silently single-task a row-scale segment again. This guard
+    counts cells per group with a map-side-combined aggregation
+    (never a window; the cell subtree's exchange is reused by
+    Catalyst), joins the group-cardinality counts back, and raises
+    IN-PLAN through ``wrap_col`` BEFORE the offending group's window
+    segment materializes — route that group through the global
+    operator's distributed prefix-sum path (cross-checked EXACT in
+    the r11 skew stress) or raise the cap knowingly.
+    ``max_cells <= 0`` disables the check."""
+    if max_cells is None or int(max_cells) <= 0:
+        return cells
+    dtype = cells.schema[wrap_col].dataType.simpleString()
+    counts = cells.groupBy(F.col("__g").alias("__g9")).agg(
+        F.count(F.lit(1)).alias("__ncells")
+    )
+    wrapped = F.when(
+        F.col("__ncells") > F.lit(int(max_cells)),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: group "),
+                F.coalesce(F.col("__g").cast("string"), F.lit("NULL")),
+                F.lit(" has "),
+                F.col("__ncells").cast("string"),
+                F.lit(
+                    " distinct-value cells >"
+                    f" max_cells_per_group={int(max_cells)} — its"
+                    " window segment would single-task at row scale;"
+                    " route it through the global operator's"
+                    " distributed prefix-sum path or raise the cap"
+                    " knowingly"
+                ),
+            )
+        ).cast(dtype),
+    ).otherwise(F.col(wrap_col))
+    out_cols = [
+        wrapped.alias(wrap_col) if c == wrap_col else F.col(c)
+        for c in cells.columns
+    ]
+    return cells.join(
+        counts, F.col("__g").eqNullSafe(F.col("__g9"))
+    ).select(*out_cols)
+
+
 def _blocked_series(
     df: DataFrame,
     key_col: str,
@@ -1662,6 +1712,7 @@ def ks_by(
     value_col: str,
     a_label,
     b_label,
+    max_cells_per_group: int = 8_000_000,
 ) -> DataFrame:
     """Per-group two-sample Kolmogorov-Smirnov D — `ks_2sample`
     stratified (distribution shift per segment/experiment, the
@@ -1699,6 +1750,9 @@ def ks_by(
                 F.sum(F.when(sv == F.lit(b_label), F.lit(1))), F.lit(0)
             ).cast("long").alias("__cb"),
         )
+    )
+    cells = _max_cells_guard(
+        cells, "ks_by", max_cells_per_group, "__ca"
     )
     w = (
         Window.partitionBy("__g")
@@ -4132,6 +4186,7 @@ def auc_by(
     group_col: str,
     label_col: str,
     score_col: str,
+    max_cells_per_group: int = 8_000_000,
 ) -> DataFrame:
     """Per-group exact ROC AUC — `auc_score` stratified (the
     per-query retrieval/ranking eval): within every group, AUC via
@@ -4170,6 +4225,9 @@ def auc_by(
     cells = base.groupBy("__g", "__v").agg(
         F.sum("__y").cast("long").alias("__cp"),
         F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__cn"),
+    )
+    cells = _max_cells_guard(
+        cells, "auc_by", max_cells_per_group, "__cp"
     )
     w = (
         Window.partitionBy("__g")
@@ -4213,7 +4271,11 @@ def auc_by(
 
 
 def spearman_by(
-    df: DataFrame, group_col: str, x_col: str, y_col: str
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_cells_per_group: int = 8_000_000,
 ) -> DataFrame:
     """Per-group Spearman rank correlation — `spearman_corr`
     stratified (monotone-association per segment/query/source), with
@@ -4244,6 +4306,9 @@ def spearman_by(
         # the self-join attribute ambiguity
         cells = base.groupBy("__g", col).agg(
             F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        cells = _max_cells_guard(
+            cells, "spearman_by", max_cells_per_group, "__c"
         )
         w = (
             Window.partitionBy("__g")
@@ -4659,6 +4724,7 @@ def gini_by(
     group_col: str,
     value_col: str,
     scale: float = 1e6,
+    max_cells_per_group: int = 8_000_000,
 ) -> DataFrame:
     """Per-group exact Gini coefficient — the global `gini`
     stratified (concentration of token/byte mass per source): the
@@ -4691,6 +4757,9 @@ def gini_by(
         .select(F.col(group_col).alias("__g"), ug.alias("__u"))
         .groupBy("__g", "__u")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    cells = _max_cells_guard(
+        cells, "gini_by", max_cells_per_group, "__c"
     )
     w = (
         Window.partitionBy("__g")

@@ -318,3 +318,66 @@ def test_hw_linear_maps_identity_consistency():
     assert _bits(got[0 * K + 2]) == _bits(A * (0.0 - 1.0) + nA * 0.0)
     # ring shift: new s_1 (row 2) = old s_2 (basis 3)
     assert got[2 * K + 3] == 1.0
+
+
+# ------- max_cells_per_group route guard (VERDICT r11 item 8) -------
+
+
+def test_cell_window_family_guard_raises_on_hot_distinct_group(spark):
+    # adversarial fixture: one group whose DISTINCT-value count
+    # exceeds the cap — every family member must raise in-plan,
+    # never silently single-task
+    from hdfe_spark.operators.stats import (
+        auc_by,
+        gini_by,
+        ks_by,
+        spearman_by,
+    )
+
+    n = 500
+    df = spark.createDataFrame(
+        [("hot", float(i), i % 2, float(i) * 0.5, "A" if i % 2 else "B")
+         for i in range(n)],
+        ["g", "v", "y", "v2", "side"],
+    )
+    cap = 100  # n distinct values > cap
+    with pytest.raises(Exception, match="max_cells_per_group"):
+        auc_by(df, "g", "y", "v", max_cells_per_group=cap).collect()
+    with pytest.raises(Exception, match="max_cells_per_group"):
+        gini_by(df, "g", "v", max_cells_per_group=cap).collect()
+    with pytest.raises(Exception, match="max_cells_per_group"):
+        spearman_by(df, "g", "v", "v2", max_cells_per_group=cap).collect()
+    with pytest.raises(Exception, match="max_cells_per_group"):
+        ks_by(df, "g", "side", "v", "A", "B",
+              max_cells_per_group=cap).collect()
+
+
+def test_cell_window_family_guard_passes_under_cap(spark):
+    # same data under the cap: results must be identical to the
+    # unguarded (cap-disabled) path — the guard is pure routing
+    from hdfe_spark.operators.stats import auc_by, gini_by
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 40), i % 2) for i in range(300)],
+        ["g", "v", "y"],
+    )
+    a1 = {r["g"]: r["auc"] for r in
+          auc_by(df, "g", "y", "v", max_cells_per_group=1000).collect()}
+    a0 = {r["g"]: r["auc"] for r in
+          auc_by(df, "g", "y", "v", max_cells_per_group=0).collect()}
+    assert a1 == a0 and len(a1) == 3
+    g1 = {r["g"]: r["gini"] for r in
+          gini_by(df, "g", "v", max_cells_per_group=1000).collect()}
+    g0 = {r["g"]: r["gini"] for r in
+          gini_by(df, "g", "v", max_cells_per_group=0).collect()}
+    assert g1 == g0 and len(g1) == 3
+
+
+def test_cell_guard_null_group_is_guarded_too(spark):
+    from hdfe_spark.operators.stats import gini_by
+
+    df = spark.createDataFrame(
+        [(None, float(i)) for i in range(200)], "g string, v double"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        gini_by(df, "g", "v", max_cells_per_group=50).collect()
