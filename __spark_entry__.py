@@ -6600,8 +6600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
         "holt_winters_blocked": _q_holt_winters_blocked,
         # 15-50: the 36 stalest driver-green re-certs (the whole
-        # r05-evidence stratum, 32 queries, + the 5-query head of
-        # the r06 stratum)
+        # r05-evidence stratum, 32 queries, + the 4-query head of
+        # the r06 stratum, agg_refresh .. decimal_agg)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,

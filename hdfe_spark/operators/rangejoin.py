@@ -129,7 +129,8 @@ def interval_overlap_join(
         F.col(right_start) < F.col(left_end)
     )
     representative = F.col("__bucket") == F.expr(
-        f"greatest({left_start}, {right_start}) div {w}"
+        f"greatest({quote_ident(left_start)},"
+        f" {quote_ident(right_start)}) div {w}"
     )
     return (
         l.join(r, [*on, "__bucket"], "inner")

@@ -527,6 +527,15 @@ def grouped_quantiles_approx_certificate(
     group-cardinality sketch table back onto the data (AQE-planned)
     with conditional counters. No window, no sort."""
     probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(
+            "grouped_quantiles_approx_certificate: probs must be a"
+            " non-empty sequence in [0, 1]"
+        )
+    if accuracy < 1:
+        raise ValueError(
+            "grouped_quantiles_approx_certificate: accuracy >= 1"
+        )
     no_output_collision(
         "grouped_quantiles_approx_certificate",
         "group_col",

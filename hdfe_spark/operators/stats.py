@@ -458,6 +458,12 @@ def ewma_blocked(
     (A2*A1, A2*B1 + B2). Returns one row per key: (key, n, ewma)."""
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    no_output_collision(
+        "ewma_blocked", "out_col", out_col, ("n",)
+    )
+    no_output_collision(
+        "ewma_blocked", "key_col", key_col, ("n", out_col)
+    )
     A, nA = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
     blocks = _blocked_series(
         df, key_col, order_col, value_col, "ewma_blocked",
@@ -579,6 +585,10 @@ def holt_blocked(
         raise ValueError("alpha must be in (0, 1)")
     if not 0.0 < gamma < 1.0:
         raise ValueError("gamma must be in (0, 1)")
+    no_output_collision(
+        "holt_blocked", "key_col", key_col,
+        ("n", "level", "trend", "forecast"),
+    )
     A, G = F.lit(float(alpha)), F.lit(float(gamma))
     nA, nG = F.lit(1.0 - float(alpha)), F.lit(1.0 - float(gamma))
     blocks, lens = _blocked_series(
@@ -775,6 +785,10 @@ def holt_winters_blocked(
             "holt_winters_blocked: block_len must be >= 2*period so"
             " block 0 contains both init cycles"
         )
+    no_output_collision(
+        "holt_winters_blocked", "key_col", key_col,
+        ("n", "level", "trend", "season", "forecast"),
+    )
     K = m + 2
     A, G, D = (
         F.lit(float(alpha)), F.lit(float(gamma)), F.lit(float(delta))
@@ -972,6 +986,9 @@ def cusum_blocked(
     fixture). Returns one row per key: (key, n, cusum)."""
     if not 0.0 <= slack:
         raise ValueError("cusum_blocked: slack must be >= 0")
+    no_output_collision(
+        "cusum_blocked", "key_col", key_col, ("n", "cusum")
+    )
     adj = F.lit(float(target) + float(slack))
     blocks = _blocked_series(
         df, key_col, order_col, value_col, "cusum_blocked",
@@ -4215,6 +4232,9 @@ def auc_by(
     guard raises on labels outside {0, 1} because their algebra
     needs literal 0/1 values.
     """
+    no_output_collision(
+        "auc_by", "group_col", group_col, ("n_pos", "n_neg", "auc")
+    )
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
@@ -4292,6 +4312,9 @@ def spearman_by(
     (zero rank variance) return NULL rho. Returns one row per
     group: (group, n, rho).
     """
+    no_output_collision(
+        "spearman_by", "group_col", group_col, ("n", "rho")
+    )
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(
@@ -4739,6 +4762,9 @@ def gini_by(
     Negative values raise in-plan (Gini is undefined); groups with
     zero total return NULL gini; a NULL group is itself a group.
     Returns one row per group: (group, n, gini)."""
+    no_output_collision(
+        "gini_by", "group_col", group_col, ("n", "gini")
+    )
     u = F.round(F.col(value_col) * scale).cast("decimal(38,0)")
     zero = F.lit(0).cast("decimal(38,0)")
     # guard the RAW value (review r10d): a quantized guard would let

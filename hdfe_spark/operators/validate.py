@@ -326,7 +326,8 @@ def psi_drift(
         float(b)
         for b in df_a.agg(
             F.expr(
-                f"percentile({value_col}, array({','.join(map(str, qs))}))"
+                f"percentile({quote_ident(value_col)},"
+                f" array({','.join(map(str, qs))}))"
             ).alias("__bps")
         ).collect()[0]["__bps"]
     ]

@@ -381,3 +381,82 @@ def test_cell_guard_null_group_is_guarded_too(spark):
     )
     with pytest.raises(Exception, match="NULL"):
         gini_by(df, "g", "v", max_cells_per_group=50).collect()
+
+
+# ---------------- /code-review round-12 findings, pinned ----------------
+
+
+def test_review_r12_quote_ident_completes_sweep(spark):
+    # interval_overlap_join's representative predicate and psi's
+    # breakpoint percentile both take non-identifier column names now
+    from hdfe_spark.operators.rangejoin import interval_overlap_join
+    from hdfe_spark.operators.validate import psi_drift
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (1, 20, 30)], ["id", "s col", "e col"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 25)], ["id", "s col", "e col"]
+    )
+    got = interval_overlap_join(
+        left, right.withColumnRenamed("s col", "rs")
+        .withColumnRenamed("e col", "re"),
+        ["id"], "s col", "e col", "rs", "re", bucket_width=8,
+    ).count()
+    assert got == 2  # both left intervals overlap [5, 25)
+
+    a = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], ["the-value"]
+    )
+    b = spark.createDataFrame(
+        [(float((i * 7) % 50),) for i in range(500)], ["the-value"]
+    )
+    rows = psi_drift(a, b, "the-value", bins=5).collect()
+    assert len(rows) == 5
+
+
+def test_review_r12_certificate_validates_inputs(spark):
+    from hdfe_spark.operators.rank import (
+        grouped_quantiles_approx_certificate,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles_approx_certificate(df, "g", "v", probs=[])
+    with pytest.raises(ValueError, match="accuracy"):
+        grouped_quantiles_approx_certificate(df, "g", "v", accuracy=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles_approx_certificate(df, "g", "v", probs=[1.5])
+
+
+def test_review_r12_collision_guards_cover_cell_and_blocked_family(spark):
+    from hdfe_spark.operators.stats import (
+        auc_by,
+        cusum_blocked,
+        ewma_blocked,
+        gini_by,
+        holt_blocked,
+        holt_winters_blocked,
+        spearman_by,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], ["g", "t", "v"])
+    cases = [
+        lambda d: auc_by(d, "auc", "t", "v"),
+        lambda d: spearman_by(d, "rho", "t", "v"),
+        lambda d: gini_by(d, "gini", "v"),
+        lambda d: ewma_blocked(d, "ewma", "t", "v", 0.3),
+        lambda d: ewma_blocked(d, "n", "t", "v", 0.3),
+        lambda d: cusum_blocked(d, "cusum", "t", "v", 0.0),
+        lambda d: holt_blocked(d, "level", "t", "v", 0.3, 0.2),
+        lambda d: holt_winters_blocked(
+            d, "n", "t", "v", 4, 0.3, 0.2, 0.25
+        ),
+    ]
+    for i, case in enumerate(cases):
+        bad = df.withColumnRenamed(
+            "g",
+            ["auc", "rho", "gini", "ewma", "n", "cusum", "level", "n"][i],
+        )
+        with pytest.raises(ValueError, match="collides with a fixed"):
+            case(bad)
