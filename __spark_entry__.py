@@ -6416,6 +6416,29 @@ def _q_zscore_by(spark, sf_dir):
     )
 
 
+def _q_winsorize_by(spark, sf_dir):
+    """Per-group winsorization transform (`operators/stats.py::
+    winsorize_by` — the global `winsorize` stratified): clamp
+    l_extendedprice to its returnflag group's exact [p5, p95]
+    percentiles. Exact order statistics (`percentile` /
+    `quantile_cont` interpolate identically — the mad_outliers
+    portability precedent), least/greatest clamp with the explicit
+    NULL guard; the `accuracy` kwarg switches the cuts to the
+    GK-sketch path for billion-row groups (not oracle-hashable, the
+    `grouped_quantiles_approx` convention — the registered query
+    keeps the exact default)."""
+    from hdfe_spark.operators.stats import winsorize_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = winsorize_by(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        _pround("w").alias("w"),
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6559,17 +6582,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-12 ROTATION (sixteenth curation pass), executed exactly as
     queued in SURVEY.md after CORRECTNESS_r11 came back 50/50 green:
 
-    - positions 1-14: the oracle-checked queries with no driver
+    - positions 1-15: the oracle-checked queries with no driver
       CORRECTNESS row yet -- the 12 round-11 registrations
       (`ewma_blocked` `cusum_blocked` `holt_blocked` `mrr`
       `avg_precision` `recall_at_k` `zscore_by` `topk_by` `welch_by`
-      `ks_by` `streaming_welch` `srm_check`) plus this round's two
-      registrations, `grouped_quantiles_approx_certificate` and
-      `holt_winters_blocked`.
-    - positions 15-50: the 36 stalest driver-green re-certs -- the
+      `ks_by` `streaming_welch` `srm_check`) plus this round's three
+      registrations, `grouped_quantiles_approx_certificate`,
+      `holt_winters_blocked`, and `winsorize_by`.
+    - positions 16-50: the 35 stalest driver-green re-certs -- the
       entire r05-evidence stratum (32 queries, `equidepth_hist` ..
-      `zorder_layout`) plus the 4-query head of the r06 stratum
-      (`agg_refresh` .. `decimal_agg`).
+      `zorder_layout`) plus the 3-query head of the r06 stratum
+      (`agg_refresh` .. `date_parts`).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the remaining r06
       rows (`dup_ngram_spans` onward), then the r07/r09/r10 strata,
@@ -6580,11 +6603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------ driver window: positions 1-50 (round-12 rotation) ------
-        # 1-14: the never-driver-recorded oracle-checked
-        # queries (the 12 round-11 registrations + this round's two
-        # registrations: grouped_quantiles_approx_certificate -- the
-        # bounded-memory grouped-quantile scale path -- and
-        # holt_winters_blocked -- the seasonal blocked fold)
+        # 1-15: the never-driver-recorded oracle-checked
+        # queries (the 12 round-11 registrations + this round's
+        # three registrations: grouped_quantiles_approx_certificate
+        # -- the bounded-memory grouped-quantile scale path --
+        # holt_winters_blocked -- the seasonal blocked fold -- and
+        # winsorize_by -- the per-group clamp transform)
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
@@ -6599,9 +6623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": _q_srm_check,
         "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
         "holt_winters_blocked": _q_holt_winters_blocked,
-        # 15-50: the 36 stalest driver-green re-certs (the whole
-        # r05-evidence stratum, 32 queries, + the 4-query head of
-        # the r06 stratum, agg_refresh .. decimal_agg)
+        "winsorize_by": _q_winsorize_by,
+        # 16-50: the 35 stalest driver-green re-certs (the whole
+        # r05-evidence stratum, 32 queries, + the 3-query head of
+        # the r06 stratum, agg_refresh .. date_parts)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,
@@ -6637,8 +6662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_refresh": _q_agg_refresh,
         "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
-        "decimal_agg": _q_decimal_agg,
         # ------ end of the driver's 50-query window ------
+        "decimal_agg": _q_decimal_agg,
         "dq_report": _q_dq_report,
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
@@ -9342,6 +9367,20 @@ def oracle_sql() -> dict[str, str]:
                                 AS DOUBLE) - st.mean) / st.sd)
                          * 1e9 + 0.5) / 1e9 AS z
             FROM lineitem l JOIN st ON l.l_returnflag = st.g
+        """,
+        "winsorize_by": """
+            WITH cuts AS (
+              SELECT l_returnflag AS g,
+                     quantile_cont(l_extendedprice, 0.05) AS lo,
+                     quantile_cont(l_extendedprice, 0.95) AS hi
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   floor(CASE WHEN l.l_extendedprice IS NOT NULL
+                         THEN least(greatest(l.l_extendedprice,
+                                             cuts.lo), cuts.hi)
+                         END * 1e9 + 0.5) / 1e9 AS w
+            FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.g
         """,
         "topk_by": """
             SELECT user_id, event_id, rank,

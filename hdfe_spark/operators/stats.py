@@ -2078,35 +2078,52 @@ def winsorize_by(
     p_lo: float = 0.05,
     p_hi: float = 0.95,
     out_col: str = "w",
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Per-group winsorization: clamp ``value_col`` to its group's
-    [p_lo, p_hi] exact percentiles — the outlier-taming transform
+    [p_lo, p_hi] percentiles — the outlier-taming transform
     run per segment before per-group means/regressions (a single
     hot group's tail otherwise sets the global fences).
 
-    Percentiles are exact order statistics (``percentile`` with
-    linear interpolation — the `mad_outliers`/`brown_forsythe`
-    portability precedent: both engines interpolate identically);
-    the clamp is least/greatest, pure row expressions. NULL values
-    stay NULL; a NULL group is itself a group.
+    By default percentiles are exact order statistics
+    (``percentile`` with linear interpolation — the
+    `mad_outliers`/`brown_forsythe` portability precedent: both
+    engines interpolate identically); the clamp is least/greatest,
+    pure row expressions. NULL values stay NULL; a NULL group is
+    itself a group.
 
     Scale: one shuffle for the per-group percentile pair (exact
     percentile sorts WITHIN each group's aggregation buffer — fine
-    for per-entity groups; a billion-row single group should be
-    quantile-bucketed first), one AQE-planned join back."""
+    for per-entity groups), one AQE-planned join back. For
+    billion-row groups pass ``accuracy`` to switch the cut pair to
+    ``percentile_approx`` (the `mad_outliers` kwarg convention;
+    Greenwald-Khanna rank error <= 1/accuracy, sketch memory
+    O(accuracy * log n) per group regardless of group size — the
+    route `grouped_quantiles_approx` certifies). Approx cuts are
+    merge-order-dependent, so that mode is not oracle-hashable; the
+    registered query keeps the exact default."""
     if not (0.0 <= p_lo < p_hi <= 1.0):
         raise ValueError(
             "winsorize_by: need 0 <= p_lo < p_hi <= 1"
         )
+    if accuracy is not None and accuracy < 1:
+        raise ValueError("winsorize_by: accuracy >= 1")
     no_inplace_overwrite("winsorize_by", out_col, df.columns)
     vq = quote_ident(value_col)
+    if accuracy is None:
+        lo_cut = F.expr(f"percentile({vq}, {p_lo!r})")
+        hi_cut = F.expr(f"percentile({vq}, {p_hi!r})")
+    else:
+        lo_cut = F.percentile_approx(
+            value_col, F.lit(float(p_lo)), F.lit(int(accuracy))
+        )
+        hi_cut = F.percentile_approx(
+            value_col, F.lit(float(p_hi)), F.lit(int(accuracy))
+        )
     cuts = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("__g"))
-        .agg(
-            F.expr(f"percentile({vq}, {p_lo!r})").alias("__lo"),
-            F.expr(f"percentile({vq}, {p_hi!r})").alias("__hi"),
-        )
+        .agg(lo_cut.alias("__lo"), hi_cut.alias("__hi"))
     )
     return (
         df.join(cuts, F.col(group_col).eqNullSafe(F.col("__g")), "left")

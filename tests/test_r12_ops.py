@@ -460,3 +460,31 @@ def test_review_r12_collision_guards_cover_cell_and_blocked_family(spark):
         )
         with pytest.raises(ValueError, match="collides with a fixed"):
             case(bad)
+
+
+def test_winsorize_by_approx_route(spark):
+    # the bounded-memory cut path the routing note promised: approx
+    # cuts clamp like the exact path (identical here because the
+    # sketch is exact at this size), and bad accuracy fails loud
+    from hdfe_spark.operators.stats import winsorize_by
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), float(i)) for i in range(200)], ["g", "v"]
+    )
+    exact = sorted(
+        (r["g"], r["w"])
+        for r in winsorize_by(df, "g", "v", 0.1, 0.9).collect()
+    )
+    approx = sorted(
+        (r["g"], r["w"])
+        for r in winsorize_by(
+            df, "g", "v", 0.1, 0.9, accuracy=100_000
+        ).collect()
+    )
+    assert len(exact) == len(approx) == 200
+    # high-accuracy sketch on 100 values/group: cuts within one
+    # neighbor value of exact -> every clamp within 2.0 of exact
+    for (g1, w1), (g2, w2) in zip(exact, approx):
+        assert g1 == g2 and abs(w1 - w2) <= 2.0
+    with pytest.raises(ValueError, match="accuracy"):
+        winsorize_by(df, "g", "v", accuracy=0)
