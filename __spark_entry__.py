@@ -6439,6 +6439,58 @@ def _q_winsorize_by(spark, sf_dir):
     )
 
 
+def _q_mann_whitney_by(spark, sf_dir):
+    """Per-group Mann-Whitney U + tie-corrected z
+    (`operators/stats.py::mann_whitney_by` — `mann_whitney_u`
+    stratified, the nonparametric sibling of `welch_by`): arms from
+    event_id parity, per-event_type cells with group-partitioned
+    window prefix sums (the `auc_by` shape); 2*R_a and the tie sum
+    are exact integers, z one fixed IEEE expression."""
+    from hdfe_spark.operators.stats import mann_whitney_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    ).filter(F.col("event_id").isNotNull())
+    out = mann_whitney_by(base, "event_type", "arm", "value", "A", "B")
+    return out.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u2_a",
+        _pround("z").alias("z"),
+    )
+
+
+def _q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR (`operators/stats.py::bh_fdr`
+    — the multiple-testing completion of the per-group test panel):
+    deterministic synthetic p-values p = ((event_id*7919) % 1000 /
+    1000)^2 (identical double arithmetic on both engines), ranks
+    from `rank.global_rank` (range-partitioned offsets, never a
+    single-task sort), the step-up cutoff one scalar aggregation."""
+    from hdfe_spark.operators.stats import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    pe = ((F.col("event_id") * 7919) % 1000).cast("double") / F.lit(
+        1000.0
+    )
+    base = ev.filter(F.col("event_id").isNotNull()).select(
+        "event_id", (pe * pe).alias("p")
+    )
+    out = bh_fdr(base, "p", ["event_id"], q=0.05)
+    return out.select(
+        "event_id",
+        _pround("p").alias("p"),
+        F.col("rank").cast("long").alias("rank"),
+        "rejected",
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6582,17 +6634,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ROUND-12 ROTATION (sixteenth curation pass), executed exactly as
     queued in SURVEY.md after CORRECTNESS_r11 came back 50/50 green:
 
-    - positions 1-15: the oracle-checked queries with no driver
+    - positions 1-17: the oracle-checked queries with no driver
       CORRECTNESS row yet -- the 12 round-11 registrations
       (`ewma_blocked` `cusum_blocked` `holt_blocked` `mrr`
       `avg_precision` `recall_at_k` `zscore_by` `topk_by` `welch_by`
-      `ks_by` `streaming_welch` `srm_check`) plus this round's three
-      registrations, `grouped_quantiles_approx_certificate`,
-      `holt_winters_blocked`, and `winsorize_by`.
-    - positions 16-50: the 35 stalest driver-green re-certs -- the
+      `ks_by` `streaming_welch` `srm_check`) plus this round's five
+      registrations: `grouped_quantiles_approx_certificate`,
+      `holt_winters_blocked`, `winsorize_by`, `mann_whitney_by`,
+      and `bh_fdr`.
+    - positions 18-50: the 33 stalest driver-green re-certs -- the
       entire r05-evidence stratum (32 queries, `equidepth_hist` ..
-      `zorder_layout`) plus the 3-query head of the r06 stratum
-      (`agg_refresh` .. `date_parts`).
+      `zorder_layout`) plus `agg_refresh`, the r06-stratum head.
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the remaining r06
       rows (`dup_ngram_spans` onward), then the r07/r09/r10 strata,
@@ -6603,12 +6655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------ driver window: positions 1-50 (round-12 rotation) ------
-        # 1-15: the never-driver-recorded oracle-checked
+        # 1-17: the never-driver-recorded oracle-checked
         # queries (the 12 round-11 registrations + this round's
-        # three registrations: grouped_quantiles_approx_certificate
-        # -- the bounded-memory grouped-quantile scale path --
-        # holt_winters_blocked -- the seasonal blocked fold -- and
-        # winsorize_by -- the per-group clamp transform)
+        # five registrations: grouped_quantiles_approx_certificate,
+        # holt_winters_blocked, winsorize_by, mann_whitney_by,
+        # bh_fdr)
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
@@ -6624,9 +6675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
         "holt_winters_blocked": _q_holt_winters_blocked,
         "winsorize_by": _q_winsorize_by,
-        # 16-50: the 35 stalest driver-green re-certs (the whole
-        # r05-evidence stratum, 32 queries, + the 3-query head of
-        # the r06 stratum, agg_refresh .. date_parts)
+        "mann_whitney_by": _q_mann_whitney_by,
+        "bh_fdr": _q_bh_fdr,
+        # 18-50: the 33 stalest driver-green re-certs (the whole
+        # r05-evidence stratum, 32 queries, + agg_refresh, the
+        # r06-stratum head)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,
@@ -6660,9 +6713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ranks": _q_window_ranks,
         "zorder_layout": _q_zorder_layout,
         "agg_refresh": _q_agg_refresh,
+        # ------ end of the driver's 50-query window ------
         "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
-        # ------ end of the driver's 50-query window ------
         "decimal_agg": _q_decimal_agg,
         "dq_report": _q_dq_report,
         # backlog: every remaining oracle-checked query, ordered
@@ -9381,6 +9434,93 @@ def oracle_sql() -> dict[str, str]:
                                              cuts.lo), cuts.hi)
                          END * 1e9 + 0.5) / 1e9 AS w
             FROM lineitem l JOIN cuts ON l.l_returnflag = cuts.g
+        """,
+        "mann_whitney_by": """
+            WITH base AS (
+              SELECT event_type AS g, value AS v,
+                     CASE WHEN event_id % 2 = 0 THEN 'A'
+                          ELSE 'B' END AS s
+              FROM events
+              WHERE value IS NOT NULL AND event_id IS NOT NULL),
+            cells AS (SELECT g, v,
+                        CAST(sum(CASE WHEN s = 'A' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                        CAST(sum(CASE WHEN s = 'B' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+                      FROM base GROUP BY g, v),
+            cum AS (SELECT g, ca, cb,
+                      CAST(sum(ca) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                      CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+                    FROM cells),
+            gr AS (SELECT g,
+                     CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b,
+                     CAST(sum(CAST(ca AS HUGEINT)
+                       * (2 * (CAST(cuma AS HUGEINT) + cumb - ca - cb)
+                          + (ca + cb) + 1)) AS HUGEINT) AS r2a,
+                     CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb)
+                              * (ca + cb) - (ca + cb)) AS HUGEINT)
+                       AS t3
+                   FROM cum GROUP BY g)
+            SELECT g AS event_type, n_a, n_b,
+                   CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+                        AS DOUBLE) AS u2_a,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                             AND (CAST(n_a AS DOUBLE)
+                                  * CAST(n_b AS DOUBLE) / 12.0
+                                  * ((CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE) + 1.0)
+                                     - CAST(t3 AS DOUBLE)
+                                       / ((CAST(n_a AS DOUBLE)
+                                           + CAST(n_b AS DOUBLE))
+                                          * (CAST(n_a AS DOUBLE)
+                                             + CAST(n_b AS DOUBLE)
+                                             - 1.0)))) > 0
+                   THEN floor((CAST(r2a - CAST(n_a AS HUGEINT)
+                                          * (n_a + 1)
+                                    - CAST(n_a AS HUGEINT) * n_b
+                                    AS DOUBLE)
+                               / (2.0
+                                  * sqrt(CAST(n_a AS DOUBLE)
+                                         * CAST(n_b AS DOUBLE) / 12.0
+                                         * ((CAST(n_a AS DOUBLE)
+                                             + CAST(n_b AS DOUBLE)
+                                             + 1.0)
+                                            - CAST(t3 AS DOUBLE)
+                                              / ((CAST(n_a AS DOUBLE)
+                                                  + CAST(n_b AS DOUBLE))
+                                                 * (CAST(n_a AS DOUBLE)
+                                                    + CAST(n_b
+                                                        AS DOUBLE)
+                                                    - 1.0))))))
+                              * 1e9 + 0.5) / 1e9
+                   END AS z
+            FROM gr
+        """,
+        "bh_fdr": """
+            WITH b AS (
+              SELECT event_id,
+                     (CAST((event_id * 7919) % 1000 AS DOUBLE)
+                      / 1000.0)
+                     * (CAST((event_id * 7919) % 1000 AS DOUBLE)
+                        / 1000.0) AS p
+              FROM events WHERE event_id IS NOT NULL),
+            r AS (SELECT event_id, p,
+                    CAST(row_number() OVER (ORDER BY p, event_id)
+                      AS BIGINT) AS rank,
+                    CAST(count(*) OVER () AS DOUBLE) AS m
+                  FROM b),
+            k AS (SELECT max(CASE WHEN p <= CAST(rank AS DOUBLE)
+                                         * 0.05 / m
+                             THEN rank END) AS kk
+                  FROM r)
+            SELECT r.event_id,
+                   floor(r.p * 1e9 + 0.5) / 1e9 AS p,
+                   r.rank,
+                   r.rank <= coalesce(k.kk, 0) AS rejected
+            FROM r, k
         """,
         "topk_by": """
             SELECT user_id, event_id, rank,

@@ -4418,6 +4418,180 @@ def spearman_by(
     )
 
 
+def mann_whitney_by(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    a_label,
+    b_label,
+    max_cells_per_group: int = 8_000_000,
+) -> DataFrame:
+    """Per-group Mann-Whitney U test — `mann_whitney_u` stratified
+    (the nonparametric companion of `welch_by` for skewed/ordinal
+    metrics, run for every segment/experiment in ONE aggregation):
+    within each group, U_a for the ``a_label`` arm via the rank-sum
+    identity with average-tie ranks, plus the tie-corrected
+    normal-approximation z.
+
+    2*R_a rides as an exact DECIMAL(38,0) integer over (group,
+    value) cell counts with GROUP-PARTITIONED window prefix sums
+    (the `auc_by` shape — parallel across groups, never a global
+    sort, `max_cells_per_group`-guarded like the rest of the
+    cell-window family); the tie correction Σ(t³ - t) is likewise
+    an exact integer per group, so
+
+        z = (2U_a - n_a*n_b) / (2 * sqrt(var)),
+        var = n_a*n_b/12 * ((n+1) - Σ(t³-t)/(n*(n-1)))
+
+    is a fixed IEEE expression a SQL oracle spells verbatim (no
+    continuity correction — both engines then agree exactly). NULL
+    values are excluded; a NULL group is itself a group. Groups
+    with an empty arm or all-tied values (var = 0) return NULL z.
+    Returns one row per group: (group, n_a, n_b, u2_a, z) with
+    u2_a = 2*U_a exact.
+
+    Scale: one cells aggregation + one group-partitioned window +
+    one grouped sum — no join, no driver collect."""
+    no_output_collision(
+        "mann_whitney_by", "group_col", group_col,
+        ("n_a", "n_b", "u2_a", "z"),
+    )
+    sv = F.col(side_col)
+    cells = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ((sv == F.lit(a_label)) | (sv == F.lit(b_label)))
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).alias("__v"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(sv == F.lit(a_label), F.lit(1))), F.lit(0)
+            ).cast("long").alias("__ca"),
+            F.coalesce(
+                F.sum(F.when(sv == F.lit(b_label), F.lit(1))), F.lit(0)
+            ).cast("long").alias("__cb"),
+        )
+    )
+    cells = _max_cells_guard(
+        cells, "mann_whitney_by", max_cells_per_group, "__ca"
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "__g", "__ca", "__cb",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+    )
+    cD = (F.col("__ca") + F.col("__cb")).cast("decimal(38,0)")
+    before = (
+        F.col("__cuma") + F.col("__cumb")
+        - F.col("__ca") - F.col("__cb")
+    ).cast("decimal(38,0)")
+    r2a = F.col("__ca").cast("decimal(38,0)") * (
+        F.lit(2).cast("decimal(38,0)") * before + cD + F.lit(1)
+    )
+    ties = cD * cD * cD - cD
+    g = cum.groupBy("__g").agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(r2a).alias("__r2a"),
+        F.sum(ties).alias("__t3"),
+    )
+    naD = F.col("n_a").cast("decimal(38,0)")
+    u2 = F.col("__r2a") - naD * (F.col("n_a") + F.lit(1))
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nd = nad + nbd
+    var = (
+        nad * nbd / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("__t3").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    num = (
+        u2 - naD * F.col("n_b").cast("decimal(38,0)")
+    ).cast("double")
+    z = num / (F.lit(2.0) * F.sqrt(var))
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n_a",
+        "n_b",
+        u2.cast("double").alias("u2_a"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            z,
+        ).alias("z"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    tiebreak: "Sequence[str]",
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR correction over a p-value
+    column — the multiple-testing completion of the per-group test
+    panel (`welch_by` / `ks_by` / `mann_whitney_by` / `srm_check`
+    emit one p-statistic per segment; running 10k tests at
+    alpha=0.05 expects 500 false positives, so every platform
+    corrects): sort the m observed p-values ascending, find
+    k = max{i : p_(i) <= i*q/m}, reject hypotheses ranked <= k.
+
+    Ranks come from `rank.global_rank` over the REQUIRED total
+    order (p, *tiebreak) — range-partitioned offsets, never a
+    single-task global sort; ``m`` is the free offset total. The
+    step-up cutoff k is ONE scalar aggregation collected to the
+    driver (the `ks_2sample` two-scalar precedent), broadcast back
+    as a literal. p outside [0, 1] raises in-plan; NULL-p rows are
+    EXCLUDED (untested hypotheses are not corrected — document the
+    denominator m accordingly). Returns the non-NULL-p rows with
+    (rank, rejected) appended: rejected = rank <= k, and every
+    rejected row satisfies the BH guarantee at level ``q``.
+
+    Scale: one range shuffle for the rank, one map-side-combined
+    scalar aggregation, pure row expressions after."""
+    if not 0.0 < q < 1.0:
+        raise ValueError("bh_fdr: q must be in (0, 1)")
+    no_inplace_overwrite("bh_fdr", "rank", df.columns)
+    no_inplace_overwrite("bh_fdr", "rejected", df.columns)
+    from hdfe_spark.operators.rank import global_rank_with_total
+
+    p = F.col(p_col)
+    guarded = F.when(
+        (p < 0.0) | (p > 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("bh_fdr: p-value outside [0, 1]: "),
+                p.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(p)
+    base = df.filter(p.isNotNull()).withColumn(p_col, guarded)
+    ranked, m = global_rank_with_total(
+        base, [p_col, *tiebreak], rank_col="rank"
+    )
+    if m == 0:
+        return ranked.withColumn("rejected", F.lit(False))
+    thresh = F.col("rank").cast("double") * F.lit(float(q)) / F.lit(
+        float(m)
+    )
+    krow = ranked.agg(
+        F.max(F.when(F.col(p_col) <= thresh, F.col("rank"))).alias(
+            "__k"
+        )
+    ).collect()[0]["__k"]
+    k = int(krow) if krow is not None else 0
+    return ranked.withColumn("rejected", F.col("rank") <= F.lit(k))
+
+
 def entropy_by(
     df: DataFrame,
     group_col: str,

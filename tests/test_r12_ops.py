@@ -488,3 +488,126 @@ def test_winsorize_by_approx_route(spark):
         assert g1 == g2 and abs(w1 - w2) <= 2.0
     with pytest.raises(ValueError, match="accuracy"):
         winsorize_by(df, "g", "v", accuracy=0)
+
+
+# -------- mann_whitney_by / bh_fdr (experimentation panel completion) -------
+
+
+def _mw_reference(pairs):
+    """Pure-Python Mann-Whitney with average-tie ranks: pairs =
+    [(side, value)] -> (n_a, n_b, 2*U_a, z or None)."""
+    vals = sorted(v for _, v in pairs)
+    # average rank per value, doubled to stay integral
+    from collections import Counter
+
+    cnt = Counter(vals)
+    r2 = {}
+    before = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        r2[v] = 2 * before + c + 1  # 2 * average rank
+        before += c
+    n_a = sum(1 for s, _ in pairs if s == "A")
+    n_b = len(pairs) - n_a
+    r2a = sum(r2[v] for s, v in pairs if s == "A")
+    u2 = r2a - n_a * (n_a + 1)
+    n = n_a + n_b
+    t3 = sum(c**3 - c for c in cnt.values())
+    if n_a == 0 or n_b == 0 or n < 2:
+        return n_a, n_b, u2, None
+    var = n_a * n_b / 12.0 * ((n + 1.0) - t3 / (n * (n - 1.0)))
+    if var <= 0:
+        return n_a, n_b, u2, None
+    z = (u2 - n_a * n_b) / (2.0 * math.sqrt(var))
+    return n_a, n_b, u2, z
+
+
+def test_mann_whitney_by_matches_reference(spark):
+    from hdfe_spark.operators.stats import mann_whitney_by
+
+    rows, ref = [], {}
+    fixtures = {
+        "g1": [("A", float(i % 7)) for i in range(30)]
+        + [("B", float(i % 5) + 1.5) for i in range(25)],
+        "g2": [("A", 1.0), ("B", 2.0), ("A", 3.0), ("B", 2.0)],
+        "tied": [("A", 5.0)] * 10 + [("B", 5.0)] * 10,  # var=0 -> NULL z
+        "thin": [("A", 1.0), ("A", 2.0)],  # empty B arm -> NULL z
+    }
+    for g, pairs in fixtures.items():
+        ref[g] = _mw_reference(pairs)
+        rows += [(g, s, v) for s, v in pairs]
+    df = spark.createDataFrame(rows, ["g", "side", "v"]).repartition(8)
+    got = {
+        r["g"]: r
+        for r in mann_whitney_by(df, "g", "side", "v", "A", "B").collect()
+    }
+    assert set(got) == set(ref)
+    for g, (na, nb, u2, z) in ref.items():
+        assert got[g]["n_a"] == na and got[g]["n_b"] == nb, g
+        assert got[g]["u2_a"] == float(u2), g
+        if z is None:
+            assert got[g]["z"] is None, g
+        else:
+            assert abs(got[g]["z"] - z) < 1e-12, (g, got[g]["z"], z)
+
+
+def test_mann_whitney_by_guards(spark):
+    from hdfe_spark.operators.stats import mann_whitney_by
+
+    df = spark.createDataFrame(
+        [("g", "A", float(i)) for i in range(50)]
+        + [("g", "B", float(i) + 0.5) for i in range(50)],
+        ["g", "side", "v"],
+    )
+    with pytest.raises(ValueError, match="collides with a fixed"):
+        mann_whitney_by(df.withColumnRenamed("g", "z"),
+                        "z", "side", "v", "A", "B")
+    with pytest.raises(Exception, match="max_cells_per_group"):
+        mann_whitney_by(df, "g", "side", "v", "A", "B",
+                        max_cells_per_group=10).collect()
+
+
+def _bh_reference(ps, q):
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    k = 0
+    for rank, idx in enumerate(order, 1):
+        if ps[idx] <= rank * q / m:
+            k = rank
+    rejected = set(order[:k])
+    return rejected
+
+
+def test_bh_fdr_matches_reference(spark):
+    from hdfe_spark.operators.stats import bh_fdr
+
+    ps = [((i * 7919) % 1000) / 1000.0 * ((i * 7919) % 1000) / 1000.0
+          for i in range(500)]
+    ref = _bh_reference(ps, 0.1)
+    df = spark.createDataFrame(
+        [(i, ps[i]) for i in range(500)], ["id", "p"]
+    ).repartition(8)
+    got = {r["id"]: r for r in bh_fdr(df, "p", ["id"], q=0.1).collect()}
+    assert len(got) == 500
+    rej = {i for i, r in got.items() if r["rejected"]}
+    assert rej == ref and len(ref) > 0
+    # ranks are the ascending-p total order
+    by_rank = sorted(got.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == list(range(1, 501))
+    assert all(
+        by_rank[i]["p"] <= by_rank[i + 1]["p"] for i in range(499)
+    )
+
+
+def test_bh_fdr_guards(spark):
+    from hdfe_spark.operators.stats import bh_fdr
+
+    df = spark.createDataFrame([(1, 0.5)], ["id", "p"])
+    with pytest.raises(ValueError, match="q must be"):
+        bh_fdr(df, "p", ["id"], q=1.5)
+    bad = spark.createDataFrame([(1, 1.5)], ["id", "p"])
+    with pytest.raises(Exception, match="outside"):
+        bh_fdr(bad, "p", ["id"]).collect()
+    # NULL p rows are excluded, all-NULL input -> empty with schema
+    nul = spark.createDataFrame([(1, None)], "id int, p double")
+    assert bh_fdr(nul, "p", ["id"]).count() == 0

@@ -22,20 +22,20 @@ def test_window_all_have_oracles_or_are_declared():
 
 def test_round12_window_composition():
     """Positions 1-50 (sixteenth curation pass, executed as queued
-    in SURVEY.md): 1-15 = the never-driver-recorded oracle-checked
-    queries (the 12 round-11 registrations + this round's three
+    in SURVEY.md): 1-17 = the never-driver-recorded oracle-checked
+    queries (the 12 round-11 registrations + this round's five
     registrations, `grouped_quantiles_approx_certificate`,
-    `holt_winters_blocked`, and `winsorize_by`), 16-50 = the 35
-    stalest driver-green re-certs (the whole r05 stratum,
-    `equidepth_hist` .. `zorder_layout`, + the 3-query head of the
-    r06 stratum, `agg_refresh` .. `date_parts`); the backlog stays
+    `holt_winters_blocked`, `winsorize_by`, `mann_whitney_by`,
+    `bh_fdr`), 18-50 = the 33 stalest driver-green re-certs (the
+    whole r05 stratum, `equidepth_hist` .. `zorder_layout`, +
+    `agg_refresh`, the r06-stratum head); the backlog stays
     stalest-evidence-first so its head IS the round-13 re-cert list,
     with the 50 round-11-window entries (fresh r11 evidence) last
     before the 11 rows-only demos at the tail. If this fails after
     an intentional round-13 rotation, update the expectation
     alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:15] == [
+    assert q[:17] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
@@ -43,14 +43,14 @@ def test_round12_window_composition():
         "grouped_quantiles_approx_certificate",
         "holt_winters_blocked",
         "winsorize_by",
+        "mann_whitney_by",
+        "bh_fdr",
     ]
-    assert q[15] == "equidepth_hist" and q[46] == "zorder_layout"
-    assert q[47:50] == [
-        "agg_refresh", "cms_certificate", "date_parts",
-    ]
+    assert q[17] == "equidepth_hist" and q[48] == "zorder_layout"
+    assert q[49] == "agg_refresh"
     # backlog head = the remaining r06 stratum, stalest-first
-    assert q[50] == "decimal_agg" and q[51] == "dq_report"
-    assert q[52] == "dup_ngram_spans"
+    assert q[50:53] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[53] == "dq_report" and q[54] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -62,7 +62,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 303
+    assert len(q) == 305
 
 
 def test_every_query_has_callable():

@@ -164,6 +164,104 @@ def stress_hw20m():
     spark.stop()
 
 
+def stress_mw20m():
+    """mann_whitney_by at 20M rows x 100 groups, EXACT vs a pure-
+    Python replica. Fixture decorrelation (the r10/r11 modulus
+    lesson): with j = i div 100, arm = j mod 2 and v = (j div 2)
+    mod 97 are independent of the group i mod 100, and every group
+    has the IDENTICAL (arm, value) histogram -- computed once in
+    Python, checked against all 100 groups."""
+    import collections
+    import math as _m
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import mann_whitney_by
+
+    spark = _spark()
+    n, keys, mod = 20_000_000, 100, 97
+    j = (F.col("id") / F.lit(keys)).cast("long")
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % keys).alias("g"),
+        F.when(j % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "arm"
+        ),
+        ((j / F.lit(2)).cast("long") % mod).cast("double").alias("v"),
+    )
+    t0 = _t.time()
+    got = {
+        r["g"]: r
+        for r in mann_whitney_by(df, "g", "arm", "v", "A", "B").collect()
+    }
+    dt = _t.time() - t0
+    per = n // keys
+    ca = collections.Counter()
+    cb = collections.Counter()
+    for jj in range(per):
+        (ca if jj % 2 == 0 else cb)[(jj // 2) % mod] += 1
+    vals = sorted(set(ca) | set(cb))
+    before, r2 = 0, {}
+    for v in vals:
+        c = ca[v] + cb[v]
+        r2[v] = 2 * before + c + 1
+        before += c
+    n_a, n_b = sum(ca.values()), sum(cb.values())
+    u2 = sum(r2[v] * ca[v] for v in ca) - n_a * (n_a + 1)
+    t3 = sum((ca[v] + cb[v]) ** 3 - (ca[v] + cb[v]) for v in vals)
+    nn = n_a + n_b
+    var = n_a * n_b / 12.0 * ((nn + 1.0) - t3 / (nn * (nn - 1.0)))
+    zr = (u2 - n_a * n_b) / (2.0 * _m.sqrt(var))
+    worst = 0.0
+    assert len(got) == keys
+    for g, row in got.items():
+        assert row["n_a"] == n_a and row["n_b"] == n_b, g
+        assert row["u2_a"] == float(u2), (g, row["u2_a"], u2)
+        worst = max(worst, abs(row["z"] - zr))
+    print(
+        f"mw20m: groups={len(got)} u2_exact=True "
+        f"worst_z_absdiff={worst:.1e} wall={dt:.1f}s ok=True"
+    )
+    spark.stop()
+
+
+def stress_bh20m():
+    """bh_fdr at 20M p-values EXACT vs a numpy replica: same
+    quadratic residue p's as the registered query, q=0.05."""
+    import time as _t
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import bh_fdr
+
+    spark = _spark()
+    n = 20_000_000
+    pe = ((F.col("id") * 7919) % 100_000).cast("double") / F.lit(
+        100_000.0
+    )
+    df = spark.range(0, n, 1, 64).select(
+        F.col("id"), (pe * pe).alias("p")
+    )
+    t0 = _t.time()
+    out = bh_fdr(df, "p", ["id"], q=0.05)
+    n_rej, k_max = out.agg(
+        F.sum(F.col("rejected").cast("long")),
+        F.max(F.when(F.col("rejected"), F.col("rank"))),
+    ).collect()[0]
+    dt = _t.time() - t0
+    ids = np.arange(n, dtype=np.int64)
+    base = ((ids * 7919) % 100_000).astype(np.float64) / 100_000.0
+    p = np.sort(base * base)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    sat = np.nonzero(p <= i * 0.05 / float(n))[0]
+    k = int(sat[-1] + 1) if len(sat) else 0
+    ok = int(n_rej) == k and (k_max or 0) == k
+    print(f"bh20m: k={k} n_rejected={n_rej} wall={dt:.1f}s ok={ok}")
+    assert ok
+    spark.stop()
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("holt100m_lean", "all"):
@@ -172,3 +270,7 @@ if __name__ == "__main__":
         stress_hw100m()
     if which in ("hw20m", "all"):
         stress_hw20m()
+    if which in ("mw20m", "all"):
+        stress_mw20m()
+    if which in ("bh20m", "all"):
+        stress_bh20m()
