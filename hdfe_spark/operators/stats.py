@@ -1749,6 +1749,12 @@ def ks_by(
     no_output_collision(
         "ks_by", "group_col", group_col, ("n_a", "n_b", "d_num", "d")
     )
+    if a_label == b_label:
+        raise ValueError(
+            "ks_by: a_label and b_label are the same value"
+            f" ({a_label!r}) — one arm would be double-counted as"
+            " both"
+        )
     sv = F.col(side_col)
     cells = (
         df.filter(
@@ -1954,6 +1960,12 @@ def welch_by(
             "t_stat", "dof",
         ),
     )
+    if arm_a == arm_b:
+        raise ValueError(
+            "welch_by: arm_a and arm_b are the same value"
+            f" ({arm_a!r}) — one arm would be double-counted as"
+            " both"
+        )
     v = F.col(value_col)
     u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
     is_a = F.col(arm_col) == F.lit(arm_a)
@@ -4452,11 +4464,19 @@ def mann_whitney_by(
     u2_a = 2*U_a exact.
 
     Scale: one cells aggregation + one group-partitioned window +
-    one grouped sum — no join, no driver collect."""
+    one grouped sum, no driver collect; the default cell-cap guard
+    adds one map-side-combined count and one group-cardinality join
+    (pass max_cells_per_group=0 to opt out knowingly)."""
     no_output_collision(
         "mann_whitney_by", "group_col", group_col,
         ("n_a", "n_b", "u2_a", "z"),
     )
+    if a_label == b_label:
+        raise ValueError(
+            "mann_whitney_by: a_label and b_label are the same value"
+            f" ({a_label!r}) — one arm would be double-counted as"
+            " both"
+        )
     sv = F.col(side_col)
     cells = (
         df.filter(
@@ -4560,6 +4580,11 @@ def bh_fdr(
     scalar aggregation, pure row expressions after."""
     if not 0.0 < q < 1.0:
         raise ValueError("bh_fdr: q must be in (0, 1)")
+    if isinstance(tiebreak, str):
+        # a bare string would splat into single-character column
+        # names ([p_col, *"id"] == [p_col, "i", "d"]) — wrong or
+        # confusingly unresolved total order (review r12b)
+        tiebreak = [tiebreak]
     no_inplace_overwrite("bh_fdr", "rank", df.columns)
     no_inplace_overwrite("bh_fdr", "rejected", df.columns)
     from hdfe_spark.operators.rank import global_rank_with_total

@@ -611,3 +611,37 @@ def test_bh_fdr_guards(spark):
     # NULL p rows are excluded, all-NULL input -> empty with schema
     nul = spark.createDataFrame([(1, None)], "id int, p double")
     assert bh_fdr(nul, "p", ["id"]).count() == 0
+
+
+def test_review_r12b_same_label_and_str_tiebreak(spark):
+    # review r12b: a_label == b_label double-counts one arm into
+    # both (z=0 reads as "no effect") — all three two-arm operators
+    # raise; bh_fdr accepts a bare-string tiebreak by wrapping
+    from hdfe_spark.operators.stats import (
+        bh_fdr,
+        ks_by,
+        mann_whitney_by,
+        welch_by,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "A", float(i)) for i in range(6)]
+        + [("g", "B", float(i) + 0.5) for i in range(6)],
+        ["g", "side", "v"],
+    )
+    for op in (welch_by, ks_by, mann_whitney_by):
+        with pytest.raises(ValueError, match="same value"):
+            op(df, "g", "side", "v", "A", "A")
+
+    pdf = spark.createDataFrame(
+        [(i, ((i * 13) % 7) / 7.0) for i in range(20)], ["id", "p"]
+    )
+    a = sorted(
+        (r["id"], r["rank"], r["rejected"])
+        for r in bh_fdr(pdf, "p", "id", q=0.2).collect()
+    )
+    b = sorted(
+        (r["id"], r["rank"], r["rejected"])
+        for r in bh_fdr(pdf, "p", ["id"], q=0.2).collect()
+    )
+    assert a == b and len(a) == 20

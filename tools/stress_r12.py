@@ -218,10 +218,12 @@ def stress_mw20m():
         assert row["n_a"] == n_a and row["n_b"] == n_b, g
         assert row["u2_a"] == float(u2), (g, row["u2_a"], u2)
         worst = max(worst, abs(row["z"] - zr))
+    ok = worst == 0.0
     print(
         f"mw20m: groups={len(got)} u2_exact=True "
-        f"worst_z_absdiff={worst:.1e} wall={dt:.1f}s ok=True"
+        f"worst_z_absdiff={worst:.1e} wall={dt:.1f}s ok={ok}"
     )
+    assert ok
     spark.stop()
 
 
