@@ -46,8 +46,11 @@ Variance (``hdfe/hdfe.py:147-181``):
   unless FE-coefficient covariances are explicitly requested with a
   small level count.
 - cluster-robust (Liang–Zeger sandwich, ``hdfe/hdfe.py:159-175``):
-  per-cluster scores ``u_g = X_g'e_g`` via one grouped aggregation →
-  (n_clusters×k) driver matrix → ``(X'X)⁻¹ (Σ u_g u_g') (X'X)⁻¹``.
+  per-cluster scores ``u_g = X_g'e_g`` via one grouped aggregation,
+  then the meat ``Σ u_g u_g'`` reduced DISTRIBUTED in a second
+  aggregation — only k(k+1)/2 doubles per outcome reach the driver,
+  never an n_clusters-sized matrix. ``cluster=[a, b]`` gives the
+  two-way CGM variance ``M_a + M_b − M_{a∩b}`` (three such passes).
 
 Note: the reference's Plan-A ``estimate_variance=True`` path is broken
 (``x.A`` on ndarray, ``hdfe/hdfe.py:155`` — SURVEY.md §4); this engine
@@ -201,24 +204,65 @@ def _sum_sq(df: DataFrame, cols: list[str]) -> np.ndarray:
     return np.array([float(row[c]) if row[c] is not None else 0.0 for c in cols])
 
 
-def _cluster_scores(
-    df: DataFrame, cluster: str, resid_cols: list[str], x_cols: list[str]
+def _cluster_meat(
+    df: DataFrame, keys: list[str], resid_cols: list[str], x_cols: list[str]
 ) -> dict[str, np.ndarray]:
-    """Per-cluster scores ``u_g = Σ_{i∈g} e_i·x_i`` for every outcome
-    in ONE grouped aggregation (``hdfe/hdfe.py:159-173`` runs a Python
-    loop per outcome; here all outcomes × regressors fuse into one
-    hash aggregate). Returns {outcome: (n_clusters × k) ndarray}."""
-    exprs = []
+    """Sandwich meat ``Σ_g u_g u_g'`` with ``u_g = Σ_{i∈g} e_i·x_i``,
+    fully distributed (``hdfe/hdfe.py:159-173`` runs a Python loop per
+    outcome over a driver-resident scores matrix): stage 1 is ONE
+    grouped aggregation producing the per-cluster scores for every
+    outcome × regressor, stage 2 reduces their upper-triangle cross
+    products, so only k(k+1)/2 doubles per outcome reach the driver —
+    never an n_clusters-sized collect, which at 100 TB (billions of
+    clusters) would not fit. Returns {outcome: (k × k) ndarray}."""
+    k = len(x_cols)
+    u_exprs = []
     for rc in resid_cols:
         for xc in x_cols:
-            exprs.append(F.sum(F.col(rc) * F.col(xc)).alias(f"__u_{rc}__{xc}"))
-    rows = df.groupBy(cluster).agg(*exprs).collect()
+            u_exprs.append(F.sum(F.col(rc) * F.col(xc)).alias(f"__u_{rc}__{xc}"))
+    grouped = df.groupBy(*[F.col(c) for c in keys]).agg(*u_exprs)
+    m_exprs = []
+    for rc in resid_cols:
+        for i in range(k):
+            for j in range(i, k):
+                m_exprs.append(
+                    F.sum(
+                        F.coalesce(F.col(f"__u_{rc}__{x_cols[i]}"), F.lit(0.0))
+                        * F.coalesce(F.col(f"__u_{rc}__{x_cols[j]}"), F.lit(0.0))
+                    ).alias(f"__m_{rc}_{i}_{j}")
+                )
+    row = grouped.agg(*m_exprs).collect()[0]
     out = {}
     for rc in resid_cols:
-        out[rc] = np.array(
-            [[float(r[f"__u_{rc}__{xc}"] or 0.0) for xc in x_cols] for r in rows]
-        )
+        M = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                v = row[f"__m_{rc}_{i}_{j}"]
+                M[i, j] = M[j, i] = 0.0 if v is None else float(v)
+        out[rc] = M
     return out
+
+
+def _cluster_meat_multiway(
+    df: DataFrame, cluster: list[str], resid_cols: list[str], x_cols: list[str]
+) -> dict[str, np.ndarray]:
+    """One- or two-way cluster-robust meat. One-way is ``_cluster_meat``
+    on the single key. Two-way is Cameron–Gelbach–Miller (2011):
+    ``M = M_a + M_b − M_{a∩b}`` (inclusion–exclusion over the two
+    clustering dimensions; the intersection term groups on the key
+    PAIR). Three grouped aggregations, each reduced distributed to a
+    k×k driver result. The CGM variance is not guaranteed PSD — callers
+    that take sqrt of the diagonal should clamp at 0."""
+    if len(cluster) == 1:
+        return _cluster_meat(df, cluster, resid_cols, x_cols)
+    if len(cluster) != 2:
+        raise ValueError(
+            f"cluster supports 1 or 2 dimensions, got {len(cluster)}"
+        )
+    m_a = _cluster_meat(df, [cluster[0]], resid_cols, x_cols)
+    m_b = _cluster_meat(df, [cluster[1]], resid_cols, x_cols)
+    m_ab = _cluster_meat(df, cluster, resid_cols, x_cols)
+    return {rc: m_a[rc] + m_b[rc] - m_ab[rc] for rc in resid_cols}
 
 
 def _homoskedastic_V(
@@ -234,8 +278,8 @@ def _hc1_meat(
     """White/HC1 sandwich 'meat' ``Σᵢ eᵢ² xᵢxᵢ'`` for every outcome in
     ONE fused aggregation — k(k+1)/2 upper-triangle sums per outcome,
     map-side partials, a k²-sized driver result. The per-row version
-    of ``_cluster_scores`` (each row its own cluster) WITHOUT the
-    n-sized collect that grouping by a row id would imply. Returns
+    of ``_cluster_meat`` (each row its own cluster) WITHOUT the
+    shuffle that grouping by a row id would imply. Returns
     {outcome: (k × k) ndarray}."""
     k = len(x_cols)
     exprs = []
@@ -267,7 +311,7 @@ def estimate(
     check_rank: bool = False,
     estimate_variance: bool = False,
     get_residual: bool = False,
-    cluster: str | None = None,
+    cluster: str | Sequence[str] | None = None,
     robust: bool = False,
     tol: float = 1e-9,
     within_if_fe: bool = True,
@@ -279,7 +323,9 @@ def estimate(
 
     Variance menu (``estimate_variance=True``): homoskedastic
     (default, reference parity), ``cluster=<col>`` Liang–Zeger
-    cluster-robust (reference parity), or ``robust=True`` White/HC1
+    cluster-robust (reference parity), ``cluster=[a, b]`` two-way
+    cluster-robust (Cameron–Gelbach–Miller inclusion–exclusion —
+    beyond-reference), or ``robust=True`` White/HC1
     heteroskedasticity-robust — beyond-reference, completing the
     standard sandwich family. ``robust`` and ``cluster`` are mutually
     exclusive (cluster-robust already nests HC within clusters).
@@ -287,6 +333,14 @@ def estimate(
     y_cols = _as_list(y)
     x_cols = list(_as_list(x))
     cc = list(categorical_controls or [])
+    if cluster is not None:
+        cluster = _as_list(cluster)
+        if not 1 <= len(cluster) <= 2:
+            raise ValueError(
+                f"cluster supports 1 or 2 dimensions, got {len(cluster)}"
+            )
+        if len(set(cluster)) != len(cluster):
+            raise ValueError("cluster dimensions must be distinct columns")
     if robust and cluster is not None:
         raise ValueError("robust=True and cluster are mutually exclusive")
     want_resid = get_residual or estimate_variance or cluster is not None
@@ -341,10 +395,8 @@ def _plan_pooled(
     if estimate_variance:
         G_inv = np.linalg.pinv(G)
         if cluster is not None:
-            scores = _cluster_scores(with_resid, cluster, resid_cols, x_cols)
-            res.V = [
-                G_inv @ (scores[rc].T @ scores[rc]) @ G_inv for rc in resid_cols
-            ]
+            meat = _cluster_meat_multiway(with_resid, cluster, resid_cols, x_cols)
+            res.V = [G_inv @ meat[rc] @ G_inv for rc in resid_cols]
         elif robust:
             meat = _hc1_meat(with_resid, resid_cols, x_cols)
             hc1 = n / max(n - len(x_cols), 1)
@@ -485,10 +537,8 @@ def _plan_within(
         else:
             # Cluster-robust on the within-transformed model (slopes):
             # scores from demeaned x against FE-netted residuals.
-            scores = _cluster_scores(netted, cluster, resid_cols, dm_cols)
-            res.V = [
-                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in resid_cols
-            ]
+            meat = _cluster_meat_multiway(netted, cluster, resid_cols, dm_cols)
+            res.V = [S_inv @ meat[rc] @ S_inv for rc in resid_cols]
             res.v_coef_names = list(x_all)
     return res
 
@@ -1082,10 +1132,8 @@ def _plan_alternating(
         swr = _append_residuals(sw, dm_y, dm_x, b_x)
         rdm_cols = [f"resid_{d}" for d in dm_y]
         if cluster is not None:
-            scores = _cluster_scores(swr, cluster, rdm_cols, dm_x)
-            res.V = [
-                S_inv @ (scores[rc].T @ scores[rc]) @ S_inv for rc in rdm_cols
-            ]
+            meat = _cluster_meat_multiway(swr, cluster, rdm_cols, dm_x)
+            res.V = [S_inv @ meat[rc] @ S_inv for rc in rdm_cols]
         elif robust:
             meat = _hc1_meat(swr, rdm_cols, dm_x)
             hc1 = n / max(n - k_total, 1)
@@ -1104,3 +1152,269 @@ def _plan_alternating(
     if cells is not None:
         cells.unpersist(False)
     return res
+
+
+# ------------------------------------------- Beyond-reference estimators
+#
+# The reference stops at OLS with FEs (hdfe/hdfe.py:49-181). The three
+# estimators below complete the applied-econometrics workflow on the
+# SAME physical skeleton — one fused whole-stage-codegen'd moment
+# aggregation, a tiny driver-side solve, nothing data-sized collected —
+# so they inherit the 100 TB envelope of `gram_matrix`.
+
+
+def wls(
+    df: DataFrame,
+    y: str | Sequence[str],
+    x: str | Sequence[str],
+    weights: str,
+    estimate_variance: bool = False,
+) -> EstimateResult:
+    """Weighted least squares: ``b = (X'WX)⁻¹ X'Wy`` for a known
+    per-row weight column (inverse-variance weights, frequency
+    weights, propensity weights).
+
+    One fused aggregation computes the weighted Gram ``X'WX``, the
+    weighted cross-moments ``X'Wy``, the weighted total ``y'Wy`` per
+    outcome, and ``n`` — k(k+1)/2 + k·m + m + 1 doubles to the driver
+    regardless of data size. Variance (``estimate_variance=True``) is
+    the classic known-weights GLS form ``V = σ̂² (X'WX)⁻¹`` with
+    ``σ̂² = Σ wᵢeᵢ² / (n − k)``, where ``Σ we²`` comes closed-form from
+    the same pass (``y'Wy − 2b'X'Wy + b'X'WX b``) — no residual scan.
+    """
+    y_cols = _as_list(y)
+    x_cols = list(_as_list(x))
+    k, m = len(x_cols), len(y_cols)
+    w = F.col(weights)
+
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(k):
+        for j in range(i, k):
+            exprs.append(
+                F.sum(w * F.col(x_cols[i]) * F.col(x_cols[j])).alias(f"__g_{i}_{j}")
+            )
+    for i in range(k):
+        for j in range(m):
+            exprs.append(
+                F.sum(w * F.col(x_cols[i]) * F.col(y_cols[j])).alias(f"__xy_{i}_{j}")
+            )
+    for j in range(m):
+        exprs.append(
+            F.sum(w * F.col(y_cols[j]) * F.col(y_cols[j])).alias(f"__yy_{j}")
+        )
+    row = df.agg(*exprs).collect()[0]
+
+    n = int(row["__n"])
+    G = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            v = row[f"__g_{i}_{j}"]
+            G[i, j] = G[j, i] = 0.0 if v is None else float(v)
+    Xty = np.zeros((k, m))
+    for i in range(k):
+        for j in range(m):
+            v = row[f"__xy_{i}_{j}"]
+            Xty[i, j] = 0.0 if v is None else float(v)
+
+    b = _solve(G, Xty)
+    res = EstimateResult(
+        b=b, coef_names=list(x_cols), x_cols=list(x_cols), plan="wls", n=n,
+    )
+    if estimate_variance:
+        G_inv = np.linalg.pinv(G)
+        dof = max(n - k, 1)
+        res.V = []
+        for j in range(m):
+            yy = float(row[f"__yy_{j}"] or 0.0)
+            bj = b[:, j]
+            wrss = yy - 2.0 * float(bj @ Xty[:, j]) + float(bj @ G @ bj)
+            res.V.append(G_inv * (max(wrss, 0.0) / dof))
+        res.v_coef_names = list(x_cols)
+    return res
+
+
+def iv_2sls(
+    df: DataFrame,
+    y: str | Sequence[str],
+    x_endog: str | Sequence[str],
+    instruments: str | Sequence[str],
+    x_exog: str | Sequence[str] | None = None,
+    estimate_variance: bool = False,
+) -> EstimateResult:
+    """Linear instrumental variables / two-stage least squares.
+
+    ``X = [x_endog | x_exog]`` (the structural regressors),
+    ``Z = [instruments | x_exog]`` (exogenous columns instrument
+    themselves). Requires the order condition
+    ``len(instruments) ≥ len(x_endog)``; just-identified systems
+    reduce algebraically to ``b = (Z'X)⁻¹ Z'y``, over-identified ones
+    use the 2SLS projection ``b = (X'P_Z X)⁻¹ X'P_Z y`` with
+    ``P_Z = Z(Z'Z)⁻¹Z'`` — both computed here from the SAME moment
+    blocks, so the code path is one formula.
+
+    ONE fused aggregation produces every block — ``Z'Z``, ``Z'X``,
+    ``Z'y``, ``X'X``, ``X'y``, ``y'y``, ``n`` — and the driver does
+    kz×k linear algebra. The 2SLS residual is against the ORIGINAL X
+    (the 2SLS convention), and its sum of squares comes closed-form
+    from the collected blocks (``y'y − 2b'X'y + b'X'X b``), so
+    variance needs no second scan: ``V = σ̂² (X'P_Z X)⁻¹``,
+    ``σ̂² = Σe²/(n − k)``. ``first_stage`` on the result is the
+    (kz × k) matrix ``(Z'Z)⁻¹ Z'X`` of first-stage coefficients.
+    """
+    y_cols = _as_list(y)
+    endog = list(_as_list(x_endog))
+    instr = list(_as_list(instruments))
+    exog = list(_as_list(x_exog)) if x_exog else []
+    if len(instr) < len(endog):
+        raise ValueError(
+            f"under-identified: {len(instr)} instruments for"
+            f" {len(endog)} endogenous regressors"
+        )
+    x_cols = endog + exog
+    z_cols = instr + exog
+    dup = set(endog) & set(instr)
+    if dup:
+        raise ValueError(
+            f"columns {sorted(dup)} listed as both endogenous and"
+            " instrument — an endogenous regressor cannot instrument"
+            " itself"
+        )
+    k, kz, m = len(x_cols), len(z_cols), len(y_cols)
+
+    # Moment blocks over the union of needed pairs, one aggregation.
+    pairs: dict[tuple[str, str], str] = {}
+
+    def _key(a: str, bcol: str) -> str:
+        pr = (a, bcol) if a <= bcol else (bcol, a)
+        if pr not in pairs:
+            pairs[pr] = f"__p_{len(pairs)}"
+        return pairs[pr]
+
+    for a in z_cols:
+        for bcol in z_cols + x_cols + y_cols:
+            _key(a, bcol)
+    for a in x_cols:
+        for bcol in x_cols + y_cols:
+            _key(a, bcol)
+    for yc in y_cols:
+        _key(yc, yc)
+    exprs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.col(a) * F.col(bcol)).alias(alias)
+        for (a, bcol), alias in pairs.items()
+    ]
+    row = df.agg(*exprs).collect()[0]
+    n = int(row["__n"])
+
+    def _m(a: str, bcol: str) -> float:
+        v = row[_key(a, bcol)]
+        return 0.0 if v is None else float(v)
+
+    ZZ = np.array([[_m(a, bcol) for bcol in z_cols] for a in z_cols])
+    ZX = np.array([[_m(a, bcol) for bcol in x_cols] for a in z_cols])
+    Zy = np.array([[_m(a, yc) for yc in y_cols] for a in z_cols])
+    XX = np.array([[_m(a, bcol) for bcol in x_cols] for a in x_cols])
+    Xy = np.array([[_m(a, yc) for yc in y_cols] for a in x_cols])
+
+    A = np.linalg.pinv(ZZ)
+    XPX = ZX.T @ A @ ZX
+    XPy = ZX.T @ A @ Zy
+    b = _solve(XPX, XPy)
+
+    res = EstimateResult(
+        b=b, coef_names=list(x_cols), x_cols=list(x_cols), plan="2sls", n=n,
+    )
+    res.first_stage = A @ ZX
+    res.first_stage_names = (list(z_cols), list(x_cols))
+    if estimate_variance:
+        XPX_inv = np.linalg.pinv(XPX)
+        dof = max(n - k, 1)
+        res.V = []
+        for j in range(m):
+            yy = _m(y_cols[j], y_cols[j])
+            bj = b[:, j]
+            rss = yy - 2.0 * float(bj @ Xy[:, j]) + float(bj @ XX @ bj)
+            res.V.append(XPX_inv * (max(rss, 0.0) / dof))
+        res.v_coef_names = list(x_cols)
+    return res
+
+
+def fit_stats(
+    df: DataFrame,
+    y: str,
+    x: str | Sequence[str],
+    categorical_controls: str | Sequence[str] | None = None,
+) -> dict:
+    """Goodness-of-fit panel for the (within-)OLS fit: R², adjusted
+    R², and the F statistic of the slope block.
+
+    With ``categorical_controls=[fe]`` this is the **within** fit
+    (reghdfe's ``R² within``): y and x are demeaned inside each FE
+    level by one window pass, absorbing the G level means; without
+    FEs the data is centered once (the intercept-model equivalent,
+    G = 1) using closed-form centered moments — no window, no second
+    scan. Either way the demeaned/centered Gram (x's AND y in one
+    ``gram_matrix`` pass) gives everything closed-form:
+    ``RSS = ỹ'ỹ − b'X̃'ỹ``, ``TSS = ỹ'ỹ``,
+    ``R² = 1 − RSS/TSS``,
+    ``adj R² = 1 − (RSS/(n−G−k)) / (TSS/(n−G))``,
+    ``F = ((TSS−RSS)/k) / (RSS/(n−G−k))`` on (k, n−G−k) dof.
+    Only a (k+1)² moment block (plus one countDistinct for G) reaches
+    the driver. Multi-FE fit stats come from running the demeaned
+    data through this after `estimate`'s alternating sweep — this
+    helper covers the 0/1-FE plans the reference dispatches to.
+    """
+    x_cols = list(_as_list(x))
+    cc = list(_as_list(categorical_controls)) if categorical_controls else []
+    if len(cc) > 1:
+        raise ValueError("fit_stats supports at most one absorbed FE")
+    k = len(x_cols)
+
+    if cc:
+        fe = cc[0]
+        wspec = Window.partitionBy(fe)
+        cols = x_cols + [y]
+        dm = [f"__dm_{c}" for c in cols]
+        work = df.select(
+            *[(F.col(c) - F.avg(c).over(wspec)).alias(d) for c, d in zip(cols, dm)]
+        )
+        M, _, n = gram_matrix(work, dm, None)
+        n_groups = df.agg(F.countDistinct(F.col(fe)).alias("g")).collect()[0]["g"]
+    else:
+        # Centered moments closed-form: S_c = S_raw − n·mm' (one pass).
+        cols = x_cols + [y]
+        exprs = [F.count(F.lit(1)).alias("__n")]
+        exprs += [F.sum(F.col(c)).alias(f"__s_{i}") for i, c in enumerate(cols)]
+        for i in range(len(cols)):
+            for j in range(i, len(cols)):
+                exprs.append(
+                    F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"__g_{i}_{j}")
+                )
+        row = df.agg(*exprs).collect()[0]
+        n = int(row["__n"])
+        s = np.array(
+            [float(row[f"__s_{i}"] or 0.0) for i in range(len(cols))]
+        )
+        M = np.zeros((len(cols), len(cols)))
+        for i in range(len(cols)):
+            for j in range(i, len(cols)):
+                v = row[f"__g_{i}_{j}"]
+                M[i, j] = M[j, i] = 0.0 if v is None else float(v)
+        mean = s / max(n, 1)
+        M = M - n * np.outer(mean, mean)
+        n_groups = 1
+
+    G_dm = M[:k, :k]
+    Xty = M[:k, k]
+    tss = float(M[k, k])
+    b = _solve(G_dm, Xty.reshape(k, 1))[:, 0]
+    rss = max(tss - float(b @ Xty), 0.0)
+    df2 = max(n - n_groups - k, 1)
+    df_t = max(n - n_groups, 1)
+    r2 = 1.0 - rss / tss if tss > 0 else float("nan")
+    adj = 1.0 - (rss / df2) / (tss / df_t) if tss > 0 else float("nan")
+    f_stat = ((tss - rss) / k) / (rss / df2) if rss > 0 else float("inf")
+    return {
+        "r2": r2, "adj_r2": adj, "f_stat": f_stat,
+        "df1": k, "df2": df2, "n": n, "n_groups": n_groups,
+        "rss": rss, "tss": tss, "b": b, "coef_names": list(x_cols),
+    }
