@@ -6491,6 +6491,171 @@ def _q_bh_fdr(spark, sf_dir):
     )
 
 
+def _q_se_cluster2(spark, sf_dir):
+    """Two-way cluster-robust SEs (Cameron–Gelbach–Miller:
+    `operators/estimate.py::_cluster_meat_multiway` — the
+    inclusion–exclusion completion of the reference's one-way
+    Liang–Zeger path, ``hdfe/hdfe.py:159-175``), clustered on
+    l_suppkey AND l_partkey. Each meat term reduces distributed to a
+    2×2 driver block — never an n_clusters-sized collect. The CGM
+    variance is not guaranteed PSD, so the diagonal is clamped at 0
+    before the sqrt on both engines."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        estimate_variance=True, cluster=["l_suppkey", "l_partkey"],
+    )
+    se = np.sqrt(np.maximum(np.diag(res.V[0]), 0.0))
+    return spark.createDataFrame(
+        [{
+            "se_quantity": round(float(se[0]), 4),
+            "se_discount": round(float(se[1]), 4),
+        }],
+        schema="se_quantity double, se_discount double",
+    )
+
+
+def _q_iv_2sls(spark, sf_dir):
+    """Instrumental variables (`operators/estimate.py::iv_2sls` —
+    beyond-reference on the reference's estimation surface,
+    ``hdfe/hdfe.py:49-71``): l_quantity instrumented by its censored
+    transform least(l_quantity, 25) with l_discount exogenous — a
+    deterministic fixture that exercises the just-identified algebra
+    ``b = (Z'X)⁻¹Z'y`` (the 2SLS projection reduces to it exactly).
+    One fused moment aggregation; kz×k driver solve."""
+    from hdfe_spark.operators.estimate import iv_2sls
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "z_cens", F.least(F.col("l_quantity"), F.lit(25.0))
+    )
+    res = iv_2sls(
+        li, "l_extendedprice", "l_quantity", "z_cens", x_exog="l_discount"
+    )
+    return spark.createDataFrame(
+        [{
+            "b_quantity": round(float(res.b[0, 0]), 4),
+            "b_discount": round(float(res.b[1, 0]), 4),
+        }],
+        schema="b_quantity double, b_discount double",
+    )
+
+
+def _q_ols_wls(spark, sf_dir):
+    """Weighted least squares (`operators/estimate.py::wls` —
+    beyond-reference sibling of `ols_pooled`): weights 1 + l_tax,
+    coefficients and known-weights GLS standard errors, all from ONE
+    fused weighted-moment aggregation (Σwe² recovered closed-form —
+    no residual scan)."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import wls
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "w_tax", F.lit(1.0) + F.col("l_tax")
+    )
+    res = wls(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        weights="w_tax", estimate_variance=True,
+    )
+    se = np.sqrt(np.diag(res.V[0]))
+    return spark.createDataFrame(
+        [{
+            "b_quantity": round(float(res.b[0, 0]), 4),
+            "b_discount": round(float(res.b[1, 0]), 4),
+            "se_quantity": round(float(se[0]), 4),
+            "se_discount": round(float(se[1]), 4),
+        }],
+        schema="b_quantity double, b_discount double,"
+               " se_quantity double, se_discount double",
+    )
+
+
+def _q_ols_fit_stats(spark, sf_dir):
+    """Goodness-of-fit panel (`operators/estimate.py::fit_stats`):
+    within-R², adjusted R², and the slope-block F statistic of the
+    l_suppkey-absorbed fit — all closed-form from one demeaned Gram
+    pass (RSS = ỹ'ỹ − b'X̃'ỹ, no residual scan), reghdfe's
+    "R² within" convention with dof n − G − k."""
+    from hdfe_spark.operators.estimate import fit_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    fs = fit_stats(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey"],
+    )
+    return spark.createDataFrame(
+        [{
+            "r2": round(float(fs["r2"]), 6),
+            "adj_r2": round(float(fs["adj_r2"]), 6),
+            "f_stat": round(float(fs["f_stat"]), 2),
+            "n": int(fs["n"]),
+            "n_groups": int(fs["n_groups"]),
+        }],
+        schema="r2 double, adj_r2 double, f_stat double,"
+               " n bigint, n_groups bigint",
+    )
+
+
+def _q_did(spark, sf_dir):
+    """2×2 difference-in-differences (`operators/causal.py::did`):
+    urgent/high-priority orders as the treated arm, 1998-01-01 as
+    the policy date, o_totalprice as the outcome. Cell means are
+    exact-DECIMAL sums with ONE IEEE division each (the engine's
+    cross-engine determinism discipline), so the ATT is a fixed
+    expression of identical doubles — `_pround`-safe."""
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treat"),
+        (
+            F.col("o_orderdate")
+            >= F.lit("1998-01-01").cast(dict(od.dtypes)["o_orderdate"])
+        ).alias("post"),
+    )
+    from hdfe_spark.operators.causal import did
+
+    out = did(base, "y", "treat", "post")
+    return out.select(
+        _pround("att").alias("att"),
+        _pround("m_treat_post").alias("m_treat_post"),
+        _pround("m_treat_pre").alias("m_treat_pre"),
+        _pround("m_ctrl_post").alias("m_ctrl_post"),
+        _pround("m_ctrl_pre").alias("m_ctrl_pre"),
+        F.col("n_treat_post").cast("long").alias("n_treat_post"),
+        F.col("n_ctrl_post").cast("long").alias("n_ctrl_post"),
+    )
+
+
+def _q_event_study(spark, sf_dir):
+    """Event study (`operators/causal.py::event_study` — dynamic
+    DiD): per-order-year treated-vs-control contrast against the
+    1996 base year. One grouped aggregation on the year; the base
+    means are two collected scalars folded back as literals (the
+    `bh_fdr` precedent); exact-DECIMAL cell sums keep every mean a
+    deterministic double."""
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treat"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    from hdfe_spark.operators.causal import event_study
+
+    out = event_study(base, "y", "treat", "o_year", 1996)
+    return out.select(
+        "o_year",
+        _pround("att").alias("att"),
+        _pround("m_treat").alias("m_treat"),
+        _pround("m_ctrl").alias("m_ctrl"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6677,9 +6842,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_by": _q_winsorize_by,
         "mann_whitney_by": _q_mann_whitney_by,
         "bh_fdr": _q_bh_fdr,
-        # 18-50: the 33 stalest driver-green re-certs (the whole
-        # r05-evidence stratum, 32 queries, + agg_refresh, the
-        # r06-stratum head)
+        # 18-23: the six late-round-12 registrations (econometrics
+        # panel completion — never driver-recorded, so they take
+        # window slots over re-certs per the never-recorded-first
+        # policy; the six evicted re-certs move to the backlog head)
+        "se_cluster2": _q_se_cluster2,
+        "iv_2sls": _q_iv_2sls,
+        "ols_wls": _q_ols_wls,
+        "ols_fit_stats": _q_ols_fit_stats,
+        "did": _q_did,
+        "event_study": _q_event_study,
+        # 24-50: the 27 stalest driver-green re-certs (r05-evidence
+        # stratum head)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
         "feature_hash": _q_feature_hash,
@@ -6707,13 +6881,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": _q_semi_anti_join,
         "sql_q1": _q_sql_q1,
         "streaming_enrich": _q_streaming_enrich,
+        # ------ end of the driver's 50-query window ------
+        # backlog head: the six re-certs evicted by the late-round-12
+        # registrations (still the stalest evidence, r05/r06 — the
+        # round-13 re-cert list starts here)
         "subqueries": _q_subqueries,
         "tpch_q3": _q_tpch_q3,
         "unpivot_long": _q_unpivot_long,
         "window_ranks": _q_window_ranks,
         "zorder_layout": _q_zorder_layout,
         "agg_refresh": _q_agg_refresh,
-        # ------ end of the driver's 50-query window ------
         "cms_certificate": _q_cms_certificate,
         "date_parts": _q_date_parts,
         "decimal_agg": _q_decimal_agg,
@@ -9521,6 +9698,218 @@ def oracle_sql() -> dict[str, str]:
                    r.rank,
                    r.rank <= coalesce(k.kk, 0) AS rejected
             FROM r, k
+        """,
+        "se_cluster2": _POOLED_SB_CTE
+        + """
+            , ua AS (
+              SELECT l_suppkey,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_quantity) AS u1,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_discount) AS u2
+              FROM lineitem CROSS JOIN b GROUP BY l_suppkey
+            ), ub AS (
+              SELECT l_partkey,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_quantity) AS u1,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_discount) AS u2
+              FROM lineitem CROSS JOIN b GROUP BY l_partkey
+            ), uab AS (
+              SELECT l_suppkey, l_partkey,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_quantity) AS u1,
+                     sum((l_extendedprice - b.b1*l_quantity
+                          - b.b2*l_discount) * l_discount) AS u2
+              FROM lineitem CROSS JOIN b
+              GROUP BY l_suppkey, l_partkey
+            ), m AS (
+              SELECT
+                (SELECT sum(u1*u1) FROM ua)
+                  + (SELECT sum(u1*u1) FROM ub)
+                  - (SELECT sum(u1*u1) FROM uab) AS m11,
+                (SELECT sum(u1*u2) FROM ua)
+                  + (SELECT sum(u1*u2) FROM ub)
+                  - (SELECT sum(u1*u2) FROM uab) AS m12,
+                (SELECT sum(u2*u2) FROM ua)
+                  + (SELECT sum(u2*u2) FROM ub)
+                  - (SELECT sum(u2*u2) FROM uab) AS m22
+            )
+            SELECT round(sqrt(greatest(
+                     (b.s22*b.s22*m.m11 - 2*b.s22*b.s12*m.m12
+                      + b.s12*b.s12*m.m22)
+                     / ((b.s11*b.s22 - b.s12*b.s12)
+                        * (b.s11*b.s22 - b.s12*b.s12)), 0)), 4)
+                     AS se_quantity,
+                   round(sqrt(greatest(
+                     (b.s12*b.s12*m.m11 - 2*b.s11*b.s12*m.m12
+                      + b.s11*b.s11*m.m22)
+                     / ((b.s11*b.s22 - b.s12*b.s12)
+                        * (b.s11*b.s22 - b.s12*b.s12)), 0)), 4)
+                     AS se_discount
+            FROM m CROSS JOIN b
+        """,
+        "iv_2sls": """
+            WITH s AS (
+              SELECT sum(least(l_quantity, 25.0)*l_quantity) AS zx11,
+                     sum(least(l_quantity, 25.0)*l_discount) AS zx12,
+                     sum(l_discount*l_quantity) AS zx21,
+                     sum(l_discount*l_discount) AS zx22,
+                     sum(least(l_quantity, 25.0)*l_extendedprice) AS r1,
+                     sum(l_discount*l_extendedprice) AS r2
+              FROM lineitem
+            )
+            SELECT round((zx22*r1 - zx12*r2)
+                         / (zx11*zx22 - zx12*zx21), 4) AS b_quantity,
+                   round((zx11*r2 - zx21*r1)
+                         / (zx11*zx22 - zx12*zx21), 4) AS b_discount
+            FROM s
+        """,
+        "ols_wls": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     sum((1.0 + l_tax)*l_quantity*l_quantity) AS s11,
+                     sum((1.0 + l_tax)*l_quantity*l_discount) AS s12,
+                     sum((1.0 + l_tax)*l_discount*l_discount) AS s22,
+                     sum((1.0 + l_tax)*l_quantity*l_extendedprice) AS r1,
+                     sum((1.0 + l_tax)*l_discount*l_extendedprice) AS r2,
+                     sum((1.0 + l_tax)*l_extendedprice*l_extendedprice)
+                       AS syy
+              FROM lineitem
+            ), b AS (
+              SELECT n, s11, s12, s22, r1, r2, syy,
+                     (s22*r1 - s12*r2)/(s11*s22 - s12*s12) AS b1,
+                     (s11*r2 - s12*r1)/(s11*s22 - s12*s12) AS b2
+              FROM s
+            ), v AS (
+              SELECT n, s11, s12, s22, b1, b2,
+                     greatest(syy - 2*(b1*r1 + b2*r2)
+                              + b1*b1*s11 + 2*b1*b2*s12 + b2*b2*s22,
+                              0) AS wrss
+              FROM b
+            )
+            SELECT round(b1, 4) AS b_quantity,
+                   round(b2, 4) AS b_discount,
+                   round(sqrt(wrss/(n - 2)
+                              * s22/(s11*s22 - s12*s12)), 4)
+                     AS se_quantity,
+                   round(sqrt(wrss/(n - 2)
+                              * s11/(s11*s22 - s12*s12)), 4)
+                     AS se_discount
+            FROM v
+        """,
+        "ols_fit_stats": """
+            WITH d AS (
+              SELECT l_quantity
+                       - avg(l_quantity) OVER (PARTITION BY l_suppkey)
+                       AS x1,
+                     l_discount
+                       - avg(l_discount) OVER (PARTITION BY l_suppkey)
+                       AS x2,
+                     l_extendedprice
+                       - avg(l_extendedprice)
+                           OVER (PARTITION BY l_suppkey) AS yy
+              FROM lineitem
+            ), g AS (
+              SELECT count(*) AS n,
+                     (SELECT count(DISTINCT l_suppkey) FROM lineitem)
+                       AS ng,
+                     sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+                     sum(x2*x2) AS s22,
+                     sum(x1*yy) AS r1, sum(x2*yy) AS r2,
+                     sum(yy*yy) AS tss
+              FROM d
+            ), b AS (
+              SELECT n, ng, tss, r1, r2,
+                     (s22*r1 - s12*r2)/(s11*s22 - s12*s12) AS b1,
+                     (s11*r2 - s12*r1)/(s11*s22 - s12*s12) AS b2
+              FROM g
+            ), f AS (
+              SELECT n, ng, tss,
+                     greatest(tss - (b1*r1 + b2*r2), 0) AS rss
+              FROM b
+            )
+            SELECT round(1 - rss/tss, 6) AS r2,
+                   round(1 - (rss/(n - ng - 2))/(tss/(n - ng)), 6)
+                     AS adj_r2,
+                   round(((tss - rss)/2)/(rss/(n - ng - 2)), 2)
+                     AS f_stat,
+                   n,
+                   CAST(ng AS BIGINT) AS n_groups
+            FROM f
+        """,
+        "did": """
+            WITH base AS (
+              SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS treat,
+                     o_orderdate >= TIMESTAMP '1998-01-01' AS post
+              FROM orders
+            ), cells AS (
+              SELECT
+                CAST(sum(CASE WHEN treat AND post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN treat AND post THEN 1 END)
+                  AS m_treat_post,
+                CAST(sum(CASE WHEN treat AND NOT post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN treat AND NOT post THEN 1 END)
+                  AS m_treat_pre,
+                CAST(sum(CASE WHEN NOT treat AND post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN NOT treat AND post THEN 1 END)
+                  AS m_ctrl_post,
+                CAST(sum(CASE WHEN NOT treat AND NOT post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN NOT treat AND NOT post THEN 1 END)
+                  AS m_ctrl_pre,
+                CAST(count(CASE WHEN treat AND post THEN 1 END)
+                  AS BIGINT) AS n_treat_post,
+                CAST(count(CASE WHEN NOT treat AND post THEN 1 END)
+                  AS BIGINT) AS n_ctrl_post
+              FROM base
+            )
+            SELECT floor(((m_treat_post - m_treat_pre)
+                          - (m_ctrl_post - m_ctrl_pre)) * 1e9 + 0.5)
+                     / 1e9 AS att,
+                   floor(m_treat_post * 1e9 + 0.5) / 1e9
+                     AS m_treat_post,
+                   floor(m_treat_pre * 1e9 + 0.5) / 1e9 AS m_treat_pre,
+                   floor(m_ctrl_post * 1e9 + 0.5) / 1e9 AS m_ctrl_post,
+                   floor(m_ctrl_pre * 1e9 + 0.5) / 1e9 AS m_ctrl_pre,
+                   n_treat_post, n_ctrl_post
+            FROM cells
+        """,
+        "event_study": """
+            WITH base AS (
+              SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS treat,
+                     CAST(year(o_orderdate) AS INTEGER) AS o_year
+              FROM orders
+            ), per AS (
+              SELECT o_year,
+                     CAST(sum(CASE WHEN treat THEN y END) AS DOUBLE)
+                       / count(CASE WHEN treat THEN 1 END) AS m_treat,
+                     CAST(sum(CASE WHEN NOT treat THEN y END)
+                       AS DOUBLE)
+                       / count(CASE WHEN NOT treat THEN 1 END)
+                       AS m_ctrl,
+                     CAST(count(CASE WHEN treat THEN 1 END) AS BIGINT)
+                       AS n_treat,
+                     CAST(count(CASE WHEN NOT treat THEN 1 END)
+                       AS BIGINT) AS n_ctrl
+              FROM base GROUP BY o_year
+            ), bb AS (
+              SELECT m_treat AS mt0, m_ctrl AS mc0 FROM per
+              WHERE o_year = 1996
+            )
+            SELECT per.o_year,
+                   floor(((per.m_treat - bb.mt0)
+                          - (per.m_ctrl - bb.mc0)) * 1e9 + 0.5) / 1e9
+                     AS att,
+                   floor(per.m_treat * 1e9 + 0.5) / 1e9 AS m_treat,
+                   floor(per.m_ctrl * 1e9 + 0.5) / 1e9 AS m_ctrl,
+                   per.n_treat, per.n_ctrl
+            FROM per CROSS JOIN bb
         """,
         "topk_by": """
             SELECT user_id, event_id, rank,

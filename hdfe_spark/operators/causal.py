@@ -33,6 +33,11 @@ def did(df: DataFrame, y: str, treat: str, post: str) -> DataFrame:
     guessing. Rows where ``treat``/``post`` is NULL belong to no cell
     and are excluded from every mean — the conditional-aggregate
     convention used across the stats family.
+
+    Means are computed as ``cast(sum, double) / count`` rather than
+    ``avg`` so a DECIMAL outcome column keeps its sum EXACT (one IEEE
+    division per cell) — the engine's cross-engine determinism
+    discipline; a double outcome behaves like ``avg``.
     """
     t, p = F.col(treat), F.col(post)
     cells = {
@@ -43,11 +48,22 @@ def did(df: DataFrame, y: str, treat: str, post: str) -> DataFrame:
     }
     yv = F.col(y)
     agg = df.agg(
-        *[F.avg(F.when(c, yv)).alias(f"m_{k}") for k, c in cells.items()],
+        *[
+            F.sum(F.when(c, yv)).cast("double").alias(f"s_{k}")
+            for k, c in cells.items()
+        ],
         *[
             F.count(F.when(c, F.lit(1))).alias(f"n_{k}")
             for k, c in cells.items()
         ],
+    ).select(
+        *[
+            F.when(
+                F.col(f"n_{k}") > 0, F.col(f"s_{k}") / F.col(f"n_{k}")
+            ).alias(f"m_{k}")
+            for k in cells
+        ],
+        *[F.col(f"n_{k}") for k in cells],
     )
     return agg.select(
         (
@@ -80,10 +96,17 @@ def event_study(
     )
     t, yv = F.col(treat), F.col(y)
     per = df.groupBy(F.col(period)).agg(
-        F.avg(F.when(t, yv)).alias("m_treat"),
-        F.avg(F.when(~t, yv)).alias("m_ctrl"),
+        F.sum(F.when(t, yv)).cast("double").alias("s_treat"),
+        F.sum(F.when(~t, yv)).cast("double").alias("s_ctrl"),
         F.count(F.when(t, F.lit(1))).alias("n_treat"),
         F.count(F.when(~t, F.lit(1))).alias("n_ctrl"),
+    ).select(
+        F.col(period),
+        F.when(F.col("n_treat") > 0, F.col("s_treat") / F.col("n_treat"))
+        .alias("m_treat"),
+        F.when(F.col("n_ctrl") > 0, F.col("s_ctrl") / F.col("n_ctrl"))
+        .alias("m_ctrl"),
+        "n_treat", "n_ctrl",
     )
     base = per.where(F.col(period) == F.lit(base_period)).collect()
     if not base:

@@ -22,20 +22,22 @@ def test_window_all_have_oracles_or_are_declared():
 
 def test_round12_window_composition():
     """Positions 1-50 (sixteenth curation pass, executed as queued
-    in SURVEY.md): 1-17 = the never-driver-recorded oracle-checked
-    queries (the 12 round-11 registrations + this round's five
-    registrations, `grouped_quantiles_approx_certificate`,
-    `holt_winters_blocked`, `winsorize_by`, `mann_whitney_by`,
-    `bh_fdr`), 18-50 = the 33 stalest driver-green re-certs (the
-    whole r05 stratum, `equidepth_hist` .. `zorder_layout`, +
-    `agg_refresh`, the r06-stratum head); the backlog stays
-    stalest-evidence-first so its head IS the round-13 re-cert list,
-    with the 50 round-11-window entries (fresh r11 evidence) last
-    before the 11 rows-only demos at the tail. If this fails after
-    an intentional round-13 rotation, update the expectation
-    alongside the `queries()` docstring."""
+    in SURVEY.md, then amended mid-round): 1-17 = the
+    never-driver-recorded oracle-checked queries (the 12 round-11
+    registrations + the early-round-12 five,
+    `grouped_quantiles_approx_certificate`, `holt_winters_blocked`,
+    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-23 = the six
+    late-round-12 econometrics registrations (never-recorded, so
+    they outrank re-certs), 24-50 = the 27 stalest driver-green
+    re-certs (r05-stratum head); the six evicted re-certs
+    (`subqueries` .. `agg_refresh`) move to the backlog HEAD so the
+    round-13 re-cert list starts with them, with the 50
+    round-11-window entries (fresh r11 evidence) last before the 11
+    rows-only demos at the tail. If this fails after an intentional
+    round-13 rotation, update the expectation alongside the
+    `queries()` docstring."""
     q = list(em.queries())
-    assert q[:17] == [
+    assert q[:23] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
@@ -45,12 +47,17 @@ def test_round12_window_composition():
         "winsorize_by",
         "mann_whitney_by",
         "bh_fdr",
+        "se_cluster2", "iv_2sls", "ols_wls",
+        "ols_fit_stats", "did", "event_study",
     ]
-    assert q[17] == "equidepth_hist" and q[48] == "zorder_layout"
-    assert q[49] == "agg_refresh"
-    # backlog head = the remaining r06 stratum, stalest-first
-    assert q[50:53] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[53] == "dq_report" and q[54] == "dup_ngram_spans"
+    assert q[23] == "equidepth_hist" and q[49] == "streaming_enrich"
+    # backlog head = the six evicted re-certs, then the r06 stratum
+    assert q[50:56] == [
+        "subqueries", "tpch_q3", "unpivot_long",
+        "window_ranks", "zorder_layout", "agg_refresh",
+    ]
+    assert q[56:59] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[59] == "dq_report" and q[60] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -62,7 +69,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 305
+    assert len(q) == 311
 
 
 def test_every_query_has_callable():
