@@ -6656,6 +6656,63 @@ def _q_event_study(spark, sf_dir):
     )
 
 
+def _q_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted ATE (`operators/causal.py::
+    ipw_ate` — the Hájek self-normalizing estimator with Kish
+    effective sample sizes): a deterministic synthetic propensity
+    e = 0.2 + 0.06·(o_orderkey % 10) (in [0.2, 0.74], so the 0.01
+    overlap clip never binds but is spelled on both engines), urgent/
+    high-priority orders treated. Per-row weights are identical
+    doubles on both engines; only the sum order differs, so outputs
+    round at 4 decimals (the se_cluster convention)."""
+    from hdfe_spark.operators.causal import ipw_ate
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_totalprice").alias("y"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treat"),
+        (
+            F.lit(0.2)
+            + F.lit(0.06) * (F.col("o_orderkey") % 10).cast("double")
+        ).alias("e"),
+    )
+    out = ipw_ate(base, "y", "treat", "e", clip=0.01)
+    return out.select(
+        _pround("ate", 4).alias("ate"),
+        _pround("m_treat_w", 4).alias("m_treat_w"),
+        _pround("m_ctrl_w", 4).alias("m_ctrl_w"),
+        _pround("ess_treat", 4).alias("ess_treat"),
+        _pround("ess_ctrl", 4).alias("ess_ctrl"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+    )
+
+
+def _q_rdd(spark, sf_dir):
+    """Sharp regression discontinuity (`operators/causal.py::rdd`):
+    local-linear fits on each side of l_quantity = 25 within a
+    ±10 band, effect = the intercept jump at the cutoff. ONE
+    aggregation of per-side conditional moments; the closed-form
+    simple-regression finish is a fixed IEEE expression mirrored
+    verbatim by the oracle; 4-decimal rounding absorbs sum-order
+    noise."""
+    from hdfe_spark.operators.causal import rdd
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = rdd(
+        li, "l_extendedprice", "l_quantity", cutoff=25.0, bandwidth=10.0
+    )
+    return out.select(
+        _pround("effect", 4).alias("effect"),
+        _pround("intercept_left", 4).alias("intercept_left"),
+        _pround("intercept_right", 4).alias("intercept_right"),
+        _pround("slope_left", 4).alias("slope_left"),
+        _pround("slope_right", 4).alias("slope_right"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6852,7 +6909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit_stats": _q_ols_fit_stats,
         "did": _q_did,
         "event_study": _q_event_study,
-        # 24-50: the 27 stalest driver-green re-certs (r05-evidence
+        "ipw_ate": _q_ipw_ate,
+        "rdd": _q_rdd,
+        # 26-50: the 25 stalest driver-green re-certs (r05-evidence
         # stratum head)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
@@ -6879,12 +6938,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window": _q_rolling_window,
         "salted_join": _q_salted_join,
         "semi_anti_join": _q_semi_anti_join,
-        "sql_q1": _q_sql_q1,
-        "streaming_enrich": _q_streaming_enrich,
         # ------ end of the driver's 50-query window ------
-        # backlog head: the six re-certs evicted by the late-round-12
+        # backlog head: the eight re-certs evicted by the late-round-12
         # registrations (still the stalest evidence, r05/r06 — the
         # round-13 re-cert list starts here)
+        "sql_q1": _q_sql_q1,
+        "streaming_enrich": _q_streaming_enrich,
         "subqueries": _q_subqueries,
         "tpch_q3": _q_tpch_q3,
         "unpivot_long": _q_unpivot_long,
@@ -9910,6 +9969,95 @@ def oracle_sql() -> dict[str, str]:
                    floor(per.m_ctrl * 1e9 + 0.5) / 1e9 AS m_ctrl,
                    per.n_treat, per.n_ctrl
             FROM per CROSS JOIN bb
+        """,
+        "ipw_ate": """
+            WITH base AS (
+              SELECT o_totalprice AS y,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+                     least(greatest(CAST(0.2 AS DOUBLE)
+                                    + CAST(0.06 AS DOUBLE)
+                                      * CAST(o_orderkey % 10 AS DOUBLE),
+                                    0.01), 0.99) AS ec
+              FROM orders
+            ), a AS (
+              SELECT
+                sum(CASE WHEN t THEN (1.0/ec) * y END) AS s1,
+                sum(CASE WHEN t THEN 1.0/ec END) AS sw1,
+                sum(CASE WHEN t THEN (1.0/ec) * (1.0/ec) END) AS sww1,
+                sum(CASE WHEN NOT t THEN (1.0/(1.0 - ec)) * y END) AS s0,
+                sum(CASE WHEN NOT t THEN 1.0/(1.0 - ec) END) AS sw0,
+                sum(CASE WHEN NOT t
+                    THEN (1.0/(1.0 - ec)) * (1.0/(1.0 - ec)) END)
+                  AS sww0,
+                CAST(count(CASE WHEN t THEN 1 END) AS BIGINT)
+                  AS n_treat,
+                CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                  AS n_ctrl
+              FROM base
+            )
+            SELECT floor((s1/sw1 - s0/sw0) * 1e4 + 0.5) / 1e4 AS ate,
+                   floor((s1/sw1) * 1e4 + 0.5) / 1e4 AS m_treat_w,
+                   floor((s0/sw0) * 1e4 + 0.5) / 1e4 AS m_ctrl_w,
+                   floor((sw1*sw1/sww1) * 1e4 + 0.5) / 1e4 AS ess_treat,
+                   floor((sw0*sw0/sww0) * 1e4 + 0.5) / 1e4 AS ess_ctrl,
+                   n_treat, n_ctrl
+            FROM a
+        """,
+        "rdd": """
+            WITH base AS (
+              SELECT l_extendedprice AS y,
+                     l_quantity - 25.0 AS x
+              FROM lineitem
+            ), s AS (
+              SELECT
+                CAST(count(CASE WHEN abs(x) < 10.0 AND x < 0
+                           THEN 1 END) AS BIGINT) AS n_l,
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x END)
+                  AS sx_l,
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN y END)
+                  AS sy_l,
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x*x END)
+                  AS sxx_l,
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x*y END)
+                  AS sxy_l,
+                CAST(count(CASE WHEN abs(x) < 10.0 AND x >= 0
+                           THEN 1 END) AS BIGINT) AS n_r,
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x END)
+                  AS sx_r,
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN y END)
+                  AS sy_r,
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x*x END)
+                  AS sxx_r,
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x*y END)
+                  AS sxy_r
+              FROM base
+            ), f AS (
+              SELECT n_l, n_r,
+                CASE WHEN CAST(n_l AS DOUBLE)*sxx_l - sx_l*sx_l > 0
+                  THEN (CAST(n_l AS DOUBLE)*sxy_l - sx_l*sy_l)
+                       / (CAST(n_l AS DOUBLE)*sxx_l - sx_l*sx_l)
+                END AS b_l,
+                CASE WHEN CAST(n_r AS DOUBLE)*sxx_r - sx_r*sx_r > 0
+                  THEN (CAST(n_r AS DOUBLE)*sxy_r - sx_r*sy_r)
+                       / (CAST(n_r AS DOUBLE)*sxx_r - sx_r*sx_r)
+                END AS b_r,
+                sx_l, sy_l, sx_r, sy_r
+              FROM s
+            ), g AS (
+              SELECT n_l, n_r, b_l, b_r,
+                sy_l/CAST(n_l AS DOUBLE)
+                  - b_l*(sx_l/CAST(n_l AS DOUBLE)) AS a_l,
+                sy_r/CAST(n_r AS DOUBLE)
+                  - b_r*(sx_r/CAST(n_r AS DOUBLE)) AS a_r
+              FROM f
+            )
+            SELECT floor((a_r - a_l) * 1e4 + 0.5) / 1e4 AS effect,
+                   floor(a_l * 1e4 + 0.5) / 1e4 AS intercept_left,
+                   floor(a_r * 1e4 + 0.5) / 1e4 AS intercept_right,
+                   floor(b_l * 1e4 + 0.5) / 1e4 AS slope_left,
+                   floor(b_r * 1e4 + 0.5) / 1e4 AS slope_right,
+                   n_l AS n_left, n_r AS n_right
+            FROM g
         """,
         "topk_by": """
             SELECT user_id, event_id, rank,

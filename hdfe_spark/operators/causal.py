@@ -127,3 +127,118 @@ def event_study(
         ).alias("att"),
         "m_treat", "m_ctrl", "n_treat", "n_ctrl",
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    y: str,
+    treat: str,
+    propensity: str,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect for a
+    KNOWN/estimated propensity column (the design-based step after
+    any propensity model — this operator does not fit one).
+
+    Hájek (self-normalizing) estimator:
+    ``ate = Σ t·y/ê / Σ t/ê − Σ (1−t)·y/(1−ê) / Σ (1−t)/(1−ê)``
+    with ``ê`` clipped into [clip, 1−clip] (the standard overlap
+    trim; clip=0 disables). One map-side-combined aggregation — four
+    weighted sums and two counts, a single reduced row, no shuffle
+    wider than the final 1-row reduce. Emits the two Hájek arm means,
+    the ATE, effective sample sizes ``(Σw)²/Σw²`` per arm (Kish), and
+    raw arm counts. Rows with NULL treat/propensity contribute
+    nothing (conditional-aggregate convention).
+    """
+    t = F.col(treat)
+    e = F.col(propensity)
+    if clip > 0:
+        e = F.least(F.greatest(e, F.lit(float(clip))),
+                    F.lit(1.0 - float(clip)))
+    yv = F.col(y)
+    w1 = F.when(t, F.lit(1.0) / e)
+    w0 = F.when(~t, F.lit(1.0) / (F.lit(1.0) - e))
+    agg = df.agg(
+        F.sum(w1 * yv).alias("s1"),
+        F.sum(w1).alias("sw1"),
+        F.sum(w1 * w1).alias("sww1"),
+        F.sum(w0 * yv).alias("s0"),
+        F.sum(w0).alias("sw0"),
+        F.sum(w0 * w0).alias("sww0"),
+        F.count(F.when(t, F.lit(1))).alias("n_treat"),
+        F.count(F.when(~t, F.lit(1))).alias("n_ctrl"),
+    )
+    return agg.select(
+        (F.col("s1") / F.col("sw1") - F.col("s0") / F.col("sw0"))
+        .alias("ate"),
+        (F.col("s1") / F.col("sw1")).alias("m_treat_w"),
+        (F.col("s0") / F.col("sw0")).alias("m_ctrl_w"),
+        (F.col("sw1") * F.col("sw1") / F.col("sww1")).alias("ess_treat"),
+        (F.col("sw0") * F.col("sw0") / F.col("sww0")).alias("ess_ctrl"),
+        "n_treat", "n_ctrl",
+    )
+
+
+def rdd(
+    df: DataFrame,
+    y: str,
+    running: str,
+    cutoff: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: local-linear fits
+    with a rectangular kernel on each side of the cutoff, effect =
+    the jump between the two intercepts AT the cutoff.
+
+    Within ``|running − cutoff| < bandwidth`` (the cutoff row itself
+    belongs to the treated/right side, the ≥-rule convention), each
+    side's fit is the closed-form simple regression on the centered
+    running variable x = running − cutoff:
+    ``b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``,
+    ``a = ȳ − b·x̄`` — so ONE aggregation with per-side conditional
+    sums feeds a pure-expression finish; no solver, no second pass,
+    no shuffle beyond the 1-row reduce. Emits the effect (a_r −
+    a_l), both intercepts and slopes, and per-side counts; a side
+    with < 2 distinct x values yields NULLs rather than a made-up
+    fit (zero-variance denominator).
+    """
+    x = F.col(running) - F.lit(float(cutoff))
+    inside = F.abs(x) < F.lit(float(bandwidth))
+    right = inside & (x >= 0)
+    left = inside & (x < 0)
+    yv = F.col(y)
+
+    def _side(cond, tag):
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(cond, x)).alias(f"sx_{tag}"),
+            F.sum(F.when(cond, yv)).alias(f"sy_{tag}"),
+            F.sum(F.when(cond, x * x)).alias(f"sxx_{tag}"),
+            F.sum(F.when(cond, x * yv)).alias(f"sxy_{tag}"),
+        ]
+
+    agg = df.agg(*_side(left, "l"), *_side(right, "r"))
+
+    def _fit(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxx, sxy = F.col(f"sxx_{tag}"), F.col(f"sxy_{tag}")
+        den = n * sxx - sx * sx
+        b = F.when(den > 0, (n * sxy - sx * sy) / den)
+        a = sy / n - b * (sx / n)
+        return a.alias(f"a_{tag}"), b.alias(f"b_{tag}")
+
+    a_l, b_l = _fit("l")
+    a_r, b_r = _fit("r")
+    fitted = agg.select(
+        a_l, b_l, a_r, b_r,
+        F.col("n_l").alias("n_left"), F.col("n_r").alias("n_right"),
+    )
+    return fitted.select(
+        (F.col("a_r") - F.col("a_l")).alias("effect"),
+        F.col("a_l").alias("intercept_left"),
+        F.col("a_r").alias("intercept_right"),
+        F.col("b_l").alias("slope_left"),
+        F.col("b_r").alias("slope_right"),
+        "n_left", "n_right",
+    )

@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from hdfe_spark.operators.causal import did, event_study
+from hdfe_spark.operators.causal import did, event_study, ipw_ate, rdd
 from hdfe_spark.operators.estimate import estimate, fit_stats, iv_2sls, wls
 
 N, SEED = 3000, 11
@@ -275,3 +275,76 @@ def test_event_study_validation(spark):
         event_study(spark.createDataFrame(pdf2), "y", "t", "k", 0)
     with pytest.raises(ValueError, match="collides"):
         event_study(sdf.withColumnRenamed("k", "att"), "y", "t", "att", 0)
+
+
+def test_ipw_ate_matches_numpy(spark):
+    rng = np.random.RandomState(21)
+    n = 6000
+    x = rng.randn(n)
+    e_true = 1.0 / (1.0 + np.exp(-x))          # known propensity
+    t = rng.uniform(size=n) < e_true
+    y = 1.0 + 2.0 * t + 0.8 * x + rng.randn(n) * 0.3  # confounded by x
+    pdf = pd.DataFrame({"y": y, "t": t, "e": e_true})
+    row = ipw_ate(spark.createDataFrame(pdf), "y", "t", "e").collect()[0]
+    ec = np.clip(e_true, 0.01, 0.99)
+    w1 = np.where(t, 1.0 / ec, 0.0)
+    w0 = np.where(~t, 1.0 / (1.0 - ec), 0.0)
+    ate = float(w1 @ y) / w1.sum() - float(w0 @ y) / w0.sum()
+    assert abs(row["ate"] - ate) < 1e-9
+    # IPW deconfounds: the naive difference is biased upward, the
+    # weighted estimate sits near the true effect 2.
+    naive = y[t].mean() - y[~t].mean()
+    assert abs(row["ate"] - 2.0) < 0.15 < abs(naive - 2.0)
+    ess1 = w1.sum() ** 2 / float(w1 @ w1)
+    assert abs(row["ess_treat"] - ess1) < 1e-6
+    assert row["n_treat"] == int(t.sum())
+
+
+def test_ipw_clip_disabled(spark):
+    pdf = pd.DataFrame(
+        {"y": [1.0, 3.0], "t": [True, False], "e": [0.5, 0.5]}
+    )
+    row = ipw_ate(spark.createDataFrame(pdf), "y", "t", "e",
+                  clip=0.0).collect()[0]
+    assert abs(row["ate"] - (1.0 - 3.0)) < 1e-12
+
+
+def test_rdd_recovers_jump(spark):
+    rng = np.random.RandomState(33)
+    n = 20000
+    r = rng.uniform(-2.0, 2.0, n)
+    jump = 1.25
+    y = 0.5 + 0.7 * r + np.where(r >= 0, jump + 0.2 * r, 0.0) \
+        + rng.randn(n) * 0.05
+    pdf = pd.DataFrame({"r": r, "y": y})
+    row = rdd(spark.createDataFrame(pdf), "y", "r", cutoff=0.0,
+              bandwidth=0.5).collect()[0]
+    assert abs(row["effect"] - jump) < 0.02
+    # Side fits against numpy closed form inside the band.
+    m = np.abs(r) < 0.5
+    for tag, mask in (("l", m & (r < 0)), ("r", m & (r >= 0))):
+        xs, ys = r[mask], y[mask]
+        b = ((len(xs) * (xs @ ys) - xs.sum() * ys.sum())
+             / (len(xs) * (xs @ xs) - xs.sum() ** 2))
+        a = ys.mean() - b * xs.mean()
+        key = "intercept_left" if tag == "l" else "intercept_right"
+        assert abs(row[key] - a) < 1e-9
+    assert row["n_left"] == int((m & (r < 0)).sum())
+
+
+def test_rdd_degenerate_side_is_null(spark):
+    # right side has a single distinct x -> zero-variance denominator
+    pdf = pd.DataFrame(
+        {"r": [-0.3, -0.2, -0.1, 0.1, 0.1], "y": [1.0, 2.0, 3.0, 9.0, 9.5]}
+    )
+    row = rdd(spark.createDataFrame(pdf), "y", "r", cutoff=0.0,
+              bandwidth=0.5).collect()[0]
+    assert row["slope_right"] is None and row["effect"] is None
+    assert row["slope_left"] is not None
+
+
+def test_rdd_cutoff_row_belongs_right(spark):
+    pdf = pd.DataFrame({"r": [0.0, 0.2, -0.2, -0.1], "y": [5.0, 6.0, 1.0, 2.0]})
+    row = rdd(spark.createDataFrame(pdf), "y", "r", cutoff=0.0,
+              bandwidth=1.0).collect()[0]
+    assert row["n_right"] == 2 and row["n_left"] == 2

@@ -26,18 +26,18 @@ def test_round12_window_composition():
     never-driver-recorded oracle-checked queries (the 12 round-11
     registrations + the early-round-12 five,
     `grouped_quantiles_approx_certificate`, `holt_winters_blocked`,
-    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-23 = the six
-    late-round-12 econometrics registrations (never-recorded, so
-    they outrank re-certs), 24-50 = the 27 stalest driver-green
-    re-certs (r05-stratum head); the six evicted re-certs
-    (`subqueries` .. `agg_refresh`) move to the backlog HEAD so the
+    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-25 = the eight
+    late-round-12 econometrics/causal registrations (never-recorded,
+    so they outrank re-certs), 26-50 = the 25 stalest driver-green
+    re-certs (r05-stratum head); the eight evicted re-certs
+    (`sql_q1` .. `agg_refresh`) move to the backlog HEAD so the
     round-13 re-cert list starts with them, with the 50
     round-11-window entries (fresh r11 evidence) last before the 11
     rows-only demos at the tail. If this fails after an intentional
     round-13 rotation, update the expectation alongside the
     `queries()` docstring."""
     q = list(em.queries())
-    assert q[:23] == [
+    assert q[:25] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
@@ -49,15 +49,16 @@ def test_round12_window_composition():
         "bh_fdr",
         "se_cluster2", "iv_2sls", "ols_wls",
         "ols_fit_stats", "did", "event_study",
+        "ipw_ate", "rdd",
     ]
-    assert q[23] == "equidepth_hist" and q[49] == "streaming_enrich"
-    # backlog head = the six evicted re-certs, then the r06 stratum
-    assert q[50:56] == [
-        "subqueries", "tpch_q3", "unpivot_long",
-        "window_ranks", "zorder_layout", "agg_refresh",
+    assert q[25] == "equidepth_hist" and q[49] == "semi_anti_join"
+    # backlog head = the eight evicted re-certs, then the r06 stratum
+    assert q[50:58] == [
+        "sql_q1", "streaming_enrich", "subqueries", "tpch_q3",
+        "unpivot_long", "window_ranks", "zorder_layout", "agg_refresh",
     ]
-    assert q[56:59] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[59] == "dq_report" and q[60] == "dup_ngram_spans"
+    assert q[58:61] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[61] == "dq_report" and q[62] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -69,7 +70,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 311
+    assert len(q) == 313
 
 
 def test_every_query_has_callable():
