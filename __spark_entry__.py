@@ -6713,6 +6713,43 @@ def _q_rdd(spark, sf_dir):
     )
 
 
+def _q_streaming_did(spark, sf_dir):
+    """Twenty-fourth streaming form (`streaming/ops.py::
+    streaming_did`): the 2×2 DiD panel folded over the events stream
+    in complete mode — even-user-id rows treated, event_id % 3 == 0
+    as the "post" cell, value as the outcome (cast DECIMAL(18,6) so
+    the four additive cell sums are exact and every mean is one IEEE
+    division — availableNow equals the batch `causal.did` row
+    exactly; the batch SQL is the oracle verbatim)."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_did
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        F.col("value").cast("decimal(18,6)").alias("y"),
+        ((F.col("user_id") % 2) == 0).alias("treat"),
+        ((F.col("event_id") % 3) == 0).alias("post"),
+    )
+    out = streaming_did(base, "y", "treat", "post")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        _pround("att").alias("att"),
+        _pround("m_treat_post").alias("m_treat_post"),
+        _pround("m_treat_pre").alias("m_treat_pre"),
+        _pround("m_ctrl_post").alias("m_ctrl_post"),
+        _pround("m_ctrl_pre").alias("m_ctrl_pre"),
+        F.col("n_treat_post").cast("long").alias("n_treat_post"),
+        F.col("n_ctrl_post").cast("long").alias("n_ctrl_post"),
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6911,7 +6948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_study": _q_event_study,
         "ipw_ate": _q_ipw_ate,
         "rdd": _q_rdd,
-        # 26-50: the 25 stalest driver-green re-certs (r05-evidence
+        "streaming_did": _q_streaming_did,
+        # 27-50: the 24 stalest driver-green re-certs (r05-evidence
         # stratum head)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
@@ -6937,11 +6975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": _q_retention,
         "rolling_window": _q_rolling_window,
         "salted_join": _q_salted_join,
-        "semi_anti_join": _q_semi_anti_join,
         # ------ end of the driver's 50-query window ------
-        # backlog head: the eight re-certs evicted by the late-round-12
+        # backlog head: the nine re-certs evicted by the late-round-12
         # registrations (still the stalest evidence, r05/r06 — the
         # round-13 re-cert list starts here)
+        "semi_anti_join": _q_semi_anti_join,
         "sql_q1": _q_sql_q1,
         "streaming_enrich": _q_streaming_enrich,
         "subqueries": _q_subqueries,
@@ -9907,23 +9945,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT
                 CAST(sum(CASE WHEN treat AND post THEN y END)
                   AS DOUBLE)
-                  / count(CASE WHEN treat AND post THEN 1 END)
+                  / count(CASE WHEN treat AND post THEN y END)
                   AS m_treat_post,
                 CAST(sum(CASE WHEN treat AND NOT post THEN y END)
                   AS DOUBLE)
-                  / count(CASE WHEN treat AND NOT post THEN 1 END)
+                  / count(CASE WHEN treat AND NOT post THEN y END)
                   AS m_treat_pre,
                 CAST(sum(CASE WHEN NOT treat AND post THEN y END)
                   AS DOUBLE)
-                  / count(CASE WHEN NOT treat AND post THEN 1 END)
+                  / count(CASE WHEN NOT treat AND post THEN y END)
                   AS m_ctrl_post,
                 CAST(sum(CASE WHEN NOT treat AND NOT post THEN y END)
                   AS DOUBLE)
-                  / count(CASE WHEN NOT treat AND NOT post THEN 1 END)
+                  / count(CASE WHEN NOT treat AND NOT post THEN y END)
                   AS m_ctrl_pre,
-                CAST(count(CASE WHEN treat AND post THEN 1 END)
+                CAST(count(CASE WHEN treat AND post THEN y END)
                   AS BIGINT) AS n_treat_post,
-                CAST(count(CASE WHEN NOT treat AND post THEN 1 END)
+                CAST(count(CASE WHEN NOT treat AND post THEN y END)
                   AS BIGINT) AS n_ctrl_post
               FROM base
             )
@@ -9947,14 +9985,14 @@ def oracle_sql() -> dict[str, str]:
             ), per AS (
               SELECT o_year,
                      CAST(sum(CASE WHEN treat THEN y END) AS DOUBLE)
-                       / count(CASE WHEN treat THEN 1 END) AS m_treat,
+                       / count(CASE WHEN treat THEN y END) AS m_treat,
                      CAST(sum(CASE WHEN NOT treat THEN y END)
                        AS DOUBLE)
-                       / count(CASE WHEN NOT treat THEN 1 END)
+                       / count(CASE WHEN NOT treat THEN y END)
                        AS m_ctrl,
-                     CAST(count(CASE WHEN treat THEN 1 END) AS BIGINT)
+                     CAST(count(CASE WHEN treat THEN y END) AS BIGINT)
                        AS n_treat,
-                     CAST(count(CASE WHEN NOT treat THEN 1 END)
+                     CAST(count(CASE WHEN NOT treat THEN y END)
                        AS BIGINT) AS n_ctrl
               FROM base GROUP BY o_year
             ), bb AS (
@@ -9970,6 +10008,47 @@ def oracle_sql() -> dict[str, str]:
                    per.n_treat, per.n_ctrl
             FROM per CROSS JOIN bb
         """,
+        "streaming_did": """
+            WITH base AS (
+              SELECT CAST(value AS DECIMAL(18,6)) AS y,
+                     (user_id % 2) = 0 AS treat,
+                     (event_id % 3) = 0 AS post
+              FROM events
+            ), cells AS (
+              SELECT
+                CAST(sum(CASE WHEN treat AND post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN treat AND post THEN y END)
+                  AS m_treat_post,
+                CAST(sum(CASE WHEN treat AND NOT post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN treat AND NOT post THEN y END)
+                  AS m_treat_pre,
+                CAST(sum(CASE WHEN NOT treat AND post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN NOT treat AND post THEN y END)
+                  AS m_ctrl_post,
+                CAST(sum(CASE WHEN NOT treat AND NOT post THEN y END)
+                  AS DOUBLE)
+                  / count(CASE WHEN NOT treat AND NOT post THEN y END)
+                  AS m_ctrl_pre,
+                CAST(count(CASE WHEN treat AND post THEN y END)
+                  AS BIGINT) AS n_treat_post,
+                CAST(count(CASE WHEN NOT treat AND post THEN y END)
+                  AS BIGINT) AS n_ctrl_post
+              FROM base
+            )
+            SELECT floor(((m_treat_post - m_treat_pre)
+                          - (m_ctrl_post - m_ctrl_pre)) * 1e9 + 0.5)
+                     / 1e9 AS att,
+                   floor(m_treat_post * 1e9 + 0.5) / 1e9
+                     AS m_treat_post,
+                   floor(m_treat_pre * 1e9 + 0.5) / 1e9 AS m_treat_pre,
+                   floor(m_ctrl_post * 1e9 + 0.5) / 1e9 AS m_ctrl_post,
+                   floor(m_ctrl_pre * 1e9 + 0.5) / 1e9 AS m_ctrl_pre,
+                   n_treat_post, n_ctrl_post
+            FROM cells
+        """,
         "ipw_ate": """
             WITH base AS (
               SELECT o_totalprice AS y,
@@ -9981,17 +10060,22 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ), a AS (
               SELECT
-                sum(CASE WHEN t THEN (1.0/ec) * y END) AS s1,
-                sum(CASE WHEN t THEN 1.0/ec END) AS sw1,
-                sum(CASE WHEN t THEN (1.0/ec) * (1.0/ec) END) AS sww1,
-                sum(CASE WHEN NOT t THEN (1.0/(1.0 - ec)) * y END) AS s0,
-                sum(CASE WHEN NOT t THEN 1.0/(1.0 - ec) END) AS sw0,
-                sum(CASE WHEN NOT t
+                sum(CASE WHEN t AND y IS NOT NULL
+                    THEN (1.0/ec) * y END) AS s1,
+                sum(CASE WHEN t AND y IS NOT NULL
+                    THEN 1.0/ec END) AS sw1,
+                sum(CASE WHEN t AND y IS NOT NULL
+                    THEN (1.0/ec) * (1.0/ec) END) AS sww1,
+                sum(CASE WHEN NOT t AND y IS NOT NULL
+                    THEN (1.0/(1.0 - ec)) * y END) AS s0,
+                sum(CASE WHEN NOT t AND y IS NOT NULL
+                    THEN 1.0/(1.0 - ec) END) AS sw0,
+                sum(CASE WHEN NOT t AND y IS NOT NULL
                     THEN (1.0/(1.0 - ec)) * (1.0/(1.0 - ec)) END)
                   AS sww0,
-                CAST(count(CASE WHEN t THEN 1 END) AS BIGINT)
+                CAST(count(CASE WHEN t THEN y END) AS BIGINT)
                   AS n_treat,
-                CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT)
+                CAST(count(CASE WHEN NOT t THEN y END) AS BIGINT)
                   AS n_ctrl
               FROM base
             )
@@ -10010,25 +10094,25 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             ), s AS (
               SELECT
-                CAST(count(CASE WHEN abs(x) < 10.0 AND x < 0
+                CAST(count(CASE WHEN abs(x) < 10.0 AND x < 0 AND y IS NOT NULL
                            THEN 1 END) AS BIGINT) AS n_l,
-                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x END)
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 AND y IS NOT NULL THEN x END)
                   AS sx_l,
-                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN y END)
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 AND y IS NOT NULL THEN y END)
                   AS sy_l,
-                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x*x END)
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 AND y IS NOT NULL THEN x*x END)
                   AS sxx_l,
-                sum(CASE WHEN abs(x) < 10.0 AND x < 0 THEN x*y END)
+                sum(CASE WHEN abs(x) < 10.0 AND x < 0 AND y IS NOT NULL THEN x*y END)
                   AS sxy_l,
-                CAST(count(CASE WHEN abs(x) < 10.0 AND x >= 0
+                CAST(count(CASE WHEN abs(x) < 10.0 AND x >= 0 AND y IS NOT NULL
                            THEN 1 END) AS BIGINT) AS n_r,
-                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x END)
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 AND y IS NOT NULL THEN x END)
                   AS sx_r,
-                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN y END)
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 AND y IS NOT NULL THEN y END)
                   AS sy_r,
-                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x*x END)
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 AND y IS NOT NULL THEN x*x END)
                   AS sxx_r,
-                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 THEN x*y END)
+                sum(CASE WHEN abs(x) < 10.0 AND x >= 0 AND y IS NOT NULL THEN x*y END)
                   AS sxy_r
               FROM base
             ), f AS (

@@ -30,9 +30,10 @@ def did(df: DataFrame, y: str, treat: str, post: str) -> DataFrame:
     Returns ONE row: the four cell means, the four cell counts, and
     ``att = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)``.
     An empty cell leaves its mean (and the ATT) NULL rather than
-    guessing. Rows where ``treat``/``post`` is NULL belong to no cell
-    and are excluded from every mean — the conditional-aggregate
-    convention used across the stats family.
+    guessing. Rows where ``treat``/``post`` is NULL belong to no
+    cell, and rows with a NULL outcome belong to no mean: cell
+    counts are ``count(when(cond, y))`` — non-NULL outcomes only —
+    so a NULL y never dilutes its cell (the ``avg`` semantics).
 
     Means are computed as ``cast(sum, double) / count`` rather than
     ``avg`` so a DECIMAL outcome column keeps its sum EXACT (one IEEE
@@ -53,7 +54,7 @@ def did(df: DataFrame, y: str, treat: str, post: str) -> DataFrame:
             for k, c in cells.items()
         ],
         *[
-            F.count(F.when(c, F.lit(1))).alias(f"n_{k}")
+            F.count(F.when(c, yv)).alias(f"n_{k}")
             for k, c in cells.items()
         ],
     ).select(
@@ -98,8 +99,8 @@ def event_study(
     per = df.groupBy(F.col(period)).agg(
         F.sum(F.when(t, yv)).cast("double").alias("s_treat"),
         F.sum(F.when(~t, yv)).cast("double").alias("s_ctrl"),
-        F.count(F.when(t, F.lit(1))).alias("n_treat"),
-        F.count(F.when(~t, F.lit(1))).alias("n_ctrl"),
+        F.count(F.when(t, yv)).alias("n_treat"),
+        F.count(F.when(~t, yv)).alias("n_ctrl"),
     ).select(
         F.col(period),
         F.when(F.col("n_treat") > 0, F.col("s_treat") / F.col("n_treat"))
@@ -147,8 +148,9 @@ def ipw_ate(
     weighted sums and two counts, a single reduced row, no shuffle
     wider than the final 1-row reduce. Emits the two Hájek arm means,
     the ATE, effective sample sizes ``(Σw)²/Σw²`` per arm (Kish), and
-    raw arm counts. Rows with NULL treat/propensity contribute
-    nothing (conditional-aggregate convention).
+    arm counts. Rows with a NULL treat/propensity/outcome contribute
+    nothing — the Hájek denominator sums weights only over rows with
+    an OBSERVED outcome, so missing outcomes never dilute an arm.
     """
     t = F.col(treat)
     e = F.col(propensity)
@@ -156,8 +158,8 @@ def ipw_ate(
         e = F.least(F.greatest(e, F.lit(float(clip))),
                     F.lit(1.0 - float(clip)))
     yv = F.col(y)
-    w1 = F.when(t, F.lit(1.0) / e)
-    w0 = F.when(~t, F.lit(1.0) / (F.lit(1.0) - e))
+    w1 = F.when(t & yv.isNotNull(), F.lit(1.0) / e)
+    w0 = F.when(~t & yv.isNotNull(), F.lit(1.0) / (F.lit(1.0) - e))
     agg = df.agg(
         F.sum(w1 * yv).alias("s1"),
         F.sum(w1).alias("sw1"),
@@ -165,8 +167,8 @@ def ipw_ate(
         F.sum(w0 * yv).alias("s0"),
         F.sum(w0).alias("sw0"),
         F.sum(w0 * w0).alias("sww0"),
-        F.count(F.when(t, F.lit(1))).alias("n_treat"),
-        F.count(F.when(~t, F.lit(1))).alias("n_ctrl"),
+        F.count(F.when(t, yv)).alias("n_treat"),
+        F.count(F.when(~t, yv)).alias("n_ctrl"),
     )
     return agg.select(
         (F.col("s1") / F.col("sw1") - F.col("s0") / F.col("sw0"))
@@ -200,13 +202,14 @@ def rdd(
     no shuffle beyond the 1-row reduce. Emits the effect (a_r −
     a_l), both intercepts and slopes, and per-side counts; a side
     with < 2 distinct x values yields NULLs rather than a made-up
-    fit (zero-variance denominator).
+    fit (zero-variance denominator). Rows with a NULL outcome or
+    running value contribute to neither side's fit nor its count.
     """
     x = F.col(running) - F.lit(float(cutoff))
     inside = F.abs(x) < F.lit(float(bandwidth))
-    right = inside & (x >= 0)
-    left = inside & (x < 0)
     yv = F.col(y)
+    right = inside & (x >= 0) & yv.isNotNull()
+    left = inside & (x < 0) & yv.isNotNull()
 
     def _side(cond, tag):
         return [

@@ -963,3 +963,21 @@ def streaming_ece(
     return calibration_bins(
         stream, label_col, prob_col, n_bins=n_bins, qbits=qbits
     )
+
+
+def streaming_did(
+    stream: DataFrame, y: str, treat: str, post: str
+) -> DataFrame:
+    """Streaming experiment monitor (the TWENTY-FOURTH streaming
+    form): the 2×2 difference-in-differences panel folded over an
+    assignment/outcome stream in complete mode — the four cell sums
+    (exact when y is DECIMAL) and four non-NULL-outcome counts are
+    ADDITIVE, and the cell means and the ATT ride the output
+    projection, so the availableNow fold equals the batch
+    `causal.did` row EXACTLY whatever the micro-batch boundaries:
+    the always-on "did the launch move the treated arm?" dashboard.
+    State is eight counters total. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.causal import did
+
+    return did(stream, y, treat, post)

@@ -348,3 +348,36 @@ def test_rdd_cutoff_row_belongs_right(spark):
     row = rdd(spark.createDataFrame(pdf), "y", "r", cutoff=0.0,
               bandwidth=1.0).collect()[0]
     assert row["n_right"] == 2 and row["n_left"] == 2
+
+
+def test_null_outcome_never_dilutes(spark):
+    """A NULL y row must not shift any cell mean, arm weight sum, or
+    side fit (review-r12 pin: the sum/count rewrite originally
+    counted NULL-y rows in the denominator)."""
+    pdf = pd.DataFrame(
+        {"t": [True, True, False, False],
+         "p": [True, True, True, True],
+         "y": [4.0, None, 2.0, None],
+         "e": [0.5, 0.5, 0.5, 0.5],
+         "r": [0.1, 0.2, -0.1, -0.2]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    row = did(sdf, "y", "t", "p").collect()[0]
+    assert row["m_treat_post"] == 4.0 and row["n_treat_post"] == 1
+    row = ipw_ate(sdf, "y", "t", "e").collect()[0]
+    assert abs(row["ate"] - (4.0 - 2.0)) < 1e-12
+    assert row["n_treat"] == 1 and row["n_ctrl"] == 1
+    pdf2 = pd.DataFrame(
+        {"r": [0.1, 0.3, 0.2, -0.1, -0.3, -0.2],
+         "y": [1.0, 2.0, None, 1.0, 3.0, None]}
+    )
+    row = rdd(spark.createDataFrame(pdf2), "y", "r", 0.0, 1.0).collect()[0]
+    assert row["n_right"] == 2 and row["n_left"] == 2
+    out = event_study(
+        spark.createDataFrame(
+            pd.DataFrame({"t": [True, False, True],
+                          "k": [0, 0, 0],
+                          "y": [3.0, 1.0, None]})
+        ), "y", "t", "k", 0,
+    ).collect()[0]
+    assert out["m_treat"] == 3.0 and out["n_treat"] == 1

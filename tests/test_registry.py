@@ -26,18 +26,19 @@ def test_round12_window_composition():
     never-driver-recorded oracle-checked queries (the 12 round-11
     registrations + the early-round-12 five,
     `grouped_quantiles_approx_certificate`, `holt_winters_blocked`,
-    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-25 = the eight
+    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-26 = the nine
     late-round-12 econometrics/causal registrations (never-recorded,
-    so they outrank re-certs), 26-50 = the 25 stalest driver-green
-    re-certs (r05-stratum head); the eight evicted re-certs
-    (`sql_q1` .. `agg_refresh`) move to the backlog HEAD so the
+    so they outrank re-certs; `streaming_did` is the 24th streaming
+    form), 27-50 = the 24 stalest driver-green re-certs (r05-stratum
+    head); the nine evicted re-certs
+    (`semi_anti_join` .. `agg_refresh`) move to the backlog HEAD so the
     round-13 re-cert list starts with them, with the 50
     round-11-window entries (fresh r11 evidence) last before the 11
     rows-only demos at the tail. If this fails after an intentional
     round-13 rotation, update the expectation alongside the
     `queries()` docstring."""
     q = list(em.queries())
-    assert q[:25] == [
+    assert q[:26] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
@@ -49,16 +50,17 @@ def test_round12_window_composition():
         "bh_fdr",
         "se_cluster2", "iv_2sls", "ols_wls",
         "ols_fit_stats", "did", "event_study",
-        "ipw_ate", "rdd",
+        "ipw_ate", "rdd", "streaming_did",
     ]
-    assert q[25] == "equidepth_hist" and q[49] == "semi_anti_join"
-    # backlog head = the eight evicted re-certs, then the r06 stratum
-    assert q[50:58] == [
-        "sql_q1", "streaming_enrich", "subqueries", "tpch_q3",
-        "unpivot_long", "window_ranks", "zorder_layout", "agg_refresh",
+    assert q[26] == "equidepth_hist" and q[49] == "salted_join"
+    # backlog head = the nine evicted re-certs, then the r06 stratum
+    assert q[50:59] == [
+        "semi_anti_join", "sql_q1", "streaming_enrich", "subqueries",
+        "tpch_q3", "unpivot_long", "window_ranks", "zorder_layout",
+        "agg_refresh",
     ]
-    assert q[58:61] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[61] == "dq_report" and q[62] == "dup_ngram_spans"
+    assert q[59:62] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[62] == "dq_report" and q[63] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -70,7 +72,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 313
+    assert len(q) == 314
 
 
 def test_every_query_has_callable():

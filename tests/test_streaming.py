@@ -583,3 +583,38 @@ def test_streaming_welch_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_did_equals_batch(spark, sf_dir):
+    """24th form: the four cell sums (exact DECIMAL) and non-NULL
+    outcome counts are additive, so the complete-mode availableNow
+    fold equals batch causal.did bit-for-bit."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import did
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_did
+
+    def base(df):
+        return df.select(
+            F.col("value").cast("decimal(18,6)").alias("y"),
+            ((F.col("user_id") % 2) == 0).alias("treat"),
+            ((F.col("event_id") % 3) == 0).alias("post"),
+        )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    out = streaming_did(base(stream), "y", "treat", "post")
+    sink = "sd_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = did(base(ev), "y", "treat", "post").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
