@@ -6936,10 +6936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_by": _q_winsorize_by,
         "mann_whitney_by": _q_mann_whitney_by,
         "bh_fdr": _q_bh_fdr,
-        # 18-23: the six late-round-12 registrations (econometrics
-        # panel completion — never driver-recorded, so they take
-        # window slots over re-certs per the never-recorded-first
-        # policy; the six evicted re-certs move to the backlog head)
+        # 18-26: the nine late-round-12 registrations (econometrics/
+        # causal panel completion — never driver-recorded, so they
+        # take window slots over re-certs per the never-recorded-first
+        # policy; the nine evicted re-certs move to the backlog head)
         "se_cluster2": _q_se_cluster2,
         "iv_2sls": _q_iv_2sls,
         "ols_wls": _q_ols_wls,
@@ -10073,9 +10073,11 @@ def oracle_sql() -> dict[str, str]:
                 sum(CASE WHEN NOT t AND y IS NOT NULL
                     THEN (1.0/(1.0 - ec)) * (1.0/(1.0 - ec)) END)
                   AS sww0,
-                CAST(count(CASE WHEN t THEN y END) AS BIGINT)
+                CAST(count(CASE WHEN t AND y IS NOT NULL
+                           THEN 1.0/ec END) AS BIGINT)
                   AS n_treat,
-                CAST(count(CASE WHEN NOT t THEN y END) AS BIGINT)
+                CAST(count(CASE WHEN NOT t AND y IS NOT NULL
+                           THEN 1.0/(1.0 - ec) END) AS BIGINT)
                   AS n_ctrl
               FROM base
             )

@@ -86,7 +86,10 @@ def event_study(
     treated/control means and counts; the base period's two means are
     collected (two scalars) and folded back as literals, so
     ``att = (m_t(k) − m_t(base)) − (m_c(k) − m_c(base))`` is a narrow
-    projection over n_periods rows. The base period's own row is kept
+    projection over n_periods rows. The per-period table feeds two
+    actions (the base collect and the caller's), so it is
+    localCheckpoint'd — the full-data aggregation runs ONCE (the
+    ``estimate.fe_agg`` precedent). The base period's own row is kept
     (its att is 0 by construction — the standard normalization).
     Raises if the base period is absent or has an empty arm: a silent
     NULL baseline would NULL every coefficient.
@@ -108,7 +111,7 @@ def event_study(
         F.when(F.col("n_ctrl") > 0, F.col("s_ctrl") / F.col("n_ctrl"))
         .alias("m_ctrl"),
         "n_treat", "n_ctrl",
-    )
+    ).localCheckpoint(eager=False)
     base = per.where(F.col(period) == F.lit(base_period)).collect()
     if not base:
         raise ValueError(
@@ -153,10 +156,18 @@ def ipw_ate(
     an OBSERVED outcome, so missing outcomes never dilute an arm.
     """
     t = F.col(treat)
-    e = F.col(propensity)
+    e_raw = F.col(propensity)
+    e = e_raw
     if clip > 0:
-        e = F.least(F.greatest(e, F.lit(float(clip))),
-                    F.lit(1.0 - float(clip)))
+        # Spark's greatest/least SKIP NULLs, so a bare clip would
+        # resurrect a missing propensity as the clip bound (weight
+        # 1/clip — the most extreme weight possible). Clip only
+        # observed propensities; NULL stays NULL and the row drops.
+        e = F.when(
+            e_raw.isNotNull(),
+            F.least(F.greatest(e_raw, F.lit(float(clip))),
+                    F.lit(1.0 - float(clip))),
+        )
     yv = F.col(y)
     w1 = F.when(t & yv.isNotNull(), F.lit(1.0) / e)
     w0 = F.when(~t & yv.isNotNull(), F.lit(1.0) / (F.lit(1.0) - e))
@@ -167,8 +178,11 @@ def ipw_ate(
         F.sum(w0 * yv).alias("s0"),
         F.sum(w0).alias("sw0"),
         F.sum(w0 * w0).alias("sww0"),
-        F.count(F.when(t, yv)).alias("n_treat"),
-        F.count(F.when(~t, yv)).alias("n_ctrl"),
+        # count the ESTIMATING sample: rows whose weight is non-NULL
+        # (excludes NULL treat/outcome/propensity alike), so n_* always
+        # agrees with the rows inside the Hájek sums (review r12).
+        F.count(w1).alias("n_treat"),
+        F.count(w0).alias("n_ctrl"),
     )
     return agg.select(
         (F.col("s1") / F.col("sw1") - F.col("s0") / F.col("sw0"))

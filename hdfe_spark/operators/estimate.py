@@ -856,7 +856,7 @@ def _plan_alternating(
     all_cols = list(x_cols) + list(y_cols)
     dm = {c: f"__dm_{c}" for c in all_cols}
     dmv = list(dm.values())
-    keep = list(dict.fromkeys(cc + ([cluster] if cluster else [])))
+    keep = list(dict.fromkeys(cc + (list(cluster) if cluster else [])))
     sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
 
     # --- One gate pass: row count, approximate per-FE level counts,
@@ -1378,7 +1378,15 @@ def fit_stats(
             *[(F.col(c) - F.avg(c).over(wspec)).alias(d) for c, d in zip(cols, dm)]
         )
         M, _, n = gram_matrix(work, dm, None)
-        n_groups = df.agg(F.countDistinct(F.col(fe)).alias("g")).collect()[0]["g"]
+        # A NULL FE level is its own absorbed group (the window
+        # demeans it like any other partition), but countDistinct
+        # skips NULL — add it back so dof matches what was absorbed
+        # (review r12; _plan_within's fe_agg.count() gets this free).
+        grow = df.agg(
+            F.countDistinct(F.col(fe)).alias("g"),
+            F.max(F.col(fe).isNull().cast("int")).alias("has_null"),
+        ).collect()[0]
+        n_groups = int(grow["g"]) + int(grow["has_null"] or 0)
     else:
         # Centered moments closed-form: S_c = S_raw − n·mm' (one pass).
         cols = x_cols + [y]

@@ -381,3 +381,47 @@ def test_null_outcome_never_dilutes(spark):
         ), "y", "t", "k", 0,
     ).collect()[0]
     assert out["m_treat"] == 3.0 and out["n_treat"] == 1
+
+
+def test_cluster_on_alternating_plan(spark, panel_pdf):
+    """Review-r12 pin: the cluster-list normalization crashed Plan C
+    (`cc + [cluster]` appended the list itself — TypeError at
+    dict.fromkeys). Both one- and two-way now run and match the
+    within plan's slopes-variance on the same data."""
+    sdf = spark.createDataFrame(panel_pdf)
+    res1 = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe1"],
+                    within_if_fe=False, estimate_variance=True,
+                    cluster="ca")
+    res2 = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe1"],
+                    within_if_fe=False, estimate_variance=True,
+                    cluster=["ca", "cb"])
+    ref = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe1"],
+                   estimate_variance=True, cluster=["ca", "cb"])
+    assert np.allclose(res2.V[0], ref.V[0], rtol=1e-6)
+    assert res1.V[0].shape == (2, 2)
+
+
+def test_fit_stats_null_fe_level_counts(spark):
+    """Review-r12 pin: a NULL FE level is demeaned like any other
+    partition, so it must count toward the absorbed dof."""
+    pdf = pd.DataFrame(
+        {"fe": [None, None, "a", "a", "b", "b"],
+         "x": [1.0, 2.0, 3.0, 5.0, 2.0, 4.0],
+         "y": [1.0, 3.0, 2.0, 6.0, 1.0, 5.0]}
+    )
+    fs = fit_stats(spark.createDataFrame(pdf), "y", ["x"],
+                   categorical_controls=["fe"])
+    assert fs["n_groups"] == 3
+    assert fs["df2"] == 6 - 3 - 1
+
+
+def test_ipw_null_propensity_excluded_from_counts(spark):
+    """Review-r12 pin: a NULL propensity contributes zero weight, so
+    it must not inflate the reported arm count."""
+    pdf = pd.DataFrame(
+        {"y": [4.0, 6.0, 2.0], "t": [True, True, False],
+         "e": [0.5, None, 0.5]}
+    )
+    row = ipw_ate(spark.createDataFrame(pdf), "y", "t", "e").collect()[0]
+    assert row["n_treat"] == 1
+    assert abs(row["m_treat_w"] - 4.0) < 1e-12
