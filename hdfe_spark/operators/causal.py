@@ -259,3 +259,63 @@ def rdd(
         F.col("b_r").alias("slope_right"),
         "n_left", "n_right",
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    y: str,
+    treat: str,
+    propensity: str,
+    mu1: str,
+    mu0: str,
+    clip: float = 0.01,
+) -> DataFrame:
+    """Doubly-robust AIPW average treatment effect for KNOWN
+    propensity and outcome-model columns (``mu1``/``mu0`` = any
+    model's predicted outcome under treatment/control — this
+    operator fits neither model; consistent if EITHER model is
+    right).
+
+    Per-row influence contribution
+    ``ψ = μ₁ − μ₀ + t·(y − μ₁)/ê − (1−t)·(y − μ₀)/(1−ê)`` with the
+    same NULL-safe overlap clip as `ipw_ate`; the ATE is the ψ mean
+    and the plug-in standard error is ``sqrt(Var(ψ)/n)`` — both from
+    ONE aggregation (Σψ, Σψ², n), nothing but three doubles reaching
+    the driver. Rows with a NULL in any ingredient drop from the
+    estimating sample (and from n).
+    """
+    t = F.col(treat)
+    e_raw = F.col(propensity)
+    e = e_raw
+    if clip > 0:
+        e = F.when(
+            e_raw.isNotNull(),
+            F.least(F.greatest(e_raw, F.lit(float(clip))),
+                    F.lit(1.0 - float(clip))),
+        )
+    yv, m1, m0 = F.col(y), F.col(mu1), F.col(mu0)
+    complete = (
+        t.isNotNull() & e.isNotNull() & yv.isNotNull()
+        & m1.isNotNull() & m0.isNotNull()
+    )
+    correction = F.when(t, (yv - m1) / e).otherwise(
+        -(yv - m0) / (F.lit(1.0) - e)
+    )
+    psi = F.when(complete, m1 - m0 + correction)
+    agg = df.agg(
+        F.sum(psi).alias("s"),
+        F.sum(psi * psi).alias("ss"),
+        F.count(psi).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    ate = F.col("s") / n
+    return agg.select(
+        F.when(F.col("n") > 0, ate).alias("ate"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("ss") / n - ate * ate) / (n - F.lit(1.0))
+            ),
+        ).alias("se"),
+        F.col("n").alias("n_used"),
+    )

@@ -1426,3 +1426,55 @@ def fit_stats(
         "df1": k, "df2": df2, "n": n, "n_groups": n_groups,
         "rss": rss, "tss": tss, "b": b, "coef_names": list(x_cols),
     }
+
+
+def hausman(res_consistent, res_efficient) -> dict:
+    """Hausman specification test between two fitted results sharing
+    slope coefficients (classically: the consistent-under-H1 within/
+    FE fit vs the efficient-under-H0 pooled fit).
+
+    ``H = d' (V_c − V_e)⁺ d`` over the COMMON slope names. The V
+    difference can be singular or even INDEFINITE in finite samples
+    (e.g. under strong confounding the "efficient" fit's residual
+    variance balloons) — the standard repair applied here is the
+    PSD projection: eigen-decompose, clip negative eigenvalues to
+    zero, pseudo-invert; dof = the retained rank. H is then always
+    ≥ 0 and equals the textbook statistic whenever the difference is
+    PSD. Pure driver-side algebra over already-computed
+    EstimateResult objects: zero Spark jobs, so it composes with any
+    plan's output. Requires both results to carry a variance
+    (estimate_variance=True) for the first outcome.
+    """
+    if not res_consistent.V or not res_efficient.V:
+        raise ValueError("hausman needs estimate_variance=True on both fits")
+    names = [
+        c for c in res_consistent.v_coef_names
+        if c in set(res_efficient.v_coef_names)
+    ]
+    if not names:
+        raise ValueError("hausman: no common slope coefficients")
+    ic = [res_consistent.v_coef_names.index(c) for c in names]
+    ie = [res_efficient.v_coef_names.index(c) for c in names]
+    bc = res_consistent.slopes[
+        [res_consistent.x_cols.index(c) for c in names], 0
+    ]
+    be = res_efficient.slopes[
+        [res_efficient.x_cols.index(c) for c in names], 0
+    ]
+    d = bc - be
+    dV = (
+        res_consistent.V[0][np.ix_(ic, ic)]
+        - res_efficient.V[0][np.ix_(ie, ie)]
+    )
+    dV = (dV + dV.T) / 2.0
+    evals, evecs = np.linalg.eigh(dV)
+    tol = max(abs(float(evals[0])), abs(float(evals[-1])), 1e-300) * 1e-12
+    keep = evals > tol
+    if not bool(keep.any()):
+        # No usable positive direction: the consistent fit is nowhere
+        # noisier than the efficient one — H degenerates to 0.
+        return {"h_stat": 0.0, "dof": 0, "coef_names": names, "d": d}
+    inv_part = evecs[:, keep] @ np.diag(1.0 / evals[keep]) @ evecs[:, keep].T
+    h = float(d @ inv_part @ d)
+    dof = int(keep.sum())
+    return {"h_stat": h, "dof": dof, "coef_names": names, "d": d}

@@ -425,3 +425,80 @@ def test_ipw_null_propensity_excluded_from_counts(spark):
     row = ipw_ate(spark.createDataFrame(pdf), "y", "t", "e").collect()[0]
     assert row["n_treat"] == 1
     assert abs(row["m_treat_w"] - 4.0) < 1e-12
+
+
+def test_aipw_doubly_robust(spark):
+    """AIPW with a CORRECT outcome model recovers the effect even
+    under a wrong propensity, and matches the numpy influence-psi
+    replica exactly."""
+    from hdfe_spark.operators.causal import aipw_ate
+
+    rng = np.random.RandomState(41)
+    n = 6000
+    x = rng.randn(n)
+    e_true = 1.0 / (1.0 + np.exp(-x))
+    t = rng.uniform(size=n) < e_true
+    y = 1.0 + 2.0 * t + 0.8 * x + rng.randn(n) * 0.3
+    mu1 = 3.0 + 0.8 * x       # correct outcome model
+    mu0 = 1.0 + 0.8 * x
+    e_wrong = np.full(n, 0.5)  # deliberately wrong propensity
+    pdf = pd.DataFrame({"y": y, "t": t, "e": e_wrong,
+                        "mu1": mu1, "mu0": mu0})
+    row = aipw_ate(spark.createDataFrame(pdf), "y", "t", "e",
+                   "mu1", "mu0").collect()[0]
+    ec = np.clip(e_wrong, 0.01, 0.99)
+    psi = mu1 - mu0 + np.where(t, (y - mu1) / ec, -(y - mu0) / (1 - ec))
+    assert abs(row["ate"] - psi.mean()) < 1e-9
+    assert abs(row["ate"] - 2.0) < 0.05
+    se = np.sqrt(psi.var(ddof=1) / n)
+    assert abs(row["se"] - se) < 1e-9
+    assert row["n_used"] == n
+
+
+def test_aipw_null_ingredient_drops(spark):
+    from hdfe_spark.operators.causal import aipw_ate
+
+    pdf = pd.DataFrame(
+        {"y": [5.0, 1.0, 7.0], "t": [True, False, True],
+         "e": [0.5, 0.5, 0.5],
+         "mu1": [5.0, 1.0, None], "mu0": [3.0, 1.0, 2.0]}
+    )
+    row = aipw_ate(spark.createDataFrame(pdf), "y", "t", "e",
+                   "mu1", "mu0").collect()[0]
+    assert row["n_used"] == 2
+
+
+def test_hausman_detects_confounded_pooled(spark):
+    """FE-correlated regressor with most x variance BETWEEN FE levels:
+    the within fit is the noisier-but-consistent one (the textbook
+    orientation), pooled is biased — H rejects. Note the known
+    finite-sample pathology: under violent confounding the pooled
+    residual variance balloons past the within fit's and the V
+    difference turns indefinite; `hausman` PSD-projects (negative
+    eigenvalues clipped), so H degenerates toward 0 there instead of
+    going negative."""
+    from hdfe_spark.operators.estimate import hausman
+
+    rng = np.random.RandomState(55)
+    fe1 = rng.randint(0, 40, N)
+    shift = rng.randn(40)
+    x1 = rng.randn(N) * 0.3 + 3.0 * shift[fe1]
+    x2 = rng.randn(N)
+    y = 2.0 * x1 - x2 + 0.5 * shift[fe1] + rng.randn(N) * 0.5
+    pdf = pd.DataFrame({"fe1": fe1, "x1": x1, "x2": x2, "y": y})
+    sdf = spark.createDataFrame(pdf)
+    fe = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe1"],
+                  estimate_variance=True)
+    pooled = estimate(sdf, "y", ["x1", "x2"], estimate_variance=True)
+    out = hausman(fe, pooled)
+    assert out["dof"] >= 1
+    assert out["h_stat"] > 20.0  # strong rejection under confounding
+    # H0 companion: no FE term in y -> H is small.
+    y0 = 2.0 * x1 - x2 + rng.randn(N) * 0.5
+    sdf0 = spark.createDataFrame(pdf.assign(y=y0))
+    fe0 = estimate(sdf0, "y", ["x1", "x2"], categorical_controls=["fe1"],
+                   estimate_variance=True)
+    pooled0 = estimate(sdf0, "y", ["x1", "x2"], estimate_variance=True)
+    assert hausman(fe0, pooled0)["h_stat"] < 10.0
+    with pytest.raises(ValueError, match="estimate_variance"):
+        hausman(estimate(sdf, "y", ["x1", "x2"]), pooled)
