@@ -6750,6 +6750,35 @@ def _q_streaming_did(spark, sf_dir):
     )
 
 
+def _q_aipw_ate(spark, sf_dir):
+    """Doubly-robust AIPW ATE (`operators/causal.py::aipw_ate`):
+    the same synthetic propensity as `ipw_ate` plus two
+    deterministic outcome-model columns (affine in o_totalprice, so
+    every per-row ψ is an identical double on both engines; only
+    the Σψ/Σψ² order differs — 4-decimal rounding, the se_cluster
+    convention). ONE aggregation; ate, plug-in influence SE, and
+    the estimating-sample count."""
+    from hdfe_spark.operators.causal import aipw_ate
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_totalprice").alias("y"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treat"),
+        (
+            F.lit(0.2)
+            + F.lit(0.06) * (F.col("o_orderkey") % 10).cast("double")
+        ).alias("e"),
+        (F.lit(0.5) * F.col("o_totalprice") + F.lit(1000.0)).alias("mu1"),
+        (F.lit(0.45) * F.col("o_totalprice")).alias("mu0"),
+    )
+    out = aipw_ate(base, "y", "treat", "e", "mu1", "mu0", clip=0.01)
+    return out.select(
+        _pround("ate", 4).alias("ate"),
+        _pround("se", 4).alias("se"),
+        F.col("n_used").cast("long").alias("n_used"),
+    )
+
+
 def _q_topk_by(spark, sf_dir):
     """Top-k rows per group (`operators/groupby.py::topk_by` —
     `latest_per_key`'s k > 1 generalization): each user's 3 largest
@@ -6949,7 +6978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw_ate": _q_ipw_ate,
         "rdd": _q_rdd,
         "streaming_did": _q_streaming_did,
-        # 27-50: the 24 stalest driver-green re-certs (r05-evidence
+        "aipw_ate": _q_aipw_ate,
+        # 28-50: the 23 stalest driver-green re-certs (r05-evidence
         # stratum head)
         "equidepth_hist": _q_equidepth_hist,
         "exact_median": _q_exact_median,
@@ -6974,11 +7004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "retention": _q_retention,
         "rolling_window": _q_rolling_window,
-        "salted_join": _q_salted_join,
         # ------ end of the driver's 50-query window ------
-        # backlog head: the nine re-certs evicted by the late-round-12
+        # backlog head: the ten re-certs evicted by the late-round-12
         # registrations (still the stalest evidence, r05/r06 — the
         # round-13 re-cert list starts here)
+        "salted_join": _q_salted_join,
         "semi_anti_join": _q_semi_anti_join,
         "sql_q1": _q_sql_q1,
         "streaming_enrich": _q_streaming_enrich,
@@ -10048,6 +10078,38 @@ def oracle_sql() -> dict[str, str]:
                    floor(m_ctrl_pre * 1e9 + 0.5) / 1e9 AS m_ctrl_pre,
                    n_treat_post, n_ctrl_post
             FROM cells
+        """,
+        "aipw_ate": """
+            WITH base AS (
+              SELECT o_totalprice AS y,
+                     o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+                     least(greatest(CAST(0.2 AS DOUBLE)
+                                    + CAST(0.06 AS DOUBLE)
+                                      * CAST(o_orderkey % 10 AS DOUBLE),
+                                    0.01), 0.99) AS ec,
+                     CAST(0.5 AS DOUBLE) * o_totalprice
+                       + CAST(1000.0 AS DOUBLE) AS mu1,
+                     CAST(0.45 AS DOUBLE) * o_totalprice AS mu0
+              FROM orders
+            ), p AS (
+              SELECT mu1 - mu0
+                     + CASE WHEN t THEN (y - mu1)/ec
+                            ELSE (-(y - mu0))/(1.0 - ec) END AS psi
+              FROM base
+            ), a AS (
+              SELECT sum(psi) AS s, sum(psi*psi) AS ss,
+                     CAST(count(psi) AS BIGINT) AS n
+              FROM p
+            )
+            SELECT floor((s/CAST(n AS DOUBLE)) * 1e4 + 0.5) / 1e4
+                     AS ate,
+                   floor(sqrt((ss/CAST(n AS DOUBLE)
+                               - (s/CAST(n AS DOUBLE))
+                                 * (s/CAST(n AS DOUBLE)))
+                              / (CAST(n AS DOUBLE) - 1.0))
+                         * 1e4 + 0.5) / 1e4 AS se,
+                   n AS n_used
+            FROM a
         """,
         "ipw_ate": """
             WITH base AS (

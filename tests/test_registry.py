@@ -26,19 +26,20 @@ def test_round12_window_composition():
     never-driver-recorded oracle-checked queries (the 12 round-11
     registrations + the early-round-12 five,
     `grouped_quantiles_approx_certificate`, `holt_winters_blocked`,
-    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-26 = the nine
+    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-27 = the ten
     late-round-12 econometrics/causal registrations (never-recorded,
     so they outrank re-certs; `streaming_did` is the 24th streaming
-    form), 27-50 = the 24 stalest driver-green re-certs (r05-stratum
-    head); the nine evicted re-certs
-    (`semi_anti_join` .. `agg_refresh`) move to the backlog HEAD so the
+    form, `aipw_ate` the doubly-robust completion), 28-50 = the 23
+    stalest driver-green re-certs (r05-stratum head); the ten
+    evicted re-certs
+    (`salted_join` .. `agg_refresh`) move to the backlog HEAD so the
     round-13 re-cert list starts with them, with the 50
     round-11-window entries (fresh r11 evidence) last before the 11
     rows-only demos at the tail. If this fails after an intentional
     round-13 rotation, update the expectation alongside the
     `queries()` docstring."""
     q = list(em.queries())
-    assert q[:26] == [
+    assert q[:27] == [
         "ewma_blocked", "cusum_blocked", "holt_blocked",
         "mrr", "avg_precision", "recall_at_k",
         "zscore_by", "topk_by", "welch_by", "ks_by",
@@ -50,17 +51,17 @@ def test_round12_window_composition():
         "bh_fdr",
         "se_cluster2", "iv_2sls", "ols_wls",
         "ols_fit_stats", "did", "event_study",
-        "ipw_ate", "rdd", "streaming_did",
+        "ipw_ate", "rdd", "streaming_did", "aipw_ate",
     ]
-    assert q[26] == "equidepth_hist" and q[49] == "salted_join"
-    # backlog head = the nine evicted re-certs, then the r06 stratum
-    assert q[50:59] == [
-        "semi_anti_join", "sql_q1", "streaming_enrich", "subqueries",
-        "tpch_q3", "unpivot_long", "window_ranks", "zorder_layout",
-        "agg_refresh",
+    assert q[27] == "equidepth_hist" and q[49] == "rolling_window"
+    # backlog head = the ten evicted re-certs, then the r06 stratum
+    assert q[50:60] == [
+        "salted_join", "semi_anti_join", "sql_q1", "streaming_enrich",
+        "subqueries", "tpch_q3", "unpivot_long", "window_ranks",
+        "zorder_layout", "agg_refresh",
     ]
-    assert q[59:62] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[62] == "dq_report" and q[63] == "dup_ngram_spans"
+    assert q[60:63] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[63] == "dq_report" and q[64] == "dup_ngram_spans"
     # the 50 round-11-window entries (freshest evidence) sit last
     # before the rows-only tail, alphabetical within the tie
     r11_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -72,7 +73,7 @@ def test_round12_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 314
+    assert len(q) == 315
 
 
 def test_every_query_has_callable():

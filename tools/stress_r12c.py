@@ -249,6 +249,54 @@ def stress_fitstats():
     assert fs["n_groups"] == 1000
 
 
+
+
+def stress_cluster2_100m():
+    """100M-row leg for the heaviest new machinery: two-way CGM
+    clustered variance with 1M × 100k cluster levels (≈37M distinct
+    intersection pairs — far beyond anything a driver-side scores
+    collect could hold; the old n_clusters×k collect is exactly what
+    this path removed). Closed-form verification: residue design as
+    in `_base`, betas vs the exact integer-moment solve."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.estimate import estimate
+
+    spark = _spark()
+    n = 100_000_000
+    df = spark.range(0, n, 1, 256).select(
+        (F.col("id") % 7).cast("double").alias("x1"),
+        (F.col("id") % 3).cast("double").alias("x2"),
+        (F.col("id") % 1_000_000).alias("ca"),
+        ((F.col("id") * 7919) % 100_000).alias("cb"),
+        (
+            2.0 * (F.col("id") % 7).cast("double")
+            - (F.col("id") % 3).cast("double")
+            + ((F.col("id") * 104729) % 11).cast("double")
+            - 5.0
+        ).alias("y"),
+    )
+    t0 = time.time()
+    res = estimate(df, "y", ["x1", "x2"], estimate_variance=True,
+                   cluster=["ca", "cb"])
+    wall = time.time() - t0
+    # Exact-moment beta check (all sums < 2^53 -> exact).
+    i = np.arange(n, dtype=np.int64)
+    x1 = (i % 7).astype(np.float64)
+    x2 = (i % 3).astype(np.float64)
+    y = 2.0 * x1 - x2 + ((i * 104729) % 11).astype(np.float64) - 5.0
+    X = np.stack([x1, x2], axis=1)
+    bt = np.linalg.solve(X.T @ X, X.T @ y)
+    bdiff = np.max(np.abs(res.b[:, 0] - bt))
+    d = np.diag(res.V[0])
+    print(f"cluster2_100m: wall={wall:.1f}s  b_diff={bdiff:.2e}"
+          f"  V_diag={d}")
+    assert bdiff < 1e-12, bdiff
+    assert np.all(d > 0)
+
+
+
+
 ALL = {
     "cluster2": stress_cluster2,
     "iv": stress_iv,
@@ -256,6 +304,7 @@ ALL = {
     "did": stress_did,
     "eventstudy": stress_eventstudy,
     "fitstats": stress_fitstats,
+    "cluster2_100m": stress_cluster2_100m,
 }
 
 if __name__ == "__main__":
