@@ -319,3 +319,82 @@ def aipw_ate(
         ).alias("se"),
         F.col("n").alias("n_used"),
     )
+
+
+def ri_pvalue(
+    df: DataFrame,
+    y: str,
+    treat: str,
+    n_perm: int = 199,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Randomization-inference p-value for the difference in means:
+    the observed effect's rank among ``n_perm`` PSEUDO-random
+    re-assignments of treatment.
+
+    Each permutation k reassigns ``treat' = ((id·Pₖ + Qₖ) mod M) <
+    M/2`` with per-k odd multipliers from a fixed linear-congruential
+    family — deterministic, engine-independent integer arithmetic
+    (the cross-engine discipline: a seeded RNG would never match an
+    oracle), approximating a 50/50 re-randomization. ALL permuted
+    effects compute in ONE aggregation: 2·n_perm conditional sums +
+    counts fused into a single map-side-combined pass, so the cost is
+    one scan regardless of n_perm — where the textbook implementation
+    scans once per permutation. ``id_col=None`` uses a deterministic
+    row fingerprint (xxhash64 of y — engine-specific, fine for
+    Monte-Carlo use but NOT oracle-matchable; pass a real id column
+    for cross-engine determinism).
+
+    Returns one row: the observed difference, the two-sided p-value
+    ``(1 + #{|effect_k| ≥ |observed|}) / (n_perm + 1)`` (the add-one
+    convention — the observed assignment is itself one member of the
+    randomization distribution), and n_perm.
+    """
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    t = F.col(treat)
+    yv = F.col(y)
+    rid = (
+        F.col(id_col).cast("long")
+        if id_col is not None
+        else F.xxhash64(yv)
+    )
+    M = 1_000_003  # prime modulus: near-exact 50/50 halves
+    half = M // 2
+    aggs = [
+        F.sum(F.when(t & yv.isNotNull(), yv)).cast("double").alias("s1"),
+        F.count(F.when(t, yv)).alias("n1"),
+        F.sum(F.when(~t & yv.isNotNull(), yv)).cast("double").alias("s0"),
+        F.count(F.when(~t, yv)).alias("n0"),
+    ]
+    for k in range(n_perm):
+        pk = 2 * k + 3          # odd multipliers, coprime to 2
+        qk = 7919 * (k + 1)
+        tk = ((rid * pk + qk) % M) < half
+        aggs.append(
+            F.sum(F.when(tk & yv.isNotNull(), yv)).cast("double")
+            .alias(f"ps1_{k}")
+        )
+        aggs.append(F.count(F.when(tk, yv)).alias(f"pn1_{k}"))
+        aggs.append(
+            F.sum(F.when(~tk & yv.isNotNull(), yv)).cast("double")
+            .alias(f"ps0_{k}")
+        )
+        aggs.append(F.count(F.when(~tk, yv)).alias(f"pn0_{k}"))
+    agg = df.agg(*aggs)
+
+    obs = F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+    hits = F.lit(1)
+    for k in range(n_perm):
+        eff_k = (
+            F.col(f"ps1_{k}") / F.col(f"pn1_{k}")
+            - F.col(f"ps0_{k}") / F.col(f"pn0_{k}")
+        )
+        hits = hits + F.when(
+            F.abs(eff_k) >= F.abs(obs), F.lit(1)
+        ).otherwise(F.lit(0))
+    return agg.select(
+        obs.alias("observed"),
+        (hits.cast("double") / F.lit(float(n_perm + 1))).alias("p_value"),
+        F.lit(n_perm).cast("long").alias("n_perm"),
+    )

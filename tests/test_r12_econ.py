@@ -502,3 +502,63 @@ def test_hausman_detects_confounded_pooled(spark):
     assert hausman(fe0, pooled0)["h_stat"] < 10.0
     with pytest.raises(ValueError, match="estimate_variance"):
         hausman(estimate(sdf, "y", ["x1", "x2"]), pooled)
+
+
+def test_ri_pvalue_null_effect_not_significant(spark):
+    """Under the null (treatment pure noise), the observed effect is
+    unremarkable among the pseudo-permutations -> large p."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(71)
+    n = 20000
+    ids = np.arange(n)
+    t = (rng.uniform(size=n) < 0.5)
+    y = rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t", n_perm=99,
+                    id_col="id").collect()[0]
+    assert row["p_value"] > 0.05
+    assert row["n_perm"] == 99
+
+
+def test_ri_pvalue_real_effect_minimal_p(spark):
+    """With a large injected effect, no pseudo-permutation beats the
+    observed difference -> p hits the floor 1/(n_perm+1)."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(72)
+    n = 20000
+    ids = np.arange(n)
+    t = (ids % 2 == 0)
+    y = rng.randn(n) + np.where(t, 2.0, 0.0)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t", n_perm=99,
+                    id_col="id").collect()[0]
+    assert abs(row["p_value"] - 1.0 / 100.0) < 1e-12
+    assert abs(row["observed"] - 2.0) < 0.05
+
+
+def test_ri_pvalue_matches_numpy_replica(spark):
+    """The LCG reassignments are deterministic integer arithmetic —
+    the whole randomization distribution replays exactly in numpy."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(73)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    t = (rng.uniform(size=n) < 0.5)
+    y = rng.randn(n) + np.where(t, 0.05, 0.0)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    n_perm = 49
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t",
+                    n_perm=n_perm, id_col="id").collect()[0]
+    M, half = 1_000_003, 1_000_003 // 2
+    obs = y[t].mean() - y[~t].mean()
+    hits = 1
+    for k in range(n_perm):
+        tk = ((ids * (2 * k + 3) + 7919 * (k + 1)) % M) < half
+        eff = y[tk].mean() - y[~tk].mean()
+        if abs(eff) >= abs(obs):
+            hits += 1
+    assert abs(row["p_value"] - hits / (n_perm + 1)) < 1e-12
+    assert abs(row["observed"] - obs) < 1e-12
