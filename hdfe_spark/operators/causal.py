@@ -23,6 +23,23 @@ from pyspark.sql import functions as F
 from hdfe_spark.operators._guards import no_output_collision
 
 
+def _clipped_propensity(propensity: str, clip: float):
+    """Overlap-trimmed propensity column, NULL-safe (shared by
+    `ipw_ate` and `aipw_ate`). Spark's greatest/least SKIP NULLs, so
+    a bare clip would resurrect a missing propensity as the clip
+    bound (weight 1/clip — the most extreme weight possible); here a
+    NULL propensity stays NULL and its row drops from the estimating
+    sample."""
+    e_raw = F.col(propensity)
+    if clip <= 0:
+        return e_raw
+    return F.when(
+        e_raw.isNotNull(),
+        F.least(F.greatest(e_raw, F.lit(float(clip))),
+                F.lit(1.0 - float(clip))),
+    )
+
+
 def did(df: DataFrame, y: str, treat: str, post: str) -> DataFrame:
     """2×2 difference-in-differences.
 
@@ -156,18 +173,7 @@ def ipw_ate(
     an OBSERVED outcome, so missing outcomes never dilute an arm.
     """
     t = F.col(treat)
-    e_raw = F.col(propensity)
-    e = e_raw
-    if clip > 0:
-        # Spark's greatest/least SKIP NULLs, so a bare clip would
-        # resurrect a missing propensity as the clip bound (weight
-        # 1/clip — the most extreme weight possible). Clip only
-        # observed propensities; NULL stays NULL and the row drops.
-        e = F.when(
-            e_raw.isNotNull(),
-            F.least(F.greatest(e_raw, F.lit(float(clip))),
-                    F.lit(1.0 - float(clip))),
-        )
+    e = _clipped_propensity(propensity, clip)
     yv = F.col(y)
     w1 = F.when(t & yv.isNotNull(), F.lit(1.0) / e)
     w0 = F.when(~t & yv.isNotNull(), F.lit(1.0) / (F.lit(1.0) - e))
@@ -285,14 +291,7 @@ def aipw_ate(
     estimating sample (and from n).
     """
     t = F.col(treat)
-    e_raw = F.col(propensity)
-    e = e_raw
-    if clip > 0:
-        e = F.when(
-            e_raw.isNotNull(),
-            F.least(F.greatest(e_raw, F.lit(float(clip))),
-                    F.lit(1.0 - float(clip))),
-        )
+    e = _clipped_propensity(propensity, clip)
     yv, m1, m0 = F.col(y), F.col(mu1), F.col(mu0)
     complete = (
         t.isNotNull() & e.isNotNull() & yv.isNotNull()
@@ -354,36 +353,49 @@ def ri_pvalue(
         raise ValueError("n_perm must be >= 1")
     t = F.col(treat)
     yv = F.col(y)
-    rid = (
+    rid_raw = (
         F.col(id_col).cast("long")
         if id_col is not None
         else F.xxhash64(yv)
     )
     M = 1_000_003  # prime modulus: near-exact 50/50 halves
     half = M // 2
+    # pmod twice: Spark's % keeps the dividend's sign (a negative
+    # xxhash64 or id would otherwise ALWAYS land treated — a 75/25
+    # skew), and bounding rid below M first keeps rid*pk far from
+    # 64-bit overflow for any id magnitude.
+    rid = F.pmod(rid_raw, F.lit(M))
+    # ONE estimating sample for observed AND permuted effects: a row
+    # with NULL treat/outcome/id is outside the randomization
+    # distribution entirely (otherwise permuted effects would average
+    # over a larger sample than the observed one — anti-conservative).
+    valid = t.isNotNull() & yv.isNotNull() & rid_raw.isNotNull()
     aggs = [
-        F.sum(F.when(t & yv.isNotNull(), yv)).cast("double").alias("s1"),
-        F.count(F.when(t, yv)).alias("n1"),
-        F.sum(F.when(~t & yv.isNotNull(), yv)).cast("double").alias("s0"),
-        F.count(F.when(~t, yv)).alias("n0"),
+        F.sum(F.when(valid & t, yv)).cast("double").alias("s1"),
+        F.count(F.when(valid & t, yv)).alias("n1"),
+        F.sum(F.when(valid & ~t, yv)).cast("double").alias("s0"),
+        F.count(F.when(valid & ~t, yv)).alias("n0"),
     ]
     for k in range(n_perm):
         pk = 2 * k + 3          # odd multipliers, coprime to 2
         qk = 7919 * (k + 1)
-        tk = ((rid * pk + qk) % M) < half
+        tk = F.pmod(rid * pk + qk, F.lit(M)) < half
         aggs.append(
-            F.sum(F.when(tk & yv.isNotNull(), yv)).cast("double")
+            F.sum(F.when(valid & tk, yv)).cast("double")
             .alias(f"ps1_{k}")
         )
-        aggs.append(F.count(F.when(tk, yv)).alias(f"pn1_{k}"))
+        aggs.append(F.count(F.when(valid & tk, yv)).alias(f"pn1_{k}"))
         aggs.append(
-            F.sum(F.when(~tk & yv.isNotNull(), yv)).cast("double")
+            F.sum(F.when(valid & ~tk, yv)).cast("double")
             .alias(f"ps0_{k}")
         )
-        aggs.append(F.count(F.when(~tk, yv)).alias(f"pn0_{k}"))
+        aggs.append(F.count(F.when(valid & ~tk, yv)).alias(f"pn0_{k}"))
     agg = df.agg(*aggs)
 
-    obs = F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+    obs = F.when(
+        (F.col("n1") > 0) & (F.col("n0") > 0),
+        F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"),
+    )
     hits = F.lit(1)
     for k in range(n_perm):
         eff_k = (
@@ -393,8 +405,14 @@ def ri_pvalue(
         hits = hits + F.when(
             F.abs(eff_k) >= F.abs(obs), F.lit(1)
         ).otherwise(F.lit(0))
+    # Degenerate data (an empty arm) has no observed effect: report
+    # NULL observed AND NULL p — never the floor p (which would read
+    # as maximal significance).
     return agg.select(
         obs.alias("observed"),
-        (hits.cast("double") / F.lit(float(n_perm + 1))).alias("p_value"),
+        F.when(
+            obs.isNotNull(),
+            hits.cast("double") / F.lit(float(n_perm + 1)),
+        ).alias("p_value"),
         F.lit(n_perm).cast("long").alias("n_perm"),
     )

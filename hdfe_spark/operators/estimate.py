@@ -1447,10 +1447,14 @@ def hausman(res_consistent, res_efficient) -> dict:
     """
     if not res_consistent.V or not res_efficient.V:
         raise ValueError("hausman needs estimate_variance=True on both fits")
-    names = [
-        c for c in res_consistent.v_coef_names
-        if c in set(res_efficient.v_coef_names)
-    ]
+    # Intersect SLOPES only (x_cols), not v_coef_names: the small-FE
+    # within path sets v_coef_names to the full [FE levels | slopes]
+    # block, and a shared FE-level name is not a slope (review r12b).
+    slope_ok = (
+        set(res_consistent.x_cols) & set(res_efficient.x_cols)
+        & set(res_consistent.v_coef_names) & set(res_efficient.v_coef_names)
+    )
+    names = [c for c in res_consistent.x_cols if c in slope_ok]
     if not names:
         raise ValueError("hausman: no common slope coefficients")
     ic = [res_consistent.v_coef_names.index(c) for c in names]

@@ -562,3 +562,66 @@ def test_ri_pvalue_matches_numpy_replica(spark):
             hits += 1
     assert abs(row["p_value"] - hits / (n_perm + 1)) < 1e-12
     assert abs(row["observed"] - obs) < 1e-12
+
+
+def test_ri_pvalue_negative_ids_balanced(spark):
+    """Review-r12b pin: Spark % keeps the dividend's sign, so
+    negative ids (or xxhash64 values) must go through pmod — a bare
+    % would force every negative row into the treated arm (75/25
+    skew). With pmod, permuted arm sizes stay ~50/50 even when all
+    ids are negative."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(81)
+    n = 10000
+    ids = -np.arange(1, n + 1, dtype=np.int64) * 1001
+    t = (rng.uniform(size=n) < 0.5)
+    y = rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    sdf = spark.createDataFrame(pdf)
+    row = ri_pvalue(sdf, "y", "t", n_perm=49, id_col="id").collect()[0]
+    assert row["p_value"] > 0.02  # not stuck at the floor
+    # replica with explicit double-pmod arithmetic
+    M, half = 1_000_003, 1_000_003 // 2
+    obs = y[t].mean() - y[~t].mean()
+    hits = 1
+    for k in range(49):
+        ridm = np.mod(ids, M)  # numpy mod is already non-negative
+        tk = np.mod(ridm * (2 * k + 3) + 7919 * (k + 1), M) < half
+        frac = tk.mean()
+        assert 0.45 < frac < 0.55  # balanced despite negative ids
+        eff = y[tk].mean() - y[~tk].mean()
+        if abs(eff) >= abs(obs):
+            hits += 1
+    assert abs(row["p_value"] - hits / 50.0) < 1e-12
+
+
+def test_ri_pvalue_degenerate_arm_null(spark):
+    """Review-r12b pin: an empty arm means no observed effect — the
+    result must be NULL observed/p, never the floor p-value."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3], "t": [True, True, True], "y": [1.0, 2.0, 3.0]}
+    )
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t", n_perm=9,
+                    id_col="id").collect()[0]
+    assert row["observed"] is None and row["p_value"] is None
+
+
+def test_ri_pvalue_null_treat_outside_sample(spark):
+    """Review-r12b pin: NULL-treat rows are outside the randomization
+    distribution — they must not enter the permuted effects either."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    pdf = pd.DataFrame(
+        {"id": [1, 2, 3, 4],
+         "t": [True, False, None, None],
+         "y": [5.0, 1.0, 100.0, -100.0]}
+    )
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t", n_perm=5,
+                    id_col="id").collect()[0]
+    # observed uses only rows 1-2; permuted effects likewise: any
+    # permuted |effect| is |5-1|=4 or ... bounded by the two valid
+    # rows' values, never contaminated by the +-100 rows.
+    assert abs(row["observed"] - 4.0) < 1e-12

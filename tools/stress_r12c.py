@@ -280,13 +280,25 @@ def stress_cluster2_100m():
     res = estimate(df, "y", ["x1", "x2"], estimate_variance=True,
                    cluster=["ca", "cb"])
     wall = time.time() - t0
-    # Exact-moment beta check (all sums < 2^53 -> exact).
-    i = np.arange(n, dtype=np.int64)
-    x1 = (i % 7).astype(np.float64)
-    x2 = (i % 3).astype(np.float64)
-    y = 2.0 * x1 - x2 + ((i * 104729) % 11).astype(np.float64) - 5.0
-    X = np.stack([x1, x2], axis=1)
-    bt = np.linalg.solve(X.T @ X, X.T @ y)
+    # Exact-moment beta check WITHOUT a 100M-element numpy allocation
+    # (review r12b: ~4.8 GB of driver arrays next to a local[32] JVM):
+    # (x1, x2, y) is jointly periodic in i with period lcm(7,3,11) =
+    # 231, so the exact integer moments are full_cycles * cycle_moment
+    # + the remainder's prefix — a 231-element computation.
+    period = 231
+    ic = np.arange(period, dtype=np.int64)
+    x1c = (ic % 7).astype(np.float64)
+    x2c = (ic % 3).astype(np.float64)
+    yc = 2.0 * x1c - x2c + ((ic * 104729) % 11).astype(np.float64) - 5.0
+    full, rem = divmod(n, period)
+
+    def _mom(a, b):
+        return full * float(a @ b) + float(a[:rem] @ b[:rem])
+
+    G = np.array([[_mom(x1c, x1c), _mom(x1c, x2c)],
+                  [_mom(x1c, x2c), _mom(x2c, x2c)]])
+    Xty = np.array([_mom(x1c, yc), _mom(x2c, yc)])
+    bt = np.linalg.solve(G, Xty)
     bdiff = np.max(np.abs(res.b[:, 0] - bt))
     d = np.diag(res.V[0])
     print(f"cluster2_100m: wall={wall:.1f}s  b_diff={bdiff:.2e}"
