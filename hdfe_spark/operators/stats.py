@@ -5030,3 +5030,73 @@ def gini_by(
         "n",
         F.when(F.col("__s") > zero, gini_expr).alias("gini"),
     )
+
+
+# Two-sided alpha=0.05 / power=0.80 normal quantiles, the fixed
+# constants of every power calculator (z_{0.975}, z_{0.80}); exact
+# decimal literals so both engines fold the identical doubles.
+_Z_TABLE = {
+    0.10: 1.6448536269514722,   # z_{1 - 0.10/2}
+    0.05: 1.959963984540054,    # z_{1 - 0.05/2}
+    0.01: 2.5758293035489004,   # z_{1 - 0.01/2}
+}
+_Z_POWER = {
+    0.80: 0.8416212335729143,   # z_{0.80}
+    0.90: 1.2815515655446004,   # z_{0.90}
+    0.95: 1.6448536269514722,   # z_{0.95}
+}
+
+
+def mde_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    alpha: float = 0.05,
+    power: float = 0.80,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-segment minimum detectable effect — the power-analysis
+    completion of the experimentation panel (`welch_by` /
+    `mann_whitney_by` / `chi2_gof_by` / `bh_fdr`): for every segment,
+    the smallest true mean difference a two-arm test at significance
+    ``alpha`` (two-sided) detects with probability ``power`` GIVEN
+    the observed per-arm variances and sample sizes:
+    ``mde = (z_{1−α/2} + z_{power}) · sqrt(var_a/n_a + var_b/n_b)``.
+
+    Pure composition on `welch_by`'s exact-decimal moment machinery —
+    same ONE group-keyed aggregation, same NULL conventions (thin
+    arms → NULL mde), plus one narrow projection with the two normal
+    quantiles folded as literals (a small fixed table of exact
+    double constants — α ∈ {0.10, 0.05, 0.01}, power ∈ {0.80, 0.90,
+    0.95} — so both engines see identical doubles; other values
+    raise rather than silently approximating). Also emits the
+    realized effect (mean_b − mean_a) and its ratio to the MDE — the
+    "was this experiment even powered to see what it saw?" readout.
+    """
+    if alpha not in _Z_TABLE:
+        raise ValueError(
+            f"alpha must be one of {sorted(_Z_TABLE)} (exact-constant"
+            " table; arbitrary quantiles would need an inverse-normal"
+            " the SQL oracle cannot mirror)"
+        )
+    if power not in _Z_POWER:
+        raise ValueError(f"power must be one of {sorted(_Z_POWER)}")
+    z = _Z_TABLE[alpha] + _Z_POWER[power]
+    base = welch_by(
+        df, group_col, arm_col, value_col, arm_a, arm_b, scale=scale
+    )
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    mde = F.lit(float(z)) * se
+    observed = F.col("mean_b") - F.col("mean_a")
+    return base.select(
+        F.col(group_col),
+        "n_a", "n_b",
+        mde.alias("mde"),
+        observed.alias("observed_diff"),
+        F.when(mde > 0, F.abs(observed) / mde).alias("power_ratio"),
+    )

@@ -625,3 +625,48 @@ def test_ri_pvalue_null_treat_outside_sample(spark):
     # permuted |effect| is |5-1|=4 or ... bounded by the two valid
     # rows' values, never contaminated by the +-100 rows.
     assert abs(row["observed"] - 4.0) < 1e-12
+
+
+def test_mde_by_matches_closed_form(spark):
+    """Per-segment MDE = (z_{1-a/2} + z_power) * SE_Welch, composed on
+    welch_by's exact moments; numpy replica per segment."""
+    from hdfe_spark.operators.stats import mde_by
+
+    rng = np.random.RandomState(91)
+    n = 12000
+    seg = rng.randint(0, 6, n)
+    arm = np.where(rng.uniform(size=n) < 0.5, "A", "B")
+    v = rng.randn(n) * (1.0 + seg * 0.2) + np.where(arm == "B", 0.05, 0.0)
+    pdf = pd.DataFrame({"seg": seg, "arm": arm, "v": v})
+    out = {
+        r["seg"]: r
+        for r in mde_by(
+            spark.createDataFrame(pdf), "seg", "arm", "v", "A", "B"
+        ).collect()
+    }
+    z = 1.959963984540054 + 0.8416212335729143
+    for s in range(6):
+        g = pdf[pdf.seg == s]
+        a, b = g[g.arm == "A"]["v"], g[g.arm == "B"]["v"]
+        se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert abs(out[s]["mde"] - z * se) < 1e-6
+        assert abs(out[s]["observed_diff"] - (b.mean() - a.mean())) < 1e-6
+        assert abs(
+            out[s]["power_ratio"]
+            - abs(b.mean() - a.mean()) / (z * se)
+        ) < 1e-4
+    with pytest.raises(ValueError, match="alpha"):
+        mde_by(spark.createDataFrame(pdf), "seg", "arm", "v", "A", "B",
+               alpha=0.07)
+
+
+def test_mde_by_thin_arm_null(spark):
+    from hdfe_spark.operators.stats import mde_by
+
+    pdf = pd.DataFrame(
+        {"seg": [1, 1, 1], "arm": ["A", "B", "B"],
+         "v": [1.0, 2.0, 3.0]}
+    )
+    row = mde_by(spark.createDataFrame(pdf), "seg", "arm", "v",
+                 "A", "B").collect()[0]
+    assert row["mde"] is None and row["power_ratio"] is None
