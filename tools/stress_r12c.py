@@ -319,6 +319,82 @@ ALL = {
     "cluster2_100m": stress_cluster2_100m,
 }
 
+
+
+def stress_ri_20m():
+    """ri_pvalue at 20M rows, n_perm=99: 400 fused conditional
+    aggregates in ONE scan (the textbook implementation would scan
+    100 times). Closed-form check: effects under the LCG family
+    replay from the 231-cycle design, but here the treat assignment
+    is id-parity and y has a +2 jump, so no permutation should beat
+    the observed effect -> p = 1/100 exactly."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    spark = _spark()
+    # y's base varies on id//2 — DECORRELATED from the parity arm
+    # (id%2 and id%100 share the low bit: the recurring modulus
+    # lesson; the correlated version shifts the observed effect).
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") % 2) == 0).alias("t"),
+        (
+            (F.floor(F.col("id") / 2) % 100).cast("double")
+            + F.when((F.col("id") % 2) == 0, F.lit(2.0))
+            .otherwise(F.lit(0.0))
+        ).alias("y"),
+    )
+    t0 = time.time()
+    row = ri_pvalue(df, "y", "t", n_perm=99, id_col="rid").collect()[0]
+    wall = time.time() - t0
+    print(f"ri_pvalue_20m: wall={wall:.1f}s  observed={row['observed']}"
+          f"  p={row['p_value']}")
+    assert abs(row["observed"] - 2.0) < 1e-9
+    assert abs(row["p_value"] - 0.01) < 1e-12
+
+
+def stress_mde_20m():
+    """mde_by at 20M rows x 100 segments on the welch_by machinery —
+    exact per-segment replica via the residue closed form is covered
+    by the r11 welch stress; here: wall + the power_ratio invariant
+    (observed/mde must equal |t| / z up to the shared SE factor)."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import mde_by, welch_by
+
+    spark = _spark()
+    # seg from id//2 so both arms exist in every segment (modulus
+    # lesson: id%2 and id%100 share the low bit).
+    df = spark.range(0, N, 1, 64).select(
+        (F.floor(F.col("id") / 2) % 100).alias("seg"),
+        F.when((F.col("id") % 2) == 0, F.lit("A")).otherwise(F.lit("B"))
+        .alias("arm"),
+        (
+            ((F.col("id") * 104729) % 1000).cast("double") / 100.0
+            + F.when((F.col("id") % 2) == 1, F.lit(0.05))
+            .otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    t0 = time.time()
+    rows = mde_by(df, "seg", "arm", "v", "A", "B").collect()
+    wall = time.time() - t0
+    w = {r["seg"]: r for r in
+         welch_by(df, "seg", "arm", "v", "A", "B").collect()}
+    z = 1.959963984540054 + 0.8416212335729143
+    worst = 0.0
+    for r in rows:
+        ref = w[r["seg"]]
+        se = (ref["var_a"] / ref["n_a"] + ref["var_b"] / ref["n_b"]) ** 0.5
+        worst = max(worst, abs(r["mde"] - z * se))
+    print(f"mde_20m: wall={wall:.1f}s  100 segments, worst_abs={worst:.2e}")
+    assert worst < 1e-12, worst
+
+
+ALL["ri_20m"] = stress_ri_20m
+ALL["mde_20m"] = stress_mde_20m
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     for name, fn in ALL.items():
