@@ -6914,100 +6914,507 @@ def _q_ks_by(spark, sf_dir):
     )
 
 
+def _q_ri_pvalue(spark, sf_dir):
+    """Randomization-inference p-value (`operators/causal.py::
+    ri_pvalue` — Fisher's exact-randomization logic on the estimation
+    surface the reference stops at, ``hdfe/hdfe.py:49-181``): is the
+    even-custkey orders' mean o_totalprice shift real? ALL 49
+    pseudo-permutations (deterministic LCG reassignment of
+    o_orderkey, threshold CALIBRATED to the observed treated
+    fraction (M*n1)//(n1+n0) — ADVICE r12) compute in ONE fused
+    aggregation: 200 conditional exact-DECIMAL sums, one scan total
+    plus one count-only calibration pre-pass, where the textbook
+    implementation rescans per permutation. Decimal sums make every
+    permuted mean ONE deterministic IEEE division, so the hit set —
+    and therefore p — is exact on both engines; an empty permuted
+    arm counts as a hit (conservative)."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        (F.col("o_custkey") % 2 == 0).alias("t"),
+    )
+    out = ri_pvalue(base, "y", "t", n_perm=49, id_col="id")
+    return out.select(
+        _pround("observed").alias("observed"),
+        F.col("p_value"),
+        F.col("n_perm"),
+    )
+
+
+def _q_mde_by(spark, sf_dir):
+    """Per-segment minimum detectable effect (`operators/stats.py::
+    mde_by` — the power-analysis completion of the welch_by/
+    mann_whitney_by/bh_fdr experimentation panel): for each
+    user-id-mod-10 segment, the smallest click-vs-view mean shift a
+    two-arm test at alpha=0.05 detects with power 0.80 given the
+    OBSERVED per-arm variances and sample sizes, plus the realized
+    effect and its ratio to the MDE. Pure composition on welch_by's
+    exact-DECIMAL moment machinery — same ONE group-keyed
+    aggregation — with the two normal quantiles folded as one exact
+    double literal both engines share."""
+    from hdfe_spark.operators.stats import mde_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = mde_by(base, "segment", "event_type", "value", "click", "view",
+                 alpha=0.05, power=0.80)
+    return out.select(
+        "segment", "n_a", "n_b",
+        _pround("mde").alias("mde"),
+        _pround("observed_diff").alias("observed_diff"),
+        _pround("power_ratio").alias("power_ratio"),
+    )
+
+
+def _q_hausman_iv(spark, sf_dir):
+    """Hausman specification test (`operators/estimate.py::hausman`,
+    VERDICT r12 item 5 — registered via the just-identified scalar
+    fixture whose PSD-projected pseudo-inverse is closed-form): OLS
+    (efficient under exogeneity; `wls` with unit weights) vs IV
+    (consistent; l_quantity instrumented by its censored transform —
+    the `iv_2sls` fixture). With ONE common slope the eigen-repair
+    degenerates to a sign test on dV, so H = d²/dV is SQL-spellable
+    exactly; two fused moment aggregations, k=1 driver algebra, zero
+    data-sized collects. The degenerate flag rides along (ADVICE
+    r12: dof=0 must be explicit, never a 0-dof chi-square)."""
+    from hdfe_spark.operators.estimate import hausman, iv_2sls, wls
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("one", F.lit(1.0))
+        .withColumn("z_cens", F.least(F.col("l_quantity"), F.lit(25.0)))
+    )
+    eff = wls(li, "l_extendedprice", ["l_quantity"], weights="one",
+              estimate_variance=True)
+    cons = iv_2sls(li, "l_extendedprice", "l_quantity", "z_cens",
+                   estimate_variance=True)
+    out = hausman(cons, eff)
+    return spark.createDataFrame(
+        [{
+            "h_stat": round(float(out["h_stat"]), 2),
+            "dof": int(out["dof"]),
+            "d_quantity": round(float(out["d"][0]), 4),
+            "degenerate": bool(out["degenerate"]),
+        }],
+        schema="h_stat double, dof bigint, d_quantity double,"
+               " degenerate boolean",
+    )
+
+
+def _q_cuped_by(spark, sf_dir):
+    """Per-segment CUPED variance-reduced effect (`operators/
+    stats.py::cuped_by` — Deng et al. 2013, the standard
+    pre-experiment-covariate adjustment): per l_linenumber segment,
+    the R-vs-A returnflag contrast in l_extendedprice adjusted by
+    the pooled-arms regression on l_quantity, with theta, the raw
+    contrast, and the variance-reduction factor rho². ONE
+    group-keyed aggregation carries the pooled moments AND both
+    arms' first moments (exact DECIMAL(38,0) sums, anti-cancellation
+    n·sxy − sx·sy numerators), so every reported number is a fixed
+    IEEE expression the oracle mirrors literally."""
+    from hdfe_spark.operators.stats import cuped_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_returnflag").alias("arm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    out = cuped_by(base, "seg", "arm", "y", "x", "A", "R")
+    return out.select(
+        "seg", "n_a", "n_b",
+        _pround("theta").alias("theta"),
+        _pround("diff_raw").alias("diff_raw"),
+        _pround("diff_cuped").alias("diff_cuped"),
+        _pround("rho2").alias("rho2"),
+    )
+
+
+def _q_smd_balance(spark, sf_dir):
+    """Covariate balance table (`operators/stats.py::smd_by` — the
+    standardized-mean-difference diagnostic every causal panel
+    (did/ipw_ate/aipw_ate) reads first): per-covariate SMD between
+    the A and R returnflag arms over quantity/discount/tax. ALL
+    covariates' per-arm exact-DECIMAL moments come from ONE
+    ungrouped map-side-combined aggregation; the k rows are a stack
+    projection over those scalars (one scan + a 6k-scalar reduce at
+    any row count), pairwise deletion per covariate."""
+    from hdfe_spark.operators.stats import smd_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = smd_by(li, "l_returnflag", ["l_quantity", "l_discount", "l_tax"],
+                 "A", "R")
+    return out.select(
+        "covariate", "n_a", "n_b",
+        _pround("mean_a").alias("mean_a"),
+        _pround("mean_b").alias("mean_b"),
+        _pround("smd").alias("smd"),
+    )
+
+
+def _ri_pvalue_oracle(n_perm: int = 49) -> str:
+    """Generate the ri_pvalue oracle: the same LCG arithmetic, the
+    same calibrated threshold (integer division — bit-exact on both
+    engines), the same exact-DECIMAL sums, the same NULL-is-a-hit
+    convention, spelled as plain ANSI SQL."""
+    perm_aggs, eff_defs, hit_terms = [], [], []
+    for k in range(n_perm):
+        pk, qk = 48271 * (2 * k + 3), 7919 * (k + 1)
+        cond = f"((id % 1000003) * {pk} + {qk}) % 1000003 < thr"
+        perm_aggs.append(
+            f"CAST(sum(CASE WHEN {cond} THEN y END) AS DOUBLE) AS ps1_{k},\n"
+            f"    count(CASE WHEN {cond} THEN 1 END) AS pn1_{k},\n"
+            f"    CAST(sum(CASE WHEN NOT ({cond}) THEN y END) AS DOUBLE)"
+            f" AS ps0_{k},\n"
+            f"    count(CASE WHEN NOT ({cond}) THEN 1 END) AS pn0_{k}"
+        )
+        eff_defs.append(
+            f"ps1_{k} / CAST(pn1_{k} AS DOUBLE)"
+            f" - ps0_{k} / CAST(pn0_{k} AS DOUBLE) AS eff_{k}"
+        )
+        hit_terms.append(
+            f"(CASE WHEN eff_{k} IS NULL OR abs(eff_{k}) >= abs(obs)"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return f"""
+            WITH v AS (
+              SELECT o_orderkey AS id,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+                     (o_custkey % 2 = 0) AS t
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+                AND o_orderkey IS NOT NULL),
+            c AS (
+              SELECT (1000003 * count(CASE WHEN t THEN 1 END))
+                     // count(*) AS thr
+              FROM v),
+            m AS (
+              SELECT
+                CAST(sum(CASE WHEN t THEN y END) AS DOUBLE) AS s1,
+                count(CASE WHEN t THEN 1 END) AS n1,
+                CAST(sum(CASE WHEN NOT t THEN y END) AS DOUBLE) AS s0,
+                count(CASE WHEN NOT t THEN 1 END) AS n0,
+    {(',' + chr(10) + '    ').join(perm_aggs)}
+              FROM v, c),
+            e AS (
+              SELECT m.*,
+                     CASE WHEN n1 > 0 AND n0 > 0 THEN
+                       s1 / CAST(n1 AS DOUBLE) - s0 / CAST(n0 AS DOUBLE)
+                     END AS obs
+              FROM m),
+            f AS (
+              SELECT obs,
+                     {(',' + chr(10) + '                     ').join(eff_defs)}
+              FROM e)
+            SELECT floor(obs * 1e9 + 0.5) / 1e9 AS observed,
+                   CASE WHEN obs IS NOT NULL THEN
+                     CAST(1
+                       + {(chr(10) + '                       + ').join(hit_terms)}
+                       AS DOUBLE) / {float(n_perm + 1)}
+                   END AS p_value,
+                   CAST({n_perm} AS BIGINT) AS n_perm
+            FROM f
+        """
+
+
+_RI_PVALUE_SQL = _ri_pvalue_oracle()
+
+# mde_by rides the welch_by moment CTEs; z_{0.975} + z_{0.80} folded
+# as the single exact double literal the engine's F.lit(z) produces.
+_MDE_BY_SQL = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m),
+            d AS (
+              SELECT segment, na, nb,
+                     (mb / 1000000.0) - (ma / 1000000.0) AS observed,
+                     CASE WHEN na >= 2 AND nb >= 2 THEN
+                       2.8015852181129683 * sqrt(
+                         (va / (1000000.0 * 1000000.0))
+                           / CAST(na AS DOUBLE)
+                         + (vb / (1000000.0 * 1000000.0))
+                           / CAST(nb AS DOUBLE))
+                     END AS mde
+              FROM c)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   floor(mde * 1e9 + 0.5) / 1e9 AS mde,
+                   CASE WHEN na >= 1 AND nb >= 1 THEN
+                     floor(observed * 1e9 + 0.5) / 1e9
+                   END AS observed_diff,
+                   CASE WHEN mde > 0 THEN
+                     floor((abs(observed) / mde) * 1e9 + 0.5) / 1e9
+                   END AS power_ratio
+            FROM d
+        """
+
+# hausman via the just-identified scalar fixture: both fits' moments,
+# the shared-mask n, the PSD sign test, and H = (d*(1/dv))*d — all
+# closed-form (the engine's 1x1 eigh/pinv reduce to these exactly).
+_HAUSMAN_IV_SQL = """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     sum(l_quantity * l_quantity) AS sxx,
+                     sum(l_quantity * l_extendedprice) AS sxy,
+                     sum(l_extendedprice * l_extendedprice) AS syy,
+                     sum(least(l_quantity, 25.0)
+                         * least(l_quantity, 25.0)) AS szz,
+                     sum(least(l_quantity, 25.0) * l_quantity) AS szx,
+                     sum(least(l_quantity, 25.0)
+                         * l_extendedprice) AS szy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            e AS (
+              SELECT n, sxx, sxy, syy, szz, szx, szy,
+                     sxy / sxx AS be,
+                     ((szx * (1.0 / szz)) * szy)
+                       / ((szx * (1.0 / szz)) * szx) AS bc,
+                     (szx * (1.0 / szz)) * szx AS xpx
+              FROM s),
+            v AS (
+              SELECT bc - be AS d,
+                     (1.0 / xpx)
+                       * (greatest(syy - 2.0 * (bc * sxy)
+                                   + (bc * sxx) * bc, 0.0)
+                          / CAST(n - 1 AS DOUBLE))
+                     - (1.0 / sxx)
+                       * (greatest(syy - 2.0 * (be * sxy)
+                                   + (be * sxx) * be, 0.0)
+                          / CAST(n - 1 AS DOUBLE)) AS dv
+              FROM e)
+            SELECT round(CASE WHEN dv > greatest(abs(dv), 1e-300) * 1e-12
+                              THEN (d * (1.0 / dv)) * d
+                              ELSE 0.0 END, 2) AS h_stat,
+                   CAST(CASE WHEN dv > greatest(abs(dv), 1e-300) * 1e-12
+                             THEN 1 ELSE 0 END AS BIGINT) AS dof,
+                   round(d, 4) AS d_quantity,
+                   NOT (dv > greatest(abs(dv), 1e-300) * 1e-12)
+                     AS degenerate
+            FROM v
+        """
+
+_CUPED_BY_SQL = """
+            WITH b AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS seg,
+                     l_returnflag AS arm,
+                     CAST(round(l_extendedprice * 1000000.0)
+                          AS HUGEINT) AS uy,
+                     CAST(round(l_quantity * 1000000.0)
+                          AS HUGEINT) AS ux
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_returnflag IN ('A', 'R')),
+            m AS (
+              SELECT seg, count(*) AS n,
+                     CAST(COALESCE(sum(uy), 0) AS HUGEINT) AS sy,
+                     CAST(COALESCE(sum(ux), 0) AS HUGEINT) AS sx,
+                     CAST(COALESCE(sum(ux * ux), 0) AS HUGEINT) AS sxx,
+                     CAST(COALESCE(sum(ux * uy), 0) AS HUGEINT) AS sxy,
+                     CAST(COALESCE(sum(uy * uy), 0) AS HUGEINT) AS syy,
+                     count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'A' THEN uy END),
+                          0) AS HUGEINT) AS sy_a,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'A' THEN ux END),
+                          0) AS HUGEINT) AS sx_a,
+                     count(CASE WHEN arm = 'R' THEN 1 END) AS n_b,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'R' THEN uy END),
+                          0) AS HUGEINT) AS sy_b,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'R' THEN ux END),
+                          0) AS HUGEINT) AS sx_b
+              FROM b GROUP BY seg),
+            c AS (
+              SELECT seg, n_a, n_b,
+                     CAST(CAST(n AS HUGEINT) * sxy - sx * sy
+                          AS DOUBLE) AS cn,
+                     CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                          AS DOUBLE) AS vx,
+                     CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                          AS DOUBLE) AS vy,
+                     CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mya,
+                     CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS myb,
+                     CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mxa,
+                     CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mxb
+              FROM m),
+            d AS (
+              SELECT seg, n_a, n_b, vx, vy,
+                     cn / vx AS theta,
+                     (cn * cn) / (vx * vy) AS rho2,
+                     (myb - mya) / 1000000.0 AS diff_raw,
+                     (myb - mya - (cn / vx) * (mxb - mxa))
+                       / 1000000.0 AS diff_cuped
+              FROM c)
+            SELECT seg,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND vx > 0 THEN
+                     floor(theta * 1e9 + 0.5) / 1e9 END AS theta,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+                     floor(diff_raw * 1e9 + 0.5) / 1e9 END AS diff_raw,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND vx > 0 THEN
+                     floor(diff_cuped * 1e9 + 0.5) / 1e9
+                   END AS diff_cuped,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND vx > 0
+                        AND vy > 0 THEN
+                     floor(rho2 * 1e9 + 0.5) / 1e9 END AS rho2
+            FROM d
+        """
+
+
+def _smd_balance_oracle() -> str:
+    branches = []
+    for c in ("l_quantity", "l_discount", "l_tax"):
+        branches.append(f"""
+            SELECT '{c}' AS covariate,
+                   count(CASE WHEN arm_a AND {c} IS NOT NULL
+                         THEN 1 END) AS n_a,
+                   count(CASE WHEN arm_b AND {c} IS NOT NULL
+                         THEN 1 END) AS n_b,
+                   CAST(COALESCE(sum(CASE WHEN arm_a THEN
+                     CAST(round({c} * 1000000.0) AS HUGEINT) END), 0)
+                     AS HUGEINT) AS sa,
+                   CAST(COALESCE(sum(CASE WHEN arm_a THEN
+                     CAST(round({c} * 1000000.0) AS HUGEINT)
+                     * CAST(round({c} * 1000000.0) AS HUGEINT) END), 0)
+                     AS HUGEINT) AS ssa,
+                   CAST(COALESCE(sum(CASE WHEN arm_b THEN
+                     CAST(round({c} * 1000000.0) AS HUGEINT) END), 0)
+                     AS HUGEINT) AS sb,
+                   CAST(COALESCE(sum(CASE WHEN arm_b THEN
+                     CAST(round({c} * 1000000.0) AS HUGEINT)
+                     * CAST(round({c} * 1000000.0) AS HUGEINT) END), 0)
+                     AS HUGEINT) AS ssb
+            FROM f""")
+    union = "\n            UNION ALL".join(branches)
+    return f"""
+            WITH f AS (
+              SELECT l_quantity, l_discount, l_tax,
+                     (l_returnflag = 'A') AS arm_a,
+                     (l_returnflag = 'R') AS arm_b
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'R')),
+            u AS ({union}),
+            c AS (
+              SELECT covariate, n_a, n_b,
+                     CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                     CAST(CAST(n_a AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE)
+                          * (CAST(n_a AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(n_b AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(n_b AS DOUBLE)
+                          * (CAST(n_b AS DOUBLE) - 1.0)) AS vb
+              FROM u),
+            d AS (
+              SELECT c.*,
+                     sqrt((va / (1000000.0 * 1000000.0)
+                           + vb / (1000000.0 * 1000000.0)) / 2.0)
+                       AS denom
+              FROM c)
+            SELECT covariate,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a >= 1 THEN
+                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_a,
+                   CASE WHEN n_b >= 1 THEN
+                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND denom > 0 THEN
+                     floor((((mb - ma) / 1000000.0) / denom)
+                           * 1e9 + 0.5) / 1e9
+                   END AS smd
+            FROM d
+        """
+
+
+_SMD_BALANCE_SQL = _smd_balance_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
     entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-12 ROTATION (sixteenth curation pass), executed exactly as
-    queued in SURVEY.md after CORRECTNESS_r11 came back 50/50 green:
+    ROUND-13 ROTATION (seventeenth curation pass), executed exactly
+    as queued in SURVEY.md after CORRECTNESS_r12 came back 50/50
+    green (the never-recorded backlog hit 0, so the window is
+    net-new-then-stalest):
 
-    - positions 1-17: the oracle-checked queries with no driver
-      CORRECTNESS row yet -- the 12 round-11 registrations
-      (`ewma_blocked` `cusum_blocked` `holt_blocked` `mrr`
-      `avg_precision` `recall_at_k` `zscore_by` `topk_by` `welch_by`
-      `ks_by` `streaming_welch` `srm_check`) plus this round's five
-      registrations: `grouped_quantiles_approx_certificate`,
-      `holt_winters_blocked`, `winsorize_by`, `mann_whitney_by`,
-      and `bh_fdr`.
-    - positions 18-50: the 33 stalest driver-green re-certs -- the
-      entire r05-evidence stratum (32 queries, `equidepth_hist` ..
-      `zorder_layout`) plus `agg_refresh`, the r06-stratum head.
+    - positions 1-5: this round's net-new registrations -- the two
+      pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
+      VERDICT r12 item 1), the `hausman` just-identified 1-slope
+      fixture (`hausman_iv` -- item 5: with ONE common slope the
+      PSD eigen-repair is a closed-form sign test, SQL-spellable),
+      and the two new experimentation-panel operators (`cuped_by`,
+      `smd_balance`).
+    - positions 6-50: the 45 stalest driver-green re-certs -- the
+      ten r05/r06 rows the late-round-12 econ panel evicted
+      (`salted_join` .. `agg_refresh`), then the r06 stratum from
+      `cms_certificate` through `tpch_q19`.
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the remaining r06
-      rows (`dup_ngram_spans` onward), then the r07/r09/r10 strata,
-      then the 50 round-11-window entries (fresh r11 evidence), and
-      the 11 rows-only demos at the tail per the VERDICT-r6 window
-      policy.
+      next rotation is always "take the head": the r06 residue
+      (`tpch_q2` onward), then the r07/r09/r10 strata, then the
+      round-11-window entries (r11 evidence), then the round-12
+      window's 50 entries (fresh r12 evidence), and the 11
+      rows-only demos at the tail per the VERDICT-r6 window policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 (round-12 rotation) ------
-        # 1-17: the never-driver-recorded oracle-checked
-        # queries (the 12 round-11 registrations + this round's
-        # five registrations: grouped_quantiles_approx_certificate,
-        # holt_winters_blocked, winsorize_by, mann_whitney_by,
-        # bh_fdr)
-        "ewma_blocked": _q_ewma_blocked,
-        "cusum_blocked": _q_cusum_blocked,
-        "holt_blocked": _q_holt_blocked,
-        "mrr": _q_mrr,
-        "avg_precision": _q_avg_precision,
-        "recall_at_k": _q_recall_at_k,
-        "zscore_by": _q_zscore_by,
-        "topk_by": _q_topk_by,
-        "welch_by": _q_welch_by,
-        "ks_by": _q_ks_by,
-        "streaming_welch": _q_streaming_welch,
-        "srm_check": _q_srm_check,
-        "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
-        "holt_winters_blocked": _q_holt_winters_blocked,
-        "winsorize_by": _q_winsorize_by,
-        "mann_whitney_by": _q_mann_whitney_by,
-        "bh_fdr": _q_bh_fdr,
-        # 18-26: the nine late-round-12 registrations (econometrics/
-        # causal panel completion — never driver-recorded, so they
-        # take window slots over re-certs per the never-recorded-first
-        # policy; the nine evicted re-certs move to the backlog head)
-        "se_cluster2": _q_se_cluster2,
-        "iv_2sls": _q_iv_2sls,
-        "ols_wls": _q_ols_wls,
-        "ols_fit_stats": _q_ols_fit_stats,
-        "did": _q_did,
-        "event_study": _q_event_study,
-        "ipw_ate": _q_ipw_ate,
-        "rdd": _q_rdd,
-        "streaming_did": _q_streaming_did,
-        "aipw_ate": _q_aipw_ate,
-        # 28-50: the 23 stalest driver-green re-certs (r05-evidence
-        # stratum head)
-        "equidepth_hist": _q_equidepth_hist,
-        "exact_median": _q_exact_median,
-        "feature_hash": _q_feature_hash,
-        "filter_agg": _q_filter_agg,
-        "funnel": _q_funnel,
-        "group_ols": _q_group_ols,
-        "grouping_sets": _q_grouping_sets,
-        "histogram": _q_histogram,
-        "interval_arith": _q_interval_arith,
-        "ivfpq_recall": _q_ivfpq_recall,
-        "json_roundtrip": _q_json_roundtrip,
-        "key_skew": _q_key_skew,
-        "latest_per_key": _q_latest_per_key,
-        "multimodal_resize": _q_multimodal_resize,
-        "null_semantics": _q_null_semantics,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "pivot_wide": _q_pivot_wide,
-        "posexplode_lateral": _q_posexplode_lateral,
-        "pq_recall": _q_pq_recall,
-        "range_join": _q_range_join,
-        "resample": _q_resample,
-        "retention": _q_retention,
-        "rolling_window": _q_rolling_window,
-        # ------ end of the driver's 50-query window ------
-        # backlog head: the ten re-certs evicted by the late-round-12
-        # registrations (still the stalest evidence, r05/r06 — the
-        # round-13 re-cert list starts here)
+        # ------ driver window: positions 1-50 (round-13 rotation) ------
+        # 1-5: this round's net-new registrations — the two
+        # never-driver-checked pre-builds (VERDICT r12 item 1),
+        # the hausman 1-slope fixture (item 5), and the two new
+        # experimentation-panel operators (cuped_by, smd_by)
+        "ri_pvalue": _q_ri_pvalue,
+        "mde_by": _q_mde_by,
+        "hausman_iv": _q_hausman_iv,
+        "cuped_by": _q_cuped_by,
+        "smd_balance": _q_smd_balance,
+        # 6-50: the 45 stalest driver-green re-certs — the ten
+        # r05/r06 rows evicted by the late-round-12 econ panel
+        # (salted_join .. agg_refresh), then the r06 stratum from
+        # cms_certificate onward (exactly as queued in SURVEY.md)
         "salted_join": _q_salted_join,
         "semi_anti_join": _q_semi_anti_join,
         "sql_q1": _q_sql_q1,
@@ -7022,14 +7429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": _q_date_parts,
         "decimal_agg": _q_decimal_agg,
         "dq_report": _q_dq_report,
-        # backlog: every remaining oracle-checked query, ordered
-        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
-        # head of the backlog IS the next rotation's re-cert list;
-        # the 50 round-11-window entries (fresh r11 evidence) sit
-        # last before the 11 rows-only demos, which keep the tail
-        # (window slots go to hash-matchable rows only -- each
-        # demo's exactness certificate query is oracle-checked
-        # and driver-green)
         "dup_ngram_spans": _q_dup_ngram_spans,
         "heavy_hitters": _q_heavy_hitters,
         "interval_join": _q_interval_join,
@@ -7061,6 +7460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
+        # head of the backlog IS the next rotation's re-cert list:
+        # the r06 residue (tpch_q2 onward), then the r07/r09/r10
+        # strata, then the round-11-window entries (r11 evidence)
         "tpch_q2": _q_tpch_q2,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
@@ -7270,8 +7675,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "weighted_sample_by": _q_weighted_sample_by,
         "window_funcs": _q_window_funcs,
-        # rows-only demos (no oracle -- driver records a weaker
-        # rows-only check; kept out of the window per VERDICT r6)
+        # the round-12 window's 50 entries (fresh r12 evidence —
+        # CORRECTNESS_r12 50/50 green), freshest, so they sit last
+        "ewma_blocked": _q_ewma_blocked,
+        "cusum_blocked": _q_cusum_blocked,
+        "holt_blocked": _q_holt_blocked,
+        "mrr": _q_mrr,
+        "avg_precision": _q_avg_precision,
+        "recall_at_k": _q_recall_at_k,
+        "zscore_by": _q_zscore_by,
+        "topk_by": _q_topk_by,
+        "welch_by": _q_welch_by,
+        "ks_by": _q_ks_by,
+        "streaming_welch": _q_streaming_welch,
+        "srm_check": _q_srm_check,
+        "grouped_quantiles_approx_certificate": _q_grouped_quantiles_approx_certificate,
+        "holt_winters_blocked": _q_holt_winters_blocked,
+        "winsorize_by": _q_winsorize_by,
+        "mann_whitney_by": _q_mann_whitney_by,
+        "bh_fdr": _q_bh_fdr,
+        "se_cluster2": _q_se_cluster2,
+        "iv_2sls": _q_iv_2sls,
+        "ols_wls": _q_ols_wls,
+        "ols_fit_stats": _q_ols_fit_stats,
+        "did": _q_did,
+        "event_study": _q_event_study,
+        "ipw_ate": _q_ipw_ate,
+        "rdd": _q_rdd,
+        "streaming_did": _q_streaming_did,
+        "aipw_ate": _q_aipw_ate,
+        "equidepth_hist": _q_equidepth_hist,
+        "exact_median": _q_exact_median,
+        "feature_hash": _q_feature_hash,
+        "filter_agg": _q_filter_agg,
+        "funnel": _q_funnel,
+        "group_ols": _q_group_ols,
+        "grouping_sets": _q_grouping_sets,
+        "histogram": _q_histogram,
+        "interval_arith": _q_interval_arith,
+        "ivfpq_recall": _q_ivfpq_recall,
+        "json_roundtrip": _q_json_roundtrip,
+        "key_skew": _q_key_skew,
+        "latest_per_key": _q_latest_per_key,
+        "multimodal_resize": _q_multimodal_resize,
+        "null_semantics": _q_null_semantics,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "pivot_wide": _q_pivot_wide,
+        "posexplode_lateral": _q_posexplode_lateral,
+        "pq_recall": _q_pq_recall,
+        "range_join": _q_range_join,
+        "resample": _q_resample,
+        "retention": _q_retention,
+        "rolling_window": _q_rolling_window,
+        # the 11 rows-only demos keep the tail (window slots go to
+        # hash-matchable rows only; each demo's exactness
+        # certificate query is oracle-checked and driver-green)
         "bpe_merges": _q_bpe_merges,
         "ivfpq_topk": _q_ivfpq_topk,
         "pq_topk": _q_pq_topk,
@@ -7731,6 +8189,11 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ri_pvalue": _RI_PVALUE_SQL,
+        "mde_by": _MDE_BY_SQL,
+        "hausman_iv": _HAUSMAN_IV_SQL,
+        "cuped_by": _CUPED_BY_SQL,
+        "smd_balance": _SMD_BALANCE_SQL,
         "video_frames": """
             WITH a AS (SELECT i FROM range(128) t(i)),
             p AS (SELECT i, 6 + (i % 7) AS w, 5 + ((i*2) % 5) AS h,

@@ -332,22 +332,30 @@ def ri_pvalue(
     re-assignments of treatment.
 
     Each permutation k reassigns ``treat' = ((id·Pₖ + Qₖ) mod M) <
-    M/2`` with per-k odd multipliers from a fixed linear-congruential
+    T`` with per-k odd multipliers from a fixed linear-congruential
     family — deterministic, engine-independent integer arithmetic
     (the cross-engine discipline: a seeded RNG would never match an
-    oracle), approximating a 50/50 re-randomization. ALL permuted
-    effects compute in ONE aggregation: 2·n_perm conditional sums +
-    counts fused into a single map-side-combined pass, so the cost is
-    one scan regardless of n_perm — where the textbook implementation
-    scans once per permutation. ``id_col=None`` uses a deterministic
-    row fingerprint (xxhash64 of y — engine-specific, fine for
-    Monte-Carlo use but NOT oracle-matchable; pass a real id column
-    for cross-engine determinism).
+    oracle). The threshold ``T = ⌊M·n₁/(n₁+n₀)⌋`` is CALIBRATED to
+    the observed treated fraction by one cheap count-only pre-pass
+    (ADVICE r12: a fixed 50/50 threshold gives the permuted null the
+    wrong variance under unbalanced designs — anti-conservative), so
+    permutations re-randomize at the design's own assignment rate.
+    ALL permuted effects then compute in ONE aggregation: 2·n_perm
+    conditional sums + counts fused into a single map-side-combined
+    pass, so the cost is two scans total regardless of n_perm — where
+    the textbook implementation scans once per permutation.
+    ``id_col=None`` uses a deterministic row fingerprint (xxhash64 of
+    y — engine-specific, fine for Monte-Carlo use but NOT
+    oracle-matchable; pass a real id column for cross-engine
+    determinism).
 
     Returns one row: the observed difference, the two-sided p-value
     ``(1 + #{|effect_k| ≥ |observed|}) / (n_perm + 1)`` (the add-one
     convention — the observed assignment is itself one member of the
-    randomization distribution), and n_perm.
+    randomization distribution), and n_perm. A permutation whose
+    effect is undefined (an empty permuted arm, possible on tiny
+    samples at extreme fractions) counts as a HIT — conservative,
+    never silently shrinking p (ADVICE r12).
     """
     if n_perm < 1:
         raise ValueError("n_perm must be >= 1")
@@ -358,8 +366,7 @@ def ri_pvalue(
         if id_col is not None
         else F.xxhash64(yv)
     )
-    M = 1_000_003  # prime modulus: near-exact 50/50 halves
-    half = M // 2
+    M = 1_000_003  # prime modulus: fraction granularity ~1e-6
     # pmod twice: Spark's % keeps the dividend's sign (a negative
     # xxhash64 or id would otherwise ALWAYS land treated — a 75/25
     # skew), and bounding rid below M first keeps rid*pk far from
@@ -370,6 +377,16 @@ def ri_pvalue(
     # distribution entirely (otherwise permuted effects would average
     # over a larger sample than the observed one — anti-conservative).
     valid = t.isNotNull() & yv.isNotNull() & rid_raw.isNotNull()
+    # Calibration pre-pass: the permuted assignment probability must
+    # match the OBSERVED treated fraction. Exact integer threshold
+    # (M·n1)//(n1+n0) — both engines agree bit-for-bit.
+    cnt = df.agg(
+        F.count(F.when(valid & t, 1)).alias("n1"),
+        F.count(F.when(valid & ~t, 1)).alias("n0"),
+    ).collect()[0]
+    n1_obs, n0_obs = int(cnt["n1"]), int(cnt["n0"])
+    total = n1_obs + n0_obs
+    half = (M * n1_obs) // total if total > 0 else M // 2
     aggs = [
         F.sum(F.when(valid & t, yv)).cast("double").alias("s1"),
         F.count(F.when(valid & t, yv)).alias("n1"),
@@ -377,7 +394,14 @@ def ri_pvalue(
         F.count(F.when(valid & ~t, yv)).alias("n0"),
     ]
     for k in range(n_perm):
-        pk = 2 * k + 3          # odd multipliers, coprime to 2
+        # Multipliers SCALED by the MINSTD constant: a small pk (the
+        # old 2k+3) never wraps M over a dense low id range (ids
+        # 0..60k stay inside [qk, 60k·pk+qk] < M), so the "permuted"
+        # arm was ALL rows — degenerate for every early k (review
+        # r13). 48271·(2k+3) wraps M dozens of times at any realistic
+        # id density; rid < M and pk < 1e7 keep rid·pk ≲ 1e13, far
+        # from 64-bit overflow on both engines.
+        pk = 48271 * (2 * k + 3)
         qk = 7919 * (k + 1)
         tk = F.pmod(rid * pk + qk, F.lit(M)) < half
         aggs.append(
@@ -402,8 +426,10 @@ def ri_pvalue(
             F.col(f"ps1_{k}") / F.col(f"pn1_{k}")
             - F.col(f"ps0_{k}") / F.col(f"pn0_{k}")
         )
+        # NULL eff_k (an empty permuted arm) is a HIT: conservative —
+        # an undefined permutation must never shrink p (ADVICE r12).
         hits = hits + F.when(
-            F.abs(eff_k) >= F.abs(obs), F.lit(1)
+            eff_k.isNull() | (F.abs(eff_k) >= F.abs(obs)), F.lit(1)
         ).otherwise(F.lit(0))
     # Degenerate data (an empty arm) has no observed effect: report
     # NULL observed AND NULL p — never the floor p (which would read

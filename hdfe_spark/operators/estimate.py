@@ -1181,30 +1181,53 @@ def wls(
     the classic known-weights GLS form ``V = σ̂² (X'WX)⁻¹`` with
     ``σ̂² = Σ wᵢeᵢ² / (n − k)``, where ``Σ we²`` comes closed-form from
     the same pass (``y'Wy − 2b'X'Wy + b'X'WX b``) — no residual scan.
+
+    NULL contract (listwise deletion, ADVICE r12): the estimating
+    sample is the rows where the weight, EVERY x, and EVERY y are
+    non-NULL — ONE shared mask gates every moment sum AND ``n``, so a
+    NULL-y row can never contribute to X'WX while missing from X'Wy
+    (the inconsistent-sample bug class), and dof counts the sample
+    actually estimated. Negative weights raise (they would silently
+    produce an indefinite X'WX); the check rides the same single pass
+    as one extra counter.
     """
     y_cols = _as_list(y)
     x_cols = list(_as_list(x))
     k, m = len(x_cols), len(y_cols)
     w = F.col(weights)
+    valid = w.isNotNull()
+    for c in x_cols + y_cols:
+        valid = valid & F.col(c).isNotNull()
 
-    exprs = [F.count(F.lit(1)).alias("__n")]
+    exprs = [
+        F.sum(F.when(valid, 1).otherwise(0)).alias("__n"),
+        F.sum(F.when(valid & (w < 0), 1).otherwise(0)).alias("__negw"),
+    ]
     for i in range(k):
         for j in range(i, k):
             exprs.append(
-                F.sum(w * F.col(x_cols[i]) * F.col(x_cols[j])).alias(f"__g_{i}_{j}")
+                F.sum(F.when(valid, w * F.col(x_cols[i]) * F.col(x_cols[j])))
+                .alias(f"__g_{i}_{j}")
             )
     for i in range(k):
         for j in range(m):
             exprs.append(
-                F.sum(w * F.col(x_cols[i]) * F.col(y_cols[j])).alias(f"__xy_{i}_{j}")
+                F.sum(F.when(valid, w * F.col(x_cols[i]) * F.col(y_cols[j])))
+                .alias(f"__xy_{i}_{j}")
             )
     for j in range(m):
         exprs.append(
-            F.sum(w * F.col(y_cols[j]) * F.col(y_cols[j])).alias(f"__yy_{j}")
+            F.sum(F.when(valid, w * F.col(y_cols[j]) * F.col(y_cols[j])))
+            .alias(f"__yy_{j}")
         )
     row = df.agg(*exprs).collect()[0]
+    if int(row["__negw"] or 0) > 0:
+        raise ValueError(
+            f"wls: {int(row['__negw'])} rows carry a negative weight;"
+            " X'WX would be indefinite, clip or filter weights first"
+        )
 
-    n = int(row["__n"])
+    n = int(row["__n"] or 0)
     G = np.zeros((k, k))
     for i in range(k):
         for j in range(i, k):
@@ -1298,12 +1321,19 @@ def iv_2sls(
             _key(a, bcol)
     for yc in y_cols:
         _key(yc, yc)
-    exprs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.col(a) * F.col(bcol)).alias(alias)
+    # NULL contract (listwise deletion, ADVICE r12): ONE shared mask —
+    # rows where every y, x, and instrument column is non-NULL — gates
+    # every moment sum AND n, so Z'Z / Z'y can never disagree on the
+    # estimating sample and dof counts the rows actually estimated.
+    valid = F.lit(True)
+    for c in dict.fromkeys(z_cols + x_cols + y_cols):
+        valid = valid & F.col(c).isNotNull()
+    exprs = [F.sum(F.when(valid, 1).otherwise(0)).alias("__n")] + [
+        F.sum(F.when(valid, F.col(a) * F.col(bcol))).alias(alias)
         for (a, bcol), alias in pairs.items()
     ]
     row = df.agg(*exprs).collect()[0]
-    n = int(row["__n"])
+    n = int(row["__n"] or 0)
 
     def _m(a: str, bcol: str) -> float:
         v = row[_key(a, bcol)]
@@ -1371,6 +1401,14 @@ def fit_stats(
 
     if cc:
         fe = cc[0]
+        # NULL contract (ADVICE r12): restrict to complete (x, y) rows
+        # BEFORE the window so the absorbed group means, the Gram, and
+        # n all describe the same estimating sample (a NULL FE level
+        # stays — it is its own absorbed group).
+        complete = F.lit(True)
+        for c in x_cols + [y]:
+            complete = complete & F.col(c).isNotNull()
+        df = df.filter(complete)
         wspec = Window.partitionBy(fe)
         cols = x_cols + [y]
         dm = [f"__dm_{c}" for c in cols]
@@ -1389,16 +1427,26 @@ def fit_stats(
         n_groups = int(grow["g"]) + int(grow["has_null"] or 0)
     else:
         # Centered moments closed-form: S_c = S_raw − n·mm' (one pass).
+        # NULL contract (ADVICE r12): one shared complete-row mask
+        # gates every sum AND n, so the centering means, the Gram, and
+        # the dof all describe the same estimating sample.
         cols = x_cols + [y]
-        exprs = [F.count(F.lit(1)).alias("__n")]
-        exprs += [F.sum(F.col(c)).alias(f"__s_{i}") for i, c in enumerate(cols)]
+        valid = F.lit(True)
+        for c in cols:
+            valid = valid & F.col(c).isNotNull()
+        exprs = [F.sum(F.when(valid, 1).otherwise(0)).alias("__n")]
+        exprs += [
+            F.sum(F.when(valid, F.col(c))).alias(f"__s_{i}")
+            for i, c in enumerate(cols)
+        ]
         for i in range(len(cols)):
             for j in range(i, len(cols)):
                 exprs.append(
-                    F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"__g_{i}_{j}")
+                    F.sum(F.when(valid, F.col(cols[i]) * F.col(cols[j])))
+                    .alias(f"__g_{i}_{j}")
                 )
         row = df.agg(*exprs).collect()[0]
-        n = int(row["__n"])
+        n = int(row["__n"] or 0)
         s = np.array(
             [float(row[f"__s_{i}"] or 0.0) for i in range(len(cols))]
         )
@@ -1444,6 +1492,11 @@ def hausman(res_consistent, res_efficient) -> dict:
     EstimateResult objects: zero Spark jobs, so it composes with any
     plan's output. Requires both results to carry a variance
     (estimate_variance=True) for the first outcome.
+
+    Returns ``{h_stat, dof, coef_names, d, degenerate[, p_value]}``.
+    ``degenerate=True`` (dof 0 — no positive eigenvalue survives)
+    means the test cannot reject; ``p_value`` is pinned to 1.0 and H
+    to 0 so callers never evaluate a 0-dof chi-square.
     """
     if not res_consistent.V or not res_efficient.V:
         raise ValueError("hausman needs estimate_variance=True on both fits")
@@ -1476,9 +1529,19 @@ def hausman(res_consistent, res_efficient) -> dict:
     keep = evals > tol
     if not bool(keep.any()):
         # No usable positive direction: the consistent fit is nowhere
-        # noisier than the efficient one — H degenerates to 0.
-        return {"h_stat": 0.0, "dof": 0, "coef_names": names, "d": d}
+        # noisier than the efficient one — the test is DEGENERATE (a
+        # chi-square with 0 dof is undefined; scipy.stats.chi2.sf(h, 0)
+        # is NaN).  Callers must read degenerate=True as "no evidence
+        # against H0" — p_value is pinned to 1.0 here so downstream
+        # code never feeds dof=0 to a chi-square (ADVICE r12).
+        return {
+            "h_stat": 0.0, "dof": 0, "coef_names": names, "d": d,
+            "degenerate": True, "p_value": 1.0,
+        }
     inv_part = evecs[:, keep] @ np.diag(1.0 / evals[keep]) @ evecs[:, keep].T
     h = float(d @ inv_part @ d)
     dof = int(keep.sum())
-    return {"h_stat": h, "dof": dof, "coef_names": names, "d": d}
+    return {
+        "h_stat": h, "dof": dof, "coef_names": names, "d": d,
+        "degenerate": False,
+    }

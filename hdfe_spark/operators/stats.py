@@ -5100,3 +5100,214 @@ def mde_by(
         observed.alias("observed_diff"),
         F.when(mde > 0, F.abs(observed) / mde).alias("power_ratio"),
     )
+
+
+def cuped_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    covariate_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group CUPED variance-reduced treatment effect (Deng et al.
+    2013, "Improving the Sensitivity of Online Controlled
+    Experiments by Utilizing Pre-Experiment Data" — the standard
+    industry adjustment): within each group, regress the outcome on
+    a pre-experiment covariate POOLED across both arms
+    (``theta = cov(y, x) / var(x)``), adjust
+    ``y' = y − theta·(x − E[x])``, and report the adjusted
+    arm-b-minus-arm-a effect alongside the raw one and the variance-
+    reduction factor ``rho² = corr(y, x)²`` (adjusted-effect variance
+    shrinks by exactly 1 − rho² under the CUPED model).
+
+    Engine-exact on the `welch_by` pattern: per-(group, arm) AND
+    pooled moments are exact DECIMAL(38,0) sums of
+    ``round(v·scale)`` integers from ONE conditional aggregation
+    (never a second scan for the pooled theta); every reported
+    number is then a fixed IEEE expression over those exact decimals
+    — covariance/variance numerators are exact decimal differences
+    ``n·sxy − sx·sy`` (the spearman_by anti-cancellation spelling),
+    so a SQL oracle mirrors each value literally. The estimating
+    sample is rows where BOTH y and x are non-NULL (one shared mask
+    — the r13 moment-estimator discipline); a NULL group is itself a
+    group. Groups with zero covariate variance or an arm thinner
+    than 2 get NULL theta/adjusted effect, never a poisoned panel.
+
+    Scale: ONE shuffle on the group key, map-side combined; k scalars
+    per group out — 10k experiment segments CUPED-adjusted in one
+    pass at any row count.
+    """
+    no_output_collision(
+        "cuped_by",
+        "group_col",
+        group_col,
+        (
+            "n_a", "n_b", "theta", "diff_raw", "diff_cuped",
+            "rho2",
+        ),
+    )
+    if arm_a == arm_b:
+        raise ValueError(
+            f"cuped_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    yv, xv = F.col(value_col), F.col(covariate_col)
+    uy = F.round(yv * F.lit(float(scale))).cast("decimal(38,0)")
+    ux = F.round(xv * F.lit(float(scale))).cast("decimal(38,0)")
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def _sum(cond, expr, name):
+        return F.coalesce(F.sum(F.when(cond, expr)), zero).alias(name)
+
+    m = (
+        df.filter(yv.isNotNull() & xv.isNotNull() & (is_a | is_b))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            # pooled moments (theta / rho2)
+            F.count(F.lit(1)).alias("__n"),
+            _sum(F.lit(True), uy, "__sy"),
+            _sum(F.lit(True), ux, "__sx"),
+            _sum(F.lit(True), ux * ux, "__sxx"),
+            _sum(F.lit(True), ux * uy, "__sxy"),
+            _sum(F.lit(True), uy * uy, "__syy"),
+            # per-arm first moments (the effect)
+            F.coalesce(F.sum(F.when(is_a, F.lit(1))), F.lit(0))
+            .cast("long").alias("n_a"),
+            _sum(is_a, uy, "__sy_a"),
+            _sum(is_a, ux, "__sx_a"),
+            F.coalesce(F.sum(F.when(is_b, F.lit(1))), F.lit(0))
+            .cast("long").alias("n_b"),
+            _sum(is_b, uy, "__sy_b"),
+            _sum(is_b, ux, "__sx_b"),
+        )
+    )
+    nD = F.col("__n").cast("decimal(38,0)")
+    covnum = (nD * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    vxnum = (nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    vynum = (nD * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    theta = covnum / vxnum  # scale cancels: cov(uy,ux)/var(ux)
+    rho2 = covnum * covnum / (vxnum * vynum)
+    mya = F.col("__sy_a").cast("double") / F.col("n_a").cast("double")
+    myb = F.col("__sy_b").cast("double") / F.col("n_b").cast("double")
+    mxa = F.col("__sx_a").cast("double") / F.col("n_a").cast("double")
+    mxb = F.col("__sx_b").cast("double") / F.col("n_b").cast("double")
+    sc = F.lit(float(scale))
+    diff_raw = (myb - mya) / sc
+    diff_cuped = (myb - mya - theta * (mxb - mxa)) / sc
+    ok_arms = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    ok_theta = ok_arms & (vxnum > 0)
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(ok_theta, theta).alias("theta"),
+        F.when(ok_arms, diff_raw).alias("diff_raw"),
+        F.when(ok_theta, diff_cuped).alias("diff_cuped"),
+        F.when(ok_theta & (vynum > 0), rho2).alias("rho2"),
+    )
+
+
+def smd_by(
+    df: DataFrame,
+    arm_col: str,
+    value_cols: Sequence[str],
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Covariate balance table — the standardized mean difference
+    (Cohen's d with the pooled-arms denominator) of every covariate
+    between two arms: ``smd = (mean_b − mean_a) /
+    sqrt((var_a + var_b)/2)``, the randomization / matching / IPW
+    diagnostic every causal panel (`did` / `ipw_ate` / `aipw_ate`)
+    reads first — |smd| > 0.1 is the conventional imbalance flag.
+
+    One row per covariate. ALL covariates' per-arm moments (count /
+    sum / sum-of-squares of exact ``round(v·scale)`` DECIMAL(38,0)
+    integers — the `welch_by` machinery, k covariates wide) come
+    from ONE ungrouped, map-side-combined aggregation; the k output
+    rows are a stack projection over those scalars, so the plan is
+    one scan + one 6k-scalar reduce at any row count. Per-covariate
+    pairwise deletion (each covariate's moments over its own
+    non-NULL rows — the balance-table convention); arms thinner than
+    2 on a covariate get NULL smd.
+    """
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("smd_by: value_cols is empty")
+    if arm_a == arm_b:
+        raise ValueError(
+            f"smd_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+    zero = F.lit(0).cast("decimal(38,0)")
+    aggs = []
+    for i, c in enumerate(value_cols):
+        u = F.round(F.col(c) * F.lit(float(scale))).cast("decimal(38,0)")
+        for tag, cond in (("a", is_a), ("b", is_b)):
+            cv = cond & F.col(c).isNotNull()
+            aggs.append(
+                F.coalesce(F.sum(F.when(cv, F.lit(1))), F.lit(0))
+                .cast("long").alias(f"__n_{tag}_{i}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cv, u)), zero).alias(f"__s_{tag}_{i}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(cv, u * u)), zero)
+                .alias(f"__ss_{tag}_{i}")
+            )
+    m = df.filter(is_a | is_b).agg(*aggs)
+
+    sc = F.lit(float(scale))
+    sc2 = F.lit(float(scale) * float(scale))
+    cols = []
+    for i, c in enumerate(value_cols):
+        def _stats(tag, i=i):
+            n = F.col(f"__n_{tag}_{i}")
+            nD, nd = n.cast("decimal(38,0)"), n.cast("double")
+            varnum = (
+                nD * F.col(f"__ss_{tag}_{i}")
+                - F.col(f"__s_{tag}_{i}") * F.col(f"__s_{tag}_{i}")
+            ).cast("double")
+            mean = F.col(f"__s_{tag}_{i}").cast("double") / nd
+            var = varnum / (nd * (nd - F.lit(1.0)))
+            return n, mean, var
+
+        na, ma, va = _stats("a")
+        nb, mb, vb = _stats("b")
+        ok = (na >= 2) & (nb >= 2)
+        denom = F.sqrt((va / sc2 + vb / sc2) / F.lit(2.0))
+        smd = ((mb - ma) / sc) / denom
+        cols.append(
+            F.struct(
+                F.lit(c).alias("covariate"),
+                na.alias("n_a"),
+                nb.alias("n_b"),
+                F.when(na >= 1, ma / sc).alias("mean_a"),
+                F.when(nb >= 1, mb / sc).alias("mean_b"),
+                F.when(ok & (denom > 0), smd).alias("smd"),
+            )
+        )
+    stacked = m.select(
+        F.explode(F.array(*cols)).alias("__row")
+    )
+    return stacked.select(
+        F.col("__row.covariate").alias("covariate"),
+        F.col("__row.n_a").alias("n_a"),
+        F.col("__row.n_b").alias("n_b"),
+        F.col("__row.mean_a").alias("mean_a"),
+        F.col("__row.mean_b").alias("mean_b"),
+        F.col("__row.smd").alias("smd"),
+    )

@@ -552,11 +552,13 @@ def test_ri_pvalue_matches_numpy_replica(spark):
     n_perm = 49
     row = ri_pvalue(spark.createDataFrame(pdf), "y", "t",
                     n_perm=n_perm, id_col="id").collect()[0]
-    M, half = 1_000_003, 1_000_003 // 2
+    # r13: threshold calibrated to the observed treated fraction
+    M = 1_000_003
+    half = (M * int(t.sum())) // n
     obs = y[t].mean() - y[~t].mean()
     hits = 1
     for k in range(n_perm):
-        tk = ((ids * (2 * k + 3) + 7919 * (k + 1)) % M) < half
+        tk = ((ids * (48271 * (2 * k + 3)) + 7919 * (k + 1)) % M) < half
         eff = y[tk].mean() - y[~tk].mean()
         if abs(eff) >= abs(obs):
             hits += 1
@@ -581,13 +583,15 @@ def test_ri_pvalue_negative_ids_balanced(spark):
     sdf = spark.createDataFrame(pdf)
     row = ri_pvalue(sdf, "y", "t", n_perm=49, id_col="id").collect()[0]
     assert row["p_value"] > 0.02  # not stuck at the floor
-    # replica with explicit double-pmod arithmetic
-    M, half = 1_000_003, 1_000_003 // 2
+    # replica with explicit double-pmod arithmetic (r13: threshold
+    # calibrated to the observed treated fraction)
+    M = 1_000_003
+    half = (M * int(t.sum())) // n
     obs = y[t].mean() - y[~t].mean()
     hits = 1
     for k in range(49):
         ridm = np.mod(ids, M)  # numpy mod is already non-negative
-        tk = np.mod(ridm * (2 * k + 3) + 7919 * (k + 1), M) < half
+        tk = np.mod(ridm * (48271 * (2 * k + 3)) + 7919 * (k + 1), M) < half
         frac = tk.mean()
         assert 0.45 < frac < 0.55  # balanced despite negative ids
         eff = y[tk].mean() - y[~tk].mean()

@@ -1,0 +1,321 @@
+"""Round-13 pins: the ADVICE-r12 fixes (ri_pvalue calibration, the
+wls/iv_2sls/fit_stats NULL contract, hausman's degenerate convention)
+plus the round's new operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- ri_pvalue
+
+
+def test_ri_pvalue_unbalanced_design_calibrated(spark):
+    """ADVICE r12: a 10/90 design must permute at ~10/90, not 50/50 —
+    otherwise the permuted null has the wrong variance (anti-
+    conservative p). The threshold is now (M*n1)//(n1+n0); the numpy
+    replica checks both the arm fractions and the exact p."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(131)
+    n = 20000
+    ids = np.arange(n, dtype=np.int64)
+    t = rng.uniform(size=n) < 0.10
+    y = rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    n_perm = 49
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t",
+                    n_perm=n_perm, id_col="id").collect()[0]
+    M = 1_000_003
+    half = (M * int(t.sum())) // n
+    obs = y[t].mean() - y[~t].mean()
+    hits = 1
+    fracs = []
+    for k in range(n_perm):
+        tk = ((ids * (48271 * (2 * k + 3)) + 7919 * (k + 1)) % M) < half
+        fracs.append(tk.mean())
+        if tk.sum() == 0 or (~tk).sum() == 0:
+            hits += 1  # NULL eff_k is a hit (conservative)
+            continue
+        eff = y[tk].mean() - y[~tk].mean()
+        if abs(eff) >= abs(obs):
+            hits += 1
+    # permuted treated share tracks the design's own rate
+    assert 0.07 < float(np.mean(fracs)) < 0.13
+    assert abs(row["p_value"] - hits / (n_perm + 1)) < 1e-12
+    # under the null a calibrated test is NOT anti-conservative
+    assert row["p_value"] > 0.02
+
+
+def test_ri_pvalue_empty_permuted_arm_is_hit(spark):
+    """A tiny sample at an extreme fraction can empty a permuted arm;
+    the undefined effect must count AGAINST significance (p floor is
+    never reachable through NULLs)."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    # 1 treated of 6: many 1/6-rate permutations draw zero treated
+    pdf = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "t": [True, False, False, False, False, False],
+        "y": [10.0, 0.0, 0.1, -0.1, 0.05, -0.05],
+    })
+    row = ri_pvalue(spark.createDataFrame(pdf), "y", "t",
+                    n_perm=19, id_col="id").collect()[0]
+    M = 1_000_003
+    half = (M * 1) // 6
+    ids = np.arange(6, dtype=np.int64)
+    y = pdf["y"].to_numpy()
+    t = pdf["t"].to_numpy()
+    obs = y[t].mean() - y[~t].mean()
+    hits = 1
+    for k in range(19):
+        tk = ((ids * (48271 * (2 * k + 3)) + 7919 * (k + 1)) % M) < half
+        if tk.sum() == 0 or (~tk).sum() == 0:
+            hits += 1
+            continue
+        eff = y[tk].mean() - y[~tk].mean()
+        if abs(eff) >= abs(obs):
+            hits += 1
+    assert abs(row["p_value"] - hits / 20.0) < 1e-12
+
+
+# -------------------------------------------------- NULL contract (moments)
+
+
+@pytest.fixture(scope="module")
+def null_pdf():
+    rng = np.random.RandomState(132)
+    n = 500
+    pdf = pd.DataFrame({
+        "one": 1.0,
+        "x1": rng.randn(n),
+        "x2": rng.randn(n),
+        "z": rng.randn(n),
+        "w": rng.uniform(0.5, 2.0, size=n),
+        "fe": rng.randint(0, 7, size=n),
+    })
+    pdf["x1"] = pdf["x1"] + 0.5 * pdf["z"]
+    pdf["y"] = 1.0 + 2.0 * pdf["x1"] - 1.0 * pdf["x2"] + rng.randn(n)
+    return pdf
+
+
+def _with_null_rows(pdf, col, k=25):
+    extra = pdf.head(k).copy()
+    extra[col] = np.nan
+    return pd.concat([pdf, extra], ignore_index=True)
+
+
+def test_wls_null_y_rows_ignored(spark, null_pdf):
+    """ADVICE r12: a NULL-y row must change neither b nor dof — the
+    moment sums and n share one estimating-sample mask."""
+    from hdfe_spark.operators.estimate import wls
+
+    clean = wls(spark.createDataFrame(null_pdf), "y", ["one", "x1", "x2"],
+                "w", estimate_variance=True)
+    dirty = wls(spark.createDataFrame(_with_null_rows(null_pdf, "y")),
+                "y", ["one", "x1", "x2"], "w", estimate_variance=True)
+    assert dirty.n == clean.n == len(null_pdf)
+    np.testing.assert_allclose(dirty.b, clean.b, rtol=1e-12)
+    np.testing.assert_allclose(dirty.V[0], clean.V[0], rtol=1e-12)
+
+
+def test_wls_null_x_and_w_rows_ignored(spark, null_pdf):
+    from hdfe_spark.operators.estimate import wls
+
+    clean = wls(spark.createDataFrame(null_pdf), "y", ["one", "x1"],
+                "w", estimate_variance=True)
+    for col in ("x1", "w"):
+        dirty = wls(spark.createDataFrame(_with_null_rows(null_pdf, col)),
+                    "y", ["one", "x1"], "w", estimate_variance=True)
+        assert dirty.n == clean.n
+        np.testing.assert_allclose(dirty.b, clean.b, rtol=1e-12)
+
+
+def test_wls_negative_weight_raises(spark, null_pdf):
+    from hdfe_spark.operators.estimate import wls
+
+    bad = null_pdf.copy()
+    bad.loc[3, "w"] = -1.0
+    with pytest.raises(ValueError, match="negative weight"):
+        wls(spark.createDataFrame(bad), "y", ["one", "x1"], "w")
+
+
+def test_iv_2sls_null_rows_ignored(spark, null_pdf):
+    """Same contract for 2SLS: NULL in y, x, OR the instrument drops
+    the row from every moment block and from n."""
+    from hdfe_spark.operators.estimate import iv_2sls
+
+    clean = iv_2sls(spark.createDataFrame(null_pdf), "y", "x1", "z",
+                    x_exog=["one", "x2"], estimate_variance=True)
+    for col in ("y", "x1", "z"):
+        dirty = iv_2sls(spark.createDataFrame(_with_null_rows(null_pdf, col)),
+                        "y", "x1", "z", x_exog=["one", "x2"],
+                        estimate_variance=True)
+        assert dirty.n == clean.n == len(null_pdf)
+        np.testing.assert_allclose(dirty.b, clean.b, rtol=1e-12)
+        np.testing.assert_allclose(dirty.V[0], clean.V[0], rtol=1e-12)
+
+
+def test_fit_stats_null_rows_ignored(spark, null_pdf):
+    """Both fit_stats paths (centered and absorbed-FE) estimate on the
+    complete-row sample only; NULL rows change nothing."""
+    from hdfe_spark.operators.estimate import fit_stats
+
+    for cc in (None, ["fe"]):
+        clean = fit_stats(spark.createDataFrame(null_pdf), "y",
+                          ["x1", "x2"], categorical_controls=cc)
+        dirty = fit_stats(
+            spark.createDataFrame(_with_null_rows(null_pdf, "y")),
+            "y", ["x1", "x2"], categorical_controls=cc)
+        assert dirty["n"] == clean["n"] == len(null_pdf)
+        assert dirty["n_groups"] == clean["n_groups"]
+        assert abs(dirty["r2"] - clean["r2"]) < 1e-12
+        assert abs(dirty["f_stat"] - clean["f_stat"]) < 1e-9
+
+
+# ------------------------------------------------------- hausman degenerate
+
+
+def test_hausman_degenerate_convention(spark, null_pdf):
+    """ADVICE r12: dof=0 must come with an explicit degenerate flag
+    and p_value=1.0 so callers never evaluate a 0-dof chi-square.
+    Comparing a fit against ITSELF forces dV = 0 -> degenerate."""
+    from hdfe_spark.operators.estimate import estimate, hausman
+
+    sdf = spark.createDataFrame(null_pdf)
+    fit = estimate(sdf, "y", ["x1", "x2"], estimate_variance=True)
+    out = hausman(fit, fit)
+    assert out["degenerate"] is True
+    assert out["dof"] == 0
+    assert out["h_stat"] == 0.0
+    assert out["p_value"] == 1.0
+    # non-degenerate case carries the flag too (False): make x mostly
+    # BETWEEN-group variation so the within fit is much noisier than
+    # the pooled one (dV strictly positive)
+    rng = np.random.RandomState(133)
+    n = 400
+    fe = rng.randint(0, 5, size=n)
+    fe_eff = np.array([0.0, 2.0, -1.0, 3.0, 1.0])
+    x = fe_eff[fe] + 0.05 * rng.randn(n)
+    y = 1.5 * x + rng.randn(n)
+    sdf2 = spark.createDataFrame(pd.DataFrame({"y": y, "x": x, "fe": fe}))
+    fe_fit = estimate(sdf2, "y", ["x"], categorical_controls=["fe"],
+                      estimate_variance=True)
+    pooled2 = estimate(sdf2, "y", ["x"], estimate_variance=True)
+    out2 = hausman(fe_fit, pooled2)
+    assert out2["degenerate"] is False
+    assert out2["dof"] >= 1
+    assert "p_value" not in out2
+
+
+# ------------------------------------------------------------ new operators
+
+
+def test_cuped_by_matches_numpy(spark):
+    from hdfe_spark.operators.stats import cuped_by
+
+    rng = np.random.RandomState(134)
+    n = 6000
+    g = rng.randint(0, 5, size=n)
+    arm = np.where(rng.uniform(size=n) < 0.5, "t", "c")
+    x = rng.randn(n)                      # pre-period covariate
+    y = 0.8 * x + rng.randn(n) + np.where(arm == "t", 0.1, 0.0)
+    # keep values on the 1e-6 grid so the scaled moments are exact
+    x = np.round(x, 6)
+    y = np.round(y, 6)
+    pdf = pd.DataFrame({"g": g, "arm": arm, "y": y, "x": x})
+    out = (
+        cuped_by(spark.createDataFrame(pdf), "g", "arm", "y", "x", "c", "t")
+        .toPandas().set_index("g").sort_index()
+    )
+    for gi in range(5):
+        s = pdf[pdf["g"] == gi]
+        theta = np.cov(s["y"], s["x"], ddof=0)[0, 1] / s["x"].var(ddof=0)
+        a, b = s[s["arm"] == "c"], s[s["arm"] == "t"]
+        raw = b["y"].mean() - a["y"].mean()
+        adj = raw - theta * (b["x"].mean() - a["x"].mean())
+        rho2 = np.corrcoef(s["y"], s["x"])[0, 1] ** 2
+        r = out.loc[gi]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["theta"] - theta) < 1e-7
+        assert abs(r["diff_raw"] - raw) < 1e-9
+        assert abs(r["diff_cuped"] - adj) < 1e-8
+        assert abs(r["rho2"] - rho2) < 1e-7
+        # CUPED with a rho~0.6 covariate should land closer to the
+        # true 0.1 effect's noise floor than the raw contrast spread
+        assert r["rho2"] > 0.3
+
+
+def test_cuped_by_null_and_thin_guards(spark):
+    from hdfe_spark.operators.stats import cuped_by
+
+    pdf = pd.DataFrame({
+        "g": [0] * 6 + [1] * 3,
+        "arm": ["c", "c", "t", "t", "c", "t", "c", "c", "t"],
+        "y": [1.0, 2.0, 3.0, 4.0, np.nan, 5.0, 1.0, 2.0, 3.0],
+        "x": [0.5, 1.0, 1.5, 2.0, 9.0, np.nan, 1.0, 1.0, 1.0],
+    })
+    out = (
+        cuped_by(spark.createDataFrame(pdf), "g", "arm", "y", "x", "c", "t")
+        .toPandas().set_index("g").sort_index()
+    )
+    # group 0: NULL y and NULL x rows are outside the estimating
+    # sample entirely (shared mask) -> n_a=2, n_b=2
+    assert out.loc[0, "n_a"] == 2 and out.loc[0, "n_b"] == 2
+    s = pdf.dropna()
+    s0 = s[s["g"] == 0]
+    theta0 = (
+        np.cov(s0["y"], s0["x"], ddof=0)[0, 1] / s0["x"].var(ddof=0)
+    )
+    assert abs(out.loc[0, "theta"] - theta0) < 1e-7
+    # group 1: thin arm (n_b=1) and zero covariate variance -> NULLs
+    assert pd.isna(out.loc[1, "theta"])
+    assert pd.isna(out.loc[1, "diff_cuped"])
+    assert pd.isna(out.loc[1, "diff_raw"])
+
+
+def test_smd_by_matches_numpy(spark):
+    from hdfe_spark.operators.stats import smd_by
+
+    rng = np.random.RandomState(135)
+    n = 4000
+    arm = np.where(rng.uniform(size=n) < 0.4, "t", "c")
+    pdf = pd.DataFrame({
+        "arm": arm,
+        "age": np.round(rng.uniform(18, 80, size=n), 6),
+        "spend": np.round(rng.lognormal(3, 1, size=n)
+                          + np.where(arm == "t", 5.0, 0.0), 6),
+    })
+    pdf.loc[pdf.index[:50], "age"] = np.nan  # pairwise deletion
+    out = (
+        smd_by(spark.createDataFrame(pdf), "arm", ["age", "spend"],
+               "c", "t")
+        .toPandas().set_index("covariate")
+    )
+    for c in ("age", "spend"):
+        s = pdf[["arm", c]].dropna()
+        a = s.loc[s["arm"] == "c", c]
+        b = s.loc[s["arm"] == "t", c]
+        smd = (b.mean() - a.mean()) / np.sqrt(
+            (a.var(ddof=1) + b.var(ddof=1)) / 2.0
+        )
+        r = out.loc[c]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["mean_a"] - a.mean()) < 1e-9 * max(1, abs(a.mean()))
+        assert abs(r["smd"] - smd) < 1e-7
+    # the shifted covariate is flagged, the balanced one is not
+    assert abs(out.loc["spend", "smd"]) > 0.1
+    assert abs(out.loc["age", "smd"]) < 0.1
+
+
+def test_smd_by_thin_arm_null(spark):
+    from hdfe_spark.operators.stats import smd_by
+
+    pdf = pd.DataFrame({
+        "arm": ["c", "c", "c", "t"],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = smd_by(spark.createDataFrame(pdf), "arm", ["v"], "c", "t").collect()
+    assert out[0]["n_b"] == 1
+    assert out[0]["smd"] is None

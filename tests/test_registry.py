@@ -20,60 +20,45 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round12_window_composition():
-    """Positions 1-50 (sixteenth curation pass, executed as queued
-    in SURVEY.md, then amended mid-round): 1-17 = the
-    never-driver-recorded oracle-checked queries (the 12 round-11
-    registrations + the early-round-12 five,
-    `grouped_quantiles_approx_certificate`, `holt_winters_blocked`,
-    `winsorize_by`, `mann_whitney_by`, `bh_fdr`), 18-27 = the ten
-    late-round-12 econometrics/causal registrations (never-recorded,
-    so they outrank re-certs; `streaming_did` is the 24th streaming
-    form, `aipw_ate` the doubly-robust completion), 28-50 = the 23
-    stalest driver-green re-certs (r05-stratum head); the ten
-    evicted re-certs
-    (`salted_join` .. `agg_refresh`) move to the backlog HEAD so the
-    round-13 re-cert list starts with them, with the 50
-    round-11-window entries (fresh r11 evidence) last before the 11
-    rows-only demos at the tail. If this fails after an intentional
-    round-13 rotation, update the expectation alongside the
-    `queries()` docstring."""
+def test_round13_window_composition():
+    """Positions 1-50 (seventeenth curation pass, executed exactly
+    as queued in SURVEY.md after CORRECTNESS_r12 landed 50/50
+    green): 1-5 = this round's net-new registrations (`ri_pvalue`
+    and `mde_by` — the two pre-builds with zero driver exposure,
+    VERDICT r12 item 1 — plus the `hausman_iv` 1-slope fixture,
+    item 5, and the new experimentation operators `cuped_by` and
+    `smd_balance`); 6-50 = the 45 stalest driver-green re-certs —
+    the ten rows evicted by the late-round-12 econ panel
+    (`salted_join` .. `agg_refresh`), then the r06 stratum from
+    `cms_certificate` through `tpch_q19`. The round-12 window's 50
+    entries (fresh r12 evidence) sit last before the 11 rows-only
+    demos at the tail. If this fails after an intentional round-14
+    rotation, update the expectation alongside the `queries()`
+    docstring."""
     q = list(em.queries())
-    assert q[:27] == [
-        "ewma_blocked", "cusum_blocked", "holt_blocked",
-        "mrr", "avg_precision", "recall_at_k",
-        "zscore_by", "topk_by", "welch_by", "ks_by",
-        "streaming_welch", "srm_check",
-        "grouped_quantiles_approx_certificate",
-        "holt_winters_blocked",
-        "winsorize_by",
-        "mann_whitney_by",
-        "bh_fdr",
-        "se_cluster2", "iv_2sls", "ols_wls",
-        "ols_fit_stats", "did", "event_study",
-        "ipw_ate", "rdd", "streaming_did", "aipw_ate",
-    ]
-    assert q[27] == "equidepth_hist" and q[49] == "rolling_window"
-    # backlog head = the ten evicted re-certs, then the r06 stratum
-    assert q[50:60] == [
+    assert q[:15] == [
+        "ri_pvalue", "mde_by", "hausman_iv", "cuped_by", "smd_balance",
         "salted_join", "semi_anti_join", "sql_q1", "streaming_enrich",
         "subqueries", "tpch_q3", "unpivot_long", "window_ranks",
         "zorder_layout", "agg_refresh",
     ]
-    assert q[60:63] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[63] == "dq_report" and q[64] == "dup_ngram_spans"
-    # the 50 round-11-window entries (freshest evidence) sit last
-    # before the rows-only tail, alphabetical within the tie
-    r11_window = q[len(q) - 11 - 50 : len(q) - 11]
-    assert r11_window == sorted(r11_window)
-    assert r11_window[0] == "als" and r11_window[-1] == "window_funcs"
+    assert q[15:18] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[44] == "tpch_q14" and q[49] == "tpch_q19"
+    # backlog head = the r06 residue, stalest-first
+    assert q[50] == "tpch_q2"
+    # the round-12 window's 50 entries (freshest evidence) sit last
+    # before the rows-only tail, in their recorded window order
+    r12_window = q[len(q) - 11 - 50 : len(q) - 11]
+    assert r12_window[0] == "ewma_blocked"
+    assert r12_window[17] == "se_cluster2"
+    assert r12_window[-1] == "rolling_window"
     # rows-only demos must all sit OUTSIDE the window, at the tail
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 315
+    assert len(q) == 320
 
 
 def test_every_query_has_callable():
