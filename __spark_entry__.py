@@ -6980,21 +6980,26 @@ def _q_hausman_iv(spark, sf_dir):
     (efficient under exogeneity; `wls` with unit weights) vs IV
     (consistent; l_quantity instrumented by its censored transform —
     the `iv_2sls` fixture). With ONE common slope the eigen-repair
-    degenerates to a sign test on dV, so H = d²/dV is SQL-spellable
-    exactly; two fused moment aggregations, k=1 driver algebra, zero
-    data-sized collects. The degenerate flag rides along (ADVICE
-    r12: dof=0 must be explicit, never a 0-dof chi-square)."""
+    degenerates to a sign test on dV, so H = d²/dV is SQL-spellable;
+    two fused moment aggregations, k=1 driver algebra, zero
+    data-sized collects. All inputs are cast DECIMAL(12,2) so every
+    moment sum is EXACT (review r13: raw double sums are partition-
+    order-dependent, and H ~ n over a cancellation-prone dV erodes
+    the rounding slack as data grows) — both engines see identical
+    doubles after the one cast-to-double per moment. The degenerate
+    flag rides along (ADVICE r12: dof=0 must be explicit, never a
+    0-dof chi-square)."""
     from hdfe_spark.operators.estimate import hausman, iv_2sls, wls
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .withColumn("one", F.lit(1.0))
-        .withColumn("z_cens", F.least(F.col("l_quantity"), F.lit(25.0)))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("y"),
+        F.least(F.col("l_quantity"), F.lit(25.0))
+        .cast("decimal(12,2)").alias("z"),
+        F.lit(1).cast("decimal(1,0)").alias("one"),
     )
-    eff = wls(li, "l_extendedprice", ["l_quantity"], weights="one",
-              estimate_variance=True)
-    cons = iv_2sls(li, "l_extendedprice", "l_quantity", "z_cens",
-                   estimate_variance=True)
+    eff = wls(li, "y", ["x"], weights="one", estimate_variance=True)
+    cons = iv_2sls(li, "y", "x", "z", estimate_variance=True)
     out = hausman(cons, eff)
     return spark.createDataFrame(
         [{
@@ -7191,19 +7196,23 @@ _MDE_BY_SQL = """
 # the shared-mask n, the PSD sign test, and H = (d*(1/dv))*d — all
 # closed-form (the engine's 1x1 eigh/pinv reduce to these exactly).
 _HAUSMAN_IV_SQL = """
-            WITH s AS (
-              SELECT count(*) AS n,
-                     sum(l_quantity * l_quantity) AS sxx,
-                     sum(l_quantity * l_extendedprice) AS sxy,
-                     sum(l_extendedprice * l_extendedprice) AS syy,
-                     sum(least(l_quantity, 25.0)
-                         * least(l_quantity, 25.0)) AS szz,
-                     sum(least(l_quantity, 25.0) * l_quantity) AS szx,
-                     sum(least(l_quantity, 25.0)
-                         * l_extendedprice) AS szy
+            WITH d AS (
+              SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+                     CAST(least(l_quantity, 25.0)
+                          AS DECIMAL(12,2)) AS z
               FROM lineitem
               WHERE l_quantity IS NOT NULL
                 AND l_extendedprice IS NOT NULL),
+            s AS (
+              SELECT count(*) AS n,
+                     CAST(sum(x * x) AS DOUBLE) AS sxx,
+                     CAST(sum(x * y) AS DOUBLE) AS sxy,
+                     CAST(sum(y * y) AS DOUBLE) AS syy,
+                     CAST(sum(z * z) AS DOUBLE) AS szz,
+                     CAST(sum(z * x) AS DOUBLE) AS szx,
+                     CAST(sum(z * y) AS DOUBLE) AS szy
+              FROM d),
             e AS (
               SELECT n, sxx, sxy, syy, szz, szx, szy,
                      sxy / sxx AS be,

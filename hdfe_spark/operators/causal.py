@@ -326,6 +326,7 @@ def ri_pvalue(
     treat: str,
     n_perm: int = 199,
     id_col: str | None = None,
+    treat_frac: float | None = None,
 ) -> DataFrame:
     """Randomization-inference p-value for the difference in means:
     the observed effect's rank among ``n_perm`` PSEUDO-random
@@ -377,16 +378,28 @@ def ri_pvalue(
     # distribution entirely (otherwise permuted effects would average
     # over a larger sample than the observed one — anti-conservative).
     valid = t.isNotNull() & yv.isNotNull() & rid_raw.isNotNull()
-    # Calibration pre-pass: the permuted assignment probability must
-    # match the OBSERVED treated fraction. Exact integer threshold
-    # (M·n1)//(n1+n0) — both engines agree bit-for-bit.
-    cnt = df.agg(
-        F.count(F.when(valid & t, 1)).alias("n1"),
-        F.count(F.when(valid & ~t, 1)).alias("n0"),
-    ).collect()[0]
-    n1_obs, n0_obs = int(cnt["n1"]), int(cnt["n0"])
-    total = n1_obs + n0_obs
-    half = (M * n1_obs) // total if total > 0 else M // 2
+    # Calibration: the permuted assignment probability must match the
+    # design's treated fraction. With ``treat_frac`` given (the KNOWN
+    # design rate), the threshold folds with zero Spark jobs; with
+    # None, a count-only pre-pass reads the observed fraction — NOTE
+    # this runs EAGERLY at construction time (review r13: the
+    # threshold must be a plan literal, so laziness is impossible;
+    # callers building plans they never execute, or feeding a
+    # non-deterministic df whose sample would differ between the two
+    # scans, should pass treat_frac explicitly). Exact integer
+    # threshold (M·n1)//(n1+n0) — both engines agree bit-for-bit.
+    if treat_frac is not None:
+        if not 0.0 < treat_frac < 1.0:
+            raise ValueError("treat_frac must be in (0, 1)")
+        half = int(M * treat_frac)
+    else:
+        cnt = df.agg(
+            F.count(F.when(valid & t, 1)).alias("n1"),
+            F.count(F.when(valid & ~t, 1)).alias("n0"),
+        ).collect()[0]
+        n1_obs, n0_obs = int(cnt["n1"]), int(cnt["n0"])
+        total = n1_obs + n0_obs
+        half = (M * n1_obs) // total if total > 0 else M // 2
     aggs = [
         F.sum(F.when(valid & t, yv)).cast("double").alias("s1"),
         F.count(F.when(valid & t, yv)).alias("n1"),

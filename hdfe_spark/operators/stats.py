@@ -71,6 +71,40 @@ def _dup_order_guard(op_name: str, key_col: str, result):
     ).otherwise(result)
 
 
+def _dec38_num(op_name: str, n, ss, s1, s2=None):
+    """Exact decimal variance/covariance numerator ``n·ss − s1·s2``
+    (s2 defaults to s1) as a double, with the DECIMAL(38,0) overflow
+    guard FUSED at the definition so every downstream consumer (var,
+    t, dof, theta, rho², even `when` conditions) inherits it: without
+    the guard, Spark's default-ANSI decimal multiply raises a bare
+    NUMERIC_VALUE_OUT_OF_RANGE mid-plan (and silently NULLs under
+    non-ANSI — a poisoned panel that reads as "thin arm"), while a
+    SQL oracle's HUGEINT errors differently (review r13). The CASE
+    keeps the exact multiply in the untaken branch, so the guard
+    fires FIRST with a named, actionable error. Conservative bounds
+    (9e37 for |ss|·n, 3e18 for |s|) leave a wide margin under the
+    10³⁸ ceiling; the fix is a smaller ``scale`` (each 10× off
+    ``scale`` buys 10²× of headroom in ss). Shared by the
+    exact-moment family (`welch_by` — and through it `mde_by` —
+    `cuped_by`, `smd_by`)."""
+    if s2 is None:
+        s2 = s1
+    nD = n.cast("decimal(38,0)")
+    bad = (F.abs(ss.cast("double")) * n.cast("double") > F.lit(9.0e37)) | (
+        F.abs(s1.cast("double")) > F.lit(3.0e18)
+    ) | (F.abs(s2.cast("double")) > F.lit(3.0e18))
+    return F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                f"{op_name}: exact-decimal moment numerator n*ss - s*s"
+                " would overflow DECIMAL(38,0) — lower `scale` for this"
+                " value range / group size"
+            )
+        ).cast("double"),
+    ).otherwise((nD * ss - s1 * s2).cast("double"))
+
+
 # Ceiling on one key's materialized series (elements). The fold
 # family collects each key's (order, value) structs into ONE task's
 # memory — ~32 bytes/element in the aggregation buffer, so the 8M
@@ -1991,12 +2025,10 @@ def welch_by(
 
     def _stats(tag):
         n = F.col(f"n_{tag}")
-        nD = n.cast("decimal(38,0)")
         nd = n.cast("double")
-        varnum = (
-            nD * F.col(f"__ss_{tag}")
-            - F.col(f"__s_{tag}") * F.col(f"__s_{tag}")
-        ).cast("double")
+        varnum = _dec38_num(
+            "welch_by", n, F.col(f"__ss_{tag}"), F.col(f"__s_{tag}")
+        )
         mean = F.col(f"__s_{tag}").cast("double") / nd
         var = varnum / (nd * (nd - F.lit(1.0)))
         return nd, mean, var
@@ -5185,16 +5217,17 @@ def cuped_by(
             _sum(is_b, ux, "__sx_b"),
         )
     )
-    nD = F.col("__n").cast("decimal(38,0)")
-    covnum = (nD * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
-        "double"
+    # Each numerator carries the DECIMAL(38,0) overflow guard fused
+    # at definition (review r13), so theta/rho2/conditions all fail
+    # loudly and identically instead of a bare mid-plan ANSI error.
+    covnum = _dec38_num(
+        "cuped_by", F.col("__n"), F.col("__sxy"),
+        F.col("__sx"), F.col("__sy"),
     )
-    vxnum = (nD * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
-        "double"
-    )
-    vynum = (nD * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
-        "double"
-    )
+    vxnum = _dec38_num("cuped_by", F.col("__n"), F.col("__sxx"),
+                       F.col("__sx"))
+    vynum = _dec38_num("cuped_by", F.col("__n"), F.col("__syy"),
+                       F.col("__sy"))
     theta = covnum / vxnum  # scale cancels: cov(uy,ux)/var(ux)
     rho2 = covnum * covnum / (vxnum * vynum)
     mya = F.col("__sy_a").cast("double") / F.col("n_a").cast("double")
@@ -5276,11 +5309,12 @@ def smd_by(
     for i, c in enumerate(value_cols):
         def _stats(tag, i=i):
             n = F.col(f"__n_{tag}_{i}")
-            nD, nd = n.cast("decimal(38,0)"), n.cast("double")
-            varnum = (
-                nD * F.col(f"__ss_{tag}_{i}")
-                - F.col(f"__s_{tag}_{i}") * F.col(f"__s_{tag}_{i}")
-            ).cast("double")
+            nd = n.cast("double")
+            # overflow guard fused at the numerator (review r13)
+            varnum = _dec38_num(
+                "smd_by", n, F.col(f"__ss_{tag}_{i}"),
+                F.col(f"__s_{tag}_{i}"),
+            )
             mean = F.col(f"__s_{tag}_{i}").cast("double") / nd
             var = varnum / (nd * (nd - F.lit(1.0)))
             return n, mean, var

@@ -1,0 +1,130 @@
+"""Round-13 review pins: the DECIMAL(38,0) overflow guard on the
+exact-moment family, ri_pvalue's explicit design-rate parameter, and
+the decimal-exact hausman fixture's engine-side algebra."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+
+def _huge_pdf():
+    # The window the guard owns: every per-row product and per-arm
+    # sum FITS decimal(38,0) (u = ±4.8e18, u² = 2.3e37, ss ≈ 4.6e37,
+    # mixed signs keep |s| ≈ 0), but the variance numerator's n·ss
+    # would overflow — under Spark 4's default ANSI mode that multiply
+    # raises a bare NUMERIC_VALUE_OUT_OF_RANGE mid-aggregation (and
+    # under non-ANSI it NULLs silently); the guard converts both into
+    # a named, actionable error BEFORE the multiply is attempted.
+    return pd.DataFrame({
+        "g": [0, 0, 0, 0],
+        "arm": ["a", "a", "b", "b"],
+        "v": [4.8e12, -4.8e12, 4.8e12, -4.8e12],
+        "x": [1.0, 2.0, 3.0, 4.0],
+    })
+
+
+def test_welch_by_overflow_guard_raises(spark):
+    from hdfe_spark.operators.stats import welch_by
+
+    out = welch_by(spark.createDataFrame(_huge_pdf()), "g", "arm", "v",
+                   "a", "b")
+    with pytest.raises(Exception, match="overflow DECIMAL"):
+        out.collect()
+
+
+def test_cuped_by_overflow_guard_raises(spark):
+    from hdfe_spark.operators.stats import cuped_by
+
+    out = cuped_by(spark.createDataFrame(_huge_pdf()), "g", "arm", "v",
+                   "x", "a", "b")
+    with pytest.raises(Exception, match="overflow DECIMAL"):
+        out.collect()
+
+
+def test_smd_by_overflow_guard_raises(spark):
+    from hdfe_spark.operators.stats import smd_by
+
+    out = smd_by(spark.createDataFrame(_huge_pdf()), "arm", ["v"],
+                 "a", "b")
+    with pytest.raises(Exception, match="overflow DECIMAL"):
+        out.collect()
+
+
+def test_welch_by_guard_transparent_on_sane_data(spark):
+    """The guard must not perturb values in the safe regime."""
+    from hdfe_spark.operators.stats import welch_by
+
+    rng = np.random.RandomState(136)
+    pdf = pd.DataFrame({
+        "g": np.zeros(200, dtype=np.int64),
+        "arm": np.where(np.arange(200) % 2 == 0, "a", "b"),
+        "v": np.round(rng.randn(200), 6),
+    })
+    row = welch_by(spark.createDataFrame(pdf), "g", "arm", "v",
+                   "a", "b").collect()[0]
+    a = pdf.loc[pdf["arm"] == "a", "v"]
+    b = pdf.loc[pdf["arm"] == "b", "v"]
+    assert abs(row["var_a"] - a.var(ddof=1)) < 1e-12
+    assert abs(row["var_b"] - b.var(ddof=1)) < 1e-12
+
+
+def test_ri_pvalue_treat_frac_matches_autocalibration(spark):
+    """Passing the known design rate must reproduce the
+    auto-calibrated threshold exactly when the observed fraction
+    equals it (here 2500/10000 = 0.25 exactly, and
+    int(M*0.25) == (M*2500)//10000)."""
+    from hdfe_spark.operators.causal import ri_pvalue
+
+    rng = np.random.RandomState(137)
+    n = 10000
+    ids = np.arange(n, dtype=np.int64)
+    t = ids % 4 == 0  # exactly 25%
+    y = rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "t": t, "y": y})
+    sdf = spark.createDataFrame(pdf)
+    auto = ri_pvalue(sdf, "y", "t", n_perm=19, id_col="id").collect()[0]
+    fixed = ri_pvalue(sdf, "y", "t", n_perm=19, id_col="id",
+                      treat_frac=0.25).collect()[0]
+    assert auto["p_value"] == fixed["p_value"]
+    assert auto["observed"] == fixed["observed"]
+    with pytest.raises(ValueError, match="treat_frac"):
+        ri_pvalue(sdf, "y", "t", id_col="id", treat_frac=1.5)
+
+
+def test_wls_iv_decimal_moments_exact(spark):
+    """The hausman_iv fixture path: DECIMAL(12,2) inputs make every
+    wls/iv moment an exact decimal sum, so slopes match an exact-
+    fraction replica to the last ulp of the final division."""
+    from hdfe_spark.operators.estimate import iv_2sls, wls
+
+    rng = np.random.RandomState(138)
+    n = 5000
+    x = np.round(rng.uniform(1, 50, n), 2)
+    y = np.round(3.0 * x + rng.uniform(0, 10, n), 2)
+    z = np.minimum(x, 25.0)
+    pdf = pd.DataFrame({"x": x, "y": y, "z": z, "one": 1})
+    sdf = spark.createDataFrame(pdf).select(
+        F.col("x").cast("decimal(12,2)").alias("x"),
+        F.col("y").cast("decimal(12,2)").alias("y"),
+        F.col("z").cast("decimal(12,2)").alias("z"),
+        F.lit(1).cast("decimal(1,0)").alias("one"),
+    )
+    eff = wls(sdf, "y", ["x"], weights="one")
+    cons = iv_2sls(sdf, "y", "x", "z")
+    # exact integer moments at 2 decimals: scale by 100
+    xi = np.round(x * 100).astype(object)  # python ints: no overflow
+    yi = np.round(y * 100).astype(object)
+    zi = np.round(z * 100).astype(object)
+    sxx = int(sum(xi * xi))
+    sxy = int(sum(xi * yi))
+    szx = int(sum(zi * xi))
+    szy = int(sum(zi * yi))
+    b_ols = (sxy / 1e4) / (sxx / 1e4)
+    szz = int(sum(zi * zi))
+    xpx = ((szx / 1e4) * (1.0 / (szz / 1e4))) * (szx / 1e4)
+    xpy = ((szx / 1e4) * (1.0 / (szz / 1e4))) * (szy / 1e4)
+    b_iv = xpy / xpx
+    assert abs(float(eff.b[0, 0]) - b_ols) < 1e-12 * abs(b_ols)
+    assert abs(float(cons.b[0, 0]) - b_iv) < 1e-10 * abs(b_iv)

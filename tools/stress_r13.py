@@ -35,8 +35,6 @@ def _base(spark):
     from i div 100). y and x integer-valued on the 1e-6 grid."""
     from pyspark.sql import functions as F
 
-    j = F.col("id") / F.lit(100)  # integer part decorrelates
-    jj = (F.col("id") - F.col("id") % 100) / 100
     return spark.range(0, N, 1, 64).select(
         (F.col("id") % 100).alias("g"),
         F.when((F.col("id").cast("long") / 100).cast("long") % 2 == 0,
@@ -120,7 +118,7 @@ def stress_ri(spark):
     from hdfe_spark.operators.causal import ri_pvalue
 
     n_perm = 25
-    df = _spark().range(0, N, 1, 64).select(
+    df = spark.range(0, N, 1, 64).select(
         F.col("id"),
         ((F.col("id") * 7919) % 5 == 0).alias("t"),  # ~20/80 design
         ((F.col("id") * 104729) % 9).cast("double").alias("y"),
