@@ -7380,6 +7380,225 @@ def _smd_balance_oracle() -> str:
 _SMD_BALANCE_SQL = _smd_balance_oracle()
 
 
+def _q_power_by(spark, sf_dir):
+    """Per-segment required sample size (`operators/stats.py::
+    power_sample_size_by` — `mde_by` inverted): how many subjects
+    per arm does each user-id-mod-10 segment need to detect a 0.1
+    click-vs-view mean shift at alpha=0.05 / power=0.80, given its
+    own observed arm variances, plus the fraction already collected.
+    Pure composition on welch_by's exact-decimal moments; the z²
+    and δ² constants fold as the same exact doubles on both
+    engines, so ⌈·⌉ lands on the same integer."""
+    from hdfe_spark.operators.stats import power_sample_size_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = power_sample_size_by(
+        base, "segment", "event_type", "value", "click", "view",
+        target_effect=0.1,
+    )
+    return out.select(
+        "segment", "n_a", "n_b", "n_required_per_arm",
+        _pround("fill_fraction").alias("fill_fraction"),
+    )
+
+
+def _q_tost_by(spark, sf_dir):
+    """Per-segment equivalence test (`operators/stats.py::tost_by` —
+    Schuirmann's two one-sided tests): is each segment's
+    click-vs-view mean difference provably inside ±0.05? The "prove
+    no change" completion of the test panel (a non-significant
+    welch t is NOT equivalence evidence). Large-sample z form on
+    the same exact-decimal moments; the one-sided critical value is
+    a fixed exact double, so the boolean verdict is engine-exact."""
+    from hdfe_spark.operators.stats import tost_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = tost_by(base, "segment", "event_type", "value",
+                  "click", "view", margin=0.05)
+    return out.select(
+        "segment", "n_a", "n_b",
+        _pround("diff").alias("diff"),
+        _pround("z_lower").alias("z_lower"),
+        _pround("z_upper").alias("z_upper"),
+        F.col("equivalent"),
+    )
+
+
+def _q_qte_by(spark, sf_dir):
+    """Per-segment quantile treatment effects (`operators/stats.py::
+    qte_by`): the click-vs-view contrast of EXACT per-arm quartiles
+    — where in the value distribution the arms differ, the readout
+    mean-based panels cannot give. ONE group-keyed aggregation of
+    conditional exact percentiles (linear interpolation — the
+    winsorize_by cross-engine precedent), long-form rows via a
+    stack projection."""
+    from hdfe_spark.operators.stats import qte_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = qte_by(base, "segment", "event_type", "value",
+                 "click", "view", probs=(0.25, 0.5, 0.75))
+    return out.select(
+        "segment", "n_a", "n_b", "p",
+        _pround("q_a").alias("q_a"),
+        _pround("q_b").alias("q_b"),
+        _pround("qte").alias("qte"),
+    )
+
+
+# power/tost ride the welch_by moment CTEs (m and c below are the
+# _WELCH_BY_SQL spellings verbatim); z² = (z_{0.975}+z_{0.80})² and
+# δ² = 0.1·0.1 fold as the exact doubles the engine's lit() produces.
+_WELCH_MOMENTS_CTE = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m)
+"""
+
+_POWER_BY_SQL = _WELCH_MOMENTS_CTE + """,
+            d AS (
+              SELECT segment, na, nb,
+                     CASE WHEN na >= 2 AND nb >= 2 THEN
+                       CAST(ceil(7.848879734349088
+                         * ((va / (1000000.0 * 1000000.0))
+                            + (vb / (1000000.0 * 1000000.0)))
+                         / 0.010000000000000002) AS BIGINT)
+                     END AS need
+              FROM c)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   need AS n_required_per_arm,
+                   CASE WHEN need > 0 THEN
+                     floor(least(CAST(na AS DOUBLE)
+                                   / CAST(need AS DOUBLE),
+                                 CAST(nb AS DOUBLE)
+                                   / CAST(need AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9
+                   END AS fill_fraction
+            FROM d
+        """
+
+_TOST_BY_SQL = _WELCH_MOMENTS_CTE + """,
+            d AS (
+              SELECT segment, na, nb,
+                     (mb / 1000000.0) - (ma / 1000000.0) AS diff,
+                     CASE WHEN na >= 2 AND nb >= 2 THEN
+                       sqrt((va / (1000000.0 * 1000000.0))
+                              / CAST(na AS DOUBLE)
+                            + (vb / (1000000.0 * 1000000.0))
+                              / CAST(nb AS DOUBLE))
+                     END AS se
+              FROM c),
+            e AS (
+              SELECT segment, na, nb, diff, se,
+                     (diff + 0.05) / se AS z_lower,
+                     (diff - 0.05) / se AS z_upper
+              FROM d)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   CASE WHEN se > 0 THEN
+                     floor(diff * 1e9 + 0.5) / 1e9 END AS diff,
+                   CASE WHEN se > 0 THEN
+                     floor(z_lower * 1e9 + 0.5) / 1e9 END AS z_lower,
+                   CASE WHEN se > 0 THEN
+                     floor(z_upper * 1e9 + 0.5) / 1e9 END AS z_upper,
+                   CASE WHEN se > 0 THEN
+                     z_lower >= 1.6448536269514722
+                     AND z_upper <= -1.6448536269514722
+                   END AS equivalent
+            FROM e
+        """
+
+_QTE_BY_SQL = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     count(CASE WHEN event_type = 'click'
+                           THEN 1 END) AS na,
+                     count(CASE WHEN event_type = 'view'
+                           THEN 1 END) AS nb,
+                     quantile_cont(CASE WHEN event_type = 'click'
+                                   THEN value END, 0.25) AS qa_0,
+                     quantile_cont(CASE WHEN event_type = 'view'
+                                   THEN value END, 0.25) AS qb_0,
+                     quantile_cont(CASE WHEN event_type = 'click'
+                                   THEN value END, 0.5) AS qa_1,
+                     quantile_cont(CASE WHEN event_type = 'view'
+                                   THEN value END, 0.5) AS qb_1,
+                     quantile_cont(CASE WHEN event_type = 'click'
+                                   THEN value END, 0.75) AS qa_2,
+                     quantile_cont(CASE WHEN event_type = 'view'
+                                   THEN value END, 0.75) AS qb_2
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1)
+            SELECT segment, CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b, 0.25 AS p,
+                   floor(qa_0 * 1e9 + 0.5) / 1e9 AS q_a,
+                   floor(qb_0 * 1e9 + 0.5) / 1e9 AS q_b,
+                   floor((qb_0 - qa_0) * 1e9 + 0.5) / 1e9 AS qte
+            FROM m
+            UNION ALL
+            SELECT segment, CAST(na AS BIGINT), CAST(nb AS BIGINT),
+                   0.5 AS p,
+                   floor(qa_1 * 1e9 + 0.5) / 1e9,
+                   floor(qb_1 * 1e9 + 0.5) / 1e9,
+                   floor((qb_1 - qa_1) * 1e9 + 0.5) / 1e9
+            FROM m
+            UNION ALL
+            SELECT segment, CAST(na AS BIGINT), CAST(nb AS BIGINT),
+                   0.75 AS p,
+                   floor(qa_2 * 1e9 + 0.5) / 1e9,
+                   floor(qb_2 * 1e9 + 0.5) / 1e9,
+                   floor((qb_2 - qa_2) * 1e9 + 0.5) / 1e9
+            FROM m
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -7390,17 +7609,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-5: this round's net-new registrations -- the two
+    - positions 1-8: this round's net-new registrations -- the two
       pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
       VERDICT r12 item 1), the `hausman` just-identified 1-slope
       fixture (`hausman_iv` -- item 5: with ONE common slope the
       PSD eigen-repair is a closed-form sign test, SQL-spellable),
-      and the two new experimentation-panel operators (`cuped_by`,
-      `smd_balance`).
-    - positions 6-50: the 45 stalest driver-green re-certs -- the
+      and the five new experimentation-panel operators (`cuped_by`,
+      `smd_balance`, then late-round `power_by`, `tost_by`,
+      `qte_by`).
+    - positions 9-50: the 42 stalest driver-green re-certs -- the
       ten r05/r06 rows the late-round-12 econ panel evicted
       (`salted_join` .. `agg_refresh`), then the r06 stratum from
-      `cms_certificate` through `tpch_q19`.
+      `cms_certificate` through `tpch_q16` (`tpch_q17`-`q19`
+      evicted to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the r06 residue
       (`tpch_q2` onward), then the r07/r09/r10 strata, then the
@@ -7420,6 +7641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausman_iv": _q_hausman_iv,
         "cuped_by": _q_cuped_by,
         "smd_balance": _q_smd_balance,
+        "power_by": _q_power_by,
+        "tost_by": _q_tost_by,
+        "qte_by": _q_qte_by,
         # 6-50: the 45 stalest driver-green re-certs — the ten
         # r05/r06 rows evicted by the late-round-12 econ panel
         # (salted_join .. agg_refresh), then the r06 stratum from
@@ -7466,10 +7690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
+        # ------ end of the driver's 50-query window ------
+        # (tpch_q17-q19 evicted by the three late-round-13
+        # registrations power_by/tost_by/qte_by - they move
+        # to the backlog head, the round-14 re-cert list)
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
-        # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list:
@@ -8198,6 +8425,9 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "power_by": _POWER_BY_SQL,
+        "tost_by": _TOST_BY_SQL,
+        "qte_by": _QTE_BY_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

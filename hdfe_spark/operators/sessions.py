@@ -143,18 +143,24 @@ def funnel(
     tried as an anchor and the best walk wins (most steps completed;
     earliest anchor on ties). Exact, not heuristic, in both modes.
 
-    Plan (100 TB shape): ONE shuffle — a single groupBy collects one
-    SORTED per-step event-time array per entity
-    (``sort_array(collect_list(when(type=s_i, order)))``), then the
-    step walk is a pure JVM array-expression fold (bounded
-    ``filter(...)[0]`` probes, no Python, no self-joins — a k-way
+    Plan (100 TB shape): ONE shuffle — a single groupBy collects the
+    entity's relevant events, then the walk is a pure JVM
+    array-expression fold (no Python, no self-joins — a k-way
     self-join of the event table against itself would square the
-    event volume). Per-entity arrays are bounded by the entity's own
-    activity — the same boundedness sessionize's window assumes; the
-    windowed multi-anchor walk costs O(|step-1 events| x total
-    events) ARRAY probes per entity (in-memory, no extra shuffle).
-    ``order_col`` must be integral (epoch micros, emitted as
-    bigint): min/filter over integers is engine-exact.
+    event volume). Greedy mode folds ONE sorted (time, step) array
+    through a state-machine accumulator — a single O(n·k) pass per
+    entity (review r13: the earlier per-step-array walk nested each
+    step's filter inside the next step's lambda, and interpreted
+    higher-order functions re-evaluate nested subtrees per element —
+    O(n^k) on a hot key; the measured envelope is in SCALE.md).
+    Windowed mode keeps per-step sorted arrays and tries every
+    step-1 anchor; its nested probes cost O(|anchors| · n^(k-1))
+    array-element evaluations per entity worst-case, so it is for
+    per-entity activity volumes (the sessionize boundedness
+    assumption), NOT hot keys. Per-entity arrays are bounded by the
+    entity's own activity either way. ``order_col`` must be integral
+    (epoch micros, emitted as bigint): min/filter over integers is
+    engine-exact.
 
     Returns one row per entity with >= 1 step-1 event: entity,
     steps_completed, and t_1..t_k (NULL beyond the completed
@@ -173,6 +179,84 @@ def funnel(
             "integral (epoch micros) for engine-exact min/filter"
         )
     k = len(steps)
+    stype = "struct<c:int," + ",".join(
+        f"t{i + 1}:bigint" for i in range(k)
+    ) + ">"
+
+    if within is None:
+        # Greedy mode: ONE sorted (time, step) array per entity and a
+        # SINGLE-PASS state-machine fold — O(n·k) per entity. The
+        # previous per-step-array walk nested each step's filter
+        # inside the next step's lambda predicate, and interpreted
+        # higher-order functions re-evaluate nested subtrees PER
+        # ELEMENT: O(n^k) on a hot key (review r13 — measured: 10M
+        # one-entity events never finished; chained projections
+        # don't help because CollapseProject re-inlines
+        # single-reference aliases). The fold's greedy transition
+        # — advance iff the event is the next needed step and
+        # STRICTLY after the last matched time — is the textbook
+        # one-pass equivalent of the sequential definition.
+        ev = F.when(
+            F.col(type_col) == F.lit(steps[0]), F.lit(0)
+        )
+        for i in range(1, k):
+            ev = ev.when(F.col(type_col) == F.lit(steps[i]), F.lit(i))
+        g = (
+            df.filter(F.col(order_col).isNotNull() & ev.isNotNull())
+            .groupBy(F.col(entity_col))
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order_col).cast("long").alias("t"),
+                            ev.cast("int").alias("s"),
+                        )
+                    )
+                ).alias("__ev")
+            )
+        )
+
+        # accumulator: struct(c int, t1..tk bigint, m = time of the
+        # last match — m rides as its own field so the transition
+        # never indexes t_c dynamically)
+        def _advance(acc, x):
+            c = acc.getField("c")
+            fields = [(c + F.lit(1)).alias("c")]
+            for i in range(k):
+                fields.append(
+                    F.when(c == F.lit(i), x.getField("t"))
+                    .otherwise(acc.getField(f"t{i + 1}"))
+                    .alias(f"t{i + 1}")
+                )
+            fields.append(x.getField("t").alias("m"))
+            return F.struct(*fields)
+
+        def _fold(acc, x):
+            done = acc.getField("c") >= F.lit(k)
+            fired = (~done) & (x.getField("s") == acc.getField("c")) & (
+                (acc.getField("c") == F.lit(0))
+                | (x.getField("t") > acc.getField("m"))
+            )
+            return F.when(fired, _advance(acc, x)).otherwise(acc)
+
+        init = F.expr(
+            "named_struct('c', 0, "
+            + ", ".join(
+                f"'t{i + 1}', cast(null as bigint)" for i in range(k)
+            )
+            + ", 'm', cast(null as bigint))"
+        )
+        best = F.aggregate(F.col("__ev"), init, _fold)
+        out = g.select(
+            entity_col,
+            best.getField("c").cast("long").alias("steps_completed"),
+            *[
+                best.getField(f"t{i + 1}").alias(f"t_{i + 1}")
+                for i in range(k)
+            ],
+        )
+        return out.filter(F.col("t_1").isNotNull())
+
     aggs = [
         F.sort_array(
             F.collect_list(
@@ -187,31 +271,23 @@ def funnel(
     g = df.filter(F.col(order_col).isNotNull()).groupBy(
         F.col(entity_col)
     ).agg(*aggs)
-    stype = "struct<c:int," + ",".join(
-        f"t{i + 1}:bigint" for i in range(k)
-    ) + ">"
 
     def walk_from(anchor):
         """Greedy walk t_1..t_k from a given step-1 anchor, as a
         (completed, t1..tk) struct expression."""
         ts = [anchor]
+        w_lit = F.lit(int(within))
         for i in range(1, k):
             arr = F.col(f"__a{i}")
             prev, t0 = ts[i - 1], ts[0]
-            if within is None:
-                cand = F.filter(
-                    arr, (lambda p: (lambda x: x > p))(prev)
-                )
-            else:
-                w_lit = F.lit(int(within))
-                cand = F.filter(
-                    arr,
-                    (
-                        lambda p, a0: (
-                            lambda x: (x > p) & (x - a0 <= w_lit)
-                        )
-                    )(prev, t0),
-                )
+            cand = F.filter(
+                arr,
+                (
+                    lambda p, a0: (
+                        lambda x: (x > p) & (x - a0 <= w_lit)
+                    )
+                )(prev, t0),
+            )
             # try_element_at: empty candidate set -> NULL, not an
             # ANSI index error
             ts.append(F.try_element_at(cand, F.lit(1)))
@@ -223,20 +299,17 @@ def funnel(
             *[ts[i].cast("bigint").alias(f"t{i + 1}") for i in range(k)],
         )
 
-    if within is None:
-        best = walk_from(F.try_element_at(F.col("__a0"), F.lit(1)))
-    else:
-        # every step-1 event is a candidate anchor; fold keeps the
-        # first walk with the strictly highest step count, so ties
-        # resolve to the EARLIEST anchor (the array is sorted)
-        walks = F.transform(F.col("__a0"), lambda a: walk_from(a))
-        best = F.aggregate(
-            walks,
-            F.lit(None).cast(stype),
-            lambda acc, s: F.when(
-                acc.isNull() | (s.getField("c") > acc.getField("c")), s
-            ).otherwise(acc),
-        )
+    # every step-1 event is a candidate anchor; fold keeps the
+    # first walk with the strictly highest step count, so ties
+    # resolve to the EARLIEST anchor (the array is sorted)
+    walks = F.transform(F.col("__a0"), lambda a: walk_from(a))
+    best = F.aggregate(
+        walks,
+        F.lit(None).cast(stype),
+        lambda acc, s: F.when(
+            acc.isNull() | (s.getField("c") > acc.getField("c")), s
+        ).otherwise(acc),
+    )
     out = g.select(
         entity_col,
         best.getField("c").cast("long").alias("steps_completed"),

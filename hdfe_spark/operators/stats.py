@@ -5144,10 +5144,14 @@ def cuped_by(
     arm_b,
     scale: float = 1e6,
 ) -> DataFrame:
-    """Per-group CUPED variance-reduced treatment effect (Deng et al.
-    2013, "Improving the Sensitivity of Online Controlled
-    Experiments by Utilizing Pre-Experiment Data" — the standard
-    industry adjustment): within each group, regress the outcome on
+    """Per-group CUPED variance-reduced treatment effect — the global
+    `cuped` transform stratified (the `welch_ttest`/`welch_by`
+    convention: run every experiment segment at once), and extended
+    from adjusted means to the ARM CONTRAST with the rho² readout
+    (Deng et al. 2013, "Improving the Sensitivity of Online
+    Controlled Experiments by Utilizing Pre-Experiment Data" — the
+    standard industry adjustment): within each group, regress the
+    outcome on
     a pre-experiment covariate POOLED across both arms
     (``theta = cov(y, x) / var(x)``), adjust
     ``y' = y − theta·(x − E[x])``, and report the adjusted
@@ -5344,4 +5348,215 @@ def smd_by(
         F.col("__row.mean_a").alias("mean_a"),
         F.col("__row.mean_b").alias("mean_b"),
         F.col("__row.smd").alias("smd"),
+    )
+
+
+# One-sided normal quantiles z_{1-alpha} for the equivalence test —
+# exact doubles both engines fold identically (the _Z_TABLE pattern).
+_Z_ONESIDED = {
+    0.10: 1.2815515655446004,   # z_{0.90}
+    0.05: 1.6448536269514722,   # z_{0.95}
+    0.01: 2.3263478740408408,   # z_{0.99}
+}
+
+
+def power_sample_size_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    target_effect: float,
+    alpha: float = 0.05,
+    power: float = 0.80,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-segment required sample size — `mde_by` inverted: given a
+    TARGET effect, how many subjects per arm does each segment need
+    at significance ``alpha`` (two-sided) and ``power``, using the
+    segment's own observed arm variances?
+    ``n/arm = ⌈(z_{1−α/2} + z_{power})² · (var_a + var_b) / δ²⌉``
+    (the unequal-variance two-sample form at equal allocation).
+    Also emits the realized per-arm sizes and the fraction of the
+    requirement already collected (min over arms) — the "how much
+    longer must this experiment run?" readout.
+
+    Same ONE group-keyed exact-decimal aggregation as `welch_by`
+    (pure composition); z constants from the same fixed exact-double
+    tables; thin arms (n < 2) get NULL requirement.
+    """
+    if alpha not in _Z_TABLE:
+        raise ValueError(f"alpha must be one of {sorted(_Z_TABLE)}")
+    if power not in _Z_POWER:
+        raise ValueError(f"power must be one of {sorted(_Z_POWER)}")
+    if not target_effect > 0:
+        raise ValueError("target_effect must be > 0")
+    z = _Z_TABLE[alpha] + _Z_POWER[power]
+    base = welch_by(
+        df, group_col, arm_col, value_col, arm_a, arm_b, scale=scale
+    )
+    need = F.ceil(
+        F.lit(float(z) * float(z))
+        * (F.col("var_a") + F.col("var_b"))
+        / F.lit(float(target_effect) * float(target_effect))
+    ).cast("long")
+    have = F.least(
+        F.col("n_a").cast("double") / need.cast("double"),
+        F.col("n_b").cast("double") / need.cast("double"),
+    )
+    return base.select(
+        F.col(group_col),
+        "n_a", "n_b",
+        need.alias("n_required_per_arm"),
+        F.when(need > 0, have).alias("fill_fraction"),
+    )
+
+
+def tost_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    margin: float,
+    alpha: float = 0.05,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-segment equivalence test (TOST — two one-sided tests, the
+    Schuirmann procedure): is each segment's arm-b-minus-arm-a mean
+    difference provably INSIDE ±``margin``? The completion of the
+    test panel for "prove no change" launches (a non-significant
+    welch_by t is NOT evidence of equivalence).
+
+    Large-sample z form on `welch_by`'s exact-decimal moments (one
+    group-keyed aggregation): ``z_lower = (diff + margin)/se``,
+    ``z_upper = (diff − margin)/se``, equivalent iff
+    ``z_lower ≥ z_{1−α}`` AND ``z_upper ≤ −z_{1−α}`` — both one-sided
+    tests reject at ``alpha``. The critical value comes from the
+    fixed exact-double table (`_Z_ONESIDED`), so the boolean verdict
+    is engine-exact. Thin arms or zero variance → NULL verdict,
+    never a poisoned panel.
+    """
+    if alpha not in _Z_ONESIDED:
+        raise ValueError(f"alpha must be one of {sorted(_Z_ONESIDED)}")
+    if not margin > 0:
+        raise ValueError("margin must be > 0")
+    zc = _Z_ONESIDED[alpha]
+    base = welch_by(
+        df, group_col, arm_col, value_col, arm_a, arm_b, scale=scale
+    )
+    diff = F.col("mean_b") - F.col("mean_a")
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    z_lower = (diff + F.lit(float(margin))) / se
+    z_upper = (diff - F.lit(float(margin))) / se
+    ok = se > 0
+    return base.select(
+        F.col(group_col),
+        "n_a", "n_b",
+        F.when(ok, diff).alias("diff"),
+        F.when(ok, z_lower).alias("z_lower"),
+        F.when(ok, z_upper).alias("z_upper"),
+        F.when(
+            ok,
+            (z_lower >= F.lit(float(zc))) & (z_upper <= F.lit(-float(zc))),
+        ).alias("equivalent"),
+    )
+
+
+def qte_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-segment quantile treatment effects: at each probability p,
+    the arm-b-minus-arm-a difference of EXACT per-arm quantiles —
+    where in the outcome distribution does the treatment act? (A mean
+    shift from the top decile and a uniform shift are
+    indistinguishable to `welch_by`/`cuped_by`; QTE separates them.)
+
+    ONE group-keyed aggregation computes every (arm, p) exact
+    percentile as a conditional aggregate (``percentile(CASE WHEN
+    arm THEN v END, p)`` — linear interpolation, the
+    `winsorize_by`/`mad_outliers` cross-engine precedent); the
+    |probs| output rows per group are a stack projection, so the
+    plan is one shuffle + one generate at any row count. Exact
+    percentiles sort within each group-arm aggregation buffer —
+    per-segment groups, the winsorize_by scale contract; for
+    billion-row groups use the `grouped_quantiles_approx` sketch
+    path instead (merge-order-dependent, not oracle-hashable).
+    NULL values are outside both arms; thin arms give NULL qte.
+    """
+    probs = [float(p) for p in probs]
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("qte_by: probs must be in [0, 1]")
+    if arm_a == arm_b:
+        raise ValueError(
+            f"qte_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    vq = quote_ident(value_col)
+    aq = quote_ident(arm_col)
+
+    def _lit(v):
+        return repr(str(v)) if isinstance(v, str) else repr(v)
+
+    aggs = [
+        F.count(
+            F.when(F.col(arm_col) == F.lit(arm_a), F.col(value_col))
+        ).alias("__n_a"),
+        F.count(
+            F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
+        ).alias("__n_b"),
+    ]
+    for i, p in enumerate(probs):
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN {aq} = {_lit(arm_a)} THEN {vq} END,"
+                f" {p!r})"
+            ).alias(f"__qa_{i}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN {aq} = {_lit(arm_b)} THEN {vq} END,"
+                f" {p!r})"
+            ).alias(f"__qb_{i}")
+        )
+    m = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(arm_col).isin(arm_a, arm_b)
+        )
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*aggs)
+    )
+    rows = []
+    for i, p in enumerate(probs):
+        qa, qb = F.col(f"__qa_{i}"), F.col(f"__qb_{i}")
+        rows.append(
+            F.struct(
+                F.lit(p).alias("p"),
+                qa.alias("q_a"),
+                qb.alias("q_b"),
+                (qb - qa).alias("qte"),
+            )
+        )
+    out = m.select(
+        F.col("__g").alias(group_col),
+        F.col("__n_a").cast("long").alias("n_a"),
+        F.col("__n_b").cast("long").alias("n_b"),
+        F.explode(F.array(*rows)).alias("__r"),
+    )
+    return out.select(
+        group_col, "n_a", "n_b",
+        F.col("__r.p").alias("p"),
+        F.col("__r.q_a").alias("q_a"),
+        F.col("__r.q_b").alias("q_b"),
+        F.col("__r.qte").alias("qte"),
     )

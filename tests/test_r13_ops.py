@@ -319,3 +319,102 @@ def test_smd_by_thin_arm_null(spark):
     out = smd_by(spark.createDataFrame(pdf), "arm", ["v"], "c", "t").collect()
     assert out[0]["n_b"] == 1
     assert out[0]["smd"] is None
+
+
+def test_power_sample_size_by_matches_numpy(spark):
+    from hdfe_spark.operators.stats import power_sample_size_by
+
+    rng = np.random.RandomState(140)
+    n = 4000
+    g = rng.randint(0, 4, size=n)
+    arm = np.where(rng.uniform(size=n) < 0.5, "c", "t")
+    v = np.round(rng.randn(n) * (1 + g), 6)
+    pdf = pd.DataFrame({"g": g, "arm": arm, "v": v})
+    out = (
+        power_sample_size_by(
+            spark.createDataFrame(pdf), "g", "arm", "v", "c", "t",
+            target_effect=0.2)
+        .toPandas().set_index("g").sort_index()
+    )
+    z = 1.959963984540054 + 0.8416212335729143
+    for gi in range(4):
+        s = pdf[pdf["g"] == gi]
+        va = s.loc[s["arm"] == "c", "v"].var(ddof=1)
+        vb = s.loc[s["arm"] == "t", "v"].var(ddof=1)
+        need = int(np.ceil(z * z * (va + vb) / 0.04))
+        r = out.loc[gi]
+        assert r["n_required_per_arm"] == need
+        assert abs(r["fill_fraction"]
+                   - min(r["n_a"], r["n_b"]) / need) < 1e-12
+    with pytest.raises(ValueError, match="target_effect"):
+        power_sample_size_by(spark.createDataFrame(pdf), "g", "arm",
+                             "v", "c", "t", target_effect=0.0)
+
+
+def test_tost_by_verdicts(spark):
+    """Group 0: identical arms -> provably equivalent inside ±0.5.
+    Group 1: a 2.0 shift -> NOT equivalent. Group 2: n=4 per arm ->
+    the z margin can't close -> not equivalent despite equal means.
+    Group 3: a 1-row arm -> NULL verdict (thin guard), never a
+    false 'equivalent'."""
+    from hdfe_spark.operators.stats import tost_by
+
+    rng = np.random.RandomState(141)
+    rows = []
+    for gi, (shift, m) in enumerate(
+        ((0.0, 2000), (2.0, 2000), (0.0, 8), (0.0, 3))
+    ):
+        for i in range(m):
+            arm = "t" if i % 2 == 0 else "c"
+            rows.append((gi, arm,
+                         round(rng.randn() * 0.5
+                               + (shift if arm == "t" else 0.0), 6)))
+    pdf = pd.DataFrame(rows, columns=["g", "arm", "v"])
+    out = (
+        tost_by(spark.createDataFrame(pdf), "g", "arm", "v", "c", "t",
+                margin=0.5)
+        .toPandas().set_index("g").sort_index()
+    )
+    assert out.loc[0, "equivalent"] == True  # noqa: E712
+    assert out.loc[1, "equivalent"] == False  # noqa: E712
+    assert out.loc[2, "equivalent"] == False  # noqa: E712
+    assert pd.isna(out.loc[3, "equivalent"])
+    # z replica for group 0
+    s = pdf[pdf["g"] == 0]
+    a = s.loc[s["arm"] == "c", "v"]
+    b = s.loc[s["arm"] == "t", "v"]
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    diff = b.mean() - a.mean()
+    assert abs(out.loc[0, "z_lower"] - (diff + 0.5) / se) < 1e-9
+    assert abs(out.loc[0, "z_upper"] - (diff - 0.5) / se) < 1e-9
+
+
+def test_qte_by_matches_numpy(spark):
+    """Treatment shifts ONLY the upper half: median qte ~ 0, p90 qte
+    ~ shift — the readout welch_by cannot give."""
+    from hdfe_spark.operators.stats import qte_by
+
+    rng = np.random.RandomState(142)
+    n = 20000
+    g = rng.randint(0, 2, size=n)
+    arm = np.where(rng.uniform(size=n) < 0.5, "c", "t")
+    base = rng.uniform(0, 1, size=n)
+    v = np.where((arm == "t") & (base > 0.5), base + 1.0, base)
+    pdf = pd.DataFrame({"g": g, "arm": arm, "v": np.round(v, 9)})
+    out = qte_by(spark.createDataFrame(pdf), "g", "arm", "v", "c", "t",
+                 probs=(0.25, 0.9)).toPandas()
+    out = out.set_index(["g", "p"]).sort_index()
+    for gi in range(2):
+        s = pdf[pdf["g"] == gi]
+        a = s.loc[s["arm"] == "c", "v"].to_numpy()
+        b = s.loc[s["arm"] == "t", "v"].to_numpy()
+        for p in (0.25, 0.9):
+            qa = np.quantile(a, p)  # linear interpolation = percentile
+            qb = np.quantile(b, p)
+            r = out.loc[(gi, p)]
+            assert abs(r["q_a"] - qa) < 1e-12
+            assert abs(r["q_b"] - qb) < 1e-12
+            assert abs(r["qte"] - (qb - qa)) < 1e-12
+        # shape: no effect at p25, ~1.0 effect at p90
+        assert abs(out.loc[(gi, 0.25), "qte"]) < 0.05
+        assert out.loc[(gi, 0.9), "qte"] > 0.8
