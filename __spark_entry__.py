@@ -7599,6 +7599,41 @@ _QTE_BY_SQL = """
         """
 
 
+def _q_streaming_cuped(spark, sf_dir):
+    """Twenty-fifth streaming form (`streaming/ops.py::
+    streaming_cuped`): per-segment CUPED variance-reduced effect
+    folded over the lineitem stream in complete mode — every
+    `cuped_by` input is an additive per-(segment[, arm]) counter, so
+    availableNow equals the batch table exactly; the batch SQL is
+    the oracle verbatim."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_cuped
+
+    stream = read_table_stream(spark, sf_dir, "lineitem")
+    base = stream.select(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_returnflag").alias("arm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+    )
+    out = streaming_cuped(base, "seg", "arm", "y", "x", "A", "R")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "seg", "n_a", "n_b",
+        _pround("theta").alias("theta"),
+        _pround("diff_raw").alias("diff_raw"),
+        _pround("diff_cuped").alias("diff_cuped"),
+        _pround("rho2").alias("rho2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -7609,18 +7644,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-8: this round's net-new registrations -- the two
+    - positions 1-9: this round's net-new registrations -- the two
       pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
       VERDICT r12 item 1), the `hausman` just-identified 1-slope
       fixture (`hausman_iv` -- item 5: with ONE common slope the
       PSD eigen-repair is a closed-form sign test, SQL-spellable),
-      and the five new experimentation-panel operators (`cuped_by`,
+      the five new experimentation-panel operators (`cuped_by`,
       `smd_balance`, then late-round `power_by`, `tost_by`,
-      `qte_by`).
-    - positions 9-50: the 42 stalest driver-green re-certs -- the
+      `qte_by`), and `streaming_cuped` (the 25th streaming form --
+      additive counters, availableNow == batch exactly).
+    - positions 10-50: the 41 stalest driver-green re-certs -- the
       ten r05/r06 rows the late-round-12 econ panel evicted
       (`salted_join` .. `agg_refresh`), then the r06 stratum from
-      `cms_certificate` through `tpch_q16` (`tpch_q17`-`q19`
+      `cms_certificate` through `tpch_q15` (`tpch_q16`-`q19`
       evicted to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the r06 residue
@@ -7644,6 +7680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_by": _q_power_by,
         "tost_by": _q_tost_by,
         "qte_by": _q_qte_by,
+        "streaming_cuped": _q_streaming_cuped,
         # 6-50: the 45 stalest driver-green re-certs — the ten
         # r05/r06 rows evicted by the late-round-12 econ panel
         # (salted_join .. agg_refresh), then the r06 stratum from
@@ -7689,8 +7726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
         # ------ end of the driver's 50-query window ------
+        # (tpch_q16 also evicted, by the streaming_cuped
+        # registration - 9 net-new total this round)
+        "tpch_q16": _q_tpch_q16,
         # (tpch_q17-q19 evicted by the three late-round-13
         # registrations power_by/tost_by/qte_by - they move
         # to the backlog head, the round-14 re-cert list)
@@ -8428,6 +8467,7 @@ def oracle_sql() -> dict[str, str]:
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,
+        "streaming_cuped": _CUPED_BY_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

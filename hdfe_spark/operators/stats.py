@@ -5475,6 +5475,7 @@ def qte_by(
     arm_a,
     arm_b,
     probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int | None = None,
 ) -> DataFrame:
     """Per-segment quantile treatment effects: at each probability p,
     the arm-b-minus-arm-a difference of EXACT per-arm quantiles —
@@ -5490,13 +5491,19 @@ def qte_by(
     plan is one shuffle + one generate at any row count. Exact
     percentiles sort within each group-arm aggregation buffer —
     per-segment groups, the winsorize_by scale contract; for
-    billion-row groups use the `grouped_quantiles_approx` sketch
-    path instead (merge-order-dependent, not oracle-hashable).
+    billion-row groups pass ``accuracy`` to switch every cut to the
+    ``percentile_approx`` GK sketch (the `winsorize_by`/
+    `mad_outliers` kwarg convention: rank error <= 1/accuracy,
+    O(accuracy·log n) memory per group-arm regardless of group size;
+    merge-order-dependent, so that mode is not oracle-hashable — the
+    registered query keeps the exact default).
     NULL values are outside both arms; thin arms give NULL qte.
     """
     probs = [float(p) for p in probs]
     if not probs or not all(0.0 <= p <= 1.0 for p in probs):
         raise ValueError("qte_by: probs must be in [0, 1]")
+    if accuracy is not None and accuracy < 1:
+        raise ValueError("qte_by: accuracy >= 1")
     if arm_a == arm_b:
         raise ValueError(
             f"qte_by: arm_a and arm_b are the same value ({arm_a!r})"
@@ -5515,17 +5522,23 @@ def qte_by(
             F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
         ).alias("__n_b"),
     ]
+    fn = (
+        "percentile"
+        if accuracy is None
+        else "approx_percentile"
+    )
+    acc_arg = "" if accuracy is None else f", {int(accuracy)}"
     for i, p in enumerate(probs):
         aggs.append(
             F.expr(
-                f"percentile(CASE WHEN {aq} = {_lit(arm_a)} THEN {vq} END,"
-                f" {p!r})"
+                f"{fn}(CASE WHEN {aq} = {_lit(arm_a)} THEN {vq} END,"
+                f" {p!r}{acc_arg})"
             ).alias(f"__qa_{i}")
         )
         aggs.append(
             F.expr(
-                f"percentile(CASE WHEN {aq} = {_lit(arm_b)} THEN {vq} END,"
-                f" {p!r})"
+                f"{fn}(CASE WHEN {aq} = {_lit(arm_b)} THEN {vq} END,"
+                f" {p!r}{acc_arg})"
             ).alias(f"__qb_{i}")
         )
     m = (

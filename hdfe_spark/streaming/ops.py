@@ -981,3 +981,32 @@ def streaming_did(
     from hdfe_spark.operators.causal import did
 
     return did(stream, y, treat, post)
+
+
+def streaming_cuped(
+    stream: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    covariate_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Streaming CUPED monitor (the TWENTY-FIFTH streaming form):
+    per-segment variance-reduced treatment effect folded over an
+    assignment/metric stream in complete mode. Every input to
+    `stats.cuped_by` is an ADDITIVE per-(segment[, arm]) counter
+    (counts + exact decimal sums of y, x, x², xy, y²), and
+    theta/diff/rho² ride the output projection, so the availableNow
+    fold equals the batch table EXACTLY whatever the micro-batch
+    boundaries — the always-on "is the adjusted effect moving?"
+    dashboard next to `streaming_welch`'s t panel. State is twelve
+    counters per segment. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import cuped_by
+
+    return cuped_by(
+        stream, group_col, arm_col, value_col, covariate_col,
+        arm_a, arm_b, scale=scale,
+    )

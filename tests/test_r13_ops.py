@@ -418,3 +418,60 @@ def test_qte_by_matches_numpy(spark):
         # shape: no effect at p25, ~1.0 effect at p90
         assert abs(out.loc[(gi, 0.25), "qte"]) < 0.05
         assert out.loc[(gi, 0.9), "qte"] > 0.8
+
+
+def test_qte_by_accuracy_sketch_path(spark):
+    """The billion-row-group escape hatch: accuracy switches every
+    cut to the GK sketch; values stay within the 1/accuracy rank
+    band of the exact path."""
+    from hdfe_spark.operators.stats import qte_by
+
+    rng = np.random.RandomState(143)
+    n = 30000
+    pdf = pd.DataFrame({
+        "g": np.zeros(n, dtype=np.int64),
+        "arm": np.where(np.arange(n) % 2 == 0, "c", "t"),
+        "v": np.sort(rng.uniform(0, 1, n)),
+    })
+    sdf = spark.createDataFrame(pdf)
+    exact = qte_by(sdf, "g", "arm", "v", "c", "t",
+                   probs=(0.5,)).collect()[0]
+    approx = qte_by(sdf, "g", "arm", "v", "c", "t", probs=(0.5,),
+                    accuracy=10000).collect()[0]
+    # rank error 1/10000 of 15000 rows/arm -> value band ~2e-4 on U(0,1)
+    assert abs(approx["q_a"] - exact["q_a"]) < 5e-4
+    assert abs(approx["q_b"] - exact["q_b"]) < 5e-4
+    with pytest.raises(ValueError, match="accuracy"):
+        qte_by(sdf, "g", "arm", "v", "c", "t", accuracy=0)
+
+
+def test_streaming_cuped_equals_batch(spark, sf_dir):
+    """availableNow fold == the batch cuped_by table exactly (the
+    additive-counter argument; the streaming_welch precedent)."""
+    from pyspark.sql import functions as F2
+
+    from hdfe_spark.operators.stats import cuped_by
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_cuped
+
+    sel = lambda d: d.select(  # noqa: E731
+        F2.col("l_linenumber").cast("long").alias("seg"),
+        F2.col("l_returnflag").alias("arm"),
+        F2.col("l_extendedprice").alias("y"),
+        F2.col("l_quantity").alias("x"),
+    )
+    stream = sel(read_table_stream(spark, sf_dir, "lineitem"))
+    out = streaming_cuped(stream, "seg", "arm", "y", "x", "A", "R")
+    import uuid
+    sink = "t" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).toPandas().set_index("seg").sort_index()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = (
+        cuped_by(sel(li), "seg", "arm", "y", "x", "A", "R")
+        .toPandas().set_index("seg").sort_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
