@@ -7634,6 +7634,93 @@ def _q_streaming_cuped(spark, sf_dir):
     )
 
 
+def _q_ols_wls_fe(spark, sf_dir):
+    """Weighted within/FE estimation (`operators/estimate.py::
+    wls_within` — reghdfe's ``areg y x [aw=w], absorb(fe)`` shape,
+    analytic weights the reference's within plan lacks): tax-derived
+    weights, l_suppkey absorbed, coefficients + known-weights GLS
+    SEs at the within dof n − G − k. Weighted level means + one
+    join + the fused `wls` moment pass; outputs round at 4 decimals
+    (the ols_wls double-moment convention)."""
+    import numpy as np
+
+    from hdfe_spark.operators.estimate import wls_within
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "w_tax", F.lit(1.0) + F.col("l_tax")
+    )
+    res = wls_within(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        fe="l_suppkey", weights="w_tax", estimate_variance=True,
+    )
+    se = np.sqrt(np.diag(res.V[0]))
+    return spark.createDataFrame(
+        [{
+            "b_quantity": round(float(res.b[0, 0]), 4),
+            "b_discount": round(float(res.b[1, 0]), 4),
+            "se_quantity": round(float(se[0]), 4),
+            "se_discount": round(float(se[1]), 4),
+            "n_absorbed": int(res.n_absorbed),
+        }],
+        schema="b_quantity double, b_discount double,"
+               " se_quantity double, se_discount double,"
+               " n_absorbed bigint",
+    )
+
+
+_OLS_WLS_FE_SQL = """
+            WITH c AS (
+              SELECT l_suppkey AS fe, l_quantity AS x1,
+                     l_discount AS x2, l_extendedprice AS yv,
+                     1.0 + l_tax AS w
+              FROM lineitem
+              WHERE l_tax IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            m AS (
+              SELECT fe, sum(w * x1) / sum(w) AS m1,
+                     sum(w * x2) / sum(w) AS m2,
+                     sum(w * yv) / sum(w) AS my
+              FROM c GROUP BY fe),
+            d AS (
+              SELECT c.w, c.x1 - m.m1 AS d1, c.x2 - m.m2 AS d2,
+                     c.yv - m.my AS dy
+              FROM c JOIN m ON c.fe IS NOT DISTINCT FROM m.fe),
+            s AS (
+              SELECT count(*) AS n,
+                     sum(w * d1 * d1) AS g11,
+                     sum(w * d1 * d2) AS g12,
+                     sum(w * d2 * d2) AS g22,
+                     sum(w * d1 * dy) AS r1,
+                     sum(w * d2 * dy) AS r2,
+                     sum(w * dy * dy) AS syy
+              FROM d),
+            g AS (SELECT count(*) AS ng FROM m),
+            e AS (
+              SELECT n, ng, g11, g12, g22, r1, r2, syy,
+                     (g22 * r1 - g12 * r2)
+                       / (g11 * g22 - g12 * g12) AS b1,
+                     (g11 * r2 - g12 * r1)
+                       / (g11 * g22 - g12 * g12) AS b2
+              FROM s, g),
+            v AS (
+              SELECT e.*,
+                     g11 * g22 - g12 * g12 AS det,
+                     greatest(syy - 2.0 * (b1 * r1 + b2 * r2)
+                              + (b1 * (g11 * b1 + g12 * b2)
+                                 + b2 * (g12 * b1 + g22 * b2)),
+                              0.0)
+                       / CAST(n - ng - 2 AS DOUBLE) AS s2
+              FROM e)
+            SELECT round(b1, 4) AS b_quantity,
+                   round(b2, 4) AS b_discount,
+                   round(sqrt(s2 * (g22 / det)), 4) AS se_quantity,
+                   round(sqrt(s2 * (g11 / det)), 4) AS se_discount,
+                   CAST(ng AS BIGINT) AS n_absorbed
+            FROM v
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -7644,19 +7731,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-9: this round's net-new registrations -- the two
+    - positions 1-10: this round's net-new registrations -- the two
       pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
       VERDICT r12 item 1), the `hausman` just-identified 1-slope
       fixture (`hausman_iv` -- item 5: with ONE common slope the
       PSD eigen-repair is a closed-form sign test, SQL-spellable),
       the five new experimentation-panel operators (`cuped_by`,
       `smd_balance`, then late-round `power_by`, `tost_by`,
-      `qte_by`), and `streaming_cuped` (the 25th streaming form --
-      additive counters, availableNow == batch exactly).
-    - positions 10-50: the 41 stalest driver-green re-certs -- the
+      `qte_by`), `streaming_cuped` (the 25th streaming form --
+      additive counters, availableNow == batch exactly), and
+      `ols_wls_fe` (weighted within/FE estimation -- reghdfe's
+      analytic-weights absorb shape).
+    - positions 11-50: the 40 stalest driver-green re-certs -- the
       ten r05/r06 rows the late-round-12 econ panel evicted
       (`salted_join` .. `agg_refresh`), then the r06 stratum from
-      `cms_certificate` through `tpch_q15` (`tpch_q16`-`q19`
+      `cms_certificate` through `tpch_q14` (`tpch_q15`-`q19`
       evicted to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the r06 residue
@@ -7681,6 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tost_by": _q_tost_by,
         "qte_by": _q_qte_by,
         "streaming_cuped": _q_streaming_cuped,
+        "ols_wls_fe": _q_ols_wls_fe,
         # 6-50: the 45 stalest driver-green re-certs — the ten
         # r05/r06 rows evicted by the late-round-12 econ panel
         # (salted_join .. agg_refresh), then the r06 stratum from
@@ -7725,8 +7815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
         # ------ end of the driver's 50-query window ------
+        # (tpch_q15 also evicted, by the ols_wls_fe
+        # registration - 10 net-new total this round)
+        "tpch_q15": _q_tpch_q15,
         # (tpch_q16 also evicted, by the streaming_cuped
         # registration - 9 net-new total this round)
         "tpch_q16": _q_tpch_q16,
@@ -8468,6 +8560,7 @@ def oracle_sql() -> dict[str, str]:
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,
         "streaming_cuped": _CUPED_BY_SQL,
+        "ols_wls_fe": _OLS_WLS_FE_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

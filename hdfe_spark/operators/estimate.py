@@ -1545,3 +1545,77 @@ def hausman(res_consistent, res_efficient) -> dict:
         "h_stat": h, "dof": dof, "coef_names": names, "d": d,
         "degenerate": False,
     }
+
+
+def wls_within(
+    df: DataFrame,
+    y: str | Sequence[str],
+    x: str | Sequence[str],
+    fe: str,
+    weights: str,
+    estimate_variance: bool = False,
+) -> EstimateResult:
+    """Weighted within/FE estimation — `wls` with one absorbed fixed
+    effect (reghdfe's ``areg y x [aw=w], absorb(fe)`` shape; the
+    reference's within plan ``hdfe/hdfe.py:88-120`` + analytic
+    weights, which it lacks): demean y and x by their WEIGHTED
+    per-level means (the weighted projection onto the FE dummies —
+    FWL holds under GLS weighting), then run the weighted normal
+    equations on the demeaned frame.
+
+    Composition, not re-implementation: one groupBy computes the
+    weighted level means (G rows — also giving the absorbed-group
+    count for dof), one AQE-planned join demeans, and `wls` supplies
+    the fused weighted-moment pass; the variance is `wls`'s
+    known-weights GLS form RESCALED to the within dof
+    ``n − G − k`` (the absorbed means consume G parameters the inner
+    `wls` cannot see). NULL contract: listwise over (weights, x, y)
+    — `wls`'s r13 discipline — with a NULL FE level being its own
+    absorbed group; negative weights raise inside `wls`.
+
+    Scale: the means table is FE-cardinality-sized (never the fact
+    table); the fact table is joined once and never shuffled
+    afterward — `wls`'s moment pass is map-side combined.
+    """
+    y_cols = _as_list(y)
+    x_cols = list(_as_list(x))
+    cols = x_cols + list(y_cols)
+    w = F.col(weights)
+    complete = w.isNotNull()
+    for c in cols:
+        complete = complete & F.col(c).isNotNull()
+    base = df.filter(complete)
+    means = base.groupBy(F.col(fe).alias("__fe")).agg(
+        *[
+            (F.sum(w * F.col(c)) / F.sum(w)).alias(f"__m_{c}")
+            for c in cols
+        ]
+    )
+    n_groups = means.count()
+    work = base.join(
+        means, F.col(fe).eqNullSafe(F.col("__fe")), "left"
+    ).select(
+        F.col(weights),
+        *[
+            (F.col(c) - F.col(f"__m_{c}")).alias(f"__dm_{c}")
+            for c in cols
+        ],
+    )
+    res = wls(
+        work,
+        [f"__dm_{c}" for c in y_cols],
+        [f"__dm_{c}" for c in x_cols],
+        weights=weights,
+        estimate_variance=estimate_variance,
+    )
+    res.plan = "wls_within"
+    res._coef_names = list(x_cols)
+    res.x_cols = list(x_cols)
+    if estimate_variance:
+        k = len(x_cols)
+        dof_inner = max(res.n - k, 1)
+        dof_within = max(res.n - n_groups - k, 1)
+        res.V = [V * (dof_inner / dof_within) for V in res.V]
+        res.v_coef_names = list(x_cols)
+    res.n_absorbed = n_groups
+    return res

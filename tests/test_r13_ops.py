@@ -475,3 +475,51 @@ def test_streaming_cuped_equals_batch(spark, sf_dir):
         .toPandas().set_index("seg").sort_index()
     )
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_wls_within_matches_numpy(spark, null_pdf):
+    """Weighted one-FE within estimation: weighted demeaning + wls ==
+    the numpy weighted-dummy regression (FWL under GLS weighting),
+    with the within dof n - G - k in the variance."""
+    from hdfe_spark.operators.estimate import wls_within
+
+    pdf = null_pdf
+    res = wls_within(spark.createDataFrame(pdf), "y", ["x1", "x2"],
+                     "fe", "w", estimate_variance=True)
+    wv = pdf["w"].to_numpy()
+    X = pdf[["x1", "x2"]].to_numpy()
+    yv = pdf["y"].to_numpy()
+    fe = pdf["fe"].to_numpy()
+    # weighted demeaning replica
+    import pandas as pd2
+    tmp = pd2.DataFrame({"fe": fe, "w": wv})
+    Xd = X.copy().astype(float)
+    for j in range(2):
+        tmp["wc"] = wv * X[:, j]
+        m = tmp.groupby("fe").apply(
+            lambda s: s["wc"].sum() / s["w"].sum())
+        Xd[:, j] = X[:, j] - m[fe].to_numpy()
+    tmp["wc"] = wv * yv
+    m = tmp.groupby("fe").apply(lambda s: s["wc"].sum() / s["w"].sum())
+    yd = yv - m[fe].to_numpy()
+    G = Xd.T @ (Xd * wv[:, None])
+    bt = np.linalg.solve(G, Xd.T @ (wv * yd))
+    np.testing.assert_allclose(res.b[:, 0], bt, rtol=1e-9)
+    e = yd - Xd @ bt
+    ng = len(np.unique(fe))
+    sigma2 = float(wv @ (e * e)) / (len(pdf) - ng - 2)
+    V = np.linalg.inv(G) * sigma2
+    np.testing.assert_allclose(res.V[0], V, rtol=1e-7)
+    assert res.n_absorbed == ng
+
+
+def test_wls_within_unit_weights_equal_within(spark, null_pdf):
+    """With unit weights the estimator equals the plain within plan's
+    slopes."""
+    from hdfe_spark.operators.estimate import estimate, wls_within
+
+    pdf = null_pdf.assign(ones=1.0)
+    sdf = spark.createDataFrame(pdf)
+    r_w = wls_within(sdf, "y", ["x1", "x2"], "fe", "ones")
+    r_o = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe"])
+    np.testing.assert_allclose(r_w.b[:, 0], r_o.slopes[:, 0], rtol=1e-9)
