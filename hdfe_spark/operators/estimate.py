@@ -1570,8 +1570,11 @@ def wls_within(
     known-weights GLS form RESCALED to the within dof
     ``n − G − k`` (the absorbed means consume G parameters the inner
     `wls` cannot see). NULL contract: listwise over (weights, x, y)
-    — `wls`'s r13 discipline — with a NULL FE level being its own
-    absorbed group; negative weights raise inside `wls`.
+    — `wls`'s r13 discipline — PLUS zero-weight rows excluded (the
+    analytic-weights convention: they contribute to no moment, and
+    an all-zero-weight FE level must not count toward the absorbed
+    dof); a NULL FE level is its own absorbed group; negative
+    weights raise inside `wls`.
 
     Scale: the means table is FE-cardinality-sized (never the fact
     table); the fact table is joined once and never shuffled
@@ -1581,16 +1584,25 @@ def wls_within(
     x_cols = list(_as_list(x))
     cols = x_cols + list(y_cols)
     w = F.col(weights)
-    complete = w.isNotNull()
+    # Estimating sample: complete (w, x, y) rows with w > 0 — a
+    # zero-weight row contributes nothing to any moment, and keeping
+    # it would let an all-zero-weight FE level count toward the
+    # absorbed dof while estimating nothing (review r13b); negative
+    # weights still raise inside `wls`.
+    complete = w.isNotNull() & (w > 0)
     for c in cols:
         complete = complete & F.col(c).isNotNull()
     base = df.filter(complete)
+    # The means table is FE-cardinality-sized: persist it so the
+    # eager group count and the demeaning join share ONE aggregation
+    # of the fact table instead of recomputing the lineage twice
+    # (review r13b).
     means = base.groupBy(F.col(fe).alias("__fe")).agg(
         *[
             (F.sum(w * F.col(c)) / F.sum(w)).alias(f"__m_{c}")
             for c in cols
         ]
-    )
+    ).persist()
     n_groups = means.count()
     work = base.join(
         means, F.col(fe).eqNullSafe(F.col("__fe")), "left"
@@ -1601,13 +1613,16 @@ def wls_within(
             for c in cols
         ],
     )
-    res = wls(
-        work,
-        [f"__dm_{c}" for c in y_cols],
-        [f"__dm_{c}" for c in x_cols],
-        weights=weights,
-        estimate_variance=estimate_variance,
-    )
+    try:
+        res = wls(
+            work,
+            [f"__dm_{c}" for c in y_cols],
+            [f"__dm_{c}" for c in x_cols],
+            weights=weights,
+            estimate_variance=estimate_variance,
+        )
+    finally:
+        means.unpersist(False)
     res.plan = "wls_within"
     res._coef_names = list(x_cols)
     res.x_cols = list(x_cols)

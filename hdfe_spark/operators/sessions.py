@@ -196,6 +196,12 @@ def funnel(
         # — advance iff the event is the next needed step and
         # STRICTLY after the last matched time — is the textbook
         # one-pass equivalent of the sequential definition.
+        # Repeated step TYPES are legal ('view -> click -> view'):
+        # each event carries its type's FIRST-occurrence id, and the
+        # fold compares it against the NEEDED step's first-occurrence
+        # id (review r13b — an event-to-single-step-index map would
+        # never let a later duplicate step fire).
+        sid = [steps.index(s) for s in steps]
         ev = F.when(
             F.col(type_col) == F.lit(steps[0]), F.lit(0)
         )
@@ -233,7 +239,14 @@ def funnel(
 
         def _fold(acc, x):
             done = acc.getField("c") >= F.lit(k)
-            fired = (~done) & (x.getField("s") == acc.getField("c")) & (
+            # the needed step's first-occurrence id, selected by the
+            # current progress counter (k-branch CASE, not an index)
+            needed = F.lit(sid[0])
+            for i in range(1, k):
+                needed = F.when(
+                    acc.getField("c") == F.lit(i), F.lit(sid[i])
+                ).otherwise(needed)
+            fired = (~done) & (x.getField("s") == needed) & (
                 (acc.getField("c") == F.lit(0))
                 | (x.getField("t") > acc.getField("m"))
             )

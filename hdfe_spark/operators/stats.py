@@ -5108,6 +5108,12 @@ def mde_by(
     realized effect (mean_b − mean_a) and its ratio to the MDE — the
     "was this experiment even powered to see what it saw?" readout.
     """
+    no_output_collision(
+        "mde_by",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "mde", "observed_diff", "power_ratio"),
+    )
     if alpha not in _Z_TABLE:
         raise ValueError(
             f"alpha must be one of {sorted(_Z_TABLE)} (exact-constant"
@@ -5386,6 +5392,12 @@ def power_sample_size_by(
     (pure composition); z constants from the same fixed exact-double
     tables; thin arms (n < 2) get NULL requirement.
     """
+    no_output_collision(
+        "power_sample_size_by",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "n_required_per_arm", "fill_fraction"),
+    )
     if alpha not in _Z_TABLE:
         raise ValueError(f"alpha must be one of {sorted(_Z_TABLE)}")
     if power not in _Z_POWER:
@@ -5439,6 +5451,12 @@ def tost_by(
     is engine-exact. Thin arms or zero variance → NULL verdict,
     never a poisoned panel.
     """
+    no_output_collision(
+        "tost_by",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "diff", "z_lower", "z_upper", "equivalent"),
+    )
     if alpha not in _Z_ONESIDED:
         raise ValueError(f"alpha must be one of {sorted(_Z_ONESIDED)}")
     if not margin > 0:
@@ -5499,6 +5517,12 @@ def qte_by(
     registered query keeps the exact default).
     NULL values are outside both arms; thin arms give NULL qte.
     """
+    no_output_collision(
+        "qte_by",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "p", "q_a", "q_b", "qte"),
+    )
     probs = [float(p) for p in probs]
     if not probs or not all(0.0 <= p <= 1.0 for p in probs):
         raise ValueError("qte_by: probs must be in [0, 1]")
@@ -5508,39 +5532,27 @@ def qte_by(
         raise ValueError(
             f"qte_by: arm_a and arm_b are the same value ({arm_a!r})"
         )
-    vq = quote_ident(value_col)
-    aq = quote_ident(arm_col)
-
-    def _lit(v):
-        return repr(str(v)) if isinstance(v, str) else repr(v)
-
+    # fully parameterized (review r13b: an earlier repr()-built SQL
+    # string crashed on arm values whose repr is not a SQL literal —
+    # dates, Decimals, numpy scalars; F.lit binds them all, matching
+    # welch_by/cuped_by)
+    va = F.when(F.col(arm_col) == F.lit(arm_a), F.col(value_col))
+    vb = F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
     aggs = [
-        F.count(
-            F.when(F.col(arm_col) == F.lit(arm_a), F.col(value_col))
-        ).alias("__n_a"),
-        F.count(
-            F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
-        ).alias("__n_b"),
+        F.count(va).alias("__n_a"),
+        F.count(vb).alias("__n_b"),
     ]
-    fn = (
-        "percentile"
-        if accuracy is None
-        else "approx_percentile"
-    )
-    acc_arg = "" if accuracy is None else f", {int(accuracy)}"
+
+    def _pct(cond_col, p):
+        if accuracy is None:
+            return F.percentile(cond_col, F.lit(float(p)))
+        return F.percentile_approx(
+            cond_col, F.lit(float(p)), F.lit(int(accuracy))
+        )
+
     for i, p in enumerate(probs):
-        aggs.append(
-            F.expr(
-                f"{fn}(CASE WHEN {aq} = {_lit(arm_a)} THEN {vq} END,"
-                f" {p!r}{acc_arg})"
-            ).alias(f"__qa_{i}")
-        )
-        aggs.append(
-            F.expr(
-                f"{fn}(CASE WHEN {aq} = {_lit(arm_b)} THEN {vq} END,"
-                f" {p!r}{acc_arg})"
-            ).alias(f"__qb_{i}")
-        )
+        aggs.append(_pct(va, p).alias(f"__qa_{i}"))
+        aggs.append(_pct(vb, p).alias(f"__qb_{i}"))
     m = (
         df.filter(
             F.col(value_col).isNotNull()

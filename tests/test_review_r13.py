@@ -128,3 +128,85 @@ def test_wls_iv_decimal_moments_exact(spark):
     b_iv = xpy / xpx
     assert abs(float(eff.b[0, 0]) - b_ols) < 1e-12 * abs(b_ols)
     assert abs(float(cons.b[0, 0]) - b_iv) < 1e-10 * abs(b_iv)
+
+
+# ------------------------------------------------- second review pass (r13b)
+
+
+def test_funnel_repeated_step_types(spark):
+    """review r13b: a 'view -> click -> view' funnel must complete
+    when the SAME type appears at two step positions — the greedy
+    fold compares the event's type id against the NEEDED step's id,
+    not a single event-to-step map."""
+    from hdfe_spark.operators.sessions import funnel
+
+    pdf = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "t": [10, 20, 30, 5, 6],
+        "e": ["view", "click", "view", "view", "click"],
+    })
+    out = (
+        funnel(spark.createDataFrame(pdf), "u", "t", "e",
+               ["view", "click", "view"])
+        .toPandas().set_index("u").sort_index()
+    )
+    assert out.loc[1, "steps_completed"] == 3
+    assert (out.loc[1, "t_1"], out.loc[1, "t_2"], out.loc[1, "t_3"]) \
+        == (10, 20, 30)
+    assert out.loc[2, "steps_completed"] == 2
+    assert pd.isna(out.loc[2, "t_3"])
+
+
+def test_qte_by_nonstring_arm_values(spark):
+    """review r13b: arm values bind via F.lit, so dates (and other
+    non-repr-able literals) work exactly as they do in welch_by."""
+    from datetime import date
+
+    from hdfe_spark.operators.stats import qte_by
+
+    pdf = pd.DataFrame({
+        "g": [0] * 8,
+        "arm": [date(2026, 1, 1), date(2026, 1, 2)] * 4,
+        "v": [1.0, 5.0, 2.0, 6.0, 3.0, 7.0, 4.0, 8.0],
+    })
+    out = qte_by(spark.createDataFrame(pdf), "g", "arm", "v",
+                 date(2026, 1, 1), date(2026, 1, 2),
+                 probs=(0.5,)).collect()[0]
+    assert out["q_a"] == 2.5 and out["q_b"] == 6.5
+    assert out["qte"] == 4.0
+
+
+def test_qte_by_output_collision_guard(spark):
+    from hdfe_spark.operators.stats import qte_by
+
+    pdf = pd.DataFrame({"p": [0, 0], "arm": ["a", "b"],
+                        "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="collid|output"):
+        qte_by(spark.createDataFrame(pdf), "p", "arm", "v", "a", "b")
+
+
+def test_wls_within_zero_weight_group_excluded(spark):
+    """review r13b: an FE level whose rows all carry weight 0 must
+    not count toward n, n_absorbed, or the within dof."""
+    from hdfe_spark.operators.estimate import wls_within
+
+    rng = np.random.RandomState(144)
+    n = 300
+    pdf = pd.DataFrame({
+        "fe": np.arange(n) % 3,
+        "x": rng.randn(n),
+        "w": 1.0,
+    })
+    pdf["y"] = 2.0 * pdf["x"] + rng.randn(n)
+    # group 2 -> all weights zero
+    pdf.loc[pdf["fe"] == 2, "w"] = 0.0
+    res = wls_within(spark.createDataFrame(pdf), "y", ["x"], "fe", "w",
+                     estimate_variance=True)
+    kept = pdf[pdf["fe"] != 2]
+    assert res.n == len(kept)
+    assert res.n_absorbed == 2
+    # replica on the kept sample
+    Xd = kept.groupby("fe")["x"].transform(lambda s: s - s.mean())
+    yd = kept.groupby("fe")["y"].transform(lambda s: s - s.mean())
+    bt = float((Xd * yd).sum() / (Xd * Xd).sum())
+    assert abs(float(res.b[0, 0]) - bt) < 1e-9
