@@ -7721,6 +7721,91 @@ _OLS_WLS_FE_SQL = """
         """
 
 
+def _q_dml_plm(spark, sf_dir):
+    """Double/debiased ML for the partial-linear model
+    (`operators/causal.py::dml_plm` — Chernozhukov et al. 2018, the
+    modern completion of the causal panel): the quantity effect on
+    extended price, partialling out the discount with CROSS-FITTED
+    linear nuisances over the deterministic l_partkey-mod-2 folds.
+    Two fused aggregations (per-fold moment blocks, then the five
+    residual-product sums with complement-fold coefficients folded
+    as literals); the oracle re-derives both folds' 2x2 Cramer
+    nuisance solves and the same plug-in se closed-form. Driver-side
+    scalars round at 4 decimals (the econ-panel double-moment
+    convention)."""
+    from hdfe_spark.operators.causal import dml_plm
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("id"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("d"),
+        F.col("l_discount").alias("x"),
+    )
+    out = dml_plm(li, "y", "d", "x", id_col="id", n_folds=2)
+    row = out.collect()[0]
+    return spark.createDataFrame(
+        [{
+            "theta": round(float(row["theta"]), 4),
+            "se": round(float(row["se"]), 4),
+            "n_used": int(row["n_used"]),
+            "n_folds": int(row["n_folds"]),
+        }],
+        schema="theta double, se double, n_used bigint, n_folds bigint",
+    )
+
+
+_DML_PLM_SQL = """
+            WITH b AS (
+              SELECT l_partkey % 2 AS f, l_discount AS x,
+                     l_quantity AS d, l_extendedprice AS y
+              FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_discount IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            m AS (
+              SELECT f, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                     sum(y) AS sy, sum(x*y) AS sxy,
+                     sum(d) AS sd, sum(x*d) AS sxd
+              FROM b GROUP BY f),
+            c AS (
+              SELECT m1.f,
+                     m2.n AS nc, m2.sx AS sxc, m2.sxx AS sxxc,
+                     m2.sy AS syc, m2.sxy AS sxyc,
+                     m2.sd AS sdc, m2.sxd AS sxdc
+              FROM m m1 JOIN m m2 ON m1.f <> m2.f),
+            k AS (
+              SELECT f,
+                     (sxxc*syc - sxc*sxyc)
+                       / (nc*sxxc - sxc*sxc) AS ay,
+                     (nc*sxyc - sxc*syc)
+                       / (nc*sxxc - sxc*sxc) AS by,
+                     (sxxc*sdc - sxc*sxdc)
+                       / (nc*sxxc - sxc*sxc) AS ad,
+                     (nc*sxdc - sxc*sdc)
+                       / (nc*sxxc - sxc*sxc) AS bd
+              FROM c),
+            r AS (
+              SELECT (b.y - (k.ay + k.by * b.x)) AS ry,
+                     (b.d - (k.ad + k.bd * b.x)) AS rv
+              FROM b JOIN k ON b.f = k.f),
+            s AS (
+              SELECT count(*) AS n, sum(rv*ry) AS svy,
+                     sum(rv*rv) AS svv,
+                     sum(rv*rv*ry*ry) AS svvyy,
+                     sum(rv*rv*rv*ry) AS svvvy,
+                     sum(rv*rv*rv*rv) AS svvvv
+              FROM r)
+            SELECT round(svy / svv, 4) AS theta,
+                   round(sqrt(greatest(
+                           svvyy - 2.0 * (svy / svv) * svvvy
+                           + (svy / svv) * (svy / svv) * svvvv,
+                           0.0)) / svv, 4) AS se,
+                   CAST(n AS BIGINT) AS n_used,
+                   CAST(2 AS BIGINT) AS n_folds
+            FROM s
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -7731,7 +7816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-10: this round's net-new registrations -- the two
+    - positions 1-11: this round's net-new registrations -- the two
       pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
       VERDICT r12 item 1), the `hausman` just-identified 1-slope
       fixture (`hausman_iv` -- item 5: with ONE common slope the
@@ -7741,11 +7826,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `qte_by`), `streaming_cuped` (the 25th streaming form --
       additive counters, availableNow == batch exactly), and
       `ols_wls_fe` (weighted within/FE estimation -- reghdfe's
-      analytic-weights absorb shape).
-    - positions 11-50: the 40 stalest driver-green re-certs -- the
+      analytic-weights absorb shape), and `dml_plm` (double/debiased
+      ML for the partial-linear model, cross-fitted linear
+      nuisances over deterministic id-mod folds).
+    - positions 12-50: the 39 stalest driver-green re-certs -- the
       ten r05/r06 rows the late-round-12 econ panel evicted
       (`salted_join` .. `agg_refresh`), then the r06 stratum from
-      `cms_certificate` through `tpch_q14` (`tpch_q15`-`q19`
+      `cms_certificate` through `tpch_q13` (`tpch_q14`-`q19`
       evicted to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
       next rotation is always "take the head": the r06 residue
@@ -7771,6 +7858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qte_by": _q_qte_by,
         "streaming_cuped": _q_streaming_cuped,
         "ols_wls_fe": _q_ols_wls_fe,
+        "dml_plm": _q_dml_plm,
         # 6-50: the 45 stalest driver-green re-certs — the ten
         # r05/r06 rows evicted by the late-round-12 econ panel
         # (salted_join .. agg_refresh), then the r06 stratum from
@@ -7814,8 +7902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
         # ------ end of the driver's 50-query window ------
+        # (tpch_q14 also evicted, by the dml_plm
+        # registration - 11 net-new total this round)
+        "tpch_q14": _q_tpch_q14,
         # (tpch_q15 also evicted, by the ols_wls_fe
         # registration - 10 net-new total this round)
         "tpch_q15": _q_tpch_q15,
@@ -8561,6 +8651,7 @@ def oracle_sql() -> dict[str, str]:
         "qte_by": _QTE_BY_SQL,
         "streaming_cuped": _CUPED_BY_SQL,
         "ols_wls_fe": _OLS_WLS_FE_SQL,
+        "dml_plm": _DML_PLM_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -455,3 +455,139 @@ def ri_pvalue(
         ).alias("p_value"),
         F.lit(n_perm).cast("long").alias("n_perm"),
     )
+
+
+def dml_plm(
+    df: DataFrame,
+    y: str,
+    d: str,
+    x: "str | list[str]",
+    id_col: str,
+    n_folds: int = 2,
+) -> DataFrame:
+    """Double/debiased machine learning for the partial-linear model
+    (Chernozhukov et al. 2018): ``y = θ·d + g(x) + ε``,
+    ``d = m(x) + v``, with CROSS-FITTED linear nuisances — the
+    modern workhorse for "effect of d controlling flexibly for x"
+    when g/m are estimated, completing the causal panel beside
+    `ipw_ate`/`aipw_ate` (design-based) and `iv_2sls` (instrument-
+    based). Linear nuisance learners here (the partialling-out
+    Frisch–Waugh form); richer learners slot into the same
+    residual-on-residual skeleton.
+
+    Cross-fitting: rows split into ``n_folds`` by the deterministic,
+    engine-portable ``id mod n_folds`` (the hash-split convention —
+    a seeded RNG could never match a SQL oracle); each fold's rows
+    are residualized with nuisance coefficients fit on the OTHER
+    folds, so overfitting bias cannot leak (Neyman orthogonality +
+    sample splitting). Estimator: ``θ = Σṽỹ / Σṽ²``, plug-in
+    ``se = sqrt(Σṽ²ε̂²) / Σṽ²`` with
+    ``Σṽ²ε̂² = Σṽ²ỹ² − 2θΣṽ³ỹ + θ²Σṽ⁴`` — closed form from the
+    same pass, no third scan.
+
+    Scale (the econ-panel skeleton): TWO fused map-side-combined
+    aggregations — (1) per-fold moment blocks of [1|x] against y and
+    d (n_folds × O(k²) scalars to the driver; the complement-fold
+    normal equations solve in numpy), (2) the five residual-product
+    sums with fold-dependent coefficients folded back as literals
+    (a when-chain per row, pure JVM). Nothing data-sized ever
+    reaches the driver. Listwise NULL deletion over (id, y, d, x) —
+    the r13 moment-estimator discipline.
+
+    Returns one row: theta, se, n_used, n_folds.
+    """
+    import numpy as np
+
+    x_cols = [x] if isinstance(x, str) else list(x)
+    if n_folds < 2:
+        raise ValueError("dml_plm: n_folds must be >= 2")
+    k = len(x_cols) + 1  # [1 | x]
+    fold = F.pmod(F.col(id_col).cast("long"), F.lit(int(n_folds)))
+    valid = F.col(id_col).isNotNull()
+    for c in [y, d, *x_cols]:
+        valid = valid & F.col(c).isNotNull()
+    base = df.filter(valid)
+
+    feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(feats[i] * feats[j]).alias(f"__g_{i}_{j}"))
+        aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
+        aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
+    mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
+    if len(mom) < n_folds:
+        raise ValueError(
+            f"dml_plm: only {len(mom)} of {n_folds} folds are"
+            " populated — too few distinct ids"
+        )
+    G = {}
+    Xy = {}
+    Xd = {}
+    for r in mom:
+        f = int(r["__f"])
+        g = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                v = r[f"__g_{i}_{j}"]
+                g[i, j] = g[j, i] = 0.0 if v is None else float(v)
+        G[f] = g
+        Xy[f] = np.array(
+            [float(r[f"__xy_{i}"] or 0.0) for i in range(k)]
+        )
+        Xd[f] = np.array(
+            [float(r[f"__xd_{i}"] or 0.0) for i in range(k)]
+        )
+    # complement-fold nuisance fits (cross-fitting)
+    by = {}
+    bd = {}
+    for f in range(n_folds):
+        Gc = sum(G[o] for o in G if o != f)
+        yc = sum(Xy[o] for o in Xy if o != f)
+        dc = sum(Xd[o] for o in Xd if o != f)
+        by[f] = np.linalg.solve(Gc, yc)
+        bd[f] = np.linalg.solve(Gc, dc)
+
+    def _resid(col, coefs):
+        expr = None
+        for f in range(n_folds):
+            fit = F.lit(float(coefs[f][0]))
+            for i, c in enumerate(x_cols):
+                fit = fit + F.lit(float(coefs[f][i + 1])) * F.col(c)
+            branch = F.col(col) - fit
+            expr = (
+                F.when(fold == F.lit(f), branch)
+                if expr is None
+                else expr.when(fold == F.lit(f), branch)
+            )
+        return expr
+
+    ry = _resid(y, by)
+    rv = _resid(d, bd)
+    out = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rv * ry).alias("svy"),
+        F.sum(rv * rv).alias("svv"),
+        F.sum(rv * rv * ry * ry).alias("svvyy"),
+        F.sum(rv * rv * rv * ry).alias("svvvy"),
+        F.sum(rv * rv * rv * rv).alias("svvvv"),
+    ).collect()[0]
+    n = int(out["n"])
+    svy, svv = float(out["svy"] or 0.0), float(out["svv"] or 0.0)
+    if svv <= 0:
+        raise ValueError(
+            "dml_plm: residualized treatment has no variance — d is"
+            " collinear with x"
+        )
+    theta = svy / svv
+    s_eps = (
+        float(out["svvyy"] or 0.0)
+        - 2.0 * theta * float(out["svvvy"] or 0.0)
+        + theta * theta * float(out["svvvv"] or 0.0)
+    )
+    se = float(np.sqrt(max(s_eps, 0.0))) / svv
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(theta, se, n, int(n_folds))],
+        schema="theta double, se double, n_used bigint, n_folds bigint",
+    )

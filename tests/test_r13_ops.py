@@ -523,3 +523,78 @@ def test_wls_within_unit_weights_equal_within(spark, null_pdf):
     r_w = wls_within(sdf, "y", ["x1", "x2"], "fe", "ones")
     r_o = estimate(sdf, "y", ["x1", "x2"], categorical_controls=["fe"])
     np.testing.assert_allclose(r_w.b[:, 0], r_o.slopes[:, 0], rtol=1e-9)
+
+
+def test_dml_plm_matches_numpy(spark):
+    """Double-ML partial-linear model: theta/se match the full numpy
+    cross-fitting replica; theta recovers the structural effect."""
+    from hdfe_spark.operators.causal import dml_plm
+
+    rng = np.random.RandomState(145)
+    n = 8000
+    ids = np.arange(n, dtype=np.int64)
+    x1 = rng.randn(n)
+    x2 = rng.randn(n)
+    d = 0.7 * x1 - 0.3 * x2 + rng.randn(n)      # m(x) + v
+    y = 1.5 * d + 2.0 * x1 + 1.0 * x2 + rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "y": y, "d": d, "x1": x1, "x2": x2})
+    row = dml_plm(spark.createDataFrame(pdf), "y", "d", ["x1", "x2"],
+                  id_col="id", n_folds=2).collect()[0]
+    # numpy replica
+    X = np.column_stack([np.ones(n), x1, x2])
+    fold = ids % 2
+    ry = np.empty(n)
+    rv = np.empty(n)
+    for f in (0, 1):
+        m = fold == f
+        o = ~m
+        by = np.linalg.solve(X[o].T @ X[o], X[o].T @ y[o])
+        bd = np.linalg.solve(X[o].T @ X[o], X[o].T @ d[o])
+        ry[m] = y[m] - X[m] @ by
+        rv[m] = d[m] - X[m] @ bd
+    theta = float(rv @ ry) / float(rv @ rv)
+    eps = ry - theta * rv
+    se = float(np.sqrt((rv * rv * eps * eps).sum())) / float(rv @ rv)
+    assert abs(row["theta"] - theta) < 1e-9 * max(1, abs(theta))
+    assert abs(row["se"] - se) < 1e-9
+    assert row["n_used"] == n
+    assert abs(row["theta"] - 1.5) < 0.05  # structural effect
+
+
+def test_dml_plm_guards(spark):
+    from hdfe_spark.operators.causal import dml_plm
+
+    pdf = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "y": [1.0, 2.0, 3.0, 4.0],
+        "d": [1.0, 2.0, 3.0, 4.0],
+        "x": [1.0, 2.0, 3.0, 4.0],
+    })
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="n_folds"):
+        dml_plm(sdf, "y", "d", "x", id_col="id", n_folds=1)
+    # d perfectly collinear with x -> residualized d has ~no variance
+    with pytest.raises(ValueError, match="variance|collinear"):
+        dml_plm(sdf, "y", "d", "x", id_col="id", n_folds=2).collect()
+
+
+def test_dml_plm_null_rows_ignored(spark):
+    from hdfe_spark.operators.causal import dml_plm
+
+    rng = np.random.RandomState(146)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.randn(n)
+    d = 0.5 * x + rng.randn(n)
+    y = 1.0 * d + x + rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "y": y, "d": d, "x": x})
+    clean = dml_plm(spark.createDataFrame(pdf), "y", "d", "x",
+                    id_col="id").collect()[0]
+    extra = pdf.head(50).copy()
+    extra["y"] = np.nan
+    dirty = dml_plm(
+        spark.createDataFrame(pd.concat([pdf, extra],
+                                        ignore_index=True)),
+        "y", "d", "x", id_col="id").collect()[0]
+    assert dirty["n_used"] == clean["n_used"] == n
+    assert abs(dirty["theta"] - clean["theta"]) < 1e-12

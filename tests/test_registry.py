@@ -23,37 +23,39 @@ def test_window_all_have_oracles_or_are_declared():
 def test_round13_window_composition():
     """Positions 1-50 (seventeenth curation pass, executed exactly
     as queued in SURVEY.md after CORRECTNESS_r12 landed 50/50
-    green): 1-10 = this round's net-new registrations (`ri_pvalue`
+    green): 1-11 = this round's net-new registrations (`ri_pvalue`
     and `mde_by` — the two pre-builds with zero driver exposure,
     VERDICT r12 item 1 — plus the `hausman_iv` 1-slope fixture,
     item 5, the new experimentation operators `cuped_by`,
     `smd_balance`, `power_by`, `tost_by`, `qte_by`,
-    `streaming_cuped` — the 25th streaming form — and `ols_wls_fe`,
-    the weighted within estimator); 11-50 = the 40 stalest
+    `streaming_cuped` — the 25th streaming form — `ols_wls_fe`,
+    the weighted within estimator, and `dml_plm`, double/debiased
+    ML for the partial-linear model); 12-50 = the 39 stalest
     driver-green re-certs — the ten rows evicted by the
     late-round-12 econ panel (`salted_join` .. `agg_refresh`), then
-    the r06 stratum from `cms_certificate` through `tpch_q14`
-    (`tpch_q15`-`q19` evicted to the backlog head by the five
+    the r06 stratum from `cms_certificate` through `tpch_q13`
+    (`tpch_q14`-`q19` evicted to the backlog head by the six
     late-round-13 registrations). The round-12 window's 50
     entries (fresh r12 evidence) sit last before the 11 rows-only
     demos at the tail. If this fails after an intentional round-14
     rotation, update the expectation alongside the `queries()`
     docstring."""
     q = list(em.queries())
-    assert q[:20] == [
+    assert q[:21] == [
         "ri_pvalue", "mde_by", "hausman_iv", "cuped_by", "smd_balance",
         "power_by", "tost_by", "qte_by", "streaming_cuped", "ols_wls_fe",
+        "dml_plm",
         "salted_join", "semi_anti_join", "sql_q1", "streaming_enrich",
         "subqueries", "tpch_q3", "unpivot_long", "window_ranks",
         "zorder_layout", "agg_refresh",
     ]
-    assert q[20:23] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[48] == "tpch_q13" and q[49] == "tpch_q14"
-    # backlog head = the five re-certs the late registrations
+    assert q[21:24] == ["cms_certificate", "date_parts", "decimal_agg"]
+    assert q[48] == "tpch_q12" and q[49] == "tpch_q13"
+    # backlog head = the six re-certs the late registrations
     # evicted, then the r06 residue, stalest-first
-    assert q[50:55] == ["tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-                        "tpch_q19"]
-    assert q[55] == "tpch_q2"
+    assert q[50:56] == ["tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+                        "tpch_q18", "tpch_q19"]
+    assert q[56] == "tpch_q2"
     # the round-12 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r12_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -66,7 +68,7 @@ def test_round13_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 325
+    assert len(q) == 326
 
 
 def test_every_query_has_callable():

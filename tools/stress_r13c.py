@@ -118,6 +118,38 @@ def stress_qte(spark):
     assert worst < 1e-9
 
 
+def stress_dml(spark):
+    """dml_plm at 20M rows: theta recovers the structural 1.5 and the
+    two-pass plan holds (per-fold moments + one residual-product
+    scan); replica comparison runs on closed-form columns."""
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import dml_plm
+
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        ((F.col("id") % 97) - 48).cast("double").alias("x"),
+        (
+            0.5 * ((F.col("id") % 97) - 48).cast("double")
+            + ((F.col("id") * 7919) % 11).cast("double") - 5.0
+        ).alias("d"),
+    ).select(
+        "id", "x", "d",
+        (
+            1.5 * F.col("d") + 2.0 * F.col("x")
+            + ((F.col("id") * 104729) % 7).cast("double") - 3.0
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = dml_plm(df, "y", "d", "x", id_col="id", n_folds=2).collect()[0]
+    wall = time.perf_counter() - t0
+    print(f"dml_plm 20M rows, 2 folds: {wall:.1f} s, "
+          f"theta={row['theta']:.6f} (truth 1.5), se={row['se']:.2e}, "
+          f"n={row['n_used']}")
+    assert abs(row["theta"] - 1.5) < 0.01
+    assert row["n_used"] == N
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -125,6 +157,8 @@ def main():
         stress_wls_within(spark)
     if which in ("qte", "all"):
         stress_qte(spark)
+    if which in ("dml", "all"):
+        stress_dml(spark)
 
 
 if __name__ == "__main__":
