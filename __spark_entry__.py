@@ -7844,10 +7844,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------ driver window: positions 1-50 (round-13 rotation) ------
-        # 1-5: this round's net-new registrations — the two
-        # never-driver-checked pre-builds (VERDICT r12 item 1),
-        # the hausman 1-slope fixture (item 5), and the two new
-        # experimentation-panel operators (cuped_by, smd_by)
+        # 1-11: this round's net-new registrations — the two
+        # never-driver-checked pre-builds (VERDICT r12 item 1), the
+        # hausman 1-slope fixture (item 5), the experimentation
+        # panel (cuped_by, smd_by, power/tost/qte), the 25th
+        # streaming form, the weighted within estimator, and dml_plm
         "ri_pvalue": _q_ri_pvalue,
         "mde_by": _q_mde_by,
         "hausman_iv": _q_hausman_iv,
@@ -7859,10 +7860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cuped": _q_streaming_cuped,
         "ols_wls_fe": _q_ols_wls_fe,
         "dml_plm": _q_dml_plm,
-        # 6-50: the 45 stalest driver-green re-certs — the ten
+        # 12-50: the 39 stalest driver-green re-certs — the ten
         # r05/r06 rows evicted by the late-round-12 econ panel
         # (salted_join .. agg_refresh), then the r06 stratum from
-        # cms_certificate onward (exactly as queued in SURVEY.md)
+        # cms_certificate through tpch_q13 (as queued in SURVEY.md,
+        # minus the six rows the late registrations evicted)
         "salted_join": _q_salted_join,
         "semi_anti_join": _q_semi_anti_join,
         "sql_q1": _q_sql_q1,

@@ -495,17 +495,36 @@ def dml_plm(
     the r13 moment-estimator discipline.
 
     Returns one row: theta, se, n_used, n_folds.
+
+    Determinism contract (the `ri_pvalue` two-scan discipline): the
+    input is scanned TWICE — the fold-moment pass and the
+    residual-product pass — so ``df`` must be deterministic between
+    jobs (no ``rand()`` columns, no concurrently-changing source);
+    otherwise the residuals are computed with coefficients fit on
+    different data and theta is silently biased. NaN values (as
+    opposed to NULL) are excluded from the estimating sample like
+    NULLs — Spark's ``isNotNull`` passes NaN, which would otherwise
+    poison every moment silently (review r13c).
     """
     import numpy as np
+    from pyspark.sql import types as T
 
     x_cols = [x] if isinstance(x, str) else list(x)
     if n_folds < 2:
         raise ValueError("dml_plm: n_folds must be >= 2")
     k = len(x_cols) + 1  # [1 | x]
-    fold = F.pmod(F.col(id_col).cast("long"), F.lit(int(n_folds)))
+    # try_cast: a non-castable id must surface as the domain error in
+    # the NULL-fold check below, not an ANSI CAST_INVALID_INPUT crash
+    # mid-aggregation (review r13c)
+    fold = F.pmod(
+        F.col(id_col).try_cast("long"), F.lit(int(n_folds))
+    )
     valid = F.col(id_col).isNotNull()
+    dtypes = dict(df.dtypes)
     for c in [y, d, *x_cols]:
         valid = valid & F.col(c).isNotNull()
+        if dtypes.get(c) in ("double", "float"):
+            valid = valid & ~F.isnan(F.col(c))
     base = df.filter(valid)
 
     feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
@@ -516,10 +535,20 @@ def dml_plm(
         aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
         aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
     mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
+    # An id whose cast-to-long fails (non-numeric string, NaN double)
+    # lands in a NULL fold — name the cause instead of crashing on
+    # int(None) below (review r13c).
+    if any(r["__f"] is None for r in mom):
+        raise ValueError(
+            f"dml_plm: id_col {id_col!r} has values that do not cast"
+            " to an integer — fold assignment needs integer-castable"
+            " ids"
+        )
     if len(mom) < n_folds:
+        sizes = {int(r["__f"]): int(r["__n"]) for r in mom}
         raise ValueError(
             f"dml_plm: only {len(mom)} of {n_folds} folds are"
-            " populated — too few distinct ids"
+            f" populated (fold sizes {sizes}) — too few distinct ids"
         )
     G = {}
     Xy = {}
@@ -545,6 +574,18 @@ def dml_plm(
         Gc = sum(G[o] for o in G if o != f)
         yc = sum(Xy[o] for o in Xy if o != f)
         dc = sum(Xd[o] for o in Xd if o != f)
+        # Conditioning guard (review r13c): an exactly-singular Gc
+        # would raise a raw LinAlgError, and a NEAR-collinear one
+        # would silently return garbage nuisance coefficients — both
+        # become the domain error naming the fix.
+        cond = float(np.linalg.cond(Gc))
+        if not np.isfinite(cond) or cond > 1e12:
+            raise ValueError(
+                "dml_plm: the [1|x] nuisance design is (near-)"
+                f"collinear on the complement of fold {f}"
+                f" (condition number {cond:.2e}) — drop or combine"
+                " collinear x columns (see find_collinear_cols_gram)"
+            )
         by[f] = np.linalg.solve(Gc, yc)
         bd[f] = np.linalg.solve(Gc, dc)
 
@@ -574,10 +615,12 @@ def dml_plm(
     ).collect()[0]
     n = int(out["n"])
     svy, svv = float(out["svy"] or 0.0), float(out["svv"] or 0.0)
-    if svv <= 0:
+    # `not (svv > 0)` also catches NaN (review r13c): `svv <= 0` is
+    # False for NaN and would let an all-NaN row through silently.
+    if not svv > 0:
         raise ValueError(
             "dml_plm: residualized treatment has no variance — d is"
-            " collinear with x"
+            " collinear with x (or the sums are NaN)"
         )
     theta = svy / svv
     s_eps = (

@@ -210,3 +210,71 @@ def test_wls_within_zero_weight_group_excluded(spark):
     yd = kept.groupby("fe")["y"].transform(lambda s: s - s.mean())
     bt = float((Xd * yd).sum() / (Xd * Xd).sum())
     assert abs(float(res.b[0, 0]) - bt) < 1e-9
+
+
+# -------------------------------------------------- third review pass (r13c)
+
+
+def test_dml_plm_collinear_x_raises_domain_error(spark):
+    """review r13c: exactly- or near-collinear x must raise the
+    domain ValueError (naming the fix), never a raw LinAlgError or a
+    silently-garbage theta."""
+    from hdfe_spark.operators.causal import dml_plm
+
+    rng = np.random.RandomState(147)
+    n = 400
+    x1 = rng.randn(n)
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x1": x1,
+        "x2": x1,  # exact copy
+        "d": rng.randn(n),
+        "y": rng.randn(n),
+    })
+    with pytest.raises(ValueError, match="collinear"):
+        dml_plm(spark.createDataFrame(pdf), "y", "d", ["x1", "x2"],
+                id_col="id")
+    pdf["x2"] = x1 + 1e-10 * rng.randn(n)  # near-collinear
+    with pytest.raises(ValueError, match="collinear"):
+        dml_plm(spark.createDataFrame(pdf), "y", "d", ["x1", "x2"],
+                id_col="id")
+
+
+def test_dml_plm_nan_rows_excluded(spark):
+    """review r13c: NaN (not NULL) rows leave the estimating sample
+    like NULLs instead of poisoning every moment."""
+    from hdfe_spark.operators.causal import dml_plm
+
+    rng = np.random.RandomState(148)
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    x = rng.randn(n)
+    d = 0.5 * x + rng.randn(n)
+    y = 1.0 * d + x + rng.randn(n)
+    pdf = pd.DataFrame({"id": ids, "y": y, "d": d, "x": x})
+    clean = dml_plm(spark.createDataFrame(pdf), "y", "d", "x",
+                    id_col="id").collect()[0]
+    dirty_pdf = pd.concat(
+        [pdf, pdf.head(40).assign(y=float("nan"),
+                                  id=ids[:40] + n)],
+        ignore_index=True,
+    )
+    # force NaN through (createDataFrame may map NaN->null depending
+    # on the arrow path; either way the result must equal clean)
+    dirty = dml_plm(spark.createDataFrame(dirty_pdf), "y", "d", "x",
+                    id_col="id").collect()[0]
+    assert dirty["n_used"] == clean["n_used"] == n
+    assert abs(dirty["theta"] - clean["theta"]) < 1e-12
+
+
+def test_dml_plm_noncastable_id_raises(spark):
+    from hdfe_spark.operators.causal import dml_plm
+
+    pdf = pd.DataFrame({
+        "id": ["u_1", "u_2", "u_3", "u_4"],
+        "y": [1.0, 2.0, 3.0, 4.0],
+        "d": [1.0, 0.0, 1.0, 0.0],
+        "x": [0.1, 0.2, 0.3, 0.4],
+    })
+    with pytest.raises(ValueError, match="cast"):
+        dml_plm(spark.createDataFrame(pdf), "y", "d", "x", id_col="id")
