@@ -46,6 +46,22 @@ def _pround(col, digits: int = 9):
     return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
 
 
+def _fround(x: float, digits: int = 9) -> float:
+    """Driver-side (plain Python) twin of `_pround`: the SAME
+    floor(x*10^d + 0.5)/10^d spelling, so a scalar collected to the
+    driver and re-emitted via createDataFrame hashes identically to
+    an oracle that rounds with the floor spelling (ADVICE r13:
+    Python round() is banker's, SQL round() is half-away-from-zero —
+    an exact half-tie would hash-mismatch, and both diverge from the
+    _pround convention used everywhere else)."""
+    import math
+
+    if not math.isfinite(x):
+        return x
+    f = float(10 ** digits)
+    return math.floor(x * f + 0.5) / f
+
+
 # --------------------------------------------------------------- entry
 
 
@@ -7003,9 +7019,9 @@ def _q_hausman_iv(spark, sf_dir):
     out = hausman(cons, eff)
     return spark.createDataFrame(
         [{
-            "h_stat": round(float(out["h_stat"]), 2),
+            "h_stat": _fround(float(out["h_stat"]), 2),
             "dof": int(out["dof"]),
-            "d_quantity": round(float(out["d"][0]), 4),
+            "d_quantity": _fround(float(out["d"][0]), 4),
             "degenerate": bool(out["degenerate"]),
         }],
         schema="h_stat double, dof bigint, d_quantity double,"
@@ -7231,12 +7247,12 @@ _HAUSMAN_IV_SQL = """
                                    + (be * sxx) * be, 0.0)
                           / CAST(n - 1 AS DOUBLE)) AS dv
               FROM e)
-            SELECT round(CASE WHEN dv > greatest(abs(dv), 1e-300) * 1e-12
-                              THEN (d * (1.0 / dv)) * d
-                              ELSE 0.0 END, 2) AS h_stat,
+            SELECT floor((CASE WHEN dv > greatest(abs(dv), 1e-300) * 1e-12
+                               THEN (d * (1.0 / dv)) * d
+                               ELSE 0.0 END) * 1e2 + 0.5) / 1e2 AS h_stat,
                    CAST(CASE WHEN dv > greatest(abs(dv), 1e-300) * 1e-12
                              THEN 1 ELSE 0 END AS BIGINT) AS dof,
-                   round(d, 4) AS d_quantity,
+                   floor(d * 1e4 + 0.5) / 1e4 AS d_quantity,
                    NOT (dv > greatest(abs(dv), 1e-300) * 1e-12)
                      AS degenerate
             FROM v
@@ -7656,10 +7672,10 @@ def _q_ols_wls_fe(spark, sf_dir):
     se = np.sqrt(np.diag(res.V[0]))
     return spark.createDataFrame(
         [{
-            "b_quantity": round(float(res.b[0, 0]), 4),
-            "b_discount": round(float(res.b[1, 0]), 4),
-            "se_quantity": round(float(se[0]), 4),
-            "se_discount": round(float(se[1]), 4),
+            "b_quantity": _fround(float(res.b[0, 0]), 4),
+            "b_discount": _fround(float(res.b[1, 0]), 4),
+            "se_quantity": _fround(float(se[0]), 4),
+            "se_discount": _fround(float(se[1]), 4),
             "n_absorbed": int(res.n_absorbed),
         }],
         schema="b_quantity double, b_discount double,"
@@ -7712,10 +7728,12 @@ _OLS_WLS_FE_SQL = """
                               0.0)
                        / CAST(n - ng - 2 AS DOUBLE) AS s2
               FROM e)
-            SELECT round(b1, 4) AS b_quantity,
-                   round(b2, 4) AS b_discount,
-                   round(sqrt(s2 * (g22 / det)), 4) AS se_quantity,
-                   round(sqrt(s2 * (g11 / det)), 4) AS se_discount,
+            SELECT floor(b1 * 1e4 + 0.5) / 1e4 AS b_quantity,
+                   floor(b2 * 1e4 + 0.5) / 1e4 AS b_discount,
+                   floor(sqrt(s2 * (g22 / det)) * 1e4 + 0.5) / 1e4
+                     AS se_quantity,
+                   floor(sqrt(s2 * (g11 / det)) * 1e4 + 0.5) / 1e4
+                     AS se_discount,
                    CAST(ng AS BIGINT) AS n_absorbed
             FROM v
         """
@@ -7745,8 +7763,8 @@ def _q_dml_plm(spark, sf_dir):
     row = out.collect()[0]
     return spark.createDataFrame(
         [{
-            "theta": round(float(row["theta"]), 4),
-            "se": round(float(row["se"]), 4),
+            "theta": _fround(float(row["theta"]), 4),
+            "se": _fround(float(row["se"]), 4),
             "n_used": int(row["n_used"]),
             "n_folds": int(row["n_folds"]),
         }],
@@ -7795,11 +7813,11 @@ _DML_PLM_SQL = """
                      sum(rv*rv*rv*ry) AS svvvy,
                      sum(rv*rv*rv*rv) AS svvvv
               FROM r)
-            SELECT round(svy / svv, 4) AS theta,
-                   round(sqrt(greatest(
+            SELECT floor((svy / svv) * 1e4 + 0.5) / 1e4 AS theta,
+                   floor((sqrt(greatest(
                            svvyy - 2.0 * (svy / svv) * svvvy
                            + (svy / svv) * (svy / svv) * svvvv,
-                           0.0)) / svv, 4) AS se,
+                           0.0)) / svv) * 1e4 + 0.5) / 1e4 AS se,
                    CAST(n AS BIGINT) AS n_used,
                    CAST(2 AS BIGINT) AS n_folds
             FROM s

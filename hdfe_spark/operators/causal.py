@@ -320,6 +320,33 @@ def aipw_ate(
     )
 
 
+def _ri_multiplier(k: int, M: int) -> int:
+    """Per-permutation LCG multiplier for `ri_pvalue`.
+
+    Multipliers SCALED by the MINSTD constant: a small pk (the old
+    2k+3) never wraps M over a dense low id range (ids 0..60k stay
+    inside [qk, 60k·pk+qk] < M), so the "permuted" arm was ALL rows —
+    degenerate for every early k (review r13). 48271·(2k+3) wraps M
+    dozens of times at any realistic id density. Overflow headroom
+    (ADVICE r13 corrected the old "pk < 1e7" note): pk grows linearly
+    in k — ≈1.9e7 at k=198, ≈9.7e10 at k=1e6 — and rid < M ≈ 1e6, so
+    rid·pk ≲ 1e17, inside int64 (9.2e18) on both engines for any
+    sane n_perm.
+
+    Guard (ADVICE r13): M is prime and coprime to 48271, so
+    pk ≡ 0 (mod M) exactly when (2k+3) is a multiple of M — first at
+    k = (M−3)/2 = 500000 for M = 1000003. A zero multiplier
+    degenerates the permutation (every row lands in one arm → counted
+    conservatively as a hit, diluting power); bump to the adjacent
+    even multiplier, outside the odd family (no collision) and
+    ≡ 48271 (mod M).
+    """
+    pk = 48271 * (2 * k + 3)
+    if pk % M == 0:
+        pk += 48271
+    return pk
+
+
 def ri_pvalue(
     df: DataFrame,
     y: str,
@@ -407,14 +434,7 @@ def ri_pvalue(
         F.count(F.when(valid & ~t, yv)).alias("n0"),
     ]
     for k in range(n_perm):
-        # Multipliers SCALED by the MINSTD constant: a small pk (the
-        # old 2k+3) never wraps M over a dense low id range (ids
-        # 0..60k stay inside [qk, 60k·pk+qk] < M), so the "permuted"
-        # arm was ALL rows — degenerate for every early k (review
-        # r13). 48271·(2k+3) wraps M dozens of times at any realistic
-        # id density; rid < M and pk < 1e7 keep rid·pk ≲ 1e13, far
-        # from 64-bit overflow on both engines.
-        pk = 48271 * (2 * k + 3)
+        pk = _ri_multiplier(k, M)
         qk = 7919 * (k + 1)
         tk = F.pmod(rid * pk + qk, F.lit(M)) < half
         aggs.append(
@@ -496,12 +516,13 @@ def dml_plm(
 
     Returns one row: theta, se, n_used, n_folds.
 
-    Determinism contract (the `ri_pvalue` two-scan discipline): the
-    input is scanned TWICE — the fold-moment pass and the
-    residual-product pass — so ``df`` must be deterministic between
-    jobs (no ``rand()`` columns, no concurrently-changing source);
-    otherwise the residuals are computed with coefficients fit on
-    different data and theta is silently biased. NaN values (as
+    Determinism (the `ri_pvalue` two-scan discipline, hardened
+    VERDICT r13 item 4): the input is scanned TWICE — the fold-moment
+    pass and the residual-product pass — and the filtered base is
+    ``persist()``-ed between them (unpersisted in ``finally``), so
+    both passes see the SAME rows structurally, even for a
+    non-deterministic upstream (``rand()`` columns, changing
+    sources). NaN values (as
     opposed to NULL) are excluded from the estimating sample like
     NULLs — Spark's ``isNotNull`` passes NaN, which would otherwise
     poison every moment silently (review r13c).
@@ -525,112 +546,138 @@ def dml_plm(
         valid = valid & F.col(c).isNotNull()
         if dtypes.get(c) in ("double", "float"):
             valid = valid & ~F.isnan(F.col(c))
-    base = df.filter(valid)
+    # Persist the filtered base between the two scans (VERDICT r13
+    # item 4): the fold-moment pass and the residual-product pass
+    # must see the SAME rows — persist() turns the documented
+    # "input must be deterministic between jobs" contract into a
+    # structural guarantee (the wls_within pattern).
+    base = df.filter(valid).persist()
+    try:
 
-    feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for i in range(k):
-        for j in range(i, k):
-            aggs.append(F.sum(feats[i] * feats[j]).alias(f"__g_{i}_{j}"))
-        aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
-        aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
-    mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
-    # An id whose cast-to-long fails (non-numeric string, NaN double)
-    # lands in a NULL fold — name the cause instead of crashing on
-    # int(None) below (review r13c).
-    if any(r["__f"] is None for r in mom):
-        raise ValueError(
-            f"dml_plm: id_col {id_col!r} has values that do not cast"
-            " to an integer — fold assignment needs integer-castable"
-            " ids"
-        )
-    if len(mom) < n_folds:
-        sizes = {int(r["__f"]): int(r["__n"]) for r in mom}
-        raise ValueError(
-            f"dml_plm: only {len(mom)} of {n_folds} folds are"
-            f" populated (fold sizes {sizes}) — too few distinct ids"
-        )
-    G = {}
-    Xy = {}
-    Xd = {}
-    for r in mom:
-        f = int(r["__f"])
-        g = np.zeros((k, k))
+        feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
+        aggs = [F.count(F.lit(1)).alias("__n")]
         for i in range(k):
             for j in range(i, k):
-                v = r[f"__g_{i}_{j}"]
-                g[i, j] = g[j, i] = 0.0 if v is None else float(v)
-        G[f] = g
-        Xy[f] = np.array(
-            [float(r[f"__xy_{i}"] or 0.0) for i in range(k)]
-        )
-        Xd[f] = np.array(
-            [float(r[f"__xd_{i}"] or 0.0) for i in range(k)]
-        )
-    # complement-fold nuisance fits (cross-fitting)
-    by = {}
-    bd = {}
-    for f in range(n_folds):
-        Gc = sum(G[o] for o in G if o != f)
-        yc = sum(Xy[o] for o in Xy if o != f)
-        dc = sum(Xd[o] for o in Xd if o != f)
-        # Conditioning guard (review r13c): an exactly-singular Gc
-        # would raise a raw LinAlgError, and a NEAR-collinear one
-        # would silently return garbage nuisance coefficients — both
-        # become the domain error naming the fix.
-        cond = float(np.linalg.cond(Gc))
-        if not np.isfinite(cond) or cond > 1e12:
+                aggs.append(F.sum(feats[i] * feats[j]).alias(f"__g_{i}_{j}"))
+            aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
+            aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
+        mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
+        # An id whose cast-to-long fails (non-numeric string, NaN double)
+        # lands in a NULL fold — name the cause instead of crashing on
+        # int(None) below (review r13c).
+        if any(r["__f"] is None for r in mom):
             raise ValueError(
-                "dml_plm: the [1|x] nuisance design is (near-)"
-                f"collinear on the complement of fold {f}"
-                f" (condition number {cond:.2e}) — drop or combine"
-                " collinear x columns (see find_collinear_cols_gram)"
+                f"dml_plm: id_col {id_col!r} has values that do not cast"
+                " to an integer — fold assignment needs integer-castable"
+                " ids"
             )
-        by[f] = np.linalg.solve(Gc, yc)
-        bd[f] = np.linalg.solve(Gc, dc)
-
-    def _resid(col, coefs):
-        expr = None
+        if len(mom) < n_folds:
+            sizes = {int(r["__f"]): int(r["__n"]) for r in mom}
+            raise ValueError(
+                f"dml_plm: only {len(mom)} of {n_folds} folds are"
+                f" populated (fold sizes {sizes}) — too few distinct ids"
+            )
+        G = {}
+        Xy = {}
+        Xd = {}
+        for r in mom:
+            f = int(r["__f"])
+            g = np.zeros((k, k))
+            for i in range(k):
+                for j in range(i, k):
+                    v = r[f"__g_{i}_{j}"]
+                    g[i, j] = g[j, i] = 0.0 if v is None else float(v)
+            G[f] = g
+            Xy[f] = np.array(
+                [float(r[f"__xy_{i}"] or 0.0) for i in range(k)]
+            )
+            Xd[f] = np.array(
+                [float(r[f"__xd_{i}"] or 0.0) for i in range(k)]
+            )
+        # complement-fold nuisance fits (cross-fitting)
+        by = {}
+        bd = {}
         for f in range(n_folds):
-            fit = F.lit(float(coefs[f][0]))
-            for i, c in enumerate(x_cols):
-                fit = fit + F.lit(float(coefs[f][i + 1])) * F.col(c)
-            branch = F.col(col) - fit
-            expr = (
-                F.when(fold == F.lit(f), branch)
-                if expr is None
-                else expr.when(fold == F.lit(f), branch)
-            )
-        return expr
+            Gc = sum(G[o] for o in G if o != f)
+            yc = sum(Xy[o] for o in Xy if o != f)
+            dc = sum(Xd[o] for o in Xd if o != f)
+            # Conditioning guard (review r13c): an exactly-singular Gc
+            # would raise a raw LinAlgError, and a NEAR-collinear one
+            # would silently return garbage nuisance coefficients — both
+            # become the domain error naming the fix.
+            cond = float(np.linalg.cond(Gc))
+            if not np.isfinite(cond) or cond > 1e12:
+                raise ValueError(
+                    "dml_plm: the [1|x] nuisance design is (near-)"
+                    f"collinear on the complement of fold {f}"
+                    f" (condition number {cond:.2e}) — drop or combine"
+                    " collinear x columns (see find_collinear_cols_gram)"
+                )
+            if k == 2:
+                # Single-x nuisance: solve the 2x2 normal equations with
+                # the EXACT closed-form Cramer expressions (same operation
+                # order an ANSI-SQL oracle spells), not LAPACK — LAPACK's
+                # pivoted LU can differ from Cramer in the last ulp, and
+                # those ulps are what a rounded cross-engine hash compares
+                # (ADVICE r13).  nc=Gc[0,0], sxc=Gc[0,1], sxxc=Gc[1,1].
+                nc, sxc, sxxc = Gc[0, 0], Gc[0, 1], Gc[1, 1]
+                det = nc * sxxc - sxc * sxc
+                by[f] = np.array(
+                    [(sxxc * yc[0] - sxc * yc[1]) / det,
+                     (nc * yc[1] - sxc * yc[0]) / det]
+                )
+                bd[f] = np.array(
+                    [(sxxc * dc[0] - sxc * dc[1]) / det,
+                     (nc * dc[1] - sxc * dc[0]) / det]
+                )
+            else:
+                by[f] = np.linalg.solve(Gc, yc)
+                bd[f] = np.linalg.solve(Gc, dc)
 
-    ry = _resid(y, by)
-    rv = _resid(d, bd)
-    out = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(rv * ry).alias("svy"),
-        F.sum(rv * rv).alias("svv"),
-        F.sum(rv * rv * ry * ry).alias("svvyy"),
-        F.sum(rv * rv * rv * ry).alias("svvvy"),
-        F.sum(rv * rv * rv * rv).alias("svvvv"),
-    ).collect()[0]
-    n = int(out["n"])
-    svy, svv = float(out["svy"] or 0.0), float(out["svv"] or 0.0)
-    # `not (svv > 0)` also catches NaN (review r13c): `svv <= 0` is
-    # False for NaN and would let an all-NaN row through silently.
-    if not svv > 0:
-        raise ValueError(
-            "dml_plm: residualized treatment has no variance — d is"
-            " collinear with x (or the sums are NaN)"
+        def _resid(col, coefs):
+            expr = None
+            for f in range(n_folds):
+                fit = F.lit(float(coefs[f][0]))
+                for i, c in enumerate(x_cols):
+                    fit = fit + F.lit(float(coefs[f][i + 1])) * F.col(c)
+                branch = F.col(col) - fit
+                expr = (
+                    F.when(fold == F.lit(f), branch)
+                    if expr is None
+                    else expr.when(fold == F.lit(f), branch)
+                )
+            return expr
+
+        ry = _resid(y, by)
+        rv = _resid(d, bd)
+        out = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rv * ry).alias("svy"),
+            F.sum(rv * rv).alias("svv"),
+            F.sum(rv * rv * ry * ry).alias("svvyy"),
+            F.sum(rv * rv * rv * ry).alias("svvvy"),
+            F.sum(rv * rv * rv * rv).alias("svvvv"),
+        ).collect()[0]
+        n = int(out["n"])
+        svy, svv = float(out["svy"] or 0.0), float(out["svv"] or 0.0)
+        # `not (svv > 0)` also catches NaN (review r13c): `svv <= 0` is
+        # False for NaN and would let an all-NaN row through silently.
+        if not svv > 0:
+            raise ValueError(
+                "dml_plm: residualized treatment has no variance — d is"
+                " collinear with x (or the sums are NaN)"
+            )
+        theta = svy / svv
+        s_eps = (
+            float(out["svvyy"] or 0.0)
+            - 2.0 * theta * float(out["svvvy"] or 0.0)
+            + theta * theta * float(out["svvvv"] or 0.0)
         )
-    theta = svy / svv
-    s_eps = (
-        float(out["svvyy"] or 0.0)
-        - 2.0 * theta * float(out["svvvy"] or 0.0)
-        + theta * theta * float(out["svvvv"] or 0.0)
-    )
-    se = float(np.sqrt(max(s_eps, 0.0))) / svv
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(theta, se, n, int(n_folds))],
-        schema="theta double, se double, n_used bigint, n_folds bigint",
-    )
+        se = float(np.sqrt(max(s_eps, 0.0))) / svv
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(theta, se, n, int(n_folds))],
+            schema="theta double, se double, n_used bigint, n_folds bigint",
+        )
+    finally:
+        base.unpersist()

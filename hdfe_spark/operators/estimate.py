@@ -76,6 +76,25 @@ def _as_list(x) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def _and_complete(valid, df: DataFrame, cols) -> "F.Column":
+    """AND onto ``valid`` the complete-value predicate for ``cols``:
+    non-NULL, and for double/float columns additionally non-NaN.
+
+    NaN passes ``isNotNull`` but poisons every moment sum it touches
+    (ADVICE r13) — the moment estimators (`wls`, `iv_2sls`,
+    `fit_stats`, `wls_within`) must treat it as missing, exactly as
+    ``dml_plm`` does (causal.py).  One shared mask per estimator keeps
+    the listwise-deletion contract: every sum AND ``n`` gate on the
+    same rows.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        valid = valid & F.col(c).isNotNull()
+        if dtypes.get(c) in ("double", "float"):
+            valid = valid & ~F.isnan(F.col(c))
+    return valid
+
+
 def _solve(G: np.ndarray, Xty: np.ndarray) -> np.ndarray:
     """Min-norm solve of ``G b = X'y`` (rank-deficient safe)."""
     b, *_ = np.linalg.lstsq(G, Xty, rcond=None)
@@ -1182,9 +1201,11 @@ def wls(
     ``σ̂² = Σ wᵢeᵢ² / (n − k)``, where ``Σ we²`` comes closed-form from
     the same pass (``y'Wy − 2b'X'Wy + b'X'WX b``) — no residual scan.
 
-    NULL contract (listwise deletion, ADVICE r12): the estimating
-    sample is the rows where the weight, EVERY x, and EVERY y are
-    non-NULL — ONE shared mask gates every moment sum AND ``n``, so a
+    NULL contract (listwise deletion, ADVICE r12; NaN-as-missing,
+    ADVICE r13): the estimating sample is the rows where the weight,
+    EVERY x, and EVERY y are non-NULL and non-NaN (NaN passes
+    ``isNotNull`` and would poison every moment it touches) — ONE
+    shared mask gates every moment sum AND ``n``, so a
     NULL-y row can never contribute to X'WX while missing from X'Wy
     (the inconsistent-sample bug class), and dof counts the sample
     actually estimated. Negative weights raise (they would silently
@@ -1195,9 +1216,7 @@ def wls(
     x_cols = list(_as_list(x))
     k, m = len(x_cols), len(y_cols)
     w = F.col(weights)
-    valid = w.isNotNull()
-    for c in x_cols + y_cols:
-        valid = valid & F.col(c).isNotNull()
+    valid = _and_complete(F.lit(True), df, [weights] + x_cols + y_cols)
 
     exprs = [
         F.sum(F.when(valid, 1).otherwise(0)).alias("__n"),
@@ -1321,13 +1340,14 @@ def iv_2sls(
             _key(a, bcol)
     for yc in y_cols:
         _key(yc, yc)
-    # NULL contract (listwise deletion, ADVICE r12): ONE shared mask —
-    # rows where every y, x, and instrument column is non-NULL — gates
-    # every moment sum AND n, so Z'Z / Z'y can never disagree on the
-    # estimating sample and dof counts the rows actually estimated.
-    valid = F.lit(True)
-    for c in dict.fromkeys(z_cols + x_cols + y_cols):
-        valid = valid & F.col(c).isNotNull()
+    # NULL contract (listwise deletion, ADVICE r12; NaN-as-missing,
+    # ADVICE r13): ONE shared mask — rows where every y, x, and
+    # instrument column is non-NULL and non-NaN — gates every moment
+    # sum AND n, so Z'Z / Z'y can never disagree on the estimating
+    # sample and dof counts the rows actually estimated.
+    valid = _and_complete(
+        F.lit(True), df, list(dict.fromkeys(z_cols + x_cols + y_cols))
+    )
     exprs = [F.sum(F.when(valid, 1).otherwise(0)).alias("__n")] + [
         F.sum(F.when(valid, F.col(a) * F.col(bcol))).alias(alias)
         for (a, bcol), alias in pairs.items()
@@ -1405,9 +1425,7 @@ def fit_stats(
         # BEFORE the window so the absorbed group means, the Gram, and
         # n all describe the same estimating sample (a NULL FE level
         # stays — it is its own absorbed group).
-        complete = F.lit(True)
-        for c in x_cols + [y]:
-            complete = complete & F.col(c).isNotNull()
+        complete = _and_complete(F.lit(True), df, x_cols + [y])
         df = df.filter(complete)
         wspec = Window.partitionBy(fe)
         cols = x_cols + [y]
@@ -1431,9 +1449,7 @@ def fit_stats(
         # gates every sum AND n, so the centering means, the Gram, and
         # the dof all describe the same estimating sample.
         cols = x_cols + [y]
-        valid = F.lit(True)
-        for c in cols:
-            valid = valid & F.col(c).isNotNull()
+        valid = _and_complete(F.lit(True), df, cols)
         exprs = [F.sum(F.when(valid, 1).otherwise(0)).alias("__n")]
         exprs += [
             F.sum(F.when(valid, F.col(c))).alias(f"__s_{i}")
@@ -1589,9 +1605,7 @@ def wls_within(
     # it would let an all-zero-weight FE level count toward the
     # absorbed dof while estimating nothing (review r13b); negative
     # weights still raise inside `wls`.
-    complete = w.isNotNull() & (w > 0)
-    for c in cols:
-        complete = complete & F.col(c).isNotNull()
+    complete = _and_complete(w.isNotNull() & (w > 0), df, [weights] + cols)
     base = df.filter(complete)
     # The means table is FE-cardinality-sized: persist it so the
     # eager group count and the demeaning join share ONE aggregation
