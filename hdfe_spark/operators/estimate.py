@@ -855,8 +855,10 @@ def _plan_alternating(
        year): ONE full-data groupBy builds the cells, the AP sweeps
        run in numpy on the driver (microseconds, zero cluster jobs),
        and one broadcast join of the converged per-cell adjustment
-       demeans every row. Total full-data passes: 2 + Gram,
-       independent of sweep count.
+       demeans every row. Total full-data passes: 1 + Gram,
+       independent of sweep count (the tier gate itself aggregates
+       the CELL table, not the data — round-14; nulls-present FE
+       keys pay one extra pass for the injective re-encode).
     2. **cells > 1M but < rows/2**: the same sweep loop, distributed
        and weighted, over the cell table — per-sweep cost scales with
        |cells|, not n.
@@ -891,22 +893,41 @@ def _plan_alternating(
     _t0 = _time.perf_counter()
 
     fe_pairs = list(combinations(cc, 2))
-    gate = sw.agg(
-        F.count(F.lit(1)).alias("__n"),
+
+    # ONE full-data pass builds the weighted cell table (per-cell
+    # count, per-column sums AND sums of squares); every gate
+    # statistic is then an aggregation over the |cells|-sized table,
+    # not the data (round-14: the old design spent a second full-data
+    # scan on a gate whose answers — levels, pairwise nnz, RMS scale,
+    # null flags — are all derivable from the cells). Each distinct
+    # FE combination appears exactly once in the cell table, so the
+    # approximate distinct counts are the same quantities; the cell
+    # count itself becomes EXACT for free.
+    def _cells_of(frame):
+        return frame.groupBy(*cc).agg(
+            F.count(F.lit(1)).alias("__w"),
+            *[F.sum(d).alias(f"__s_{d}") for d in dmv],
+            *[F.sum(F.col(d) * F.col(d)).alias(f"__ss_{d}") for d in dmv],
+        )
+
+    cells_df = _cells_of(sw).persist()
+    gate = cells_df.agg(
+        F.count(F.lit(1)).alias("__cells"),
+        F.sum("__w").alias("__n"),
         *[F.approx_count_distinct(fe).alias(f"__l_{fe}") for fe in cc],
         *[
             F.approx_count_distinct(F.xxhash64(a, b)).alias(f"__p_{i}")
             for i, (a, b) in enumerate(fe_pairs)
         ],
-        F.approx_count_distinct(F.xxhash64(*cc)).alias("__cells"),
-        *[F.avg(F.col(d) * F.col(d)).alias(f"__ms_{d}") for d in dmv],
+        *[F.sum(f"__ss_{d}").alias(f"__ss_{d}") for d in dmv],
         # Null detection rides the gate scan for free (see below).
         *[
             F.max(F.col(fe).isNull().cast("int")).alias(f"__null_{fe}")
             for fe in cc
         ],
     ).collect()[0]
-    n_rows = int(gate["__n"])
+    n_rows = int(gate["__n"] or 0)
+    n_cells = int(gate["__cells"])
     # Null FE levels are REAL levels (same semantics as groupBy /
     # window demeaning, which keep a null group) — but equi-joins
     # never match null keys and pd.factorize codes nulls as -1
@@ -915,8 +936,10 @@ def _plan_alternating(
     # lazy sw projection: null → "\x00", value v → "v" + str(v) —
     # equality (all Plan C ever needs from these columns) is
     # preserved, and the encoded keys never leave this function (FE
-    # recovery reads the ORIGINAL df). Null-free inputs — the common
-    # case — keep their native key types and pay nothing.
+    # recovery reads the ORIGINAL df). The cell table is rebuilt on
+    # the re-encoded keys (one extra full pass, nulls-present inputs
+    # only); null-free inputs — the common case — keep their native
+    # key types and pay nothing.
     null_fes = [fe for fe in cc if int(gate[f"__null_{fe}"] or 0)]
     if null_fes:
         fe_key = {
@@ -929,49 +952,51 @@ def _plan_alternating(
             *[fe_key.get(c, F.col(c)) for c in keep],
             *dmv,
         )
+        cells_df.unpersist(False)
+        cells_df = _cells_of(sw).persist()
     approx_levels = sum(int(gate[f"__l_{fe}"]) for fe in cc)
     # The driver path collects the full-combination cell table, so the
     # gate bounds BOTH the pairwise nnz and the cell count (for C=2
     # they coincide; for C>2 cells can be much larger).
     approx_nnz = max(
         sum(int(gate[f"__p_{i}"]) for i in range(len(fe_pairs))),
-        int(gate["__cells"]),
+        n_cells,
     )
     # Relative convergence scale: largest column RMS (an absolute test
     # on e.g. price-scaled data forces dozens of extra sweeps).
     scale = max(
         [
-            float(gate[f"__ms_{d}"]) ** 0.5
+            (float(gate[f"__ss_{d}"]) / n_rows) ** 0.5
             for d in dmv
-            if gate[f"__ms_{d}"] is not None
+            if gate[f"__ss_{d}"] is not None and n_rows > 0
         ]
         or [1.0]
     ) or 1.0
 
     if _dbg:
-        print(f"[ap] gate: {_time.perf_counter() - _t0:.2f}s "
-              f"nnz~{approx_nnz} levels~{approx_levels}", flush=True)
+        print(f"[ap] gate+cells: {_time.perf_counter() - _t0:.2f}s "
+              f"nnz~{approx_nnz} cells={n_cells} levels~{approx_levels}",
+              flush=True)
         _t0 = _time.perf_counter()
     adj_cols = {d: f"__adj_{d}" for d in dmv}
     finish = None
     cw = None
-    cells = None
     if approx_levels <= _AP_DRIVER_LEVELS_MAX and approx_nnz <= _AP_DRIVER_NNZ_MAX:
         # Level-space path: ONE groupBy over all FE keys collects the
         # distinct-combination cell table (weights + per-column sums —
         # the gate bounded its size); per-FE sums and pairwise
         # cross-counts fall out of it with driver pandas groupbys;
         # the iteration runs in numpy; then ONE pass with C tiny
-        # broadcast joins demeans every row. Total full-data scans:
-        # gate + cells + Gram — independent of sweep count.
-        cells_pdf = (
-            sw.groupBy(*cc)
-            .agg(
-                F.count(F.lit(1)).alias("__w"),
-                *[F.sum(d).alias(f"__s_{d}") for d in dmv],
-            )
-            .toPandas()
-        )
+        # broadcast joins demeans every row. The cell table is the
+        # SAME one the gate already computed and persisted — collect
+        # it (minus the __ss gate columns), then release the blocks.
+        # Total full-data scans: gate+cells (fused) + Gram —
+        # independent of sweep count.
+        cells_pdf = cells_df.select(
+            *cc, "__w", *[f"__s_{d}" for d in dmv]
+        ).toPandas()
+        cells_df.unpersist(False)
+        cells_df = None
         if _dbg:
             print(f"[ap] cells collect: {_time.perf_counter() - _t0:.2f}s "
                   f"({len(cells_pdf)} cells)", flush=True)
@@ -1014,13 +1039,14 @@ def _plan_alternating(
         # when the distinct FE-combination count is well under the row
         # count (AP's subtracted means are cell-constant, so weighted
         # cell sweeps are identical math at |cells| rows per sweep),
-        # else on the full data.
-        cells = sw.groupBy(*cc).agg(
-            F.count(F.lit(1)).alias("__w"),
-            *[F.avg(d).alias(d) for d in dmv],
-        ).persist()
-        n_cells = cells.count()
-        levels = {fe: cells.select(fe).distinct().count() for fe in cc}
+        # else on the full data. The persisted gate cell table already
+        # holds per-cell weights + sums — the means table is a narrow
+        # projection of it, no second full-data groupBy (round-14).
+        cells = cells_df.select(
+            *cc, "__w",
+            *[(F.col(f"__s_{d}") / F.col("__w")).alias(d) for d in dmv],
+        )
+        levels = {fe: cells_df.select(fe).distinct().count() for fe in cc}
         if n_cells <= n_rows // 2:
             cw, finish = _ap_sweeps_distributed(
                 cells, cc, dmv, list(cc) + ["__w"], levels, "__w",
@@ -1043,8 +1069,8 @@ def _plan_alternating(
                 ],
             )
         else:
-            cells.unpersist(False)
-            cells = None
+            cells_df.unpersist(False)
+            cells_df = None
             sw, finish = _ap_sweeps_distributed(
                 sw, cc, dmv, keep, levels, None, scale, ap_tol, ap_max_iter
             )
@@ -1055,7 +1081,7 @@ def _plan_alternating(
     if _dbg:
         print(f"[ap] demean+gram: {_time.perf_counter() - _t0:.2f}s", flush=True)
     # gram materialized everything upstream; intermediate sweep
-    # checkpoints/means are dead. (`cw`/`cells` stay alive — the
+    # checkpoints/means are dead. (`cw`/`cells_df` stay alive — the
     # variance path below re-scans `sw`, whose plan references them —
     # and are released with the sweep table at function exit.)
     if finish is not None:
@@ -1168,8 +1194,8 @@ def _plan_alternating(
     _unpersist_checkpoint(sw)
     if cw is not None:
         _unpersist_checkpoint(cw)
-    if cells is not None:
-        cells.unpersist(False)
+    if cells_df is not None:
+        cells_df.unpersist(False)
     return res
 
 
