@@ -7476,6 +7476,46 @@ def _q_qte_by(spark, sf_dir):
     )
 
 
+def _q_qte_approx_certificate(spark, sf_dir):
+    """Per-segment GK-bound certificate for `qte_by`'s sketch mode
+    (`operators/stats.py::qte_by_approx_certificate` — VERDICT r13
+    item 3: the `accuracy` escape hatch is the mode you'd run on
+    billion-row group-arms, and its cuts are merge-order-dependent,
+    so the registered output is the scale-stable certificate, the
+    `grouped_quantiles_approx_certificate` convention stratified by
+    arm): every per-(segment, arm, p) sketch cut re-ranked EXACTLY
+    within its group-arm in a second scan against the 1/accuracy GK
+    rank bound. The oracle asserts the mathematical guarantee
+    (within_bound = true) plus the exact arm counts."""
+    from hdfe_spark.operators.stats import qte_by_approx_certificate
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    return qte_by_approx_certificate(
+        base, "segment", "event_type", "value", "click", "view",
+        probs=(0.25, 0.5, 0.75), accuracy=1000,
+    )
+
+
+_QTE_APPROX_CERT_SQL = """
+            SELECT CAST(user_id % 10 AS BIGINT) AS segment,
+                   CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                     THEN 1 END), 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                     THEN 1 END), 0) AS BIGINT) AS n_b,
+                   CAST(3 AS BIGINT) AS n_probs,
+                   true AS within_bound
+            FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('click', 'view')
+            GROUP BY user_id % 10
+        """
+
+
 # power/tost ride the welch_by moment CTEs (m and c below are the
 # _WELCH_BY_SQL spellings verbatim); z² = (z_{0.975}+z_{0.80})² and
 # δ² = 0.1·0.1 fold as the exact doubles the engine's lit() produces.
@@ -7806,6 +7846,145 @@ _DML_PLM_SQL = """
               SELECT (b.y - (k.ay + k.by * b.x)) AS ry,
                      (b.d - (k.ad + k.bd * b.x)) AS rv
               FROM b JOIN k ON b.f = k.f),
+            s AS (
+              SELECT count(*) AS n, sum(rv*ry) AS svy,
+                     sum(rv*rv) AS svv,
+                     sum(rv*rv*ry*ry) AS svvyy,
+                     sum(rv*rv*rv*ry) AS svvvy,
+                     sum(rv*rv*rv*rv) AS svvvv
+              FROM r)
+            SELECT floor((svy / svv) * 1e4 + 0.5) / 1e4 AS theta,
+                   floor((sqrt(greatest(
+                           svvyy - 2.0 * (svy / svv) * svvvy
+                           + (svy / svv) * (svy / svv) * svvvv,
+                           0.0)) / svv) * 1e4 + 0.5) / 1e4 AS se,
+                   CAST(n AS BIGINT) AS n_used,
+                   CAST(2 AS BIGINT) AS n_folds
+            FROM s
+        """
+
+
+def _q_dml_plm_tree2(spark, sf_dir):
+    """Double/debiased ML with NON-LINEAR nuisances
+    (`operators/causal.py::dml_plm(learner='tree2')` — VERDICT r13
+    item 5: the 'ML' in DML conventionally means flexible learners;
+    the residual-on-residual skeleton is learner-agnostic and here
+    carries per-fold greedy exact-CART depth-2 REGRESSION trees for
+    g(x)=E[y|x] and m(x)=E[d|x]). Fixture discipline: x is
+    l_quantity (50 distinct integers), y/d are integer-valued
+    doubles, so every per-fold cell sum — and therefore every
+    cumulative sum, split score, threshold, and leaf mean — is EXACT
+    in float64 and bit-identical cross-engine; the oracle re-derives
+    all four fold-trees (2 folds × 2 targets, root + both children)
+    from one generated CTE template (the `tree2` oracle precedent)
+    and the same residual-product closed form. theta/se round at 4
+    decimals via the floor spelling (the double-moment convention)."""
+    from hdfe_spark.operators.causal import dml_plm
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("id"),
+        F.round("l_extendedprice", 0).cast("double").alias("y"),
+        (F.col("l_discount") * 100).cast("double").alias("d"),
+        F.col("l_quantity").cast("double").alias("x"),
+    )
+    out = dml_plm(li, "y", "d", "x", id_col="id", n_folds=2,
+                  learner="tree2")
+    row = out.collect()[0]
+    return spark.createDataFrame(
+        [{
+            "theta": _fround(float(row["theta"]), 4),
+            "se": _fround(float(row["se"]), 4),
+            "n_used": int(row["n_used"]),
+            "n_folds": int(row["n_folds"]),
+        }],
+        schema="theta double, se double, n_used bigint, n_folds bigint",
+    )
+
+
+def _tree2_sql_block(t: str, f: int) -> str:
+    """One (target, fold) exact-CART depth-2 tree as SQL CTEs —
+    generated from this single template so the score expression tree
+    is literally identical across all four trees (the `tree2` oracle
+    precedent). Mirrors `_fit_tree2_numpy` exactly: candidate
+    thresholds are distinct values with cumulative (count, sum)
+    prefix sums; score = (sl*sl)/nl + (sr*sr)/nr maximized, ties to
+    the smallest threshold; children re-run the same search on each
+    side; leaf means are the child split's side means."""
+    p = f"{t}{f}"
+    side = {
+        "l": f"v <= (SELECT t0 FROM root_{p})",
+        "r": f"v > (SELECT t0 FROM root_{p})",
+    }
+    blocks = [f"""
+            cells_{p} AS (
+              SELECT x AS v, count(*) AS c, sum({t}) AS s
+              FROM b WHERE f <> {f} GROUP BY x),
+            cum_{p} AS (
+              SELECT v, sum(c) OVER w AS nl, sum(s) OVER w AS sl,
+                     sum(c) OVER () AS n, sum(s) OVER () AS st
+              FROM cells_{p}
+              WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+            root_{p} AS (
+              SELECT v AS t0, sl / nl AS ml,
+                     (st - sl) / (n - nl) AS mr
+              FROM cum_{p} WHERE nl < n
+              ORDER BY (sl * sl) / nl
+                       + ((st - sl) * (st - sl)) / (n - nl) DESC,
+                       v ASC LIMIT 1)"""]
+    for s, pred in side.items():
+        blocks.append(f"""
+            {s}cum_{p} AS (
+              SELECT v, sum(c) OVER w AS nl, sum(s) OVER w AS sl,
+                     sum(c) OVER () AS n, sum(s) OVER () AS st
+              FROM cells_{p} WHERE {pred}
+              WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+            {s}root_{p} AS (
+              SELECT v AS ts, sl / nl AS ml,
+                     (st - sl) / (n - nl) AS mr
+              FROM {s}cum_{p} WHERE nl < n
+              ORDER BY (sl * sl) / nl
+                       + ((st - sl) * (st - sl)) / (n - nl) DESC,
+                       v ASC LIMIT 1)""")
+    blocks.append(f"""
+            tree_{p} AS (
+              SELECT l.ts AS tl, r.t0 AS t0, rr.ts AS tr,
+                     l.ml AS m1, l.mr AS m2, rr.ml AS m3, rr.mr AS m4
+              FROM root_{p} r, lroot_{p} l, rroot_{p} rr)""")
+    return ",".join(blocks)
+
+
+def _tree2_case(t: str, col: str) -> str:
+    """Fold-keyed piecewise-constant prediction CASE chain for target
+    ``t`` — the SQL twin of the engine's when-chain (leaves in
+    threshold order, last leaf unbounded, outer chain on fold)."""
+    def leaf_case(p):
+        return (f"CASE WHEN b.x <= t_{p}.tl THEN t_{p}.m1"
+                f" WHEN b.x <= t_{p}.t0 THEN t_{p}.m2"
+                f" WHEN b.x <= t_{p}.tr THEN t_{p}.m3"
+                f" ELSE t_{p}.m4 END")
+    return (f"(b.{col} - CASE WHEN b.f = 0 THEN {leaf_case(t + '0')}"
+            f" ELSE {leaf_case(t + '1')} END)")
+
+
+_DML_PLM_TREE2_SQL = f"""
+            WITH b AS (
+              SELECT l_partkey % 2 AS f,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(round(l_extendedprice, 0) AS DOUBLE) AS y,
+                     CAST(l_discount * 100 AS DOUBLE) AS d
+              FROM lineitem
+              WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL),
+            {_tree2_sql_block('y', 0)},
+            {_tree2_sql_block('y', 1)},
+            {_tree2_sql_block('d', 0)},
+            {_tree2_sql_block('d', 1)},
+            r AS (
+              SELECT {_tree2_case('y', 'y')} AS ry,
+                     {_tree2_case('d', 'd')} AS rv
+              FROM b, tree_y0 t_y0, tree_y1 t_y1,
+                   tree_d0 t_d0, tree_d1 t_d1),
             s AS (
               SELECT count(*) AS n, sum(rv*ry) AS svy,
                      sum(rv*rv) AS svv,

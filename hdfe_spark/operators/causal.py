@@ -477,6 +477,161 @@ def ri_pvalue(
     )
 
 
+import os as _os_mod
+
+_DML_TREE2_CELLS_MAX = int(
+    _os_mod.environ.get("HDFE_DML_TREE2_CELLS_MAX", 5_000_000)
+)
+
+
+def _fit_tree2_numpy(v, c, s):
+    """Depth-2 regression tree from a sorted distinct-value cell
+    table of one complement fold: ``v`` distinct feature values
+    (ascending), ``c`` counts, ``s`` target sums (float64).
+
+    Exact CART for squared error: the best split maximizes
+    ``S_L²/n_L + S_R²/n_R`` (equivalently minimizes SSE); ties break
+    to the SMALLEST threshold (the `best_split` total order, which a
+    SQL oracle can replay — np.argmax returns the first maximum).
+    Greedy root-then-children, the `tree_depth2` contract.
+
+    Returns the ordered leaf list ``[(ub, mean), ..., (None, mean)]``
+    evaluated as ``CASE WHEN x <= ub THEN mean ... ELSE last``; a
+    side with a single distinct value stays one leaf.
+    """
+    import numpy as np
+
+    n = float(c.sum())
+    S = float(s.sum())
+    if len(v) < 2:
+        return [(None, S / n)]
+
+    def best(vv, cc, ss):
+        nn = float(cc.sum())
+        SS = float(ss.sum())
+        if len(vv) < 2:
+            return None
+        nl = np.cumsum(cc, dtype=np.float64)[:-1]
+        sl = np.cumsum(ss, dtype=np.float64)[:-1]
+        nr = nn - nl
+        sr = SS - sl
+        score = sl * sl / nl + sr * sr / nr
+        i = int(np.argmax(score))
+        return i, float(sl[i] / nl[i]), float(sr[i] / nr[i])
+
+    i0, m_l, m_r = best(v, c, s)
+    leaves = []
+    for lo, hi, m_side in ((0, i0 + 1, m_l), (i0 + 1, len(v), m_r)):
+        vv, cc, ss = v[lo:hi], c[lo:hi], s[lo:hi]
+        child = best(vv, cc, ss)
+        last_ub = vv[len(vv) - 1] if hi < len(v) else None
+        if child is None:
+            leaves.append((last_ub, m_side))
+        else:
+            j, mj_l, mj_r = child
+            leaves.append((vv[j], mj_l))
+            leaves.append((last_ub, mj_r))
+    return leaves
+
+
+def _tree2_residuals(base, fold, y, d, x_cols, n_folds, id_col):
+    """Cross-fitted depth-2 regression-tree nuisances for `dml_plm`
+    (VERDICT r13 item 5 — the flexible-learner completion of the
+    residual-on-residual skeleton, which is learner-agnostic by
+    design): per fold, per target (y and d), a greedy exact-CART
+    depth-2 tree fit on the COMPLEMENT folds, with predictions
+    folded back as a fold-keyed CASE chain of ≤4 leaf means.
+
+    Scale: ONE full-data groupBy builds the (fold, value, count,
+    Σy, Σd) distinct-value cell table; every complement aggregation,
+    prefix sum, and split search then runs in numpy on the collected
+    cells (the Plan-C level-space discipline). The collect is gated
+    by a LIMIT at ``HDFE_DML_TREE2_CELLS_MAX`` (default 5M): exact
+    CART's candidate set IS the distinct-value set, so a near-
+    continuous feature at extreme scale must be binned/rounded first
+    — the gate raises with that instruction rather than OOMing the
+    driver. Returns the (ry, rv) residual column expressions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(x_cols) != 1:
+        raise ValueError(
+            "dml_plm: learner='tree2' supports exactly one x column"
+            f" (got {len(x_cols)}) — trees on multi-feature designs"
+            " need a split search per feature; bin or pick one"
+        )
+    xc = x_cols[0]
+    cells = (
+        base.groupBy(fold.alias("__f"), F.col(xc).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col(y).cast("double")).alias("__sy"),
+            F.sum(F.col(d).cast("double")).alias("__sd"),
+        )
+        .limit(_DML_TREE2_CELLS_MAX + 1)
+        .toPandas()
+    )
+    if len(cells) > _DML_TREE2_CELLS_MAX:
+        raise ValueError(
+            "dml_plm: learner='tree2' found more than"
+            f" {_DML_TREE2_CELLS_MAX} distinct (fold, x) cells — exact"
+            " CART's candidate set is the distinct-value set; bin or"
+            " round the feature first (or raise"
+            " HDFE_DML_TREE2_CELLS_MAX)"
+        )
+    if cells["__f"].isna().any():
+        raise ValueError(
+            f"dml_plm: id_col {id_col!r} has values that do not cast"
+            " to an integer — fold assignment needs integer-castable"
+            " ids"
+        )
+    folds_seen = set(int(f) for f in cells["__f"].unique())
+    if len(folds_seen) < n_folds:
+        sizes = cells.groupby("__f")["__c"].sum().to_dict()
+        raise ValueError(
+            f"dml_plm: only {len(folds_seen)} of {n_folds} folds are"
+            f" populated (fold sizes {sizes}) — too few distinct ids"
+        )
+    cells = cells.sort_values("__v", kind="mergesort").reset_index(
+        drop=True
+    )
+
+    def resid_chain(col, target_sum_col):
+        expr = None
+        for f in range(n_folds):
+            comp = cells[cells["__f"] != f]
+            g = comp.groupby("__v", sort=True).agg(
+                c=("__c", "sum"), s=(target_sum_col, "sum")
+            )
+            leaves = _fit_tree2_numpy(
+                g.index.to_numpy(),
+                g["c"].to_numpy(np.float64),
+                g["s"].to_numpy(np.float64),
+            )
+            pred = None
+            for ub, m in leaves[:-1]:
+                if hasattr(ub, "item"):
+                    ub = ub.item()
+                cond = F.col(xc) <= F.lit(ub)
+                pred = (
+                    F.when(cond, F.lit(m))
+                    if pred is None
+                    else pred.when(cond, F.lit(m))
+                )
+            last = F.lit(leaves[-1][1])
+            pred = last if pred is None else pred.otherwise(last)
+            branch = F.col(col) - pred
+            expr = (
+                F.when(fold == F.lit(f), branch)
+                if expr is None
+                else expr.when(fold == F.lit(f), branch)
+            )
+        return expr
+
+    return resid_chain(y, "__sy"), resid_chain(d, "__sd")
+
+
 def dml_plm(
     df: DataFrame,
     y: str,
@@ -484,16 +639,27 @@ def dml_plm(
     x: "str | list[str]",
     id_col: str,
     n_folds: int = 2,
+    learner: str = "linear",
 ) -> DataFrame:
     """Double/debiased machine learning for the partial-linear model
     (Chernozhukov et al. 2018): ``y = θ·d + g(x) + ε``,
-    ``d = m(x) + v``, with CROSS-FITTED linear nuisances — the
-    modern workhorse for "effect of d controlling flexibly for x"
-    when g/m are estimated, completing the causal panel beside
+    ``d = m(x) + v``, with CROSS-FITTED nuisances — the modern
+    workhorse for "effect of d controlling flexibly for x" when g/m
+    are estimated, completing the causal panel beside
     `ipw_ate`/`aipw_ate` (design-based) and `iv_2sls` (instrument-
-    based). Linear nuisance learners here (the partialling-out
-    Frisch–Waugh form); richer learners slot into the same
-    residual-on-residual skeleton.
+    based). ``learner`` picks the nuisance family — the
+    residual-on-residual skeleton is learner-agnostic by design:
+
+    - ``"linear"`` (default): per-fold OLS of y and d on [1|x] (the
+      partialling-out Frisch–Waugh form); TWO fused aggregations.
+    - ``"tree2"`` (VERDICT r13 item 5): per-fold greedy exact-CART
+      depth-2 REGRESSION trees per target — genuinely non-linear
+      g/m, robust to monotone/kinked confounding a line misses.
+      One full-data cell groupBy + the residual pass; the
+      distinct-value cell table must fit the driver gate
+      (``HDFE_DML_TREE2_CELLS_MAX``, default 5M — exact CART's
+      candidate set is the distinct-value set; bin first beyond
+      that), single x column.
 
     Cross-fitting: rows split into ``n_folds`` by the deterministic,
     engine-portable ``id mod n_folds`` (the hash-split convention —
@@ -533,6 +699,11 @@ def dml_plm(
     x_cols = [x] if isinstance(x, str) else list(x)
     if n_folds < 2:
         raise ValueError("dml_plm: n_folds must be >= 2")
+    if learner not in ("linear", "tree2"):
+        raise ValueError(
+            f"dml_plm: unknown learner {learner!r}"
+            " (expected 'linear' or 'tree2')"
+        )
     k = len(x_cols) + 1  # [1 | x]
     # try_cast: a non-castable id must surface as the domain error in
     # the NULL-fold check below, not an ANSI CAST_INVALID_INPUT crash
@@ -554,102 +725,107 @@ def dml_plm(
     base = df.filter(valid).persist()
     try:
 
-        feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for i in range(k):
-            for j in range(i, k):
-                aggs.append(F.sum(feats[i] * feats[j]).alias(f"__g_{i}_{j}"))
-            aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
-            aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
-        mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
-        # An id whose cast-to-long fails (non-numeric string, NaN double)
-        # lands in a NULL fold — name the cause instead of crashing on
-        # int(None) below (review r13c).
-        if any(r["__f"] is None for r in mom):
-            raise ValueError(
-                f"dml_plm: id_col {id_col!r} has values that do not cast"
-                " to an integer — fold assignment needs integer-castable"
-                " ids"
+        if learner == "tree2":
+            ry, rv = _tree2_residuals(
+                base, fold, y, d, x_cols, n_folds, id_col
             )
-        if len(mom) < n_folds:
-            sizes = {int(r["__f"]): int(r["__n"]) for r in mom}
-            raise ValueError(
-                f"dml_plm: only {len(mom)} of {n_folds} folds are"
-                f" populated (fold sizes {sizes}) — too few distinct ids"
-            )
-        G = {}
-        Xy = {}
-        Xd = {}
-        for r in mom:
-            f = int(r["__f"])
-            g = np.zeros((k, k))
+        else:
+            feats = [F.lit(1.0)] + [F.col(c) for c in x_cols]
+            aggs = [F.count(F.lit(1)).alias("__n")]
             for i in range(k):
                 for j in range(i, k):
-                    v = r[f"__g_{i}_{j}"]
-                    g[i, j] = g[j, i] = 0.0 if v is None else float(v)
-            G[f] = g
-            Xy[f] = np.array(
-                [float(r[f"__xy_{i}"] or 0.0) for i in range(k)]
-            )
-            Xd[f] = np.array(
-                [float(r[f"__xd_{i}"] or 0.0) for i in range(k)]
-            )
-        # complement-fold nuisance fits (cross-fitting)
-        by = {}
-        bd = {}
-        for f in range(n_folds):
-            Gc = sum(G[o] for o in G if o != f)
-            yc = sum(Xy[o] for o in Xy if o != f)
-            dc = sum(Xd[o] for o in Xd if o != f)
-            # Conditioning guard (review r13c): an exactly-singular Gc
-            # would raise a raw LinAlgError, and a NEAR-collinear one
-            # would silently return garbage nuisance coefficients — both
-            # become the domain error naming the fix.
-            cond = float(np.linalg.cond(Gc))
-            if not np.isfinite(cond) or cond > 1e12:
+                    aggs.append(F.sum(feats[i] * feats[j]).alias(f"__g_{i}_{j}"))
+                aggs.append(F.sum(feats[i] * F.col(y)).alias(f"__xy_{i}"))
+                aggs.append(F.sum(feats[i] * F.col(d)).alias(f"__xd_{i}"))
+            mom = base.groupBy(fold.alias("__f")).agg(*aggs).collect()
+            # An id whose cast-to-long fails (non-numeric string, NaN double)
+            # lands in a NULL fold — name the cause instead of crashing on
+            # int(None) below (review r13c).
+            if any(r["__f"] is None for r in mom):
                 raise ValueError(
-                    "dml_plm: the [1|x] nuisance design is (near-)"
-                    f"collinear on the complement of fold {f}"
-                    f" (condition number {cond:.2e}) — drop or combine"
-                    " collinear x columns (see find_collinear_cols_gram)"
+                    f"dml_plm: id_col {id_col!r} has values that do not cast"
+                    " to an integer — fold assignment needs integer-castable"
+                    " ids"
                 )
-            if k == 2:
-                # Single-x nuisance: solve the 2x2 normal equations with
-                # the EXACT closed-form Cramer expressions (same operation
-                # order an ANSI-SQL oracle spells), not LAPACK — LAPACK's
-                # pivoted LU can differ from Cramer in the last ulp, and
-                # those ulps are what a rounded cross-engine hash compares
-                # (ADVICE r13).  nc=Gc[0,0], sxc=Gc[0,1], sxxc=Gc[1,1].
-                nc, sxc, sxxc = Gc[0, 0], Gc[0, 1], Gc[1, 1]
-                det = nc * sxxc - sxc * sxc
-                by[f] = np.array(
-                    [(sxxc * yc[0] - sxc * yc[1]) / det,
-                     (nc * yc[1] - sxc * yc[0]) / det]
+            if len(mom) < n_folds:
+                sizes = {int(r["__f"]): int(r["__n"]) for r in mom}
+                raise ValueError(
+                    f"dml_plm: only {len(mom)} of {n_folds} folds are"
+                    f" populated (fold sizes {sizes}) — too few distinct ids"
                 )
-                bd[f] = np.array(
-                    [(sxxc * dc[0] - sxc * dc[1]) / det,
-                     (nc * dc[1] - sxc * dc[0]) / det]
+            G = {}
+            Xy = {}
+            Xd = {}
+            for r in mom:
+                f = int(r["__f"])
+                g = np.zeros((k, k))
+                for i in range(k):
+                    for j in range(i, k):
+                        v = r[f"__g_{i}_{j}"]
+                        g[i, j] = g[j, i] = 0.0 if v is None else float(v)
+                G[f] = g
+                Xy[f] = np.array(
+                    [float(r[f"__xy_{i}"] or 0.0) for i in range(k)]
                 )
-            else:
-                by[f] = np.linalg.solve(Gc, yc)
-                bd[f] = np.linalg.solve(Gc, dc)
-
-        def _resid(col, coefs):
-            expr = None
+                Xd[f] = np.array(
+                    [float(r[f"__xd_{i}"] or 0.0) for i in range(k)]
+                )
+            # complement-fold nuisance fits (cross-fitting)
+            by = {}
+            bd = {}
             for f in range(n_folds):
-                fit = F.lit(float(coefs[f][0]))
-                for i, c in enumerate(x_cols):
-                    fit = fit + F.lit(float(coefs[f][i + 1])) * F.col(c)
-                branch = F.col(col) - fit
-                expr = (
-                    F.when(fold == F.lit(f), branch)
-                    if expr is None
-                    else expr.when(fold == F.lit(f), branch)
-                )
-            return expr
+                Gc = sum(G[o] for o in G if o != f)
+                yc = sum(Xy[o] for o in Xy if o != f)
+                dc = sum(Xd[o] for o in Xd if o != f)
+                # Conditioning guard (review r13c): an exactly-singular Gc
+                # would raise a raw LinAlgError, and a NEAR-collinear one
+                # would silently return garbage nuisance coefficients — both
+                # become the domain error naming the fix.
+                cond = float(np.linalg.cond(Gc))
+                if not np.isfinite(cond) or cond > 1e12:
+                    raise ValueError(
+                        "dml_plm: the [1|x] nuisance design is (near-)"
+                        f"collinear on the complement of fold {f}"
+                        f" (condition number {cond:.2e}) — drop or combine"
+                        " collinear x columns (see find_collinear_cols_gram)"
+                    )
+                if k == 2:
+                    # Single-x nuisance: solve the 2x2 normal equations with
+                    # the EXACT closed-form Cramer expressions (same operation
+                    # order an ANSI-SQL oracle spells), not LAPACK — LAPACK's
+                    # pivoted LU can differ from Cramer in the last ulp, and
+                    # those ulps are what a rounded cross-engine hash compares
+                    # (ADVICE r13).  nc=Gc[0,0], sxc=Gc[0,1], sxxc=Gc[1,1].
+                    nc, sxc, sxxc = Gc[0, 0], Gc[0, 1], Gc[1, 1]
+                    det = nc * sxxc - sxc * sxc
+                    by[f] = np.array(
+                        [(sxxc * yc[0] - sxc * yc[1]) / det,
+                         (nc * yc[1] - sxc * yc[0]) / det]
+                    )
+                    bd[f] = np.array(
+                        [(sxxc * dc[0] - sxc * dc[1]) / det,
+                         (nc * dc[1] - sxc * dc[0]) / det]
+                    )
+                else:
+                    by[f] = np.linalg.solve(Gc, yc)
+                    bd[f] = np.linalg.solve(Gc, dc)
 
-        ry = _resid(y, by)
-        rv = _resid(d, bd)
+            def _resid(col, coefs):
+                expr = None
+                for f in range(n_folds):
+                    fit = F.lit(float(coefs[f][0]))
+                    for i, c in enumerate(x_cols):
+                        fit = fit + F.lit(float(coefs[f][i + 1])) * F.col(c)
+                    branch = F.col(col) - fit
+                    expr = (
+                        F.when(fold == F.lit(f), branch)
+                        if expr is None
+                        else expr.when(fold == F.lit(f), branch)
+                    )
+                return expr
+
+            ry = _resid(y, by)
+            rv = _resid(d, bd)
         out = base.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(rv * ry).alias("svy"),

@@ -5585,3 +5585,105 @@ def qte_by(
         F.col("__r.q_b").alias("q_b"),
         F.col("__r.qte").alias("qte"),
     )
+
+
+def qte_by_approx_certificate(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-segment GK-bound certificate for `qte_by`'s ``accuracy``
+    (sketch) mode — the mode you'd actually run on billion-row
+    group-arms, whose returned VALUES are legally merge-order-
+    dependent and therefore not oracle-hashable (VERDICT r13 item 3).
+    The `grouped_quantiles_approx_certificate` convention, stratified
+    BY ARM: every per-(group, arm, p) sketch cut is re-ranked EXACTLY
+    within its own group-arm in a second scan, and its tie-robust
+    rank interval [#{x < v}, #{x <= v}] / n_arm must intersect
+    [p − eps, p + eps] with eps = 1/accuracy (+1/n_arm discreteness
+    + fp slack) — the Greenwald-Khanna guarantee. Emits only
+    scale-stable facts: (group, n_a, n_b, n_probs, within_bound);
+    the cuts themselves never appear in the output.
+
+    Scale: two scans — the sketch aggregation (O(accuracy·log n)
+    memory per group-arm), then one join of the group-cardinality
+    sketch table back onto the data (AQE-planned broadcast for
+    per-segment groups) with conditional counters. No window, no
+    per-group sort; the exact re-rank is counting, not ordering.
+    """
+    no_output_collision(
+        "qte_by_approx_certificate",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "n_probs", "within_bound"),
+    )
+    probs = [float(p) for p in probs]
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("qte_by_approx_certificate: probs in [0, 1]")
+    if accuracy < 1:
+        raise ValueError("qte_by_approx_certificate: accuracy >= 1")
+    if arm_a == arm_b:
+        raise ValueError(
+            f"qte_by_approx_certificate: arm_a == arm_b ({arm_a!r})"
+        )
+    va = F.when(F.col(arm_col) == F.lit(arm_a), F.col(value_col))
+    vb = F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(arm_col).isin(arm_a, arm_b)
+    )
+    sk = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.percentile_approx(va, F.lit(probs), F.lit(int(accuracy)))
+        .alias("__qa"),
+        F.percentile_approx(vb, F.lit(probs), F.lit(int(accuracy)))
+        .alias("__qb"),
+    )
+    probe = base.join(sk, F.col(group_col).eqNullSafe(F.col("__g")))
+    arms = {"a": (va, "__qa"), "b": (vb, "__qb")}
+    counters = []
+    for tag, (v, qcol) in arms.items():
+        counters.append(F.count(v).cast("long").alias(f"n_{tag}"))
+        for i in range(len(probs)):
+            counters.append(
+                F.sum(F.when(v < F.col(qcol)[i], 1).otherwise(0))
+                .cast("long").alias(f"__lt_{tag}{i}")
+            )
+            counters.append(
+                F.sum(F.when(v <= F.col(qcol)[i], 1).otherwise(0))
+                .cast("long").alias(f"__le_{tag}{i}")
+            )
+    checked = probe.groupBy("__g").agg(
+        *counters,
+        *[F.first(F.col(qc)[i]).alias(f"__q_{t}{i}")
+          for t, (_, qc) in arms.items() for i in range(len(probs))],
+    )
+    within = None
+    for tag in arms:
+        nd = F.col(f"n_{tag}").cast("double")
+        eps = F.lit(1.0 / int(accuracy) + 1e-9) + F.lit(1.0) / nd
+        for i, p in enumerate(probs):
+            lo_ok = (
+                F.col(f"__lt_{tag}{i}").cast("double") / nd - F.lit(p)
+                <= eps
+            )
+            hi_ok = (
+                F.lit(p) - F.col(f"__le_{tag}{i}").cast("double") / nd
+                <= eps
+            )
+            # An empty arm has no cut (NULL): vacuously within bound
+            # iff the arm really is empty — a NULL cut over a
+            # non-empty arm is a sketch failure and must read false.
+            c = F.when(
+                F.col(f"__q_{tag}{i}").isNull(), F.col(f"n_{tag}") == 0
+            ).otherwise(lo_ok & hi_ok)
+            within = c if within is None else (within & c)
+    return checked.select(
+        F.col("__g").alias(group_col),
+        "n_a", "n_b",
+        F.lit(len(probs)).cast("long").alias("n_probs"),
+        within.alias("within_bound"),
+    )

@@ -1,0 +1,139 @@
+"""Round-14 stress: dml_plm(learner='tree2') and
+qte_by_approx_certificate at 20M rows.
+
+tree2: residue-valued columns make every per-fold cell sum exact in
+float64 (integer-valued doubles well under 2^53), so the numpy
+replica of the fold trees and theta matches tightly.
+
+Usage: python tools/stress_r14.py [tree2|qtecert|all]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 20_000_000
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r14")
+
+
+def stress_tree2(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import dml_plm
+
+    # x: 60 distinct integer values; g(x): monotone 4-step confounder
+    # (exactly representable by a depth-2 tree); d and y integer-
+    # valued combinations so the 20M cell sums are float64-exact.
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 60).cast("double").alias("x"),
+    ).select(
+        "id", "x",
+        F.when(F.col("x") < 15, 0.0).when(F.col("x") < 30, 1.0)
+        .when(F.col("x") < 45, 9.0).otherwise(10.0).alias("gx"),
+    ).select(
+        "id", "x",
+        (F.col("gx") + ((F.col("id") * 104729) % 5).cast("double"))
+        .alias("d"),
+        (
+            2.0 * (F.col("gx") + ((F.col("id") * 104729) % 5)
+                   .cast("double"))
+            + 3.0 * F.col("gx")
+            + ((F.col("id") * 48271) % 7).cast("double")
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = dml_plm(df, "y", "d", "x", id_col="id",
+                  learner="tree2").collect()[0]
+    wall = time.perf_counter() - t0
+
+    # numpy replica on the same closed-form columns
+    i = np.arange(N, dtype=np.int64)
+    x = ((i * 7919) % 60).astype(np.float64)
+    gx = np.select([x < 15, x < 30, x < 45], [0.0, 1.0, 9.0], 10.0)
+    d = gx + ((i * 104729) % 5).astype(np.float64)
+    y = 2.0 * d + 3.0 * gx + ((i * 48271) % 7).astype(np.float64)
+    fold = i % 2
+
+    from hdfe_spark.operators.causal import _fit_tree2_numpy
+
+    ry = np.empty(N)
+    rv = np.empty(N)
+    for f in (0, 1):
+        comp = fold != f
+        vals, inv = np.unique(x[comp], return_inverse=True)
+        c = np.bincount(inv).astype(np.float64)
+        sy = np.bincount(inv, weights=y[comp])
+        sd = np.bincount(inv, weights=d[comp])
+        gl = _fit_tree2_numpy(vals, c, sy)
+        ml = _fit_tree2_numpy(vals, c, sd)
+
+        def pred(leaves, xs):
+            out = np.full(len(xs), leaves[-1][1])
+            done = np.zeros(len(xs), dtype=bool)
+            for ub, m in leaves[:-1]:
+                hit = (~done) & (xs <= ub)
+                out[hit] = m
+                done |= hit
+            return out
+
+        m = fold == f
+        ry[m] = y[m] - pred(gl, x[m])
+        rv[m] = d[m] - pred(ml, x[m])
+    theta_rep = float((rv * ry).sum() / (rv * rv).sum())
+    rel = abs(row["theta"] - theta_rep) / max(abs(theta_rep), 1e-300)
+    print(
+        f"tree2: wall={wall:.1f}s theta={row['theta']:.6f}"
+        f" replica={theta_rep:.6f} rel={rel:.2e}"
+        f" n_used={row['n_used']}"
+    )
+    assert rel < 1e-9
+    assert row["n_used"] == N
+
+
+def stress_qtecert(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import qte_by_approx_certificate
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 8).cast("long").alias("seg"),
+        F.when((F.col("id") % 2) == 0, "a").otherwise("b").alias("arm"),
+        (
+            ((F.col("id") * 7919) % 100000).cast("double")
+            + (F.col("id") % 8).cast("double") * 1000.0
+        ).alias("v"),
+    )
+    t0 = time.perf_counter()
+    rows = qte_by_approx_certificate(
+        df, "seg", "arm", "v", "a", "b", accuracy=1000
+    ).collect()
+    wall = time.perf_counter() - t0
+    ok = all(r["within_bound"] for r in rows)
+    print(
+        f"qtecert: wall={wall:.1f}s groups={len(rows)}"
+        f" all_within_bound={ok}"
+        f" n_a_total={sum(r['n_a'] for r in rows)}"
+    )
+    assert ok and len(rows) == 8
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == N
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if which in ("tree2", "all"):
+        stress_tree2(spark)
+    if which in ("qtecert", "all"):
+        stress_qtecert(spark)
