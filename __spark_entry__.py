@@ -8008,120 +8008,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window (each round records exactly the first 50 dict
     entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-13 ROTATION (seventeenth curation pass), executed exactly
-    as queued in SURVEY.md after CORRECTNESS_r12 came back 50/50
+    ROUND-14 ROTATION (eighteenth curation pass), executed exactly
+    as queued in SURVEY.md after CORRECTNESS_r13 came back 50/50
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-11: this round's net-new registrations -- the two
-      pre-builds with zero driver exposure (`ri_pvalue`, `mde_by` --
-      VERDICT r12 item 1), the `hausman` just-identified 1-slope
-      fixture (`hausman_iv` -- item 5: with ONE common slope the
-      PSD eigen-repair is a closed-form sign test, SQL-spellable),
-      the five new experimentation-panel operators (`cuped_by`,
-      `smd_balance`, then late-round `power_by`, `tost_by`,
-      `qte_by`), `streaming_cuped` (the 25th streaming form --
-      additive counters, availableNow == batch exactly), and
-      `ols_wls_fe` (weighted within/FE estimation -- reghdfe's
-      analytic-weights absorb shape), and `dml_plm` (double/debiased
-      ML for the partial-linear model, cross-fitted linear
-      nuisances over deterministic id-mod folds).
-    - positions 12-50: the 39 stalest driver-green re-certs -- the
-      ten r05/r06 rows the late-round-12 econ panel evicted
-      (`salted_join` .. `agg_refresh`), then the r06 stratum from
-      `cms_certificate` through `tpch_q13` (`tpch_q14`-`q19`
-      evicted to the backlog head by the late registrations).
+    - positions 1-2: this round's net-new registrations --
+      `qte_approx_certificate` (VERDICT r13 item 3: the GK-bound
+      certificate for `qte_by`'s sketch mode, stratified by arm)
+      and `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
+      exact-CART depth-2 regression trees -- on an integer-valued
+      fixture whose cell sums are float64-exact, so all four
+      fold-trees are bit-identical cross-engine and the oracle
+      re-derives them from one generated CTE template).
+    - positions 3-50: the 48 stalest driver-green re-certs -- the
+      six `tpch_q14`-`q19` rows the late-round-13 registrations
+      evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
+      r07 stratum from its alphabetical head (`ab_proportions` ..
+      `pack_sequences`).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the r06 residue
-      (`tpch_q2` onward), then the r07/r09/r10 strata, then the
-      round-11-window entries (r11 evidence), then the round-12
-      window's 50 entries (fresh r12 evidence), and the 11
+      next rotation is always "take the head": the r07 residue
+      (`psi_drift` onward), then the r09/r10/r11 strata, then the
+      round-12 window's 50 entries (r12 evidence), then the
+      round-13 window's 50 (fresh r13 evidence), and the 11
       rows-only demos at the tail per the VERDICT-r6 window policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 (round-13 rotation) ------
-        # 1-11: this round's net-new registrations — the two
-        # never-driver-checked pre-builds (VERDICT r12 item 1), the
-        # hausman 1-slope fixture (item 5), the experimentation
-        # panel (cuped_by, smd_by, power/tost/qte), the 25th
-        # streaming form, the weighted within estimator, and dml_plm
-        "ri_pvalue": _q_ri_pvalue,
-        "mde_by": _q_mde_by,
-        "hausman_iv": _q_hausman_iv,
-        "cuped_by": _q_cuped_by,
-        "smd_balance": _q_smd_balance,
-        "power_by": _q_power_by,
-        "tost_by": _q_tost_by,
-        "qte_by": _q_qte_by,
-        "streaming_cuped": _q_streaming_cuped,
-        "ols_wls_fe": _q_ols_wls_fe,
-        "dml_plm": _q_dml_plm,
-        # 12-50: the 39 stalest driver-green re-certs — the ten
-        # r05/r06 rows evicted by the late-round-12 econ panel
-        # (salted_join .. agg_refresh), then the r06 stratum from
-        # cms_certificate through tpch_q13 (as queued in SURVEY.md,
-        # minus the six rows the late registrations evicted)
-        "salted_join": _q_salted_join,
-        "semi_anti_join": _q_semi_anti_join,
-        "sql_q1": _q_sql_q1,
-        "streaming_enrich": _q_streaming_enrich,
-        "subqueries": _q_subqueries,
-        "tpch_q3": _q_tpch_q3,
-        "unpivot_long": _q_unpivot_long,
-        "window_ranks": _q_window_ranks,
-        "zorder_layout": _q_zorder_layout,
-        "agg_refresh": _q_agg_refresh,
-        "cms_certificate": _q_cms_certificate,
-        "date_parts": _q_date_parts,
-        "decimal_agg": _q_decimal_agg,
-        "dq_report": _q_dq_report,
-        "dup_ngram_spans": _q_dup_ngram_spans,
-        "heavy_hitters": _q_heavy_hitters,
-        "interval_join": _q_interval_join,
-        "join_nulls": _q_join_nulls,
-        "label_centroids": _q_label_centroids,
-        "mad_outliers": _q_mad_outliers,
-        "multimodal_audio": _q_multimodal_audio,
-        "pagerank": _q_pagerank,
-        "pmi_bigrams": _q_pmi_bigrams,
-        "rebalance_sources": _q_rebalance_sources,
-        "ref_integrity": _q_ref_integrity,
-        "scd2_intervals": _q_scd2_intervals,
-        "schema_evolution": _q_schema_evolution,
-        "semdedup_recall": _q_semdedup_recall,
-        "setsim_join": _q_setsim_join,
-        "snapshot_diff": _q_snapshot_diff,
-        "snapshot_diff_apply": _q_snapshot_diff_apply,
-        "snapshot_roundtrip": _q_snapshot_roundtrip,
-        "streaming_cms": _q_streaming_cms,
-        "streaming_snapshot": _q_streaming_snapshot,
-        "string_funcs": _q_string_funcs,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        # ------ end of the driver's 50-query window ------
-        # (tpch_q14 also evicted, by the dml_plm
-        # registration - 11 net-new total this round)
+        # ------ driver window: positions 1-50 (round-14 rotation) ------
+        # 1-2: this round's net-new registrations — the qte_by
+        # sketch-mode GK certificate (VERDICT r13 item 3) and
+        # dml_plm's non-linear tree2 learner (item 5), both
+        # hash-green on their first targeted gate run
+        "qte_approx_certificate": _q_qte_approx_certificate,
+        "dml_plm_tree2": _q_dml_plm_tree2,
+        # 3-50: the 48 stalest driver-green re-certs — the six
+        # tpch_q14-q19 rows evicted by the late-round-13
+        # registrations, the r06 residue (tpch_q2 .. winsorize),
+        # then the r07 stratum from its alphabetical head
+        # (ab_proportions .. pack_sequences), as queued in SURVEY.md
         "tpch_q14": _q_tpch_q14,
-        # (tpch_q15 also evicted, by the ols_wls_fe
-        # registration - 10 net-new total this round)
         "tpch_q15": _q_tpch_q15,
-        # (tpch_q16 also evicted, by the streaming_cuped
-        # registration - 9 net-new total this round)
         "tpch_q16": _q_tpch_q16,
-        # (tpch_q17-q19 evicted by the three late-round-13
-        # registrations power_by/tost_by/qte_by - they move
-        # to the backlog head, the round-14 re-cert list)
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
-        # backlog: every remaining oracle-checked query, ordered
-        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
-        # head of the backlog IS the next rotation's re-cert list:
-        # the r06 residue (tpch_q2 onward), then the r07/r09/r10
-        # strata, then the round-11-window entries (r11 evidence)
         "tpch_q2": _q_tpch_q2,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
@@ -8164,6 +8095,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_2fe": _q_ols_2fe,
         "ols_ridge": _q_ols_ridge,
         "pack_sequences": _q_pack_sequences,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
+        # head of the backlog IS the next rotation's re-cert list:
+        # the r07 residue (psi_drift onward), then the r09/r10/r11
+        # strata, then the round-12 window's 50 entries
         "psi_drift": _q_psi_drift,
         "radius_join": _q_radius_join,
         "recursive_cte": _q_recursive_cte,
@@ -8331,8 +8268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "weighted_sample_by": _q_weighted_sample_by,
         "window_funcs": _q_window_funcs,
-        # the round-12 window's 50 entries (fresh r12 evidence —
-        # CORRECTNESS_r12 50/50 green), freshest, so they sit last
         "ewma_blocked": _q_ewma_blocked,
         "cusum_blocked": _q_cusum_blocked,
         "holt_blocked": _q_holt_blocked,
@@ -8383,6 +8318,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "retention": _q_retention,
         "rolling_window": _q_rolling_window,
+        # the round-13 window's 50 entries (fresh r13 evidence —
+        # CORRECTNESS_r13 50/50 green), freshest, so they sit last
+        "ri_pvalue": _q_ri_pvalue,
+        "mde_by": _q_mde_by,
+        "hausman_iv": _q_hausman_iv,
+        "cuped_by": _q_cuped_by,
+        "smd_balance": _q_smd_balance,
+        "power_by": _q_power_by,
+        "tost_by": _q_tost_by,
+        "qte_by": _q_qte_by,
+        "streaming_cuped": _q_streaming_cuped,
+        "ols_wls_fe": _q_ols_wls_fe,
+        "dml_plm": _q_dml_plm,
+        "salted_join": _q_salted_join,
+        "semi_anti_join": _q_semi_anti_join,
+        "sql_q1": _q_sql_q1,
+        "streaming_enrich": _q_streaming_enrich,
+        "subqueries": _q_subqueries,
+        "tpch_q3": _q_tpch_q3,
+        "unpivot_long": _q_unpivot_long,
+        "window_ranks": _q_window_ranks,
+        "zorder_layout": _q_zorder_layout,
+        "agg_refresh": _q_agg_refresh,
+        "cms_certificate": _q_cms_certificate,
+        "date_parts": _q_date_parts,
+        "decimal_agg": _q_decimal_agg,
+        "dq_report": _q_dq_report,
+        "dup_ngram_spans": _q_dup_ngram_spans,
+        "heavy_hitters": _q_heavy_hitters,
+        "interval_join": _q_interval_join,
+        "join_nulls": _q_join_nulls,
+        "label_centroids": _q_label_centroids,
+        "mad_outliers": _q_mad_outliers,
+        "multimodal_audio": _q_multimodal_audio,
+        "pagerank": _q_pagerank,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "rebalance_sources": _q_rebalance_sources,
+        "ref_integrity": _q_ref_integrity,
+        "scd2_intervals": _q_scd2_intervals,
+        "schema_evolution": _q_schema_evolution,
+        "semdedup_recall": _q_semdedup_recall,
+        "setsim_join": _q_setsim_join,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_diff_apply": _q_snapshot_diff_apply,
+        "snapshot_roundtrip": _q_snapshot_roundtrip,
+        "streaming_cms": _q_streaming_cms,
+        "streaming_snapshot": _q_streaming_snapshot,
+        "string_funcs": _q_string_funcs,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
         # the 11 rows-only demos keep the tail (window slots go to
         # hash-matchable rows only; each demo's exactness
         # certificate query is oracle-checked and driver-green)
@@ -8851,6 +8838,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cuped": _CUPED_BY_SQL,
         "ols_wls_fe": _OLS_WLS_FE_SQL,
         "dml_plm": _DML_PLM_SQL,
+        "dml_plm_tree2": _DML_PLM_TREE2_SQL,
+        "qte_approx_certificate": _QTE_APPROX_CERT_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -20,47 +20,40 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round13_window_composition():
-    """Positions 1-50 (seventeenth curation pass, executed exactly
-    as queued in SURVEY.md after CORRECTNESS_r12 landed 50/50
-    green): 1-11 = this round's net-new registrations (`ri_pvalue`
-    and `mde_by` — the two pre-builds with zero driver exposure,
-    VERDICT r12 item 1 — plus the `hausman_iv` 1-slope fixture,
-    item 5, the new experimentation operators `cuped_by`,
-    `smd_balance`, `power_by`, `tost_by`, `qte_by`,
-    `streaming_cuped` — the 25th streaming form — `ols_wls_fe`,
-    the weighted within estimator, and `dml_plm`, double/debiased
-    ML for the partial-linear model); 12-50 = the 39 stalest
-    driver-green re-certs — the ten rows evicted by the
-    late-round-12 econ panel (`salted_join` .. `agg_refresh`), then
-    the r06 stratum from `cms_certificate` through `tpch_q13`
-    (`tpch_q14`-`q19` evicted to the backlog head by the six
-    late-round-13 registrations). The round-12 window's 50
-    entries (fresh r12 evidence) sit last before the 11 rows-only
-    demos at the tail. If this fails after an intentional round-14
-    rotation, update the expectation alongside the `queries()`
-    docstring."""
+def test_round14_window_composition():
+    """Positions 1-50 (eighteenth curation pass, executed exactly as
+    queued in SURVEY.md after CORRECTNESS_r13 landed 50/50 green):
+    1-2 = this round's net-new registrations (`qte_approx_certificate`
+    — the GK-bound certificate for qte_by's sketch mode, VERDICT r13
+    item 3 — and `dml_plm_tree2`, the non-linear tree2 nuisance
+    learner, item 5); 3-50 = the 48 stalest driver-green re-certs —
+    the six `tpch_q14`-`q19` rows the late-round-13 registrations
+    evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
+    r07 stratum from its alphabetical head (`ab_proportions` ..
+    `pack_sequences`). The round-13 window's 50 entries (fresh r13
+    evidence) sit last before the 11 rows-only demos at the tail. If
+    this fails after an intentional round-15 rotation, update the
+    expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:21] == [
-        "ri_pvalue", "mde_by", "hausman_iv", "cuped_by", "smd_balance",
-        "power_by", "tost_by", "qte_by", "streaming_cuped", "ols_wls_fe",
-        "dml_plm",
-        "salted_join", "semi_anti_join", "sql_q1", "streaming_enrich",
-        "subqueries", "tpch_q3", "unpivot_long", "window_ranks",
-        "zorder_layout", "agg_refresh",
+    assert q[:8] == [
+        "qte_approx_certificate", "dml_plm_tree2",
+        "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+        "tpch_q18", "tpch_q19",
     ]
-    assert q[21:24] == ["cms_certificate", "date_parts", "decimal_agg"]
-    assert q[48] == "tpch_q12" and q[49] == "tpch_q13"
-    # backlog head = the six re-certs the late registrations
-    # evicted, then the r06 residue, stalest-first
-    assert q[50:56] == ["tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-                        "tpch_q18", "tpch_q19"]
-    assert q[56] == "tpch_q2"
-    # the round-12 window's 50 entries (freshest evidence) sit last
+    assert q[8] == "tpch_q2"
+    assert q[20] == "winsorize"
+    assert q[21] == "ab_proportions"
+    assert q[49] == "pack_sequences"
+    # backlog head = the r07 residue, stalest-first
+    assert q[50] == "psi_drift"
+    # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
-    r12_window = q[len(q) - 11 - 50 : len(q) - 11]
+    r13_window = q[len(q) - 11 - 50 : len(q) - 11]
+    assert r13_window[:3] == ["ri_pvalue", "mde_by", "hausman_iv"]
+    assert r13_window[-1] == "tpch_q13"
+    # the r12-window block sits immediately before it
+    r12_window = q[len(q) - 11 - 100 : len(q) - 11 - 50]
     assert r12_window[0] == "ewma_blocked"
-    assert r12_window[17] == "se_cluster2"
     assert r12_window[-1] == "rolling_window"
     # rows-only demos must all sit OUTSIDE the window, at the tail
     oracles = em.oracle_sql()
@@ -68,7 +61,7 @@ def test_round13_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 326
+    assert len(q) == 328
 
 
 def test_every_query_has_callable():
