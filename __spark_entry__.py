@@ -8003,6 +8003,266 @@ _DML_PLM_TREE2_SQL = f"""
         """
 
 
+def _q_psm_att(spark, sf_dir):
+    """Propensity-score 1-NN matching ATT
+    (`operators/matching.py::psm_att` — the third classical
+    identification strategy beside weighting (ipw_ate/aipw_ate) and
+    regression (estimate/dml_plm); reference analogue: the
+    estimation surface hdfe/hdfe.py:49-181): treated rows (R
+    returnflag) carry scores offset 0.0004/0.0007 off the control
+    score lattice (suppkey/1000), so every match exercises the real
+    prev-vs-next nearest decision in both directions. The engine
+    matches on DISTINCT-SCORE tables over a range-partitioned merged
+    axis (partition-local windows + an n_partitions-row boundary
+    exchange — never a global-order window); the oracle is the
+    textbook correlated nearest-control LIMIT 1 over the same
+    distinct-score tables (quadratic only at oracle scale), with the
+    identical equal-distance-to-lower-score tie rule."""
+    from hdfe_spark.operators.matching import psm_att
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").alias("t"),
+        (
+            (F.col("l_suppkey") % 1000).cast("double") / F.lit(1000.0)
+            + F.when(
+                F.col("l_returnflag") == "R",
+                F.when(F.col("l_orderkey") % 2 == 0, F.lit(0.0004))
+                .otherwise(F.lit(0.0007)),
+            ).otherwise(F.lit(0.0))
+        ).alias("s"),
+        F.col("l_extendedprice").alias("yv"),
+    )
+    out = psm_att(base, "yv", "t", "s")
+    return out.select(
+        _pround("att", 4).alias("att"),
+        "n_treat", "n_matched", "n_unmatched", "n_ctrl",
+    )
+
+
+_PSM_ATT_SQL = """
+            WITH b AS (
+              SELECT (l_returnflag = 'R') AS t,
+                     CAST(l_suppkey % 1000 AS DOUBLE) / 1000.0
+                     + CASE WHEN l_returnflag = 'R'
+                            THEN CASE WHEN l_orderkey % 2 = 0
+                                      THEN 0.0004 ELSE 0.0007 END
+                            ELSE 0.0 END AS s,
+                     l_extendedprice AS yv
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_suppkey IS NOT NULL
+                AND l_returnflag IS NOT NULL
+                AND l_orderkey IS NOT NULL),
+            c AS (
+              SELECT s, CAST(sum(yv) AS DOUBLE) / count(*) AS m
+              FROM b WHERE NOT t GROUP BY s),
+            tt AS (
+              SELECT s, count(*) AS tn, CAST(sum(yv) AS DOUBLE) AS ts
+              FROM b WHERE t GROUP BY s),
+            mt AS (
+              SELECT tt.tn, tt.ts,
+                     (SELECT c.m FROM c
+                      ORDER BY abs(c.s - tt.s) ASC, c.s ASC
+                      LIMIT 1) AS m
+              FROM tt),
+            f AS (
+              SELECT sum(ts) AS tsum, sum(tn) AS ntr,
+                     sum(CAST(tn AS DOUBLE) * m) AS csum,
+                     COALESCE(sum(CASE WHEN m IS NOT NULL
+                                       THEN tn END), 0) AS nm
+              FROM mt)
+            SELECT CASE WHEN nm > 0 THEN
+                     floor(((tsum - csum) / CAST(nm AS DOUBLE))
+                           * 1e4 + 0.5) / 1e4
+                   END AS att,
+                   CAST(COALESCE(ntr, 0) AS BIGINT) AS n_treat,
+                   CAST(nm AS BIGINT) AS n_matched,
+                   CAST(COALESCE(ntr, 0) - nm AS BIGINT) AS n_unmatched,
+                   (SELECT CAST(count(*) AS BIGINT) FROM b
+                    WHERE NOT t) AS n_ctrl
+            FROM f
+        """
+
+
+def _q_msprt_by(spark, sf_dir):
+    """Per-segment mSPRT always-valid p-value
+    (`operators/stats.py::msprt_by` — Johari et al. 2017, the
+    continuous-monitoring completion of the experimentation panel:
+    welch_by's fixed-horizon p inflates alpha under peeking; the
+    mixture-SPRT bound does not). Rides the welch_by exact-DECIMAL
+    moment machinery — ONE group-keyed aggregation — with the
+    normal-mixture likelihood ratio one fixed IEEE expression per
+    segment, so delta/lam/p are engine-exact; the oracle reuses the
+    welch moment CTEs verbatim."""
+    from hdfe_spark.operators.stats import msprt_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = msprt_by(base, "segment", "event_type", "value",
+                   "click", "view", tau2=1.0)
+    return out.select(
+        "segment", "n_a", "n_b",
+        _pround("delta").alias("delta"),
+        _pround("lam", 4).alias("lam"),
+        _pround("p_always", 12).alias("p_always"),
+    )
+
+
+_MSPRT_BY_SQL = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m),
+            d AS (
+              SELECT segment, na, nb,
+                     (mb - ma) / 1000000.0 AS delta,
+                     (va / CAST(na AS DOUBLE)
+                      + vb / CAST(nb AS DOUBLE))
+                       / 1000000000000.0 AS vv
+              FROM c),
+            e AS (
+              SELECT segment, na, nb, delta, vv,
+                     sqrt(vv / (vv + 1.0))
+                       * exp(delta * delta * 1.0
+                             / (2.0 * vv * (vv + 1.0))) AS lam
+              FROM d)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   CASE WHEN na >= 1 AND nb >= 1 THEN
+                     floor(delta * 1e9 + 0.5) / 1e9
+                   END AS delta,
+                   CASE WHEN na >= 2 AND nb >= 2 AND vv > 0 THEN
+                     floor(lam * 1e4 + 0.5) / 1e4
+                   END AS lam,
+                   CASE WHEN na >= 2 AND nb >= 2 AND vv > 0 THEN
+                     floor(least(1.0, 1.0 / lam) * 1e12 + 0.5) / 1e12
+                   END AS p_always
+            FROM e
+        """
+
+
+def _q_wild_cluster_bootstrap(spark, sf_dir):
+    """Wild cluster bootstrap p-value (`operators/causal.py::
+    wild_cluster_bootstrap` — CGM 2008, few-cluster inference the
+    asymptotic CRVE (`se_cluster`) over-rejects on): does quantity
+    move extendedprice under suppkey clustering? All 99 Rademacher
+    sign draws (the `ri_pvalue` LCG family on the cluster id) fuse
+    into ONE aggregation over the CLUSTER-sized score table; scores
+    are exact integers (scale-integerized, floor-centered), so every
+    signed sum, comparison, and the p-value are exact on both
+    engines. beta is a single exact-int division — bit-identical —
+    rounded at 1e9 by convention."""
+    from hdfe_spark.operators.causal import wild_cluster_bootstrap
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_suppkey").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("yv"),
+    )
+    out = wild_cluster_bootstrap(base, "yv", "x", "g", n_boot=99)
+    return out.select(
+        _pround("beta").alias("beta"),
+        "p_value", "n_clusters", "n_boot",
+    )
+
+
+def _wild_cluster_bootstrap_oracle(n_boot: int = 99) -> str:
+    """Generate the wild-cluster-bootstrap oracle: the same LCG sign
+    family (`_ri_multiplier` values folded as literals), the same
+    exact-HUGEINT integerized/floor-centered cluster scores, the
+    same add-one p — plain ANSI SQL (the `_ri_pvalue_oracle`
+    convention)."""
+    M = 1_000_003
+    sign_aggs, hit_terms = [], []
+    for b in range(n_boot):
+        pb, qb = 48271 * (2 * b + 3), 7919 * (b + 1)
+        if pb % M == 0:
+            pb += 48271
+        cond = f"(h * {pb} + {qb}) % {M} < {M // 2}"
+        sign_aggs.append(
+            f"sum(CASE WHEN {cond} THEN s ELSE -s END) AS t_{b}"
+        )
+        hit_terms.append(
+            f"(CASE WHEN abs(t_{b}) >= abs(t_obs) THEN 1 ELSE 0 END)"
+        )
+    return f"""
+            WITH b AS (
+              SELECT l_suppkey AS g,
+                     CAST(round(l_quantity * 1000000.0)
+                          AS HUGEINT) AS ux,
+                     CAST(round(l_extendedprice * 1000000.0)
+                          AS HUGEINT) AS uy
+              FROM lineitem
+              WHERE l_suppkey IS NOT NULL AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            p AS (
+              SELECT count(*) AS n, sum(ux) AS sx, sum(uy) AS sy
+              FROM b),
+            ctr AS (
+              SELECT sx // CAST(n AS HUGEINT) AS cx0,
+                     sy // CAST(n AS HUGEINT) AS cy0
+              FROM p),
+            g AS (
+              SELECT g, g % {M} AS h,
+                     sum((ux - cx0) * (uy - cy0)) AS s,
+                     sum((ux - cx0) * (ux - cx0)) AS sxx
+              FROM b, ctr GROUP BY g, g % {M}),
+            a AS (
+              SELECT count(*) AS ncl, sum(s) AS t_obs,
+                     sum(sxx) AS sxx_tot,
+    {(',' + chr(10) + '    ').join(sign_aggs)}
+              FROM g)
+            SELECT floor((CAST(t_obs AS DOUBLE)
+                          / CAST(sxx_tot AS DOUBLE)) * 1e9 + 0.5)
+                     / 1e9 AS beta,
+                   CAST(1
+                     + {(chr(10) + '                     + ').join(hit_terms)}
+                     AS DOUBLE) / {float(n_boot + 1)} AS p_value,
+                   CAST(ncl AS BIGINT) AS n_clusters,
+                   CAST({n_boot} AS BIGINT) AS n_boot
+            FROM a
+        """
+
+
+_WILD_CLUSTER_BOOTSTRAP_SQL = _wild_cluster_bootstrap_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -8013,25 +8273,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-2: this round's net-new registrations --
+    - positions 1-5: this round's net-new registrations --
       `qte_approx_certificate` (VERDICT r13 item 3: the GK-bound
-      certificate for `qte_by`'s sketch mode, stratified by arm)
-      and `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
+      certificate for `qte_by`'s sketch mode, stratified by arm),
+      `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
       exact-CART depth-2 regression trees -- on an integer-valued
       fixture whose cell sums are float64-exact, so all four
       fold-trees are bit-identical cross-engine and the oracle
-      re-derives them from one generated CTE template).
-    - positions 3-50: the 48 stalest driver-green re-certs -- the
+      re-derives them from one generated CTE template), then the
+      late-round registrations (the r13 amendment precedent):
+      `psm_att` (1-NN propensity matching ATT over the
+      range-partitioned distinct-score axis), `msprt_by`
+      (always-valid mixture-SPRT p, the peeking-proof
+      experimentation readout), and `wild_cluster_bootstrap`
+      (CGM few-cluster inference, all Rademacher draws fused into
+      one cluster-sized scan with exact-integer scores).
+    - positions 6-50: the 45 stalest driver-green re-certs -- the
       six `tpch_q14`-`q19` rows the late-round-13 registrations
       evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
       r07 stratum from its alphabetical head (`ab_proportions` ..
-      `pack_sequences`).
+      `minhash_dedup`; `ols_2fe`/`ols_ridge`/`pack_sequences`
+      evicted to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the r07 residue
-      (`psi_drift` onward), then the r09/r10/r11 strata, then the
-      round-12 window's 50 entries (r12 evidence), then the
-      round-13 window's 50 (fresh r13 evidence), and the 11
-      rows-only demos at the tail per the VERDICT-r6 window policy.
+      next rotation is always "take the head": the three evicted
+      re-certs, the r07 residue (`psi_drift` onward), then the
+      r09/r10/r11 strata, then the round-12 window's 50 entries
+      (r12 evidence), then the round-13 window's 50 (fresh r13
+      evidence), and the 11 rows-only demos at the tail per the
+      VERDICT-r6 window policy.
     """
 
     return {
@@ -8042,6 +8311,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-green on their first targeted gate run
         "qte_approx_certificate": _q_qte_approx_certificate,
         "dml_plm_tree2": _q_dml_plm_tree2,
+        # 3-5: late-round net-new registrations (the r13
+        # amendment precedent — net-new outranks re-certs):
+        # psm_att (nearest-neighbor matching ATT), msprt_by
+        # (always-valid sequential test), and the wild cluster
+        # bootstrap — evicting ols_2fe/ols_ridge/pack_sequences
+        # to the backlog head
+        "psm_att": _q_psm_att,
+        "msprt_by": _q_msprt_by,
+        "wild_cluster_bootstrap": _q_wild_cluster_bootstrap,
         # 3-50: the 48 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
@@ -8092,10 +8370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis": _q_mahalanobis,
         "mann_whitney": _q_mann_whitney,
         "minhash_dedup": _q_minhash_dedup,
+        # ------ end of the driver's 50-query window ------
+        # (ols_2fe, ols_ridge, pack_sequences evicted to the
+        # backlog head by the three late-round registrations)
         "ols_2fe": _q_ols_2fe,
         "ols_ridge": _q_ols_ridge,
         "pack_sequences": _q_pack_sequences,
-        # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
         # head of the backlog IS the next rotation's re-cert list:
@@ -8840,6 +9120,9 @@ def oracle_sql() -> dict[str, str]:
         "dml_plm": _DML_PLM_SQL,
         "dml_plm_tree2": _DML_PLM_TREE2_SQL,
         "qte_approx_certificate": _QTE_APPROX_CERT_SQL,
+        "psm_att": _PSM_ATT_SQL,
+        "msprt_by": _MSPRT_BY_SQL,
+        "wild_cluster_bootstrap": _WILD_CLUSTER_BOOTSTRAP_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -5687,3 +5687,108 @@ def qte_by_approx_certificate(
         F.lit(len(probs)).cast("long").alias("n_probs"),
         within.alias("within_bound"),
     )
+
+
+def msprt_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    tau2: float = 1.0,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-segment mixture sequential probability ratio test (mSPRT,
+    Johari–Koomen–Pekelis–Walsh 2017) — the ALWAYS-VALID inference
+    completion of the experimentation panel: unlike `welch_by`'s
+    fixed-horizon t-test, the mSPRT p-value bound survives continuous
+    monitoring (peeking) without alpha inflation, which is how
+    experiments are actually read.
+
+    Normal-mixture likelihood ratio for the arm contrast
+    ``δ̂ = mean_b − mean_a`` with estimator variance
+    ``V = var_a/n_a + var_b/n_b`` and mixing prior ``N(0, τ²)``:
+    ``Λ = sqrt(V/(V+τ²)) · exp(δ̂²·τ² / (2V(V+τ²)))``, always-valid
+    ``p = min(1, 1/Λ)`` — this is the single-look bound; sequential
+    use takes the running min of p over looks downstream (the bound
+    stays valid at every look by construction). ``tau2`` is in
+    squared ORIGINAL units of the outcome.
+
+    Engine-exact like welch_by: per (group, arm) moments are exact
+    DECIMAL(38,0) sums of ``round(v·scale)`` with the
+    anti-cancellation ``n·ss − s·s`` variance numerator, so Λ and p
+    are ONE fixed IEEE expression per group. Thin arms (n < 2) or a
+    degenerate V get NULL lam/p (the zscore_by convention). ONE
+    group-keyed aggregation — 10k experiments in one scan.
+
+    Returns one row per group:
+    (group, n_a, n_b, delta, lam, p_always).
+    """
+    no_output_collision(
+        "msprt_by",
+        "group_col",
+        group_col,
+        ("n_a", "n_b", "delta", "lam", "p_always"),
+    )
+    if arm_a == arm_b:
+        raise ValueError(
+            f"msprt_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    if not tau2 > 0:
+        raise ValueError("msprt_by: tau2 must be > 0")
+    v = F.col(value_col)
+    u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+
+    def _arm(cond, tag):
+        zero = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1))), F.lit(0)
+            ).cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u)), zero).alias(f"__s_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u * u)), zero).alias(
+                f"__ss_{tag}"
+            ),
+        ]
+
+    m = (
+        df.filter(v.isNotNull() & (is_a | is_b))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
+    )
+    sc2 = F.lit(float(scale) * float(scale))
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        varnum = _dec38_num(
+            "msprt_by", n, F.col(f"__ss_{tag}"), F.col(f"__s_{tag}")
+        )
+        mean = F.col(f"__s_{tag}").cast("double") / nd
+        var = varnum / (nd * (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    nda, mean_a, var_a = _stats("a")
+    ndb, mean_b, var_b = _stats("b")
+    # original units: means /scale, variances /scale^2
+    delta = (mean_b - mean_a) / F.lit(float(scale))
+    vv = (var_a / nda + var_b / ndb) / sc2
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(vv / (vv + t2)) * F.exp(
+        delta * delta * t2 / (F.lit(2.0) * vv * (vv + t2))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (vv > 0)
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_a", "n_b",
+        F.when(
+            (F.col("n_a") >= 1) & (F.col("n_b") >= 1), delta
+        ).alias("delta"),
+        F.when(ok, lam).alias("lam"),
+        F.when(
+            ok, F.least(F.lit(1.0), F.lit(1.0) / lam)
+        ).alias("p_always"),
+    )

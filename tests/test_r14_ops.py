@@ -199,3 +199,186 @@ def test_qte_approx_certificate_catches_violations(spark):
     assert len(out) == 1
     assert out[0]["n_b"] == 0
     assert out[0]["within_bound"] is True
+
+
+# ------------------------------------------------------- psm_att
+
+
+def test_psm_att_matches_bruteforce(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.matching import psm_att
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(800):
+        sc = (i % 40) / 40.0
+        rows.append((False, sc, float(5 * sc + rng.normal() * 0.01)))
+    for i in range(200):
+        sc = (i % 40) / 40.0 + (0.004 if i % 2 == 0 else 0.02)
+        rows.append((True, sc, float(5 * sc + 1.0 + rng.normal() * 0.01)))
+    df = spark.createDataFrame(rows, "t boolean, s double, y double")
+    out = psm_att(df, "y", "t", "s").collect()[0]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["t", "s", "y"])
+    c = pdf[~pdf.t].groupby("s")["y"].mean()
+    cs = np.array(sorted(c.index))
+    cm = c.loc[cs].to_numpy()
+    terms = []
+    for s, yv in zip(pdf[pdf.t].s, pdf[pdf.t].y):
+        j = int(np.argmin(np.abs(cs - s)))  # first min = lower score
+        terms.append(yv - cm[j])
+    assert out["att"] == pytest.approx(float(np.mean(terms)), abs=1e-12)
+    assert out["n_treat"] == 200 and out["n_matched"] == 200
+    assert out["n_ctrl"] == 800 and out["n_unmatched"] == 0
+
+
+def test_psm_att_caliper_and_empty_controls(spark):
+    from hdfe_spark.operators.matching import psm_att
+
+    df = spark.createDataFrame(
+        [(False, 0.10, 1.0), (False, 0.20, 3.0),
+         (True, 0.101, 5.0), (True, 0.50, 9.0)],
+        "t boolean, s double, y double",
+    )
+    out = psm_att(df, "y", "t", "s", caliper=0.01).collect()[0]
+    # the 0.101 treated matches 0.10 (dist .001); 0.50's nearest is
+    # 0.20 (dist .3 > caliper) -> unmatched
+    assert out["n_matched"] == 1 and out["n_unmatched"] == 1
+    assert out["att"] == pytest.approx(5.0 - 1.0)
+    # no controls at all -> NULL att, zero matched
+    out2 = psm_att(
+        df.filter("t"), "y", "t", "s"
+    ).collect()[0]
+    assert out2["att"] is None and out2["n_matched"] == 0
+    assert out2["n_ctrl"] == 0 and out2["n_treat"] == 2
+
+
+def test_psm_att_equal_distance_ties_to_lower_score(spark):
+    from hdfe_spark.operators.matching import psm_att
+
+    df = spark.createDataFrame(
+        [(False, 0.0, 10.0), (False, 1.0, 20.0), (True, 0.5, 99.0)],
+        "t boolean, s double, y double",
+    )
+    out = psm_att(df, "y", "t", "s").collect()[0]
+    assert out["att"] == pytest.approx(99.0 - 10.0)  # lower score wins
+
+
+# ------------------------------------------------------- msprt_by
+
+
+def test_msprt_by_detects_shift_and_nulls_thin_arms(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.stats import msprt_by
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(3000):
+        seg = i % 3
+        if seg == 2:
+            rows.append((seg, "a", float(rng.normal())))  # b empty
+        else:
+            arm = "a" if i % 2 == 0 else "b"
+            shift = 0.8 if (arm == "b" and seg == 0) else 0.0
+            rows.append((seg, arm, float(rng.normal() + shift)))
+    df = spark.createDataFrame(rows, "seg long, arm string, v double")
+    out = {r["seg"]: r for r in msprt_by(
+        df, "seg", "arm", "v", "a", "b", tau2=1.0
+    ).collect()}
+    assert out[0]["p_always"] < 0.01          # real shift -> tiny p
+    assert out[1]["p_always"] > 0.05           # null segment
+    assert out[1]["lam"] is not None
+    assert out[2]["lam"] is None and out[2]["p_always"] is None
+    assert out[2]["n_b"] == 0
+    # always-valid p is bounded by 1
+    assert all(
+        r["p_always"] is None or r["p_always"] <= 1.0
+        for r in out.values()
+    )
+
+
+def test_msprt_by_matches_closed_form(spark):
+    import math
+
+    from hdfe_spark.operators.stats import msprt_by
+
+    rows = [(0, "a", float(v)) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        (0, "b", float(v)) for v in (2.0, 3.0, 4.0, 7.0)
+    ]
+    df = spark.createDataFrame(rows, "seg long, arm string, v double")
+    r = msprt_by(df, "seg", "arm", "v", "a", "b", tau2=2.0).collect()[0]
+    ma, mb = 2.5, 4.0
+    va = sum((v - ma) ** 2 for v in (1, 2, 3, 4)) / 3
+    vb = sum((v - mb) ** 2 for v in (2, 3, 4, 7)) / 3
+    vv = va / 4 + vb / 4
+    d = mb - ma
+    lam = math.sqrt(vv / (vv + 2.0)) * math.exp(
+        d * d * 2.0 / (2 * vv * (vv + 2.0))
+    )
+    assert r["delta"] == pytest.approx(d, rel=1e-9)
+    assert r["lam"] == pytest.approx(lam, rel=1e-9)
+    assert r["p_always"] == pytest.approx(min(1.0, 1.0 / lam), rel=1e-9)
+
+
+# -------------------------------------------- wild_cluster_bootstrap
+
+
+def test_wild_cluster_bootstrap_matches_replica(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.causal import (
+        _ri_multiplier,
+        wild_cluster_bootstrap,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g in range(25):
+        ug = rng.normal() * 0.5
+        for _ in range(40):
+            x = float(rng.normal())
+            rows.append((g, x, 0.2 * x + ug + float(rng.normal())))
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    out = wild_cluster_bootstrap(df, "y", "x", "g", n_boot=49).collect()[0]
+
+    M = 1_000_003
+    ux = [int(round(x * 1e6)) for _, x, _ in rows]
+    uy = [int(round(y * 1e6)) for _, _, y in rows]
+    n = len(rows)
+    cx0, cy0 = sum(ux) // n, sum(uy) // n
+    S: dict = {}
+    sxx = 0
+    for (g, _, _), a, b in zip(rows, ux, uy):
+        S[g] = S.get(g, 0) + (a - cx0) * (b - cy0)
+        sxx += (a - cx0) * (a - cx0)
+    tobs = sum(S.values())
+    hits = 1
+    for b in range(49):
+        pb, qb = _ri_multiplier(b, M), 7919 * (b + 1)
+        tb = sum(
+            (S[g] if ((g % M) * pb + qb) % M < M // 2 else -S[g])
+            for g in S
+        )
+        hits += abs(tb) >= abs(tobs)
+    assert out["p_value"] == hits / 50.0
+    assert out["beta"] == pytest.approx(float(tobs) / float(sxx), rel=0)
+    assert out["n_clusters"] == 25 and out["n_boot"] == 49
+
+
+def test_wild_cluster_bootstrap_guards(spark):
+    from hdfe_spark.operators.causal import wild_cluster_bootstrap
+
+    one = spark.createDataFrame(
+        [(1, 1.0, 2.0), (1, 2.0, 3.0)], "g long, x double, y double"
+    )
+    with pytest.raises(ValueError, match=">= 2 clusters"):
+        wild_cluster_bootstrap(one, "y", "x", "g", n_boot=9)
+    bad = spark.createDataFrame(
+        [("aa", 1.0, 2.0), ("bb", 2.0, 3.0)],
+        "g string, x double, y double",
+    )
+    with pytest.raises(ValueError, match="integer-castable"):
+        wild_cluster_bootstrap(bad, "y", "x", "g", n_boot=9)

@@ -23,10 +23,13 @@ def test_window_all_have_oracles_or_are_declared():
 def test_round14_window_composition():
     """Positions 1-50 (eighteenth curation pass, executed exactly as
     queued in SURVEY.md after CORRECTNESS_r13 landed 50/50 green):
-    1-2 = this round's net-new registrations (`qte_approx_certificate`
+    1-5 = this round's net-new registrations (`qte_approx_certificate`
     — the GK-bound certificate for qte_by's sketch mode, VERDICT r13
-    item 3 — and `dml_plm_tree2`, the non-linear tree2 nuisance
-    learner, item 5); 3-50 = the 48 stalest driver-green re-certs —
+    item 3 — `dml_plm_tree2`, the non-linear tree2 nuisance learner,
+    item 5, then the late-round `psm_att`, `msprt_by`, and
+    `wild_cluster_bootstrap`); 6-50 = the 45 stalest driver-green
+    re-certs (`ols_2fe`/`ols_ridge`/`pack_sequences` evicted to the
+    backlog head by the late registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
     evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
     r07 stratum from its alphabetical head (`ab_proportions` ..
@@ -35,17 +38,20 @@ def test_round14_window_composition():
     this fails after an intentional round-15 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:8] == [
+    assert q[:11] == [
         "qte_approx_certificate", "dml_plm_tree2",
+        "psm_att", "msprt_by", "wild_cluster_bootstrap",
         "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
         "tpch_q18", "tpch_q19",
     ]
-    assert q[8] == "tpch_q2"
-    assert q[20] == "winsorize"
-    assert q[21] == "ab_proportions"
-    assert q[49] == "pack_sequences"
-    # backlog head = the r07 residue, stalest-first
-    assert q[50] == "psi_drift"
+    assert q[11] == "tpch_q2"
+    assert q[23] == "winsorize"
+    assert q[24] == "ab_proportions"
+    assert q[49] == "minhash_dedup"
+    # backlog head = the three re-certs the late-round registrations
+    # evicted, then the r07 residue, stalest-first
+    assert q[50:53] == ["ols_2fe", "ols_ridge", "pack_sequences"]
+    assert q[53] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -61,7 +67,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 328
+    assert len(q) == 331
 
 
 def test_every_query_has_callable():

@@ -130,6 +130,107 @@ def stress_qtecert(spark):
     assert sum(r["n_a"] + r["n_b"] for r in rows) == N
 
 
+def stress_psm(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.matching import psm_att
+
+    # Control lattice: k/10000 for k NOT ≡ 0 (mod 5) (7919·id mod
+    # 10000 never hits multiples of 5 for id ≢ 0 mod 5); treated k
+    # IS a multiple of 5, so no exact-score control exists and every
+    # match resolves a real neighbor decision: +0.00004 offsets sit
+    # nearer the NEXT lattice point (k+1, dist 0.00006 < 0.00014),
+    # −0.00004 nearer the PREV (k−1) — both directions exercised.
+    # Control mean at lattice point m is exactly m/100, treated y is
+    # k/100 + 2, so att = ((2−0.01) + (2+0.01))/2 = 2.0 exactly.
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 5 == 0).alias("t"),
+        (
+            ((F.col("id") * 7919) % 10000).cast("double") / 10000.0
+            + F.when(F.col("id") % 5 == 0,
+                     F.when(F.col("id") % 2 == 0, 0.00004)
+                     .otherwise(-0.00004)).otherwise(0.0)
+        ).alias("s"),
+        (
+            ((F.col("id") * 7919) % 10000).cast("double") / 100.0
+            + F.when(F.col("id") % 5 == 0, 2.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = psm_att(df, "y", "t", "s").collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        f"psm_att: wall={wall:.1f}s att={row['att']:.9f}"
+        f" n_treat={row['n_treat']} n_matched={row['n_matched']}"
+        f" n_ctrl={row['n_ctrl']}"
+    )
+    assert abs(row["att"] - 2.0) < 1e-6
+    assert row["n_treat"] == N // 5 and row["n_matched"] == N // 5
+    assert row["n_ctrl"] == N - N // 5
+
+
+def stress_wcb(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import wild_cluster_bootstrap
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 1000).alias("g"),
+        ((F.col("id") * 7919) % 100).cast("double").alias("x"),
+        (
+            0.05 * ((F.col("id") * 7919) % 100).cast("double")
+            + (F.col("id") % 1000).cast("double") * 0.01
+            + ((F.col("id") * 104729) % 7).cast("double")
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = wild_cluster_bootstrap(df, "y", "x", "g", n_boot=99).collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        f"wcb: wall={wall:.1f}s beta={row['beta']:.6f}"
+        f" p={row['p_value']} n_clusters={row['n_clusters']}"
+    )
+    assert row["n_clusters"] == 1000
+    assert abs(row["beta"] - 0.05) < 1e-3  # real effect recovered
+    assert row["p_value"] == 0.01          # strong signal -> floor p
+
+
+def stress_msprt(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import msprt_by
+
+    # Exact arm balance: for id = 20m + 10a + s (s = segment,
+    # a = arm bit), the base value depends only on m — every (m, s)
+    # cell contributes ONE a row and ONE b row with identical base v,
+    # so null segments have delta exactly 0 (any modular-lattice
+    # shortcut here correlates v with the arm and a 2M-row arm
+    # detects the ulp-level systematic difference).
+    arm_b = (F.col("id") % 20) >= 10
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 10).cast("long").alias("seg"),
+        F.when(arm_b, "b").otherwise("a").alias("arm"),
+        (
+            (((F.col("id") / 20).cast("long") * 7919) % 1000)
+            .cast("double") / 100.0
+            + F.when(arm_b & (F.col("id") % 10 < 5),
+                     0.05).otherwise(0.0)
+        ).alias("v"),
+    )
+    t0 = time.perf_counter()
+    rows = {r["seg"]: r for r in msprt_by(
+        df, "seg", "arm", "v", "a", "b", tau2=1.0
+    ).collect()}
+    wall = time.perf_counter() - t0
+    shifted = [rows[s]["p_always"] for s in range(5)]
+    nulls = [rows[s]["p_always"] for s in range(5, 10)]
+    print(
+        f"msprt_by: wall={wall:.1f}s shifted_max_p={max(shifted):.2e}"
+        f" null_min_p={min(nulls):.3f}"
+    )
+    assert max(shifted) < 1e-6 and min(nulls) > 0.05
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -137,3 +238,9 @@ if __name__ == "__main__":
         stress_tree2(spark)
     if which in ("qtecert", "all"):
         stress_qtecert(spark)
+    if which in ("psm", "all"):
+        stress_psm(spark)
+    if which in ("wcb", "all"):
+        stress_wcb(spark)
+    if which in ("msprt", "all"):
+        stress_msprt(spark)
