@@ -7690,6 +7690,41 @@ def _q_streaming_cuped(spark, sf_dir):
     )
 
 
+def _q_streaming_msprt(spark, sf_dir):
+    """Twenty-sixth streaming form (`streaming/ops.py::
+    streaming_msprt`): per-segment ALWAYS-VALID mSPRT p-value folded
+    over the events stream in complete mode — the one experiment
+    panel licensed for continuous reading (peeking-proof, unlike
+    streaming_welch's fixed-horizon t). Every `msprt_by` input is an
+    additive per-(segment, arm) counter, so availableNow equals the
+    batch table exactly; the batch SQL is the oracle verbatim."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_msprt
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = streaming_msprt(base, "segment", "event_type", "value",
+                          "click", "view", tau2=1.0)
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "segment", "n_a", "n_b",
+        _pround("delta").alias("delta"),
+        _pround("lam", 4).alias("lam"),
+        _pround("p_always", 12).alias("p_always"),
+    )
+
+
 def _q_ols_wls_fe(spark, sf_dir):
     """Weighted within/FE estimation (`operators/estimate.py::
     wls_within` — reghdfe's ``areg y x [aw=w], absorb(fe)`` shape,
@@ -8320,6 +8355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psm_att": _q_psm_att,
         "msprt_by": _q_msprt_by,
         "wild_cluster_bootstrap": _q_wild_cluster_bootstrap,
+        # 6: streaming_msprt — the 26th streaming form (always-valid
+        # monitor; availableNow == batch, the batch SQL is the oracle
+        # verbatim) — evicting minhash_dedup to the backlog head
+        "streaming_msprt": _q_streaming_msprt,
         # 3-50: the 48 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
@@ -8369,8 +8408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_parse": _q_log_parse,
         "mahalanobis": _q_mahalanobis,
         "mann_whitney": _q_mann_whitney,
-        "minhash_dedup": _q_minhash_dedup,
         # ------ end of the driver's 50-query window ------
+        # (minhash_dedup evicted by the streaming_msprt registration)
+        "minhash_dedup": _q_minhash_dedup,
         # (ols_2fe, ols_ridge, pack_sequences evicted to the
         # backlog head by the three late-round registrations)
         "ols_2fe": _q_ols_2fe,
@@ -9123,6 +9163,7 @@ def oracle_sql() -> dict[str, str]:
         "psm_att": _PSM_ATT_SQL,
         "msprt_by": _MSPRT_BY_SQL,
         "wild_cluster_bootstrap": _WILD_CLUSTER_BOOTSTRAP_SQL,
+        "streaming_msprt": _MSPRT_BY_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -1010,3 +1010,34 @@ def streaming_cuped(
         stream, group_col, arm_col, value_col, covariate_col,
         arm_a, arm_b, scale=scale,
     )
+
+
+def streaming_msprt(
+    stream: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    tau2: float = 1.0,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Streaming always-valid mSPRT monitor (the TWENTY-SIXTH
+    streaming form): per-segment mixture-SPRT p-value folded over an
+    assignment/metric stream in complete mode — the ONE panel that
+    is actually licensed for continuous reading: `streaming_welch`'s
+    t/p inflates alpha under peeking, the mixture-SPRT bound does
+    not (Johari et al. 2017; the sequential decision takes the
+    running min of p over looks downstream). Every input to
+    `stats.msprt_by` is an ADDITIVE per-(segment, arm) counter
+    (counts + exact decimal Σv, Σv²), and Λ/p ride the output
+    projection, so the availableNow fold equals the batch table
+    EXACTLY whatever the micro-batch boundaries. State is six
+    counters per segment. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import msprt_by
+
+    return msprt_by(
+        stream, group_col, arm_col, value_col, arm_a, arm_b,
+        tau2=tau2, scale=scale,
+    )

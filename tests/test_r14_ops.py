@@ -382,3 +382,41 @@ def test_wild_cluster_bootstrap_guards(spark):
     )
     with pytest.raises(ValueError, match="integer-castable"):
         wild_cluster_bootstrap(bad, "y", "x", "g", n_boot=9)
+
+
+def test_streaming_msprt_equals_batch(spark, sf_dir):
+    """availableNow fold == batch table exactly (additive counters),
+    the 26th streaming form's defining equality."""
+    from hdfe_spark.operators.stats import msprt_by
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_msprt,
+    )
+
+    def shape(df):
+        return df.select(
+            (F.col("user_id") % 7).cast("long").alias("seg"),
+            "event_type", "value",
+        )
+
+    batch = msprt_by(
+        shape(spark.read.parquet(f"{sf_dir}/events.parquet")),
+        "seg", "event_type", "value", "click", "view", tau2=0.5,
+    ).collect()
+    stream = streaming_msprt(
+        shape(read_table_stream(spark, sf_dir, "events")),
+        "seg", "event_type", "value", "click", "view", tau2=0.5,
+    )
+    import uuid
+
+    sink = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()
+    key = lambda r: r["seg"]
+    assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
+        map(tuple, batch), key=lambda t: t[0]
+    )
