@@ -59,7 +59,13 @@ def _fround(x: float, digits: int = 9) -> float:
     if not math.isfinite(x):
         return x
     f = float(10 ** digits)
-    return math.floor(x * f + 0.5) / f
+    scaled = x * f
+    if not math.isfinite(scaled):
+        # |x| > DBL_MAX/10^d: Python floor(inf) raises OverflowError
+        # (review r14) while SQL's floor passes inf through and the
+        # final /10^d returns it — replicate that exactly
+        return scaled / f
+    return math.floor(scaled + 0.5) / f
 
 
 # --------------------------------------------------------------- entry
@@ -8244,12 +8250,13 @@ def _wild_cluster_bootstrap_oracle(n_boot: int = 99) -> str:
     same add-one p — plain ANSI SQL (the `_ri_pvalue_oracle`
     convention)."""
     M = 1_000_003
+    M2 = 999_983
     sign_aggs, hit_terms = [], []
     for b in range(n_boot):
         pb, qb = 48271 * (2 * b + 3), 7919 * (b + 1)
         if pb % M == 0:
             pb += 48271
-        cond = f"(h * {pb} + {qb}) % {M} < {M // 2}"
+        cond = f"(h * {pb} + h2 * {qb}) % {M} < {M // 2}"
         sign_aggs.append(
             f"sum(CASE WHEN {cond} THEN s ELSE -s END) AS t_{b}"
         )
@@ -8274,10 +8281,10 @@ def _wild_cluster_bootstrap_oracle(n_boot: int = 99) -> str:
                      sy // CAST(n AS HUGEINT) AS cy0
               FROM p),
             g AS (
-              SELECT g, g % {M} AS h,
+              SELECT g, g % {M} AS h, g % {M2} AS h2,
                      sum((ux - cx0) * (uy - cy0)) AS s,
                      sum((ux - cx0) * (ux - cx0)) AS sxx
-              FROM b, ctr GROUP BY g, g % {M}),
+              FROM b, ctr GROUP BY g, g % {M}, g % {M2}),
             a AS (
               SELECT count(*) AS ncl, sum(s) AS t_obs,
                      sum(sxx) AS sxx_tot,
@@ -8322,15 +8329,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (always-valid mixture-SPRT p, the peeking-proof
       experimentation readout), and `wild_cluster_bootstrap`
       (CGM few-cluster inference, all Rademacher draws fused into
-      one cluster-sized scan with exact-integer scores).
-    - positions 6-50: the 45 stalest driver-green re-certs -- the
+      one cluster-sized scan with exact-integer scores), and
+      `streaming_msprt` at position 6 (the 26th streaming form --
+      additive counters, availableNow == batch exactly).
+    - positions 7-50: the 44 stalest driver-green re-certs -- the
       six `tpch_q14`-`q19` rows the late-round-13 registrations
       evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
       r07 stratum from its alphabetical head (`ab_proportions` ..
-      `minhash_dedup`; `ols_2fe`/`ols_ridge`/`pack_sequences`
-      evicted to the backlog head by the late registrations).
+      `mann_whitney`; `minhash_dedup`/`ols_2fe`/`ols_ridge`/
+      `pack_sequences` evicted to the backlog head by the late
+      registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the three evicted
+      next rotation is always "take the head": the four evicted
       re-certs, the r07 residue (`psi_drift` onward), then the
       r09/r10/r11 strata, then the round-12 window's 50 entries
       (r12 evidence), then the round-13 window's 50 (fresh r13
@@ -8359,11 +8369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monitor; availableNow == batch, the batch SQL is the oracle
         # verbatim) — evicting minhash_dedup to the backlog head
         "streaming_msprt": _q_streaming_msprt,
-        # 3-50: the 48 stalest driver-green re-certs — the six
+        # 7-50: the 44 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
-        # (ab_proportions .. pack_sequences), as queued in SURVEY.md
+        # (ab_proportions .. mann_whitney), as queued in SURVEY.md
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,

@@ -597,20 +597,30 @@ def _tree2_residuals(base, fold, y, d, x_cols, n_folds, id_col):
         drop=True
     )
 
+    # ONE complement groupby per fold carries BOTH targets' sums
+    # (review r14: a per-target loop re-filtered and re-grouped the
+    # same cell frame 2×n_folds times — at the 5M-cell gate that is
+    # seconds of redundant driver work per extra pass)
+    leaves: dict = {"__sy": {}, "__sd": {}}
+    for f in range(n_folds):
+        comp = cells[cells["__f"] != f]
+        g = comp.groupby("__v", sort=True).agg(
+            c=("__c", "sum"), sy=("__sy", "sum"), sd=("__sd", "sum")
+        )
+        v = g.index.to_numpy()
+        c = g["c"].to_numpy(np.float64)
+        leaves["__sy"][f] = _fit_tree2_numpy(
+            v, c, g["sy"].to_numpy(np.float64)
+        )
+        leaves["__sd"][f] = _fit_tree2_numpy(
+            v, c, g["sd"].to_numpy(np.float64)
+        )
+
     def resid_chain(col, target_sum_col):
         expr = None
         for f in range(n_folds):
-            comp = cells[cells["__f"] != f]
-            g = comp.groupby("__v", sort=True).agg(
-                c=("__c", "sum"), s=(target_sum_col, "sum")
-            )
-            leaves = _fit_tree2_numpy(
-                g.index.to_numpy(),
-                g["c"].to_numpy(np.float64),
-                g["s"].to_numpy(np.float64),
-            )
             pred = None
-            for ub, m in leaves[:-1]:
+            for ub, m in leaves[target_sum_col][f][:-1]:
                 if hasattr(ub, "item"):
                     ub = ub.item()
                 cond = F.col(xc) <= F.lit(ub)
@@ -619,7 +629,7 @@ def _tree2_residuals(base, fold, y, d, x_cols, n_folds, id_col):
                     if pred is None
                     else pred.when(cond, F.lit(m))
                 )
-            last = F.lit(leaves[-1][1])
+            last = F.lit(leaves[target_sum_col][f][-1][1])
             pred = last if pred is None else pred.otherwise(last)
             branch = F.col(col) - pred
             expr = (
@@ -887,10 +897,17 @@ def wild_cluster_bootstrap(
     so every ``S_g`` — and therefore every signed sum, comparison,
     and p — is an EXACT integer on both engines (a float S_g would
     make the ties in ``|T_b| ≥ |T|`` partition-order-dependent; the
-    b-th draw with all-plus signs must compare bit-equal). Signs are
-    the `ri_pvalue` LCG family on the integer-castable cluster id
-    (``_ri_multiplier`` — deterministic, engine-independent):
-    ``σ_b(g) = +1 iff (h_g·P_b + Q_b) mod M < M/2``.
+    b-th draw with all-plus signs must compare bit-equal). Silent
+    decimal overflow is GUARDED (review r14): rows whose integerized
+    value nulls out of DECIMAL(38,0), and cluster scores whose
+    products overflow, RAISE with the lower-the-scale fix instead of
+    silently dropping from the sums. Signs are the `ri_pvalue` LCG
+    family on TWO residues of the integer-castable cluster id —
+    ``σ_b(g) = +1 iff (h₁·P_b + h₂·Q_b) mod M < M/2`` with
+    ``h₁ = id mod M``, ``h₂ = id mod M₂`` (distinct primes; review
+    r14: a single residue hands identical sign SEQUENCES to clusters
+    congruent mod M, sign-correlating them across every draw — two
+    residues push the identical-sequence space to M·M₂ ≈ 1e12).
 
     Scale: one count+sums pre-pass (two center literals), ONE
     cluster-keyed aggregation of the scores (map-side partials), and
@@ -904,6 +921,7 @@ def wild_cluster_bootstrap(
     if n_boot < 1:
         raise ValueError("wild_cluster_bootstrap: n_boot >= 1")
     M = 1_000_003
+    M2 = 999_983
     dtypes = dict(df.dtypes)
     valid = F.col(cluster).isNotNull()
     for c in (y, x):
@@ -912,31 +930,62 @@ def wild_cluster_bootstrap(
             valid = valid & ~F.isnan(F.col(c))
     base = df.filter(valid).persist()
     try:
-        ux = F.round(F.col(x) * F.lit(float(scale))).cast("decimal(20,0)")
-        uy = F.round(F.col(y) * F.lit(float(scale))).cast("decimal(20,0)")
+        # try_cast / try_multiply: overflow must surface as the NAMED
+        # domain error below on BOTH ANSI and non-ANSI sessions — a
+        # bare ANSI ArithmeticException mid-aggregation names the
+        # engine, not the fix (review r14, the dml_plm try_cast
+        # precedent)
+        ux = F.round(F.col(x) * F.lit(float(scale))).try_cast(
+            "decimal(38,0)"
+        )
+        uy = F.round(F.col(y) * F.lit(float(scale))).try_cast(
+            "decimal(38,0)"
+        )
         pre = base.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(ux).alias("sx"),
             F.sum(uy).alias("sy"),
+            # a value too large for DECIMAL(38,0) nulls out of the
+            # cast (non-ANSI) and would silently vanish from every
+            # sum while n still counts it (review r14) — detect here
+            F.sum(F.when(ux.isNull() | uy.isNull(), 1).otherwise(0))
+            .alias("badu"),
         ).collect()[0]
         n = int(pre["n"])
         if n == 0:
             raise ValueError("wild_cluster_bootstrap: empty sample")
+        if int(pre["badu"] or 0) > 0:
+            raise ValueError(
+                "wild_cluster_bootstrap: integerized values overflow"
+                " DECIMAL(38,0) — lower `scale` (welch_by's overflow"
+                " convention)"
+            )
         cx0 = int(pre["sx"]) // n  # floor — exact on both engines
         cy0 = int(pre["sy"]) // n
-        cxd = ux - F.lit(cx0).cast("decimal(20,0)")
-        cyd = uy - F.lit(cy0).cast("decimal(20,0)")
-        hg = F.pmod(F.col(cluster).try_cast("long"), F.lit(M))
+        cxd = ux - F.lit(cx0).cast("decimal(38,0)")
+        cyd = uy - F.lit(cy0).cast("decimal(38,0)")
+        h1 = F.pmod(F.col(cluster).try_cast("long"), F.lit(M))
+        h2 = F.pmod(F.col(cluster).try_cast("long"), F.lit(M2))
+        pxy = F.try_multiply(cxd, cyd)
+        pxx = F.try_multiply(cxd, cxd)
         g = base.groupBy(F.col(cluster).alias("__c")).agg(
-            F.min(hg).alias("__h"),
-            F.sum(cxd * cyd).alias("__s"),
-            F.sum(cxd * cxd).alias("__sxx"),
+            F.min(h1).alias("__h"),
+            F.min(h2).alias("__h2"),
+            F.sum(pxy).alias("__s"),
+            F.sum(pxx).alias("__sxx"),
+            # a centered product that overflows DECIMAL(38,0) nulls
+            # (try_multiply) and F.sum SKIPS it — the cluster score
+            # would silently lose rows (review r14); detect per
+            # cluster and raise below
+            F.sum(F.when(pxy.isNull() | pxx.isNull(), 1).otherwise(0))
+            .alias("__badp"),
         )
         s = F.col("__s")
         aggs = [
             F.count(F.lit(1)).alias("n_clusters"),
             F.sum(F.when(F.col("__h").isNull(), 1).otherwise(0))
             .alias("__badh"),
+            F.sum(F.col("__badp")).alias("__badp"),
             F.sum(s).alias("__t_obs"),
             F.sum(F.col("__sxx")).alias("__sxx_tot"),
         ]
@@ -944,7 +993,8 @@ def wild_cluster_bootstrap(
             pb = _ri_multiplier(b, M)
             qb = 7919 * (b + 1)
             plus = F.pmod(
-                F.col("__h") * F.lit(pb) + F.lit(qb), F.lit(M)
+                F.col("__h") * F.lit(pb) + F.col("__h2") * F.lit(qb),
+                F.lit(M),
             ) < F.lit(M // 2)
             aggs.append(
                 F.sum(F.when(plus, s).otherwise(-s)).alias(f"__t_{b}")
@@ -959,6 +1009,7 @@ def wild_cluster_bootstrap(
         out = row0.select(
             F.col("n_clusters").cast("long").alias("n_clusters"),
             F.col("__badh"),
+            F.col("__badp"),
             F.when(
                 F.col("__sxx_tot") > 0,
                 tobs.cast("double") / F.col("__sxx_tot").cast("double"),
@@ -973,6 +1024,11 @@ def wild_cluster_bootstrap(
                 " values that do not cast to an integer — the"
                 " deterministic Rademacher signs need integer-castable"
                 " cluster ids"
+            )
+        if int(out["__badp"] or 0) > 0:
+            raise ValueError(
+                "wild_cluster_bootstrap: centered cluster-score"
+                " products overflow DECIMAL(38,0) — lower `scale`"
             )
         if int(out["n_clusters"]) < 2:
             raise ValueError(

@@ -878,7 +878,18 @@ def _plan_alternating(
     dm = {c: f"__dm_{c}" for c in all_cols}
     dmv = list(dm.values())
     keep = list(dict.fromkeys(cc + (list(cluster) if cluster else [])))
-    sw = df.select(*keep, *[F.col(c).alias(d) for c, d in dm.items()])
+    # NULL contract (review r14, the ADVICE-r12 discipline the other
+    # plans already follow): restrict to complete (x, y) rows — and
+    # NaN-free for float columns — BEFORE anything else, so the cell
+    # weights, every sweep mean, the Gram, and n all describe ONE
+    # estimating sample. (Pre-r14 the driver tier divided cell sums
+    # by ALL-row weights while the distributed tier used
+    # null-skipping avg — two silently different answers on
+    # null-containing inputs. A NULL FE *level* is unaffected: it is
+    # its own absorbed group, handled below.)
+    sw = df.filter(_and_complete(F.lit(True), df, all_cols)).select(
+        *keep, *[F.col(c).alias(d) for c, d in dm.items()]
+    )
 
     # --- One gate pass: row count, approximate per-FE level counts,
     # approximate pairwise-combination counts (the nnz of the

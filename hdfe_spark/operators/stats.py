@@ -5633,9 +5633,14 @@ def qte_by_approx_certificate(
         )
     va = F.when(F.col(arm_col) == F.lit(arm_a), F.col(value_col))
     vb = F.when(F.col(arm_col) == F.lit(arm_b), F.col(value_col))
-    base = df.filter(
-        F.col(value_col).isNotNull() & F.col(arm_col).isin(arm_a, arm_b)
-    )
+    # NaN-as-missing (review r14): a NaN value would count in n_arm
+    # (F.count passes NaN) while every `v <= cut` rank comparison is
+    # false for it — the exact re-rank would under-count and flag a
+    # spurious within_bound=false on a mathematically fine sketch.
+    v_ok = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("double", "float"):
+        v_ok = v_ok & ~F.isnan(F.col(value_col))
+    base = df.filter(v_ok & F.col(arm_col).isin(arm_a, arm_b))
     sk = base.groupBy(F.col(group_col).alias("__g")).agg(
         F.percentile_approx(va, F.lit(probs), F.lit(int(accuracy)))
         .alias("__qa"),
@@ -5738,6 +5743,13 @@ def msprt_by(
     if not tau2 > 0:
         raise ValueError("msprt_by: tau2 must be > 0")
     v = F.col(value_col)
+    # NaN-as-missing (review r14, the ADVICE-r13 estimator
+    # discipline): NaN passes isNotNull, would COUNT in n_a/n_b yet
+    # vanish from the decimal sums (round(NaN)→NULL), silently
+    # biasing delta/lam/p — exclude it from the sample entirely.
+    v_ok = v.isNotNull()
+    if dict(df.dtypes).get(value_col) in ("double", "float"):
+        v_ok = v_ok & ~F.isnan(v)
     u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
     is_a = F.col(arm_col) == F.lit(arm_a)
     is_b = F.col(arm_col) == F.lit(arm_b)
@@ -5755,7 +5767,7 @@ def msprt_by(
         ]
 
     m = (
-        df.filter(v.isNotNull() & (is_a | is_b))
+        df.filter(v_ok & (is_a | is_b))
         .groupBy(F.col(group_col).alias("__g"))
         .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
     )

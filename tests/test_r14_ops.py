@@ -355,11 +355,13 @@ def test_wild_cluster_bootstrap_matches_replica(spark):
         S[g] = S.get(g, 0) + (a - cx0) * (b - cy0)
         sxx += (a - cx0) * (a - cx0)
     tobs = sum(S.values())
+    M2 = 999_983
     hits = 1
     for b in range(49):
         pb, qb = _ri_multiplier(b, M), 7919 * (b + 1)
         tb = sum(
-            (S[g] if ((g % M) * pb + qb) % M < M // 2 else -S[g])
+            (S[g] if ((g % M) * pb + (g % M2) * qb) % M < M // 2
+             else -S[g])
             for g in S
         )
         hits += abs(tb) >= abs(tobs)
