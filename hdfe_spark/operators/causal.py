@@ -1044,3 +1044,97 @@ def wild_cluster_bootstrap(
         )
     finally:
         base.unpersist()
+
+
+def att_gt(
+    df: DataFrame,
+    y: str,
+    period: str,
+    first_treated: str,
+) -> DataFrame:
+    """Group-time average treatment effects ATT(g, t)
+    (Callaway–Sant'Anna 2021) — the staggered-adoption completion of
+    the DiD panel: with units treated at DIFFERENT times, the
+    two-way-FE regression mixes already-treated units into the
+    control group with negative weights; the CS estimator compares
+    each adoption cohort g, at each post period t, against the
+    NEVER-TREATED pool only, anchored at the cohort's last untreated
+    period g−1:
+
+    ``ATT(g,t) = [ȳ(g,t) − ȳ(g,g−1)] − [ȳ(C,t) − ȳ(C,g−1)]``
+
+    ``first_treated`` is the unit's adoption period (integer-coded;
+    NULL = never treated — the control pool C). Periods must be
+    integer-castable (g−1 is period arithmetic). Only cells whose
+    four means all exist are emitted — a cohort with no g−1
+    observation, or a period missing from the control pool, has no
+    identified ATT and is absent rather than NULL (the `tree_depth2`
+    absence convention).
+
+    Scale: ONE groupBy builds the (cohort, period) mean table
+    (map-side partials; cohort×period-sized), and everything after
+    is broadcast self-joins of that tiny table — the fact table is
+    scanned once. NULL/NaN y rows drop (listwise).
+
+    Returns one row per identified (g, t), t ≥ g:
+    (g, t, att, n_treat, n_ctrl).
+    """
+    yv = F.col(y)
+    valid = F.col(period).isNotNull() & yv.isNotNull()
+    if dict(df.dtypes).get(y) in ("double", "float"):
+        valid = valid & ~F.isnan(yv)
+    base = df.filter(valid)
+    g_col = F.col(first_treated).try_cast("long")
+    t_col = F.col(period).try_cast("long")
+    cells = base.groupBy(
+        g_col.alias("__g"), t_col.alias("__t")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum(yv).cast("double") / F.count(F.lit(1))).alias("__m"),
+    ).localCheckpoint(eager=False)
+
+    tc = cells.filter(F.col("__g").isNotNull())
+    ctrl = cells.filter(F.col("__g").isNull()).select(
+        F.col("__t").alias("__ct"), F.col("__m").alias("__cm"),
+        F.col("__n").alias("__cn"),
+    )
+    target = tc.filter(F.col("__t") >= F.col("__g")).select(
+        "__g", "__t", F.col("__m").alias("__mt"),
+        F.col("__n").alias("__nt"),
+    )
+    gbase = tc.select(
+        F.col("__g").alias("__bg"), F.col("__t").alias("__bt"),
+        F.col("__m").alias("__mb"),
+    )
+    out = (
+        target.join(
+            F.broadcast(gbase),
+            (F.col("__bg") == F.col("__g"))
+            & (F.col("__bt") == F.col("__g") - 1),
+        )
+        .join(
+            F.broadcast(ctrl.select(
+                F.col("__ct").alias("__t1"),
+                F.col("__cm").alias("__cmt"),
+                F.col("__cn").alias("__cnt"),
+            )),
+            F.col("__t1") == F.col("__t"),
+        )
+        .join(
+            F.broadcast(ctrl.select(
+                F.col("__ct").alias("__t0"),
+                F.col("__cm").alias("__cmb"),
+            )),
+            F.col("__t0") == F.col("__g") - 1,
+        )
+    )
+    return out.select(
+        F.col("__g").alias("g"),
+        F.col("__t").alias("t"),
+        (
+            (F.col("__mt") - F.col("__mb"))
+            - (F.col("__cmt") - F.col("__cmb"))
+        ).alias("att"),
+        F.col("__nt").cast("long").alias("n_treat"),
+        F.col("__cnt").cast("long").alias("n_ctrl"),
+    )

@@ -905,20 +905,32 @@ def _plan_alternating(
 
     fe_pairs = list(combinations(cc, 2))
 
-    # ONE full-data pass builds the weighted cell table (per-cell
-    # count, per-column sums AND sums of squares); every gate
-    # statistic is then an aggregation over the |cells|-sized table,
-    # not the data (round-14: the old design spent a second full-data
-    # scan on a gate whose answers — levels, pairwise nnz, RMS scale,
-    # null flags — are all derivable from the cells). Each distinct
-    # FE combination appears exactly once in the cell table, so the
+    # ONE full-data pass builds the weighted cell table: per-cell
+    # count, per-column sums, AND the upper-triangle raw
+    # cross-moments Σ dᵢ·dⱼ (whose diagonal doubles as the gate's RMS
+    # scale). Every gate statistic is then an aggregation over the
+    # |cells|-sized table, not the data (round-14: the old design
+    # spent a second full-data scan on the gate), and — when no
+    # variance/residual scan is requested — the cross-moments let
+    # the GRAM itself be assembled ON THE DRIVER from the cells
+    # (within-cell moments + adjusted cell means), so the whole
+    # Plan-C estimate is ONE full-data pass. Each distinct FE
+    # combination appears exactly once in the cell table, so the
     # approximate distinct counts are the same quantities; the cell
     # count itself becomes EXACT for free.
+    dpairs = [
+        (i, j) for i in range(len(dmv)) for j in range(i, len(dmv))
+    ]
+
     def _cells_of(frame):
         return frame.groupBy(*cc).agg(
             F.count(F.lit(1)).alias("__w"),
             *[F.sum(d).alias(f"__s_{d}") for d in dmv],
-            *[F.sum(F.col(d) * F.col(d)).alias(f"__ss_{d}") for d in dmv],
+            *[
+                F.sum(F.col(dmv[i]) * F.col(dmv[j]))
+                .alias(f"__p_{i}_{j}")
+                for i, j in dpairs
+            ],
         )
 
     cells_df = _cells_of(sw).persist()
@@ -930,7 +942,24 @@ def _plan_alternating(
             F.approx_count_distinct(F.xxhash64(a, b)).alias(f"__p_{i}")
             for i, (a, b) in enumerate(fe_pairs)
         ],
-        *[F.sum(f"__ss_{d}").alias(f"__ss_{d}") for d in dmv],
+        *[
+            F.sum(f"__p_{i}_{i}").alias(f"__ss_{d}")
+            for i, d in enumerate(dmv)
+        ],
+        # within-cell central moments, aggregated to ONE scalar per
+        # pair: the per-cell difference p − sᵢsⱼ/w is numerically
+        # small (it cancels inside each small cell), so summing the
+        # differences is stable where Σp − Σss/w globally would
+        # cancel catastrophically; these are the first Gram term of
+        # the driver fast path below
+        *[
+            F.sum(
+                F.col(f"__p_{i}_{j}")
+                - F.col(f"__s_{dmv[i]}") * F.col(f"__s_{dmv[j]}")
+                / F.col("__w")
+            ).alias(f"__win_{i}_{j}")
+            for i, j in dpairs
+        ],
         # Null detection rides the gate scan for free (see below).
         *[
             F.max(F.col(fe).isNull().cast("int")).alias(f"__null_{fe}")
@@ -992,6 +1021,7 @@ def _plan_alternating(
     adj_cols = {d: f"__adj_{d}" for d in dmv}
     finish = None
     cw = None
+    fast = None
     if approx_levels <= _AP_DRIVER_LEVELS_MAX and approx_nnz <= _AP_DRIVER_NNZ_MAX:
         # Level-space path: ONE groupBy over all FE keys collects the
         # distinct-combination cell table (weights + per-column sums —
@@ -1002,7 +1032,17 @@ def _plan_alternating(
         # SAME one the gate already computed and persisted — collect
         # it (minus the __ss gate columns), then release the blocks.
         # Total full-data scans: gate+cells (fused) + Gram —
-        # independent of sweep count.
+        # independent of sweep count. When nothing downstream needs
+        # a demeaned ROW table (no variance scan — the slopes-only
+        # call), the Gram itself assembles on the driver from the
+        # collected cells (round-14): Σ x̃ᵢx̃ⱼ = Σ_cells [within-cell
+        # moment] + Σ_cells w·rᵢrⱼ with r = cell mean − converged
+        # adjustment — both terms well-scaled (the within moments
+        # cancel per small cell; r is the converged residual mean),
+        # so the whole Plan-C estimate is ONE full-data pass.
+        fast_gram = (
+            not estimate_variance and cluster is None and not robust
+        )
         cells_pdf = cells_df.select(
             *cc, "__w", *[f"__s_{d}" for d in dmv]
         ).toPandas()
@@ -1019,32 +1059,65 @@ def _plan_alternating(
         if _dbg:
             print(f"[ap] driver solve: {_time.perf_counter() - _t0:.2f}s", flush=True)
             _t0 = _time.perf_counter()
-        for i, fe in enumerate(cc):
-            adf = adjs[fe].rename(
-                columns={f"__adj_{d}": f"__adj{i}_{d}" for d in dmv}
-            )
-            sw = sw.join(
-                F.broadcast(df.sparkSession.createDataFrame(adf)),
-                on=fe,
-                how="left",
-            )
-        zero = F.lit(0.0)
-        sw = sw.select(
-            *keep,
-            *[
-                (
-                    F.col(d)
-                    - sum(
-                        (
-                            F.coalesce(F.col(f"__adj{i}_{d}"), F.lit(0.0))
-                            for i in range(len(cc))
-                        ),
-                        zero,
+        if fast_gram:
+            wv = cells_pdf["__w"].to_numpy(np.float64)
+            S = [
+                cells_pdf[f"__s_{d}"].to_numpy(np.float64) for d in dmv
+            ]
+            adj_cell = [np.zeros(len(wv)) for _ in dmv]
+            for fe in cc:
+                t = adjs[fe].set_index(fe)
+                for di, d in enumerate(dmv):
+                    adj_cell[di] += (
+                        t[f"__adj_{d}"]
+                        .reindex(cells_pdf[fe])
+                        .to_numpy(np.float64)
                     )
-                ).alias(d)
-                for d in dmv
-            ],
-        )
+            R = [
+                S[di] / wv - adj_cell[di] for di in range(len(dmv))
+            ]
+            G_full = np.zeros((len(dmv), len(dmv)))
+            for i, j in dpairs:
+                G_full[i, j] = G_full[j, i] = float(
+                    float(gate[f"__win_{i}_{j}"] or 0.0)
+                    + (wv * R[i] * R[j]).sum()
+                )
+            fast = (G_full, int(round(float(wv.sum()))))
+            if _dbg:
+                print(
+                    f"[ap] driver gram: "
+                    f"{_time.perf_counter() - _t0:.2f}s", flush=True
+                )
+                _t0 = _time.perf_counter()
+        if not fast_gram:
+            for i, fe in enumerate(cc):
+                adf = adjs[fe].rename(
+                    columns={f"__adj_{d}": f"__adj{i}_{d}" for d in dmv}
+                )
+                sw = sw.join(
+                    F.broadcast(df.sparkSession.createDataFrame(adf)),
+                    on=fe,
+                    how="left",
+                )
+            zero = F.lit(0.0)
+            sw = sw.select(
+                *keep,
+                *[
+                    (
+                        F.col(d)
+                        - sum(
+                            (
+                                F.coalesce(
+                                    F.col(f"__adj{i}_{d}"), F.lit(0.0)
+                                )
+                                for i in range(len(cc))
+                            ),
+                            zero,
+                        )
+                    ).alias(d)
+                    for d in dmv
+                ],
+            )
     else:
         # Distributed sweeps — on the compressed weighted CELL table
         # when the distinct FE-combination count is well under the row
@@ -1088,9 +1161,16 @@ def _plan_alternating(
 
     dm_x = [dm[c] for c in x_cols]
     dm_y = [dm[c] for c in y_cols]
-    G_dm, Xty, n = gram_matrix(sw, dm_x, dm_y)
-    if _dbg:
-        print(f"[ap] demean+gram: {_time.perf_counter() - _t0:.2f}s", flush=True)
+    if fast is not None:
+        G_full, n = fast
+        k_x = len(x_cols)
+        G_dm = G_full[:k_x, :k_x]
+        Xty = G_full[:k_x, k_x:]
+    else:
+        G_dm, Xty, n = gram_matrix(sw, dm_x, dm_y)
+        if _dbg:
+            print(f"[ap] demean+gram: {_time.perf_counter() - _t0:.2f}s",
+                  flush=True)
     # gram materialized everything upstream; intermediate sweep
     # checkpoints/means are dead. (`cw`/`cells_df` stay alive — the
     # variance path below re-scans `sw`, whose plan references them —
@@ -1202,7 +1282,8 @@ def _plan_alternating(
     # Gram + variance are done with the sweep table; nothing returned
     # references it (back-fit reads the original df), so release the
     # final checkpoint's / cell-table blocks before handing back.
-    _unpersist_checkpoint(sw)
+    if fast is None:
+        _unpersist_checkpoint(sw)
     if cw is not None:
         _unpersist_checkpoint(cw)
     if cells_df is not None:

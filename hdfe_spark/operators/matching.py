@@ -224,3 +224,103 @@ def psm_att(
         .alias("n_unmatched"),
         F.lit(n_ctrl).cast("long").alias("n_ctrl"),
     )
+
+
+def cem_att(
+    df: DataFrame,
+    y: str,
+    treat: str,
+    covariates: "list[str]",
+    bins: int = 10,
+) -> DataFrame:
+    """Coarsened exact matching ATT (Iacus–King–Porro 2012) — the
+    stratified counterpart of `psm_att`: covariates are coarsened
+    onto fixed-width bins, units match EXACTLY on the joint bin
+    signature (a stratum), strata missing either arm are pruned, and
+    controls are reweighted within strata to the treated
+    distribution: ``att = (1/M_t) Σ_s [Σy_t(s) − (n_t(s)/n_c(s))·
+    Σy_c(s)]``.
+
+    Scale: one min/max pre-pass (2k scalars — the bin edges fold as
+    literals, identical IEEE arithmetic on any engine), then ONE
+    groupBy on the joint bin signature (map-side partials) and a
+    strata-sized final reduce. No join, no window, no driver-side
+    data. NULL/NaN in y, treat, or any covariate drops the row (the
+    listwise discipline).
+
+    Returns one row: (att, n_strata_matched, n_treat_matched,
+    n_ctrl_matched, n_treat_total, n_ctrl_total).
+    """
+    if bins < 1:
+        raise ValueError("cem_att: bins >= 1")
+    if not covariates:
+        raise ValueError("cem_att: needs >= 1 covariate")
+    t = F.col(treat)
+    yv = F.col(y)
+    dtypes = dict(df.dtypes)
+    valid = t.isNotNull() & yv.isNotNull()
+    for c in covariates + [y]:
+        valid = valid & F.col(c).isNotNull()
+        if dtypes.get(c) in ("double", "float"):
+            valid = valid & ~F.isnan(F.col(c))
+    base = df.filter(valid)
+
+    # bin edges from one pre-pass; a constant covariate gets one bin
+    mm = base.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}")
+          for i, c in enumerate(covariates)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}")
+          for i, c in enumerate(covariates)],
+    ).collect()[0]
+    keys = []
+    for i, c in enumerate(covariates):
+        lo = mm[f"__lo_{i}"]
+        hi = mm[f"__hi_{i}"]
+        if lo is None:
+            raise ValueError("cem_att: empty sample")
+        width = (float(hi) - float(lo)) / float(bins)
+        if width <= 0:
+            keys.append(F.lit(0))
+            continue
+        # floor((v - lo)/width) clamped so v == hi lands in the top
+        # bin, not a one-past-the-end stratum of its own
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(width)
+        )
+        keys.append(F.least(b, F.lit(bins - 1)).cast("long"))
+
+    strata = base.groupBy(
+        *[k.alias(f"__b{i}") for i, k in enumerate(keys)]
+    ).agg(
+        F.count(F.when(t, 1)).alias("__nt"),
+        F.count(F.when(~t, 1)).alias("__nc"),
+        F.sum(F.when(t, yv)).cast("double").alias("__syt"),
+        F.sum(F.when(~t, yv)).cast("double").alias("__syc"),
+    )
+    m = (F.col("__nt") > 0) & (F.col("__nc") > 0)
+    ntd = F.col("__nt").cast("double")
+    ncd = F.col("__nc").cast("double")
+    agg = strata.agg(
+        F.sum(F.when(m, 1).otherwise(0)).cast("long")
+        .alias("n_strata_matched"),
+        F.sum(F.when(m, F.col("__nt"))).alias("__mt"),
+        F.sum(F.when(m, F.col("__nc"))).alias("__mc"),
+        F.sum(F.col("__nt")).alias("__nt_tot"),
+        F.sum(F.col("__nc")).alias("__nc_tot"),
+        F.sum(
+            F.when(m, F.col("__syt") - (ntd / ncd) * F.col("__syc"))
+        ).alias("__num"),
+    )
+    mt = F.coalesce(F.col("__mt"), F.lit(0))
+    return agg.select(
+        F.when(mt > 0, F.col("__num") / mt.cast("double")).alias("att"),
+        F.col("n_strata_matched"),
+        mt.cast("long").alias("n_treat_matched"),
+        F.coalesce(F.col("__mc"), F.lit(0)).cast("long")
+        .alias("n_ctrl_matched"),
+        F.coalesce(F.col("__nt_tot"), F.lit(0)).cast("long")
+        .alias("n_treat_total"),
+        F.coalesce(F.col("__nc_tot"), F.lit(0)).cast("long")
+        .alias("n_ctrl_total"),
+    )
