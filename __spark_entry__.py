@@ -7696,6 +7696,141 @@ def _q_streaming_cuped(spark, sf_dir):
     )
 
 
+def _q_cem_att(spark, sf_dir):
+    """Coarsened exact matching ATT (`operators/matching.py::
+    cem_att` — Iacus–King–Porro 2012, the stratified counterpart of
+    psm_att): R-returnflag rows matched to the rest on the joint
+    10-bin (quantity, discount) signature, controls reweighted
+    within strata to the treated distribution. One min/max pre-pass
+    (bin edges as shared IEEE literals), ONE joint-bin groupBy, a
+    strata-sized reduce — no join, no window. The oracle replays the
+    identical floor-bin arithmetic and stratum algebra."""
+    from hdfe_spark.operators.matching import cem_att
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").alias("t"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("yv"),
+    )
+    out = cem_att(base, "yv", "t", ["x1", "x2"], bins=10)
+    return out.select(
+        _pround("att").alias("att"),
+        "n_strata_matched", "n_treat_matched", "n_ctrl_matched",
+        "n_treat_total", "n_ctrl_total",
+    )
+
+
+_CEM_ATT_SQL = """
+            WITH b AS (
+              SELECT (l_returnflag = 'R') AS t,
+                     CAST(l_quantity AS DOUBLE) AS x1,
+                     CAST(l_discount AS DOUBLE) AS x2,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            mm AS (
+              SELECT min(x1) AS lo1, max(x1) AS hi1,
+                     min(x2) AS lo2, max(x2) AS hi2
+              FROM b),
+            s AS (
+              SELECT least(floor((x1 - lo1) / ((hi1 - lo1) / 10.0)),
+                           9) AS b1,
+                     least(floor((x2 - lo2) / ((hi2 - lo2) / 10.0)),
+                           9) AS b2,
+                     COALESCE(sum(CASE WHEN t THEN 1 END), 0) AS nt,
+                     COALESCE(sum(CASE WHEN NOT t THEN 1 END), 0)
+                       AS nc,
+                     CAST(sum(CASE WHEN t THEN y END) AS DOUBLE)
+                       AS syt,
+                     CAST(sum(CASE WHEN NOT t THEN y END) AS DOUBLE)
+                       AS syc
+              FROM b, mm GROUP BY 1, 2),
+            a AS (
+              SELECT
+                CAST(COALESCE(sum(CASE WHEN nt > 0 AND nc > 0
+                  THEN 1 END), 0) AS BIGINT) AS n_strata_matched,
+                COALESCE(sum(CASE WHEN nt > 0 AND nc > 0
+                  THEN nt END), 0) AS mt,
+                COALESCE(sum(CASE WHEN nt > 0 AND nc > 0
+                  THEN nc END), 0) AS mc,
+                sum(nt) AS nt_tot, sum(nc) AS nc_tot,
+                sum(CASE WHEN nt > 0 AND nc > 0 THEN
+                  syt - (CAST(nt AS DOUBLE) / CAST(nc AS DOUBLE))
+                        * syc END) AS num
+              FROM s)
+            SELECT CASE WHEN mt > 0 THEN
+                     floor((num / CAST(mt AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9
+                   END AS att,
+                   n_strata_matched,
+                   CAST(mt AS BIGINT) AS n_treat_matched,
+                   CAST(mc AS BIGINT) AS n_ctrl_matched,
+                   CAST(COALESCE(nt_tot, 0) AS BIGINT)
+                     AS n_treat_total,
+                   CAST(COALESCE(nc_tot, 0) AS BIGINT)
+                     AS n_ctrl_total
+            FROM a
+        """
+
+
+def _q_att_gt(spark, sf_dir):
+    """Group-time ATT(g, t) (`operators/causal.py::att_gt` —
+    Callaway–Sant'Anna 2021, the staggered-adoption DiD the naive
+    TWFE regression gets wrong): customer cohorts adopting in
+    1996/1997/1998 (custkey mod 4; ≡0 = never treated) against the
+    never-treated pool, anchored at each cohort's g−1. ONE groupBy
+    builds the (cohort, year) mean table; everything downstream is
+    broadcast self-joins of that tiny table. The oracle replays the
+    identical four-mean contrast per identified cell."""
+    from hdfe_spark.operators.causal import att_gt
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.when(
+            F.col("o_custkey") % 4 == 0, F.lit(None).cast("long")
+        ).otherwise(1995 + F.col("o_custkey") % 4).alias("g"),
+        F.year("o_orderdate").cast("long").alias("t"),
+        F.col("o_totalprice").alias("y"),
+    ).filter(F.col("t").isNotNull() & F.col("y").isNotNull())
+    out = att_gt(base, "y", "t", "g")
+    return out.select(
+        "g", "t", _pround("att").alias("att"), "n_treat", "n_ctrl"
+    )
+
+
+_ATT_GT_SQL = """
+            WITH b AS (
+              SELECT CASE WHEN o_custkey % 4 = 0 THEN NULL
+                          ELSE 1995 + (o_custkey % 4) END AS g,
+                     CAST(year(o_orderdate) AS BIGINT) AS t,
+                     o_totalprice AS y
+              FROM orders
+              WHERE o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL
+                AND o_custkey IS NOT NULL),
+            cells AS (
+              SELECT g, t, count(*) AS n,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS m
+              FROM b GROUP BY g, t),
+            tc AS (SELECT * FROM cells WHERE g IS NOT NULL),
+            ct AS (SELECT t, m, n FROM cells WHERE g IS NULL)
+            SELECT CAST(tgt.g AS BIGINT) AS g, tgt.t AS t,
+                   floor(((tgt.m - bse.m) - (c1.m - c0.m))
+                         * 1e9 + 0.5) / 1e9 AS att,
+                   CAST(tgt.n AS BIGINT) AS n_treat,
+                   CAST(c1.n AS BIGINT) AS n_ctrl
+            FROM tc tgt
+            JOIN tc bse ON bse.g = tgt.g AND bse.t = tgt.g - 1
+            JOIN ct c1 ON c1.t = tgt.t
+            JOIN ct c0 ON c0.t = tgt.g - 1
+            WHERE tgt.t >= tgt.g
+        """
+
+
 def _q_streaming_msprt(spark, sf_dir):
     """Twenty-sixth streaming form (`streaming/ops.py::
     streaming_msprt`): per-segment ALWAYS-VALID mSPRT p-value folded
@@ -8315,7 +8450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-5: this round's net-new registrations --
+    - positions 1-8: this round's net-new registrations --
       `qte_approx_certificate` (VERDICT r13 item 3: the GK-bound
       certificate for `qte_by`'s sketch mode, stratified by arm),
       `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
@@ -8329,18 +8464,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (always-valid mixture-SPRT p, the peeking-proof
       experimentation readout), and `wild_cluster_bootstrap`
       (CGM few-cluster inference, all Rademacher draws fused into
-      one cluster-sized scan with exact-integer scores), and
-      `streaming_msprt` at position 6 (the 26th streaming form --
-      additive counters, availableNow == batch exactly).
-    - positions 7-50: the 44 stalest driver-green re-certs -- the
+      one cluster-sized scan with exact-integer scores),
+      `streaming_msprt` (the 26th streaming form -- additive
+      counters, availableNow == batch exactly), `cem_att`
+      (coarsened exact matching -- the stratified matcher beside
+      psm_att: one joint-bin groupBy + a strata-sized reduce), and
+      `att_gt` (Callaway-Sant'Anna staggered-adoption group-time
+      ATT -- one cohort-period groupBy + broadcast self-joins).
+    - positions 9-50: the 42 stalest driver-green re-certs -- the
       six `tpch_q14`-`q19` rows the late-round-13 registrations
       evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
       r07 stratum from its alphabetical head (`ab_proportions` ..
-      `mann_whitney`; `minhash_dedup`/`ols_2fe`/`ols_ridge`/
-      `pack_sequences` evicted to the backlog head by the late
-      registrations).
+      `log_parse`; `mahalanobis`/`mann_whitney`/`minhash_dedup`/
+      `ols_2fe`/`ols_ridge`/`pack_sequences` evicted to the backlog
+      head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the four evicted
+      next rotation is always "take the head": the six evicted
       re-certs, the r07 residue (`psi_drift` onward), then the
       r09/r10/r11 strata, then the round-12 window's 50 entries
       (r12 evidence), then the round-13 window's 50 (fresh r13
@@ -8369,6 +8508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monitor; availableNow == batch, the batch SQL is the oracle
         # verbatim) — evicting minhash_dedup to the backlog head
         "streaming_msprt": _q_streaming_msprt,
+        # 7-8: cem_att (coarsened exact matching — the stratified
+        # matcher beside psm_att) and att_gt (Callaway–Sant'Anna
+        # staggered DiD) — evicting mahalanobis/mann_whitney to the
+        # backlog head
+        "cem_att": _q_cem_att,
+        "att_gt": _q_att_gt,
         # 7-50: the 44 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
@@ -8416,9 +8561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         "ks_test": _q_ks_test,
         "log_parse": _q_log_parse,
+        # ------ end of the driver's 50-query window ------
+        # (mahalanobis/mann_whitney evicted by the cem_att/att_gt
+        # registrations)
         "mahalanobis": _q_mahalanobis,
         "mann_whitney": _q_mann_whitney,
-        # ------ end of the driver's 50-query window ------
         # (minhash_dedup evicted by the streaming_msprt registration)
         "minhash_dedup": _q_minhash_dedup,
         # (ols_2fe, ols_ridge, pack_sequences evicted to the
@@ -9174,6 +9321,8 @@ def oracle_sql() -> dict[str, str]:
         "msprt_by": _MSPRT_BY_SQL,
         "wild_cluster_bootstrap": _WILD_CLUSTER_BOOTSTRAP_SQL,
         "streaming_msprt": _MSPRT_BY_SQL,
+        "cem_att": _CEM_ATT_SQL,
+        "att_gt": _ATT_GT_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -422,3 +422,112 @@ def test_streaming_msprt_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
         map(tuple, batch), key=lambda t: t[0]
     )
+
+
+# --------------------------------------------------------- cem_att
+
+
+def test_cem_att_matches_replica(spark):
+    import numpy as np
+    import pandas as pd
+
+    from hdfe_spark.operators.matching import cem_att
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(2000):
+        t = i % 4 == 0
+        x1 = float(rng.normal() + (0.5 if t else 0.0))
+        x2 = float(rng.uniform(0, 10))
+        yv = float(2.0 * t + x1 + 0.3 * x2 + rng.normal() * 0.1)
+        rows.append((t, x1, x2, yv))
+    df = spark.createDataFrame(rows, "t boolean, x1 double, x2 double, y double")
+    out = cem_att(df, "y", "t", ["x1", "x2"], bins=6).collect()[0]
+
+    pdf = pd.DataFrame(rows, columns=["t", "x1", "x2", "y"])
+    for c in ("x1", "x2"):
+        lo, hi = pdf[c].min(), pdf[c].max()
+        w = (hi - lo) / 6.0
+        pdf[f"b_{c}"] = np.minimum(
+            np.floor((pdf[c] - lo) / w), 5
+        ).astype(int)
+    g = pdf.groupby(["b_x1", "b_x2"]).apply(
+        lambda s: pd.Series({
+            "nt": s.t.sum(), "nc": (~s.t).sum(),
+            "syt": s.y[s.t].sum(), "syc": s.y[~s.t].sum(),
+        }), include_groups=False,
+    )
+    m = g[(g.nt > 0) & (g.nc > 0)]
+    att = float((m.syt - (m.nt / m.nc) * m.syc).sum() / m.nt.sum())
+    assert out["att"] == pytest.approx(att, rel=1e-10)
+    assert out["n_treat_matched"] == int(m.nt.sum())
+    assert out["n_ctrl_matched"] == int(m.nc.sum())
+    assert out["n_strata_matched"] == len(m)
+    assert out["n_treat_total"] == int(pdf.t.sum())
+    # the true effect is 2.0; CEM should land near it
+    assert abs(out["att"] - 2.0) < 0.2
+
+
+def test_cem_att_unmatched_strata_drop(spark):
+    from hdfe_spark.operators.matching import cem_att
+
+    # controls only in low x, treated only in high x -> nothing
+    # matches; att NULL
+    df = spark.createDataFrame(
+        [(False, 0.0, 1.0), (False, 0.1, 1.0),
+         (True, 10.0, 5.0), (True, 9.9, 5.0)],
+        "t boolean, x double, y double",
+    )
+    out = cem_att(df, "y", "t", ["x"], bins=5).collect()[0]
+    assert out["att"] is None and out["n_strata_matched"] == 0
+    assert out["n_treat_total"] == 2 and out["n_ctrl_total"] == 2
+
+
+# ---------------------------------------------------------- att_gt
+
+
+def test_att_gt_recovers_staggered_effects(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.causal import att_gt
+
+    rng = np.random.default_rng(4)
+    rows = []
+    # cohorts 3 and 5 adopt at t=3/5 with effects 1.0 and 2.0 from
+    # adoption onward; never-treated units carry the common trend
+    for u in range(600):
+        cohort = [None, 3, 5][u % 3]
+        for t in range(1, 8):
+            base = 0.5 * t + (u % 7) * 0.1
+            eff = 0.0
+            if cohort is not None and t >= cohort:
+                eff = 1.0 if cohort == 3 else 2.0
+            rows.append(
+                (u, t, cohort, float(base + eff + rng.normal() * 0.05))
+            )
+    df = spark.createDataFrame(
+        rows, "unit long, t long, g long, y double"
+    )
+    out = {(r["g"], r["t"]): r for r in att_gt(
+        df, "y", "t", "g"
+    ).collect()}
+    # cohort 3: post periods 3..7; cohort 5: 5..7
+    assert set(out) == {(3, t) for t in range(3, 8)} | {
+        (5, t) for t in range(5, 8)
+    }
+    for (g, t), r in out.items():
+        truth = 1.0 if g == 3 else 2.0
+        assert r["att"] == pytest.approx(truth, abs=0.05)
+        assert r["n_treat"] == 200 and r["n_ctrl"] == 200
+
+
+def test_att_gt_absent_cells_are_absent(spark):
+    from hdfe_spark.operators.causal import att_gt
+
+    # cohort g=2 has no t=1 observation -> no base period -> absent
+    rows = [
+        (1, 2, 2, 5.0), (1, 3, 2, 6.0),
+        (2, 1, None, 1.0), (2, 2, None, 2.0), (2, 3, None, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "unit long, t long, g long, y double")
+    assert att_gt(df, "y", "t", "g").collect() == []

@@ -27,9 +27,10 @@ def test_round14_window_composition():
     — the GK-bound certificate for qte_by's sketch mode, VERDICT r13
     item 3 — `dml_plm_tree2`, the non-linear tree2 nuisance learner,
     item 5, then the late-round `psm_att`, `msprt_by`,
-    `wild_cluster_bootstrap`, and `streaming_msprt` — the 26th
-    streaming form); 7-50 = the 44 stalest driver-green re-certs
-    (`minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
+    `wild_cluster_bootstrap`, `streaming_msprt` — the 26th
+    streaming form — `cem_att`, and `att_gt`); 9-50 = the 42
+    stalest driver-green re-certs (`mahalanobis`/`mann_whitney`/
+    `minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
     to the backlog head by the late registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
     evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
@@ -39,22 +40,22 @@ def test_round14_window_composition():
     this fails after an intentional round-15 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:12] == [
+    assert q[:14] == [
         "qte_approx_certificate", "dml_plm_tree2",
         "psm_att", "msprt_by", "wild_cluster_bootstrap",
-        "streaming_msprt",
+        "streaming_msprt", "cem_att", "att_gt",
         "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
         "tpch_q18", "tpch_q19",
     ]
-    assert q[12] == "tpch_q2"
-    assert q[24] == "winsorize"
-    assert q[25] == "ab_proportions"
-    assert q[49] == "mann_whitney"
-    # backlog head = the four re-certs the late-round registrations
+    assert q[14] == "tpch_q2"
+    assert q[26] == "winsorize"
+    assert q[27] == "ab_proportions"
+    assert q[49] == "log_parse"
+    # backlog head = the six re-certs the late-round registrations
     # evicted, then the r07 residue, stalest-first
-    assert q[50:54] == ["minhash_dedup", "ols_2fe", "ols_ridge",
-                        "pack_sequences"]
-    assert q[54] == "psi_drift"
+    assert q[50:56] == ["mahalanobis", "mann_whitney", "minhash_dedup",
+                        "ols_2fe", "ols_ridge", "pack_sequences"]
+    assert q[56] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -70,7 +71,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 332
+    assert len(q) == 334
 
 
 def test_every_query_has_callable():

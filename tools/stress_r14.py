@@ -231,6 +231,75 @@ def stress_msprt(spark):
     assert max(shifted) < 1e-6 and min(nulls) > 0.05
 
 
+def stress_cem(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.matching import cem_att
+
+    # covariates derive from id div 5 so every 5-block carries ONE
+    # treated and FOUR control rows with IDENTICAL (x1, x2) — the
+    # within-stratum contrast is exactly the 3.0 shift (a lattice
+    # keyed on raw id would deterministically separate the arms in
+    # joint-bin space: the psm-stress lesson)
+    blk = (F.col("id") / 5).cast("long")
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 5 == 0).alias("t"),
+        ((blk * 7919) % 100).cast("double").alias("x1"),
+        ((blk * 104729) % 50).cast("double").alias("x2"),
+    ).select(
+        "t", "x1", "x2",
+        (F.col("x1") * 2.0 + F.col("x2")
+         + F.when(F.col("t"), 3.0).otherwise(0.0)).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = cem_att(df, "y", "t", ["x1", "x2"], bins=10).collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        f"cem_att: wall={wall:.1f}s att={row['att']:.6f}"
+        f" strata={row['n_strata_matched']}"
+        f" matched={row['n_treat_matched']}"
+    )
+    assert abs(row["att"] - 3.0) < 1e-6
+    assert row["n_treat_matched"] == N // 5
+
+
+def stress_attgt(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import att_gt
+
+    # 8 periods, cohorts 3/5 (effects 1.0/2.0), one-third never
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 8 + 1).alias("t"),
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("long"))
+        .when(F.col("id") % 3 == 1, F.lit(3))
+        .otherwise(F.lit(5)).alias("g"),
+        F.col("id"),
+    ).select(
+        "t", "g",
+        (
+            0.5 * F.col("t").cast("double")
+            + ((F.col("id") * 7919) % 9).cast("double")
+            + F.when(
+                F.col("g").isNotNull() & (F.col("t") >= F.col("g")),
+                F.when(F.col("g") == 3, 1.0).otherwise(2.0),
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    rows = {(r["g"], r["t"]): r for r in att_gt(
+        df, "y", "t", "g"
+    ).collect()}
+    wall = time.perf_counter() - t0
+    worst = max(
+        abs(r["att"] - (1.0 if g == 3 else 2.0))
+        for (g, t), r in rows.items()
+    )
+    print(f"att_gt: wall={wall:.1f}s cells={len(rows)} worst={worst:.2e}")
+    assert len(rows) == 6 + 4  # g=3: t 3..8, g=5: t 5..8
+    assert worst < 1e-2
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -244,3 +313,7 @@ if __name__ == "__main__":
         stress_wcb(spark)
     if which in ("msprt", "all"):
         stress_msprt(spark)
+    if which in ("cem", "all"):
+        stress_cem(spark)
+    if which in ("attgt", "all"):
+        stress_attgt(spark)
