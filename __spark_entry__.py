@@ -8514,11 +8514,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backlog head
         "cem_att": _q_cem_att,
         "att_gt": _q_att_gt,
-        # 7-50: the 44 stalest driver-green re-certs — the six
+        # 9-50: the 42 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
-        # (ab_proportions .. mann_whitney), as queued in SURVEY.md
+        # (ab_proportions .. log_parse), as queued in SURVEY.md
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,

@@ -1065,8 +1065,13 @@ def att_gt(
 
     ``first_treated`` is the unit's adoption period (integer-coded;
     NULL = never treated — the control pool C). Periods must be
-    integer-castable (g−1 is period arithmetic). Only cells whose
-    four means all exist are emitted — a cohort with no g−1
+    integer-castable (g−1 is period arithmetic); non-castable values
+    RAISE through a fused guard (review r14b — a silent NULL would
+    merge treated units into the never-treated pool). The guard
+    rides the output rows, so an input whose EVERY cohort label
+    fails the cast yields an empty frame rather than the error —
+    documented residual of the lazy, single-scan design. Only cells
+    whose four means all exist are emitted — a cohort with no g−1
     observation, or a period missing from the control pool, has no
     identified ATT and is absent rather than NULL (the `tree_depth2`
     absence convention).
@@ -1086,12 +1091,33 @@ def att_gt(
     base = df.filter(valid)
     g_col = F.col(first_treated).try_cast("long")
     t_col = F.col(period).try_cast("long")
+    # No checkpoint: the three downstream joins share this
+    # aggregation's shuffle via ReusedExchange, and a localCheckpoint
+    # here would pin the blocks for the whole session with no release
+    # path on a lazily-returned frame (review r14b).
     cells = base.groupBy(
         g_col.alias("__g"), t_col.alias("__t")
     ).agg(
         F.count(F.lit(1)).alias("__n"),
         (F.sum(yv).cast("double") / F.count(F.lit(1))).alias("__m"),
-    ).localCheckpoint(eager=False)
+        # try_cast failures must surface as the named error, never a
+        # silent merge into the never-treated pool / a vanished cell
+        # (review r14b: the wild_cluster_bootstrap convention)
+        F.sum(
+            F.when(F.col(first_treated).isNotNull()
+                   & g_col.isNull(), 1).otherwise(0)
+        ).alias("__badg"),
+        F.sum(F.when(t_col.isNull(), 1).otherwise(0)).alias("__badt"),
+    )
+    # The guard is a broadcast 1-row cross join consumed INSIDE the
+    # output expression (the _dec38_num raise_error pattern), so the
+    # whole operator stays one lazy plan — no eager pre-check action,
+    # no second scan, and the shared aggregation's exchange is still
+    # reused across the join branches.
+    guard = cells.agg(
+        F.sum("__badg").alias("__gerr"),
+        F.sum("__badt").alias("__terr"),
+    )
 
     tc = cells.filter(F.col("__g").isNotNull())
     ctrl = cells.filter(F.col("__g").isNull()).select(
@@ -1128,13 +1154,29 @@ def att_gt(
             F.col("__t0") == F.col("__g") - 1,
         )
     )
-    return out.select(
+    att_expr = F.when(
+        F.col("__gerr") > 0,
+        F.raise_error(F.lit(
+            f"att_gt: first_treated col {first_treated!r} has"
+            " non-NULL values that do not cast to an integer — a"
+            " silent NULL would merge treated units into the"
+            " never-treated control pool"
+        )).cast("double"),
+    ).when(
+        F.col("__terr") > 0,
+        F.raise_error(F.lit(
+            f"att_gt: period col {period!r} has values that do not"
+            " cast to an integer — period arithmetic (g-1) needs"
+            " integer-coded periods"
+        )).cast("double"),
+    ).otherwise(
+        (F.col("__mt") - F.col("__mb"))
+        - (F.col("__cmt") - F.col("__cmb"))
+    )
+    return out.crossJoin(F.broadcast(guard)).select(
         F.col("__g").alias("g"),
         F.col("__t").alias("t"),
-        (
-            (F.col("__mt") - F.col("__mb"))
-            - (F.col("__cmt") - F.col("__cmb"))
-        ).alias("att"),
+        att_expr.alias("att"),
         F.col("__nt").cast("long").alias("n_treat"),
         F.col("__cnt").cast("long").alias("n_ctrl"),
     )

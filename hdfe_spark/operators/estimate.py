@@ -921,6 +921,23 @@ def _plan_alternating(
     dpairs = [
         (i, j) for i in range(len(dmv)) for j in range(i, len(dmv))
     ]
+    # Fast (driver-assembled) Gram is possible only when nothing
+    # downstream needs a demeaned ROW table and the dm name-dedup
+    # kept every x/y column distinct (review r14b: duplicate or
+    # overlapping x/y names would misalign the positional G_full
+    # slices — gram_matrix indexes by NAME and handles them).
+    # Off-diagonal cross-moments are emitted only then; every other
+    # caller pays the diagonal (the RMS scale) alone.
+    fast_possible = (
+        not estimate_variance
+        and cluster is None
+        and not robust
+        and len(dmv) == len(all_cols)
+    )
+    emit_pairs = (
+        dpairs if fast_possible
+        else [(i, i) for i in range(len(dmv))]
+    )
 
     def _cells_of(frame):
         return frame.groupBy(*cc).agg(
@@ -929,7 +946,7 @@ def _plan_alternating(
             *[
                 F.sum(F.col(dmv[i]) * F.col(dmv[j]))
                 .alias(f"__p_{i}_{j}")
-                for i, j in dpairs
+                for i, j in emit_pairs
             ],
         )
 
@@ -958,7 +975,7 @@ def _plan_alternating(
                 - F.col(f"__s_{dmv[i]}") * F.col(f"__s_{dmv[j]}")
                 / F.col("__w")
             ).alias(f"__win_{i}_{j}")
-            for i, j in dpairs
+            for i, j in emit_pairs
         ],
         # Null detection rides the gate scan for free (see below).
         *[
@@ -1040,9 +1057,7 @@ def _plan_alternating(
         # adjustment — both terms well-scaled (the within moments
         # cancel per small cell; r is the converged residual mean),
         # so the whole Plan-C estimate is ONE full-data pass.
-        fast_gram = (
-            not estimate_variance and cluster is None and not robust
-        )
+        fast_gram = fast_possible
         cells_pdf = cells_df.select(
             *cc, "__w", *[f"__s_{d}" for d in dmv]
         ).toPandas()
@@ -1082,14 +1097,29 @@ def _plan_alternating(
                     float(gate[f"__win_{i}_{j}"] or 0.0)
                     + (wv * R[i] * R[j]).sum()
                 )
-            fast = (G_full, int(round(float(wv.sum()))))
+            # Cancellation guard (review r14b): the one-pass within
+            # formula loses ~log10(ss/G) digits to cancellation on
+            # data with a dominant un-centered level (y ≈ 1e8 + signal
+            # makes p and s²/w cancel catastrophically). When any
+            # demeaned diagonal retains < ~8 safe digits relative to
+            # its raw second moment, discard the fast result and fall
+            # back to the demeaned-row Gram (exact on O(σ)-sized
+            # values) — accuracy over the saved pass.
+            ok = True
+            for i, d in enumerate(dmv):
+                ssv = float(gate[f"__ss_{d}"] or 0.0)
+                if ssv > 0.0 and not G_full[i, i] > ssv * 1e-8:
+                    ok = False
+                    break
+            if ok:
+                fast = (G_full, int(round(float(wv.sum()))))
             if _dbg:
                 print(
                     f"[ap] driver gram: "
                     f"{_time.perf_counter() - _t0:.2f}s", flush=True
                 )
                 _t0 = _time.perf_counter()
-        if not fast_gram:
+        if fast is None:
             for i, fe in enumerate(cc):
                 adf = adjs[fe].rename(
                     columns={f"__adj_{d}": f"__adj{i}_{d}" for d in dmv}

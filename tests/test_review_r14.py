@@ -160,3 +160,75 @@ def test_fround_overflow_returns_inf_like_sql():
     # just under the overflow boundary still rounds normally
     assert em._fround(1e299, 9) == 1e299
     assert em._fround(1.23456, 2) == 1.23
+
+
+# ---------------- second (pre-freeze) review pass findings
+
+
+def test_att_gt_uncastable_cohorts_raise(spark):
+    from hdfe_spark.operators.causal import att_gt
+
+    # a VALID cohort ("2") must exist so identified output rows
+    # carry the guard; the "2020Q1" rows would otherwise silently
+    # merge into the never-treated pool (an all-uncastable input
+    # yields an empty frame instead — the documented residual)
+    rows = [
+        (1, "2", 5.0), (2, "2", 6.0), (3, "2", 7.0),
+        (1, None, 1.0), (2, None, 2.0), (3, None, 3.0),
+        (2, "2020Q1", 9.0), (3, "2020Q1", 9.5),
+    ]
+    df = spark.createDataFrame(rows, "t long, g string, y double")
+    with pytest.raises(Exception, match="do not cast to an integer"):
+        att_gt(df, "y", "t", "g").collect()
+    # and the clean twin works
+    clean = spark.createDataFrame(
+        [r for r in rows if r[1] != "2020Q1"], "t long, g string, y double"
+    )
+    assert len(att_gt(clean, "y", "t", "g").collect()) == 2
+
+
+def test_plan_alternating_fast_gram_cancellation_fallback(spark):
+    """A dominant un-centered level (y ~ 1e9 + signal) makes the
+    one-pass within formula cancel catastrophically; the guard must
+    fall back to the demeaned-row Gram and still return accurate
+    slopes (review r14b)."""
+    from hdfe_spark.operators.estimate import estimate
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i % 7, i % 11, float(x), 1e9 + 2.0 * float(x) + float(e))
+        for i, (x, e) in enumerate(
+            zip(rng.normal(size=3000), rng.normal(size=3000) * 0.01)
+        )
+    ]
+    df = spark.createDataFrame(rows, "f1 int, f2 int, x double, y double")
+    res = estimate(
+        df, "y", ["x"], categorical_controls=["f1", "f2"],
+        within_if_fe=False,
+    )
+    assert res.slopes[0, 0] == pytest.approx(2.0, abs=1e-3)
+
+
+def test_plan_alternating_duplicate_x_uses_named_path(spark):
+    """dm name-dedup means duplicate/overlapping x-y columns cannot
+    use the positional fast Gram — they must route through the
+    by-name gram_matrix path and still produce a sane answer
+    (review r14b: the positional slice silently returned zeros)."""
+    from hdfe_spark.operators.estimate import estimate
+
+    rows = [
+        (i % 5, i % 3, float(i % 7), 3.0 * (i % 7) + (i % 5) * 0.5)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "f1 int, f2 int, x double, y double")
+    res = estimate(
+        df, "y", ["x", "x"], categorical_controls=["f1", "f2"],
+        within_if_fe=False,
+    )
+    # the min-norm solve splits the coefficient across the two
+    # identical columns (the by-name gram_matrix convention) — the
+    # recovered TOTAL effect must be the true 3.0, never the silent
+    # zeros the positional fast-Gram slice produced
+    b = np.asarray(res.slopes).ravel()
+    assert float(b.sum()) == pytest.approx(3.0, abs=1e-6)
+    assert all(abs(v) > 0.1 for v in b)
