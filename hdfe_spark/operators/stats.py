@@ -1953,6 +1953,18 @@ def standardize(
     return out
 
 
+def _non_nan(df: DataFrame, col: str):
+    """NaN-as-missing predicate for a value column (review r14, the
+    ADVICE-r13 estimator class applied family-wide): NaN passes
+    isNotNull and would COUNT in the arm n while vanishing from the
+    exact-decimal sums (round(NaN·scale) casts to NULL) — silently
+    biasing means/variances. Non-float columns pay nothing."""
+    ok = F.col(col).isNotNull()
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        ok = ok & ~F.isnan(F.col(col))
+    return ok
+
+
 def welch_by(
     df: DataFrame,
     group_col: str,
@@ -2018,7 +2030,7 @@ def welch_by(
         ]
 
     m = (
-        df.filter(v.isNotNull() & (is_a | is_b))
+        df.filter(_non_nan(df, value_col) & (is_a | is_b))
         .groupBy(F.col(group_col).alias("__g"))
         .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
     )
@@ -5206,7 +5218,8 @@ def cuped_by(
         return F.coalesce(F.sum(F.when(cond, expr)), zero).alias(name)
 
     m = (
-        df.filter(yv.isNotNull() & xv.isNotNull() & (is_a | is_b))
+        df.filter(_non_nan(df, value_col) & _non_nan(df, covariate_col)
+                  & (is_a | is_b))
         .groupBy(F.col(group_col).alias("__g"))
         .agg(
             # pooled moments (theta / rho2)
@@ -5299,7 +5312,7 @@ def smd_by(
     for i, c in enumerate(value_cols):
         u = F.round(F.col(c) * F.lit(float(scale))).cast("decimal(38,0)")
         for tag, cond in (("a", is_a), ("b", is_b)):
-            cv = cond & F.col(c).isNotNull()
+            cv = cond & _non_nan(df, c)
             aggs.append(
                 F.coalesce(F.sum(F.when(cv, F.lit(1))), F.lit(0))
                 .cast("long").alias(f"__n_{tag}_{i}")
@@ -5555,7 +5568,7 @@ def qte_by(
         aggs.append(_pct(vb, p).alias(f"__qb_{i}"))
     m = (
         df.filter(
-            F.col(value_col).isNotNull()
+            _non_nan(df, value_col)
             & F.col(arm_col).isin(arm_a, arm_b)
         )
         .groupBy(F.col(group_col).alias("__g"))

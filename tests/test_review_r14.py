@@ -232,3 +232,45 @@ def test_plan_alternating_duplicate_x_uses_named_path(spark):
     b = np.asarray(res.slopes).ravel()
     assert float(b.sum()) == pytest.approx(3.0, abs=1e-6)
     assert all(abs(v) > 0.1 for v in b)
+
+
+def test_exact_moment_family_nan_excluded(spark):
+    """Family-wide NaN-as-missing (welch_by — and through it
+    mde/power/tost/streaming_welch — cuped_by, smd_by, qte_by): a
+    NaN value must not count in an arm's n while vanishing from its
+    decimal sums."""
+    from hdfe_spark.operators.stats import (
+        cuped_by,
+        qte_by,
+        smd_by,
+        welch_by,
+    )
+
+    rows = [(0, "a", float(v), float(v) * 0.5) for v in (1, 2, 3, 4)]
+    rows += [(0, "b", float(v), float(v) * 0.5) for v in (2, 3, 4, 6)]
+    clean = spark.createDataFrame(
+        rows, "seg long, arm string, v double, x double"
+    )
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(0, "a", float("nan"), 1.0), (0, "b", 2.0, float("nan"))],
+        "seg long, arm string, v double, x double",
+    ))
+    w_c = welch_by(clean, "seg", "arm", "v", "a", "b").collect()[0]
+    w_d = welch_by(dirty, "seg", "arm", "v", "a", "b").collect()[0]
+    # the NaN-v arm-a row drops entirely (was: counted in n_a but
+    # absent from the sums — a silently deflated mean)
+    assert (w_d["n_a"], w_d["mean_a"]) == (w_c["n_a"], w_c["mean_a"])
+    # welch's n_b INCLUDES the NaN-x row (x is not welch's input —
+    # its v=2.0 is a legitimate b observation)
+    assert w_d["n_b"] == 5
+    c_c = cuped_by(clean, "seg", "arm", "v", "x", "a", "b").collect()[0]
+    c_d = cuped_by(dirty, "seg", "arm", "v", "x", "a", "b").collect()[0]
+    assert (c_d["n_a"], c_d["theta"]) == (c_c["n_a"], c_c["theta"])
+    q_d = qte_by(dirty, "seg", "arm", "v", "a", "b").collect()
+    # NaN v excluded from arm a; the NaN-x b row (v = 2.0 valid)
+    # legitimately counts for qte, whose only input is v
+    assert q_d[0]["n_a"] == 4 and q_d[0]["n_b"] == 5
+    s_d = smd_by(dirty, "arm", ["v", "x"], "a", "b").collect()
+    by_cov = {r["covariate"]: r for r in s_d}
+    assert by_cov["v"]["n_a"] == 4  # NaN v excluded from v's arm a
+    assert by_cov["x"]["n_b"] == 4  # NaN x excluded from x's arm b
