@@ -7831,6 +7831,188 @@ _ATT_GT_SQL = """
         """
 
 
+def _q_triple_diff(spark, sf_dir):
+    """Triple difference (`operators/causal.py::triple_diff` — the
+    DDD design that nets region-period shocks out of a plain DiD):
+    returnflag-R × late-linenumber × even-partkey eligibility, all
+    EIGHT cell means from ONE map-side-combined aggregation of exact
+    decimal sums. The oracle replays the identical 8-cell algebra."""
+    from hdfe_spark.operators.causal import triple_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").alias("t"),
+        (F.col("l_linenumber") >= 4).alias("p"),
+        (F.col("l_partkey") % 2 == 0).alias("g"),
+        F.col("l_extendedprice").alias("yv"),
+    )
+    out = triple_diff(base, "yv", "t", "p", "g")
+    return out.select(
+        _pround("ddd").alias("ddd"),
+        _pround("did_group").alias("did_group"),
+        _pround("did_ctrlgroup").alias("did_ctrlgroup"),
+        "n_group", "n_ctrlgroup",
+    )
+
+
+_TRIPLE_DIFF_SQL = """
+            WITH b AS (
+              SELECT (l_returnflag = 'R') AS t,
+                     (l_linenumber >= 4) AS p,
+                     (l_partkey % 2 = 0) AS g,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_linenumber IS NOT NULL
+                AND l_partkey IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            m AS (
+              SELECT g, t, p, count(*) AS n,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS m
+              FROM b GROUP BY g, t, p),
+            d AS (
+              SELECT g,
+                     (max(CASE WHEN t AND p THEN m END)
+                      - max(CASE WHEN t AND NOT p THEN m END))
+                     - (max(CASE WHEN NOT t AND p THEN m END)
+                        - max(CASE WHEN NOT t AND NOT p THEN m END))
+                       AS did,
+                     sum(n) AS n
+              FROM m GROUP BY g)
+            SELECT floor(((SELECT did FROM d WHERE g)
+                          - (SELECT did FROM d WHERE NOT g))
+                         * 1e9 + 0.5) / 1e9 AS ddd,
+                   floor((SELECT did FROM d WHERE g) * 1e9 + 0.5)
+                     / 1e9 AS did_group,
+                   floor((SELECT did FROM d WHERE NOT g) * 1e9 + 0.5)
+                     / 1e9 AS did_ctrlgroup,
+                   (SELECT CAST(n AS BIGINT) FROM d WHERE g)
+                     AS n_group,
+                   (SELECT CAST(n AS BIGINT) FROM d WHERE NOT g)
+                     AS n_ctrlgroup
+        """
+
+
+def _q_lee_bounds(spark, sf_dir):
+    """Lee (2009) attrition bounds (`operators/causal.py::
+    lee_bounds` — the selection-bias bracket every experiment with
+    differential dropout needs): outcomes observed at 9/10 for the R
+    arm vs 6/10 otherwise (orderkey-keyed, independent of the arm),
+    the higher-selection arm trimmed at the exact selection
+    differential. Three fused aggregations — counts, exact
+    percentile cuts (quantile_cont interpolation, the winsorize
+    convention), conditional trimmed means. Means are one cast per
+    decimal sum; bounds round at 1e9."""
+    from hdfe_spark.operators.causal import lee_bounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    seen = F.col("l_orderkey") % 10 < F.when(
+        F.col("l_returnflag") == "R", 9
+    ).otherwise(6)
+    base = li.select(
+        (F.col("l_returnflag") == "R").alias("t"),
+        F.when(seen, F.col("l_extendedprice").cast("double"))
+        .alias("yv"),
+    )
+    out = lee_bounds(base, "yv", "t")
+    return out.select(
+        _pround("lower").alias("lower"),
+        _pround("upper").alias("upper"),
+        _pround("naive").alias("naive"),
+        _pround("q_trim", 12).alias("q_trim"),
+        "n_treat_obs", "n_ctrl_obs",
+        _pround("s_treat", 12).alias("s_treat"),
+        _pround("s_ctrl", 12).alias("s_ctrl"),
+    )
+
+
+_LEE_BOUNDS_SQL = """
+            WITH b AS (
+              SELECT (l_returnflag = 'R') AS t,
+                     CASE WHEN l_orderkey % 10 <
+                            CASE WHEN l_returnflag = 'R'
+                                 THEN 9 ELSE 6 END
+                          THEN CAST(l_extendedprice AS DOUBLE)
+                     END AS yv
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_orderkey IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            c AS (
+              SELECT count(CASE WHEN t THEN 1 END) AS n1,
+                     count(CASE WHEN NOT t THEN 1 END) AS n0,
+                     count(CASE WHEN t THEN yv END) AS m1,
+                     count(CASE WHEN NOT t THEN yv END) AS m0
+              FROM b),
+            q AS (
+              SELECT 1.0 - CAST(m0 * n1 AS DOUBLE)
+                           / CAST(m1 * n0 AS DOUBLE) AS qt,
+                     m1, m0, n1, n0
+              FROM c),
+            ts AS (
+              SELECT yv, row_number() OVER (ORDER BY yv) - 1 AS r
+              FROM b WHERE t AND yv IS NOT NULL),
+            -- exact percentile interpolation, Spark's spelling:
+            -- pos = q*(m-1); (lo+1-pos)*x[lo] + (pos-lo)*x[hi]
+            -- (quantile_cont cannot take a computed parameter)
+            hh AS (
+              SELECT qt * CAST(m1 - 1 AS DOUBLE) AS pl,
+                     (1.0 - qt) * CAST(m1 - 1 AS DOUBLE) AS ph,
+                     m1
+              FROM q),
+            k AS (
+              SELECT
+                (CAST(CAST(floor(pl) AS BIGINT) + 1 AS DOUBLE) - pl)
+                  * (SELECT yv FROM ts
+                     WHERE r = CAST(floor(pl) AS BIGINT))
+                + (pl - floor(pl))
+                  * (SELECT yv FROM ts
+                     WHERE r = least(CAST(floor(pl) AS BIGINT) + 1,
+                                     CAST(m1 - 1 AS BIGINT)))
+                  AS ql,
+                (CAST(CAST(floor(ph) AS BIGINT) + 1 AS DOUBLE) - ph)
+                  * (SELECT yv FROM ts
+                     WHERE r = CAST(floor(ph) AS BIGINT))
+                + (ph - floor(ph))
+                  * (SELECT yv FROM ts
+                     WHERE r = least(CAST(floor(ph) AS BIGINT) + 1,
+                                     CAST(m1 - 1 AS BIGINT)))
+                  AS qh
+              FROM hh),
+            f AS (
+              SELECT
+                CAST(sum(CASE WHEN t AND yv <= (SELECT qh FROM k)
+                              THEN yv END) AS DOUBLE)
+                  / count(CASE WHEN t AND yv <= (SELECT qh FROM k)
+                               THEN 1 END) AS m_hi_low,
+                CAST(sum(CASE WHEN t AND yv >= (SELECT ql FROM k)
+                              THEN yv END) AS DOUBLE)
+                  / count(CASE WHEN t AND yv >= (SELECT ql FROM k)
+                               THEN 1 END) AS m_hi_high,
+                CAST(sum(CASE WHEN t THEN yv END) AS DOUBLE)
+                  / count(CASE WHEN t THEN yv END) AS m_hi,
+                CAST(sum(CASE WHEN NOT t THEN yv END) AS DOUBLE)
+                  / count(CASE WHEN NOT t THEN yv END) AS m_lo
+              FROM b)
+            SELECT floor(least(m_hi_low - m_lo, m_hi_high - m_lo)
+                         * 1e9 + 0.5) / 1e9 AS lower,
+                   floor(greatest(m_hi_low - m_lo, m_hi_high - m_lo)
+                         * 1e9 + 0.5) / 1e9 AS upper,
+                   floor((m_hi - m_lo) * 1e9 + 0.5) / 1e9 AS naive,
+                   floor((SELECT qt FROM q) * 1e12 + 0.5) / 1e12
+                     AS q_trim,
+                   (SELECT CAST(m1 AS BIGINT) FROM q) AS n_treat_obs,
+                   (SELECT CAST(m0 AS BIGINT) FROM q) AS n_ctrl_obs,
+                   floor((SELECT CAST(m1 AS DOUBLE)
+                                 / CAST(n1 AS DOUBLE) FROM q)
+                         * 1e12 + 0.5) / 1e12 AS s_treat,
+                   floor((SELECT CAST(m0 AS DOUBLE)
+                                 / CAST(n0 AS DOUBLE) FROM q)
+                         * 1e12 + 0.5) / 1e12 AS s_ctrl
+            FROM f
+        """
+
+
 def _q_streaming_msprt(spark, sf_dir):
     """Twenty-sixth streaming form (`streaming/ops.py::
     streaming_msprt`): per-segment ALWAYS-VALID mSPRT p-value folded
@@ -8450,7 +8632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-8: this round's net-new registrations --
+    - positions 1-10: this round's net-new registrations --
       `qte_approx_certificate` (VERDICT r13 item 3: the GK-bound
       certificate for `qte_by`'s sketch mode, stratified by arm),
       `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
@@ -8470,16 +8652,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (coarsened exact matching -- the stratified matcher beside
       psm_att: one joint-bin groupBy + a strata-sized reduce), and
       `att_gt` (Callaway-Sant'Anna staggered-adoption group-time
-      ATT -- one cohort-period groupBy + broadcast self-joins).
-    - positions 9-50: the 42 stalest driver-green re-certs -- the
+      ATT -- one cohort-period groupBy + broadcast self-joins),
+      `triple_diff` (DDD -- eight cell means, one aggregation), and
+      `lee_bounds` (Lee 2009 attrition bounds -- three fused
+      aggregations, exact percentile trim).
+    - positions 11-50: the 40 stalest driver-green re-certs -- the
       six `tpch_q14`-`q19` rows the late-round-13 registrations
       evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
       r07 stratum from its alphabetical head (`ab_proportions` ..
-      `log_parse`; `mahalanobis`/`mann_whitney`/`minhash_dedup`/
-      `ols_2fe`/`ols_ridge`/`pack_sequences` evicted to the backlog
-      head by the late registrations).
+      `kmeans`; `ks_test`/`log_parse`/`mahalanobis`/`mann_whitney`/
+      `minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
+      to the backlog head by the late registrations).
     - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the six evicted
+      next rotation is always "take the head": the eight evicted
       re-certs, the r07 residue (`psi_drift` onward), then the
       r09/r10/r11 strata, then the round-12 window's 50 entries
       (r12 evidence), then the round-13 window's 50 (fresh r13
@@ -8514,11 +8699,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backlog head
         "cem_att": _q_cem_att,
         "att_gt": _q_att_gt,
-        # 9-50: the 42 stalest driver-green re-certs — the six
+        # 9-10: triple_diff (DDD) and lee_bounds (attrition bounds)
+        # — evicting ks_test/log_parse to the backlog head
+        "triple_diff": _q_triple_diff,
+        "lee_bounds": _q_lee_bounds,
+        # 11-50: the 40 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
-        # (ab_proportions .. log_parse), as queued in SURVEY.md
+        # (ab_proportions .. kmeans), as queued in SURVEY.md
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
@@ -8559,9 +8748,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "kfold_cv": _q_kfold_cv,
         "kmeans": _q_kmeans,
+        # ------ end of the driver's 50-query window ------
+        # (ks_test/log_parse evicted by the triple_diff/lee_bounds
+        # registrations)
         "ks_test": _q_ks_test,
         "log_parse": _q_log_parse,
-        # ------ end of the driver's 50-query window ------
         # (mahalanobis/mann_whitney evicted by the cem_att/att_gt
         # registrations)
         "mahalanobis": _q_mahalanobis,
@@ -9323,6 +9514,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_msprt": _MSPRT_BY_SQL,
         "cem_att": _CEM_ATT_SQL,
         "att_gt": _ATT_GT_SQL,
+        "triple_diff": _TRIPLE_DIFF_SQL,
+        "lee_bounds": _LEE_BOUNDS_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -1180,3 +1180,165 @@ def att_gt(
         F.col("__nt").cast("long").alias("n_treat"),
         F.col("__cnt").cast("long").alias("n_ctrl"),
     )
+
+
+def triple_diff(
+    df: DataFrame,
+    y: str,
+    treat: str,
+    post: str,
+    group: str,
+) -> DataFrame:
+    """Triple difference (DDD): the `did` contrast of the eligible
+    subgroup minus the same contrast of the ineligible subgroup —
+    the standard design when a policy hits (treated region × post
+    period × eligible group) and region-period shocks would
+    contaminate a plain DiD:
+
+    ``ddd = DiD(group) − DiD(¬group)``
+
+    ``treat``/``post``/``group`` are boolean columns. ONE
+    map-side-combined aggregation computes all EIGHT cell means
+    (sum cast double / count — exact for DECIMAL outcomes, the `did`
+    convention); an empty cell leaves its DiD (and the DDD) NULL.
+    Rows with a NULL flag belong to no cell; NULL/NaN outcomes
+    belong to no mean. Returns one row:
+    (ddd, did_group, did_ctrlgroup, n_group, n_ctrlgroup).
+    """
+    t, p, g = F.col(treat), F.col(post), F.col(group)
+    yv = F.col(y)
+    y_ok = yv.isNotNull()
+    if dict(df.dtypes).get(y) in ("double", "float"):
+        y_ok = y_ok & ~F.isnan(yv)
+    yc = F.when(y_ok, yv)
+    cells = {}
+    for gtag, gc in (("g", g), ("h", ~g)):
+        for k, c in (
+            ("tp", t & p), ("t0", t & ~p),
+            ("cp", ~t & p), ("c0", ~t & ~p),
+        ):
+            cells[f"{gtag}_{k}"] = gc & c
+    agg = df.agg(
+        *[
+            F.sum(F.when(c, yc)).cast("double").alias(f"s_{k}")
+            for k, c in cells.items()
+        ],
+        *[F.count(F.when(c, yc)).alias(f"n_{k}") for k, c in cells.items()],
+    )
+    m = {
+        k: F.when(F.col(f"n_{k}") > 0, F.col(f"s_{k}") / F.col(f"n_{k}"))
+        for k in cells
+    }
+
+    def _did(gtag):
+        return (m[f"{gtag}_tp"] - m[f"{gtag}_t0"]) - (
+            m[f"{gtag}_cp"] - m[f"{gtag}_c0"]
+        )
+
+    did_g, did_h = _did("g"), _did("h")
+    return agg.select(
+        (did_g - did_h).alias("ddd"),
+        did_g.alias("did_group"),
+        did_h.alias("did_ctrlgroup"),
+        sum(
+            (F.col(f"n_g_{k}") for k in ("tp", "t0", "cp", "c0")),
+            F.lit(0),
+        ).cast("long").alias("n_group"),
+        sum(
+            (F.col(f"n_h_{k}") for k in ("tp", "t0", "cp", "c0")),
+            F.lit(0),
+        ).cast("long").alias("n_ctrlgroup"),
+    )
+
+
+def lee_bounds(
+    df: DataFrame,
+    y: str,
+    treat: str,
+) -> DataFrame:
+    """Lee (2009) treatment-effect bounds under differential
+    attrition: outcomes are observed (non-NULL ``y``) at different
+    rates across arms, so the naive observed-sample contrast is
+    selection-biased; Lee's bounds trim the HIGHER-selection arm by
+    the selection differential and bracket the effect for the
+    always-observed stratum:
+
+    ``q = 1 − s_lo/s_hi`` (the excess selection share),
+    ``lower = mean(y_hi | y ≤ Q_{1−q}) − mean(y_lo)``,
+    ``upper = mean(y_hi | y ≥ Q_q) − mean(y_lo)``
+    (signs flip when the CONTROL arm is the higher-selection one —
+    the contrast is always treated − control).
+
+    Scale: THREE fused aggregations — (1) arm counts + selection
+    rates (two scalars decide which arm trims and at what q),
+    (2) the two exact percentile cuts of the trimmed arm (linear
+    interpolation, the `winsorize_by` cross-engine convention),
+    (3) conditional trimmed means against the cut literals. Nothing
+    data-sized reaches the driver. NaN observed values are treated
+    as missing (unobserved), like NULL.
+
+    Returns one row: (lower, upper, naive, q_trim, n_treat_obs,
+    n_ctrl_obs, s_treat, s_ctrl).
+    """
+    t = F.col(treat)
+    yv = F.col(y)
+    obs = yv.isNotNull()
+    if dict(df.dtypes).get(y) in ("double", "float"):
+        obs = obs & ~F.isnan(yv)
+    base = df.filter(t.isNotNull())
+    c1 = base.agg(
+        F.count(F.when(t, 1)).alias("n1"),
+        F.count(F.when(~t, 1)).alias("n0"),
+        F.count(F.when(t & obs, 1)).alias("m1"),
+        F.count(F.when(~t & obs, 1)).alias("m0"),
+    ).collect()[0]
+    n1, n0 = int(c1["n1"]), int(c1["n0"])
+    m1, m0 = int(c1["m1"]), int(c1["m0"])
+    if n1 == 0 or n0 == 0 or m1 == 0 or m0 == 0:
+        raise ValueError(
+            "lee_bounds: both arms need rows and observed outcomes"
+            f" (n1={n1}, n0={n0}, observed m1={m1}, m0={m0})"
+        )
+    s1, s0 = m1 / n1, m0 / n0
+    # trim the higher-selection arm; q computed driver-side from the
+    # four exact integers (one IEEE expression both engines share)
+    if s1 >= s0:
+        hi_cond, lo_cond, sign = t, ~t, 1.0
+        q = 1.0 - (m0 * n1) / (m1 * n0)
+    else:
+        hi_cond, lo_cond, sign = ~t, t, -1.0
+        q = 1.0 - (m1 * n0) / (m0 * n1)
+    hi_y = F.when(hi_cond & obs, yv)
+    lo_y = F.when(lo_cond & obs, yv)
+    cuts = base.agg(
+        F.percentile(hi_y, F.lit(q)).alias("ql"),
+        F.percentile(hi_y, F.lit(1.0 - q)).alias("qh"),
+    ).collect()[0]
+    ql, qh = float(cuts["ql"]), float(cuts["qh"])
+    fin = base.agg(
+        (F.sum(F.when(hi_y <= F.lit(qh), hi_y)).cast("double")
+         / F.count(F.when(hi_y <= F.lit(qh), 1))).alias("m_hi_low"),
+        (F.sum(F.when(hi_y >= F.lit(ql), hi_y)).cast("double")
+         / F.count(F.when(hi_y >= F.lit(ql), 1))).alias("m_hi_high"),
+        (F.sum(hi_y).cast("double") / F.count(hi_y)).alias("m_hi"),
+        (F.sum(lo_y).cast("double") / F.count(lo_y)).alias("m_lo"),
+    )
+    # Apply the sign BEFORE taking least/greatest: with the control
+    # arm trimmed (sign = −1), sgn·least(...) would be the UPPER
+    # bound — ordering must happen on the signed contrasts
+    # (review: caught by the trims-control test).
+    sgn = F.lit(sign)
+    a = sgn * (F.col("m_hi_low") - F.col("m_lo"))
+    b = sgn * (F.col("m_hi_high") - F.col("m_lo"))
+    lower = F.least(a, b)
+    upper = F.greatest(a, b)
+    return fin.select(
+        lower.alias("lower"),
+        upper.alias("upper"),
+        (sgn * (F.col("m_hi") - F.col("m_lo"))).alias("naive"),
+        F.lit(float(q)).alias("q_trim"),
+        F.lit(m1).cast("long").alias("n_treat_obs"),
+        F.lit(m0).cast("long").alias("n_ctrl_obs"),
+        F.lit(float(s1)).alias("s_treat"),
+        F.lit(float(s0)).alias("s_ctrl"),
+    )

@@ -531,3 +531,109 @@ def test_att_gt_absent_cells_are_absent(spark):
     ]
     df = spark.createDataFrame(rows, "unit long, t long, g long, y double")
     assert att_gt(df, "y", "t", "g").collect() == []
+
+
+# ------------------------------------------------------ triple_diff
+
+
+def test_triple_diff_matches_replica(spark):
+    import numpy as np
+    import pandas as pd
+
+    from hdfe_spark.operators.causal import triple_diff
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(4000):
+        t, p, g = bool(i % 2), bool((i // 2) % 2), bool((i // 4) % 2)
+        yv = (
+            1.0 * t + 0.5 * p + 0.25 * g
+            + 0.8 * (t and p)                 # region-period shock
+            + 2.0 * (t and p and g)           # the DDD effect
+            + float(rng.normal() * 0.1)
+        )
+        rows.append((t, p, g, float(yv)))
+    df = spark.createDataFrame(rows, "t boolean, p boolean, g boolean, y double")
+    out = triple_diff(df, "y", "t", "p", "g").collect()[0]
+    pdf = pd.DataFrame(rows, columns=["t", "p", "g", "y"])
+
+    def did(sub):
+        m = sub.groupby(["t", "p"])["y"].mean()
+        return (m[True, True] - m[True, False]) - (
+            m[False, True] - m[False, False]
+        )
+
+    ddd = did(pdf[pdf.g]) - did(pdf[~pdf.g])
+    assert out["ddd"] == pytest.approx(ddd, rel=1e-12)
+    assert out["ddd"] == pytest.approx(2.0, abs=0.05)
+    # the contaminated plain DiD reads effect+shock; DDD removes it
+    assert out["did_group"] == pytest.approx(2.8, abs=0.05)
+    assert out["n_group"] + out["n_ctrlgroup"] == 4000
+
+
+def test_triple_diff_empty_cell_nulls(spark):
+    from hdfe_spark.operators.causal import triple_diff
+
+    df = spark.createDataFrame(
+        [(True, True, True, 1.0), (False, False, False, 2.0)],
+        "t boolean, p boolean, g boolean, y double",
+    )
+    out = triple_diff(df, "y", "t", "p", "g").collect()[0]
+    assert out["ddd"] is None
+
+
+# ------------------------------------------------------- lee_bounds
+
+
+def test_lee_bounds_matches_replica_and_brackets(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.causal import lee_bounds
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(6000):
+        t = i % 2 == 0
+        yv = float(2.0 * t + rng.normal())
+        # treated observed at 90%, control at 60% -> trim treated
+        # (selection keyed on i//2 so it is independent of the
+        # parity that assigns the arm)
+        seen = ((i // 2) % 10) < (9 if t else 6)
+        rows.append((t, yv if seen else None))
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    out = lee_bounds(df, "y", "t").collect()[0]
+    assert out["s_treat"] == pytest.approx(0.9)
+    assert out["s_ctrl"] == pytest.approx(0.6)
+    assert out["q_trim"] == pytest.approx(1.0 - 0.6 / 0.9, rel=1e-12)
+    # replica
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["t", "y"]).dropna()
+    hi = pdf[pdf.t]["y"].to_numpy()
+    lo = pdf[~pdf.t]["y"].to_numpy()
+    q = out["q_trim"]
+    ql, qh = np.quantile(hi, [q, 1 - q], method="linear")
+    low_rep = hi[hi <= qh].mean() - lo.mean()
+    up_rep = hi[hi >= ql].mean() - lo.mean()
+    assert out["lower"] == pytest.approx(min(low_rep, up_rep), rel=1e-9)
+    assert out["upper"] == pytest.approx(max(low_rep, up_rep), rel=1e-9)
+    # attrition here is independent of y, so the bounds bracket 2.0
+    assert out["lower"] < 2.0 < out["upper"]
+    assert out["lower"] < out["naive"] < out["upper"]
+
+
+def test_lee_bounds_trims_control_when_it_selects_more(spark):
+    from hdfe_spark.operators.causal import lee_bounds
+
+    rows = []
+    for i in range(2000):
+        t = i % 2 == 0
+        yv = float(1.0 * t + (i % 7) * 0.1)
+        seen = ((i // 2) % 10) < (5 if t else 9)  # control selects more
+        rows.append((t, yv if seen else None))
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    out = lee_bounds(df, "y", "t").collect()[0]
+    assert out["s_ctrl"] > out["s_treat"]
+    assert out["lower"] <= out["upper"]
+    # contrast is still treated - control
+    assert out["naive"] > 0

@@ -28,8 +28,9 @@ def test_round14_window_composition():
     item 3 — `dml_plm_tree2`, the non-linear tree2 nuisance learner,
     item 5, then the late-round `psm_att`, `msprt_by`,
     `wild_cluster_bootstrap`, `streaming_msprt` — the 26th
-    streaming form — `cem_att`, and `att_gt`); 9-50 = the 42
-    stalest driver-green re-certs (`mahalanobis`/`mann_whitney`/
+    streaming form — `cem_att`, `att_gt`, `triple_diff`, and
+    `lee_bounds`); 11-50 = the 40 stalest driver-green re-certs
+    (`ks_test`/`log_parse`/`mahalanobis`/`mann_whitney`/
     `minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
     to the backlog head by the late registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
@@ -40,22 +41,24 @@ def test_round14_window_composition():
     this fails after an intentional round-15 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:14] == [
+    assert q[:16] == [
         "qte_approx_certificate", "dml_plm_tree2",
         "psm_att", "msprt_by", "wild_cluster_bootstrap",
         "streaming_msprt", "cem_att", "att_gt",
+        "triple_diff", "lee_bounds",
         "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
         "tpch_q18", "tpch_q19",
     ]
-    assert q[14] == "tpch_q2"
-    assert q[26] == "winsorize"
-    assert q[27] == "ab_proportions"
-    assert q[49] == "log_parse"
-    # backlog head = the six re-certs the late-round registrations
+    assert q[16] == "tpch_q2"
+    assert q[28] == "winsorize"
+    assert q[29] == "ab_proportions"
+    assert q[49] == "kmeans"
+    # backlog head = the eight re-certs the late-round registrations
     # evicted, then the r07 residue, stalest-first
-    assert q[50:56] == ["mahalanobis", "mann_whitney", "minhash_dedup",
-                        "ols_2fe", "ols_ridge", "pack_sequences"]
-    assert q[56] == "psi_drift"
+    assert q[50:58] == ["ks_test", "log_parse", "mahalanobis",
+                        "mann_whitney", "minhash_dedup", "ols_2fe",
+                        "ols_ridge", "pack_sequences"]
+    assert q[58] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -71,7 +74,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 334
+    assert len(q) == 336
 
 
 def test_every_query_has_callable():

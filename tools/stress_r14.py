@@ -300,6 +300,70 @@ def stress_attgt(spark):
     assert worst < 1e-2
 
 
+def stress_ddd(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import triple_diff
+
+    # block-keyed flags so every (t,p,g) cell shares the base value
+    # lattice; the DDD effect is exactly 2.0 on top of a t*p shock
+    blk = (F.col("id") / 8).cast("long")
+    t = F.col("id") % 2 == 0
+    p = (F.col("id") / 2).cast("long") % 2 == 0
+    g = (F.col("id") / 4).cast("long") % 2 == 0
+    df = spark.range(0, N, 1, 64).select(
+        t.alias("t"), p.alias("p"), g.alias("g"),
+        (
+            ((blk * 7919) % 1000).cast("double") / 100.0
+            + F.when(t & p, 0.7).otherwise(0.0)
+            + F.when(t & p & g, 2.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = triple_diff(df, "y", "t", "p", "g").collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        f"triple_diff: wall={wall:.1f}s ddd={row['ddd']:.9f}"
+        f" did_g={row['did_group']:.4f}"
+    )
+    assert abs(row["ddd"] - 2.0) < 1e-9
+    assert abs(row["did_group"] - 2.7) < 1e-9
+    assert row["n_group"] + row["n_ctrlgroup"] == N
+
+
+def stress_lee(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import lee_bounds
+
+    # uniform 0..9999 outcomes + effect 5000 for treated; treated
+    # observed 9/10, control 6/10 (selection independent of y)
+    t = F.col("id") % 2 == 0
+    seen = (F.col("id") / 2).cast("long") % 10 < F.when(t, 9).otherwise(6)
+    df = spark.range(0, N, 1, 64).select(
+        t.alias("t"),
+        F.when(
+            seen,
+            ((F.col("id") * 7919) % 10000).cast("double")
+            + F.when(t, 5000.0).otherwise(0.0),
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    row = lee_bounds(df, "y", "t").collect()[0]
+    wall = time.perf_counter() - t0
+    print(
+        f"lee_bounds: wall={wall:.1f}s lower={row['lower']:.1f}"
+        f" naive={row['naive']:.1f} upper={row['upper']:.1f}"
+        f" q={row['q_trim']:.4f}"
+    )
+    # selection independent of y -> bounds bracket the true 5000;
+    # trimming a uniform at q from one tail shifts the mean by
+    # ~q/2*range/(1) — the bracket is wide but must contain truth
+    assert row["lower"] < 5000.0 < row["upper"]
+    assert row["q_trim"] == 1.0 - 6.0 / 9.0
+    assert row["n_treat_obs"] == int(N / 2 * 0.9)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -317,3 +381,7 @@ if __name__ == "__main__":
         stress_cem(spark)
     if which in ("attgt", "all"):
         stress_attgt(spark)
+    if which in ("ddd", "all"):
+        stress_ddd(spark)
+    if which in ("lee", "all"):
+        stress_lee(spark)
