@@ -1342,3 +1342,212 @@ def lee_bounds(
         F.lit(float(s1)).alias("s_treat"),
         F.lit(float(s0)).alias("s_ctrl"),
     )
+
+
+def synthetic_control(
+    df: DataFrame,
+    unit_col: str,
+    period_col: str,
+    y_col: str,
+    treated_unit,
+    post_from,
+    max_donors: int = 200,
+    scale: float = 1e6,
+    return_weights: bool = False,
+) -> DataFrame:
+    """Synthetic-control counterfactual for one treated unit
+    (the panel-regression variant of Hsiao, Ching & Wan 2012: donor
+    weights are the UNCONSTRAINED least-squares fit of the treated
+    unit's pre-period path on the donor paths — Abadie's simplex
+    constraint needs a QP solver and is out of scope, documented).
+
+    Given a (unit, period, y) panel, a treated unit and the first
+    post-treatment period, fit ``w = argmin Σ_{t<T0} (y_tr(t) −
+    Σ_j w_j y_j(t))²`` over the donor pool (every other unit) and
+    emit the per-period series: actual, synthetic = Σ w_j y_j(t),
+    gap = actual − synthetic, is_post, n_donors.
+
+    Exactness: the J×J Gram and J-vector of cross moments are sums
+    of exact ``round(y·scale)`` DECIMAL(38,0) integer products (the
+    `welch_by` machinery — order-independent), cast to double only
+    at the solve; the common scale² cancels in the normal equations.
+    For J = 2 the solve is the closed-form Cramer expressions in a
+    pinned operation order (``det = g11·g22 − g12·g12``) so a SQL
+    oracle replays it bit-for-bit; J > 2 uses numpy on the J×J
+    driver-side matrix (documented engine-only path).
+
+    Contract: the PRE panel must be balanced and deduplicated — every
+    donor observed in exactly the treated unit's pre periods, one row
+    per (unit, period); violations RAISE (the counts ride the moment
+    rows, no extra scan). Post periods missing donors get NULL
+    synthetic (n_donors says why); a post period with a duplicated
+    treated row gets NULL actual. NULL/NaN y rows drop (listwise).
+
+    Scale: ONE donor-donor self-join on the pre-period axis builds
+    the J² Gram cells (J² tiny by contract, ``max_donors``-guarded
+    via a LIMIT-gated collect — the `tree2` precedent), one
+    donor-treated join builds the J cross moments, and the output
+    series is one groupBy over the full panel with the weights
+    folded back as a J-entry literal map. Nothing data-sized reaches
+    the driver.
+    """
+    yv = F.col(y_col)
+    valid = (
+        F.col(unit_col).isNotNull()
+        & F.col(period_col).isNotNull()
+        & yv.isNotNull()
+    )
+    if dict(df.dtypes).get(y_col) in ("double", "float"):
+        valid = valid & ~F.isnan(yv)
+    u = F.round(yv * F.lit(float(scale))).cast("decimal(38,0)")
+    base = df.filter(valid).select(
+        F.col(unit_col).alias("__unit"),
+        F.col(period_col).alias("__per"),
+        yv.cast("double").alias("__y"),
+        u.alias("__u"),
+    )
+    is_tr = F.col("__unit") == F.lit(treated_unit)
+    pre = base.filter(F.col("__per") < F.lit(post_from))
+    tr_pre = pre.filter(is_tr)
+    don_pre = pre.filter(~is_tr)
+
+    trc = tr_pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__per")).alias("nd"),
+    ).collect()[0]
+    n_pre = int(trc["n"])
+    if n_pre == 0:
+        raise ValueError(
+            "synthetic_control: treated unit has no pre-period rows"
+        )
+    if n_pre != int(trc["nd"]):
+        raise ValueError(
+            "synthetic_control: duplicate (treated, period) pre rows"
+        )
+
+    a, b = don_pre.alias("a"), don_pre.alias("b")
+    gram = (
+        a.join(b, F.col("a.__per") == F.col("b.__per"))
+        .groupBy(
+            F.col("a.__unit").alias("ui"), F.col("b.__unit").alias("uj")
+        )
+        .agg(
+            F.sum(F.col("a.__u") * F.col("b.__u")).alias("g"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cross = (
+        don_pre.alias("d")
+        .join(tr_pre.alias("t"), F.col("d.__per") == F.col("t.__per"))
+        .groupBy(F.col("d.__unit").alias("ui"))
+        .agg(
+            F.sum(F.col("d.__u") * F.col("t.__u")).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # LIMIT-gated collects: J donors by contract, never data-sized
+    gr = gram.limit(max_donors * max_donors + 1).collect()
+    br = cross.limit(max_donors + 1).collect()
+    if len(br) > max_donors:
+        raise ValueError(
+            f"synthetic_control: donor pool exceeds max_donors="
+            f"{max_donors} — pass a larger cap or pre-filter donors"
+        )
+    donors = sorted({r["ui"] for r in br})
+    J = len(donors)
+    if J == 0:
+        raise ValueError(
+            "synthetic_control: no donor shares a pre period with "
+            "the treated unit"
+        )
+    idx = {d: i for i, d in enumerate(donors)}
+    gmap = {}
+    for r in gr:
+        if r["ui"] not in idx or r["uj"] not in idx:
+            raise ValueError(
+                "synthetic_control: donor present in the Gram pass "
+                "but missing every treated pre period — unbalanced "
+                "pre panel"
+            )
+        if int(r["n"]) != n_pre:
+            raise ValueError(
+                "synthetic_control: unbalanced or duplicated pre "
+                f"panel (pair ({r['ui']!r},{r['uj']!r}) co-observed "
+                f"{int(r['n'])} periods, treated has {n_pre})"
+            )
+        gmap[(idx[r["ui"]], idx[r["uj"]])] = float(r["g"])
+    bvec = [0.0] * J
+    for r in br:
+        if int(r["n"]) != n_pre:
+            raise ValueError(
+                "synthetic_control: unbalanced pre panel (donor "
+                f"{r['ui']!r} co-observed {int(r['n'])} of the "
+                f"treated unit's {n_pre} pre periods)"
+            )
+        bvec[idx[r["ui"]]] = float(r["b"])
+    if len(gmap) != J * J:
+        raise ValueError(
+            "synthetic_control: unbalanced pre panel — some donor "
+            "pair shares no pre period"
+        )
+    if J == 2:
+        g11, g12, g22 = gmap[(0, 0)], gmap[(0, 1)], gmap[(1, 1)]
+        det = g11 * g22 - g12 * g12
+        if det == 0.0:
+            raise ValueError("synthetic_control: singular donor Gram")
+        w = [
+            (bvec[0] * g22 - bvec[1] * g12) / det,
+            (g11 * bvec[1] - g12 * bvec[0]) / det,
+        ]
+    else:
+        import numpy as _np
+
+        G = _np.zeros((J, J))
+        for (i, j), v in gmap.items():
+            G[i, j] = v
+        try:
+            w = _np.linalg.solve(G, _np.asarray(bvec)).tolist()
+        except _np.linalg.LinAlgError as e:
+            raise ValueError(
+                f"synthetic_control: singular donor Gram ({e})"
+            ) from None
+        if not all(_np.isfinite(w)):
+            raise ValueError(
+                "synthetic_control: non-finite weights (singular or "
+                "ill-conditioned donor Gram)"
+            )
+
+    if return_weights:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(d, float(w[i])) for d, i in sorted(idx.items(),
+                                                 key=lambda kv: kv[1])],
+            f"{unit_col} string, weight double",
+        )
+
+    wmap = F.create_map(
+        *[x for d in donors for x in (F.lit(d), F.lit(float(w[idx[d]])))]
+    )
+    series = base.groupBy(F.col("__per")).agg(
+        (
+            F.sum(F.when(is_tr, F.col("__y")))
+            / F.count(F.when(is_tr, F.lit(1)))
+        ).alias("__act_raw"),
+        F.count(F.when(is_tr, F.lit(1))).alias("__ntr"),
+        F.sum(
+            F.when(~is_tr, wmap[F.col("__unit")] * F.col("__y"))
+        ).alias("__syn_raw"),
+        F.count(
+            F.when(~is_tr & wmap[F.col("__unit")].isNotNull(), F.lit(1))
+        ).alias("n_donors"),
+    )
+    actual = F.when(F.col("__ntr") == 1, F.col("__act_raw"))
+    synthetic = F.when(F.col("n_donors") == J, F.col("__syn_raw"))
+    return series.select(
+        F.col("__per").alias(period_col),
+        actual.alias("actual"),
+        synthetic.alias("synthetic"),
+        (actual - synthetic).alias("gap"),
+        (F.col("__per") >= F.lit(post_from)).alias("is_post"),
+        F.col("n_donors").cast("long").alias("n_donors"),
+    )

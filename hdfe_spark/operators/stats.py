@@ -5817,3 +5817,99 @@ def msprt_by(
             ok, F.least(F.lit(1.0), F.lit(1.0) / lam)
         ).alias("p_always"),
     )
+
+
+def conformal_by(
+    df: DataFrame,
+    segment_col: str,
+    score_col: str,
+    calib_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction per segment (Vovk et al. 2005;
+    Lei et al. 2018): given a nonconformity score column (e.g.
+    ``|y − ŷ|`` from any point model) and a boolean calibration-split
+    flag, emit per segment the finite-sample-valid conformal cut
+
+    ``q_hat = k-th smallest calibration score``, with
+    ``k = (n_cal + 1) − floor((n_cal + 1)·alpha)``
+    (= ceil((n_cal + 1)(1 − alpha)), spelled with one shared double
+    multiply both engines fold identically),
+
+    plus the EMPIRICAL coverage of ``score ≤ q_hat`` on the held-out
+    (non-calibration) rows — the marginal ≥ 1 − alpha guarantee made
+    auditable. When ``k > n_cal`` (calibration set too small for the
+    requested level) the valid interval is infinite: ``q_hat`` is
+    NULL and every test row counts as covered.
+
+    Scale: the k-th order statistic needs a per-segment sort, so the
+    plan is ONE window pass over the calibration rows (row_number +
+    count share a single partition-by-segment spec — one exchange,
+    which the following groupBy reuses), then one broadcast of the
+    segment-sized cut table into a single groupBy over the test
+    rows, and a segment-sized final join. Nothing data-sized reaches
+    the driver; ties in score are harmless (any row at rank k
+    carries the k-th order-statistic VALUE). NaN scores are missing
+    (excluded from calibration AND from the coverage denominator),
+    like NULL; NULL calibration flags are excluded.
+
+    Returns one row per segment: (segment, n_cal, q_hat, n_test,
+    covered, coverage).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"conformal_by: alpha must be in (0,1), got {alpha}")
+    for c in ("__rn", "__ncal", "__qhat"):
+        no_inplace_overwrite("conformal_by", c, df.columns)
+    seg = F.col(segment_col)
+    sc = F.col(score_col)
+    valid = sc.isNotNull() & F.col(calib_col).isNotNull()
+    if dict(df.dtypes).get(score_col) in ("double", "float"):
+        valid = valid & ~F.isnan(sc)
+    base = df.filter(valid).select(
+        seg.alias("__seg"),
+        sc.cast("double").alias("__score"),
+        F.col(calib_col).cast("boolean").alias("__cal"),
+    )
+    w = Window.partitionBy("__seg").orderBy("__score")
+    wn = Window.partitionBy("__seg")
+    a = F.lit(float(alpha))
+    cal = (
+        base.filter(F.col("__cal"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__ncal", F.count(F.lit(1)).over(wn))
+    )
+    # k = (n+1) - floor((n+1)*alpha); both engines evaluate the
+    # identical IEEE product, so the cut is cross-engine exact.
+    k = (
+        F.col("__ncal") + F.lit(1)
+        - F.floor((F.col("__ncal") + F.lit(1)).cast("double") * a)
+    )
+    cuts = cal.groupBy("__seg").agg(
+        F.max("__ncal").alias("n_cal"),
+        F.max(F.when(F.col("__rn") == k, F.col("__score"))).alias("__qhat"),
+    )
+    test = base.filter(~F.col("__cal")).join(
+        F.broadcast(cuts), on="__seg", how="left"
+    )
+    tstats = test.groupBy("__seg").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("__qhat").isNull()
+                | (F.col("__score") <= F.col("__qhat")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("covered"),
+    )
+    out = cuts.join(tstats, on="__seg", how="full_outer")
+    return out.select(
+        F.col("__seg").alias(segment_col),
+        F.coalesce(F.col("n_cal"), F.lit(0).cast("long")).alias("n_cal"),
+        F.col("__qhat").alias("q_hat"),
+        F.coalesce(F.col("n_test"), F.lit(0).cast("long")).alias("n_test"),
+        F.coalesce(F.col("covered"), F.lit(0).cast("long")).alias("covered"),
+        (
+            F.col("covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )

@@ -1,0 +1,201 @@
+"""Round-14 second-batch operator tests: conformal_by (split
+conformal prediction per segment) and synthetic_control."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.stats import conformal_by
+
+
+def _k(n_cal, alpha):
+    return n_cal + 1 - math.floor((n_cal + 1) * alpha)
+
+
+def test_conformal_by_exact_small(spark):
+    rows = [("a", float(i), True) for i in range(1, 10)]  # cal 1..9
+    rows += [("a", 5.0, False), ("a", 9.5, False)]
+    df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
+    out = {r["seg"]: r for r in conformal_by(df, "seg", "score", "cal", 0.1).collect()}
+    r = out["a"]
+    # k = 10 - floor(10*0.1): IEEE 10*0.1 = 1.0000000000000002 -> k=9
+    assert r["n_cal"] == 9
+    assert r["q_hat"] == float(_k(9, 0.1))
+    assert r["n_test"] == 2 and r["covered"] == 1
+    assert r["coverage"] == pytest.approx(0.5)
+
+
+def test_conformal_by_small_calibration_infinite(spark):
+    rows = [("b", 1.0, True), ("b", 2.0, True), ("b", 3.0, True)]
+    rows += [("b", 100.0, False)]
+    df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
+    r = conformal_by(df, "seg", "score", "cal", 0.1).collect()[0]
+    # k = 4 - floor(0.4) = 4 > n_cal=3 -> infinite interval
+    assert r["q_hat"] is None
+    assert r["covered"] == 1 and r["coverage"] == 1.0
+
+
+def test_conformal_by_nan_null_missing(spark):
+    rows = [
+        ("c", 1.0, True), ("c", 2.0, True), ("c", 3.0, True),
+        ("c", 4.0, True), ("c", 5.0, True), ("c", 6.0, True),
+        ("c", 7.0, True), ("c", 8.0, True), ("c", 9.0, True),
+        ("c", float("nan"), True),   # NaN cal: excluded
+        ("c", None, True),           # NULL cal score: excluded
+        ("c", float("nan"), False),  # NaN test: excluded from denom
+        ("c", 2.0, False),
+        ("c", 2.0, None),            # NULL flag: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
+    r = conformal_by(df, "seg", "score", "cal", 0.1).collect()[0]
+    assert r["n_cal"] == 9 and r["n_test"] == 1
+    assert r["q_hat"] == 9.0 and r["covered"] == 1
+
+
+def test_conformal_by_test_only_segment(spark):
+    rows = [("d", 1.0, False), ("d", 2.0, False)]
+    rows += [("e", float(i), True) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
+    out = {r["seg"]: r for r in conformal_by(df, "seg", "score", "cal", 0.1).collect()}
+    assert out["d"]["n_cal"] == 0 and out["d"]["q_hat"] is None
+    assert out["d"]["coverage"] == 1.0
+    assert out["e"]["n_test"] == 0 and out["e"]["coverage"] is None
+
+
+def test_conformal_by_numpy_replica(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for seg, n in (("s1", 137), ("s2", 64), ("s3", 501)):
+        sc = rng.exponential(2.0, size=n + 40)
+        for i, v in enumerate(sc):
+            rows.append((seg, float(v), i < n))
+    df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
+    alpha = 0.2
+    out = {r["seg"]: r for r in conformal_by(df, "seg", "score", "cal", alpha).collect()}
+    i = 0
+    for seg, n in (("s1", 137), ("s2", 64), ("s3", 501)):
+        block = [rows[j] for j in range(i, i + n + 40)]
+        i += n + 40
+        cal = sorted(v for _, v, c in block if c)
+        k = _k(len(cal), alpha)
+        q = cal[k - 1]
+        test = [v for _, v, c in block if not c]
+        cov = sum(1 for v in test if v <= q) / len(test)
+        r = out[seg]
+        assert r["q_hat"] == pytest.approx(q, abs=0.0)
+        assert r["n_cal"] == len(cal) and r["n_test"] == len(test)
+        assert r["coverage"] == pytest.approx(cov)
+        # marginal validity on exchangeable draws: coverage near 1-alpha
+        assert r["coverage"] >= 1 - alpha - 0.16
+
+
+def test_conformal_by_alpha_guard(spark):
+    df = spark.createDataFrame([("a", 1.0, True)], "seg string, score double, cal boolean")
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_by(df, "seg", "score", "cal", 1.5)
+
+
+# ------------------------------------------------ synthetic_control
+
+from hdfe_spark.operators.causal import synthetic_control
+
+
+def _sc_fixture():
+    # treated path = 2*d1 + 0.5*d2 pre; post adds a +10 effect
+    rows = []
+    for t in range(10):
+        d1 = float(3 + (t * 7) % 5)
+        d2 = float(10 + (t * 3) % 7)
+        tr = 2.0 * d1 + 0.5 * d2 + (10.0 if t >= 6 else 0.0)
+        rows += [("d1", t, d1), ("d2", t, d2), ("tr", t, tr)]
+    return rows
+
+
+def test_synthetic_control_recovers_weights_and_gap(spark):
+    df = spark.createDataFrame(_sc_fixture(), "unit string, period int, y double")
+    wdf = synthetic_control(df, "unit", "period", "y", "tr", 6,
+                            return_weights=True)
+    w = {r["unit"]: r["weight"] for r in wdf.collect()}
+    assert w["d1"] == pytest.approx(2.0, abs=1e-9)
+    assert w["d2"] == pytest.approx(0.5, abs=1e-9)
+    out = {r["period"]: r for r in
+           synthetic_control(df, "unit", "period", "y", "tr", 6).collect()}
+    assert len(out) == 10
+    for t in range(10):
+        r = out[t]
+        assert r["n_donors"] == 2 and r["is_post"] == (t >= 6)
+        want = 10.0 if t >= 6 else 0.0
+        assert r["gap"] == pytest.approx(want, abs=1e-8)
+
+
+def test_synthetic_control_numpy_replica_many_donors(spark):
+    rng = np.random.RandomState(3)
+    J, T, T0 = 7, 30, 20
+    Y = rng.normal(50, 10, size=(J, T))
+    wt = rng.uniform(-1, 2, size=J)
+    ytr = wt @ Y + np.where(np.arange(T) >= T0, 5.0, 0.0)
+    rows = [(f"d{j}", t, float(Y[j, t])) for j in range(J) for t in range(T)]
+    rows += [("tr", t, float(ytr[t])) for t in range(T)]
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    out = {r["period"]: r for r in
+           synthetic_control(df, "unit", "period", "y", "tr", T0,
+                             scale=1e9).collect()}
+    # numpy replica on the scaled-integer moments
+    Ui = np.round(Y * 1e9)
+    ui_tr = np.round(ytr * 1e9)
+    G = Ui[:, :T0] @ Ui[:, :T0].T
+    bb = Ui[:, :T0] @ ui_tr[:T0]
+    wn = np.linalg.solve(G, bb)
+    for t in range(T):
+        assert out[t]["synthetic"] == pytest.approx(
+            float(wn @ Y[:, t]), rel=1e-6)
+        assert out[t]["gap"] == pytest.approx(
+            (5.0 if t >= T0 else 0.0), abs=1e-4)
+
+
+def test_synthetic_control_contract_raises(spark):
+    rows = _sc_fixture()
+    dup = rows + [("d1", 2, 99.0)]
+    df = spark.createDataFrame(dup, "unit string, period int, y double")
+    with pytest.raises(ValueError, match="unbalanced or duplicated"):
+        synthetic_control(df, "unit", "period", "y", "tr", 6)
+    # donor missing a pre period -> unbalanced
+    unb = [r for r in rows if not (r[0] == "d2" and r[1] == 3)]
+    df2 = spark.createDataFrame(unb, "unit string, period int, y double")
+    with pytest.raises(ValueError, match="unbalanced"):
+        synthetic_control(df2, "unit", "period", "y", "tr", 6)
+    # no pre rows for treated
+    df3 = spark.createDataFrame(
+        [r for r in rows if not (r[0] == "tr" and r[1] < 6)],
+        "unit string, period int, y double")
+    with pytest.raises(ValueError, match="no pre-period rows"):
+        synthetic_control(df3, "unit", "period", "y", "tr", 6)
+    # max_donors cap
+    with pytest.raises(ValueError, match="max_donors"):
+        synthetic_control(
+            spark.createDataFrame(rows, "unit string, period int, y double"),
+            "unit", "period", "y", "tr", 6, max_donors=1)
+
+
+def test_synthetic_control_post_gaps_null(spark):
+    rows = _sc_fixture()
+    # drop donor d2's period-8 row: post period loses a donor
+    rows = [r for r in rows if not (r[0] == "d2" and r[1] == 8)]
+    # duplicate the treated row in period 9
+    rows.append(("tr", 9, 123.0))
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    out = {r["period"]: r for r in
+           synthetic_control(df, "unit", "period", "y", "tr", 6).collect()}
+    assert out[8]["synthetic"] is None and out[8]["n_donors"] == 1
+    assert out[8]["gap"] is None
+    assert out[9]["actual"] is None and out[9]["gap"] is None
+
+
+def test_synthetic_control_nan_y_dropped(spark):
+    rows = _sc_fixture() + [("d1", 11, float("nan"))]
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    out = {r["period"]: r for r in
+           synthetic_control(df, "unit", "period", "y", "tr", 6).collect()}
+    assert 11 not in out  # the NaN row vanished entirely

@@ -1,0 +1,129 @@
+"""Round-14 second-batch stress: conformal_by and synthetic_control
+at 20M rows.
+
+conformal_by: 20 segments x 1M rows, integer-lattice scores from an
+LCG residue so the numpy replica recomputes the exact per-segment
+k-th order statistic and coverage.
+
+synthetic_control: J=10 donors x 2M periods (20M donor rows + 2M
+treated rows); the treated path is an exact integer-valued linear
+combination of the donors plus a post-period effect, so recovered
+weights and the post gap are checked against construction truth.
+
+Usage: python tools/stress_r14b.py [conformal|synth|all]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 20_000_000
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r14b")
+
+
+def stress_conformal(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import conformal_by
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 20).cast("string").alias("seg"),
+        (((F.col("id") * 48271) % 1000003).cast("double") / F.lit(1000.0))
+        .alias("score"),
+        ((F.col("id") / 20).cast("long") % 5 < 4).alias("cal"),
+    )
+    t0 = time.perf_counter()
+    out = {r["seg"]: r for r in
+           conformal_by(df, "seg", "score", "cal", 0.1).collect()}
+    wall = time.perf_counter() - t0
+
+    ids = np.arange(N, dtype=np.int64)
+    score = ((ids * 48271) % 1000003).astype(np.float64) / 1000.0
+    seg = ids % 20
+    cal = ((ids // 20) % 5) < 4
+    worst = 0.0
+    for s in range(20):
+        m = seg == s
+        cs = np.sort(score[m & cal])
+        k = len(cs) + 1 - int(np.floor((len(cs) + 1) * 0.1))
+        q = cs[k - 1]
+        ts = score[m & ~cal]
+        cov = float((ts <= q).mean())
+        r = out[str(s)]
+        assert r["n_cal"] == len(cs) and r["n_test"] == len(ts)
+        assert r["q_hat"] == q, (s, r["q_hat"], q)
+        worst = max(worst, abs(r["coverage"] - cov))
+    print(f"conformal_by 20M: {wall:.1f}s, q_hat EXACT x20 segments, "
+          f"coverage max |diff| {worst:.2e}")
+
+
+def stress_synth(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import synthetic_control
+
+    J, T, T0 = 10, 2_000_000, 1_600_000
+    # donor j at period t: integer lattice via LCG residues
+    dons = spark.range(0, J * T, 1, 64).select(
+        F.concat(F.lit("d"), (F.col("id") % J).cast("string"))
+        .alias("unit"),
+        (F.col("id") / J).cast("long").alias("period"),
+        (((F.col("id") * 48271 + (F.col("id") % J) * 7919) % 97)
+         .cast("double")).alias("y"),
+    )
+    # treated: w_j = j+1 over donors 0..2 only (sparse truth), +5 post
+    w_true = {0: 1.0, 1: 2.0, 2: 3.0}
+    tr = spark.range(0, T, 1, 32).select(
+        F.lit("tr").alias("unit"),
+        F.col("id").alias("period"),
+        sum(
+            F.lit(w) * (((F.col("id") * J + j) * 48271
+                         + F.lit(j * 7919)) % 97).cast("double")
+            for j, w in w_true.items()
+        ).alias("y0"),
+    ).select(
+        "unit", "period",
+        (F.col("y0") + F.when(F.col("period") >= T0, F.lit(5.0))
+         .otherwise(F.lit(0.0))).alias("y"),
+    )
+    df = dons.unionByName(tr)
+    t0 = time.perf_counter()
+    wdf = synthetic_control(df, "unit", "period", "y", "tr", T0,
+                            return_weights=True)
+    w = {r["unit"]: r["weight"] for r in wdf.collect()}
+    t1 = time.perf_counter()
+    gaps = synthetic_control(df, "unit", "period", "y", "tr", T0).agg(
+        F.sum(F.when(F.col("is_post"), F.col("gap"))).alias("sp"),
+        F.count(F.when(F.col("is_post"), 1)).alias("np"),
+        F.max(F.abs(F.when(~F.col("is_post"), F.col("gap"))))
+        .alias("maxpre"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    werr = max(
+        abs(w[f"d{j}"] - w_true.get(j, 0.0)) for j in range(J)
+    )
+    att = float(gaps["sp"]) / int(gaps["np"])
+    print(f"synthetic_control 20M+2M: weights {t1-t0:.1f}s, total "
+          f"{wall:.1f}s, max |w err| {werr:.2e}, post ATT {att:.6f} "
+          f"(truth 5.0), max pre |gap| {float(gaps['maxpre']):.2e}")
+    assert werr < 1e-6 and abs(att - 5.0) < 1e-6
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sp = _spark()
+    if which in ("conformal", "all"):
+        stress_conformal(sp)
+    if which in ("synth", "all"):
+        stress_synth(sp)
