@@ -8013,6 +8013,168 @@ _LEE_BOUNDS_SQL = """
         """
 
 
+def _q_conformal_by(spark, sf_dir):
+    """Split conformal prediction per segment (`operators/stats.py::
+    conformal_by` — the distribution-free interval calibration every
+    ML-scoring pipeline needs): nonconformity = l_extendedprice,
+    calibration split l_orderkey % 3 > 0, alpha = 0.1, per
+    l_returnflag segment. One window pass over calibration rows for
+    the exact k-th order statistic (k = (n+1) - floor((n+1)*0.1),
+    one shared IEEE multiply), broadcast cuts, one groupBy over the
+    held-out rows for empirical coverage."""
+    from hdfe_spark.operators.stats import conformal_by
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_extendedprice").cast("double").alias("score"),
+        (F.col("l_orderkey") % 3 > 0).alias("cal"),
+    )
+    out = conformal_by(li, "l_returnflag", "score", "cal", 0.1)
+    return out.select(
+        "l_returnflag", "n_cal",
+        _pround("q_hat").alias("q_hat"),
+        "n_test", "covered",
+        _pround("coverage", 12).alias("coverage"),
+    )
+
+
+_CONFORMAL_BY_SQL = """
+            WITH b AS (
+              SELECT l_returnflag AS seg,
+                     CAST(l_extendedprice AS DOUBLE) AS score,
+                     (l_orderkey % 3 > 0) AS cal
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_orderkey IS NOT NULL),
+            c AS (
+              SELECT seg, score,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY score) AS rn,
+                     count(*) OVER (PARTITION BY seg) AS n
+              FROM b WHERE cal),
+            cuts AS (
+              SELECT seg, max(n) AS n_cal,
+                     max(CASE WHEN rn = n + 1
+                              - CAST(floor(CAST(n + 1 AS DOUBLE)
+                                           * 0.1) AS BIGINT)
+                              THEN score END) AS qhat
+              FROM c GROUP BY seg),
+            t AS (
+              SELECT b.seg, count(*) AS n_test,
+                     count(CASE WHEN cuts.qhat IS NULL
+                                  OR b.score <= cuts.qhat
+                                THEN 1 END) AS covered
+              FROM b LEFT JOIN cuts ON b.seg = cuts.seg
+              WHERE NOT b.cal GROUP BY b.seg)
+            SELECT cuts.seg AS l_returnflag,
+                   CAST(cuts.n_cal AS BIGINT) AS n_cal,
+                   floor(cuts.qhat * 1e9 + 0.5) / 1e9 AS q_hat,
+                   CAST(t.n_test AS BIGINT) AS n_test,
+                   CAST(t.covered AS BIGINT) AS covered,
+                   floor(CAST(t.covered AS DOUBLE)
+                         / CAST(t.n_test AS DOUBLE)
+                         * 1e12 + 0.5) / 1e12 AS coverage
+            FROM cuts JOIN t ON cuts.seg = t.seg
+        """
+
+
+def _q_synthetic_control(spark, sf_dir):
+    """Synthetic-control counterfactual (`operators/causal.py::
+    synthetic_control`, the Hsiao-Ching-Wan 2012 panel-regression
+    variant): monthly order VOLUME (count per cell — integer-valued,
+    so the scaled-integer moments are exact) for '1-URGENT' vs the
+    two-donor pool {'2-HIGH', '3-MEDIUM'}, post from 1997-01. J = 2
+    makes the driver-side solve the closed-form Cramer expressions
+    in a pinned operation order (det = g11*g22 - g12*g12) that the
+    oracle replays bit-for-bit on the same DECIMAL-exact moments."""
+    from hdfe_spark.operators.causal import synthetic_control
+
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.col("o_orderpriority").alias("unit"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("period"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    out = synthetic_control(
+        cells, "unit", "period", "y", "1-URGENT", "1997-01"
+    )
+    return out.select(
+        "period",
+        _pround("actual").alias("actual"),
+        _pround("synthetic").alias("synthetic"),
+        _pround("gap").alias("gap"),
+        "is_post", "n_donors",
+    )
+
+
+_SYNTHETIC_CONTROL_SQL = """
+            WITH cells AS (
+              SELECT o_orderpriority AS unit,
+                     strftime(o_orderdate, '%Y-%m') AS per,
+                     CAST(count(*) AS DOUBLE) AS y
+              FROM orders
+              WHERE o_orderpriority IN
+                      ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                AND o_orderdate IS NOT NULL
+              GROUP BY 1, 2),
+            b AS (
+              SELECT unit, per, y,
+                     CAST(round(y * 1000000.0) AS BIGINT) AS u
+              FROM cells),
+            p AS (
+              SELECT per,
+                     sum(CASE WHEN unit = '2-HIGH' THEN u END) AS u1,
+                     sum(CASE WHEN unit = '3-MEDIUM' THEN u END)
+                       AS u2,
+                     sum(CASE WHEN unit = '1-URGENT' THEN u END)
+                       AS ut
+              FROM b WHERE per < '1997-01' GROUP BY per),
+            m AS (
+              SELECT CAST(sum(u1 * u1) AS DOUBLE) AS g11,
+                     CAST(sum(u1 * u2) AS DOUBLE) AS g12,
+                     CAST(sum(u2 * u2) AS DOUBLE) AS g22,
+                     CAST(sum(u1 * ut) AS DOUBLE) AS b1,
+                     CAST(sum(u2 * ut) AS DOUBLE) AS b2
+              FROM p),
+            w AS (
+              SELECT (b1 * g22 - b2 * g12)
+                       / (g11 * g22 - g12 * g12) AS w1,
+                     (g11 * b2 - g12 * b1)
+                       / (g11 * g22 - g12 * g12) AS w2
+              FROM m),
+            s AS (
+              SELECT per,
+                     max(CASE WHEN unit = '1-URGENT' THEN y END)
+                       AS actual,
+                     (SELECT w1 FROM w)
+                       * max(CASE WHEN unit = '2-HIGH' THEN y END)
+                     + (SELECT w2 FROM w)
+                       * max(CASE WHEN unit = '3-MEDIUM' THEN y END)
+                       AS synthetic,
+                     count(CASE WHEN unit <> '1-URGENT'
+                                THEN 1 END) AS n_donors
+              FROM b GROUP BY per)
+            SELECT per AS period,
+                   floor(actual * 1e9 + 0.5) / 1e9 AS actual,
+                   CASE WHEN n_donors = 2
+                        THEN floor(synthetic * 1e9 + 0.5) / 1e9
+                   END AS synthetic,
+                   CASE WHEN n_donors = 2
+                        THEN floor((actual - synthetic) * 1e9 + 0.5)
+                             / 1e9
+                   END AS gap,
+                   (per >= '1997-01') AS is_post,
+                   CAST(n_donors AS BIGINT) AS n_donors
+            FROM s
+        """
+
+
 def _q_streaming_msprt(spark, sf_dir):
     """Twenty-sixth streaming form (`streaming/ops.py::
     streaming_msprt`): per-segment ALWAYS-VALID mSPRT p-value folded
@@ -8703,7 +8865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — evicting ks_test/log_parse to the backlog head
         "triple_diff": _q_triple_diff,
         "lee_bounds": _q_lee_bounds,
-        # 11-50: the 40 stalest driver-green re-certs — the six
+        # 11-12: conformal_by (split conformal prediction) and
+        # synthetic_control (panel counterfactual) — evicting
+        # kfold_cv/kmeans to the backlog head
+        "conformal_by": _q_conformal_by,
+        "synthetic_control": _q_synthetic_control,
+        # 13-50: the 38 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
@@ -8746,9 +8913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": _q_gap_fill,
         "hard_negatives": _q_hard_negatives,
         "inverted_index": _q_inverted_index,
+        # ------ end of the driver's 50-query window ------
+        # (kfold_cv/kmeans evicted by the conformal_by/
+        # synthetic_control registrations)
         "kfold_cv": _q_kfold_cv,
         "kmeans": _q_kmeans,
-        # ------ end of the driver's 50-query window ------
         # (ks_test/log_parse evicted by the triple_diff/lee_bounds
         # registrations)
         "ks_test": _q_ks_test,
@@ -9516,6 +9685,8 @@ def oracle_sql() -> dict[str, str]:
         "att_gt": _ATT_GT_SQL,
         "triple_diff": _TRIPLE_DIFF_SQL,
         "lee_bounds": _LEE_BOUNDS_SQL,
+        "conformal_by": _CONFORMAL_BY_SQL,
+        "synthetic_control": _SYNTHETIC_CONTROL_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

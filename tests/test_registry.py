@@ -29,10 +29,12 @@ def test_round14_window_composition():
     item 5, then the late-round `psm_att`, `msprt_by`,
     `wild_cluster_bootstrap`, `streaming_msprt` — the 26th
     streaming form — `cem_att`, `att_gt`, `triple_diff`, and
-    `lee_bounds`); 11-50 = the 40 stalest driver-green re-certs
-    (`ks_test`/`log_parse`/`mahalanobis`/`mann_whitney`/
-    `minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
-    to the backlog head by the late registrations) —
+    `lee_bounds`, then the second-batch `conformal_by` and
+    `synthetic_control` at 11-12); 13-50 = the 38 stalest
+    driver-green re-certs (`ks_test`/`log_parse`/`mahalanobis`/
+    `mann_whitney`/`minhash_dedup`/`ols_2fe`/`ols_ridge`/
+    `pack_sequences`/`kfold_cv`/`kmeans` evicted to the backlog
+    head by the late registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
     evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
     r07 stratum from its alphabetical head (`ab_proportions` ..
@@ -46,19 +48,21 @@ def test_round14_window_composition():
         "psm_att", "msprt_by", "wild_cluster_bootstrap",
         "streaming_msprt", "cem_att", "att_gt",
         "triple_diff", "lee_bounds",
+        "conformal_by", "synthetic_control",
         "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-        "tpch_q18", "tpch_q19",
     ]
-    assert q[16] == "tpch_q2"
-    assert q[28] == "winsorize"
-    assert q[29] == "ab_proportions"
-    assert q[49] == "kmeans"
-    # backlog head = the eight re-certs the late-round registrations
+    assert q[16:18] == ["tpch_q18", "tpch_q19"]
+    assert q[18] == "tpch_q2"
+    assert q[30] == "winsorize"
+    assert q[31] == "ab_proportions"
+    assert q[49] == "inverted_index"
+    # backlog head = the ten re-certs the late-round registrations
     # evicted, then the r07 residue, stalest-first
-    assert q[50:58] == ["ks_test", "log_parse", "mahalanobis",
-                        "mann_whitney", "minhash_dedup", "ols_2fe",
+    assert q[50:60] == ["kfold_cv", "kmeans", "ks_test", "log_parse",
+                        "mahalanobis", "mann_whitney",
+                        "minhash_dedup", "ols_2fe",
                         "ols_ridge", "pack_sequences"]
-    assert q[58] == "psi_drift"
+    assert q[60] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -74,7 +78,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 336
+    assert len(q) == 338
 
 
 def test_every_query_has_callable():
