@@ -5843,13 +5843,15 @@ def conformal_by(
     NULL and every test row counts as covered.
 
     Scale: the k-th order statistic needs a per-segment sort, so the
-    plan is ONE window pass over the calibration rows (row_number +
-    count share a single partition-by-segment spec — one exchange,
-    which the following groupBy reuses), then one broadcast of the
-    segment-sized cut table into a single groupBy over the test
-    rows, and a segment-sized final join. Nothing data-sized reaches
-    the driver; ties in score are harmless (any row at rank k
-    carries the k-th order-statistic VALUE). NaN scores are missing
+    plan is ONE scan and ONE segment-keyed exchange: a single window
+    pass over ALL rows sorted calibration-first (row_number ranks
+    the calibration block, a partition-frame conditional count gives
+    n_cal, and a second partition-frame max propagates the rank-k
+    score to every row — all three share the one partition spec and
+    sort), then one groupBy on the same key (the exchange is
+    reused). No join, no second scan, nothing data-sized on the
+    driver; ties in score are harmless (any row at rank k carries
+    the k-th order-statistic VALUE). NaN scores are missing
     (excluded from calibration AND from the coverage denominator),
     like NULL; NULL calibration flags are excluded.
 
@@ -5870,13 +5872,21 @@ def conformal_by(
         sc.cast("double").alias("__score"),
         F.col(calib_col).cast("boolean").alias("__cal"),
     )
-    w = Window.partitionBy("__seg").orderBy("__score")
-    wn = Window.partitionBy("__seg")
+    # calibration rows first (true > false), then by score: the
+    # calibration block gets ranks 1..n_cal in score order
+    w = Window.partitionBy("__seg").orderBy(
+        F.col("__cal").desc(), F.col("__score")
+    )
+    wn = Window.partitionBy("__seg").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     a = F.lit(float(alpha))
-    cal = (
-        base.filter(F.col("__cal"))
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__ncal", F.count(F.lit(1)).over(wn))
+    ranked = base.select(
+        "__seg", "__score", "__cal",
+        F.row_number().over(w).alias("__rn"),
+        F.coalesce(
+            F.sum(F.when(F.col("__cal"), F.lit(1))).over(wn), F.lit(0)
+        ).alias("__ncal"),
     )
     # k = (n+1) - floor((n+1)*alpha); both engines evaluate the
     # identical IEEE product, so the cut is cross-engine exact.
@@ -5884,32 +5894,33 @@ def conformal_by(
         F.col("__ncal") + F.lit(1)
         - F.floor((F.col("__ncal") + F.lit(1)).cast("double") * a)
     )
-    cuts = cal.groupBy("__seg").agg(
-        F.max("__ncal").alias("n_cal"),
-        F.max(F.when(F.col("__rn") == k, F.col("__score"))).alias("__qhat"),
+    ranked = ranked.select(
+        "__seg", "__score", "__cal", "__ncal",
+        F.max(
+            F.when(F.col("__cal") & (F.col("__rn") == k), F.col("__score"))
+        ).over(wn).alias("__qhat"),
     )
-    test = base.filter(~F.col("__cal")).join(
-        F.broadcast(cuts), on="__seg", how="left"
-    )
-    tstats = test.groupBy("__seg").agg(
-        F.count(F.lit(1)).alias("n_test"),
-        F.sum(
+    out = ranked.groupBy("__seg").agg(
+        F.max("__ncal").cast("long").alias("n_cal"),
+        F.max("__qhat").alias("q_hat"),
+        F.count(F.when(~F.col("__cal"), F.lit(1))).alias("n_test"),
+        F.count(
             F.when(
-                F.col("__qhat").isNull()
-                | (F.col("__score") <= F.col("__qhat")),
+                ~F.col("__cal")
+                & (
+                    F.col("__qhat").isNull()
+                    | (F.col("__score") <= F.col("__qhat"))
+                ),
                 F.lit(1),
-            ).otherwise(F.lit(0))
+            )
         ).alias("covered"),
     )
-    out = cuts.join(tstats, on="__seg", how="full_outer")
     return out.select(
         F.col("__seg").alias(segment_col),
-        F.coalesce(F.col("n_cal"), F.lit(0).cast("long")).alias("n_cal"),
-        F.col("__qhat").alias("q_hat"),
-        F.coalesce(F.col("n_test"), F.lit(0).cast("long")).alias("n_test"),
-        F.coalesce(F.col("covered"), F.lit(0).cast("long")).alias("covered"),
-        (
+        "n_cal", "q_hat", "n_test", "covered",
+        F.when(
+            F.col("n_test") > 0,
             F.col("covered").cast("double")
-            / F.col("n_test").cast("double")
+            / F.col("n_test").cast("double"),
         ).alias("coverage"),
     )
