@@ -8210,6 +8210,69 @@ def _q_streaming_msprt(spark, sf_dir):
     )
 
 
+def _q_streaming_srm(spark, sf_dir):
+    """Twenty-seventh streaming form (`streaming/ops.py::
+    streaming_srm`): per-experiment sample-ratio-mismatch chi-squared
+    folded over the assignment stream in complete mode — the monitor
+    an experimentation platform reads FIRST, continuously, because a
+    mismatched ramp invalidates every downstream readout. Every
+    `chi2_gof_by` input is an additive per-(segment, category)
+    counter, so availableNow equals the batch table exactly; the
+    batch SQL is the oracle verbatim (user_id % 7 segments — the
+    srm_check registration keeps % 10)."""
+    from hdfe_spark.streaming.ops import read_table_stream, streaming_srm
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.filter(F.col("event_id").isNotNull()).select(
+        (F.col("user_id") % 7).cast("long").alias("segment"),
+        F.when(F.col("event_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("arm"),
+    )
+    out = streaming_srm(base, "segment", "arm",
+                        {"even": 0.5, "odd": 0.5})
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "segment", "n", _pround("chi2").alias("chi2"), "dof"
+    )
+
+
+_STREAMING_SRM_SQL = """
+            WITH m AS (
+              SELECT user_id % 7 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_id % 2 = 0
+                       THEN 1 END), 0) AS BIGINT) AS o0,
+                     CAST(COALESCE(sum(CASE WHEN event_id % 2 <> 0
+                       THEN 1 END), 0) AS BIGINT) AS o1
+              FROM events WHERE event_id IS NOT NULL
+              GROUP BY 1),
+            st AS (
+              SELECT segment, o0, o1,
+                     CAST(o0 + o1 AS BIGINT) AS n,
+                     CAST(o0 + o1 AS DOUBLE) AS nd
+              FROM m)
+            SELECT segment, n,
+                   floor((
+                     (CAST(o0 AS DOUBLE) - nd * 0.5)
+                     * (CAST(o0 AS DOUBLE) - nd * 0.5)
+                     / (nd * 0.5)
+                     + (CAST(o1 AS DOUBLE) - nd * 0.5)
+                       * (CAST(o1 AS DOUBLE) - nd * 0.5)
+                       / (nd * 0.5)
+                   ) * 1e9 + 0.5) / 1e9 AS chi2,
+                   CAST(1 AS BIGINT) AS dof
+            FROM st
+        """
+
+
 def _q_ols_wls_fe(spark, sf_dir):
     """Weighted within/FE estimation (`operators/estimate.py::
     wls_within` — reghdfe's ``areg y x [aw=w], absorb(fe)`` shape,
@@ -8870,7 +8933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kfold_cv/kmeans to the backlog head
         "conformal_by": _q_conformal_by,
         "synthetic_control": _q_synthetic_control,
-        # 13-50: the 38 stalest driver-green re-certs — the six
+        # 13: streaming_srm — the 27th streaming form (sample-ratio
+        # mismatch monitor; availableNow == batch, the batch SQL is
+        # the oracle verbatim) — evicting inverted_index
+        "streaming_srm": _q_streaming_srm,
+        # 14-50: the 37 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
@@ -8912,10 +8979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "gap_fill": _q_gap_fill,
         "hard_negatives": _q_hard_negatives,
-        "inverted_index": _q_inverted_index,
         # ------ end of the driver's 50-query window ------
-        # (kfold_cv/kmeans evicted by the conformal_by/
-        # synthetic_control registrations)
+        # (inverted_index evicted by the streaming_srm registration;
+        # kfold_cv/kmeans by conformal_by/synthetic_control)
+        "inverted_index": _q_inverted_index,
         "kfold_cv": _q_kfold_cv,
         "kmeans": _q_kmeans,
         # (ks_test/log_parse evicted by the triple_diff/lee_bounds
@@ -9687,6 +9754,7 @@ def oracle_sql() -> dict[str, str]:
         "lee_bounds": _LEE_BOUNDS_SQL,
         "conformal_by": _CONFORMAL_BY_SQL,
         "synthetic_control": _SYNTHETIC_CONTROL_SQL,
+        "streaming_srm": _STREAMING_SRM_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

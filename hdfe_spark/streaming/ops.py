@@ -1041,3 +1041,27 @@ def streaming_msprt(
         stream, group_col, arm_col, value_col, arm_a, arm_b,
         tau2=tau2, scale=scale,
     )
+
+
+def streaming_srm(
+    stream: DataFrame,
+    group_col: str,
+    cat_col: str,
+    probs: dict,
+) -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor (the TWENTY-SEVENTH
+    streaming form): per-experiment chi-squared goodness-of-fit
+    against the DESIGNED assignment split, folded over the live
+    assignment stream in complete mode — the first thing an
+    experimentation platform watches continuously, because a
+    mismatched ramp invalidates every downstream readout before any
+    metric moves. Every `stats.chi2_gof_by` input is an ADDITIVE
+    per-(group, category) counter and chi2/dof ride the output
+    projection, so the availableNow fold equals the batch table
+    EXACTLY whatever the micro-batch boundaries; out-of-design
+    categories raise in-plan, streaming included. State is k
+    counters per group. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import chi2_gof_by
+
+    return chi2_gof_by(stream, group_col, cat_col, probs)

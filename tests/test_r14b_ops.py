@@ -199,3 +199,45 @@ def test_synthetic_control_nan_y_dropped(spark):
     out = {r["period"]: r for r in
            synthetic_control(df, "unit", "period", "y", "tr", 6).collect()}
     assert 11 not in out  # the NaN row vanished entirely
+
+
+# ----------------------------------------------- streaming_srm
+
+
+def test_streaming_srm_equals_batch(spark, sf_dir):
+    """availableNow fold == batch table exactly (additive counters),
+    the 27th streaming form's defining equality."""
+    from hdfe_spark.operators.stats import chi2_gof_by
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_srm,
+    )
+
+    def shape(df):
+        return df.filter(F.col("event_id").isNotNull()).select(
+            (F.col("user_id") % 7).cast("long").alias("seg"),
+            F.when(F.col("event_id") % 2 == 0, "even")
+            .otherwise("odd").alias("arm"),
+        )
+
+    probs = {"even": 0.5, "odd": 0.5}
+    batch = chi2_gof_by(
+        shape(spark.read.parquet(f"{sf_dir}/events.parquet")),
+        "seg", "arm", probs,
+    ).collect()
+    stream = streaming_srm(
+        shape(read_table_stream(spark, sf_dir, "events")),
+        "seg", "arm", probs,
+    )
+    import uuid
+
+    sink = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()
+    assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
+        map(tuple, batch), key=lambda t: t[0]
+    )
