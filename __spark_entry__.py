@@ -8273,6 +8273,112 @@ _STREAMING_SRM_SQL = """
         """
 
 
+def _q_group_sequential(spark, sf_dir):
+    """Group-sequential monitoring ladder (`operators/stats.py::
+    group_sequential_by` — the fixed-schedule interim-analysis
+    complement of msprt_by's always-valid p): per user_id%5 segment,
+    K = 4 looks (event_id%4), cumulative Welch z of click-vs-view
+    value against the O'Brien-Fleming-shaped boundary
+    z_{0.975}*sqrt(K/k). Exact HUGEINT/DECIMAL cumulative moments
+    via one (segment, look) aggregation + a cell-table window."""
+    from hdfe_spark.operators.stats import group_sequential_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 5).cast("long").alias("segment"),
+        (F.col("event_id") % 4 + 1).cast("long").alias("look"),
+        "event_type", "value",
+    )
+    out = group_sequential_by(
+        base, "segment", "event_type", "value", "look",
+        "click", "view",
+    )
+    return out.select(
+        "segment", "look", "k_look", "n_looks", "n_a", "n_b",
+        _pround("z").alias("z"),
+        _pround("boundary", 12).alias("boundary"),
+        "crossed",
+    )
+
+
+_GROUP_SEQUENTIAL_SQL = """
+            WITH m AS (
+              SELECT user_id % 5 AS segment,
+                     event_id % 4 + 1 AS look,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+                AND event_id IS NOT NULL
+                AND user_id IS NOT NULL
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT segment, look,
+                     CAST(row_number() OVER wo AS BIGINT) AS k_look,
+                     CAST(count(*) OVER (PARTITION BY segment)
+                          AS BIGINT) AS n_looks,
+                     CAST(sum(na) OVER wc AS BIGINT) AS cna,
+                     sum(sa) OVER wc AS csa,
+                     sum(ssa) OVER wc AS cssa,
+                     CAST(sum(nb) OVER wc AS BIGINT) AS cnb,
+                     sum(sb) OVER wc AS csb,
+                     sum(ssb) OVER wc AS cssb
+              FROM m
+              WINDOW wo AS (PARTITION BY segment ORDER BY look),
+                     wc AS (PARTITION BY segment ORDER BY look
+                            ROWS UNBOUNDED PRECEDING)),
+            c AS (
+              SELECT segment, look, k_look, n_looks, cna, cnb,
+                     CAST(csa AS DOUBLE) / CAST(cna AS DOUBLE) AS ma,
+                     CAST(csb AS DOUBLE) / CAST(cnb AS DOUBLE) AS mb,
+                     CAST(CAST(cna AS HUGEINT) * cssa
+                          - csa * csa AS DOUBLE)
+                       / (CAST(cna AS DOUBLE)
+                          * (CAST(cna AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(cnb AS HUGEINT) * cssb
+                          - csb * csb AS DOUBLE)
+                       / (CAST(cnb AS DOUBLE)
+                          * (CAST(cnb AS DOUBLE) - 1.0)) AS vb
+              FROM cum),
+            d AS (
+              SELECT segment, look, k_look, n_looks, cna, cnb,
+                     (ma - mb) / sqrt(va / CAST(cna AS DOUBLE)
+                                      + vb / CAST(cnb AS DOUBLE))
+                       AS z,
+                     1.9599639845400545
+                       * sqrt(CAST(n_looks AS DOUBLE)
+                              / CAST(k_look AS DOUBLE)) AS boundary
+              FROM c)
+            SELECT segment, look, k_look, n_looks,
+                   cna AS n_a, cnb AS n_b,
+                   CASE WHEN cna >= 2 AND cnb >= 2 THEN
+                     floor(z * 1e9 + 0.5) / 1e9
+                   END AS z,
+                   floor(boundary * 1e12 + 0.5) / 1e12 AS boundary,
+                   CASE WHEN cna >= 2 AND cnb >= 2 THEN
+                     abs(z) > boundary
+                   END AS crossed
+            FROM d
+        """
+
+
 def _q_ols_wls_fe(spark, sf_dir):
     """Weighted within/FE estimation (`operators/estimate.py::
     wls_within` — reghdfe's ``areg y x [aw=w], absorb(fe)`` shape,
@@ -8937,7 +9043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mismatch monitor; availableNow == batch, the batch SQL is
         # the oracle verbatim) — evicting inverted_index
         "streaming_srm": _q_streaming_srm,
-        # 14-50: the 37 stalest driver-green re-certs — the six
+        # 14: group_sequential — the OBF-shaped interim-analysis
+        # ladder — evicting hard_negatives
+        "group_sequential": _q_group_sequential,
+        # 15-50: the 36 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
@@ -8978,10 +9087,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": _q_fuzzy_dedup,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "gap_fill": _q_gap_fill,
-        "hard_negatives": _q_hard_negatives,
         # ------ end of the driver's 50-query window ------
-        # (inverted_index evicted by the streaming_srm registration;
+        # (hard_negatives evicted by the group_sequential
+        # registration; inverted_index by streaming_srm;
         # kfold_cv/kmeans by conformal_by/synthetic_control)
+        "hard_negatives": _q_hard_negatives,
         "inverted_index": _q_inverted_index,
         "kfold_cv": _q_kfold_cv,
         "kmeans": _q_kmeans,
@@ -9755,6 +9865,7 @@ def oracle_sql() -> dict[str, str]:
         "conformal_by": _CONFORMAL_BY_SQL,
         "synthetic_control": _SYNTHETIC_CONTROL_SQL,
         "streaming_srm": _STREAMING_SRM_SQL,
+        "group_sequential": _GROUP_SEQUENTIAL_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -5924,3 +5924,156 @@ def conformal_by(
             / F.col("n_test").cast("double"),
         ).alias("coverage"),
     )
+
+
+# Two-sided normal quantiles z_{1-alpha/2} for the group-sequential
+# boundary — exact doubles both engines fold identically.
+_Z_TWOSIDED = {
+    0.10: 1.6448536269514722,   # z_{0.95}
+    0.05: 1.9599639845400545,   # z_{0.975}
+    0.01: 2.5758293035489004,   # z_{0.995}
+}
+
+
+def group_sequential_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    look_col: str,
+    arm_a,
+    arm_b,
+    alpha: float = 0.05,
+    crit: "float | None" = None,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Group-sequential monitoring table per segment — the
+    O'Brien–Fleming-SHAPED boundary ladder over K interim looks:
+    at look k of K the cumulative Welch z is compared against
+    ``b_k = c · sqrt(K / k)`` (early looks need overwhelming
+    evidence, the final look spends almost full alpha — the
+    classical fixed-schedule complement of `msprt_by`'s always-valid
+    p). ``c`` defaults to z_{1-alpha/2} (the conservative
+    c ≥ exact-OBF choice; exact O'Brien–Fleming constants from
+    standard tables — e.g. 2.004 for K=2, alpha=0.05 — can be
+    passed via ``crit``).
+
+    Per (group, look) moments are exact DECIMAL(38,0) sums of
+    round(v·scale) (the `welch_by` machinery); CUMULATIVE moments
+    come from a window over the cell table — decimal addition is
+    exact, so the running sums are order-independent — and z rides
+    one fixed IEEE expression. Looks are ordinal: k = the look's
+    rank within its group, K = the group's look count; a look
+    missing in one group simply isn't a look there. Cumulative arms
+    thinner than 2 get NULL z (the `welch_by` thin-segment
+    convention); crossed is NULL with them. NaN/NULL values are
+    missing; NULL looks are excluded.
+
+    Scale: ONE data-sized shuffle (the (group, look) aggregation
+    with map-side partials); the cumulative window and boundary
+    expressions run on the segment×look cell table only. Returns
+    one row per (group, look): (group, look, k_look, n_looks, n_a,
+    n_b, z, boundary, crossed).
+    """
+    no_output_collision(
+        "group_sequential_by", "group_col", group_col,
+        ("k_look", "n_looks", "n_a", "n_b", "z", "boundary", "crossed"),
+    )
+    no_output_collision(
+        "group_sequential_by", "look_col", look_col,
+        ("k_look", "n_looks", "n_a", "n_b", "z", "boundary", "crossed"),
+    )
+    if group_col == look_col:
+        raise ValueError(
+            "group_sequential_by: group_col and look_col are the same"
+        )
+    if arm_a == arm_b:
+        raise ValueError(
+            "group_sequential_by: arm_a and arm_b are the same value"
+            f" ({arm_a!r})"
+        )
+    if crit is None:
+        if alpha not in _Z_TWOSIDED:
+            raise ValueError(
+                "group_sequential_by: no built-in critical value for"
+                f" alpha={alpha!r} (have {sorted(_Z_TWOSIDED)});"
+                " pass crit= explicitly"
+            )
+        crit = _Z_TWOSIDED[alpha]
+    v = F.col(value_col)
+    u = F.round(v * F.lit(float(scale))).cast("decimal(38,0)")
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+
+    def _arm(cond, tag):
+        zero = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+            .cast("long").alias(f"__n_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u)), zero).alias(f"__s_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u * u)), zero)
+            .alias(f"__ss_{tag}"),
+        ]
+
+    cells = (
+        df.filter(
+            _non_nan(df, value_col)
+            & (is_a | is_b)
+            & F.col(look_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(look_col).alias("__l")
+        )
+        .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
+    )
+    wcum = (
+        Window.partitionBy("__g")
+        .orderBy("__l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.partitionBy("__g").orderBy("__l")
+    cum = cells.select(
+        "__g", "__l",
+        F.row_number().over(word).alias("k_look"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_looks"),
+        *[
+            F.sum(f"__{m}_{t}").over(wcum).alias(f"__c{m}_{t}")
+            for t in ("a", "b")
+            for m in ("n", "s", "ss")
+        ],
+    )
+
+    def _stats(tag):
+        n = F.col(f"__cn_{tag}")
+        nd = n.cast("double")
+        varnum = _dec38_num(
+            "group_sequential_by", n,
+            F.col(f"__css_{tag}"), F.col(f"__cs_{tag}"),
+        )
+        mean = F.col(f"__cs_{tag}").cast("double") / nd
+        var = varnum / (nd * (nd - F.lit(1.0)))
+        return n, nd, mean, var
+
+    na, nda, mean_a, var_a = _stats("a")
+    nb, ndb, mean_b, var_b = _stats("b")
+    z = (mean_a - mean_b) / F.sqrt(var_a / nda + var_b / ndb)
+    ok = (na >= 2) & (nb >= 2)
+    boundary = F.lit(float(crit)) * F.sqrt(
+        F.col("n_looks").cast("double")
+        / F.col("k_look").cast("double")
+    )
+    zc = F.when(ok, z)
+    return cum.select(
+        F.col("__g").alias(group_col),
+        F.col("__l").alias(look_col),
+        F.col("k_look").cast("long").alias("k_look"),
+        "n_looks",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        zc.alias("z"),
+        boundary.alias("boundary"),
+        F.when(ok, F.abs(zc) > boundary).alias("crossed"),
+    )

@@ -241,3 +241,78 @@ def test_streaming_srm_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got), key=lambda t: t[0]) == sorted(
         map(tuple, batch), key=lambda t: t[0]
     )
+
+
+# ------------------------------------------- group_sequential_by
+
+from hdfe_spark.operators.stats import group_sequential_by
+
+
+def test_group_sequential_by_numpy_replica(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for seg in ("x", "y"):
+        for look in (1, 2, 3, 4):
+            for arm in ("A", "B"):
+                shift = 1.5 if (seg == "y" and arm == "B") else 0.0
+                for v in rng.normal(shift, 1.0, size=60):
+                    rows.append((seg, look, arm, float(v)))
+    df = spark.createDataFrame(rows, "seg string, look int, arm string, v double")
+    out = group_sequential_by(df, "seg", "arm", "v", "look", "A", "B")
+    got = {(r["seg"], r["look"]): r for r in out.collect()}
+    assert len(got) == 8
+    import collections
+    data = collections.defaultdict(lambda: {"A": [], "B": []})
+    for seg, look, arm, v in rows:
+        data[seg][arm].append((look, v))
+    zcrit = 1.9599639845400545
+    for seg in ("x", "y"):
+        for k, look in enumerate((1, 2, 3, 4), start=1):
+            a = np.array([round(v * 1e6) for l, v in data[seg]["A"] if l <= look])
+            b = np.array([round(v * 1e6) for l, v in data[seg]["B"] if l <= look])
+            z = (a.mean() - b.mean()) / math.sqrt(
+                a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+            r = got[(seg, look)]
+            assert r["k_look"] == k and r["n_looks"] == 4
+            assert r["n_a"] == len(a) and r["n_b"] == len(b)
+            assert r["z"] == pytest.approx(z, rel=1e-9)
+            assert r["boundary"] == pytest.approx(
+                zcrit * math.sqrt(4 / k), rel=1e-12)
+            assert r["crossed"] == (abs(z) > zcrit * math.sqrt(4 / k))
+    # the shifted segment should cross by the last look; null never
+    assert got[("y", 4)]["crossed"] is True
+    assert got[("x", 4)]["crossed"] is False
+
+
+def test_group_sequential_by_thin_and_missing(spark):
+    rows = [
+        ("s", 1, "A", 1.0),            # look 1: arm B empty
+        ("s", 2, "A", 2.0), ("s", 2, "A", 3.0),
+        ("s", 2, "B", 1.0), ("s", 2, "B", 4.0),
+        ("s", 2, "B", float("nan")),   # NaN missing
+        ("s", None, "A", 9.0),         # NULL look excluded
+        ("s", 2, "C", 100.0),          # other arm excluded
+    ]
+    df = spark.createDataFrame(rows, "seg string, look int, arm string, v double")
+    out = {r["look"]: r for r in
+           group_sequential_by(df, "seg", "arm", "v", "look", "A", "B").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["z"] is None and out[1]["crossed"] is None
+    assert out[1]["n_a"] == 1 and out[1]["n_b"] == 0
+    assert out[2]["n_a"] == 3 and out[2]["n_b"] == 2
+    assert out[2]["z"] is not None
+    assert out[2]["n_looks"] == 2
+
+
+def test_group_sequential_by_guards(spark):
+    df = spark.createDataFrame([("s", 1, "A", 1.0)],
+                               "seg string, look int, arm string, v double")
+    with pytest.raises(ValueError, match="same value"):
+        group_sequential_by(df, "seg", "arm", "v", "look", "A", "A")
+    with pytest.raises(ValueError, match="critical value"):
+        group_sequential_by(df, "seg", "arm", "v", "look", "A", "B",
+                            alpha=0.07)
+    # explicit crit overrides the table
+    out = group_sequential_by(df, "seg", "arm", "v", "look", "A", "B",
+                              alpha=0.07, crit=2.0)
+    assert out.collect()[0]["boundary"] == pytest.approx(2.0)

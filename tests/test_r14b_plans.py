@@ -50,3 +50,26 @@ def test_synthetic_control_series_single_aggregation(spark):
                 n_sortmerge_joins=0)
     s = explain_string(out)
     assert "Join" not in s and "Window" not in s
+
+
+def test_group_sequential_by_one_data_exchange(spark, sf_dir):
+    from hdfe_spark.operators.stats import group_sequential_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        (F.col("user_id") % 5).cast("long").alias("segment"),
+        (F.col("event_id") % 4 + 1).cast("long").alias("look"),
+        "event_type", "value",
+    )
+    out = group_sequential_by(
+        base, "segment", "event_type", "value", "look",
+        "click", "view",
+    )
+    # one data-sized shuffle (the (group, look) aggregation with
+    # map-side partials); the second exchange feeds the cumulative
+    # window over the segment x look CELL table only
+    assert_plan(out, n_exchanges=2, n_python_stages=0,
+                n_sortmerge_joins=0)
+    s = explain_string(out)
+    assert "Join" not in s
+    assert "partial" in s.lower() or "HashAggregate" in s

@@ -30,12 +30,13 @@ def test_round14_window_composition():
     `wild_cluster_bootstrap`, `streaming_msprt` — the 26th
     streaming form — `cem_att`, `att_gt`, `triple_diff`, and
     `lee_bounds`, then the second-batch `conformal_by`,
-    `synthetic_control`, and `streaming_srm` — the 27th streaming
-    form — at 11-13); 14-50 = the 37 stalest
+    `synthetic_control`, `streaming_srm` — the 27th streaming
+    form — and `group_sequential` at 11-14); 15-50 = the 36 stalest
     driver-green re-certs (`ks_test`/`log_parse`/`mahalanobis`/
     `mann_whitney`/`minhash_dedup`/`ols_2fe`/`ols_ridge`/
-    `pack_sequences`/`inverted_index`/`kfold_cv`/`kmeans` evicted
-    to the backlog head by the late registrations) —
+    `pack_sequences`/`hard_negatives`/`inverted_index`/`kfold_cv`/
+    `kmeans` evicted to the backlog head by the late
+    registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
     evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
     r07 stratum from its alphabetical head (`ab_proportions` ..
@@ -50,21 +51,23 @@ def test_round14_window_composition():
         "streaming_msprt", "cem_att", "att_gt",
         "triple_diff", "lee_bounds",
         "conformal_by", "synthetic_control", "streaming_srm",
-        "tpch_q14", "tpch_q15", "tpch_q16",
+        "group_sequential", "tpch_q14", "tpch_q15",
     ]
-    assert q[16:19] == ["tpch_q17", "tpch_q18", "tpch_q19"]
-    assert q[19] == "tpch_q2"
-    assert q[31] == "winsorize"
-    assert q[32] == "ab_proportions"
-    assert q[49] == "hard_negatives"
-    # backlog head = the eleven re-certs the late-round registrations
+    assert q[16:20] == ["tpch_q16", "tpch_q17", "tpch_q18",
+                        "tpch_q19"]
+    assert q[20] == "tpch_q2"
+    assert q[32] == "winsorize"
+    assert q[33] == "ab_proportions"
+    assert q[49] == "gap_fill"
+    # backlog head = the twelve re-certs the late-round registrations
     # evicted, then the r07 residue, stalest-first
-    assert q[50:61] == ["inverted_index", "kfold_cv", "kmeans",
+    assert q[50:62] == ["hard_negatives", "inverted_index",
+                        "kfold_cv", "kmeans",
                         "ks_test", "log_parse",
                         "mahalanobis", "mann_whitney",
                         "minhash_dedup", "ols_2fe",
                         "ols_ridge", "pack_sequences"]
-    assert q[61] == "psi_drift"
+    assert q[62] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -80,7 +83,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 339
+    assert len(q) == 340
 
 
 def test_every_query_has_callable():

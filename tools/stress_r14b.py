@@ -120,6 +120,52 @@ def stress_synth(spark):
     assert werr < 1e-6 and abs(att - 5.0) < 1e-6
 
 
+def stress_gseq(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import group_sequential_by
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 10).cast("string").alias("seg"),
+        ((F.col("id") / 10).cast("long") % 4 + 1).alias("look"),
+        F.when((F.col("id") / 40).cast("long") % 2 == 0, "A")
+        .otherwise("B").alias("arm"),
+        (((F.col("id") * 48271) % 997).cast("double")
+         + F.when(F.col("id") % 10 == 7,
+                  F.when((F.col("id") / 40).cast("long") % 2 == 1,
+                         F.lit(25.0)).otherwise(F.lit(0.0)))
+         .otherwise(F.lit(0.0))).alias("v"),
+    )
+    t0 = time.perf_counter()
+    out = {(r["seg"], r["look"]): r for r in
+           group_sequential_by(df, "seg", "arm", "v", "look",
+                               "A", "B").collect()}
+    wall = time.perf_counter() - t0
+
+    ids = np.arange(N, dtype=np.int64)
+    seg = ids % 10
+    look = (ids // 10) % 4 + 1
+    arm_b = ((ids // 40) % 2).astype(bool)
+    v = ((ids * 48271) % 997).astype(np.float64)
+    v = v + np.where((seg == 7) & arm_b, 25.0, 0.0)
+    u = np.round(v * 1e6)
+    worst = 0.0
+    for s in range(10):
+        for lk in (1, 2, 3, 4):
+            m = (seg == s) & (look <= lk)
+            a, b = u[m & ~arm_b], u[m & arm_b]
+            z = (a.mean() - b.mean()) / np.sqrt(
+                a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+            r = out[(str(s), lk)]
+            assert r["n_a"] == len(a) and r["n_b"] == len(b)
+            worst = max(worst, abs(r["z"] - z) / max(abs(z), 1e-300))
+    crossed = [k for k, r in out.items() if r["crossed"]]
+    assert all(k[0] == "7" for k in crossed) and crossed
+    print(f"group_sequential_by 20M: {wall:.1f}s, 40 cells, "
+          f"z worst rel {worst:.2e}, crossed only in the shifted "
+          f"segment ({len(crossed)} looks)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sp = _spark()
@@ -127,3 +173,5 @@ if __name__ == "__main__":
         stress_conformal(sp)
     if which in ("synth", "all"):
         stress_synth(sp)
+    if which in ("gseq", "all"):
+        stress_gseq(sp)
