@@ -8018,10 +8018,11 @@ def _q_conformal_by(spark, sf_dir):
     conformal_by` — the distribution-free interval calibration every
     ML-scoring pipeline needs): nonconformity = l_extendedprice,
     calibration split l_orderkey % 3 > 0, alpha = 0.1, per
-    l_returnflag segment. One window pass over calibration rows for
-    the exact k-th order statistic (k = (n+1) - floor((n+1)*0.1),
-    one shared IEEE multiply), broadcast cuts, one groupBy over the
-    held-out rows for empirical coverage."""
+    l_returnflag segment. ONE scan + one segment-keyed exchange:
+    a single window pass (calibration-first ordering) yields the
+    exact k-th order statistic (k = (n+1) - floor((n+1)*0.1), one
+    shared IEEE multiply) and a groupBy on the same key reuses the
+    exchange for the held-out empirical coverage."""
     from hdfe_spark.operators.stats import conformal_by
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -8047,35 +8048,42 @@ _CONFORMAL_BY_SQL = """
               WHERE l_returnflag IS NOT NULL
                 AND l_extendedprice IS NOT NULL
                 AND l_orderkey IS NOT NULL),
-            c AS (
-              SELECT seg, score,
+            -- one flow, mirroring the engine: calibration rows rank
+            -- first within the segment; no join, so segments with
+            -- zero calibration or zero test rows keep their row
+            r AS (
+              SELECT seg, score, cal,
                      row_number() OVER (PARTITION BY seg
-                                        ORDER BY score) AS rn,
-                     count(*) OVER (PARTITION BY seg) AS n
-              FROM b WHERE cal),
-            cuts AS (
-              SELECT seg, max(n) AS n_cal,
-                     max(CASE WHEN rn = n + 1
-                              - CAST(floor(CAST(n + 1 AS DOUBLE)
+                                        ORDER BY cal DESC, score)
+                       AS rn,
+                     COALESCE(sum(CASE WHEN cal THEN 1 END)
+                              OVER (PARTITION BY seg), 0) AS ncal
+              FROM b),
+            r2 AS (
+              SELECT seg, score, cal, ncal,
+                     max(CASE WHEN cal AND rn = ncal + 1
+                              - CAST(floor(CAST(ncal + 1 AS DOUBLE)
                                            * 0.1) AS BIGINT)
-                              THEN score END) AS qhat
-              FROM c GROUP BY seg),
-            t AS (
-              SELECT b.seg, count(*) AS n_test,
-                     count(CASE WHEN cuts.qhat IS NULL
-                                  OR b.score <= cuts.qhat
-                                THEN 1 END) AS covered
-              FROM b LEFT JOIN cuts ON b.seg = cuts.seg
-              WHERE NOT b.cal GROUP BY b.seg)
-            SELECT cuts.seg AS l_returnflag,
-                   CAST(cuts.n_cal AS BIGINT) AS n_cal,
-                   floor(cuts.qhat * 1e9 + 0.5) / 1e9 AS q_hat,
-                   CAST(t.n_test AS BIGINT) AS n_test,
-                   CAST(t.covered AS BIGINT) AS covered,
-                   floor(CAST(t.covered AS DOUBLE)
-                         / CAST(t.n_test AS DOUBLE)
-                         * 1e12 + 0.5) / 1e12 AS coverage
-            FROM cuts JOIN t ON cuts.seg = t.seg
+                              THEN score END)
+                       OVER (PARTITION BY seg) AS qhat
+              FROM r)
+            SELECT seg AS l_returnflag,
+                   CAST(max(ncal) AS BIGINT) AS n_cal,
+                   floor(max(qhat) * 1e9 + 0.5) / 1e9 AS q_hat,
+                   count(CASE WHEN NOT cal THEN 1 END) AS n_test,
+                   count(CASE WHEN NOT cal
+                                AND (qhat IS NULL OR score <= qhat)
+                              THEN 1 END) AS covered,
+                   CASE WHEN count(CASE WHEN NOT cal THEN 1 END) > 0
+                        THEN floor(
+                          CAST(count(CASE WHEN NOT cal
+                                            AND (qhat IS NULL
+                                                 OR score <= qhat)
+                                          THEN 1 END) AS DOUBLE)
+                          / CAST(count(CASE WHEN NOT cal THEN 1 END)
+                                 AS DOUBLE) * 1e12 + 0.5) / 1e12
+                   END AS coverage
+            FROM r2 GROUP BY seg
         """
 
 
@@ -8327,7 +8335,6 @@ _GROUP_SEQUENTIAL_SQL = """
               WHERE value IS NOT NULL
                 AND event_type IN ('click', 'view')
                 AND event_id IS NOT NULL
-                AND user_id IS NOT NULL
               GROUP BY 1, 2),
             cum AS (
               SELECT segment, look,

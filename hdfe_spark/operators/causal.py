@@ -1391,6 +1391,14 @@ def synthetic_control(
     folded back as a J-entry literal map. Nothing data-sized reaches
     the driver.
     """
+    no_output_collision(
+        "synthetic_control", "period_col", period_col,
+        ("actual", "synthetic", "gap", "is_post", "n_donors"),
+    )
+    if return_weights:
+        no_output_collision(
+            "synthetic_control", "unit_col", unit_col, ("weight",),
+        )
     yv = F.col(y_col)
     valid = (
         F.col(unit_col).isNotNull()
@@ -1399,7 +1407,21 @@ def synthetic_control(
     )
     if dict(df.dtypes).get(y_col) in ("double", "float"):
         valid = valid & ~F.isnan(yv)
-    u = F.round(yv * F.lit(float(scale))).cast("decimal(38,0)")
+    # per-row magnitude guard: |u| <= 3e18 keeps every u_i*u_j
+    # product under the DECIMAL(38,0) ceiling (the _dec38_num family
+    # bound); a silent non-ANSI NULL here would deflate the Gram and
+    # produce wrong weights with no error
+    u_raw = F.round(yv * F.lit(float(scale)))
+    u = F.when(
+        F.abs(u_raw) > F.lit(3.0e18),
+        F.raise_error(
+            F.lit(
+                "synthetic_control: round(y*scale) exceeds the exact"
+                " DECIMAL(38,0) product headroom — lower `scale` for"
+                " this value range"
+            )
+        ),
+    ).otherwise(u_raw).cast("decimal(38,0)")
     base = df.filter(valid).select(
         F.col(unit_col).alias("__unit"),
         F.col(period_col).alias("__per"),
@@ -1425,9 +1447,16 @@ def synthetic_control(
             "synthetic_control: duplicate (treated, period) pre rows"
         )
 
+    # upper triangle only (ui <= uj): the Gram is symmetric, so the
+    # mirror half is filled driver-side — halves the self-join's
+    # generated rows and the aggregation work (review r14b)
     a, b = don_pre.alias("a"), don_pre.alias("b")
     gram = (
-        a.join(b, F.col("a.__per") == F.col("b.__per"))
+        a.join(
+            b,
+            (F.col("a.__per") == F.col("b.__per"))
+            & (F.col("a.__unit") <= F.col("b.__unit")),
+        )
         .groupBy(
             F.col("a.__unit").alias("ui"), F.col("b.__unit").alias("uj")
         )
@@ -1475,7 +1504,15 @@ def synthetic_control(
                 f"panel (pair ({r['ui']!r},{r['uj']!r}) co-observed "
                 f"{int(r['n'])} periods, treated has {n_pre})"
             )
-        gmap[(idx[r["ui"]], idx[r["uj"]])] = float(r["g"])
+        if r["g"] is None:
+            raise ValueError(
+                "synthetic_control: exact-decimal Gram moment "
+                "overflowed DECIMAL(38,0) — lower `scale` for this "
+                "value range / pre-period count"
+            )
+        i, j = idx[r["ui"]], idx[r["uj"]]
+        gmap[(i, j)] = float(r["g"])
+        gmap[(j, i)] = float(r["g"])  # symmetric mirror (triangle join)
     bvec = [0.0] * J
     for r in br:
         if int(r["n"]) != n_pre:
@@ -1483,6 +1520,12 @@ def synthetic_control(
                 "synthetic_control: unbalanced pre panel (donor "
                 f"{r['ui']!r} co-observed {int(r['n'])} of the "
                 f"treated unit's {n_pre} pre periods)"
+            )
+        if r["b"] is None:
+            raise ValueError(
+                "synthetic_control: exact-decimal cross moment "
+                "overflowed DECIMAL(38,0) — lower `scale` for this "
+                "value range / pre-period count"
             )
         bvec[idx[r["ui"]]] = float(r["b"])
     if len(gmap) != J * J:
@@ -1518,11 +1561,20 @@ def synthetic_control(
             )
 
     if return_weights:
+        from pyspark.sql import types as T
+
         spark = df.sparkSession
+        # preserve the panel's unit dtype (a raw DDL string would
+        # force string and break on integer ids / exotic column
+        # names — review r14b)
+        schema = T.StructType([
+            T.StructField(unit_col, df.schema[unit_col].dataType),
+            T.StructField("weight", T.DoubleType()),
+        ])
         return spark.createDataFrame(
             [(d, float(w[i])) for d, i in sorted(idx.items(),
                                                  key=lambda kv: kv[1])],
-            f"{unit_col} string, weight double",
+            schema,
         )
 
     wmap = F.create_map(

@@ -5860,8 +5860,13 @@ def conformal_by(
     """
     if not (0.0 < alpha < 1.0):
         raise ValueError(f"conformal_by: alpha must be in (0,1), got {alpha}")
-    for c in ("__rn", "__ncal", "__qhat"):
-        no_inplace_overwrite("conformal_by", c, df.columns)
+    # temp names can never collide (base selects only aliased
+    # columns); the real hazard is a segment column named like a
+    # fixed output (review r14b — the grouped-family convention)
+    no_output_collision(
+        "conformal_by", "segment_col", segment_col,
+        ("n_cal", "q_hat", "n_test", "covered", "coverage"),
+    )
     seg = F.col(segment_col)
     sc = F.col(score_col)
     valid = sc.isNotNull() & F.col(calib_col).isNotNull()

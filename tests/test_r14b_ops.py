@@ -20,7 +20,8 @@ def test_conformal_by_exact_small(spark):
     df = spark.createDataFrame(rows, "seg string, score double, cal boolean")
     out = {r["seg"]: r for r in conformal_by(df, "seg", "score", "cal", 0.1).collect()}
     r = out["a"]
-    # k = 10 - floor(10*0.1): IEEE 10*0.1 = 1.0000000000000002 -> k=9
+    # k = 10 - floor(10*0.1) = 10 - 1 = 9 (10*0.1 is exactly 1.0 in
+    # IEEE double; both engines fold the same product either way)
     assert r["n_cal"] == 9
     assert r["q_hat"] == float(_k(9, 0.1))
     assert r["n_test"] == 2 and r["covered"] == 1

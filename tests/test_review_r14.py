@@ -274,3 +274,51 @@ def test_exact_moment_family_nan_excluded(spark):
     by_cov = {r["covariate"]: r for r in s_d}
     assert by_cov["v"]["n_a"] == 4  # NaN v excluded from v's arm a
     assert by_cov["x"]["n_b"] == 4  # NaN x excluded from x's arm b
+
+
+# ---- second-session review findings (conformal_by /
+# ---- synthetic_control / oracles) ----
+
+
+def test_conformal_by_collision_guard(spark):
+    from hdfe_spark.operators.stats import conformal_by
+
+    df = spark.createDataFrame([("a", 1.0, True)],
+                               "n_cal string, score double, cal boolean")
+    with pytest.raises(ValueError, match="n_cal"):
+        conformal_by(df, "n_cal", "score", "cal", 0.1)
+    # a leftover __rn column must NOT be spuriously rejected
+    df2 = spark.createDataFrame([("a", 1.0, True, 5)],
+                                "seg string, score double, cal boolean, __rn int")
+    assert conformal_by(df2, "seg", "score", "cal", 0.1).count() == 1
+
+
+def test_synthetic_control_collision_and_weights_dtype(spark):
+    from hdfe_spark.operators.causal import synthetic_control
+
+    rows = []
+    for t in range(8):
+        d1, d2 = float(3 + t % 5), float(10 + t % 7)
+        rows += [(1, t, d1), (2, t, d2), (9, t, 2.0 * d1 + 0.5 * d2)]
+    # integer unit ids: return_weights must preserve the dtype
+    df = spark.createDataFrame(rows, "unit int, period int, y double")
+    wdf = synthetic_control(df, "unit", "period", "y", 9, 6,
+                            return_weights=True)
+    assert dict(wdf.dtypes)["unit"] == "int"
+    w = {r["unit"]: r["weight"] for r in wdf.collect()}
+    assert w[1] == pytest.approx(2.0, abs=1e-9)
+    # period named like a fixed output raises the named error
+    df2 = df.withColumnRenamed("period", "gap")
+    with pytest.raises(ValueError, match="gap"):
+        synthetic_control(df2, "unit", "gap", "y", 9, 6)
+
+
+def test_synthetic_control_scale_overflow_raises(spark):
+    from hdfe_spark.operators.causal import synthetic_control
+
+    rows = []
+    for t in range(4):
+        rows += [("d1", t, 1e14), ("d2", t, 2e14), ("tr", t, 3e14)]
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    with pytest.raises(Exception, match="lower `scale`"):
+        synthetic_control(df, "unit", "period", "y", "tr", 3).count()
