@@ -1354,12 +1354,20 @@ def synthetic_control(
     max_donors: int = 200,
     scale: float = 1e6,
     return_weights: bool = False,
+    method: str = "ols",
 ) -> DataFrame:
-    """Synthetic-control counterfactual for one treated unit
-    (the panel-regression variant of Hsiao, Ching & Wan 2012: donor
-    weights are the UNCONSTRAINED least-squares fit of the treated
-    unit's pre-period path on the donor paths — Abadie's simplex
-    constraint needs a QP solver and is out of scope, documented).
+    """Synthetic-control counterfactual for one treated unit.
+    ``method="ols"`` (default) is the panel-regression variant of
+    Hsiao, Ching & Wan 2012: donor weights are the UNCONSTRAINED
+    least-squares fit of the treated unit's pre-period path on the
+    donor paths. ``method="simplex"`` is the Abadie–Gardeazabal
+    constraint (w ≥ 0, Σw = 1): the same quadratic objective
+    minimized over the simplex by Frank–Wolfe with exact line search
+    on the J×J driver-side Gram — deterministic, no QP library,
+    duality-gap stopping (gap < 1e-12·||b||² or 100k iterations,
+    microseconds at J ≤ 200). The simplex path is engine-only
+    (iterative — not SQL-spellable; the registered oracle fixture
+    uses "ols" at J = 2).
 
     Given a (unit, period, y) panel, a treated unit and the first
     post-treatment period, fit ``w = argmin Σ_{t<T0} (y_tr(t) −
@@ -1391,6 +1399,11 @@ def synthetic_control(
     folded back as a J-entry literal map. Nothing data-sized reaches
     the driver.
     """
+    if method not in ("ols", "simplex"):
+        raise ValueError(
+            f"synthetic_control: unknown method {method!r}"
+            " (expected 'ols' or 'simplex')"
+        )
     no_output_collision(
         "synthetic_control", "period_col", period_col,
         ("actual", "synthetic", "gap", "is_post", "n_donors"),
@@ -1533,7 +1546,45 @@ def synthetic_control(
             "synthetic_control: unbalanced pre panel — some donor "
             "pair shares no pre period"
         )
-    if J == 2:
+    if method == "simplex":
+        import numpy as _np
+
+        G = _np.zeros((J, J))
+        for (i, j), v in gmap.items():
+            G[i, j] = v
+        bb = _np.asarray(bvec)
+        # Frank–Wolfe on min (1/2)w'Gw − b'w over the simplex:
+        # vertex oracle = argmin gradient coordinate; exact line
+        # search along d = e_s − w (gamma = −d'grad / d'Gd, clamped
+        # to [0, 1]); duality gap grad·(w − e_s) certifies optimality
+        w_np = _np.full(J, 1.0 / J)
+        tol = None
+        for _ in range(100_000):
+            grad = G @ w_np - bb
+            s = int(_np.argmin(grad))
+            d = -w_np.copy()
+            d[s] += 1.0
+            gap = -float(d @ grad)
+            if tol is None:
+                # relative duality-gap stop: the gap has objective
+                # units, so scale it by the FIRST iterate's gap (a
+                # ||b||^2-style absolute bound is dimensionally
+                # objective^2 and stops immediately at large scale)
+                tol = 1e-12 * max(abs(gap), 1e-300)
+            if gap <= tol:
+                break
+            den = float(d @ (G @ d))
+            gamma = 1.0 if den <= 0.0 else min(1.0, max(0.0, gap / den))
+            if gamma <= 0.0:
+                break
+            w_np = w_np + gamma * d
+        if not _np.all(_np.isfinite(w_np)):
+            raise ValueError(
+                "synthetic_control: non-finite simplex weights "
+                "(degenerate donor Gram)"
+            )
+        w = w_np.tolist()
+    elif J == 2:
         g11, g12, g22 = gmap[(0, 0)], gmap[(0, 1)], gmap[(1, 1)]
         det = g11 * g22 - g12 * g12
         if det == 0.0:

@@ -317,3 +317,64 @@ def test_group_sequential_by_guards(spark):
     out = group_sequential_by(df, "seg", "arm", "v", "look", "A", "B",
                               alpha=0.07, crit=2.0)
     assert out.collect()[0]["boundary"] == pytest.approx(2.0)
+
+
+# ------------------------- synthetic_control, simplex method
+
+
+def test_synthetic_control_simplex_recovers_convex_truth(spark):
+    # treated = 0.3*d1 + 0.7*d2 exactly: the simplex optimum is the
+    # interior point (0.3, 0.7) and must match to solver tolerance
+    rows = []
+    for t in range(12):
+        d1 = float(3 + (t * 7) % 5)
+        d2 = float(10 + (t * 3) % 7)
+        tr = 0.3 * d1 + 0.7 * d2 + (4.0 if t >= 8 else 0.0)
+        rows += [("d1", t, d1), ("d2", t, d2), ("tr", t, tr)]
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    w = {r["unit"]: r["weight"] for r in
+         synthetic_control(df, "unit", "period", "y", "tr", 8,
+                           return_weights=True, method="simplex").collect()}
+    assert w["d1"] == pytest.approx(0.3, abs=1e-5)
+    assert w["d2"] == pytest.approx(0.7, abs=1e-5)
+    out = {r["period"]: r for r in
+           synthetic_control(df, "unit", "period", "y", "tr", 8,
+                             method="simplex").collect()}
+    for t in range(12):
+        assert out[t]["gap"] == pytest.approx(
+            4.0 if t >= 8 else 0.0, abs=1e-4)
+
+
+def test_synthetic_control_simplex_matches_grid_on_boundary(spark):
+    # treated = 2*d1 (outside the simplex): optimum sits on the
+    # boundary; compare against a fine 1-D grid over w1 in [0,1]
+    rng = np.random.RandomState(5)
+    D = rng.uniform(5, 15, size=(2, 25))
+    ytr = 2.0 * D[0]
+    rows = [(f"d{j}", t, float(D[j, t])) for j in range(2) for t in range(25)]
+    rows += [("tr", t, float(ytr[t])) for t in range(25)]
+    df = spark.createDataFrame(rows, "unit string, period int, y double")
+    w = {r["unit"]: r["weight"] for r in
+         synthetic_control(df, "unit", "period", "y", "tr", 20,
+                           return_weights=True, method="simplex",
+                           scale=1e9).collect()}
+    U = np.round(D[:, :20] * 1e9)
+    ut = np.round(ytr[:20] * 1e9)
+    G = U @ U.T
+    bb = U @ ut
+    grid = np.linspace(0, 1, 200001)
+    W = np.stack([grid, 1 - grid])
+    # objective along the 1-simplex, vectorized
+    vals = 0.5 * (W.T @ G * W.T).sum(1) - W.T @ bb
+    w1 = float(grid[int(np.argmin(vals))])
+    assert w["d0"] == pytest.approx(w1, abs=1e-4)
+    assert w["d0"] + w["d1"] == pytest.approx(1.0, abs=1e-12)
+    assert w["d0"] >= -1e-15 and w["d1"] >= -1e-15
+
+
+def test_synthetic_control_method_guard(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)],
+                               "unit string, period int, y double")
+    with pytest.raises(ValueError, match="unknown method"):
+        synthetic_control(df, "unit", "period", "y", "a", 1,
+                          method="qp")
