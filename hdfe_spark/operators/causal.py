@@ -1654,3 +1654,84 @@ def synthetic_control(
         (F.col("__per") >= F.lit(post_from)).alias("is_post"),
         F.col("n_donors").cast("long").alias("n_donors"),
     )
+
+
+def off_policy_eval(
+    df: DataFrame,
+    reward_col: str,
+    action_col: str,
+    propensity_col: str,
+    target_col: str,
+    by: "list | None" = None,
+    clip: float = 0.0,
+) -> DataFrame:
+    """Off-policy evaluation of a DETERMINISTIC target policy from
+    logged bandit data (the counterfactual "what would this other
+    ranking/serving policy have earned?" readout): each logged row
+    carries the taken action, its logging propensity p = P(a|x), and
+    the target policy's action π(x); importance weighting gives
+
+    ``V_IPS   = Σ 1[a=π]·r/p / n``        (unbiased, high variance)
+    ``V_SNIPS = Σ 1[a=π]·r/p / Σ 1[a=π]/p`` (self-normalized)
+    ``ESS     = (Σw)² / Σw²``  with w = 1[a=π]/p (how many effective
+    samples the weighting left — the diagnostic that says whether
+    either number is usable), plus the raw match rate.
+
+    Scale: ONE (optionally ``by``-keyed) map-side-combined
+    aggregation; no join, no window, nothing data-sized on the
+    driver. Propensities are overlap-clipped via the shared
+    `_clipped_propensity` (NULL-safe: a NULL propensity drops its
+    row rather than resurrecting at the clip bound). Rows with
+    NULL/NaN reward or NULL actions drop (listwise). Float
+    contract: the weighted sums are IEEE doubles; the registered
+    oracle fixture uses dyadic propensities and integer rewards so
+    every addend is exact (the dml_plm_tree2 fixture convention) —
+    general inputs carry the summation-order caveat.
+
+    Returns one row (per ``by`` group): (by..., n, n_matched,
+    match_rate, v_ips, v_snips, ess).
+    """
+    from hdfe_spark.operators._guards import no_output_collision
+
+    outs = ("n", "n_matched", "match_rate", "v_ips", "v_snips", "ess")
+    by = list(by) if by else []
+    for c in by:
+        no_output_collision("off_policy_eval", "by", c, outs)
+    r = F.col(reward_col).cast("double")
+    valid = (
+        r.isNotNull()
+        & F.col(action_col).isNotNull()
+        & F.col(target_col).isNotNull()
+    )
+    if dict(df.dtypes).get(reward_col) in ("double", "float"):
+        valid = valid & ~F.isnan(r)
+    e = _clipped_propensity(propensity_col, clip)
+    match = F.col(action_col) == F.col(target_col)
+    w = F.when(match & e.isNotNull() & (e > 0), F.lit(1.0) / e).otherwise(
+        F.when(e.isNotNull() & (e > 0), F.lit(0.0))
+    )
+    base = df.filter(valid).select(
+        *by, w.alias("__w"), r.alias("__r"), match.alias("__m")
+    ).filter(F.col("__w").isNotNull())
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__m").cast("long")).alias("n_matched"),
+        F.sum(F.col("__w") * F.col("__r")).alias("__swr"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+    ]
+    m = base.groupBy(*by).agg(*agg) if by else base.agg(*agg)
+    nd = F.col("n").cast("double")
+    return m.select(
+        *by,
+        "n", "n_matched",
+        (F.col("n_matched").cast("double") / nd).alias("match_rate"),
+        (F.col("__swr") / nd).alias("v_ips"),
+        F.when(
+            F.col("__sw") > 0, F.col("__swr") / F.col("__sw")
+        ).alias("v_snips"),
+        F.when(
+            F.col("__sw2") > 0,
+            F.col("__sw") * F.col("__sw") / F.col("__sw2"),
+        ).alias("ess"),
+    )

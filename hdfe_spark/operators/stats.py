@@ -6082,3 +6082,101 @@ def group_sequential_by(
         boundary.alias("boundary"),
         F.when(ok, F.abs(zc) > boundary).alias("crossed"),
     )
+
+
+def meta_analysis_by(
+    df: DataFrame,
+    group_col: str,
+    est_col: str,
+    se_col: str,
+) -> DataFrame:
+    """Per-group meta-analysis of study/experiment estimates — the
+    fixed-effect inverse-variance pool AND the DerSimonian–Laird
+    (1986) random-effects pool, the standard way to combine the same
+    metric across experiments / cohorts / sites:
+
+    fixed:  w = 1/se², θ_F = Σwθ/Σw, se_F = sqrt(1/Σw)
+    Q      = Σwθ² − (Σwθ)²/Σw  (heterogeneity, df = k−1)
+    τ²     = max(0, (Q − (k−1)) / (Σw − Σw²/Σw))
+    random: w* = 1/(se² + τ²), θ_R = Σw*θ/Σw*, se_R = sqrt(1/Σw*)
+    I²     = max(0, (Q − (k−1))/Q)
+
+    Scale: the fixed-effect block and τ² come from ONE group-keyed
+    aggregation (Q in its one-pass spelling); the random-effects
+    block needs per-study reweighting by the group's τ², so the
+    group-sized (group, τ²) table broadcasts back for ONE more
+    aggregation — two data passes total, no window, nothing
+    data-sized on the driver. Rows with NULL/NaN estimate or a
+    non-positive / NULL / NaN se are dropped (listwise); groups with
+    k < 2 report the fixed block with NULL Q/τ²/random block.
+
+    Float contract: sums are IEEE doubles (θ and 1/se² have no
+    integer representation), so cross-engine hashes need either
+    few-study groups or dyadic-exact fixtures — the registered
+    oracle uses power-of-two se values, making every product exact
+    (the dml_plm_tree2 fixture convention); general inputs carry the
+    usual summation-order caveat documented here.
+
+    Returns one row per group: (group, k, theta_fixed, se_fixed, q,
+    tau2, i2, theta_random, se_random).
+    """
+    no_output_collision(
+        "meta_analysis_by", "group_col", group_col,
+        ("k", "theta_fixed", "se_fixed", "q", "tau2", "i2",
+         "theta_random", "se_random"),
+    )
+    est = F.col(est_col).cast("double")
+    se = F.col(se_col).cast("double")
+    valid = est.isNotNull() & se.isNotNull() & (se > 0)
+    if dict(df.dtypes).get(est_col) in ("double", "float"):
+        valid = valid & ~F.isnan(est)
+    if dict(df.dtypes).get(se_col) in ("double", "float"):
+        valid = valid & ~F.isnan(se)
+    base = df.filter(valid).select(
+        F.col(group_col).alias("__g"),
+        est.alias("__t"),
+        (F.lit(1.0) / (se * se)).alias("__w"),
+        (se * se).alias("__v"),
+    )
+    m = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__w").alias("__sw"),
+        F.sum(F.col("__w") * F.col("__w")).alias("__sw2"),
+        F.sum(F.col("__w") * F.col("__t")).alias("__swt"),
+        F.sum(F.col("__w") * F.col("__t") * F.col("__t")).alias("__swtt"),
+    )
+    kd = F.col("k").cast("double")
+    q = F.col("__swtt") - F.col("__swt") * F.col("__swt") / F.col("__sw")
+    denom = F.col("__sw") - F.col("__sw2") / F.col("__sw")
+    tau2 = F.greatest(
+        F.lit(0.0), (q - (kd - F.lit(1.0))) / denom
+    )
+    i2 = F.when(q > 0, F.greatest(F.lit(0.0), (q - (kd - F.lit(1.0))) / q))
+    many = F.col("k") >= 2
+    heads = m.select(
+        "__g", "k",
+        (F.col("__swt") / F.col("__sw")).alias("theta_fixed"),
+        F.sqrt(F.lit(1.0) / F.col("__sw")).alias("se_fixed"),
+        F.when(many, q).alias("q"),
+        F.when(many, tau2).alias("tau2"),
+        F.when(many, i2).alias("i2"),
+    )
+    re = base.join(
+        F.broadcast(heads.select("__g", "tau2")), on="__g", how="inner"
+    ).filter(F.col("tau2").isNotNull())
+    rstats = re.groupBy("__g").agg(
+        F.sum(F.lit(1.0) / (F.col("__v") + F.col("tau2"))).alias("__rsw"),
+        F.sum(
+            F.col("__t") / (F.col("__v") + F.col("tau2"))
+        ).alias("__rswt"),
+    ).select(
+        "__g",
+        (F.col("__rswt") / F.col("__rsw")).alias("theta_random"),
+        F.sqrt(F.lit(1.0) / F.col("__rsw")).alias("se_random"),
+    )
+    out = heads.join(rstats, on="__g", how="left")
+    return out.select(
+        F.col("__g").alias(group_col),
+        "k", "theta_fixed", "se_fixed", "q", "tau2", "i2",
+        "theta_random", "se_random",
+    )

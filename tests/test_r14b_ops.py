@@ -378,3 +378,149 @@ def test_synthetic_control_method_guard(spark):
     with pytest.raises(ValueError, match="unknown method"):
         synthetic_control(df, "unit", "period", "y", "a", 1,
                           method="qp")
+
+
+# ------------------------------------------- meta_analysis_by
+
+from hdfe_spark.operators.stats import meta_analysis_by
+
+
+def _dl_replica(th, se):
+    th, se = np.asarray(th, float), np.asarray(se, float)
+    w = 1 / se**2
+    tf = (w * th).sum() / w.sum()
+    sef = math.sqrt(1 / w.sum())
+    q = (w * th**2).sum() - (w * th).sum() ** 2 / w.sum()
+    k = len(th)
+    denom = w.sum() - (w**2).sum() / w.sum()
+    tau2 = max(0.0, (q - (k - 1)) / denom)
+    ws = 1 / (se**2 + tau2)
+    tr = (ws * th).sum() / ws.sum()
+    ser = math.sqrt(1 / ws.sum())
+    i2 = max(0.0, (q - (k - 1)) / q) if q > 0 else None
+    return tf, sef, q, tau2, i2, tr, ser
+
+
+def test_meta_analysis_by_replica(spark):
+    rng = np.random.RandomState(21)
+    rows, truth = [], {}
+    for g, k in (("a", 7), ("b", 3), ("c", 12)):
+        th = rng.normal(2.0, 1.0, k)
+        se = rng.uniform(0.2, 2.0, k)
+        truth[g] = (th, se)
+        rows += [(g, float(t), float(s)) for t, s in zip(th, se)]
+    df = spark.createDataFrame(rows, "g string, est double, se double")
+    out = {r["g"]: r for r in meta_analysis_by(df, "g", "est", "se").collect()}
+    for g, (th, se) in truth.items():
+        tf, sef, q, tau2, i2, tr, ser = _dl_replica(th, se)
+        r = out[g]
+        assert r["k"] == len(th)
+        assert r["theta_fixed"] == pytest.approx(tf, rel=1e-12)
+        assert r["se_fixed"] == pytest.approx(sef, rel=1e-12)
+        assert r["q"] == pytest.approx(q, rel=1e-9)
+        assert r["tau2"] == pytest.approx(tau2, rel=1e-9, abs=1e-12)
+        assert r["theta_random"] == pytest.approx(tr, rel=1e-9)
+        assert r["se_random"] == pytest.approx(ser, rel=1e-9)
+
+
+def test_meta_analysis_by_homogeneous_equals_fixed(spark):
+    # identical estimates -> Q = 0, tau2 = 0, random == fixed
+    rows = [("g", 3.0, float(s)) for s in (0.5, 1.0, 2.0, 0.25)]
+    df = spark.createDataFrame(rows, "g string, est double, se double")
+    r = meta_analysis_by(df, "g", "est", "se").collect()[0]
+    assert r["theta_fixed"] == pytest.approx(3.0)
+    assert r["q"] == pytest.approx(0.0, abs=1e-9)
+    assert r["tau2"] == 0.0
+    assert r["theta_random"] == pytest.approx(r["theta_fixed"])
+    assert r["se_random"] == pytest.approx(r["se_fixed"])
+
+
+def test_meta_analysis_by_thin_and_invalid(spark):
+    rows = [
+        ("one", 2.0, 1.0),                 # k=1: fixed only
+        ("bad", 2.0, 0.0),                 # se=0 dropped
+        ("bad", 5.0, -1.0),                # negative se dropped
+        ("bad", float("nan"), 1.0),        # NaN est dropped
+        ("bad", 4.0, 2.0),                 # the one valid row
+        ("none", None, 1.0),               # all dropped -> no group
+    ]
+    df = spark.createDataFrame(rows, "g string, est double, se double")
+    out = {r["g"]: r for r in meta_analysis_by(df, "g", "est", "se").collect()}
+    assert set(out) == {"one", "bad"}
+    assert out["one"]["k"] == 1 and out["one"]["q"] is None
+    assert out["one"]["theta_random"] is None
+    assert out["one"]["theta_fixed"] == pytest.approx(2.0)
+    assert out["bad"]["k"] == 1
+
+
+# ------------------------------------------- off_policy_eval
+
+from hdfe_spark.operators.causal import off_policy_eval
+
+
+def test_off_policy_eval_replica(spark):
+    rng = np.random.RandomState(13)
+    rows = []
+    for i in range(3000):
+        a = "x" if rng.rand() < 0.7 else "y"
+        p = 0.7 if a == "x" else 0.3
+        pi = "x" if i % 3 == 0 else "y"
+        r = float(rng.poisson(5 if a == "x" else 8))
+        rows.append((a, p, pi, r))
+    df = spark.createDataFrame(rows, "a string, p double, pi string, r double")
+    out = off_policy_eval(df, "r", "a", "p", "pi").collect()[0]
+    w = np.array([(1/p if a == pi else 0.0) for a, p, pi, _ in rows])
+    r = np.array([x[3] for x in rows])
+    m = np.array([a == pi for a, p, pi, _ in rows])
+    assert out["n"] == 3000 and out["n_matched"] == int(m.sum())
+    assert out["v_ips"] == pytest.approx((w*r).sum()/3000, rel=1e-9)
+    assert out["v_snips"] == pytest.approx((w*r).sum()/w.sum(), rel=1e-9)
+    assert out["ess"] == pytest.approx(w.sum()**2/(w*w).sum(), rel=1e-9)
+    # sanity: snips of the "always-x" policy ~= mean reward among x
+    rows2 = [(a, p, "x", rr) for a, p, _, rr in rows]
+    df2 = spark.createDataFrame(rows2, "a string, p double, pi string, r double")
+    o2 = off_policy_eval(df2, "r", "a", "p", "pi").collect()[0]
+    mean_x = r[np.array([a == "x" for a, *_ in rows])].mean()
+    assert o2["v_snips"] == pytest.approx(mean_x, rel=1e-12)
+
+
+def test_off_policy_eval_uniform_logging_identities(spark):
+    # uniform logging (p = 0.5 both actions), target "always x":
+    # SNIPS == mean reward among matched rows EXACTLY (constant
+    # weights), IPS == 2 * (sum of matched rewards) / n, ESS == the
+    # matched count
+    rng = np.random.RandomState(3)
+    rows = [("x" if rng.rand() < 0.5 else "y", 0.5, "x",
+             float(rng.rand())) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "a string, p double, pi string, r double")
+    out = off_policy_eval(df, "r", "a", "p", "pi").collect()[0]
+    matched = [r for a, _, __, r in rows if a == "x"]
+    assert out["v_snips"] == pytest.approx(np.mean(matched), rel=1e-12)
+    assert out["v_ips"] == pytest.approx(2 * sum(matched) / 2000, rel=1e-12)
+    assert out["ess"] == pytest.approx(len(matched), rel=1e-12)
+
+
+def test_off_policy_eval_by_and_missing(spark):
+    rows = [
+        ("g1", "x", 0.5, "x", 2.0),
+        ("g1", "y", 0.5, "x", 9.0),   # unmatched: weight 0
+        ("g1", "x", None, "x", 5.0),  # NULL propensity: dropped
+        ("g1", "x", 0.5, "x", float("nan")),  # NaN reward: dropped
+        ("g2", "x", 0.25, None, 3.0),  # NULL target: dropped
+        ("g2", "y", 0.25, "y", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, a string, p double, pi string, r double")
+    out = {r["g"]: r for r in
+           off_policy_eval(df, "r", "a", "p", "pi", by=["g"]).collect()}
+    assert out["g1"]["n"] == 2 and out["g1"]["n_matched"] == 1
+    assert out["g1"]["v_ips"] == pytest.approx(2.0 * 2 / 2)
+    assert out["g1"]["v_snips"] == pytest.approx(2.0)
+    assert out["g2"]["n"] == 1 and out["g2"]["ess"] == pytest.approx(1.0)
+
+
+def test_off_policy_eval_clip(spark):
+    rows = [("x", 0.001, "x", 10.0), ("y", 0.999, "x", 1.0)]
+    df = spark.createDataFrame(rows, "a string, p double, pi string, r double")
+    out = off_policy_eval(df, "r", "a", "p", "pi", clip=0.1).collect()[0]
+    # propensity clipped to 0.1 -> weight 10, not 1000
+    assert out["v_ips"] == pytest.approx(10.0 * 10.0 / 2)

@@ -166,6 +166,94 @@ def stress_gseq(spark):
           f"segment ({len(crossed)} looks)")
 
 
+def stress_meta(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import meta_analysis_by
+
+    # 20M "study" rows across 1000 groups: dyadic se in {1/4,1/2,1,2}
+    # and integer estimates make every weighted addend exact
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 1000).cast("string").alias("g"),
+        ((F.col("id") * 48271) % 21).cast("double").alias("est"),
+        F.pow(F.lit(2.0),
+              ((F.col("id") * 7919) % 4).cast("double") - F.lit(2.0))
+        .alias("se"),
+    )
+    t0 = time.perf_counter()
+    out = {r["g"]: r for r in
+           meta_analysis_by(df, "g", "est", "se").collect()}
+    wall = time.perf_counter() - t0
+
+    ids = np.arange(N, dtype=np.int64)
+    g = ids % 1000
+    est = ((ids * 48271) % 21).astype(np.float64)
+    se = 2.0 ** (((ids * 7919) % 4).astype(np.float64) - 2.0)
+    w = 1 / se**2
+    worst = 0.0
+    for gg in (0, 1, 499, 998, 999):
+        m = g == gg
+        th, wv = est[m], w[m]
+        tf = (wv * th).sum() / wv.sum()
+        q = (wv * th * th).sum() - (wv * th).sum() ** 2 / wv.sum()
+        k = int(m.sum())
+        tau2 = max(0.0, (q - (k - 1)) / (wv.sum() - (wv**2).sum() / wv.sum()))
+        ws = 1 / (se[m] ** 2 + tau2)
+        tr = (ws * th).sum() / ws.sum()
+        r = out[str(gg)]
+        assert r["k"] == k
+        worst = max(worst,
+                    abs(r["theta_fixed"] - tf) / abs(tf),
+                    abs(r["tau2"] - tau2) / max(tau2, 1e-300),
+                    abs(r["theta_random"] - tr) / abs(tr))
+    print(f"meta_analysis_by 20M x 1000 groups: {wall:.1f}s, "
+          f"worst rel err {worst:.2e} (fixed/tau2/random vs numpy)")
+
+
+def stress_ope(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import off_policy_eval
+
+    # 20M logged rounds, dyadic propensities, integer rewards
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 50).cast("string").alias("seg"),
+        F.when((F.col("id") * 48271) % 4 == 0, "x").otherwise("y")
+        .alias("a"),
+        F.when((F.col("id") * 48271) % 4 == 0, F.lit(0.25))
+        .otherwise(F.lit(0.75)).alias("p"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("pi"),
+        ((F.col("id") * 7919) % 11).cast("double").alias("r"),
+    )
+    t0 = time.perf_counter()
+    out = {r["seg"]: r for r in
+           off_policy_eval(df, "r", "a", "p", "pi", by=["seg"]).collect()}
+    wall = time.perf_counter() - t0
+
+    ids = np.arange(N, dtype=np.int64)
+    seg = ids % 50
+    is_x = (ids * 48271) % 4 == 0
+    p = np.where(is_x, 0.25, 0.75)
+    pi_x = ids % 2 == 0
+    match = is_x == pi_x
+    r = ((ids * 7919) % 11).astype(np.float64)
+    w = np.where(match, 1 / p, 0.0)
+    worst = 0.0
+    for s in (0, 1, 25, 49):
+        m = seg == s
+        n = int(m.sum())
+        vips = (w[m] * r[m]).sum() / n
+        vsnips = (w[m] * r[m]).sum() / w[m].sum()
+        ess = w[m].sum() ** 2 / (w[m] ** 2).sum()
+        o = out[str(s)]
+        assert o["n"] == n and o["n_matched"] == int(match[m].sum())
+        worst = max(worst, abs(o["v_ips"] - vips) / vips,
+                    abs(o["v_snips"] - vsnips) / vsnips,
+                    abs(o["ess"] - ess) / ess)
+    print(f"off_policy_eval 20M x 50 segments: {wall:.1f}s, "
+          f"worst rel err {worst:.2e} (ips/snips/ess vs numpy)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sp = _spark()
@@ -175,3 +263,7 @@ if __name__ == "__main__":
         stress_synth(sp)
     if which in ("gseq", "all"):
         stress_gseq(sp)
+    if which in ("meta", "all"):
+        stress_meta(sp)
+    if which in ("ope", "all"):
+        stress_ope(sp)
