@@ -8386,6 +8386,170 @@ _GROUP_SEQUENTIAL_SQL = """
         """
 
 
+def _q_meta_analysis(spark, sf_dir):
+    """Per-group meta-analysis (`operators/stats.py::
+    meta_analysis_by` — fixed-effect pool + DerSimonian-Laird
+    random effects): l_quantity "study estimates" with dyadic
+    standard errors {0.5, 1, 2} from l_linenumber, pooled per
+    l_returnflag. The dyadic se / integer estimate fixture makes
+    every first-pass weighted addend exact in float64 (the
+    dml_plm_tree2 convention) so Q/tau2 are cross-engine exact; the
+    random-effects resummation divides by (v + tau2) — arbitrary
+    doubles — so theta/se_random round at 4 decimals (the ols_wls
+    double-moment convention)."""
+    from hdfe_spark.operators.stats import meta_analysis_by
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    ).select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("est"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(0.5))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit(1.0))
+        .otherwise(F.lit(2.0)).alias("se"),
+    )
+    out = meta_analysis_by(li, "l_returnflag", "est", "se")
+    return out.select(
+        "l_returnflag", "k",
+        _pround("theta_fixed").alias("theta_fixed"),
+        _pround("se_fixed").alias("se_fixed"),
+        _pround("q").alias("q"),
+        _pround("tau2").alias("tau2"),
+        _pround("i2", 12).alias("i2"),
+        _pround("theta_random", 4).alias("theta_random"),
+        _pround("se_random", 4).alias("se_random"),
+    )
+
+
+_META_ANALYSIS_SQL = """
+            WITH b AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS DOUBLE) AS t,
+                     CASE WHEN l_linenumber % 3 = 0 THEN 0.5
+                          WHEN l_linenumber % 3 = 1 THEN 1.0
+                          ELSE 2.0 END AS se
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_linenumber IS NOT NULL
+                AND l_returnflag IS NOT NULL),
+            m AS (
+              SELECT g, count(*) AS k,
+                     sum(1.0 / (se * se)) AS sw,
+                     sum((1.0 / (se * se)) * (1.0 / (se * se)))
+                       AS sw2,
+                     sum((1.0 / (se * se)) * t) AS swt,
+                     sum((1.0 / (se * se)) * t * t) AS swtt
+              FROM b GROUP BY g),
+            h AS (
+              SELECT g, k, sw,
+                     swt / sw AS tf,
+                     sqrt(1.0 / sw) AS sef,
+                     swtt - swt * swt / sw AS q,
+                     greatest(0.0,
+                       (swtt - swt * swt / sw
+                        - (CAST(k AS DOUBLE) - 1.0))
+                       / (sw - sw2 / sw)) AS tau2
+              FROM m),
+            r AS (
+              SELECT b.g,
+                     sum(1.0 / (b.se * b.se + h.tau2)) AS rsw,
+                     sum(b.t / (b.se * b.se + h.tau2)) AS rswt
+              FROM b JOIN h ON b.g = h.g
+              GROUP BY b.g)
+            SELECT h.g AS l_returnflag,
+                   CAST(h.k AS BIGINT) AS k,
+                   floor(h.tf * 1e9 + 0.5) / 1e9 AS theta_fixed,
+                   floor(h.sef * 1e9 + 0.5) / 1e9 AS se_fixed,
+                   floor(h.q * 1e9 + 0.5) / 1e9 AS q,
+                   floor(h.tau2 * 1e9 + 0.5) / 1e9 AS tau2,
+                   floor(greatest(0.0,
+                         (h.q - (CAST(h.k AS DOUBLE) - 1.0)) / h.q)
+                         * 1e12 + 0.5) / 1e12 AS i2,
+                   floor(r.rswt / r.rsw * 1e4 + 0.5) / 1e4
+                     AS theta_random,
+                   floor(sqrt(1.0 / r.rsw) * 1e4 + 0.5) / 1e4
+                     AS se_random
+            FROM h JOIN r ON h.g = r.g
+        """
+
+
+def _q_off_policy_eval(spark, sf_dir):
+    """Off-policy evaluation (`operators/causal.py::
+    off_policy_eval` — IPS/SNIPS counterfactual policy value from
+    logged bandit rounds, with the ESS diagnostic): logged action
+    x/y from event_id%4 at dyadic propensities {0.25, 0.5}, target
+    policy "x for even user_ids", integer rewards event_id%7 — every
+    weighted addend exact in float64, so all five outputs are
+    cross-engine exact IEEE expressions. One segment-keyed
+    aggregation (user_id%5)."""
+    from hdfe_spark.operators.causal import off_policy_eval
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        (F.col("user_id") % 5).cast("long").alias("segment"),
+        F.when(F.col("event_id") % 4 == 0, "x").otherwise("y")
+        .alias("a"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(0.25))
+        .otherwise(F.lit(0.5)).alias("p"),
+        F.when(F.col("user_id") % 2 == 0, "x").otherwise("y")
+        .alias("pi"),
+        (F.col("event_id") % 7).cast("double").alias("r"),
+    )
+    out = off_policy_eval(ev, "r", "a", "p", "pi", by=["segment"])
+    return out.select(
+        "segment", "n", "n_matched",
+        _pround("match_rate", 12).alias("match_rate"),
+        _pround("v_ips").alias("v_ips"),
+        _pround("v_snips").alias("v_snips"),
+        _pround("ess").alias("ess"),
+    )
+
+
+_OFF_POLICY_EVAL_SQL = """
+            WITH b AS (
+              SELECT user_id % 5 AS segment,
+                     CASE WHEN event_id % 4 = 0 THEN 'x' ELSE 'y'
+                       END AS a,
+                     CASE WHEN event_id % 4 = 0 THEN 0.25 ELSE 0.5
+                       END AS p,
+                     CASE WHEN user_id % 2 = 0 THEN 'x' ELSE 'y'
+                       END AS pi,
+                     CAST(event_id % 7 AS DOUBLE) AS r
+              FROM events
+              WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+            w AS (
+              SELECT segment, r, (a = pi) AS m,
+                     CASE WHEN a = pi THEN 1.0 / p ELSE 0.0 END AS w
+              FROM b),
+            m AS (
+              SELECT segment,
+                     count(*) AS n,
+                     count(CASE WHEN m THEN 1 END) AS n_matched,
+                     sum(w * r) AS swr,
+                     sum(w) AS sw,
+                     sum(w * w) AS sw2
+              FROM w GROUP BY segment)
+            SELECT segment,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(n_matched AS BIGINT) AS n_matched,
+                   floor(CAST(n_matched AS DOUBLE)
+                         / CAST(n AS DOUBLE) * 1e12 + 0.5) / 1e12
+                     AS match_rate,
+                   floor(swr / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9
+                     AS v_ips,
+                   CASE WHEN sw > 0 THEN
+                     floor(swr / sw * 1e9 + 0.5) / 1e9
+                   END AS v_snips,
+                   CASE WHEN sw2 > 0 THEN
+                     floor(sw * sw / sw2 * 1e9 + 0.5) / 1e9
+                   END AS ess
+            FROM m
+        """
+
+
 def _q_ols_wls_fe(spark, sf_dir):
     """Weighted within/FE estimation (`operators/estimate.py::
     wls_within` — reghdfe's ``areg y x [aw=w], absorb(fe)`` shape,
@@ -9053,7 +9217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 14: group_sequential — the OBF-shaped interim-analysis
         # ladder — evicting hard_negatives
         "group_sequential": _q_group_sequential,
-        # 15-50: the 36 stalest driver-green re-certs — the six
+        # 15-16: meta_analysis (fixed + DerSimonian-Laird pooling)
+        # and off_policy_eval (IPS/SNIPS counterfactual policy
+        # value) — evicting fuzzy_pairs/gap_fill
+        "meta_analysis": _q_meta_analysis,
+        "off_policy_eval": _q_off_policy_eval,
+        # 17-50: the 34 stalest driver-green re-certs — the six
         # tpch_q14-q19 rows evicted by the late-round-13
         # registrations, the r06 residue (tpch_q2 .. winsorize),
         # then the r07 stratum from its alphabetical head
@@ -9092,12 +9261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_pruned_join": _q_dpp_pruned_join,
         "ewma": _q_ewma,
         "fuzzy_dedup": _q_fuzzy_dedup,
+        # ------ end of the driver's 50-query window ------
+        # (fuzzy_pairs/gap_fill evicted by the meta_analysis/
+        # off_policy_eval registrations; hard_negatives by
+        # group_sequential; inverted_index by streaming_srm;
+        # kfold_cv/kmeans by conformal_by/synthetic_control)
         "fuzzy_pairs": _q_fuzzy_pairs,
         "gap_fill": _q_gap_fill,
-        # ------ end of the driver's 50-query window ------
-        # (hard_negatives evicted by the group_sequential
-        # registration; inverted_index by streaming_srm;
-        # kfold_cv/kmeans by conformal_by/synthetic_control)
         "hard_negatives": _q_hard_negatives,
         "inverted_index": _q_inverted_index,
         "kfold_cv": _q_kfold_cv,
@@ -9873,6 +10043,8 @@ def oracle_sql() -> dict[str, str]:
         "synthetic_control": _SYNTHETIC_CONTROL_SQL,
         "streaming_srm": _STREAMING_SRM_SQL,
         "group_sequential": _GROUP_SEQUENTIAL_SQL,
+        "meta_analysis": _META_ANALYSIS_SQL,
+        "off_policy_eval": _OFF_POLICY_EVAL_SQL,
         "ri_pvalue": _RI_PVALUE_SQL,
         "mde_by": _MDE_BY_SQL,
         "hausman_iv": _HAUSMAN_IV_SQL,

@@ -31,12 +31,13 @@ def test_round14_window_composition():
     streaming form — `cem_att`, `att_gt`, `triple_diff`, and
     `lee_bounds`, then the second-batch `conformal_by`,
     `synthetic_control`, `streaming_srm` — the 27th streaming
-    form — and `group_sequential` at 11-14); 15-50 = the 36 stalest
+    form — `group_sequential`, `meta_analysis`, and
+    `off_policy_eval` at 11-16); 17-50 = the 34 stalest
     driver-green re-certs (`ks_test`/`log_parse`/`mahalanobis`/
     `mann_whitney`/`minhash_dedup`/`ols_2fe`/`ols_ridge`/
-    `pack_sequences`/`hard_negatives`/`inverted_index`/`kfold_cv`/
-    `kmeans` evicted to the backlog head by the late
-    registrations) —
+    `pack_sequences`/`fuzzy_pairs`/`gap_fill`/`hard_negatives`/
+    `inverted_index`/`kfold_cv`/`kmeans` evicted to the backlog
+    head by the late registrations) —
     the six `tpch_q14`-`q19` rows the late-round-13 registrations
     evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
     r07 stratum from its alphabetical head (`ab_proportions` ..
@@ -51,23 +52,24 @@ def test_round14_window_composition():
         "streaming_msprt", "cem_att", "att_gt",
         "triple_diff", "lee_bounds",
         "conformal_by", "synthetic_control", "streaming_srm",
-        "group_sequential", "tpch_q14", "tpch_q15",
+        "group_sequential", "meta_analysis", "off_policy_eval",
     ]
-    assert q[16:20] == ["tpch_q16", "tpch_q17", "tpch_q18",
-                        "tpch_q19"]
-    assert q[20] == "tpch_q2"
-    assert q[32] == "winsorize"
-    assert q[33] == "ab_proportions"
-    assert q[49] == "gap_fill"
-    # backlog head = the twelve re-certs the late-round registrations
-    # evicted, then the r07 residue, stalest-first
-    assert q[50:62] == ["hard_negatives", "inverted_index",
+    assert q[16:22] == ["tpch_q14", "tpch_q15", "tpch_q16",
+                        "tpch_q17", "tpch_q18", "tpch_q19"]
+    assert q[22] == "tpch_q2"
+    assert q[34] == "winsorize"
+    assert q[35] == "ab_proportions"
+    assert q[49] == "fuzzy_dedup"
+    # backlog head = the fourteen re-certs the late-round
+    # registrations evicted, then the r07 residue, stalest-first
+    assert q[50:64] == ["fuzzy_pairs", "gap_fill",
+                        "hard_negatives", "inverted_index",
                         "kfold_cv", "kmeans",
                         "ks_test", "log_parse",
                         "mahalanobis", "mann_whitney",
                         "minhash_dedup", "ols_2fe",
                         "ols_ridge", "pack_sequences"]
-    assert q[62] == "psi_drift"
+    assert q[64] == "psi_drift"
     # the round-13 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r13_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -83,7 +85,7 @@ def test_round14_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 340
+    assert len(q) == 342
 
 
 def test_every_query_has_callable():
