@@ -6180,3 +6180,246 @@ def meta_analysis_by(
         "k", "theta_fixed", "se_fixed", "q", "tau2", "i2",
         "theta_random", "se_random",
     )
+
+
+def cuped2_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    x1_col: str,
+    x2_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group TWO-COVARIATE CUPED (round-15 pre-build) — the
+    `cuped_by` adjustment with a second pre-experiment covariate:
+    ``theta = Var(X)^{-1} Cov(X, y)`` solved IN-PLAN by the 2×2
+    Cramer expressions over exact DECIMAL(38,0) moments (the
+    `hausman_iv`/`synthetic_control` closed-form convention — fully
+    distributed, no driver solve, SQL-spellable), adjusted contrast
+    ``(Δy − θ1·Δx1 − θ2·Δx2)`` and the multi-covariate
+    ``rho² = (θ1·C1 + θ2·C2)/S_yy`` (the variance-reduction factor
+    1 − rho² of the CUPED model).
+
+    All moments — pooled (for theta/rho²) AND per-arm (for the
+    contrast) — ride ONE conditional map-side-combined aggregation
+    of ``round(v·scale)`` DECIMAL(38,0) integers; every centered
+    numerator is an exact decimal difference via the shared
+    `_dec38_num` overflow-guarded spelling. One shared not-NULL/
+    not-NaN mask over (y, x1, x2) defines the estimating sample (the
+    r13 moment-estimator discipline). Groups with a singular
+    covariate Gram (det ≤ 0), zero outcome variance, or an arm
+    thinner than 2 get NULL theta/adjusted columns, never a
+    poisoned panel. The common ``scale`` cancels in theta and rho²;
+    effects are reported in original units.
+
+    Returns one row per group: (group, n_a, n_b, effect_raw,
+    effect_adj, theta1, theta2, rho2).
+    """
+    no_output_collision(
+        "cuped2_by", "group_col", group_col,
+        ("n_a", "n_b", "effect_raw", "effect_adj",
+         "theta1", "theta2", "rho2"),
+    )
+    if arm_a == arm_b:
+        raise ValueError(
+            f"cuped2_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    if len({value_col, x1_col, x2_col}) != 3:
+        raise ValueError(
+            "cuped2_by: value/x1/x2 columns must be three distinct"
+            " columns"
+        )
+    cols = {"y": value_col, "x1": x1_col, "x2": x2_col}
+    mask = F.lit(True)
+    for c in cols.values():
+        mask = mask & _non_nan(df, c)
+    u = {
+        t: F.round(F.col(c) * F.lit(float(scale))).cast("decimal(38,0)")
+        for t, c in cols.items()
+    }
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def _sum(cond, expr, name):
+        return F.coalesce(F.sum(F.when(cond, expr)), zero).alias(name)
+
+    pooled = is_a | is_b
+    aggs = [
+        F.coalesce(F.sum(F.when(pooled, F.lit(1))), F.lit(0))
+        .cast("long").alias("n"),
+    ]
+    for t in ("y", "x1", "x2"):
+        aggs.append(_sum(pooled, u[t], f"__s_{t}"))
+    for a, b in (("y", "y"), ("x1", "x1"), ("x2", "x2"),
+                 ("x1", "x2"), ("x1", "y"), ("x2", "y")):
+        aggs.append(_sum(pooled, u[a] * u[b], f"__s_{a}{b}"))
+    for tag, cond in (("a", is_a), ("b", is_b)):
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.lit(1))), F.lit(0))
+            .cast("long").alias(f"n_{tag}")
+        )
+        for t in ("y", "x1", "x2"):
+            aggs.append(_sum(cond, u[t], f"__s_{t}_{tag}"))
+    m = (
+        df.filter(mask)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*aggs)
+    )
+    n = F.col("n")
+    v11 = _dec38_num("cuped2_by", n, F.col("__s_x1x1"), F.col("__s_x1"))
+    v22 = _dec38_num("cuped2_by", n, F.col("__s_x2x2"), F.col("__s_x2"))
+    v12 = _dec38_num(
+        "cuped2_by", n, F.col("__s_x1x2"), F.col("__s_x1"), F.col("__s_x2")
+    )
+    c1 = _dec38_num(
+        "cuped2_by", n, F.col("__s_x1y"), F.col("__s_x1"), F.col("__s_y")
+    )
+    c2 = _dec38_num(
+        "cuped2_by", n, F.col("__s_x2y"), F.col("__s_x2"), F.col("__s_y")
+    )
+    syy = _dec38_num("cuped2_by", n, F.col("__s_yy"), F.col("__s_y"))
+    det = v11 * v22 - v12 * v12
+    th1 = (c1 * v22 - c2 * v12) / det
+    th2 = (v11 * c2 - v12 * c1) / det
+    rho2 = (th1 * c1 + th2 * c2) / syy
+    sc = F.lit(float(scale))
+
+    def _mean(t, tag):
+        return (
+            F.col(f"__s_{t}_{tag}").cast("double")
+            / F.col(f"n_{tag}").cast("double")
+        )
+
+    d_y = _mean("y", "b") - _mean("y", "a")
+    d_x1 = _mean("x1", "b") - _mean("x1", "a")
+    d_x2 = _mean("x2", "b") - _mean("x2", "a")
+    thin = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    ok = thin & (det > 0) & (syy > 0)
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_a", "n_b",
+        F.when(
+            (F.col("n_a") >= 1) & (F.col("n_b") >= 1), d_y / sc
+        ).alias("effect_raw"),
+        F.when(ok, (d_y - th1 * d_x1 - th2 * d_x2) / sc)
+        .alias("effect_adj"),
+        F.when(ok, th1).alias("theta1"),
+        F.when(ok, th2).alias("theta2"),
+        F.when(ok, rho2).alias("rho2"),
+    )
+
+
+def bayes_ab(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    arm_a,
+    arm_b,
+    alpha_prior: int = 1,
+    beta_prior: int = 1,
+    exact_max: int = 200_000,
+) -> DataFrame:
+    """Bayesian A/B readout for binary outcomes (round-15
+    pre-build): Beta–Binomial posteriors per arm and the EXACT
+    probability of superiority ``P(p_b > p_a)`` via the closed-form
+    Cook (2005) sum
+
+    ``h(a_A,b_A,a_B,b_B) = Σ_{i=0}^{a_B−1}
+      B(a_A+i, b_A+b_B) / ((b_B+i)·B(1+i, b_B)·B(a_A, b_A))``
+
+    evaluated in log space (lgamma), summing over whichever arm
+    gives the SHORTER sum (the ``1 − h(swapped)`` identity). Counts
+    above ``exact_max`` switch to the normal approximation on the
+    posterior means/variances (method column says which — the
+    qte_by accuracy-escape convention). Priors must be positive
+    integers (the closed form needs an integer sum bound).
+
+    Scale: ONE map-side-combined aggregation produces four exact
+    integer counters; the posterior math is O(min(successes)) on the
+    driver — nothing data-sized moves. Success values must be 0/1
+    (boolean or numeric); anything else RAISES in-plan (the
+    `chi2_gof_by` out-of-design convention). NULL successes drop.
+
+    Returns one row: (n_a, s_a, n_b, s_b, mean_a, mean_b,
+    p_b_beats_a, method).
+    """
+    if (
+        int(alpha_prior) != alpha_prior or int(beta_prior) != beta_prior
+        or alpha_prior < 1 or beta_prior < 1
+    ):
+        raise ValueError(
+            "bayes_ab: priors must be positive integers (the exact"
+            f" sum needs an integer bound; got {alpha_prior!r},"
+            f" {beta_prior!r})"
+        )
+    s = F.col(success_col).cast("double")
+    sv = F.when(
+        s.isNotNull() & ~s.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("bayes_ab: success value outside {0,1}: "),
+                F.col(success_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+    row = df.filter((is_a | is_b) & s.isNotNull()).agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.coalesce(F.sum(F.when(is_a, sv)), F.lit(0.0))
+        .cast("long").alias("s_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(is_b, sv)), F.lit(0.0))
+        .cast("long").alias("s_b"),
+    ).collect()[0]
+    n_a, s_a = int(row["n_a"]), int(row["s_a"])
+    n_b, s_b = int(row["n_b"]), int(row["s_b"])
+    aA, bA = int(alpha_prior) + s_a, int(beta_prior) + n_a - s_a
+    aB, bB = int(alpha_prior) + s_b, int(beta_prior) + n_b - s_b
+    lg = math.lgamma
+
+    def _lbeta(x, y):
+        return lg(x) + lg(y) - lg(x + y)
+
+    def _h(a1, b1, a2, b2):
+        # P(p2 > p1) for Beta(a1,b1) vs Beta(a2,b2), exact
+        base = _lbeta(a1, b1)
+        total = 0.0
+        for i in range(a2):
+            total += math.exp(
+                _lbeta(a1 + i, b1 + b2)
+                - math.log(b2 + i)
+                - _lbeta(1 + i, b2)
+                - base
+            )
+        return total
+
+    if min(aB, aA) > exact_max:
+        # normal approximation on the posterior moments
+        mA, mB = aA / (aA + bA), aB / (aB + bB)
+        vA = aA * bA / ((aA + bA) ** 2 * (aA + bA + 1.0))
+        vB = aB * bB / ((aB + bB) ** 2 * (aB + bB + 1.0))
+        z = (mB - mA) / math.sqrt(vA + vB)
+        p = 0.5 * math.erfc(-z / math.sqrt(2.0))
+        method = "normal"
+    else:
+        p = _h(aA, bA, aB, bB) if aB <= aA else 1.0 - _h(aB, bB, aA, bA)
+        method = "exact"
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [{
+            "n_a": n_a, "s_a": s_a, "n_b": n_b, "s_b": s_b,
+            "mean_a": aA / (aA + bA),
+            "mean_b": aB / (aB + bB),
+            "p_b_beats_a": float(p),
+            "method": method,
+        }],
+        schema=(
+            "n_a long, s_a long, n_b long, s_b long, mean_a double,"
+            " mean_b double, p_b_beats_a double, method string"
+        ),
+    )

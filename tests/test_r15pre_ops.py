@@ -1,0 +1,151 @@
+"""Round-15 pre-build tests: cuped2_by (two-covariate CUPED) and
+bayes_ab (Beta-Binomial posterior A/B readout)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.stats import cuped2_by
+
+
+def test_cuped2_by_matches_lstsq_replica(spark):
+    rng = np.random.RandomState(17)
+    rows, blocks = [], {}
+    for g in ("g1", "g2"):
+        n = 400
+        x1 = rng.normal(10, 2, n)
+        x2 = rng.normal(-3, 1.5, n)
+        arm = np.where(rng.rand(n) < 0.5, "A", "B")
+        y = (2.0 * x1 - 1.5 * x2 + rng.normal(0, 1, n)
+             + np.where(arm == "B", 0.7, 0.0))
+        blocks[g] = (x1, x2, arm, y)
+        rows += [(g, str(a), float(yy), float(a1), float(a2))
+                 for a, yy, a1, a2 in zip(arm, y, x1, x2)]
+    df = spark.createDataFrame(rows, "g string, arm string, y double, x1 double, x2 double")
+    out = {r["g"]: r for r in
+           cuped2_by(df, "g", "arm", "y", "x1", "x2", "A", "B",
+                     scale=1e7).collect()}
+    for g, (x1, x2, arm, y) in blocks.items():
+        # replica on the scaled integers (matching the engine's
+        # exact-moment semantics)
+        u1, u2, uy = (np.round(x1*1e7), np.round(x2*1e7), np.round(y*1e7))
+        X = np.stack([u1, u2], 1)
+        Xc = X - X.mean(0)
+        yc = uy - uy.mean()
+        theta = np.linalg.solve(Xc.T @ Xc, Xc.T @ yc)
+        r = out[g]
+        assert r["theta1"] == pytest.approx(theta[0], rel=1e-9)
+        assert r["theta2"] == pytest.approx(theta[1], rel=1e-9)
+        db = (uy[arm == "B"].mean() - uy[arm == "A"].mean())
+        d1 = (u1[arm == "B"].mean() - u1[arm == "A"].mean())
+        d2 = (u2[arm == "B"].mean() - u2[arm == "A"].mean())
+        adj = (db - theta[0]*d1 - theta[1]*d2) / 1e7
+        assert r["effect_adj"] == pytest.approx(adj, rel=1e-9, abs=1e-9)
+        assert r["effect_raw"] == pytest.approx(db / 1e7, rel=1e-9)
+        ssr = theta @ (Xc.T @ yc)
+        rho2 = ssr / (yc @ yc)
+        assert r["rho2"] == pytest.approx(rho2, rel=1e-9)
+        assert 0 < r["rho2"] < 1
+
+
+def test_cuped2_by_balanced_shift_recovered_exactly(spark):
+    # identical covariate values in BOTH arms (arm orthogonal to X
+    # by construction) + y linear in X + a pure +5 arm shift: the
+    # pooled theta is exact, and the adjusted effect is exactly 5
+    rows = []
+    rng = np.random.RandomState(2)
+    for i in range(150):
+        x1, x2 = float(rng.randint(0, 50)), float(rng.randint(0, 30))
+        base = 3.0 * x1 - 2.0 * x2
+        rows.append(("g", "A", base, x1, x2))
+        rows.append(("g", "B", base + 5.0, x1, x2))
+    df = spark.createDataFrame(rows, "g string, arm string, y double, x1 double, x2 double")
+    r = cuped2_by(df, "g", "arm", "y", "x1", "x2", "A", "B").collect()[0]
+    assert r["theta1"] == pytest.approx(3.0, abs=1e-6)
+    assert r["theta2"] == pytest.approx(-2.0, abs=1e-6)
+    assert r["effect_adj"] == pytest.approx(5.0, abs=1e-6)
+    assert 0.9 < r["rho2"] < 1.0
+
+
+def test_cuped2_by_degenerate_nulls(spark):
+    rows = [
+        # x2 constant -> singular Gram -> NULL adjusted block
+        ("s", "A", 1.0, 1.0, 7.0), ("s", "A", 2.0, 2.0, 7.0),
+        ("s", "B", 3.0, 3.0, 7.0), ("s", "B", 4.0, 4.0, 7.0),
+        # NaN x1 row drops from the shared mask entirely
+        ("s", "B", 9.0, float("nan"), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, arm string, y double, x1 double, x2 double")
+    r = cuped2_by(df, "g", "arm", "y", "x1", "x2", "A", "B").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["theta1"] is None and r["effect_adj"] is None
+    assert r["effect_raw"] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="distinct"):
+        cuped2_by(df, "g", "arm", "y", "x1", "x1", "A", "B")
+
+
+# --------------------------------------------------- bayes_ab
+
+from hdfe_spark.operators.stats import bayes_ab
+
+
+def _p_superiority_quad(aA, bA, aB, bB, n_grid=200_001):
+    """numpy numerical-integration replica: P(pB > pA) =
+    int f_B(x) * F_A(x) dx via trapezoid on a fine grid."""
+    x = np.linspace(0.0, 1.0, n_grid)[1:-1]
+    lg = math.lgamma
+
+    def logpdf(a, b):
+        return ((a - 1) * np.log(x) + (b - 1) * np.log1p(-x)
+                - (lg(a) + lg(b) - lg(a + b)))
+
+    fB = np.exp(logpdf(aB, bB))
+    fA = np.exp(logpdf(aA, bA))
+    dx = x[1] - x[0]
+    # cumulative TRAPEZOID (a left-Riemann cumsum is ~dx*f/2 biased,
+    # which is 1e-5 at this grid -- bigger than the exact sum's err)
+    FA = dx * (np.cumsum(fA) - 0.5 * (fA + fA[0]))
+    return float(np.trapz(fB * FA, dx=dx))
+
+
+def test_bayes_ab_symmetric_is_half(spark):
+    rows = [("A", 1), ("A", 0), ("B", 1), ("B", 0)] * 25
+    df = spark.createDataFrame(rows, "arm string, s int")
+    r = bayes_ab(df, "arm", "s", "A", "B").collect()[0]
+    assert r["p_b_beats_a"] == pytest.approx(0.5, abs=1e-12)
+    assert r["method"] == "exact"
+    assert r["n_a"] == 50 and r["s_a"] == 25
+
+
+def test_bayes_ab_matches_quadrature(spark):
+    rng = np.random.RandomState(9)
+    rows = [("A", int(rng.rand() < 0.30)) for _ in range(400)]
+    rows += [("B", int(rng.rand() < 0.36)) for _ in range(350)]
+    rows += [("C", 1)] * 10  # other arm ignored
+    rows += [("B", None)]    # NULL dropped
+    df = spark.createDataFrame(rows, "arm string, s int")
+    r = bayes_ab(df, "arm", "s", "A", "B").collect()[0]
+    aA, bA = 1 + r["s_a"], 1 + r["n_a"] - r["s_a"]
+    aB, bB = 1 + r["s_b"], 1 + r["n_b"] - r["s_b"]
+    want = _p_superiority_quad(aA, bA, aB, bB)
+    assert r["p_b_beats_a"] == pytest.approx(want, abs=1e-7)
+    assert r["mean_a"] == pytest.approx(aA / (aA + bA))
+    assert 0.5 < r["p_b_beats_a"] < 1.0
+
+
+def test_bayes_ab_normal_escape_and_guards(spark):
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70
+    rows += [("B", 1)] * 42 + [("B", 0)] * 58
+    df = spark.createDataFrame(rows, "arm string, s int")
+    ex = bayes_ab(df, "arm", "s", "A", "B").collect()[0]
+    ap = bayes_ab(df, "arm", "s", "A", "B", exact_max=10).collect()[0]
+    assert ap["method"] == "normal" and ex["method"] == "exact"
+    # the normal approximation should agree to ~1e-2 at n=100
+    assert ap["p_b_beats_a"] == pytest.approx(ex["p_b_beats_a"], abs=0.02)
+    with pytest.raises(ValueError, match="positive integers"):
+        bayes_ab(df, "arm", "s", "A", "B", alpha_prior=0.5)
+    bad = spark.createDataFrame([("A", 2)], "arm string, s int")
+    with pytest.raises(Exception, match="outside"):
+        bayes_ab(bad, "arm", "s", "A", "B")
