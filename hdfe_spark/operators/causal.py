@@ -1735,3 +1735,221 @@ def off_policy_eval(
             F.col("__sw") * F.col("__sw") / F.col("__sw2"),
         ).alias("ess"),
     )
+
+
+def mediation_by(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    treat_col: str,
+    mediator_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group mediation decomposition (round-15 pre-build) — the
+    classical product-of-coefficients analysis (Baron–Kenny 1986)
+    with the Sobel (1982) standard error: how much of a treatment's
+    effect on ``y`` flows THROUGH a mediator ``m``?
+
+    ``a``  : slope of m ~ t          (treatment → mediator)
+    ``b``  : slope of m in y ~ t + m (mediator → outcome, holding t)
+    ``c``  : slope of y ~ t          (total effect)
+    ``c'`` : slope of t in y ~ t + m (direct effect)
+    indirect = a·b (= c − c' exactly, pinned), proportion mediated
+    = a·b/c, ``se_indirect = sqrt(b²·se_a² + a²·se_b²)`` (Sobel).
+
+    Every quantity is CLOSED FORM over the (t, m, y) second-moment
+    block: the two-regressor OLS solves by the 2×2 Cramer
+    expressions (the `cuped2_by`/`hausman_iv` convention) and the
+    coefficient variances by the textbook σ²·(X'X)⁻¹ diagonals —
+    all from ONE group-keyed map-side-combined aggregation of exact
+    ``round(v·scale)`` DECIMAL(38,0) moments (`_dec38_num`-guarded
+    numerators), so a SQL oracle mirrors every value literally and
+    the whole panel runs at any row count with one shuffle.
+
+    One shared not-NULL/not-NaN mask over (y, t, m) defines the
+    estimating sample. Groups with var(t) ≤ 0, a singular (t, m)
+    Gram, or n < 4 (the dof floor for the two-regressor residual
+    variance) get NULL estimates, never a poisoned panel. The
+    common ``scale`` cancels in every slope and SE.
+
+    Returns one row per group: (group, n, a, b, c, c_direct,
+    indirect, prop_mediated, se_indirect, z_sobel).
+    """
+    from hdfe_spark.operators._guards import no_output_collision
+
+    from hdfe_spark.operators.stats import _dec38_num, _non_nan
+
+    no_output_collision(
+        "mediation_by", "group_col", group_col,
+        ("n", "a", "b", "c", "c_direct", "indirect",
+         "prop_mediated", "se_indirect", "z_sobel"),
+    )
+    cols = {"y": y_col, "t": treat_col, "m": mediator_col}
+    if len(set(cols.values())) != 3:
+        raise ValueError(
+            "mediation_by: y/treat/mediator must be three distinct"
+            " columns"
+        )
+    mask = F.lit(True)
+    for c in cols.values():
+        mask = mask & _non_nan(df, c)
+    u = {
+        k: F.round(F.col(c) * F.lit(float(scale))).cast("decimal(38,0)")
+        for k, c in cols.items()
+    }
+    zero = F.lit(0).cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in ("y", "t", "m"):
+        aggs.append(F.coalesce(F.sum(u[k]), zero).alias(f"__s_{k}"))
+    for p, q_ in (("y", "y"), ("t", "t"), ("m", "m"),
+                  ("t", "m"), ("t", "y"), ("m", "y")):
+        aggs.append(
+            F.coalesce(F.sum(u[p] * u[q_]), zero).alias(f"__s_{p}{q_}")
+        )
+    g = (
+        df.filter(mask)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*aggs)
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    stt = _dec38_num("mediation_by", n, F.col("__s_tt"), F.col("__s_t"))
+    smm = _dec38_num("mediation_by", n, F.col("__s_mm"), F.col("__s_m"))
+    syy = _dec38_num("mediation_by", n, F.col("__s_yy"), F.col("__s_y"))
+    stm = _dec38_num(
+        "mediation_by", n, F.col("__s_tm"), F.col("__s_t"), F.col("__s_m")
+    )
+    sty = _dec38_num(
+        "mediation_by", n, F.col("__s_ty"), F.col("__s_t"), F.col("__s_y")
+    )
+    smy = _dec38_num(
+        "mediation_by", n, F.col("__s_my"), F.col("__s_m"), F.col("__s_y")
+    )
+    # slopes: a (m~t), c (y~t); the joint fit y ~ t + m by Cramer
+    a = stm / stt
+    c = sty / stt
+    det = stt * smm - stm * stm
+    c_dir = (sty * smm - smy * stm) / det
+    b = (stt * smy - stm * sty) / det
+    # residual variances (centered moment identities, in the scaled
+    # space — scale cancels in every slope/SE ratio below):
+    # m~t:    SSR_a = smm − stm²/stt,            dof n−2
+    # y~t+m:  SSR_j = syy − c'·sty − b·smy,      dof n−3
+    # (the centered moments already absorb the intercepts; both
+    # engines evaluate the same IEEE tree)
+    ssr_a = smm - stm * stm / stt
+    ssr_j = syy - c_dir * sty - b * smy
+    var_a = (ssr_a / (nd - F.lit(2.0))) / stt
+    var_b = (ssr_j / (nd - F.lit(3.0))) * stt / det
+    ind = a * b
+    se_ind = F.sqrt(b * b * var_a + a * a * var_b)
+    # guards NEST: the outer predicate uses raw moments only (ANSI
+    # evaluates when() PREDICATES eagerly, so a derived ratio like c
+    # or se_ind in a predicate would divide by a zero stt before the
+    # guard can fire); the inner when's predicate is then safe
+    ok = (n >= 4) & (stt > 0) & (det > 0)
+    return g.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(ok, a).alias("a"),
+        F.when(ok, b).alias("b"),
+        F.when(ok, c).alias("c"),
+        F.when(ok, c_dir).alias("c_direct"),
+        F.when(ok, ind).alias("indirect"),
+        F.when(ok, F.when(c != 0, ind / c)).alias("prop_mediated"),
+        F.when(
+            ok, F.when((ssr_a >= 0) & (ssr_j >= 0), se_ind)
+        ).alias("se_indirect"),
+        F.when(
+            ok,
+            F.when(
+                (ssr_a >= 0) & (ssr_j >= 0) & (se_ind > 0),
+                ind / se_ind,
+            ),
+        ).alias("z_sobel"),
+    )
+
+
+def manski_bounds(
+    df: DataFrame,
+    y_col: str,
+    treat_col: str,
+    y_min: float,
+    y_max: float,
+) -> DataFrame:
+    """Manski (1990) worst-case (no-assumption) bounds on the ATE
+    under missing outcomes (round-15 pre-build) — the honest
+    companion of `lee_bounds`: where Lee assumes monotone selection,
+    Manski assumes NOTHING beyond a known outcome range
+    ``[y_min, y_max]``; each arm's mean is bracketed by imputing
+    every missing outcome at the range's floor or ceiling:
+
+    ``E[y(t)] ∈ [ȳ_t·p_t + y_min·(1−p_t), ȳ_t·p_t + y_max·(1−p_t)]``
+    (p_t = observed share in arm t), and
+    ``ATE ∈ [lower_1 − upper_0, upper_1 − lower_0]``.
+
+    The bound width is ``(y_max − y_min)·((1−p_1) + (1−p_0))`` —
+    reported so callers see exactly what the missingness costs.
+    NULL/NaN y is "missing"; an OBSERVED y outside the stated range
+    RAISES in-plan (a violated premise must not silently produce
+    invalid bounds — the `chi2_gof_by` convention). NULL treatment
+    rows drop.
+
+    Scale: ONE map-side-combined aggregation, six scalars out.
+    Returns one row: (n_treat, n_ctrl, miss_treat, miss_ctrl,
+    lower, upper, width, naive).
+    """
+    if not y_min < y_max:
+        raise ValueError(
+            f"manski_bounds: need y_min < y_max (got {y_min}, {y_max})"
+        )
+    t = F.col(treat_col)
+    yv = F.col(y_col)
+    obs = yv.isNotNull()
+    if dict(df.dtypes).get(y_col) in ("double", "float"):
+        obs = obs & ~F.isnan(yv)
+    lo, hi = F.lit(float(y_min)), F.lit(float(y_max))
+    yg = F.when(
+        obs & ((yv < lo) | (yv > hi)),
+        F.raise_error(
+            F.concat(
+                F.lit("manski_bounds: observed outcome outside the"
+                      f" stated range [{y_min}, {y_max}]: "),
+                yv.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(yv.cast("double"))
+    base = df.filter(t.isNotNull())
+    m = base.agg(
+        F.count(F.when(t, 1)).alias("n1"),
+        F.count(F.when(~t, 1)).alias("n0"),
+        F.count(F.when(t & obs, 1)).alias("m1"),
+        F.count(F.when(~t & obs, 1)).alias("m0"),
+        F.coalesce(F.sum(F.when(t & obs, yg)), F.lit(0.0)).alias("s1"),
+        F.coalesce(F.sum(F.when(~t & obs, yg)), F.lit(0.0)).alias("s0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    miss1 = (F.col("n1") - F.col("m1")).cast("double")
+    miss0 = (F.col("n0") - F.col("m0")).cast("double")
+    lo1 = (F.col("s1") + lo * miss1) / n1d
+    hi1 = (F.col("s1") + hi * miss1) / n1d
+    lo0 = (F.col("s0") + lo * miss0) / n0d
+    hi0 = (F.col("s0") + hi * miss0) / n0d
+    ok = (F.col("n1") >= 1) & (F.col("n0") >= 1)
+    okn = ok & (F.col("m1") >= 1) & (F.col("m0") >= 1)
+    naive = (
+        F.col("s1") / F.col("m1").cast("double")
+        - F.col("s0") / F.col("m0").cast("double")
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        miss1.cast("long").alias("miss_treat"),
+        miss0.cast("long").alias("miss_ctrl"),
+        F.when(ok, lo1 - hi0).alias("lower"),
+        F.when(ok, hi1 - lo0).alias("upper"),
+        F.when(
+            ok, (hi - lo) * (miss1 / n1d + miss0 / n0d)
+        ).alias("width"),
+        F.when(okn, naive).alias("naive"),
+    )

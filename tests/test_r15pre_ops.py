@@ -149,3 +149,112 @@ def test_bayes_ab_normal_escape_and_guards(spark):
     bad = spark.createDataFrame([("A", 2)], "arm string, s int")
     with pytest.raises(Exception, match="outside"):
         bayes_ab(bad, "arm", "s", "A", "B")
+
+
+# --------------------------------------------------- mediation_by
+
+from hdfe_spark.operators.causal import mediation_by
+
+
+def test_mediation_by_matches_numpy_replica(spark):
+    rng = np.random.RandomState(31)
+    rows, blocks = [], {}
+    for g in ("g1", "g2"):
+        n = 500
+        t = (rng.rand(n) < 0.5).astype(float)
+        m = 1.5 * t + rng.normal(0, 1, n)
+        y = 2.0 * m + 0.5 * t + rng.normal(0, 1, n)
+        blocks[g] = (t, m, y)
+        rows += [(g, float(yy), float(tt), float(mm))
+                 for yy, tt, mm in zip(y, t, m)]
+    df = spark.createDataFrame(rows, "g string, y double, t double, m double")
+    out = {r["g"]: r for r in
+           mediation_by(df, "g", "y", "t", "m", scale=1e7).collect()}
+    for g, (t, m, y) in blocks.items():
+        ut, um, uy = np.round(t*1e7), np.round(m*1e7), np.round(y*1e7)
+        tc, mc, yc = ut-ut.mean(), um-um.mean(), uy-uy.mean()
+        a = (tc @ mc) / (tc @ tc)
+        X = np.stack([tc, mc], 1)
+        cd, b = np.linalg.solve(X.T @ X, X.T @ yc)
+        c = (tc @ yc) / (tc @ tc)
+        n = len(t)
+        ssr_a = mc @ mc - (tc @ mc)**2/(tc @ tc)
+        var_a = (ssr_a/(n-2))/(tc @ tc)
+        resid_j = yc - X @ np.array([cd, b])
+        s2j = (resid_j @ resid_j)/(n-3)
+        var_b = s2j * np.linalg.inv(X.T @ X)[1, 1]
+        se_ind = math.sqrt(b*b*var_a + a*a*var_b)
+        r = out[g]
+        assert r["a"] == pytest.approx(a, rel=1e-9)
+        assert r["b"] == pytest.approx(b, rel=1e-9)
+        assert r["c"] == pytest.approx(c, rel=1e-9)
+        assert r["c_direct"] == pytest.approx(cd, rel=1e-9)
+        # a*b == c - c' identity for nested linear fits
+        assert r["indirect"] == pytest.approx(r["c"] - r["c_direct"],
+                                              rel=1e-9)
+        assert r["se_indirect"] == pytest.approx(se_ind, rel=1e-6)
+        assert r["z_sobel"] == pytest.approx(a*b/se_ind, rel=1e-6)
+        # construction truth: indirect ~ 1.5*2 = 3, direct ~ 0.5
+        assert abs(r["indirect"] - 3.0) < 0.5
+        assert abs(r["c_direct"] - 0.5) < 0.4
+
+
+def test_mediation_by_degenerate_nulls(spark):
+    rows = [
+        ("s", 1.0, 1.0, 1.0), ("s", 2.0, 1.0, 2.0),
+        ("s", 3.0, 1.0, 3.0), ("s", 4.0, 1.0, 4.0),  # var(t)=0
+    ]
+    df = spark.createDataFrame(rows, "g string, y double, t double, m double")
+    r = mediation_by(df, "g", "y", "t", "m").collect()[0]
+    assert r["a"] is None and r["indirect"] is None
+    with pytest.raises(ValueError, match="distinct"):
+        mediation_by(df, "g", "y", "t", "t")
+
+
+# --------------------------------------------------- manski_bounds
+
+from hdfe_spark.operators.causal import manski_bounds
+
+
+def test_manski_bounds_replica_and_coverage(spark):
+    rng = np.random.RandomState(41)
+    rows = []
+    for i in range(4000):
+        t = i % 2 == 0
+        y = float(rng.randint(0, 101))
+        miss = rng.rand() < (0.15 if t else 0.25)
+        rows.append((t, None if miss else y))
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    r = manski_bounds(df, "y", "t", 0.0, 100.0).collect()[0]
+    arr = np.array([(tt, np.nan if yy is None else yy) for tt, yy in rows])
+    tt, yy = arr[:, 0].astype(bool), arr[:, 1]
+    def bracket(mask):
+        n = mask.sum(); o = mask & ~np.isnan(yy)
+        s = yy[o].sum(); miss = n - o.sum()
+        return (s + 0.0*miss)/n, (s + 100.0*miss)/n
+    lo1, hi1 = bracket(tt); lo0, hi0 = bracket(~tt)
+    assert r["lower"] == pytest.approx(lo1 - hi0, rel=1e-12)
+    assert r["upper"] == pytest.approx(hi1 - lo0, rel=1e-12)
+    assert r["lower"] < 0 < r["upper"]  # null effect inside the bounds
+    assert r["width"] == pytest.approx(
+        100.0 * ((r["miss_treat"]/r["n_treat"])
+                 + (r["miss_ctrl"]/r["n_ctrl"])), rel=1e-12)
+    # upper - lower == width identity
+    assert (r["upper"] - r["lower"]) == pytest.approx(r["width"], rel=1e-9)
+
+
+def test_manski_bounds_range_violation_raises(spark):
+    df = spark.createDataFrame([(True, 150.0), (False, 5.0)],
+                               "t boolean, y double")
+    with pytest.raises(Exception, match="outside the stated range"):
+        manski_bounds(df, "y", "t", 0.0, 100.0).collect()
+    with pytest.raises(ValueError, match="y_min < y_max"):
+        manski_bounds(df, "y", "t", 5.0, 5.0)
+
+
+def test_manski_bounds_no_missing_collapses_to_naive(spark):
+    rows = [(True, 10.0), (True, 20.0), (False, 5.0), (False, 15.0)]
+    df = spark.createDataFrame(rows, "t boolean, y double")
+    r = manski_bounds(df, "y", "t", 0.0, 100.0).collect()[0]
+    assert r["lower"] == r["upper"] == r["naive"] == pytest.approx(5.0)
+    assert r["width"] == 0.0 and r["miss_treat"] == 0

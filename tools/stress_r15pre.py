@@ -124,6 +124,60 @@ def stress_bayes(spark):
           f"{wall2:.1f}s, p = {re['p_b_beats_a']:.6f}")
 
 
+def stress_mediation(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import mediation_by
+
+    # 8 segments; t binary, m = 1.5t + lattice noise, y = 2m + 0.5t + noise
+    t = (F.col("id") % 2).cast("double")
+    em = ((F.col("id") * 48271) % 9).cast("double") - F.lit(4.0)
+    ey = ((F.col("id") * 7919) % 11).cast("double") - F.lit(5.0)
+    m_ = F.lit(1.5) * t + em
+    df = spark.range(0, N, 1, 64).select(
+        ((F.col("id") / 2).cast("long") % 8).cast("string").alias("g"),
+        (F.lit(2.0) * m_ + F.lit(0.5) * t + ey).alias("y"),
+        t.alias("t"),
+        m_.alias("m"),
+    )
+    t0 = time.perf_counter()
+    out = {r["g"]: r for r in
+           mediation_by(df, "g", "y", "t", "m", scale=1e6).collect()}
+    wall = time.perf_counter() - t0
+    worst_ind = max(abs(r["indirect"] - 3.0) for r in out.values())
+    worst_id = max(abs(r["indirect"] - (r["c"] - r["c_direct"]))
+                   for r in out.values())
+    assert worst_ind < 0.05 and worst_id < 1e-9
+    print(f"mediation_by 20M x 8 segments: {wall:.1f}s, indirect "
+          f"worst |err| {worst_ind:.2e} vs the 3.0 construction, "
+          f"a*b == c - c' identity to {worst_id:.1e}")
+
+
+def stress_manski(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import manski_bounds
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 2 == 0).alias("t"),
+        F.when(
+            (F.col("id") * 48271) % 10
+            < F.when(F.col("id") % 2 == 0, 8).otherwise(7),
+            ((F.col("id") * 7919) % 101).cast("double"),
+        ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    r = manski_bounds(df, "y", "t", 0.0, 100.0).collect()[0]
+    wall = time.perf_counter() - t0
+    width = 100.0 * (r["miss_treat"] / r["n_treat"]
+                     + r["miss_ctrl"] / r["n_ctrl"])
+    assert abs((r["upper"] - r["lower"]) - width) < 1e-6
+    assert r["lower"] < r["naive"] < r["upper"]
+    print(f"manski_bounds 20M: {wall:.1f}s, bounds "
+          f"[{r['lower']:.3f}, {r['upper']:.3f}] bracket the naive "
+          f"{r['naive']:.3f}; width == missingness identity exact")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sp = _spark()
@@ -131,3 +185,7 @@ if __name__ == "__main__":
         stress_cuped2(sp)
     if which in ("bayes", "all"):
         stress_bayes(sp)
+    if which in ("mediation", "all"):
+        stress_mediation(sp)
+    if which in ("manski", "all"):
+        stress_manski(sp)
