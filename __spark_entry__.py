@@ -8442,21 +8442,26 @@ _META_ANALYSIS_SQL = """
                      sum((1.0 / (se * se)) * t) AS swt,
                      sum((1.0 / (se * se)) * t * t) AS swtt
               FROM b GROUP BY g),
+            -- k>=2 / q>0 gating mirrors the engine exactly (review
+            -- r14b second pass: an unguarded k=1 group would divide
+            -- by zero here while the engine emits NULLs)
             h AS (
               SELECT g, k, sw,
                      swt / sw AS tf,
                      sqrt(1.0 / sw) AS sef,
-                     swtt - swt * swt / sw AS q,
-                     greatest(0.0,
+                     CASE WHEN k >= 2
+                          THEN swtt - swt * swt / sw END AS q,
+                     CASE WHEN k >= 2 THEN greatest(0.0,
                        (swtt - swt * swt / sw
                         - (CAST(k AS DOUBLE) - 1.0))
-                       / (sw - sw2 / sw)) AS tau2
+                       / (sw - sw2 / sw)) END AS tau2
               FROM m),
             r AS (
               SELECT b.g,
                      sum(1.0 / (b.se * b.se + h.tau2)) AS rsw,
                      sum(b.t / (b.se * b.se + h.tau2)) AS rswt
-              FROM b JOIN h ON b.g = h.g
+              FROM b JOIN h ON b.g IS NOT DISTINCT FROM h.g
+              WHERE h.tau2 IS NOT NULL
               GROUP BY b.g)
             SELECT h.g AS l_returnflag,
                    CAST(h.k AS BIGINT) AS k,
@@ -8464,14 +8469,18 @@ _META_ANALYSIS_SQL = """
                    floor(h.sef * 1e9 + 0.5) / 1e9 AS se_fixed,
                    floor(h.q * 1e9 + 0.5) / 1e9 AS q,
                    floor(h.tau2 * 1e9 + 0.5) / 1e9 AS tau2,
-                   floor(greatest(0.0,
+                   CASE WHEN h.k >= 2 THEN
+                     CASE WHEN h.q > 0 THEN
+                       floor(greatest(0.0,
                          (h.q - (CAST(h.k AS DOUBLE) - 1.0)) / h.q)
-                         * 1e12 + 0.5) / 1e12 AS i2,
+                         * 1e12 + 0.5) / 1e12
+                     ELSE 0.0 END
+                   END AS i2,
                    floor(r.rswt / r.rsw * 1e4 + 0.5) / 1e4
                      AS theta_random,
                    floor(sqrt(1.0 / r.rsw) * 1e4 + 0.5) / 1e4
                      AS se_random
-            FROM h JOIN r ON h.g = r.g
+            FROM h LEFT JOIN r ON h.g IS NOT DISTINCT FROM r.g
         """
 
 

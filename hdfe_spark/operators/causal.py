@@ -1355,6 +1355,7 @@ def synthetic_control(
     scale: float = 1e6,
     return_weights: bool = False,
     method: str = "ols",
+    fw_max_iter: int = 20_000,
 ) -> DataFrame:
     """Synthetic-control counterfactual for one treated unit.
     ``method="ols"`` (default) is the panel-regression variant of
@@ -1546,12 +1547,13 @@ def synthetic_control(
             "synthetic_control: unbalanced pre panel — some donor "
             "pair shares no pre period"
         )
-    if method == "simplex":
+    if method == "simplex" or J != 2:
         import numpy as _np
 
         G = _np.zeros((J, J))
         for (i, j), v in gmap.items():
             G[i, j] = v
+    if method == "simplex":
         bb = _np.asarray(bvec)
         # Frank–Wolfe on min (1/2)w'Gw − b'w over the simplex:
         # vertex oracle = argmin gradient coordinate; exact line
@@ -1559,7 +1561,7 @@ def synthetic_control(
         # to [0, 1]); duality gap grad·(w − e_s) certifies optimality
         w_np = _np.full(J, 1.0 / J)
         tol = None
-        for _ in range(100_000):
+        for _ in range(int(fw_max_iter)):
             grad = G @ w_np - bb
             s = int(_np.argmin(grad))
             d = -w_np.copy()
@@ -1594,11 +1596,6 @@ def synthetic_control(
             (g11 * bvec[1] - g12 * bvec[0]) / det,
         ]
     else:
-        import numpy as _np
-
-        G = _np.zeros((J, J))
-        for (i, j), v in gmap.items():
-            G[i, j] = v
         try:
             w = _np.linalg.solve(G, _np.asarray(bvec)).tolist()
         except _np.linalg.LinAlgError as e:
@@ -1691,8 +1688,6 @@ def off_policy_eval(
     Returns one row (per ``by`` group): (by..., n, n_matched,
     match_rate, v_ips, v_snips, ess).
     """
-    from hdfe_spark.operators._guards import no_output_collision
-
     outs = ("n", "n_matched", "match_rate", "v_ips", "v_snips", "ess")
     by = list(by) if by else []
     for c in by:
@@ -1705,6 +1700,15 @@ def off_policy_eval(
     )
     if dict(df.dtypes).get(reward_col) in ("double", "float"):
         valid = valid & ~F.isnan(r)
+    # NaN propensity is MISSING like NULL (review r14b second pass:
+    # NaN orders greater than any number, so it passed `e > 0` with
+    # weight NaN at clip=0 and silently resurrected at the 1-clip
+    # bound with clip>0 — greatest/least treat NaN as largest)
+    if dict(df.dtypes).get(propensity_col) in ("double", "float"):
+        valid = valid & (
+            F.col(propensity_col).isNull()
+            | ~F.isnan(F.col(propensity_col))
+        )
     e = _clipped_propensity(propensity_col, clip)
     match = F.col(action_col) == F.col(target_col)
     w = F.when(match & e.isNotNull() & (e > 0), F.lit(1.0) / e).otherwise(
@@ -1775,8 +1779,6 @@ def mediation_by(
     Returns one row per group: (group, n, a, b, c, c_direct,
     indirect, prop_mediated, se_indirect, z_sobel).
     """
-    from hdfe_spark.operators._guards import no_output_collision
-
     from hdfe_spark.operators.stats import _dec38_num, _non_nan
 
     no_output_collision(

@@ -6151,7 +6151,13 @@ def meta_analysis_by(
     tau2 = F.greatest(
         F.lit(0.0), (q - (kd - F.lit(1.0))) / denom
     )
-    i2 = F.when(q > 0, F.greatest(F.lit(0.0), (q - (kd - F.lit(1.0))) / q))
+    # I2 = 0 at perfect homogeneity (Q = 0), the metafor/Higgins
+    # convention — NULL would read as missing-data, not 0%
+    # heterogeneity (review r14b second pass); the q > 0 branch also
+    # guards the division
+    i2 = F.when(
+        q > 0, F.greatest(F.lit(0.0), (q - (kd - F.lit(1.0))) / q)
+    ).otherwise(F.lit(0.0))
     many = F.col("k") >= 2
     heads = m.select(
         "__g", "k",
@@ -6161,20 +6167,29 @@ def meta_analysis_by(
         F.when(many, tau2).alias("tau2"),
         F.when(many, i2).alias("i2"),
     )
+    # eqNullSafe joins: a NULL group key is itself a group (the *_by
+    # family convention) and must keep its random-effects block —
+    # null-unsafe equality silently dropped it (review r14b second
+    # pass)
+    h2 = heads.select(
+        F.col("__g").alias("__g2"), F.col("tau2").alias("__tau2")
+    )
     re = base.join(
-        F.broadcast(heads.select("__g", "tau2")), on="__g", how="inner"
-    ).filter(F.col("tau2").isNotNull())
+        F.broadcast(h2), base["__g"].eqNullSafe(h2["__g2"]), "inner"
+    ).filter(F.col("__tau2").isNotNull())
     rstats = re.groupBy("__g").agg(
-        F.sum(F.lit(1.0) / (F.col("__v") + F.col("tau2"))).alias("__rsw"),
+        F.sum(F.lit(1.0) / (F.col("__v") + F.col("__tau2"))).alias("__rsw"),
         F.sum(
-            F.col("__t") / (F.col("__v") + F.col("tau2"))
+            F.col("__t") / (F.col("__v") + F.col("__tau2"))
         ).alias("__rswt"),
     ).select(
-        "__g",
+        F.col("__g").alias("__g3"),
         (F.col("__rswt") / F.col("__rsw")).alias("theta_random"),
         F.sqrt(F.lit(1.0) / F.col("__rsw")).alias("se_random"),
     )
-    out = heads.join(rstats, on="__g", how="left")
+    out = heads.join(
+        rstats, heads["__g"].eqNullSafe(rstats["__g3"]), "left"
+    )
     return out.select(
         F.col("__g").alias(group_col),
         "k", "theta_fixed", "se_fixed", "q", "tau2", "i2",

@@ -258,3 +258,45 @@ def test_manski_bounds_no_missing_collapses_to_naive(spark):
     r = manski_bounds(df, "y", "t", 0.0, 100.0).collect()[0]
     assert r["lower"] == r["upper"] == r["naive"] == pytest.approx(5.0)
     assert r["width"] == 0.0 and r["miss_treat"] == 0
+
+
+# ---- second-pass review pins (r14b continuation) ----
+
+
+def test_meta_analysis_by_null_group_keeps_random_block(spark):
+    from hdfe_spark.operators.stats import meta_analysis_by
+
+    rows = [(None, 2.0, 1.0), (None, 3.0, 0.5), (None, 5.0, 2.0),
+            ("g", 1.0, 1.0), ("g", 4.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, est double, se double")
+    out = {r["g"]: r for r in meta_analysis_by(df, "g", "est", "se").collect()}
+    r = out[None]
+    assert r["k"] == 3 and r["tau2"] is not None
+    assert r["theta_random"] is not None  # eqNullSafe join keeps it
+    assert r["se_random"] is not None
+
+
+def test_meta_analysis_by_homogeneous_i2_zero(spark):
+    from hdfe_spark.operators.stats import meta_analysis_by
+
+    rows = [("g", 3.0, float(s)) for s in (0.5, 1.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, est double, se double")
+    r = meta_analysis_by(df, "g", "est", "se").collect()[0]
+    assert r["i2"] == 0.0  # Q = 0 -> 0% heterogeneity, not NULL
+
+
+def test_off_policy_eval_nan_propensity_dropped(spark):
+    from hdfe_spark.operators.causal import off_policy_eval
+
+    rows = [
+        ("x", 0.5, "x", 2.0),
+        ("x", float("nan"), "x", 999.0),  # NaN p: row drops entirely
+        ("y", 0.5, "x", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "a string, p double, pi string, r double")
+    r = off_policy_eval(df, "r", "a", "p", "pi").collect()[0]
+    assert r["n"] == 2  # the NaN row is gone, clip or no clip
+    assert r["v_ips"] == pytest.approx(2.0 * 2 / 2)
+    r2 = off_policy_eval(df, "r", "a", "p", "pi", clip=0.1).collect()[0]
+    assert r2["n"] == 2  # no resurrection at the clip bound
+    assert r2["v_ips"] == pytest.approx(2.0 * 2 / 2)

@@ -8,7 +8,15 @@ bayes_ab: 20M bernoulli rows per arm with LCG-derived outcomes; the
 exact-sum path is exercised at raw scale via a subsample fixture
 (the sum is O(successes)), the normal escape at the full 20M.
 
-Usage: python tools/stress_r15pre.py [cuped2|bayes|all]
+mediation_by: 20M rows x 8 segments, m = 1.5t + lattice noise and
+y = 2m + 0.5t + independent lattice noise; checks the indirect
+effect against the 3.0 construction and the a*b == c - c' identity.
+
+manski_bounds: 20M rows, 80%/70% observed arms over uniform 0-100
+outcomes; checks the width == (y_max - y_min) * missingness
+identity and that the bounds bracket the naive contrast.
+
+Usage: python tools/stress_r15pre.py [cuped2|bayes|mediation|manski|all]
 """
 
 from __future__ import annotations
