@@ -1955,3 +1955,77 @@ def manski_bounds(
         ).alias("width"),
         F.when(okn, naive).alias("naive"),
     )
+
+
+def regression_kink(
+    df: DataFrame,
+    y: str,
+    running: str,
+    kink: float,
+    bandwidth: float,
+) -> DataFrame:
+    """Sharp regression-KINK estimate (round-15 pre-build; Card,
+    Lee, Pei & Weber 2015) — `rdd`'s derivative sibling: where RDD
+    identifies a LEVEL jump at a cutoff, RKD identifies a SLOPE
+    change at a kink in a policy formula (benefit schedules, tax
+    brackets, ranking-score piecewise rules); the estimand is
+    ``b_right − b_left`` with the two local-linear fits CONSTRAINED
+    to meet (continuity holds at a kink by construction — the level
+    is continuous, only the derivative breaks).
+
+    Same execution shape as `rdd`: within ``|running − kink| <
+    bandwidth`` (kink row to the right side, the ≥-rule), ONE
+    aggregation with per-side conditional sums; the continuous
+    piecewise fit ``y = a + b_l·x⁻ + b_r·x⁺`` (x centered at the
+    kink, x⁻ = min(x,0), x⁺ = max(x,0)) solves in closed form by
+    the 3×3 normal equations — spelled as the 2×2 Cramer system on
+    the centered regressors (the `cuped2_by` convention), so a SQL
+    oracle replays it literally. No solver, no second pass. Sides
+    with < 2 distinct x yield NULLs (singular normal equations).
+    Rows with NULL/NaN y or running drop.
+
+    Returns one row: (kink_effect, slope_left, slope_right,
+    intercept, n_left, n_right).
+    """
+    x = F.col(running) - F.lit(float(kink))
+    yv = F.col(y).cast("double")
+    ok_row = yv.isNotNull() & F.col(running).isNotNull()
+    if dict(df.dtypes).get(y) in ("double", "float"):
+        ok_row = ok_row & ~F.isnan(F.col(y))
+    if dict(df.dtypes).get(running) in ("double", "float"):
+        ok_row = ok_row & ~F.isnan(F.col(running))
+    inside = ok_row & (F.abs(x) < F.lit(float(bandwidth)))
+    xm = F.when(x < 0, x).otherwise(F.lit(0.0))
+    xp = F.when(x >= 0, x).otherwise(F.lit(0.0))
+    agg = df.agg(
+        F.count(F.when(inside & (x < 0), 1)).alias("n_l"),
+        F.count(F.when(inside & (x >= 0), 1)).alias("n_r"),
+        F.count(F.when(inside, 1)).alias("n"),
+        F.sum(F.when(inside, xm)).alias("s1"),
+        F.sum(F.when(inside, xp)).alias("s2"),
+        F.sum(F.when(inside, yv)).alias("sy"),
+        F.sum(F.when(inside, xm * xm)).alias("s11"),
+        F.sum(F.when(inside, xp * xp)).alias("s22"),
+        # xm*xp == 0 rowwise, but the CENTERED cross moment is not
+        F.sum(F.when(inside, xm * yv)).alias("s1y"),
+        F.sum(F.when(inside, xp * yv)).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    v11 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    v22 = n * F.col("s22") - F.col("s2") * F.col("s2")
+    v12 = -F.col("s1") * F.col("s2")  # n*0 - s1*s2
+    c1 = n * F.col("s1y") - F.col("s1") * F.col("sy")
+    c2 = n * F.col("s2y") - F.col("s2") * F.col("sy")
+    det = v11 * v22 - v12 * v12
+    b_l = (c1 * v22 - c2 * v12) / det
+    b_r = (v11 * c2 - v12 * c1) / det
+    a = (F.col("sy") - b_l * F.col("s1") - b_r * F.col("s2")) / n
+    ok = (F.col("n_l") >= 2) & (F.col("n_r") >= 2) & (det > 0)
+    return agg.select(
+        F.when(ok, b_r - b_l).alias("kink_effect"),
+        F.when(ok, b_l).alias("slope_left"),
+        F.when(ok, b_r).alias("slope_right"),
+        F.when(ok, a).alias("intercept"),
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+    )

@@ -300,3 +300,50 @@ def test_off_policy_eval_nan_propensity_dropped(spark):
     r2 = off_policy_eval(df, "r", "a", "p", "pi", clip=0.1).collect()[0]
     assert r2["n"] == 2  # no resurrection at the clip bound
     assert r2["v_ips"] == pytest.approx(2.0 * 2 / 2)
+
+
+# --------------------------------------------------- regression_kink
+
+from hdfe_spark.operators.causal import regression_kink
+
+
+def test_regression_kink_noiseless_exact(spark):
+    rows = []
+    for i in range(-50, 51):
+        x = i / 10.0
+        yv = 1.0 + (2.0 * x if x < 0 else 5.0 * x)
+        rows.append((x + 7.0, yv))  # kink at running = 7
+    df = spark.createDataFrame(rows, "run double, y double")
+    r = regression_kink(df, "y", "run", 7.0, 100.0).collect()[0]
+    assert r["kink_effect"] == pytest.approx(3.0, abs=1e-9)
+    assert r["slope_left"] == pytest.approx(2.0, abs=1e-9)
+    assert r["slope_right"] == pytest.approx(5.0, abs=1e-9)
+    assert r["intercept"] == pytest.approx(1.0, abs=1e-9)
+    assert r["n_left"] == 50 and r["n_right"] == 51
+
+
+def test_regression_kink_matches_lstsq(spark):
+    rng = np.random.RandomState(8)
+    x = rng.uniform(-2, 2, 800)
+    yv = 3.0 + 1.5 * np.minimum(x, 0) + 4.0 * np.maximum(x, 0) \
+        + rng.normal(0, 0.3, 800)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, yv)], "run double, y double")
+    r = regression_kink(df, "y", "run", 0.0, 1.0).collect()[0]
+    m = np.abs(x) < 1.0
+    X = np.stack([np.ones(m.sum()), np.minimum(x[m], 0),
+                  np.maximum(x[m], 0)], 1)
+    beta = np.linalg.lstsq(X, yv[m], rcond=None)[0]
+    assert r["intercept"] == pytest.approx(beta[0], rel=1e-9)
+    assert r["slope_left"] == pytest.approx(beta[1], rel=1e-9)
+    assert r["slope_right"] == pytest.approx(beta[2], rel=1e-9)
+    assert r["kink_effect"] == pytest.approx(beta[2] - beta[1], rel=1e-9)
+
+
+def test_regression_kink_degenerate_and_missing(spark):
+    rows = [(0.5, 1.0), (0.5, 2.0), (-0.5, 3.0),  # one distinct left x
+            (None, 9.0), (0.7, None), (0.2, float("nan"))]
+    df = spark.createDataFrame(rows, "run double, y double")
+    r = regression_kink(df, "y", "run", 0.0, 1.0).collect()[0]
+    assert r["kink_effect"] is None
+    assert r["n_left"] == 1 and r["n_right"] == 2

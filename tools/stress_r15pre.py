@@ -16,7 +16,7 @@ manski_bounds: 20M rows, 80%/70% observed arms over uniform 0-100
 outcomes; checks the width == (y_max - y_min) * missingness
 identity and that the bounds bracket the naive contrast.
 
-Usage: python tools/stress_r15pre.py [cuped2|bayes|mediation|manski|all]
+Usage: python tools/stress_r15pre.py [cuped2|bayes|mediation|manski|kink|all]
 """
 
 from __future__ import annotations
@@ -186,6 +186,31 @@ def stress_manski(spark):
           f"{r['naive']:.3f}; width == missingness identity exact")
 
 
+def stress_kink(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import regression_kink
+
+    # y = 3 + 1.5 x- + 4 x+ + lattice noise, kink at 50, bw 40
+    x = ((F.col("id") * 48271) % 101).cast("double")
+    xm = F.least(x - F.lit(50.0), F.lit(0.0))
+    xp = F.greatest(x - F.lit(50.0), F.lit(0.0))
+    df = spark.range(0, N, 1, 64).select(
+        x.alias("run"),
+        (F.lit(3.0) + F.lit(1.5) * xm + F.lit(4.0) * xp
+         + ((F.col("id") * 7919) % 11).cast("double") - F.lit(5.0)
+         ).alias("y"),
+    )
+    t0 = time.perf_counter()
+    r = regression_kink(df, "y", "run", 50.0, 40.0).collect()[0]
+    wall = time.perf_counter() - t0
+    assert abs(r["kink_effect"] - 2.5) < 1e-3, r
+    assert abs(r["slope_left"] - 1.5) < 1e-3
+    print(f"regression_kink 20M: {wall:.1f}s, kink effect "
+          f"{r['kink_effect']:.6f} (truth 2.5), slopes "
+          f"({r['slope_left']:.6f}, {r['slope_right']:.6f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sp = _spark()
@@ -197,3 +222,5 @@ if __name__ == "__main__":
         stress_mediation(sp)
     if which in ("manski", "all"):
         stress_manski(sp)
+    if which in ("kink", "all"):
+        stress_kink(sp)
