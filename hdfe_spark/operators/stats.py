@@ -6438,3 +6438,200 @@ def bayes_ab(
             " mean_b double, p_b_beats_a double, method string"
         ),
     )
+
+
+def wilson_ci_by(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-group Wilson score confidence interval for a proportion
+    (round-15 pre-build) — the interval that actually holds its
+    coverage at small n and extreme rates, where the Wald
+    ``p̂ ± z·sqrt(p̂(1−p̂)/n)`` collapses (zero-width at p̂ ∈ {0,1}):
+
+    ``center = (p̂ + z²/2n) / (1 + z²/n)``,
+    ``half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)``.
+
+    One map-side-combined aggregation to (n, successes) per group;
+    the interval is a fixed IEEE expression over two exact integers
+    and the z literal (`_Z_TWOSIDED`, or pass any alpha with a
+    custom z via the table-extension convention) — fully
+    SQL-spellable. Success values must be 0/1 (boolean or numeric);
+    anything else RAISES in-plan (the `chi2_gof_by` convention);
+    NULL successes drop; a NULL group is itself a group. Groups
+    with n = 0 cannot exist (no rows, no group).
+
+    Returns one row per group: (group, n, successes, p_hat, lo, hi).
+    """
+    no_output_collision(
+        "wilson_ci_by", "group_col", group_col,
+        ("n", "successes", "p_hat", "lo", "hi"),
+    )
+    if alpha not in _Z_TWOSIDED:
+        raise ValueError(
+            "wilson_ci_by: no built-in critical value for"
+            f" alpha={alpha!r} (have {sorted(_Z_TWOSIDED)})"
+        )
+    z = F.lit(_Z_TWOSIDED[alpha])
+    s = F.col(success_col).cast("double")
+    sv = F.when(
+        s.isNotNull() & ~s.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("wilson_ci_by: success value outside {0,1}: "),
+                F.col(success_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    m = (
+        df.filter(s.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sv).cast("long").alias("successes"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nd
+    z2n = z * z / nd
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z * z / (F.lit(4.0) * nd * nd)
+    ) / denom
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n", "successes",
+        p.alias("p_hat"),
+        (center - half).alias("lo"),
+        (center + half).alias("hi"),
+    )
+
+
+def newey_west_by(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x_col: str,
+    time_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Per-group Newey–West (1987) HAC slope inference for the
+    simple time-series regression ``y ~ x`` (round-15 pre-build) —
+    the autocorrelation-robust completion of the SE family
+    (homoskedastic / HC1 / cluster / two-way CGM live in
+    `estimate.py`): per group g,
+
+    ``b = S_xy/S_xx``,  ``u_t = x̃_t·ê_t``,
+    ``V_HAC = (Γ₀ + 2·Σ_{l≤L} (1 − l/(L+1))·Γ_l) / S_xx²``
+    with ``Γ_l = Σ_t u_t·u_{t−l}`` (Bartlett kernel).
+
+    Scale: pass 1 is ONE group-keyed moment aggregation; the
+    group-sized (b, x̄, ȳ) table broadcasts back; pass 2 ranks each
+    group's series ONCE (a per-group window, never a global sort —
+    the `rolling_beta` convention) emitting u and its L lags from a
+    single window spec; pass 3 is one group-keyed aggregation of
+    the lag products. Works at any row count with per-group
+    parallelism; L is a literal. Duplicate time values within a
+    group RAISE in-plan (`_dup_order_guard` — the fold order would
+    be engine-dependent); NULL/NaN y/x rows drop; a NULL group is
+    itself a group. Groups with S_xx ≤ 0 or n ≤ L get NULL
+    inference.
+
+    Returns one row per group: (group, n, b, se_hac, se_hc0) —
+    se_hc0 is the White sandwich (the L = 0 special case), reported
+    so the lag correction is visible in isolation.
+    """
+    no_output_collision(
+        "newey_west_by", "group_col", group_col,
+        ("n", "b", "se_hac", "se_hc0"),
+    )
+    if max_lag < 0:
+        raise ValueError(f"newey_west_by: max_lag must be >= 0, got {max_lag}")
+    L = int(max_lag)
+    yv, xv = F.col(y_col).cast("double"), F.col(x_col).cast("double")
+    mask = (
+        _non_nan(df, y_col) & _non_nan(df, x_col)
+        & F.col(time_col).isNotNull()
+    )
+    base = df.filter(mask).select(
+        F.col(group_col).alias("__g"),
+        F.col(time_col).alias("__t"),
+        yv.alias("__y"),
+        xv.alias("__x"),
+    )
+    m = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__t")).alias("__nt"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd
+    sxy_c = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nd
+    heads = m.select(
+        "__g", "n", "__nt",
+        F.when(sxx_c > 0, sxy_c / sxx_c).alias("__b"),
+        (F.col("__sx") / nd).alias("__mx"),
+        (F.col("__sy") / nd).alias("__my"),
+        F.when(sxx_c > 0, sxx_c).alias("__sxxc"),
+    )
+    h2 = heads.select(
+        F.col("__g").alias("__g2"), "__b", "__mx", "__my", "n", "__nt"
+    )
+    scored = base.join(
+        F.broadcast(h2), base["__g"].eqNullSafe(h2["__g2"]), "inner"
+    ).filter(F.col("__b").isNotNull())
+    # duplicate order values make the lag pairing engine-dependent
+    u_raw = (F.col("__x") - F.col("__mx")) * (
+        F.col("__y") - F.col("__my")
+        - F.col("__b") * (F.col("__x") - F.col("__mx"))
+    )
+    u = _dup_order_guard("newey_west_by", "__g", u_raw)
+    w = Window.partitionBy("__g").orderBy("__t")
+    lagcols = [
+        F.lag("__u", l).over(w).alias(f"__u_{l}") for l in range(1, L + 1)
+    ]
+    scored = scored.withColumn("_n_ord", F.col("__nt")).select(
+        "__g", "__t", u.alias("__u"), F.col("n"),
+    ).select("__g", "__u", *lagcols)
+    gammas = scored.groupBy("__g").agg(
+        F.sum(F.col("__u") * F.col("__u")).alias("__g0"),
+        *[
+            F.sum(F.col("__u") * F.col(f"__u_{l}")).alias(f"__gl_{l}")
+            for l in range(1, L + 1)
+        ],
+    )
+    v_num = F.col("__g0")
+    for l in range(1, L + 1):
+        wl = F.lit(1.0 - l / (L + 1.0))
+        v_num = v_num + F.lit(2.0) * wl * F.coalesce(
+            F.col(f"__gl_{l}"), F.lit(0.0)
+        )
+    g3 = gammas.select(
+        F.col("__g").alias("__g3"), F.col("__g0"), v_num.alias("__v")
+    )
+    out = heads.join(g3, heads["__g"].eqNullSafe(g3["__g3"]), "left")
+    ok = F.col("__b").isNotNull() & (F.col("n") > F.lit(L))
+    # Γ0/S_xx² is exactly the White/HC0 sandwich (the L = 0 special
+    # case) — reported beside the HAC number so the lag correction
+    # is visible in isolation
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.when(ok, F.col("__b")).alias("b"),
+        F.when(
+            ok & (F.col("__v") >= 0),
+            F.sqrt(F.col("__v")) / F.col("__sxxc"),
+        ).alias("se_hac"),
+        F.when(
+            ok,
+            F.sqrt(
+                F.col("__g0") / (F.col("__sxxc") * F.col("__sxxc"))
+            ),
+        ).alias("se_hc0"),
+    )

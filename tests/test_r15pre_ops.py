@@ -347,3 +347,102 @@ def test_regression_kink_degenerate_and_missing(spark):
     r = regression_kink(df, "y", "run", 0.0, 1.0).collect()[0]
     assert r["kink_effect"] is None
     assert r["n_left"] == 1 and r["n_right"] == 2
+
+
+# --------------------------------------------------- wilson_ci_by
+
+from hdfe_spark.operators.stats import wilson_ci_by
+
+
+def test_wilson_ci_by_replica_and_edges(spark):
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2
+    rows += [("z", 0)] * 5          # zero successes: lo == 0-ish, hi > 0
+    rows += [("o", 1)] * 5          # all successes: hi < 1 + eps, lo < 1
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {r["g"]: r for r in wilson_ci_by(df, "g", "s").collect()}
+    z = 1.9599639845400545
+    for g, n, k in (("a", 10, 8), ("z", 5, 0), ("o", 5, 5)):
+        p = k / n
+        denom = 1 + z*z/n
+        center = (p + z*z/(2*n)) / denom
+        half = z * math.sqrt(p*(1-p)/n + z*z/(4*n*n)) / denom
+        r = out[g]
+        assert r["n"] == n and r["successes"] == k
+        assert r["lo"] == pytest.approx(center - half, rel=1e-12)
+        assert r["hi"] == pytest.approx(center + half, rel=1e-12)
+    # Wilson never collapses to zero width at the extremes
+    assert out["z"]["hi"] > 0.3 and out["z"]["lo"] == pytest.approx(0.0)
+    assert out["o"]["lo"] < 0.7 and out["o"]["hi"] == pytest.approx(1.0)
+    # coverage ordering sanity
+    assert out["a"]["lo"] < 0.8 < out["a"]["hi"]
+
+
+def test_wilson_ci_by_guards(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, s int")
+    with pytest.raises(ValueError, match="critical value"):
+        wilson_ci_by(df, "g", "s", alpha=0.2)
+    bad = spark.createDataFrame([("a", 3)], "g string, s int")
+    with pytest.raises(Exception, match="outside"):
+        wilson_ci_by(bad, "g", "s").collect()
+
+
+# --------------------------------------------------- newey_west_by
+
+from hdfe_spark.operators.stats import newey_west_by
+
+
+def test_newey_west_by_matches_replica(spark):
+    rng = np.random.RandomState(23)
+    rows, blocks = [], {}
+    for g in ("g1", "g2"):
+        n, L = 600, 3
+        # BOTH x and e AR(1): u = x~*e is then positively
+        # autocorrelated (with iid x it would not be, whatever the
+        # error autocorrelation -- cov(u_t, u_{t-l}) carries the
+        # product of the two autocovariances)
+        x = np.zeros(n)
+        e = np.zeros(n)
+        for t in range(n):
+            x[t] = 0.7 * (x[t-1] if t else 0.0) + rng.normal(0, 1)
+            e[t] = 0.6 * (e[t-1] if t else 0.0) + rng.normal(0, 1)
+        y = 1.0 + 2.5 * x + e
+        blocks[g] = (x, y)
+        rows += [(g, t, float(xx), float(yy))
+                 for t, (xx, yy) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    L = 3
+    out = {r["g"]: r for r in
+           newey_west_by(df, "g", "y", "x", "t", L).collect()}
+    for g, (x, y) in blocks.items():
+        xc = x - x.mean()
+        b = (xc @ (y - y.mean())) / (xc @ xc)
+        e = (y - y.mean()) - b * xc
+        u = xc * e
+        g0 = float(u @ u)
+        v = g0
+        for l in range(1, L + 1):
+            v += 2 * (1 - l / (L + 1)) * float(u[l:] @ u[:-l])
+        sxx = float(xc @ xc)
+        r = out[g]
+        assert r["b"] == pytest.approx(b, rel=1e-9)
+        assert r["se_hac"] == pytest.approx(math.sqrt(v) / sxx, rel=1e-9)
+        assert r["se_hc0"] == pytest.approx(math.sqrt(g0) / sxx, rel=1e-9)
+        # positive autocorrelation inflates the HAC SE
+        assert r["se_hac"] > r["se_hc0"]
+
+
+def test_newey_west_by_guards(spark):
+    # duplicate time values raise in-plan
+    rows = [("g", 1, 1.0, 1.0), ("g", 1, 2.0, 2.0), ("g", 2, 3.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, t int, x double, y double")
+    with pytest.raises(Exception, match="duplicate order"):
+        newey_west_by(df, "g", "y", "x", "t", 1).collect()
+    with pytest.raises(ValueError, match="max_lag"):
+        newey_west_by(df, "g", "y", "x", "t", -1)
+    # constant x -> NULL inference, n <= L -> NULL inference
+    rows2 = [("c", 1, 5.0, 1.0), ("c", 2, 5.0, 2.0),
+             ("s", 1, 1.0, 1.0), ("s", 2, 2.0, 5.0)]
+    df2 = spark.createDataFrame(rows2, "g string, t int, x double, y double")
+    out = {r["g"]: r for r in
+           newey_west_by(df2, "g", "y", "x", "t", 2).collect()}
+    assert out["c"]["b"] is None and out["s"]["se_hac"] is None

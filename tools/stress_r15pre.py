@@ -16,7 +16,7 @@ manski_bounds: 20M rows, 80%/70% observed arms over uniform 0-100
 outcomes; checks the width == (y_max - y_min) * missingness
 identity and that the bounds bracket the naive contrast.
 
-Usage: python tools/stress_r15pre.py [cuped2|bayes|mediation|manski|kink|all]
+Usage: python tools/stress_r15pre.py [cuped2|bayes|mediation|manski|kink|nw|wilson|all]
 """
 
 from __future__ import annotations
@@ -211,6 +211,53 @@ def stress_kink(spark):
           f"({r['slope_left']:.6f}, {r['slope_right']:.6f})")
 
 
+def stress_nw(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import newey_west_by
+
+    # 50 entities x 400k steps; x and e both slow lattice cycles so
+    # u is genuinely autocorrelated; b truth 2.5
+    T = N // 50
+    x = ((F.col("id") / 50).cast("long") % 7).cast("double")
+    e = (((F.col("id") / 50).cast("long") * 48271) % 5).cast("double")
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 50).cast("string").alias("g"),
+        (F.col("id") / 50).cast("long").alias("t"),
+        x.alias("x"),
+        (F.lit(2.5) * x + e).alias("y"),
+    )
+    t0 = time.perf_counter()
+    out = {r["g"]: r for r in
+           newey_west_by(df, "g", "y", "x", "t", 5).collect()}
+    wall = time.perf_counter() - t0
+    worst = max(abs(r["b"] - 2.5) for r in out.values())
+    assert all(r["se_hac"] is not None for r in out.values())
+    print(f"newey_west_by 20M x 50 entities (L=5): {wall:.1f}s, "
+          f"slope worst |err| {worst:.2e} vs 2.5 truth")
+
+
+def stress_wilson(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import wilson_ci_by
+
+    df = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 1000).cast("string").alias("g"),
+        # prime modulus COPRIME with the 1000-group key (a mod-100
+        # lattice is constant within mod-1000 groups)
+        ((F.col("id") * 48271) % 101 < 30).cast("int").alias("s"),
+    )
+    t0 = time.perf_counter()
+    out = {r["g"]: r for r in wilson_ci_by(df, "g", "s").collect()}
+    wall = time.perf_counter() - t0
+    p0 = 30.0 / 101.0
+    cover = sum(1 for r in out.values() if r["lo"] <= p0 <= r["hi"])
+    assert cover == 1000
+    print(f"wilson_ci_by 20M x 1000 groups: {wall:.1f}s, all 1000 "
+          f"intervals cover the 30/101 construction")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sp = _spark()
@@ -224,3 +271,7 @@ if __name__ == "__main__":
         stress_manski(sp)
     if which in ("kink", "all"):
         stress_kink(sp)
+    if which in ("nw", "all"):
+        stress_nw(sp)
+    if which in ("wilson", "all"):
+        stress_wilson(sp)
