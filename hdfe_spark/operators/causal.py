@@ -1365,7 +1365,10 @@ def synthetic_control(
     constraint (w ≥ 0, Σw = 1): the same quadratic objective
     minimized over the simplex by Frank–Wolfe with exact line search
     on the J×J driver-side Gram — deterministic, no QP library,
-    duality-gap stopping (gap < 1e-12·||b||² or 100k iterations,
+    duality-gap stopping RELATIVE to the first iterate's gap
+    (stop when gap ≤ 1e-12·gap₀; an absolute ``||b||²``-style bound
+    is dimensionally objective² and would stop immediately at large
+    scale) or after ``fw_max_iter`` iterations (default 20 000,
     microseconds at J ≤ 200). The simplex path is engine-only
     (iterative — not SQL-spellable; the registered oracle fixture
     uses "ols" at J = 2).
@@ -1389,8 +1392,11 @@ def synthetic_control(
     donor observed in exactly the treated unit's pre periods, one row
     per (unit, period); violations RAISE (the counts ride the moment
     rows, no extra scan). Post periods missing donors get NULL
-    synthetic (n_donors says why); a post period with a duplicated
-    treated row gets NULL actual. NULL/NaN y rows drop (listwise).
+    synthetic (``n_donors`` counts DISTINCT donors present and says
+    why); a post period with a DUPLICATED donor row also gets NULL
+    synthetic (distinct-vs-row counts disagree — the weight would
+    otherwise apply twice; ADVICE r14), and a duplicated treated row
+    gets NULL actual. NULL/NaN y rows drop (listwise).
 
     Scale: ONE donor-donor self-join on the pre-period axis builds
     the J² Gram cells (J² tiny by contract, ``max_donors``-guarded
@@ -1639,10 +1645,21 @@ def synthetic_control(
         ).alias("__syn_raw"),
         F.count(
             F.when(~is_tr & wmap[F.col("__unit")].isNotNull(), F.lit(1))
+        ).alias("__nd_rows"),
+        # DISTINCT donors (ADVICE r14): a post period with one donor
+        # duplicated and another absent still has __nd_rows == J, so
+        # row counting alone would let the duplicate's weight apply
+        # twice while the missing donor is silently omitted
+        F.count_distinct(
+            F.when(~is_tr & wmap[F.col("__unit")].isNotNull(),
+                   F.col("__unit"))
         ).alias("n_donors"),
     )
     actual = F.when(F.col("__ntr") == 1, F.col("__act_raw"))
-    synthetic = F.when(F.col("n_donors") == J, F.col("__syn_raw"))
+    synthetic = F.when(
+        (F.col("n_donors") == J) & (F.col("__nd_rows") == J),
+        F.col("__syn_raw"),
+    )
     return series.select(
         F.col("__per").alias(period_col),
         actual.alias("actual"),
@@ -1981,7 +1998,10 @@ def regression_kink(
     the 3×3 normal equations — spelled as the 2×2 Cramer system on
     the centered regressors (the `cuped2_by` convention), so a SQL
     oracle replays it literally. No solver, no second pass. Sides
-    with < 2 distinct x yield NULLs (singular normal equations).
+    with < 2 rows, < 2 DISTINCT running values (tracked in the same
+    aggregation — a one-distinct-x side can keep det > 0 through
+    the continuity constraint yet identify no slope of its own;
+    ADVICE r14), or det ≤ 0 yield NULL estimates.
     Rows with NULL/NaN y or running drop.
 
     Returns one row: (kink_effect, slope_left, slope_right,
@@ -2000,6 +2020,16 @@ def regression_kink(
     agg = df.agg(
         F.count(F.when(inside & (x < 0), 1)).alias("n_l"),
         F.count(F.when(inside & (x >= 0), 1)).alias("n_r"),
+        # per-side DISTINCT running values (ADVICE r14): a side with
+        # >= 2 rows at a single x keeps det > 0 through the
+        # continuity constraint, so the row-count gate alone would
+        # emit a slope the side's own data cannot identify
+        F.count_distinct(
+            F.when(inside & (x < 0), F.col(running))
+        ).alias("d_l"),
+        F.count_distinct(
+            F.when(inside & (x >= 0), F.col(running))
+        ).alias("d_r"),
         F.count(F.when(inside, 1)).alias("n"),
         F.sum(F.when(inside, xm)).alias("s1"),
         F.sum(F.when(inside, xp)).alias("s2"),
@@ -2020,7 +2050,11 @@ def regression_kink(
     b_l = (c1 * v22 - c2 * v12) / det
     b_r = (v11 * c2 - v12 * c1) / det
     a = (F.col("sy") - b_l * F.col("s1") - b_r * F.col("s2")) / n
-    ok = (F.col("n_l") >= 2) & (F.col("n_r") >= 2) & (det > 0)
+    ok = (
+        (F.col("n_l") >= 2) & (F.col("n_r") >= 2)
+        & (F.col("d_l") >= 2) & (F.col("d_r") >= 2)
+        & (det > 0)
+    )
     return agg.select(
         F.when(ok, b_r - b_l).alias("kink_effect"),
         F.when(ok, b_l).alias("slope_left"),

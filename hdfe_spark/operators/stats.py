@@ -6445,6 +6445,7 @@ def wilson_ci_by(
     group_col: str,
     success_col: str,
     alpha: float = 0.05,
+    crit: "float | None" = None,
 ) -> DataFrame:
     """Per-group Wilson score confidence interval for a proportion
     (round-15 pre-build) — the interval that actually holds its
@@ -6456,9 +6457,10 @@ def wilson_ci_by(
 
     One map-side-combined aggregation to (n, successes) per group;
     the interval is a fixed IEEE expression over two exact integers
-    and the z literal (`_Z_TWOSIDED`, or pass any alpha with a
-    custom z via the table-extension convention) — fully
-    SQL-spellable. Success values must be 0/1 (boolean or numeric);
+    and the z literal (`_Z_TWOSIDED` for alpha ∈ {0.10, 0.05,
+    0.01}; any other level passes its two-sided z explicitly via
+    ``crit=`` — the `group_sequential_by` convention; ADVICE r14) —
+    fully SQL-spellable. Success values must be 0/1 (boolean or numeric);
     anything else RAISES in-plan (the `chi2_gof_by` convention);
     NULL successes drop; a NULL group is itself a group. Groups
     with n = 0 cannot exist (no rows, no group).
@@ -6469,12 +6471,15 @@ def wilson_ci_by(
         "wilson_ci_by", "group_col", group_col,
         ("n", "successes", "p_hat", "lo", "hi"),
     )
-    if alpha not in _Z_TWOSIDED:
-        raise ValueError(
-            "wilson_ci_by: no built-in critical value for"
-            f" alpha={alpha!r} (have {sorted(_Z_TWOSIDED)})"
-        )
-    z = F.lit(_Z_TWOSIDED[alpha])
+    if crit is None:
+        if alpha not in _Z_TWOSIDED:
+            raise ValueError(
+                "wilson_ci_by: no built-in critical value for"
+                f" alpha={alpha!r} (have {sorted(_Z_TWOSIDED)});"
+                " pass crit= explicitly"
+            )
+        crit = _Z_TWOSIDED[alpha]
+    z = F.lit(float(crit))
     s = F.col(success_col).cast("double")
     sv = F.when(
         s.isNotNull() & ~s.isin(0.0, 1.0),
