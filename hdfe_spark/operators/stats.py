@@ -6328,6 +6328,49 @@ def cuped2_by(
     )
 
 
+def _beta_lbeta(x: float, y: float) -> float:
+    import math
+
+    return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+
+def _bayes_ab_exact(aA: int, bA: int, aB: int, bB: int) -> float:
+    """EXACT ``P(p_B > p_A)`` for Beta(aA,bA) vs Beta(aB,bB) by the
+    Cook (2005) closed-form sum in log space, summing over whichever
+    arm gives the SHORTER sum (the ``1 − h(swapped)`` identity).
+    Driver-side O(min(aA, aB)) loop — `bayes_ab` gates the count
+    envelope; callers here must pre-check it."""
+    import math
+
+    def _h(a1, b1, a2, b2):
+        base = _beta_lbeta(a1, b1)
+        total = 0.0
+        for i in range(a2):
+            total += math.exp(
+                _beta_lbeta(a1 + i, b1 + b2)
+                - math.log(b2 + i)
+                - _beta_lbeta(1 + i, b2)
+                - base
+            )
+        return total
+
+    return _h(aA, bA, aB, bB) if aB <= aA else 1.0 - _h(aB, bB, aA, bA)
+
+
+def _bayes_ab_normal(aA: int, bA: int, aB: int, bB: int) -> float:
+    """Normal approximation to ``P(p_B > p_A)`` on the posterior
+    Beta means/variances — the O(1) escape above the exact path's
+    count envelope. Error vs exact is O(1/sqrt(min posterior n));
+    the pinned property bound lives in tests/test_r15_ops.py."""
+    import math
+
+    mA, mB = aA / (aA + bA), aB / (aB + bB)
+    vA = aA * bA / ((aA + bA) ** 2 * (aA + bA + 1.0))
+    vB = aB * bB / ((aB + bB) ** 2 * (aB + bB + 1.0))
+    z = (mB - mA) / math.sqrt(vA + vB)
+    return 0.5 * math.erfc(-z / math.sqrt(2.0))
+
+
 def bayes_ab(
     df: DataFrame,
     arm_col: str,
@@ -6337,6 +6380,7 @@ def bayes_ab(
     alpha_prior: int = 1,
     beta_prior: int = 1,
     exact_max: int = 200_000,
+    method: str = "auto",
 ) -> DataFrame:
     """Bayesian A/B readout for binary outcomes (round-15
     pre-build): Beta–Binomial posteriors per arm and the EXACT
@@ -6347,21 +6391,37 @@ def bayes_ab(
       B(a_A+i, b_A+b_B) / ((b_B+i)·B(1+i, b_B)·B(a_A, b_A))``
 
     evaluated in log space (lgamma), summing over whichever arm
-    gives the SHORTER sum (the ``1 − h(swapped)`` identity). Counts
-    above ``exact_max`` switch to the normal approximation on the
-    posterior means/variances (method column says which — the
-    qte_by accuracy-escape convention). Priors must be positive
-    integers (the closed form needs an integer sum bound).
+    gives the SHORTER sum (the ``1 − h(swapped)`` identity).
+
+    COUNT ENVELOPE (the scale contract): the exact path is a
+    DRIVER-side loop of ``min(alpha_post_a, alpha_post_b)`` lgamma
+    terms — O(min successes), NOT distributed. ``exact_max``
+    (default 200 000, ~tens of ms) bounds it. ``method=`` picks the
+    policy: ``"auto"`` (default) uses exact within the envelope and
+    silently escapes to the normal approximation on the posterior
+    means/variances above it (the output's method column says
+    which); ``"exact"`` RAISES above the envelope instead of
+    looping unboundedly or silently approximating; ``"normal"``
+    always approximates. The escape's error is bounded by
+    ``0.6/sqrt(min posterior n)`` (≈ 1.3e-3 at the default envelope
+    boundary; observed ≲ 1e-9 for balanced rates there), pinned by
+    a property test over the count×rate grid (test_r15_ops). Priors
+    must be positive integers (the closed form needs an integer sum
+    bound).
 
     Scale: ONE map-side-combined aggregation produces four exact
-    integer counters; the posterior math is O(min(successes)) on the
-    driver — nothing data-sized moves. Success values must be 0/1
-    (boolean or numeric); anything else RAISES in-plan (the
+    integer counters; nothing data-sized moves. Success values must
+    be 0/1 (boolean or numeric); anything else RAISES in-plan (the
     `chi2_gof_by` out-of-design convention). NULL successes drop.
 
     Returns one row: (n_a, s_a, n_b, s_b, mean_a, mean_b,
     p_b_beats_a, method).
     """
+    if method not in ("auto", "exact", "normal"):
+        raise ValueError(
+            f"bayes_ab: unknown method {method!r}"
+            " (expected 'auto', 'exact' or 'normal')"
+        )
     if (
         int(alpha_prior) != alpha_prior or int(beta_prior) != beta_prior
         or alpha_prior < 1 or beta_prior < 1
@@ -6395,34 +6455,20 @@ def bayes_ab(
     n_b, s_b = int(row["n_b"]), int(row["s_b"])
     aA, bA = int(alpha_prior) + s_a, int(beta_prior) + n_a - s_a
     aB, bB = int(alpha_prior) + s_b, int(beta_prior) + n_b - s_b
-    lg = math.lgamma
-
-    def _lbeta(x, y):
-        return lg(x) + lg(y) - lg(x + y)
-
-    def _h(a1, b1, a2, b2):
-        # P(p2 > p1) for Beta(a1,b1) vs Beta(a2,b2), exact
-        base = _lbeta(a1, b1)
-        total = 0.0
-        for i in range(a2):
-            total += math.exp(
-                _lbeta(a1 + i, b1 + b2)
-                - math.log(b2 + i)
-                - _lbeta(1 + i, b2)
-                - base
-            )
-        return total
-
-    if min(aB, aA) > exact_max:
-        # normal approximation on the posterior moments
-        mA, mB = aA / (aA + bA), aB / (aB + bB)
-        vA = aA * bA / ((aA + bA) ** 2 * (aA + bA + 1.0))
-        vB = aB * bB / ((aB + bB) ** 2 * (aB + bB + 1.0))
-        z = (mB - mA) / math.sqrt(vA + vB)
-        p = 0.5 * math.erfc(-z / math.sqrt(2.0))
+    exact_ok = min(aB, aA) <= exact_max
+    if method == "exact" and not exact_ok:
+        raise ValueError(
+            "bayes_ab: method='exact' but min(alpha_post) ="
+            f" {min(aB, aA)} exceeds exact_max={exact_max} — the Cook"
+            " sum is a driver-side loop of that many lgamma terms;"
+            " raise exact_max deliberately or use method='auto'/"
+            "'normal' (escape error is O(1/sqrt(min posterior n)))"
+        )
+    if method == "normal" or (method == "auto" and not exact_ok):
+        p = _bayes_ab_normal(aA, bA, aB, bB)
         method = "normal"
     else:
-        p = _h(aA, bA, aB, bB) if aB <= aA else 1.0 - _h(aB, bB, aA, bA)
+        p = _bayes_ab_exact(aA, bA, aB, bB)
         method = "exact"
     spark = df.sparkSession
     return spark.createDataFrame(
