@@ -9133,174 +9133,787 @@ def _wild_cluster_bootstrap_oracle(n_boot: int = 99) -> str:
 _WILD_CLUSTER_BOOTSTRAP_SQL = _wild_cluster_bootstrap_oracle()
 
 
+# ===================================================================
+# round-15 registrations: the seven pre-built operators
+# ===================================================================
+
+
+_CUPED2_BY_SQL = """
+            WITH b AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS seg,
+                     l_returnflag AS arm,
+                     CAST(round(l_extendedprice * 1000000.0)
+                          AS HUGEINT) AS uy,
+                     CAST(round(l_quantity * 1000000.0)
+                          AS HUGEINT) AS u1,
+                     CAST(round(l_discount * 1000000.0)
+                          AS HUGEINT) AS u2
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL),
+            m AS (
+              SELECT seg,
+                     count(CASE WHEN arm IN ('A','R') THEN 1 END) AS n,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN uy END), 0) AS HUGEINT) AS sy,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u1 END), 0) AS HUGEINT) AS s1,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u2 END), 0) AS HUGEINT) AS s2,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN uy * uy END), 0) AS HUGEINT) AS syy,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u1 * u1 END), 0) AS HUGEINT) AS s11,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u2 * u2 END), 0) AS HUGEINT) AS s22,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u1 * u2 END), 0) AS HUGEINT) AS s12,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u1 * uy END), 0) AS HUGEINT) AS s1y,
+                     CAST(COALESCE(sum(CASE WHEN arm IN ('A','R')
+                       THEN u2 * uy END), 0) AS HUGEINT) AS s2y,
+                     count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'A' THEN uy END),
+                          0) AS HUGEINT) AS sy_a,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'A' THEN u1 END),
+                          0) AS HUGEINT) AS s1_a,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'A' THEN u2 END),
+                          0) AS HUGEINT) AS s2_a,
+                     count(CASE WHEN arm = 'R' THEN 1 END) AS n_b,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'R' THEN uy END),
+                          0) AS HUGEINT) AS sy_b,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'R' THEN u1 END),
+                          0) AS HUGEINT) AS s1_b,
+                     CAST(COALESCE(sum(CASE WHEN arm = 'R' THEN u2 END),
+                          0) AS HUGEINT) AS s2_b
+              FROM b GROUP BY seg),
+            c AS (
+              SELECT seg, n, n_a, n_b,
+                     CAST(CAST(n AS HUGEINT) * s11 - s1 * s1
+                          AS DOUBLE) AS v11,
+                     CAST(CAST(n AS HUGEINT) * s22 - s2 * s2
+                          AS DOUBLE) AS v22,
+                     CAST(CAST(n AS HUGEINT) * s12 - s1 * s2
+                          AS DOUBLE) AS v12,
+                     CAST(CAST(n AS HUGEINT) * s1y - s1 * sy
+                          AS DOUBLE) AS c1,
+                     CAST(CAST(n AS HUGEINT) * s2y - s2 * sy
+                          AS DOUBLE) AS c2,
+                     CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                          AS DOUBLE) AS vy,
+                     CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       AS dy,
+                     CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       AS dx1,
+                     CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       AS dx2
+              FROM m),
+            d AS (
+              SELECT seg, n_a, n_b, vy, dy,
+                     v11 * v22 - v12 * v12 AS det,
+                     (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12)
+                       AS th1,
+                     (v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12)
+                       AS th2,
+                     ((c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12))
+                       * c1
+                     + ((v11 * c2 - v12 * c1) / (v11 * v22 - v12 * v12))
+                       * c2 AS rnum,
+                     dx1, dx2
+              FROM c)
+            SELECT seg,
+                   CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CASE WHEN n_a >= 1 AND n_b >= 1 THEN
+                     floor((dy / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS effect_raw,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND det > 0
+                        AND vy > 0 THEN
+                     floor(((dy - th1 * dx1 - th2 * dx2) / 1000000.0)
+                           * 1e9 + 0.5) / 1e9
+                   END AS effect_adj,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND det > 0
+                        AND vy > 0 THEN
+                     floor(th1 * 1e9 + 0.5) / 1e9 END AS theta1,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND det > 0
+                        AND vy > 0 THEN
+                     floor(th2 * 1e9 + 0.5) / 1e9 END AS theta2,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND det > 0
+                        AND vy > 0 THEN
+                     floor((rnum / vy) * 1e9 + 0.5) / 1e9 END AS rho2
+            FROM d
+        """
+
+
+_MEDIATION_BY_SQL = """
+            WITH b AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS seg,
+                     CAST(round(l_extendedprice * 1000000.0)
+                          AS HUGEINT) AS uy,
+                     CAST(round(l_discount * 1000000.0)
+                          AS HUGEINT) AS ut,
+                     CAST(round(l_quantity * 1000000.0)
+                          AS HUGEINT) AS um
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL
+                AND l_quantity IS NOT NULL),
+            m AS (
+              SELECT seg, count(*) AS n,
+                     CAST(COALESCE(sum(uy), 0) AS HUGEINT) AS sy,
+                     CAST(COALESCE(sum(ut), 0) AS HUGEINT) AS st,
+                     CAST(COALESCE(sum(um), 0) AS HUGEINT) AS sm,
+                     CAST(COALESCE(sum(uy * uy), 0) AS HUGEINT) AS syy,
+                     CAST(COALESCE(sum(ut * ut), 0) AS HUGEINT) AS stt_r,
+                     CAST(COALESCE(sum(um * um), 0) AS HUGEINT) AS smm_r,
+                     CAST(COALESCE(sum(ut * um), 0) AS HUGEINT) AS stm_r,
+                     CAST(COALESCE(sum(ut * uy), 0) AS HUGEINT) AS sty_r,
+                     CAST(COALESCE(sum(um * uy), 0) AS HUGEINT) AS smy_r
+              FROM b GROUP BY seg),
+            c AS (
+              SELECT seg, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(n AS HUGEINT) * stt_r - st * st
+                          AS DOUBLE) AS stt,
+                     CAST(CAST(n AS HUGEINT) * smm_r - sm * sm
+                          AS DOUBLE) AS smm,
+                     CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                          AS DOUBLE) AS syy_c,
+                     CAST(CAST(n AS HUGEINT) * stm_r - st * sm
+                          AS DOUBLE) AS stm,
+                     CAST(CAST(n AS HUGEINT) * sty_r - st * sy
+                          AS DOUBLE) AS sty,
+                     CAST(CAST(n AS HUGEINT) * smy_r - sm * sy
+                          AS DOUBLE) AS smy
+              FROM m),
+            d AS (
+              SELECT seg, n, nd, stt, syy_c, stm, sty, smy, smm,
+                     stm / stt AS a,
+                     sty / stt AS c,
+                     stt * smm - stm * stm AS det,
+                     (sty * smm - smy * stm)
+                       / (stt * smm - stm * stm) AS c_dir,
+                     (stt * smy - stm * sty)
+                       / (stt * smm - stm * stm) AS bb
+              FROM c),
+            e AS (
+              SELECT seg, n, nd, stt, det, a, bb, c, c_dir,
+                     smm - stm * stm / stt AS ssr_a,
+                     syy_c - c_dir * sty - bb * smy AS ssr_j,
+                     a * bb AS ind
+              FROM d),
+            f AS (
+              SELECT e.*,
+                     (ssr_a / (nd - 2.0)) / stt AS var_a,
+                     (ssr_j / (nd - 3.0)) * stt / det AS var_b,
+                     (n >= 4 AND stt > 0 AND det > 0) AS ok
+              FROM e),
+            g AS (
+              SELECT f.*,
+                     sqrt(bb * bb * var_a + a * a * var_b) AS se_ind
+              FROM f)
+            SELECT seg,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN ok THEN floor(a * 1e9 + 0.5) / 1e9
+                   END AS a,
+                   CASE WHEN ok THEN floor(bb * 1e9 + 0.5) / 1e9
+                   END AS b,
+                   CASE WHEN ok THEN floor(c * 1e9 + 0.5) / 1e9
+                   END AS c,
+                   CASE WHEN ok THEN floor(c_dir * 1e9 + 0.5) / 1e9
+                   END AS c_direct,
+                   CASE WHEN ok THEN floor(ind * 1e9 + 0.5) / 1e9
+                   END AS indirect,
+                   CASE WHEN ok AND c <> 0 THEN
+                     floor((ind / c) * 1e9 + 0.5) / 1e9
+                   END AS prop_mediated,
+                   CASE WHEN ok AND ssr_a >= 0 AND ssr_j >= 0 THEN
+                     floor(se_ind * 1e9 + 0.5) / 1e9
+                   END AS se_indirect,
+                   CASE WHEN ok AND ssr_a >= 0 AND ssr_j >= 0
+                        AND se_ind > 0 THEN
+                     floor((ind / se_ind) * 1e9 + 0.5) / 1e9
+                   END AS z_sobel
+            FROM g
+        """
+
+
+_MANSKI_BOUNDS_SQL = """
+            WITH b AS (
+              SELECT (o_custkey % 2 = 0) AS t,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_totalprice END AS y
+              FROM orders),
+            m AS (
+              SELECT count(CASE WHEN t THEN 1 END) AS n1,
+                     count(CASE WHEN NOT t THEN 1 END) AS n0,
+                     count(CASE WHEN t AND y IS NOT NULL
+                           THEN 1 END) AS m1,
+                     count(CASE WHEN NOT t AND y IS NOT NULL
+                           THEN 1 END) AS m0,
+                     CAST(COALESCE(sum(CASE WHEN t THEN y END), 0.0)
+                          AS DOUBLE) AS s1,
+                     CAST(COALESCE(sum(CASE WHEN NOT t THEN y END),
+                          0.0) AS DOUBLE) AS s0
+              FROM b),
+            d AS (
+              SELECT n1, n0, m1, m0, s1, s0,
+                     CAST(n1 AS DOUBLE) AS n1d,
+                     CAST(n0 AS DOUBLE) AS n0d,
+                     CAST(n1 - m1 AS DOUBLE) AS miss1,
+                     CAST(n0 - m0 AS DOUBLE) AS miss0
+              FROM m)
+            SELECT CAST(n1 AS BIGINT) AS n_treat,
+                   CAST(n0 AS BIGINT) AS n_ctrl,
+                   CAST(miss1 AS BIGINT) AS miss_treat,
+                   CAST(miss0 AS BIGINT) AS miss_ctrl,
+                   CASE WHEN n1 >= 1 AND n0 >= 1 THEN
+                     floor(((s1 + 0.0 * miss1) / n1d
+                            - (s0 + 500000.0 * miss0) / n0d)
+                           * 1e9 + 0.5) / 1e9 END AS lower,
+                   CASE WHEN n1 >= 1 AND n0 >= 1 THEN
+                     floor(((s1 + 500000.0 * miss1) / n1d
+                            - (s0 + 0.0 * miss0) / n0d)
+                           * 1e9 + 0.5) / 1e9 END AS upper,
+                   CASE WHEN n1 >= 1 AND n0 >= 1 THEN
+                     floor(((500000.0 - 0.0)
+                            * (miss1 / n1d + miss0 / n0d))
+                           * 1e9 + 0.5) / 1e9 END AS width,
+                   CASE WHEN n1 >= 1 AND n0 >= 1 AND m1 >= 1
+                        AND m0 >= 1 THEN
+                     floor((s1 / CAST(m1 AS DOUBLE)
+                            - s0 / CAST(m0 AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9 END AS naive
+            FROM d
+        """
+
+
+_REGRESSION_KINK_SQL = """
+            WITH b AS (
+              SELECT l_quantity - 25.0 AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y,
+                     l_quantity AS q
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND abs(l_quantity - 25.0) < 10.0),
+            r AS (
+              SELECT CASE WHEN x < 0 THEN x ELSE 0.0 END AS xm,
+                     CASE WHEN x >= 0 THEN x ELSE 0.0 END AS xp,
+                     x, y, q
+              FROM b),
+            m AS (
+              SELECT count(CASE WHEN x < 0 THEN 1 END) AS n_l,
+                     count(CASE WHEN x >= 0 THEN 1 END) AS n_r,
+                     count(DISTINCT CASE WHEN x < 0 THEN q END) AS d_l,
+                     count(DISTINCT CASE WHEN x >= 0 THEN q END) AS d_r,
+                     count(*) AS n,
+                     sum(xm) AS s1, sum(xp) AS s2, sum(y) AS sy,
+                     sum(xm * xm) AS s11, sum(xp * xp) AS s22,
+                     sum(xm * y) AS s1y, sum(xp * y) AS s2y
+              FROM r),
+            c AS (
+              SELECT n_l, n_r, d_l, d_r,
+                     CAST(n AS DOUBLE) AS nd,
+                     s1, s2, sy, s11, s22, s1y, s2y
+              FROM m),
+            d AS (
+              SELECT n_l, n_r, d_l, d_r, nd, s1, s2, sy,
+                     nd * s11 - s1 * s1 AS v11,
+                     nd * s22 - s2 * s2 AS v22,
+                     -(s1 * s2) AS v12,
+                     nd * s1y - s1 * sy AS c1,
+                     nd * s2y - s2 * sy AS c2
+              FROM c),
+            e AS (
+              SELECT d.*,
+                     v11 * v22 - v12 * v12 AS det,
+                     (c1 * v22 - c2 * v12)
+                       / (v11 * v22 - v12 * v12) AS b_l,
+                     (v11 * c2 - v12 * c1)
+                       / (v11 * v22 - v12 * v12) AS b_r
+              FROM d),
+            f AS (
+              SELECT e.*,
+                     (sy - b_l * s1 - b_r * s2) / nd AS a,
+                     (n_l >= 2 AND n_r >= 2 AND d_l >= 2
+                      AND d_r >= 2 AND det > 0) AS ok
+              FROM e)
+            SELECT CASE WHEN ok THEN
+                     floor((b_r - b_l) * 1e4 + 0.5) / 1e4
+                   END AS kink_effect,
+                   CASE WHEN ok THEN floor(b_l * 1e4 + 0.5) / 1e4
+                   END AS slope_left,
+                   CASE WHEN ok THEN floor(b_r * 1e4 + 0.5) / 1e4
+                   END AS slope_right,
+                   CASE WHEN ok THEN floor(a * 1e4 + 0.5) / 1e4
+                   END AS intercept,
+                   CAST(n_l AS BIGINT) AS n_left,
+                   CAST(n_r AS BIGINT) AS n_right
+            FROM f
+        """
+
+
+_WILSON_CI_BY_SQL = """
+            WITH b AS (
+              SELECT c_mktsegment AS seg,
+                     CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS s
+              FROM customer),
+            m AS (
+              SELECT seg, count(*) AS n,
+                     CAST(sum(s) AS BIGINT) AS successes
+              FROM b GROUP BY seg),
+            c AS (
+              SELECT seg, n, successes,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(successes AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS p,
+                     1.9599639845400545 * 1.9599639845400545
+                       / CAST(n AS DOUBLE) AS z2n
+              FROM m),
+            d AS (
+              SELECT seg, n, successes, p, nd,
+                     (p + z2n / 2.0) / (1.0 + z2n) AS center,
+                     1.9599639845400545
+                       * sqrt(p * (1.0 - p) / nd
+                              + 1.9599639845400545
+                                * 1.9599639845400545
+                                / (4.0 * nd * nd))
+                       / (1.0 + z2n) AS half
+              FROM c)
+            SELECT seg, n, successes,
+                   floor(p * 1e9 + 0.5) / 1e9 AS p_hat,
+                   floor((center - half) * 1e9 + 0.5) / 1e9 AS lo,
+                   floor((center + half) * 1e9 + 0.5) / 1e9 AS hi
+            FROM d
+        """
+
+
+def _newey_west_oracle(L: int = 2) -> str:
+    """Generate the newey_west_by oracle: the identical float
+    expression tree (pass-1 exact integer moments, the per-row
+    score u, per-group window lags, Bartlett-weighted gamma sums)
+    with the Python-folded kernel weights injected as literals."""
+    lag_cols = ",\n                     ".join(
+        f"lag(u, {l}) OVER (PARTITION BY g ORDER BY t) AS u{l}"
+        for l in range(1, L + 1)
+    )
+    gam_aggs = ",\n                     ".join(
+        f"sum(u * u{l}) AS g{l}" for l in range(1, L + 1)
+    )
+    v_expr = "g0"
+    for l in range(1, L + 1):
+        w = 1.0 - l / (L + 1.0)
+        v_expr += f" + 2.0 * {w!r} * COALESCE(g{l}, 0.0)"
+    return f"""
+            WITH b AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS g,
+                     l_orderkey AS t,
+                     CAST(sum(CAST(l_partkey % 1000 AS DOUBLE))
+                          AS DOUBLE) AS y,
+                     CAST(sum(l_quantity) AS DOUBLE) AS x
+              FROM lineitem
+              GROUP BY 1, 2),
+            m AS (
+              SELECT g, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM b GROUP BY g),
+            h AS (
+              SELECT g, n,
+                     sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc,
+                     (sxy - sx * sy / CAST(n AS DOUBLE))
+                       / (sxx - sx * sx / CAST(n AS DOUBLE)) AS bb,
+                     sx / CAST(n AS DOUBLE) AS mx,
+                     sy / CAST(n AS DOUBLE) AS my
+              FROM m),
+            u AS (
+              SELECT b.g, b.t,
+                     (b.x - h.mx)
+                       * (b.y - h.my - h.bb * (b.x - h.mx)) AS u
+              FROM b JOIN h ON b.g = h.g
+              WHERE h.sxxc > 0),
+            lg AS (
+              SELECT g, u,
+                     {lag_cols}
+              FROM u),
+            gam AS (
+              SELECT g, sum(u * u) AS g0,
+                     {gam_aggs}
+              FROM lg GROUP BY g),
+            o AS (
+              SELECT h.g, h.n, h.sxxc, h.bb, gam.g0,
+                     {v_expr} AS v,
+                     (h.sxxc > 0 AND h.n > {L}) AS ok
+              FROM h LEFT JOIN gam ON h.g = gam.g)
+            SELECT g AS seg,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN ok THEN floor(bb * 1e9 + 0.5) / 1e9
+                   END AS b,
+                   CASE WHEN ok AND v >= 0 THEN
+                     floor((sqrt(v) / sxxc) * 1e9 + 0.5) / 1e9
+                   END AS se_hac,
+                   CASE WHEN ok THEN
+                     floor(sqrt(g0 / (sxxc * sxxc)) * 1e9 + 0.5) / 1e9
+                   END AS se_hc0
+            FROM o
+        """
+
+
+_NEWEY_WEST_BY_SQL = _newey_west_oracle(2)
+
+
+_BAYES_AB_SQL = """
+            WITH f AS (
+              SELECT CASE WHEN o_custkey % 2 = 0 THEN 'A'
+                          ELSE 'B' END AS arm,
+                     CASE WHEN o_totalprice > 150000 THEN 1
+                          ELSE 0 END AS s
+              FROM orders
+              WHERE o_orderkey % 97 = 0),
+            c AS (
+              SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+                     COALESCE(sum(CASE WHEN arm = 'A' THEN s END), 0)
+                       AS s_a,
+                     count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+                     COALESCE(sum(CASE WHEN arm = 'B' THEN s END), 0)
+                       AS s_b
+              FROM f),
+            p AS (
+              SELECT n_a, s_a, n_b, s_b,
+                     1 + s_a AS aa, 1 + n_a - s_a AS ba,
+                     1 + s_b AS ab_, 1 + n_b - s_b AS bb_
+              FROM c),
+            sel AS (
+              SELECT p.*,
+                     CASE WHEN ab_ <= aa THEN aa ELSE ab_ END AS a1,
+                     CASE WHEN ab_ <= aa THEN ba ELSE bb_ END AS b1,
+                     CASE WHEN ab_ <= aa THEN ab_ ELSE aa END AS a2,
+                     CASE WHEN ab_ <= aa THEN bb_ ELSE ba END AS b2
+              FROM p),
+            hsum AS (
+              SELECT sel.*,
+                     (SELECT sum(exp(
+                          (lgamma(CAST(a1 + r.i AS DOUBLE))
+                           + lgamma(CAST(b1 + b2 AS DOUBLE))
+                           - lgamma(CAST(a1 + r.i + b1 + b2
+                                         AS DOUBLE)))
+                          - ln(CAST(b2 + r.i AS DOUBLE))
+                          - (lgamma(CAST(1 + r.i AS DOUBLE))
+                             + lgamma(CAST(b2 AS DOUBLE))
+                             - lgamma(CAST(1 + r.i + b2 AS DOUBLE)))
+                          - (lgamma(CAST(a1 AS DOUBLE))
+                             + lgamma(CAST(b1 AS DOUBLE))
+                             - lgamma(CAST(a1 + b1 AS DOUBLE)))))
+                      FROM range(100000) r(i)
+                      WHERE r.i < sel.a2) AS h
+              FROM sel)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(s_a AS BIGINT) AS s_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(s_b AS BIGINT) AS s_b,
+                   floor((CAST(aa AS DOUBLE)
+                          / CAST(aa + ba AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS mean_a,
+                   floor((CAST(ab_ AS DOUBLE)
+                          / CAST(ab_ + bb_ AS DOUBLE))
+                         * 1e9 + 0.5) / 1e9 AS mean_b,
+                   floor((CASE WHEN ab_ <= aa THEN h
+                          ELSE 1.0 - h END) * 1e9 + 0.5) / 1e9
+                     AS p_b_beats_a,
+                   'exact' AS method
+            FROM hsum
+        """
+
+
+def _q_cuped2_by(spark, sf_dir):
+    """Two-covariate CUPED (`operators/stats.py::cuped2_by`): per
+    l_linenumber segment, the R-vs-A returnflag contrast in
+    l_extendedprice adjusted by BOTH l_quantity and l_discount —
+    theta solved in-plan by the 2x2 Cramer expressions over exact
+    DECIMAL(38,0) pooled moments (one conditional aggregation
+    carries pooled AND per-arm sums), so every number is a fixed
+    IEEE expression the oracle mirrors literally."""
+    from hdfe_spark.operators.stats import cuped2_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_returnflag").alias("arm"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+    )
+    out = cuped2_by(base, "seg", "arm", "y", "x1", "x2", "A", "R")
+    return out.select(
+        "seg", "n_a", "n_b",
+        _pround("effect_raw").alias("effect_raw"),
+        _pround("effect_adj").alias("effect_adj"),
+        _pround("theta1").alias("theta1"),
+        _pround("theta2").alias("theta2"),
+        _pround("rho2").alias("rho2"),
+    )
+
+
+def _q_mediation_by(spark, sf_dir):
+    """Baron–Kenny / Sobel mediation decomposition (`operators/
+    causal.py::mediation_by`): per l_linenumber group, how much of
+    the l_discount -> l_extendedprice effect flows through
+    l_quantity. All four regressions (m~t, y~t, y~t+m) are
+    closed-form over ONE group-keyed aggregation of exact
+    DECIMAL(38,0) second moments; slopes by 2x2 Cramer, coefficient
+    variances by the textbook sigma^2 (X'X)^-1 diagonals, Sobel SE
+    — every value a fixed IEEE expression the oracle replays."""
+    from hdfe_spark.operators.causal import mediation_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_discount").alias("t"),
+        F.col("l_quantity").alias("m"),
+    )
+    out = mediation_by(base, "seg", "y", "t", "m")
+    return out.select(
+        "seg", "n",
+        _pround("a").alias("a"),
+        _pround("b").alias("b"),
+        _pround("c").alias("c"),
+        _pround("c_direct").alias("c_direct"),
+        _pround("indirect").alias("indirect"),
+        _pround("prop_mediated").alias("prop_mediated"),
+        _pround("se_indirect").alias("se_indirect"),
+        _pround("z_sobel").alias("z_sobel"),
+    )
+
+
+def _q_manski_bounds(spark, sf_dir):
+    """Manski worst-case ATE bounds under missing outcomes
+    (`operators/causal.py::manski_bounds`): even-custkey orders as
+    the treated arm, o_totalprice missing on every 7th orderkey,
+    known range [0, 500000]. ONE aggregation -> six scalars; the
+    bound arithmetic is a fixed IEEE expression over exact
+    2-decimal sums (order-independent), mirrored verbatim."""
+    from hdfe_spark.operators.causal import manski_bounds
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_custkey") % 2 == 0).alias("treat"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice")).alias("y"),
+    )
+    out = manski_bounds(base, "y", "treat", 0.0, 500000.0)
+    return out.select(
+        "n_treat", "n_ctrl", "miss_treat", "miss_ctrl",
+        _pround("lower").alias("lower"),
+        _pround("upper").alias("upper"),
+        _pround("width").alias("width"),
+        _pround("naive").alias("naive"),
+    )
+
+
+def _q_regression_kink(spark, sf_dir):
+    """Sharp regression-kink design (`operators/causal.py::
+    regression_kink` — Card et al. 2015, `rdd`'s derivative
+    sibling): slope change of l_extendedprice in l_quantity at the
+    kink q = 25 within a +-10 band, the two local-linear fits
+    CONSTRAINED to meet at the kink (3x3 normal equations spelled
+    as centered 2x2 Cramer). Integer running values keep every sum
+    exact; per-side distinct-x gates (ADVICE r14) ride the same
+    single aggregation. 4-decimal rounding per the rdd precedent."""
+    from hdfe_spark.operators.causal import regression_kink
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = regression_kink(
+        li, "l_extendedprice", "l_quantity", kink=25.0, bandwidth=10.0
+    )
+    return out.select(
+        _pround("kink_effect", 4).alias("kink_effect"),
+        _pround("slope_left", 4).alias("slope_left"),
+        _pround("slope_right", 4).alias("slope_right"),
+        _pround("intercept", 4).alias("intercept"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+    )
+
+
+def _q_wilson_ci_by(spark, sf_dir):
+    """Per-group Wilson score interval (`operators/stats.py::
+    wilson_ci_by`): P(c_acctbal > 0) per market segment with the
+    95% interval that holds coverage at extreme rates. One
+    aggregation to two exact integers per group; the interval is a
+    fixed IEEE expression over (n, successes) and the z literal —
+    spelled identically in the oracle."""
+    from hdfe_spark.operators.stats import wilson_ci_by
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") > 0, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("s"),
+    )
+    out = wilson_ci_by(base, "seg", "s")
+    return out.select(
+        "seg", "n", "successes",
+        _pround("p_hat").alias("p_hat"),
+        _pround("lo").alias("lo"),
+        _pround("hi").alias("hi"),
+    )
+
+
+def _q_newey_west_by(spark, sf_dir):
+    """Per-group Newey–West HAC slope inference (`operators/
+    stats.py::newey_west_by`): l_partkey%1000 on l_quantity per
+    l_linenumber series ordered by l_orderkey, Bartlett kernel at
+    L = 2. Pass 1: one group-keyed moment aggregation (integer
+    addends — exact, order-independent); pass 2: per-group window
+    lags of the score u (never a global sort); pass 3: one
+    aggregation of lag products. The oracle replays the identical
+    float expression tree; 1e-9 rounding absorbs the sum-order
+    noise of the double gamma sums (~1e-13 relative). The series
+    pre-aggregates to one row per (linenumber, orderkey) — the
+    synthetic lineitem repeats orderkeys within a linenumber, and
+    newey_west_by RAISES on duplicate order values by contract —
+    with integer-exact sums on both engines."""
+    from hdfe_spark.operators.stats import newey_west_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_orderkey").alias("tt"),
+    ).agg(
+        F.sum((F.col("l_partkey") % 1000).cast("double")).alias("y"),
+        F.sum(F.col("l_quantity")).alias("x"),
+    )
+    out = newey_west_by(base, "seg", "y", "x", "tt", max_lag=2)
+    return out.select(
+        "seg", "n",
+        _pround("b").alias("b"),
+        _pround("se_hac").alias("se_hac"),
+        _pround("se_hc0").alias("se_hc0"),
+    )
+
+
+def _q_bayes_ab(spark, sf_dir):
+    """Bayesian A/B on the EXACT Cook-sum path (`operators/
+    stats.py::bayes_ab`): P(p_B > p_A) for high-value-order rate
+    between custkey-parity arms on a bounded deterministic order
+    sample (o_orderkey % 97 — 155 rows, so the Cook sum is ~80
+    lgamma terms and DuckDB replays it via lgamma + a correlated
+    range() sum). REJECTED ALTERNATIVE (documented per VERDICT
+    r14): registering the normal-escape certificate instead —
+    DuckDB has no erf/erfc, so the escape is NOT independently
+    SQL-replayable, while the exact path is; the escape's error
+    bound is property-pinned in tests/test_r15_ops.py instead.
+    method='exact' makes the envelope contract explicit — counts
+    here are ~1e2, far inside exact_max."""
+    from hdfe_spark.operators.stats import bayes_ab
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B")).alias("arm"),
+        F.when(F.col("o_totalprice") > 150000, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("s"),
+    )
+    out = bayes_ab(base, "arm", "s", "A", "B", method="exact")
+    return out.select(
+        "n_a", "s_a", "n_b", "s_b",
+        _pround("mean_a").alias("mean_a"),
+        _pround("mean_b").alias("mean_b"),
+        _pround("p_b_beats_a").alias("p_b_beats_a"),
+        "method",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
     entries -- SURVEY.md S2.5 documents the rotation policy).
 
-    ROUND-14 ROTATION (eighteenth curation pass), executed exactly
-    as queued in SURVEY.md after CORRECTNESS_r13 came back 50/50
+    ROUND-15 ROTATION (nineteenth curation pass), executed exactly
+    as queued in SURVEY.md after CORRECTNESS_r14 came back 50/50
     green (the never-recorded backlog hit 0, so the window is
     net-new-then-stalest):
 
-    - positions 1-10: this round's net-new registrations --
-      `qte_approx_certificate` (VERDICT r13 item 3: the GK-bound
-      certificate for `qte_by`'s sketch mode, stratified by arm),
-      `dml_plm_tree2` (item 5: non-linear nuisances -- per-fold
-      exact-CART depth-2 regression trees -- on an integer-valued
-      fixture whose cell sums are float64-exact, so all four
-      fold-trees are bit-identical cross-engine and the oracle
-      re-derives them from one generated CTE template), then the
-      late-round registrations (the r13 amendment precedent):
-      `psm_att` (1-NN propensity matching ATT over the
-      range-partitioned distinct-score axis), `msprt_by`
-      (always-valid mixture-SPRT p, the peeking-proof
-      experimentation readout), and `wild_cluster_bootstrap`
-      (CGM few-cluster inference, all Rademacher draws fused into
-      one cluster-sized scan with exact-integer scores),
-      `streaming_msprt` (the 26th streaming form -- additive
-      counters, availableNow == batch exactly), `cem_att`
-      (coarsened exact matching -- the stratified matcher beside
-      psm_att: one joint-bin groupBy + a strata-sized reduce), and
-      `att_gt` (Callaway-Sant'Anna staggered-adoption group-time
-      ATT -- one cohort-period groupBy + broadcast self-joins),
-      `triple_diff` (DDD -- eight cell means, one aggregation), and
-      `lee_bounds` (Lee 2009 attrition bounds -- three fused
-      aggregations, exact percentile trim).
-    - positions 11-50: the 40 stalest driver-green re-certs -- the
-      six `tpch_q14`-`q19` rows the late-round-13 registrations
-      evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
-      r07 stratum from its alphabetical head (`ab_proportions` ..
-      `kmeans`; `ks_test`/`log_parse`/`mahalanobis`/`mann_whitney`/
-      `minhash_dedup`/`ols_2fe`/`ols_ridge`/`pack_sequences` evicted
-      to the backlog head by the late registrations).
-    - backlog: stalest-evidence-first (ties alphabetical), so the
-      next rotation is always "take the head": the eight evicted
-      re-certs, the r07 residue (`psi_drift` onward), then the
-      r09/r10/r11 strata, then the round-12 window's 50 entries
-      (r12 evidence), then the round-13 window's 50 (fresh r13
+    - positions 1-7: this round's net-new registrations -- the
+      seven round-15 pre-builds (VERDICT r14 item 1), tested and
+      20M-stressed in round 14 and now driver-visible with DuckDB
+      oracles: `cuped2_by` (two-covariate CUPED, in-plan 2x2 Cramer
+      over exact DECIMAL(38,0) moments), `bayes_ab` (EXACT
+      Cook-sum Beta-Binomial P(p_b > p_a) on a bounded-count
+      fixture -- the rejected normal-escape-certificate alternative
+      is documented in _q_bayes_ab; the escape's error bound is
+      property-pinned in tests/test_r15_ops.py), `mediation_by`
+      (Baron-Kenny/Sobel decomposition, closed-form over one
+      group-keyed moment aggregation), `manski_bounds` (worst-case
+      ATE bounds under missing outcomes, one aggregation),
+      `regression_kink` (RKD -- continuity-constrained piecewise
+      slopes with the ADVICE-r14 per-side distinct-x gate),
+      `wilson_ci_by` (per-group Wilson score interval), and
+      `newey_west_by` (per-group HAC/Bartlett slope inference,
+      three bounded passes, never a global sort).
+    - positions 8-9: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+      anchors whose Plan-C body was rewritten in round 14 (VERDICT
+      r14 item 2: driver evidence r07/r10 against a round-14
+      rewrite; pinned at the re-cert head so late registrations
+      cannot evict them a second time).
+    - positions 10-39: the 30-query r07 stratum remainder,
+      stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
+      window clears r07 driver evidence entirely.
+    - positions 40-50: the r09 stratum from its alphabetical head
+      (`anova` .. `cross_corr`).
+    - backlog: stalest-evidence-first (ties keep in-stratum order),
+      so the head of the backlog IS the round-16 re-cert list: the
+      r09 residue (`cusum` onward -- including the VERDICT r14
+      item-8 pair `dummies_drop_last`/`lags_zero_fill`, which land
+      in the r16 window per strict stalest-first order), then the
+      r10 (minus the pulled-forward `ols_3fe`), r11, r12, r13
+      strata, then the round-14 window's 50 entries (fresh r14
       evidence), and the 11 rows-only demos at the tail per the
       VERDICT-r6 window policy.
     """
 
     return {
-        # ------ driver window: positions 1-50 (round-14 rotation) ------
-        # 1-2: this round's net-new registrations — the qte_by
-        # sketch-mode GK certificate (VERDICT r13 item 3) and
-        # dml_plm's non-linear tree2 learner (item 5), both
-        # hash-green on their first targeted gate run
-        "qte_approx_certificate": _q_qte_approx_certificate,
-        "dml_plm_tree2": _q_dml_plm_tree2,
-        # 3-5: late-round net-new registrations (the r13
-        # amendment precedent — net-new outranks re-certs):
-        # psm_att (nearest-neighbor matching ATT), msprt_by
-        # (always-valid sequential test), and the wild cluster
-        # bootstrap — evicting ols_2fe/ols_ridge/pack_sequences
-        # to the backlog head
-        "psm_att": _q_psm_att,
-        "msprt_by": _q_msprt_by,
-        "wild_cluster_bootstrap": _q_wild_cluster_bootstrap,
-        # 6: streaming_msprt — the 26th streaming form (always-valid
-        # monitor; availableNow == batch, the batch SQL is the oracle
-        # verbatim) — evicting minhash_dedup to the backlog head
-        "streaming_msprt": _q_streaming_msprt,
-        # 7-8: cem_att (coarsened exact matching — the stratified
-        # matcher beside psm_att) and att_gt (Callaway–Sant'Anna
-        # staggered DiD) — evicting mahalanobis/mann_whitney to the
-        # backlog head
-        "cem_att": _q_cem_att,
-        "att_gt": _q_att_gt,
-        # 9-10: triple_diff (DDD) and lee_bounds (attrition bounds)
-        # — evicting ks_test/log_parse to the backlog head
-        "triple_diff": _q_triple_diff,
-        "lee_bounds": _q_lee_bounds,
-        # 11-12: conformal_by (split conformal prediction) and
-        # synthetic_control (panel counterfactual) — evicting
-        # kfold_cv/kmeans to the backlog head
-        "conformal_by": _q_conformal_by,
-        "synthetic_control": _q_synthetic_control,
-        # 13: streaming_srm — the 27th streaming form (sample-ratio
-        # mismatch monitor; availableNow == batch, the batch SQL is
-        # the oracle verbatim) — evicting inverted_index
-        "streaming_srm": _q_streaming_srm,
-        # 14: group_sequential — the OBF-shaped interim-analysis
-        # ladder — evicting hard_negatives
-        "group_sequential": _q_group_sequential,
-        # 15-16: meta_analysis (fixed + DerSimonian-Laird pooling)
-        # and off_policy_eval (IPS/SNIPS counterfactual policy
-        # value) — evicting fuzzy_pairs/gap_fill
-        "meta_analysis": _q_meta_analysis,
-        "off_policy_eval": _q_off_policy_eval,
-        # 17-50: the 34 stalest driver-green re-certs — the six
-        # tpch_q14-q19 rows evicted by the late-round-13
-        # registrations, the r06 residue (tpch_q2 .. winsorize),
-        # then the r07 stratum from its alphabetical head
-        # (ab_proportions .. kmeans), as queued in SURVEY.md
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q18": _q_tpch_q18,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q20": _q_tpch_q20,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q9": _q_tpch_q9,
-        "triangle_count": _q_triangle_count,
-        "video_frames": _q_video_frames,
-        "winsorize": _q_winsorize,
-        "ab_proportions": _q_ab_proportions,
-        "ab_ttest": _q_ab_ttest,
-        "attribution": _q_attribution,
-        "auc": _q_auc,
-        "benford": _q_benford,
-        "bootstrap_ci": _q_bootstrap_ci,
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "calibration": _q_calibration,
-        "chi2_contingency": _q_chi2_contingency,
-        "col_profile": _q_col_profile,
-        "compact_roundtrip": _q_compact_roundtrip,
-        "containment": _q_containment,
-        "dpp_pruned_join": _q_dpp_pruned_join,
-        "ewma": _q_ewma,
-        "fuzzy_dedup": _q_fuzzy_dedup,
-        # ------ end of the driver's 50-query window ------
-        # (fuzzy_pairs/gap_fill evicted by the meta_analysis/
-        # off_policy_eval registrations; hard_negatives by
-        # group_sequential; inverted_index by streaming_srm;
-        # kfold_cv/kmeans by conformal_by/synthetic_control)
+        # ------ driver window: positions 1-50 (round-15 rotation) ------
+        # 1-7: this round's net-new registrations — the seven
+        # round-15 pre-builds (VERDICT r14 item 1), each with a
+        # DuckDB oracle; bayes_ab registers its EXACT Cook-sum path
+        # on a bounded-count fixture (rejected alternative — the
+        # normal-escape certificate — documented in _q_bayes_ab)
+        "cuped2_by": _q_cuped2_by,
+        "bayes_ab": _q_bayes_ab,
+        "mediation_by": _q_mediation_by,
+        "manski_bounds": _q_manski_bounds,
+        "regression_kink": _q_regression_kink,
+        "wilson_ci_by": _q_wilson_ci_by,
+        "newey_west_by": _q_newey_west_by,
+        # 8-9: the two SURVEY §2 anchors whose Plan-C body was
+        # rewritten in round 14 (VERDICT r14 item 2 — driver
+        # evidence r07/r10 against a round-14 rewrite; queued at the
+        # window head so late registrations cannot evict them again)
+        "ols_2fe": _q_ols_2fe,
+        "ols_3fe": _q_ols_3fe,
+        # 10-39: the 30-query r07 stratum remainder, stalest-first
+        # (fuzzy_pairs .. weighted_sample — a green window clears
+        # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
         "gap_fill": _q_gap_fill,
         "hard_negatives": _q_hard_negatives,
         "inverted_index": _q_inverted_index,
         "kfold_cv": _q_kfold_cv,
         "kmeans": _q_kmeans,
-        # (ks_test/log_parse evicted by the triple_diff/lee_bounds
-        # registrations)
         "ks_test": _q_ks_test,
         "log_parse": _q_log_parse,
-        # (mahalanobis/mann_whitney evicted by the cem_att/att_gt
-        # registrations)
         "mahalanobis": _q_mahalanobis,
         "mann_whitney": _q_mann_whitney,
-        # (minhash_dedup evicted by the streaming_msprt registration)
         "minhash_dedup": _q_minhash_dedup,
-        # (ols_2fe, ols_ridge, pack_sequences evicted to the
-        # backlog head by the three late-round registrations)
-        "ols_2fe": _q_ols_2fe,
         "ols_ridge": _q_ols_ridge,
         "pack_sequences": _q_pack_sequences,
-        # backlog: every remaining oracle-checked query, ordered
-        # STALEST-DRIVER-EVIDENCE FIRST (ties alphabetical) so the
-        # head of the backlog IS the next rotation's re-cert list:
-        # the r07 residue (psi_drift onward), then the r09/r10/r11
-        # strata, then the round-12 window's 50 entries
         "psi_drift": _q_psi_drift,
         "radius_join": _q_radius_join,
         "recursive_cte": _q_recursive_cte,
@@ -9318,6 +9931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
+        # 40-50: the r09 stratum from its alphabetical head
+        # (anova .. cross_corr)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
         "autocorr": _q_autocorr,
@@ -9329,6 +9944,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "cosine_topk": _q_cosine_topk,
         "cross_corr": _q_cross_corr,
+        # ------ end of the driver's 50-query window ------
+        # backlog: every remaining oracle-checked query, ordered
+        # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
+        # order) so the head of the backlog IS the next rotation's
+        # re-cert list: the r09 residue (cusum onward), then the
+        # r10/r11/r12/r13 strata, then the round-14 window's 50
+        # entries (fresh r14 evidence)
         "cusum": _q_cusum,
         "dbscan": _q_dbscan,
         "dedup_reps": _q_dedup_reps,
@@ -9401,7 +10023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "nb_classify": _q_nb_classify,
         "normalize_text": _q_normalize_text,
-        "ols_3fe": _q_ols_3fe,
         "ols_pooled": _q_ols_pooled,
         "ols_within_fe": _q_ols_within_fe,
         "pipeline_curate": _q_pipeline_curate,
@@ -9518,8 +10139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "retention": _q_retention,
         "rolling_window": _q_rolling_window,
-        # the round-13 window's 50 entries (fresh r13 evidence —
-        # CORRECTNESS_r13 50/50 green), freshest, so they sit last
         "ri_pvalue": _q_ri_pvalue,
         "mde_by": _q_mde_by,
         "hausman_iv": _q_hausman_iv,
@@ -9570,6 +10189,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
+        "qte_approx_certificate": _q_qte_approx_certificate,
+        "dml_plm_tree2": _q_dml_plm_tree2,
+        "psm_att": _q_psm_att,
+        "msprt_by": _q_msprt_by,
+        "wild_cluster_bootstrap": _q_wild_cluster_bootstrap,
+        "streaming_msprt": _q_streaming_msprt,
+        "cem_att": _q_cem_att,
+        "att_gt": _q_att_gt,
+        "triple_diff": _q_triple_diff,
+        "lee_bounds": _q_lee_bounds,
+        "conformal_by": _q_conformal_by,
+        "synthetic_control": _q_synthetic_control,
+        "streaming_srm": _q_streaming_srm,
+        "group_sequential": _q_group_sequential,
+        "meta_analysis": _q_meta_analysis,
+        "off_policy_eval": _q_off_policy_eval,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "triangle_count": _q_triangle_count,
+        "video_frames": _q_video_frames,
+        "winsorize": _q_winsorize,
+        "ab_proportions": _q_ab_proportions,
+        "ab_ttest": _q_ab_ttest,
+        "attribution": _q_attribution,
+        "auc": _q_auc,
+        "benford": _q_benford,
+        "bootstrap_ci": _q_bootstrap_ci,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "calibration": _q_calibration,
+        "chi2_contingency": _q_chi2_contingency,
+        "col_profile": _q_col_profile,
+        "compact_roundtrip": _q_compact_roundtrip,
+        "containment": _q_containment,
+        "dpp_pruned_join": _q_dpp_pruned_join,
+        "ewma": _q_ewma,
+        "fuzzy_dedup": _q_fuzzy_dedup,
         # the 11 rows-only demos keep the tail (window slots go to
         # hash-matchable rows only; each demo's exactness
         # certificate query is oracle-checked and driver-green)
@@ -10032,6 +10701,13 @@ def _pipeline_curate_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cuped2_by": _CUPED2_BY_SQL,
+        "bayes_ab": _BAYES_AB_SQL,
+        "mediation_by": _MEDIATION_BY_SQL,
+        "manski_bounds": _MANSKI_BOUNDS_SQL,
+        "regression_kink": _REGRESSION_KINK_SQL,
+        "wilson_ci_by": _WILSON_CI_BY_SQL,
+        "newey_west_by": _NEWEY_WEST_BY_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

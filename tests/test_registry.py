@@ -20,72 +20,57 @@ def test_window_all_have_oracles_or_are_declared():
     assert missing == [], f"window entries without oracle: {missing}"
 
 
-def test_round14_window_composition():
-    """Positions 1-50 (eighteenth curation pass, executed exactly as
-    queued in SURVEY.md after CORRECTNESS_r13 landed 50/50 green):
-    1-5 = this round's net-new registrations (`qte_approx_certificate`
-    — the GK-bound certificate for qte_by's sketch mode, VERDICT r13
-    item 3 — `dml_plm_tree2`, the non-linear tree2 nuisance learner,
-    item 5, then the late-round `psm_att`, `msprt_by`,
-    `wild_cluster_bootstrap`, `streaming_msprt` — the 26th
-    streaming form — `cem_att`, `att_gt`, `triple_diff`, and
-    `lee_bounds`, then the second-batch `conformal_by`,
-    `synthetic_control`, `streaming_srm` — the 27th streaming
-    form — `group_sequential`, `meta_analysis`, and
-    `off_policy_eval` at 11-16); 17-50 = the 34 stalest
-    driver-green re-certs (`ks_test`/`log_parse`/`mahalanobis`/
-    `mann_whitney`/`minhash_dedup`/`ols_2fe`/`ols_ridge`/
-    `pack_sequences`/`fuzzy_pairs`/`gap_fill`/`hard_negatives`/
-    `inverted_index`/`kfold_cv`/`kmeans` evicted to the backlog
-    head by the late registrations) —
-    the six `tpch_q14`-`q19` rows the late-round-13 registrations
-    evicted, the r06 residue (`tpch_q2` .. `winsorize`), then the
-    r07 stratum from its alphabetical head (`ab_proportions` ..
-    `pack_sequences`). The round-13 window's 50 entries (fresh r13
-    evidence) sit last before the 11 rows-only demos at the tail. If
-    this fails after an intentional round-15 rotation, update the
+def test_round15_window_composition():
+    """Positions 1-50 (nineteenth curation pass, executed exactly as
+    queued in SURVEY.md after CORRECTNESS_r14 landed 50/50 green):
+    1-7 = this round's net-new registrations — the seven round-15
+    pre-builds (VERDICT r14 item 1): `cuped2_by`, `bayes_ab` (exact
+    Cook-sum path on the bounded o_orderkey%97 fixture),
+    `mediation_by`, `manski_bounds`, `regression_kink`,
+    `wilson_ci_by`, `newey_west_by`; 8-9 = `ols_2fe`/`ols_3fe`, the
+    SURVEY §2 anchors whose Plan-C body was rewritten in round 14
+    (VERDICT r14 item 2 — pinned at the re-cert head); 10-39 = the
+    30-query r07 stratum remainder (`fuzzy_pairs` ..
+    `weighted_sample`); 40-50 = the r09 stratum head (`anova` ..
+    `cross_corr`). The backlog keeps stalest-first order (r09
+    residue from `cusum`, then r10 minus the pulled-forward
+    `ols_3fe`, r11, r12, r13 strata, then the round-14 window's 50
+    entries), with the 11 rows-only demos at the tail. If this
+    fails after an intentional round-16 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:16] == [
-        "qte_approx_certificate", "dml_plm_tree2",
-        "psm_att", "msprt_by", "wild_cluster_bootstrap",
-        "streaming_msprt", "cem_att", "att_gt",
-        "triple_diff", "lee_bounds",
-        "conformal_by", "synthetic_control", "streaming_srm",
-        "group_sequential", "meta_analysis", "off_policy_eval",
+    assert q[:9] == [
+        "cuped2_by", "bayes_ab", "mediation_by", "manski_bounds",
+        "regression_kink", "wilson_ci_by", "newey_west_by",
+        "ols_2fe", "ols_3fe",
     ]
-    assert q[16:22] == ["tpch_q14", "tpch_q15", "tpch_q16",
-                        "tpch_q17", "tpch_q18", "tpch_q19"]
-    assert q[22] == "tpch_q2"
-    assert q[34] == "winsorize"
-    assert q[35] == "ab_proportions"
-    assert q[49] == "fuzzy_dedup"
-    # backlog head = the fourteen re-certs the late-round
-    # registrations evicted, then the r07 residue, stalest-first
-    assert q[50:64] == ["fuzzy_pairs", "gap_fill",
-                        "hard_negatives", "inverted_index",
-                        "kfold_cv", "kmeans",
-                        "ks_test", "log_parse",
-                        "mahalanobis", "mann_whitney",
-                        "minhash_dedup", "ols_2fe",
-                        "ols_ridge", "pack_sequences"]
-    assert q[64] == "psi_drift"
-    # the round-13 window's 50 entries (freshest evidence) sit last
+    assert q[9:13] == ["fuzzy_pairs", "gap_fill",
+                       "hard_negatives", "inverted_index"]
+    assert q[22] == "psi_drift"
+    assert q[38] == "weighted_sample"
+    assert q[39] == "anova"
+    assert q[49] == "cross_corr"
+    # backlog head = the r09 residue, stalest-first
+    assert q[50] == "cusum"
+    assert "dummies_drop_last" in q[50:89]  # VERDICT r14 item 8:
+    assert "lags_zero_fill" in q[50:89]     # r16 window per order
+    # the round-14 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
-    r13_window = q[len(q) - 11 - 50 : len(q) - 11]
-    assert r13_window[:3] == ["ri_pvalue", "mde_by", "hausman_iv"]
+    r14_window = q[len(q) - 11 - 50 : len(q) - 11]
+    assert r14_window[:3] == ["qte_approx_certificate",
+                              "dml_plm_tree2", "psm_att"]
+    assert r14_window[-1] == "fuzzy_dedup"
+    # the r13-window block sits immediately before it
+    r13_window = q[len(q) - 11 - 100 : len(q) - 11 - 50]
+    assert r13_window[0] == "ri_pvalue"
     assert r13_window[-1] == "tpch_q13"
-    # the r12-window block sits immediately before it
-    r12_window = q[len(q) - 11 - 100 : len(q) - 11 - 50]
-    assert r12_window[0] == "ewma_blocked"
-    assert r12_window[-1] == "rolling_window"
     # rows-only demos must all sit OUTSIDE the window, at the tail
     oracles = em.oracle_sql()
     rows_only = [k for k in q if k not in oracles]
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 342
+    assert len(q) == 349
 
 
 def test_every_query_has_callable():
