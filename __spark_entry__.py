@@ -9409,20 +9409,23 @@ _REGRESSION_KINK_SQL = """
             m AS (
               SELECT count(CASE WHEN x < 0 THEN 1 END) AS n_l,
                      count(CASE WHEN x >= 0 THEN 1 END) AS n_r,
-                     count(DISTINCT CASE WHEN x < 0 THEN q END) AS d_l,
-                     count(DISTINCT CASE WHEN x >= 0 THEN q END) AS d_r,
+                     min(CASE WHEN x < 0 THEN q END) AS mn_l,
+                     max(CASE WHEN x < 0 THEN q END) AS mx_l,
+                     min(CASE WHEN x >= 0 THEN q END) AS mn_r,
+                     max(CASE WHEN x >= 0 THEN q END) AS mx_r,
                      count(*) AS n,
                      sum(xm) AS s1, sum(xp) AS s2, sum(y) AS sy,
                      sum(xm * xm) AS s11, sum(xp * xp) AS s22,
                      sum(xm * y) AS s1y, sum(xp * y) AS s2y
               FROM r),
             c AS (
-              SELECT n_l, n_r, d_l, d_r,
+              SELECT n_l, n_r, mn_l, mx_l, mn_r, mx_r,
                      CAST(n AS DOUBLE) AS nd,
                      s1, s2, sy, s11, s22, s1y, s2y
               FROM m),
             d AS (
-              SELECT n_l, n_r, d_l, d_r, nd, s1, s2, sy,
+              SELECT n_l, n_r, mn_l, mx_l, mn_r, mx_r, nd,
+                     s1, s2, sy,
                      nd * s11 - s1 * s1 AS v11,
                      nd * s22 - s2 * s2 AS v22,
                      -(s1 * s2) AS v12,
@@ -9440,8 +9443,8 @@ _REGRESSION_KINK_SQL = """
             f AS (
               SELECT e.*,
                      (sy - b_l * s1 - b_r * s2) / nd AS a,
-                     (n_l >= 2 AND n_r >= 2 AND d_l >= 2
-                      AND d_r >= 2 AND det > 0) AS ok
+                     (n_l >= 2 AND n_r >= 2 AND mn_l < mx_l
+                      AND mn_r < mx_r AND det > 0) AS ok
               FROM e)
             SELECT CASE WHEN ok THEN
                      floor((b_r - b_l) * 1e4 + 0.5) / 1e4
@@ -9830,6 +9833,335 @@ def _q_bayes_ab(spark, sf_dir):
     )
 
 
+def _q_cohens_d_by(spark, sf_dir):
+    """Per-segment standardized effect size (`operators/stats.py::
+    cohens_d_by` — Cohen's d + Hedges g, the practical-significance
+    companion of `welch_by` on the identical fixture): click-vs-view
+    value contrast per user-id-mod-10 segment in pooled-SD units.
+    ONE aggregation of exact DECIMAL(38,0) per-arm moments; d/g are
+    fixed IEEE expressions in the scaled space (scale cancels)."""
+    from hdfe_spark.operators.stats import cohens_d_by
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("segment"),
+        "event_type",
+        "value",
+    )
+    out = cohens_d_by(base, "segment", "event_type", "value",
+                      "click", "view")
+    return out.select(
+        "segment", "n_a", "n_b",
+        _pround("mean_a").alias("mean_a"),
+        _pround("mean_b").alias("mean_b"),
+        _pround("d").alias("d"),
+        _pround("hedges_g").alias("hedges_g"),
+    )
+
+
+def _q_e_value(spark, sf_dir):
+    """VanderWeele–Ding E-value sensitivity analysis (`operators/
+    causal.py::e_value`): how strong an unmeasured confounder would
+    have to be to explain away the high-value-order risk ratio
+    between custkey-parity arms. ONE aggregation to four exact
+    integer counters; RR / Katz CI / both E-values are fixed IEEE
+    expressions over them, mirrored verbatim."""
+    from hdfe_spark.operators.causal import e_value
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_custkey") % 2 == 0).alias("treat"),
+        F.when(F.col("o_totalprice") > 150000, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("y"),
+    )
+    out = e_value(base, "treat", "y")
+    return out.select(
+        "n_treat", "n_ctrl", "s_treat", "s_ctrl",
+        _pround("rr").alias("rr"),
+        _pround("rr_lo").alias("rr_lo"),
+        _pround("rr_hi").alias("rr_hi"),
+        _pround("e_value").alias("e_value"),
+        _pround("e_value_ci").alias("e_value_ci"),
+    )
+
+
+def _q_iv_first_stage(spark, sf_dir):
+    """First-stage strength diagnostic (`operators/causal.py::
+    iv_first_stage` — Staiger–Stock F, the number every `iv_2sls`/
+    `hausman_iv` readout must carry): l_quantity instrumented by
+    its censored transform least(q, 25) — the `iv_2sls` fixture.
+    ONE aggregation of exact DECIMAL(38,0) (x, z) moments; pi, R²,
+    F and the F < 10 weak flag are fixed IEEE expressions."""
+    from hdfe_spark.operators.causal import iv_first_stage
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").alias("x"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("z"),
+    )
+    out = iv_first_stage(base, "x", "z")
+    return out.select(
+        "n",
+        _pround("pi").alias("pi"),
+        _pround("r2").alias("r2"),
+        _pround("f_stat").alias("f_stat"),
+        "weak",
+    )
+
+
+def _q_streaming_wilson(spark, sf_dir):
+    """Twenty-eighth streaming form (`streaming/ops.py::
+    streaming_wilson`): live per-segment success-rate Wilson
+    interval folded over the event stream in complete mode — the
+    launch-dashboard readout whose Wald sibling collapses exactly
+    when the early read matters. Every `wilson_ci_by` input is an
+    additive per-segment (n, successes) counter, so availableNow
+    equals the batch table exactly; the batch SQL is the oracle
+    verbatim (event_id % 3 successes on user_id % 7 segments — the
+    wilson_ci_by registration keeps the customer fixture)."""
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_wilson,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    base = stream.filter(F.col("event_id").isNotNull()).select(
+        (F.col("user_id") % 7).cast("long").alias("segment"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("s"),
+    )
+    out = streaming_wilson(base, "segment", "s")
+    sink = _fresh_sink(spark)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "segment", "n", "successes",
+        _pround("p_hat").alias("p_hat"),
+        _pround("lo").alias("lo"),
+        _pround("hi").alias("hi"),
+    )
+
+
+_COHENS_D_BY_SQL = """
+            WITH m AS (
+              SELECT user_id % 10 AS segment,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN 1 END), 0) AS BIGINT) AS na,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssa,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN 1 END), 0) AS BIGINT) AS nb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 1000000.0) AS HUGEINT)
+                            * CAST(round(value * 1000000.0) AS HUGEINT)
+                       END), 0) AS HUGEINT) AS ssb
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'view')
+              GROUP BY 1),
+            c AS (
+              SELECT segment, na, nb,
+                     CAST(na AS DOUBLE) AS nad,
+                     CAST(nb AS DOUBLE) AS nbd,
+                     CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                     CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+                     CAST(CAST(na AS HUGEINT) * ssa - sa * sa AS DOUBLE)
+                       / (CAST(na AS DOUBLE)
+                          * (CAST(na AS DOUBLE) - 1.0)) AS va,
+                     CAST(CAST(nb AS HUGEINT) * ssb - sb * sb AS DOUBLE)
+                       / (CAST(nb AS DOUBLE)
+                          * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+              FROM m),
+            d AS (
+              SELECT c.*,
+                     ((nad - 1.0) * va + (nbd - 1.0) * vb)
+                       / (nad + nbd - 2.0) AS sp2
+              FROM c),
+            e AS (
+              SELECT d.*,
+                     (mb - ma) / sqrt(sp2) AS dd
+              FROM d)
+            SELECT segment, na AS n_a, nb AS n_b,
+                   CASE WHEN na >= 1 THEN
+                     floor((ma / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_a,
+                   CASE WHEN nb >= 1 THEN
+                     floor((mb / 1000000.0) * 1e9 + 0.5) / 1e9
+                   END AS mean_b,
+                   CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+                     floor(dd * 1e9 + 0.5) / 1e9
+                   END AS d,
+                   CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+                     floor((dd * (1.0 - 3.0
+                                  / (4.0 * (nad + nbd) - 9.0)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS hedges_g
+            FROM e
+        """
+
+
+_E_VALUE_SQL = """
+            WITH b AS (
+              SELECT (o_custkey % 2 = 0) AS t,
+                     CASE WHEN o_totalprice > 150000 THEN 1.0
+                          ELSE 0.0 END AS y
+              FROM orders),
+            m AS (
+              SELECT count(CASE WHEN t THEN 1 END) AS n1,
+                     CAST(COALESCE(sum(CASE WHEN t THEN y END), 0.0)
+                          AS BIGINT) AS s1,
+                     count(CASE WHEN NOT t THEN 1 END) AS n0,
+                     CAST(COALESCE(sum(CASE WHEN NOT t THEN y END),
+                          0.0) AS BIGINT) AS s0
+              FROM b),
+            c AS (
+              SELECT n1, n0, s1, s0,
+                     CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                     CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                     CAST(n1 AS DOUBLE) AS n1d,
+                     CAST(n0 AS DOUBLE) AS n0d
+              FROM m),
+            d AS (
+              SELECT c.*,
+                     p1 / p0 AS rr,
+                     sqrt((1.0 - p1) / (n1d * p1)
+                          + (1.0 - p0) / (n0d * p0)) AS se
+              FROM c),
+            e AS (
+              SELECT d.*,
+                     exp(ln(rr) - 1.9599639845400545 * se) AS lo,
+                     exp(ln(rr) + 1.9599639845400545 * se) AS hi,
+                     CASE WHEN rr >= 1 THEN rr ELSE 1.0 / rr
+                     END AS rr_star
+              FROM d),
+            f AS (
+              SELECT e.*,
+                     CASE WHEN rr >= 1 THEN lo ELSE 1.0 / hi END AS bnd,
+                     (s1 >= 1 AND s0 >= 1 AND s1 < n1 AND s0 < n0)
+                       AS ok
+              FROM e)
+            SELECT CAST(n1 AS BIGINT) AS n_treat,
+                   CAST(n0 AS BIGINT) AS n_ctrl,
+                   CAST(s1 AS BIGINT) AS s_treat,
+                   CAST(s0 AS BIGINT) AS s_ctrl,
+                   CASE WHEN ok THEN floor(rr * 1e9 + 0.5) / 1e9
+                   END AS rr,
+                   CASE WHEN ok THEN floor(lo * 1e9 + 0.5) / 1e9
+                   END AS rr_lo,
+                   CASE WHEN ok THEN floor(hi * 1e9 + 0.5) / 1e9
+                   END AS rr_hi,
+                   CASE WHEN ok THEN
+                     floor((rr_star + sqrt(rr_star * (rr_star - 1.0)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS e_value,
+                   CASE WHEN ok THEN
+                     CASE WHEN bnd <= 1 THEN 1.0
+                          ELSE floor((bnd + sqrt(bnd * (bnd - 1.0)))
+                                     * 1e9 + 0.5) / 1e9 END
+                   END AS e_value_ci
+            FROM f
+        """
+
+
+_IV_FIRST_STAGE_SQL = """
+            WITH b AS (
+              SELECT CAST(round(l_quantity * 1000000.0)
+                          AS HUGEINT) AS ux,
+                     CAST(round(least(l_quantity, 25.0) * 1000000.0)
+                          AS HUGEINT) AS uz
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL),
+            m AS (
+              SELECT count(*) AS n,
+                     CAST(COALESCE(sum(ux), 0) AS HUGEINT) AS sx,
+                     CAST(COALESCE(sum(uz), 0) AS HUGEINT) AS sz,
+                     CAST(COALESCE(sum(ux * ux), 0) AS HUGEINT) AS sxx,
+                     CAST(COALESCE(sum(uz * uz), 0) AS HUGEINT) AS szz,
+                     CAST(COALESCE(sum(ux * uz), 0) AS HUGEINT) AS sxz
+              FROM b),
+            c AS (
+              SELECT n, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(n AS HUGEINT) * sxx - sx * sx
+                          AS DOUBLE) AS cxx,
+                     CAST(CAST(n AS HUGEINT) * szz - sz * sz
+                          AS DOUBLE) AS czz,
+                     CAST(CAST(n AS HUGEINT) * sxz - sz * sx
+                          AS DOUBLE) AS cxz
+              FROM m),
+            d AS (
+              SELECT c.*,
+                     cxz / czz AS pi,
+                     (cxz * cxz) / (czz * cxx) AS r2,
+                     (n >= 3 AND czz > 0 AND cxx > 0) AS ok
+              FROM c),
+            e AS (
+              SELECT d.*,
+                     (nd - 2.0) * r2 / (1.0 - r2) AS f_,
+                     (ok AND czz * cxx > cxz * cxz) AS okf
+              FROM d)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CASE WHEN ok THEN floor(pi * 1e9 + 0.5) / 1e9
+                   END AS pi,
+                   CASE WHEN ok THEN floor(r2 * 1e9 + 0.5) / 1e9
+                   END AS r2,
+                   CASE WHEN okf THEN floor(f_ * 1e9 + 0.5) / 1e9
+                   END AS f_stat,
+                   CASE WHEN okf THEN f_ < 10.0 END AS weak
+            FROM e
+        """
+
+
+_STREAMING_WILSON_SQL = """
+            WITH b AS (
+              SELECT user_id % 7 AS segment,
+                     CASE WHEN event_id % 3 = 0 THEN 1.0
+                          ELSE 0.0 END AS s
+              FROM events
+              WHERE event_id IS NOT NULL),
+            m AS (
+              SELECT segment, count(*) AS n,
+                     CAST(sum(s) AS BIGINT) AS successes
+              FROM b GROUP BY segment),
+            c AS (
+              SELECT segment, n, successes,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(successes AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS p,
+                     1.9599639845400545 * 1.9599639845400545
+                       / CAST(n AS DOUBLE) AS z2n
+              FROM m),
+            d AS (
+              SELECT segment, n, successes, p, nd,
+                     (p + z2n / 2.0) / (1.0 + z2n) AS center,
+                     1.9599639845400545
+                       * sqrt(p * (1.0 - p) / nd
+                              + 1.9599639845400545
+                                * 1.9599639845400545
+                                / (4.0 * nd * nd))
+                       / (1.0 + z2n) AS half
+              FROM c)
+            SELECT segment, n, successes,
+                   floor(p * 1e9 + 0.5) / 1e9 AS p_hat,
+                   floor((center - half) * 1e9 + 0.5) / 1e9 AS lo,
+                   floor((center + half) * 1e9 + 0.5) / 1e9 AS hi
+            FROM d
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED against the driver's ~50-query
     CORRECTNESS window (each round records exactly the first 50 dict
@@ -9857,16 +10189,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `wilson_ci_by` (per-group Wilson score interval), and
       `newey_west_by` (per-group HAC/Bartlett slope inference,
       three bounded passes, never a global sort).
-    - positions 8-9: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+    - positions 8-11: the four operators BUILT this round (the
+      r13/r14 late-registration precedent -- net-new outranks
+      re-certs): `cohens_d_by` (Cohen's d + Hedges g beside
+      `welch_by`, same fixture), `e_value` (VanderWeele-Ding
+      confounding sensitivity over one 2x2 aggregation),
+      `iv_first_stage` (Staiger-Stock weak-instrument F on the
+      `iv_2sls` fixture), and `streaming_wilson` (the 28th
+      streaming form -- additive counters, availableNow == batch).
+    - positions 12-13: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
       anchors whose Plan-C body was rewritten in round 14 (VERDICT
       r14 item 2: driver evidence r07/r10 against a round-14
       rewrite; pinned at the re-cert head so late registrations
-      cannot evict them a second time).
-    - positions 10-39: the 30-query r07 stratum remainder,
+      cannot evict them a second time -- the four round-15 builds
+      slot BEFORE them, evicting r09-stratum re-certs instead).
+    - positions 14-43: the 30-query r07 stratum remainder,
       stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
       window clears r07 driver evidence entirely.
-    - positions 40-50: the r09 stratum from its alphabetical head
-      (`anova` .. `cross_corr`).
+    - positions 44-50: the r09 stratum from its alphabetical head
+      (`anova` .. `bm25`; `changepoint`/`cohort_retention`/
+      `cosine_topk`/`cross_corr` evicted to the backlog head by the
+      round-15 builds).
     - backlog: stalest-evidence-first (ties keep in-stratum order),
       so the head of the backlog IS the round-16 re-cert list: the
       r09 residue (`cusum` onward -- including the VERDICT r14
@@ -9892,13 +10235,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_kink": _q_regression_kink,
         "wilson_ci_by": _q_wilson_ci_by,
         "newey_west_by": _q_newey_west_by,
-        # 8-9: the two SURVEY §2 anchors whose Plan-C body was
+        # 8-11: the round-15-built net-new registrations (the r13/r14
+        # late-registration precedent — net-new outranks re-certs):
+        # cohens_d_by (effect sizes beside welch_by), e_value
+        # (confounding sensitivity), iv_first_stage (weak-instrument
+        # F), streaming_wilson (the 28th streaming form) — evicting
+        # changepoint/cohort_retention/cosine_topk/cross_corr to the
+        # backlog head
+        "cohens_d_by": _q_cohens_d_by,
+        "e_value": _q_e_value,
+        "iv_first_stage": _q_iv_first_stage,
+        "streaming_wilson": _q_streaming_wilson,
+        # 12-13: the two SURVEY §2 anchors whose Plan-C body was
         # rewritten in round 14 (VERDICT r14 item 2 — driver
         # evidence r07/r10 against a round-14 rewrite; queued at the
         # window head so late registrations cannot evict them again)
         "ols_2fe": _q_ols_2fe,
         "ols_3fe": _q_ols_3fe,
-        # 10-39: the 30-query r07 stratum remainder, stalest-first
+        # 14-43: the 30-query r07 stratum remainder, stalest-first
         # (fuzzy_pairs .. weighted_sample — a green window clears
         # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -9931,8 +10285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
-        # 40-50: the r09 stratum from its alphabetical head
-        # (anova .. cross_corr)
+        # 44-50: the r09 stratum from its alphabetical head
+        # (anova .. bm25)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
         "autocorr": _q_autocorr,
@@ -9940,10 +10294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_levels": _q_bfs_levels,
         "binary_source": _q_binary_source,
         "bm25": _q_bm25,
-        "changepoint": _q_changepoint,
-        "cohort_retention": _q_cohort_retention,
-        "cosine_topk": _q_cosine_topk,
-        "cross_corr": _q_cross_corr,
         # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
@@ -9951,6 +10301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-cert list: the r09 residue (cusum onward), then the
         # r10/r11/r12/r13 strata, then the round-14 window's 50
         # entries (fresh r14 evidence)
+        # (changepoint/cohort_retention/cosine_topk/cross_corr evicted
+        # to the backlog head by the four round-15-built
+        # registrations)
+        "changepoint": _q_changepoint,
+        "cohort_retention": _q_cohort_retention,
+        "cosine_topk": _q_cosine_topk,
+        "cross_corr": _q_cross_corr,
         "cusum": _q_cusum,
         "dbscan": _q_dbscan,
         "dedup_reps": _q_dedup_reps,
@@ -10708,6 +11065,10 @@ def oracle_sql() -> dict[str, str]:
         "regression_kink": _REGRESSION_KINK_SQL,
         "wilson_ci_by": _WILSON_CI_BY_SQL,
         "newey_west_by": _NEWEY_WEST_BY_SQL,
+        "cohens_d_by": _COHENS_D_BY_SQL,
+        "e_value": _E_VALUE_SQL,
+        "iv_first_stage": _IV_FIRST_STAGE_SQL,
+        "streaming_wilson": _STREAMING_WILSON_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

@@ -1998,10 +1998,11 @@ def regression_kink(
     the 3×3 normal equations — spelled as the 2×2 Cramer system on
     the centered regressors (the `cuped2_by` convention), so a SQL
     oracle replays it literally. No solver, no second pass. Sides
-    with < 2 rows, < 2 DISTINCT running values (tracked in the same
-    aggregation — a one-distinct-x side can keep det > 0 through
-    the continuity constraint yet identify no slope of its own;
-    ADVICE r14), or det ≤ 0 yield NULL estimates.
+    with < 2 rows, < 2 DISTINCT running values (gated as per-side
+    min < max in the same aggregation — O(1) state, no
+    count_distinct expand pass; a one-distinct-x side can keep
+    det > 0 through the continuity constraint yet identify no slope
+    of its own; ADVICE r14), or det ≤ 0 yield NULL estimates.
     Rows with NULL/NaN y or running drop.
 
     Returns one row: (kink_effect, slope_left, slope_right,
@@ -2020,16 +2021,18 @@ def regression_kink(
     agg = df.agg(
         F.count(F.when(inside & (x < 0), 1)).alias("n_l"),
         F.count(F.when(inside & (x >= 0), 1)).alias("n_r"),
-        # per-side DISTINCT running values (ADVICE r14): a side with
-        # >= 2 rows at a single x keeps det > 0 through the
-        # continuity constraint, so the row-count gate alone would
-        # emit a slope the side's own data cannot identify
-        F.count_distinct(
-            F.when(inside & (x < 0), F.col(running))
-        ).alias("d_l"),
-        F.count_distinct(
-            F.when(inside & (x >= 0), F.col(running))
-        ).alias("d_r"),
+        # per-side distinct-x gate (ADVICE r14): a side with >= 2
+        # rows at a single x keeps det > 0 through the continuity
+        # constraint, so the row-count gate alone would emit a slope
+        # the side's own data cannot identify. "At least 2 distinct"
+        # is exactly min < max — O(1) aggregation state, unlike
+        # count_distinct whose expand pass would add a second
+        # exchange to this one-shuffle plan (pinned in
+        # tests/test_r15_plans.py)
+        F.min(F.when(inside & (x < 0), F.col(running))).alias("mn_l"),
+        F.max(F.when(inside & (x < 0), F.col(running))).alias("mx_l"),
+        F.min(F.when(inside & (x >= 0), F.col(running))).alias("mn_r"),
+        F.max(F.when(inside & (x >= 0), F.col(running))).alias("mx_r"),
         F.count(F.when(inside, 1)).alias("n"),
         F.sum(F.when(inside, xm)).alias("s1"),
         F.sum(F.when(inside, xp)).alias("s2"),
@@ -2052,7 +2055,8 @@ def regression_kink(
     a = (F.col("sy") - b_l * F.col("s1") - b_r * F.col("s2")) / n
     ok = (
         (F.col("n_l") >= 2) & (F.col("n_r") >= 2)
-        & (F.col("d_l") >= 2) & (F.col("d_r") >= 2)
+        & (F.col("mn_l") < F.col("mx_l"))
+        & (F.col("mn_r") < F.col("mx_r"))
         & (det > 0)
     )
     return agg.select(
@@ -2062,4 +2066,158 @@ def regression_kink(
         F.when(ok, a).alias("intercept"),
         F.col("n_l").cast("long").alias("n_left"),
         F.col("n_r").cast("long").alias("n_right"),
+    )
+
+
+def e_value(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """VanderWeele–Ding (2017) E-value sensitivity analysis for an
+    observed risk ratio (round 15) — the "how strong would an
+    unmeasured confounder have to be?" readout that turns any
+    observational contrast (`ipw_ate`/`aipw_ate`/`psm_att` inputs)
+    into an honest robustness statement:
+
+    ``RR = p₁/p₀`` (risk ratio of a binary outcome; RR < 1 uses
+    1/RR — the E-value is symmetric about the null),
+    ``E = RR* + sqrt(RR*·(RR*−1))`` — the minimum strength of
+    association an unmeasured confounder would need with BOTH
+    treatment and outcome to explain the estimate away; and the
+    same transform applied to the CI limit closer to the null
+    (Katz log-RR interval, ``se² = (1−p₁)/(n₁p₁) + (1−p₀)/(n₀p₀)``,
+    z = 1.96), clamped to 1 when the interval crosses the null.
+
+    Scale: ONE map-side-combined aggregation to four exact integer
+    counters; everything after is a fixed IEEE expression over
+    them — fully SQL-spellable. Outcome values must be 0/1
+    (boolean or numeric); anything else RAISES in-plan (the
+    `chi2_gof_by` convention); NULL outcomes/treatments drop.
+    Arms with zero events or zero non-events get NULL RR/E (the
+    log-RR se is undefined there), counts always report.
+
+    Returns one row: (n_treat, n_ctrl, s_treat, s_ctrl, rr, rr_lo,
+    rr_hi, e_value, e_value_ci).
+    """
+    from hdfe_spark.operators.stats import _Z_TWOSIDED
+
+    t = F.col(treat_col)
+    s = F.col(outcome_col).cast("double")
+    sv = F.when(
+        s.isNotNull() & ~s.isin(0.0, 1.0),
+        F.raise_error(
+            F.concat(
+                F.lit("e_value: outcome value outside {0,1}: "),
+                F.col(outcome_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    m = df.filter(t.isNotNull() & s.isNotNull()).agg(
+        F.count(F.when(t, 1)).alias("n1"),
+        F.coalesce(F.sum(F.when(t, sv)), F.lit(0.0))
+        .cast("long").alias("s1"),
+        F.count(F.when(~t, 1)).alias("n0"),
+        F.coalesce(F.sum(F.when(~t, sv)), F.lit(0.0))
+        .cast("long").alias("s0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    p1, p0 = s1d / n1d, s0d / n0d
+    rr = p1 / p0
+    z = F.lit(_Z_TWOSIDED[0.05])
+    se = F.sqrt(
+        (F.lit(1.0) - p1) / (n1d * p1) + (F.lit(1.0) - p0) / (n0d * p0)
+    )
+    lo = F.exp(F.log(rr) - z * se)
+    hi = F.exp(F.log(rr) + z * se)
+    rr_star = F.when(rr >= 1, rr).otherwise(F.lit(1.0) / rr)
+    ev = rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0)))
+    # CI limit closer to the null, on the same >= 1 axis
+    b = F.when(rr >= 1, lo).otherwise(F.lit(1.0) / hi)
+    ev_ci = F.when(
+        b <= 1, F.lit(1.0)
+    ).otherwise(b + F.sqrt(b * (b - F.lit(1.0))))
+    # log-RR inference needs events AND non-events in both arms
+    ok = (
+        (F.col("s1") >= 1) & (F.col("s0") >= 1)
+        & (F.col("s1") < F.col("n1")) & (F.col("s0") < F.col("n0"))
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.col("s1").cast("long").alias("s_treat"),
+        F.col("s0").cast("long").alias("s_ctrl"),
+        F.when(ok, rr).alias("rr"),
+        F.when(ok, lo).alias("rr_lo"),
+        F.when(ok, hi).alias("rr_hi"),
+        F.when(ok, ev).alias("e_value"),
+        F.when(ok, ev_ci).alias("e_value_ci"),
+    )
+
+
+def iv_first_stage(
+    df: DataFrame,
+    x_col: str,
+    z_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """First-stage strength diagnostic for the just-identified IV
+    (round 15) — the number every `iv_2sls`/`hausman_iv` readout
+    must be accompanied by, because a weak instrument makes 2SLS
+    biased TOWARD OLS exactly when the test matters (Staiger–Stock
+    1997; the F < 10 rule of thumb):
+
+    ``π = S_xz/S_zz`` (first-stage slope),
+    ``R² = S_xz²/(S_zz·S_xx)``,
+    ``F = (n−2)·R²/(1−R²)`` (the squared first-stage t).
+
+    Engine-exact per the `welch_by` convention: the (x, z) moments
+    are exact DECIMAL(38,0) sums of ``round(v·scale)`` with
+    EXACT-decimal centered numerators ``n·s_ab − s_a·s_b``
+    (`_dec38_num` overflow-guarded) — the common ``scale`` cancels
+    in R² and F and divides out of π only through the moment ratio,
+    so both engines evaluate one identical IEEE tree. Degenerate
+    inputs (n < 3, zero z-variance, zero x-variance, or R² = 1) get
+    NULL inference, never a poisoned row. NULL/NaN x/z rows drop
+    (one shared listwise mask — the r13 moment discipline).
+
+    Scale: ONE map-side-combined aggregation, five scalars out.
+    Returns one row: (n, pi, r2, f_stat, weak) — ``weak`` is the
+    F < 10 flag.
+    """
+    from hdfe_spark.operators.stats import _dec38_num, _non_nan
+
+    if x_col == z_col:
+        raise ValueError("iv_first_stage: x and z must differ")
+    mask = _non_nan(df, x_col) & _non_nan(df, z_col)
+    ux = F.round(F.col(x_col) * F.lit(float(scale))).cast("decimal(38,0)")
+    uz = F.round(F.col(z_col) * F.lit(float(scale))).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    m = df.filter(mask).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(ux), zero).alias("__sx"),
+        F.coalesce(F.sum(uz), zero).alias("__sz"),
+        F.coalesce(F.sum(ux * ux), zero).alias("__sxx"),
+        F.coalesce(F.sum(uz * uz), zero).alias("__szz"),
+        F.coalesce(F.sum(ux * uz), zero).alias("__sxz"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    sxx = _dec38_num("iv_first_stage", n, F.col("__sxx"), F.col("__sx"))
+    szz = _dec38_num("iv_first_stage", n, F.col("__szz"), F.col("__sz"))
+    sxz = _dec38_num(
+        "iv_first_stage", n, F.col("__sxz"), F.col("__sz"), F.col("__sx")
+    )
+    pi = sxz / szz
+    r2 = (sxz * sxz) / (szz * sxx)
+    f_ = (nd - F.lit(2.0)) * r2 / (F.lit(1.0) - r2)
+    ok = (n >= 3) & (szz > 0) & (sxx > 0)
+    okf = ok & (szz * sxx > sxz * sxz)
+    return m.select(
+        n.cast("long").alias("n"),
+        F.when(ok, pi).alias("pi"),
+        F.when(ok, r2).alias("r2"),
+        F.when(okf, f_).alias("f_stat"),
+        F.when(okf, f_ < 10.0).alias("weak"),
     )

@@ -6666,7 +6666,11 @@ def newey_west_by(
     g3 = gammas.select(
         F.col("__g").alias("__g3"), F.col("__g0"), v_num.alias("__v")
     )
-    out = heads.join(g3, heads["__g"].eqNullSafe(g3["__g3"]), "left")
+    # both sides are group-cardinality-sized; broadcast the gamma
+    # table so the head join never sort-merges (round 15 plan pin)
+    out = heads.join(
+        F.broadcast(g3), heads["__g"].eqNullSafe(g3["__g3"]), "left"
+    )
     ok = F.col("__b").isNotNull() & (F.col("n") > F.lit(L))
     # Γ0/S_xx² is exactly the White/HC0 sandwich (the L = 0 special
     # case) — reported beside the HAC number so the lag correction
@@ -6685,4 +6689,103 @@ def newey_west_by(
                 F.col("__g0") / (F.col("__sxxc") * F.col("__sxxc"))
             ),
         ).alias("se_hc0"),
+    )
+
+
+def cohens_d_by(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-group standardized effect size (round 15) — Cohen's d
+    with the Hedges small-sample correction g, the
+    practical-significance companion every `welch_by` readout needs
+    (a t-statistic says "not noise"; d says "big enough to ship"):
+
+    ``d = (mean_b − mean_a) / s_p``,
+    ``s_p² = ((n_a−1)·var_a + (n_b−1)·var_b) / (n_a+n_b−2)``,
+    ``g = d·(1 − 3/(4·(n_a+n_b) − 9))`` (Hedges 1981).
+
+    Engine-exact per the `welch_by` convention: per-(group, arm)
+    moments are exact DECIMAL(38,0) sums of ``round(v·scale)`` with
+    EXACT-decimal variance numerators ``n·ss − s·s`` (`_dec38_num`
+    overflow-guarded); d and g are then one fixed IEEE expression
+    per group in the SCALED space (the common ``scale`` cancels in
+    the ratio), means reported in original units. Groups where
+    either arm is thinner than 2 or s_p² ≤ 0 get NULL d/g (the
+    `zscore_by` thin-panel convention); a NULL group is itself a
+    group; NULL/NaN values drop.
+
+    Scale: ONE map-side-combined aggregation on the group key —
+    never a self-join of filtered scans — then row expressions.
+
+    Returns one row per group: (group, n_a, n_b, mean_a, mean_b,
+    d, hedges_g) — the correction gets its author's name so a
+    caller's ``g`` group column can never collide with it.
+    """
+    no_output_collision(
+        "cohens_d_by", "group_col", group_col,
+        ("n_a", "n_b", "mean_a", "mean_b", "d", "hedges_g"),
+    )
+    if arm_a == arm_b:
+        raise ValueError(
+            f"cohens_d_by: arm_a and arm_b are the same value ({arm_a!r})"
+        )
+    u = F.round(F.col(value_col) * F.lit(float(scale))).cast(
+        "decimal(38,0)"
+    )
+    is_a = F.col(arm_col) == F.lit(arm_a)
+    is_b = F.col(arm_col) == F.lit(arm_b)
+
+    def _arm(cond, tag):
+        zero = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.coalesce(
+                F.sum(F.when(cond, F.lit(1))), F.lit(0)
+            ).cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u)), zero).alias(f"__s_{tag}"),
+            F.coalesce(F.sum(F.when(cond, u * u)), zero).alias(
+                f"__ss_{tag}"
+            ),
+        ]
+
+    m = (
+        df.filter(_non_nan(df, value_col) & (is_a | is_b))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(*_arm(is_a, "a"), *_arm(is_b, "b"))
+    )
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}")
+        nd = n.cast("double")
+        varnum = _dec38_num(
+            "cohens_d_by", n, F.col(f"__ss_{tag}"), F.col(f"__s_{tag}")
+        )
+        mean = F.col(f"__s_{tag}").cast("double") / nd
+        var = varnum / (nd * (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    nda, mean_a, var_a = _stats("a")
+    ndb, mean_b, var_b = _stats("b")
+    sp2 = (
+        (nda - F.lit(1.0)) * var_a + (ndb - F.lit(1.0)) * var_b
+    ) / (nda + ndb - F.lit(2.0))
+    d = (mean_b - mean_a) / F.sqrt(sp2)
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (nda + ndb) - F.lit(9.0))
+    )
+    sc = F.lit(float(scale))
+    thin = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    ok = thin & (sp2 > 0)
+    return m.select(
+        F.col("__g").alias(group_col),
+        "n_a", "n_b",
+        F.when(F.col("n_a") >= 1, mean_a / sc).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, mean_b / sc).alias("mean_b"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, g).alias("hedges_g"),
     )

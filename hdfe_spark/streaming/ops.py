@@ -1065,3 +1065,28 @@ def streaming_srm(
     from hdfe_spark.operators.stats import chi2_gof_by
 
     return chi2_gof_by(stream, group_col, cat_col, probs)
+
+
+def streaming_wilson(
+    stream: DataFrame,
+    group_col: str,
+    success_col: str,
+    alpha: float = 0.05,
+    crit: "float | None" = None,
+) -> DataFrame:
+    """Streaming per-group Wilson score interval (the TWENTY-EIGHTH
+    streaming form): live success-rate monitoring with the interval
+    that actually holds coverage at small n and extreme rates —
+    what a launch dashboard should show while counts accumulate,
+    because the Wald interval collapses to zero width exactly when
+    the early read is most dangerous. Every `stats.wilson_ci_by`
+    input is an ADDITIVE per-group (n, successes) counter and the
+    interval rides the output projection, so the availableNow fold
+    equals the batch table EXACTLY whatever the micro-batch
+    boundaries; out-of-design success values raise in-plan,
+    streaming included. State is two counters per group. Delegates
+    outright (the `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import wilson_ci_by
+
+    return wilson_ci_by(stream, group_col, success_col,
+                        alpha=alpha, crit=crit)
