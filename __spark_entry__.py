@@ -8165,15 +8165,20 @@ _SYNTHETIC_CONTROL_SQL = """
                      + (SELECT w2 FROM w)
                        * max(CASE WHEN unit = '3-MEDIUM' THEN y END)
                        AS synthetic,
+                     -- engine contract (ADVICE r14): n_donors =
+                     -- DISTINCT donors present; synthetic needs
+                     -- BOTH distinct == J and donor rows == J
+                     count(DISTINCT CASE WHEN unit <> '1-URGENT'
+                                THEN unit END) AS n_donors,
                      count(CASE WHEN unit <> '1-URGENT'
-                                THEN 1 END) AS n_donors
+                                THEN 1 END) AS nd_rows
               FROM b GROUP BY per)
             SELECT per AS period,
                    floor(actual * 1e9 + 0.5) / 1e9 AS actual,
-                   CASE WHEN n_donors = 2
+                   CASE WHEN n_donors = 2 AND nd_rows = 2
                         THEN floor(synthetic * 1e9 + 0.5) / 1e9
                    END AS synthetic,
-                   CASE WHEN n_donors = 2
+                   CASE WHEN n_donors = 2 AND nd_rows = 2
                         THEN floor((actual - synthetic) * 1e9 + 0.5)
                              / 1e9
                    END AS gap,
@@ -9373,14 +9378,14 @@ _MANSKI_BOUNDS_SQL = """
                    CAST(miss0 AS BIGINT) AS miss_ctrl,
                    CASE WHEN n1 >= 1 AND n0 >= 1 THEN
                      floor(((s1 + 0.0 * miss1) / n1d
-                            - (s0 + 500000.0 * miss0) / n0d)
+                            - (s0 + 600000.0 * miss0) / n0d)
                            * 1e9 + 0.5) / 1e9 END AS lower,
                    CASE WHEN n1 >= 1 AND n0 >= 1 THEN
-                     floor(((s1 + 500000.0 * miss1) / n1d
+                     floor(((s1 + 600000.0 * miss1) / n1d
                             - (s0 + 0.0 * miss0) / n0d)
                            * 1e9 + 0.5) / 1e9 END AS upper,
                    CASE WHEN n1 >= 1 AND n0 >= 1 THEN
-                     floor(((500000.0 - 0.0)
+                     floor(((600000.0 - 0.0)
                             * (miss1 / n1d + miss0 / n0d))
                            * 1e9 + 0.5) / 1e9 END AS width,
                    CASE WHEN n1 >= 1 AND n0 >= 1 AND m1 >= 1
@@ -9612,7 +9617,10 @@ _BAYES_AB_SQL = """
                           - (lgamma(CAST(a1 AS DOUBLE))
                              + lgamma(CAST(b1 AS DOUBLE))
                              - lgamma(CAST(a1 + b1 AS DOUBLE)))))
-                      FROM range(100000) r(i)
+                      -- cap must exceed the engine's exact_max
+                      -- (200k): a shorter range would silently
+                      -- truncate the sum at larger SF (review r15)
+                      FROM range(300000) r(i)
                       WHERE r.i < sel.a2) AS h
               FROM sel)
             SELECT CAST(n_a AS BIGINT) AS n_a,
@@ -9698,7 +9706,9 @@ def _q_manski_bounds(spark, sf_dir):
     """Manski worst-case ATE bounds under missing outcomes
     (`operators/causal.py::manski_bounds`): even-custkey orders as
     the treated arm, o_totalprice missing on every 7th orderkey,
-    known range [0, 500000]. ONE aggregation -> six scalars; the
+    known range [0, 600000] (real headroom over the TPC-H spec max
+    ~555k so a reseeded fixture cannot trip the in-plan range
+    raise — review r15). ONE aggregation -> six scalars; the
     bound arithmetic is a fixed IEEE expression over exact
     2-decimal sums (order-independent), mirrored verbatim."""
     from hdfe_spark.operators.causal import manski_bounds
@@ -9709,7 +9719,7 @@ def _q_manski_bounds(spark, sf_dir):
         F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
         .otherwise(F.col("o_totalprice")).alias("y"),
     )
-    out = manski_bounds(base, "y", "treat", 0.0, 500000.0)
+    out = manski_bounds(base, "y", "treat", 0.0, 600000.0)
     return out.select(
         "n_treat", "n_ctrl", "miss_treat", "miss_ctrl",
         _pround("lower").alias("lower"),

@@ -1649,11 +1649,15 @@ def synthetic_control(
         # DISTINCT donors (ADVICE r14): a post period with one donor
         # duplicated and another absent still has __nd_rows == J, so
         # row counting alone would let the duplicate's weight apply
-        # twice while the missing donor is silently omitted
-        F.count_distinct(
+        # twice while the missing donor is silently omitted.
+        # collect_set, NOT count_distinct: the distinct-aggregate
+        # rewrite would add a second exchange and break this
+        # operator's pinned one-aggregation plan (review r15); the
+        # set is donor-bounded (<= J <= max_donors elements).
+        F.size(F.collect_set(
             F.when(~is_tr & wmap[F.col("__unit")].isNotNull(),
                    F.col("__unit"))
-        ).alias("n_donors"),
+        )).alias("n_donors"),
     )
     actual = F.when(F.col("__ntr") == 1, F.col("__act_raw"))
     synthetic = F.when(
