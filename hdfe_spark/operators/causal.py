@@ -2225,3 +2225,44 @@ def iv_first_stage(
         F.when(okf, f_).alias("f_stat"),
         F.when(okf, f_ < 10.0).alias("weak"),
     )
+
+
+def sun_abraham(
+    df: DataFrame,
+    y: str,
+    period: str,
+    first_treated: str,
+) -> DataFrame:
+    """Interaction-weighted dynamic event-study estimates (round-16
+    pre-build; Sun & Abraham 2021) — the heterogeneity-robust
+    replacement for the classic event-study regression: with
+    staggered adoption and cohort-varying effects, the TWFE
+    lead/lag coefficients mix effects across relative periods with
+    possibly negative weights; the IW estimator instead averages
+    the clean Callaway–Sant'Anna cohort-time cells WITHIN each
+    relative period, weighted by cohort cell size:
+
+    ``ν(l) = Σ_g w_{g,l} · ATT(g, g+l)``,
+    ``w_{g,l} = n_treat(g, g+l) / Σ_g' n_treat(g', g'+l)``.
+
+    Delegates the cell surface to `att_gt` outright (never-treated
+    control pool, g−1 anchor, the try_cast raise guard, the
+    only-identified-cells absence convention — all inherited), so
+    this op covers the POST-treatment dynamic path l ≥ 0 that
+    att_gt's cells span; pre-period placebos are the `event_study`
+    operator's job.
+
+    Scale: att_gt's one fact-table groupBy + broadcast self-joins,
+    then ONE aggregation over the cohort×period cell table (tiny by
+    construction). Returns one row per relative period l:
+    (rel_period, att_iw, n_treat, n_cohorts).
+    """
+    cells = att_gt(df, y, period, first_treated)
+    w = F.col("n_treat").cast("double")
+    return cells.groupBy(
+        (F.col("t") - F.col("g")).cast("long").alias("rel_period")
+    ).agg(
+        (F.sum(w * F.col("att")) / F.sum(w)).alias("att_iw"),
+        F.sum("n_treat").cast("long").alias("n_treat"),
+        F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+    )

@@ -1346,3 +1346,93 @@ def gopher_rules(
         & (F.col("alpha_frac") > 0.8)
     )
     return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hex: int = 2,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR hashed importance weights (round-16 pre-build; Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023) — the principled replacement for
+    binary quality filters: score every pool document by how much
+    more likely its hashed-feature profile is under a TARGET
+    distribution (a trusted high-quality sample, marked by the
+    boolean ``target_col``) than under the raw pool, then resample
+    ∝ exp(weight). This operator computes the per-document log
+    importance weight; selection composes with the existing
+    deterministic samplers (`weighted_sample`'s Gumbel-key
+    convention).
+
+    Features are the `feature_hash` trick verbatim: token → md5
+    prefix bucket (B = 16^n_hex buckets — the paper uses hashed
+    n-grams; this is the unigram rung, the `unigram_logprob` ladder
+    convention). Bucket models are add-α smoothed:
+
+    ``p_t[b] = (c_t[b] + α)/(N_t + α·B)`` (target), same for the
+    raw pool, and ``log_weight(doc) = Σ_b cnt_doc[b]·(ln p_t[b] −
+    ln p_r[b])``.
+
+    Plan: ONE token-sized shuffle total — the explode aggregates
+    straight to (doc, target, bucket) partial counts, and BOTH the
+    B-row bucket model and the per-doc weights derive from that
+    table (its exchange plans once and is reused); the model's own
+    aggregations move only doc×bucket partials, the totals fold in
+    by a broadcast cross join, the model broadcasts back (B rows,
+    KB-sized), and one per-doc aggregation closes the plan. Nothing
+    data-sized reaches the driver; no vocabulary pass. Empty/zero-token documents carry no feature
+    rows and drop out (mirrored by the oracle). Target documents
+    are scored too (their weights concentrate near the target
+    self-ratio — the calibration readout); callers filter.
+
+    Returns one row per nonempty document: (id, n_tokens,
+    log_weight).
+    """
+    if target_col in (id_col, text_col):
+        raise ValueError("dsir_weights: target/id/text columns must differ")
+    B = 16 ** int(n_hex)
+    al = F.lit(float(alpha))
+    b = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        id_col, "__t",
+        F.substring(F.md5(F.col("__tok")), 1, n_hex).alias("__b"),
+    )
+    # ONE token-sized shuffle: the (doc, bucket) partial counts.
+    # Both the B-row model and the per-doc weights derive from this
+    # table, so its exchange is planned once and reused
+    # (ReusedExchange) — the raw token stream is never shuffled a
+    # second time.
+    per_doc = b.groupBy(id_col, "__t", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    model = per_doc.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__cnt")).otherwise(0))
+        .alias("__ct"),
+        F.sum(F.when(~F.col("__t"), F.col("__cnt")).otherwise(0))
+        .alias("__cr"),
+    )
+    tot = model.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
+    )
+    lw = (
+        F.log((F.col("__ct") + al) / (F.col("__nt") + al * F.lit(B)))
+        - F.log((F.col("__cr") + al) / (F.col("__nr") + al * F.lit(B)))
+    )
+    scored_model = model.crossJoin(F.broadcast(tot)).select(
+        "__b", lw.alias("__lw")
+    )
+    return (
+        per_doc.join(F.broadcast(scored_model), on="__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("__cnt") * F.col("__lw")).alias("log_weight"),
+        )
+    )

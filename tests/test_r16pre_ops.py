@@ -1,0 +1,178 @@
+"""Round-16 pre-builds: dsir_weights (DSIR hashed importance
+weights, Xie et al. 2023) and sun_abraham (interaction-weighted
+event study, Sun & Abraham 2021)."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators.causal import att_gt, sun_abraham
+from hdfe_spark.operators.text import dsir_weights
+
+
+# --------------------------------------------------- dsir_weights
+
+
+def _bucket(tok, n_hex=2):
+    return hashlib.md5(tok.encode()).hexdigest()[:n_hex]
+
+
+def _dsir_replica(rows, n_hex=2, alpha=0.5):
+    B = 16 ** n_hex
+    ct, cr = {}, {}
+    toks = {}
+    for doc_id, is_t, text in rows:
+        tl = [t for t in re.split(r"\s+", text.lower()) if t]
+        toks[doc_id] = tl
+        for t in tl:
+            b = _bucket(t, n_hex)
+            (ct if is_t else cr)[b] = (ct if is_t else cr).get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for doc_id, is_t, text in rows:
+        tl = toks[doc_id]
+        if not tl:
+            continue
+        lw = 0.0
+        for t in tl:
+            b = _bucket(t, n_hex)
+            lw += math.log((ct.get(b, 0) + alpha) / (nt + alpha * B))
+            lw -= math.log((cr.get(b, 0) + alpha) / (nr + alpha * B))
+        out[doc_id] = (len(tl), lw)
+    return out
+
+
+def test_dsir_weights_matches_python_replica(spark):
+    rows = [
+        (1, True, "the quick brown fox jumps high"),
+        (2, True, "clean careful prose reads well"),
+        (3, False, "buy cheap pills now now now"),
+        (4, False, "the quick brown fox is here"),
+        (5, False, "clean careful prose reads well indeed"),
+        (6, False, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, is_target boolean, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           dsir_weights(df, "is_target").collect()}
+    want = _dsir_replica(rows)
+    assert set(got) == set(want)  # empty doc 6 drops
+    for k, (n, lw) in want.items():
+        assert got[k]["n_tokens"] == n
+        assert math.isclose(got[k]["log_weight"], lw, rel_tol=1e-9), k
+
+
+def test_dsir_weights_target_like_scores_higher(spark):
+    # the raw doc that matches the target profile must outscore the
+    # raw doc that doesn't (the whole point of the operator)
+    rows = [
+        (1, True, "clean careful prose reads well"),
+        (2, True, "clean careful prose reads very well"),
+        (3, False, "clean careful prose reads well today"),
+        (4, False, "buy cheap pills now now now now"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, is_target boolean, text string"
+    )
+    got = {r["doc_id"]: r["log_weight"] for r in
+           dsir_weights(df, "is_target").collect()}
+    assert got[3] > got[4]
+
+
+def test_dsir_weights_guards(spark):
+    df = spark.createDataFrame(
+        [(1, True, "x")], "doc_id int, is_target boolean, text string"
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        dsir_weights(df, "doc_id")
+
+
+def test_dsir_weights_plan_two_exchanges_no_python(spark):
+    from hdfe_spark.plans import assert_plan
+
+    df = spark.createDataFrame(
+        [(1, True, "a b c"), (2, False, "a d")],
+        "doc_id int, is_target boolean, text string",
+    )
+    out = dsir_weights(df, "is_target")
+    # static plan duplicates the shared (doc, bucket) subtree per
+    # consumer; what matters is the EXECUTED plan, where exchange
+    # reuse kicks in: the token-sized shuffle materializes ONCE and
+    # the model/final consumers read it as ReusedExchange. Model
+    # joins broadcast, zero Python stages either way.
+    rep = assert_plan(out, n_python_stages=0, n_sortmerge_joins=0)
+    assert rep["n_broadcast_joins"] == 2
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2
+
+
+# --------------------------------------------------- sun_abraham
+
+
+def _panel(spark):
+    # cohorts g=3 (effect +2 from adoption), g=4 (effect +6),
+    # never-treated controls; periods 1..6; trends parallel by
+    # construction (unit level + common period shock)
+    rows = []
+    units = [
+        ("u1", 3, 10.0, 2.0),   # (unit, g, level, effect at l>=0)
+        ("u2", 3, 20.0, 2.0),
+        ("u3", 4, 15.0, 6.0),
+        ("u4", None, 12.0, 0.0),
+        ("u5", None, 18.0, 0.0),
+    ]
+    for unit, g, lev, eff in units:
+        for t in range(1, 7):
+            y = lev + 0.5 * t
+            if g is not None and t >= g:
+                y += eff
+            rows.append((unit, t, g, y))
+    return spark.createDataFrame(
+        rows, "unit string, t int, g int, y double"
+    )
+
+
+def test_sun_abraham_recovers_cohort_weighted_effects(spark):
+    df = _panel(spark)
+    out = {r["rel_period"]: r for r in
+           sun_abraham(df, "y", "t", "g").collect()}
+    # l=0: cohorts 3 (n=2, eff 2) and 4 (n=1, eff 6):
+    # IW = (2*2 + 1*6)/3
+    assert math.isclose(out[0]["att_iw"], (2 * 2.0 + 1 * 6.0) / 3,
+                        rel_tol=1e-12)
+    assert out[0]["n_cohorts"] == 2 and out[0]["n_treat"] == 3
+    # l=2: cohort 3 at t=5 (n=2, eff 2) and cohort 4 at t=6 (n=1, 6)
+    assert math.isclose(out[2]["att_iw"], (2 * 2.0 + 1 * 6.0) / 3,
+                        rel_tol=1e-12)
+    # l=3: only cohort 3 (t=6) is observed
+    assert math.isclose(out[3]["att_iw"], 2.0, rel_tol=1e-12)
+    assert out[3]["n_cohorts"] == 1
+
+
+def test_sun_abraham_equals_att_gt_when_one_cohort(spark):
+    df = _panel(spark).filter(
+        F.col("g").isNull() | (F.col("g") == 3)
+    )
+    iw = {r["rel_period"]: r["att_iw"] for r in
+          sun_abraham(df, "y", "t", "g").collect()}
+    cells = {r["t"] - r["g"]: r["att"] for r in
+             att_gt(df, "y", "t", "g").collect()}
+    assert set(iw) == set(cells)
+    for l, v in cells.items():
+        assert math.isclose(iw[l], v, rel_tol=1e-12)
+
+
+def test_sun_abraham_plan_is_att_gt_plus_one_tiny_agg(spark):
+    from hdfe_spark.plans import assert_plan, plan_report
+
+    df = _panel(spark)
+    base = plan_report(att_gt(df, "y", "t", "g"))
+    out = sun_abraham(df, "y", "t", "g")
+    rep = assert_plan(out, n_python_stages=0)
+    # one extra exchange over the tiny cell table, nothing else
+    assert rep["n_exchanges"] <= base["n_exchanges"] + 1

@@ -1,0 +1,133 @@
+"""Round-16 pre-build stress: dsir_weights and sun_abraham at 20M
+rows.
+
+dsir_weights: 20M synthetic docs (4 tokens each, ~80M tokens) over a
+two-vocabulary mixture — target docs draw from the "clean" vocab,
+20% of the pool matches it; clean-vocab pool docs must outscore
+spam-vocab pool docs for every single document (complete separation
+by construction), and the plan's token shuffle must materialize
+once.
+
+sun_abraham: 20M-row staggered panel (2M units, cohorts 3/4/never,
+periods 1-10, noiseless construction) — the IW estimates must match
+the constructed cohort-size-weighted effects to 1e-12 (cell means
+divide exact dyadic sums, so only division rounding remains).
+
+Usage: python tools/stress_r16pre.py [dsir|sa|all]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 20_000_000
+
+
+def _spark():
+    from hdfe_spark.session import get_spark
+
+    return get_spark(app_name="stress_r16pre")
+
+
+def stress_dsir(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.text import dsir_weights
+
+    # clean vocab: c0..c9; spam vocab: s0..s9. Target = clean-only.
+    # Pool: ids % 5 == 0 are clean-profile, rest spam-profile.
+    is_target = F.col("id") % 17 == 0
+    clean = F.col("id") % 5 == 0
+    use_clean = is_target | clean
+
+    def word(k):
+        return F.concat(
+            F.when(use_clean, F.lit("c")).otherwise(F.lit("s")),
+            ((F.col("id") * (k * 2 + 3)) % 10).cast("string"),
+        )
+
+    df = spark.range(0, N, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        is_target.alias("is_target"),
+        F.concat_ws(" ", word(0), word(1), word(2), word(3))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    out = dsir_weights(df, "is_target")
+    agg = out.join(
+        df.select("doc_id", "is_target",
+                  (F.col("doc_id") % 5 == 0).alias("clean")),
+        on="doc_id",
+    ).filter(~F.col("is_target")).groupBy("clean").agg(
+        F.min("log_weight").alias("mn"),
+        F.max("log_weight").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    dt = time.perf_counter() - t0
+    r = {row["clean"]: row for row in agg}
+    # complete separation: every clean-profile pool doc outscores
+    # every spam-profile pool doc
+    assert r[True]["mn"] > r[False]["mx"], (r[True]["mn"],
+                                            r[False]["mx"])
+    assert r[True]["n"] + r[False]["n"] == N - (N + 16) // 17
+    print(f"dsir_weights 20M docs (~80M tokens): {dt:.1f}s ok "
+          f"(clean min {r[True]['mn']:.2f} > spam max "
+          f"{r[False]['mx']:.2f})")
+
+
+def stress_sa(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import sun_abraham
+
+    # 2M units x 10 periods; cohorts: unit%4==0 -> g=3 (effect 2),
+    # unit%4==1 -> g=4 (effect 6), else never-treated
+    unit = (F.col("id") / 10).cast("long")
+    t = (F.col("id") % 10 + 1).cast("int")
+    g = (
+        F.when(unit % 4 == 0, F.lit(3))
+        .when(unit % 4 == 1, F.lit(4))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    eff = (
+        F.when((unit % 4 == 0) & (t >= 3), F.lit(2.0))
+        .when((unit % 4 == 1) & (t >= 4), F.lit(6.0))
+        .otherwise(F.lit(0.0))
+    )
+    y = (unit % 7).cast("double") + t.cast("double") * 0.5 + eff
+    df = spark.range(0, N, 1, 64).select(
+        unit.alias("unit"), t.alias("t"), g.alias("g"), y.alias("y")
+    )
+    t0 = time.perf_counter()
+    out = {r["rel_period"]: r for r in
+           sun_abraham(df, "y", "t", "g").collect()}
+    dt = time.perf_counter() - t0
+    n_units = N // 10
+    n3, n4 = n_units // 4, n_units // 4
+    # l in 0..6 has both cohorts (g=3 up to t=10 -> l<=7 for g=3
+    # only); weighted effect = (n3*2 + n4*6)/(n3+n4) = 4 exactly
+    for l in range(0, 7):
+        assert out[l]["n_cohorts"] == 2, (l, out[l])
+        assert math.isclose(
+            out[l]["att_iw"], (n3 * 2.0 + n4 * 6.0) / (n3 + n4),
+            rel_tol=1e-12,
+        ), (l, out[l]["att_iw"])
+    assert out[7]["n_cohorts"] == 1
+    assert math.isclose(out[7]["att_iw"], 2.0, rel_tol=1e-12)
+    print(f"sun_abraham 20M panel: {dt:.1f}s ok (IW 0..6 == 4.0 "
+          "exactly, l=7 == 2.0)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if which in ("dsir", "all"):
+        stress_dsir(spark)
+    if which in ("sa", "all"):
+        stress_sa(spark)
+    print("stress_r16pre done")
