@@ -9641,6 +9641,128 @@ _BAYES_AB_SQL = """
         """
 
 
+def _q_sun_abraham(spark, sf_dir):
+    """Interaction-weighted dynamic event study (`operators/
+    causal.py::sun_abraham` — Sun & Abraham 2021, the
+    heterogeneity-robust event-study readout): the att_gt customer
+    cohorts (custkey mod 4 adopting 1996/1997/1998, ≡0 never
+    treated) collapsed to per-relative-period IW averages weighted
+    by cohort cell size. att_gt's one groupBy + broadcast
+    self-joins, then ONE aggregation over the tiny cell table; the
+    oracle extends the att_gt SQL with the same weighted
+    combination."""
+    from hdfe_spark.operators.causal import sun_abraham
+
+    od = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.when(
+            F.col("o_custkey") % 4 == 0, F.lit(None).cast("long")
+        ).otherwise(1995 + F.col("o_custkey") % 4).alias("g"),
+        F.year("o_orderdate").cast("long").alias("t"),
+        F.col("o_totalprice").alias("y"),
+    ).filter(F.col("t").isNotNull() & F.col("y").isNotNull())
+    out = sun_abraham(base, "y", "t", "g")
+    return out.select(
+        "rel_period",
+        _pround("att_iw").alias("att_iw"),
+        "n_treat", "n_cohorts",
+    )
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed importance weights (`operators/text.py::
+    dsir_weights` — Xie et al. 2023, importance resampling for LLM
+    data selection): every-7th document as the target sample,
+    per-document log importance weight from add-0.5-smoothed
+    256-bucket md5 unigram models. ONE token-sized shuffle (the
+    (doc, bucket) exchange is reused by model and scorer — pinned);
+    6-decimal rounding absorbs the per-doc float-sum order (the
+    bigram_logprob convention)."""
+    from hdfe_spark.operators.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 7 == 0).alias("tgt")
+    )
+    out = dsir_weights(base, "tgt")
+    return out.select(
+        "doc_id", "n_tokens",
+        _pround("log_weight", 6).alias("log_weight"),
+    )
+
+
+_SUN_ABRAHAM_SQL = """
+            WITH b AS (
+              SELECT CASE WHEN o_custkey % 4 = 0 THEN NULL
+                          ELSE 1995 + (o_custkey % 4) END AS g,
+                     CAST(year(o_orderdate) AS BIGINT) AS t,
+                     o_totalprice AS y
+              FROM orders
+              WHERE o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL
+                AND o_custkey IS NOT NULL),
+            cells AS (
+              SELECT g, t, count(*) AS n,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS m
+              FROM b GROUP BY g, t),
+            tc AS (SELECT * FROM cells WHERE g IS NOT NULL),
+            ct AS (SELECT t, m, n FROM cells WHERE g IS NULL),
+            a AS (
+              SELECT CAST(tgt.g AS BIGINT) AS g, tgt.t AS t,
+                     (tgt.m - bse.m) - (c1.m - c0.m) AS att,
+                     tgt.n AS n_treat
+              FROM tc tgt
+              JOIN tc bse ON bse.g = tgt.g AND bse.t = tgt.g - 1
+              JOIN ct c1 ON c1.t = tgt.t
+              JOIN ct c0 ON c0.t = tgt.g - 1
+              WHERE tgt.t >= tgt.g)
+            SELECT CAST(t - g AS BIGINT) AS rel_period,
+                   floor((sum(CAST(n_treat AS DOUBLE) * att)
+                          / sum(CAST(n_treat AS DOUBLE)))
+                         * 1e9 + 0.5) / 1e9 AS att_iw,
+                   CAST(sum(n_treat) AS BIGINT) AS n_treat,
+                   CAST(count(*) AS BIGINT) AS n_cohorts
+            FROM a GROUP BY t - g
+        """
+
+
+_DSIR_WEIGHTS_SQL = """
+            WITH t AS (
+              SELECT doc_id, (doc_id % 7 = 0) AS tgt,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+              FROM documents),
+            f AS (
+              SELECT doc_id, tgt, substr(md5(tok), 1, 2) AS b
+              FROM t),
+            per_doc AS (
+              SELECT doc_id, tgt, b, count(*) AS cnt
+              FROM f GROUP BY doc_id, tgt, b),
+            model AS (
+              SELECT b,
+                     COALESCE(sum(CASE WHEN tgt THEN cnt
+                                  ELSE 0 END), 0) AS ct,
+                     COALESCE(sum(CASE WHEN NOT tgt THEN cnt
+                                  ELSE 0 END), 0) AS cr
+              FROM per_doc GROUP BY b),
+            tot AS (
+              SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+            m2 AS (
+              SELECT b,
+                     ln((ct + 0.5) / (nt + 0.5 * 256))
+                       - ln((cr + 0.5) / (nr + 0.5 * 256)) AS lw
+              FROM model, tot)
+            SELECT per_doc.doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   floor(sum(cnt * lw) * 1e6 + 0.5) / 1e6
+                     AS log_weight
+            FROM per_doc JOIN m2 USING (b)
+            GROUP BY per_doc.doc_id
+        """
+
+
+
 def _q_cuped2_by(spark, sf_dir):
     """Two-covariate CUPED (`operators/stats.py::cuped2_by`): per
     l_linenumber segment, the R-vs-A returnflag contrast in
@@ -10207,19 +10329,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `iv_first_stage` (Staiger-Stock weak-instrument F on the
       `iv_2sls` fixture), and `streaming_wilson` (the 28th
       streaming form -- additive counters, availableNow == batch).
-    - positions 12-13: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+    - positions 12-13: the two round-16 pre-builds registered EARLY
+      in their build round ("unregistered surface is unverified
+      surface"): `sun_abraham` (Sun & Abraham 2021
+      interaction-weighted event study over the att_gt cells) and
+      `dsir_weights` (Xie et al. 2023 DSIR hashed importance
+      weights -- the LLM data-selection scorer; one token-sized
+      shuffle, ReusedExchange-pinned).
+    - positions 14-15: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
       anchors whose Plan-C body was rewritten in round 14 (VERDICT
       r14 item 2: driver evidence r07/r10 against a round-14
       rewrite; pinned at the re-cert head so late registrations
       cannot evict them a second time -- the four round-15 builds
       slot BEFORE them, evicting r09-stratum re-certs instead).
-    - positions 14-43: the 30-query r07 stratum remainder,
+    - positions 16-45: the 30-query r07 stratum remainder,
       stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
       window clears r07 driver evidence entirely.
-    - positions 44-50: the r09 stratum from its alphabetical head
-      (`anova` .. `bm25`; `changepoint`/`cohort_retention`/
-      `cosine_topk`/`cross_corr` evicted to the backlog head by the
-      round-15 builds).
+    - positions 46-50: the r09 stratum from its alphabetical head
+      (`anova` .. `bfs_levels`; `binary_source`/`bm25`/
+      `changepoint`/`cohort_retention`/`cosine_topk`/`cross_corr`
+      evicted to the backlog head by the round-15 builds and the
+      early round-16 registrations).
     - backlog: stalest-evidence-first (ties keep in-stratum order),
       so the head of the backlog IS the round-16 re-cert list: the
       r09 residue (`cusum` onward -- including the VERDICT r14
@@ -10256,13 +10386,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_value": _q_e_value,
         "iv_first_stage": _q_iv_first_stage,
         "streaming_wilson": _q_streaming_wilson,
-        # 12-13: the two SURVEY §2 anchors whose Plan-C body was
+        # 12-13: the round-16 pre-builds registered EARLY (VERDICT
+        # r14's "unregistered surface is unverified surface"):
+        # sun_abraham (IW event study over the att_gt cells) and
+        # dsir_weights (DSIR importance weights) — evicting
+        # bfs_levels/binary_source... (r09 head shrinks to 5)
+        "sun_abraham": _q_sun_abraham,
+        "dsir_weights": _q_dsir_weights,
+        # 14-15: the two SURVEY §2 anchors whose Plan-C body was
         # rewritten in round 14 (VERDICT r14 item 2 — driver
         # evidence r07/r10 against a round-14 rewrite; queued at the
         # window head so late registrations cannot evict them again)
         "ols_2fe": _q_ols_2fe,
         "ols_3fe": _q_ols_3fe,
-        # 14-43: the 30-query r07 stratum remainder, stalest-first
+        # 16-45: the 30-query r07 stratum remainder, stalest-first
         # (fuzzy_pairs .. weighted_sample — a green window clears
         # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -10295,15 +10432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
-        # 44-50: the r09 stratum from its alphabetical head
-        # (anova .. bm25)
+        # 46-50: the r09 stratum from its alphabetical head
+        # (anova .. bfs_levels)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
         "autocorr": _q_autocorr,
         "best_split": _q_best_split,
         "bfs_levels": _q_bfs_levels,
-        "binary_source": _q_binary_source,
-        "bm25": _q_bm25,
         # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
@@ -10311,6 +10446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-cert list: the r09 residue (cusum onward), then the
         # r10/r11/r12/r13 strata, then the round-14 window's 50
         # entries (fresh r14 evidence)
+        # (binary_source/bm25 evicted by the early registration of
+        # the two round-16 pre-builds)
+        "binary_source": _q_binary_source,
+        "bm25": _q_bm25,
         # (changepoint/cohort_retention/cosine_topk/cross_corr evicted
         # to the backlog head by the four round-15-built
         # registrations)
@@ -11079,6 +11218,8 @@ def oracle_sql() -> dict[str, str]:
         "e_value": _E_VALUE_SQL,
         "iv_first_stage": _IV_FIRST_STAGE_SQL,
         "streaming_wilson": _STREAMING_WILSON_SQL,
+        "sun_abraham": _SUN_ABRAHAM_SQL,
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

@@ -29,38 +29,41 @@ def test_round15_window_composition():
     `mediation_by`, `manski_bounds`, `regression_kink`,
     `wilson_ci_by`, `newey_west_by`; 8-11 = the four round-15-built
     registrations (`cohens_d_by`, `e_value`, `iv_first_stage`,
-    `streaming_wilson` — the 28th streaming form); 12-13 =
-    `ols_2fe`/`ols_3fe`, the SURVEY §2 anchors whose Plan-C body
-    was rewritten in round 14 (VERDICT r14 item 2 — pinned at the
-    re-cert head); 14-43 = the 30-query r07 stratum remainder
-    (`fuzzy_pairs` .. `weighted_sample`); 44-50 = the r09 stratum
-    head (`anova` .. `bm25`). The backlog keeps stalest-first order (r09
+    `streaming_wilson` — the 28th streaming form); 12-13 = the two
+    round-16 pre-builds registered early (`sun_abraham`,
+    `dsir_weights`); 14-15 = `ols_2fe`/`ols_3fe`, the SURVEY §2
+    anchors whose Plan-C body was rewritten in round 14 (VERDICT
+    r14 item 2 — pinned at the re-cert head); 16-45 = the 30-query
+    r07 stratum remainder (`fuzzy_pairs` .. `weighted_sample`);
+    46-50 = the r09 stratum head (`anova` .. `bfs_levels`). The backlog keeps stalest-first order (r09
     residue from `cusum`, then r10 minus the pulled-forward
     `ols_3fe`, r11, r12, r13 strata, then the round-14 window's 50
     entries), with the 11 rows-only demos at the tail. If this
     fails after an intentional round-16 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:13] == [
+    assert q[:15] == [
         "cuped2_by", "bayes_ab", "mediation_by", "manski_bounds",
         "regression_kink", "wilson_ci_by", "newey_west_by",
         "cohens_d_by", "e_value", "iv_first_stage",
         "streaming_wilson",
+        "sun_abraham", "dsir_weights",
         "ols_2fe", "ols_3fe",
     ]
-    assert q[13:17] == ["fuzzy_pairs", "gap_fill",
+    assert q[15:19] == ["fuzzy_pairs", "gap_fill",
                         "hard_negatives", "inverted_index"]
-    assert q[26] == "psi_drift"
-    assert q[42] == "weighted_sample"
-    assert q[43] == "anova"
-    assert q[49] == "bm25"
-    # backlog head = the four re-certs the round-15 builds evicted,
-    # then the r09 residue, stalest-first
-    assert q[50:54] == ["changepoint", "cohort_retention",
+    assert q[28] == "psi_drift"
+    assert q[44] == "weighted_sample"
+    assert q[45] == "anova"
+    assert q[49] == "bfs_levels"
+    # backlog head = the six re-certs the round-15 builds and early
+    # r16 registrations evicted, then the r09 residue, stalest-first
+    assert q[50:56] == ["binary_source", "bm25",
+                        "changepoint", "cohort_retention",
                         "cosine_topk", "cross_corr"]
-    assert q[54] == "cusum"
-    assert "dummies_drop_last" in q[50:93]  # VERDICT r14 item 8:
-    assert "lags_zero_fill" in q[50:93]     # r16 window per order
+    assert q[56] == "cusum"
+    assert "dummies_drop_last" in q[50:95]  # VERDICT r14 item 8:
+    assert "lags_zero_fill" in q[50:95]     # r16 window per order
     # the round-14 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r14_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -77,7 +80,7 @@ def test_round15_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 353
+    assert len(q) == 355
 
 
 def test_every_query_has_callable():
