@@ -9763,6 +9763,87 @@ _DSIR_WEIGHTS_SQL = """
 
 
 
+def _q_iv_within(spark, sf_dir):
+    """2SLS with an absorbed fixed effect (`operators/estimate.py::
+    iv_within` — the ivreghdfe shape, completing the estimation
+    family beside wls_within on the reference's within plan
+    ``hdfe/hdfe.py:88-120``): l_quantity instrumented by its
+    censored transform, l_linenumber absorbed. One
+    FE-cardinality-sized means table + one join + iv_2sls's fused
+    moment pass; the homoskedastic sandwich rescales to the within
+    dof n − G − k. The oracle replays the demeaning and the
+    just-identified solve; 4-decimal rounding absorbs the
+    double-moment sum order (the iv_2sls convention)."""
+    from hdfe_spark.operators.estimate import iv_within
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "z_cens", F.least(F.col("l_quantity"), F.lit(25.0))
+    )
+    res = iv_within(
+        li, "l_extendedprice", "l_quantity", "z_cens", "l_linenumber",
+        estimate_variance=True,
+    )
+    return spark.createDataFrame(
+        [{
+            "n": int(res.n),
+            "n_absorbed": int(res.n_absorbed),
+            "b_quantity": _fround(float(res.b[0, 0]), 4),
+            "se_quantity": _fround(float(res.V[0][0, 0]) ** 0.5, 4),
+        }],
+        schema="n bigint, n_absorbed bigint, b_quantity double,"
+               " se_quantity double",
+    )
+
+
+_IV_WITHIN_SQL = """
+            WITH b0 AS (
+              SELECT l_linenumber AS fe,
+                     CAST(l_extendedprice AS DOUBLE) AS y,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     least(l_quantity, 25.0) AS z
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL),
+            m AS (
+              SELECT fe,
+                     sum(y) / count(*) AS my,
+                     sum(x) / count(*) AS mx,
+                     sum(z) / count(*) AS mz
+              FROM b0 GROUP BY fe),
+            d AS (
+              SELECT y - my AS yd, x - mx AS xd, z - mz AS zd
+              FROM b0 JOIN m USING (fe)),
+            s AS (
+              SELECT count(*) AS n,
+                     sum(zd * zd) AS zz, sum(zd * xd) AS zx,
+                     sum(zd * yd) AS zy, sum(xd * xd) AS xx,
+                     sum(xd * yd) AS xy, sum(yd * yd) AS yy,
+                     (SELECT count(*) FROM m) AS g
+              FROM d),
+            c AS (
+              SELECT n, g, xx, xy, yy,
+                     (zx * (1.0 / zz) * zy)
+                       / (zx * (1.0 / zz) * zx) AS b,
+                     zx * (1.0 / zz) * zx AS xpx
+              FROM s),
+            e AS (
+              SELECT n, g, b, xpx,
+                     yy - 2.0 * b * xy + b * b * xx AS rss
+              FROM c)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(g AS BIGINT) AS n_absorbed,
+                   floor(b * 1e4 + 0.5) / 1e4 AS b_quantity,
+                   floor(sqrt(((1.0 / xpx)
+                               * (greatest(rss, 0.0)
+                                  / greatest(n - 1, 1)))
+                              * (CAST(greatest(n - 1, 1) AS DOUBLE)
+                                 / greatest(n - g - 1, 1)))
+                         * 1e4 + 0.5) / 1e4 AS se_quantity
+            FROM e
+        """
+
+
+
 def _q_cuped2_by(spark, sf_dir):
     """Two-covariate CUPED (`operators/stats.py::cuped2_by`): per
     l_linenumber segment, the R-vs-A returnflag contrast in
@@ -10336,20 +10417,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `dsir_weights` (Xie et al. 2023 DSIR hashed importance
       weights -- the LLM data-selection scorer; one token-sized
       shuffle, ReusedExchange-pinned).
-    - positions 14-15: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+    - position 14: `iv_within` -- 2SLS with one absorbed fixed
+      effect (the ivreghdfe shape: FE-mean demeaning of y/x/z, the
+      iv_2sls fused moment pass, within-dof variance rescale) --
+      built AND registered this round.
+    - positions 15-16: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
       anchors whose Plan-C body was rewritten in round 14 (VERDICT
       r14 item 2: driver evidence r07/r10 against a round-14
       rewrite; pinned at the re-cert head so late registrations
       cannot evict them a second time -- the four round-15 builds
       slot BEFORE them, evicting r09-stratum re-certs instead).
-    - positions 16-45: the 30-query r07 stratum remainder,
+    - positions 17-46: the 30-query r07 stratum remainder,
       stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
       window clears r07 driver evidence entirely.
-    - positions 46-50: the r09 stratum from its alphabetical head
-      (`anova` .. `bfs_levels`; `binary_source`/`bm25`/
-      `changepoint`/`cohort_retention`/`cosine_topk`/`cross_corr`
-      evicted to the backlog head by the round-15 builds and the
-      early round-16 registrations).
+    - positions 47-50: the r09 stratum from its alphabetical head
+      (`anova` .. `best_split`; `bfs_levels`/`binary_source`/
+      `bm25`/`changepoint`/`cohort_retention`/`cosine_topk`/
+      `cross_corr` evicted to the backlog head by the round-15
+      builds and the early round-16 registrations).
     - backlog: stalest-evidence-first (ties keep in-stratum order),
       so the head of the backlog IS the round-16 re-cert list: the
       r09 residue (`cusum` onward -- including the VERDICT r14
@@ -10393,13 +10478,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bfs_levels/binary_source... (r09 head shrinks to 5)
         "sun_abraham": _q_sun_abraham,
         "dsir_weights": _q_dsir_weights,
-        # 14-15: the two SURVEY §2 anchors whose Plan-C body was
+        # 14: iv_within — 2SLS with an absorbed FE (the ivreghdfe
+        # shape), built and registered this round — evicting
+        # bfs_levels
+        "iv_within": _q_iv_within,
+        # 15-16: the two SURVEY §2 anchors whose Plan-C body was
         # rewritten in round 14 (VERDICT r14 item 2 — driver
         # evidence r07/r10 against a round-14 rewrite; queued at the
         # window head so late registrations cannot evict them again)
         "ols_2fe": _q_ols_2fe,
         "ols_3fe": _q_ols_3fe,
-        # 16-45: the 30-query r07 stratum remainder, stalest-first
+        # 17-46: the 30-query r07 stratum remainder, stalest-first
         # (fuzzy_pairs .. weighted_sample — a green window clears
         # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -10432,13 +10521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
-        # 46-50: the r09 stratum from its alphabetical head
-        # (anova .. bfs_levels)
+        # 47-50: the r09 stratum from its alphabetical head
+        # (anova .. best_split)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
         "autocorr": _q_autocorr,
         "best_split": _q_best_split,
-        "bfs_levels": _q_bfs_levels,
         # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
@@ -10446,6 +10534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-cert list: the r09 residue (cusum onward), then the
         # r10/r11/r12/r13 strata, then the round-14 window's 50
         # entries (fresh r14 evidence)
+        # (bfs_levels evicted by the iv_within registration)
+        "bfs_levels": _q_bfs_levels,
         # (binary_source/bm25 evicted by the early registration of
         # the two round-16 pre-builds)
         "binary_source": _q_binary_source,
@@ -11220,6 +11310,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_wilson": _STREAMING_WILSON_SQL,
         "sun_abraham": _SUN_ABRAHAM_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
+        "iv_within": _IV_WITHIN_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

@@ -1796,3 +1796,83 @@ def wls_within(
         res.v_coef_names = list(x_cols)
     res.n_absorbed = n_groups
     return res
+
+
+def iv_within(
+    df: DataFrame,
+    y: "str | Sequence[str]",
+    x_endog: "str | Sequence[str]",
+    instruments: "str | Sequence[str]",
+    fe: str,
+    estimate_variance: bool = False,
+) -> EstimateResult:
+    """2SLS with one absorbed fixed effect (round 15) — the
+    ``ivreghdfe`` shape: `iv_2sls` after within-demeaning every y,
+    endogenous x, and instrument by its FE-level mean (FWL: the
+    projection onto the FE dummies commutes with the IV projection
+    when BOTH stages are demeaned by the same groups), completing
+    the estimation family beside `wls_within` (reference surface
+    ``hdfe/hdfe.py:88-120`` + the instrumenting the reference
+    lacks).
+
+    Composition, not re-implementation: one groupBy computes the
+    per-level means (G rows — also the absorbed-group count for
+    dof), one AQE-planned join demeans, and `iv_2sls` supplies the
+    fused Z/X/y moment pass and the kz×k driver solve; the
+    homoskedastic variance is `iv_2sls`'s sandwich RESCALED to the
+    within dof ``n − G − k`` (the absorbed means consume G
+    parameters the inner solve cannot see — the `wls_within`
+    convention). NULL contract: ONE listwise mask over every y, x,
+    and instrument column (NaN-as-missing, the r13 discipline); a
+    NULL FE level is its own absorbed group.
+
+    Scale: the means table is FE-cardinality-sized (never the fact
+    table); the fact table joins once and is never shuffled
+    afterward — the moment pass is map-side combined.
+    """
+    y_cols = _as_list(y)
+    x_cols = list(_as_list(x_endog))
+    z_cols = list(_as_list(instruments))
+    cols = list(dict.fromkeys(x_cols + z_cols + list(y_cols)))
+    complete = _and_complete(F.lit(True), df, cols)
+    base = df.filter(complete)
+    # FE-cardinality-sized means table; persist so the group count
+    # and the demeaning join share one fact-table aggregation (the
+    # wls_within review-r13b discipline)
+    means = base.groupBy(F.col(fe).alias("__fe")).agg(
+        *[
+            (F.sum(F.col(c)) / F.count(F.lit(1))).alias(f"__m_{c}")
+            for c in cols
+        ]
+    ).persist()
+    n_groups = means.count()
+    work = base.join(
+        means, F.col(fe).eqNullSafe(F.col("__fe")), "left"
+    ).select(
+        *[
+            (F.col(c) - F.col(f"__m_{c}")).alias(f"__dm_{c}")
+            for c in cols
+        ],
+    )
+    try:
+        res = iv_2sls(
+            work,
+            [f"__dm_{c}" for c in y_cols],
+            [f"__dm_{c}" for c in x_cols],
+            [f"__dm_{c}" for c in z_cols],
+            estimate_variance=estimate_variance,
+        )
+    finally:
+        means.unpersist(False)
+    res.plan = "iv_within"
+    res._coef_names = list(x_cols)
+    res.x_cols = list(x_cols)
+    res.first_stage_names = (list(z_cols), list(x_cols))
+    if estimate_variance:
+        k = len(x_cols)
+        dof_inner = max(res.n - k, 1)
+        dof_within = max(res.n - n_groups - k, 1)
+        res.V = [V * (dof_inner / dof_within) for V in res.V]
+        res.v_coef_names = list(x_cols)
+    res.n_absorbed = n_groups
+    return res

@@ -327,3 +327,68 @@ def test_streaming_wilson_equals_batch(spark, sf_dir):
     q.awaitTermination()
     got = spark.table(sink).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+# --------------------------------------------------- iv_within
+
+
+def test_iv_within_matches_numpy_replica(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 600
+    fe = rng.integers(0, 4, n)
+    z = np.round(rng.normal(0, 1, n), 4)
+    u = rng.normal(0, 1, n)
+    x = np.round(0.8 * z + 0.5 * u + rng.normal(0, 0.5, n), 4)
+    y = np.round(
+        2.0 * x + 1.5 * u + fe * 3.0 + rng.normal(0, 0.3, n), 4
+    )
+    df = spark.createDataFrame(
+        [(int(f), float(a), float(b), float(c))
+         for f, a, b, c in zip(fe, x, z, y)],
+        "fe int, x double, z double, y double",
+    )
+    from hdfe_spark.operators.estimate import iv_within
+
+    res = iv_within(df, "y", "x", "z", "fe", estimate_variance=True)
+    # numpy replica: demean by fe, just-identified IV slope
+    xd, zd, yd = x.astype(float), z.astype(float), y.astype(float)
+    for g in range(4):
+        m = fe == g
+        xd = np.where(m, xd - x[m].mean(), xd)
+        zd = np.where(m, zd - z[m].mean(), zd)
+        yd = np.where(m, yd - y[m].mean(), yd)
+    b = (zd @ yd) / (zd @ xd)
+    assert abs(float(res.b[0, 0]) - b) < 1e-9
+    assert res.n == n and res.n_absorbed == 4
+    # variance: inner 2SLS sandwich rescaled to n - G - k
+    xpx = (zd @ xd) ** 2 / (zd @ zd)
+    rss = yd @ yd - 2 * b * (xd @ yd) + b * b * (xd @ xd)
+    v = (max(rss, 0.0) / (n - 4 - 1)) / xpx
+    assert abs(float(res.V[0][0, 0]) - v) / v < 1e-9
+
+
+def test_iv_within_null_rows_drop_listwise(spark):
+    from hdfe_spark.operators.estimate import iv_within
+
+    rows = [
+        (1, 1.0, 1.1, 2.0), (1, 2.0, 1.9, 4.1), (1, 3.0, 3.2, 6.2),
+        (2, 1.5, 1.4, 3.2), (2, 2.5, 2.6, 5.1), (2, 3.5, 3.4, 7.3),
+        (1, None, 1.0, 2.0), (2, 2.0, float("nan"), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "fe int, x double, z double, y double")
+    res = iv_within(df, "y", "x", "z", "fe")
+    assert res.n == 6  # both incomplete rows dropped listwise
+
+
+def test_iv_within_self_instrument_raises(spark):
+    import pytest
+
+    from hdfe_spark.operators.estimate import iv_within
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "fe int, x double, y double"
+    )
+    with pytest.raises(ValueError, match="instrument"):
+        iv_within(df, "y", "x", "x", "fe")
