@@ -16,7 +16,11 @@ scalar replica exactly.
 iv_first_stage: x = 0.7 z + lattice noise at 20M; F must be deep in
 the strong-instrument regime and match the numpy moment replica.
 
-Usage: python tools/stress_r15.py [cohens|evalue|ivfs|all]
+iv_within: 20M rows x 50 absorbed FE levels with a lattice
+instrument and a planted confounder; the IV slope must recover the
+structural coefficient the OLS slope cannot.
+
+Usage: python tools/stress_r15.py [cohens|evalue|ivfs|ivw|all]
 """
 
 from __future__ import annotations
@@ -123,6 +127,37 @@ def stress_ivfs(spark):
     print(f"iv_first_stage 20M: {dt:.1f}s ok (F={r['f_stat']:.3g})")
 
 
+def stress_ivwithin(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.estimate import iv_within
+
+    # y = 2x + fe*10 + confounder; z = lattice instrument driving x
+    fe = (F.col("id") % 50).cast("int")
+    z = ((F.col("id") * 48271) % 41).cast("double")
+    u = ((F.col("id") * 7919) % 23).cast("double")
+    x = F.lit(0.8) * z + u
+    y = F.lit(2.0) * x + F.lit(1.5) * u + fe.cast("double") * 10.0
+    df = spark.range(0, N, 1, 64).select(
+        fe.alias("fe"), x.alias("x"), z.alias("z"), y.alias("y")
+    )
+    t0 = time.perf_counter()
+    res = iv_within(df, "y", "x", "z", "fe", estimate_variance=True)
+    dt = time.perf_counter() - t0
+    assert res.n == N and res.n_absorbed == 50
+    # IV isolates the z-driven variation: y = 2x + 1.5u with
+    # Cov(z, u) == 0 on the lattice -> b_IV = 2 + 1.5/0.8 *
+    # Cov(zd,ud)/... ~ 2 + 1.5*Cov(z,u)/... ; the lattices are
+    # uncorrelated enough that b lands within 0.05 of the
+    # structural 2.0 while OLS would be ~3.0 (u loads on x with
+    # coefficient 1 and on y with 1.5+2 = 3.5 total)
+    b = float(res.b[0, 0])
+    assert abs(b - 2.0) < 0.05, b
+    se = float(res.V[0][0, 0]) ** 0.5
+    assert 0.0 < se < 0.01
+    print(f"iv_within 20M x 50 FE: {dt:.1f}s ok (b={b:.4f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -132,4 +167,6 @@ if __name__ == "__main__":
         stress_evalue(spark)
     if which in ("ivfs", "all"):
         stress_ivfs(spark)
+    if which in ("ivw", "all"):
+        stress_ivwithin(spark)
     print("stress_r15 done")
