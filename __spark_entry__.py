@@ -9844,6 +9844,115 @@ _IV_WITHIN_SQL = """
 
 
 
+def _q_local_projections(spark, sf_dir):
+    """Jordà local-projection impulse responses (`operators/
+    stats.py::local_projections`): per-horizon pooled slopes of the
+    led l_partkey%1000 series on l_quantity over the per-(linenumber,
+    orderkey) pre-aggregated series (the newey_west_by fixture —
+    unique time axis, integer-exact sums). ONE per-entity window
+    pass emits all leads from a single window spec; ONE ungrouped
+    aggregation carries every horizon's conditional moment block;
+    the closed-form finish is mirrored per horizon by the oracle's
+    UNION ALL."""
+    from hdfe_spark.operators.stats import local_projections
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_orderkey").alias("tt"),
+    ).agg(
+        F.sum((F.col("l_partkey") % 1000).cast("double")).alias("y"),
+        F.sum(F.col("l_quantity")).alias("x"),
+    )
+    out = local_projections(base, "seg", "tt", "y", "x", 2)
+    return out.select(
+        "horizon", "n",
+        _pround("b").alias("b"),
+        _pround("intercept").alias("intercept"),
+        _pround("se").alias("se"),
+    )
+
+
+def _lp_oracle(H: int = 2) -> str:
+    """Generate the local_projections oracle: the identical lead
+    window + per-horizon conditional moment block + closed-form
+    finish, one UNION ALL branch per horizon."""
+    lead_cols = ",\n                     ".join(
+        f"lead(y, {h}) OVER (PARTITION BY g ORDER BY t) AS y{h}"
+        for h in range(H + 1)
+    )
+    mom = []
+    for h in range(H + 1):
+        mom.append(
+            f"count(CASE WHEN y{h} IS NOT NULL THEN 1 END) AS n_{h},\n"
+            f"                     COALESCE(sum(CASE WHEN y{h} IS NOT NULL"
+            f" THEN x END), 0.0) AS sx_{h},\n"
+            f"                     COALESCE(sum(y{h}), 0.0) AS sy_{h},\n"
+            f"                     COALESCE(sum(CASE WHEN y{h} IS NOT NULL"
+            f" THEN x * x END), 0.0) AS sxx_{h},\n"
+            f"                     COALESCE(sum(x * y{h}), 0.0) AS sxy_{h},\n"
+            f"                     COALESCE(sum(y{h} * y{h}), 0.0) AS syy_{h}"
+        )
+    branches = []
+    for h in range(H + 1):
+        branches.append(f"""
+            SELECT {h} AS horizon, n_{h} AS n, sx_{h} AS sx,
+                   sy_{h} AS sy, sxx_{h} AS sxx, sxy_{h} AS sxy,
+                   syy_{h} AS syy
+            FROM s""")
+    return f"""
+            WITH b0 AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS g,
+                     l_orderkey AS t,
+                     CAST(sum(CAST(l_partkey % 1000 AS DOUBLE))
+                          AS DOUBLE) AS y,
+                     CAST(sum(l_quantity) AS DOUBLE) AS x
+              FROM lineitem
+              GROUP BY 1, 2),
+            l AS (
+              SELECT g, x,
+                     {lead_cols}
+              FROM b0),
+            s AS (
+              SELECT {(',' + chr(10) + '                     ').join(mom)}
+              FROM l),
+            u AS ({' UNION ALL '.join(branches)}),
+            c AS (
+              SELECT horizon, n, CAST(n AS DOUBLE) AS nd,
+                     sx, sy, sxx, sxy, syy
+              FROM u),
+            d AS (
+              SELECT horizon, n, nd, sx, sy,
+                     nd * sxx - sx * sx AS vx,
+                     nd * sxy - sx * sy AS cxy,
+                     nd * syy - sy * sy AS vy
+              FROM c),
+            e AS (
+              SELECT d.*, cxy / vx AS b FROM d),
+            f AS (
+              SELECT e.*,
+                     (sy - b * sx) / nd AS a,
+                     ((vy - b * cxy) / nd / (nd - 2.0))
+                       / (vx / nd) AS var_b,
+                     (n >= 3 AND vx > 0) AS ok
+              FROM e)
+            SELECT CAST(horizon AS BIGINT) AS horizon,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN ok THEN floor(b * 1e9 + 0.5) / 1e9
+                   END AS b,
+                   CASE WHEN ok THEN floor(a * 1e9 + 0.5) / 1e9
+                   END AS intercept,
+                   CASE WHEN ok AND vy - b * cxy >= 0 THEN
+                     floor(sqrt(var_b) * 1e9 + 0.5) / 1e9
+                   END AS se
+            FROM f
+        """
+
+
+_LOCAL_PROJECTIONS_SQL = _lp_oracle(2)
+
+
+
 def _q_cuped2_by(spark, sf_dir):
     """Two-covariate CUPED (`operators/stats.py::cuped2_by`): per
     l_linenumber segment, the R-vs-A returnflag contrast in
@@ -10417,24 +10526,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `dsir_weights` (Xie et al. 2023 DSIR hashed importance
       weights -- the LLM data-selection scorer; one token-sized
       shuffle, ReusedExchange-pinned).
-    - position 14: `iv_within` -- 2SLS with one absorbed fixed
-      effect (the ivreghdfe shape: FE-mean demeaning of y/x/z, the
-      iv_2sls fused moment pass, within-dof variance rescale) --
-      built AND registered this round.
-    - positions 15-16: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+    - positions 14-15: `iv_within` (2SLS with one absorbed fixed
+      effect -- the ivreghdfe shape: FE-mean demeaning of y/x/z,
+      the iv_2sls fused moment pass, within-dof variance rescale)
+      and `local_projections` (Jordà per-horizon impulse responses
+      -- one lead-window pass + one all-horizons moment
+      aggregation) -- built AND registered this round.
+    - positions 16-17: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
       anchors whose Plan-C body was rewritten in round 14 (VERDICT
       r14 item 2: driver evidence r07/r10 against a round-14
       rewrite; pinned at the re-cert head so late registrations
       cannot evict them a second time -- the four round-15 builds
       slot BEFORE them, evicting r09-stratum re-certs instead).
-    - positions 17-46: the 30-query r07 stratum remainder,
+    - positions 18-47: the 30-query r07 stratum remainder,
       stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
       window clears r07 driver evidence entirely.
-    - positions 47-50: the r09 stratum from its alphabetical head
-      (`anova` .. `best_split`; `bfs_levels`/`binary_source`/
-      `bm25`/`changepoint`/`cohort_retention`/`cosine_topk`/
-      `cross_corr` evicted to the backlog head by the round-15
-      builds and the early round-16 registrations).
+    - positions 48-50: the r09 stratum from its alphabetical head
+      (`anova` `assoc_rules` `autocorr`; `best_split`/
+      `bfs_levels`/`binary_source`/`bm25`/`changepoint`/
+      `cohort_retention`/`cosine_topk`/`cross_corr` evicted to the
+      backlog head by the round-15 builds and the early round-16
+      registrations).
     - backlog: stalest-evidence-first (ties keep in-stratum order),
       so the head of the backlog IS the round-16 re-cert list: the
       r09 residue (`cusum` onward -- including the VERDICT r14
@@ -10482,13 +10594,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape), built and registered this round — evicting
         # bfs_levels
         "iv_within": _q_iv_within,
-        # 15-16: the two SURVEY §2 anchors whose Plan-C body was
+        # 15: local_projections — Jordà per-horizon impulse
+        # responses, built and registered this round — evicting
+        # best_split
+        "local_projections": _q_local_projections,
+        # 16-17: the two SURVEY §2 anchors whose Plan-C body was
         # rewritten in round 14 (VERDICT r14 item 2 — driver
         # evidence r07/r10 against a round-14 rewrite; queued at the
         # window head so late registrations cannot evict them again)
         "ols_2fe": _q_ols_2fe,
         "ols_3fe": _q_ols_3fe,
-        # 17-46: the 30-query r07 stratum remainder, stalest-first
+        # 18-47: the 30-query r07 stratum remainder, stalest-first
         # (fuzzy_pairs .. weighted_sample — a green window clears
         # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -10521,12 +10637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
-        # 47-50: the r09 stratum from its alphabetical head
-        # (anova .. best_split)
+        # 48-50: the r09 stratum from its alphabetical head
+        # (anova .. autocorr)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
         "autocorr": _q_autocorr,
-        "best_split": _q_best_split,
         # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
@@ -10534,6 +10649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-cert list: the r09 residue (cusum onward), then the
         # r10/r11/r12/r13 strata, then the round-14 window's 50
         # entries (fresh r14 evidence)
+        # (best_split evicted by the local_projections registration)
+        "best_split": _q_best_split,
         # (bfs_levels evicted by the iv_within registration)
         "bfs_levels": _q_bfs_levels,
         # (binary_source/bm25 evicted by the early registration of
@@ -11311,6 +11428,7 @@ def oracle_sql() -> dict[str, str]:
         "sun_abraham": _SUN_ABRAHAM_SQL,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "iv_within": _IV_WITHIN_SQL,
+        "local_projections": _LOCAL_PROJECTIONS_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

@@ -6789,3 +6789,138 @@ def cohens_d_by(
         F.when(ok, d).alias("d"),
         F.when(ok, g).alias("hedges_g"),
     )
+
+
+def local_projections(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+    max_horizon: int,
+) -> DataFrame:
+    """Jordà (2005) local-projection impulse responses (round-16
+    pre-build) — the regression-per-horizon alternative to a full
+    VAR for dynamic effects: for each horizon ``h = 0..H``, the
+    pooled OLS slope of the LED outcome on today's shock,
+
+    ``y_{i,t+h} = a_h + b_h·x_{i,t} + e``  →  IRF(h) = b_h,
+
+    with per-horizon homoskedastic inference. Each horizon's
+    estimating sample is exactly the rows whose h-step lead exists
+    inside the entity (the `make_lags` boundary convention), so n
+    shrinks with h — reported per row.
+
+    Scale: ONE per-entity window pass emits all H+1 leads from a
+    single window spec (never a global sort — the `rolling_beta`
+    convention; duplicate time values within an entity RAISE via
+    `_dup_order_guard`, the fold order would be engine-dependent),
+    then ONE ungrouped map-side-combined aggregation carries every
+    horizon's conditional (n, Σx, Σy, Σx², Σxy, Σy²) block; the
+    closed-form slope/intercept/se per horizon is a fixed IEEE
+    expression over those scalars (the `group_ols` spelling), so a
+    SQL oracle mirrors it literally. Long-form output keeps every
+    driver-compared value scalar. NULL/NaN x/y rows drop from every
+    horizon (a NULL lead only from its own).
+
+    Returns one row per horizon: (horizon, n, b, intercept, se).
+    """
+    if max_horizon < 0:
+        raise ValueError(
+            f"local_projections: max_horizon must be >= 0, got"
+            f" {max_horizon}"
+        )
+    H = int(max_horizon)
+    no_output_collision(
+        "local_projections", "entity_col", entity_col,
+        ("horizon", "n", "b", "intercept", "se"),
+    )
+    xv, yv = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    mask = (
+        _non_nan(df, x_col) & _non_nan(df, y_col)
+        & F.col(time_col).isNotNull()
+    )
+    base = df.filter(mask).select(
+        F.col(entity_col).alias("__e"),
+        F.col(time_col).alias("__t"),
+        xv.alias("__x"),
+        yv.alias("__y"),
+    )
+    w = Window.partitionBy("__e").orderBy("__t")
+    nw = Window.partitionBy("__e")
+    # duplicate-time detection rides the SAME sorted window: equal
+    # neighbours in sort order catch every duplicate with O(1) state
+    # (a DISTINCT window aggregate is unsupported and a collect_set
+    # would hold the entity's whole time axis per partition)
+    dup = F.max(
+        F.when(F.lag("__t").over(w).eqNullSafe(F.col("__t")), 1)
+        .otherwise(0)
+    ).over(nw)
+    led = base.select(
+        "__e", "__x",
+        dup.alias("__dup"),
+        *[
+            F.lead("__y", h).over(w).alias(f"__y{h}")
+            for h in range(H + 1)
+        ],
+    )
+    guarded = F.when(
+        F.col("__dup") == 1,
+        F.raise_error(
+            F.concat(
+                F.lit("local_projections: duplicate order values"
+                      " within key "),
+                F.col("__e").cast("string"),
+                F.lit(" — the lead pairing would be"
+                      " engine-dependent"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("__x"))
+    led = led.select(
+        guarded.alias("__x"),
+        *[F.col(f"__y{h}") for h in range(H + 1)],
+    )
+    aggs = []
+    for h in range(H + 1):
+        yh = F.col(f"__y{h}")
+        has = yh.isNotNull()
+        aggs += [
+            F.count(F.when(has, 1)).alias(f"n_{h}"),
+            F.coalesce(F.sum(F.when(has, F.col("__x"))), F.lit(0.0))
+            .alias(f"sx_{h}"),
+            F.coalesce(F.sum(F.when(has, yh)), F.lit(0.0))
+            .alias(f"sy_{h}"),
+            F.coalesce(
+                F.sum(F.when(has, F.col("__x") * F.col("__x"))),
+                F.lit(0.0),
+            ).alias(f"sxx_{h}"),
+            F.coalesce(F.sum(F.when(has, F.col("__x") * yh)),
+                       F.lit(0.0)).alias(f"sxy_{h}"),
+            F.coalesce(F.sum(F.when(has, yh * yh)), F.lit(0.0))
+            .alias(f"syy_{h}"),
+        ]
+    m = led.agg(*aggs)
+    rows = []
+    for h in range(H + 1):
+        n = F.col(f"n_{h}")
+        nd = n.cast("double")
+        vx = nd * F.col(f"sxx_{h}") - F.col(f"sx_{h}") * F.col(f"sx_{h}")
+        cxy = nd * F.col(f"sxy_{h}") - F.col(f"sx_{h}") * F.col(f"sy_{h}")
+        vy = nd * F.col(f"syy_{h}") - F.col(f"sy_{h}") * F.col(f"sy_{h}")
+        b = cxy / vx
+        a = (F.col(f"sy_{h}") - b * F.col(f"sx_{h}")) / nd
+        # centered rss in the n-scaled space: (vy - b*cxy)/n
+        rss = (vy - b * cxy) / nd
+        var_b = (rss / (nd - F.lit(2.0))) / (vx / nd)
+        ok = (n >= 3) & (vx > 0)
+        okse = ok & (vy - b * cxy >= 0)
+        rows.append(F.struct(
+            F.lit(h).cast("long").alias("horizon"),
+            n.cast("long").alias("n"),
+            F.when(ok, b).alias("b"),
+            F.when(ok, a).alias("intercept"),
+            F.when(okse, F.sqrt(var_b)).alias("se"),
+        ))
+    return m.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.horizon", "__r.n", "__r.b", "__r.intercept", "__r.se")

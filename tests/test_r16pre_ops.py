@@ -176,3 +176,89 @@ def test_sun_abraham_plan_is_att_gt_plus_one_tiny_agg(spark):
     rep = assert_plan(out, n_python_stages=0)
     # one extra exchange over the tiny cell table, nothing else
     assert rep["n_exchanges"] <= base["n_exchanges"] + 1
+
+
+# --------------------------------------------------- local_projections
+
+
+def test_local_projections_matches_numpy(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.stats import local_projections
+
+    rng = np.random.default_rng(13)
+    rows, series = [], {}
+    for e in range(5):
+        x = np.round(rng.normal(0, 1, 40), 4)
+        y = np.zeros(40)
+        for t in range(40):
+            y[t] = 0.8 * (y[t - 1] if t else 0) + x[t] + \
+                rng.normal(0, 0.1)
+        y = np.round(y, 4)
+        series[e] = (x, y)
+        for t in range(40):
+            rows.append((e, t, float(x[t]), float(y[t])))
+    df = spark.createDataFrame(rows, "e int, t int, x double, y double")
+    out = {r["horizon"]: r for r in
+           local_projections(df, "e", "t", "y", "x", 3).collect()}
+    import math
+
+    for h in range(4):
+        xs, ys = [], []
+        for e, (x, y) in series.items():
+            for t in range(40 - h):
+                xs.append(x[t])
+                ys.append(y[t + h])
+        xs, ys = np.array(xs), np.array(ys)
+        n = len(xs)
+        vx = n * (xs * xs).sum() - xs.sum() ** 2
+        cxy = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        b = cxy / vx
+        assert out[h]["n"] == n
+        assert math.isclose(out[h]["b"], b, rel_tol=1e-7), h
+        # IRF of the AR(1) construction decays like 0.8^h
+        assert abs(out[h]["b"] - 0.8 ** h) < 0.1
+        assert out[h]["se"] is not None and out[h]["se"] > 0
+
+
+def test_local_projections_duplicate_time_raises(spark):
+    import pytest
+
+    from hdfe_spark.operators.stats import local_projections
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, 2.0), (1, 1, 2.0, 3.0), (1, 2, 3.0, 4.0)],
+        "e int, t int, x double, y double",
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        local_projections(df, "e", "t", "y", "x", 1).collect()
+
+
+def test_local_projections_horizon_shrinks_sample(spark):
+    from hdfe_spark.operators.stats import local_projections
+
+    rows = [(1, t, float(t % 3), float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows, "e int, t int, x double, y double")
+    out = {r["horizon"]: r["n"] for r in
+           local_projections(df, "e", "t", "y", "x", 2).collect()}
+    assert out[0] == 10 and out[1] == 9 and out[2] == 8
+
+
+def test_local_projections_guards(spark):
+    import pytest
+
+    from hdfe_spark.operators.stats import local_projections
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, 2.0)], "e int, t int, x double, y double"
+    )
+    with pytest.raises(ValueError, match="max_horizon"):
+        local_projections(df, "e", "t", "y", "x", -1)
+    # constant x -> vx == 0 -> NULL slope, n still reported
+    dfc = spark.createDataFrame(
+        [(1, t, 5.0, float(t)) for t in range(6)],
+        "e int, t int, x double, y double",
+    )
+    r = {x["horizon"]: x for x in
+         local_projections(dfc, "e", "t", "y", "x", 1).collect()}
+    assert r[0]["b"] is None and r[0]["n"] == 6

@@ -13,7 +13,12 @@ periods 1-10, noiseless construction) — the IW estimates must match
 the constructed cohort-size-weighted effects to 1e-12 (cell means
 divide exact dyadic sums, so only division rounding remains).
 
-Usage: python tools/stress_r16pre.py [dsir|sa|all]
+local_projections: 20M rows (200k entities x 100 periods), MA(1)
+construction on a deterministically lag-correlated LCG lattice —
+every horizon's pooled slope must match the numpy moment replica
+over the identical 20M ids to 1e-6.
+
+Usage: python tools/stress_r16pre.py [dsir|sa|lp|all]
 """
 
 from __future__ import annotations
@@ -123,6 +128,59 @@ def stress_sa(spark):
           "exactly, l=7 == 2.0)")
 
 
+def stress_lp(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import local_projections
+
+    # 200k entities x 100 periods; y_t = x_t + 0.5 x_{t-1} (MA(1)),
+    # x a centered LCG lattice — closed-form pooled IRF: b0 ~ 1,
+    # b1 ~ 0.5, b2 ~ 0 (up to the lattice's small lag correlations)
+    e = (F.col("id") / 100).cast("long")
+    t = (F.col("id") % 100).cast("int")
+
+    def xf(idc):
+        return ((idc * 48271) % 97).cast("double") - 48.0
+
+    x = xf(F.col("id"))
+    xm1 = F.when(t >= 1, xf(F.col("id") - 1)).otherwise(F.lit(0.0))
+    df = spark.range(0, N, 1, 64).select(
+        e.alias("e"), t.alias("t"), x.alias("x"),
+        (x + F.lit(0.5) * xm1).alias("y"),
+    )
+    t0 = time.perf_counter()
+    out = {r["horizon"]: r for r in
+           local_projections(df, "e", "t", "y", "x", 3).collect()}
+    dt = time.perf_counter() - t0
+    assert out[0]["n"] == N
+    assert out[1]["n"] == N - N // 100
+    # the LCG lattice is deterministically lag-correlated
+    # (x_t = (x_{t-1}+62) mod 97), so the pooled IRF is NOT the
+    # textbook (1, 0.5, 0); the ground truth is the numpy replica
+    # over the identical 20M ids
+    import numpy as np
+
+    ids = np.arange(N, dtype=np.int64)
+    ee, tt = ids // 100, ids % 100
+    xx = ((ids * 48271) % 97).astype(np.float64) - 48.0
+    xm = np.where(tt >= 1,
+                  (((ids - 1) * 48271) % 97).astype(np.float64) - 48.0,
+                  0.0)
+    yy = xx + 0.5 * xm
+    for h in range(3):
+        keep = tt < 100 - h
+        xs = xx[keep]
+        ys = yy[keep.nonzero()[0] + h]
+        n = len(xs)
+        vx = n * float(xs @ xs) - float(xs.sum()) ** 2
+        cxy = n * float(xs @ ys) - float(xs.sum()) * float(ys.sum())
+        want = cxy / vx
+        assert abs(out[h]["b"] - want) < 1e-6, (h, out[h]["b"], want)
+    assert all(out[h]["se"] > 0 for h in range(4))
+    print(f"local_projections 20M x 200k entities H=3: {dt:.1f}s ok "
+          f"(b0={out[0]['b']:.3f}, b1={out[1]['b']:.3f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -130,4 +188,6 @@ if __name__ == "__main__":
         stress_dsir(spark)
     if which in ("sa", "all"):
         stress_sa(spark)
+    if which in ("lp", "all"):
+        stress_lp(spark)
     print("stress_r16pre done")
