@@ -1833,6 +1833,23 @@ def iv_within(
     y_cols = _as_list(y)
     x_cols = list(_as_list(x_endog))
     z_cols = list(_as_list(instruments))
+    # name-only checks BEFORE the first Spark action: a self-
+    # instrumenting or under-identified call must fail in
+    # microseconds, not after a full fact-table means pass
+    # (iv_2sls would catch both, but only after the aggregation —
+    # review r15)
+    dup = set(x_cols) & set(z_cols)
+    if dup:
+        raise ValueError(
+            f"columns {sorted(dup)} listed as both endogenous and"
+            " instrument — an endogenous regressor cannot instrument"
+            " itself"
+        )
+    if len(z_cols) < len(x_cols):
+        raise ValueError(
+            f"iv_within: under-identified — {len(x_cols)} endogenous"
+            f" regressors but only {len(z_cols)} instruments"
+        )
     cols = list(dict.fromkeys(x_cols + z_cols + list(y_cols)))
     complete = _and_complete(F.lit(True), df, cols)
     base = df.filter(complete)

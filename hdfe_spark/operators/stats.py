@@ -6807,21 +6807,26 @@ def local_projections(
     ``y_{i,t+h} = a_h + b_h·x_{i,t} + e``  →  IRF(h) = b_h,
 
     with per-horizon homoskedastic inference. Each horizon's
-    estimating sample is exactly the rows whose h-step lead exists
-    inside the entity (the `make_lags` boundary convention), so n
+    estimating sample is exactly the (base, lead) pairs where BOTH
+    ends are valid (the `make_lags` boundary convention), so n
     shrinks with h — reported per row.
 
     Scale: ONE per-entity window pass emits all H+1 leads from a
     single window spec (never a global sort — the `rolling_beta`
-    convention; duplicate time values within an entity RAISE via
-    `_dup_order_guard`, the fold order would be engine-dependent),
-    then ONE ungrouped map-side-combined aggregation carries every
-    horizon's conditional (n, Σx, Σy, Σx², Σxy, Σy²) block; the
-    closed-form slope/intercept/se per horizon is a fixed IEEE
-    expression over those scalars (the `group_ols` spelling), so a
-    SQL oracle mirrors it literally. Long-form output keeps every
-    driver-compared value scalar. NULL/NaN x/y rows drop from every
-    horizon (a NULL lead only from its own).
+    convention; duplicate time values within an entity RAISE via an
+    inline sorted-adjacency guard — the `_dup_order_guard` contract
+    re-spelled for lead pairing with O(1) window state), then ONE
+    ungrouped map-side-combined aggregation carries every horizon's
+    conditional (n, Σx, Σy, Σx², Σxy, Σy²) block; the closed-form
+    slope/intercept/se per horizon is a fixed IEEE expression over
+    those scalars (the `group_ols` spelling), so a SQL oracle
+    mirrors it literally. Long-form output keeps every
+    driver-compared value scalar. NULL contract: a row with
+    NULL/NaN x or y KEEPS ITS POSITION on the entity's time axis
+    but contributes to no pair — filtering it out before the window
+    would silently pair y_{t+h+1} as the "h-step" lead across the
+    gap and bias every IRF (review r15); NULL-time rows drop
+    entirely (they have no position).
 
     Returns one row per horizon: (horizon, n, b, intercept, se).
     """
@@ -6831,20 +6836,12 @@ def local_projections(
             f" {max_horizon}"
         )
     H = int(max_horizon)
-    no_output_collision(
-        "local_projections", "entity_col", entity_col,
-        ("horizon", "n", "b", "intercept", "se"),
-    )
     xv, yv = F.col(x_col).cast("double"), F.col(y_col).cast("double")
-    mask = (
-        _non_nan(df, x_col) & _non_nan(df, y_col)
-        & F.col(time_col).isNotNull()
-    )
-    base = df.filter(mask).select(
+    base = df.filter(F.col(time_col).isNotNull()).select(
         F.col(entity_col).alias("__e"),
         F.col(time_col).alias("__t"),
-        xv.alias("__x"),
-        yv.alias("__y"),
+        F.when(_non_nan(df, x_col), xv).alias("__x"),
+        F.when(_non_nan(df, y_col), yv).alias("__y"),
     )
     w = Window.partitionBy("__e").orderBy("__t")
     nw = Window.partitionBy("__e")
@@ -6883,7 +6880,7 @@ def local_projections(
     aggs = []
     for h in range(H + 1):
         yh = F.col(f"__y{h}")
-        has = yh.isNotNull()
+        has = yh.isNotNull() & F.col("__x").isNotNull()
         aggs += [
             F.count(F.when(has, 1)).alias(f"n_{h}"),
             F.coalesce(F.sum(F.when(has, F.col("__x"))), F.lit(0.0))

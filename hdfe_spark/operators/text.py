@@ -1384,7 +1384,10 @@ def dsir_weights(
     aggregations move only doc×bucket partials, the totals fold in
     by a broadcast cross join, the model broadcasts back (B rows,
     KB-sized), and one per-doc aggregation closes the plan. Nothing
-    data-sized reaches the driver; no vocabulary pass. Empty/zero-token documents carry no feature
+    data-sized reaches the driver; no vocabulary pass. Documents
+    with a NULL ``target_col`` flag belong to NEITHER corpus and
+    drop entirely (modeled in no distribution, scored never — the
+    `triple_diff` no-cell convention; review r15). Empty/zero-token documents carry no feature
     rows and drop out (mirrored by the oracle). Target documents
     are scored too (their weights concentrate near the target
     self-ratio — the calibration readout); callers filter.
@@ -1392,11 +1395,14 @@ def dsir_weights(
     Returns one row per nonempty document: (id, n_tokens,
     log_weight).
     """
-    if target_col in (id_col, text_col):
+    if len({target_col, id_col, text_col}) != 3:
         raise ValueError("dsir_weights: target/id/text columns must differ")
     B = 16 ** int(n_hex)
     al = F.lit(float(alpha))
-    b = df.select(
+    # a NULL target flag belongs to NEITHER corpus (the triple_diff
+    # no-cell convention): keeping such rows would score them
+    # against models their own tokens never trained — review r15
+    b = df.filter(F.col(target_col).isNotNull()).select(
         F.col(id_col),
         F.col(target_col).cast("boolean").alias("__t"),
         F.explode(tokens(F.col(text_col))).alias("__tok"),

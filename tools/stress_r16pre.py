@@ -1,5 +1,7 @@
-"""Round-16 pre-build stress: dsir_weights and sun_abraham at 20M
-rows.
+"""Round-16 pre-build stress: dsir_weights, sun_abraham, and
+local_projections at 20M rows (local_projections was registered in
+round 15 after this file landed; its stress stays here with its
+batch).
 
 dsir_weights: 20M synthetic docs (4 tokens each, ~80M tokens) over a
 two-vocabulary mixture — target docs draw from the "clean" vocab,
