@@ -9953,6 +9953,111 @@ _LOCAL_PROJECTIONS_SQL = _lp_oracle(2)
 
 
 
+def _q_granger_by(spark, sf_dir):
+    """Per-entity Granger causality at lag 1 (`operators/stats.py::
+    granger_by`): does yesterday's quantity help predict today's
+    partkey-series beyond its own lag, per l_linenumber series on
+    the unique (linenumber, orderkey) time axis (the newey_west_by
+    fixture). Two lag columns from ONE window spec + ONE
+    group-keyed exact-DECIMAL moment aggregation; both fits are
+    closed-form Cramer expressions the oracle replays literally."""
+    from hdfe_spark.operators.stats import granger_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy(
+        F.col("l_linenumber").cast("long").alias("seg"),
+        F.col("l_orderkey").alias("tt"),
+    ).agg(
+        F.sum((F.col("l_partkey") % 1000).cast("double")).alias("y"),
+        F.sum(F.col("l_quantity")).alias("x"),
+    )
+    out = granger_by(base, "seg", "tt", "y", "x")
+    return out.select(
+        "seg", "n",
+        _pround("rho").alias("rho"),
+        _pround("beta").alias("beta"),
+        _pround("f_stat").alias("f_stat"),
+    )
+
+
+_GRANGER_BY_SQL = """
+            WITH b0 AS (
+              SELECT CAST(l_linenumber AS BIGINT) AS g,
+                     l_orderkey AS t,
+                     CAST(sum(CAST(l_partkey % 1000 AS DOUBLE))
+                          AS DOUBLE) AS y,
+                     CAST(sum(l_quantity) AS DOUBLE) AS x
+              FROM lineitem
+              GROUP BY 1, 2),
+            l AS (
+              SELECT g, y,
+                     lag(y) OVER (PARTITION BY g ORDER BY t) AS y1,
+                     lag(x) OVER (PARTITION BY g ORDER BY t) AS x1
+              FROM b0),
+            f AS (
+              SELECT g,
+                     CAST(round(y * 1000000.0) AS HUGEINT) AS uy,
+                     CAST(round(y1 * 1000000.0) AS HUGEINT) AS ua,
+                     CAST(round(x1 * 1000000.0) AS HUGEINT) AS ub
+              FROM l
+              WHERE y IS NOT NULL AND y1 IS NOT NULL
+                AND x1 IS NOT NULL),
+            m AS (
+              SELECT g, count(*) AS n,
+                     CAST(COALESCE(sum(uy), 0) AS HUGEINT) AS sy,
+                     CAST(COALESCE(sum(ua), 0) AS HUGEINT) AS sa,
+                     CAST(COALESCE(sum(ub), 0) AS HUGEINT) AS sb,
+                     CAST(COALESCE(sum(uy * uy), 0) AS HUGEINT) AS syy,
+                     CAST(COALESCE(sum(ua * ua), 0) AS HUGEINT) AS saa,
+                     CAST(COALESCE(sum(ub * ub), 0) AS HUGEINT) AS sbb,
+                     CAST(COALESCE(sum(ua * ub), 0) AS HUGEINT) AS sab,
+                     CAST(COALESCE(sum(ua * uy), 0) AS HUGEINT) AS say,
+                     CAST(COALESCE(sum(ub * uy), 0) AS HUGEINT) AS sby
+              FROM f GROUP BY g),
+            c AS (
+              SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                     CAST(CAST(n AS HUGEINT) * saa - sa * sa
+                          AS DOUBLE) AS caa,
+                     CAST(CAST(n AS HUGEINT) * sbb - sb * sb
+                          AS DOUBLE) AS cbb,
+                     CAST(CAST(n AS HUGEINT) * syy - sy * sy
+                          AS DOUBLE) AS cyy,
+                     CAST(CAST(n AS HUGEINT) * sab - sa * sb
+                          AS DOUBLE) AS cab,
+                     CAST(CAST(n AS HUGEINT) * say - sa * sy
+                          AS DOUBLE) AS cay,
+                     CAST(CAST(n AS HUGEINT) * sby - sb * sy
+                          AS DOUBLE) AS cby
+              FROM m),
+            d AS (
+              SELECT c.*,
+                     caa * cbb - cab * cab AS det,
+                     (cay * cbb - cby * cab)
+                       / (caa * cbb - cab * cab) AS rho,
+                     (caa * cby - cab * cay)
+                       / (caa * cbb - cab * cab) AS beta
+              FROM c),
+            e AS (
+              SELECT d.*,
+                     cyy - rho * cay - beta * cby AS rss_u,
+                     cyy - cay * cay / caa AS rss_r,
+                     (n >= 5 AND det > 0 AND caa > 0) AS ok
+              FROM d)
+            SELECT g AS seg,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN ok THEN floor(rho * 1e9 + 0.5) / 1e9
+                   END AS rho,
+                   CASE WHEN ok THEN floor(beta * 1e9 + 0.5) / 1e9
+                   END AS beta,
+                   CASE WHEN ok AND rss_u > 0 THEN
+                     floor(((rss_r - rss_u) / (rss_u / (nd - 3.0)))
+                           * 1e9 + 0.5) / 1e9
+                   END AS f_stat
+            FROM e
+        """
+
+
+
 def _q_cuped2_by(spark, sf_dir):
     """Two-covariate CUPED (`operators/stats.py::cuped2_by`): per
     l_linenumber segment, the R-vs-A returnflag contrast in
@@ -10526,23 +10631,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       `dsir_weights` (Xie et al. 2023 DSIR hashed importance
       weights -- the LLM data-selection scorer; one token-sized
       shuffle, ReusedExchange-pinned).
-    - positions 14-15: `iv_within` (2SLS with one absorbed fixed
+    - positions 14-16: `iv_within` (2SLS with one absorbed fixed
       effect -- the ivreghdfe shape: FE-mean demeaning of y/x/z,
-      the iv_2sls fused moment pass, within-dof variance rescale)
-      and `local_projections` (Jordà per-horizon impulse responses
-      -- one lead-window pass + one all-horizons moment
-      aggregation) -- built AND registered this round.
-    - positions 16-17: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
+      the iv_2sls fused moment pass, within-dof variance rescale),
+      `local_projections` (Jordà per-horizon impulse responses --
+      one lead-window pass + one all-horizons moment aggregation),
+      and `granger_by` (per-entity lag-1 Granger causality -- two
+      closed-form Cramer fits from one exact-decimal aggregation)
+      -- built AND registered this round.
+    - positions 17-18: `ols_2fe` / `ols_3fe` -- the two SURVEY S2
       anchors whose Plan-C body was rewritten in round 14 (VERDICT
       r14 item 2: driver evidence r07/r10 against a round-14
       rewrite; pinned at the re-cert head so late registrations
       cannot evict them a second time -- the four round-15 builds
       slot BEFORE them, evicting r09-stratum re-certs instead).
-    - positions 18-47: the 30-query r07 stratum remainder,
+    - positions 19-48: the 30-query r07 stratum remainder,
       stalest-first (`fuzzy_pairs` .. `weighted_sample`) -- a green
       window clears r07 driver evidence entirely.
-    - positions 48-50: the r09 stratum from its alphabetical head
-      (`anova` `assoc_rules` `autocorr`; `best_split`/
+    - positions 49-50: the r09 stratum from its alphabetical head
+      (`anova`, `assoc_rules`; `autocorr`/`best_split`/
       `bfs_levels`/`binary_source`/`bm25`/`changepoint`/
       `cohort_retention`/`cosine_topk`/`cross_corr` evicted to the
       backlog head by the round-15 builds and the early round-16
@@ -10598,13 +10705,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # responses, built and registered this round — evicting
         # best_split
         "local_projections": _q_local_projections,
-        # 16-17: the two SURVEY §2 anchors whose Plan-C body was
+        # 16: granger_by — per-entity lag-1 Granger causality, built
+        # and registered this round — evicting autocorr
+        "granger_by": _q_granger_by,
+        # 17-18: the two SURVEY §2 anchors whose Plan-C body was
         # rewritten in round 14 (VERDICT r14 item 2 — driver
         # evidence r07/r10 against a round-14 rewrite; queued at the
         # window head so late registrations cannot evict them again)
         "ols_2fe": _q_ols_2fe,
         "ols_3fe": _q_ols_3fe,
-        # 18-47: the 30-query r07 stratum remainder, stalest-first
+        # 19-48: the 30-query r07 stratum remainder, stalest-first
         # (fuzzy_pairs .. weighted_sample — a green window clears
         # r07 evidence entirely)
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -10637,11 +10747,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "upsert_roundtrip": _q_upsert_roundtrip,
         "weighted_sample": _q_weighted_sample,
-        # 48-50: the r09 stratum from its alphabetical head
-        # (anova .. autocorr)
+        # 49-50: the r09 stratum from its alphabetical head
+        # (anova, assoc_rules)
         "anova": _q_anova,
         "assoc_rules": _q_assoc_rules,
-        "autocorr": _q_autocorr,
         # ------ end of the driver's 50-query window ------
         # backlog: every remaining oracle-checked query, ordered
         # STALEST-DRIVER-EVIDENCE FIRST (ties keep in-stratum
@@ -10649,6 +10758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-cert list: the r09 residue (cusum onward), then the
         # r10/r11/r12/r13 strata, then the round-14 window's 50
         # entries (fresh r14 evidence)
+        # (autocorr evicted by the granger_by registration)
+        "autocorr": _q_autocorr,
         # (best_split evicted by the local_projections registration)
         "best_split": _q_best_split,
         # (bfs_levels evicted by the iv_within registration)
@@ -11429,6 +11540,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "iv_within": _IV_WITHIN_SQL,
         "local_projections": _LOCAL_PROJECTIONS_SQL,
+        "granger_by": _GRANGER_BY_SQL,
         "power_by": _POWER_BY_SQL,
         "tost_by": _TOST_BY_SQL,
         "qte_by": _QTE_BY_SQL,

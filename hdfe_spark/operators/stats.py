@@ -6921,3 +6921,137 @@ def local_projections(
     return m.select(
         F.explode(F.array(*rows)).alias("__r")
     ).select("__r.horizon", "__r.n", "__r.b", "__r.intercept", "__r.se")
+
+
+def granger_by(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    y_col: str,
+    x_col: str,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Per-entity Granger (1969) causality test at lag 1 (round-16
+    pre-build) — "does yesterday's x help predict today's y beyond
+    yesterday's y?", the panel screening primitive for lead-lag
+    structure (metric A moves before metric B) that `cross_corr`
+    hints at and this op tests formally:
+
+    unrestricted: ``y_t = a + ρ·y_{t−1} + β·x_{t−1} + e``
+    restricted:   ``y_t = a + ρ·y_{t−1} + e``
+    ``F = (RSS_r − RSS_u) / (RSS_u / (n−3))``  (1 numerator dof).
+
+    Lag 1 keeps BOTH fits closed-form — the 2×2 Cramer system on
+    centered regressors (the `mediation_by` convention) — so the
+    whole panel is two window columns and ONE group-keyed
+    aggregation of exact DECIMAL(38,0) moments of
+    ``round(v·scale)`` (`_dec38_num`-guarded numerators); F per
+    entity is a fixed IEEE expression a SQL oracle replays
+    literally. Higher lag orders need a k×k solve — out of scope by
+    design (the `dml_plm` single-learner precedent).
+
+    Scale: one per-entity window pass (two lags from ONE window
+    spec, sorted-adjacency duplicate-time RAISE with O(1) state —
+    the `local_projections` guard), one exact-decimal aggregation.
+    NULL contract: a triple (y_t, y_{t−1}, x_{t−1}) with any
+    NULL/NaN member contributes to neither fit (both fits share ONE
+    estimating sample — the r13 moment discipline); rows keep their
+    time-axis position (the `local_projections` gap rule);
+    NULL-time rows drop. Entities with n < 5, a singular
+    unrestricted Gram, or zero restricted variance get NULL
+    inference.
+
+    Returns one row per entity: (entity, n, rho, beta, f_stat).
+    """
+    no_output_collision(
+        "granger_by", "entity_col", entity_col,
+        ("n", "rho", "beta", "f_stat"),
+    )
+    yv, xv = F.col(y_col).cast("double"), F.col(x_col).cast("double")
+    base = df.filter(F.col(time_col).isNotNull()).select(
+        F.col(entity_col).alias("__e"),
+        F.col(time_col).alias("__t"),
+        F.when(_non_nan(df, y_col), yv).alias("__y"),
+        F.when(_non_nan(df, x_col), xv).alias("__x"),
+    )
+    w = Window.partitionBy("__e").orderBy("__t")
+    nw = Window.partitionBy("__e")
+    dup = F.max(
+        F.when(F.lag("__t").over(w).eqNullSafe(F.col("__t")), 1)
+        .otherwise(0)
+    ).over(nw)
+    lagged = base.select(
+        "__e",
+        F.when(
+            dup == 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("granger_by: duplicate order values within"
+                          " key "),
+                    F.col("__e").cast("string"),
+                    F.lit(" — the lag pairing would be"
+                          " engine-dependent"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("__y")).alias("__y"),
+        F.lag("__y", 1).over(w).alias("__y1"),
+        F.lag("__x", 1).over(w).alias("__x1"),
+    )
+    ok_row = (
+        F.col("__y").isNotNull() & F.col("__y1").isNotNull()
+        & F.col("__x1").isNotNull()
+    )
+    u = {
+        "y": F.round(F.col("__y") * F.lit(float(scale)))
+        .cast("decimal(38,0)"),
+        "a": F.round(F.col("__y1") * F.lit(float(scale)))
+        .cast("decimal(38,0)"),
+        "b": F.round(F.col("__x1") * F.lit(float(scale)))
+        .cast("decimal(38,0)"),
+    }
+    zero = F.lit(0).cast("decimal(38,0)")
+    aggs = [F.count(F.when(ok_row, 1)).alias("n")]
+    for k in ("y", "a", "b"):
+        aggs.append(
+            F.coalesce(F.sum(F.when(ok_row, u[k])), zero)
+            .alias(f"__s_{k}")
+        )
+    for p, q_ in (("y", "y"), ("a", "a"), ("b", "b"),
+                  ("a", "b"), ("a", "y"), ("b", "y")):
+        aggs.append(
+            F.coalesce(F.sum(F.when(ok_row, u[p] * u[q_])), zero)
+            .alias(f"__s_{p}{q_}")
+        )
+    m = lagged.groupBy(F.col("__e").alias(entity_col)).agg(*aggs)
+    n = F.col("n")
+    nd = n.cast("double")
+    saa = _dec38_num("granger_by", n, F.col("__s_aa"), F.col("__s_a"))
+    sbb = _dec38_num("granger_by", n, F.col("__s_bb"), F.col("__s_b"))
+    syy = _dec38_num("granger_by", n, F.col("__s_yy"), F.col("__s_y"))
+    sab = _dec38_num(
+        "granger_by", n, F.col("__s_ab"), F.col("__s_a"), F.col("__s_b")
+    )
+    say = _dec38_num(
+        "granger_by", n, F.col("__s_ay"), F.col("__s_a"), F.col("__s_y")
+    )
+    sby = _dec38_num(
+        "granger_by", n, F.col("__s_by"), F.col("__s_b"), F.col("__s_y")
+    )
+    det = saa * sbb - sab * sab
+    rho = (say * sbb - sby * sab) / det
+    beta = (saa * sby - sab * say) / det
+    # centered RSS identities in the n-scaled space (shared scale
+    # cancels in F): RSS_u = syy − rho·say − beta·sby;
+    # RSS_r = syy − say²/saa
+    rss_u = syy - rho * say - beta * sby
+    rss_r = syy - say * say / saa
+    f_ = (rss_r - rss_u) / (rss_u / (nd - F.lit(3.0)))
+    ok = (n >= 5) & (det > 0) & (saa > 0)
+    okf = ok & (rss_u > 0)
+    return m.select(
+        entity_col,
+        n.cast("long").alias("n"),
+        F.when(ok, rho).alias("rho"),
+        F.when(ok, beta).alias("beta"),
+        F.when(okf, f_).alias("f_stat"),
+    )

@@ -262,3 +262,89 @@ def test_local_projections_guards(spark):
     r = {x["horizon"]: x for x in
          local_projections(dfc, "e", "t", "y", "x", 1).collect()}
     assert r[0]["b"] is None and r[0]["n"] == 6
+
+
+# --------------------------------------------------- granger_by
+
+
+def test_granger_by_matches_numpy(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.stats import granger_by
+
+    rng = np.random.default_rng(17)
+    rows, series = [], {}
+    for e in ("p", "q"):
+        x = np.round(rng.normal(0, 1, 60), 4)
+        y = np.zeros(60)
+        for t in range(1, 60):
+            y[t] = 0.4 * y[t - 1] + (0.8 if e == "p" else 0.0) * \
+                x[t - 1] + rng.normal(0, 0.2)
+        y = np.round(y, 4)
+        series[e] = (x, y)
+        for t in range(60):
+            rows.append((e, t, float(y[t]), float(x[t])))
+    df = spark.createDataFrame(rows, "e string, t int, y double, x double")
+    out = {r["e"]: r for r in
+           granger_by(df, "e", "t", "y", "x").collect()}
+    import math
+
+    for e, (x, y) in series.items():
+        yt, y1, x1 = y[1:], y[:-1], x[:-1]
+        n = len(yt)
+        Z = np.column_stack([np.ones(n), y1, x1])
+        bu, rssu = np.linalg.lstsq(Z, yt, rcond=None)[0], None
+        rssu = float(((yt - Z @ bu) ** 2).sum())
+        Zr = np.column_stack([np.ones(n), y1])
+        br = np.linalg.lstsq(Zr, yt, rcond=None)[0]
+        rssr = float(((yt - Zr @ br) ** 2).sum())
+        f = (rssr - rssu) / (rssu / (n - 3))
+        r = out[e]
+        assert r["n"] == n
+        assert math.isclose(r["rho"], bu[1], rel_tol=1e-6), e
+        assert math.isclose(r["beta"], bu[2], rel_tol=1e-6), e
+        assert math.isclose(r["f_stat"], f, rel_tol=1e-6), e
+    # the causal entity must show a large F, the null entity small
+    assert out["p"]["f_stat"] > 50
+    assert out["q"]["f_stat"] < 10
+
+
+def test_granger_by_null_triple_drops_position_kept(spark):
+    from hdfe_spark.operators.stats import granger_by
+
+    rows = [("e", 1, 1.0, 1.0), ("e", 2, 2.0, float("nan")),
+            ("e", 3, 3.0, 1.5), ("e", 4, 2.5, 2.0),
+            ("e", 5, 3.5, 2.5), ("e", 6, 3.0, 2.0),
+            ("e", 7, 4.0, 2.2)]
+    df = spark.createDataFrame(rows, "e string, t int, y double, x double")
+    r = granger_by(df, "e", "t", "y", "x").collect()[0]
+    # triples at t=2 (x1 ok but x_t NaN is irrelevant — x enters
+    # lagged only) ... t=3's triple has x_{t-1}=NaN -> drops; all
+    # others (t=2,4,5,6,7) have complete (y_t, y_{t-1}, x_{t-1})
+    assert r["n"] == 5
+
+
+def test_granger_by_duplicate_time_raises(spark):
+    import pytest
+
+    from hdfe_spark.operators.stats import granger_by
+
+    df = spark.createDataFrame(
+        [("e", 1, 1.0, 1.0), ("e", 1, 2.0, 2.0), ("e", 2, 3.0, 3.0)],
+        "e string, t int, y double, x double",
+    )
+    with pytest.raises(Exception, match="duplicate order"):
+        granger_by(df, "e", "t", "y", "x").collect()
+
+
+def test_granger_by_degenerate_entities_null(spark):
+    from hdfe_spark.operators.stats import granger_by
+
+    # constant y1 (zero saa) and a too-short entity
+    rows = [("c", t, 5.0, float(t)) for t in range(8)]
+    rows += [("s", 1, 1.0, 1.0), ("s", 2, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "e string, t int, y double, x double")
+    out = {r["e"]: r for r in
+           granger_by(df, "e", "t", "y", "x").collect()}
+    assert out["c"]["f_stat"] is None  # det == 0 (constant y lag)
+    assert out["s"]["rho"] is None     # n < 5

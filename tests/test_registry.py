@@ -31,44 +31,45 @@ def test_round15_window_composition():
     registrations (`cohens_d_by`, `e_value`, `iv_first_stage`,
     `streaming_wilson` — the 28th streaming form); 12-13 = the two
     round-16 pre-builds registered early (`sun_abraham`,
-    `dsir_weights`); 14-15 = `iv_within` (2SLS + absorbed FE) and
-    `local_projections` (Jordà IRFs), built and registered this
-    round; 16-17 = `ols_2fe`/`ols_3fe`, the SURVEY §2 anchors whose
-    Plan-C body was rewritten in round 14 (VERDICT r14 item 2 —
-    pinned at the re-cert head); 18-47 = the 30-query r07 stratum
-    remainder (`fuzzy_pairs` .. `weighted_sample`); 48-50 = the r09
-    stratum head (`anova` `assoc_rules` `autocorr`). The backlog keeps stalest-first order (r09
+    `dsir_weights`); 14-16 = `iv_within` (2SLS + absorbed FE),
+    `local_projections` (Jordà IRFs), and `granger_by` (lag-1
+    Granger causality), built and registered this round; 17-18 =
+    `ols_2fe`/`ols_3fe`, the SURVEY §2 anchors whose Plan-C body
+    was rewritten in round 14 (VERDICT r14 item 2 — pinned at the
+    re-cert head); 19-48 = the 30-query r07 stratum remainder
+    (`fuzzy_pairs` .. `weighted_sample`); 49-50 = the r09 stratum
+    head (`anova`, `assoc_rules`). The backlog keeps stalest-first order (r09
     residue from `cusum`, then r10 minus the pulled-forward
     `ols_3fe`, r11, r12, r13 strata, then the round-14 window's 50
     entries), with the 11 rows-only demos at the tail. If this
     fails after an intentional round-16 rotation, update the
     expectation alongside the `queries()` docstring."""
     q = list(em.queries())
-    assert q[:17] == [
+    assert q[:18] == [
         "cuped2_by", "bayes_ab", "mediation_by", "manski_bounds",
         "regression_kink", "wilson_ci_by", "newey_west_by",
         "cohens_d_by", "e_value", "iv_first_stage",
         "streaming_wilson",
         "sun_abraham", "dsir_weights", "iv_within",
-        "local_projections",
+        "local_projections", "granger_by",
         "ols_2fe", "ols_3fe",
     ]
-    assert q[17:21] == ["fuzzy_pairs", "gap_fill",
+    assert q[18:22] == ["fuzzy_pairs", "gap_fill",
                         "hard_negatives", "inverted_index"]
-    assert q[30] == "psi_drift"
-    assert q[46] == "weighted_sample"
-    assert q[47] == "anova"
-    assert q[49] == "autocorr"
-    # backlog head = the eight re-certs the round-15 builds and
+    assert q[31] == "psi_drift"
+    assert q[47] == "weighted_sample"
+    assert q[48] == "anova"
+    assert q[49] == "assoc_rules"
+    # backlog head = the nine re-certs the round-15 builds and
     # early r16 registrations evicted, then the r09 residue,
     # stalest-first
-    assert q[50:58] == ["best_split", "bfs_levels",
+    assert q[50:59] == ["autocorr", "best_split", "bfs_levels",
                         "binary_source", "bm25",
                         "changepoint", "cohort_retention",
                         "cosine_topk", "cross_corr"]
-    assert q[58] == "cusum"
-    assert "dummies_drop_last" in q[50:97]  # VERDICT r14 item 8:
-    assert "lags_zero_fill" in q[50:97]     # r16 window per order
+    assert q[59] == "cusum"
+    assert "dummies_drop_last" in q[50:98]  # VERDICT r14 item 8:
+    assert "lags_zero_fill" in q[50:98]     # r16 window per order
     # the round-14 window's 50 entries (freshest evidence) sit last
     # before the rows-only tail, in their recorded window order
     r14_window = q[len(q) - 11 - 50 : len(q) - 11]
@@ -85,7 +86,7 @@ def test_round15_window_composition():
     assert len(rows_only) == 11
     assert all(q.index(k) >= len(q) - 11 for k in rows_only), rows_only
     assert len(set(q)) == len(q)
-    assert len(q) == 357
+    assert len(q) == 358
 
 
 def test_every_query_has_callable():

@@ -20,7 +20,10 @@ construction on a deterministically lag-correlated LCG lattice —
 every horizon's pooled slope must match the numpy moment replica
 over the identical 20M ids to 1e-6.
 
-Usage: python tools/stress_r16pre.py [dsir|sa|lp|all]
+granger_by: 20M rows x 200k entities, y_t driven by x_{t-1} — every
+entity's F must be deep in the rejection region with zero NULLs.
+
+Usage: python tools/stress_r16pre.py [dsir|sa|lp|granger|all]
 """
 
 from __future__ import annotations
@@ -183,6 +186,43 @@ def stress_lp(spark):
           f"(b0={out[0]['b']:.3f}, b1={out[1]['b']:.3f})")
 
 
+def stress_granger(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.stats import granger_by
+
+    # 200k entities x 100 periods; y_t = 0.5 y_{t-1}-ish via a
+    # direct MA spelling: y_t = x_{t-1} + small lattice noise, so
+    # the unrestricted fit loads on beta and F is huge for every
+    # entity; a second x' column (independent lattice) gives F ~ 1
+    e = (F.col("id") / 100).cast("long")
+    t = (F.col("id") % 100).cast("int")
+
+    def xf(idc, mult):
+        return ((idc * mult) % 97).cast("double") - 48.0
+
+    x = xf(F.col("id"), 48271)
+    xm1 = F.when(t >= 1, xf(F.col("id") - 1, 48271)).otherwise(F.lit(0.0))
+    noise = ((F.col("id") * 7919) % 7).cast("double") * 0.01
+    df = spark.range(0, N, 1, 64).select(
+        e.alias("e"), t.alias("t"), x.alias("x"),
+        (xm1 + noise).alias("y"),
+    )
+    t0 = time.perf_counter()
+    out = granger_by(df, "e", "t", "y", "x")
+    agg = out.agg(
+        F.min("f_stat").alias("mn"),
+        F.count(F.when(F.col("f_stat").isNull(), 1)).alias("nulls"),
+        F.sum("n").alias("ntot"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    assert agg["nulls"] == 0
+    assert agg["ntot"] == N - N // 100  # one lost triple per entity
+    assert agg["mn"] > 1e4, agg["mn"]  # x_{t-1} drives y everywhere
+    print(f"granger_by 20M x 200k entities: {dt:.1f}s ok "
+          f"(min F {agg['mn']:.3g})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -192,4 +232,6 @@ if __name__ == "__main__":
         stress_sa(spark)
     if which in ("lp", "all"):
         stress_lp(spark)
+    if which in ("granger", "all"):
+        stress_granger(spark)
     print("stress_r16pre done")
