@@ -1051,6 +1051,7 @@ def att_gt(
     y: str,
     period: str,
     first_treated: str,
+    side: str = "post",
 ) -> DataFrame:
     """Group-time average treatment effects ATT(g, t)
     (Callaway–Sant'Anna 2021) — the staggered-adoption completion of
@@ -1083,7 +1084,18 @@ def att_gt(
 
     Returns one row per identified (g, t), t ≥ g:
     (g, t, att, n_treat, n_ctrl).
+
+    ``side="pre"`` (round-16 pre-build) emits the PLACEBO cells
+    instead — the same four-mean contrast for t < g−1 (t = g−1 is
+    the anchor and is identically zero, so it is excluded): under
+    parallel trends every pre cell is mean-zero, which is exactly
+    what `pretrends` tests. Identical plan either way — only the
+    target-side filter changes.
     """
+    if side not in ("post", "pre"):
+        raise ValueError(
+            f"att_gt: unknown side {side!r} (expected 'post' or 'pre')"
+        )
     yv = F.col(y)
     valid = F.col(period).isNotNull() & yv.isNotNull()
     if dict(df.dtypes).get(y) in ("double", "float"):
@@ -1124,7 +1136,12 @@ def att_gt(
         F.col("__t").alias("__ct"), F.col("__m").alias("__cm"),
         F.col("__n").alias("__cn"),
     )
-    target = tc.filter(F.col("__t") >= F.col("__g")).select(
+    tfilter = (
+        F.col("__t") >= F.col("__g")
+        if side == "post"
+        else F.col("__t") < F.col("__g") - 1
+    )
+    target = tc.filter(tfilter).select(
         "__g", "__t", F.col("__m").alias("__mt"),
         F.col("__n").alias("__nt"),
     )
@@ -2265,4 +2282,75 @@ def sun_abraham(
         (F.sum(w * F.col("att")) / F.sum(w)).alias("att_iw"),
         F.sum("n_treat").cast("long").alias("n_treat"),
         F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+    )
+
+
+def pretrends(
+    df: DataFrame,
+    y: str,
+    period: str,
+    first_treated: str,
+) -> DataFrame:
+    """Parallel-trends diagnostic for staggered DiD (round-16
+    pre-build; the Roth 2022 "pre-test" readout) — the number every
+    `att_gt`/`sun_abraham` table must be read against: the
+    cohort-size-weighted OLS slope of the PLACEBO group-time cells
+    (``att_gt(side="pre")`` — the same four-mean contrast at
+    t < g−1, identically zero in expectation under parallel trends)
+    on relative time, with homoskedastic inference:
+
+    ``slope = Σw(r−r̄)(att−ātt) / Σw(r−r̄)²``  (w = cell n_treat,
+    r = t − g), ``se² = (Σw·e²/(W−2)·W/n_cells) / Σw(r−r̄)²`` with
+    the weighted RSS identity — a drifting slope says the "effects"
+    in the post table are partly trend.
+
+    Scale: att_gt's one fact-table groupBy + broadcast self-joins,
+    then ONE aggregation over the tiny placebo cell table. Fewer
+    than 3 placebo cells, or zero relative-time variance, yields
+    NULL inference (counts still report).
+
+    Returns one row: (n_cells, n_treat, mean_placebo, slope, se,
+    z).
+    """
+    cells = att_gt(df, y, period, first_treated, side="pre")
+    w = F.col("n_treat").cast("double")
+    r = (F.col("t") - F.col("g")).cast("double")
+    a = F.col("att")
+    m = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("W"),
+        F.coalesce(F.sum(w * r), F.lit(0.0)).alias("swr"),
+        F.coalesce(F.sum(w * a), F.lit(0.0)).alias("swa"),
+        F.coalesce(F.sum(w * r * r), F.lit(0.0)).alias("swrr"),
+        F.coalesce(F.sum(w * r * a), F.lit(0.0)).alias("swra"),
+        F.coalesce(F.sum(w * a * a), F.lit(0.0)).alias("swaa"),
+    )
+    W = F.col("W")
+    vx = W * F.col("swrr") - F.col("swr") * F.col("swr")
+    cxy = W * F.col("swra") - F.col("swr") * F.col("swa")
+    vy = W * F.col("swaa") - F.col("swa") * F.col("swa")
+    slope = cxy / vx
+    nc = F.col("n_cells").cast("double")
+    # weighted RSS in the W-scaled space, dof n_cells - 2 (cells are
+    # the observations; w only weights them)
+    rss = (vy - slope * cxy) / W
+    var_s = (rss / (nc - F.lit(2.0))) * W / nc / (vx / W)
+    # guards NEST (the mediation_by ANSI discipline): the outer
+    # predicate uses raw moments only — a derived ratio like slope
+    # in a PREDICATE would divide 0/0 before the guard can fire
+    # under ANSI — and the inner when's predicate is then safe
+    ok = (F.col("n_cells") >= 3) & (vx > 0)
+    se = F.sqrt(var_s)
+    return m.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        W.cast("long").alias("n_treat"),
+        F.when(W > 0, F.col("swa") / W).alias("mean_placebo"),
+        F.when(ok, slope).alias("slope"),
+        F.when(
+            ok, F.when(vy - slope * cxy >= 0, se)
+        ).alias("se"),
+        F.when(
+            ok,
+            F.when((vy - slope * cxy >= 0) & (se > 0), slope / se),
+        ).alias("z"),
     )

@@ -348,3 +348,95 @@ def test_granger_by_degenerate_entities_null(spark):
            granger_by(df, "e", "t", "y", "x").collect()}
     assert out["c"]["f_stat"] is None  # det == 0 (constant y lag)
     assert out["s"]["rho"] is None     # n < 5
+
+
+# --------------------------------------------------- pretrends
+
+
+def test_att_gt_pre_cells_zero_under_parallel_trends(spark):
+    df = _panel(spark)  # parallel by construction
+    cells = att_gt(df, "y", "t", "g", side="pre").collect()
+    # cohort 3: pre cells t=1 (t=2 is the g-1 anchor); cohort 4:
+    # t=1,2 (t=3 anchor)
+    assert {(r["g"], r["t"]) for r in cells} == {(3, 1), (4, 1), (4, 2)}
+    for r in cells:
+        assert abs(r["att"]) < 1e-12
+
+
+def test_att_gt_side_guard(spark):
+    import pytest
+
+    df = _panel(spark)
+    with pytest.raises(ValueError, match="unknown side"):
+        att_gt(df, "y", "t", "g", side="both")
+
+
+def test_pretrends_null_under_parallel_trends(spark):
+    from hdfe_spark.operators.causal import pretrends
+
+    df = _panel(spark)
+    r = pretrends(df, "y", "t", "g").collect()[0]
+    assert r["n_cells"] == 3
+    assert abs(r["mean_placebo"]) < 1e-12
+    assert abs(r["slope"]) < 1e-12
+
+
+def test_pretrends_detects_broken_trends(spark):
+    import math
+
+    from hdfe_spark.operators.causal import pretrends
+
+    # cohort units drift +1.0/period BEFORE adoption relative to
+    # controls: the placebo slope must recover ~1.0
+    rows = []
+    units = [("u1", 5, 10.0), ("u2", 5, 20.0),
+             ("u3", None, 12.0), ("u4", None, 18.0)]
+    for unit, g, lev in units:
+        for t in range(1, 7):
+            y = lev + 0.5 * t
+            if g is not None:
+                y += 1.0 * t  # cohort-specific pre trend
+            rows.append((unit, t, g, y))
+    df = spark.createDataFrame(rows, "unit string, t int, g int, y double")
+    r = pretrends(df, "y", "t", "g").collect()[0]
+    # placebo(g=5, t) = [y(g,t)-y(g,4)] - [c(t)-c(4)] = 1.0*(t-4);
+    # slope on r = t-5 is exactly 1.0
+    assert r["n_cells"] == 3  # t = 1, 2, 3
+    assert math.isclose(r["slope"], 1.0, rel_tol=1e-9)
+    # the placebo drift is EXACTLY linear here, so the weighted RSS
+    # is 0, se == 0, and z stays NULL by the se > 0 gate
+    assert r["se"] == 0.0 and r["z"] is None
+
+
+def test_pretrends_too_few_cells_null(spark):
+    from hdfe_spark.operators.causal import pretrends
+
+    # one cohort adopting at t=3: placebo cells only t=1 -> n_cells
+    # = 1 < 3 -> NULL inference, counts still report
+    rows = []
+    for unit, g, lev in [("a", 3, 10.0), ("b", None, 12.0)]:
+        for t in range(1, 5):
+            rows.append((unit, t, g, lev + 0.5 * t))
+    df = spark.createDataFrame(rows, "unit string, t int, g int, y double")
+    r = pretrends(df, "y", "t", "g").collect()[0]
+    assert r["n_cells"] == 1
+    assert r["slope"] is None and r["se"] is None
+
+
+def test_pretrends_noisy_drift_z_nonnull(spark):
+    from hdfe_spark.operators.causal import pretrends
+
+    rows = []
+    wiggle = {1: 0.3, 2: -0.2, 3: 0.1, 4: 0.0}
+    for unit, g, lev in [("u1", 6, 10.0), ("u2", 6, 20.0),
+                         ("u3", None, 12.0), ("u4", None, 18.0)]:
+        for t in range(1, 8):
+            y = lev + 0.5 * t
+            if g is not None:
+                y += 1.0 * t + wiggle.get(t, 0.0)
+            rows.append((unit, t, g, y))
+    df = spark.createDataFrame(rows, "unit string, t int, g int, y double")
+    r = pretrends(df, "y", "t", "g").collect()[0]
+    assert r["n_cells"] == 4  # t = 1..4 (t=5 is the anchor)
+    assert r["se"] > 0 and r["z"] is not None
+    assert abs(r["slope"] - 1.0) < 0.3  # drift still dominates

@@ -23,7 +23,10 @@ over the identical 20M ids to 1e-6.
 granger_by: 20M rows x 200k entities, y_t driven by x_{t-1} — every
 entity's F must be deep in the rejection region with zero NULLs.
 
-Usage: python tools/stress_r16pre.py [dsir|sa|lp|granger|all]
+pretrends: 20M staggered panel with a planted +0.3/period cohort
+pre-trend — the placebo slope must recover it exactly.
+
+Usage: python tools/stress_r16pre.py [dsir|sa|lp|granger|pretrends|all]
 """
 
 from __future__ import annotations
@@ -223,6 +226,37 @@ def stress_granger(spark):
           f"(min F {agg['mn']:.3g})")
 
 
+def stress_pretrends(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import pretrends
+
+    # 2M units x 10 periods; cohort g=6 drifts +0.3/period pre-
+    # adoption vs never-treated: the placebo slope must recover 0.3
+    unit = (F.col("id") / 10).cast("long")
+    t = (F.col("id") % 10 + 1).cast("int")
+    g = F.when(unit % 3 == 0, F.lit(6)).otherwise(
+        F.lit(None).cast("int")
+    )
+    drift = F.when(unit % 3 == 0, t.cast("double") * 0.3).otherwise(
+        F.lit(0.0)
+    )
+    y = (unit % 7).cast("double") + t.cast("double") * 0.5 + drift
+    df = spark.range(0, N, 1, 64).select(
+        unit.alias("unit"), t.alias("t"), g.alias("g"), y.alias("y")
+    )
+    t0 = time.perf_counter()
+    r = pretrends(df, "y", "t", "g").collect()[0]
+    dt = time.perf_counter() - t0
+    assert r["n_cells"] == 4  # t = 1..4 (5 is the anchor)
+    assert abs(r["slope"] - 0.3) < 1e-9, r["slope"]
+    # the placebo drift is linear; only cell-mean float rounding
+    # remains in the weighted RSS
+    assert r["se"] is None or r["se"] < 1e-6, r["se"]
+    print(f"pretrends 20M panel: {dt:.1f}s ok (slope "
+          f"{r['slope']:.4f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -234,4 +268,6 @@ if __name__ == "__main__":
         stress_lp(spark)
     if which in ("granger", "all"):
         stress_granger(spark)
+    if which in ("pretrends", "all"):
+        stress_pretrends(spark)
     print("stress_r16pre done")
