@@ -1090,3 +1090,29 @@ def streaming_wilson(
 
     return wilson_ci_by(stream, group_col, success_col,
                         alpha=alpha, crit=crit)
+
+
+def streaming_cohens(
+    stream: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Streaming per-group standardized effect size (the
+    TWENTY-NINTH streaming form): Cohen's d + Hedges g folded over
+    the live metric stream in complete mode — the dashboard readout
+    that says "big enough to ship", continuously, beside
+    `streaming_welch`'s "not noise". Every `stats.cohens_d_by`
+    input is an ADDITIVE per-(group, arm) counter triple
+    (n, Σu, Σu²) over exact DECIMAL(38,0) scaled integers, and
+    d/g ride the output projection, so the availableNow fold equals
+    the batch table EXACTLY whatever the micro-batch boundaries.
+    State is six decimals per group. Delegates outright (the
+    `streaming_confusion` argument)."""
+    from hdfe_spark.operators.stats import cohens_d_by
+
+    return cohens_d_by(stream, group_col, arm_col, value_col,
+                       arm_a, arm_b, scale=scale)

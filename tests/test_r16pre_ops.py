@@ -440,3 +440,41 @@ def test_pretrends_noisy_drift_z_nonnull(spark):
     assert r["n_cells"] == 4  # t = 1..4 (t=5 is the anchor)
     assert r["se"] > 0 and r["z"] is not None
     assert abs(r["slope"] - 1.0) < 0.3  # drift still dominates
+
+
+# --------------------------------------------------- streaming_cohens
+
+
+def test_streaming_cohens_equals_batch(spark, sf_dir):
+    """availableNow fold == batch table exactly (additive decimal
+    counters), the 29th streaming form's defining equality."""
+    import uuid
+
+    from hdfe_spark.operators.stats import cohens_d_by
+    from hdfe_spark.streaming.ops import (
+        read_table_stream,
+        streaming_cohens,
+    )
+
+    def shape(df):
+        return df.select(
+            (F.col("user_id") % 10).cast("long").alias("seg"),
+            "event_type", "value",
+        )
+
+    batch = cohens_d_by(
+        shape(spark.read.parquet(f"{sf_dir}/events.parquet")),
+        "seg", "event_type", "value", "click", "view",
+    ).collect()
+    stream = streaming_cohens(
+        shape(read_table_stream(spark, sf_dir, "events")),
+        "seg", "event_type", "value", "click", "view",
+    )
+    sink = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(sink).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
