@@ -2354,3 +2354,81 @@ def pretrends(
             F.when((vy - slope * cxy >= 0) & (se > 0), slope / se),
         ).alias("z"),
     )
+
+
+def rdd_sensitivity(
+    df: DataFrame,
+    y: str,
+    running: str,
+    cutoff: float,
+    bandwidths: "Sequence[float]",
+) -> DataFrame:
+    """RDD bandwidth-sensitivity panel (round-16 pre-build) — the
+    robustness readout every discontinuity analysis reports: the
+    `rdd` local-linear effect re-estimated at EVERY requested
+    bandwidth, so a reviewer sees whether the jump is a feature of
+    the data or of one tuning choice (the Imbens–Lemieux
+    "vary h and look" protocol).
+
+    Scale: ONE aggregation carries every bandwidth's per-side
+    conditional moment block (each is `rdd`'s five sums under a
+    tighter |x| < h predicate — the widest band's scan covers them
+    all, so cost is one pass regardless of how many bandwidths);
+    the per-bandwidth closed-form finish is `rdd`'s expression
+    verbatim, emitted in long form via an explode over structs (the
+    `local_projections` shape). Same conventions as `rdd`: the
+    cutoff row belongs to the right side (≥-rule), NULL outcome or
+    running rows contribute nowhere, a side with zero x-variance
+    yields NULL estimates for that bandwidth only.
+
+    Returns one row per bandwidth: (bandwidth, effect, slope_left,
+    slope_right, n_left, n_right).
+    """
+    hs = [float(h) for h in bandwidths]
+    if not hs or any(h <= 0 for h in hs):
+        raise ValueError(
+            "rdd_sensitivity: bandwidths must be a non-empty list of"
+            f" positive numbers, got {list(bandwidths)!r}"
+        )
+    if len(set(hs)) != len(hs):
+        raise ValueError("rdd_sensitivity: duplicate bandwidths")
+    x = F.col(running) - F.lit(float(cutoff))
+    yv = F.col(y)
+    aggs = []
+    for i, h in enumerate(hs):
+        inside = (F.abs(x) < F.lit(h)) & yv.isNotNull()
+        for tag, cond in (("l", inside & (x < 0)),
+                          ("r", inside & (x >= 0))):
+            aggs += [
+                F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}_{i}"),
+                F.sum(F.when(cond, x)).alias(f"sx_{tag}_{i}"),
+                F.sum(F.when(cond, yv)).alias(f"sy_{tag}_{i}"),
+                F.sum(F.when(cond, x * x)).alias(f"sxx_{tag}_{i}"),
+                F.sum(F.when(cond, x * yv)).alias(f"sxy_{tag}_{i}"),
+            ]
+    m = df.agg(*aggs)
+    rows = []
+    for i, h in enumerate(hs):
+        def _fit(tag):
+            n = F.col(f"n_{tag}_{i}").cast("double")
+            sx, sy = F.col(f"sx_{tag}_{i}"), F.col(f"sy_{tag}_{i}")
+            sxx, sxy = F.col(f"sxx_{tag}_{i}"), F.col(f"sxy_{tag}_{i}")
+            den = n * sxx - sx * sx
+            b = F.when(den > 0, (n * sxy - sx * sy) / den)
+            a = sy / n - b * (sx / n)
+            return a, b
+
+        a_l, b_l = _fit("l")
+        a_r, b_r = _fit("r")
+        rows.append(F.struct(
+            F.lit(h).alias("bandwidth"),
+            (a_r - a_l).alias("effect"),
+            b_l.alias("slope_left"),
+            b_r.alias("slope_right"),
+            F.col(f"n_l_{i}").cast("long").alias("n_left"),
+            F.col(f"n_r_{i}").cast("long").alias("n_right"),
+        ))
+    return m.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.bandwidth", "__r.effect", "__r.slope_left",
+        "__r.slope_right", "__r.n_left", "__r.n_right",
+    )

@@ -478,3 +478,71 @@ def test_streaming_cohens_equals_batch(spark, sf_dir):
     q.awaitTermination()
     got = spark.table(sink).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+# --------------------------------------------------- rdd_sensitivity
+
+
+def test_rdd_sensitivity_each_row_equals_rdd(spark):
+    import numpy as np
+
+    from hdfe_spark.operators.causal import rdd, rdd_sensitivity
+
+    rng = np.random.default_rng(23)
+    run = np.round(rng.uniform(0, 50, 800), 2)
+    yv = np.round(
+        10 + 0.4 * run + 5.0 * (run >= 25) + rng.normal(0, 1, 800), 3
+    )
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(run, yv)],
+        "run double, y double",
+    )
+    hs = [5.0, 10.0, 20.0]
+    panel = {r["bandwidth"]: r for r in
+             rdd_sensitivity(df, "y", "run", 25.0, hs).collect()}
+    import math
+
+    assert set(panel) == set(hs)
+    for h in hs:
+        single = rdd(df, "y", "run", 25.0, h).collect()[0]
+        p = panel[h]
+        assert p["n_left"] == single["n_left"]
+        assert p["n_right"] == single["n_right"]
+        assert math.isclose(p["effect"], single["effect"],
+                            rel_tol=1e-12)
+        assert math.isclose(p["slope_left"], single["slope_left"],
+                            rel_tol=1e-12)
+        # the jump survives every bandwidth
+        assert 3.0 < p["effect"] < 7.0
+
+
+def test_rdd_sensitivity_guards(spark):
+    import pytest
+
+    from hdfe_spark.operators.causal import rdd_sensitivity
+
+    df = spark.createDataFrame([(1.0, 1.0)], "run double, y double")
+    with pytest.raises(ValueError, match="positive"):
+        rdd_sensitivity(df, "y", "run", 0.0, [])
+    with pytest.raises(ValueError, match="positive"):
+        rdd_sensitivity(df, "y", "run", 0.0, [1.0, -2.0])
+    with pytest.raises(ValueError, match="duplicate"):
+        rdd_sensitivity(df, "y", "run", 0.0, [1.0, 1.0])
+
+
+def test_rdd_sensitivity_single_aggregation_plan(spark):
+    from hdfe_spark.plans import assert_plan
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(float(a), float(a * 2)) for a in rng.uniform(0, 50, 50)],
+        "run double, y double",
+    )
+    from hdfe_spark.operators.causal import rdd_sensitivity
+
+    out = rdd_sensitivity(df, "y", "run", 25.0, [5.0, 10.0, 20.0])
+    # every bandwidth rides ONE partial/final aggregation pair
+    assert_plan(out, n_exchanges=1, n_python_stages=0,
+                n_sortmerge_joins=0, n_broadcast_joins=0)

@@ -26,7 +26,10 @@ entity's F must be deep in the rejection region with zero NULLs.
 pretrends: 20M staggered panel with a planted +0.3/period cohort
 pre-trend — the placebo slope must recover it exactly.
 
-Usage: python tools/stress_r16pre.py [dsir|sa|lp|granger|pretrends|all]
+rdd_sensitivity: 20M rows, planted +7 jump — every bandwidth's
+effect recovers it from ONE aggregation.
+
+Usage: python tools/stress_r16pre.py [dsir|sa|lp|granger|pretrends|rdds|all]
 """
 
 from __future__ import annotations
@@ -257,6 +260,32 @@ def stress_pretrends(spark):
           f"{r['slope']:.4f})")
 
 
+def stress_rdd_sens(spark):
+    from pyspark.sql import functions as F
+
+    from hdfe_spark.operators.causal import rdd_sensitivity
+
+    # 20M rows, running = lattice 0..999/10, jump +7 at 50, slope 0.2
+    run = (((F.col("id") * 48271) % 1000).cast("double")) / 10.0
+    noise = ((F.col("id") * 7919) % 11).cast("double") * 0.1
+    y = run * 0.2 + F.when(run >= 50.0, F.lit(7.0)).otherwise(
+        F.lit(0.0)
+    ) + noise
+    df = spark.range(0, N, 1, 64).select(
+        run.alias("run"), y.alias("y")
+    )
+    t0 = time.perf_counter()
+    out = {r["bandwidth"]: r for r in
+           rdd_sensitivity(df, "y", "run", 50.0,
+                           [5.0, 10.0, 25.0, 50.0]).collect()}
+    dt = time.perf_counter() - t0
+    for h, r in out.items():
+        assert abs(r["effect"] - 7.0) < 0.05, (h, r["effect"])
+        assert r["n_left"] > 0 and r["n_right"] > 0
+    print(f"rdd_sensitivity 20M x 4 bandwidths: {dt:.1f}s ok "
+          f"(effects {[round(out[h]['effect'], 3) for h in sorted(out)]})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -270,4 +299,6 @@ if __name__ == "__main__":
         stress_granger(spark)
     if which in ("pretrends", "all"):
         stress_pretrends(spark)
+    if which in ("rdds", "all"):
+        stress_rdd_sens(spark)
     print("stress_r16pre done")
