@@ -429,6 +429,114 @@ def _plan_pooled(
 
 # ---------------------------------------------------------------- Plan B
 
+# Widest (x + y) column set the Plan-B moment fast path will fuse into
+# one aggregation — k(k+1)/2 product expressions; beyond this the
+# codegen'd aggregate gets unwieldy and the window path wins anyway.
+import os as _os_env
+
+_WITHIN_FAST_MAX_COLS = int(
+    _os_env.environ.get("HDFE_WITHIN_FAST_MAX_COLS", 16)
+)
+
+
+def _spread_by_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Hash-repartition a bare under-partitioned scan on ``keys`` so a
+    downstream ``groupBy(keys)`` aggregates in parallel.
+
+    A single parquet row-group (the local-fixture case, and any tiny
+    unsplittable input) scans as ONE task, so the map-side partial
+    aggregation of a wide groupBy serializes on one core — and when
+    the key combination is near row-identity (Plan C's cell table at
+    ~1 row/cell) that partial agg also reduces nothing, so it shuffles
+    MORE bytes than the raw rows. Exchanging the raw rows by the
+    group keys first moves fewer bytes and lets the aggregation run
+    cluster-wide (guide §2.5 "input skew: repartition immediately
+    after the read"; measured 1.20 s → 0.67 s for the sf0.1 cell
+    pass). Keyed, not round-robin — no sort-before-repartition pass,
+    and the exchange satisfies the aggregation's distribution so no
+    second exchange appears. At real scale the input already has
+    ≥ cores splits and this is a no-op, so the shuffle only ever pays
+    for itself. Only applied to shuffle-free plans (anything already
+    exchanged is already wide; probing ``.rdd`` there would eagerly
+    execute upstream stages under AQE)."""
+    if _os_env.environ.get("HDFE_SPREAD_KEYS", "1") == "0":
+        return df
+    try:
+        lp = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        return df
+    if any(
+        k in lp
+        for k in ("Window", "Aggregate", "Join", "Repartition", "Sort")
+    ):
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
+def _within_moments_gram(work, fe1, x_all, y_cols):
+    """Demeaned Gram ``(G_dm, X̃'y, n)`` for the within plan from ONE
+    groupBy(fe1) moment pass — no full-data window shuffle.
+
+    Identity: ``Σ x̃ᵢx̃ⱼ = Σ_g (Σ_{r∈g} xᵢxⱼ − SᵢSⱼ/w_g)`` with
+    ``S = Σ_{r∈g} x`` — the per-group central-moment decomposition.
+    ``Σ x̃ᵢ·yⱼ = Σ x̃ᵢ·ỹⱼ`` (orthogonality), so y columns ride the
+    same moment block. Returns None (caller falls back to the window
+    demean) when any column carries NULL/NaN (the window path's
+    per-column null semantics are not reproduced by the listwise
+    identity) or when a demeaned diagonal fails the Plan-C
+    cancellation guard (< ~8 safe digits vs the raw second moment).
+    """
+    all_cols = list(x_all) + list(y_cols)
+    k = len(all_cols)
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+    dtypes = dict(work.dtypes)
+    cols = [F.col(c).cast("double") for c in all_cols]
+    nan_flags = []
+    for i, c in enumerate(all_cols):
+        flag = F.col(c).isNull()
+        if dtypes.get(c) in ("double", "float"):
+            flag = flag | F.isnan(F.col(c))
+        nan_flags.append(F.max(flag.cast("int")).alias(f"__bad_{i}"))
+    cells = work.groupBy(fe1).agg(
+        F.count(F.lit(1)).alias("__w"),
+        *[F.sum(cols[i]).alias(f"__s_{i}") for i in range(k)],
+        *[
+            F.sum(cols[i] * cols[j]).alias(f"__p_{i}_{j}")
+            for i, j in pairs
+        ],
+        *nan_flags,
+    )
+    row = cells.agg(
+        F.sum("__w").alias("__n"),
+        *[F.max(f"__bad_{i}").alias(f"__bad_{i}") for i in range(k)],
+        *[
+            F.sum(
+                F.col(f"__p_{i}_{j}")
+                - F.col(f"__s_{i}") * F.col(f"__s_{j}") / F.col("__w")
+            ).alias(f"__win_{i}_{j}")
+            for i, j in pairs
+        ],
+        *[F.sum(f"__p_{i}_{i}").alias(f"__ss_{i}") for i in range(k)],
+    ).collect()[0]
+    if any(int(row[f"__bad_{i}"] or 0) for i in range(k)):
+        return None
+    n = int(row["__n"] or 0)
+    Gf = np.zeros((k, k))
+    for i, j in pairs:
+        v = row[f"__win_{i}_{j}"]
+        Gf[i, j] = Gf[j, i] = 0.0 if v is None else float(v)
+    for i in range(k):
+        ss = float(row[f"__ss_{i}"] or 0.0)
+        if ss > 0.0 and not Gf[i, i] > ss * 1e-8:
+            return None
+    k_x = len(x_all)
+    return Gf[:k_x, :k_x], Gf[:k_x, k_x:], n
+
+
 def _plan_within(
     df, y_cols, x_cols, cc, check_rank, estimate_variance,
     want_resid, get_residual, cluster, robust, tol,
@@ -443,20 +551,51 @@ def _plan_within(
         work, dummy_names = make_dummies(work, other_fe, drop_col=True)
         x_all += dummy_names
 
-    # Demean x within fe1 — one window pass for all columns.
-    w = Window.partitionBy(fe1)
-    dm_cols = [f"__dm_{c}" for c in x_all]
-    work = work.select(
-        "*", *[(F.col(c) - F.avg(c).over(w)).alias(d) for c, d in zip(x_all, dm_cols)]
-    )
+    dm_cols = None
+    fast = None
+    if (
+        not estimate_variance
+        and not robust
+        and cluster is None
+        and len(set(x_all + y_cols)) == len(x_all) + len(y_cols)
+        and len(x_all) + len(y_cols) <= _WITHIN_FAST_MAX_COLS
+        and _os_env.environ.get("HDFE_WITHIN_FAST", "1") != "0"
+    ):
+        # Slopes-only fast path (optimization round 15, guide §2.3
+        # "aggregate before you shuffle"): the demeaned Gram is a sum
+        # of per-fe1-level within-group central moments, so ONE
+        # groupBy(fe1) with map-side partial aggregation (a level-
+        # sized exchange) replaces the full-data window shuffle +
+        # sort that the demeaning pass costs. Exactly the Plan-C
+        # fast-Gram idea one plan over: per-level (w, Σc, Σcᵢcⱼ), then
+        # one cells-sized agg of Σ(p − sᵢsⱼ/w) — numerically stable
+        # because the cancellation happens inside each small group.
+        # Falls back to the window path (identical-to-before
+        # behavior) when NULL/NaN values are present (the window
+        # demean has per-column null semantics that the listwise
+        # moment identity does not reproduce) or when any demeaned
+        # diagonal fails the Plan-C cancellation guard.
+        fast = _within_moments_gram(work, fe1, x_all, y_cols)
 
-    # Demeaned Gram + X̃'y in one pass (X̃'y == X̃'ỹ by orthogonality).
-    G_dm, Xty, n = gram_matrix(work, dm_cols, y_cols)
+    if fast is not None:
+        G_dm, Xty, n = fast
+    else:
+        # Demean x within fe1 — one window pass for all columns.
+        w = Window.partitionBy(fe1)
+        dm_cols = [f"__dm_{c}" for c in x_all]
+        work = work.select(
+            "*",
+            *[(F.col(c) - F.avg(c).over(w)).alias(d) for c, d in zip(x_all, dm_cols)],
+        )
+
+        # Demeaned Gram + X̃'y in one pass (X̃'y == X̃'ỹ by orthogonality).
+        G_dm, Xty, n = gram_matrix(work, dm_cols, y_cols)
     if check_rank:
         ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
         if ci:
             x_all = [x_all[i] for i in ki]
-            dm_cols = [dm_cols[i] for i in ki]
+            if dm_cols is not None:
+                dm_cols = [dm_cols[i] for i in ki]
             G_dm = G_dm[np.ix_(ki, ki)]
             Xty = Xty[ki, :]
 
@@ -890,6 +1029,12 @@ def _plan_alternating(
     sw = df.filter(_and_complete(F.lit(True), df, all_cols)).select(
         *keep, *[F.col(c).alias(d) for c, d in dm.items()]
     )
+    # Parallelize the cell pass when the scan is under-partitioned
+    # (single row-group fixture files): exchange raw rows by the FE
+    # keys — fewer bytes than the near-identity cell table, and the
+    # wide cell aggregation runs cluster-wide instead of on the one
+    # scan task. No-op on inputs that already have ≥ cores/2 splits.
+    sw = _spread_by_keys(sw, cc)
 
     # --- One gate pass: row count, approximate per-FE level counts,
     # approximate pairwise-combination counts (the nnz of the

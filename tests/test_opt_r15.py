@@ -1,0 +1,154 @@
+"""Round-15 optimization guards: Plan-B moment fast path and the
+keyed scan-spread for Plan C's cell pass.
+
+The optimizations must be *invisible* in results: every test here
+pins new-path output against the pre-existing path's output on the
+same data.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hdfe_spark.operators import estimate as E
+
+
+@pytest.fixture()
+def panel(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(400):
+        g = i % 13
+        h = i % 5
+        x1 = float(rng.randint(0, 100)) / 7.0
+        x2 = float(rng.randint(0, 50)) / 3.0
+        y = 2.0 * x1 - 1.5 * x2 + g * 0.5 + h * 2.0 + float(rng.randint(0, 10)) / 11.0
+        rows.append((i, g, h, x1, x2, y))
+    return spark.createDataFrame(
+        rows, "id long, g long, h long, x1 double, x2 double, y double"
+    )
+
+
+def test_within_fast_parity_with_window_path(panel, monkeypatch):
+    """Slopes from the moment fast path == window-demean slopes."""
+    fast = E.estimate(panel, "y", ["x1", "x2"], categorical_controls=["g"])
+    monkeypatch.setenv("HDFE_WITHIN_FAST", "0")
+    slow = E.estimate(panel, "y", ["x1", "x2"], categorical_controls=["g"])
+    assert np.allclose(fast.slopes, slow.slopes, rtol=1e-9, atol=1e-12)
+    assert fast.n == slow.n
+
+
+def test_within_fast_triggers_on_clean_data(panel):
+    out = E._within_moments_gram(panel, "g", ["x1", "x2"], ["y"])
+    assert out is not None
+    G, Xty, n = out
+    assert G.shape == (2, 2) and Xty.shape == (2, 1) and n == 400
+
+
+def test_within_fast_declines_nulls_and_nans(panel, spark):
+    """NULL or NaN anywhere in (x, y) → fast path declines (the window
+    path's per-column null semantics are kept by falling back)."""
+    with_null = panel.withColumn(
+        "x1", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("x1"))
+    )
+    assert E._within_moments_gram(with_null, "g", ["x1", "x2"], ["y"]) is None
+    with_nan = panel.withColumn(
+        "y", F.when(F.col("id") == 5, F.lit(float("nan"))).otherwise(F.col("y"))
+    )
+    assert E._within_moments_gram(with_nan, "g", ["x1", "x2"], ["y"]) is None
+
+
+def test_within_fast_null_input_same_answer_as_before(panel, monkeypatch):
+    """End-to-end on null-containing input: estimate() must produce
+    exactly the pre-optimization answer (it falls back internally)."""
+    with_null = panel.withColumn(
+        "x1", F.when(F.col("id") % 37 == 0, F.lit(None)).otherwise(F.col("x1"))
+    )
+    a = E.estimate(with_null, "y", ["x1", "x2"], categorical_controls=["g"])
+    monkeypatch.setenv("HDFE_WITHIN_FAST", "0")
+    b = E.estimate(with_null, "y", ["x1", "x2"], categorical_controls=["g"])
+    assert np.allclose(a.slopes, b.slopes, rtol=0, atol=0)  # identical path
+    assert a.n == b.n
+
+
+def test_within_fast_multi_fe_dummy_parity(panel, monkeypatch):
+    """cc=[g, h] with within_if_fe=True appends drop-last dummies for
+    h; the moment fast path must reproduce the window-path slopes."""
+    fast = E.estimate(panel, "y", ["x1", "x2"], categorical_controls=["g", "h"])
+    monkeypatch.setenv("HDFE_WITHIN_FAST", "0")
+    slow = E.estimate(panel, "y", ["x1", "x2"], categorical_controls=["g", "h"])
+    assert np.allclose(fast.slopes, slow.slopes, rtol=1e-9, atol=1e-12)
+
+
+def test_within_fast_cancellation_guard_falls_back():
+    """A dominant un-centered level (y ≈ 1e9 + signal) kills the
+    moment identity's precision — the guard must decline."""
+    import pandas as pd
+
+    from hdfe_spark.session import get_spark
+
+    spark = get_spark(app_name="hdfe_spark_tests")
+    pdf = pd.DataFrame(
+        {
+            "g": [i % 3 for i in range(90)],
+            "x": [1e9 + (i % 7) * 1e-3 for i in range(90)],
+            "y": [float(i % 5) for i in range(90)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert E._within_moments_gram(df, "g", ["x"], ["y"]) is None
+
+
+def test_spread_by_keys_noop_on_exchanged_plan(spark, sf_dir):
+    """Anything already shuffled must come back untouched (probing
+    .rdd there would execute upstream stages under AQE)."""
+    from hdfe_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    agged = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("s"))
+    assert E._spread_by_keys(agged, ["l_suppkey"]) is agged
+
+
+def test_spread_by_keys_spreads_narrow_scan(spark, sf_dir):
+    from hdfe_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    out = E._spread_by_keys(li, ["l_suppkey", "l_partkey"])
+    target = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < max(2, target // 2):
+        assert out.rdd.getNumPartitions() == target
+    # grouped result identical either way
+    a = (
+        out.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy("l_suppkey", "l_partkey")
+        .limit(20)
+        .collect()
+    )
+    b = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy("l_suppkey", "l_partkey")
+        .limit(20)
+        .collect()
+    )
+    assert a == b
+
+
+def test_plan_c_parity_after_spread(spark, sf_dir, monkeypatch):
+    """ols_2fe-shaped Plan C: keyed spread on/off → same slopes."""
+    from hdfe_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    a = E.estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey", "l_partkey"], within_if_fe=False,
+    )
+    monkeypatch.setenv("HDFE_SPREAD_KEYS", "0")
+    b = E.estimate(
+        li, "l_extendedprice", ["l_quantity", "l_discount"],
+        categorical_controls=["l_suppkey", "l_partkey"], within_if_fe=False,
+    )
+    assert np.allclose(a.slopes, b.slopes, rtol=1e-9, atol=1e-12)
