@@ -61,6 +61,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import os as _os_env
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -382,12 +384,168 @@ def estimate(
 
 # ---------------------------------------------------------------- Plan A
 
+# Widest regressor block the one-pass cluster-sandwich path will fuse:
+# the second-level aggregation carries O(k⁴) product sums.
+_CLUSTER_FAST_MAX_K = int(_os_env.environ.get("HDFE_CLUSTER_FAST_MAX_K", 4))
+
+
+def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
+    """One-way cluster-robust pooled OLS in ONE full-data pass.
+
+    The sandwich meat ``Σ_g u_g u_g'`` with ``u_g = X_g'y − X_g'X_g b``
+    is a polynomial in the per-cluster moment blocks ``(X_g'X_g,
+    X_g'y)`` and the global ``b`` — so ONE groupBy(cluster) moment
+    aggregation followed by ONE cluster-table reduction of the moment
+    *products* delivers G, X'y, n AND the three meat tensors
+    (A = ΣXy⊗Xy, B = ΣXy⊗XX, C = ΣXX⊗XX); b and the meat then
+    assemble on the driver. Replaces the two full-data passes (Gram,
+    then per-cluster scores at the fitted b) with one (guide §1.2:
+    fewer passes; at 100 TB this halves the scan bytes of every
+    clustered-SE call).
+
+    Returns None — caller falls back to the two-pass path, preserving
+    the exact pre-optimization behavior — when any (x, y) column
+    carries NULL/NaN (the two-pass path's row-wise residual NULL
+    semantics are not reproduced by per-entry moment sums) or when the
+    expanded meat fails the cancellation guard (< ~8 safe digits
+    against the positive parts of the expansion).
+    """
+    k = len(x_cols)
+    P = [(j, l) for j in range(k) for l in range(j, k)]
+    dtypes = dict(df.dtypes)
+    xv = [F.col(c).cast("double") for c in x_cols]
+    yv = F.col(y_col).cast("double")
+
+    bad_flags = []
+    for i, c in enumerate(list(x_cols) + [y_col]):
+        flag = F.col(c).isNull()
+        if dtypes.get(c) in ("double", "float"):
+            flag = flag | F.isnan(F.col(c))
+        bad_flags.append(F.max(flag.cast("int")).alias(f"__bad_{i}"))
+
+    g1 = df.groupBy(cluster_key).agg(
+        F.count(F.lit(1)).alias("__w"),
+        *[F.sum(xv[j] * xv[l]).alias(f"__xx_{j}_{l}") for j, l in P],
+        *[F.sum(xv[i] * yv).alias(f"__xy_{i}") for i in range(k)],
+        *bad_flags,
+    )
+    row = g1.agg(
+        F.sum("__w").alias("__n"),
+        *[F.max(f"__bad_{i}").alias(f"__bad_{i}") for i in range(k + 1)],
+        *[F.sum(f"__xx_{j}_{l}").alias(f"__g_{j}_{l}") for j, l in P],
+        *[F.sum(f"__xy_{i}").alias(f"__t_{i}") for i in range(k)],
+        *[
+            F.sum(F.col(f"__xy_{i}") * F.col(f"__xy_{j}")).alias(f"__a_{i}_{j}")
+            for i in range(k)
+            for j in range(i, k)
+        ],
+        *[
+            F.sum(F.col(f"__xy_{i}") * F.col(f"__xx_{j}_{l}")).alias(
+                f"__b_{i}_{j}_{l}"
+            )
+            for i in range(k)
+            for j, l in P
+        ],
+        *[
+            F.sum(F.col(f"__xx_{P[p][0]}_{P[p][1]}") * F.col(f"__xx_{P[q][0]}_{P[q][1]}")).alias(
+                f"__c_{p}_{q}"
+            )
+            for p in range(len(P))
+            for q in range(p, len(P))
+        ],
+    ).collect()[0]
+
+    if any(int(row[f"__bad_{i}"] or 0) for i in range(k + 1)):
+        return None
+    n = int(row["__n"] or 0)
+
+    def _f(name):
+        v = row[name]
+        return 0.0 if v is None else float(v)
+
+    G = np.zeros((k, k))
+    for j, l in P:
+        G[j, l] = G[l, j] = _f(f"__g_{j}_{l}")
+    Xty = np.array([[_f(f"__t_{i}")] for i in range(k)])
+    A = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            A[i, j] = A[j, i] = _f(f"__a_{i}_{j}")
+    B = np.zeros((k, k, k))  # B[i, j, l] = Σ_g Xy_i · XX_jl
+    for i in range(k):
+        for j, l in P:
+            B[i, j, l] = B[i, l, j] = _f(f"__b_{i}_{j}_{l}")
+    C = np.zeros((k, k, k, k))  # C[j, l, p, q] = Σ_g XX_jl · XX_pq
+    for pi in range(len(P)):
+        for qi in range(pi, len(P)):
+            (j, l), (p, q) = P[pi], P[qi]
+            v = _f(f"__c_{pi}_{qi}")
+            for (a1, b1) in ((j, l), (l, j)):
+                for (a2, b2) in ((p, q), (q, p)):
+                    C[a1, b1, a2, b2] = v
+                    C[a2, b2, a1, b1] = v
+
+    idx = list(range(k))
+    x_used = list(x_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G, tol=tol)
+        if ci:
+            idx = ki
+            x_used = [x_cols[i] for i in ki]
+            G = G[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+    A = A[np.ix_(idx, idx)]
+    B = B[np.ix_(idx, idx, idx)]
+    C = C[np.ix_(idx, idx, idx, idx)]
+
+    b = _solve(G, Xty)
+    bv = b[:, 0]
+    # meat_ij = A_ij − (Bb)_ij − (Bb)_ji + (b'Cb)_ij  with
+    # (Bb)_ij = Σ_l B[i,j,l]·b_l, (b'Cb)_ij = Σ_lp b_l·C[i,l,j,p]·b_p
+    M1 = np.einsum("ijl,l->ij", B, bv)
+    M2 = np.einsum("iljp,l,p->ij", C, bv, bv)
+    meat = A - M1 - M1.T + M2
+    # Cancellation guard: the expansion subtracts O((X'y)²)-sized
+    # terms to reach an O(u²)-sized result — when a diagonal keeps
+    # < ~8 safe digits against the positive parts, or goes negative
+    # (Σ u_i² cannot), discard and let the caller run the exact
+    # two-pass scores path.
+    for i in range(len(x_used)):
+        pos = A[i, i] + 2.0 * abs(M1[i, i]) + abs(M2[i, i])
+        if pos > 0.0 and not meat[i, i] > pos * 1e-8:
+            return None
+    G_inv = np.linalg.pinv(G)
+    res = EstimateResult(
+        b=b, coef_names=list(x_used), x_cols=list(x_used),
+        plan="pooled", n=n,
+    )
+    res.V = [G_inv @ meat @ G_inv]
+    res.v_coef_names = list(x_used)
+    return res
+
+
 def _plan_pooled(
     df, y_cols, x_cols, check_rank, estimate_variance,
     want_resid, get_residual, cluster, robust, tol,
 ) -> EstimateResult:
     """No FEs → normal equations from one distributed Gram pass
     (reference ``hdfe/hdfe.py:66-71``)."""
+    if (
+        estimate_variance
+        and cluster is not None
+        and len(cluster) == 1
+        and not get_residual
+        and not robust
+        and len(y_cols) == 1
+        and len(x_cols) <= _CLUSTER_FAST_MAX_K
+        and len(set(list(x_cols) + list(y_cols))) == len(x_cols) + 1
+        and _os_env.environ.get("HDFE_CLUSTER_FAST", "1") != "0"
+    ):
+        res = _pooled_cluster_onepass(
+            df, y_cols[0], list(x_cols), cluster[0], check_rank, tol
+        )
+        if res is not None:
+            return res
     if check_rank:
         G, Xty, n = gram_matrix(df, x_cols, y_cols)
         ci, ki = find_collinear_cols_gram(G, tol=tol)
@@ -432,8 +590,6 @@ def _plan_pooled(
 # Widest (x + y) column set the Plan-B moment fast path will fuse into
 # one aggregation — k(k+1)/2 product expressions; beyond this the
 # codegen'd aggregate gets unwieldy and the window path wins anyway.
-import os as _os_env
-
 _WITHIN_FAST_MAX_COLS = int(
     _os_env.environ.get("HDFE_WITHIN_FAST_MAX_COLS", 16)
 )

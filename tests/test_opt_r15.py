@@ -137,6 +137,47 @@ def test_spread_by_keys_spreads_narrow_scan(spark, sf_dir):
     assert a == b
 
 
+def test_cluster_onepass_parity(panel, monkeypatch):
+    """One-pass cluster sandwich == two-pass scores path (b and V)."""
+    fast = E.estimate(
+        panel, "y", ["x1", "x2"], estimate_variance=True, cluster="g"
+    )
+    monkeypatch.setenv("HDFE_CLUSTER_FAST", "0")
+    slow = E.estimate(
+        panel, "y", ["x1", "x2"], estimate_variance=True, cluster="g"
+    )
+    assert np.allclose(fast.b, slow.b, rtol=1e-9)
+    assert np.allclose(fast.V[0], slow.V[0], rtol=1e-7)
+    assert fast.n == slow.n
+    assert fast.v_coef_names == slow.v_coef_names
+
+
+def test_cluster_onepass_declines_nulls(panel):
+    with_null = panel.withColumn(
+        "x1", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("x1"))
+    )
+    assert (
+        E._pooled_cluster_onepass(with_null, "y", ["x1", "x2"], "g", False, 1e-9)
+        is None
+    )
+
+
+def test_cluster_onepass_null_input_same_answer(panel, monkeypatch):
+    """Null-containing input → internal fallback → identical output."""
+    with_null = panel.withColumn(
+        "x2", F.when(F.col("id") % 41 == 0, F.lit(None)).otherwise(F.col("x2"))
+    )
+    a = E.estimate(
+        with_null, "y", ["x1", "x2"], estimate_variance=True, cluster="g"
+    )
+    monkeypatch.setenv("HDFE_CLUSTER_FAST", "0")
+    b = E.estimate(
+        with_null, "y", ["x1", "x2"], estimate_variance=True, cluster="g"
+    )
+    assert np.allclose(a.b, b.b, rtol=0, atol=0)
+    assert np.allclose(a.V[0], b.V[0], rtol=0, atol=0)
+
+
 def test_plan_c_parity_after_spread(spark, sf_dir, monkeypatch):
     """ols_2fe-shaped Plan C: keyed spread on/off → same slopes."""
     from hdfe_spark.sources.tables import load_table
