@@ -453,7 +453,9 @@ def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
             for p in range(len(P))
             for q in range(p, len(P))
         ],
-    ).collect()[0]
+    )
+    _maybe_dump_plan(row, "planA_cluster_onepass")
+    row = row.collect()[0]
 
     if any(int(row[f"__bad_{i}"] or 0) for i in range(k + 1)):
         return None
@@ -595,6 +597,24 @@ _WITHIN_FAST_MAX_COLS = int(
 )
 
 
+def _maybe_dump_plan(df: DataFrame, name: str) -> None:
+    """When ``HDFE_EXPLAIN_DIR`` is set, write this internal frame's
+    formatted physical plan there — the optimization-round evidence
+    hook for computations that collect eagerly inside ``estimate``
+    (their plans never appear in a declared query's output plan)."""
+    d = _os_env.environ.get("HDFE_EXPLAIN_DIR")
+    if not d:
+        return
+    try:
+        s = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(_os_env.path.join(d, name + ".txt"), "w") as f:
+            f.write(s)
+    except Exception:
+        pass
+
+
 def _spread_by_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Hash-repartition a bare under-partitioned scan on ``keys`` so a
     downstream ``groupBy(keys)`` aggregates in parallel.
@@ -677,7 +697,9 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
             for i, j in pairs
         ],
         *[F.sum(f"__p_{i}_{i}").alias(f"__ss_{i}") for i in range(k)],
-    ).collect()[0]
+    )
+    _maybe_dump_plan(row, "planB_within_moments")
+    row = row.collect()[0]
     if any(int(row[f"__bad_{i}"] or 0) for i in range(k)):
         return None
     n = int(row["__n"] or 0)
@@ -1283,7 +1305,9 @@ def _plan_alternating(
             F.max(F.col(fe).isNull().cast("int")).alias(f"__null_{fe}")
             for fe in cc
         ],
-    ).collect()[0]
+    )
+    _maybe_dump_plan(cells_df, "planC_cells")
+    gate = gate.collect()[0]
     n_rows = int(gate["__n"] or 0)
     n_cells = int(gate["__cells"])
     # Null FE levels are REAL levels (same semantics as groupBy /
