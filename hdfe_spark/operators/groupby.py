@@ -297,4 +297,20 @@ class Groupby:
                 )
             return out
 
-        return self.df.groupBy(*self.keys).applyInPandas(run, schema=schema)
+        base = self.df
+        if not self._persisted:
+            # Width the Python stage like every other Arrow stage in
+            # the engine (optimization r15, guide §4): applyInPandas
+            # inherits spark.sql.shuffle.partitions for its exchange,
+            # which on local[32] spawns 32 Python workers for one
+            # stage; a keyed repartition to py_stage_partitions keeps
+            # the same co-location (the groupBy reuses the exchange —
+            # any hash partitioning on the keys satisfies it) with
+            # ~cores/4 workers and larger Arrow batches. Persisted
+            # handles are already key-partitioned — leave them be.
+            from hdfe_spark.session import py_stage_partitions
+
+            base = base.repartition(
+                py_stage_partitions(base.sparkSession), *self.keys
+            )
+        return base.groupBy(*self.keys).applyInPandas(run, schema=schema)
