@@ -71,22 +71,44 @@ def token_hashes_np(tokens: list[str]) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return out
-    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    maxlen = int(lens.max())
+    # Length-sorted, then processed in chunks whose padded matrix is
+    # bounded (~8 MB) — a single outlier-mega-token (minified JS /
+    # base64 blob in crawled text) lands in its own tiny chunk instead
+    # of forcing an n × maxlen allocation (review r15).
     order = np.argsort(lens, kind="stable")
     lens_s = lens[order]
-    mat = np.zeros((n, maxlen), dtype=np.uint8)
-    row = np.repeat(np.arange(n), lens)
-    col = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-    mat[row, col] = flat
-    mat_s = mat[order]
+    bounds = np.cumsum(lens_s)
+    starts = bounds - lens_s
     out_s = out[order]
+    _CHUNK_BYTES = 1 << 23
+    lo = 0
     with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            lo = int(np.searchsorted(lens_s, j, side="right"))
-            out_s[lo:] = (
-                out_s[lo:] ^ mat_s[lo:, j].astype(np.uint64)
-            ) * _BASE
+        while lo < n:
+            hi = lo + 1
+            # grow while padded size (count × current maxlen) stays
+            # bounded; lens_s is ascending so maxlen = lens_s[hi-1]
+            while hi < n and (hi + 1 - lo) * int(lens_s[hi]) <= _CHUNK_BYTES:
+                hi += 1
+            maxlen = int(lens_s[hi - 1])
+            if maxlen == 0:
+                lo = hi
+                continue
+            cnt = hi - lo
+            csz = int(bounds[hi - 1] - starts[lo])
+            flat = np.frombuffer(
+                b"".join(bs[order[i]] for i in range(lo, hi)), dtype=np.uint8
+            )
+            clens = lens_s[lo:hi]
+            mat = np.zeros((cnt, maxlen), dtype=np.uint8)
+            row = np.repeat(np.arange(cnt), clens)
+            col = np.arange(csz) - np.repeat(np.cumsum(clens) - clens, clens)
+            mat[row, col] = flat
+            h = out_s[lo:hi]
+            for j in range(maxlen):
+                jlo = int(np.searchsorted(clens, j, side="right"))
+                h[jlo:] = (h[jlo:] ^ mat[jlo:, j].astype(np.uint64)) * _BASE
+            out_s[lo:hi] = h
+            lo = hi
     out[order] = out_s
     return out
 

@@ -97,6 +97,21 @@ def _and_complete(valid, df: DataFrame, cols) -> "F.Column":
     return valid
 
 
+def _null_nan_flags(df: DataFrame, cols, prefix: str = "__bad") -> list:
+    """``max(isNull | isnan)`` rider expressions for ``cols`` — the
+    same dtype-sensitive missing-value rule as ``_and_complete``, as
+    aggregate flags the moment fast paths use to decide fallback
+    (one shared definition; review r15)."""
+    dtypes = dict(df.dtypes)
+    out = []
+    for i, c in enumerate(cols):
+        flag = F.col(c).isNull()
+        if dtypes.get(c) in ("double", "float"):
+            flag = flag | F.isnan(F.col(c))
+        out.append(F.max(flag.cast("int")).alias(f"{prefix}_{i}"))
+    return out
+
+
 def _solve(G: np.ndarray, Xty: np.ndarray) -> np.ndarray:
     """Min-norm solve of ``G b = X'y`` (rank-deficient safe)."""
     b, *_ = np.linalg.lstsq(G, Xty, rcond=None)
@@ -412,16 +427,9 @@ def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
     """
     k = len(x_cols)
     P = [(j, l) for j in range(k) for l in range(j, k)]
-    dtypes = dict(df.dtypes)
     xv = [F.col(c).cast("double") for c in x_cols]
     yv = F.col(y_col).cast("double")
-
-    bad_flags = []
-    for i, c in enumerate(list(x_cols) + [y_col]):
-        flag = F.col(c).isNull()
-        if dtypes.get(c) in ("double", "float"):
-            flag = flag | F.isnan(F.col(c))
-        bad_flags.append(F.max(flag.cast("int")).alias(f"__bad_{i}"))
+    bad_flags = _null_nan_flags(df, list(x_cols) + [y_col])
 
     g1 = df.groupBy(cluster_key).agg(
         F.count(F.lit(1)).alias("__w"),
@@ -512,10 +520,25 @@ def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
     # < ~8 safe digits against the positive parts, or goes negative
     # (Σ u_i² cannot), discard and let the caller run the exact
     # two-pass scores path.
-    for i in range(len(x_used)):
+    ku = len(x_used)
+    for i in range(ku):
         pos = A[i, i] + 2.0 * abs(M1[i, i]) + abs(M2[i, i])
         if pos > 0.0 and not meat[i, i] > pos * 1e-8:
             return None
+    # Off-diagonal digits guard (review r15): an off-diagonal entry's
+    # error bound is 1e-16·pos_ij; require it small against the PSD
+    # bound sqrt(meat_ii·meat_jj) so V's assembled entries keep ~8
+    # safe digits everywhere, not just on the diagonal.
+    for i in range(ku):
+        for j in range(i + 1, ku):
+            pos = (
+                abs(A[i, j]) + abs(M1[i, j]) + abs(M1[j, i]) + abs(M2[i, j])
+            )
+            if pos > 0.0 and not (
+                np.sqrt(max(meat[i, i], 0.0) * max(meat[j, j], 0.0))
+                > pos * 1e-8
+            ):
+                return None
     G_inv = np.linalg.pinv(G)
     res = EstimateResult(
         b=b, coef_names=list(x_used), x_cols=list(x_used),
@@ -669,14 +692,8 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     all_cols = list(x_all) + list(y_cols)
     k = len(all_cols)
     pairs = [(i, j) for i in range(k) for j in range(i, k)]
-    dtypes = dict(work.dtypes)
     cols = [F.col(c).cast("double") for c in all_cols]
-    nan_flags = []
-    for i, c in enumerate(all_cols):
-        flag = F.col(c).isNull()
-        if dtypes.get(c) in ("double", "float"):
-            flag = flag | F.isnan(F.col(c))
-        nan_flags.append(F.max(flag.cast("int")).alias(f"__bad_{i}"))
+    nan_flags = _null_nan_flags(work, all_cols)
     cells = work.groupBy(fe1).agg(
         F.count(F.lit(1)).alias("__w"),
         *[F.sum(cols[i]).alias(f"__s_{i}") for i in range(k)],
@@ -707,12 +724,30 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     for i, j in pairs:
         v = row[f"__win_{i}_{j}"]
         Gf[i, j] = Gf[j, i] = 0.0 if v is None else float(v)
+    loss = 1.0
     for i in range(k):
         ss = float(row[f"__ss_{i}"] or 0.0)
-        if ss > 0.0 and not Gf[i, i] > ss * 1e-8:
-            return None
+        if ss > 0.0:
+            if not Gf[i, i] > ss * 1e-8:
+                return None
+            loss = max(loss, ss / Gf[i, i])
     k_x = len(x_all)
-    return Gf[:k_x, :k_x], Gf[:k_x, k_x:], n
+    G_x = Gf[:k_x, :k_x]
+    # Conditioning-amplified guard (review r15): the moment identity's
+    # per-entry absolute error is ~1e-16·ss = 1e-16·loss·diag; solving
+    # a near-singular demeaned Gram amplifies it by cond(G). Require
+    # cond(corr(G))·loss ≲ 1e7 so slopes keep ≥ ~9 digits — beyond
+    # that the window path (per-entry error 1e-16·diag) is the
+    # accurate one, so fall back.
+    d = np.sqrt(np.diag(G_x))
+    if G_x.size:
+        if not np.all(d > 0.0):
+            return None
+        with np.errstate(all="ignore"):
+            cond = float(np.linalg.cond(G_x / np.outer(d, d)))
+        if not cond * loss < 1e7:
+            return None
+    return G_x, Gf[:k_x, k_x:], n
 
 
 def _plan_within(
@@ -830,7 +865,11 @@ def _plan_within(
         ],
     )
     if get_residual:
-        res.residuals = netted
+        # Public residual schema must not depend on which internal
+        # path computed the slopes (review r15): the moment fast path
+        # never materializes __dm_* columns, so drop them here too —
+        # both paths emit (input cols + dummy cols + resid cols).
+        res.residuals = netted.drop(*dm_cols) if dm_cols else netted
 
     if estimate_variance:
         # Level count from one count-aggregate — never a levels-sized

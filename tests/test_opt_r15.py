@@ -137,6 +137,65 @@ def test_spread_by_keys_spreads_narrow_scan(spark, sf_dir):
     assert a == b
 
 
+def test_residual_schema_stable_across_paths(panel, monkeypatch):
+    """res.residuals must have the SAME columns whether the moment
+    fast path or the window fallback computed the slopes (review r15:
+    a NULL in the data must not change the public schema)."""
+    fast = E.estimate(
+        panel, "y", ["x1", "x2"], categorical_controls=["g"],
+        get_residual=True,
+    )
+    with_null = panel.withColumn(
+        "x1", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("x1"))
+    )
+    fallback = E.estimate(
+        with_null, "y", ["x1", "x2"], categorical_controls=["g"],
+        get_residual=True,
+    )
+    assert fast.residuals.columns == fallback.residuals.columns
+    assert not any(c.startswith("__dm_") for c in fast.residuals.columns)
+
+
+def test_token_hashes_outlier_token_chunked():
+    """A mega-token must not force an n × maxlen padded matrix
+    (review r15) — and stays bit-identical to the per-byte fold."""
+    import numpy as np
+
+    from hdfe_spark.functions import hashing as H
+
+    toks = ["abc", "", "Z" * 500_000, "defg", "日本語"]
+    got = H.token_hashes_np(toks)
+    ref = np.empty(len(toks), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            h = np.uint64(14695981039346656037)
+            for b in t.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * H._BASE
+            ref[i] = h
+    assert np.array_equal(got, ref)
+
+
+def test_within_fast_ill_conditioned_falls_back(spark):
+    """Near-collinear regressors with large uncentered means: the
+    cond·loss guard must decline (the window path is the accurate
+    one there) — review r15."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    base = rng.standard_normal(n)
+    pdf = pd.DataFrame(
+        {
+            "g": np.arange(n) % 7,
+            "x1": 1e6 + base,
+            "x2": 1e6 + base + 1e-4 * rng.standard_normal(n),
+            "y": rng.standard_normal(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert E._within_moments_gram(df, "g", ["x1", "x2"], ["y"]) is None
+
+
 def test_cluster_onepass_parity(panel, monkeypatch):
     """One-pass cluster sandwich == two-pass scores path (b and V)."""
     fast = E.estimate(
