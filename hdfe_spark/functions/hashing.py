@@ -191,6 +191,62 @@ def make_minhash_bands_udf(
     return band_sig
 
 
+def make_minhash_bands_and_set_udf(
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 42
+):
+    """Fused kernel (optimization r15, guide §4.2): text →
+    ``struct(bands array<bigint>, shingles array<bigint>)`` in ONE
+    Arrow pass. ``bands`` is bit-identical to
+    :func:`make_minhash_bands_udf`; ``shingles`` to
+    :func:`make_kgram_set_udf`. Both start from the same
+    ``unique(kgram_hashes)`` set, which the unfused pipeline computed
+    four times per corpus (bands twice for the LSH self-join's two
+    sides, the shingle set twice for the verify join's two sides);
+    computing it once and persisting the compact signature table
+    removes three full text scans + Arrow passes from near-dedup."""
+    a, c = _affine_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    band_pows = np.empty(rows_per_band, dtype=np.uint64)
+    band_pows[-1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band - 2, -1, -1):
+            band_pows[j] = band_pows[j + 1] * _BASE
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("bands", T.ArrayType(T.LongType())),
+                T.StructField("shingles", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def bands_and_set(texts: pd.Series) -> pd.DataFrame:
+        out_b, out_s = [], []
+        for t in texts:
+            if t is None:
+                h = np.empty(0, dtype=np.uint64)
+            else:
+                h = np.unique(kgram_hashes_np(t.lower(), shingle_k))
+            # shingle set: kset semantics ((t or "") — identical for
+            # None input: empty array)
+            out_s.append(h.astype(np.int64).tolist())
+            if h.size == 0:
+                m = np.zeros(num_hashes, dtype=np.uint64)
+            else:
+                with np.errstate(over="ignore"):
+                    m = (a[:, None] * h[None, :] + c[:, None]).min(axis=1)
+            with np.errstate(over="ignore"):
+                sl = m.reshape(bands, rows_per_band)
+                digs = (sl * band_pows[None, :]).sum(axis=1, dtype=np.uint64)
+                digs = digs ^ (digs >> np.uint64(33))
+                digs = digs * np.uint64(0xC4CEB9FE1A85EC53)
+                digs = digs + np.arange(bands, dtype=np.uint64)
+            out_b.append(digs.astype(np.int64).tolist())
+        return pd.DataFrame({"bands": out_b, "shingles": out_s})
+
+    return bands_and_set
+
+
 def make_kgram_set_udf(shingle_k: int = 5):
     """Returns a pandas UDF: text → sorted distinct array<bigint> of
     char k-gram hashes — the set representation used for exact

@@ -194,7 +194,80 @@ def minhash_dedup(
     """Near-dedup: drop every doc that has a verified near-duplicate
     with a smaller id. (Single-link clustering approximated by the
     min-id rule — one pass, no iterative connected components; good
-    enough for dedup where any representative may survive.)"""
+    enough for dedup where any representative may survive.)
+
+    Plan (optimization r15, guide §1.2/§4): the unfused chain Arrow-
+    hashes the corpus FOUR times (band digests for each self-join side,
+    shingle sets for each verify side — the UDFs sit above their
+    exchanges, so exchange reuse cannot deduplicate them) and scans the
+    text five times. The fused path computes one compact signature
+    table (id, band digests, shingle set) in a single Arrow pass,
+    persists it for the duration of the query, and runs the LSH
+    self-join + exact-Jaccard verify off it — identical band digests
+    and shingle hashes, so the surviving set is bit-identical.
+    ``HDFE_MINHASH_FUSED=0`` restores the unfused chain."""
+    import os
+
+    if os.environ.get("HDFE_MINHASH_FUSED", "1") != "0":
+        from pyspark import StorageLevel
+
+        from hdfe_spark.functions.hashing import (
+            make_jaccard_udf,
+            make_minhash_bands_and_set_udf,
+        )
+        from hdfe_spark.session import py_stage_partitions
+
+        par = py_stage_partitions(df.sparkSession)
+        fused = make_minhash_bands_and_set_udf(num_hashes, bands, shingle_k)
+        sig = (
+            df.select(id_col, text_col)
+            .repartition(par, F.col(id_col))
+            .select(F.col(id_col), fused(F.col(text_col)).alias("__s"))
+            .select(
+                F.col(id_col),
+                F.col("__s.bands").alias("__bands"),
+                F.col("__s.shingles").alias("__sh"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode("__bands").alias("band", "band_hash"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        jac = make_jaccard_udf()
+        losers = (
+            cand.join(
+                sig.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")),
+                on="id_a",
+            )
+            .join(
+                sig.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")),
+                on="id_b",
+            )
+            .withColumn("jaccard", jac(F.col("__sh_a"), F.col("__sh_b")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+
     cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     verified = ngram_jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= jaccard_threshold

@@ -140,6 +140,53 @@ def grouped_agg(
     return part.groupBy(*keys).agg(*phase2)
 
 
+# Aggregate fns whose value is a deterministic function of the group's
+# multiset of values — safe to compute either as a window aggregate or
+# as a groupBy aggregate joined back. first/last depend on physical row
+# order and are excluded (the two plans would disagree).
+_ORDER_FREE_FNS = frozenset(
+    {"mean", "avg", "sum", "min", "max", "count", "std", "stddev", "var", "median"}
+)
+
+
+def _transform_via_join(
+    df: DataFrame, keys: list[str], items: list[tuple[str, list[str]]]
+) -> DataFrame:
+    """groupBy + join-back plan for :func:`grouped_transform`.
+
+    Why (optimization r15, guide §2.4): the window plan shuffles and
+    sorts EVERY ROW by the keys. This plan aggregates first (map-side
+    partials, the exchange carries one row per group) and joins the
+    group statistics back; with AQE the join side is the level-sized
+    aggregate, so when groups ≪ rows (the demean/FE regime) it becomes
+    a BroadcastHashJoin and the base table is never shuffled at all —
+    at 100 TB that removes a full-data exchange + sort. When groups ≈
+    rows AQE falls back to a sort-merge join, which costs about the
+    same as the window path (one extra level-sized exchange).
+
+    NULL keys: the window treats all-NULL keys as one group, so the
+    join uses null-safe equality to match.
+    """
+    aggs = [
+        _NAMED_FNS[fn](F.col(col)).alias(f"{fn}_{col}")
+        for col, fns in items
+        for fn in fns
+    ]
+    grp = df.groupBy(*keys).agg(*aggs)
+    # null-safe equi-join on the keys; rename the group-side keys so
+    # the joined frame keeps exactly the base table's key columns.
+    gsel = [F.col(k).alias(f"__gk_{k}") for k in keys] + [
+        F.col(f"{fn}_{col}") for col, fns in items for fn in fns
+    ]
+    grp = grp.select(*gsel)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__gk_{k}"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(grp, on=cond, how="left")
+    return out.drop(*[f"__gk_{k}" for k in keys])
+
+
 def grouped_transform(
     df: DataFrame,
     keys: str | Sequence[str],
@@ -151,13 +198,17 @@ def grouped_transform(
     ``hdfe/groupby.py:98-121``; also the inline pandas
     ``groupby().transform(np.mean)`` at ``hdfe/hdfe.py:84-87``).
 
-    Compiles to window aggregates over an unbounded frame: a single
-    shuffle on ``keys``, no self-join. Appended column names follow the
+    Plan (optimization r15): for order-free aggregate fns this compiles
+    to ``groupBy().agg()`` + a null-safe join back — the base table is
+    not shuffled when AQE broadcasts the level-sized aggregate (see
+    :func:`_transform_via_join`). Order-dependent fns (first/last), or
+    ``HDFE_TRANSFORM_JOIN=0``, keep the window-aggregate plan (a single
+    full-data shuffle on ``keys``). Appended column names follow the
     same ``{fn}_{col}`` contract as :func:`grouped_agg`.
     """
+    import os
+
     keys = _as_list(keys)
-    w = Window.partitionBy(*keys)
-    out = df
     if isinstance(values, dict):
         items = [(c, _as_list(fns)) for c, fns in values.items()]
     else:
@@ -166,6 +217,14 @@ def grouped_transform(
         for fn in fns:
             if fn not in _NAMED_FNS:
                 raise KeyError(f"unknown aggregate fn {fn!r}")
+    if os.environ.get("HDFE_TRANSFORM_JOIN", "1") != "0" and all(
+        fn in _ORDER_FREE_FNS for _, fns in items for fn in fns
+    ):
+        return _transform_via_join(df, keys, items)
+    w = Window.partitionBy(*keys)
+    out = df
+    for col, fns in items:
+        for fn in fns:
             out = out.withColumn(f"{fn}_{col}", _NAMED_FNS[fn](F.col(col)).over(w))
     return out
 
@@ -181,10 +240,37 @@ def demean(
     This is the Frisch–Waugh–Lovell building block used by the within
     estimator (``hdfe/hdfe.py:84-87``) and by the alternating-projection
     absorption of multiple fixed effects (SURVEY.md §7.2 step 7).
-    One shuffle on ``keys`` for all columns at once.
+
+    Plan (optimization r15, guide §2.4): group means via
+    ``groupBy().agg()`` (map-side partials, level-sized exchange)
+    joined back null-safely — AQE broadcasts the aggregate when groups
+    ≪ rows, so the base table is never shuffled; the old single
+    full-data window shuffle+sort is kept behind ``HDFE_TRANSFORM_JOIN=0``.
     """
+    import os
+
     keys = _as_list(keys)
     cols = _as_list(cols)
+    if os.environ.get("HDFE_TRANSFORM_JOIN", "1") != "0":
+        grp = df.groupBy(*keys).agg(
+            *[F.avg(F.col(c)).alias(f"__gm_{c}") for c in cols]
+        )
+        grp = grp.select(
+            *[F.col(k).alias(f"__gk_{k}") for k in keys],
+            *[F.col(f"__gm_{c}") for c in cols],
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__gk_{k}"))
+            cond = c if cond is None else (cond & c)
+        out = df.join(grp, on=cond, how="left").select(
+            *df.columns,
+            *[
+                (F.col(c) - F.col(f"__gm_{c}")).alias(f"{c}{suffix}")
+                for c in cols
+            ],
+        )
+        return out
     w = Window.partitionBy(*keys)
     return df.select(
         "*",

@@ -44,11 +44,29 @@ def test_grouped_agg_single_shuffle(li):
     assert_plan(out, n_exchanges=1, n_python_stages=0)
 
 
-def test_demean_single_shuffle(li):
+def test_demean_agg_join_plan(li):
+    """Optimization r15: demean compiles to groupBy + broadcast join
+    back — the ONLY shuffle exchange carries one row per group (the
+    aggregate), the base table is never exchanged, and the full-data
+    window sort is gone."""
     from hdfe_spark.operators.groupby import demean
 
     out = demean(li, "l_suppkey", "l_quantity")
+    rep = plan_report(out)
+    assert rep["n_exchanges"] == 1  # the level-sized aggregate only
+    assert rep["n_broadcast_joins"] >= 1
+    assert "Window" not in explain_string(out, "simple")
+
+
+def test_demean_window_fallback_single_shuffle(li, monkeypatch):
+    """The HDFE_TRANSFORM_JOIN=0 kill-switch restores the one-shuffle
+    window plan."""
+    from hdfe_spark.operators.groupby import demean
+
+    monkeypatch.setenv("HDFE_TRANSFORM_JOIN", "0")
+    out = demean(li, "l_suppkey", "l_quantity")
     assert_plan(out, n_exchanges=1, n_python_stages=0)
+    assert "Window" in explain_string(out, "simple")
 
 
 def test_lags_single_window_pass(spark, sf_dir):
