@@ -517,7 +517,7 @@ def embedding_neardup_pairs(
     7 planes); low thresholds degenerate toward brute force — inherent
     to hyperplane LSH, use ``embedding_neardup_exact`` below ~0.5.
     """
-    from hdfe_spark.operators.similarity import lsh_bucket, make_pair_cosine_udf
+    import os
 
     import numpy as np
 
@@ -525,6 +525,7 @@ def embedding_neardup_pairs(
         _planes,
         _vec_dim,
         make_multi_bucket_udf,
+        make_pair_cosine_udf,
     )
     from hdfe_spark.session import py_stage_partitions
 
@@ -535,6 +536,74 @@ def embedding_neardup_pairs(
         [_planes(n_planes, dim, seed + 7919 * t) for t in range(n_tables)]
     )
     buckets = make_multi_bucket_udf(planes)
+
+    if os.environ.get("HDFE_EMB_LSH_PAIRS", "0") == "1":
+        # Optimization r15 candidate, MEASURED AND REJECTED as the
+        # default (kept opt-in for re-measurement): restructure per
+        # guide §8 — shuffle (id, tbl, bucket) only, dedupe candidate
+        # pairs before any vector moves, then attach vectors and
+        # verify with one per-pair cosine pass. Alternating A/B at
+        # sf0.1: OLD (grouped GEMM) med 1.16 s vs NEW 3.66 s — 3×
+        # worse, because every candidate PAIR row carries TWO full
+        # vectors into the verify stage (a vector in k candidate pairs
+        # is duplicated k times) while the grouped-GEMM path ships
+        # each vector exactly n_tables times and verifies a whole
+        # bucket in one GEMM. The §8 "move big rows once" framing
+        # undercounts the verify payload whenever pairs-per-vector can
+        # exceed n_tables, which holds at any near-dup-rich scale.
+        # Outputs are declared-surface identical either way
+        # (tools/equiv_r15b.py: rounded query + recall cert bitwise
+        # equal at sf0.001/0.01/0.1; raw cosines agree to 1e-12).
+        from pyspark import StorageLevel
+
+        par = py_stage_partitions(df.sparkSession)
+        base = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .repartition(par, F.col(id_col))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        banded_ids = base.select(
+            F.col(id_col),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        a = banded_ids.alias("a")
+        b = banded_ids.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.tbl") == F.col("b.tbl"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        pcos = make_pair_cosine_udf()
+        return (
+            cand.join(
+                base.select(
+                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+                ),
+                on="id_a",
+            )
+            .join(
+                base.select(
+                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+                ),
+                on="id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                pcos(F.col("__va"), F.col("__vb")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
 
     # ONE Arrow pass computes every table's bucket; posexplode to
     # (table, bucket) rows carrying the vector; then FAISS-style

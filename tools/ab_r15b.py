@@ -107,6 +107,17 @@ def main():
             return out.select("doc_id", "lang", "source")
 
         run_ab(spark, exp, "HDFE_MINHASH_FUSED", build, reps)
+    elif exp == "emb_lsh":
+        def build(spark):
+            from hdfe_spark.operators.dedup import embedding_neardup_pairs
+
+            emb = load_table(spark, "embeddings", SF_DIR)
+            out = embedding_neardup_pairs(emb, threshold=0.4, n_tables=16)
+            return out.select(
+                "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+            )
+
+        run_ab(spark, exp, "HDFE_EMB_LSH_PAIRS", build, reps)
     else:
         raise SystemExit(f"unknown experiment {exp}")
 

@@ -62,10 +62,53 @@ def main():
         out = minhash_dedup(docs, num_hashes=128, bands=16, jaccard_threshold=0.8)
         return out.select("doc_id", "lang", "source")
 
+    def q_emb_lsh(spark):
+        from hdfe_spark.operators.dedup import embedding_neardup_pairs
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        out = embedding_neardup_pairs(emb, threshold=0.4, n_tables=16)
+        return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    def q_emb_lsh_unrounded(spark):
+        from hdfe_spark.operators.dedup import embedding_neardup_pairs
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        return embedding_neardup_pairs(emb, threshold=0.4, n_tables=16)
+
+    def q_emb_recall(spark):
+        from hdfe_spark.operators.dedup import (
+            embedding_neardup_exact,
+            embedding_neardup_pairs,
+        )
+
+        emb = load_table(spark, "embeddings", SF_DIR)
+        exact = embedding_neardup_exact(emb, threshold=0.4).select("id_a", "id_b")
+        approx = embedding_neardup_pairs(emb, threshold=0.4, n_tables=16).select(
+            "id_a", "id_b", F.lit(1).alias("__hit")
+        )
+        hit = F.coalesce(F.sum("__hit"), F.lit(0))
+        return (
+            exact.join(F.broadcast(approx), ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                hit.cast("bigint").alias("n_found"),
+                F.round(hit / F.count(F.lit(1)), 6).alias("recall"),
+            )
+        )
+
     cases = [
         ("grouped_transform", "HDFE_TRANSFORM_JOIN", q_transform),
         ("demean", "HDFE_TRANSFORM_JOIN", q_demean),
         ("minhash_dedup", "HDFE_MINHASH_FUSED", q_minhash),
+        ("embedding_neardup_lsh", "HDFE_EMB_LSH_PAIRS", q_emb_lsh),
+        # The *unrounded* cosine differs between paths at the last-ULP
+        # level (the pairs path reuses make_pair_cosine_udf — einsum
+        # per pair — while the grouped-GEMM verifier sums in BLAS
+        # block order), so it is checked as pair-set identity +
+        # |Δcosine| ≤ 1e-12, not bitwise. The DECLARED query rounds to
+        # 6 decimals and is checked bitwise above.
+        ("emb_lsh_unrounded~1e-12", "HDFE_EMB_LSH_PAIRS", q_emb_lsh_unrounded),
+        ("emb_lsh_recall_cert", "HDFE_EMB_LSH_PAIRS", q_emb_recall),
     ]
     n_bad = 0
     for name, flag, build in cases:
@@ -78,6 +121,24 @@ def main():
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet().toArray()):
             jmap.get(rid).unpersist(False)
+        if name.endswith("~1e-12"):
+            keys_old = [r[:-1] for r in rows_old]
+            keys_new = [r[:-1] for r in rows_new]
+            if cols_old != cols_new or keys_old != keys_new:
+                print(f"FAIL {name}: pair sets differ")
+                n_bad += 1
+            elif any(
+                abs(a[-1] - b[-1]) > 1e-12
+                for a, b in zip(rows_old, rows_new)
+            ):
+                print(f"FAIL {name}: cosine drift > 1e-12")
+                n_bad += 1
+            else:
+                print(
+                    f"ok    {name}: {len(rows_old)} pairs identical, "
+                    "values within 1e-12"
+                )
+            continue
         if cols_old != cols_new:
             print(f"FAIL {name}: columns differ {cols_old} vs {cols_new}")
             n_bad += 1
