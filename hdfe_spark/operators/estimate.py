@@ -267,7 +267,9 @@ def _cluster_meat(
                         * F.coalesce(F.col(f"__u_{rc}__{x_cols[j]}"), F.lit(0.0))
                     ).alias(f"__m_{rc}_{i}_{j}")
                 )
-    row = grouped.agg(*m_exprs).collect()[0]
+    row_df = grouped.agg(*m_exprs)
+    _maybe_dump_plan(row_df, "planA_cluster_scores_" + "-".join(keys))
+    row = row_df.collect()[0]
     out = {}
     for rc in resid_cols:
         M = np.zeros((k, k))
@@ -404,6 +406,112 @@ def estimate(
 _CLUSTER_FAST_MAX_K = int(_os_env.environ.get("HDFE_CLUSTER_FAST_MAX_K", 4))
 
 
+def _tensor_agg_exprs(k: int, extra: list | None = None) -> list:
+    """Second-level aggregation over a cluster-moment table (columns
+    ``__w``, ``__xx_{j}_{l}`` upper triangle, ``__xy_{i}``): global
+    moments G/X'y/n plus the meat tensors A = ΣXy⊗Xy, B = ΣXy⊗XX,
+    C = ΣXX⊗XX as upper-triangle product sums. ``extra`` exprs (e.g.
+    NULL/NaN rider flags) are placed right after ``__n`` so the
+    one-way path's committed plan shape is unchanged."""
+    P = [(j, l) for j in range(k) for l in range(j, k)]
+    return [
+        F.sum("__w").alias("__n"),
+        *(extra or []),
+        *[F.sum(f"__xx_{j}_{l}").alias(f"__g_{j}_{l}") for j, l in P],
+        *[F.sum(f"__xy_{i}").alias(f"__t_{i}") for i in range(k)],
+        *[
+            F.sum(F.col(f"__xy_{i}") * F.col(f"__xy_{j}")).alias(f"__a_{i}_{j}")
+            for i in range(k)
+            for j in range(i, k)
+        ],
+        *[
+            F.sum(F.col(f"__xy_{i}") * F.col(f"__xx_{j}_{l}")).alias(
+                f"__b_{i}_{j}_{l}"
+            )
+            for i in range(k)
+            for j, l in P
+        ],
+        *[
+            F.sum(
+                F.col(f"__xx_{P[p][0]}_{P[p][1]}")
+                * F.col(f"__xx_{P[q][0]}_{P[q][1]}")
+            ).alias(f"__c_{p}_{q}")
+            for p in range(len(P))
+            for q in range(p, len(P))
+        ],
+    ]
+
+
+def _tensors_from_row(row, k: int):
+    """Unpack a ``_tensor_agg_exprs`` result row into
+    ``(n, G, Xty, A, B, C)`` dense symmetric ndarrays."""
+    P = [(j, l) for j in range(k) for l in range(j, k)]
+
+    def _f(name):
+        v = row[name]
+        return 0.0 if v is None else float(v)
+
+    n = int(row["__n"] or 0)
+    G = np.zeros((k, k))
+    for j, l in P:
+        G[j, l] = G[l, j] = _f(f"__g_{j}_{l}")
+    Xty = np.array([[_f(f"__t_{i}")] for i in range(k)])
+    A = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            A[i, j] = A[j, i] = _f(f"__a_{i}_{j}")
+    B = np.zeros((k, k, k))  # B[i, j, l] = Σ_g Xy_i · XX_jl
+    for i in range(k):
+        for j, l in P:
+            B[i, j, l] = B[i, l, j] = _f(f"__b_{i}_{j}_{l}")
+    C = np.zeros((k, k, k, k))  # C[j, l, p, q] = Σ_g XX_jl · XX_pq
+    for pi in range(len(P)):
+        for qi in range(pi, len(P)):
+            (j, l), (p, q) = P[pi], P[qi]
+            v = _f(f"__c_{pi}_{qi}")
+            for (a1, b1) in ((j, l), (l, j)):
+                for (a2, b2) in ((p, q), (q, p)):
+                    C[a1, b1, a2, b2] = v
+                    C[a2, b2, a1, b1] = v
+    return n, G, Xty, A, B, C
+
+
+def _meat_from_tensors(A, B, C, bv):
+    """Assemble ``Σ_g u_g u_g'`` from the moment tensors at the fitted
+    slope vector ``bv``; returns None when the cancellation guards
+    fail (< ~8 safe digits against the positive parts of the
+    expansion, or a negative diagonal — Σu² cannot be negative)."""
+    # meat_ij = A_ij − (Bb)_ij − (Bb)_ji + (b'Cb)_ij  with
+    # (Bb)_ij = Σ_l B[i,j,l]·b_l, (b'Cb)_ij = Σ_lp b_l·C[i,l,j,p]·b_p
+    M1 = np.einsum("ijl,l->ij", B, bv)
+    M2 = np.einsum("iljp,l,p->ij", C, bv, bv)
+    meat = A - M1 - M1.T + M2
+    ku = len(bv)
+    # Cancellation guard: the expansion subtracts O((X'y)²)-sized
+    # terms to reach an O(u²)-sized result — when a diagonal keeps
+    # < ~8 safe digits against the positive parts, discard and let
+    # the caller run the exact scores path.
+    for i in range(ku):
+        pos = A[i, i] + 2.0 * abs(M1[i, i]) + abs(M2[i, i])
+        if pos > 0.0 and not meat[i, i] > pos * 1e-8:
+            return None
+    # Off-diagonal digits guard (review r15): an off-diagonal entry's
+    # error bound is 1e-16·pos_ij; require it small against the PSD
+    # bound sqrt(meat_ii·meat_jj) so V's assembled entries keep ~8
+    # safe digits everywhere, not just on the diagonal.
+    for i in range(ku):
+        for j in range(i + 1, ku):
+            pos = (
+                abs(A[i, j]) + abs(M1[i, j]) + abs(M1[j, i]) + abs(M2[i, j])
+            )
+            if pos > 0.0 and not (
+                np.sqrt(max(meat[i, i], 0.0) * max(meat[j, j], 0.0))
+                > pos * 1e-8
+            ):
+                return None
+    return meat
+
+
 def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
     """One-way cluster-robust pooled OLS in ONE full-data pass.
 
@@ -438,62 +546,19 @@ def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
         *bad_flags,
     )
     row = g1.agg(
-        F.sum("__w").alias("__n"),
-        *[F.max(f"__bad_{i}").alias(f"__bad_{i}") for i in range(k + 1)],
-        *[F.sum(f"__xx_{j}_{l}").alias(f"__g_{j}_{l}") for j, l in P],
-        *[F.sum(f"__xy_{i}").alias(f"__t_{i}") for i in range(k)],
-        *[
-            F.sum(F.col(f"__xy_{i}") * F.col(f"__xy_{j}")).alias(f"__a_{i}_{j}")
-            for i in range(k)
-            for j in range(i, k)
-        ],
-        *[
-            F.sum(F.col(f"__xy_{i}") * F.col(f"__xx_{j}_{l}")).alias(
-                f"__b_{i}_{j}_{l}"
-            )
-            for i in range(k)
-            for j, l in P
-        ],
-        *[
-            F.sum(F.col(f"__xx_{P[p][0]}_{P[p][1]}") * F.col(f"__xx_{P[q][0]}_{P[q][1]}")).alias(
-                f"__c_{p}_{q}"
-            )
-            for p in range(len(P))
-            for q in range(p, len(P))
-        ],
+        *_tensor_agg_exprs(
+            k,
+            extra=[
+                F.max(f"__bad_{i}").alias(f"__bad_{i}") for i in range(k + 1)
+            ],
+        )
     )
     _maybe_dump_plan(row, "planA_cluster_onepass")
     row = row.collect()[0]
 
     if any(int(row[f"__bad_{i}"] or 0) for i in range(k + 1)):
         return None
-    n = int(row["__n"] or 0)
-
-    def _f(name):
-        v = row[name]
-        return 0.0 if v is None else float(v)
-
-    G = np.zeros((k, k))
-    for j, l in P:
-        G[j, l] = G[l, j] = _f(f"__g_{j}_{l}")
-    Xty = np.array([[_f(f"__t_{i}")] for i in range(k)])
-    A = np.zeros((k, k))
-    for i in range(k):
-        for j in range(i, k):
-            A[i, j] = A[j, i] = _f(f"__a_{i}_{j}")
-    B = np.zeros((k, k, k))  # B[i, j, l] = Σ_g Xy_i · XX_jl
-    for i in range(k):
-        for j, l in P:
-            B[i, j, l] = B[i, l, j] = _f(f"__b_{i}_{j}_{l}")
-    C = np.zeros((k, k, k, k))  # C[j, l, p, q] = Σ_g XX_jl · XX_pq
-    for pi in range(len(P)):
-        for qi in range(pi, len(P)):
-            (j, l), (p, q) = P[pi], P[qi]
-            v = _f(f"__c_{pi}_{qi}")
-            for (a1, b1) in ((j, l), (l, j)):
-                for (a2, b2) in ((p, q), (q, p)):
-                    C[a1, b1, a2, b2] = v
-                    C[a2, b2, a1, b1] = v
+    n, G, Xty, A, B, C = _tensors_from_row(row, k)
 
     idx = list(range(k))
     x_used = list(x_cols)
@@ -509,36 +574,131 @@ def _pooled_cluster_onepass(df, y_col, x_cols, cluster_key, check_rank, tol):
     C = C[np.ix_(idx, idx, idx, idx)]
 
     b = _solve(G, Xty)
-    bv = b[:, 0]
-    # meat_ij = A_ij − (Bb)_ij − (Bb)_ji + (b'Cb)_ij  with
-    # (Bb)_ij = Σ_l B[i,j,l]·b_l, (b'Cb)_ij = Σ_lp b_l·C[i,l,j,p]·b_p
-    M1 = np.einsum("ijl,l->ij", B, bv)
-    M2 = np.einsum("iljp,l,p->ij", C, bv, bv)
-    meat = A - M1 - M1.T + M2
-    # Cancellation guard: the expansion subtracts O((X'y)²)-sized
-    # terms to reach an O(u²)-sized result — when a diagonal keeps
-    # < ~8 safe digits against the positive parts, or goes negative
-    # (Σ u_i² cannot), discard and let the caller run the exact
-    # two-pass scores path.
-    ku = len(x_used)
-    for i in range(ku):
-        pos = A[i, i] + 2.0 * abs(M1[i, i]) + abs(M2[i, i])
-        if pos > 0.0 and not meat[i, i] > pos * 1e-8:
-            return None
-    # Off-diagonal digits guard (review r15): an off-diagonal entry's
-    # error bound is 1e-16·pos_ij; require it small against the PSD
-    # bound sqrt(meat_ii·meat_jj) so V's assembled entries keep ~8
-    # safe digits everywhere, not just on the diagonal.
-    for i in range(ku):
-        for j in range(i + 1, ku):
-            pos = (
-                abs(A[i, j]) + abs(M1[i, j]) + abs(M1[j, i]) + abs(M2[i, j])
+    meat = _meat_from_tensors(A, B, C, b[:, 0])
+    if meat is None:
+        return None
+    G_inv = np.linalg.pinv(G)
+    res = EstimateResult(
+        b=b, coef_names=list(x_used), x_cols=list(x_used),
+        plan="pooled", n=n,
+    )
+    res.V = [G_inv @ meat @ G_inv]
+    res.v_coef_names = list(x_used)
+    return res
+
+
+def _pooled_cluster2_onepass(df, y_col, x_cols, key_a, key_b, check_rank, tol):
+    """Two-way (Cameron–Gelbach–Miller) cluster-robust pooled OLS with
+    ONE full-data pass (optimization r15, guide §1.2 "fewer passes").
+
+    The exact path costs FOUR full-data scans: the Gram pass, then a
+    per-cluster score aggregation at the fitted b for each of the three
+    CGM groupings (a, b, a∩b). But every per-dimension moment block is
+    an ADDITIVE roll-up of the pair-level blocks — ``X_a'X_a =
+    Σ_b X_{ab}'X_{ab}`` — so one ``groupBy(a, b)`` moment pass,
+    persisted (|a×b| rows × k(k+3)/2+1 doubles — the cluster table,
+    never the data), supports all three meat computations: a pair-level
+    tensor reduction and two re-aggregation reductions, each over the
+    pair table only. b solves from the same pass's global moments; the
+    three meats assemble on the driver; ``M = M_a + M_b − M_ab``.
+
+    Returns None — caller falls back to the exact four-pass path — when
+    any (x, y) column carries NULL/NaN (row-wise residual NULL
+    semantics are not reproduced by per-entry moment sums) or when ANY
+    of the three meats fails the cancellation guard (each is a Σuu' in
+    exact arithmetic, so the one-way guards apply per grouping; only
+    the CGM *combination* may be legitimately non-PSD).
+    """
+    from pyspark import StorageLevel
+
+    k = len(x_cols)
+    P = [(j, l) for j in range(k) for l in range(j, k)]
+    xv = [F.col(c).cast("double") for c in x_cols]
+    yv = F.col(y_col).cast("double")
+    bad_flags = _null_nan_flags(df, list(x_cols) + [y_col])
+
+    need = list(dict.fromkeys([key_a, key_b, *x_cols, y_col]))
+    pair = (
+        _spread_by_keys(df.select(*need), [key_a, key_b])
+        .groupBy(key_a, key_b)
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            *[F.sum(xv[j] * xv[l]).alias(f"__xx_{j}_{l}") for j, l in P],
+            *[F.sum(xv[i] * yv).alias(f"__xy_{i}") for i in range(k)],
+            *bad_flags,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        row_ab = pair.agg(
+            *_tensor_agg_exprs(
+                k,
+                extra=[
+                    F.max(f"__bad_{i}").alias(f"__bad_{i}")
+                    for i in range(k + 1)
+                ],
             )
-            if pos > 0.0 and not (
-                np.sqrt(max(meat[i, i], 0.0) * max(meat[j, j], 0.0))
-                > pos * 1e-8
-            ):
-                return None
+        )
+        _maybe_dump_plan(row_ab, "planA_cluster2_onepass_ab")
+        row_ab = row_ab.collect()[0]
+        if any(int(row_ab[f"__bad_{i}"] or 0) for i in range(k + 1)):
+            return None
+
+        roll = [
+            F.sum("__w").alias("__w"),
+            *[F.sum(f"__xx_{j}_{l}").alias(f"__xx_{j}_{l}") for j, l in P],
+            *[F.sum(f"__xy_{i}").alias(f"__xy_{i}") for i in range(k)],
+        ]
+        dims = []
+        for nm, key in (("a", key_a), ("b", key_b)):
+            r = pair.groupBy(key).agg(*roll).agg(*_tensor_agg_exprs(k))
+            if nm == "a":
+                _maybe_dump_plan(r, "planA_cluster2_onepass_dim")
+            dims.append(r)
+        # The two dimension roll-ups are independent jobs over the
+        # (already materialized) pair table — submit both at once so
+        # the second back-fills the first's task tail (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            dim_rows = list(pool.map(lambda d: d.collect()[0], dims))
+    finally:
+        pair.unpersist(False)
+
+    n, G, Xty, A_ab, B_ab, C_ab = _tensors_from_row(row_ab, k)
+    _, _, _, A_a, B_a, C_a = _tensors_from_row(dim_rows[0], k)
+    _, _, _, A_b, B_b, C_b = _tensors_from_row(dim_rows[1], k)
+
+    idx = list(range(k))
+    x_used = list(x_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G, tol=tol)
+        if ci:
+            idx = ki
+            x_used = [x_cols[i] for i in ki]
+            G = G[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+
+    def _sub(A, B, C):
+        return (
+            A[np.ix_(idx, idx)],
+            B[np.ix_(idx, idx, idx)],
+            C[np.ix_(idx, idx, idx, idx)],
+        )
+
+    b = _solve(G, Xty)
+    bv = b[:, 0]
+    meats = []
+    for A, B, C in (
+        _sub(A_a, B_a, C_a),
+        _sub(A_b, B_b, C_b),
+        _sub(A_ab, B_ab, C_ab),
+    ):
+        m = _meat_from_tensors(A, B, C, bv)
+        if m is None:
+            return None
+        meats.append(m)
+    meat = meats[0] + meats[1] - meats[2]
     G_inv = np.linalg.pinv(G)
     res = EstimateResult(
         b=b, coef_names=list(x_used), x_cols=list(x_used),
@@ -568,6 +728,23 @@ def _plan_pooled(
     ):
         res = _pooled_cluster_onepass(
             df, y_cols[0], list(x_cols), cluster[0], check_rank, tol
+        )
+        if res is not None:
+            return res
+    if (
+        estimate_variance
+        and cluster is not None
+        and len(cluster) == 2
+        and not get_residual
+        and not robust
+        and len(y_cols) == 1
+        and len(x_cols) <= _CLUSTER_FAST_MAX_K
+        and len(set(list(x_cols) + list(y_cols))) == len(x_cols) + 1
+        and _os_env.environ.get("HDFE_CLUSTER2_FAST", "1") != "0"
+    ):
+        res = _pooled_cluster2_onepass(
+            df, y_cols[0], list(x_cols), cluster[0], cluster[1],
+            check_rank, tol,
         )
         if res is not None:
             return res
