@@ -37,6 +37,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Query-scoped persists (optimization r16, ADVICE r15): Spark has no
+# "persist for the duration of this query" — a signature table cached
+# so both sides of a self-join read ONE Arrow pass stays registered in
+# the CacheManager until unpersisted, so repeated operator calls in a
+# long session would otherwise accumulate executor-cached tables.
+# Handles registered here are unpersisted FIFO once more than
+# _SCOPED_PERSIST_CAP are outstanding (unpersisting never changes
+# values — a still-referenced lineage just recomputes), and callers
+# can force cleanup with :func:`release_query_caches`.
+_SCOPED_PERSISTS: list = []
+_SCOPED_PERSIST_CAP = 4
+
+
+def _query_scoped_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCOPED_PERSISTS.append(out)
+    while len(_SCOPED_PERSISTS) > _SCOPED_PERSIST_CAP:
+        old = _SCOPED_PERSISTS.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    return out
+
+
+def release_query_caches() -> None:
+    """Unpersist every outstanding query-scoped signature cache."""
+    while _SCOPED_PERSISTS:
+        old = _SCOPED_PERSISTS.pop()
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+
+
 # ------------------------------------------------------------- exact
 
 
@@ -161,6 +198,8 @@ def ngram_jaccard_pairs(
     # to string sets up to 2^-64 collisions). Repartition first: the
     # fixture tables are single parquet files → a single task would
     # otherwise serialize all per-doc hashing on one core.
+    import os
+
     from hdfe_spark.functions.hashing import make_jaccard_udf, make_kgram_set_udf
 
     from hdfe_spark.session import py_stage_partitions
@@ -172,6 +211,15 @@ def ngram_jaccard_pairs(
         .repartition(par, F.col(id_col))
         .select(F.col(id_col), kset(F.col(text_col)).alias("__sh"))
     )
+    # Fused signature table (optimization r16, guide §1.2/§4 — the
+    # minhash_dedup r15 rewrite applied here): without the persist the
+    # two joins below each evaluate their own copy of the Arrow
+    # shingle pass (the UDF sits above the reusable exchange), so the
+    # corpus is hashed twice per call. One query-scoped persisted pass
+    # feeds both sides; hashes are identical, so every jaccard is
+    # bit-identical. ``HDFE_NGRAM_FUSED=0`` restores the unfused plan.
+    if os.environ.get("HDFE_NGRAM_FUSED", "1") != "0":
+        sets = _query_scoped_persist(sets)
     jac = make_jaccard_udf()
     out = (
         pairs.join(sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")), on="id_a")
@@ -209,8 +257,6 @@ def minhash_dedup(
     import os
 
     if os.environ.get("HDFE_MINHASH_FUSED", "1") != "0":
-        from pyspark import StorageLevel
-
         from hdfe_spark.functions.hashing import (
             make_jaccard_udf,
             make_minhash_bands_and_set_udf,
@@ -219,7 +265,7 @@ def minhash_dedup(
 
         par = py_stage_partitions(df.sparkSession)
         fused = make_minhash_bands_and_set_udf(num_hashes, bands, shingle_k)
-        sig = (
+        sig = _query_scoped_persist(
             df.select(id_col, text_col)
             .repartition(par, F.col(id_col))
             .select(F.col(id_col), fused(F.col(text_col)).alias("__s"))
@@ -228,7 +274,6 @@ def minhash_dedup(
                 F.col("__s.bands").alias("__bands"),
                 F.col("__s.shingles").alias("__sh"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         banded = sig.select(
             F.col(id_col),
@@ -554,13 +599,10 @@ def embedding_neardup_pairs(
         # Outputs are declared-surface identical either way
         # (tools/equiv_r15b.py: rounded query + recall cert bitwise
         # equal at sf0.001/0.01/0.1; raw cosines agree to 1e-12).
-        from pyspark import StorageLevel
-
         par = py_stage_partitions(df.sparkSession)
-        base = (
+        base = _query_scoped_persist(
             df.select(F.col(id_col), F.col(vec_col))
             .repartition(par, F.col(id_col))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         banded_ids = base.select(
             F.col(id_col),

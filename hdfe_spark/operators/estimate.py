@@ -62,6 +62,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import os as _os_env
+import re as _re
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -233,10 +234,11 @@ def _append_residuals(
     return df.select("*", *exprs)
 
 
-def _sum_sq(df: DataFrame, cols: list[str]) -> np.ndarray:
-    row = df.agg(
-        *[F.sum(F.col(c) * F.col(c)).alias(c) for c in cols]
-    ).collect()[0]
+def _sum_sq(df: DataFrame, cols: list[str], dump: str | None = None) -> np.ndarray:
+    agg = df.agg(*[F.sum(F.col(c) * F.col(c)).alias(c) for c in cols])
+    if dump:
+        _maybe_dump_plan(agg, dump)
+    row = agg.collect()[0]
     return np.array([float(row[c]) if row[c] is not None else 0.0 for c in cols])
 
 
@@ -311,7 +313,10 @@ def _homoskedastic_V(
 
 
 def _hc1_meat(
-    df: DataFrame, resid_cols: list[str], x_cols: list[str]
+    df: DataFrame,
+    resid_cols: list[str],
+    x_cols: list[str],
+    dump: str | None = None,
 ) -> dict[str, np.ndarray]:
     """White/HC1 sandwich 'meat' ``Σᵢ eᵢ² xᵢxᵢ'`` for every outcome in
     ONE fused aggregation — k(k+1)/2 upper-triangle sums per outcome,
@@ -330,7 +335,10 @@ def _hc1_meat(
                         f"__m_{rc}_{i}_{j}"
                     )
                 )
-    row = df.agg(*exprs).collect()[0]
+    agg = df.agg(*exprs)
+    if dump:
+        _maybe_dump_plan(agg, dump)
+    row = agg.collect()[0]
     out = {}
     for rc in resid_cols:
         M = np.zeros((k, k))
@@ -608,10 +616,32 @@ def _pooled_cluster2_onepass(df, y_col, x_cols, key_a, key_b, check_rank, tol):
     of the three meats fails the cancellation guard (each is a Σuu' in
     exact arithmetic, so the one-way guards apply per grouping; only
     the CGM *combination* may be legitimately non-PSD).
+
+    Pair-cardinality gate (optimization r16, guide §1.2 applied
+    honestly): the one-pass plan only wins when rows ≫ |a×b| pairs —
+    when the pair table is near row-identity (the local fixture:
+    591k pairs / 600k rows) the groupBy(a, b) reduces nothing, so
+    materializing the pair table is pure overhead and the exact
+    four-pass path is faster (measured +0.6–1.5 s warm at sf0.1).
+    A cheap key-only probe (ONE aggregation over the two projected
+    key columns — approx_count_distinct + count, deterministic HLL,
+    column-pruned at the scan so it reads a few % of the bytes a
+    full pass would) decides: one-pass only when
+    pairs/rows ≤ ``HDFE_CLUSTER2_PAIR_RATIO`` (default 0.5).
     """
     from pyspark import StorageLevel
 
     k = len(x_cols)
+    ratio_max = float(_os_env.environ.get("HDFE_CLUSTER2_PAIR_RATIO", "0.5"))
+    probe = df.select(key_a, key_b).agg(
+        F.approx_count_distinct(F.struct(key_a, key_b)).alias("__pairs"),
+        F.count(F.lit(1)).alias("__rows"),
+    )
+    _maybe_dump_plan(probe, "planA_cluster2_pairgate")
+    prow = probe.collect()[0]
+    n_rows = int(prow["__rows"] or 0)
+    if n_rows == 0 or int(prow["__pairs"] or 0) > ratio_max * n_rows:
+        return None
     P = [(j, l) for j in range(k) for l in range(j, k)]
     xv = [F.col(c).cast("double") for c in x_cols]
     yv = F.col(y_col).cast("double")
@@ -709,6 +739,138 @@ def _pooled_cluster2_onepass(df, y_col, x_cols, key_a, key_b, check_rank, tol):
     return res
 
 
+def _pooled_hc1_onepass(df, y_col, x_cols, check_rank, tol):
+    """White/HC1-robust pooled OLS in ONE full-data pass
+    (optimization r16, guide §1.2 "fewer passes").
+
+    The exact path scans twice: the Gram pass, then (at the fitted b)
+    the ``Σ eᵢ² xᵢxᵢ'`` meat pass. But HC1 is the one-way cluster
+    sandwich with every row its own cluster, so the
+    ``_pooled_cluster_onepass`` tensor identity applies with the
+    first-level groupBy removed entirely: the per-row moment products
+    (Xy⊗Xy, Xy⊗XX, XX⊗XX upper triangles) aggregate directly in one
+    fused pass, and ``meat = A − Bb − (Bb)' + b'Cb`` assembles on the
+    driver. Returns None — caller falls back to the exact two-pass
+    path — on NULL/NaN anywhere in (x, y), or when the expanded meat
+    fails the `_meat_from_tensors` cancellation guards."""
+    k = len(x_cols)
+    P = [(j, l) for j in range(k) for l in range(j, k)]
+    xv = [F.col(c).cast("double") for c in x_cols]
+    yv = F.col(y_col).cast("double")
+    bad_flags = _null_nan_flags(df, list(x_cols) + [y_col])
+    xx = {(j, l): xv[j] * xv[l] for j, l in P}
+    xy = [xv[i] * yv for i in range(k)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *bad_flags,
+        *[F.sum(xx[(j, l)]).alias(f"__g_{j}_{l}") for j, l in P],
+        *[F.sum(xy[i]).alias(f"__t_{i}") for i in range(k)],
+        *[
+            F.sum(xy[i] * xy[j]).alias(f"__a_{i}_{j}")
+            for i in range(k)
+            for j in range(i, k)
+        ],
+        *[
+            F.sum(xy[i] * xx[(j, l)]).alias(f"__b_{i}_{j}_{l}")
+            for i in range(k)
+            for j, l in P
+        ],
+        *[
+            F.sum(xx[P[p]] * xx[P[q]]).alias(f"__c_{p}_{q}")
+            for p in range(len(P))
+            for q in range(p, len(P))
+        ],
+    )
+    _maybe_dump_plan(row, "planA_hc1_onepass")
+    row = row.collect()[0]
+    if any(int(row[f"__bad_{i}"] or 0) for i in range(k + 1)):
+        return None
+    n, G, Xty, A, B, C = _tensors_from_row(row, k)
+
+    idx = list(range(k))
+    x_used = list(x_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G, tol=tol)
+        if ci:
+            idx = ki
+            x_used = [x_cols[i] for i in ki]
+            G = G[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+    A = A[np.ix_(idx, idx)]
+    B = B[np.ix_(idx, idx, idx)]
+    C = C[np.ix_(idx, idx, idx, idx)]
+
+    b = _solve(G, Xty)
+    meat = _meat_from_tensors(A, B, C, b[:, 0])
+    if meat is None:
+        return None
+    G_inv = np.linalg.pinv(G)
+    hc1 = n / max(n - len(x_used), 1)
+    res = EstimateResult(
+        b=b, coef_names=list(x_used), x_cols=list(x_used),
+        plan="pooled", n=n,
+    )
+    res.V = [G_inv @ meat @ G_inv * hc1]
+    res.v_coef_names = list(x_used)
+    return res
+
+
+def _pooled_homosked_onepass(df, y_cols, x_cols, check_rank, tol):
+    """Homoskedastic-SE pooled OLS in ONE full-data pass
+    (optimization r16, guide §1.2).
+
+    The exact path scans twice (Gram, then the residual-RSS pass);
+    but ``rss = y'y − 2b'X'y + b'Gb`` closed-form, so extending the
+    Gram aggregation with the y-block second moments makes the second
+    scan redundant. Returns None — caller falls back to the exact
+    two-pass path — on NULL/NaN anywhere in (x, y) (the exact path's
+    per-row NULL residual semantics are not reproduced by pairwise
+    moment sums) or when `_rss_from_moments`' cancellation guard
+    trips (R² ≈ 1)."""
+    k, m = len(x_cols), len(y_cols)
+    all_cols = list(x_cols) + list(y_cols)
+    cv = [F.col(c).cast("double") for c in all_cols]
+    bad_flags = _null_nan_flags(df, all_cols)
+    pairs = [(i, j) for i in range(k + m) for j in range(i, k + m)]
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *bad_flags,
+        *[F.sum(cv[i] * cv[j]).alias(f"__g_{i}_{j}") for i, j in pairs],
+    )
+    _maybe_dump_plan(row, "planA_pooled_onepass")
+    row = row.collect()[0]
+    if any(int(row[f"__bad_{i}"] or 0) for i in range(k + m)):
+        return None
+    n = int(row["__n"] or 0)
+    M = np.zeros((k + m, k + m))
+    for i, j in pairs:
+        v = row[f"__g_{i}_{j}"]
+        M[i, j] = M[j, i] = 0.0 if v is None else float(v)
+    G = M[:k, :k]
+    Xty = M[:k, k:]
+    yy_diag = [float(M[k + t, k + t]) for t in range(m)]
+
+    x_used = list(x_cols)
+    if check_rank:
+        ci, ki = find_collinear_cols_gram(G, tol=tol)
+        if ci:
+            x_used = [x_cols[i] for i in ki]
+            G = G[np.ix_(ki, ki)]
+            Xty = Xty[ki, :]
+    b = _solve(G, Xty)
+    rss = _rss_from_moments(yy_diag, Xty, G, b)
+    if rss is None:
+        return None
+    G_inv = np.linalg.pinv(G)
+    res = EstimateResult(
+        b=b, coef_names=list(x_used), x_cols=list(x_used),
+        plan="pooled", n=n,
+    )
+    res.V = _homoskedastic_V(G_inv, rss, n, len(x_used))
+    res.v_coef_names = list(x_used)
+    return res
+
+
 def _plan_pooled(
     df, y_cols, x_cols, check_rank, estimate_variance,
     want_resid, get_residual, cluster, robust, tol,
@@ -748,6 +910,35 @@ def _plan_pooled(
         )
         if res is not None:
             return res
+    if (
+        estimate_variance
+        and cluster is None
+        and not get_residual
+        and len(set(list(x_cols) + list(y_cols)))
+        == len(x_cols) + len(y_cols)
+        and _os_env.environ.get("HDFE_POOLED_FAST", "1") != "0"
+    ):
+        # One-pass pooled SE paths (r16, guide §1.2): HC1 via the
+        # per-row tensor identity, homoskedastic via closed-form RSS.
+        # Both fall back internally (None) on NULL/NaN or guard trips.
+        res = None
+        if (
+            robust
+            and len(y_cols) == 1
+            and len(x_cols) <= _CLUSTER_FAST_MAX_K
+        ):
+            res = _pooled_hc1_onepass(
+                df, y_cols[0], list(x_cols), check_rank, tol
+            )
+        elif (
+            not robust
+            and len(x_cols) + len(y_cols) <= _WITHIN_FAST_MAX_COLS
+        ):
+            res = _pooled_homosked_onepass(
+                df, list(y_cols), list(x_cols), check_rank, tol
+            )
+        if res is not None:
+            return res
     if check_rank:
         G, Xty, n = gram_matrix(df, x_cols, y_cols)
         ci, ki = find_collinear_cols_gram(G, tol=tol)
@@ -777,11 +968,15 @@ def _plan_pooled(
             meat = _cluster_meat_multiway(with_resid, cluster, resid_cols, x_cols)
             res.V = [G_inv @ meat[rc] @ G_inv for rc in resid_cols]
         elif robust:
-            meat = _hc1_meat(with_resid, resid_cols, x_cols)
+            meat = _hc1_meat(
+                with_resid, resid_cols, x_cols, dump="planA_hc1_meat_scan"
+            )
             hc1 = n / max(n - len(x_cols), 1)
             res.V = [G_inv @ meat[rc] @ G_inv * hc1 for rc in resid_cols]
         else:
-            rss = _sum_sq(with_resid, resid_cols)
+            rss = _sum_sq(
+                with_resid, resid_cols, dump="planA_pooled_rss_scan"
+            )
             res.V = _homoskedastic_V(G_inv, rss, n, len(x_cols))
         res.v_coef_names = list(x_cols)
     return res
@@ -841,10 +1036,25 @@ def _spread_by_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         lp = df._jdf.queryExecution().logical().toString()
     except Exception:
         return df
-    if any(
-        k in lp
-        for k in ("Window", "Aggregate", "Join", "Repartition", "Sort")
-    ):
+    # Classify by the NODE NAME at the start of each tree line, not by
+    # raw substring containment (review r16): the plan string also
+    # prints user identifiers, so a column named e.g. 'SortKey' would
+    # otherwise make a shuffle-free scan look exchanged and silently
+    # disable the spread. Tree-drawing prefixes are spaces and
+    # ':+-|'; unresolved nodes carry a leading apostrophe.
+    nodes = {
+        m.group(1)
+        for m in _re.finditer(r"(?m)^[\s:+\-|]*'?([A-Za-z][A-Za-z0-9]*)", lp)
+    }
+    if nodes & {
+        "Window",
+        "Aggregate",
+        "Join",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+    }:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -865,6 +1075,13 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     per-column null semantics are not reproduced by the listwise
     identity) or when a demeaned diagonal fails the Plan-C
     cancellation guard (< ~8 safe digits vs the raw second moment).
+
+    Returns ``(G_x, Xty, n, Gf, n_levels)`` (optimization r16): the
+    full demeaned moment matrix ``Gf`` over x_all + y_cols (its y-block
+    diagonal is ỹ'ỹ — the closed-form RSS ingredient) and the fe1
+    level count (the number of first-level groups, NULL level
+    included) ride along so variance-requesting callers need no
+    second pass.
     """
     all_cols = list(x_all) + list(y_cols)
     k = len(all_cols)
@@ -882,6 +1099,7 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     )
     row = cells.agg(
         F.sum("__w").alias("__n"),
+        F.count(F.lit(1)).alias("__cells"),
         *[F.max(f"__bad_{i}").alias(f"__bad_{i}") for i in range(k)],
         *[
             F.sum(
@@ -897,6 +1115,7 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     if any(int(row[f"__bad_{i}"] or 0) for i in range(k)):
         return None
     n = int(row["__n"] or 0)
+    n_levels = int(row["__cells"] or 0)
     Gf = np.zeros((k, k))
     for i, j in pairs:
         v = row[f"__win_{i}_{j}"]
@@ -924,7 +1143,31 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
             cond = float(np.linalg.cond(G_x / np.outer(d, d)))
         if not cond * loss < 1e7:
             return None
-    return G_x, Gf[:k_x, k_x:], n
+    return G_x, Gf[:k_x, k_x:], n, Gf, n_levels
+
+
+def _rss_from_moments(yy_diag, Xty, G, b):
+    """Closed-form residual sum of squares per outcome,
+    ``rss_m = ỹ'ỹ − 2·b_m'X̃'y_m + b_m'G b_m`` — the identity that
+    lets a variance-requesting caller skip the residual scan
+    entirely (optimization r16, guide §1.2 "fewer passes").
+
+    Returns None when any outcome keeps < ~8 safe digits against the
+    positive parts of the expansion (R² ≈ 1: the subtraction cancels
+    catastrophically) — the caller then runs the exact residual-scan
+    RSS, whose per-row subtraction does not amplify."""
+    out = []
+    for m in range(len(yy_diag)):
+        bm = b[:, m]
+        t1 = float(yy_diag[m])
+        t2 = 2.0 * float(bm @ Xty[:, m])
+        t3 = float(bm @ G @ bm)
+        rss = t1 - t2 + t3
+        pos = abs(t1) + abs(t2) + abs(t3)
+        if pos > 0.0 and not rss > pos * 1e-8:
+            return None
+        out.append(max(rss, 0.0))
+    return np.array(out)
 
 
 def _plan_within(
@@ -944,14 +1187,13 @@ def _plan_within(
     dm_cols = None
     fast = None
     if (
-        not estimate_variance
-        and not robust
+        not robust
         and cluster is None
         and len(set(x_all + y_cols)) == len(x_all) + len(y_cols)
         and len(x_all) + len(y_cols) <= _WITHIN_FAST_MAX_COLS
         and _os_env.environ.get("HDFE_WITHIN_FAST", "1") != "0"
     ):
-        # Slopes-only fast path (optimization round 15, guide §2.3
+        # Moment fast path (optimization round 15, guide §2.3
         # "aggregate before you shuffle"): the demeaned Gram is a sum
         # of per-fe1-level within-group central moments, so ONE
         # groupBy(fe1) with map-side partial aggregation (a level-
@@ -965,10 +1207,22 @@ def _plan_within(
         # demean has per-column null semantics that the listwise
         # moment identity does not reproduce) or when any demeaned
         # diagonal fails the Plan-C cancellation guard.
+        #
+        # Extended r16 to homoskedastic variance-requesting callers
+        # (the downstream V needs only RSS — closed-form from the
+        # same pass's ỹ'ỹ block — and the level count, which rides
+        # the reduction): HC1/cluster callers still need per-row
+        # demeaned scores (__dm_* columns) and keep the window path.
         fast = _within_moments_gram(work, fe1, x_all, y_cols)
 
+    yy_diag = None
+    n_cells = None
     if fast is not None:
-        G_dm, Xty, n = fast
+        G_dm, Xty, n, Gf_full, n_cells = fast
+        k_x0 = len(x_all)
+        yy_diag = [
+            float(Gf_full[k_x0 + m, k_x0 + m]) for m in range(len(y_cols))
+        ]
     else:
         # Demean x within fe1 — one window pass for all columns.
         w = Window.partitionBy(fe1)
@@ -980,6 +1234,11 @@ def _plan_within(
 
         # Demeaned Gram + X̃'y in one pass (X̃'y == X̃'ỹ by orthogonality).
         G_dm, Xty, n = gram_matrix(work, dm_cols, y_cols)
+    # Full pre-rank-repair __dm_* list: the public residual frame must
+    # drop ALL of them, including those of rank-dropped regressors
+    # (ADVICE r15 — slicing dm_cols below would leak the dropped
+    # columns' __dm_* into the residual schema on the window path).
+    dm_cols_all = list(dm_cols) if dm_cols else None
     if check_rank:
         ci, ki = find_collinear_cols_gram(G_dm, tol=tol)
         if ci:
@@ -1046,12 +1305,18 @@ def _plan_within(
         # path computed the slopes (review r15): the moment fast path
         # never materializes __dm_* columns, so drop them here too —
         # both paths emit (input cols + dummy cols + resid cols).
-        res.residuals = netted.drop(*dm_cols) if dm_cols else netted
+        # Dropping the FULL pre-rank-repair list (ADVICE r15) keeps
+        # that contract when check_rank removed collinear regressors.
+        res.residuals = (
+            netted.drop(*dm_cols_all) if dm_cols_all else netted
+        )
 
     if estimate_variance:
         # Level count from one count-aggregate — never a levels-sized
         # collect unless the small-FE covariance block is requested.
-        n_levels = fe_agg.count()
+        # The moment fast path already carries the level count on its
+        # reduction row (r16) — no extra job.
+        n_levels = n_cells if n_cells is not None else fe_agg.count()
         k_x = len(x_all)
         k_total = n_levels + k_x
         # Blockwise (X'X)⁻¹ for X = [D₁ | x]: A = diag(counts),
@@ -1067,7 +1332,17 @@ def _plan_within(
             res.V = [S_inv @ meat[rc] @ S_inv * hc1 for rc in resid_cols]
             res.v_coef_names = list(x_all)
         elif cluster is None:
-            rss = _sum_sq(netted, resid_cols)
+            # RSS closed-form from the moment pass when it ran (r16,
+            # guide §1.2): rss = ỹ'ỹ − 2b'X̃'y + b'Gb — the exact
+            # netting-scan RSS only when the cancellation guard trips
+            # (R² ≈ 1) or the window path computed the Gram.
+            rss = (
+                _rss_from_moments(yy_diag, Xty, G_dm, b_x)
+                if yy_diag is not None
+                else None
+            )
+            if rss is None:
+                rss = _sum_sq(netted, resid_cols)
             dof = max(n - k_total, 1)
             if n_levels <= 2000:
                 sums = work.groupBy(fe1).agg(
@@ -2116,22 +2391,44 @@ def fit_stats(
         # stays — it is its own absorbed group).
         complete = _and_complete(F.lit(True), df, x_cols + [y])
         df = df.filter(complete)
-        wspec = Window.partitionBy(fe)
         cols = x_cols + [y]
-        dm = [f"__dm_{c}" for c in cols]
-        work = df.select(
-            *[(F.col(c) - F.avg(c).over(wspec)).alias(d) for c, d in zip(cols, dm)]
-        )
-        M, _, n = gram_matrix(work, dm, None)
-        # A NULL FE level is its own absorbed group (the window
-        # demeans it like any other partition), but countDistinct
-        # skips NULL — add it back so dof matches what was absorbed
-        # (review r12; _plan_within's fe_agg.count() gets this free).
-        grow = df.agg(
-            F.countDistinct(F.col(fe)).alias("g"),
-            F.max(F.col(fe).isNull().cast("int")).alias("has_null"),
-        ).collect()[0]
-        n_groups = int(grow["g"]) + int(grow["has_null"] or 0)
+        # Moment fast path (optimization r16, guide §2.3/§2.4): the
+        # demeaned moment matrix M is a sum of per-fe-level central
+        # moments, so ONE groupBy(fe) pass (map-side partials, level-
+        # sized exchange) replaces the full-data window shuffle+sort —
+        # and its reduction row carries the level count, replacing the
+        # separate countDistinct job. The complete-row filter above
+        # means the NULL/NaN decline can only trip on exotic dtypes;
+        # any decline (or the cancellation guard) falls back to the
+        # exact window path unchanged.
+        fast = None
+        if (
+            len(set(cols)) == len(cols)
+            and len(cols) <= _WITHIN_FAST_MAX_COLS
+            and _os_env.environ.get("HDFE_WITHIN_FAST", "1") != "0"
+        ):
+            fast = _within_moments_gram(df, fe, x_cols, [y])
+        if fast is not None:
+            _, _, n, M, n_groups = fast
+        else:
+            wspec = Window.partitionBy(fe)
+            dm = [f"__dm_{c}" for c in cols]
+            work = df.select(
+                *[
+                    (F.col(c) - F.avg(c).over(wspec)).alias(d)
+                    for c, d in zip(cols, dm)
+                ]
+            )
+            M, _, n = gram_matrix(work, dm, None)
+            # A NULL FE level is its own absorbed group (the window
+            # demeans it like any other partition), but countDistinct
+            # skips NULL — add it back so dof matches what was absorbed
+            # (review r12; _plan_within's fe_agg.count() gets this free).
+            grow = df.agg(
+                F.countDistinct(F.col(fe)).alias("g"),
+                F.max(F.col(fe).isNull().cast("int")).alias("has_null"),
+            ).collect()[0]
+            n_groups = int(grow["g"]) + int(grow["has_null"] or 0)
     else:
         # Centered moments closed-form: S_c = S_raw − n·mm' (one pass).
         # NULL contract (ADVICE r12): one shared complete-row mask

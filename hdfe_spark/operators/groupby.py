@@ -217,8 +217,18 @@ def grouped_transform(
         for fn in fns:
             if fn not in _NAMED_FNS:
                 raise KeyError(f"unknown aggregate fn {fn!r}")
-    if os.environ.get("HDFE_TRANSFORM_JOIN", "1") != "0" and all(
-        fn in _ORDER_FREE_FNS for _, fns in items for fn in fns
+    # Output-name collisions keep the window path (review r16): the
+    # join plan APPENDS `{fn}_{col}`, so a pre-existing column of that
+    # name would become duplicate/ambiguous downstream, whereas
+    # withColumn (the window path) replaces it — the pre-r15 contract.
+    existing = set(df.columns)
+    collides = any(
+        f"{fn}_{col}" in existing for col, fns in items for fn in fns
+    )
+    if (
+        os.environ.get("HDFE_TRANSFORM_JOIN", "1") != "0"
+        and not collides
+        and all(fn in _ORDER_FREE_FNS for _, fns in items for fn in fns)
     ):
         return _transform_via_join(df, keys, items)
     w = Window.partitionBy(*keys)
@@ -394,9 +404,13 @@ class Groupby:
             # any hash partitioning on the keys satisfies it) with
             # ~cores/4 workers and larger Arrow batches. Persisted
             # handles are already key-partitioned — leave them be.
+            # r16: the width is data-aware — it grows with the input
+            # size estimate past the cores/4 floor (up to 2×cores) so
+            # a CPU-heavy Python stage over a large input is not
+            # capped at 25% of cluster parallelism.
             from hdfe_spark.session import py_stage_partitions
 
             base = base.repartition(
-                py_stage_partitions(base.sparkSession), *self.keys
+                py_stage_partitions(base.sparkSession, base), *self.keys
             )
         return base.groupBy(*self.keys).applyInPandas(run, schema=schema)

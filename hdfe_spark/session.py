@@ -18,23 +18,52 @@ import os
 from pyspark.sql import SparkSession
 
 
-def py_stage_partitions(spark: "SparkSession | None" = None) -> int:
+def py_stage_partitions(
+    spark: "SparkSession | None" = None, df=None
+) -> int:
     """Partition width for Arrow/pandas-UDF stages over small-to-mid
     tables.
 
     Resolution order: explicit ``HDFE_PY_STAGE_PARTITIONS`` env →
-    scale with the session's ``defaultParallelism`` (one Python-stage
-    task per ~4 cores: measured on local[32], >8 simultaneous Python
-    workers per stage cost 3-10× in worker spawn/attach overhead, so
-    32 cores → 8 tasks; a 1000-executor × 4-core cluster → 1000
-    tasks) → conservative 8. Never a fixed width independent of the
-    cluster."""
+    data-aware width when a frame is supplied (optimization r16,
+    review r15: a flat cores/4 derate is a local worker-spawn
+    heuristic — at scale it would cap a CPU-heavy Arrow stage at 25%
+    of cluster parallelism, so the width grows with the optimizer's
+    input-size estimate at ``HDFE_PY_STAGE_TARGET_BYTES`` per task,
+    clamped to [cores/4, 2×cores]) → plain ``defaultParallelism // 4``
+    (one Python-stage task per ~4 cores: measured on local[32], >8
+    simultaneous Python workers per stage cost 3-10× in worker
+    spawn/attach overhead, so 32 cores → 8 tasks) → conservative 8.
+    Never a fixed width independent of the cluster. On the local
+    fixtures the size estimate stays below one target block, so the
+    floor applies and the width is unchanged from r15."""
     env = os.environ.get("HDFE_PY_STAGE_PARTITIONS")
     if env:
         return int(env)
-    if spark is not None:
-        return max(8, spark.sparkContext.defaultParallelism // 4)
-    return 8
+    if spark is None and df is not None:
+        spark = df.sparkSession
+    if spark is None:
+        return 8
+    cores = spark.sparkContext.defaultParallelism
+    floor = max(8, cores // 4)
+    if df is not None:
+        try:
+            size = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            target = int(
+                os.environ.get(
+                    "HDFE_PY_STAGE_TARGET_BYTES", str(64 * 1024 * 1024)
+                )
+            )
+            want = -(-size // max(target, 1))
+            return min(max(floor, want), max(floor, cores * 2))
+        except Exception:
+            pass
+    return floor
 
 
 def get_spark(
