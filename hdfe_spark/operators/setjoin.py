@@ -116,6 +116,19 @@ def setsim_join(
             F.size("o").alias("n"),
         )
     )
+    # Fused ordered-set table (optimization r16, guide §1.2): the
+    # `ordered` subtree feeds FOUR consumers (both prefix self-join
+    # sides and both verify joins); ReusedExchange shares the
+    # exchanges below its final aggregation, but the per-document
+    # collect_list + array_sort re-executes per consumer — a
+    # query-scoped persist runs it once. Values unchanged (same
+    # lineage); ``HDFE_SETSIM_FUSED=0`` restores the unfused plan.
+    import os
+
+    if os.environ.get("HDFE_SETSIM_FUSED", "1") != "0":
+        from hdfe_spark.operators.dedup import _query_scoped_persist
+
+        ordered = _query_scoped_persist(ordered)
     p = (F.col("n") - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9)) + F.lit(1)).cast("int")
     prefixes = ordered.select(
         "id", F.explode(F.slice("set", F.lit(1), p)).alias("tok")

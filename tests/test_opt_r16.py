@@ -387,6 +387,24 @@ def test_query_scoped_persist_bounded_and_releasable(spark):
     assert not D._SCOPED_PERSISTS
 
 
+def test_setsim_fused_values_identical(spark, monkeypatch):
+    from hdfe_spark.operators.setjoin import setsim_join
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "a completely different sentence with other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = setsim_join(df, tau=0.5).collect()
+    monkeypatch.setenv("HDFE_SETSIM_FUSED", "0")
+    plain = setsim_join(df, tau=0.5).collect()
+    key = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in fused)
+    assert key == sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in plain)
+    assert key  # non-empty: the near-dup pairs were found
+
+
 def test_ngram_fused_values_identical(spark, sf_dir, monkeypatch):
     from hdfe_spark.operators.dedup import ngram_jaccard_pairs
     from hdfe_spark.sources.tables import load_table

@@ -226,6 +226,15 @@ def main():
             ],
             reps,
         )
+    elif exp == "setsim":
+        run_variants(
+            spark, exp,
+            [
+                ("unfused", {"HDFE_SETSIM_FUSED": "0"}, q("setsim_join")),
+                ("fused", {"HDFE_SETSIM_FUSED": None}, q("setsim_join")),
+            ],
+            reps,
+        )
     elif exp == "minhash":
         run_variants(
             spark, exp,
