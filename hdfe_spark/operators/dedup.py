@@ -43,11 +43,22 @@ from pyspark.sql import functions as F
 # the CacheManager until unpersisted, so repeated operator calls in a
 # long session would otherwise accumulate executor-cached tables.
 # Handles registered here are unpersisted FIFO once more than
-# _SCOPED_PERSIST_CAP are outstanding (unpersisting never changes
-# values — a still-referenced lineage just recomputes), and callers
-# can force cleanup with :func:`release_query_caches`.
+# _scoped_persist_cap() are outstanding (unpersisting never changes
+# values — a still-referenced lineage just recomputes, which only
+# degrades back to the unfused plan), and callers can force cleanup
+# with :func:`release_query_caches`. The cap (default 8, env
+# ``HDFE_SCOPED_PERSIST_CAP``) is sized above the number of fused
+# operators a single composed pipeline registers before its first
+# action (review r16: eviction before the lazy consumer executes
+# would silently revert the fusion), while still bounding a long
+# session's cache growth.
 _SCOPED_PERSISTS: list = []
-_SCOPED_PERSIST_CAP = 4
+
+
+def _scoped_persist_cap() -> int:
+    import os
+
+    return int(os.environ.get("HDFE_SCOPED_PERSIST_CAP", "8"))
 
 
 def _query_scoped_persist(df: DataFrame) -> DataFrame:
@@ -55,7 +66,7 @@ def _query_scoped_persist(df: DataFrame) -> DataFrame:
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _SCOPED_PERSISTS.append(out)
-    while len(_SCOPED_PERSISTS) > _SCOPED_PERSIST_CAP:
+    while len(_SCOPED_PERSISTS) > _scoped_persist_cap():
         old = _SCOPED_PERSISTS.pop(0)
         try:
             old.unpersist(False)

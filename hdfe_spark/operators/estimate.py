@@ -758,29 +758,19 @@ def _pooled_hc1_onepass(df, y_col, x_cols, check_rank, tol):
     xv = [F.col(c).cast("double") for c in x_cols]
     yv = F.col(y_col).cast("double")
     bad_flags = _null_nan_flags(df, list(x_cols) + [y_col])
-    xx = {(j, l): xv[j] * xv[l] for j, l in P}
-    xy = [xv[i] * yv for i in range(k)]
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *bad_flags,
-        *[F.sum(xx[(j, l)]).alias(f"__g_{j}_{l}") for j, l in P],
-        *[F.sum(xy[i]).alias(f"__t_{i}") for i in range(k)],
-        *[
-            F.sum(xy[i] * xy[j]).alias(f"__a_{i}_{j}")
-            for i in range(k)
-            for j in range(i, k)
-        ],
-        *[
-            F.sum(xy[i] * xx[(j, l)]).alias(f"__b_{i}_{j}_{l}")
-            for i in range(k)
-            for j, l in P
-        ],
-        *[
-            F.sum(xx[P[p]] * xx[P[q]]).alias(f"__c_{p}_{q}")
-            for p in range(len(P))
-            for q in range(p, len(P))
-        ],
+    # Per-row moment-product columns under the SAME naming contract as
+    # the cluster paths' first-level aggregation, so the second-level
+    # machinery (`_tensor_agg_exprs` / `_tensors_from_row`) is reused
+    # verbatim instead of re-implemented (review r16). Catalyst
+    # collapses the projection into the aggregate — one fused pass.
+    need = list(dict.fromkeys(list(x_cols) + [y_col]))
+    per_row = df.select(
+        *[F.col(c) for c in need],
+        F.lit(1.0).alias("__w"),
+        *[(xv[j] * xv[l]).alias(f"__xx_{j}_{l}") for j, l in P],
+        *[(xv[i] * yv).alias(f"__xy_{i}") for i in range(k)],
     )
+    row = per_row.agg(*_tensor_agg_exprs(k, extra=bad_flags))
     _maybe_dump_plan(row, "planA_hc1_onepass")
     row = row.collect()[0]
     if any(int(row[f"__bad_{i}"] or 0) for i in range(k + 1)):
@@ -1076,12 +1066,14 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
     identity) or when a demeaned diagonal fails the Plan-C
     cancellation guard (< ~8 safe digits vs the raw second moment).
 
-    Returns ``(G_x, Xty, n, Gf, n_levels)`` (optimization r16): the
-    full demeaned moment matrix ``Gf`` over x_all + y_cols (its y-block
-    diagonal is ỹ'ỹ — the closed-form RSS ingredient) and the fe1
-    level count (the number of first-level groups, NULL level
-    included) ride along so variance-requesting callers need no
-    second pass.
+    Returns ``(G_x, Xty, n, Gf, n_levels, loss)`` (optimization r16):
+    the full demeaned moment matrix ``Gf`` over x_all + y_cols (its
+    y-block diagonal is ỹ'ỹ — the closed-form RSS ingredient), the
+    fe1 level count (the number of first-level groups, NULL level
+    included), and the digit-loss factor ``loss = max(ssᵢ/Gfᵢᵢ)`` —
+    the moment entries carry absolute error ~1e-16·ss = 1e-16·loss·Gf,
+    so downstream subtractions must scale their cancellation guards
+    by ``loss`` (review r16).
     """
     all_cols = list(x_all) + list(y_cols)
     k = len(all_cols)
@@ -1143,10 +1135,10 @@ def _within_moments_gram(work, fe1, x_all, y_cols):
             cond = float(np.linalg.cond(G_x / np.outer(d, d)))
         if not cond * loss < 1e7:
             return None
-    return G_x, Gf[:k_x, k_x:], n, Gf, n_levels
+    return G_x, Gf[:k_x, k_x:], n, Gf, n_levels, loss
 
 
-def _rss_from_moments(yy_diag, Xty, G, b):
+def _rss_from_moments(yy_diag, Xty, G, b, loss=1.0):
     """Closed-form residual sum of squares per outcome,
     ``rss_m = ỹ'ỹ − 2·b_m'X̃'y_m + b_m'G b_m`` — the identity that
     lets a variance-requesting caller skip the residual scan
@@ -1155,8 +1147,13 @@ def _rss_from_moments(yy_diag, Xty, G, b):
     Returns None when any outcome keeps < ~8 safe digits against the
     positive parts of the expansion (R² ≈ 1: the subtraction cancels
     catastrophically) — the caller then runs the exact residual-scan
-    RSS, whose per-row subtraction does not amplify."""
+    RSS, whose per-row subtraction does not amplify. ``loss`` is the
+    input moments' own digit-loss factor (``_within_moments_gram``'s
+    central-moment identity carries absolute error ~1e-16·loss·entry,
+    so the guard threshold must scale with it — review r16; raw
+    pooled moments pass the default 1.0)."""
     out = []
+    thresh = 1e-8 * max(loss, 1.0)
     for m in range(len(yy_diag)):
         bm = b[:, m]
         t1 = float(yy_diag[m])
@@ -1164,7 +1161,7 @@ def _rss_from_moments(yy_diag, Xty, G, b):
         t3 = float(bm @ G @ bm)
         rss = t1 - t2 + t3
         pos = abs(t1) + abs(t2) + abs(t3)
-        if pos > 0.0 and not rss > pos * 1e-8:
+        if pos > 0.0 and not rss > pos * thresh:
             return None
         out.append(max(rss, 0.0))
     return np.array(out)
@@ -1217,8 +1214,9 @@ def _plan_within(
 
     yy_diag = None
     n_cells = None
+    moment_loss = 1.0
     if fast is not None:
-        G_dm, Xty, n, Gf_full, n_cells = fast
+        G_dm, Xty, n, Gf_full, n_cells, moment_loss = fast
         k_x0 = len(x_all)
         yy_diag = [
             float(Gf_full[k_x0 + m, k_x0 + m]) for m in range(len(y_cols))
@@ -1337,7 +1335,7 @@ def _plan_within(
             # netting-scan RSS only when the cancellation guard trips
             # (R² ≈ 1) or the window path computed the Gram.
             rss = (
-                _rss_from_moments(yy_diag, Xty, G_dm, b_x)
+                _rss_from_moments(yy_diag, Xty, G_dm, b_x, moment_loss)
                 if yy_diag is not None
                 else None
             )
@@ -2409,8 +2407,23 @@ def fit_stats(
         ):
             fast = _within_moments_gram(df, fe, x_cols, [y])
         if fast is not None:
-            _, _, n, M, n_groups = fast
-        else:
+            _, _, n, M, n_groups, m_loss = fast
+            # RSS cancellation guard (review r16 — CONFIRMED finding):
+            # the closed-form rss = tss − b'X̃'y below subtracts two
+            # loss-amplified moment quantities, so near R² = 1 the
+            # moment M diverges measurably from the window M. Same
+            # decline rule as _rss_from_moments: require ~8 safe
+            # digits at the moment error scale, else take the window
+            # path whose M carries only 1e-16·entry error.
+            b_g = _solve(M[:k, :k], M[:k, k].reshape(k, 1))[:, 0]
+            fit_g = float(b_g @ M[:k, k])
+            tss_g = float(M[k, k])
+            pos_g = abs(tss_g) + abs(fit_g)
+            if pos_g > 0.0 and not (
+                (tss_g - fit_g) > pos_g * 1e-8 * max(m_loss, 1.0)
+            ):
+                fast = None
+        if fast is None:
             wspec = Window.partitionBy(fe)
             dm = [f"__dm_{c}" for c in cols]
             work = df.select(

@@ -333,6 +333,7 @@ class Groupby:
         self.keys = _as_list(keys)
         self.df = df
         self._persisted = False
+        self._apply_width: int | None = None
 
     def persist(self) -> "Groupby":
         """Pre-shuffle on the keys and cache — amortizes the shuffle
@@ -407,10 +408,16 @@ class Groupby:
             # r16: the width is data-aware — it grows with the input
             # size estimate past the cores/4 floor (up to 2×cores) so
             # a CPU-heavy Python stage over a large input is not
-            # capped at 25% of cluster parallelism.
+            # capped at 25% of cluster parallelism. The size estimate
+            # costs a driver-side Catalyst analyze+optimize of the
+            # handle's plan, so it is computed once per Groupby (the
+            # handle's whole point is reuse across applies — review
+            # r16).
             from hdfe_spark.session import py_stage_partitions
 
-            base = base.repartition(
-                py_stage_partitions(base.sparkSession, base), *self.keys
-            )
+            if self._apply_width is None:
+                self._apply_width = py_stage_partitions(
+                    base.sparkSession, base
+                )
+            base = base.repartition(self._apply_width, *self.keys)
         return base.groupBy(*self.keys).applyInPandas(run, schema=schema)

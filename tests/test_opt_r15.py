@@ -41,9 +41,9 @@ def test_within_fast_parity_with_window_path(panel, monkeypatch):
 def test_within_fast_triggers_on_clean_data(panel):
     out = E._within_moments_gram(panel, "g", ["x1", "x2"], ["y"])
     assert out is not None
-    G, Xty, n, Gf, n_levels = out
+    G, Xty, n, Gf, n_levels, loss = out
     assert G.shape == (2, 2) and Xty.shape == (2, 1) and n == 400
-    assert Gf.shape == (3, 3) and n_levels == 13
+    assert Gf.shape == (3, 3) and n_levels == 13 and loss >= 1.0
 
 
 def test_within_fast_declines_nulls_and_nans(panel, spark):

@@ -215,6 +215,28 @@ def test_fit_stats_moment_parity(panel, monkeypatch):
     assert np.allclose(fast["b"], slow["b"], rtol=1e-9)
 
 
+def test_fit_stats_near_perfect_fit_guard(spark, monkeypatch):
+    """Review r16 (CONFIRMED finding): near R²=1 with large absorbed
+    group means, the moment M's loss-amplified error would corrupt the
+    closed-form RSS — the guard must route to the window path so both
+    calls agree."""
+    from hdfe_spark.operators.estimate import fit_stats
+
+    rows = []
+    rng = np.random.RandomState(5)
+    for i in range(4000):
+        g = i % 10
+        x = float(i % 40)
+        y = 2.0 * x + g * 300.0 + float(rng.uniform(-1e-5, 1e-5))
+        rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+    fast = fit_stats(df, "y", ["x"], categorical_controls=["g"])
+    monkeypatch.setenv("HDFE_WITHIN_FAST", "0")
+    slow = fit_stats(df, "y", ["x"], categorical_controls=["g"])
+    assert np.isclose(fast["rss"], slow["rss"], rtol=1e-6)
+    assert np.isclose(fast["f_stat"], slow["f_stat"], rtol=1e-6)
+
+
 def test_fit_stats_moment_null_fe_level(spark, monkeypatch):
     """A NULL FE level is its own absorbed group on both paths."""
     from hdfe_spark.operators.estimate import fit_stats
@@ -375,14 +397,15 @@ def test_py_stage_partitions_data_aware(spark, monkeypatch):
 # ----------------------------------------------- dedup persist registry
 
 
-def test_query_scoped_persist_bounded_and_releasable(spark):
+def test_query_scoped_persist_bounded_and_releasable(spark, monkeypatch):
     from hdfe_spark.operators import dedup as D
 
     D.release_query_caches()
+    monkeypatch.setenv("HDFE_SCOPED_PERSIST_CAP", "4")
     frames = [spark.range(0, 10 + i) for i in range(6)]
     for f in frames:
         D._query_scoped_persist(f)
-    assert len(D._SCOPED_PERSISTS) == D._SCOPED_PERSIST_CAP
+    assert len(D._SCOPED_PERSISTS) == 4
     D.release_query_caches()
     assert not D._SCOPED_PERSISTS
 

@@ -53,7 +53,12 @@ def _clear(spark):
 def run_variants(spark, name, variants, reps=5):
     """variants: list of (label, env_dict, build_fn)."""
     results = {lab: [] for lab, _, _ in variants}
-    saved = {}
+    # Save every key any variant touches so the caller's environment
+    # is restored afterwards (review r16: popping keys clobbered
+    # pre-set kill-switches for subsequent experiments).
+    saved = {
+        k: os.environ.get(k) for _, env, _ in variants for k in env
+    }
 
     def _apply(env):
         for k, v in env.items():
@@ -83,10 +88,12 @@ def run_variants(spark, name, variants, reps=5):
             f"min={min(v):.3f} all={[round(x, 3) for x in v]}",
             flush=True,
         )
-    # reset every env key touched
-    for _, env, _ in variants:
-        for k in env:
+    # restore the caller's environment for every key touched
+    for k, v in saved.items():
+        if v is None:
             os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
     return results
 
 
