@@ -814,16 +814,58 @@ def containment_pairs(
     handles the hot keys, and the shuffle moves (doc, shingle)
     pairs, never text.
     """
+    import os
+
     from hdfe_spark.operators.text import shingles
 
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingles(F.lower(F.col(text_col)), shingle_k)
-        ).alias("__s"),
-    ).filter(F.size("__s") > 0)
+    if os.environ.get("HDFE_HOF_HOIST", "1") != "0":
+        # Hoist lower() behind a projection boundary (optimization
+        # r16, guide §1.2): the char-shingle transform lambda
+        # substr's its text argument per element, and a lambda
+        # re-evaluates any captured outer EXPRESSION per element —
+        # the inline form re-lowercased the FULL text once per
+        # shingle, O(len^2) per document. substr on the hoisted
+        # attribute is O(k). The empty-set filter runs BEFORE the
+        # projection as the equivalent length(text) >= k (shingles()
+        # yields [] iff the text is shorter than k; NULL text fails
+        # both forms) — a size(__s) > 0 post-filter gets
+        # predicate-pushed below the hoist with the full inline
+        # expression substituted back in, re-paying the O(len^2)
+        # pass per row. Values identical (same expressions modulo
+        # the hoist), certified by the brute-force all-pairs oracle.
+        low = df.filter(F.length(F.col(text_col)) >= shingle_k).select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("__low")
+        )
+        sh = low.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles(F.col("__low"), shingle_k)
+            ).alias("__s"),
+        )
+    else:
+        sh = df.select(
+            F.col(id_col),
+            F.array_distinct(
+                shingles(F.lower(F.col(text_col)), shingle_k)
+            ).alias("__s"),
+        ).filter(F.size("__s") > 0)
     sizes = sh.select(F.col(id_col), F.size("__s").alias("__size"))
-    ex = sh.select(F.col(id_col), F.explode("__s").alias("__g"))
+    if os.environ.get("HDFE_HOF_HOIST", "1") != "0":
+        # explode_outer, not explode: InferFiltersFromGenerate adds a
+        # size(__s) > 0 filter below a plain explode, and predicate
+        # pushdown substitutes the FULL inline shingle expression back
+        # into it below the hoist projection — re-paying the O(len^2)
+        # pass per row. explode_outer infers no filter; the pre-filter
+        # above guarantees __s is non-empty, and the isNotNull guard
+        # on the generator OUTPUT (which cannot push below the
+        # generator) drops the NULL rows explode_outer would emit if
+        # that invariant ever broke — exactly the rows explode never
+        # emits. Values identical.
+        ex = sh.select(F.col(id_col), F.explode_outer("__s").alias("__g")).filter(
+            F.col("__g").isNotNull()
+        )
+    else:
+        ex = sh.select(F.col(id_col), F.explode("__s").alias("__g"))
     a = ex.select(F.col(id_col).alias("id_a"), "__g")
     b = ex.select(F.col(id_col).alias("id_b"), "__g")
     common = (

@@ -49,7 +49,17 @@ def shingle_array(text_col, k: int = 5):
     """All consecutive word ``k``-shingles of ``text_col`` as an
     array<string> (space-joined, lowercased whitespace tokens), in
     JVM whole-stage codegen. Documents shorter than ``k`` tokens get
-    an empty array."""
+    an empty array.
+
+    PERF HAZARD (optimization r16, guide §1.2/§4-adjacent): the
+    transform lambda references the ``tokens()`` subtree, and a
+    higher-order-function lambda re-evaluates any captured outer
+    EXPRESSION once per element — so this single expression
+    re-tokenizes the full text n_shingles times (measured 7-12x on
+    the sf0.1 shingle stage). Prefer ``word_shingle_frame``, which
+    hoists the token array behind a projection boundary so it
+    evaluates once per row; this form is kept for callers that need
+    a pure Column (and as the ``HDFE_HOF_HOIST=0`` fallback)."""
     t = tokens(text_col)
     n = F.size(t)
     return F.when(
@@ -59,6 +69,30 @@ def shingle_array(text_col, k: int = 5):
             lambda i: F.array_join(F.slice(t, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingle_frame(
+    df: DataFrame, id_col, text_col, k: int = 5, out_col: str = "sh"
+) -> DataFrame:
+    """(id, ``out_col``: array<string> of word k-shingles) with the
+    token array HOISTED behind a projection boundary, so ``tokens()``
+    runs once per row instead of once per transform element (the
+    ``shingle_array`` hazard above). CollapseProject keeps the
+    boundary because ``__t`` is referenced more than once and is not
+    a cheap expression. Values are bit-identical to ``shingle_array``
+    (same expression tree modulo the hoist) — pinned in
+    tests/test_opt_r16b.py and certified by the setsim_join /
+    dup_ngram_spans brute-force oracles."""
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(F.col("__t"), i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tk.select("id", sh.alias(out_col))
 
 
 def setsim_join(
@@ -94,14 +128,33 @@ def setsim_join(
     per-document sort+slice (hash agg on id), prefix self-join
     (equi-join on shingle), pair distinct, two id-keyed verify joins.
     """
-    sid = F.col(id_col)
-    base = df.select(sid.alias("id"), shingle_array(F.col(text_col), shingle_k).alias("sh"))
+    import os
 
-    # Distinct shingle posting list (id, tok).
-    toks = (
-        base.select("id", F.explode("sh").alias("tok"))
-        .distinct()
-    )
+    sid = F.col(id_col)
+    if os.environ.get("HDFE_HOF_HOIST", "1") != "0":
+        # Hoisted token array (see word_shingle_frame): tokens() runs
+        # once per row, not once per shingle. Same values. The
+        # explode is explode_outer + isNotNull-on-output because
+        # InferFiltersFromGenerate's size(sh) > 0 filter under a
+        # plain explode gets predicate-pushed below the hoist with
+        # the full inline expression substituted back in (see
+        # containment_pairs); explode_outer's extra NULL-tok rows for
+        # empty arrays are exactly the rows the guard drops, so
+        # values are identical.
+        base = word_shingle_frame(df, id_col, text_col, shingle_k, "sh")
+        toks = (
+            base.select("id", F.explode_outer("sh").alias("tok"))
+            .filter(F.col("tok").isNotNull())
+            .distinct()
+        )
+    else:
+        base = df.select(
+            sid.alias("id"), shingle_array(F.col(text_col), shingle_k).alias("sh")
+        )
+        toks = (
+            base.select("id", F.explode("sh").alias("tok"))
+            .distinct()
+        )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
 
     # Each document's set, sorted ascending by (df, tok): the single
@@ -123,8 +176,6 @@ def setsim_join(
     # collect_list + array_sort re-executes per consumer — a
     # query-scoped persist runs it once. Values unchanged (same
     # lineage); ``HDFE_SETSIM_FUSED=0`` restores the unfused plan.
-    import os
-
     if os.environ.get("HDFE_SETSIM_FUSED", "1") != "0":
         from hdfe_spark.operators.dedup import _query_scoped_persist
 
